@@ -1,0 +1,70 @@
+"""Table catalog over the driver-generated parquet test schema.
+
+The reference's "catalog" is a directory of key=value settings files that
+name which tables exist and how they load (ExcelToCSVexport.ps1:61-116,
+CSVtoSQLimport.ps1:96-150). Here the equivalent is a registry of named
+parquet tables plus temp-view registration so both the DataFrame API and
+``spark.sql`` can address them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables materialized by the driver under /root/testdata/sf*/ .
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any realistic scale factor.
+BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one parquet table. Columnar scan: Catalyst prunes columns and
+    pushes filters into this source automatically.
+
+    The events table stores TIMESTAMP(NANOS) which the Spark parquet reader
+    rejects ([PARQUET_TYPE_ILLEGAL]); we read nanos as long
+    (``nanosAsLong``) and truncate to microseconds — the same truncation
+    DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, so both engines
+    see identical values.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view (for spark.sql parity with the
+    DuckDB oracle, which pre-registers the same view names)."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,74 @@
+"""Vector column expressions over array<float>/array<double> embeddings.
+
+Pure built-ins (``zip_with`` + ``aggregate``): per-row O(dim) work inside
+codegen, no Python boundary, no shuffle. Dot products accumulate in float64
+in array order, so results are bit-deterministic across runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot_product(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Σ aᵢ·bᵢ accumulated left-to-right in double."""
+    products = F.zip_with(
+        _col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: ColumnOrName) -> Column:
+    return F.sqrt(dot_product(a, a))
+
+
+def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Cosine similarity; null if either vector has zero norm."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot_product(a, b) / denom)
+
+
+def l2_normalize(a: ColumnOrName) -> Column:
+    """Scale to unit norm (pre-normalizing lets cosine top-k become a plain
+    dot product, halving per-pair flops in brute-force search)."""
+    v = _col(a)
+    n = l2_norm(v)
+    return F.when(n > 0, F.transform(v, lambda x: x.cast("double") / n))
+
+
+def random_hyperplane_signature(a: ColumnOrName, n_planes: int, seed: int = 42) -> Column:
+    """SimHash-style LSH signature for cosine: sign pattern of projections
+    onto ``n_planes`` pseudo-random hyperplanes, packed into a string key.
+
+    Hyperplane components are derived deterministically from (seed, plane,
+    dim) via xxhash64 → uniform in [-1, 1]; identical across executors with
+    no broadcast of plane matrices needed.
+    """
+    v = _col(a)
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, i: x.cast("double")
+                * (
+                    (
+                        F.xxhash64(F.lit(seed), F.lit(p), i)
+                        % F.lit(1_000_003)
+                    ).cast("double")
+                    / F.lit(1_000_003.0)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)

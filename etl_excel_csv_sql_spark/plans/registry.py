@@ -1,0 +1,1167 @@
+"""Named-query registry: the engine's operator inventory, executable.
+
+Each entry pairs a Spark implementation (built on operators/ + functions/)
+with an equivalent DuckDB oracle SQL string. Parity conventions (so the
+driver's row-count + schema + order-insensitive value-hash compare passes):
+
+- **Money aggregates are decimal-exact**: doubles are cast to
+  DECIMAL(18,4) *before* SUM so results are independent of partitioning /
+  addition order, then cast back to DOUBLE for a stable schema. Products
+  (price*(1-discount)) are computed in double first (IEEE multiply is
+  bit-deterministic) and then cast.
+- **Timestamps cross engines as strings** (date_format / strftime) or
+  DATEs — never as raw timestamp values (us vs ns physical types).
+- **Every LIMIT query carries a total order** (unique tie-break column).
+- **FP-noisy outputs (cosine, ratios) are rounded to 6 decimals**; the
+  underlying sums are either order-fixed (array fold) or carry ≤1e-12
+  noise against a 1e-6 rounding step.
+- All output column names are lower_snake_case and aliased identically on
+  both sides.
+
+Reference provenance for the parity queries is cited per-entry
+(/root/reference/*.ps1); breadth queries (M4/M5 in SURVEY §7.2) cover the
+capability superset: group-by/rollup/cube, window functions, set ops,
+dedup (exact/MinHash/SimHash/Jaccard/embedding), similarity search, text
+analysis, event-time windows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_excel_csv_sql_spark.catalog import load_table
+from etl_excel_csv_sql_spark.functions.scalars import (
+    compose_filename,
+    excel_serial_to_timestamp,
+    format_timestamp,
+    sanitize_sql_string,
+    scrub_path_chars,
+)
+from etl_excel_csv_sql_spark.functions.text import (
+    bpe_ish_token_count,
+    lang_id,
+    normalize_text,
+    rolling_hash,
+    stopword_ratio,
+    token_count,
+)
+from etl_excel_csv_sql_spark.functions.vectors import l2_norm
+from etl_excel_csv_sql_spark.operators import (
+    dedup,
+    events,
+    invoice,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None → driver does a rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in _REGISTRY.items()}
+
+def all_oracles() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle
+    }
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# exact money sum (see module docstring)
+def _msum(col):
+    return relational.money_sum(col)
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: filters / projections (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_neq_case_insensitive",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE lower(coalesce(c_mktsegment, '')) <> 'building'
+    """,
+    doc="P1: Found<>'Yes' case-insensitive filter (InvoiceFileSearchFromSQL.ps1:52)",
+)
+def q_filter_neq_ci(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return invoice.unprocessed(cust, "c_mktsegment", "building").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "project_columns",
+    "SELECT o_orderkey, o_custkey FROM orders",
+    doc="P2/P4: configured column subset (CSVtoSQLimport.ps1:232-237); prunes the scan",
+)
+def q_project(spark, sf_dir):
+    return relational.project(_t(spark, sf_dir, "orders"), ["o_orderkey", "o_custkey"])
+
+
+@register(
+    "filter_notnull_key",
+    """
+    SELECT event_id, event_type FROM events
+    WHERE props IS NOT NULL AND CAST(props AS VARCHAR) <> ''
+    """,
+    doc="P3: skip rows with null/empty PK (CSVtoSQLimport.ps1:229)",
+)
+def q_filter_notnull(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return relational.filter_not_null_key(ev, "props").select("event_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: joins (SURVEY §2.4) + counts (§2.5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "semi_join_inlist",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+    doc="J1: dynamic IN-list semi-join pushdown (InvoiceFileSearchFromSQL.ps1:63) "
+    "as a broadcast LEFT SEMI join",
+)
+def q_semi_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return invoice.semi_join_matches(orders, cust, "o_custkey", "c_custkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "update_join_writeback",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+                THEN 'Yes' ELSE '' END AS found
+    FROM customer
+    """,
+    doc="J2: correlated update-join write-back (InvoiceFileSearchFromSQL.ps1:117)",
+)
+def q_update_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").withColumn("found", F.lit(""))
+    matches = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return invoice.mark_found(cust, matches, "c_custkey", "o_custkey").select(
+        "c_custkey", "found"
+    )
+
+
+@register(
+    "anti_join_unmatched",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+    """,
+    doc="parts never ordered — LEFT ANTI join (complement of J1)",
+)
+def q_anti_join(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
+    "found_report",
+    """
+    WITH expected AS (
+      SELECT count(DISTINCT c_custkey) AS expected_count
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), found AS (
+      SELECT count(DISTINCT c_custkey) AS found_count
+      FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+        AND c_custkey IN (SELECT o_custkey FROM orders)
+    )
+    SELECT expected_count, found_count,
+           expected_count - found_count AS missing_count
+    FROM expected, found
+    """,
+    doc="A1/A2: found-vs-expected reconciliation (InvoiceFileSearchFromSQL.ps1:136-140)",
+)
+def q_found_report(spark, sf_dir):
+    expected = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return invoice.found_report(expected, orders, "c_custkey", "o_custkey")
+
+
+@register(
+    "in_list_literal",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+    doc="J1 variant: literal IN-list predicate (reference splices these into SQL text)",
+)
+def q_in_list(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "copy_plan_manifest",
+    """
+    SELECT o_orderpriority || '/' || CAST(o_orderkey AS VARCHAR) || '.pdf' AS src_path,
+           CAST(o_orderkey AS VARCHAR) || ' - ' ||
+           regexp_replace('ref/' || c_name, '[\\/]', ' ', 'g') || ' - ' ||
+           CAST(o_orderkey AS VARCHAR) || '.pdf' AS dst_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="K8/F4/F5: per-row copy manifest with path scrub + filename compose "
+    "(InvoiceFileSearchFromSQL.ps1:88-110)",
+)
+def q_copy_plan(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    matches = relational.broadcast_dim_join(
+        orders, cust, orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("o_orderkey").alias("invnum"),
+        F.col("o_orderpriority").alias("subfolder"),
+        F.concat(F.col("o_orderkey").cast("string"), F.lit(".pdf")).alias("filename"),
+        F.concat(F.lit("ref/"), F.col("c_name")).alias("customer_ref"),
+    )
+    return invoice.compose_copy_plan(matches)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function parity (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "excel_serial_to_ts",
+    """
+    SELECT l_orderkey, l_linenumber,
+           strftime(TIMESTAMP '1899-12-30 00:00:00'
+                    + to_seconds(CAST(round((l_quantity + l_discount) * 86400) AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS excel_ts
+    FROM lineitem
+    """,
+    doc="F2: ConvertExcelDateToSQL (CSVtoSQLimport.ps1:80-92), true Excel origin",
+)
+def q_excel_serial(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    serial = F.col("l_quantity") + F.col("l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format(
+            excel_serial_to_timestamp(serial), "yyyy-MM-dd HH:mm:ss"
+        ).alias("excel_ts"),
+    )
+
+
+@register(
+    "sanitize_sql_string",
+    r"""
+    SELECT p_partkey,
+           regexp_replace(
+             regexp_replace(p_name || '''; DROP TABLE x; --', '--|''|;', '', 'g'),
+             '\b(SELECT|INSERT|UPDATE|DELETE|DROP|ALTER|CREATE|EXECUTE|EXEC|UNION|TRUNCATE)\b',
+             '[[\1]]', 'gi') AS sanitized
+    FROM part
+    """,
+    doc="F1: SanitizeString (CSVtoSQLimport.ps1:59-78) — strip quotes/semicolons/"
+    "comment markers, bracket bare SQL keywords",
+)
+def q_sanitize(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    dirty = F.concat(F.col("p_name"), F.lit("'; DROP TABLE x; --"))
+    return part.select(
+        "p_partkey", sanitize_sql_string(dirty).alias("sanitized")
+    )
+
+
+@register(
+    "path_scrub",
+    r"""
+    SELECT c_custkey,
+           regexp_replace('north/' || c_name || '\win', '[\\/]', ' ', 'g') AS scrubbed
+    FROM customer
+    """,
+    doc="F4: CustomerRef path-char scrub (InvoiceFileSearchFromSQL.ps1:88-90)",
+)
+def q_path_scrub(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    dirty = F.concat(F.lit("north/"), F.col("c_name"), F.lit("\\win"))
+    return cust.select("c_custkey", scrub_path_chars(dirty).alias("scrubbed"))
+
+
+@register(
+    "archive_naming",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y.%m.%d %H.%M') || ' orders.csv' AS archive_name,
+           strftime(o_orderdate, '%Y%m%d') || ' FileImportError.txt' AS errlog_name
+    FROM orders
+    """,
+    doc="F6/K6: archive + error-log file naming (CSVtoSQLimport.ps1:258, "
+    "ExcelToCSVexport.ps1:32)",
+)
+def q_archive_naming(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.concat(
+            format_timestamp("o_orderdate", "yyyy.MM.dd HH.mm"), F.lit(" orders.csv")
+        ).alias("archive_name"),
+        F.concat(
+            format_timestamp("o_orderdate", "yyyyMMdd"), F.lit(" FileImportError.txt")
+        ).alias("errlog_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / SQL breadth (SURVEY §7.2 M4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary; decimal-exact sums, map-side partial agg",
+)
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _msum("l_quantity").alias("sum_qty"),
+            _msum("l_extendedprice").alias("sum_base_price"),
+            _msum(disc).alias("sum_disc_price"),
+            _msum(charge).alias("sum_charge"),
+            (_msum("l_quantity") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "group_by_multi",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+    doc="multi-key GROUP BY with exact money sum",
+)
+def q_group_by_multi(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _msum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "distinct_values",
+    "SELECT DISTINCT c_mktsegment FROM customer",
+    doc="DISTINCT (hash aggregate, map-side partial)",
+)
+def q_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@register(
+    "count_distinct",
+    """
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="COUNT(DISTINCT) — two-phase partial+final under AQE",
+)
+def q_count_distinct(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+    )
+
+
+@register(
+    "top_k_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    doc="global top-k — TakeOrderedAndProject (per-partition heap, no global sort)",
+)
+def q_topk(spark, sf_dir):
+    return relational.top_k(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc()],
+        10,
+        tiebreak=["o_orderkey"],
+    )
+
+
+@register(
+    "case_when_bands",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS band,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+    doc="CASE WHEN bucketing + aggregate",
+)
+def q_case_bands(spark, sf_dir):
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(band.alias("band"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "having_filter",
+    """
+    SELECT c_nationkey, count(*) AS n_customers
+    FROM customer GROUP BY c_nationkey HAVING count(*) >= 5
+    """,
+    doc="GROUP BY + HAVING",
+)
+def q_having(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+        .filter(F.col("n_customers") >= 5)
+    )
+
+
+@register(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="GROUP BY ROLLUP (hierarchical subtotals)",
+)
+def q_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+@register(
+    "cube_agg",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="GROUP BY CUBE (all grouping-set combinations)",
+)
+def q_cube(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+@register(
+    "set_union",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="UNION (distinct)",
+)
+def q_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="INTERSECT",
+)
+def q_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="EXCEPT",
+)
+def q_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT (distinct) semantics, unlike exceptAll
+
+
+@register(
+    "shipping_priority_top10",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped: 3-way join (customer broadcast) → agg → top-k",
+)
+def q_shipping_top10(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = relational.broadcast_dim_join(
+        orders, cust, orders.o_custkey == cust.c_custkey
+    ).join(li, li.l_orderkey == orders.o_orderkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        _msum(rev).alias("revenue")
+    )
+    return relational.top_k(
+        agg.select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        ),
+        [F.col("revenue").desc()],
+        10,
+        tiebreak=["l_orderkey"],
+    )
+
+
+@register(
+    "region_revenue",
+    """
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    doc="TPC-H Q5-shaped star join: fact → dims, all dims broadcast, single shuffle "
+    "for the final agg",
+)
+def q_region_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("r_name", "n_name").agg(_msum(rev).alias("revenue"))
+
+
+@register(
+    "above_avg_orders",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) FROM orders
+    )
+    """,
+    doc="scalar subquery: orders above the (exact) mean price",
+)
+def q_above_avg(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    avg_row = orders.agg(
+        (relational.money_sum("o_totalprice") / F.count("*")).alias("a")
+    )
+    return orders.join(F.broadcast(avg_row)).filter(
+        F.col("o_totalprice") > F.col("a")
+    ).select("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.7 — absent in reference, native in Spark)
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="top-k per group via row_number window (one shuffle on group key)",
+)
+def q_window_topk(spark, sf_dir):
+    return relational.top_k_per_group(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_qty
+    FROM lineitem
+    """,
+    doc="running (cumulative) sum per order — decimal-exact prefix sums",
+)
+def q_window_running(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_qty"),
+    )
+
+
+@register(
+    "window_lag_gap",
+    """
+    SELECT l_orderkey, l_linenumber,
+           date_diff('day',
+                     lag(CAST(l_shipdate AS DATE))
+                       OVER (PARTITION BY l_orderkey ORDER BY l_linenumber),
+                     CAST(l_shipdate AS DATE)) AS gap_days
+    FROM lineitem
+    """,
+    doc="lag window: days between consecutive shipments within an order",
+)
+def q_window_lag(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    li = _t(spark, sf_dir, "lineitem")
+    ship = F.col("l_shipdate").cast("date")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(ship, F.lag(ship).over(w)).cast("bigint").alias("gap_days"),
+    )
+
+
+@register(
+    "window_rank_dense",
+    """
+    SELECT c_nationkey, c_custkey,
+           rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_rank,
+           dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_dense_rank
+    FROM customer
+    """,
+    doc="rank/dense_rank analytics",
+)
+def q_window_rank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_custkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time operators (SURVEY §2.8 north-star; events table)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_tumbling_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="T-window: tumbling 1h aggregation via F.window (streaming-identical expression)",
+)
+def q_events_tumbling(spark, sf_dir):
+    return events.tumbling_window_agg(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sliding",
+    """
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts) - to_minutes(10 * off), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events
+    FROM events CROSS JOIN (VALUES (0), (1), (2)) AS offs(off)
+    GROUP BY 1, 2
+    """,
+    doc="sliding 30m/10m windows via F.window; each event lands in 3 windows",
+)
+def q_events_sliding(spark, sf_dir):
+    return events.sliding_window_agg(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    doc="gap-based sessionization (lag + running sum), 30-minute gap",
+)
+def q_events_sessionize(spark, sf_dir):
+    return events.sessionize(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON prop extraction (get_json_object) + aggregate",
+)
+def q_events_json(spark, sf_dir):
+    ev = events.extract_props_key(_t(spark, sf_dir, "events"), "k")
+    return ev.groupBy("event_type").agg(
+        F.sum("prop_k").cast("bigint").alias("sum_k"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents (north-star M5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_token_stats",
+    r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           length(text) AS n_chars_measured,
+           round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                          x -> lower(x) IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio_en
+    FROM documents
+    """,
+    doc="per-document token/char counts + stopword ratio (quality signals)",
+)
+def q_doc_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio_en"),
+    )
+
+
+@register(
+    "corpus_rollup_lang",
+    r"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE) / count(*) AS avg_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="corpus statistics rollup by language",
+)
+def q_corpus_rollup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tc = token_count("text")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tc).alias("total_tokens"),
+        (F.sum(tc).cast("double") / F.count("*")).alias("avg_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+@register(
+    "exact_dup_groups",
+    r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+           count(*) AS dup_count, min(doc_id) AS keeper_id
+    FROM documents GROUP BY 1
+    """,
+    doc="exact dedup via md5 fingerprint of normalized text "
+    "(shuffles 16-byte hashes, never text)",
+)
+def q_exact_dup(spark, sf_dir):
+    return dedup.exact_dedup_fingerprint(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    r"""
+    WITH shingled AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+                    THEN list_transform(
+                           generate_series(1, len(string_split_regex(trim(text), '\s+')) - 2),
+                           i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' '))
+                    ELSE [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+               END)) AS shingle
+      FROM documents
+    ), sizes AS (
+      SELECT id, count(*) AS set_size FROM shingled GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter_size
+      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter_size AS DOUBLE) / (sa.set_size + sb.set_size - inter_size) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(inter_size AS DOUBLE) / (sa.set_size + sb.set_size - inter_size) >= 0.12
+    """,
+    doc="exact n-gram (3-word shingle) Jaccard near-dup pairs via inverted index",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.12
+    )
+
+
+@register(
+    "minhash_lsh_pairs",
+    None,  # hash-function-dependent candidate set → rows-only check
+    doc="MinHash+LSH near-dup pairs (banded buckets, exact-Jaccard verified); "
+    "approximate candidate generation is engine-hash-specific, so no SQL oracle",
+)
+def q_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=32, bands=8, n=3, threshold=0.12,
+    )
+
+
+@register(
+    "simhash_pairs",
+    None,  # xxhash64-based signature → rows-only check
+    doc="SimHash near-dup pairs (Hamming ≤ 3, Manku-style block banding)",
+)
+def q_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, max_hamming=3
+    )
+
+
+@register(
+    "doc_fingerprint_rolling",
+    None,  # xxhash64-based → rows-only check
+    doc="order-sensitive rolling-hash document fingerprint",
+)
+def q_rolling_fp(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash("text").alias("fingerprint"))
+
+
+@register(
+    "lang_id_heuristic",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(t, x -> lower(x) IN ('der','die','das','und','ist','ein','eine','zu','den','mit'))) AS DOUBLE) / len(t) AS s_de,
+        CAST(len(list_filter(t, x -> lower(x) IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE) / len(t) AS s_en,
+        CAST(len(list_filter(t, x -> lower(x) IN ('el','la','de','que','y','en','un','una','es','los'))) AS DOUBLE) / len(t) AS s_es,
+        CAST(len(list_filter(t, x -> lower(x) IN ('le','la','de','et','un','une','est','que','les','dans'))) AS DOUBLE) / len(t) AS s_fr,
+        CAST(len(list_filter(t, x -> lower(x) IN ('的','是','了','在','和','有','我','不','这','人'))) AS DOUBLE) / len(t) AS s_zh
+      FROM toks
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'en'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM scores
+    """,
+    doc="stopword-overlap language ID; argmax with lexicographic tie-break",
+)
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "subword_token_count",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subword_tokens
+    FROM documents
+    """,
+    doc="BPE-ish subword token counting via regex piece extraction",
+)
+def q_subword_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count("text").alias("n_subword_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity (north-star M5)
+# ---------------------------------------------------------------------------
+
+# Element-wise explode via a constant index series cross join (DuckDB's
+# generate_series can't take a lateral column arg); dot products and norms
+# accumulate in DOUBLE, matching the Spark fold to within ~1e-14 — far
+# inside the round(.,6) output convention. Index range must cover the
+# embedding dim; out-of-range list indexes yield NULL and are dropped.
+_COSINE_EXPLODED = """
+    WITH exploded AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN generate_series(1, 4096) AS t(i)
+      WHERE i <= len(embedding)
+    ), norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM exploded GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "cosine_topk",
+    _COSINE_EXPLODED
+    + """
+    , pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot
+      FROM exploded a JOIN exploded b ON a.i = b.i AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 5
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             dot / (na.nrm * nb.nrm) AS cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot / (na.nrm * nb.nrm) DESC,
+                                         neighbor_id ASC) AS rank
+      FROM pairs JOIN norms na ON na.vec_id = query_id
+                 JOIN norms nb ON nb.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="brute-force exact cosine top-10 for 5 query vectors; corpus never "
+    "shuffles (queries broadcast)",
+)
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = similarity.brute_force_topk(emb, queries, k=10, exclude_self=True)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    )
+
+
+@register(
+    "embedding_dup_pairs",
+    _COSINE_EXPLODED
+    + """
+    , pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
+      FROM exploded a JOIN exploded b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM pairs JOIN norms na ON na.vec_id = id_a
+               JOIN norms nb ON nb.vec_id = id_b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.8
+    """,
+    doc="embedding near-dup pairs (exact all-pairs cosine ≥ 0.8)",
+)
+def q_embedding_dups(spark, sf_dir):
+    res = dedup.embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.8
+    )
+    return res.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id, label, len(embedding) AS dim,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+    doc="vector norms + dims (array expression plumbing)",
+)
+def q_embedding_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm("embedding"), 6).alias("l2_norm"),
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    None,  # centroid sampling is engine-hash-based → rows-only check
+    doc="IVF-style approximate nearest neighbors (probe 4/16 cells)",
+)
+def q_ann_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns; decode stubbed, shape real)
+# ---------------------------------------------------------------------------
+
+@register(
+    "media_metadata",
+    """
+    SELECT doc_id AS media_id, 'image' AS media_type,
+           octet_length(encode(text)) AS byte_len,
+           substr(hex(encode(text)), 1, 8) AS magic
+    FROM documents
+    """,
+    doc="binary media column normalization: byte length + 4-byte magic "
+    "(text bytes stand in for image payloads)",
+)
+def q_media_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.to_media_column(docs, "doc_id", "text", "image")
+    return media.select("media_id", "media_type", "byte_len", "magic")
+
+
+@register(
+    "media_image_meta",
+    None,  # fake decoder (mapInPandas plumbing) → rows-only check
+    doc="image metadata extraction via Arrow-batched mapInPandas (decoder stubbed)",
+)
+def q_media_image_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.to_media_column(docs, "doc_id", "text", "image")
+    return multimodal.extract_image_meta(media)
