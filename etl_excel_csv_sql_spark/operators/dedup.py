@@ -53,14 +53,21 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted index:
 
     explode distinct shingles → self-join on shingle (id_a < id_b) →
     |intersection| per pair → Jaccard. The self-join shuffles on the
-    shingle hash; hot shingles are the skew risk, so extremely common
-    shingles (df > ~10k) should be dropped as stopword-shingles at real
-    scale — AQE skew-join splits the rest.
+    shingle hash; hot shingles are the skew risk.
+
+    ``max_df`` is the stop-shingle cutoff: shingles appearing in more than
+    ``max_df`` documents (boilerplate) are removed from every shingle set
+    before the self-join — a shingle with df=d produces d² candidate rows,
+    so one boilerplate shingle at 100 TB is a killer bucket. The hot set is
+    small by definition, so it is broadcast and anti-joined (the inverted
+    index itself never collects). Jaccard is then computed over the
+    *retained* shingle sets on both sides of the oracle.
 
     Exact (not approximate): use minhash_lsh_pairs when the candidate set
     must stay subquadratic.
@@ -69,6 +76,14 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     )
+    if max_df is not None:
+        hot = (
+            shingled.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        shingled = shingled.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = shingled.groupBy("id").agg(F.count("*").alias("set_size"))
 
     a = shingled.alias("a")
@@ -205,32 +220,80 @@ def minhash_lsh_pairs(
     )
 
 
+def _simhash_tallies(hashes: Column) -> Column:
+    """array<int>[64] of per-bit ±1 tallies, in a SINGLE aggregate pass over
+    the hash array (the shingles are hashed exactly once by the caller).
+    Bit tests use Python-int shift amounts — PySpark's shift builtins
+    require a literal int, not a Column."""
+    zeros = F.array(*[F.lit(0) for _ in range(64)])
+    return F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.array(
+            *[
+                acc.getItem(i)
+                + F.when(
+                    F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+                for i in range(64)
+            ]
+        ),
+    )
+
+
+def _simhash_from_tallies(tallies: Column) -> Column:
+    """Assemble the signed 64-bit SimHash from the tally array with exact
+    integer arithmetic: bit i set iff tally[i] >= 0. Bits are disjoint, so
+    summing per-bit LONG terms equals the bitwise OR; bit 63's two's-
+    complement weight is -2^63, which keeps every intermediate inside the
+    signed-long range (no doubles, no decimals — cf. ADVICE on F.pow)."""
+    terms = [
+        F.when(tallies.getItem(i) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(63)
+    ]
+    terms.append(
+        F.when(tallies.getItem(63) >= 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total
+
+
 def simhash64(text_col: str | Column, n: int = 3, seed: int = 42) -> Column:
     """64-bit SimHash over word shingles: per bit, sum ±1 weighted by
-    whether xxhash64(shingle) has that bit set; sign → bit. Expressed as 64
-    aggregate() folds — heavy but fully codegen'd; for very wide use cases
-    prefer a pandas_udf doing the bit math vectorized."""
+    whether xxhash64(shingle) has that bit set; sign → bit.
+
+    One `transform` hashes each shingle exactly once, one `aggregate` pass
+    accumulates all 64 bit-tallies, and the long is assembled bitwise in
+    integer arithmetic. Prefer `simhash_frame` for multi-stage plans — it
+    materializes the intermediate arrays in separate projections so they
+    are provably computed once.
+    """
     shingles = word_shingles(text_col, n)
     hashes = F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), s))
-    bits = []
-    for bit in range(64):
-        tally = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        bits.append(
-            F.when(tally >= 0, F.lit(2).cast("decimal(38,0)") ** bit).otherwise(
-                F.lit(0).cast("decimal(38,0)")
-            )
-        )
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
-    # decimal accumulation avoids long overflow on bit 63; wrap to long range
-    two_63 = F.lit(str(2**63)).cast("decimal(38,0)")
-    return (total - two_63).cast("long")
+    return _simhash_from_tallies(_simhash_tallies(hashes))
+
+
+def simhash_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, seed: int = 42
+) -> DataFrame:
+    """(id, simhash): staged projections (shingle-hash → tally → assemble) so
+    each expensive array expression is evaluated once per row — Catalyst's
+    CollapseProject keeps non-cheap duplicated expressions in separate
+    stages, so the hash array is never recomputed per bit."""
+    hashes = F.transform(
+        word_shingles(text_col, n), lambda s: F.xxhash64(F.lit(seed), s)
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), hashes.alias("__hashes"))
+        .select("id", _simhash_tallies(F.col("__hashes")).alias("__tallies"))
+        .select("id", _simhash_from_tallies(F.col("__tallies")).alias("simhash"))
+    )
 
 
 def simhash_pairs(
@@ -251,24 +314,26 @@ def simhash_pairs(
     """
     blocks = max_hamming + 1
     width = 64 // blocks
-    sh = df.select(
-        F.col(id_col).alias("id"), simhash64(text_col, n, seed).alias("simhash")
-    )
-    banded = sh.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(blocks - 1)),
-                lambda blk: F.struct(
-                    blk.alias("block"),
-                    F.shiftrightunsigned(F.col("simhash"), blk * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("key"),
-                ),
+    sh = simhash_frame(df, id_col, text_col, n, seed)
+    # Block extraction is a Python-level loop: shift amounts are compile-time
+    # ints (PySpark shift builtins reject Column shift amounts), and the last
+    # block absorbs the 64 % blocks remainder bits so all 64 bits are covered.
+    block_structs = []
+    for blk in range(blocks):
+        w = width if blk < blocks - 1 else 64 - width * (blocks - 1)
+        block_structs.append(
+            F.struct(
+                F.lit(blk).alias("block"),
+                F.shiftrightunsigned(F.col("simhash"), blk * width)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("key"),
             )
-        ).alias("bk"),
-    ).select("id", "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
+        )
+    banded = sh.select(
+        "id", "simhash", F.explode(F.array(*block_structs)).alias("bk")
+    ).select(
+        "id", "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -299,28 +364,69 @@ def embedding_dup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    n_planes: int = 0,
+    n_planes: int = 8,
+    n_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ threshold.
+    """Embedding near-dup pairs: cosine ≥ threshold, exact-cosine verified.
 
-    ``n_planes=0`` → exact all-pairs (self-join; fine to ~10⁵ vectors,
-    quadratic beyond). ``n_planes>0`` → LSH-bucketed approximate: only
-    pairs sharing a random-hyperplane signature are compared, turning the
-    shuffle key into the signature and the complexity into Σ bucket².
+    Default path (``n_planes>0``) is hyperplane-LSH bucketing — the scale
+    path: each vector gets ``n_tables`` independent ``n_planes``-bit
+    sign-pattern signatures; only pairs colliding in ≥1 table are compared
+    (OR-construction boosts recall: p_collide = 1-(1-p^1)^T where
+    p = (1-θ/π)^n_planes). The shuffle key is (table, signature) and the
+    work is Σ bucket² instead of n² — one boilerplate-free 100 TB knob:
+    more planes → smaller buckets, more tables → higher recall. Every
+    candidate is verified with EXACT cosine, so output ⊆ the exact
+    all-pairs result (tests measure recall; false positives are
+    impossible).
+
+    ``n_planes=0`` → exact all-pairs self-join: O(n²) shuffle, a
+    small-n (≲10⁵ vectors) fallback only.
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if n_planes > 0:
-        base = base.withColumn(
-            "sig", random_hyperplane_signature("vec", n_planes, seed)
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    random_hyperplane_signature("vec", n_planes, seed + t).alias(
+                        "sig"
+                    ),
+                )
+                for t in range(max(1, n_tables))
+            ]
         )
-        join_cond = (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id"))
-    else:
-        join_cond = F.col("a.id") < F.col("b.id")
+        banded = base.select(
+            "id", "vec", F.explode(tables).alias("ts")
+        ).select(
+            "id", "vec", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig")
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                on=(F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.vec").alias("vec_a"),
+                F.col("b.vec").alias("vec_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sim = cosine_similarity(F.col("vec_a"), F.col("vec_b"))
+        return (
+            cand.select("id_a", "id_b", sim.alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
     a, b = base.alias("a"), base.alias("b")
     sim = cosine_similarity(F.col("a.vec"), F.col("b.vec"))
     return (
-        a.join(b, on=join_cond)
+        a.join(b, on=F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

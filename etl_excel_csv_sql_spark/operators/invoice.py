@@ -32,14 +32,22 @@ def unprocessed(
 
 
 def semi_join_matches(
-    big: DataFrame, keys: DataFrame, big_key: str, small_key: str
+    big: DataFrame, keys: DataFrame, big_key: str, small_key: str,
+    broadcast: bool = True,
 ) -> DataFrame:
-    """Big-side rows whose key appears in the (small) key list — the
-    reference's IN-list pushdown (InvoiceFileSearchFromSQL.ps1:63) as a
-    broadcast LEFT SEMI join: small side broadcast to every executor, big
-    side filtered in place, no shuffle of the big side."""
+    """Big-side rows whose key appears in the key list — the reference's
+    IN-list pushdown (InvoiceFileSearchFromSQL.ps1:63) as a LEFT SEMI join.
+
+    ``broadcast=True`` (the invoice pattern: key side is a small list)
+    broadcasts the distinct keys so the big side is filtered in place with
+    zero shuffle. Pass ``broadcast=False`` when the key side is unbounded
+    (e.g. a fact table) — AQE then picks shuffle-hash/sort-merge and can
+    still downgrade to broadcast at runtime if the side turns out small."""
+    key_side = keys.select(small_key).distinct()
+    if broadcast:
+        key_side = F.broadcast(key_side)
     return big.join(
-        F.broadcast(keys.select(small_key).distinct()),
+        key_side,
         on=big[big_key] == F.col(small_key),
         how="semi",
     )
@@ -75,12 +83,14 @@ def found_report(
 ) -> DataFrame:
     """Found-vs-expected reconciliation (InvoiceFileSearchFromSQL.ps1:136-140):
     one row with expected_count, found_count (distinct keys matched),
-    missing_count. Two scans + one broadcast semi; aggregates are map-side
-    partials so the shuffle carries one row per partition."""
+    missing_count. Two scans + one semi join; aggregates are map-side
+    partials so the shuffle carries one row per partition. The match side is
+    an unbounded fact table here, so the semi join is NOT broadcast — AQE
+    picks the strategy (and may still broadcast if it is small at runtime)."""
     exp = expected.select(F.countDistinct(expected_key).alias("expected_count"))
-    fnd = semi_join_matches(expected, matches, expected_key, match_key).select(
-        F.countDistinct(expected_key).alias("found_count")
-    )
+    fnd = semi_join_matches(
+        expected, matches, expected_key, match_key, broadcast=False
+    ).select(F.countDistinct(expected_key).alias("found_count"))
     return (
         exp.crossJoin(fnd)
         .withColumn("missing_count", F.col("expected_count") - F.col("found_count"))

@@ -70,6 +70,44 @@ def top_k_per_group(
     )
 
 
+def grouped_bounded_topk(
+    df: DataFrame, group: Sequence[str], key: Column, k: int
+) -> DataFrame:
+    """Top-k per group WITHOUT a per-group single-partition sort.
+
+    ``key`` is a struct column whose ascending lexicographic order defines
+    the ranking (rank 1 = smallest; negate doubles for descending). Two
+    phases of bounded aggregation:
+
+      1. groupBy(group, spark_partition_id): map-side partial collect →
+         sort → slice k. Each partition contributes at most k items per
+         group it contains, so the shuffle carries ≤ partitions × groups × k
+         structs — never the scored rows themselves.
+      2. groupBy(group): flatten the ≤ partitions×k candidates, sort, slice
+         k, posexplode to (item, rank).
+
+    Contrast with row_number-over-Window.partitionBy(group): that plan
+    shuffles EVERY scored row and sorts each group's entire score list in
+    one task — with few groups (e.g. 5 query vectors against a 100 TB
+    corpus) that is a single-partition sort of the whole corpus. Here task
+    memory is bounded by the input partition size in phase 1 and by
+    partitions×k in phase 2.
+
+    Output: group columns + ``item`` (the key struct) + ``rank`` (1-based).
+    """
+    phase1 = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy(*group, "__pid")
+        .agg(F.slice(F.array_sort(F.collect_list(key)), 1, k).alias("__heap"))
+    )
+    phase2 = phase1.groupBy(*group).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__heap"))), 1, k).alias("__top")
+    )
+    return phase2.select(
+        *group, F.posexplode("__top").alias("__pos", "item")
+    ).select(*group, "item", (F.col("__pos") + 1).alias("rank"))
+
+
 def dedup_exact(df: DataFrame, keys: Sequence[str], order: Sequence[Column]) -> DataFrame:
     """Exact dedup keeping the first row per key under ``order`` (must be a
     total order). row_number-over-window: one shuffle on the keys; for a

@@ -1,26 +1,39 @@
 """Similarity search over embedding columns (array<float>).
 
 Two paths:
-- brute_force_topk: exact cosine top-k. For a small query set this is a
-  broadcast of the queries against a single streaming pass over the corpus
-  — the right plan even at 100 TB when |queries| is small (the corpus never
-  shuffles; per-executor partial top-k heaps merge at the end via
-  TakeOrderedAndProject / window-per-query).
-- ivf_topk: IVF-style approximate search — k-means-lite centroids assign
-  each vector to a cell (narrow map); queries probe only the closest
-  ``n_probe`` cells, cutting scanned rows by |cells|/n_probe. Centroids are
-  sampled deterministically and broadcast.
+- brute_force_topk: exact cosine top-k. The (small) query set is broadcast
+  against a single streaming pass over the corpus — the corpus never
+  shuffles — and ranking uses bounded two-phase top-k aggregation
+  (relational.grouped_bounded_topk), so no task ever sorts more than one
+  input partition's scores. The right plan even at 100 TB when |queries|
+  is small.
+- ivf_topk: IVF-style approximate search — sampled centroids assign each
+  vector to a cell via a pure per-row expression over a broadcast centroid
+  array (zero shuffle); queries probe only the closest ``n_probe`` cells,
+  cutting scanned rows by n_probe/|cells|.
+
+Scale invariants (asserted by tests/test_similarity.py on the physical
+plan): no Window operator anywhere, corpus-side Exchange only for the
+final ≤ partitions×k candidate structs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_excel_csv_sql_spark.functions.vectors import (
-    cosine_similarity,
-    dot_product,
-)
+from etl_excel_csv_sql_spark.functions.vectors import cosine_similarity
+from etl_excel_csv_sql_spark.operators.relational import grouped_bounded_topk
+
+
+def _rank_key(id_out: Column, sim: Column) -> Column:
+    """Struct whose ASCENDING order ranks by (cosine desc, id asc); cosine
+    rides along as a payload field (harmless trailing sort key)."""
+    return F.struct(
+        (-sim).alias("neg_cosine"),
+        id_out.alias("neighbor_id"),
+        sim.alias("cosine"),
+    )
 
 
 def brute_force_topk(
@@ -36,8 +49,11 @@ def brute_force_topk(
     """Exact top-k neighbors per query by cosine.
 
     queries (small) is broadcast; corpus streams through map-side — the
-    cross join never shuffles the corpus. Ranking uses row_number with a
-    (cosine desc, id asc) total order so results are deterministic.
+    cross join never shuffles the corpus. Ranking is bounded two-phase
+    top-k: per-partition sorted slices of k merge per query, so the only
+    shuffle after scoring carries ≤ partitions × |queries| × k structs
+    (NOT the |corpus|×|queries| scored rows, and no single task ever holds
+    one query's full score list). Ties break by neighbor_id asc.
     ``exclude_self`` drops neighbor_id == query_id rows before ranking
     (for queries drawn from the corpus itself).
     Output: (query_id, neighbor_id, cosine, rank).
@@ -50,12 +66,15 @@ def brute_force_topk(
     )
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    scored = scored.filter(F.col("cosine").isNotNull())
+    topk = grouped_bounded_topk(
+        scored, ["query_id"], _rank_key(F.col("neighbor_id"), F.col("cosine")), k
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return topk.select(
+        "query_id",
+        F.col("item.neighbor_id").alias("neighbor_id"),
+        F.col("item.cosine").alias("cosine"),
+        "rank",
     )
 
 
@@ -63,7 +82,11 @@ def _centroids(corpus: DataFrame, id_col: str, vec_col: str, n_cells: int) -> Da
     """Deterministic centroid sample: the n_cells corpus vectors with the
     smallest xxhash64(id) — a seedable stand-in for k-means iterations
     (plug real KMeans in when MLlib is permitted; the plan shape — small
-    broadcast table of (cell_id, centroid) — is identical)."""
+    broadcast table of (cell_id, centroid) — is identical). orderBy+limit
+    plans as TakeOrderedAndProject (per-partition heaps), not a global
+    sort."""
+    from pyspark.sql import Window
+
     return (
         corpus.select(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("centroid"),
@@ -72,10 +95,36 @@ def _centroids(corpus: DataFrame, id_col: str, vec_col: str, n_cells: int) -> Da
         .orderBy("h", "cid")
         .limit(n_cells)
         .select(
+            # n_cells rows total — this Window sorts a bounded driver-size set
             (F.row_number().over(Window.orderBy("h", "cid")) - 1).alias("cell_id"),
             "centroid",
         )
     )
+
+
+def _packed_centroids(centroids: DataFrame) -> DataFrame:
+    """Collapse the (tiny) centroid table into ONE row holding an
+    array<struct<cell_id,centroid>> so assignment becomes a pure per-row
+    expression after a broadcast nested-loop join of a single row."""
+    return centroids.agg(
+        F.collect_list(F.struct("cell_id", "centroid")).alias("__cents")
+    )
+
+
+def _nearest_cell(vec: Column, cents: Column) -> Column:
+    """cell_id of the centroid with max cosine(vec, centroid), ties to the
+    smallest cell_id — array_min over (neg-sim, cell_id) structs; zero-norm
+    similarities coalesce to -2 (below any real cosine)."""
+    keyed = F.transform(
+        cents,
+        lambda c: F.struct(
+            (-F.coalesce(
+                cosine_similarity(vec, c.getField("centroid")), F.lit(-2.0)
+            )).alias("negsim"),
+            c.getField("cell_id").alias("cell_id"),
+        ),
+    )
+    return F.array_min(keyed).getField("cell_id")
 
 
 def ivf_assign(
@@ -84,21 +133,19 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign each corpus vector to its nearest centroid cell (narrow map
-    over a broadcast centroid table). Output adds ``cell_id``. Persisting
-    this result partitioned by cell_id turns every later probe into a
-    partition-pruned scan."""
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+    """Assign each corpus vector to its nearest centroid cell.
+
+    The centroid table is packed into a single array row and broadcast, so
+    assignment is a narrow per-row projection: ZERO shuffle of the corpus
+    (the previous row_number-over-id design shuffled |corpus| × |cells|
+    scored rows). Output adds ``cell_id``. Persisting this result
+    partitioned by cell_id turns every later probe into a partition-pruned
+    scan."""
+    packed = _packed_centroids(centroids)
+    return corpus.crossJoin(F.broadcast(packed)).select(
         F.col(id_col),
         F.col(vec_col),
-        F.col("cell_id"),
-        cosine_similarity(F.col(vec_col), F.col("centroid")).alias("csim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cell_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "cell_id")
+        _nearest_cell(F.col(vec_col), F.col("__cents")).alias("cell_id"),
     )
 
 
@@ -115,33 +162,51 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k: probe only the ``n_probe`` cells whose
     centroids are closest to the query. Scanned fraction ≈ n_probe/n_cells;
-    recall grows with n_probe. Same output schema as brute_force_topk."""
+    recall grows with n_probe (tests/test_similarity.py measures recall
+    against brute_force_topk). Same output schema as brute_force_topk.
+
+    Plan shape: centroid assignment is shuffle-free (see ivf_assign); the
+    probe list is |queries|×n_probe rows (broadcast); final ranking is the
+    bounded two-phase top-k, so the corpus again never shuffles."""
     cents = _centroids(corpus, id_col, vec_col, n_cells)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
-    qcells = queries.crossJoin(F.broadcast(cents)).select(
+    # top-n_probe cells per query: tiny (|queries| × n_cells rows) — the
+    # bounded grouped top-k keeps even this window-free.
+    qscored = queries.crossJoin(F.broadcast(cents)).select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("query_vec"),
         F.col("cell_id"),
-        cosine_similarity(F.col(query_vec_col), F.col("centroid")).alias("csim"),
+        F.coalesce(
+            cosine_similarity(F.col(query_vec_col), F.col("centroid")), F.lit(-2.0)
+        ).alias("csim"),
     )
-    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cell_id"))
-    probes = (
-        qcells.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "query_vec", "cell_id")
-    )
+    probes = grouped_bounded_topk(
+        qscored.select(
+            "query_id", "query_vec",
+            F.struct(
+                (-F.col("csim")).alias("negsim"), F.col("cell_id").alias("cell_id")
+            ).alias("__k"),
+        ).select(
+            "query_id", "query_vec", "__k"
+        ),
+        ["query_id", "query_vec"],
+        F.col("__k"),
+        n_probe,
+    ).select("query_id", "query_vec", F.col("item.cell_id").alias("cell_id"))
 
     sim = cosine_similarity(F.col(vec_col), F.col("query_vec"))
     scored = assigned.join(F.broadcast(probes), "cell_id").select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         sim.alias("cosine"),
+    ).filter(F.col("cosine").isNotNull())
+    topk = grouped_bounded_topk(
+        scored, ["query_id"], _rank_key(F.col("neighbor_id"), F.col("cosine")), k
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return topk.select(
+        "query_id",
+        F.col("item.neighbor_id").alias("neighbor_id"),
+        F.col("item.cosine").alias("cosine"),
+        "rank",
     )

@@ -366,28 +366,37 @@ def q_archive_naming(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+           CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
-    doc="TPC-H Q1-shaped pricing summary; decimal-exact sums, map-side partial agg",
+    doc="TPC-H Q1-shaped pricing summary; decimal-exact sums, map-side partial "
+    "agg. Product columns accumulate in DECIMAL(18,6) and round the *sum* to "
+    "2 decimals: the per-row double→decimal cast is the only place Spark "
+    "(HALF_UP) and DuckDB (half-even) can disagree, and at 6 fractional "
+    "digits the product of three 2-decimal inputs never lands on a tie "
+    "boundary",
 )
 def q_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc * (1 + F.col("l_tax"))
+
+    def psum(col):
+        return F.round(F.sum(col.cast("decimal(18,6)")), 2).cast("double")
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _msum("l_quantity").alias("sum_qty"),
             _msum("l_extendedprice").alias("sum_base_price"),
-            _msum(disc).alias("sum_disc_price"),
-            _msum(charge).alias("sum_charge"),
+            psum(disc).alias("sum_disc_price"),
+            psum(charge).alias("sum_charge"),
             (_msum("l_quantity") / F.count("*")).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
@@ -688,24 +697,37 @@ def q_window_topk(spark, sf_dir):
     )
 
 
+#: The synthetic lineitem has duplicate (l_orderkey, l_linenumber) pairs, so
+#: window ORDER BYs must extend to a total order — rows that still tie are
+#: identical in every column the window output depends on, making the output
+#: multiset order-invariant (the driver's compare is order-insensitive).
+_LI_TOTAL_ORDER = (
+    "l_linenumber", "l_shipdate", "l_partkey", "l_suppkey",
+    "l_extendedprice", "l_quantity",
+)
+
+
 @register(
     "window_running_sum",
     """
     SELECT l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
-                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                OVER (PARTITION BY l_orderkey
+                      ORDER BY l_linenumber, l_shipdate, l_partkey, l_suppkey,
+                               l_extendedprice, l_quantity
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_qty
     FROM lineitem
     """,
-    doc="running (cumulative) sum per order — decimal-exact prefix sums",
+    doc="running (cumulative) sum per order — decimal-exact prefix sums over "
+    "a total order (ties are full-row duplicates, so output is deterministic)",
 )
 def q_window_running(spark, sf_dir):
     from pyspark.sql import Window
 
     w = (
         Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber")
+        .orderBy(*_LI_TOTAL_ORDER)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     li = _t(spark, sf_dir, "lineitem")
@@ -725,16 +747,19 @@ def q_window_running(spark, sf_dir):
     SELECT l_orderkey, l_linenumber,
            date_diff('day',
                      lag(CAST(l_shipdate AS DATE))
-                       OVER (PARTITION BY l_orderkey ORDER BY l_linenumber),
+                       OVER (PARTITION BY l_orderkey
+                             ORDER BY l_linenumber, l_shipdate, l_partkey,
+                                      l_suppkey, l_extendedprice, l_quantity),
                      CAST(l_shipdate AS DATE)) AS gap_days
     FROM lineitem
     """,
-    doc="lag window: days between consecutive shipments within an order",
+    doc="lag window: days between consecutive shipments within an order "
+    "(total ORDER BY — see _LI_TOTAL_ORDER)",
 )
 def q_window_lag(spark, sf_dir):
     from pyspark.sql import Window
 
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    w = Window.partitionBy("l_orderkey").orderBy(*_LI_TOTAL_ORDER)
     li = _t(spark, sf_dir, "lineitem")
     ship = F.col("l_shipdate").cast("date")
     return li.select(
@@ -813,10 +838,10 @@ def q_events_sliding(spark, sf_dir):
              SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
       FROM flagged
     )
-    SELECT user_id, session_seq, count(*) AS n_events,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
-    FROM sess GROUP BY user_id, session_seq
+    FROM sess GROUP BY user_id, CAST(session_seq AS BIGINT)
     """,
     doc="gap-based sessionization (lag + running sum), 30-minute gap",
 )
@@ -846,16 +871,27 @@ def q_events_json(spark, sf_dir):
 # Text analysis over documents (north-star M5)
 # ---------------------------------------------------------------------------
 
+# DuckDB mirror of functions.text.tokens(): empty/whitespace-only text must
+# yield [] (string_split_regex alone yields [''] — a latent parity trap the
+# current corpus doesn't exercise but an empty document would).
+_TOKS_SQL = (
+    "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    r"ELSE string_split_regex(trim(text), '\s+') END"
+)
+
+
 @register(
     "doc_token_stats",
-    r"""
+    rf"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents)
     SELECT doc_id,
-           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           len(t) AS n_tokens,
            length(text) AS n_chars_measured,
-           round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+           CASE WHEN len(t) = 0 THEN 0.0
+                ELSE round(CAST(len(list_filter(t,
                           x -> lower(x) IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
-                 / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio_en
-    FROM documents
+                 / len(t), 6) END AS stopword_ratio_en
+    FROM toks
     """,
     doc="per-document token/char counts + stopword ratio (quality signals)",
 )
@@ -871,12 +907,13 @@ def q_doc_stats(spark, sf_dir):
 
 @register(
     "corpus_rollup_lang",
-    r"""
+    rf"""
+    WITH toks AS (SELECT lang, text, {_TOKS_SQL} AS t FROM documents)
     SELECT lang, count(*) AS n_docs,
-           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
-           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE) / count(*) AS avg_tokens,
+           CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(t)) AS DOUBLE) / count(*) AS avg_tokens,
            CAST(SUM(length(text)) AS BIGINT) AS total_chars
-    FROM documents GROUP BY lang
+    FROM toks GROUP BY lang
     """,
     doc="corpus statistics rollup by language",
 )
@@ -910,7 +947,7 @@ def q_exact_dup(spark, sf_dir):
 @register(
     "ngram_jaccard_pairs",
     r"""
-    WITH shingled AS (
+    WITH shingled_all AS (
       SELECT doc_id AS id, unnest(list_distinct(
                CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
                     THEN list_transform(
@@ -919,6 +956,11 @@ def q_exact_dup(spark, sf_dir):
                     ELSE [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
                END)) AS shingle
       FROM documents
+    ), hot AS (
+      SELECT shingle FROM shingled_all GROUP BY shingle HAVING count(*) > 100
+    ), shingled AS (
+      SELECT id, shingle FROM shingled_all
+      WHERE shingle NOT IN (SELECT shingle FROM hot)
     ), sizes AS (
       SELECT id, count(*) AS set_size FROM shingled GROUP BY id
     ), inter AS (
@@ -933,11 +975,13 @@ def q_exact_dup(spark, sf_dir):
       JOIN sizes sb ON sb.id = id_b
     WHERE CAST(inter_size AS DOUBLE) / (sa.set_size + sb.set_size - inter_size) >= 0.12
     """,
-    doc="exact n-gram (3-word shingle) Jaccard near-dup pairs via inverted index",
+    doc="exact n-gram (3-word shingle) Jaccard near-dup pairs via inverted "
+    "index, with the df>100 stop-shingle cutoff mirrored on both engines",
 )
 def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.12
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.12, max_df=100,
     )
 
 
@@ -977,16 +1021,16 @@ def q_rolling_fp(spark, sf_dir):
 
 @register(
     "lang_id_heuristic",
-    r"""
+    rf"""
     WITH toks AS (
-      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents
+      SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents
     ), scores AS (
       SELECT doc_id, lang,
-        CAST(len(list_filter(t, x -> lower(x) IN ('der','die','das','und','ist','ein','eine','zu','den','mit'))) AS DOUBLE) / len(t) AS s_de,
-        CAST(len(list_filter(t, x -> lower(x) IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE) / len(t) AS s_en,
-        CAST(len(list_filter(t, x -> lower(x) IN ('el','la','de','que','y','en','un','una','es','los'))) AS DOUBLE) / len(t) AS s_es,
-        CAST(len(list_filter(t, x -> lower(x) IN ('le','la','de','et','un','une','est','que','les','dans'))) AS DOUBLE) / len(t) AS s_fr,
-        CAST(len(list_filter(t, x -> lower(x) IN ('的','是','了','在','和','有','我','不','这','人'))) AS DOUBLE) / len(t) AS s_zh
+        CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> lower(x) IN ('der','die','das','und','ist','ein','eine','zu','den','mit'))) AS DOUBLE) / len(t) END AS s_de,
+        CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> lower(x) IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE) / len(t) END AS s_en,
+        CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> lower(x) IN ('el','la','de','que','y','en','un','una','es','los'))) AS DOUBLE) / len(t) END AS s_es,
+        CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> lower(x) IN ('le','la','de','et','un','une','est','que','les','dans'))) AS DOUBLE) / len(t) END AS s_fr,
+        CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> lower(x) IN ('的','是','了','在','和','有','我','不','这','人'))) AS DOUBLE) / len(t) END AS s_zh
       FROM toks
     )
     SELECT doc_id, lang,
@@ -1093,11 +1137,39 @@ def q_cosine_topk(spark, sf_dir):
                JOIN norms nb ON nb.vec_id = id_b
     WHERE dot / (na.nrm * nb.nrm) >= 0.8
     """,
-    doc="embedding near-dup pairs (exact all-pairs cosine ≥ 0.8)",
+    doc="embedding near-dup pairs at cosine ≥ 0.8 via the DEFAULT multi-table "
+    "hyperplane-LSH path (subquadratic; exact-verified so output ⊆ the exact "
+    "oracle — recall is measured separately in tests/test_dedup.py)",
 )
 def q_embedding_dups(spark, sf_dir):
     res = dedup.embedding_dup_pairs(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.8
+    )
+    return res.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
+    "embedding_dup_pairs_exact",
+    _COSINE_EXPLODED
+    + """
+    , pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
+      FROM exploded a JOIN exploded b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM pairs JOIN norms na ON na.vec_id = id_a
+               JOIN norms nb ON nb.vec_id = id_b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.35
+    """,
+    doc="embedding pairs at cosine ≥ 0.35 via the EXACT all-pairs fallback "
+    "(n_planes=0; small-n only — quadratic shuffle). Non-empty at sf0.01, so "
+    "this entry is the value-level evidence for the cosine-pair machinery",
+)
+def q_embedding_dups_exact(spark, sf_dir):
+    res = dedup.embedding_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.35, n_planes=0,
     )
     return res.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
