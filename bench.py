@@ -1,0 +1,104 @@
+"""Headline-query benchmark. Prints exactly ONE JSON line to stdout:
+
+    {"metric": "headline_queries_wall", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <scale factor>}
+
+Data dir: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1); master:
+local[$SPARK_GRAFT_CPUS] (default local[*]). Each query is forced end-to-end
+with the noop sink (full execution, zero driver-collect overhead). A history
+line is appended to .benchmarks/history.jsonl for round-over-round
+comparison. All diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+#: Queries timed per round: the heavy relational plans (joins/aggs/windows),
+#: the event pipeline, and every LLM-pipeline operator family (dedup,
+#: similarity, text stats). Names must exist in plans.registry.
+HEADLINE = (
+    "pricing_summary",
+    "region_revenue",
+    "shipping_priority_top10",
+    "above_avg_orders",
+    "window_topk_per_group",
+    "window_running_sum",
+    "events_sessionize",
+    "events_sliding",
+    "doc_token_stats",
+    "exact_dup_groups",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "cosine_topk",
+    "ann_ivf_topk",
+)
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # best-effort scale factor from the dir name (sf0.1 → 0.1)
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(tail.replace("sf", "")) if tail.startswith("sf") else tail
+    except ValueError:
+        sf = tail
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from etl_excel_csv_sql_spark.plans.registry import all_queries
+    from etl_excel_csv_sql_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            log(f"bench: {name} not registered, skipping")
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # record the failure, keep benching
+            log(f"bench: {name} FAILED: {exc}")
+            timings[name] = -1.0
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+        log(f"bench: {name}: {timings[name]:.3f}s")
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    result = {
+        "metric": "headline_queries_wall",
+        "value": round(sum(ok.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    try:
+        os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".benchmarks"), exist_ok=True)
+        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".benchmarks", "history.jsonl")
+        with open(hist, "a") as fh:
+            fh.write(json.dumps({"ts": time.time(), **result}) + "\n")
+    except OSError as exc:
+        log(f"bench: history write skipped: {exc}")
+
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -112,13 +112,30 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """(id, signature array<long>): signature[i] = min over shingles of
-    xxhash64(seed, i, shingle). Pure expressions — the per-row cost is
-    O(shingles × num_hashes) inside codegen, no shuffle."""
-    shingles = word_shingles(text_col, n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), i, s))
+    xxhash64(i, base_hash(shingle)).
+
+    ONE aggregate pass over the shingle-hash array computes every minhash
+    lane simultaneously: the fold input (tokenize → shingle → one string
+    xxhash64 per shingle) is evaluated exactly once per row because it is
+    the aggregate's *input* argument, and each fold step updates all
+    ``num_hashes`` accumulators with a cheap long→long xxhash64. The naive
+    nested-transform form (signature[i] = array_min(transform(shingles,
+    hash_i))) re-evaluates the whole shingle pipeline per lane — HOF
+    lambdas run interpreted per element and CollapseProject re-inlines any
+    staging projection — a measured ~20× slowdown. No shuffle."""
+    long_max = (1 << 63) - 1
+    hashes = F.transform(
+        word_shingles(text_col, n), lambda s: F.xxhash64(F.lit(seed), s)
+    )
+    init = F.array(*[F.lit(long_max).cast("long") for _ in range(num_hashes)])
+    sig = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.array(
+            *[
+                F.least(acc.getItem(i), F.xxhash64(F.lit(i), h))
+                for i in range(num_hashes)
+            ]
         ),
     )
     return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
@@ -151,23 +168,24 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
+    # Band keys: xxhash64 of each band's signature slice (arrays hash
+    # directly — no string building). Python-level loop: slice offsets are
+    # compile-time ints.
     banded = sigs.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(
+                                F.col("signature"), b * rows_per_band + 1, rows_per_band
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
