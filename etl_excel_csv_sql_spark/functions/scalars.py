@@ -61,7 +61,9 @@ def excel_serial_to_timestamp(
     ``origin`` defaults to the true Excel epoch; pass
     ``EXCEL_ORIGIN_REFERENCE`` to reproduce the reference's +2-day skew.
     """
-    serial_d = _col(serial).cast("double")
+    # try_cast: malformed input → null (the reference's log-and-$null),
+    # including under Spark 4's default ANSI mode where cast would throw
+    serial_d = _col(serial).try_cast("double")
     seconds = F.round(serial_d * F.lit(86400.0)).cast("long")
     base = F.unix_timestamp(F.to_timestamp(F.lit(f"{origin} 00:00:00")))
     return F.when(serial_d.isNotNull(), F.timestamp_seconds(base + seconds))

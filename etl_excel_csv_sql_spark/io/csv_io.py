@@ -1,0 +1,119 @@
+"""CSV source/sink with the reference's lifecycle semantics (S3, K1-K3).
+
+- S3: ``Import-Csv`` (CSVtoSQLimport.ps1:210, InvoiceFileSearchFromSQL.ps1:50)
+  loads a header CSV as all-string rows → :func:`read_csv_all_string`
+  (``inferSchema=False`` keeps every column StringType, exactly the
+  reference's untyped model).
+- K1: ``Export-Csv -NoTypeInformation -Encoding UTF8``
+  (ExcelToCSVexport.ps1:210, InvoiceFileSearchFromSQL.ps1:144) overwrites a
+  single named CSV file → :func:`write_csv_single` (Spark writes a
+  directory of parts; the single-file mirror coalesces to one part and
+  renames it to the exact target path — only for reference-layout parity;
+  the scale path is :func:`write_csv_dir`).
+- K2: stale-output diversion (ExcelToCSVexport.ps1:195-207): if the target
+  CSV still exists, downstream never consumed it — move it to the Error
+  folder as ``Unprocessed <name> <yyyy.MM.dd HH.mm>.csv`` and log, then
+  write fresh → :func:`divert_stale_output`.
+- K3: lock fallback (InvoiceFileSearchFromSQL.ps1:143-151): if the
+  write-back fails (file locked), write ``<base>_<yyyyMMdd>.csv`` instead
+  → :func:`write_csv_with_lock_fallback`.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_csv_all_string(
+    spark: SparkSession, path: str, header: bool = True
+) -> DataFrame:
+    """S3: header CSV → all-string DataFrame (no inference — the
+    reference's ``Import-Csv`` model; callers opt into typed reads via
+    read_csv_typed)."""
+    return (
+        spark.read.option("header", str(header).lower())
+        .option("inferSchema", "false")
+        .csv(path)
+    )
+
+
+def read_csv_typed(
+    spark: SparkSession, path: str, schema=None, header: bool = True
+) -> DataFrame:
+    """Typed CSV read: explicit StructType when given, else inference.
+    The engine's preferred ingestion (SURVEY §1.3) — the all-string
+    variant exists for reference byte-compat."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", "true").csv(path)
+
+
+def write_csv_dir(df: DataFrame, path: str) -> None:
+    """Scale-path CSV sink: parallel multi-part write, UTF-8, header.
+    This is what a 1000-executor job should do; single-file mirroring is
+    a driver bottleneck by construction."""
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_csv_single(df: DataFrame, path: str) -> None:
+    """K1: overwrite ONE csv file at ``path`` (reference layout parity).
+
+    coalesce(1) → temp dir → rename the single part to the exact target.
+    Only for small frames consumed by downstream desktop tools — the
+    parallel sink is write_csv_dir."""
+    tmp = path + ".__tmp__"
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    part = next(iter(glob.glob(os.path.join(tmp, "part-*.csv"))), None)
+    if part is None:  # pragma: no cover - spark always writes one part
+        raise FileNotFoundError(f"no part file produced under {tmp}")
+    if os.path.exists(path):
+        os.remove(path)
+    shutil.move(part, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def divert_stale_output(
+    path: str, error_dir: str, logger=None, now: datetime | None = None
+) -> str | None:
+    """K2/T5: if ``path`` still exists before a fresh export, the previous
+    output was never consumed — move it to ``error_dir`` as
+    ``Unprocessed <name> <yyyy.MM.dd HH.mm>.csv`` and log NotFatal
+    (ExcelToCSVexport.ps1:195-207). Returns the diverted path or None."""
+    if not os.path.exists(path):
+        return None
+    os.makedirs(error_dir, exist_ok=True)
+    stamp = (now or datetime.now()).strftime("%Y.%m.%d %H.%M")
+    base = os.path.basename(path)
+    stem, ext = os.path.splitext(base)
+    dest = os.path.join(error_dir, f"Unprocessed {stem} {stamp}{ext}")
+    if logger is not None:
+        logger.log(
+            f"Unprocessed file {path}. File renamed and moved to {error_dir}.",
+            fatal=False,
+        )
+    shutil.move(path, dest)
+    return dest
+
+
+def write_csv_with_lock_fallback(
+    df: DataFrame, path: str, now: datetime | None = None
+) -> str:
+    """K3: try to overwrite ``path``; if the OS refuses (file locked by a
+    desktop app — the reference's write-back race,
+    InvoiceFileSearchFromSQL.ps1:143-151), write
+    ``<base>_<yyyyMMdd><ext>`` next to it instead. Returns the path
+    actually written."""
+    try:
+        write_csv_single(df, path)
+        return path
+    except OSError:
+        stem, ext = os.path.splitext(path)
+        fallback = f"{stem}_{(now or datetime.now()).strftime('%Y%m%d')}{ext}"
+        write_csv_single(df, fallback)
+        return fallback

@@ -1,0 +1,114 @@
+"""Excel source (SURVEY §2.1 S1/S2, §4.3).
+
+Reference behaviors replicated:
+- S1 sheet-catalog probe: ``Get-ExcelSheetInfo`` (ExcelToCSVexport.ps1:171)
+  → :func:`excel_sheet_names`.
+- S2 sheet scan with header offset: ``Import-Excel -WorksheetName $sheet
+  -StartRow $headerRow`` (ExcelToCSVexport.ps1:192, headerRow from settings
+  :112) → :func:`read_excel_sheet`: row ``header_row`` (1-based) is the
+  header, data starts on the next row, columns are all-string (the
+  reference's untyped model, SURVEY §1.2).
+- Sheet-name matching is case-insensitive and trimmed
+  (:func:`match_sheets`), fixing the reference's malformed trim
+  (ExcelToCSVexport.ps1:111, SURVEY §2.12#2) while preserving the
+  case-insensitive ``-eq`` (P5).
+
+Scale note: an .xlsx worksheet is a single compressed XML stream — it
+cannot be split across executors. The scale path is
+:func:`stage_workbook_to_parquet`: parse each configured sheet once on the
+driver (streaming iterparse), write parquet immediately, and let every
+downstream read be a parallel columnar scan. Workbooks are operationally
+small (human-authored); 100 TB arrives as many workbooks, parallelized by
+the runner across files, not within one sheet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+from etl_excel_csv_sql_spark.io import xlsx
+
+
+def excel_sheet_names(path: str) -> list[str]:
+    """S1: worksheet names in workbook order."""
+    return xlsx.sheet_names(path)
+
+
+def match_sheets(available: list[str], configured: list[str]) -> list[str]:
+    """P5/J3: which available sheets are configured for export —
+    case-insensitive, trimmed equality, preserving workbook order
+    (ExcelToCSVexport.ps1:175-183)."""
+    wanted = {s.strip().lower() for s in configured}
+    return [s for s in available if s.strip().lower() in wanted]
+
+
+def _stringify(value) -> str | None:
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return "True" if value else "False"  # PowerShell-style booleans
+    if isinstance(value, float):
+        # Excel stores all numbers as doubles; render integers without ".0"
+        # (what Import-Csv round-trips show for integer cells)
+        return str(int(value)) if value.is_integer() else repr(value)
+    return str(value)
+
+
+def read_excel_sheet(
+    spark: SparkSession,
+    path: str,
+    sheet: str,
+    header_row: int = 1,
+) -> DataFrame:
+    """S2: one worksheet → all-string DataFrame.
+
+    ``header_row`` is 1-based (the reference's ``StartRow``): rows above it
+    are skipped, its cells become column names (empty/missing header cells
+    get positional ``_cN`` names), and every later row is a data row padded
+    or truncated to the header width.
+    """
+    rows = xlsx.read_rows(path, sheet)
+    if header_row < 1 or header_row > len(rows):
+        header: list[str] = []
+        data_rows: list[list] = []
+    else:
+        raw_header = rows[header_row - 1]
+        header = [
+            (str(h).strip() if h not in (None, "") else f"_c{i}")
+            for i, h in enumerate(raw_header)
+        ]
+        data_rows = rows[header_row:]
+    width = len(header)
+    schema = StructType(
+        [StructField(name, StringType(), True) for name in header]
+    )
+    normalized = [
+        tuple(
+            _stringify(row[i]) if i < len(row) else None for i in range(width)
+        )
+        for row in data_rows
+    ]
+    return spark.createDataFrame(normalized, schema)
+
+
+def stage_workbook_to_parquet(
+    spark: SparkSession,
+    path: str,
+    out_dir: str,
+    sheets: list[str] | None = None,
+    header_row: int = 1,
+) -> dict[str, str]:
+    """Parse each (configured or all) sheet once and land it as parquet —
+    the scale path: every downstream query then gets a splittable columnar
+    scan with pushdown instead of a driver-side XML parse. Returns
+    {sheet: parquet_path}."""
+    available = excel_sheet_names(path)
+    targets = match_sheets(available, sheets) if sheets is not None else available
+    out: dict[str, str] = {}
+    for sheet in targets:
+        df = read_excel_sheet(spark, path, sheet, header_row)
+        dest = f"{out_dir}/{sheet}.parquet"
+        df.write.mode("overwrite").parquet(dest)
+        out[sheet] = dest
+    return out

@@ -1,0 +1,129 @@
+"""SQL full-refresh sink behind an interface (K4, §2.10) + quarantine (T3).
+
+The reference's import is TRUNCATE TABLE then one INSERT round-trip per row
+with every value as a quoted string literal (CSVtoSQLimport.ps1:197-207,
+232-251). The Spark-first equivalent is a single batched, typed, parallel
+JDBC overwrite:
+
+    df.write.format("jdbc").mode("overwrite")
+      .option("truncate", "true")        # TRUNCATE + INSERT, keeps DDL
+      .option("batchsize", 10_000)       # vs the reference's batchsize=1
+      .option("numPartitions", ...)      # parallel writers
+
+No SQL Server exists in this environment, so the sink is a small interface
+with two implementations: the real JDBC one (constructed, never connected
+in tests) and a parquet stand-in with identical TRUNCATE+INSERT semantics
+that the lifecycle tests and oracle queries exercise.
+
+Per-row poison quarantine (T3): the reference logs-and-skips each failed
+INSERT (CSVtoSQLimport.ps1:242-251). Spark JDBC writes are all-or-nothing
+per task, so the equivalent is :func:`quarantine_split`: validate with
+typed casts BEFORE the write, send cast-failures to the quarantine frame
+(error-log sink), write only clean rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_excel_csv_sql_spark.functions.scalars import enclose_with_brackets
+
+
+class FullRefreshSink(Protocol):
+    """K4 contract: replace the target table's contents with ``df``."""
+
+    def full_refresh(self, df: DataFrame) -> None: ...
+
+
+@dataclass
+class JdbcFullRefreshSink:
+    """Real JDBC sink (SQL Server in the reference's deployment).
+
+    ``truncate=true`` keeps the table's DDL and issues TRUNCATE + batched
+    INSERTs — the exact reference semantics (CSVtoSQLimport.ps1:199,239)
+    minus the per-row round-trips and string-typed values. Identifier is
+    bracket-quoted like the reference's EncloseWithBrackets
+    (CSVtoSQLimport.ps1:49-57)."""
+
+    url: str
+    table: str
+    options: dict[str, str] = field(default_factory=dict)
+    batchsize: int = 10_000
+    num_partitions: int | None = None
+
+    def full_refresh(self, df: DataFrame) -> None:
+        writer = (
+            df.write.format("jdbc")
+            .mode("overwrite")
+            .option("url", self.url)
+            .option("dbtable", enclose_with_brackets(self.table))
+            .option("truncate", "true")
+            .option("batchsize", str(self.batchsize))
+        )
+        if self.num_partitions:
+            writer = writer.option("numPartitions", str(self.num_partitions))
+        for key, value in self.options.items():
+            writer = writer.option(key, value)
+        writer.save()
+
+
+@dataclass
+class ParquetFullRefreshSink:
+    """Test/warehouse stand-in with identical full-refresh semantics:
+    mode("overwrite") atomically replaces the table directory (TRUNCATE +
+    INSERT as one committed job). Doubles as the staging layer a real
+    deployment would use in front of a slow JDBC hop."""
+
+    path: str
+
+    def full_refresh(self, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(self.path)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+
+def quarantine_split(
+    df: DataFrame, typed_casts: dict[str, str], pk: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """T3: split ``df`` into (good, quarantined) before the sink write.
+
+    ``typed_casts``: column → target type. A row is quarantined when any
+    configured cast fails (``try_cast`` turns malformed non-null input into
+    null — the exact twin of DuckDB TRY_CAST, and ANSI-safe: Spark 4's
+    default ANSI ``cast`` would throw) or when ``pk`` is null/empty (the
+    reference skips those rows silently, CSVtoSQLimport.ps1:229; we
+    surface them). ``good`` carries the cast columns; ``quarantined``
+    keeps the original row plus a ``_reject_reason``. Both are pure column
+    expressions — narrow, no shuffle, one source scan feeding two sinks."""
+    bad_conds = []
+    reasons = []
+    for col, dtype in typed_casts.items():
+        failed = F.col(col).isNotNull() & F.col(col).try_cast(dtype).isNull()
+        bad_conds.append(failed)
+        reasons.append(F.when(failed, F.lit(f"cast({col} as {dtype})")))
+    if pk is not None:
+        pk_bad = F.col(pk).isNull() | (F.col(pk).cast("string") == "")
+        bad_conds.append(pk_bad)
+        reasons.append(F.when(pk_bad, F.lit(f"empty pk {pk}")))
+
+    any_bad = F.lit(False)
+    for cond in bad_conds:
+        any_bad = any_bad | cond
+
+    good = df.filter(~any_bad).select(
+        *[
+            F.col(c).try_cast(typed_casts[c]).alias(c)
+            if c in typed_casts
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+    quarantined = df.filter(any_bad).withColumn(
+        "_reject_reason", F.coalesce(*reasons) if reasons else F.lit(None)
+    )
+    return good, quarantined

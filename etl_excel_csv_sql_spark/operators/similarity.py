@@ -84,21 +84,17 @@ def _centroids(corpus: DataFrame, id_col: str, vec_col: str, n_cells: int) -> Da
     (plug real KMeans in when MLlib is permitted; the plan shape — small
     broadcast table of (cell_id, centroid) — is identical). orderBy+limit
     plans as TakeOrderedAndProject (per-partition heaps), not a global
-    sort."""
-    from pyspark.sql import Window
-
+    sort. Cell ids are the sampled vectors' own ids — they only need to be
+    consistent join keys, not dense, so no renumbering window exists
+    anywhere in the plan."""
     return (
         corpus.select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("centroid"),
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid"),
             F.xxhash64(F.col(id_col)).alias("h"),
         )
-        .orderBy("h", "cid")
+        .orderBy("h", "cell_id")
         .limit(n_cells)
-        .select(
-            # n_cells rows total — this Window sorts a bounded driver-size set
-            (F.row_number().over(Window.orderBy("h", "cid")) - 1).alias("cell_id"),
-            "centroid",
-        )
+        .select("cell_id", "centroid")
     )
 
 

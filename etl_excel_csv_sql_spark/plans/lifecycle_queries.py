@@ -1,0 +1,313 @@
+"""Driver-checkable queries for the io/runner lifecycle layer (SURVEY
+§2.1-§2.2, §2.8, §2.11 — the reference's ETL identity).
+
+File-lifecycle semantics can't run inside a DuckDB oracle, so each query
+builds its fixtures under a per-query scratch dir (``.tmp/`` in the repo,
+overwritten per run — the returned DataFrame reads those files lazily, so
+they must outlive the function), exercises the REAL io/runner code, and
+returns either:
+
+- an oracle-checked frame (roundtrips land parquet-table-derived data back
+  through Excel/CSV/sink paths, so DuckDB can recompute the expectation
+  from the same parquet), or
+- a rows-only frame of deterministic lifecycle outcomes (the pytest suite
+  in tests/ asserts the same transitions in depth).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_excel_csv_sql_spark.plans.registry import register
+
+_SCRATCH_ROOT = os.path.join(os.path.dirname(__file__), "..", "..", ".tmp")
+
+
+def _scratch(name: str) -> str:
+    path = os.path.abspath(os.path.join(_SCRATCH_ROOT, name))
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _customer_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return df.filter(F.col("c_custkey") < 50).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_CUSTOMER_ORACLE = """
+    SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name, c_mktsegment
+    FROM customer WHERE c_custkey < 50
+"""
+
+
+@register(
+    "excel_roundtrip",
+    _CUSTOMER_ORACLE,
+    doc="S1/S2/K1: customer subset → .xlsx (stdlib writer) → sheet scan with "
+    "header offset (row 2, banner row above) → all-string frame; value-level "
+    "parity proves the Excel source end-to-end (ExcelToCSVexport.ps1:171,192)",
+)
+def q_excel_roundtrip(spark, sf_dir):
+    from etl_excel_csv_sql_spark.io import xlsx
+    from etl_excel_csv_sql_spark.io.excel import read_excel_sheet
+
+    scratch = _scratch("excel_roundtrip")
+    rows = _customer_subset(spark, sf_dir).collect()
+    book = os.path.join(scratch, "customers.xlsx")
+    xlsx.write_workbook(
+        book,
+        {
+            "Customers": [
+                ["exported by engine", None, None],  # banner → StartRow=2
+                ["c_custkey", "c_name", "c_mktsegment"],
+                *[[r.c_custkey, r.c_name, r.c_mktsegment] for r in rows],
+            ]
+        },
+    )
+    return read_excel_sheet(spark, book, "Customers", header_row=2)
+
+
+@register(
+    "csv_roundtrip",
+    _CUSTOMER_ORACLE,
+    doc="S3/K1: customer subset → single-file UTF-8 CSV (Export-Csv parity) "
+    "→ Import-Csv-style all-string read (CSVtoSQLimport.ps1:210)",
+)
+def q_csv_roundtrip(spark, sf_dir):
+    from etl_excel_csv_sql_spark.io import csv_io
+
+    scratch = _scratch("csv_roundtrip")
+    path = os.path.join(scratch, "customers.csv")
+    df = _customer_subset(spark, sf_dir).select(
+        F.col("c_custkey").cast("string"), "c_name", "c_mktsegment"
+    )
+    csv_io.write_csv_single(df, path)
+    return csv_io.read_csv_all_string(spark, path)
+
+
+@register(
+    "jdbc_fullrefresh_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_custkey < 100
+    """,
+    doc="K4/§2.10: TRUNCATE+INSERT full-refresh sink — stale contents are "
+    "refreshed away, then the real subset lands; read-back must equal the "
+    "source subset (CSVtoSQLimport.ps1:197-207,239 as one batched write)",
+)
+def q_jdbc_fullrefresh(spark, sf_dir):
+    from etl_excel_csv_sql_spark.io.jdbc import ParquetFullRefreshSink
+
+    scratch = _scratch("jdbc_fullrefresh")
+    sink = ParquetFullRefreshSink(os.path.join(scratch, "orders_tbl"))
+    stale = spark.createDataFrame(
+        [(-1, "X", 0.0)], ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    sink.full_refresh(stale)  # contents that TRUNCATE must remove
+    fresh = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_custkey") < 100)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    sink.full_refresh(fresh)
+    return sink.read(spark)
+
+
+@register(
+    "quarantine_split_rows",
+    """
+    WITH mixed AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN CAST(c_custkey * 10 AS VARCHAR)
+                  ELSE c_name END AS raw_value
+      FROM customer
+    )
+    SELECT c_custkey, TRY_CAST(raw_value AS DOUBLE) AS raw_value, 'good' AS side
+    FROM mixed WHERE TRY_CAST(raw_value AS DOUBLE) IS NOT NULL
+    UNION ALL
+    SELECT c_custkey, NULL AS raw_value, 'quarantined' AS side
+    FROM mixed WHERE TRY_CAST(raw_value AS DOUBLE) IS NULL
+    """,
+    doc="T3: typed-cast row quarantine — poison cells route to the reject "
+    "frame, clean rows carry the typed cast; TRY_CAST twin on both engines "
+    "(CSVtoSQLimport.ps1:242-251 as a pre-write split)",
+)
+def q_quarantine_split(spark, sf_dir):
+    from etl_excel_csv_sql_spark.io.jdbc import quarantine_split
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    mixed = cust.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 3 == 0, (F.col("c_custkey") * 10).cast("string")
+        )
+        .otherwise(F.col("c_name"))
+        .alias("raw_value"),
+    )
+    good, bad = quarantine_split(mixed, {"raw_value": "double"})
+    return good.withColumn("side", F.lit("good")).unionByName(
+        bad.select(
+            "c_custkey", F.lit(None).cast("double").alias("raw_value")
+        ).withColumn("side", F.lit("quarantined"))
+    )
+
+
+@register(
+    "settings_catalog",
+    None,  # fixture files, no oracle table — deterministic rows-only
+    doc="S4/S6/F7: settings discovery + key=value parse (both '=' and '==' "
+    "delimiters) + source-name derivation from the filename "
+    "(CSVtoSQLimport.ps1:96,140-143,158)",
+)
+def q_settings_catalog(spark, sf_dir):
+    from etl_excel_csv_sql_spark.io.settings import discover_settings
+
+    scratch = _scratch("settings_catalog")
+    with open(os.path.join(scratch, "orders_import_settings.txt"), "w") as fh:
+        fh.write("importTable==dbo.Orders\nimportTablePK==OrderId\n")
+    with open(os.path.join(scratch, "book_export_settings.txt"), "w") as fh:
+        fh.write("sheetsToExport=Invoices, Orders \nheaderRow=2\n")
+    rows = [
+        (e.source_name, key, value)
+        for suffix in ("_import_settings.txt", "_export_settings.txt")
+        for e in discover_settings(scratch, suffix)
+        for key, value in sorted(e.values.items())
+    ]
+    return spark.createDataFrame(rows, ["source_name", "key", "value"])
+
+
+@register(
+    "watermark_lifecycle",
+    None,
+    doc="S7/K7/P6/T1: mtime watermark gate — pending before commit, gated "
+    "after, pending again on touch; commit-after-success ordering "
+    "(ExcelToCSVexport.ps1:146-165,222-225)",
+)
+def q_watermark_lifecycle(spark, sf_dir):
+    import time
+
+    from etl_excel_csv_sql_spark.runner.watermark import WatermarkStore
+
+    scratch = _scratch("watermark_lifecycle")
+    data = os.path.join(scratch, "book.xlsx")
+    with open(data, "w") as fh:
+        fh.write("payload")
+    store = WatermarkStore(os.path.join(scratch, "state"))
+    steps = [("initial", store.should_process("book", data))]
+    store.commit("book", data)
+    steps.append(("after_commit", store.should_process("book", data)))
+    later = time.time() + 60
+    os.utime(data, (later, later))
+    steps.append(("after_touch", store.should_process("book", data)))
+    return spark.createDataFrame(steps, ["step", "pending"])
+
+
+@register(
+    "folder_queue_lifecycle",
+    None,
+    doc="T2/T3/K5/K6: drop-folder drain — success archives with timestamp "
+    "prefix, failure logs and stays queued (CSVtoSQLimport.ps1:158-168,"
+    "242-264)",
+)
+def q_folder_queue_lifecycle(spark, sf_dir):
+    from etl_excel_csv_sql_spark.runner.folder_queue import FolderQueue
+
+    scratch = _scratch("folder_queue")
+    drop = os.path.join(scratch, "drop")
+    os.makedirs(drop)
+    for name in ("good.csv", "poison.csv"):
+        with open(os.path.join(drop, name), "w") as fh:
+            fh.write("pk\n1\n")
+    queue = FolderQueue(
+        drop_dir=drop,
+        processed_dir=os.path.join(scratch, "Processed"),
+        error_dir=os.path.join(scratch, "Error"),
+    )
+
+    def handler(path: str) -> None:
+        if "poison" in path:
+            raise RuntimeError("simulated row failure")
+
+    results = queue.process_all(handler)
+    rows = sorted(
+        (os.path.basename(p), outcome.value) for p, outcome in results.items()
+    )
+    rows.append(("poison.csv still queued", str("poison.csv" in
+                                                [os.path.basename(x) for x in queue.pending()])))
+    return spark.createDataFrame(rows, ["file", "outcome"])
+
+
+@register(
+    "retention_sweep_report",
+    None,
+    doc="§2.11: age-based retention sweep (dry-run report) — implements the "
+    "intent FileHousekeeping.ps1:3-13 declares but never ships",
+)
+def q_retention_sweep(spark, sf_dir):
+    import time
+
+    from etl_excel_csv_sql_spark.runner.retention import retention_sweep
+
+    scratch = _scratch("retention")
+    now = time.time()
+    for name, age_days in (("ancient.csv", 45.0), ("recent.csv", 2.0)):
+        path = os.path.join(scratch, name)
+        with open(path, "w") as fh:
+            fh.write("x")
+        mtime = now - age_days * 86400
+        os.utime(path, (mtime, mtime))
+    swept = retention_sweep([scratch], max_age_days=30, delete=False, now=now)
+    rows = [
+        (os.path.basename(s.path), int(round(s.age_days)), s.deleted)
+        for s in swept
+    ]
+    rows.append(("recent.csv", -1, False))  # explicit: untouched
+    return spark.createDataFrame(rows, ["file", "age_days", "would_delete"])
+
+
+@register(
+    "invoice_pipeline_e2e",
+    None,
+    doc="§3.3 end-to-end: P1 filter → J1 semi join → K8 idempotent copies → "
+    "J2 write-back → A1/A2 report, twice (T4 re-run idempotency). "
+    "Deterministic outcome counts as rows",
+)
+def q_invoice_pipeline(spark, sf_dir):
+    from etl_excel_csv_sql_spark.runner.pipeline import (
+        InvoiceSearchJob,
+        invoice_search,
+    )
+
+    scratch = _scratch("invoice_e2e")
+    inv = os.path.join(scratch, "invoices.csv")
+    with open(inv, "w") as fh:
+        fh.write("InvoiceNumber,Found\nINV-1,\nINV-2,yes\nINV-3,\n")
+    db = spark.createDataFrame(
+        [
+            ("INV-1", "a", "a.pdf", "acme/west"),
+            ("INV-3", "b", "c.pdf", "zenith"),
+        ],
+        ["invnum", "SubFolder", "FileName", "CustomerRef"],
+    )
+    src = os.path.join(scratch, "docs")
+    for sub, name in (("a", "a.pdf"), ("b", "c.pdf")):
+        os.makedirs(os.path.join(src, sub), exist_ok=True)
+        with open(os.path.join(src, sub, name), "w") as fh:
+            fh.write("pdf")
+    job = InvoiceSearchJob(
+        invoice_csv=inv, src_root=src, dst_root=os.path.join(scratch, "found")
+    )
+    r1 = invoice_search(spark, job, db)
+    r2 = invoice_search(spark, job, db)  # T4: everything marked, no-ops
+    rows = [
+        ("run1", r1["expected"], r1["found"], r1["copies"]["copied"]),
+        ("run2", r2["expected"], r2["found"], r2["copies"]["copied"]),
+    ]
+    return spark.createDataFrame(rows, ["run", "expected", "found", "copied"])

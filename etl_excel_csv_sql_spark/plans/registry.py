@@ -1237,3 +1237,8 @@ def q_media_image_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.to_media_column(docs, "doc_id", "text", "image")
     return multimodal.extract_image_meta(media)
+
+
+# io/runner lifecycle queries register themselves on import (deferred to the
+# bottom so their `from ...registry import register` resolves).
+from etl_excel_csv_sql_spark.plans import lifecycle_queries  # noqa: E402,F401

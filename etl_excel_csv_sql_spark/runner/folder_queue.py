@@ -1,0 +1,95 @@
+"""Drop-folder queue lifecycle (T2, T3 file-level, K6).
+
+The reference uses folders as a message queue: a source drops
+``<name>.csv``; the import picks it up if present (CSVtoSQLimport.ps1:
+164-168), processes it, then moves it to ``Processed/`` prefixed with a
+``yyyy.MM.dd HH.mm`` timestamp (:257-264). Files that fail validation or
+connection stay in place for the next cycle (:175-180,190-194) — an
+at-least-once queue with archive-on-success.
+
+Structured Streaming's file source + ``cleanSource=archive`` is the
+built-in twin (streaming.file_source); this explicit runner provides the
+same semantics for scheduled-batch deployments and for tests.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+from datetime import datetime
+from enum import Enum
+from typing import Callable
+
+from etl_excel_csv_sql_spark.runner.errorlog import ErrorLog
+
+
+class Outcome(str, Enum):
+    PROCESSED = "processed"     # archived to Processed/
+    SKIPPED = "skipped"         # precondition failed; left in place (T3)
+    QUARANTINED = "quarantined" # moved to Error/ (poison file)
+
+
+@dataclass
+class FolderQueue:
+    drop_dir: str
+    processed_dir: str
+    error_dir: str
+    pattern: str = ".csv"
+    errorlog: ErrorLog | None = field(default=None)
+
+    def __post_init__(self) -> None:
+        if self.errorlog is None:
+            self.errorlog = ErrorLog(self.error_dir)
+
+    def pending(self) -> list[str]:
+        """Files currently waiting in the drop folder (sorted — stable
+        processing order)."""
+        if not os.path.isdir(self.drop_dir):
+            return []
+        return sorted(
+            os.path.join(self.drop_dir, f)
+            for f in os.listdir(self.drop_dir)
+            if f.endswith(self.pattern)
+        )
+
+    def archive(self, path: str, now: datetime | None = None) -> str:
+        """K6: move to Processed/ as ``<yyyy.MM.dd HH.mm> <name>``
+        (CSVtoSQLimport.ps1:257-264)."""
+        os.makedirs(self.processed_dir, exist_ok=True)
+        stamp = (now or datetime.now()).strftime("%Y.%m.%d %H.%M")
+        dest = os.path.join(
+            self.processed_dir, f"{stamp} {os.path.basename(path)}"
+        )
+        shutil.move(path, dest)
+        return dest
+
+    def quarantine(self, path: str, reason: str, now: datetime | None = None) -> str:
+        """Move a poison FILE to Error/ with a timestamped name and log it
+        (file-level T3; row-level quarantine is io.jdbc.quarantine_split)."""
+        os.makedirs(self.error_dir, exist_ok=True)
+        stamp = (now or datetime.now()).strftime("%Y.%m.%d %H.%M")
+        dest = os.path.join(self.error_dir, f"{stamp} {os.path.basename(path)}")
+        self.errorlog.log(f"{reason}: {path} moved to {dest}", fatal=False)
+        shutil.move(path, dest)
+        return dest
+
+    def process_all(
+        self, handler: Callable[[str], None], now: datetime | None = None
+    ) -> dict[str, Outcome]:
+        """At-least-once drain: for each pending file run ``handler``;
+        success → archive (consume-once), exception → log NotFatal and
+        LEAVE THE FILE IN PLACE for the next cycle (the reference's
+        skip-and-continue, CSVtoSQLimport.ps1:175-180). Returns
+        {path: outcome}."""
+        results: dict[str, Outcome] = {}
+        for path in self.pending():
+            try:
+                handler(path)
+            except Exception as exc:  # log-and-continue semantics
+                self.errorlog.log(f"{exc} (file {path} left for next cycle)")
+                results[path] = Outcome.SKIPPED
+                continue
+            self.archive(path, now)
+            results[path] = Outcome.PROCESSED
+        return results

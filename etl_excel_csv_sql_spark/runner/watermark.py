@@ -1,0 +1,74 @@
+"""Mtime watermark store (S7, K7, P6, T1).
+
+The reference gates each Excel export on the workbook's LastWriteTime vs a
+stored value, persisted as .NET ticks in a tiny per-source text file
+(ExcelToCSVexport.ps1:146-165), defaulting to DateTime::MinValue when no
+state exists (:157-163), and — the commit-ordering invariant T1 — updates
+the state only AFTER at least one sheet exported successfully (:222-225).
+The import script keeps a last-import datetime the same way
+(CSVtoSQLimport.ps1:267-268).
+
+Same store, Spark-first framing: this is exactly a Structured Streaming
+file-source checkpoint (new-file detection + commit-after-batch); the
+batch runner keeps the explicit store so scheduled-batch deployments get
+identical semantics. Ticks are kept as the on-disk unit for byte-compat
+with reference state files (functions.scalars.ticks helpers).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from etl_excel_csv_sql_spark.functions.scalars import (
+    ticks_to_unix_seconds,
+    unix_seconds_to_ticks,
+)
+
+#: .NET DateTime::MinValue in ticks — "beginning of time" default.
+MIN_TICKS = 0
+
+
+@dataclass
+class WatermarkStore:
+    """One ticks file per source under ``folder``:
+    ``<source>_<suffix>`` (reference naming, ExcelToCSVexport.ps1:147)."""
+
+    folder: str
+    suffix: str = "lastmod.txt"
+
+    def _path(self, source: str) -> str:
+        return os.path.join(self.folder, f"{source}_{self.suffix}")
+
+    def last_ticks(self, source: str) -> int:
+        """Stored watermark, or MinValue when absent/corrupt (the
+        reference treats a missing file as beginning-of-time,
+        ExcelToCSVexport.ps1:157-163)."""
+        try:
+            with open(self._path(source), encoding="utf-8") as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return MIN_TICKS
+
+    def last_unix_seconds(self, source: str) -> float:
+        ticks = self.last_ticks(source)
+        return ticks_to_unix_seconds(ticks) if ticks > 0 else 0.0
+
+    def should_process(self, source: str, path: str) -> bool:
+        """P6: process iff file mtime > stored watermark
+        (ExcelToCSVexport.ps1:165)."""
+        return os.stat(path).st_mtime > self.last_unix_seconds(source)
+
+    def commit(self, source: str, path: str) -> int:
+        """K7/T1: persist the file's CURRENT mtime as ticks. Callers must
+        invoke this only after the batch succeeded (the reference updates
+        only when matchCounter > 0, ExcelToCSVexport.ps1:222-225) — the
+        at-least-once guarantee: a crash before commit re-processes, never
+        skips."""
+        os.makedirs(self.folder, exist_ok=True)
+        ticks = unix_seconds_to_ticks(os.stat(path).st_mtime)
+        tmp = self._path(source) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(str(ticks))
+        os.replace(tmp, self._path(source))  # atomic on POSIX
+        return ticks

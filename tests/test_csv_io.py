@@ -1,0 +1,57 @@
+"""CSV source/sink lifecycle: S3 all-string read, K1 single-file write,
+K2 stale-output diversion, K3 lock fallback."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from etl_excel_csv_sql_spark.io import csv_io
+
+
+def test_roundtrip_single_file_all_string(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("1", "a,b", None), ("2", "plain", "x")], ["id", "tricky", "opt"]
+    )
+    path = str(tmp_path / "out.csv")
+    csv_io.write_csv_single(df, path)
+    assert os.path.isfile(path)          # exactly one file, exact name (K1)
+    back = csv_io.read_csv_all_string(spark, path)
+    assert back.columns == ["id", "tricky", "opt"]
+    assert {f.dataType.simpleString() for f in back.schema.fields} == {"string"}
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows["1"]["tricky"] == "a,b"   # quoting survived
+    assert rows["1"]["opt"] is None
+
+
+def test_divert_stale_output(spark, tmp_path):
+    # K2: an unconsumed previous output is moved to Error/ with the
+    # reference's "Unprocessed <name> <stamp>.csv" naming, then the fresh
+    # write proceeds (ExcelToCSVexport.ps1:195-210)
+    path = str(tmp_path / "orders.csv")
+    with open(path, "w") as fh:
+        fh.write("old\n")
+    err_dir = str(tmp_path / "Error")
+    moved = csv_io.divert_stale_output(
+        path, err_dir, now=datetime(2024, 3, 1, 14, 30)
+    )
+    assert moved == os.path.join(err_dir, "Unprocessed orders 2024.03.01 14.30.csv")
+    assert not os.path.exists(path)
+    assert os.path.exists(moved)
+    # nothing to divert the second time
+    assert csv_io.divert_stale_output(path, err_dir) is None
+
+
+def test_write_lock_fallback(spark, tmp_path):
+    # K3: when the target cannot be replaced (locked by a desktop app —
+    # simulated by a directory squatting on the path), the write lands at
+    # <base>_<yyyyMMdd>.csv (InvoiceFileSearchFromSQL.ps1:143-151)
+    df = spark.createDataFrame([("1",)], ["id"])
+    locked = tmp_path / "target.csv"
+    locked.mkdir()
+    (locked / "占").write_text("x")  # non-empty dir → os.remove/rmdir fails
+    written = csv_io.write_csv_with_lock_fallback(
+        df, str(locked), now=datetime(2024, 3, 1)
+    )
+    assert written == str(tmp_path / "target_20240301.csv")
+    assert os.path.isfile(written)

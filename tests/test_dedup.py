@@ -1,0 +1,174 @@
+"""Correctness evidence for the approximate dedup operators: the oracle
+can't check hash-dependent candidate sets, so these tests measure them
+against exact baselines on corpora with KNOWN near-duplicate structure."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_excel_csv_sql_spark.functions.text import rolling_hash
+from etl_excel_csv_sql_spark.operators import dedup
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform victor "
+    "whiskey xray yankee zulu"
+).split()
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """60 docs in 20 groups of 3: an original (~80 words), a light edit
+    (~3 words changed → Jaccard well above 0.5), and an unrelated shuffle.
+    Deterministic seed; known ground-truth near-dup pairs."""
+    rng = random.Random(7)
+    rows = []
+    for g in range(20):
+        base = [rng.choice(WORDS) for _ in range(80)]
+        edited = list(base)
+        for _ in range(3):
+            edited[rng.randrange(len(edited))] = rng.choice(WORDS)
+        unrelated = [rng.choice(WORDS) for _ in range(80)]
+        rows.append((g * 3 + 0, " ".join(base)))
+        rows.append((g * 3 + 1, " ".join(edited)))
+        rows.append((g * 3 + 2, " ".join(unrelated)))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _pairs(df) -> set[tuple[int, int]]:
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_vs_exact(spark, near_dup_docs):
+    exact = _pairs(
+        dedup.ngram_jaccard_pairs(near_dup_docs, "doc_id", "text", n=3, threshold=0.5)
+    )
+    approx = _pairs(
+        dedup.minhash_lsh_pairs(
+            near_dup_docs, "doc_id", "text",
+            num_hashes=32, bands=8, n=3, threshold=0.5,
+        )
+    )
+    # soundness: the exact-Jaccard verify step makes false positives impossible
+    assert approx <= exact
+    # recall: banding with r=4 catches j>=0.7 pairs with p≈0.95 each; the
+    # edited twins sit around j≈0.85-0.95 → expect nearly all of them
+    assert len(exact) >= 15  # the corpus actually contains near-dups
+    recall = len(approx) / len(exact)
+    assert recall >= 0.8, f"minhash recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_simhash_finds_light_edits(spark):
+    """SimHash radius vs edit size: a 1-word edit in an 80-word doc flips
+    ~3/78 shingles → expected Hamming ≈ 64·acos(0.96)/π ≈ 6, so radius 7
+    (8 blocks) catches most twins while random doc pairs sit near
+    Hamming 32 and can never collide."""
+    rng = random.Random(13)
+    rows = []
+    for g in range(20):
+        base = [rng.choice(WORDS) for _ in range(80)]
+        edited = list(base)
+        edited[rng.randrange(len(edited))] = rng.choice(WORDS)
+        unrelated = [rng.choice(WORDS) for _ in range(80)]
+        rows.append((g * 3 + 0, " ".join(base)))
+        rows.append((g * 3 + 1, " ".join(edited)))
+        rows.append((g * 3 + 2, " ".join(unrelated)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = dedup.simhash_pairs(docs, "doc_id", "text", n=3, max_hamming=7)
+    pairs = _pairs(got.select("id_a", "id_b"))
+    twins = {(3 * g, 3 * g + 1) for g in range(20)}
+    found_twins = pairs & twins
+    assert len(found_twins) >= 12, f"only {len(found_twins)} twins found"
+    unrelated = {p for p in pairs if p[1] % 3 == 2 or p[0] % 3 == 2}
+    assert len(unrelated) <= 2  # random 80-word docs shouldn't collide
+
+
+def test_simhash64_is_deterministic_and_locality_sensitive(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different content about spark physical planning"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = {r.id: r.simhash for r in dedup.simhash_frame(df, "doc_id", "text").collect()}
+    assert sh[1] == sh[2]  # identical docs → identical signature
+    assert sh[1] != sh[3]
+    # hamming(identical) == 0 via the pair operator with relaxed radius
+    pairs = dedup.simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    exact_pair = [p for p in pairs if (p.id_a, p.id_b) == (1, 2)]
+    assert exact_pair and exact_pair[0].hamming == 0
+
+
+def test_embedding_lsh_recall_vs_exact(spark):
+    """Clustered synthetic vectors: 25 clusters × 3 perturbed copies
+    (cosine ≈ 0.99 within cluster) + 75 random vectors. LSH output must be
+    a subset of exact output with high recall at threshold 0.9."""
+    rng = random.Random(11)
+    rows = []
+    vid = 0
+    dim = 16
+    for _c in range(25):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        for _ in range(3):
+            rows.append(
+                (vid, [x + rng.gauss(0, 0.02) for x in center])
+            )
+            vid += 1
+    for _ in range(75):
+        rows.append((vid, [rng.gauss(0, 1) for _ in range(dim)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = _pairs(
+        dedup.embedding_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.9, n_planes=0
+        )
+    )
+    approx = _pairs(
+        dedup.embedding_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.9, n_planes=8, n_tables=4
+        )
+    )
+    assert approx <= exact
+    assert len(exact) >= 60  # ~75 intra-cluster pairs exist
+    recall = len(approx) / len(exact)
+    assert recall >= 0.9, f"embedding LSH recall {recall:.2f} / {len(exact)} pairs"
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "one two three"),
+            (2, "one two three"),
+            (3, "three two one"),      # same tokens, different order
+            (4, "one two three "),     # trailing whitespace ignored
+        ],
+        ["doc_id", "text"],
+    )
+    fp = {
+        r.doc_id: r.fp
+        for r in df.select("doc_id", rolling_hash("text").alias("fp")).collect()
+    }
+    assert fp[1] == fp[2] == fp[4]
+    assert fp[1] != fp[3]
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [
+            (10, "Hello   World"),
+            (11, "hello world"),     # same after normalization
+            (12, "different"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.keeper_id: r.dup_count
+        for r in dedup.exact_dedup_fingerprint(df, "doc_id", "text").collect()
+    }
+    assert got == {10: 2, 12: 1}

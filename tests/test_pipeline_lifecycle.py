@@ -1,0 +1,210 @@
+"""Lifecycle semantics T1-T4 (SURVEY §2.8) driven through runner.pipeline —
+the ETL identity of the reference, end-to-end on tmp dirs."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from etl_excel_csv_sql_spark.io import csv_io, xlsx
+from etl_excel_csv_sql_spark.io.jdbc import ParquetFullRefreshSink
+from etl_excel_csv_sql_spark.runner.errorlog import ErrorLog, FatalPipelineError
+from etl_excel_csv_sql_spark.runner.folder_queue import FolderQueue, Outcome
+from etl_excel_csv_sql_spark.runner.pipeline import (
+    CsvImportJob,
+    ExcelExportJob,
+    ExcelExportJob as _E,  # noqa: F401 (re-export guard)
+    InvoiceSearchJob,
+    export_excel_to_csv,
+    import_csv_to_table,
+    invoice_search,
+)
+from etl_excel_csv_sql_spark.runner.watermark import WatermarkStore
+
+
+def _workbook(path: str) -> None:
+    xlsx.write_workbook(
+        path,
+        {
+            "Orders": [
+                ["OrderId", "When", "Who"],
+                ["O-1", 44000.5, "alice"],
+                ["O-2", 44001.25, "bob"],
+            ]
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1: mtime watermark gate + commit-after-success ordering
+# ---------------------------------------------------------------------------
+
+def test_t1_watermark_gate_and_commit_ordering(spark, tmp_path):
+    wb = str(tmp_path / "book.xlsx")
+    _workbook(wb)
+    job = ExcelExportJob(
+        source_name="book",
+        workbook_path=wb,
+        sheets=["orders"],
+        header_row=1,
+        csv_out_dir=str(tmp_path / "out"),
+        error_dir=str(tmp_path / "Error"),
+        watermarks=WatermarkStore(str(tmp_path / "state")),
+    )
+    # first run exports and commits
+    r1 = export_excel_to_csv(spark, job)
+    assert r1 == {"skipped": False, "exported": ["Orders"], "diverted": []}
+    assert os.path.isfile(tmp_path / "out" / "Orders.csv")
+
+    # unconsumed output + unchanged workbook → skipped, nothing diverted
+    r2 = export_excel_to_csv(spark, job)
+    assert r2["skipped"] is True
+
+    # touch the workbook → reprocess; stale CSV diverted to Error (K2/T5)
+    os.utime(wb, (time.time() + 5, time.time() + 5))
+    r3 = export_excel_to_csv(spark, job)
+    assert r3["skipped"] is False and r3["exported"] == ["Orders"]
+    assert len(r3["diverted"]) == 1
+    assert os.path.basename(r3["diverted"][0]).startswith("Unprocessed Orders")
+
+    # no matching sheets → watermark NOT committed (matchCounter==0,
+    # ExcelToCSVexport.ps1:222-225): the next run must still see the file
+    os.utime(wb, (time.time() + 10, time.time() + 10))
+    job_nomatch = ExcelExportJob(
+        source_name="book2",
+        workbook_path=wb,
+        sheets=["nonexistent"],
+        header_row=1,
+        csv_out_dir=str(tmp_path / "out"),
+        error_dir=str(tmp_path / "Error"),
+        watermarks=job.watermarks,
+    )
+    assert export_excel_to_csv(spark, job_nomatch)["exported"] == []
+    assert job_nomatch.watermarks.should_process("book2", wb)  # still pending
+
+
+# ---------------------------------------------------------------------------
+# T2 + T3: drop-folder queue, archive-on-success, poison handling
+# ---------------------------------------------------------------------------
+
+def _queue(tmp_path) -> FolderQueue:
+    q = FolderQueue(
+        drop_dir=str(tmp_path / "drop"),
+        processed_dir=str(tmp_path / "Processed"),
+        error_dir=str(tmp_path / "Error"),
+    )
+    os.makedirs(q.drop_dir, exist_ok=True)
+    return q
+
+
+def test_t2_archive_on_success_t3_failure_stays(spark, tmp_path):
+    q = _queue(tmp_path)
+    (tmp_path / "drop" / "good.csv").write_text("pk,when\n1,44000.5\n")
+    (tmp_path / "drop" / "boom.csv").write_text("pk,when\n1,44000.5\n")
+
+    def handler(path: str) -> None:
+        if "boom" in path:
+            raise RuntimeError("simulated connection failure")
+
+    results = q.process_all(handler)
+    by_name = {os.path.basename(p): o for p, o in results.items()}
+    assert by_name == {"good.csv": Outcome.PROCESSED, "boom.csv": Outcome.SKIPPED}
+    # archived with the "yyyy.MM.dd HH.mm <name>" prefix (K6)
+    archived = os.listdir(tmp_path / "Processed")
+    assert len(archived) == 1 and archived[0].endswith(" good.csv")
+    # failed file still queued for the next cycle (at-least-once)
+    assert os.path.exists(tmp_path / "drop" / "boom.csv")
+    # failure was logged to the per-day error file (K5)
+    logs = os.listdir(tmp_path / "Error")
+    assert any(f.endswith("FileImportError.txt") for f in logs)
+
+
+def test_t3_row_quarantine_through_import(spark, tmp_path):
+    q = _queue(tmp_path)
+    (tmp_path / "drop" / "orders.csv").write_text(
+        "pk,when,who\n"
+        "1,44000.5,alice\n"
+        "2,oops,bob\n"      # poison datetime cell → quarantined row
+        ",44001,carol\n"    # empty pk → quarantined row
+    )
+    sink = ParquetFullRefreshSink(str(tmp_path / "table"))
+    qsink = ParquetFullRefreshSink(str(tmp_path / "rejects"))
+    job = CsvImportJob(
+        pk="pk",
+        fields=None,
+        datetime_fields=["when"],
+        sink=sink,
+        queue=q,
+        sanitize=False,
+        quarantine_sink=qsink,
+    )
+    results = import_csv_to_table(spark, job)
+    assert list(results.values()) == [Outcome.PROCESSED]
+    good = sink.read(spark).collect()
+    assert [(r.pk, r.when) for r in good] == [("1", "2020-06-18 12:00:00")]
+    rejects = {r._reject_reason for r in qsink.read(spark).collect()}
+    assert rejects == {"cast(when as double)", "empty pk pk"}
+
+
+def test_errorlog_fatal_raises(tmp_path):
+    log = ErrorLog(str(tmp_path / "Error"))
+    import pytest
+
+    with pytest.raises(FatalPipelineError):
+        log.log("fatal condition", fatal=True)
+    # line was written before raising (reference logs then exits)
+    logged = os.listdir(tmp_path / "Error")
+    assert len(logged) == 1
+
+
+# ---------------------------------------------------------------------------
+# T4: invoice search re-run idempotency + K8 copy side effects
+# ---------------------------------------------------------------------------
+
+def test_t4_invoice_search_idempotent_rerun(spark, tmp_path):
+    # invoice CSV with one already-processed row (case-insensitive 'yes')
+    inv = tmp_path / "invoices.csv"
+    inv.write_text(
+        "InvoiceNumber,Found\nINV-1,\nINV-2,yes\nINV-3,\nINV-4,\n"
+    )
+    # "database" rows: INV-1 twice (multiple PODs per invoice), INV-3 once
+    db = spark.createDataFrame(
+        [
+            ("INV-1", "2024/03", "a.pdf", "acme/west"),
+            ("INV-1", "2024/03", "b.pdf", "acme/west"),
+            ("INV-3", "2024/04", "c.pdf", "zenith"),
+        ],
+        ["invnum", "SubFolder", "FileName", "CustomerRef"],
+    )
+    # source documents on disk (executor-visible shared fs)
+    src_root = tmp_path / "docs"
+    for sub, name in [("2024/03", "a.pdf"), ("2024/03", "b.pdf"), ("2024/04", "c.pdf")]:
+        (src_root / sub).mkdir(parents=True, exist_ok=True)
+        (src_root / sub / name).write_text("pdfbytes")
+    dst_root = tmp_path / "found"
+
+    job = InvoiceSearchJob(
+        invoice_csv=str(inv), src_root=str(src_root), dst_root=str(dst_root)
+    )
+    r1 = invoice_search(spark, job, db)
+    assert r1["copies"]["copied"] == 3 and r1["copies"]["missing"] == 0
+    assert r1["expected"] == 3 and r1["found"] == 2 and r1["missing"] == 1
+    # path-scrubbed composed names (F4/F5): 'acme/west' → 'acme west'
+    assert sorted(os.listdir(dst_root)) == [
+        "INV-1 - acme west - a.pdf",
+        "INV-1 - acme west - b.pdf",
+        "INV-3 - zenith - c.pdf",
+    ]
+    # write-back marked INV-1/INV-3 Found=Yes, preserved INV-2's 'yes'
+    back = {
+        r.InvoiceNumber: r.Found
+        for r in csv_io.read_csv_all_string(spark, str(inv)).collect()
+    }
+    assert back == {"INV-1": "Yes", "INV-2": "yes", "INV-3": "Yes", "INV-4": None}
+
+    # T4: re-run → only INV-4 pending, nothing new copied (skips existing)
+    r2 = invoice_search(spark, job, db)
+    assert r2["expected"] == 1 and r2["found"] == 0
+    assert r2["copies"]["copied"] == 0 and r2["copies"]["skipped"] == 0

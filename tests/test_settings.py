@@ -1,0 +1,49 @@
+"""Settings catalog: S6 key=value parsing (both delimiters), S4 suffix
+discovery, P7 required-param validation."""
+
+from __future__ import annotations
+
+from etl_excel_csv_sql_spark.io.settings import (
+    discover_settings,
+    parse_settings_text,
+    require,
+    split_list,
+)
+
+
+def test_parse_both_delimiters_and_comments():
+    # ExcelToCSVexport.ps1 uses `=`, CSVtoSQLimport.ps1 uses `==`
+    # (SURVEY §2.12#4) — one loader accepts both
+    text = """
+    # comment
+    exportFilePath = D:\\data\\book.xlsx
+    importTable==dbo.Orders
+    importFieldNames == a,b , c
+    empty=
+    dup=1
+    dup=2
+    """
+    got = parse_settings_text(text)
+    assert got["exportFilePath"] == "D:\\data\\book.xlsx"
+    assert got["importTable"] == "dbo.Orders"
+    assert got["importFieldNames"] == "a,b , c"
+    assert got["empty"] == ""
+    assert got["dup"] == "2"  # later wins (hashtable assignment order)
+
+
+def test_split_list_trims_and_drops_empties():
+    assert split_list(" a , b ,, c ") == ["a", "b", "c"]
+    assert split_list(None) == []
+
+
+def test_discover_settings(tmp_path):
+    (tmp_path / "orders_import_settings.txt").write_text("importTable==dbo.O")
+    (tmp_path / "parts_import_settings.txt").write_text("importTable==dbo.P")
+    (tmp_path / "unrelated.txt").write_text("x=1")
+    entries = discover_settings(str(tmp_path), "_import_settings.txt")
+    assert [e.source_name for e in entries] == ["orders", "parts"]
+    assert entries[0].values == {"importTable": "dbo.O"}
+
+
+def test_require_reports_missing():
+    assert require({"a": "1", "b": " "}, ["a", "b", "c"]) == ["b", "c"]

@@ -1,0 +1,106 @@
+"""Similarity search: exact correctness vs numpy, IVF recall vs brute
+force, and physical-plan assertions for the scale invariants."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_excel_csv_sql_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(12)]) for i in range(200)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), rows
+
+
+def _queries(emb_df, n=3):
+    return emb_df.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def _numpy_topk(rows, qid, k, exclude_self=True):
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    qvec = dict(rows)[qid]
+    scored = [
+        (cos(v, qvec), vid)
+        for vid, v in rows
+        if not (exclude_self and vid == qid)
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [vid for _score, vid in scored[:k]]
+
+
+def test_brute_force_matches_reference_impl(spark, emb):
+    emb_df, rows = emb
+    got = similarity.brute_force_topk(
+        emb_df, _queries(emb_df), k=5, exclude_self=True
+    ).collect()
+    by_query = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_query.setdefault(r.query_id, []).append(r.neighbor_id)
+    for qid in range(3):
+        assert by_query[qid] == _numpy_topk(rows, qid, 5)
+    # ranks are 1..k dense per query
+    assert sorted(r.rank for r in got if r.query_id == 0) == [1, 2, 3, 4, 5]
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    emb_df, _rows = emb
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(
+            emb_df, _queries(emb_df), k=10
+        ).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            emb_df, _queries(emb_df), k=10, n_cells=8, n_probe=4
+        ).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    # probing half the cells of random centroids: recall is bounded but
+    # must be far above the 4/8 random-scan floor for a working index
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+
+
+def test_no_window_operator_in_plans(spark, emb):
+    """The scale invariant from VERDICT r1: ranking must not shuffle all
+    scored rows into one task per query. Assert the physical plans contain
+    no Window operator (the bounded top-k replaces it)."""
+    emb_df, _rows = emb
+    for df in (
+        similarity.brute_force_topk(emb_df, _queries(emb_df), k=5),
+        similarity.ivf_topk(emb_df, _queries(emb_df), k=5, n_cells=8, n_probe=2),
+        similarity.ivf_assign(
+            emb_df, similarity._centroids(emb_df, "vec_id", "embedding", 8)
+        ),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, f"Window operator in plan:\n{plan[:2000]}"
+
+
+def test_ivf_assign_covers_corpus_without_shuffle(spark, emb):
+    emb_df, _rows = emb
+    cents = similarity._centroids(emb_df, "vec_id", "embedding", 8)
+    assigned = similarity.ivf_assign(emb_df, cents)
+    assert assigned.count() == 200                   # every vector assigned
+    assert assigned.select("cell_id").distinct().count() > 1
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    # corpus side must not exchange: only the single-row packed centroid
+    # build may shuffle
+    assert plan.count("Exchange") <= 2  # centroid agg + its broadcast prep

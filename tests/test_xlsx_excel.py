@@ -1,0 +1,75 @@
+"""Excel source: S1 sheet catalog, S2 header-offset scan, P5 matching.
+
+Fixtures are written by the pure-stdlib xlsx writer and read back through
+the full io.excel path (writer and reader share only the file format, so a
+roundtrip exercises both)."""
+
+from __future__ import annotations
+
+import os
+
+from etl_excel_csv_sql_spark.io import xlsx
+from etl_excel_csv_sql_spark.io.excel import (
+    excel_sheet_names,
+    match_sheets,
+    read_excel_sheet,
+    stage_workbook_to_parquet,
+)
+
+
+def _workbook(tmp_path) -> str:
+    path = os.path.join(tmp_path, "book.xlsx")
+    xlsx.write_workbook(
+        path,
+        {
+            "Invoices": [
+                ["garbage banner row", None],          # row 1: pre-header junk
+                ["InvoiceNumber", "Amount", "Note"],   # row 2: header
+                ["INV-001", 12.5, "ok"],
+                ["INV-002", 99, "has, comma"],
+                ["INV-003", None, "Ünïcødé"],
+            ],
+            "Ignore Me": [["a"], ["1"]],
+        },
+    )
+    return path
+
+
+def test_sheet_names_in_order(tmp_path):
+    assert excel_sheet_names(_workbook(tmp_path)) == ["Invoices", "Ignore Me"]
+
+
+def test_match_sheets_case_insensitive_trimmed(tmp_path):
+    # P5 + SURVEY §2.12#2: reference matching is case-insensitive -eq with
+    # a broken trim; ours trims properly and preserves workbook order
+    available = excel_sheet_names(_workbook(tmp_path))
+    assert match_sheets(available, ["  invoices ", "IGNORE ME"]) == [
+        "Invoices",
+        "Ignore Me",
+    ]
+    assert match_sheets(available, ["nope"]) == []
+
+
+def test_read_sheet_header_offset_all_string(spark, tmp_path):
+    # S2: header at row 2 (StartRow semantics); everything comes back string
+    df = read_excel_sheet(spark, _workbook(tmp_path), "Invoices", header_row=2)
+    assert df.columns == ["InvoiceNumber", "Amount", "Note"]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string"] * 3
+    rows = {r["InvoiceNumber"]: r for r in df.collect()}
+    assert rows["INV-001"]["Amount"] == "12.5"
+    assert rows["INV-002"]["Amount"] == "99"      # integral float → no ".0"
+    assert rows["INV-003"]["Amount"] is None
+    assert rows["INV-003"]["Note"] == "Ünïcødé"
+
+
+def test_stage_workbook_to_parquet(spark, tmp_path):
+    out = stage_workbook_to_parquet(
+        spark,
+        _workbook(tmp_path),
+        str(tmp_path / "staged"),
+        sheets=["invoices"],
+        header_row=2,
+    )
+    assert list(out) == ["Invoices"]
+    staged = spark.read.parquet(out["Invoices"])
+    assert staged.count() == 3
