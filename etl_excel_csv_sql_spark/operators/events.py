@@ -1,9 +1,11 @@
 """Event-time operators over the events stream table.
 
 The reference has no event-time semantics (its incremental behavior is
-file-mtime-based, SURVEY §2.8); these are the north-star extensions. Each
-batch operator here has a Structured Streaming twin in streaming/ — the
-expressions are identical, only read/writeStream differ.
+file-mtime-based, SURVEY §2.8); these are the north-star extensions. The
+window aggregations have Structured Streaming twins in
+streaming/windows.py that reuse these exact functions (plus a watermark);
+the lag-based sessionize() is batch-only by shape — its streaming twin is
+session_window_agg(), which streaming/windows.py wraps.
 """
 
 from __future__ import annotations

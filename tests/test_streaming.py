@@ -1,0 +1,141 @@
+"""Streaming twins: batch/stream parity for event-time windows, and the
+file-source drop-folder lifecycle (consume-once + archive)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from etl_excel_csv_sql_spark.operators.events import tumbling_window_agg
+from etl_excel_csv_sql_spark.streaming.file_source import (
+    run_available_now_to_memory,
+    stream_csv_drop_folder,
+    write_stream_parquet,
+)
+from etl_excel_csv_sql_spark.streaming.windows import (
+    stream_session_agg,
+    stream_tumbling_agg,
+)
+
+_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("user_id", IntegerType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+_ROWS = [
+    ("2024-01-01 10:05:00", 1, "click"),
+    ("2024-01-01 10:15:00", 1, "click"),
+    ("2024-01-01 10:55:00", 2, "view"),
+    ("2024-01-01 11:20:00", 1, "click"),
+    ("2024-01-01 12:40:00", 1, "click"),  # > 30min gap → new session
+]
+
+
+def _events_batch(spark):
+    df = spark.createDataFrame(
+        [(t, u, e) for t, u, e in _ROWS], ["ts_s", "user_id", "event_type"]
+    )
+    return df.select(
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+    )
+
+
+def _events_stream(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    _events_batch(spark).write.mode("overwrite").parquet(src)
+    return spark.readStream.schema(
+        StructType(
+            [
+                StructField("ts", TimestampType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+            ]
+        )
+    ).parquet(src)
+
+
+def test_stream_tumbling_matches_batch(spark, tmp_path):
+    stream = stream_tumbling_agg(_events_stream(spark, tmp_path))
+    run_available_now_to_memory(
+        stream, "tumbling_out", str(tmp_path / "ckpt_t"), output_mode="complete"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("tumbling_out").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_window_agg(_events_batch(spark)).collect()
+    }
+    assert got == expected and len(got) == 4
+
+
+def test_stream_sessionize(spark, tmp_path):
+    stream = stream_session_agg(_events_stream(spark, tmp_path), gap="30 minutes")
+    run_available_now_to_memory(
+        stream, "session_out", str(tmp_path / "ckpt_s"), output_mode="complete"
+    )
+    got = sorted(
+        (r.user_id, r.n_events) for r in spark.table("session_out").collect()
+    )
+    # user 1: sessions {10:05,10:15}, {11:20}(gap 65m>30m? 10:15→11:20 = 65m
+    # new), {12:40}; user 2: one session
+    assert got == [(1, 1), (1, 1), (1, 2), (2, 1)]
+
+
+def test_drop_folder_stream_consume_once_and_archive(spark, tmp_path):
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "batch1.csv").write_text("ts,user_id,event_type\n2024-01-01 10:00:00,1,click\n")
+    (drop / "batch2.csv").write_text("ts,user_id,event_type\n2024-01-01 11:00:00,2,view\n")
+    archive = str(tmp_path / "archived")
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt_d")
+
+    stream = stream_csv_drop_folder(spark, str(drop), _SCHEMA, archive_dir=archive)
+    write_stream_parquet(stream, out, ckpt).awaitTermination()
+    assert spark.read.parquet(out).count() == 2
+
+    # re-running with the same checkpoint consumes nothing new (T2 exactly-
+    # once file tracking — the reference gets this via move-on-success)
+    stream2 = stream_csv_drop_folder(spark, str(drop), _SCHEMA, archive_dir=archive)
+    write_stream_parquet(stream2, out, ckpt).awaitTermination()
+    assert spark.read.parquet(out).count() == 2  # no re-ingestion
+
+    # cleanSource=archive moves consumed files, but the async cleaner only
+    # runs while batches progress — drop a third file so the next run has a
+    # batch to commit, which sweeps the earlier files into the archive
+    (drop / "batch3.csv").write_text(
+        "ts,user_id,event_type\n2024-01-01 12:00:00,3,click\n"
+    )
+    stream3 = stream_csv_drop_folder(spark, str(drop), _SCHEMA, archive_dir=archive)
+    write_stream_parquet(stream3, out, ckpt).awaitTermination()
+    assert spark.read.parquet(out).count() == 3
+
+    deadline = time.time() + 20
+    moved = 0
+    while time.time() < deadline:
+        moved = sum(len(files) for _, _, files in os.walk(archive))
+        if moved >= 2:
+            break
+        time.sleep(0.5)
+    assert moved >= 2, f"archived {moved}/2 files"
