@@ -61,6 +61,18 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
+    # Warm the JVM/codegen/catalog so the first timed query isn't charged
+    # for session startup (~3-5s otherwise lands on whichever query is
+    # first in HEADLINE).
+    t_warm = time.perf_counter()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for tbl in ("lineitem", "documents", "embeddings", "events"):
+        try:
+            spark.read.parquet(f"{sf_dir}/{tbl}.parquet").limit(1).collect()
+        except Exception:
+            pass
+    log(f"bench: warmup {time.perf_counter()-t_warm:.2f}s")
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)

@@ -40,6 +40,51 @@ class FullRefreshSink(Protocol):
 
 
 @dataclass
+class JdbcQuerySource:
+    """S5: forward-only SQL cursor scan (InvoiceFileSearchFromSQL.ps1:75-87,
+    ``ExecuteReader``) as a Spark JDBC query read.
+
+    The reference splices an IN-list into the query text
+    (InvoiceFileSearchFromSQL.ps1:63) — ``with_in_list`` reproduces that
+    manual pushdown for deployments that want the filter evaluated by the
+    database; the engine-native alternative is reading the table and
+    letting a broadcast semi join + Catalyst JDBC pushdown do it
+    (operators.invoice.semi_join_matches). ``partition_options`` enables
+    parallel reads (partitionColumn/lowerBound/upperBound/numPartitions) —
+    without them a JDBC read is a single cursor, the reference's exact
+    (and at scale, pathological) shape."""
+
+    url: str
+    query: str
+    options: dict[str, str] = field(default_factory=dict)
+    partition_options: dict[str, str] = field(default_factory=dict)
+
+    def with_in_list(self, placeholder: str, values: list[str]) -> "JdbcQuerySource":
+        """Template splice (F7): replace ``placeholder`` with a quoted SQL
+        IN-list body, single quotes escaped by doubling."""
+        quoted = ",".join("'" + v.replace("'", "''") + "'" for v in values)
+        return JdbcQuerySource(
+            url=self.url,
+            query=self.query.replace(placeholder, quoted),
+            options=dict(self.options),
+            partition_options=dict(self.partition_options),
+        )
+
+    def reader(self, spark: SparkSession):
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("query", self.query)
+        )
+        for key, value in {**self.options, **self.partition_options}.items():
+            reader = reader.option(key, value)
+        return reader
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        return self.reader(spark).load()
+
+
+@dataclass
 class JdbcFullRefreshSink:
     """Real JDBC sink (SQL Server in the reference's deployment).
 

@@ -929,6 +929,72 @@ def q_corpus_rollup(spark, sf_dir):
 
 
 @register(
+    "doc_quality_score",
+    rf"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents),
+    m AS (
+      SELECT doc_id, len(t) AS tc,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(t, x -> lower(x) IN
+                        ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                       / len(t) END AS swr,
+             length(regexp_replace(text, '\s', '', 'g')) AS non_ws,
+             length(regexp_replace(text, '[[:punct:]\s]', '', 'g')) AS non_punct_non_ws
+      FROM toks
+    )
+    SELECT doc_id,
+           round(((CASE WHEN tc BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN swr > 0.01 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN (CASE WHEN non_ws > 0
+                                   THEN CAST(non_ws - non_punct_non_ws AS DOUBLE) / non_ws
+                                   ELSE 0.0 END) < 0.3
+                        THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+    FROM m
+    """,
+    doc="composite document quality heuristic (length band + stopword "
+    "presence + punctuation density) — the cheap pre-filter of a training-"
+    "data pipeline; ASCII [[:punct:]] == Java \\p{{Punct}} on both engines",
+)
+def q_doc_quality(spark, sf_dir):
+    from etl_excel_csv_sql_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    )
+
+
+@register(
+    "events_session_native",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    doc="native F.session_window sessions (the streaming-capable twin of "
+    "the lag-based sessionize): window end extends one gap past the last "
+    "event, and a gap of EXACTLY 30min starts a new session (half-open "
+    "window merge), both mirrored in the oracle",
+)
+def q_events_session_native(spark, sf_dir):
+    return events.session_window_agg(_t(spark, sf_dir, "events"))
+
+
+@register(
     "exact_dup_groups",
     r"""
     SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
