@@ -31,6 +31,7 @@ from etl_excel_csv_sql_spark.functions.vectors import (
     cosine_similarity,
     random_hyperplane_signature,
 )
+from etl_excel_csv_sql_spark.operators.relational import spread_for_compute
 
 
 def exact_dedup_fingerprint(
@@ -72,7 +73,7 @@ def ngram_jaccard_pairs(
     Exact (not approximate): use minhash_lsh_pairs when the candidate set
     must stay subquadratic.
     """
-    shingled = df.select(
+    shingled = spread_for_compute(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     )
@@ -138,7 +139,9 @@ def minhash_signatures(
             ]
         ),
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+    return spread_for_compute(df).select(
+        F.col(id_col).alias("id"), sig.alias("signature")
+    )
 
 
 def minhash_lsh_pairs(
@@ -204,7 +207,7 @@ def minhash_lsh_pairs(
     )
 
     # Exact verify: Jaccard on the candidate pairs only.
-    shingled = df.select(
+    shingled = spread_for_compute(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     )
@@ -308,7 +311,8 @@ def simhash_frame(
         word_shingles(text_col, n), lambda s: F.xxhash64(F.lit(seed), s)
     )
     return (
-        df.select(F.col(id_col).alias("id"), hashes.alias("__hashes"))
+        spread_for_compute(df)
+        .select(F.col(id_col).alias("id"), hashes.alias("__hashes"))
         .select("id", _simhash_tallies(F.col("__hashes")).alias("__tallies"))
         .select("id", _simhash_from_tallies(F.col("__tallies")).alias("simhash"))
     )

@@ -30,6 +30,20 @@ def money_avg(col: str | Column) -> Column:
     return money_sum(c) / F.count(c)
 
 
+def spread_for_compute(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY when the input is underpartitioned for CPU-heavy
+    per-row work (e.g. one small parquet file → one task → a 32-core
+    executor running single-threaded). At production scale inputs carry
+    ≥ cores partitions and this is a no-op; the round-robin shuffle it
+    adds in the small-input case costs far less than the serialization it
+    removes. Expensive per-row operators (simhash, minhash, shingling)
+    call this on their input."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def project(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """Configured column subset (CSVtoSQLimport.ps1:232-237). Catalyst
     pushes this into the scan (ReadSchema pruning)."""

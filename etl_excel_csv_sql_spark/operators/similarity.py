@@ -23,7 +23,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_excel_csv_sql_spark.functions.vectors import cosine_similarity
-from etl_excel_csv_sql_spark.operators.relational import grouped_bounded_topk
+from etl_excel_csv_sql_spark.operators.relational import (
+    grouped_bounded_topk,
+    spread_for_compute,
+)
 
 
 def _rank_key(id_out: Column, sim: Column) -> Column:
@@ -59,7 +62,7 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, cosine, rank).
     """
     sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
-    scored = corpus.crossJoin(F.broadcast(queries)).select(
+    scored = spread_for_compute(corpus).crossJoin(F.broadcast(queries)).select(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
         sim.alias("cosine"),
@@ -138,7 +141,7 @@ def ivf_assign(
     partitioned by cell_id turns every later probe into a partition-pruned
     scan."""
     packed = _packed_centroids(centroids)
-    return corpus.crossJoin(F.broadcast(packed)).select(
+    return spread_for_compute(corpus).crossJoin(F.broadcast(packed)).select(
         F.col(id_col),
         F.col(vec_col),
         _nearest_cell(F.col(vec_col), F.col("__cents")).alias("cell_id"),
