@@ -1,0 +1,84 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks natively.
+
+For each left row, attach the single most recent right row with the same
+key whose timestamp is at or before the left timestamp (trades→quotes,
+orders→latest-event, feature lookups at label time).
+
+Composition of built-in operators (no UDF, no window over unbounded
+groups):
+
+  1. equi-join on the key with the range predicate ``right_ts <= left_ts``
+     — a shuffle-hash/sort-merge join on the KEY, so parallelism follows
+     key cardinality; AQE splits skewed keys;
+  2. per left-row argmax via ``max_by(right_struct, (right_ts, tiebreak))``
+     — one aggregation with map-side partials, shuffling one row per
+     (left row, matched partition).
+
+The intermediate is |matches per key pair| rows, which is the honest cost
+of an as-of join without a co-sorted storage layout; with iceberg/delta
+tables bucketed+sorted by (key, ts) this becomes a merge within
+co-located partitions. For bounded lookback use ``max_lookback`` — it
+turns the range predicate into a band, cutting the intermediate from
+all-history to the window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str] | None = None,
+    tiebreak_col: str | None = None,
+    max_lookback: Column | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Attach the latest right row at-or-before each left row's timestamp.
+
+    ``right_value_cols``: right columns to surface (default: all except
+    key/ts). ``tiebreak_col``: right column breaking equal-timestamp ties
+    (max wins; REQUIRED for deterministic output when right timestamps can
+    tie). ``max_lookback``: e.g. ``F.expr("INTERVAL 7 DAYS")`` bounds how
+    far back a match may be. ``how='left'`` keeps unmatched left rows with
+    nulls; ``'inner'`` drops them.
+    """
+    value_cols = right_value_cols or [
+        c for c in right.columns if c not in (right_key, right_ts)
+    ]
+    r = right.select(
+        F.col(right_key).alias("__rk"),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c) for c in value_cols],
+    )
+    cond = (left[left_key] == F.col("__rk")) & (
+        F.col("__rts") <= left[left_ts]
+    )
+    if max_lookback is not None:
+        cond = cond & (F.col("__rts") >= left[left_ts] - max_lookback)
+
+    joined = left.join(r, on=cond, how="inner")
+    order_key = (
+        F.struct(F.col("__rts"), F.col(tiebreak_col))
+        if tiebreak_col
+        else F.struct(F.col("__rts"))
+    )
+    picked = joined.groupBy(*[left[c] for c in left.columns]).agg(
+        *[
+            F.max_by(F.col(c), order_key).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+        F.max(F.col("__rts")).alias("asof_ts"),
+    )
+    if how == "inner":
+        return picked
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"asof_{c}") for c in value_cols
+    ] + [F.col("asof_ts")]
+    return left.join(picked, on=left.columns, how="left").select(*out_cols)

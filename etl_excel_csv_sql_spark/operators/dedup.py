@@ -381,6 +381,84 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 12,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id, component) for every node in the pair graph; component = min id
+    reachable — the canonical keeper for a near-dup cluster.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels (one shuffle-join per round on
+    the node id), with an early exit when a round changes nothing.
+    Converges in diameter(graph) rounds; near-dup graphs are
+    shallow (clusters, not paths), so the default bound is generous. Each
+    round materializes via localCheckpoint to keep the plan from growing
+    O(iterations) deep — the standard Spark iterative-algorithm pattern.
+    For adversarial trillion-edge graphs swap in large-star/small-star
+    (alternating min-propagation that converges in O(log n) rounds); the
+    per-round join shape below is the same building block.
+    """
+    edges_fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges_fwd.union(
+        edges_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), F.col("u.id") == F.col("l.id"))
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_first(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 12,
+) -> DataFrame:
+    """The dedup ACTION: drop every row whose id belongs to a near-dup
+    component but is not that component's min-id keeper. Rows never seen in
+    ``pairs`` are untouched. One broadcast-friendly anti join against the
+    (small) loser set — the corpus itself never shuffles."""
+    comps = connected_components(pairs, max_iter)
+    losers = comps.filter(F.col("id") != F.col("component")).select("id")
+    return df.join(
+        losers, df[id_col] == losers.id, "left_anti"
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str,

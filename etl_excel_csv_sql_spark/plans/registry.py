@@ -867,6 +867,51 @@ def q_events_json(spark, sf_dir):
     )
 
 
+@register(
+    "asof_latest_order_per_event",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), m AS (
+      SELECT event_id, user_id, ts, max(o_orderdate) AS mdate
+      FROM ev JOIN orders ON o_custkey = user_id AND o_orderdate <= ts
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_id,
+           (SELECT max(o_orderkey) FROM orders o
+            WHERE o.o_custkey = m.user_id AND o.o_orderdate = m.mdate)
+             AS asof_o_orderkey,
+           strftime(mdate, '%Y-%m-%d %H:%M:%S') AS asof_ts
+    FROM m
+    """,
+    doc="as-of (point-in-time) join: for each event, the user's most recent "
+    "order at-or-before the event time; key-equi join + range predicate + "
+    "max_by argmax with (ts, orderkey) tie-break — an operator Spark lacks "
+    "natively, composed from built-ins (operators/asof.py)",
+)
+def q_asof_latest_order(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators.asof import asof_join
+
+    events_df = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders_df = _t(spark, sf_dir, "orders")
+    joined = asof_join(
+        events_df,
+        orders_df,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_value_cols=["o_orderkey"],
+        tiebreak_col="o_orderkey",
+        how="inner",
+    )
+    return joined.select(
+        "event_id",
+        F.col("asof_o_orderkey"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("asof_ts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis over documents (north-star M5)
 # ---------------------------------------------------------------------------
@@ -1010,6 +1055,41 @@ def q_exact_dup(spark, sf_dir):
     )
 
 
+# Shared CTE block: 3-word-shingle inverted index → Jaccard pairs at 0.12
+# with the df>100 stop-shingle cutoff (used by ngram_jaccard_pairs and the
+# connected-components oracles).
+_NGRAM_PAIR_CTES = r"""
+    shingled_all AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+                    THEN list_transform(
+                           generate_series(1, len(string_split_regex(trim(text), '\s+')) - 2),
+                           i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' '))
+                    ELSE [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+               END)) AS shingle
+      FROM documents
+    ), hot AS (
+      SELECT shingle FROM shingled_all GROUP BY shingle HAVING count(*) > 100
+    ), shingled AS (
+      SELECT id, shingle FROM shingled_all
+      WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ), sizes AS (
+      SELECT id, count(*) AS set_size FROM shingled GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter_size
+      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ), jac AS (
+      SELECT id_a, id_b,
+             CAST(inter_size AS DOUBLE) / (sa.set_size + sb.set_size - inter_size) AS jaccard
+      FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+      WHERE CAST(inter_size AS DOUBLE) / (sa.set_size + sb.set_size - inter_size) >= 0.12
+    )
+"""
+
+
 @register(
     "ngram_jaccard_pairs",
     r"""
@@ -1049,6 +1129,70 @@ def q_ngram_jaccard(spark, sf_dir):
         _t(spark, sf_dir, "documents"), "doc_id", "text",
         n=3, threshold=0.12, max_df=100,
     )
+
+
+def _ngram_pairs_012(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.12, max_df=100,
+    )
+
+
+@register(
+    "dedup_components",
+    "WITH RECURSIVE "
+    + _NGRAM_PAIR_CTES
+    + """
+    , sym AS (
+      SELECT id_a AS a, id_b AS b FROM jac
+      UNION
+      SELECT id_b AS a, id_a AS b FROM jac
+    ), reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS id, least(a, min(b)) AS component
+    FROM reach GROUP BY a
+    """,
+    doc="connected components over the near-dup pair graph (min reachable "
+    "id = canonical keeper). Spark: iterative min-label propagation with "
+    "early exit; oracle: recursive transitive closure — different "
+    "algorithms, identical fixpoint",
+)
+def q_dedup_components(spark, sf_dir):
+    return dedup.connected_components(_ngram_pairs_012(spark, sf_dir))
+
+
+@register(
+    "dedup_keep_first",
+    "WITH RECURSIVE "
+    + _NGRAM_PAIR_CTES
+    + """
+    , sym AS (
+      SELECT id_a AS a, id_b AS b FROM jac
+      UNION
+      SELECT id_b AS a, id_a AS b FROM jac
+    ), reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ), comp AS (
+      SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+    """,
+    doc="the dedup ACTION: corpus minus non-keeper members of every "
+    "near-dup component (anti join against the loser set — the corpus "
+    "never shuffles)",
+)
+def q_dedup_keep_first(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup.dedup_keep_first(
+        docs, _ngram_pairs_012(spark, sf_dir), "doc_id"
+    )
+    return kept.select("doc_id")
 
 
 @register(

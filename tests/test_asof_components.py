@@ -1,0 +1,89 @@
+"""As-of join semantics and connected-components convergence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_excel_csv_sql_spark.operators.asof import asof_join
+from etl_excel_csv_sql_spark.operators.dedup import (
+    connected_components,
+    dedup_keep_first,
+)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", "2024-01-10 12:00:00"),
+            (2, "u1", "2024-01-01 00:00:00"),  # before any right row
+            (3, "u2", "2024-01-10 12:00:00"),
+        ],
+        ["lid", "key", "ts_s"],
+    ).select("lid", "key", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            ("u1", "2024-01-05 00:00:00", 100, "old"),
+            ("u1", "2024-01-09 00:00:00", 200, "newer"),
+            ("u1", "2024-01-09 00:00:00", 300, "tie-winner"),  # same ts, bigger id
+            ("u1", "2024-01-11 00:00:00", 400, "future"),      # after left ts
+            ("u2", "2024-01-02 00:00:00", 500, "only"),
+        ],
+        ["key", "rts_s", "rid", "label"],
+    ).select("key", F.col("rts_s").cast("timestamp").alias("rts"), "rid", "label")
+    return left, right
+
+
+def test_asof_picks_latest_at_or_before_with_tiebreak(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, "key", "key", "ts", "rts",
+        right_value_cols=["rid", "label"], tiebreak_col="rid", how="inner",
+    )
+    rows = {r.lid: r for r in out.collect()}
+    assert rows[1].asof_rid == 300 and rows[1].asof_label == "tie-winner"
+    assert rows[3].asof_rid == 500
+    assert 2 not in rows  # inner: no right row at-or-before
+
+
+def test_asof_left_keeps_unmatched(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, "key", "key", "ts", "rts",
+        right_value_cols=["rid"], tiebreak_col="rid", how="left",
+    )
+    rows = {r.lid: r for r in out.collect()}
+    assert len(rows) == 3 and rows[2].asof_rid is None
+
+
+def test_asof_max_lookback_bounds_matches(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, "key", "key", "ts", "rts",
+        right_value_cols=["rid"], tiebreak_col="rid",
+        max_lookback=F.expr("INTERVAL 2 DAYS"), how="inner",
+    )
+    rows = {r.lid: r for r in out.collect()}
+    # lid=1 at 01-10: window [01-08, 01-10] still catches the 01-09 rows
+    assert rows[1].asof_rid == 300
+    # lid=3 at 01-10: u2's only row (01-02) is outside the 2-day window
+    assert 3 not in rows
+
+
+def test_connected_components_chain_and_clusters(spark):
+    # chain 1-2-3-4-5 (diameter 4) + separate pair (10, 11)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"]
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_keep_first_drops_losers_only(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 4)], ["id_a", "id_b"])
+    kept = sorted(
+        r.doc_id for r in dedup_keep_first(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [0, 1, 2, 5]  # 3 and 4 fold into keeper 0
