@@ -142,3 +142,42 @@ def broadcast_dim_join(
     shipped to every executor and the fact table never shuffles. This is
     the join shape for region/nation/supplier/part at any scale factor."""
     return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resilient equi join when BOTH sides are too large to broadcast
+    and a few keys dominate: the big side adds a random salt in [0, salt),
+    the small side explodes into all ``salt`` replicas, and the join runs
+    on (key, salt) — splitting each hot key's rows across ``salt`` reducers
+    at the cost of replicating the small side ``salt``-fold.
+
+    AQE's skew-join split (on by default in session.py) handles most skew
+    automatically by splitting oversized partitions; reach for explicit
+    salting when a SINGLE key exceeds what one task can hold even after
+    AQE splits, or on engines/configs without AQE. Join column name
+    collisions are avoided by aliasing; output columns = big's columns +
+    small's non-key columns.
+    """
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed=42) * salt).cast("int")
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    joined = salted_big.join(
+        salted_small,
+        on=(salted_big[big_key] == salted_small[small_key])
+        & (salted_big["__salt"] == salted_small["__salt"]),
+        how=how,
+    )
+    keep = [salted_big[c] for c in big.columns] + [
+        salted_small[c] for c in small.columns if c != small_key
+    ]
+    return joined.select(*keep)

@@ -672,6 +672,76 @@ def q_above_avg(spark, sf_dir):
     ).select("o_orderkey")
 
 
+@register(
+    "percentile_prices",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.90), 4) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="exact interpolated percentiles (Spark percentile == DuckDB "
+    "quantile_cont); the approximate scale path is approx_percentile — "
+    "same call shape, sketch-based, not oracle-comparable",
+)
+def q_percentiles(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (o_orderstatus = 'F') AS status_f,
+           count(*) FILTER (o_orderstatus = 'O') AS status_o,
+           count(*) FILTER (o_orderstatus = 'P') AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="pivot (orderstatus → columns); explicit value list keeps the plan "
+    "a single pass (no distinct-values pre-query)",
+)
+def q_pivot(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+@register(
+    "corr_price_quantity",
+    """
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_cov
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="statistical aggregates (Pearson corr, sample covariance) — "
+    "single-pass map-side partials on both engines",
+)
+def q_corr(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias(
+            "price_qty_cov"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions (SURVEY §2.7 — absent in reference, native in Spark)
 # ---------------------------------------------------------------------------
