@@ -673,6 +673,37 @@ def q_above_avg(spark, sf_dir):
 
 
 @register(
+    "sql_text_interface",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus <> 'F'
+    GROUP BY c_mktsegment
+    """,
+    doc="the engine's SQL TEXT surface: temp views + spark.sql over the "
+    "same ANSI string DuckDB runs — users of the reference who think in "
+    "SQL keep thinking in SQL (Catalyst plans text and DataFrame calls "
+    "identically)",
+)
+def q_sql_text_interface(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus <> 'F'
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
     "percentile_prices",
     """
     SELECT o_orderpriority,
