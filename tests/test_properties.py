@@ -1,0 +1,94 @@
+"""Property-based round-trip tests (SURVEY §5.2): arbitrary content must
+survive the CSV and Excel paths, and the scalar library must hold its
+invariants. Each property batches its examples into ONE Spark job (a job
+per hypothesis example would be minutes per property)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from etl_excel_csv_sql_spark.functions.scalars import (
+    EXCEL_ORIGIN_TRUE,
+    excel_serial_to_timestamp,
+    sanitize_sql_string,
+)
+from etl_excel_csv_sql_spark.io import csv_io, xlsx
+from etl_excel_csv_sql_spark.io.excel import read_excel_sheet
+
+# XML 1.0 forbids most control chars; CSV additionally treats \r\n as row
+# structure (quoted, but normalize for comparison stability).
+_cell = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FFF
+    ),
+    max_size=40,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(_cell, _cell), min_size=1, max_size=8))
+def test_csv_roundtrip_preserves_cells(spark, tmp_path_factory, rows):
+    path = str(tmp_path_factory.mktemp("csvprop") / "t.csv")
+    df = spark.createDataFrame(rows, ["a", "b"])
+    csv_io.write_csv_single(df, path)
+    back = csv_io.read_csv_all_string(spark, path).collect()
+    # Spark CSV reads empty strings back as null — normalize both sides
+    norm = lambda v: v if v not in ("", None) else None
+    key = lambda t: tuple((x is None, x or "") for x in t)
+    got = sorted(((norm(r.a), norm(r.b)) for r in back), key=key)
+    want = sorted(((norm(a), norm(b)) for a, b in rows), key=key)
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_cell, min_size=1, max_size=8))
+def test_xlsx_roundtrip_preserves_strings(spark, tmp_path_factory, cells):
+    path = str(tmp_path_factory.mktemp("xlsxprop") / "t.xlsx")
+    xlsx.write_workbook(path, {"S": [["col"], *[[c] for c in cells]]})
+    back = read_excel_sheet(spark, path, "S", header_row=1).collect()
+    norm = lambda v: v if v not in ("", None) else None
+    assert sorted(
+        (norm(r.col) for r in back), key=lambda x: (x is None, x)
+    ) == sorted((norm(c) for c in cells), key=lambda x: (x is None, x))
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_cell, min_size=1, max_size=16))
+def test_sanitize_strips_injection_chars(spark, tmp_path_factory, values):
+    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    out = [
+        r.s
+        for r in df.select(sanitize_sql_string(F.col("v")).alias("s")).collect()
+    ]
+    for s in out:
+        if s is None:
+            continue
+        # the reference's invariant: no quotes, semicolons, or comment
+        # markers survive sanitization (CSVtoSQLimport.ps1:59-78)
+        assert "'" not in s and ";" not in s and "--" not in s
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=1.0, max_value=200_000.0, allow_nan=False),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_excel_serial_roundtrips_within_a_second(spark, serials):
+    df = spark.createDataFrame([(s,) for s in serials], ["serial"])
+    got = df.select(
+        "serial", excel_serial_to_timestamp(F.col("serial")).alias("ts")
+    ).collect()
+    origin = datetime.fromisoformat(EXCEL_ORIGIN_TRUE).replace(
+        tzinfo=timezone.utc
+    )
+    for r in got:
+        expected = origin + timedelta(days=r.serial)
+        actual = r.ts.replace(tzinfo=timezone.utc)
+        # conversion rounds to whole seconds
+        assert abs((actual - expected).total_seconds()) <= 0.5001
