@@ -37,6 +37,9 @@ HEADLINE = (
     "simhash_pairs",
     "cosine_topk",
     "ann_ivf_topk",
+    "asof_latest_order_per_event",
+    "dedup_components",
+    "doc_quality_score",
 )
 
 

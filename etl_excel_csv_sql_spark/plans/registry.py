@@ -1361,6 +1361,44 @@ def q_lang_id(spark, sf_dir):
 
 
 @register(
+    "char_ngram_profile",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) >= 5
+                THEN len(list_distinct(list_transform(
+                       generate_series(1, length(text) - 4),
+                       i -> substr(text, i, 5))))
+                ELSE 1 END AS n_distinct_5grams
+    FROM documents
+    """,
+    doc="distinct character 5-gram counts (the SimHash/fingerprint feature "
+    "unit for whitespace-free scripts); short docs collapse to one whole-"
+    "text gram on both engines",
+)
+def q_char_ngrams(spark, sf_dir):
+    from etl_excel_csv_sql_spark.functions.text import char_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(char_ngrams("text", 5)).alias("n_distinct_5grams")
+    )
+
+
+@register(
+    "approx_distinct_users",
+    None,  # HLL sketch values are engine-specific → rows-only; the error
+    # bound vs exact is asserted in tests/test_approx.py
+    doc="approximate COUNT(DISTINCT) via HyperLogLog++ — the 100 TB path "
+    "for distinct-user counting (bounded memory vs exact's full hash set)",
+)
+def q_approx_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@register(
     "subword_token_count",
     r"""
     SELECT doc_id,
