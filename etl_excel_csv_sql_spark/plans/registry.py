@@ -1361,6 +1361,26 @@ def q_lang_id(spark, sf_dir):
 
 
 @register(
+    "train_test_split",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """,
+    doc="deterministic engine-portable train/test split from md5 hash "
+    "buckets (10% test): membership is pinned by (salt, id) — stable as "
+    "the corpus grows, reproducible on any engine with md5, zero shuffle. "
+    "0x199a/0x10000 = 10.0%",
+)
+def q_train_test_split(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", test_fraction=0.1).select("doc_id", "split")
+
+
+@register(
     "char_ngram_profile",
     """
     SELECT doc_id,

@@ -1,0 +1,61 @@
+"""Split determinism / stability / leakage-safety and stratified rates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_excel_csv_sql_spark.operators.sampling import (
+    group_safe_split,
+    hash_split,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=2000):
+    return spark.createDataFrame(
+        [(i, f"grp{i % 200}", "en" if i % 4 else "fr") for i in range(n)],
+        ["doc_id", "grp", "lang"],
+    )
+
+
+def test_hash_split_fraction_and_determinism(spark):
+    df = _docs(spark)
+    s1 = {r.doc_id: r.split for r in hash_split(df, "doc_id", 0.1).collect()}
+    s2 = {r.doc_id: r.split for r in hash_split(df, "doc_id", 0.1).collect()}
+    assert s1 == s2  # bit-for-bit reproducible
+    test_frac = sum(v == "test" for v in s1.values()) / len(s1)
+    assert 0.06 <= test_frac <= 0.14  # binomial around 10%
+
+
+def test_hash_split_membership_stable_under_growth(spark):
+    small = hash_split(_docs(spark, 500), "doc_id", 0.1)
+    big = hash_split(_docs(spark, 2000), "doc_id", 0.1)
+    small_m = {r.doc_id: r.split for r in small.collect()}
+    big_m = {r.doc_id: r.split for r in big.collect()}
+    # adding rows never flips existing assignments
+    assert all(big_m[k] == v for k, v in small_m.items())
+
+
+def test_different_salt_draws_independent_split(spark):
+    df = _docs(spark)
+    a = {r.doc_id: r.split for r in hash_split(df, "doc_id", 0.5, salt="a").collect()}
+    b = {r.doc_id: r.split for r in hash_split(df, "doc_id", 0.5, salt="b").collect()}
+    agree = sum(a[k] == b[k] for k in a) / len(a)
+    assert 0.35 <= agree <= 0.65  # ~independent coin flips
+
+
+def test_group_safe_split_never_splits_a_group(spark):
+    df = _docs(spark)
+    out = group_safe_split(df, "grp", 0.3)
+    sides_per_group = (
+        out.groupBy("grp").agg(F.countDistinct("split").alias("n")).collect()
+    )
+    assert all(r.n == 1 for r in sides_per_group)
+
+
+def test_stratified_sample_respects_fractions(spark):
+    df = _docs(spark, 4000)
+    out = stratified_sample(df, "lang", {"en": 0.2, "fr": 1.0}, seed=7)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["fr"] == 1000            # keep-all stratum is exact
+    assert 400 <= counts["en"] <= 800      # ~600 expected of 3000
