@@ -117,6 +117,44 @@ class JdbcFullRefreshSink:
 
 
 @dataclass
+class ParquetMergeSink:
+    """Incremental upsert sink — the growth path the reference's
+    full-refresh lacks: new rows replace existing rows with the same key,
+    everything else is preserved.
+
+    Without a transactional table format, merge = anti-join the existing
+    table against the incoming keys, union the increment, and swap
+    directories (write to staging, then replace) so a crash never leaves a
+    half-written table and the job never reads the directory it is
+    writing. On Delta/Iceberg this whole class collapses to MERGE INTO;
+    the anti-join shape (existing never shuffles when the increment's key
+    set broadcasts) is the same."""
+
+    path: str
+    keys: list[str]
+
+    def upsert(self, spark: SparkSession, df: DataFrame) -> None:
+        import os
+        import shutil
+
+        staging = self.path + ".staging"
+        if os.path.exists(self.path):
+            existing = spark.read.parquet(self.path)
+            incoming_keys = df.select(*self.keys).distinct()
+            kept = existing.join(incoming_keys, on=self.keys, how="left_anti")
+            merged = kept.unionByName(df)
+        else:
+            merged = df
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.rename(staging, self.path)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+
+@dataclass
 class ParquetFullRefreshSink:
     """Test/warehouse stand-in with identical full-refresh semantics:
     mode("overwrite") atomically replaces the table directory (TRUNCATE +

@@ -17,6 +17,7 @@ from etl_excel_csv_sql_spark.functions.text import (
     rolling_hash,
     stopword_ratio,
     token_count,
+    tokens,
 )
 
 
@@ -36,6 +37,69 @@ def doc_stats(
         quality_score(text_col).alias("quality"),
         lang_id(text_col).alias("lang_pred"),
         rolling_hash(text_col).alias("fingerprint"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_df: int = 1,
+    max_df_ratio: float = 1.0,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Plan: explode lowercase tokens → per-(doc, term) counts (one shuffle on
+    (doc, term)) → document frequencies (one shuffle on term; hot terms are
+    bounded because DF rows are one per distinct term) → idf join → bounded
+    grouped top-k for the per-doc ranking (no Window over unbounded
+    groups). ``max_df_ratio`` drops ubiquitous terms (df > ratio·N) before
+    scoring — the stop-term analog of the dedup stop-shingle cutoff.
+
+    idf = ln(N / df); score = tf · idf, rounded to 6 to absorb FP noise
+    across engines. Ties break by term ascending. Output:
+    (doc, term, tf, df, score, rank).
+    """
+    from etl_excel_csv_sql_spark.operators.relational import (
+        grouped_bounded_topk,
+        spread_for_compute,
+    )
+
+    n_docs = df.count()  # scalar driver value: sizes the idf constant
+    terms = spread_for_compute(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(text_col)).alias("term_raw"),
+    ).select("doc", F.lower(F.col("term_raw")).alias("term"))
+    tf = terms.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df_ratio < 1.0:
+        dfreq = dfreq.filter(F.col("df") <= int(max_df_ratio * n_docs))
+    dfreq = dfreq.filter(F.col("df") >= min_df)
+    scored = tf.join(dfreq, "term").select(
+        "doc",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    key = F.struct(
+        (-F.col("score")).alias("neg_score"),
+        F.col("term").alias("term"),
+        F.col("tf").alias("tf"),
+        F.col("df").alias("df"),
+        F.col("score").alias("score"),
+    )
+    top = grouped_bounded_topk(scored, ["doc"], key, k)
+    return top.select(
+        "doc",
+        F.col("item.term").alias("term"),
+        F.col("item.tf").alias("tf"),
+        F.col("item.df").alias("df"),
+        F.col("item.score").alias("score"),
+        "rank",
     )
 
 

@@ -1361,6 +1361,37 @@ def q_lang_id(spark, sf_dir):
 
 
 @register(
+    "tfidf_top_terms",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id AS doc, lower(unnest({_TOKS_SQL})) AS term FROM documents
+    ), tf AS (
+      SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT doc, tf.term, tf, df,
+             round(tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df), 6) AS score
+      FROM tf JOIN dfreq ON tf.term = dfreq.term
+    ), ranked AS (
+      SELECT doc, term, tf, df, score,
+             row_number() OVER (PARTITION BY doc ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc, term, tf, df, score, rank FROM ranked WHERE rank <= 3
+    """,
+    doc="top-3 characteristic terms per document by TF-IDF: token inverted "
+    "index → per-(doc,term) counts → document frequencies → score → "
+    "bounded grouped top-k (window-free ranking; ties on the rounded score "
+    "break by term)",
+)
+def q_tfidf(spark, sf_dir):
+    return textstats.tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3
+    )
+
+
+@register(
     "train_test_split",
     """
     SELECT doc_id,
