@@ -126,6 +126,49 @@ def _nearest_cell(vec: Column, cents: Column) -> Column:
     return F.array_min(keyed).getField("cell_id")
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-iteration k-means centroids (cosine assignment, mean update) —
+    real cluster centers for the IVF index instead of the hash-sample
+    stand-in, measurably improving probe recall.
+
+    Per iteration: shuffle-free assignment (broadcast packed centroids,
+    see ivf_assign) → element-wise member means via posexplode +
+    (cell, dim) aggregation — two small shuffles whose row counts are
+    |corpus|·dim exploded scalars and k·dim partials, both independent of
+    how wide the corpus gets in bytes. Centroids localCheckpoint per
+    round so the plan doesn't grow with iterations. Cells that lose all
+    members drop out (k shrinks rather than seeding empties).
+    Output: (cell_id, centroid) — cell ids are stable small ints only
+    within one build; persist the assignment, not the ids.
+    """
+    cents = _centroids(corpus, id_col, vec_col, n_cells)
+    for _ in range(max(0, iters)):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        exploded = assigned.select(
+            "cell_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
+        )
+        means = exploded.groupBy("cell_id", "pos").agg(
+            F.avg(F.col("x").cast("double")).alias("m")
+        )
+        cents = (
+            means.groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("centroid")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -158,16 +201,20 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    kmeans_iters: int = 2,
 ) -> DataFrame:
     """IVF approximate top-k: probe only the ``n_probe`` cells whose
     centroids are closest to the query. Scanned fraction ≈ n_probe/n_cells;
-    recall grows with n_probe (tests/test_similarity.py measures recall
-    against brute_force_topk). Same output schema as brute_force_topk.
+    recall grows with n_probe and with centroid quality
+    (tests/test_similarity.py measures recall against brute_force_topk).
+    Same output schema as brute_force_topk.
 
-    Plan shape: centroid assignment is shuffle-free (see ivf_assign); the
-    probe list is |queries|×n_probe rows (broadcast); final ranking is the
-    bounded two-phase top-k, so the corpus again never shuffles."""
-    cents = _centroids(corpus, id_col, vec_col, n_cells)
+    ``kmeans_iters`` Lloyd rounds refine the hash-sampled seeds into real
+    cluster centers (0 = raw sample). Plan shape: centroid assignment is
+    shuffle-free (see ivf_assign); the probe list is |queries|×n_probe
+    rows (broadcast); final ranking is the bounded two-phase top-k, so
+    the corpus again never shuffles."""
+    cents = kmeans_centroids(corpus, n_cells, kmeans_iters, id_col, vec_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
     # top-n_probe cells per query: tiny (|queries| × n_cells rows) — the

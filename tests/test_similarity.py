@@ -66,16 +66,25 @@ def test_ivf_recall_vs_brute_force(spark, emb):
             emb_df, _queries(emb_df), k=10
         ).collect()
     }
-    approx = {
-        (r.query_id, r.neighbor_id)
-        for r in similarity.ivf_topk(
-            emb_df, _queries(emb_df), k=10, n_cells=8, n_probe=4
-        ).collect()
-    }
-    recall = len(approx & exact) / len(exact)
-    # probing half the cells of random centroids: recall is bounded but
-    # must be far above the 4/8 random-scan floor for a working index
-    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+
+    def recall(kmeans_iters):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(
+                emb_df, _queries(emb_df), k=10, n_cells=8, n_probe=4,
+                kmeans_iters=kmeans_iters,
+            ).collect()
+        }
+        return len(approx & exact) / len(exact)
+
+    # probing half the cells must beat the random-scan floor even with raw
+    # hash-sampled seeds; Lloyd refinement must not degrade it
+    r_sampled = recall(0)
+    r_kmeans = recall(2)
+    assert r_sampled >= 0.5, f"sampled-seed IVF recall {r_sampled:.2f}"
+    assert r_kmeans >= max(0.6, r_sampled - 0.05), (
+        f"kmeans IVF recall {r_kmeans:.2f} vs sampled {r_sampled:.2f}"
+    )
 
 
 def test_no_window_operator_in_plans(spark, emb):
