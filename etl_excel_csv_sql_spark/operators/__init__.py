@@ -5,10 +5,14 @@ declarative, so Catalyst keeps full visibility for pushdown / join
 selection / AQE. Families:
 
 - invoice.py    — the reference's semi-join + write-back pattern (J1/J2)
-- relational.py — filters/projections/top-k/set-ops breadth
+- relational.py — filters/projections/top-k/set-ops breadth, bounded
+                  grouped top-k, salted skew join, compute-spread helper
 - dedup.py      — exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
-- similarity.py — cosine top-k (brute force + LSH-bucketed ANN)
-- textstats.py  — corpus quality/language/token statistics
+                  LSH, connected components, keep-first dedup
+- similarity.py — cosine top-k (brute force + IVF with k-means centroids)
+- textstats.py  — corpus quality/language/token statistics, TF-IDF
 - events.py     — event-time windows & sessionization
+- asof.py       — point-in-time (as-of) join
+- sampling.py   — deterministic splits, stratified sampling
 - multimodal.py — binary-column plumbing (decode stubs, real Spark shape)
 """
