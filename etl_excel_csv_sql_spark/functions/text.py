@@ -146,6 +146,27 @@ def char_ngrams(text: ColumnOrName, n: int = 5) -> Column:
     return F.array_distinct(F.when(ln >= n, grams).otherwise(whole))
 
 
+#: Redaction patterns: deliberately simple alternation-free regexes that
+#: behave identically under Java regex (Spark) and RE2 (DuckDB oracle).
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "IPV4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(text: ColumnOrName, kinds: tuple[str, ...] = ("EMAIL", "PHONE", "IPV4")) -> Column:
+    """Replace PII-shaped spans with ``<KIND>`` placeholders — the cheap
+    regex pass a training-data pipeline runs before anything ships.
+    Pattern order matters (emails before phones so digits inside an
+    address aren't half-eaten); patterns are intentionally conservative —
+    a production pipeline layers an ML pass on top."""
+    out = _col(text)
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind}>")
+    return out
+
+
 def rolling_hash(text: ColumnOrName, base: int = 31, mod: int = 2**61 - 1) -> Column:
     """Polynomial rolling hash over the token stream — an order-sensitive
     document fingerprint (exact-dup detection robust to trailing whitespace

@@ -103,6 +103,72 @@ def tfidf_top_terms(
     )
 
 
+def contamination_check(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training docs whose normalized-content fingerprint appears in the
+    eval set — the train/eval contamination scan every benchmark-honest
+    pipeline needs. Both sides reduce to (id, md5) before the join, so
+    only 16-byte hashes shuffle and the (small) eval fingerprint set
+    broadcasts. Output: (train_id, fingerprint, n_eval_matches)."""
+    from etl_excel_csv_sql_spark.functions.text import normalize_text
+
+    t = train.select(
+        F.col(id_col).alias("train_id"),
+        F.md5(normalize_text(text_col)).alias("fingerprint"),
+    )
+    e = evalset.select(
+        F.md5(normalize_text(text_col)).alias("fingerprint")
+    ).groupBy("fingerprint").agg(F.count("*").alias("n_eval_matches"))
+    return t.join(F.broadcast(e), "fingerprint").select(
+        "train_id", "fingerprint", "n_eval_matches"
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-pretraining layout):
+    documents are concatenated in id order into one token stream and the
+    stream is chunked every ``token_budget`` tokens; a document's bin is
+    the chunk its first token falls in, ``bin_offset`` its position
+    inside that chunk.
+
+    One window prefix-sum per shard. ``shard_col`` keys the packing
+    (e.g. language or a hash bucket) so the window partitions — ALWAYS
+    set it at scale: a None shard is a single global ordering, fine for
+    oracle-sized data only. Output: (shard?, id, n_tokens, bin_id,
+    bin_offset).
+    """
+    from pyspark.sql import Window
+
+    sized = df.select(
+        *([F.col(shard_col).alias("shard")] if shard_col else []),
+        F.col(id_col).alias("id"),
+        token_count(text_col).alias("n_tokens"),
+    )
+    w = (
+        (Window.partitionBy("shard") if shard_col else Window.partitionBy())
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return sized.select(
+        *(["shard"] if shard_col else []),
+        "id",
+        "n_tokens",
+        F.floor(cum_before / token_budget).cast("bigint").alias("bin_id"),
+        (cum_before % token_budget).cast("bigint").alias("bin_offset"),
+    )
+
+
 def corpus_rollup(
     df: DataFrame, group_col: str = "lang", text_col: str = "text"
 ) -> DataFrame:

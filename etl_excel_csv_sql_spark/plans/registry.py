@@ -1392,6 +1392,84 @@ def q_tfidf(spark, sf_dir):
 
 
 @register(
+    "contamination_check",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ), eval_fp AS (
+      SELECT fingerprint, count(*) AS n_eval_matches
+      FROM fp WHERE doc_id < 50 GROUP BY fingerprint
+    )
+    SELECT fp.doc_id AS train_id, fp.fingerprint, n_eval_matches
+    FROM fp JOIN eval_fp ON fp.fingerprint = eval_fp.fingerprint
+    """,
+    doc="train/eval contamination scan: training docs whose normalized-"
+    "content fingerprint appears in the (here: doc_id<50) eval set — only "
+    "16-byte hashes shuffle, the eval fingerprint set broadcasts",
+)
+def q_contamination(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.contamination_check(
+        docs, docs.filter(F.col("doc_id") < 50), "doc_id", "text"
+    )
+
+
+@register(
+    "pack_documents_by_lang",
+    rf"""
+    WITH sized AS (
+      SELECT lang AS shard, doc_id AS id, len({_TOKS_SQL}) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT shard, id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM sized
+    )
+    SELECT shard, id, n_tokens,
+           CAST(FLOOR(before / 2048) AS BIGINT) AS bin_id,
+           CAST(before % 2048 AS BIGINT) AS bin_offset
+    FROM cum
+    """,
+    doc="concat-and-chunk sequence packing into 2048-token bins, sharded "
+    "by language (one window prefix-sum per shard — the GPT-pretraining "
+    "token-stream layout)",
+)
+def q_pack_documents(spark, sf_dir):
+    return textstats.pack_documents(
+        _t(spark, sf_dir, "documents"), 2048, "doc_id", "text", shard_col="lang"
+    )
+
+
+@register(
+    "redact_pii",
+    r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             substr(text, 1, 40) || ' contact bob.smith@example.com or +1 (555) 123-4567 via 10.0.0.1',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g')
+             AS redacted
+    FROM documents
+    """,
+    doc="PII-shaped span redaction (email/phone/IPv4 → placeholders) with "
+    "alternation-free patterns that behave identically under Java regex "
+    "and RE2; synthetic PII is appended since the corpus has none",
+)
+def q_redact_pii(spark, sf_dir):
+    from etl_excel_csv_sql_spark.functions.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact bob.smith@example.com or +1 (555) 123-4567 via 10.0.0.1"),
+    )
+    return docs.select("doc_id", redact_pii(dirty).alias("redacted"))
+
+
+@register(
     "train_test_split",
     """
     SELECT doc_id,

@@ -1,0 +1,63 @@
+"""Training-pipeline operators: contamination, packing, PII redaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_excel_csv_sql_spark.functions.text import redact_pii
+from etl_excel_csv_sql_spark.operators.textstats import (
+    contamination_check,
+    pack_documents,
+)
+
+
+def test_contamination_detects_normalized_dup(spark):
+    train = spark.createDataFrame(
+        [(1, "The  Quick FOX"), (2, "unique content"), (3, "the quick fox")],
+        ["doc_id", "text"],
+    )
+    evalset = spark.createDataFrame([(100, "the quick fox")], ["doc_id", "text"])
+    hits = contamination_check(train, evalset).collect()
+    # docs 1 and 3 normalize to the eval doc's fingerprint; doc 2 is clean
+    assert sorted(r.train_id for r in hits) == [1, 3]
+    assert all(r.n_eval_matches == 1 for r in hits)
+
+
+def test_pack_documents_concat_and_chunk(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 30)) for i in range(1, 8)],  # 7 docs × 30 tokens
+        ["doc_id", "text"],
+    )
+    packed = {r.id: (r.bin_id, r.bin_offset) for r in pack_documents(docs, 100).collect()}
+    # stream offsets 0,30,60,90,120,150,180 → bins 0,0,0,0,1,1,1
+    assert packed == {
+        1: (0, 0), 2: (0, 30), 3: (0, 60), 4: (0, 90),
+        5: (1, 20), 6: (1, 50), 7: (1, 80),
+    }
+
+
+def test_pack_documents_sharded(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "x x x"), (2, "b", "y y"), (3, "a", "z")],
+        ["doc_id", "lang", "text"],
+    )
+    packed = pack_documents(docs, 4, shard_col="lang").collect()
+    by_id = {r.id: (r.shard, r.bin_id, r.bin_offset) for r in packed}
+    assert by_id == {1: ("a", 0, 0), 3: ("a", 0, 3), 2: ("b", 0, 0)}
+
+
+def test_redact_pii_placeholders(spark):
+    df = spark.createDataFrame(
+        [
+            ("write a.b-c_d@mail.example.org today",),
+            ("call +44 (0)20 7946-0958 now",),
+            ("server at 192.168.1.250 up",),
+            ("no pii here",),
+        ],
+        ["text"],
+    )
+    out = [r.red for r in df.select(redact_pii("text").alias("red")).collect()]
+    assert out[0] == "write <EMAIL> today"
+    assert out[1] == "call <PHONE> now"
+    assert out[2] == "server at <IPV4> up"
+    assert out[3] == "no pii here"
