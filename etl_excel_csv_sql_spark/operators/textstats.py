@@ -103,6 +103,74 @@ def tfidf_top_terms(
     )
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition/shape quality signals in the style of the public corpus-
+    filtering rules (Gopher / RedPajama / Dolma heuristics):
+
+    - dup_line_fraction: 1 - distinct_lines/lines (boilerplate, chat logs)
+    - top_token_fraction: share of the most frequent token (keyword spam)
+    - mean_word_len: mean token length (gibberish skews high or low)
+    - digit_fraction: digit share of non-space chars (tables, logs)
+
+    All pure array expressions — one narrow map, no shuffle, no UDF.
+    Thresholding is the caller's policy (the published rules differ per
+    corpus); this operator just measures.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines)
+    toks = tokens(text_col)
+    n_toks = F.size(toks)
+    # top-token count: sort then longest-equal-run in ONE pass (the naive
+    # per-distinct-token filter is O(distinct×tokens) — quadratic in doc
+    # length, a trap at book-length documents)
+    sorted_toks = F.array_sort(toks)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _run(acc, x):
+        run = F.when(x == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+        )
+
+    top_count = F.aggregate(sorted_toks, acc0, _run).getField("best")
+    non_space = F.length(F.regexp_replace(t, r"\s", ""))
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    return df.select(
+        F.col(id_col),
+        F.round(
+            F.when(
+                n_lines > 0,
+                1 - F.size(F.array_distinct(lines)) / n_lines,
+            ).otherwise(0.0),
+            6,
+        ).alias("dup_line_fraction"),
+        F.round(
+            F.when(n_toks > 0, top_count / n_toks).otherwise(0.0), 6
+        ).alias("top_token_fraction"),
+        F.round(
+            F.when(
+                n_toks > 0,
+                F.aggregate(
+                    toks, F.lit(0), lambda acc, x: acc + F.length(x)
+                ) / n_toks,
+            ).otherwise(0.0),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.when(non_space > 0, digits / non_space).otherwise(0.0), 6
+        ).alias("digit_fraction"),
+    )
+
+
 def contamination_check(
     train: DataFrame,
     evalset: DataFrame,

@@ -1392,6 +1392,42 @@ def q_tfidf(spark, sf_dir):
 
 
 @register(
+    "repetition_signals",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split(text, chr(10)) AS lines,
+             {_TOKS_SQL} AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           round(CASE WHEN len(lines) > 0
+                      THEN 1 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                      ELSE 0.0 END, 6) AS dup_line_fraction,
+           round(CASE WHEN len(t) > 0
+                      THEN CAST(list_max(list_transform(list_distinct(t),
+                             u -> len(list_filter(t, x -> x = u)))) AS DOUBLE) / len(t)
+                      ELSE 0.0 END, 6) AS top_token_fraction,
+           round(CASE WHEN len(t) > 0
+                      THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+                      ELSE 0.0 END, 6) AS mean_word_len,
+           round(CASE WHEN length(regexp_replace(text, '\s', '', 'g')) > 0
+                      THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                           / length(regexp_replace(text, '\s', '', 'g'))
+                      ELSE 0.0 END, 6) AS digit_fraction
+    FROM base
+    """,
+    doc="repetition/shape quality signals per the public corpus-filtering "
+    "rules (duplicate-line fraction, top-token share, mean word length, "
+    "digit density); Spark computes the top-token share by sorted run-"
+    "length (linear-ish), the oracle by per-distinct counting (fine at "
+    "oracle scale)",
+)
+def q_repetition_signals(spark, sf_dir):
+    return textstats.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "contamination_check",
     r"""
     WITH fp AS (

@@ -61,3 +61,21 @@ def test_redact_pii_placeholders(spark):
     assert out[1] == "call <PHONE> now"
     assert out[2] == "server at <IPV4> up"
     assert out[3] == "no pii here"
+
+
+def test_repetition_signals_known_values(spark):
+    from etl_excel_csv_sql_spark.operators.textstats import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam ham"),              # top token 3/4
+            (2, "line\nline\nother"),               # dup line 1/3
+            (3, "call 555 9999"),                   # digits 7/11 non-space
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert got[1].top_token_fraction == 0.75
+    assert abs(got[2].dup_line_fraction - (1 - 2 / 3)) < 1e-6
+    assert got[1].mean_word_len == 3.75  # (4+4+4+3)/4
+    assert abs(got[3].digit_fraction - 7 / 11) < 1e-6
