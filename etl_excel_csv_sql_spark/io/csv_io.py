@@ -54,11 +54,23 @@ def read_csv_typed(
     return reader.option("inferSchema", "true").csv(path)
 
 
+#: Spark's CSV WRITER trims cell whitespace by default (ignore*WhiteSpace
+#: default true on write, false on read) — silently corrupting
+#: whitespace-significant cells through a roundtrip. Export-Csv preserves
+#: them; so do we. (Found by the hypothesis roundtrip property.)
+_PRESERVE_WS = {
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
+}
+
+
 def write_csv_dir(df: DataFrame, path: str) -> None:
     """Scale-path CSV sink: parallel multi-part write, UTF-8, header.
     This is what a 1000-executor job should do; single-file mirroring is
     a driver bottleneck by construction."""
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    df.write.mode("overwrite").option("header", "true").options(
+        **_PRESERVE_WS
+    ).csv(path)
 
 
 def write_csv_single(df: DataFrame, path: str) -> None:
@@ -68,7 +80,9 @@ def write_csv_single(df: DataFrame, path: str) -> None:
     Only for small frames consumed by downstream desktop tools — the
     parallel sink is write_csv_dir."""
     tmp = path + ".__tmp__"
-    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    df.coalesce(1).write.mode("overwrite").option("header", "true").options(
+        **_PRESERVE_WS
+    ).csv(tmp)
     part = next(iter(glob.glob(os.path.join(tmp, "part-*.csv"))), None)
     if part is None:  # pragma: no cover - spark always writes one part
         raise FileNotFoundError(f"no part file produced under {tmp}")
