@@ -273,6 +273,100 @@ def q_retention_sweep(spark, sf_dir):
 
 
 @register(
+    "salted_join_equivalence",
+    """
+    SELECT o_orderkey, o_custkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_custkey < 200
+    """,
+    doc="salted skew join (salt=8) must produce exactly the plain equi-join "
+    "result — the oracle IS the unsalted join (relational.salted_join)",
+)
+def q_salted_join(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators.relational import salted_join
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_custkey") < 200)
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return salted_join(orders, cust, "o_custkey", "c_custkey", salt=8)
+
+
+@register(
+    "merge_upsert_roundtrip",
+    """
+    WITH inc1 AS (
+      SELECT o_orderkey, 'v1' AS version FROM orders WHERE o_orderkey < 1000
+    ), inc2 AS (
+      SELECT o_orderkey, 'v2' AS version FROM orders
+      WHERE o_orderkey >= 500 AND o_orderkey < 1500
+    )
+    SELECT o_orderkey, version FROM inc2
+    UNION ALL
+    SELECT o_orderkey, version FROM inc1
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc2)
+    """,
+    doc="incremental merge sink: two overlapping increments upserted in "
+    "sequence — later keys win, disjoint keys persist (ParquetMergeSink; "
+    "the oracle computes the same final table set-theoretically)",
+)
+def q_merge_upsert(spark, sf_dir):
+    from etl_excel_csv_sql_spark.io.jdbc import ParquetMergeSink
+
+    scratch = _scratch("merge_upsert")
+    sink = ParquetMergeSink(os.path.join(scratch, "tbl"), keys=["o_orderkey"])
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    inc1 = orders.filter(F.col("o_orderkey") < 1000).select(
+        "o_orderkey", F.lit("v1").alias("version")
+    )
+    inc2 = orders.filter(
+        (F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500)
+    ).select("o_orderkey", F.lit("v2").alias("version"))
+    sink.upsert(spark, inc1)
+    sink.upsert(spark, inc2)
+    return sink.read(spark)
+
+
+@register(
+    "schema_guard_outcomes",
+    None,
+    doc="schema drift guard: reordered header accepted and re-projected, "
+    "drifted header quarantined — deterministic outcome rows "
+    "(io/schema_guard.py)",
+)
+def q_schema_guard(spark, sf_dir):
+    from etl_excel_csv_sql_spark.io.schema_guard import read_csv_checked
+    from etl_excel_csv_sql_spark.runner.folder_queue import FolderQueue
+
+    scratch = _scratch("schema_guard")
+    drop = os.path.join(scratch, "drop")
+    os.makedirs(drop)
+    with open(os.path.join(drop, "reordered.csv"), "w") as fh:
+        fh.write("b,a\n2,1\n")
+    with open(os.path.join(drop, "drifted.csv"), "w") as fh:
+        fh.write("a,zzz\n1,9\n")
+    queue = FolderQueue(
+        drop_dir=drop,
+        processed_dir=os.path.join(scratch, "Processed"),
+        error_dir=os.path.join(scratch, "Error"),
+    )
+    rows = []
+    for name in ("reordered.csv", "drifted.csv"):
+        df = read_csv_checked(
+            spark, os.path.join(drop, name), ["a", "b"], queue
+        )
+        rows.append(
+            (name, "accepted" if df is not None else "quarantined",
+             ",".join(df.columns) if df is not None else "")
+        )
+    return spark.createDataFrame(rows, ["file", "outcome", "columns"])
+
+
+@register(
     "invoice_pipeline_e2e",
     None,
     doc="§3.3 end-to-end: P1 filter → J1 semi join → K8 idempotent copies → "
