@@ -113,3 +113,24 @@ def test_ivf_assign_covers_corpus_without_shuffle(spark, emb):
     # corpus side must not exchange: only the single-row packed centroid
     # build may shuffle
     assert plan.count("Exchange") <= 2  # centroid agg + its broadcast prep
+
+
+def test_ivf_index_build_query_prunes_partitions(spark, emb, tmp_path):
+    emb_df, _rows = emb
+    idx = similarity.IvfIndex(str(tmp_path / "ivf"))
+    idx.build(emb_df, n_cells=8, kmeans_iters=1)
+    res = idx.query(_queries(emb_df), k=10, n_probe=4)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the probe filter must land on the partition column, not the data
+    assert "PartitionFilters: [cell_id" in plan.replace("\n", " ") or \
+           "PartitionFilters" in plan and "cell_id" in plan
+    got = {(r.query_id, r.neighbor_id) for r in res.collect()}
+    # persisted-index probes == in-memory ivf_topk with same parameters
+    live = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            emb_df, _queries(emb_df), k=10, n_cells=8, n_probe=4, kmeans_iters=1
+        ).collect()
+    }
+    assert got == live
+    assert "Window" not in plan
