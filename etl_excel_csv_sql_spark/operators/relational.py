@@ -144,6 +144,23 @@ def broadcast_dim_join(
     return fact.join(F.broadcast(dim), on=on, how=how)
 
 
+def table_fingerprint(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """One-row order/partition-independent content checksum:
+    (n_rows, fingerprint) where fingerprint = Σ xxhash64(row) in
+    DECIMAL(38,0) (exact, commutative — any row order, partitioning, or
+    engine-side shuffle produces the same value).
+
+    The data-migration validation tool: run on both sides of a pipeline
+    move and compare two scalars instead of 100 TB of rows. Map-side
+    partial sums → the shuffle carries one partial per partition."""
+    use_cols = list(cols) if cols is not None else df.columns
+    row_hash = F.xxhash64(*[F.col(c) for c in use_cols])
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(row_hash.cast("decimal(38,0)")).alias("fingerprint"),
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

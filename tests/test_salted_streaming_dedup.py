@@ -74,3 +74,21 @@ def test_streaming_document_dedup(spark, tmp_path):
     got = sorted(r.doc_id for r in spark.table("dedup_out").collect())
     # one of doc 1/2 survives (whichever the batch saw first), doc 3 always
     assert len(got) == 2 and 3 in got and (1 in got or 2 in got)
+
+
+def test_table_fingerprint_invariant_to_layout(spark):
+    from etl_excel_csv_sql_spark.operators.relational import table_fingerprint
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i * 1.5) for i in range(5000)], ["id", "s", "x"]
+    )
+    base = table_fingerprint(df).first()
+    shuffled = table_fingerprint(
+        df.repartition(17, "s").sortWithinPartitions("x")
+    ).first()
+    assert (base.n_rows, base.fingerprint) == (shuffled.n_rows, shuffled.fingerprint)
+    # any content change moves the checksum
+    mutated = table_fingerprint(
+        df.withColumn("x", df.x + (df.id == 4999).cast("double"))
+    ).first()
+    assert mutated.fingerprint != base.fingerprint
