@@ -442,6 +442,98 @@ def connected_components(
     return labels
 
 
+def _symmetrize(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    return fwd.union(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): for every node u, connect each strictly larger
+    neighbor to the minimum of u's closed neighborhood. Halves long tails
+    geometrically — O(log n) rounds to a star forest."""
+    with_self = edges.union(
+        edges.select(F.col("u"), F.col("u").alias("v"))
+    ).distinct()
+    m = with_self.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        edges.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient edges toward the smaller endpoint,
+    then connect every smaller-or-equal neighbor of u (and u itself) to
+    the minimum of that closed in-neighborhood."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    with_self = directed.union(
+        directed.select(F.col("u"), F.col("u").alias("v"))
+    ).distinct()
+    m = with_self.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        with_self.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return out
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    max_rounds: int = 10,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id, component) via alternating large-star/small-star rounds —
+    converges in O(log n) rounds regardless of graph diameter (the
+    propagation variant in connected_components needs diameter rounds:
+    right for shallow near-dup clusters, wrong for adversarial chains).
+    Same fixpoint, verified equivalent by tests on chains, clusters, and
+    random graphs.
+
+    Convergence check: the undirected edge multiset fingerprint (sum of
+    symmetric pair hashes) is layout-independent, so one tiny aggregate
+    per round detects the fixed point without collecting edges."""
+    edges = _symmetrize(pairs, id_a, id_b).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("u").alias("id")).distinct()
+
+    def fingerprint(e: DataFrame) -> tuple:
+        row = e.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        ).distinct().agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("fp"),
+        ).first()
+        return (row.n, row.fp)
+
+    prev_fp = fingerprint(edges)
+    for _ in range(max_rounds):
+        edges = _symmetrize(
+            _small_star(_large_star(edges)), "u", "v"
+        ).localCheckpoint(eager=True)
+        fp = fingerprint(edges)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # at the fixed point every edge points each node at its component min
+    roots = edges.groupBy("u").agg(F.min("v").alias("m"))
+    return nodes.join(roots, nodes.id == roots.u, "left").select(
+        "id",
+        F.least(F.coalesce(F.col("m"), F.col("id")), F.col("id")).alias(
+            "component"
+        ),
+    )
+
+
 def dedup_keep_first(
     df: DataFrame,
     pairs: DataFrame,

@@ -87,3 +87,45 @@ def test_dedup_keep_first_drops_losers_only(spark):
         r.doc_id for r in dedup_keep_first(docs, pairs, "doc_id").collect()
     )
     assert kept == [0, 1, 2, 5]  # 3 and 4 fold into keeper 0
+
+
+def _comp_map(df):
+    return {r.id: r.component for r in df.collect()}
+
+
+def test_star_components_match_propagation(spark):
+    import random
+
+    from etl_excel_csv_sql_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    cases = {
+        "chain": [(i, i + 1) for i in range(1, 60)],          # diameter 59
+        "clusters": [(0, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "random": [
+            (random.Random(3).randrange(100), random.Random(3 + i).randrange(100))
+            for i in range(80)
+        ],
+    }
+    for name, raw in cases.items():
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in raw if a != b], ["id_a", "id_b"]
+        )
+        star = _comp_map(connected_components_star(pairs))
+        prop = _comp_map(connected_components(pairs, max_iter=80))
+        assert star == prop, f"{name}: star != propagation"
+
+
+def test_star_components_chain_converges_in_log_rounds(spark):
+    from etl_excel_csv_sql_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    # 120-node chain: diameter 119, but log-round convergence must finish
+    # well within 10 alternating rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 120)], ["id_a", "id_b"]
+    )
+    comp = _comp_map(connected_components_star(pairs, max_rounds=10))
+    assert set(comp.values()) == {1} and len(comp) == 120
