@@ -113,6 +113,61 @@ def session_window_agg(
     )
 
 
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: per user, the earliest time each step was
+    reached GIVEN the previous step had already been reached earlier
+    (strictly increasing timestamps step to step).
+
+    One conditional-min aggregation per step over a single shuffle on the
+    user key: step k's time is min(ts of step-k events after t_{k-1}),
+    computed by re-aggregating the same grouped frame — Spark reuses the
+    exchange across the chained aggs. Output: one row per funnel stage
+    with the users-reaching count and conversion from the previous stage
+    (the shape of every product-analytics funnel report).
+    """
+    per_user = df.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t"),
+        F.col(ts_col).alias("ts"),
+    )
+    # earliest time of step 0 per user, then iterate: each later step's
+    # conditional min depends on the accumulated frame, expressed as a
+    # sequence of joins on the user key (each reuses the same hash key)
+    reached = per_user.filter(F.col("t") == steps[0]).groupBy("u").agg(
+        F.min("ts").alias("t0")
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            per_user.filter(F.col("t") == step)
+            .join(reached.select("u", F.col(f"t{i-1}")), "u")
+            .filter(F.col("ts") > F.col(f"t{i-1}"))
+            .groupBy("u")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        reached = reached.join(nxt, "u", "left")
+    counts = reached.agg(
+        *[
+            F.count(F.col(f"t{i}")).alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    ).first()
+    rows = []
+    for i, step in enumerate(steps):
+        n = counts[f"n{i}"]
+        prev = counts[f"n{i-1}"] if i else n
+        rows.append(
+            (i + 1, step, n, round(n / prev, 6) if prev else 0.0)
+        )
+    return df.sparkSession.createDataFrame(
+        rows, ["stage", "step", "users_reached", "conversion_from_prev"]
+    )
+
+
 def extract_props_key(
     df: DataFrame, key: str = "k", props_col: str = "props"
 ) -> DataFrame:

@@ -1013,6 +1013,42 @@ def q_asof_latest_order(spark, sf_dir):
     )
 
 
+@register(
+    "events_funnel",
+    """
+    WITH ev AS (
+      SELECT user_id AS u, event_type AS t, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), s0 AS (
+      SELECT u, min(ts) AS t0 FROM ev WHERE t = 'view' GROUP BY u
+    ), s1 AS (
+      SELECT ev.u, min(ts) AS t1 FROM ev JOIN s0 ON ev.u = s0.u
+      WHERE t = 'click' AND ts > t0 GROUP BY ev.u
+    ), s2 AS (
+      SELECT ev.u, min(ts) AS t2 FROM ev JOIN s1 ON ev.u = s1.u
+      WHERE t = 'purchase' AND ts > t1 GROUP BY ev.u
+    )
+    SELECT 1 AS stage, 'view' AS step,
+           (SELECT count(*) FROM s0) AS users_reached, 1.0 AS conversion_from_prev
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM s1),
+           round(CAST((SELECT count(*) FROM s1) AS DOUBLE)
+                 / (SELECT count(*) FROM s0), 6)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM s2),
+           round(CAST((SELECT count(*) FROM s2) AS DOUBLE)
+                 / (SELECT count(*) FROM s1), 6)
+    """,
+    doc="ordered funnel (view → click → purchase): per-user earliest "
+    "step times with strictly-increasing ordering, one conditional-min "
+    "aggregation per stage on the user key; output is the stage/"
+    "conversion report every product-analytics funnel produces",
+)
+def q_events_funnel(spark, sf_dir):
+    return events.funnel(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis over documents (north-star M5)
 # ---------------------------------------------------------------------------

@@ -129,3 +129,32 @@ def test_star_components_chain_converges_in_log_rounds(spark):
     )
     comp = _comp_map(connected_components_star(pairs, max_rounds=10))
     assert set(comp.values()) == {1} and len(comp) == 120
+
+
+def test_funnel_requires_strict_order(spark):
+    from etl_excel_csv_sql_spark.operators.events import funnel
+
+    rows = [
+        # user 1 completes in order
+        ("2024-01-01 10:00:00", 1, "view"),
+        ("2024-01-01 10:05:00", 1, "click"),
+        ("2024-01-01 10:10:00", 1, "purchase"),
+        # user 2: purchase BEFORE click → stops at click
+        ("2024-01-01 10:00:00", 2, "view"),
+        ("2024-01-01 10:01:00", 2, "purchase"),
+        ("2024-01-01 10:02:00", 2, "click"),
+        # user 3: never views → not in funnel at all
+        ("2024-01-01 10:00:00", 3, "click"),
+    ]
+    ev = spark.createDataFrame(rows, ["ts_s", "user_id", "event_type"]).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type"
+    )
+    got = {
+        r.step: (r.users_reached, r.conversion_from_prev)
+        for r in funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {
+        "view": (2, 1.0),
+        "click": (2, 1.0),
+        "purchase": (1, 0.5),
+    }
