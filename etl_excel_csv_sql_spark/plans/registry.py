@@ -892,6 +892,57 @@ def q_window_rank(spark, sf_dir):
     )
 
 
+@register(
+    "window_analytics_breadth",
+    """
+    SELECT o_orderkey,
+           ntile(4) OVER w AS price_quartile,
+           round(percent_rank() OVER w, 6) AS price_pct_rank,
+           first_value(o_orderkey) OVER w AS cheapest_in_status,
+           round(CAST(o_totalprice - avg(o_totalprice) OVER
+                 (PARTITION BY o_orderstatus) AS DOUBLE), 4) AS delta_from_status_mean
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="second window-analytics family: ntile, percent_rank, first_value, "
+    "and a partition-mean delta, all over one reused (status, price) "
+    "window frame",
+)
+def q_window_breadth(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wmean = Window.partitionBy("o_orderstatus")
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.first("o_orderkey").over(w).alias("cheapest_in_status"),
+        F.round(
+            F.col("o_totalprice") - F.avg("o_totalprice").over(wmean), 4
+        ).alias("delta_from_status_mean"),
+    )
+
+
+@register(
+    "fuzzy_name_distance",
+    """
+    SELECT c_custkey, levenshtein(c_name, 'Customer#000000042') AS edit_distance
+    FROM customer WHERE levenshtein(c_name, 'Customer#000000042') <= 3
+    """,
+    doc="edit-distance fuzzy matching (levenshtein is JVM-built-in on both "
+    "engines) — the entity-resolution primitive; all-pairs fuzzy joins "
+    "compose this with LSH blocking from dedup.py",
+)
+def q_fuzzy_distance(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    d = F.levenshtein(F.col("c_name"), F.lit("Customer#000000042"))
+    return cust.select(
+        "c_custkey", d.alias("edit_distance")
+    ).filter(F.col("edit_distance") <= 3)
+
+
 # ---------------------------------------------------------------------------
 # Event-time operators (SURVEY §2.8 north-star; events table)
 # ---------------------------------------------------------------------------
