@@ -1079,7 +1079,9 @@ def q_asof_latest_order(spark, sf_dir):
       WHERE t = 'purchase' AND ts > t1 GROUP BY ev.u
     )
     SELECT 1 AS stage, 'view' AS step,
-           (SELECT count(*) FROM s0) AS users_reached, 1.0 AS conversion_from_prev
+           (SELECT count(*) FROM s0) AS users_reached,
+           CASE WHEN (SELECT count(*) FROM s0) > 0 THEN 1.0 ELSE 0.0 END
+             AS conversion_from_prev
     UNION ALL
     SELECT 2, 'click', (SELECT count(*) FROM s1),
            round(CAST((SELECT count(*) FROM s1) AS DOUBLE)
