@@ -893,6 +893,96 @@ def q_window_rank(spark, sf_dir):
 
 
 @register(
+    "string_functions_breadth",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS u, lower(p_brand) AS l,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded,
+           reverse(p_brand) AS rev,
+           replace(p_type, ' ', '_') AS snake,
+           substr(p_name, 1, 5) AS head5,
+           length(p_name) AS n_chars,
+           repeat('-', 3) || trim(p_type) AS dashed
+    FROM part
+    """,
+    doc="string-function family breadth (case, pad, reverse, replace, "
+    "substr, repeat, trim, concat) — all codegen scalar expressions",
+)
+def q_string_breadth(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("u"),
+        F.lower("p_brand").alias("l"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded"),
+        F.reverse("p_brand").alias("rev"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.substring("p_name", 1, 5).alias("head5"),
+        F.length("p_name").alias("n_chars"),
+        F.concat(F.repeat(F.lit("-"), 3), F.trim(F.col("p_type"))).alias(
+            "dashed"
+        ),
+    )
+
+
+@register(
+    "date_functions_breadth",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+           month(o_orderdate) AS m, isodow(o_orderdate) AS iso_dow,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(CAST(o_orderdate AS DATE) + 90, '%Y-%m-%d') AS due_90d,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95
+    FROM orders
+    """,
+    doc="date-function family breadth (year/quarter/month, ISO weekday — "
+    "the numbering both engines share, month end, date arithmetic, "
+    "datediff); dates cross engines as strings per the parity convention",
+)
+def q_date_breadth(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        (F.weekday(d) + 1).alias("iso_dow"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("due_90d"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+    )
+
+
+@register(
+    "grouping_sets_exists",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM customer
+                  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="explicit GROUPING SETS + correlated EXISTS subquery, via the SQL "
+    "text surface (Catalyst rewrites EXISTS to a semi join)",
+)
+def q_grouping_sets(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM customer
+                      WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
     "window_analytics_breadth",
     """
     SELECT o_orderkey,
