@@ -75,6 +75,88 @@ def q_excel_roundtrip(spark, sf_dir):
 
 
 @register(
+    "excel_multisheet_roundtrip",
+    """
+    SELECT 'Customers' AS sheet, CAST(c_custkey AS VARCHAR) AS row_key,
+           c_name AS row_value
+    FROM customer WHERE c_custkey < 50
+    UNION ALL
+    SELECT 'Orders' AS sheet, CAST(o_orderkey AS VARCHAR) AS row_key,
+           o_orderstatus AS row_value
+    FROM orders WHERE o_orderkey < 100
+    """,
+    doc="S1/S2/P5/J3/K1/T1 e2e: one workbook, THREE sheets (one not "
+    "configured), banner row above headers → the full export_excel_to_csv "
+    "pipeline (watermark gate, sheet-catalog, trimmed/case-insensitive "
+    "match, StartRow=2 reads, per-sheet CSV sinks) → both exported CSVs "
+    "read back and tagged; per-sheet value parity against the source "
+    "parquet (ExcelToCSVexport.ps1:175-218)",
+)
+def q_excel_multisheet(spark, sf_dir):
+    from etl_excel_csv_sql_spark.io import csv_io, xlsx
+    from etl_excel_csv_sql_spark.runner.pipeline import (
+        ExcelExportJob,
+        export_excel_to_csv,
+    )
+    from etl_excel_csv_sql_spark.runner.watermark import WatermarkStore
+
+    scratch = _scratch("excel_multisheet")
+    cust = _customer_subset(spark, sf_dir).collect()
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") < 100)
+        .select("o_orderkey", "o_orderstatus")
+        .collect()
+    )
+    book = os.path.join(scratch, "book.xlsx")
+    banner = ["exported by engine", None]
+    xlsx.write_workbook(
+        book,
+        {
+            "Customers": [
+                banner + [None],
+                ["c_custkey", "c_name", "c_mktsegment"],
+                *[[r.c_custkey, r.c_name, r.c_mktsegment] for r in cust],
+            ],
+            "Orders": [
+                banner,
+                ["o_orderkey", "o_orderstatus"],
+                *[[r.o_orderkey, r.o_orderstatus] for r in orders],
+            ],
+            "Scratchpad": [["not", "configured"]],  # must NOT export
+        },
+    )
+    job = ExcelExportJob(
+        source_name="book",
+        workbook_path=book,
+        sheets=[" customers ", "ORDERS"],  # trimmed, case-insensitive match
+        header_row=2,
+        csv_out_dir=os.path.join(scratch, "out"),
+        error_dir=os.path.join(scratch, "err"),
+        watermarks=WatermarkStore(os.path.join(scratch, "state")),
+    )
+    result = export_excel_to_csv(spark, job)
+    assert result["exported"] == ["Customers", "Orders"], result
+    cust_csv = csv_io.read_csv_all_string(
+        spark, os.path.join(scratch, "out", "Customers.csv")
+    )
+    ord_csv = csv_io.read_csv_all_string(
+        spark, os.path.join(scratch, "out", "Orders.csv")
+    )
+    return cust_csv.select(
+        F.lit("Customers").alias("sheet"),
+        F.col("c_custkey").alias("row_key"),
+        F.col("c_name").alias("row_value"),
+    ).unionByName(
+        ord_csv.select(
+            F.lit("Orders").alias("sheet"),
+            F.col("o_orderkey").alias("row_key"),
+            F.col("o_orderstatus").alias("row_value"),
+        )
+    )
+
+
+@register(
     "csv_roundtrip",
     _CUSTOMER_ORACLE,
     doc="S3/K1: customer subset → single-file UTF-8 CSV (Export-Csv parity) "

@@ -82,12 +82,31 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+def _ordered_registry() -> dict[str, QuerySpec]:
+    """Registry in curated order: WINDOW_ORDER first, then the rest.
+
+    The correctness driver verifies the first 50 entries of ``queries()``
+    in insertion order, so WINDOW_ORDER (defined at the bottom of this
+    module, after all registrations) deliberately front-loads the queries
+    that most need fresh driver evidence: the §2 reference-parity set, the
+    io/runner lifecycle roundtrips, and the full dedup/similarity/text
+    (LLM-pipeline) family. Already-stable breadth queries (green in
+    CORRECTNESS_r02, unchanged since) sit beyond the window and ride on
+    pytest.
+    """
+    ordered = {n: _REGISTRY[n] for n in WINDOW_ORDER}
+    ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
+    return ordered
+
+
 def all_queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in _REGISTRY.items()}
+    return {name: spec.fn for name, spec in _ordered_registry().items()}
 
 def all_oracles() -> dict[str, str]:
     return {
-        name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle
+        name: spec.oracle
+        for name, spec in _ordered_registry().items()
+        if spec.oracle
     }
 
 
@@ -1935,3 +1954,76 @@ def q_media_image_meta(spark, sf_dir):
 # io/runner lifecycle queries register themselves on import (deferred to the
 # bottom so their `from ...registry import register` resolves).
 from etl_excel_csv_sql_spark.plans import lifecycle_queries  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# Driver-window curation (VERDICT r2 top-next): the driver checks the FIRST
+# 50 entries of queries() — this list IS that window. Composition:
+#   1-13   §2 reference-parity operators (scan/filter/join/agg/scalars)
+#   14-26  io/runner lifecycle roundtrips (Excel/CSV/JDBC/settings/watermark/
+#          folder-queue/retention/merge/schema-guard/e2e)
+#   27-49  LLM-pipeline family: dedup (exact/ngram/minhash/simhash/components)
+#          + text analysis + sampling + similarity/ANN + multimodal
+#   50     as-of join (rewritten this round — needs fresh evidence)
+# Everything after the window is r2-green breadth kept verifiable by pytest.
+# ---------------------------------------------------------------------------
+
+WINDOW_ORDER: tuple[str, ...] = (
+    # §2 parity
+    "filter_neq_case_insensitive",
+    "project_columns",
+    "filter_notnull_key",
+    "semi_join_inlist",
+    "update_join_writeback",
+    "anti_join_unmatched",
+    "found_report",
+    "in_list_literal",
+    "copy_plan_manifest",
+    "excel_serial_to_ts",
+    "sanitize_sql_string",
+    "path_scrub",
+    "archive_naming",
+    # io/runner lifecycle
+    "excel_roundtrip",
+    "excel_multisheet_roundtrip",
+    "csv_roundtrip",
+    "jdbc_fullrefresh_roundtrip",
+    "quarantine_split_rows",
+    "settings_catalog",
+    "watermark_lifecycle",
+    "folder_queue_lifecycle",
+    "retention_sweep_report",
+    "salted_join_equivalence",
+    "merge_upsert_roundtrip",
+    "schema_guard_outcomes",
+    "invoice_pipeline_e2e",
+    # dedup / text / sampling / similarity / multimodal
+    "exact_dup_groups",
+    "ngram_jaccard_pairs",
+    "dedup_components",
+    "dedup_keep_first",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "doc_fingerprint_rolling",
+    "lang_id_heuristic",
+    "tfidf_top_terms",
+    "repetition_signals",
+    "contamination_check",
+    "pack_documents_by_lang",
+    "redact_pii",
+    "train_test_split",
+    "char_ngram_profile",
+    "approx_distinct_users",
+    "subword_token_count",
+    "cosine_topk",
+    "embedding_dup_pairs",
+    "embedding_dup_pairs_exact",
+    "embedding_norms",
+    "ann_ivf_topk",
+    "media_metadata",
+    # rewritten this round
+    "asof_latest_order_per_event",
+)
+
+_missing = [n for n in WINDOW_ORDER if n not in _REGISTRY]
+assert not _missing, f"WINDOW_ORDER names not registered: {_missing}"
+assert len(WINDOW_ORDER) == 50, f"window must be exactly 50, got {len(WINDOW_ORDER)}"
