@@ -206,10 +206,24 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Exact verify: Jaccard on the candidate pairs only.
-    shingled = spread_for_compute(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    # Exact verify: Jaccard on the candidate pairs only. The corpus is
+    # semi-joined down to candidate ids BEFORE shingling, so the verify
+    # stage shuffles shingles for |candidate docs| rows, not |corpus| —
+    # AQE turns the semi join into a broadcast when the id set is small.
+    # ReuseExchange dedupes the banding shuffle that feeds both this id
+    # set and the pair join below.
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .union(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    restricted = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .join(cand_ids, "id", "left_semi")
+    )
+    shingled = spread_for_compute(restricted).select(
+        "id",
+        F.explode(word_shingles("__text", n)).alias("shingle"),
     )
     sizes = shingled.groupBy("id").agg(F.count("*").alias("set_size"))
     sa = shingled.select(F.col("id").alias("id_a"), F.col("shingle"))
@@ -318,6 +332,65 @@ def simhash_frame(
     )
 
 
+def simhash_band_keys(
+    sh: DataFrame, max_hamming: int = 3, n_blocks: int | None = None
+) -> DataFrame:
+    """(id, simhash, combo, key): generalized Manku banding for a
+    (id, simhash) frame.
+
+    Split the 64-bit fingerprint into ``n_blocks`` blocks (b > k =
+    max_hamming). A pair within Hamming distance k differs in ≤ k blocks,
+    so it agrees EXACTLY on some (b-k)-subset of blocks — emit one key per
+    C(b, b-k) combination, the key being the concatenated bits of that
+    combination's blocks. Candidate generation is exact (a superset of the
+    Hamming ball), for ANY valid b; b is purely the bucket-size knob:
+
+      key width ≈ 64·(b-k)/b bits;  rows emitted per doc = C(b, k)
+
+    b = k+1 (the minimal scheme) gives 16-bit keys at k=3 — bucket
+    population ≈ n/65k, a quadratic hot spot at ≥10⁹ docs. The default
+    b = k+3 gives 32-bit keys (≈ n/4·10⁹ per bucket) for 20 keys/doc at
+    k=3 — the right trade at 100 TB, where shuffle rows are cheap and
+    quadratic buckets are not. Push b higher still for larger corpora.
+    """
+    k = max_hamming
+    b = n_blocks if n_blocks is not None else k + 3
+    assert b > k, f"n_blocks ({b}) must exceed max_hamming ({k})"
+    assert b <= 64, "at most one block per bit"
+    from itertools import combinations
+
+    # Even bit split: first (64 % b) blocks get one extra bit. Shift
+    # amounts are compile-time Python ints (PySpark shift builtins reject
+    # Column shift amounts).
+    widths = [64 // b + (1 if i < 64 % b else 0) for i in range(b)]
+    offsets = [sum(widths[:i]) for i in range(b)]
+
+    def block(i: int) -> Column:
+        return F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    combo_structs = []
+    for combo_id, keep in enumerate(combinations(range(b), b - k)):
+        key: Column | None = None
+        for i in keep:
+            piece = block(i)
+            key = piece if key is None else (
+                F.shiftleft(key, widths[i]).bitwiseOR(piece)
+            )
+        combo_structs.append(
+            F.struct(F.lit(combo_id).alias("combo"), key.alias("key"))
+        )
+    return sh.select(
+        "id", "simhash", F.explode(F.array(*combo_structs)).alias("ck")
+    ).select(
+        "id",
+        "simhash",
+        F.col("ck.combo").alias("combo"),
+        F.col("ck.key").alias("key"),
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -325,43 +398,25 @@ def simhash_pairs(
     n: int = 3,
     max_hamming: int = 3,
     seed: int = 42,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
-    Banding per Manku et al. (detecting near-duplicates for web crawling):
-    split the 64-bit hash into (max_hamming+1) blocks — any pair within the
-    Hamming ball agrees exactly on ≥1 block, so an equi-join per block finds
-    all candidates; verify with popcount on XOR. Shuffles only (block,
-    block_bits) keys.
+    Generalized Manku banding (see :func:`simhash_band_keys` for the
+    bucket-width math — ``n_blocks`` is the 100 TB knob, default
+    max_hamming+3 → 32-bit keys): candidates from per-combination
+    equi-joins, then exact popcount-on-XOR verify, so the output is
+    identical for every valid ``n_blocks``. Shuffles only (combo, key)
+    longs + ids — never text.
     """
-    blocks = max_hamming + 1
-    width = 64 // blocks
     sh = simhash_frame(df, id_col, text_col, n, seed)
-    # Block extraction is a Python-level loop: shift amounts are compile-time
-    # ints (PySpark shift builtins reject Column shift amounts), and the last
-    # block absorbs the 64 % blocks remainder bits so all 64 bits are covered.
-    block_structs = []
-    for blk in range(blocks):
-        w = width if blk < blocks - 1 else 64 - width * (blocks - 1)
-        block_structs.append(
-            F.struct(
-                F.lit(blk).alias("block"),
-                F.shiftrightunsigned(F.col("simhash"), blk * width)
-                .bitwiseAND(F.lit((1 << w) - 1))
-                .alias("key"),
-            )
-        )
-    banded = sh.select(
-        "id", "simhash", F.explode(F.array(*block_structs)).alias("bk")
-    ).select(
-        "id", "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key")
-    )
+    banded = simhash_band_keys(sh, max_hamming, n_blocks)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(
             b,
-            on=(F.col("a.block") == F.col("b.block"))
+            on=(F.col("a.combo") == F.col("b.combo"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )

@@ -104,6 +104,65 @@ def test_simhash64_is_deterministic_and_locality_sensitive(spark):
     assert exact_pair and exact_pair[0].hamming == 0
 
 
+def test_minhash_verify_restricted_to_candidates(spark, near_dup_docs):
+    """The exact-Jaccard verify stage must semi-join the corpus down to
+    candidate ids BEFORE shingling (VERDICT r2 #3): the optimized plan
+    carries a LeftSemi join, so the verify shuffle scales with the
+    candidate set, not the corpus."""
+    df = dedup.minhash_lsh_pairs(
+        near_dup_docs, "doc_id", "text", num_hashes=32, bands=8
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan, plan
+
+
+def test_simhash_block_widening_same_pairs(spark):
+    """Candidate generation is exact for ANY n_blocks > max_hamming, so the
+    verified output must be identical between the minimal (k+1 blocks,
+    16-bit keys) and the default (k+3 blocks, 32-bit keys) schemes."""
+    rng = random.Random(29)
+    rows = []
+    for g in range(12):
+        base = [rng.choice(WORDS) for _ in range(60)]
+        edited = list(base)
+        edited[rng.randrange(len(edited))] = rng.choice(WORDS)
+        rows.append((2 * g, " ".join(base)))
+        rows.append((2 * g + 1, " ".join(edited)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    minimal = _pairs(
+        dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=7, n_blocks=8)
+    )
+    wide = _pairs(
+        dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=7, n_blocks=10)
+    )
+    assert minimal == wide
+    assert len(wide) >= 8  # the corpus actually contains twins
+
+
+def test_simhash_band_key_width_controls_buckets(spark):
+    """On UNRELATED fingerprints (uniform 64-bit longs) the minimal k+1
+    scheme's 16-bit keys produce real collision buckets while the default
+    k+3 scheme's 32-bit keys keep every bucket at size 1 — the bucket-size
+    knob the 100 TB path depends on. 4000 uniform fingerprints: expected
+    16-bit collisions ≈ C(4000,2)/2^16 ≈ 120 pairs; 32-bit ≈ 0.002."""
+    rng = random.Random(31)
+    sh = spark.createDataFrame(
+        [(i, rng.getrandbits(64) - (1 << 63)) for i in range(4000)],
+        ["id", "simhash"],
+    )
+    def max_bucket(n_blocks: int) -> int:
+        return (
+            dedup.simhash_band_keys(sh, max_hamming=3, n_blocks=n_blocks)
+            .groupBy("combo", "key")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()
+            .m
+        )
+    assert max_bucket(4) >= 2       # 16-bit keys: birthday collisions exist
+    assert max_bucket(6) == 1       # 32-bit keys: no spurious bucket at n=4k
+
+
 def test_embedding_lsh_recall_vs_exact(spark):
     """Clustered synthetic vectors: 25 clusters × 3 perturbed copies
     (cosine ≈ 0.99 within cluster) + 75 random vectors. LSH output must be
