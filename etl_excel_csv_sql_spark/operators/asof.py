@@ -46,39 +46,52 @@ def asof_join(
     key/ts). ``tiebreak_col``: right column breaking equal-timestamp ties
     (max wins; REQUIRED for deterministic output when right timestamps can
     tie). ``max_lookback``: e.g. ``F.expr("INTERVAL 7 DAYS")`` bounds how
-    far back a match may be. ``how='left'`` keeps unmatched left rows with
-    nulls; ``'inner'`` drops them.
+    far back a match may be — ALWAYS set it at scale: without a band the
+    key-range join materializes each left row against its key's ENTIRE
+    right history, with it only against the window. ``how='left'`` keeps
+    unmatched left rows with nulls; ``'inner'`` drops them.
+
+    Internals: the left frame gets a surrogate ``monotonically_increasing_id``
+    row id, the argmax groups on THAT (a narrow long shuffle key instead of
+    every left column — wide left rows never become shuffle keys), and the
+    payload is re-attached by id afterwards. The id join is null-safe by
+    construction (ids are never null, unlike arbitrary left columns under a
+    USING join) and keeps duplicate left rows distinct in both modes.
     """
     value_cols = right_value_cols or [
         c for c in right.columns if c not in (right_key, right_ts)
     ]
+    lid = left.withColumn("__lid", F.monotonically_increasing_id())
+    narrow = lid.select(
+        "__lid",
+        F.col(left_key).alias("__lk"),
+        F.col(left_ts).alias("__lts"),
+    )
     r = right.select(
         F.col(right_key).alias("__rk"),
         F.col(right_ts).alias("__rts"),
         *[F.col(c) for c in value_cols],
     )
-    cond = (left[left_key] == F.col("__rk")) & (
-        F.col("__rts") <= left[left_ts]
+    cond = (F.col("__lk") == F.col("__rk")) & (
+        F.col("__rts") <= F.col("__lts")
     )
     if max_lookback is not None:
-        cond = cond & (F.col("__rts") >= left[left_ts] - max_lookback)
+        cond = cond & (F.col("__rts") >= F.col("__lts") - max_lookback)
 
-    joined = left.join(r, on=cond, how="inner")
+    joined = narrow.join(r, on=cond, how="inner")
     order_key = (
         F.struct(F.col("__rts"), F.col(tiebreak_col))
         if tiebreak_col
         else F.struct(F.col("__rts"))
     )
-    picked = joined.groupBy(*[left[c] for c in left.columns]).agg(
-        *[
-            F.max_by(F.col(c), order_key).alias(f"asof_{c}")
-            for c in value_cols
-        ],
-        F.max(F.col("__rts")).alias("asof_ts"),
+    # ONE max_by accumulator carrying all value columns + the matched ts
+    picked = joined.groupBy("__lid").agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in value_cols], F.col("__rts")),
+            order_key,
+        ).alias("__best")
     )
-    if how == "inner":
-        return picked
     out_cols = [F.col(c) for c in left.columns] + [
-        F.col(f"asof_{c}") for c in value_cols
-    ] + [F.col("asof_ts")]
-    return left.join(picked, on=left.columns, how="left").select(*out_cols)
+        F.col("__best").getField(c).alias(f"asof_{c}") for c in value_cols
+    ] + [F.col("__best").getField("__rts").alias("asof_ts")]
+    return lid.join(picked, "__lid", how).select(*out_cols)

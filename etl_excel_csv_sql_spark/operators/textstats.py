@@ -202,35 +202,82 @@ def pack_documents(
     id_col: str = "doc_id",
     text_col: str = "text",
     shard_col: str | None = None,
+    bucket_hex_len: int = 2,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing (the GPT-pretraining layout):
-    documents are concatenated in id order into one token stream and the
+    documents are concatenated into one token stream per shard and the
     stream is chunked every ``token_budget`` tokens; a document's bin is
     the chunk its first token falls in, ``bin_offset`` its position
     inside that chunk.
 
-    One window prefix-sum per shard. ``shard_col`` keys the packing
-    (e.g. language or a hash bucket) so the window partitions — ALWAYS
-    set it at scale: a None shard is a single global ordering, fine for
-    oracle-sized data only. Output: (shard?, id, n_tokens, bin_id,
-    bin_offset).
+    The concatenation order within a shard is (hash_bucket(id), id): a
+    deterministic pseudo-random interleave (which pretraining packing
+    wants anyway — adjacent ids are usually correlated). That order is
+    what makes the prefix sum DISTRIBUTED, as a two-level scan:
+
+      1. window prefix-sum within each (shard, bucket) — 16^bucket_hex_len
+         buckets per shard, so a single-shard (or single-language) corpus
+         still fans out across the cluster instead of sorting the whole
+         shard in one task;
+      2. per-bucket token totals, cumulated across buckets with one tiny
+         window over 16^bucket_hex_len rows per shard, joined back
+         (broadcast — the bucket-total frame is |shards|·256 rows) and
+         added into the bin arithmetic.
+
+    The bucket is the first ``bucket_hex_len`` hex chars of
+    md5('pack-v1' || id) — engine-portable (any SQL oracle recomputes it)
+    and lexicographically ordered, so the packing order is reproducible
+    anywhere. ``shard_col`` (e.g. language) keys independent streams; it
+    may be ANY cardinality now, including 1. Output: (shard?, id,
+    bucket, n_tokens, bin_id, bin_offset).
     """
     from pyspark.sql import Window
 
+    shard_keys = ["shard"] if shard_col else []
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("pack-v1"), F.col("id").cast("string"))),
+        1,
+        bucket_hex_len,
+    )
     sized = df.select(
         *([F.col(shard_col).alias("shard")] if shard_col else []),
         F.col(id_col).alias("id"),
         token_count(text_col).alias("n_tokens"),
-    )
-    w = (
-        (Window.partitionBy("shard") if shard_col else Window.partitionBy())
+    ).withColumn("bucket", bucket)
+
+    # level 1: prefix sum local to (shard, bucket), ordered by id
+    w_local = (
+        Window.partitionBy(*shard_keys, "bucket")
         .orderBy("id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return sized.select(
-        *(["shard"] if shard_col else []),
+    local_before = F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    leveled = sized.withColumn("local_before", local_before)
+
+    # level 2: cumulative bucket totals across buckets (tiny frame:
+    # one row per (shard, bucket))
+    w_bucket = (
+        Window.partitionBy(*shard_keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_offsets = (
+        sized.groupBy(*shard_keys, "bucket")
+        .agg(F.sum("n_tokens").alias("bucket_total"))
+        .withColumn(
+            "bucket_before",
+            F.coalesce(F.sum("bucket_total").over(w_bucket), F.lit(0)),
+        )
+        .drop("bucket_total")
+    )
+    joined = leveled.join(
+        F.broadcast(bucket_offsets), [*shard_keys, "bucket"]
+    )
+    cum_before = F.col("bucket_before") + F.col("local_before")
+    return joined.select(
+        *shard_keys,
         "id",
+        "bucket",
         "n_tokens",
         F.floor(cum_before / token_budget).cast("bigint").alias("bin_id"),
         (cum_before % token_budget).cast("bigint").alias("bin_offset"),

@@ -1135,7 +1135,9 @@ def q_events_json(spark, sf_dir):
       SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
     ), m AS (
       SELECT event_id, user_id, ts, max(o_orderdate) AS mdate
-      FROM ev JOIN orders ON o_custkey = user_id AND o_orderdate <= ts
+      FROM ev JOIN orders ON o_custkey = user_id
+        AND o_orderdate <= ts
+        AND o_orderdate >= ts - INTERVAL 10000 DAYS
       GROUP BY 1, 2, 3
     )
     SELECT event_id,
@@ -1145,10 +1147,12 @@ def q_events_json(spark, sf_dir):
            strftime(mdate, '%Y-%m-%d %H:%M:%S') AS asof_ts
     FROM m
     """,
-    doc="as-of (point-in-time) join: for each event, the user's most recent "
-    "order at-or-before the event time; key-equi join + range predicate + "
-    "max_by argmax with (ts, orderkey) tie-break — an operator Spark lacks "
-    "natively, composed from built-ins (operators/asof.py)",
+    doc="as-of (point-in-time) join with a bounded lookback band: for each "
+    "event, the user's most recent order within the 10000 days before the "
+    "event; key-equi join + band predicate (the intermediate holds the "
+    "window, not all history) + single-struct max_by argmax grouped on a "
+    "surrogate left-row id with (ts, orderkey) tie-break — an operator "
+    "Spark lacks natively, composed from built-ins (operators/asof.py)",
 )
 def q_asof_latest_order(spark, sf_dir):
     from etl_excel_csv_sql_spark.operators.asof import asof_join
@@ -1164,6 +1168,7 @@ def q_asof_latest_order(spark, sf_dir):
         right_ts="o_orderdate",
         right_value_cols=["o_orderkey"],
         tiebreak_col="o_orderkey",
+        max_lookback=F.expr("INTERVAL 10000 DAYS"),
         how="inner",
     )
     return joined.select(
@@ -1653,22 +1658,27 @@ def q_contamination(spark, sf_dir):
     "pack_documents_by_lang",
     rf"""
     WITH sized AS (
-      SELECT lang AS shard, doc_id AS id, len({_TOKS_SQL}) AS n_tokens
+      SELECT lang AS shard, doc_id AS id,
+             substr(md5('pack-v1' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+             len({_TOKS_SQL}) AS n_tokens
       FROM documents
     ), cum AS (
-      SELECT shard, id, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
+      SELECT shard, id, bucket, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                      ORDER BY bucket, id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
       FROM sized
     )
-    SELECT shard, id, n_tokens,
+    SELECT shard, id, bucket, n_tokens,
            CAST(FLOOR(before / 2048) AS BIGINT) AS bin_id,
            CAST(before % 2048 AS BIGINT) AS bin_offset
     FROM cum
     """,
     doc="concat-and-chunk sequence packing into 2048-token bins, sharded "
-    "by language (one window prefix-sum per shard — the GPT-pretraining "
-    "token-stream layout)",
+    "by language, packed in (md5-bucket, id) order — the oracle's single "
+    "window over (bucket, id) must equal the engine's two-level "
+    "distributed prefix sum (256 parallel bucket scans + a tiny "
+    "bucket-offset pass)",
 )
 def q_pack_documents(spark, sf_dir):
     return textstats.pack_documents(

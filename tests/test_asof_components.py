@@ -55,6 +55,42 @@ def test_asof_left_keeps_unmatched(spark):
     assert len(rows) == 3 and rows[2].asof_rid is None
 
 
+def test_asof_null_left_columns_still_match(spark):
+    """ADVICE r2: the old rejoin used a USING join over every left column,
+    so a NULL in ANY left payload column silently dropped the match. The
+    surrogate-id rejoin must be null-proof."""
+    left = spark.createDataFrame(
+        [(1, None, "u1", "2024-01-10 12:00:00")],
+        "lid INT, note STRING, key STRING, ts_s STRING",
+    ).select(
+        "lid", "note", "key", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    _, right = _frames(spark)
+    out = asof_join(
+        left, right, "key", "key", "ts", "rts",
+        right_value_cols=["rid"], tiebreak_col="rid", how="left",
+    ).collect()
+    assert len(out) == 1
+    assert out[0].note is None and out[0].asof_rid == 300
+
+
+def test_asof_duplicate_left_rows_keep_cardinality(spark):
+    """ADVICE r2: 'inner' used to groupBy all left columns, collapsing
+    identical left rows. Each duplicate must keep its own match row."""
+    left = spark.createDataFrame(
+        [("u1", "2024-01-10 12:00:00")] * 3,
+        ["key", "ts_s"],
+    ).select("key", F.col("ts_s").cast("timestamp").alias("ts"))
+    _, right = _frames(spark)
+    for how, expected in (("inner", 3), ("left", 3)):
+        out = asof_join(
+            left, right, "key", "key", "ts", "rts",
+            right_value_cols=["rid"], tiebreak_col="rid", how=how,
+        ).collect()
+        assert len(out) == expected, (how, out)
+        assert all(r.asof_rid == 300 for r in out)
+
+
 def test_asof_max_lookback_bounds_matches(spark):
     left, right = _frames(spark)
     out = asof_join(
