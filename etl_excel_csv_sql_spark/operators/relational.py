@@ -152,9 +152,20 @@ def table_fingerprint(df: DataFrame, cols: Sequence[str] | None = None) -> DataF
 
     The data-migration validation tool: run on both sides of a pipeline
     move and compare two scalars instead of 100 TB of rows. Map-side
-    partial sums → the shuffle carries one partial per partition."""
+    partial sums → the shuffle carries one partial per partition.
+
+    Columns are null-normalized before hashing: xxhash64 SKIPS null
+    inputs, so without normalization ('a', NULL) and (NULL, 'a') hash
+    identically and NULL-position corruption is invisible (ADVICE r2).
+    Each column becomes struct(isnull, value) so null-ness at each
+    position feeds the hash explicitly."""
     use_cols = list(cols) if cols is not None else df.columns
-    row_hash = F.xxhash64(*[F.col(c) for c in use_cols])
+    row_hash = F.xxhash64(
+        *[
+            F.struct(F.isnull(c).alias("n"), F.col(c).alias("v"))
+            for c in use_cols
+        ]
+    )
     return df.agg(
         F.count("*").alias("n_rows"),
         F.sum(row_hash.cast("decimal(38,0)")).alias("fingerprint"),

@@ -93,15 +93,36 @@ class CsvImportJob:
     queue: FolderQueue
     sanitize: bool = True             # byte-compat cell sanitizer (F1)
     quarantine_sink: FullRefreshSink | None = None
+    #: the reference imports exactly ``<source>.csv`` per table
+    #: (CSVtoSQLimport.ps1:164-168); None drains every pending file as ONE
+    #: unioned batch (the sink is a full refresh — per-file refreshes would
+    #: let each file erase the previous one while all get archived).
+    source_name: str | None = None
 
 
 def import_csv_to_table(spark: SparkSession, job: CsvImportJob) -> dict[str, Outcome]:
-    """Drain the drop folder: per file — S3 all-string read → F1 sanitize →
-    F2 datetime convert → P3 PK filter → P4 projection → T3 row quarantine
-    → K4 full refresh → K6 archive. Failed files stay queued (T2/T3)."""
+    """One import cycle: S3 all-string read → F1 sanitize → F2 datetime
+    convert → P3 PK filter → P4 projection → T3 row quarantine → K4 full
+    refresh → K6 archive. With ``source_name`` set, exactly
+    ``<source_name>.csv`` is considered (reference semantics); otherwise
+    every pending file is unioned into a single refresh batch. A failed
+    batch is logged NotFatal and every file stays queued (T2/T3)."""
+    import os
 
-    def handle(path: str) -> None:
-        df = csv_io.read_csv_all_string(spark, path)
+    target = f"{job.source_name}.csv" if job.source_name else None
+    pending = [
+        p
+        for p in job.queue.pending()
+        if target is None or os.path.basename(p) == target
+    ]
+    if not pending:
+        return {}
+
+    try:
+        frames = [csv_io.read_csv_all_string(spark, p) for p in pending]
+        df = frames[0]
+        for extra in frames[1:]:
+            df = df.unionByName(extra)  # header drift across files → fail all
         cols = job.fields if job.fields is not None else df.columns
         out = df
         if job.sanitize:
@@ -129,10 +150,14 @@ def import_csv_to_table(spark: SparkSession, job: CsvImportJob) -> dict[str, Out
             n_bad = bad.count()
             if n_bad:
                 job.queue.errorlog.log(
-                    f"{n_bad} rows quarantined from {path}", fatal=False
+                    f"{n_bad} rows quarantined from batch {pending}",
+                    fatal=False,
                 )
+    except Exception as exc:  # log-and-continue (CSVtoSQLimport.ps1:175-180)
+        job.queue.errorlog.log(f"{exc} (batch {pending} left for next cycle)")
+        return {p: Outcome.SKIPPED for p in pending}
 
-    return job.queue.process_all(handle)
+    return {p: Outcome.PROCESSED for p in pending if job.queue.archive(p)}
 
 
 # ---------------------------------------------------------------------------

@@ -18,7 +18,7 @@ with reference state files (functions.scalars.ticks helpers).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from etl_excel_csv_sql_spark.functions.scalars import (
     ticks_to_unix_seconds,
@@ -36,6 +36,12 @@ class WatermarkStore:
 
     folder: str
     suffix: str = "lastmod.txt"
+    #: mtime observed by the last should_process per source — committed in
+    #: preference to a re-stat, so a file modified MID-RUN keeps a newer
+    #: on-disk mtime than the stored watermark and stays pending (the
+    #: reference captures LastWriteTime before processing,
+    #: ExcelToCSVexport.ps1:165,222).
+    _observed: dict = field(default_factory=dict, repr=False, compare=False)
 
     def _path(self, source: str) -> str:
         return os.path.join(self.folder, f"{source}_{self.suffix}")
@@ -56,17 +62,29 @@ class WatermarkStore:
 
     def should_process(self, source: str, path: str) -> bool:
         """P6: process iff file mtime > stored watermark
-        (ExcelToCSVexport.ps1:165)."""
-        return os.stat(path).st_mtime > self.last_unix_seconds(source)
+        (ExcelToCSVexport.ps1:165). The observed mtime is captured for
+        commit: committing the PRE-read value means a modification landing
+        while the batch runs leaves the file pending for the next run
+        instead of being silently absorbed."""
+        mtime = os.stat(path).st_mtime
+        self._observed[source] = mtime
+        return mtime > self.last_unix_seconds(source)
 
-    def commit(self, source: str, path: str) -> int:
-        """K7/T1: persist the file's CURRENT mtime as ticks. Callers must
-        invoke this only after the batch succeeded (the reference updates
-        only when matchCounter > 0, ExcelToCSVexport.ps1:222-225) — the
-        at-least-once guarantee: a crash before commit re-processes, never
-        skips."""
+    def commit(self, source: str, path: str, mtime: float | None = None) -> int:
+        """K7/T1: persist the processed file's mtime as ticks — the value
+        captured by should_process (or an explicit ``mtime``), NOT a fresh
+        stat: re-statting after processing would commit a mid-run
+        modification's timestamp and silently skip that modification.
+        Callers must invoke this only after the batch succeeded (the
+        reference updates only when matchCounter > 0,
+        ExcelToCSVexport.ps1:222-225) — the at-least-once guarantee: a
+        crash before commit re-processes, never skips."""
+        if mtime is None:
+            mtime = self._observed.get(source)
+        if mtime is None:
+            mtime = os.stat(path).st_mtime
         os.makedirs(self.folder, exist_ok=True)
-        ticks = unix_seconds_to_ticks(os.stat(path).st_mtime)
+        ticks = unix_seconds_to_ticks(mtime)
         tmp = self._path(source) + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(str(ticks))

@@ -148,6 +148,81 @@ def test_t3_row_quarantine_through_import(spark, tmp_path):
     assert rejects == {"cast(when as double)", "empty pk pk"}
 
 
+def test_multi_file_drain_unions_into_one_refresh(spark, tmp_path):
+    # Two pending files + a full-refresh sink: per-file refreshes would let
+    # the second file erase the first while both get archived (ADVICE r2).
+    # The batch must union them into ONE refresh.
+    q = _queue(tmp_path)
+    (tmp_path / "drop" / "a.csv").write_text("pk,who\n1,alice\n2,bob\n")
+    (tmp_path / "drop" / "b.csv").write_text("pk,who\n3,carol\n")
+    sink = ParquetFullRefreshSink(str(tmp_path / "table"))
+    job = CsvImportJob(
+        pk="pk", fields=None, datetime_fields=[], sink=sink, queue=q,
+        sanitize=False,
+    )
+    results = import_csv_to_table(spark, job)
+    assert sorted(results.values()) == [Outcome.PROCESSED] * 2
+    rows = sorted(r.pk for r in sink.read(spark).collect())
+    assert rows == ["1", "2", "3"]          # both files survived the refresh
+    assert len(os.listdir(tmp_path / "Processed")) == 2
+
+
+def test_source_name_selects_exactly_one_file(spark, tmp_path):
+    # Reference semantics: the import consumes exactly <source>.csv
+    # (CSVtoSQLimport.ps1:164-168); unrelated files stay queued.
+    q = _queue(tmp_path)
+    (tmp_path / "drop" / "orders.csv").write_text("pk\n1\n")
+    (tmp_path / "drop" / "other.csv").write_text("pk\n9\n")
+    sink = ParquetFullRefreshSink(str(tmp_path / "table"))
+    job = CsvImportJob(
+        pk="pk", fields=None, datetime_fields=[], sink=sink, queue=q,
+        sanitize=False, source_name="orders",
+    )
+    results = import_csv_to_table(spark, job)
+    assert [os.path.basename(p) for p in results] == ["orders.csv"]
+    assert [r.pk for r in sink.read(spark).collect()] == ["1"]
+    assert os.path.exists(tmp_path / "drop" / "other.csv")   # untouched
+    # second cycle with nothing matching is a no-op
+    assert import_csv_to_table(spark, job) == {}
+
+
+def test_failed_batch_leaves_all_files_queued(spark, tmp_path):
+    # Header drift across pending files fails the union → the WHOLE batch
+    # is logged NotFatal and every file stays for the next cycle (T3).
+    q = _queue(tmp_path)
+    (tmp_path / "drop" / "a.csv").write_text("pk,who\n1,alice\n")
+    (tmp_path / "drop" / "b.csv").write_text("pk,WRONG\n2,bob\n")
+    sink = ParquetFullRefreshSink(str(tmp_path / "table"))
+    job = CsvImportJob(
+        pk="pk", fields=None, datetime_fields=[], sink=sink, queue=q,
+        sanitize=False,
+    )
+    results = import_csv_to_table(spark, job)
+    assert sorted(results.values()) == [Outcome.SKIPPED] * 2
+    assert sorted(os.listdir(tmp_path / "drop")) == ["a.csv", "b.csv"]
+    assert any(
+        f.endswith("FileImportError.txt")
+        for f in os.listdir(tmp_path / "Error")
+    )
+
+
+def test_watermark_commits_preread_mtime_not_midrun_write(tmp_path):
+    # A file modified WHILE the batch runs must stay pending: commit
+    # persists the mtime captured by should_process, not a re-stat
+    # (the reference snapshots LastWriteTime before processing,
+    # ExcelToCSVexport.ps1:165,222 — ADVICE r2).
+    store = WatermarkStore(str(tmp_path / "state"))
+    src = tmp_path / "book.xlsx"
+    src.write_text("v1")
+    assert store.should_process("book", str(src))
+    # mid-run modification lands before commit
+    os.utime(src, (time.time() + 60, time.time() + 60))
+    store.commit("book", str(src))
+    assert store.should_process("book", str(src))   # v2 still pending
+    store.commit("book", str(src))                  # now v2's mtime
+    assert not store.should_process("book", str(src))
+
+
 def test_errorlog_fatal_raises(tmp_path):
     log = ErrorLog(str(tmp_path / "Error"))
     import pytest

@@ -92,3 +92,16 @@ def test_table_fingerprint_invariant_to_layout(spark):
         df.withColumn("x", df.x + (df.id == 4999).cast("double"))
     ).first()
     assert mutated.fingerprint != base.fingerprint
+
+
+def test_table_fingerprint_sees_null_position(spark):
+    # xxhash64 skips NULL inputs, so without null-normalization
+    # ('a', NULL) and (NULL, 'a') hash identically and NULL-position
+    # corruption is invisible to a migration checksum (ADVICE r2).
+    from etl_excel_csv_sql_spark.operators.relational import table_fingerprint
+
+    a = spark.createDataFrame([("a", None)], "c1 string, c2 string")
+    b = spark.createDataFrame([(None, "a")], "c1 string, c2 string")
+    fa = table_fingerprint(a).first().fingerprint
+    fb = table_fingerprint(b).first().fingerprint
+    assert fa != fb
