@@ -474,6 +474,10 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
+        # Carry the previous label in-frame so the change check needs no
+        # self-join, and checkpoint lazily so the limit(1).count() below is
+        # the round's ONLY action: it materializes the checkpoint and probes
+        # for any changed label in one pass (early-exits on the first hit).
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -481,17 +485,14 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
+                F.col("component").alias("prev"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), F.col("u.id") == F.col("l.id"))
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
+            updated.filter(F.col("component") != F.col("prev")).limit(1).count()
         )
-        labels = updated
+        labels = updated.select("id", "component")
         if changed == 0:
             break
     return labels
