@@ -204,6 +204,11 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        # Materialize once: the candidate frame feeds three consumers below
+        # (the id-set semi join and both sides of the intersection join) and
+        # is tiny relative to the corpus — without this the signature+banding
+        # join is recomputed per consumer.
+        .localCheckpoint(eager=True)
     )
 
     # Exact verify: Jaccard on the candidate pairs only. The corpus is
