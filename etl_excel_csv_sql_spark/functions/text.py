@@ -135,6 +135,22 @@ def word_shingles(text: ColumnOrName, n: int = 3) -> Column:
     return F.array_distinct(F.when(k >= n, shingled).otherwise(whole))
 
 
+def positional_word_ngrams(text: ColumnOrName, n: int = 5) -> Column:
+    """Array of ALL n-word grams in order (duplicates kept — one entry per
+    token position), the unit for exact repeated-span detection (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better":
+    duplicated spans are counted per occurrence, not per distinct value).
+    Documents shorter than n words yield the whole text as one gram."""
+    toks = tokens(text)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    whole = F.array(F.array_join(toks, " "))
+    return F.when(k >= n, grams).otherwise(whole)
+
+
 def char_ngrams(text: ColumnOrName, n: int = 5) -> Column:
     """Array of distinct character n-grams (SimHash / fingerprint unit)."""
     t = _col(text)

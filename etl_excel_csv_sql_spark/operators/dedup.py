@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from etl_excel_csv_sql_spark.functions.text import (
     normalize_text,
+    positional_word_ngrams,
     word_shingles,
 )
 from etl_excel_csv_sql_spark.functions.vectors import (
@@ -438,6 +439,92 @@ def simhash_pairs(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated n-gram spans — the exact-substring-dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (arXiv:2107.06499), re-expressed as one aggregation.
+
+    Returns (gram, n_docs, n_occurrences) for every n-word gram appearing
+    in ≥ ``min_docs`` distinct documents, duplicates counted per token
+    position (boilerplate that repeats inside one document AND across
+    documents is fully counted).
+
+    Plan: narrow positional-gram explode → one shuffle on the gram for the
+    (count distinct id, count *) aggregate, with map-side partials. At
+    100 TB the gram strings are the shuffle payload; swap the gram for
+    ``xxhash64(gram)`` (and re-join a sample for reporting) when span
+    text is not needed downstream — same plan, 8-byte keys.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(positional_word_ngrams(text_col, n)).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of a document's
+    n-gram positions whose gram also appears in ≥ ``min_docs`` distinct
+    documents — the per-document filter signal derived from
+    :func:`duplicate_ngram_spans` (drop or trim docs above a coverage
+    threshold).
+
+    Plan: positional grams → duplicated-gram set (one agg shuffle) →
+    left-semi membership join (AQE broadcasts the dup set when small) →
+    per-doc counts (one shuffle on id, tiny rows). The corpus text never
+    shuffles.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(positional_word_ngrams(text_col, n)).alias("gram"),
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram")
+    )
+    totals = grams.groupBy("id").agg(F.count("*").alias("n_positions"))
+    dup_counts = (
+        grams.join(dup_grams, "gram", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_dup_positions"))
+    )
+    return (
+        totals.join(dup_counts, "id", "left")
+        .select(
+            "id",
+            "n_positions",
+            F.coalesce(F.col("n_dup_positions"), F.lit(0)).alias(
+                "n_dup_positions"
+            ),
+        )
+        .withColumn(
+            "dup_coverage",
+            F.round(F.col("n_dup_positions") / F.col("n_positions"), 6),
+        )
     )
 
 

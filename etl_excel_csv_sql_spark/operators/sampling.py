@@ -73,3 +73,88 @@ def stratified_sample(
     while keeping rare ones whole). Map-side filter per row — no shuffle;
     expected (not exact) per-stratum counts, like all Bernoulli sampling."""
     return df.sampleBy(stratum_col, fractions, seed)
+
+
+def source_capped_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    cap: int,
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """Deterministic per-source cap: keep at most ``cap`` rows per source,
+    chosen by md5(salt || id) order — the domain-balancing step of a
+    web-scale corpus (no single crawl domain may dominate), reproducible
+    across runs and engines.
+
+    Plan: one hash-partitioned sort per source partition feeding a
+    streaming row_number — rank ≤ cap filters map-side after the window.
+    The window key is the source (high cardinality in a real crawl:
+    millions of domains), so partitions stay small and sort-spill is rare;
+    this is NOT the unbounded one-partition Window anti-pattern. Exact
+    per-source counts, unlike Bernoulli sampling.
+    """
+    from pyspark.sql import Window
+
+    order = _hash_bucket16(F.col(id_col), salt)
+    w = (
+        Window.partitionBy(F.col(source_col))
+        .orderBy(order, F.col(id_col))
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= cap)
+    )
+
+
+def _hash_bucket16(key: Column, salt: str) -> Column:
+    """Full md5 hex of salt || key: a deterministic, engine-portable sort
+    key (lexicographic hex order == numeric order)."""
+    return F.md5(F.concat(F.lit(salt), key.cast("string")))
+
+
+def corpus_mixture_weights(
+    df: DataFrame,
+    group_cols: list,
+    weight_col: Column,
+) -> DataFrame:
+    """Per-group corpus mixture report: total weight (e.g. token count),
+    actual share of corpus, and the uniform-target resampling weight
+    (target_share / actual_share — >1 means upsample, <1 downsample).
+    The input to temperature/mixture reweighting when composing a
+    training mix across (lang, source) slices.
+
+    Plan: one groupBy shuffle with map-side partials over tiny rows, then
+    a broadcast of the single-row grand total. Group count is bounded by
+    the slice cardinality, never the corpus.
+    """
+    per_group = df.groupBy(*group_cols).agg(
+        F.sum(weight_col).alias("group_weight"),
+        F.count("*").alias("n_rows"),
+    )
+    total = per_group.agg(
+        F.sum("group_weight").alias("total_weight"),
+        F.count("*").alias("n_groups"),
+    )
+    return (
+        per_group.crossJoin(F.broadcast(total))
+        .withColumn(
+            "actual_share",
+            F.round(F.col("group_weight") / F.col("total_weight"), 6),
+        )
+        .withColumn(
+            "uniform_weight",
+            F.round(
+                (F.col("total_weight") / F.col("n_groups"))
+                / F.col("group_weight"),
+                6,
+            ),
+        )
+        .select(
+            *group_cols,
+            "group_weight",
+            "n_rows",
+            "actual_share",
+            "uniform_weight",
+        )
+    )

@@ -1757,6 +1757,124 @@ def q_char_ngrams(spark, sf_dir):
     )
 
 
+_POSITIONAL_GRAM_CTES = r"""
+    toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT id, unnest(CASE WHEN len(t) >= 5
+        THEN list_transform(generate_series(1, len(t) - 4),
+                            i -> array_to_string(t[i:i+4], ' '))
+        ELSE [array_to_string(t, ' ')] END) AS gram
+      FROM toks
+    )
+"""
+
+
+@register(
+    "dup_ngram_spans",
+    "WITH "
+    + _POSITIONAL_GRAM_CTES
+    + """
+    SELECT gram, count(DISTINCT id) AS n_docs, count(*) AS n_occurrences
+    FROM grams GROUP BY gram HAVING count(DISTINCT id) >= 2
+    """,
+    doc="cross-document repeated 5-gram spans (Lee et al. exact-substring-"
+    "dedup signal, arXiv:2107.06499): positional grams (duplicates counted "
+    "per occurrence) aggregated in one shuffle with map-side partials",
+)
+def q_dup_ngram_spans(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_ngram_spans(docs, "doc_id", "text", n=5, min_docs=2)
+
+
+@register(
+    "dup_span_coverage",
+    "WITH "
+    + _POSITIONAL_GRAM_CTES
+    + """
+    , dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT id) >= 2
+    ), totals AS (
+      SELECT id, count(*) AS n_positions FROM grams GROUP BY id
+    ), dupc AS (
+      SELECT id, count(*) AS n_dup_positions FROM grams
+      WHERE gram IN (SELECT gram FROM dup) GROUP BY id
+    )
+    SELECT t.id AS doc_id, n_positions,
+           COALESCE(n_dup_positions, 0) AS n_dup_positions,
+           round(COALESCE(n_dup_positions, 0) / n_positions, 6) AS dup_coverage
+    FROM totals t LEFT JOIN dupc ON t.id = dupc.id
+    """,
+    doc="per-document duplicated-span coverage: fraction of 5-gram positions "
+    "whose gram recurs in >=2 docs — the doc-level drop/trim filter derived "
+    "from dup_ngram_spans; corpus text never shuffles (semi-join membership)",
+)
+def q_dup_span_coverage(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    res = dedup.duplicate_span_coverage(docs, "doc_id", "text", n=5, min_docs=2)
+    return res.select(
+        F.col("id").alias("doc_id"),
+        "n_positions",
+        "n_dup_positions",
+        "dup_coverage",
+    )
+
+
+@register(
+    "source_capped_sample",
+    """
+    SELECT doc_id, source, sample_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap-v1' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= 10
+    """,
+    doc="deterministic per-source cap (domain balancing): keep <=10 docs per "
+    "source by md5 order — reproducible on any engine; window key is the "
+    "source (high cardinality in a real crawl), so partitions stay bounded",
+)
+def q_source_capped_sample(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators.sampling import source_capped_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_capped_sample(docs, "doc_id", "source", cap=10).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+@register(
+    "corpus_mixture_weights",
+    """
+    WITH g AS (
+      SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS group_weight,
+             COUNT(*) AS n_rows
+      FROM documents GROUP BY 1, 2
+    ), t AS (
+      SELECT CAST(SUM(group_weight) AS BIGINT) AS total_weight,
+             COUNT(*) AS n_groups
+      FROM g
+    )
+    SELECT lang, source, group_weight, n_rows,
+           round(group_weight / total_weight, 6) AS actual_share,
+           round((total_weight / n_groups) / group_weight, 6) AS uniform_weight
+    FROM g, t
+    """,
+    doc="corpus mixture report per (lang, source): char-weighted share and "
+    "uniform-target resampling weight — the input to mixture/temperature "
+    "reweighting when composing a training mix; one agg shuffle + a "
+    "broadcast single-row total",
+)
+def q_corpus_mixture_weights(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators.sampling import corpus_mixture_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_mixture_weights(docs, ["lang", "source"], F.col("n_chars"))
+
+
 @register(
     "approx_distinct_users",
     None,  # HLL sketch values are engine-specific → rows-only; the error

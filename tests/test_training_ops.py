@@ -123,3 +123,99 @@ def test_repetition_signals_known_values(spark):
     assert abs(got[2].dup_line_fraction - (1 - 2 / 3)) < 1e-6
     assert got[1].mean_word_len == 3.75  # (4+4+4+3)/4
     assert abs(got[3].digit_fraction - 7 / 11) < 1e-6
+
+
+def test_duplicate_ngram_spans_counts(spark):
+    from etl_excel_csv_sql_spark.operators.dedup import duplicate_ngram_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over it"),
+            (2, "said the quick brown fox jumps again"),
+            (3, "totally different words live here now"),
+            (4, "tiny"),  # shorter than n -> whole-text gram
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.gram: (r.n_docs, r.n_occurrences)
+        for r in duplicate_ngram_spans(df, "doc_id", "text", n=5).collect()
+    }
+    # the only 5-gram shared across docs 1 and 2
+    assert got == {"the quick brown fox jumps": (2, 2)}
+
+
+def test_duplicate_ngram_spans_within_doc_occurrences(spark):
+    from etl_excel_csv_sql_spark.operators.dedup import duplicate_ngram_spans
+
+    boiler = "one two three four five"
+    df = spark.createDataFrame(
+        [(1, boiler + " x " + boiler), (2, boiler)], ["doc_id", "text"]
+    )
+    got = {
+        r.gram: (r.n_docs, r.n_occurrences)
+        for r in duplicate_ngram_spans(df, "doc_id", "text", n=5).collect()
+    }
+    # positional counting: doc 1 contains the boilerplate twice
+    assert got["one two three four five"] == (2, 3)
+
+
+def test_duplicate_span_coverage_bounds_and_zero(spark):
+    from etl_excel_csv_sql_spark.operators.dedup import duplicate_span_coverage
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over it"),
+            (2, "said the quick brown fox jumps again"),
+            (3, "totally different words live here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.id: r for r in duplicate_span_coverage(df, "doc_id", "text", n=5).collect()}
+    assert got[3].n_dup_positions == 0 and got[3].dup_coverage == 0.0
+    # doc 1: 3 positions, 1 duplicated
+    assert got[1].n_positions == 3 and got[1].n_dup_positions == 1
+    for r in got.values():
+        assert 0.0 <= r.dup_coverage <= 1.0
+
+
+def test_source_capped_sample_deterministic_cap(spark):
+    from etl_excel_csv_sql_spark.operators.sampling import source_capped_sample
+
+    rows = [(i, f"src{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = source_capped_sample(df, "doc_id", "source", cap=5)
+    per_src = {
+        r.source: r.cnt
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert per_src == {"src0": 5, "src1": 5, "src2": 5}
+    # deterministic: same ids on a rerun
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(
+        r.doc_id for r in source_capped_sample(df, "doc_id", "source", cap=5).collect()
+    )
+    assert ids1 == ids2
+    # a different salt draws a different sample
+    ids3 = sorted(
+        r.doc_id
+        for r in source_capped_sample(
+            df, "doc_id", "source", cap=5, salt="cap-v2"
+        ).collect()
+    )
+    assert ids1 != ids3
+
+
+def test_corpus_mixture_weights_shares_sum_to_one(spark):
+    from etl_excel_csv_sql_spark.operators.sampling import corpus_mixture_weights
+
+    df = spark.createDataFrame(
+        [("en", "a", 100), ("en", "a", 300), ("fr", "b", 200), ("de", "c", 400)],
+        ["lang", "source", "n_chars"],
+    )
+    rows = corpus_mixture_weights(df, ["lang", "source"], F.col("n_chars")).collect()
+    got = {(r.lang, r.source): r for r in rows}
+    assert got[("en", "a")].group_weight == 400 and got[("en", "a")].n_rows == 2
+    assert abs(sum(r.actual_share for r in rows) - 1.0) < 1e-6
+    # uniform target: weight > 1 upsamples under-represented groups
+    assert got[("fr", "b")].uniform_weight > 1.0 > got[("de", "c")].uniform_weight
