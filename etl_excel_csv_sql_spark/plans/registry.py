@@ -2145,12 +2145,16 @@ WINDOW_ORDER: tuple[str, ...] = (
     "redact_pii",
     "train_test_split",
     "char_ngram_profile",
-    "approx_distinct_users",
+    # r3: dup_ngram_spans/dup_span_coverage (Lee et al. repeated-span dedup,
+    # full value-parity oracles) replace approx_distinct_users (rows-only
+    # HLL — pytest's error-bound check is the stronger evidence) and
+    # embedding_norms (trivial array plumbing).
+    "dup_ngram_spans",
+    "dup_span_coverage",
     "subword_token_count",
     "cosine_topk",
     "embedding_dup_pairs",
     "embedding_dup_pairs_exact",
-    "embedding_norms",
     "ann_ivf_topk",
     "media_metadata",
     # rewritten this round
