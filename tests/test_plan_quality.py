@@ -1,0 +1,73 @@
+"""Catalyst plan-quality guarantees on the registered queries, asserted
+on the actual executed plans at sf0.001: predicate pushdown and column
+pruning reach the parquet scan, small dimension sides broadcast, scalar
+pipelines stay inside whole-stage codegen, and the repeated-span
+coverage membership join is a semi join. These are the properties that
+keep the same plans viable at 100 TB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_excel_csv_sql_spark.catalog import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    # predicate pushdown: the quantity filter lands in the scan node
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity" in plan
+    # column pruning: the 16-column table reads only the 2 projected columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
+
+
+def test_small_dimension_side_broadcasts(spark, sf_dir):
+    from etl_excel_csv_sql_spark.plans.registry import all_queries
+
+    q = all_queries()["region_revenue"](spark, sf_dir)
+    plan = _plan(q)
+    # nation/region dims must broadcast — a shuffle join on them would
+    # shuffle the fact table at 100 TB
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scalar_pipeline_stays_in_codegen(spark, sf_dir):
+    from etl_excel_csv_sql_spark.plans.registry import all_queries
+
+    q = all_queries()["sanitize_sql_string"](spark, sf_dir)
+    plan = _plan(q)
+    # "*(n)" prefixes mark WholeStageCodegen stages in executedPlan output
+    assert "*(1)" in plan
+    # no Python evaluation anywhere in the scalar path
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dup_span_coverage_uses_semi_join(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators.dedup import duplicate_span_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(duplicate_span_coverage(docs, "doc_id", "text", n=5))
+    assert "LeftSemi" in plan
+
+
+def test_no_python_udfs_in_window_queries(spark, sf_dir):
+    """Every driver-window query plan is JVM-only (the multimodal Arrow
+    path is the single intentional exception)."""
+    from etl_excel_csv_sql_spark.plans.registry import all_queries, WINDOW_ORDER
+
+    qs = all_queries()
+    offenders = []
+    for name in WINDOW_ORDER:
+        if name == "media_metadata":  # documented Arrow mapInPandas stub
+            continue
+        plan = _plan(qs[name](spark, sf_dir))
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"Python eval in window plans: {offenders}"
