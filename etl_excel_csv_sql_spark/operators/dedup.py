@@ -448,6 +448,7 @@ def duplicate_ngram_spans(
     text_col: str,
     n: int = 5,
     min_docs: int = 2,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Cross-document repeated n-gram spans — the exact-substring-dedup
     signal of Lee et al., "Deduplicating Training Data Makes Language
@@ -459,17 +460,21 @@ def duplicate_ngram_spans(
     documents is fully counted).
 
     Plan: narrow positional-gram explode → one shuffle on the gram for the
-    (count distinct id, count *) aggregate, with map-side partials. At
-    100 TB the gram strings are the shuffle payload; swap the gram for
-    ``xxhash64(gram)`` (and re-join a sample for reporting) when span
-    text is not needed downstream — same plan, 8-byte keys.
+    (count distinct id, count *) aggregate, with map-side partials.
+    ``hash_grams=True`` is the 100 TB path: the shuffle key becomes
+    ``xxhash64(gram)`` (column ``gram_hash``, 8 bytes) instead of the span
+    text — same counts, re-join a sample by hash when the text is needed
+    for reporting.
     """
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(positional_word_ngrams(text_col, n)).alias("gram"),
     )
+    if hash_grams:
+        grams = grams.select("id", F.xxhash64("gram").alias("gram_hash"))
+    key = "gram_hash" if hash_grams else "gram"
     return (
-        grams.groupBy("gram")
+        grams.groupBy(key)
         .agg(
             F.countDistinct("id").alias("n_docs"),
             F.count("*").alias("n_occurrences"),

@@ -219,3 +219,24 @@ def test_corpus_mixture_weights_shares_sum_to_one(spark):
     assert abs(sum(r.actual_share for r in rows) - 1.0) < 1e-6
     # uniform target: weight > 1 upsamples under-represented groups
     assert got[("fr", "b")].uniform_weight > 1.0 > got[("de", "c")].uniform_weight
+
+
+def test_duplicate_ngram_spans_hashed_path_agrees(spark):
+    from etl_excel_csv_sql_spark.operators.dedup import duplicate_ngram_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over it"),
+            (2, "said the quick brown fox jumps again"),
+            (3, "totally different words live here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    text_counts = sorted(
+        (r.n_docs, r.n_occurrences)
+        for r in duplicate_ngram_spans(df, "doc_id", "text", n=5).collect()
+    )
+    hashed = duplicate_ngram_spans(df, "doc_id", "text", n=5, hash_grams=True)
+    assert "gram_hash" in hashed.columns and "gram" not in hashed.columns
+    hash_counts = sorted((r.n_docs, r.n_occurrences) for r in hashed.collect())
+    assert text_counts == hash_counts
