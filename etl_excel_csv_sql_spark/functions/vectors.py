@@ -72,3 +72,29 @@ def random_hyperplane_signature(a: ColumnOrName, n_planes: int, seed: int = 42) 
         )
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def quantization_scale(a: ColumnOrName, bits: int = 8) -> Column:
+    """Symmetric scalar-quantization scale: max(|xᵢ|) / (2^(bits-1) - 1).
+    Compute this in its OWN projection before the code transform — an
+    array_max referenced inside a per-element lambda is re-evaluated per
+    element (the CollapseProject HOF trap)."""
+    qmax = (1 << (bits - 1)) - 1
+    return (
+        F.array_max(F.transform(_col(a), lambda x: F.abs(x.cast("double"))))
+        / qmax
+    )
+
+
+def quantize_codes(a: ColumnOrName, scale: ColumnOrName) -> Column:
+    """int codes: floor(x/scale + 0.5) — deliberately NOT round(), whose
+    tie convention differs across engines (Spark HALF_UP vs half-even);
+    floor(+0.5) is identical everywhere. |x| ≤ max|x| keeps codes inside
+    ±qmax with no clamp. Zero vectors (scale 0) map to all-zero codes."""
+    s = _col(scale)
+    return F.when(
+        s > 0,
+        F.transform(
+            _col(a), lambda x: F.floor(x.cast("double") / s + 0.5).cast("int")
+        ),
+    ).otherwise(F.transform(_col(a), lambda x: F.lit(0)))

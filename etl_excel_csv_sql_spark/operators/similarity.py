@@ -352,3 +352,58 @@ def ivf_topk(
         F.col("item.cosine").alias("cosine"),
         "rank",
     )
+
+
+def quantization_report(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector int8 (or ``bits``-bit) symmetric scalar quantization with
+    a reconstruction-quality report: (id, scale, mse, cos_recon).
+
+    The memory-compression step before a 100 TB ANN index: int8 codes cut
+    vector bytes 4× vs float32 while cos(original, reconstruction) stays
+    ≈1; this operator quantizes AND measures that loss corpus-wide so the
+    bits knob is chosen from data, not faith.
+
+    Plan: three staged narrow projections (scale → codes+reconstruction →
+    error reductions), no shuffle at all — the report is embarrassingly
+    parallel and the quantized codes reuse the same staging in a real
+    index build. Staging matters: the scale must NOT be inlined into the
+    per-element lambda (HOF re-evaluation trap).
+    """
+    from etl_excel_csv_sql_spark.functions.vectors import (
+        quantization_scale,
+        quantize_codes,
+    )
+
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        quantization_scale(vec_col, bits).alias("scale"),
+    )
+    recon = staged.select(
+        "id",
+        "vec",
+        "scale",
+        F.transform(
+            quantize_codes("vec", F.col("scale")),
+            lambda c: c.cast("double") * F.col("scale"),
+        ).alias("recon"),
+    )
+    sq_err = F.aggregate(
+        F.zip_with(
+            F.col("vec"), F.col("recon"),
+            lambda x, r: (x.cast("double") - r) * (x.cast("double") - r),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return recon.select(
+        "id",
+        F.round("scale", 6).alias("scale"),
+        F.round(sq_err / F.size("vec"), 6).alias("mse"),
+        F.round(cosine_similarity("vec", "recon"), 6).alias("cos_recon"),
+    )

@@ -2020,6 +2020,44 @@ def q_embedding_dups_exact(spark, sf_dir):
 
 
 @register(
+    "embedding_quantization_error",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+      FROM embeddings
+    ), r AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> floor(x / scale + 0.5) * scale) AS recon
+      FROM s
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           round(list_sum(list_transform(generate_series(1, len(v)),
+                 i -> (v[i] - recon[i]) * (v[i] - recon[i]))) / len(v), 6)
+             AS mse,
+           round(list_sum(list_transform(generate_series(1, len(v)),
+                 i -> v[i] * recon[i]))
+                 / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(recon, x -> x * x)))), 6)
+             AS cos_recon
+    FROM r
+    """,
+    doc="int8 symmetric scalar quantization report per vector: scale, MSE, "
+    "and cos(original, reconstruction) — the 4x-compression quality gate "
+    "before an ANN index build. floor(x/scale+0.5) instead of round() so "
+    "both engines share one tie convention; three staged narrow "
+    "projections, zero shuffle",
+)
+def q_embedding_quantization(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    res = similarity.quantization_report(emb, "vec_id", "embedding", bits=8)
+    return res.select(F.col("id").alias("vec_id"), "scale", "mse", "cos_recon")
+
+
+@register(
     "embedding_norms",
     """
     SELECT vec_id, label, len(embedding) AS dim,

@@ -134,3 +134,47 @@ def test_ivf_index_build_query_prunes_partitions(spark, emb, tmp_path):
     }
     assert got == live
     assert "Window" not in plan
+
+
+def test_quantization_report_quality_and_edges(spark):
+    from pyspark.sql import functions as F
+
+    from etl_excel_csv_sql_spark.functions.vectors import (
+        quantization_scale,
+        quantize_codes,
+    )
+    from etl_excel_csv_sql_spark.operators.similarity import quantization_report
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.001, 0.002, -0.003, 0.004]),
+            (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, codes 0
+        ],
+        ["vec_id", "embedding"],
+    )
+    staged = df.select(
+        "vec_id",
+        quantization_scale("embedding", 8).alias("scale"),
+        F.col("embedding"),
+    )
+    codes = {
+        r.vec_id: r.c
+        for r in staged.select(
+            "vec_id", quantize_codes("embedding", F.col("scale")).alias("c")
+        ).collect()
+    }
+    assert all(-127 <= c <= 127 for cs in codes.values() for c in cs)
+    assert codes[1][1] == -127  # the max-|x| component saturates exactly
+    assert codes[3] == [0, 0, 0, 0]
+
+    rep = {r.id: r for r in quantization_report(df, "vec_id", "embedding").collect()}
+    assert rep[1].cos_recon > 0.9999 and rep[1].mse < 1e-4
+    assert rep[3].scale == 0.0 and rep[3].cos_recon is None  # zero norm
+
+    # fewer bits -> strictly worse reconstruction on a non-trivial vector
+    rep4 = {
+        r.id: r
+        for r in quantization_report(df, "vec_id", "embedding", bits=4).collect()
+    }
+    assert rep4[2].mse >= rep[2].mse
