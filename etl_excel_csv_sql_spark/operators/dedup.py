@@ -86,6 +86,12 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         shingled = shingled.join(F.broadcast(hot), "shingle", "left_anti")
+    # Materialize the inverted index once: it feeds three consumers (the
+    # per-doc sizes and both sides of the posting-list self-join), and the
+    # tokenize→shingle explode is the expensive part. The checkpoint spills
+    # MEMORY_AND_DISK — at scale this trades local-disk I/O for 3×
+    # recomputing the shingle pipeline over the corpus.
+    shingled = shingled.localCheckpoint(eager=True)
     sizes = shingled.groupBy("id").agg(F.count("*").alias("set_size"))
 
     a = shingled.alias("a")
