@@ -61,7 +61,14 @@ def asof_join(
     value_cols = right_value_cols or [
         c for c in right.columns if c not in (right_key, right_ts)
     ]
-    lid = left.withColumn("__lid", F.monotonically_increasing_id())
+    # The id column is consumed by TWO branches (the narrow join input and
+    # the final payload re-join). monotonically_increasing_id is
+    # nondeterministic, so each branch recomputing it from scratch could
+    # disagree after a task retry or AQE re-plan — checkpoint lazily so the
+    # first action materializes ONE id assignment that both branches read.
+    lid = left.withColumn(
+        "__lid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=False)
     narrow = lid.select(
         "__lid",
         F.col(left_key).alias("__lk"),
