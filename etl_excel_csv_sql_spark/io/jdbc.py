@@ -90,22 +90,30 @@ class JdbcFullRefreshSink:
 
     ``truncate=true`` keeps the table's DDL and issues TRUNCATE + batched
     INSERTs — the exact reference semantics (CSVtoSQLimport.ps1:199,239)
-    minus the per-row round-trips and string-typed values. Identifier is
-    bracket-quoted like the reference's EncloseWithBrackets
-    (CSVtoSQLimport.ps1:49-57)."""
+    minus the per-row round-trips and string-typed values.
+
+    ``bracket_quote=True`` wraps the identifier SQL-Server-style like the
+    reference's EncloseWithBrackets (CSVtoSQLimport.ps1:49-57); leave it
+    off for every other database — Spark's JDBC dialect already quotes
+    identifiers correctly (brackets are a T-SQL-ism that e.g. Derby and
+    Postgres reject)."""
 
     url: str
     table: str
     options: dict[str, str] = field(default_factory=dict)
     batchsize: int = 10_000
     num_partitions: int | None = None
+    bracket_quote: bool = False
 
     def full_refresh(self, df: DataFrame) -> None:
+        dbtable = (
+            enclose_with_brackets(self.table) if self.bracket_quote else self.table
+        )
         writer = (
             df.write.format("jdbc")
             .mode("overwrite")
             .option("url", self.url)
-            .option("dbtable", enclose_with_brackets(self.table))
+            .option("dbtable", dbtable)
             .option("truncate", "true")
             .option("batchsize", str(self.batchsize))
         )

@@ -203,6 +203,48 @@ def q_jdbc_fullrefresh(spark, sf_dir):
 
 
 @register(
+    "jdbc_live_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_custkey < 100
+    """,
+    doc="S5/K4 against a REAL database: Spark bundles Derby (Hive "
+    "metastore), so the JdbcFullRefreshSink TRUNCATE+INSERTs into an "
+    "embedded Derby table over a live JDBC connection (stale contents "
+    "first, proving the refresh), and the read-back comes over JDBC too. "
+    "The reference's SQL-Server deployment shape end-to-end "
+    "(CSVtoSQLimport.ps1:183-245) minus per-row INSERT round-trips",
+)
+def q_jdbc_live_roundtrip(spark, sf_dir):
+    from etl_excel_csv_sql_spark.io.jdbc import JdbcFullRefreshSink
+
+    scratch = _scratch("jdbc_derby")
+    url = f"jdbc:derby:{os.path.join(scratch, 'db')};create=true"
+    opts = {
+        "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        # Derby's dialect maps StringType to CLOB; pin VARCHAR so the
+        # column behaves like the reference's NVARCHAR targets
+        "createTableColumnTypes": "o_orderstatus VARCHAR(8)",
+    }
+    sink = JdbcFullRefreshSink(
+        url=url, table="orders_tbl", options=opts, num_partitions=1
+    )
+    stale = spark.createDataFrame(
+        [(-1, "X", 0.0)], ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    sink.full_refresh(stale)
+    fresh = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_custkey") < 100)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    sink.full_refresh(fresh)
+    return spark.read.format("jdbc").options(
+        url=url, dbtable="orders_tbl", **opts
+    ).load()
+
+
+@register(
     "quarantine_split_rows",
     """
     WITH mixed AS (

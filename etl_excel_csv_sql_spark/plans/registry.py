@@ -2157,7 +2157,9 @@ WINDOW_ORDER: tuple[str, ...] = (
     "excel_roundtrip",
     "excel_multisheet_roundtrip",
     "csv_roundtrip",
-    "jdbc_fullrefresh_roundtrip",
+    # r3: the live embedded-Derby roundtrip replaces the parquet stand-in
+    # (still registered + pytest-covered) — real-JDBC evidence for S5/K4.
+    "jdbc_live_roundtrip",
     "quarantine_split_rows",
     "settings_catalog",
     "watermark_lifecycle",

@@ -45,3 +45,47 @@ def test_quarantine_split(spark):
     assert bad_rows == {"": "empty pk pk", "4": "cast(when as double)"}
     # good side carries the typed cast
     assert dict(good.dtypes)["when"] == "double"
+
+
+def test_live_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """S5/K4 against a REAL database: Spark ships Derby for the Hive
+    metastore, so the JDBC source/sink classes connect to an embedded
+    Derby instance — full_refresh twice (TRUNCATE+INSERT semantics), then
+    a forward-only query read with the reference's IN-list splice
+    (InvoiceFileSearchFromSQL.ps1:63,75-87)."""
+    from etl_excel_csv_sql_spark.io.jdbc import JdbcQuerySource
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    driver = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    sink = JdbcFullRefreshSink(
+        url=url,
+        table="invoices",
+        options={
+            **driver,
+            # Derby's dialect maps StringType to CLOB, which Derby cannot
+            # compare against literals — pin VARCHAR for queried columns
+            "createTableColumnTypes": "DOC VARCHAR(64), STATUS VARCHAR(32)",
+        },
+        num_partitions=1,
+    )
+    sink.full_refresh(
+        spark.createDataFrame(
+            [(1, "inv-001", "PLACEHOLDER"), (2, "inv-002", "PLACEHOLDER")],
+            ["ID", "DOC", "STATUS"],
+        )
+    )
+    # second refresh replaces contents (K4: TRUNCATE + INSERT, not append)
+    sink.full_refresh(
+        spark.createDataFrame(
+            [(3, "inv-003", "FOUND"), (4, "inv-004", "PLACEHOLDER"),
+             (5, "inv-005", "FOUND")],
+            ["ID", "DOC", "STATUS"],
+        )
+    )
+    src = JdbcQuerySource(
+        url=url,
+        query="SELECT \"ID\", \"DOC\" FROM invoices WHERE \"DOC\" IN (@list@)",
+        options=dict(driver),
+    ).with_in_list("@list@", ["inv-003", "inv-005", "it's"])
+    got = sorted((r.ID, r.DOC) for r in src.load(spark).collect())
+    assert got == [(3, "inv-003"), (5, "inv-005")]
