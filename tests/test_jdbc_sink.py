@@ -89,3 +89,33 @@ def test_live_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     ).with_in_list("@list@", ["inv-003", "inv-005", "it's"])
     got = sorted((r.ID, r.DOC) for r in src.load(spark).collect())
     assert got == [(3, "inv-003"), (5, "inv-005")]
+
+
+def test_live_jdbc_partitioned_parallel_read(spark, tmp_path):
+    """S5 scale path live: the partitioned JDBC reader splits the scan
+    into parallel range cursors (vs the reference's single forward-only
+    cursor) — 4 partitions over an embedded Derby table."""
+    url = f"jdbc:derby:{tmp_path}/pardb;create=true"
+    driver = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    sink = JdbcFullRefreshSink(
+        url=url, table="nums", options=dict(driver), num_partitions=1
+    )
+    sink.full_refresh(
+        spark.range(0, 1000).selectExpr("id AS NUM", "id * 2 AS DOUBLED")
+    )
+    got = (
+        spark.read.format("jdbc")
+        .options(
+            url=url,
+            dbtable="nums",
+            partitionColumn="NUM",
+            lowerBound="0",
+            upperBound="1000",
+            numPartitions="4",
+            **driver,
+        )
+        .load()
+    )
+    assert got.rdd.getNumPartitions() == 4
+    assert got.count() == 1000
+    assert got.agg({"DOUBLED": "sum"}).first()[0] == 999 * 1000
