@@ -245,6 +245,83 @@ def q_jdbc_live_roundtrip(spark, sf_dir):
 
 
 @register(
+    "ann_ivf_persisted_topk",
+    None,
+    doc="the production ANN shape: IvfIndex.build persists the corpus "
+    "parquet PARTITIONED BY cell_id + a centroid table, then query probes "
+    "only the n_probe cells via a partition-pruned scan (~n_probe/n_cells "
+    "of index bytes touched). Approximate by construction → rows-only; "
+    "pytest asserts partition pruning on the plan and parity with live IVF",
+)
+def q_ann_ivf_persisted(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators.similarity import IvfIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = IvfIndex(
+        os.path.join(
+            _scratch("ivf_index_" + os.path.basename(sf_dir.rstrip("/"))), "idx"
+        )
+    )
+    idx.build(emb, n_cells=16)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = idx.query(queries, k=10, n_probe=4)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    )
+
+
+_STREAM_RUN_SEQ = [0]
+
+
+@register(
+    "events_tumbling_streaming",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Structured Streaming end-to-end with the SAME oracle as the batch "
+    "twin (events_tumbling_hourly): the events table replayed through "
+    "readStream → withWatermark → windowed agg → complete-mode memory sink "
+    "under an availableNow trigger. Complete mode over a bounded replay "
+    "equals the batch aggregate exactly, so the streaming path gets a "
+    "value-level correctness check, not just a pytest smoke",
+)
+def q_events_tumbling_streaming(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.streaming.windows import stream_tumbling_agg
+
+    scratch = _scratch("events_streaming_" + os.path.basename(sf_dir.rstrip("/")))
+    src = os.path.join(scratch, "events_in")
+    load_table(spark, sf_dir, "events").select("ts", "event_type", "value").write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = stream_tumbling_agg(stream, "ts", "1 hour", watermark="2 hours")
+    _STREAM_RUN_SEQ[0] += 1
+    sink_name = f"evt_tumbling_stream_{_STREAM_RUN_SEQ[0]}"
+    (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink_name).select(
+        "window_start", "event_type", "n_events", "sum_value"
+    )
+
+
+@register(
     "quarantine_split_rows",
     """
     WITH mixed AS (

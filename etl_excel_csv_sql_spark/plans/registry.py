@@ -2184,7 +2184,10 @@ WINDOW_ORDER: tuple[str, ...] = (
     "pack_documents_by_lang",
     "redact_pii",
     "train_test_split",
-    "char_ngram_profile",
+    # r3: the streaming tumbling twin (readStream → watermark → windowed agg
+    # → availableNow, value-parity with the batch oracle) replaces the thin
+    # char_ngram_profile map — Structured Streaming's first window evidence.
+    "events_tumbling_streaming",
     # r3: dup_ngram_spans/dup_span_coverage (Lee et al. repeated-span dedup,
     # full value-parity oracles) replace approx_distinct_users (rows-only
     # HLL — pytest's error-bound check is the stronger evidence) and
