@@ -139,3 +139,22 @@ def test_drop_folder_stream_consume_once_and_archive(spark, tmp_path):
             break
         time.sleep(0.5)
     assert moved >= 2, f"archived {moved}/2 files"
+
+
+def test_streaming_tumbling_equals_batch_twin(spark):
+    """The registered events_tumbling_streaming query (complete-mode
+    memory sink over a bounded replay) must equal the batch twin
+    row-for-row."""
+    from etl_excel_csv_sql_spark.plans.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in qs["events_tumbling_streaming"](spark, sf).collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in qs["events_tumbling_hourly"](spark, sf).collect()
+    }
+    assert got == want and len(got) > 0
