@@ -209,3 +209,65 @@ def salted_join(
         salted_small[c] for c in small.columns if c != small_key
     ]
     return joined.select(*keep)
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    val_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval range join (val ∈ [lo, hi)) as a bucketized
+    equi-join — the operator Spark lacks natively (a bare inequality-only
+    join degenerates to BroadcastNestedLoopJoin, O(|points|·|intervals|)).
+
+    Each interval explodes into the ~(hi-lo)/bucket_width buckets it
+    overlaps; each point maps to exactly ONE bucket (floor(val/w)). The
+    join is then a plain hash equi-join on the bucket id plus the exact
+    range filter — work is Σ per-bucket |points|×|intervals| instead of
+    the full cross product, and the shuffle key is an 8-byte long.
+    ``bucket_width`` is the knob: ≈ the median interval width is a good
+    default (≤1 extra bucket per interval, bounded duplication).
+
+    Exactly one bucket contains each (point, interval) match, so no
+    dedup pass is needed. ``how='left'`` keeps unmatched points (one
+    null-extended row each, via a bucket-key left join then a match
+    flag).
+    """
+    w = float(bucket_width)
+    assert w > 0, "bucket_width must be positive"
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how: {how!r}")
+    pb = points.withColumn("__pb", F.floor(F.col(val_col) / w).cast("long"))
+    if how == "left":
+        # Surrogate row id for the unmatched anti join — matching on the
+        # point columns would be null-unsafe and would collapse duplicate
+        # point rows. Checkpoint lazily so both consumers read ONE id
+        # assignment (monotonically_increasing_id is nondeterministic).
+        pb = pb.withColumn(
+            "__pid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
+    iv = intervals.withColumn(
+        "__ib",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    )
+    in_range = (F.col(val_col) >= F.col(lo_col)) & (F.col(val_col) < F.col(hi_col))
+    matched = (
+        pb.join(iv, pb["__pb"] == iv["__ib"], "inner")
+        .filter(in_range)
+        .drop("__pb", "__ib")
+    )
+    if how == "inner":
+        return matched
+    unmatched = pb.join(matched.select("__pid"), "__pid", "left_anti").drop("__pb")
+    for c in intervals.columns:
+        unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(iv.dtypes)[c]))
+    return matched.unionByName(unmatched).drop("__pid")

@@ -1772,6 +1772,36 @@ _POSITIONAL_GRAM_CTES = r"""
 
 
 @register(
+    "range_join_price_bands",
+    """
+    WITH bands AS (
+      SELECT i AS band_id, i * 40000.0 AS lo, i * 40000.0 + 60000.0 AS hi
+      FROM generate_series(0, 14) AS t(i)
+    )
+    SELECT o.o_orderkey, o.o_totalprice, b.band_id
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    """,
+    doc="point-in-interval range join (overlapping price bands) via "
+    "bucketized equi-join — each interval explodes into its overlapped "
+    "buckets, points map to one bucket, then a hash join on the 8-byte "
+    "bucket id + exact range filter replaces the "
+    "BroadcastNestedLoopJoin a bare inequality join degenerates to",
+)
+def q_range_join_price_bands(spark, sf_dir):
+    bands = spark.range(0, 15).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 40000.0).alias("lo"),
+        (F.col("id") * 40000.0 + 60000.0).alias("hi"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    res = relational.bucketed_range_join(
+        orders, bands, "o_totalprice", "lo", "hi", bucket_width=20000.0
+    )
+    return res.select("o_orderkey", "o_totalprice", "band_id")
+
+
+@register(
     "dup_ngram_spans",
     "WITH "
     + _POSITIONAL_GRAM_CTES

@@ -194,3 +194,47 @@ def test_funnel_requires_strict_order(spark):
         "click": (2, 1.0),
         "purchase": (1, 0.5),
     }
+
+
+def test_bucketed_range_join_inner_and_left(spark):
+    from etl_excel_csv_sql_spark.operators.relational import bucketed_range_join
+
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 25.0), (4, 99.0), (5, None)],
+        ["pid", "v"],
+    )
+    intervals = spark.createDataFrame(
+        [(10, 0.0, 10.0), (20, 10.0, 30.0), (21, 20.0, 30.0)],
+        ["band", "lo", "hi"],
+    )
+    inner = bucketed_range_join(points, intervals, "v", "lo", "hi", 10.0)
+    got = sorted((r.pid, r.band) for r in inner.collect())
+    # 25.0 lands in two overlapping bands; 99.0 and the null match nothing
+    assert got == [(1, 10), (2, 20), (3, 20), (3, 21)]
+
+    left = bucketed_range_join(points, intervals, "v", "lo", "hi", 10.0, how="left")
+    rows = left.collect()
+    assert len(rows) == 6  # 4 matches + 2 null-extended (99.0 and null v)
+    unmatched = sorted(r.pid for r in rows if r.band is None)
+    assert unmatched == [4, 5]
+    # boundary semantics: hi is exclusive, lo inclusive
+    edge = spark.createDataFrame([(9, 10.0)], ["pid", "v"])
+    got_edge = sorted(
+        (r.pid, r.band)
+        for r in bucketed_range_join(edge, intervals, "v", "lo", "hi", 10.0).collect()
+    )
+    assert got_edge == [(9, 20)]
+
+
+def test_bucketed_range_join_plan_is_hash_join(spark):
+    from etl_excel_csv_sql_spark.operators.relational import bucketed_range_join
+
+    points = spark.range(0, 1000).selectExpr("id AS pid", "CAST(id AS DOUBLE) AS v")
+    intervals = spark.range(0, 50).selectExpr(
+        "id AS band", "id * 20.0 AS lo", "id * 20.0 + 30.0 AS hi"
+    )
+    plan = (
+        bucketed_range_join(points, intervals, "v", "lo", "hi", 20.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan  # the degenerate inequality-join shape
