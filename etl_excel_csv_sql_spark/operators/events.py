@@ -176,3 +176,39 @@ def extract_props_key(
         f"prop_{key}",
         F.get_json_object(F.col(props_col), f"$.{key}").cast("int"),
     )
+
+
+def multi_resolution_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> tuple[DataFrame, DataFrame]:
+    """Hypertable-style continuous aggregate: an hourly rollup from raw
+    events, and a daily rollup derived FROM THE HOURLY PARTIALS (sum of
+    sums, sum of counts) — never re-reading raw.
+
+    That re-aggregation property is the 100 TB pattern: the daily pass
+    touches 24 rows per (day, group) instead of the raw corpus, and the
+    same partials chain upward (day → month → year) at ~1/24th the input
+    per level. Exact for decomposable aggregates (count/sum/min/max; use
+    sketches for distinct counts). Returns (hourly, daily).
+    """
+    val = F.col(value_col).cast("decimal(18,4)")
+    hourly = (
+        df.groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("hour_start"), *group_cols
+        )
+        .agg(F.count("*").alias("n_events"), F.sum(val).alias("sum_value"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour_start")).alias("day_start"),
+            *group_cols,
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+    )
+    return hourly, daily

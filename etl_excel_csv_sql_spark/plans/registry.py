@@ -1071,6 +1071,30 @@ def q_events_tumbling(spark, sf_dir):
 
 
 @register(
+    "hypertable_rollup_daily",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day_start,
+           event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="hypertable-style continuous aggregate: the daily rollup derives "
+    "from HOURLY partials (sum of sums / sum of counts), never re-reading "
+    "raw — the oracle aggregates raw directly, so parity proves the "
+    "re-aggregation is exact. At 100 TB each level reads ~1/24th of the "
+    "level below",
+)
+def q_hypertable_rollup(spark, sf_dir):
+    _, daily = events.multi_resolution_rollup(_t(spark, sf_dir, "events"))
+    return daily.select(
+        F.date_format("day_start", "yyyy-MM-dd HH:mm:ss").alias("day_start"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+@register(
     "events_sliding",
     """
     SELECT strftime(time_bucket(INTERVAL '10 minutes', ts) - to_minutes(10 * off), '%Y-%m-%d %H:%M:%S') AS window_start,

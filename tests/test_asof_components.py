@@ -238,3 +238,32 @@ def test_bucketed_range_join_plan_is_hash_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan  # the degenerate inequality-join shape
+
+
+def test_multi_resolution_rollup_reaggregation_exact(spark):
+    from etl_excel_csv_sql_spark.operators.events import multi_resolution_rollup
+    from etl_excel_csv_sql_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    hourly, daily = multi_resolution_rollup(ev)
+    # daily-from-hourly must equal daily-from-raw exactly
+    from pyspark.sql import functions as F
+
+    raw_daily = {
+        (str(r.day_start), r.event_type): (r.n, float(r.s))
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("day_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+        )
+        .collect()
+    }
+    got = {
+        (str(r.day_start), r.event_type): (r.n_events, float(r.sum_value))
+        for r in daily.collect()
+    }
+    assert got == raw_daily and len(got) > 0
+    # and hourly partials sum to the same totals
+    assert hourly.agg(F.sum("n_events")).first()[0] == ev.count()
