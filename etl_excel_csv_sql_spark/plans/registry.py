@@ -1796,6 +1796,25 @@ _POSITIONAL_GRAM_CTES = r"""
 
 
 @register(
+    "approx_quantiles_price",
+    None,
+    doc="mergeable quantile sketch (Greenwald-Khanna via approx_percentile, "
+    "accuracy 1e4 → ±0.01% rank error): the distributed-percentile shape "
+    "for 100 TB where exact percentile needs a global sort. Approximate by "
+    "construction → rows-only; pytest bounds the rank error against the "
+    "exact percentiles",
+)
+def q_approx_quantiles(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx(
+            "o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000
+        ).alias("price_quantiles"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
     "range_join_price_bands",
     """
     WITH bands AS (
