@@ -202,6 +202,9 @@ def q_jdbc_fullrefresh(spark, sf_dir):
     return sink.read(spark)
 
 
+_DERBY_RUN_SEQ = [0]
+
+
 @register(
     "jdbc_live_roundtrip",
     """
@@ -218,7 +221,15 @@ def q_jdbc_fullrefresh(spark, sf_dir):
 def q_jdbc_live_roundtrip(spark, sf_dir):
     from etl_excel_csv_sql_spark.io.jdbc import JdbcFullRefreshSink
 
-    scratch = _scratch("jdbc_derby")
+    # Unique path per call: embedded Derby caches booted databases per
+    # JVM, so wiping and recreating the SAME path within one session would
+    # hand back a cached engine over deleted files. A fresh path per call
+    # sidesteps the boot cache; stale dirs from prior sessions are wiped
+    # when their (name, seq) recurs in a new JVM.
+    _DERBY_RUN_SEQ[0] += 1
+    scratch = _scratch(
+        f"jdbc_derby_{os.path.basename(sf_dir.rstrip('/'))}_{_DERBY_RUN_SEQ[0]}"
+    )
     url = f"jdbc:derby:{os.path.join(scratch, 'db')};create=true"
     opts = {
         "driver": "org.apache.derby.jdbc.EmbeddedDriver",
