@@ -119,3 +119,101 @@ def frame_sample_plan(
         "media_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     ).withColumn("sample_ts_s", F.col("frame_idx") * every_n_seconds)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("src_width", IntegerType(), True),
+        StructField("src_height", IntegerType(), True),
+        StructField("dst_width", IntegerType(), True),
+        StructField("dst_height", IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, max_side: int = 256, strict: bool = False
+) -> DataFrame:
+    """Aspect-preserving thumbnail resize via mapInPandas — payload in,
+    payload out, plus source/target dims. The resize KERNEL is the stub
+    (payload passes through; a real implementation swaps in PIL's
+    ``thumbnail`` inside the batch loop); the Arrow batch flow, binary
+    round-trip, and dimension arithmetic are real and tested.
+
+    At 100 TB: this is the straggler-prone stage — repartition by a
+    byte_len size bucket BEFORE it so a partition of 4K stills doesn't
+    serialize behind thumbnails; output payloads shrink, so coalesce
+    after.
+    """
+    if strict:
+        raise NotImplementedError(
+            "image resize requires a codec library (PIL/opencv) not "
+            "present in this environment; plumbing is testable via strict=False"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = pdf["payload"].map(_fake_decode_dims)
+            sw = dims.map(lambda d: d[0])
+            sh = dims.map(lambda d: d[1])
+            scale = pd.concat([sw, sh], axis=1).max(axis=1).map(
+                lambda side: min(1.0, max_side / side) if side else 0.0
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"],  # stub: real kernel re-encodes
+                    "src_width": sw.astype("int32"),
+                    "src_height": sh.astype("int32"),
+                    "dst_width": (sw * scale).round().astype("int32"),
+                    "dst_height": (sh * scale).round().astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("byte_len", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_s", IntegerType(), True),
+    ]
+)
+
+
+def extract_audio_meta(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Audio feature extraction via mapInPandas: (sample_rate, n_samples,
+    duration) per payload. The demux KERNEL is the stub (deterministic
+    fake from header bytes — a real implementation reads the container
+    header via soundfile/ffprobe); batching and typed output are real."""
+    if strict:
+        raise NotImplementedError(
+            "audio demuxing requires an audio library (soundfile/ffmpeg) "
+            "not present in this environment; plumbing is testable via "
+            "strict=False"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rate = pdf["payload"].map(
+                lambda p: 8000 * (1 + (sum(p[:16]) % 6)) if p is not None else 0
+            )
+            n_samples = pdf["byte_len"].fillna(0).astype("int64") * 4
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": pdf["byte_len"],
+                    "sample_rate": rate.astype("int32"),
+                    "n_samples": n_samples,
+                    "duration_s": (
+                        n_samples // rate.replace(0, 1).astype("int64")
+                    ).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, AUDIO_META_SCHEMA)

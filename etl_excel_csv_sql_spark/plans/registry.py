@@ -2195,6 +2195,31 @@ def q_media_image_meta(spark, sf_dir):
     return multimodal.extract_image_meta(media)
 
 
+@register(
+    "media_resize_plan",
+    None,  # stub kernel (payload passthrough) → rows-only check
+    doc="aspect-preserving thumbnail plan via Arrow mapInPandas: binary "
+    "payload round-trips batches, target dims bounded by max_side (resize "
+    "kernel stubbed — swapping in PIL changes only the batch body)",
+)
+def q_media_resize(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.to_media_column(docs, "doc_id", "text", "image")
+    return multimodal.resize_images(media, max_side=256).drop("payload")
+
+
+@register(
+    "media_audio_meta",
+    None,  # fake demuxer → rows-only check
+    doc="audio feature extraction via Arrow mapInPandas (sample rate / "
+    "sample count / duration; demux kernel stubbed)",
+)
+def q_media_audio_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.to_media_column(docs, "doc_id", "text", "audio")
+    return multimodal.extract_audio_meta(media)
+
+
 # io/runner lifecycle queries register themselves on import (deferred to the
 # bottom so their `from ...registry import register` resolves).
 from etl_excel_csv_sql_spark.plans import lifecycle_queries  # noqa: E402,F401

@@ -65,3 +65,47 @@ def test_jdbc_query_source_in_list_splice():
     )
     # original untouched (immutable splice)
     assert "INVOICE_NUMBERS" in src.query
+
+
+def test_resize_images_plumbing(spark):
+    import pytest
+
+    from etl_excel_csv_sql_spark.operators.multimodal import (
+        resize_images,
+        to_media_column,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG" + b"x" * 100)), (2, bytearray(b"\xff\xd8\xff\xe0y" * 8))],
+        ["doc_id", "img"],
+    )
+    media = to_media_column(df, "doc_id", "img")
+    out = {r.media_id: r for r in resize_images(media, max_side=128).collect()}
+    assert len(out) == 2
+    for r in out.values():
+        # aspect preserved (±1 rounding) and bounded by max_side
+        assert max(r.dst_width, r.dst_height) <= 128
+        assert r.payload is not None  # binary round-trips through Arrow
+        assert abs(r.dst_width / r.dst_height - r.src_width / r.src_height) < 0.05
+    with pytest.raises(NotImplementedError):
+        resize_images(media, strict=True)
+
+
+def test_extract_audio_meta_plumbing(spark):
+    import pytest
+
+    from etl_excel_csv_sql_spark.operators.multimodal import (
+        extract_audio_meta,
+        to_media_column,
+    )
+
+    df = spark.createDataFrame(
+        [(7, bytearray(b"RIFFxxxxWAVE" * 40))], ["doc_id", "clip"]
+    )
+    media = to_media_column(df, "doc_id", "clip", media_type="audio")
+    row = extract_audio_meta(media).collect()[0]
+    assert row.media_id == 7 and row.sample_rate % 8000 == 0
+    assert row.n_samples == row.byte_len * 4
+    assert row.duration_s == row.n_samples // row.sample_rate
+    with pytest.raises(NotImplementedError):
+        extract_audio_meta(media, strict=True)
