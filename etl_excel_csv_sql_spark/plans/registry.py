@@ -1588,6 +1588,40 @@ def q_lang_id(spark, sf_dir):
 
 
 @register(
+    "lang_confusion_matrix",
+    "WITH pred AS ("
+    + _REGISTRY["lang_id_heuristic"].oracle
+    + """
+    )
+    SELECT lang, lang_pred, count(*) AS n_docs,
+           round(count(*) * 1.0 /
+                 sum(count(*)) OVER (PARTITION BY lang), 6) AS share_of_lang
+    FROM pred GROUP BY 1, 2
+    """,
+    doc="classifier-evaluation shape: labeled-vs-predicted language "
+    "confusion matrix with per-truth-language shares (the diagonal is "
+    "recall). Reuses the lang-ID oracle verbatim so both stay in lockstep; "
+    "one agg shuffle over (lang, pred) pairs + a broadcast of per-lang "
+    "totals",
+)
+def q_lang_confusion(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    totals = counts.groupBy("lang").agg(F.sum("n_docs").alias("__total"))
+    return (
+        counts.join(F.broadcast(totals), "lang")
+        .withColumn(
+            "share_of_lang", F.round(F.col("n_docs") / F.col("__total"), 6)
+        )
+        .select("lang", "lang_pred", "n_docs", "share_of_lang")
+    )
+
+
+@register(
     "tfidf_top_terms",
     rf"""
     WITH toks AS (
