@@ -271,3 +271,88 @@ def bucketed_range_join(
     for c in intervals.columns:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(iv.dtypes)[c]))
     return matched.unionByName(unmatched).drop("__pid")
+
+
+def scd2_apply(
+    dim: DataFrame,
+    snapshot: DataFrame,
+    key_cols: Sequence[str],
+    tracked_cols: Sequence[str],
+    effective_ts: Column,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    close_missing: bool = False,
+) -> DataFrame:
+    """Apply a full snapshot to a type-2 slowly-changing dimension.
+
+    ``dim`` holds (keys, tracked attrs, valid_from, valid_to) with NULL
+    valid_to marking current rows. Per key:
+
+    - attrs changed (null-safe compare) → the current row closes at
+      ``effective_ts`` and a new open row is inserted;
+    - new key → open row inserted;
+    - unchanged → untouched;
+    - key absent from the snapshot → closed iff ``close_missing``.
+
+    Plan: history rows pass through untouched; one full-outer hash join of
+    CURRENT rows vs the snapshot on the keys (both sides narrow: keys +
+    tracked attrs), then unions of projections. At 100 TB the join
+    shuffles only the current generation — history (the bulk of an SCD2
+    table) is never joined, and with both sides bucketed by key the join
+    is co-located. Deterministic output for a deterministic
+    ``effective_ts``.
+    """
+    keys = list(key_cols)
+    tracked = list(tracked_cols)
+    cur = dim.filter(F.col(valid_to).isNull())
+    hist = dim.filter(F.col(valid_to).isNotNull())
+
+    snap = snapshot.select(
+        *[F.col(k).alias(f"__sk_{k}") for k in keys],
+        *[F.col(t).alias(f"__sv_{t}") for t in tracked],
+        F.lit(True).alias("__in_snap"),
+    )
+    key_match = [F.col(k).eqNullSafe(F.col(f"__sk_{k}")) for k in keys]
+    join_cond = key_match[0]
+    for m in key_match[1:]:
+        join_cond = join_cond & m
+    joined = cur.withColumn("__in_dim", F.lit(True)).join(
+        snap, on=join_cond, how="full_outer"
+    )
+    same_attrs = None
+    for t in tracked:
+        eq = F.col(t).eqNullSafe(F.col(f"__sv_{t}"))
+        same_attrs = eq if same_attrs is None else (same_attrs & eq)
+    in_dim = F.col("__in_dim").isNotNull()
+    in_snap = F.col("__in_snap").isNotNull()
+
+    dim_cols = [*keys, *tracked, valid_from, valid_to]
+    # current rows that survive unchanged
+    kept = joined.filter(in_dim & in_snap & same_attrs).select(*dim_cols)
+    # current rows closed: attrs changed, or key gone (when close_missing)
+    close_cond = (in_dim & in_snap & ~same_attrs) | (
+        (in_dim & ~in_snap) if close_missing else F.lit(False)
+    )
+    closed = joined.filter(close_cond).select(
+        *keys, *tracked, F.col(valid_from), effective_ts.alias(valid_to)
+    )
+    # new open rows: changed attrs (new version) or brand-new key
+    opened = joined.filter(in_snap & (~in_dim | ~same_attrs)).select(
+        *[F.col(f"__sk_{k}").alias(k) for k in keys],
+        *[F.col(f"__sv_{t}").alias(t) for t in tracked],
+        effective_ts.alias(valid_from),
+        F.lit(None).cast("timestamp").alias(valid_to),
+    )
+    # keys absent from the snapshot, not closed → stay current
+    missing_kept = (
+        joined.filter(in_dim & ~in_snap).select(*dim_cols)
+        if not close_missing
+        else hist.limit(0).select(*dim_cols)
+    )
+    return (
+        hist.select(*dim_cols)
+        .unionByName(kept)
+        .unionByName(closed)
+        .unionByName(missing_kept)
+        .unionByName(opened)
+    )

@@ -1830,6 +1830,70 @@ _POSITIONAL_GRAM_CTES = r"""
 
 
 @register(
+    "scd2_snapshot_apply",
+    """
+    WITH dim AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'OLDSEG'
+                  ELSE c_mktsegment END AS segment,
+             TIMESTAMP '2024-01-01 00:00:00' AS valid_from
+      FROM customer WHERE c_custkey < 200 AND c_custkey % 11 <> 0
+    ), snap AS (
+      SELECT c_custkey, c_mktsegment AS segment
+      FROM customer WHERE c_custkey < 220
+    )
+    -- unchanged current rows stay open
+    SELECT d.c_custkey, d.segment, d.valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM dim d JOIN snap s
+      ON d.c_custkey = s.c_custkey AND d.segment = s.segment
+    UNION ALL
+    -- changed rows close at the effective instant
+    SELECT d.c_custkey, d.segment, d.valid_from,
+           TIMESTAMP '2024-06-01 00:00:00' AS valid_to
+    FROM dim d JOIN snap s
+      ON d.c_custkey = s.c_custkey AND d.segment <> s.segment
+    UNION ALL
+    -- new versions + brand-new keys open at the effective instant
+    SELECT s.c_custkey, s.segment,
+           TIMESTAMP '2024-06-01 00:00:00' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM snap s LEFT JOIN dim d ON s.c_custkey = d.c_custkey
+    WHERE d.c_custkey IS NULL OR d.segment <> s.segment
+    """,
+    doc="type-2 slowly-changing dimension apply: a full snapshot closes "
+    "changed rows at the effective instant, inserts new versions and new "
+    "keys, and leaves unchanged/history rows untouched. Only the CURRENT "
+    "generation joins the snapshot — history never shuffles. Dimension "
+    "seeded deterministically (every 7th key carries a stale segment; "
+    "every 11th key is missing; keys 200-219 are brand-new)",
+)
+def q_scd2_apply(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.filter(
+        (F.col("c_custkey") < 200) & (F.col("c_custkey") % 11 != 0)
+    ).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("OLDSEG"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    snap = cust.filter(F.col("c_custkey") < 220).select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    res = relational.scd2_apply(
+        dim,
+        snap,
+        ["c_custkey"],
+        ["segment"],
+        F.lit("2024-06-01 00:00:00").cast("timestamp"),
+    )
+    return res.select("c_custkey", "segment", "valid_from", "valid_to")
+
+
+@register(
     "approx_quantiles_price",
     None,
     doc="mergeable quantile sketch (Greenwald-Khanna via approx_percentile, "

@@ -54,3 +54,42 @@ def test_merge_sink_upserts_and_preserves(spark, tmp_path):
     # idempotent re-apply of the same increment changes nothing
     sink.upsert(spark, spark.createDataFrame([(2, "v2")], ["id", "val"]))
     assert {r.id: r.val for r in sink.read(spark).collect()} == got
+
+
+def test_scd2_apply_generations_and_close_missing(spark):
+    from pyspark.sql import functions as F
+
+    from etl_excel_csv_sql_spark.operators.relational import scd2_apply
+
+    t0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    t1 = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    t2 = F.lit("2024-12-01 00:00:00").cast("timestamp")
+    dim = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, None)], ["k", "attr"]
+    ).select("k", "attr", t0.alias("valid_from"),
+             F.lit(None).cast("timestamp").alias("valid_to"))
+
+    # snapshot: 1 unchanged, 2 changed, 3 unchanged (null attr, null-safe),
+    # 4 brand new
+    snap1 = spark.createDataFrame(
+        [(1, "A"), (2, "B2"), (3, None), (4, "D")], ["k", "attr"]
+    )
+    g1 = scd2_apply(dim, snap1, ["k"], ["attr"], t1)
+    rows = {(r.k, r.attr, r.valid_to is None) for r in g1.collect()}
+    assert (1, "A", True) in rows          # unchanged stays open
+    assert (2, "B", False) in rows         # old version closed
+    assert (2, "B2", True) in rows         # new version open
+    assert (3, None, True) in rows         # null attr compares null-safe
+    assert (4, "D", True) in rows          # new key
+    assert len(rows) == 5
+
+    # second generation: key 4 disappears; close_missing retires it
+    snap2 = spark.createDataFrame([(1, "A"), (2, "B2"), (3, None)], ["k", "attr"])
+    g2 = scd2_apply(g1, snap2, ["k"], ["attr"], t2, close_missing=True)
+    got = {(r.k, r.attr): (r.valid_to is None) for r in g2.collect()
+           if not (r.k == 2 and r.attr == "B")}
+    assert got[(4, "D")] is False          # retired
+    assert got[(1, "A")] and got[(2, "B2")] and got[(3, None)]
+    # history row from generation 1 still present and closed
+    hist = [r for r in g2.collect() if r.k == 2 and r.attr == "B"]
+    assert len(hist) == 1 and hist[0].valid_to is not None
