@@ -356,3 +356,73 @@ def scd2_apply(
         .unionByName(missing_kept)
         .unionByName(opened)
     )
+
+
+def reconciliation_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Key-reconciliation report between two tables: one row per status in
+    (both, left_only, right_only) with distinct-key counts — the
+    validation step after any migration or sync (does every source key
+    exist downstream, and what leaked in that shouldn't?).
+
+    Plan: distinct keys on each side (map-side partial dedup), one hash
+    full-outer join on the key, then a 3-group aggregate. Shuffles carry
+    distinct keys only, never source rows.
+    """
+    lk = left.select(F.col(left_key).alias("k")).distinct().withColumn(
+        "__l", F.lit(True)
+    )
+    rk = right.select(F.col(right_key).alias("k")).distinct().withColumn(
+        "__r", F.lit(True)
+    )
+    joined = lk.join(rk, "k", "full_outer")
+    status = (
+        F.when(F.col("__l").isNotNull() & F.col("__r").isNotNull(), "both")
+        .when(F.col("__l").isNotNull(), "left_only")
+        .otherwise("right_only")
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_keys"))
+    )
+
+
+def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column data-quality profile: one row per column with row count,
+    null count, distinct count, and min/max rendered as strings — the
+    engine-side replacement for eyeballing a sample before a load.
+
+    Plan: ONE aggregate pass over the table computing every column's
+    stats together (count_distinct adds its expand internally), then a
+    stack() unpivot of the single result row — the table is scanned once
+    regardless of column count.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(F.count("*").alias("__n"), *aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return one.selectExpr(
+        "__n AS n_rows",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_non_null, n_distinct, min_value, max_value)",
+    ).select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_non_null")).alias("n_null"),
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )

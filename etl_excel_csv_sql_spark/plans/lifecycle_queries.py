@@ -333,6 +333,51 @@ def q_events_tumbling_streaming(spark, sf_dir):
 
 
 @register(
+    "events_streaming_dedup",
+    """
+    SELECT event_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value
+    FROM events
+    """,
+    doc="streaming exactly-once by key, end-to-end: the events table is "
+    "replayed DUPLICATED (unioned with itself) through readStream → "
+    "dropDuplicates(event_id) → append-mode memory sink (availableNow). "
+    "Exact parity with SELECT-all-events proves every duplicate was "
+    "dropped and nothing else — the consume-once guarantee (T2/T3) in its "
+    "streaming form",
+)
+def q_events_streaming_dedup(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.streaming.dedup import dedupe_stream_forever
+
+    scratch = _scratch(
+        "events_stream_dedup_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    src = os.path.join(scratch, "events_in")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,4)").cast("double").alias("value"),
+    )
+    ev.unionAll(ev).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = dedupe_stream_forever(stream, ["event_id"])
+    _STREAM_RUN_SEQ[0] += 1
+    sink_name = f"evt_dedup_stream_{_STREAM_RUN_SEQ[0]}"
+    (
+        deduped.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink_name).select("event_id", "event_type", "value")
+
+
+@register(
     "quarantine_split_rows",
     """
     WITH mixed AS (

@@ -1830,6 +1830,65 @@ _POSITIONAL_GRAM_CTES = r"""
 
 
 @register(
+    "reconciliation_customer_orders",
+    """
+    WITH lk AS (SELECT DISTINCT c_custkey AS k FROM customer),
+         rk AS (SELECT DISTINCT o_custkey AS k FROM orders)
+    SELECT CASE WHEN lk.k IS NOT NULL AND rk.k IS NOT NULL THEN 'both'
+                WHEN lk.k IS NOT NULL THEN 'left_only'
+                ELSE 'right_only' END AS status,
+           count(*) AS n_keys
+    FROM lk FULL OUTER JOIN rk ON lk.k = rk.k
+    GROUP BY 1
+    """,
+    doc="post-migration key reconciliation: distinct customer keys vs "
+    "ordering customer keys, bucketed both/left_only/right_only — the "
+    "validation report after any sync. Shuffles distinct keys only",
+)
+def q_reconciliation(spark, sf_dir):
+    return relational.reconciliation_report(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        "c_custkey",
+        "o_custkey",
+    )
+
+
+@register(
+    "table_profile_customer",
+    """
+    WITH s AS (
+      SELECT count(*) AS n_rows,
+             count(c_custkey) AS nn_k, count(DISTINCT c_custkey) AS nd_k,
+             CAST(min(c_custkey) AS VARCHAR) AS mn_k,
+             CAST(max(c_custkey) AS VARCHAR) AS mx_k,
+             count(c_mktsegment) AS nn_s, count(DISTINCT c_mktsegment) AS nd_s,
+             CAST(min(c_mktsegment) AS VARCHAR) AS mn_s,
+             CAST(max(c_mktsegment) AS VARCHAR) AS mx_s,
+             count(c_acctbal) AS nn_b, count(DISTINCT c_acctbal) AS nd_b,
+             CAST(min(c_acctbal) AS VARCHAR) AS mn_b,
+             CAST(max(c_acctbal) AS VARCHAR) AS mx_b
+      FROM customer
+    )
+    SELECT 'c_custkey' AS column_name, n_rows, n_rows - nn_k AS n_null,
+           nd_k AS n_distinct, mn_k AS min_value, mx_k AS max_value FROM s
+    UNION ALL
+    SELECT 'c_mktsegment', n_rows, n_rows - nn_s, nd_s, mn_s, mx_s FROM s
+    UNION ALL
+    SELECT 'c_acctbal', n_rows, n_rows - nn_b, nd_b, mn_b, mx_b FROM s
+    """,
+    doc="per-column data-quality profile (nulls / distincts / min / max as "
+    "strings) in ONE scan + a stack() unpivot — the pre-load inspection "
+    "step an ETL engine owes its operators",
+)
+def q_table_profile(spark, sf_dir):
+    return relational.profile_table(
+        _t(spark, sf_dir, "customer"),
+        ["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+
+
+@register(
     "scd2_snapshot_apply",
     """
     WITH dim AS (
