@@ -76,29 +76,46 @@ def main() -> int:
             pass
     log(f"bench: warmup {time.perf_counter()-t_warm:.2f}s")
 
+    # Two passes per query: pass 1 is the round-over-round comparable
+    # number (same single-shot methodology as r1/r2 → "value"/"queries");
+    # min-of-both is the host-noise-robust figure ("value_best"/
+    # "queries_best") — this box shows ±20-30% load swings between runs
+    # with identical code (see .benchmarks/history.jsonl).
     timings: dict[str, float] = {}
+    best: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             log(f"bench: {name} not registered, skipping")
             continue
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # record the failure, keep benching
-            log(f"bench: {name} FAILED: {exc}")
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # record the failure, keep benching
+                log(f"bench: {name} FAILED: {exc}")
+                runs = None
+                break
+            runs.append(round(time.perf_counter() - t0, 3))
+        if runs is None:
             timings[name] = -1.0
+            best[name] = -1.0
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
-        log(f"bench: {name}: {timings[name]:.3f}s")
+        timings[name] = runs[0]
+        best[name] = min(runs)
+        log(f"bench: {name}: {runs[0]:.3f}s (best {min(runs):.3f}s)")
 
     ok = {k: v for k, v in timings.items() if v >= 0}
+    ok_best = {k: v for k, v in best.items() if v >= 0}
     result = {
         "metric": "headline_queries_wall",
         "value": round(sum(ok.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_best": best,
+        "value_best": round(sum(ok_best.values()), 3),
         "sf": sf,
     }
     try:
