@@ -92,3 +92,44 @@ def test_excel_serial_roundtrips_within_a_second(spark, serials):
         actual = r.ts.replace(tzinfo=timezone.utc)
         # conversion rounds to whole seconds
         assert abs((actual - expected).total_seconds()) <= 0.5001
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=1,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-100, max_value=90, allow_nan=False),
+            st.floats(min_value=0.5, max_value=40, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.floats(min_value=0.7, max_value=25, allow_nan=False),
+)
+def test_bucketed_range_join_matches_naive(spark, points, intervals, width):
+    """The bucketized range join must equal the naive cross-join filter
+    for ANY points/intervals/bucket_width."""
+    from etl_excel_csv_sql_spark.operators.relational import bucketed_range_join
+
+    pdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(points)], ["pid", "v"]
+    )
+    idf = spark.createDataFrame(
+        [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(intervals)],
+        ["band", "lo", "hi"],
+    )
+    got = sorted(
+        (r.pid, r.band)
+        for r in bucketed_range_join(pdf, idf, "v", "lo", "hi", width).collect()
+    )
+    naive = sorted(
+        (r.pid, r.band)
+        for r in pdf.crossJoin(idf)
+        .filter((F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")))
+        .collect()
+    )
+    assert got == naive
