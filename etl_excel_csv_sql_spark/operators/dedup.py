@@ -422,6 +422,11 @@ def simhash_pairs(
     longs + ids — never text.
     """
     sh = simhash_frame(df, id_col, text_col, n, seed)
+    # NOTE: the self-join consumes the banded frame on both sides and
+    # Catalyst does not ReuseExchange across them, so the SimHash pipeline
+    # runs twice. Measured on this corpus, recomputing the (cheap, fully
+    # codegen'd) fold is FASTER than checkpointing 20 keys/doc — an A/B
+    # with localCheckpoint(eager=True) here was ~2x slower warm.
     banded = simhash_band_keys(sh, max_hamming, n_blocks)
     a = banded.alias("a")
     b = banded.alias("b")
