@@ -1830,6 +1830,23 @@ _POSITIONAL_GRAM_CTES = r"""
 
 
 @register(
+    "dedup_pipeline_minhash",
+    None,  # MinHash candidates are probabilistic → rows-only; pytest + the
+    # exact-path twin (dedup_keep_first) carry the value-level evidence
+    doc="the WHOLE LLM dedup pipeline in one call: MinHash+LSH candidate "
+    "pairs (exact-Jaccard verified) → connected components → keep-first "
+    "anti join. What a user runs on a fresh 100 TB corpus; every stage is "
+    "the subquadratic scale path",
+)
+def q_dedup_pipeline_minhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.12)
+    return dedup.dedup_keep_first(docs, pairs, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
     "reconciliation_customer_orders",
     """
     WITH lk AS (SELECT DISTINCT c_custkey AS k FROM customer),
