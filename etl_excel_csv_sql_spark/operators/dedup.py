@@ -367,8 +367,13 @@ def simhash_band_keys(
     """
     k = max_hamming
     b = n_blocks if n_blocks is not None else k + 3
-    assert b > k, f"n_blocks ({b}) must exceed max_hamming ({k})"
-    assert b <= 64, "at most one block per bit"
+    # real exceptions, not asserts: under ``python -O`` an invalid b <= k
+    # would silently emit keys from combinations(range(b), negative) and
+    # return no candidates at all
+    if b <= k:
+        raise ValueError(f"n_blocks ({b}) must exceed max_hamming ({k})")
+    if b > 64:
+        raise ValueError(f"n_blocks ({b}) cannot exceed 64 (one block per bit)")
     from itertools import combinations
 
     # Even bit split: first (64 % b) blocks get one extra bit. Shift

@@ -204,15 +204,18 @@ def extract_audio_meta(df: DataFrame, strict: bool = False) -> DataFrame:
                 lambda p: 8000 * (1 + (sum(p[:16]) % 6)) if p is not None else 0
             )
             n_samples = pdf["byte_len"].fillna(0).astype("int64") * 4
+            rate64 = rate.astype("int64")
+            # rate == 0 (null payload) → duration 0, never n_samples / 1
+            duration = (n_samples // rate64.where(rate64 > 0, 1)).where(
+                rate64 > 0, 0
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "byte_len": pdf["byte_len"],
                     "sample_rate": rate.astype("int32"),
                     "n_samples": n_samples,
-                    "duration_s": (
-                        n_samples // rate.replace(0, 1).astype("int64")
-                    ).astype("int32"),
+                    "duration_s": duration.astype("int32"),
                 }
             )
 

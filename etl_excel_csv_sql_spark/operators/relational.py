@@ -37,9 +37,24 @@ def spread_for_compute(df: DataFrame, min_partitions: int | None = None) -> Data
     ≥ cores partitions and this is a no-op; the round-robin shuffle it
     adds in the small-input case costs far less than the serialization it
     removes. Expensive per-row operators (simhash, minhash, shingling)
-    call this on their input."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    call this on their input.
+
+    The underpartitioned probe is plan METADATA, not an RDD: converting
+    via ``df.rdd.getNumPartitions()`` materializes Python-conversion
+    lineage on every call (this sits on the input path of every expensive
+    text operator). Instead compare the optimizer's size estimate against
+    ``target × maxPartitionBytes`` — the same arithmetic FilePartition
+    planning uses to size scan splits, so the decision matches the
+    partition count Spark would actually produce for a file scan, at the
+    cost of a catalog-stats lookup only.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    size_bytes = int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    max_pb = int(spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes())
+    if size_bytes < target * max_pb:
         return df.repartition(target)
     return df
 
@@ -402,17 +417,32 @@ def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     stack() unpivot of the single result row — the table is scanned once
     regardless of column count.
     """
+    # Generated identifiers are backtick-quoted and the name literal is
+    # escaped so a column named `weird col`, `it's`, or one containing
+    # backticks can't break (or inject into) the stack() expression.
+    def _ident(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    def _strlit(name: str) -> str:
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     aggs = []
     for c in cols:
+        # every name reference goes through the quoted form — both F.col
+        # and df[...] PARSE attribute names, so raw embedded backticks
+        # (or dots) would be rejected or misread
+        qc = F.col(_ident(c))
         aggs += [
-            F.count(F.col(c)).alias(f"__nn_{c}"),
-            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            F.count(qc).alias(f"__nn_{c}"),
+            F.countDistinct(qc).alias(f"__nd_{c}"),
+            F.min(qc).cast("string").alias(f"__mn_{c}"),
+            F.max(qc).cast("string").alias(f"__mx_{c}"),
         ]
     one = df.agg(F.count("*").alias("__n"), *aggs)
     stack_args = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+        f"{_strlit(c)}, {_ident('__nn_' + c)}, {_ident('__nd_' + c)}, "
+        f"{_ident('__mn_' + c)}, {_ident('__mx_' + c)}"
+        for c in cols
     )
     return one.selectExpr(
         "__n AS n_rows",

@@ -66,15 +66,24 @@ def tfidf_top_terms(
         spread_for_compute,
     )
 
-    n_docs = df.count()  # scalar driver value: sizes the idf constant
+    # N sizes the idf constant IN-PLAN: a single-row count aggregate is
+    # cross-broadcast into the scoring projection (the same shape as
+    # corpus_mixture_weights' grand total). The previous df.count() was a
+    # separate driver action — one whole extra corpus scan spent computing
+    # a scalar before the real job even started.
+    totals = F.broadcast(df.agg(F.count("*").alias("__n_docs")))
     terms = spread_for_compute(df).select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(text_col)).alias("term_raw"),
     ).select("doc", F.lower(F.col("term_raw")).alias("term"))
     tf = terms.groupBy("doc", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df")).crossJoin(totals)
     if max_df_ratio < 1.0:
-        dfreq = dfreq.filter(F.col("df") <= int(max_df_ratio * n_docs))
+        # floor() == int() truncation for the non-negative product
+        dfreq = dfreq.filter(
+            F.col("df")
+            <= F.floor(F.lit(max_df_ratio) * F.col("__n_docs")).cast("long")
+        )
     dfreq = dfreq.filter(F.col("df") >= min_df)
     scored = tf.join(dfreq, "term").select(
         "doc",
@@ -82,7 +91,9 @@ def tfidf_top_terms(
         "tf",
         "df",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            F.col("tf")
+            * F.log(F.col("__n_docs").cast("double") / F.col("df")),
+            6,
         ).alias("score"),
     )
     key = F.struct(

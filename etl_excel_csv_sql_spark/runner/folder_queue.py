@@ -90,6 +90,13 @@ class FolderQueue:
                 self.errorlog.log(f"{exc} (file {path} left for next cycle)")
                 results[path] = Outcome.SKIPPED
                 continue
-            self.archive(path, now)
+            try:
+                self.archive(path, now)
+            except OSError as exc:  # same contract for the move itself
+                self.errorlog.log(
+                    f"{exc} (archive failed; {path} left for next cycle)"
+                )
+                results[path] = Outcome.SKIPPED
+                continue
             results[path] = Outcome.PROCESSED
         return results

@@ -157,7 +157,21 @@ def import_csv_to_table(spark: SparkSession, job: CsvImportJob) -> dict[str, Out
         job.queue.errorlog.log(f"{exc} (batch {pending} left for next cycle)")
         return {p: Outcome.SKIPPED for p in pending}
 
-    return {p: Outcome.PROCESSED for p in pending if job.queue.archive(p)}
+    # Archive under the same log-and-continue contract as processing: a
+    # failed move must not raise out of the cycle, and files archived
+    # before a failure must still appear in the outcome map.
+    outcomes: dict[str, Outcome] = {}
+    for p in pending:
+        try:
+            job.queue.archive(p)
+        except OSError as exc:
+            job.queue.errorlog.log(
+                f"{exc} (archive failed; {p} left for next cycle)"
+            )
+            outcomes[p] = Outcome.SKIPPED
+        else:
+            outcomes[p] = Outcome.PROCESSED
+    return outcomes
 
 
 # ---------------------------------------------------------------------------

@@ -67,7 +67,9 @@ class WatermarkStore:
         while the batch runs leaves the file pending for the next run
         instead of being silently absorbed."""
         mtime = os.stat(path).st_mtime
-        self._observed[source] = mtime
+        # keyed by (source, path): a source checked against several paths
+        # in one cycle must not commit whichever path was stat'd last
+        self._observed[(source, path)] = mtime
         return mtime > self.last_unix_seconds(source)
 
     def commit(self, source: str, path: str, mtime: float | None = None) -> int:
@@ -80,7 +82,7 @@ class WatermarkStore:
         ExcelToCSVexport.ps1:222-225) — the at-least-once guarantee: a
         crash before commit re-processes, never skips."""
         if mtime is None:
-            mtime = self._observed.get(source)
+            mtime = self._observed.get((source, path))
         if mtime is None:
             mtime = os.stat(path).st_mtime
         os.makedirs(self.folder, exist_ok=True)

@@ -283,3 +283,23 @@ def test_t4_invoice_search_idempotent_rerun(spark, tmp_path):
     r2 = invoice_search(spark, job, db)
     assert r2["expected"] == 1 and r2["found"] == 0
     assert r2["copies"]["copied"] == 0 and r2["copies"]["skipped"] == 0
+
+
+def test_watermark_observed_keyed_per_path(tmp_path):
+    # One source checked against TWO paths in a cycle: each commit must
+    # persist the mtime observed for ITS path, not whichever path was
+    # stat'd last (ADVICE r3: _observed keyed by (source, path)).
+    store = WatermarkStore(str(tmp_path / "state"))
+    old = tmp_path / "old.xlsx"
+    new = tmp_path / "new.xlsx"
+    old.write_text("v1")
+    new.write_text("v1")
+    t_old, t_new = time.time() - 3600, time.time() + 3600
+    os.utime(old, (t_old, t_old))
+    os.utime(new, (t_new, t_new))
+    store.should_process("book", str(old))
+    store.should_process("book", str(new))  # stat'd last
+    committed = store.commit("book", str(old))
+    from etl_excel_csv_sql_spark.functions.scalars import ticks_to_unix_seconds
+
+    assert abs(ticks_to_unix_seconds(committed) - t_old) < 1.0

@@ -133,3 +133,20 @@ def test_bucketed_range_join_matches_naive(spark, points, intervals, width):
         .collect()
     )
     assert got == naive
+
+
+def test_profile_table_quotes_hostile_column_names(spark):
+    """Generated stack()/agg identifiers are backtick-quoted and the name
+    literal escaped: a column named with spaces, quotes, or backticks must
+    profile cleanly instead of breaking the generated SQL (ADVICE r3)."""
+    from etl_excel_csv_sql_spark.operators.relational import profile_table
+
+    hostile = ["weird col", "it's", "tick`mark"]
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5)],
+        "`weird col` int, `it's` string, `tick``mark` double",
+    )
+    out = {r.column_name: r for r in profile_table(df, hostile).collect()}
+    assert set(out) == set(hostile)
+    assert out["weird col"].n_null == 0 and out["it's"].n_null == 1
+    assert out["tick`mark"].min_value == "1.5"

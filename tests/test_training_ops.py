@@ -240,3 +240,30 @@ def test_duplicate_ngram_spans_hashed_path_agrees(spark):
     assert "gram_hash" in hashed.columns and "gram" not in hashed.columns
     hash_counts = sorted((r.n_docs, r.n_occurrences) for r in hashed.collect())
     assert text_counts == hash_counts
+
+
+def test_tfidf_builds_without_driver_action(spark):
+    """idf sizing is in-plan: constructing the tfidf frame must launch NO
+    Spark job (the old shape ran df.count() on the driver — a whole extra
+    corpus pass before the real query). The N constant rides in as a
+    cross-broadcast single-row aggregate instead."""
+    from etl_excel_csv_sql_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta"), (3, "alpha zeta")],
+        ["doc_id", "text"],
+    )
+    group = "tfidf-lazy-build-probe"
+    spark.sparkContext.setJobGroup(group, "tfidf construction must be lazy")
+    try:
+        out = tfidf_top_terms(docs, k=2, max_df_ratio=0.9)
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+    tracker = spark.sparkContext.statusTracker()
+    assert tracker.getJobIdsForGroup(group) == [], (
+        "tfidf_top_terms launched a job during construction"
+    )
+    rows = {(r.doc, r.term) for r in out.collect()}
+    # 'alpha' has df == 3 > floor(0.9 * 3) → dropped as a stop term
+    assert all(term != "alpha" for _, term in rows)
+    assert (1, "beta") in rows or (1, "gamma") in rows
