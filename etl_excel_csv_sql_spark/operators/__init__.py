@@ -14,5 +14,6 @@ selection / AQE. Families:
 - events.py     — event-time windows & sessionization
 - asof.py       — point-in-time (as-of) join
 - sampling.py   — deterministic splits, stratified sampling
-- multimodal.py — binary-column plumbing (decode stubs, real Spark shape)
+- multimodal.py — binary media columns with REAL stdlib decode kernels
+- codecs.py — pure-stdlib BMP/PNG/PPM/JPEG/WAV codecs (struct+zlib+numpy)
 """

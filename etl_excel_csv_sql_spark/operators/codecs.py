@@ -1,0 +1,400 @@
+"""Pure-stdlib media codecs: BMP / PNG / PPM images and RIFF-WAVE audio.
+
+The container has no codec libraries (PIL/opencv/soundfile), but these
+four container formats are fully decodable with ``struct`` + ``zlib`` +
+numpy alone, so the engine's multimodal kernels can be REAL rather than
+stubbed:
+
+- BMP (Windows bitmap, BITMAPINFOHEADER, uncompressed 24-bit BGR,
+  4-byte-padded bottom-up rows) — format per the public Windows
+  BITMAPFILEHEADER/BITMAPINFOHEADER layout.
+- PNG (ISO/IEC 15948): IHDR parse for metadata; full pixel decode for
+  8-bit RGB/RGBA — IDAT concatenation, zlib inflate, and per-row
+  unfiltering (None/Sub/Up/Average/Paeth).
+- PPM (netpbm P6): ASCII header + raw RGB.
+- JPEG (ISO/IEC 10918 / JFIF): header-only dimension parse by walking
+  marker segments to SOF0..SOF15 (entropy decode is out of scope — dims
+  and metadata only).
+- WAV (RIFF-WAVE): chunk walk → fmt (rate/channels/bits) + data size.
+
+Everything operates on ``bytes`` in / ``bytes`` out with numpy pixel
+arrays (H, W, 3) uint8 in the middle, so the Spark kernels can call these
+inside Arrow-batched ``mapInPandas`` bodies without any row-object
+round-trips.
+
+These are original implementations from the public format
+specifications; the reference repo (borowiak-m/ETL.Excel_CSV_SQL) has no
+multimodal surface at all — this family comes from the builder brief's
+training-data-pipeline scope.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# BMP — uncompressed 24-bit, BITMAPINFOHEADER
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → uncompressed 24-bit BMP bytes (bottom-up
+    rows, BGR order, rows padded to 4 bytes)."""
+    h, w, _ = arr.shape
+    row_size = (3 * w + 3) // 4 * 4
+    pix_size = row_size * h
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM",
+        14 + 40 + pix_size,  # file size
+        0,
+        0,
+        14 + 40,  # pixel-data offset
+        40,  # BITMAPINFOHEADER size
+        w,
+        h,  # positive height → bottom-up
+        1,  # planes
+        24,  # bpp
+        0,  # BI_RGB (uncompressed)
+        pix_size,
+        2835,
+        2835,  # 72 DPI
+        0,
+        0,
+    )
+    bgr = arr[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : 3 * w] = bgr.reshape(h, 3 * w)
+    return header + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP bytes → (H, W, 3) uint8 RGB. Supports
+    bottom-up (height > 0) and top-down (height < 0) row order."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    dib_size, w, h_raw = struct.unpack_from("<Iii", payload, 14)
+    if dib_size < 40:
+        raise ValueError(f"unsupported DIB header size {dib_size}")
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    h = abs(h_raw)
+    row_size = (3 * w + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h, offset=pix_off
+    ).reshape(h, row_size)
+    bgr = rows[:, : 3 * w].reshape(h, w, 3)
+    if h_raw > 0:  # bottom-up storage → flip to natural top-down
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()  # BGR → RGB
+
+
+def bmp_meta(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the BMP header only — no pixel read."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    _, w, h = struct.unpack_from("<Iii", payload, 14)
+    return w, abs(h)
+
+
+# ---------------------------------------------------------------------------
+# PNG — 8-bit truecolor (RGB / RGBA)
+# ---------------------------------------------------------------------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
+    """(H, W, 3) uint8 RGB → PNG bytes (8-bit truecolor, filter type 0 on
+    every row — valid PNG; decoders must accept any per-row filter)."""
+    h, w, _ = arr.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color 2 = RGB
+    raw = np.zeros((h, 1 + 3 * w), dtype=np.uint8)
+    raw[:, 1:] = arr.reshape(h, 3 * w)  # leading 0 byte = filter None
+    idat = zlib.compress(raw.tobytes(), level)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, bit_depth, color_type) from IHDR — no inflate."""
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    if payload[12:16] != b"IHDR":
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color = struct.unpack_from(">IIBB", payload, 16)
+    return w, h, depth, color
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG per-row filtering (types 0-4) on the inflated stream.
+
+    ``raw`` is h rows of (1 filter byte + stride data bytes). Sub/Average/
+    Paeth carry a per-pixel left dependency, so those rows run a Python
+    loop over pixels; Up is vectorized. Fine for the metadata/thumbnail
+    scale this engine decodes (the 100 TB design keeps decode inside
+    Arrow-batched executors — per-row cost is the kernel's, not Spark's).
+    """
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint16)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        cur = raw[y, 1:].astype(np.uint16)
+        if ftype == 0:  # None
+            line = cur
+        elif ftype == 2:  # Up
+            line = (cur + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            line = np.zeros(stride, dtype=np.uint16)
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0  # left
+                b = prev[i]  # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (int(a) + int(b)) // 2
+                else:  # Paeth
+                    c = prev[i - bpp] if i >= bpp else 0  # upper-left
+                    p = int(a) + int(b) - int(c)
+                    pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = line.astype(np.uint8)
+        prev = line
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, 3) uint8 RGB. Supports 8-bit truecolor RGB
+    (color type 2) and RGBA (6, alpha dropped), non-interlaced."""
+    w, h, depth, color = png_meta(payload)
+    if depth != 8 or color not in (2, 6):
+        raise ValueError(f"only 8-bit RGB/RGBA PNG supported (depth={depth}, color={color})")
+    channels = 3 if color == 2 else 4
+    # walk chunks, concatenating IDAT
+    pos, idat = 8, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat.append(payload[pos + 8 : pos + 8 + length])
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # len + tag + body + crc
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG pixel stream size mismatch (interlaced unsupported)")
+    pixels = _png_unfilter(raw.reshape(h, 1 + stride), h, stride, channels)
+    img = pixels.reshape(h, w, channels)
+    return img[:, :, :3].copy()
+
+
+# ---------------------------------------------------------------------------
+# PPM — netpbm P6 binary RGB
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + arr.tobytes()
+
+
+def _ppm_header(payload: bytes) -> tuple[int, int, int]:
+    """Parse the P6 header → (width, height, data_offset). Handles
+    whitespace runs and # comments per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and payload[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError("malformed PPM header")
+        fields.append(int(payload[i:j]))
+        i = j
+    return fields[0], fields[1], i + 1  # single whitespace after maxval
+
+
+def ppm_meta(payload: bytes) -> tuple[int, int]:
+    w, h, _ = _ppm_header(payload)
+    return w, h
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    w, h, off = _ppm_header(payload)
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=3 * w * h, offset=off)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+# ---------------------------------------------------------------------------
+# JPEG — header-only dimension parse (marker walk to SOFn)
+# ---------------------------------------------------------------------------
+
+
+def jpeg_meta(payload: bytes) -> tuple[int, int]:
+    """(width, height) by walking JPEG marker segments to the first SOFn
+    frame header. Entropy decode is intentionally unsupported."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers, no length
+            continue
+        (seg_len,) = struct.unpack_from(">H", payload, i + 2)
+        # SOF0-SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack_from(">HH", payload, i + 5)
+            return w, h
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        i += 2 + seg_len
+    raise ValueError("no SOF frame header found")
+
+
+# ---------------------------------------------------------------------------
+# WAV — RIFF-WAVE chunk walk
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, n_channels: int = 1) -> bytes:
+    """Interleaved int16 PCM samples → RIFF-WAVE bytes. ``samples`` is
+    (n_frames,) for mono or (n_frames, n_channels)."""
+    pcm = np.asarray(samples, dtype="<i2")
+    data = pcm.tobytes()
+    block_align = 2 * n_channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """(sample_rate, n_channels, bits_per_sample, n_frames) from the RIFF
+    chunk walk — fmt chunk + data chunk size; samples are never read."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF-WAVE payload")
+    pos, rate, channels, bits, data_size = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if tag == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif tag == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data_size is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    n_frames = data_size // (channels * (bits // 8))
+    return rate, channels, bits, n_frames
+
+
+# ---------------------------------------------------------------------------
+# Unified sniff + decode dispatch
+# ---------------------------------------------------------------------------
+
+#: magic → format tag
+def sniff_format(payload: bytes | None) -> str | None:
+    if not payload:
+        return None
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:8] == PNG_MAGIC:
+        return "png"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def image_meta(payload: bytes) -> tuple[str, int, int]:
+    """(format, width, height) for any supported image payload — header
+    parse only, no pixel decode."""
+    fmt = sniff_format(payload)
+    if fmt == "bmp":
+        w, h = bmp_meta(payload)
+    elif fmt == "png":
+        w, h, _, _ = png_meta(payload)
+    elif fmt == "ppm":
+        w, h = ppm_meta(payload)
+    elif fmt == "jpeg":
+        w, h = jpeg_meta(payload)
+    else:
+        raise ValueError(f"undecodable image payload (magic {payload[:4]!r})")
+    return fmt, w, h
+
+
+def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
+    """(format, (H, W, 3) uint8 RGB) — full pixel decode. JPEG is
+    header-only in this engine and raises here."""
+    fmt = sniff_format(payload)
+    if fmt == "bmp":
+        return fmt, decode_bmp(payload)
+    if fmt == "png":
+        return fmt, decode_png(payload)
+    if fmt == "ppm":
+        return fmt, decode_ppm(payload)
+    raise ValueError(f"no pixel decoder for format {fmt!r}")
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    if fmt == "bmp":
+        return encode_bmp(arr)
+    if fmt == "png":
+        return encode_png(arr)
+    if fmt == "ppm":
+        return encode_ppm(arr)
+    raise ValueError(f"no encoder for format {fmt!r}")
+
+
+def resize_nearest(arr: np.ndarray, dst_w: int, dst_h: int) -> np.ndarray:
+    """Nearest-neighbor resample of (H, W, 3) → (dst_h, dst_w, 3), pure
+    numpy fancy indexing (the classic integer source-index map:
+    src = (dst * src_len) // dst_len)."""
+    h, w, _ = arr.shape
+    ys = (np.arange(dst_h) * h) // dst_h
+    xs = (np.arange(dst_w) * w) // dst_w
+    return arr[ys][:, xs]

@@ -1,25 +1,32 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+"""Multimodal columns: image/audio/video as opaque binary columns with
+REAL pure-stdlib decode kernels.
 
-The container has no image/audio codecs, so the decode kernels are STUBS
-(deterministic fakes / NotImplementedError) — but the Spark-side shape is
-real and tested: schemas, Arrow batch flow through mapInPandas, typed
-metadata structs, partitioning knobs. Swapping a real decoder in changes
-only the inner function body.
+Images (BMP / PNG / PPM full decode, JPEG header parse) and audio
+(RIFF-WAVE demux) are handled by ``operators.codecs`` — ``struct`` +
+``zlib`` + numpy only, no codec libraries — so metadata extraction and
+thumbnail resize run on real bytes end-to-end. Formats outside that set
+(e.g. JPEG pixel decode, video containers) raise in strict mode and
+yield nulls otherwise; that boundary is documented per kernel.
 
 Design for 100 TB of media:
 - binary payloads stay in parquet/iceberg columns; never collect() them;
 - mapInPandas streams Arrow batches → bounded executor memory regardless
   of row width (spark.sql.execution.arrow.maxRecordsPerBatch caps batch
   rows for fat media columns);
-- derived features (dims, duration, embeddings) are narrow maps; heavy
-  decode stages should repartition by size-bucket first so one 4K video
-  doesn't straggle a partition of thumbnails.
+- metadata kernels parse HEADERS only (no pixel inflate) — cheap narrow
+  maps; the resize kernel is the heavy stage: repartition by a byte_len
+  size bucket before it so one 4K still doesn't straggle a partition of
+  thumbnails, and coalesce after (outputs shrink).
+
+The reference repo has no multimodal surface; this family implements the
+builder brief's training-data-pipeline scope.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,6 +39,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from etl_excel_csv_sql_spark.operators import codecs
+
 #: Typed metadata schema attached to every media column.
 MEDIA_META_SCHEMA = StructType(
     [
@@ -39,8 +48,9 @@ MEDIA_META_SCHEMA = StructType(
         StructField("media_type", StringType(), True),
         StructField("byte_len", LongType(), True),
         StructField("magic", StringType(), True),
-        StructField("width", IntegerType(), True),
-        StructField("height", IntegerType(), True),
+        StructField("fmt", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
     ]
 )
 
@@ -62,44 +72,46 @@ def to_media_column(
     )
 
 
-def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
-    """Deterministic stand-in for an image decoder: derives fake (w, h)
-    from payload bytes. REAL IMPLEMENTATION REQUIRES a codec (PIL/opencv),
-    absent in this container."""
-    if payload is None:
-        return (0, 0)
-    h = 0
-    for byte in payload[:64]:
-        h = (h * 131 + byte) & 0x7FFFFFFF
-    return (64 + h % 1920, 64 + (h >> 11) % 1080)
-
-
 def extract_image_meta(df: DataFrame, strict: bool = False) -> DataFrame:
-    """Decode image headers → (media_id, media_type, byte_len, magic,
-    width, height) via mapInPandas (Arrow-batched; payload bytes never
-    round-trip as Python row objects).
+    """REAL image metadata extraction: (media_id, media_type, byte_len,
+    magic, fmt, width, height) via mapInPandas (Arrow-batched; payload
+    bytes never round-trip as Python row objects).
 
-    ``strict=True`` raises NotImplementedError — the honest mode while the
-    real decoder is absent; default uses the deterministic fake so the
-    plumbing is end-to-end testable.
+    Dims come from actual header parses — BMP BITMAPINFOHEADER, PNG IHDR,
+    PPM P6 header, JPEG SOFn marker walk (``codecs.image_meta``). No
+    pixel data is inflated, so this is a cheap narrow map even on fat
+    payloads. ``strict=True`` raises ValueError on the first payload no
+    parser accepts; default maps undecodable/null payloads to null
+    fmt/dims (quarantine-friendly).
     """
-    if strict:
-        raise NotImplementedError(
-            "image decoding requires a codec library (PIL/opencv) not "
-            "present in this environment; plumbing is testable via strict=False"
-        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            dims = pdf["payload"].map(_fake_decode_dims)
+            fmts: list[str | None] = []
+            widths: list[int | None] = []
+            heights: list[int | None] = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    if strict:
+                        raise ValueError("null payload in strict image decode")
+                    fmts.append(None), widths.append(None), heights.append(None)
+                    continue
+                try:
+                    fmt, w, h = codecs.image_meta(bytes(payload))
+                except ValueError:
+                    if strict:
+                        raise
+                    fmt, w, h = None, None, None
+                fmts.append(fmt), widths.append(w), heights.append(h)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "byte_len": pdf["byte_len"],
                     "magic": pdf["magic"],
-                    "width": dims.map(lambda d: d[0]).astype("int32"),
-                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "fmt": pd.Series(fmts, dtype="object"),
+                    "width": pd.Series(widths, dtype="object"),
+                    "height": pd.Series(heights, dtype="object"),
                 }
             )
 
@@ -110,9 +122,9 @@ def frame_sample_plan(
     df: DataFrame, every_n_seconds: int = 5, duration_col: str = "byte_len"
 ) -> DataFrame:
     """Video frame-sampling *plan*: explode one row per sampled frame index
-    (the decode itself is the stubbed kernel). Duration here is faked from
-    byte_len pending a real demuxer. Shows the scale-correct shape: explode
-    → repartition by (media_id % shards) before the heavy decode so long
+    (video demux has no stdlib decoder — the duration here is derived from
+    byte_len pending one). Shows the scale-correct shape: explode →
+    repartition by (media_id % shards) before the heavy decode so long
     videos spread across executors."""
     n_frames = (F.col(duration_col) / F.lit(1_000_000 * every_n_seconds)).cast("int") + 1
     return df.select(
@@ -125,51 +137,74 @@ RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("payload", BinaryType(), True),
-        StructField("src_width", IntegerType(), True),
-        StructField("src_height", IntegerType(), True),
-        StructField("dst_width", IntegerType(), True),
-        StructField("dst_height", IntegerType(), True),
+        StructField("fmt", StringType(), True),
+        StructField("src_width", LongType(), True),
+        StructField("src_height", LongType(), True),
+        StructField("dst_width", LongType(), True),
+        StructField("dst_height", LongType(), True),
     ]
 )
+
+
+def _bounded_dims(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving bound: images within max_side pass through; larger
+    ones scale so the long side == max_side. Pure integer arithmetic
+    (floor division) so an external oracle can predict the result."""
+    long_side = max(w, h)
+    if long_side <= max_side:
+        return w, h
+    return max(1, (w * max_side) // long_side), max(1, (h * max_side) // long_side)
 
 
 def resize_images(
     df: DataFrame, max_side: int = 256, strict: bool = False
 ) -> DataFrame:
-    """Aspect-preserving thumbnail resize via mapInPandas — payload in,
-    payload out, plus source/target dims. The resize KERNEL is the stub
-    (payload passes through; a real implementation swaps in PIL's
-    ``thumbnail`` inside the batch loop); the Arrow batch flow, binary
-    round-trip, and dimension arithmetic are real and tested.
+    """REAL aspect-preserving thumbnail resize via mapInPandas: decode
+    (BMP/PNG/PPM, ``codecs.decode_image``) → nearest-neighbor resample
+    (``codecs.resize_nearest``) → re-encode in the source format. Payload
+    out is a genuinely resized image; src/dst dims use floor-division
+    arithmetic (``_bounded_dims``) so results are externally predictable.
+
+    Formats without a pixel decoder (JPEG — header-only in this engine)
+    raise under ``strict=True`` and yield null payload/dims otherwise.
 
     At 100 TB: this is the straggler-prone stage — repartition by a
     byte_len size bucket BEFORE it so a partition of 4K stills doesn't
     serialize behind thumbnails; output payloads shrink, so coalesce
     after.
     """
-    if strict:
-        raise NotImplementedError(
-            "image resize requires a codec library (PIL/opencv) not "
-            "present in this environment; plumbing is testable via strict=False"
-        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            dims = pdf["payload"].map(_fake_decode_dims)
-            sw = dims.map(lambda d: d[0])
-            sh = dims.map(lambda d: d[1])
-            scale = pd.concat([sw, sh], axis=1).max(axis=1).map(
-                lambda side: min(1.0, max_side / side) if side else 0.0
-            )
+            out: dict[str, list] = {
+                "payload": [], "fmt": [], "src_width": [], "src_height": [],
+                "dst_width": [], "dst_height": [],
+            }
+            for payload in pdf["payload"]:
+                if payload is None:
+                    if strict:
+                        raise ValueError("null payload in strict resize")
+                    for k in out:
+                        out[k].append(None)
+                    continue
+                try:
+                    fmt, arr = codecs.decode_image(bytes(payload))
+                except ValueError:
+                    if strict:
+                        raise
+                    for k in out:
+                        out[k].append(None)
+                    continue
+                sh, sw = arr.shape[:2]
+                dw, dh = _bounded_dims(sw, sh, max_side)
+                resized = arr if (dw, dh) == (sw, sh) else codecs.resize_nearest(arr, dw, dh)
+                out["payload"].append(codecs.encode_image(resized, fmt))
+                out["fmt"].append(fmt)
+                out["src_width"].append(sw), out["src_height"].append(sh)
+                out["dst_width"].append(dw), out["dst_height"].append(dh)
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": pdf["payload"],  # stub: real kernel re-encodes
-                    "src_width": sw.astype("int32"),
-                    "src_height": sh.astype("int32"),
-                    "dst_width": (sw * scale).round().astype("int32"),
-                    "dst_height": (sh * scale).round().astype("int32"),
-                }
+                {"media_id": pdf["media_id"],
+                 **{k: pd.Series(v, dtype="object") for k, v in out.items()}}
             )
 
     return df.mapInPandas(batches, RESIZED_SCHEMA)
@@ -179,44 +214,145 @@ AUDIO_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("byte_len", LongType(), True),
-        StructField("sample_rate", IntegerType(), True),
-        StructField("n_samples", LongType(), True),
-        StructField("duration_s", IntegerType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_channels", LongType(), True),
+        StructField("bits_per_sample", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("duration_ms", LongType(), True),
     ]
 )
 
 
 def extract_audio_meta(df: DataFrame, strict: bool = False) -> DataFrame:
-    """Audio feature extraction via mapInPandas: (sample_rate, n_samples,
-    duration) per payload. The demux KERNEL is the stub (deterministic
-    fake from header bytes — a real implementation reads the container
-    header via soundfile/ffprobe); batching and typed output are real."""
-    if strict:
-        raise NotImplementedError(
-            "audio demuxing requires an audio library (soundfile/ffmpeg) "
-            "not present in this environment; plumbing is testable via "
-            "strict=False"
-        )
+    """REAL audio metadata extraction: RIFF-WAVE chunk walk
+    (``codecs.wav_meta``) → (sample_rate, n_channels, bits_per_sample,
+    n_frames, duration_ms) per payload. Header-only — PCM samples are
+    never inflated, so this stays a cheap narrow map. ``duration_ms``
+    uses integer floor arithmetic (n_frames * 1000 // rate) for external
+    predictability. Non-WAVE containers raise under ``strict=True`` and
+    yield nulls otherwise."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rate = pdf["payload"].map(
-                lambda p: 8000 * (1 + (sum(p[:16]) % 6)) if p is not None else 0
-            )
-            n_samples = pdf["byte_len"].fillna(0).astype("int64") * 4
-            rate64 = rate.astype("int64")
-            # rate == 0 (null payload) → duration 0, never n_samples / 1
-            duration = (n_samples // rate64.where(rate64 > 0, 1)).where(
-                rate64 > 0, 0
-            )
+            cols: dict[str, list] = {
+                "sample_rate": [], "n_channels": [], "bits_per_sample": [],
+                "n_frames": [], "duration_ms": [],
+            }
+            for payload in pdf["payload"]:
+                if payload is None:
+                    if strict:
+                        raise ValueError("null payload in strict audio demux")
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                try:
+                    rate, ch, bits, frames = codecs.wav_meta(bytes(payload))
+                except ValueError:
+                    if strict:
+                        raise
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                cols["sample_rate"].append(rate)
+                cols["n_channels"].append(ch)
+                cols["bits_per_sample"].append(bits)
+                cols["n_frames"].append(frames)
+                cols["duration_ms"].append(frames * 1000 // rate if rate else 0)
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "byte_len": pdf["byte_len"],
-                    "sample_rate": rate.astype("int32"),
-                    "n_samples": n_samples,
-                    "duration_s": duration.astype("int32"),
-                }
+                {"media_id": pdf["media_id"], "byte_len": pdf["byte_len"],
+                 **{k: pd.Series(v, dtype="object") for k, v in cols.items()}}
             )
 
     return df.mapInPandas(batches, AUDIO_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic payload generators (test/driver fixtures)
+# ---------------------------------------------------------------------------
+#
+# The testdata tables carry no real media bytes, so the driver queries
+# synthesize them — REAL encoded files whose dimensions are pure integer
+# functions of the row id. That makes decode results externally
+# predictable: an oracle that never touches the bytes can still assert
+# every decoded width/height/rate, which upgrades the media queries from
+# rows-only to full value parity. The generation itself runs distributed
+# (mapInPandas over ids — payloads are born on executors, never on the
+# driver).
+
+SYNTH_IMAGE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+_SYNTH_FMTS = ("bmp", "png", "ppm")
+
+
+def synth_image_dims(media_id: int) -> tuple[str, int, int]:
+    """The id → (fmt, width, height) contract shared with the SQL oracle:
+    fmt cycles bmp/png/ppm by id % 3; width = 8 + (7*id) % 80;
+    height = 8 + (5*id) % 60."""
+    return (
+        _SYNTH_FMTS[media_id % 3],
+        8 + (7 * media_id) % 80,
+        8 + (5 * media_id) % 60,
+    )
+
+
+def _synth_pixels(media_id: int, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB gradient: pixel[y, x, c] = (3x + 7y + id + 31c)
+    mod 256 — cheap numpy broadcast, unique-ish per image."""
+    xs = np.arange(w, dtype=np.int64) * 3
+    ys = np.arange(h, dtype=np.int64) * 7
+    cs = np.arange(3, dtype=np.int64) * 31
+    return ((ys[:, None, None] + xs[None, :, None] + cs[None, None, :] + media_id) % 256).astype(
+        np.uint8
+    )
+
+
+def synth_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (media_id, payload) with REAL encoded BMP/PNG/PPM bytes per
+    the ``synth_image_dims`` contract."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                fmt, w, h = synth_image_dims(int(mid))
+                payloads.append(codecs.encode_image(_synth_pixels(int(mid), w, h), fmt))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "payload": pd.Series(payloads, dtype="object")}
+            )
+
+    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+
+
+def synth_audio_params(media_id: int) -> tuple[int, int, int]:
+    """id → (sample_rate, n_channels, n_frames) contract shared with the
+    SQL oracle: rate = 8000 * (1 + id % 6); channels = 1 + id % 2;
+    n_frames = 256 + (id % 64) * 16."""
+    return 8000 * (1 + media_id % 6), 1 + media_id % 2, 256 + (media_id % 64) * 16
+
+
+def synth_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (media_id, payload) with REAL RIFF-WAVE PCM16 bytes per the
+    ``synth_audio_params`` contract (deterministic int16 sawtooth)."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                rate, ch, frames = synth_audio_params(int(mid))
+                n = np.arange(frames * ch, dtype=np.int64)
+                pcm = ((n * (3 + int(mid) % 17)) % 251 - 125).astype(np.int16)
+                payloads.append(codecs.encode_wav(pcm.reshape(frames, ch), rate, ch))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "payload": pd.Series(payloads, dtype="object")}
+            )
+
+    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)

@@ -2360,38 +2360,92 @@ def q_media_meta(spark, sf_dir):
 
 @register(
     "media_image_meta",
-    None,  # fake decoder (mapInPandas plumbing) → rows-only check
-    doc="image metadata extraction via Arrow-batched mapInPandas (decoder stubbed)",
+    # REAL decode with a full value oracle: payloads are genuine encoded
+    # BMP/PNG/PPM bytes whose dims follow the synth_image_dims id
+    # contract, so the oracle predicts every decoded value without ever
+    # touching the bytes. The Spark side actually parses the headers
+    # (strict=True — any undecodable payload fails the query).
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'ppm'
+           END AS fmt,
+           8 + (7 * doc_id) % 80 AS width,
+           8 + (5 * doc_id) % 60 AS height
+    FROM documents
+    """,
+    doc="REAL image header decode (BMP/PNG/PPM via stdlib codecs) over "
+    "Arrow-batched mapInPandas; dims follow the synth contract so the "
+    "oracle value-checks the decoder",
 )
 def q_media_image_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    media = multimodal.to_media_column(docs, "doc_id", "text", "image")
-    return multimodal.extract_image_meta(media)
+    imgs = multimodal.synth_image_payloads(docs, "doc_id")
+    media = multimodal.to_media_column(imgs, "media_id", "payload", "image")
+    meta = multimodal.extract_image_meta(media, strict=True)
+    return meta.select("media_id", "fmt", "width", "height")
 
 
 @register(
     "media_resize_plan",
-    None,  # stub kernel (payload passthrough) → rows-only check
-    doc="aspect-preserving thumbnail plan via Arrow mapInPandas: binary "
-    "payload round-trips batches, target dims bounded by max_side (resize "
-    "kernel stubbed — swapping in PIL changes only the batch body)",
+    # REAL resize: decode → nearest-neighbor resample → re-encode. The
+    # floor-division dim arithmetic (_bounded_dims) is mirrored here so
+    # the oracle predicts src AND dst dims; pytest separately proves the
+    # output payload really is the resized image.
+    """
+    WITH src AS (
+        SELECT doc_id AS media_id,
+               8 + (7 * doc_id) % 80 AS sw,
+               8 + (5 * doc_id) % 60 AS sh
+        FROM documents
+    )
+    SELECT media_id, sw AS src_width, sh AS src_height,
+           CASE WHEN greatest(sw, sh) <= 32 THEN sw
+                ELSE greatest(1, (sw * 32) // greatest(sw, sh)) END AS dst_width,
+           CASE WHEN greatest(sw, sh) <= 32 THEN sh
+                ELSE greatest(1, (sh * 32) // greatest(sw, sh)) END AS dst_height
+    FROM src
+    """,
+    doc="REAL aspect-preserving thumbnail resize (decode → resample → "
+    "re-encode, stdlib codecs) via Arrow mapInPandas; dim arithmetic "
+    "value-checked by the oracle",
 )
 def q_media_resize(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    media = multimodal.to_media_column(docs, "doc_id", "text", "image")
-    return multimodal.resize_images(media, max_side=256).drop("payload")
+    imgs = multimodal.synth_image_payloads(docs, "doc_id")
+    media = multimodal.to_media_column(imgs, "media_id", "payload", "image")
+    resized = multimodal.resize_images(media, max_side=32, strict=True)
+    return resized.select(
+        "media_id", "src_width", "src_height", "dst_width", "dst_height"
+    )
 
 
 @register(
     "media_audio_meta",
-    None,  # fake demuxer → rows-only check
-    doc="audio feature extraction via Arrow mapInPandas (sample rate / "
-    "sample count / duration; demux kernel stubbed)",
+    # REAL RIFF-WAVE demux with a full value oracle via the
+    # synth_audio_params id contract (rate/channels/frames arithmetic).
+    """
+    SELECT doc_id AS media_id,
+           8000 * (1 + doc_id % 6) AS sample_rate,
+           1 + doc_id % 2 AS n_channels,
+           16 AS bits_per_sample,
+           256 + (doc_id % 64) * 16 AS n_frames,
+           ((256 + (doc_id % 64) * 16) * 1000)
+               // (8000 * (1 + doc_id % 6)) AS duration_ms
+    FROM documents
+    """,
+    doc="REAL audio metadata extraction (RIFF-WAVE chunk walk, stdlib) "
+    "via Arrow mapInPandas; rate/channels/frames value-checked by the "
+    "oracle",
 )
 def q_media_audio_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    media = multimodal.to_media_column(docs, "doc_id", "text", "audio")
-    return multimodal.extract_audio_meta(media)
+    clips = multimodal.synth_audio_payloads(docs, "doc_id")
+    media = multimodal.to_media_column(clips, "media_id", "payload", "audio")
+    meta = multimodal.extract_audio_meta(media, strict=True)
+    return meta.select(
+        "media_id", "sample_rate", "n_channels", "bits_per_sample",
+        "n_frames", "duration_ms",
+    )
 
 
 # io/runner lifecycle queries register themselves on import (deferred to the

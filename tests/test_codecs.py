@@ -1,0 +1,138 @@
+"""Golden tests for the pure-stdlib media codecs (no Spark session).
+
+Covers: BMP/PNG/PPM encode→decode pixel-identity roundtrips, top-down
+BMP row order, PNG rows filtered with every filter type (1-4) decoded
+back to the original pixels, RGBA PNG alpha-drop, JPEG SOF dimension
+walk, WAV chunk-walk metadata, and nearest-neighbor resize geometry."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from etl_excel_csv_sql_spark.operators import codecs as C
+
+
+@pytest.fixture()
+def arr() -> np.ndarray:
+    rng = np.random.RandomState(7)
+    return rng.randint(0, 256, (13, 17, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("fmt", ["bmp", "png", "ppm"])
+def test_image_roundtrip_pixel_identity(arr, fmt):
+    enc = C.encode_image(arr, fmt)
+    assert C.sniff_format(enc) == fmt
+    assert C.image_meta(enc) == (fmt, 17, 13)
+    got_fmt, dec = C.decode_image(enc)
+    assert got_fmt == fmt
+    assert np.array_equal(dec, arr)
+
+
+def test_bmp_top_down_rows(arr):
+    # height < 0 ⇒ rows stored top-down; decoder must not flip them
+    bmp = bytearray(C.encode_bmp(arr))
+    struct.pack_into("<i", bmp, 22, -13)
+    row_size = (3 * 17 + 3) // 4 * 4
+    pix = np.frombuffer(bytes(bmp[54:]), np.uint8).reshape(13, row_size)[::-1].tobytes()
+    assert np.array_equal(C.decode_bmp(bytes(bmp[:54]) + pix), arr)
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def test_png_unfilter_all_types(arr):
+    """Rows filtered with Sub/Up/Average/Paeth (cycling) must decode back
+    to the original pixels — exercises every branch of _png_unfilter."""
+    h, w = arr.shape[:2]
+    stride = 3 * w
+    raws, prev = [], np.zeros(stride, np.int32)
+    for y in range(h):
+        line = arr[y].reshape(-1).astype(np.int32)
+        ft = 1 + (y % 4)
+        filt = np.zeros(stride, np.int32)
+        for i in range(stride):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[i] = (line[i] - pred) & 0xFF
+        raws.append(bytes([ft]) + bytes(filt.astype(np.uint8)))
+        prev = line
+    png = (
+        C.PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(raws)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(C.decode_png(png), arr)
+
+
+def test_png_rgba_alpha_dropped(arr):
+    h, w = arr.shape[:2]
+    rgba = np.dstack([arr, np.full((h, w), 200, np.uint8)])
+    raw = np.zeros((h, 1 + 4 * w), np.uint8)
+    raw[:, 1:] = rgba.reshape(h, -1)
+    png = (
+        C.PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes()))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(C.decode_png(png), arr)
+
+
+def test_ppm_header_comments():
+    arr = np.zeros((2, 3, 3), np.uint8)
+    body = b"P6\n# a comment\n3 2\n# another\n255\n" + arr.tobytes()
+    assert C.ppm_meta(body) == (3, 2)
+    assert np.array_equal(C.decode_ppm(body), arr)
+
+
+def test_jpeg_sof_dimension_walk():
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 99, 123) + b"\x03"
+    jpg = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof + b"\xff\xd9"
+    assert C.jpeg_meta(jpg) == (123, 99)
+    assert C.image_meta(jpg) == ("jpeg", 123, 99)
+    with pytest.raises(ValueError, match="no pixel decoder"):
+        C.decode_image(jpg)  # header-only format
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    pcm = (np.arange(1000) % 251 - 125).astype(np.int16)
+    assert C.wav_meta(C.encode_wav(pcm, 16000, 1)) == (16000, 1, 16, 1000)
+    stereo = np.stack([pcm, -pcm], axis=1)
+    assert C.wav_meta(C.encode_wav(stereo, 44100, 2)) == (44100, 2, 16, 1000)
+
+
+def test_resize_nearest_geometry():
+    arr = np.arange(4 * 8 * 3, dtype=np.uint8).reshape(4, 8, 3)
+    out = C.resize_nearest(arr, 4, 2)
+    assert out.shape == (2, 4, 3)
+    # integer source-index map: dst (y, x) ← src ((y*4)//2, (x*8)//4)
+    assert np.array_equal(out[0, 0], arr[0, 0])
+    assert np.array_equal(out[1, 3], arr[2, 6])
+
+
+def test_undecodable_payload_raises():
+    with pytest.raises(ValueError, match="undecodable"):
+        C.image_meta(b"\x00\x01\x02\x03 garbage")
+    assert C.sniff_format(None) is None
+    assert C.sniff_format(b"") is None
