@@ -216,6 +216,15 @@ class IvfIndex:
     def _centroids(self) -> str:
         return f"{self.path}/centroids"
 
+    def is_built(self) -> bool:
+        """True when both parquet datasets committed (_SUCCESS markers)."""
+        import os
+
+        return all(
+            os.path.exists(os.path.join(p, "_SUCCESS"))
+            for p in (self._vectors, self._centroids)
+        )
+
     def build(
         self,
         corpus: DataFrame,
@@ -223,7 +232,14 @@ class IvfIndex:
         kmeans_iters: int = 2,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        skip_if_exists: bool = False,
     ) -> None:
+        """``skip_if_exists=True`` is the build-once contract: a committed
+        index at this path is reused, so repeat invocations (bench passes,
+        repeated probes) pay probe cost only — k-means + the partitioned
+        rewrite run exactly once per index path."""
+        if skip_if_exists and self.is_built():
+            return
         cents = kmeans_centroids(corpus, n_cells, kmeans_iters, id_col, vec_col)
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
         assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
@@ -265,6 +281,11 @@ class IvfIndex:
             F.col("__k"),
             n_probe,
         ).select("query_id", "query_vec", F.col("item.cell_id").alias("cell_id"))
+        # probes feeds TWO consumers (the cell-id collect and the broadcast
+        # join); checkpoint it once so the crossJoin+topk subtree doesn't
+        # recompute per consumer — at scale this frame is |queries|×n_probe
+        # rows, far smaller than the work that produced it
+        probes = probes.localCheckpoint(eager=True)
 
         probe_cells = [r.cell_id for r in probes.select("cell_id").distinct().collect()]
         index = spark.read.parquet(self._vectors).filter(

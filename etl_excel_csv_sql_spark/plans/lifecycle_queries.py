@@ -34,6 +34,15 @@ def _scratch(name: str) -> str:
     return path
 
 
+def _scratch_keep(name: str) -> str:
+    """Scratch dir that SURVIVES across invocations — for build-once
+    artifacts (the persisted IVF index) whose whole point is that repeat
+    calls reuse the committed build instead of rebuilding."""
+    path = os.path.abspath(os.path.join(_SCRATCH_ROOT, name))
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def _customer_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/customer.parquet")
     return df.filter(F.col("c_custkey") < 50).select(
@@ -270,10 +279,13 @@ def q_ann_ivf_persisted(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     idx = IvfIndex(
         os.path.join(
-            _scratch("ivf_index_" + os.path.basename(sf_dir.rstrip("/"))), "idx"
+            _scratch_keep("ivf_index_" + os.path.basename(sf_dir.rstrip("/"))),
+            "idx",
         )
     )
-    idx.build(emb, n_cells=16)
+    # build-once: repeat invocations (bench second pass, window re-runs)
+    # skip k-means + the partitioned rewrite and pay probe cost only
+    idx.build(emb, n_cells=16, skip_if_exists=True)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

@@ -1493,6 +1493,36 @@ def q_dedup_components(spark, sf_dir):
 
 
 @register(
+    "dedup_components_star",
+    # identical oracle to dedup_components: large-star/small-star must
+    # reach the same fixpoint as min-label propagation — a real value
+    # oracle proving the O(log n) adversarial-graph variant agrees with
+    # the recursive transitive closure on driver data
+    "WITH RECURSIVE "
+    + _NGRAM_PAIR_CTES
+    + """
+    , sym AS (
+      SELECT id_a AS a, id_b AS b FROM jac
+      UNION
+      SELECT id_b AS a, id_a AS b FROM jac
+    ), reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS id, least(a, min(b)) AS component
+    FROM reach GROUP BY a
+    """,
+    doc="connected components via alternating large-star/small-star "
+    "rounds (Kiveris et al.) — O(log n) rounds on any graph diameter; "
+    "same pair input and same oracle as dedup_components, so the driver "
+    "value-checks that both algorithms reach the identical fixpoint",
+)
+def q_dedup_components_star(spark, sf_dir):
+    return dedup.connected_components_star(_ngram_pairs_012(spark, sf_dir))
+
+
+@register(
     "dedup_keep_first",
     "WITH RECURSIVE "
     + _NGRAM_PAIR_CTES
