@@ -389,6 +389,108 @@ def q_events_streaming_dedup(spark, sf_dir):
     return spark.table(sink_name).select("event_id", "event_type", "value")
 
 
+def _write_single_parquet(df: DataFrame, scratch: str, dst: str, mtime: int) -> None:
+    """Materialize ``df`` as EXACTLY one parquet file at ``dst`` with a
+    pinned mtime — the file-stream source orders files by modification
+    time, so pinned mtimes make the micro-batch sequence deterministic."""
+    import glob as _glob
+
+    tmp = os.path.join(scratch, os.path.basename(dst) + "_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+    shutil.copyfile(part, dst)
+    os.utime(dst, (mtime, mtime))
+    shutil.rmtree(tmp)
+
+
+@register(
+    "events_session_streaming",
+    # The batch-twin oracle of events_session_native, restricted to the
+    # sessions the STREAM is allowed to emit: (a) late rows (an injected
+    # micro-batch shifted -1000 h, far below the established watermark)
+    # are dropped, so sessions come from the original events only;
+    # (b) append mode emits a session only once the final watermark
+    # (max ts - 1 h delay) passes its end, mirrored by the WHERE on
+    # s_end. If the watermark failed to drop the late batch, ~150 ghost
+    # sessions 41 days in the past would all finalize and break parity.
+    # Spark evaluates the late-row filter with the PREVIOUS batch's
+    # watermark (two-watermark semantics, SPARK-24634), so the replay
+    # inserts an empty middle batch: b0 establishes the watermark, b1
+    # (empty) lets it take effect for late filtering, b2's late rows hit
+    # the armed filter. Without b1 the late batch would be accepted.
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, min(ts) AS s_start,
+             max(ts) + INTERVAL 30 MINUTE AS s_end,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT user_id,
+           strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           n_events
+    FROM sessions
+    WHERE s_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+    doc="streaming session windows with LATE-DATA evidence: events replay "
+    "as two deterministic micro-batches (maxFilesPerTrigger=1, pinned "
+    "mtimes) — batch 1 the real table, batch 2 the same rows shifted "
+    "-1000 h (all below the watermark). Append-mode F.session_window "
+    "must drop every late row and emit exactly the finalized sessions "
+    "of batch 1; the oracle value-checks both effects",
+)
+def q_events_session_streaming(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.streaming.windows import stream_session_agg
+
+    scratch = _scratch(
+        "events_stream_session_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    src = os.path.join(scratch, "in")
+    os.makedirs(src, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    late = ev.withColumn("ts", F.col("ts") - F.expr("INTERVAL 1000 HOURS"))
+    empty = ev.limit(0)
+    _write_single_parquet(ev, scratch, os.path.join(src, "b0.parquet"), 1_000)
+    _write_single_parquet(empty, scratch, os.path.join(src, "b1_arm.parquet"), 2_000)
+    _write_single_parquet(late, scratch, os.path.join(src, "b2_late.parquet"), 3_000)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(src)
+    )
+    sessions = stream_session_agg(
+        stream, "ts", "user_id", gap="30 minutes", watermark="1 hour"
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    sink_name = f"evt_session_stream_{_STREAM_RUN_SEQ[0]}"
+    (
+        sessions.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")  # only watermark-finalized sessions emit
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink_name).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
 @register(
     "quarantine_split_rows",
     """

@@ -158,3 +158,78 @@ def test_streaming_tumbling_equals_batch_twin(spark):
         for r in qs["events_tumbling_hourly"](spark, sf).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_session_stream_drops_late_rows(spark, tmp_path):
+    """Late-data evidence at the metric level: a three-batch replay
+    (data → empty armer → late rows) must count every late row in
+    numRowsDroppedByWatermark and emit only watermark-finalized sessions
+    of the on-time batch. The empty middle batch matters: Spark filters
+    late events with the PREVIOUS batch's watermark (SPARK-24634), so
+    late rows landing one batch after the data would be accepted."""
+    import glob
+    import shutil
+    from datetime import datetime, timedelta
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write1(rows, name, mtime):
+        df = spark.createDataFrame(rows, "ts timestamp, user_id long").coalesce(1)
+        tmp = str(tmp_path / (name + "_tmp"))
+        df.write.mode("overwrite").parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = str(src / name)
+        shutil.copyfile(part, dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp)
+
+    t0 = datetime(2024, 6, 1, 12, 0, 0)
+    on_time = [
+        (t0, 1),
+        (t0 + timedelta(minutes=10), 1),   # same session as t0
+        (t0 + timedelta(hours=3), 1),      # later session, stays OPEN (end > final wm)
+        (t0 + timedelta(minutes=5), 2),
+    ]
+    late = [(t0 - timedelta(hours=50), 1), (t0 - timedelta(hours=50), 2)]
+    write1(on_time, "b0.parquet", 1_000)
+    write1([], "b1_arm.parquet", 2_000)
+    write1(late, "b2_late.parquet", 3_000)
+
+    from etl_excel_csv_sql_spark.streaming.windows import stream_session_agg
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sessions = stream_session_agg(stream, "ts", "user_id", gap="30 minutes", watermark="1 hour")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("late_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == len(late), f"expected {len(late)} late rows dropped, got {dropped}"
+
+    got = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.table("late_probe").collect()
+    )
+    # final watermark = 15:00 - 1h = 14:00: the two 12:0x sessions
+    # finalized (ends 12:40/12:35 <= 14:00); user 1's 15:00 session is
+    # still open; the 50-hour-old ghost sessions never entered state
+    assert got == [
+        (1, "2024-06-01 12:00:00", 2),
+        (2, "2024-06-01 12:05:00", 1),
+    ]
