@@ -36,7 +36,11 @@ HEADLINE = (
     "minhash_lsh_pairs",
     "simhash_pairs",
     "cosine_topk",
-    "ann_ivf_topk",
+    # r4: the persisted build-once index replaces the per-call Lloyd
+    # rebuild (ann_ivf_topk) as the benched ANN shape — probe-only cost
+    # after the first build (VERDICT r3 #3); the live-rebuild query stays
+    # registered behind the window.
+    "ann_ivf_persisted_topk",
     "asof_latest_order_per_event",
     "dedup_components",
     "doc_quality_score",
@@ -76,12 +80,14 @@ def main() -> int:
             pass
     log(f"bench: warmup {time.perf_counter()-t_warm:.2f}s")
 
-    # Two passes per query: pass 1 is the round-over-round comparable
-    # number (same single-shot methodology as r1/r2 → "value"/"queries");
-    # min-of-both is the host-noise-robust figure ("value_best"/
-    # "queries_best") — this box shows ±20-30% load swings between runs
-    # with identical code (see .benchmarks/history.jsonl).
+    # Three passes per query; the HEADLINE number is the per-query MEDIAN
+    # (r4+ methodology, VERDICT r3 #9: this box shows ±20-30% load swings
+    # between identical-code runs, so single-shot deltas were mostly host
+    # noise). The first-pass series continues unchanged as
+    # "queries_first"/"value_first" (r1-r3 comparable); min-of-three is
+    # "queries_best"/"value_best".
     timings: dict[str, float] = {}
+    first: dict[str, float] = {}
     best: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
@@ -89,7 +95,7 @@ def main() -> int:
             log(f"bench: {name} not registered, skipping")
             continue
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
@@ -100,20 +106,28 @@ def main() -> int:
                 break
             runs.append(round(time.perf_counter() - t0, 3))
         if runs is None:
-            timings[name] = -1.0
-            best[name] = -1.0
+            timings[name] = first[name] = best[name] = -1.0
             continue
-        timings[name] = runs[0]
+        timings[name] = sorted(runs)[1]  # median of 3
+        first[name] = runs[0]
         best[name] = min(runs)
-        log(f"bench: {name}: {runs[0]:.3f}s (best {min(runs):.3f}s)")
+        log(
+            f"bench: {name}: median {timings[name]:.3f}s "
+            f"(first {runs[0]:.3f}s, best {min(runs):.3f}s)"
+        )
 
     ok = {k: v for k, v in timings.items() if v >= 0}
+    ok_first = {k: v for k, v in first.items() if v >= 0}
     ok_best = {k: v for k, v in best.items() if v >= 0}
     result = {
         "metric": "headline_queries_wall",
         "value": round(sum(ok.values()), 3),
         "unit": "sec",
+        "methodology": "median-of-3 per query (r4+); first-pass series in "
+        "queries_first matches the r1-r3 single-shot methodology",
         "queries": timings,
+        "queries_first": first,
+        "value_first": round(sum(ok_first.values()), 3),
         "queries_best": best,
         "value_best": round(sum(ok_best.values()), 3),
         "sf": sf,

@@ -426,12 +426,14 @@ def simhash_pairs(
     identical for every valid ``n_blocks``. Shuffles only (combo, key)
     longs + ids — never text.
     """
-    sh = simhash_frame(df, id_col, text_col, n, seed)
-    # NOTE: the self-join consumes the banded frame on both sides and
-    # Catalyst does not ReuseExchange across them, so the SimHash pipeline
-    # runs twice. Measured on this corpus, recomputing the (cheap, fully
-    # codegen'd) fold is FASTER than checkpointing 20 keys/doc — an A/B
-    # with localCheckpoint(eager=True) here was ~2x slower warm.
+    # The self-join consumes the banded frame on both sides and Catalyst
+    # does not ReuseExchange across them, so everything upstream runs
+    # twice. Checkpoint at the NARROWEST point: (id, simhash) is one long
+    # per doc, so the expensive text fold runs once and only the cheap
+    # fully-codegen'd banding explode recomputes per side. A/B at sf0.1
+    # (warm, best-of-2): no checkpoint 4.40s; banded-frame checkpoint
+    # (20 keys/doc — the r3 A/B) ~2x slower; sh checkpoint 3.36s.
+    sh = simhash_frame(df, id_col, text_col, n, seed).localCheckpoint(eager=True)
     banded = simhash_band_keys(sh, max_hamming, n_blocks)
     a = banded.alias("a")
     b = banded.alias("b")

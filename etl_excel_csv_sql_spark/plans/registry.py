@@ -2483,19 +2483,27 @@ def q_media_audio_meta(spark, sf_dir):
 from etl_excel_csv_sql_spark.plans import lifecycle_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-window curation (VERDICT r2 top-next): the driver checks the FIRST
-# 50 entries of queries() — this list IS that window. Composition:
-#   1-13   §2 reference-parity operators (scan/filter/join/agg/scalars)
-#   14-26  io/runner lifecycle roundtrips (Excel/CSV/JDBC/settings/watermark/
-#          folder-queue/retention/merge/schema-guard/e2e)
-#   27-49  LLM-pipeline family: dedup (exact/ngram/minhash/simhash/components)
-#          + text analysis + sampling + similarity/ANN + multimodal
-#   50     as-of join (rewritten this round — needs fresh evidence)
-# Everything after the window is r2-green breadth kept verifiable by pytest.
+# Driver-window curation, r4 rotation (VERDICT r3 #1): the driver checks the
+# FIRST 50 entries of queries() — this list IS that window. Composition:
+#   1-14   stable core: §2 reference-parity operators + the live-Derby JDBC
+#          roundtrip (kept every round)
+#   15-31  the 17 r3 additions that had NEVER had a driver row (streaming
+#          dedup, composed minhash pipeline, range join, rollup, SCD2,
+#          reconciliation, profile, sampling/mixture, quantization,
+#          persisted IVF, native sessions, media decode)
+#   32-33  new in r4: streaming session windows w/ late-data evidence;
+#          star-variant connected components
+#   34-50  r2-era breadth rotation (agg/rollup/cube/grouping-sets/set-ops/
+#          top-k/windows/percentiles/pivot/SQL-text/funnel) — last driver
+#          rows were r2
+# Displaced entries all carry green CORRECTNESS_r03 rows (the freshest
+# evidence there is); swap map in ROUND4_NOTES.md. Remaining r2-era breadth
+# (distinct/having/case-bands/corr/lag/rank/string/date/fuzzy/events/doc
+# stats) rotates in next round.
 # ---------------------------------------------------------------------------
 
 WINDOW_ORDER: tuple[str, ...] = (
-    # §2 parity
+    # --- stable core: §2 parity + live JDBC (1-14, kept every round) ---
     "filter_neq_case_insensitive",
     "project_columns",
     "filter_notnull_key",
@@ -2509,55 +2517,48 @@ WINDOW_ORDER: tuple[str, ...] = (
     "sanitize_sql_string",
     "path_scrub",
     "archive_naming",
-    # io/runner lifecycle
-    "excel_roundtrip",
-    "excel_multisheet_roundtrip",
-    "csv_roundtrip",
-    # r3: the live embedded-Derby roundtrip replaces the parquet stand-in
-    # (still registered + pytest-covered) — real-JDBC evidence for S5/K4.
     "jdbc_live_roundtrip",
-    "quarantine_split_rows",
-    "settings_catalog",
-    "watermark_lifecycle",
-    "folder_queue_lifecycle",
-    "retention_sweep_report",
-    "salted_join_equivalence",
-    "merge_upsert_roundtrip",
-    "schema_guard_outcomes",
-    "invoice_pipeline_e2e",
-    # dedup / text / sampling / similarity / multimodal
-    "exact_dup_groups",
-    "ngram_jaccard_pairs",
-    "dedup_components",
-    "dedup_keep_first",
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "doc_fingerprint_rolling",
-    "lang_id_heuristic",
-    "tfidf_top_terms",
-    "repetition_signals",
-    "contamination_check",
-    "pack_documents_by_lang",
-    "redact_pii",
-    "train_test_split",
-    # r3: the streaming tumbling twin (readStream → watermark → windowed agg
-    # → availableNow, value-parity with the batch oracle) replaces the thin
-    # char_ngram_profile map — Structured Streaming's first window evidence.
-    "events_tumbling_streaming",
-    # r3: dup_ngram_spans/dup_span_coverage (Lee et al. repeated-span dedup,
-    # full value-parity oracles) replace approx_distinct_users (rows-only
-    # HLL — pytest's error-bound check is the stronger evidence) and
-    # embedding_norms (trivial array plumbing).
-    "dup_ngram_spans",
-    "dup_span_coverage",
-    "subword_token_count",
-    "cosine_topk",
-    "embedding_dup_pairs",
-    "embedding_dup_pairs_exact",
-    "ann_ivf_topk",
-    "media_metadata",
-    # rewritten this round
-    "asof_latest_order_per_event",
+    # --- the 17 never-driver-checked r3 additions (15-31) ---
+    "events_streaming_dedup",
+    "dedup_pipeline_minhash",
+    "range_join_price_bands",
+    "hypertable_rollup_daily",
+    "scd2_snapshot_apply",
+    "reconciliation_customer_orders",
+    "table_profile_customer",
+    "lang_confusion_matrix",
+    "approx_quantiles_price",
+    "source_capped_sample",
+    "corpus_mixture_weights",
+    "embedding_quantization_error",
+    "ann_ivf_persisted_topk",
+    "events_session_native",
+    # media queries upgraded r4: REAL stdlib decode kernels with full
+    # value oracles via the synth id contract (was: stubbed, rows-only)
+    "media_image_meta",
+    "media_resize_plan",
+    "media_audio_meta",
+    # --- new in r4 (32-33) ---
+    "events_session_streaming",
+    "dedup_components_star",
+    # --- r2-era breadth rotation (34-50): last driver rows were r2 ---
+    "pricing_summary",
+    "group_by_multi",
+    "top_k_orders",
+    "rollup_agg",
+    "cube_agg",
+    "grouping_sets_exists",
+    "set_union",
+    "shipping_priority_top10",
+    "region_revenue",
+    "above_avg_orders",
+    "sql_text_interface",
+    "percentile_prices",
+    "pivot_status_by_priority",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_analytics_breadth",
+    "events_funnel",
 )
 
 _missing = [n for n in WINDOW_ORDER if n not in _REGISTRY]
