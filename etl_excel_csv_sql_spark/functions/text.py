@@ -21,8 +21,28 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "mit"),
     "es": ("el", "la", "de", "que", "y", "en", "un", "una", "es", "los"),
     "fr": ("le", "la", "de", "et", "un", "une", "est", "que", "les", "dans"),
+    "it": ("il", "di", "che", "e", "per", "con", "sono", "della", "anche", "non"),
+    "pt": ("o", "do", "da", "em", "um", "uma", "para", "com", "os", "das"),
+    "nl": ("het", "een", "van", "ik", "te", "dat", "niet", "zijn", "ook", "maar"),
     "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "这", "人"),
 }
+
+#: Unicode-script detection stage for :func:`lang_id`, checked IN ORDER
+#: (first match wins): (lang, codepoint ranges, min share of non-space
+#: chars). Kana outranks Han because Japanese prose mixes kanji with kana
+#: — even a modest kana share marks ja before the zh Han test fires.
+#: ``\x{...}`` codepoint escapes parse identically in Java regex (Spark)
+#: and RE2 (DuckDB), and every range is BMP so both engines count one
+#: char per codepoint.
+SCRIPT_RANGES: tuple[tuple[str, str, float], ...] = (
+    ("ja", r"\x{3040}-\x{30FF}", 0.05),  # hiragana + katakana
+    ("ko", r"\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}", 0.30),  # hangul + jamo
+    ("zh", r"\x{4E00}-\x{9FFF}", 0.30),  # CJK unified han
+    ("ru", r"\x{0400}-\x{04FF}", 0.30),  # cyrillic
+    ("ar", r"\x{0600}-\x{06FF}", 0.30),  # arabic
+    ("el", r"\x{0370}-\x{03FF}", 0.30),  # greek
+    ("he", r"\x{0590}-\x{05FF}", 0.30),  # hebrew
+)
 
 
 def _col(c: ColumnOrName) -> Column:
@@ -103,22 +123,58 @@ def lang_scores(text: ColumnOrName) -> Column:
     return F.create_map(*entries)
 
 
-def lang_id(text: ColumnOrName, default: str = "en") -> Column:
-    """Heuristic language ID: argmax over per-language stopword hit-rates,
-    ties broken by language code order; no hits at all → ``default``.
+def script_ratio(text: ColumnOrName, ranges: str) -> Column:
+    """Share of non-whitespace characters inside the given codepoint
+    ranges (a ``[...]``-class body like ``\\x{0400}-\\x{04FF}``)."""
+    t = _col(text)
+    non_ws = F.length(F.regexp_replace(t, r"\s", ""))
+    in_script = F.length(F.regexp_replace(t, f"[^{ranges}]", ""))
+    return F.when(non_ws > 0, in_script / non_ws).otherwise(F.lit(0.0))
 
-    This is the n-gram-free stopword variant — adequate for corpus routing;
-    swap in a real classifier (pandas_udf) for production labeling.
+
+def lang_id(text: ColumnOrName, default: str = "en") -> Column:
+    """Two-stage heuristic language ID.
+
+    Stage 1 — Unicode script detection (:data:`SCRIPT_RANGES`, first
+    match wins): ja/ko/zh/ru/ar/el/he by codepoint-range share of
+    non-space characters. Script evidence is near-unambiguous and costs
+    one regexp count per range — no tokenization.
+
+    Stage 2 — Latin-script texts fall through to the stopword argmax over
+    :data:`STOPWORDS` (en/de/es/fr/it/pt/nl/zh), ties broken by language
+    code order; no hits at all → ``default``.
+
+    Deterministic and oracle-mirrorable by construction (the registry
+    generates the matching DuckDB SQL from these same tables); swap in a
+    real classifier (pandas_udf) for production labeling.
     """
+    # Argmax via array_min over (-score, lang) structs: struct ordering is
+    # field-lexicographic, so the minimum IS "highest score, then first
+    # language code" — one linear expression. (The obvious iterative
+    # best-so-far when/otherwise chain nests the whole prior expression
+    # twice per language → 2^|langs| expression blowup; at 8 languages
+    # that was a >1 MiB task binary and a 20x slowdown.)
     scores = lang_scores(text)
     langs = sorted(STOPWORDS)
-    best_lang, best_score = F.lit(default), F.lit(0.0)
-    for lang in langs:
-        s = scores.getItem(lang)
-        is_better = s > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, s).otherwise(best_score)
-    return best_lang
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-scores.getItem(lang)).alias("neg"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang in langs
+            ]
+        )
+    )
+    result = F.when(best.getField("neg") < 0, best.getField("lang")).otherwise(
+        F.lit(default)
+    )
+    for lang, ranges, threshold in reversed(SCRIPT_RANGES):
+        result = F.when(
+            script_ratio(text, ranges) >= threshold, F.lit(lang)
+        ).otherwise(result)
+    return result
 
 
 def word_shingles(text: ColumnOrName, n: int = 3) -> Column:

@@ -1587,30 +1587,53 @@ def q_rolling_fp(spark, sf_dir):
     return docs.select("doc_id", rolling_hash("text").alias("fingerprint"))
 
 
-@register(
-    "lang_id_heuristic",
-    rf"""
+def _lang_id_oracle_sql() -> str:
+    """DuckDB twin of functions.text.lang_id, GENERATED from the same
+    STOPWORDS/SCRIPT_RANGES tables so the two stages can never drift.
+    ``\\x{...}`` codepoint escapes parse identically in Java regex and
+    RE2; all ranges are BMP so both engines count one char per
+    codepoint."""
+    from etl_excel_csv_sql_spark.functions.text import SCRIPT_RANGES, STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    score_exprs = []
+    for lang in langs:
+        words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+        score_exprs.append(
+            f"CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, "
+            f"x -> lower(x) IN ({words}))) AS DOUBLE) / len(t) END AS s_{lang}"
+        )
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    stop_case = f"CASE WHEN {greatest} <= 0 THEN 'en' " + " ".join(
+        f"WHEN s_{lang} = {greatest} THEN '{lang}'" for lang in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    nonws = r"len(regexp_replace(text, '\s', '', 'g'))"
+    script_whens = " ".join(
+        f"WHEN (CASE WHEN {nonws} = 0 THEN 0.0 ELSE "
+        f"CAST(len(regexp_replace(text, '[^{ranges}]', '', 'g')) AS DOUBLE)"
+        f" / {nonws} END) >= {threshold} THEN '{lang}'"
+        for lang, ranges, threshold in SCRIPT_RANGES
+    )
+    return f"""
     WITH toks AS (
-      SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents
+      SELECT doc_id, lang, text, {_TOKS_SQL} AS t FROM documents
     ), scores AS (
-      SELECT doc_id, lang,
-        CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> lower(x) IN ('der','die','das','und','ist','ein','eine','zu','den','mit'))) AS DOUBLE) / len(t) END AS s_de,
-        CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> lower(x) IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE) / len(t) END AS s_en,
-        CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> lower(x) IN ('el','la','de','que','y','en','un','una','es','los'))) AS DOUBLE) / len(t) END AS s_es,
-        CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> lower(x) IN ('le','la','de','et','un','une','est','que','les','dans'))) AS DOUBLE) / len(t) END AS s_fr,
-        CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> lower(x) IN ('的','是','了','在','和','有','我','不','这','人'))) AS DOUBLE) / len(t) END AS s_zh
+      SELECT doc_id, lang, text, {", ".join(score_exprs)}
       FROM toks
     )
     SELECT doc_id, lang,
-           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'en'
-                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
-                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
-                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
-                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
-                ELSE 'zh' END AS lang_pred
+           CASE {script_whens} ELSE ({stop_case}) END AS lang_pred
     FROM scores
-    """,
-    doc="stopword-overlap language ID; argmax with lexicographic tie-break",
+    """
+
+
+@register(
+    "lang_id_heuristic",
+    _lang_id_oracle_sql(),
+    doc="two-stage language ID: Unicode-script detection (ja/ko/zh/ru/ar/"
+    "el/he by codepoint-range share) then stopword argmax over 8 Latin/CJK "
+    "languages with lexicographic tie-break; oracle generated from the "
+    "same tables",
 )
 def q_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")

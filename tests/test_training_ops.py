@@ -267,3 +267,41 @@ def test_tfidf_builds_without_driver_action(spark):
     # 'alpha' has df == 3 > floor(0.9 * 3) → dropped as a stop term
     assert all(term != "alpha" for _, term in rows)
     assert (1, "beta") in rows or (1, "gamma") in rows
+
+
+def test_lang_id_script_stage_and_stopwords(spark):
+    """Two-stage lang-ID goldens: script detection for non-Latin scripts
+    (kana outranks Han for ja), stopword argmax for Latin languages,
+    default for no-signal text."""
+    from etl_excel_csv_sql_spark.functions.text import lang_id
+
+    rows = [
+        (1, "の 猫 は かわいい です ね こんにちは 世界", "ja"),  # kana + kanji
+        (2, "안녕하세요 세계 오늘 날씨가 좋다 한국어 문장", "ko"),
+        (3, "的 是 了 在 和 有 我 不 这 人 中文 文本", "zh"),
+        (4, "привет мир это русский текст для проверки", "ru"),
+        (5, "مرحبا بالعالم هذا نص عربي للاختبار", "ar"),
+        (6, "γειά σου κόσμε αυτό είναι ελληνικό κείμενο", "el"),
+        (7, "שלום עולם זהו טקסט עברי לבדיקה", "he"),
+        (8, "the cat is on the mat and it is happy", "en"),
+        (9, "der Hund ist ein guter Freund und die Katze", "de"),
+        (10, "il gatto che dorme sono della casa anche oggi non qui", "it"),
+        (11, "o gato do vizinho em um dia para com os amigos das festas", "pt"),
+        (12, "het is een mooie dag en ik denk dat zijn ook maar goed", "nl"),
+        (13, "xyzzy qwerty 12345", "en"),  # no signal → default
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows], ["doc_id", "text"])
+    got = {r.doc_id: r.pred for r in df.select("doc_id", lang_id("text").alias("pred")).collect()}
+    want = {i: lang for i, _, lang in rows}
+    assert got == want
+
+
+def test_lang_id_expression_is_linear(spark):
+    """The argmax must not nest exponentially: the generated plan for a
+    lang_id projection stays small (the old when/otherwise chain produced
+    a >1 MiB task binary at 8 languages)."""
+    from etl_excel_csv_sql_spark.functions.text import lang_id
+
+    df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    tree = df.select(lang_id("text").alias("p"))._jdf.queryExecution().optimizedPlan().toString()
+    assert len(tree) < 200_000, f"lang_id expression tree blew up: {len(tree)} chars"
