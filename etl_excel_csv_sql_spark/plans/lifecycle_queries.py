@@ -492,6 +492,76 @@ def q_events_session_streaming(spark, sf_dir):
 
 
 @register(
+    "events_stream_stream_join",
+    # Inner stream-stream joins emit each pair as soon as both rows have
+    # arrived — no watermark finalization wait — so over a bounded replay
+    # the streaming output equals the batch join EXACTLY, and the batch
+    # twin's SQL is a full value oracle for the streaming path.
+    """
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+    FROM events c JOIN events v
+      ON c.event_type = 'click' AND v.event_type = 'view'
+     AND c.user_id = v.user_id
+     AND v.ts > c.ts AND v.ts <= c.ts + INTERVAL 4 HOUR
+    """,
+    doc="stream-stream interval join e2e: clicks and views replay as two "
+    "readStream sources, joined on user with a (0, 4h] event-time range "
+    "condition and watermarks on both sides (state evicts at one horizon "
+    "per side instead of buffering the streams forever); append-mode "
+    "memory sink under availableNow equals the batch join row-for-row",
+)
+def q_events_stream_stream_join(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    scratch = _scratch(
+        "events_stream_join_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    src = os.path.join(scratch, "in")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def side(event_type: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .filter(F.col("event_type") == event_type)
+        )
+
+    joined = stream_stream_interval_join(
+        side("click"), side("view"), "user_id", "ts",
+        interval="4 hours", watermark="8 hours",
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("view_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.date_format(F.col("l.ts"), "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format(F.col("r.ts"), "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    sink_name = f"evt_ss_join_{_STREAM_RUN_SEQ[0]}"
+    (
+        joined.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink_name).select(
+        "click_id", "view_id", "user_id", "click_ts", "view_ts"
+    )
+
+
+@register(
     "quarantine_split_rows",
     """
     WITH mixed AS (

@@ -2561,9 +2561,12 @@ WINDOW_ORDER: tuple[str, ...] = (
     "media_image_meta",
     "media_resize_plan",
     "media_audio_meta",
-    # --- new in r4 (32-33) ---
+    # --- new in r4 (32-34) ---
     "events_session_streaming",
     "dedup_components_star",
+    # stream-stream interval join: inner joins emit complete results over
+    # a bounded replay, so the batch join SQL is a full value oracle
+    "events_stream_stream_join",
     # --- r2-era breadth rotation (34-50): last driver rows were r2 ---
     "pricing_summary",
     "group_by_multi",
@@ -2571,7 +2574,6 @@ WINDOW_ORDER: tuple[str, ...] = (
     "rollup_agg",
     "cube_agg",
     "grouping_sets_exists",
-    "set_union",
     "shipping_priority_top10",
     "region_revenue",
     "above_avg_orders",

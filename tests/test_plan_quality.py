@@ -69,7 +69,7 @@ def test_no_python_udfs_in_window_queries(spark, sf_dir):
     qs = all_queries()
     offenders = []
     for name in WINDOW_ORDER:
-        if name.startswith("media_") or "streaming" in name:
+        if name.startswith("media_") or "stream" in name:
             continue
         plan = _plan(qs[name](spark, sf_dir))
         if (

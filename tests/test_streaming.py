@@ -233,3 +233,61 @@ def test_session_stream_drops_late_rows(spark, tmp_path):
         (1, "2024-06-01 12:00:00", 2),
         (2, "2024-06-01 12:05:00", 1),
     ]
+
+
+def test_stream_stream_join_follows_within(spark, tmp_path):
+    """Inner stream-stream interval join: (click → view within 10 min per
+    user) over a bounded replay equals the hand-computed pair set; the
+    physical plan is a symmetric hash join with watermark state."""
+    import glob
+    import shutil
+    from datetime import datetime, timedelta
+
+    from etl_excel_csv_sql_spark.streaming.joins import stream_stream_interval_join
+
+    t0 = datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "click"),
+        (2, t0 + timedelta(minutes=5), 1, "view"),    # match of 1
+        (3, t0 + timedelta(minutes=20), 1, "view"),   # >10 min after 1; 5 min after 4
+        (4, t0 + timedelta(minutes=15), 1, "click"),
+        (5, t0 + timedelta(minutes=21), 1, "view"),   # match of 4
+        (6, t0, 2, "view"),                            # same ts, not > click
+        (7, t0, 2, "click"),
+        (8, t0 + timedelta(minutes=9), 3, "view"),     # no click for user 3
+    ]
+    src = str(tmp_path / "in")
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    df.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def side(et):
+        return (
+            spark.readStream.schema(schema).parquet(src)
+            .filter(F.col("event_type") == et)
+        )
+
+    joined = stream_stream_interval_join(
+        side("click"), side("view"), "user_id", "ts",
+        interval="10 minutes", watermark="1 hour",
+    ).select(
+        F.col("l.event_id").alias("click_id"), F.col("r.event_id").alias("view_id")
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted((r.click_id, r.view_id) for r in spark.table("ssj").collect())
+    assert got == [(1, 2), (4, 3), (4, 5)]
+    # watermark-bounded state: the join ran as a streaming symmetric hash
+    # join (state-store backed), not a static join
+    assert any(
+        "symmetricHashJoin" in str(so.get("operatorName", ""))
+        for p in q.recentProgress
+        for so in p.get("stateOperators", [])
+    )
