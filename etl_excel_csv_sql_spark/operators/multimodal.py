@@ -133,6 +133,22 @@ def frame_sample_plan(
     ).withColumn("sample_ts_s", F.col("frame_idx") * every_n_seconds)
 
 
+def audio_frame_plan(
+    df: DataFrame, hop_ms: int = 20, duration_ms_col: str = "duration_ms"
+) -> DataFrame:
+    """Audio analysis-frame plan over REAL demuxed durations: one row per
+    ``hop_ms`` hop starting inside [0, duration] — the standard
+    feature-extraction framing (a 20 ms hop is the classic MFCC stride).
+    Integer arithmetic throughout so the plan is externally predictable.
+    Same scale shape as ``frame_sample_plan``: a narrow explode whose
+    output should be repartitioned before any heavy per-frame decode."""
+    n_hops = (F.col(duration_ms_col) / F.lit(hop_ms)).cast("long")
+    return df.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_hops)).alias("frame_idx"),
+    ).withColumn("start_ms", F.col("frame_idx") * hop_ms)
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

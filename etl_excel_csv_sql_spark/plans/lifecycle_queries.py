@@ -562,6 +562,93 @@ def q_events_stream_stream_join(spark, sf_dir):
 
 
 @register(
+    "events_stream_stream_left_join",
+    # Matched pairs emit immediately (== the batch join); unmatched left
+    # rows emit with nulls only once the global watermark — min across
+    # both sides of (ms-truncated max event time − 8 h) — passes STRICTLY
+    # beyond click_ts + 4 h (boundary calibrated empirically: rows at
+    # exact equality stay buffered). The oracle mirrors both rules.
+    """
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+         v AS (SELECT * FROM events WHERE event_type = 'view'),
+         wm AS (
+           SELECT least(date_trunc('millisecond', (SELECT max(ts) FROM c)),
+                        date_trunc('millisecond', (SELECT max(ts) FROM v)))
+                  - INTERVAL 8 HOUR AS w
+         )
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+    FROM c JOIN v
+      ON c.user_id = v.user_id
+     AND v.ts > c.ts AND v.ts <= c.ts + INTERVAL 4 HOUR
+    UNION ALL
+    SELECT c.event_id, CAST(NULL AS BIGINT), c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S'), CAST(NULL AS VARCHAR)
+    FROM c, wm
+    WHERE NOT EXISTS (
+            SELECT 1 FROM v
+            WHERE v.user_id = c.user_id
+              AND v.ts > c.ts AND v.ts <= c.ts + INTERVAL 4 HOUR
+          )
+      AND c.ts + INTERVAL 4 HOUR < wm.w
+    """,
+    doc="LEFT-OUTER stream-stream interval join e2e: matched pairs emit "
+    "on arrival; never-matched clicks emit (click, null) once the global "
+    "min-watermark strictly passes click_ts + interval — watermark-"
+    "finalized outer results, value-checked by an oracle that rebuilds "
+    "the same watermark arithmetic",
+)
+def q_events_stream_stream_left_join(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    scratch = _scratch(
+        "events_stream_ljoin_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    src = os.path.join(scratch, "in")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def side(event_type: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .filter(F.col("event_type") == event_type)
+        )
+
+    joined = stream_stream_interval_join(
+        side("click"), side("view"), "user_id", "ts",
+        interval="4 hours", watermark="8 hours", how="left_outer",
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("view_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.date_format(F.col("l.ts"), "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format(F.col("r.ts"), "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    sink_name = f"evt_ss_ljoin_{_STREAM_RUN_SEQ[0]}"
+    (
+        joined.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink_name).select(
+        "click_id", "view_id", "user_id", "click_ts", "view_ts"
+    )
+
+
+@register(
     "quarantine_split_rows",
     """
     WITH mixed AS (

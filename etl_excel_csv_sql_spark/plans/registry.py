@@ -2501,6 +2501,37 @@ def q_media_audio_meta(spark, sf_dir):
     )
 
 
+@register(
+    "media_frame_plan",
+    # one row per 20 ms hop of the REAL demuxed duration; the oracle
+    # rebuilds duration_ms from the synth contract and unnests the same
+    # integer hop series
+    """
+    WITH meta AS (
+      SELECT doc_id AS media_id,
+             ((256 + (doc_id % 64) * 16) * 1000)
+                 // (8000 * (1 + doc_id % 6)) AS duration_ms
+      FROM documents
+    )
+    SELECT media_id, unnest(generate_series(0, duration_ms // 20)) AS frame_idx,
+           unnest(generate_series(0, duration_ms // 20)) * 20 AS start_ms
+    FROM meta
+    """,
+    doc="audio analysis-frame plan (20 ms hop) over REAL RIFF-demuxed "
+    "durations: demux → explode one row per hop — the narrow-explode "
+    "shape heavy per-frame kernels fan out from; hop series value-checked "
+    "by the oracle",
+)
+def q_media_frame_plan(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    clips = multimodal.synth_audio_payloads(docs, "doc_id")
+    media = multimodal.to_media_column(clips, "media_id", "payload", "audio")
+    meta = multimodal.extract_audio_meta(media, strict=True)
+    return multimodal.audio_frame_plan(meta, hop_ms=20).select(
+        "media_id", "frame_idx", "start_ms"
+    )
+
+
 # io/runner lifecycle queries register themselves on import (deferred to the
 # bottom so their `from ...registry import register` resolves).
 from etl_excel_csv_sql_spark.plans import lifecycle_queries  # noqa: E402,F401

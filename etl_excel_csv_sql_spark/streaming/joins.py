@@ -31,8 +31,9 @@ def stream_stream_interval_join(
     ts_col: str = "ts",
     interval: str = "10 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two streams on ``key_col`` where the right event lands in
+    """Join two streams on ``key_col`` where the right event lands in
     ``(left.ts, left.ts + interval]`` — the follows-within pattern (view
     that follows a click, fill that follows an order).
 
@@ -40,6 +41,13 @@ def stream_stream_interval_join(
     lets Spark evict buffered rows once no future match is possible
     (state ≈ one watermark horizon per side per key, independent of
     stream length).
+
+    ``how="left_outer"`` additionally emits (left, null) for rows that
+    never match — but only once the global watermark (the MIN across both
+    sides' ``max event time − delay``, millisecond-truncated) passes
+    strictly beyond ``left.ts + interval``; rows at exactly the boundary
+    stay buffered (calibrated empirically on this engine and mirrored by
+    the registered oracle).
     """
     lhs = left.withWatermark(ts_col, watermark).alias("l")
     rhs = right.withWatermark(ts_col, watermark).alias("r")
@@ -51,4 +59,4 @@ def stream_stream_interval_join(
             <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {interval}")
         )
     )
-    return lhs.join(rhs, cond, "inner")
+    return lhs.join(rhs, cond, how)

@@ -291,3 +291,57 @@ def test_stream_stream_join_follows_within(spark, tmp_path):
         for p in q.recentProgress
         for so in p.get("stateOperators", [])
     )
+
+
+def test_stream_stream_left_outer_null_emission(spark, tmp_path):
+    """Left-outer interval join: matched pairs emit on arrival; a
+    never-matched left row emits (click, null) only once the global
+    min-watermark strictly passes click_ts + interval — rows at exact
+    equality stay buffered (the calibrated boundary the registered
+    oracle mirrors)."""
+    from datetime import datetime, timedelta
+
+    from etl_excel_csv_sql_spark.streaming.joins import stream_stream_interval_join
+
+    t0 = datetime(2024, 6, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 55, "click"),                          # no views for 55 → null row
+        (2, t0 + timedelta(minutes=30), 10, "click"),  # matched
+        (100, t0 + timedelta(minutes=40), 10, "view"),
+        (3, t0 + timedelta(hours=20), 56, "click"),    # too recent → withheld
+        (4, t0 + timedelta(hours=11), 57, "click"),    # ts+1h == wm exactly → withheld
+        (101, t0 + timedelta(hours=24), 99, "view"),   # view-side watermark driver
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def side(et):
+        return (
+            spark.readStream.schema(schema).parquet(src)
+            .filter(F.col("event_type") == et)
+        )
+
+    joined = stream_stream_interval_join(
+        side("click"), side("view"), "user_id", "ts",
+        interval="1 hour", watermark="8 hours", how="left_outer",
+    ).select(
+        F.col("l.event_id").alias("click_id"), F.col("r.event_id").alias("view_id")
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssjo_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        [(r.click_id, r.view_id) for r in spark.table("ssjo_t").collect()],
+        key=str,
+    )
+    # global wm = min(clicks max T+20h, views max T+24h) - 8h = T+12h:
+    # click 1 (T+1h < T+12h) emits null; click 4 (T+12h == wm) withheld;
+    # click 3 (T+21h > wm) withheld; click 2 matched.
+    assert got == [(1, None), (2, 100)]
