@@ -649,6 +649,75 @@ def q_events_stream_stream_left_join(spark, sf_dir):
 
 
 @register(
+    "events_stateful_running_totals",
+    # Two deterministic micro-batches (even event_ids, then odd): per
+    # batch the custom state operator emits one row per appearing user
+    # with (events this batch, lifetime total). The oracle rebuilds both
+    # batches' emissions - the second batch's totals prove state CARRIED
+    # between batches (a stateless operator would emit b1.n, not
+    # b0.n + b1.n).
+    """
+    WITH b0 AS (
+      SELECT user_id, count(*) AS n FROM events
+      WHERE event_id % 2 = 0 GROUP BY user_id
+    ), b1 AS (
+      SELECT user_id, count(*) AS n FROM events
+      WHERE event_id % 2 = 1 GROUP BY user_id
+    )
+    SELECT user_id, n AS batch_events, n AS total_events FROM b0
+    UNION ALL
+    SELECT b1.user_id, b1.n AS batch_events,
+           b1.n + COALESCE(b0.n, 0) AS total_events
+    FROM b1 LEFT JOIN b0 USING (user_id)
+    """,
+    doc="custom stateful streaming e2e (applyInPandasWithState): per-user "
+    "running totals across two deterministic micro-batches, update-mode "
+    "memory sink under availableNow. The oracle value-checks that state "
+    "persisted across batches - lifetime totals in batch 2 include "
+    "batch 1's counts",
+)
+def q_events_stateful_running_totals(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.streaming.stateful import running_user_totals
+
+    scratch = _scratch(
+        "events_stateful_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    src = os.path.join(scratch, "in")
+    os.makedirs(src, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    _write_single_parquet(
+        ev.filter(F.col("event_id") % 2 == 0), scratch,
+        os.path.join(src, "b0.parquet"), 1_000,
+    )
+    _write_single_parquet(
+        ev.filter(F.col("event_id") % 2 == 1), scratch,
+        os.path.join(src, "b1.parquet"), 2_000,
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    totals = running_user_totals(stream, "user_id")
+    _STREAM_RUN_SEQ[0] += 1
+    sink_name = f"evt_stateful_{_STREAM_RUN_SEQ[0]}"
+    (
+        totals.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink_name).select(
+        "user_id", "batch_events", "total_events"
+    )
+
+
+@register(
     "quarantine_split_rows",
     """
     WITH mixed AS (
