@@ -718,6 +718,46 @@ def q_events_stateful_running_totals(spark, sf_dir):
 
 
 @register(
+    "warehouse_bucketed_join",
+    """
+    SELECT c.c_custkey, c.c_mktsegment, count(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0)
+                AS DOUBLE) AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="co-bucketed warehouse join e2e: customer and orders written as "
+    "bucketBy(8, key) managed tables, then joined shuffle-free (no "
+    "Exchange on either side — asserted by test_warehouse) and "
+    "aggregated; the oracle is the plain join, proving bucketing changes "
+    "the plan, never the result",
+)
+def q_warehouse_bucketed_join(spark, sf_dir):
+    from etl_excel_csv_sql_spark.io.warehouse import (
+        cobucketed_join,
+        write_bucketed_table,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    cust_t, ord_t = f"wh_customer_{tag}", f"wh_orders_{tag}"
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_bucketed_table(cust, cust_t, ["c_custkey"], 8, sort_cols=["c_custkey"])
+    write_bucketed_table(orders, ord_t, ["o_custkey"], 8, sort_cols=["o_custkey"])
+    joined = cobucketed_join(spark, cust_t, ord_t, "c_custkey", "o_custkey", "left")
+    return joined.groupBy("c_custkey", "c_mktsegment").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.coalesce(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")), F.lit(0)
+        ).cast("double").alias("total_spend"),
+    )
+
+
+@register(
     "quarantine_split_rows",
     """
     WITH mixed AS (
