@@ -21,7 +21,36 @@ path-based parquet loses bucket metadata.
 
 from __future__ import annotations
 
+import os
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _purge_stale_table(spark: SparkSession, table: str) -> None:
+    """Make ``saveAsTable(mode="overwrite")`` idempotent ACROSS sessions.
+
+    A managed table's directory can survive in ``spark.sql.warehouse.dir``
+    while the catalog entry does not (in-memory catalog + a previous run's
+    ``spark-warehouse/`` on disk). In that state ``saveAsTable`` refuses to
+    write — LOCATION_ALREADY_EXISTS — because it will not claim a location
+    it does not own. Drop whatever catalog entry exists (which removes the
+    location it DOES own), then delete any orphaned directory left behind
+    by an earlier session.
+
+    Only local-filesystem warehouse dirs are purged (file:// or bare
+    paths) — exactly the single-JVM case where the orphan problem exists;
+    a persistent metastore over HDFS/S3 keeps catalog and location in
+    sync, so the DROP alone suffices there.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if wh.scheme not in ("", "file"):
+        return
+    loc = os.path.join(wh.path, table.split(".")[-1].lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def write_partitioned(
@@ -46,7 +75,12 @@ def write_bucketed_table(
 ) -> None:
     """Hash-bucketed (and optionally sorted) managed table. Joins between
     tables sharing (bucket_cols, n_buckets) skip the exchange entirely;
-    sorted buckets additionally skip the sort of a sort-merge join."""
+    sorted buckets additionally skip the sort of a sort-merge join.
+
+    Idempotent across sessions: a stale managed-table location from a
+    previous run (on disk but absent from this session's catalog) is
+    purged before the write instead of failing LOCATION_ALREADY_EXISTS."""
+    _purge_stale_table(df.sparkSession, table)
     writer = (
         df.write.mode("overwrite")
         .format("parquet")

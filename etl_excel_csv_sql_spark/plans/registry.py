@@ -2029,15 +2029,29 @@ def q_scd2_apply(spark, sf_dir):
     "accuracy 1e4 → ±0.01% rank error): the distributed-percentile shape "
     "for 100 TB where exact percentile needs a global sort. Approximate by "
     "construction → rows-only; pytest bounds the rank error against the "
-    "exact percentiles",
+    "exact percentiles. Output is posexploded to one scalar row per "
+    "(priority, quantile) — array-typed result columns are unhashable in "
+    "the driver's canonicalizer (r4 red row)",
 )
 def q_approx_quantiles(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.percentile_approx(
-            "o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000
-        ).alias("price_quantiles"),
+    fractions = [0.25, 0.5, 0.75, 0.95]
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", fractions, 10000).alias(
+            "price_quantiles"
+        ),
         F.count("*").alias("n_orders"),
+    )
+    frac_lookup = F.array(*[F.lit(q) for q in fractions])
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        F.posexplode("price_quantiles").alias("q_idx", "price_quantile"),
+    ).select(
+        "o_orderpriority",
+        F.element_at(frac_lookup, F.col("q_idx") + 1).alias("quantile"),
+        F.col("price_quantile"),
+        "n_orders",
     )
 
 

@@ -79,3 +79,57 @@ def test_no_python_udfs_in_window_queries(spark, sf_dir):
         ):
             offenders.append(name)
     assert not offenders, f"Python eval in window plans: {offenders}"
+
+
+def test_oracle_gate_rejects_driver_unhashable_outputs(spark):
+    """The driver's canonicalizer (pandas sort_values -> factorize) dies on
+    array/map/struct cells; the local gate must reject the same shapes
+    BEFORE rotation instead of tuple-izing them (r4 red row
+    `approx_quantiles_price` got through exactly that way)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.check_oracle import non_scalar_columns
+
+    from pyspark.sql import functions as F
+
+    base = spark.range(3)
+    assert non_scalar_columns(base) == []
+    arr = base.select(F.array(F.lit(1), F.lit(2)).alias("xs"))
+    assert non_scalar_columns(arr) == ["xs (array<int>)"]
+    mp = base.select(F.create_map(F.lit("k"), F.lit(1)).alias("m"))
+    assert len(non_scalar_columns(mp)) == 1
+    st = base.select(F.struct(F.lit(1).alias("a")).alias("s"))
+    assert len(non_scalar_columns(st)) == 1
+
+
+def test_window_queries_have_scalar_only_outputs(spark, sf_dir):
+    """Every query in the driver window must produce a schema the driver
+    can hash — cheap (schema-only, no execution for most) and exactly the
+    audit the r4 verdict asked for."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import non_scalar_columns
+
+    from etl_excel_csv_sql_spark.plans.registry import WINDOW_ORDER
+
+    qs = entrymod.queries()
+    # restrict to cheap-to-plan queries: skip lifecycle/streaming entries
+    # that run eagerly inside the fn (they are covered by the full local
+    # gate and the schema audit script)
+    slow_prefixes = ("events_stream", "events_session_streaming",
+                     "events_streaming", "events_stateful", "events_tumbling_streaming",
+                     "jdbc_", "excel_", "csv_", "warehouse_", "ann_ivf",
+                     "watermark_", "folder_", "settings_", "quarantine_",
+                     "merge_", "schema_guard", "invoice_pipeline",
+                     "retention_", "archive_", "copy_plan")
+    checked = 0
+    for name in WINDOW_ORDER:
+        if name.startswith(slow_prefixes):
+            continue
+        bad = non_scalar_columns(qs[name](spark, sf_dir))
+        assert bad == [], f"{name} has driver-unhashable columns: {bad}"
+        checked += 1
+    assert checked >= 20

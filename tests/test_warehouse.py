@@ -27,6 +27,32 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
     assert "PartitionFilters" in plan and "2024-01-02" in plan
 
 
+def test_bucketed_write_survives_orphaned_location(spark):
+    """Fresh-session idempotency (r4 verdict #2): a managed-table directory
+    left in spark-warehouse/ by a PREVIOUS session (no catalog entry in
+    this one) must not fail the write with LOCATION_ALREADY_EXISTS."""
+    import os
+    from urllib.parse import urlparse
+
+    df = spark.createDataFrame([(i, i % 5) for i in range(100)], ["id", "k"])
+    table = "b_orphan_check"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # simulate the leftover: location on disk, absent from the catalog
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, table)
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "part-orphan.parquet"), "wb") as f:
+        f.write(b"stale")
+    try:
+        write_bucketed_table(df, table, ["k"], 4)  # must not raise
+        assert spark.table(table).count() == 100
+        # and plain re-runs in the SAME session stay idempotent too
+        write_bucketed_table(df, table, ["k"], 4)
+        assert spark.table(table).count() == 100
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_cobucketed_join_has_no_exchange(spark, tmp_path):
     orders = spark.createDataFrame(
         [(i, i % 50, i * 10.0) for i in range(2000)],

@@ -21,16 +21,31 @@ sys.path.insert(0, "/root/repo")
 from etl_excel_csv_sql_spark.catalog import TABLES  # noqa: E402
 
 
+def non_scalar_columns(sdf) -> list[str]:
+    """Columns the DRIVER's canonicalizer cannot hash (pandas sort_values →
+    factorize dies on list/dict cells with `unhashable type`). The local
+    gate must reject the exact same shapes or it masks driver failures —
+    r4's `approx_quantiles_price` red row got through because norm_cell
+    tuple-ized lists locally."""
+    from pyspark.sql import types as T
+
+    return [
+        f"{f.name} ({f.dataType.simpleString()})"
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize cell values to comparable primitives
+    # normalize cell values to comparable primitives — scalars only; the
+    # non_scalar_columns() gate has already rejected array/map/struct
+    # outputs, mirroring the driver's canonicalizer
     def norm_cell(v):
         if isinstance(v, float):
             return round(v, 9)
         if hasattr(v, "isoformat"):
             return v.isoformat()
-        if isinstance(v, (list, tuple)):
-            return tuple(norm_cell(x) for x in v)
         return v
 
     for c in df.columns:
@@ -61,7 +76,17 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            frame = fn(spark, sf_dir)
+            bad_cols = non_scalar_columns(frame)
+            if bad_cols:
+                failures.append(
+                    (name, f"DRIVER-UNHASHABLE columns: {bad_cols} — the "
+                     "driver's canonicalizer rejects array/map/struct "
+                     "outputs; reshape to scalar columns (posexplode)")
+                )
+                print(f"  {name}: DRIVER-UNHASHABLE {bad_cols}")
+                continue
+            sdf = frame.toPandas()
         except Exception:
             failures.append((name, "SPARK ERROR:\n" + traceback.format_exc()))
             print(f"  {name}: SPARK ERROR")
