@@ -94,8 +94,7 @@ def stopword_ratio(
     has a stable stopword ratio; keyword spam / boilerplate does not)."""
     toks = tokens(text)
     sw = F.array(*[F.lit(w) for w in stopwords])
-    hits = F.size(F.array_intersect(toks, sw))
-    # array_intersect dedups; count actual occurrences instead:
+    # array_intersect would dedup; count actual occurrences
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 

@@ -95,9 +95,17 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def bmp_meta(payload: bytes) -> tuple[int, int]:
-    """(width, height) from the BMP header only — no pixel read."""
+    """(width, height) from the BMP header only — no pixel read.
+
+    Checks the DIB header size first: a BITMAPCOREHEADER (12-byte DIB)
+    stores 16-bit dims at different offsets, so reading the
+    BITMAPINFOHEADER layout blindly would return garbage instead of
+    failing (mirrors decode_bmp's check)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    (dib_size,) = struct.unpack_from("<I", payload, 14)
+    if dib_size < 40:
+        raise ValueError(f"unsupported DIB header size {dib_size} (< 40)")
     _, w, h = struct.unpack_from("<Iii", payload, 14)
     return w, abs(h)
 
@@ -325,6 +333,11 @@ def wav_meta(payload: bytes) -> tuple[int, int, int, int]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data_size is None:
         raise ValueError("WAV missing fmt or data chunk")
+    # malformed fmt values must surface as ValueError (the lenient-mode
+    # quarantine contract catches ValueError only) — a bare
+    # ZeroDivisionError below would crash the executor batch instead
+    if channels < 1 or bits < 8:
+        raise ValueError(f"WAV fmt out of range (channels={channels}, bits={bits})")
     n_frames = data_size // (channels * (bits // 8))
     return rate, channels, bits, n_frames
 

@@ -47,16 +47,53 @@ def spread_for_compute(df: DataFrame, min_partitions: int | None = None) -> Data
     planning uses to size scan splits, so the decision matches the
     partition count Spark would actually produce for a file scan, at the
     cost of a catalog-stats lookup only.
+
+    Two probe caveats handled explicitly (would otherwise re-create the
+    exact regressions this function prevents):
+
+    - Plans WITHOUT stats (RDD-backed, in-memory relations) report the
+      ``spark.sql.defaultSizeInBytes`` sentinel (Long.MaxValue), which the
+      size test reads as "huge" and skips the spread — leaving an
+      expensive operator on 1-2 partitions. In that ambiguous case only,
+      fall back to the real partition count (paying the RDD conversion
+      once, off the hot parquet path).
+    - A frame that is already the output of a prior ``spread_for_compute``
+      (top logical node = round-robin Repartition ≥ target) is returned
+      as-is instead of re-shuffling on every call.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
+    if _repartition_count(df) >= target:
+        return df
+    conf = spark._jsparkSession.sessionState().conf()
     size_bytes = int(
         str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     )
-    max_pb = int(spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes())
+    if size_bytes >= int(str(conf.defaultSizeInBytes())):
+        # stats unknown → the size probe is meaningless; ask the RDD
+        if df.rdd.getNumPartitions() >= target:
+            return df
+        return df.repartition(target)
+    max_pb = int(conf.filesMaxPartitionBytes())
     if size_bytes < target * max_pb:
         return df.repartition(target)
     return df
+
+
+def _repartition_count(df: DataFrame) -> int:
+    """numPartitions when the frame's top logical node is an explicit
+    repartition (the shape a prior spread_for_compute leaves), else 0.
+    Pure plan metadata — no RDD conversion, no job."""
+    try:
+        node = df._jdf.queryExecution().logical()
+        if node.getClass().getSimpleName() in (
+            "Repartition",
+            "RepartitionByExpression",
+        ):
+            return int(node.numPartitions())
+    except Exception:
+        pass
+    return 0
 
 
 def project(df: DataFrame, columns: Sequence[str]) -> DataFrame:

@@ -133,3 +133,24 @@ def test_window_queries_have_scalar_only_outputs(spark, sf_dir):
         assert bad == [], f"{name} has driver-unhashable columns: {bad}"
         checked += 1
     assert checked >= 20
+
+
+def test_spread_for_compute_probe_caveats(spark, sf_dir):
+    """r4 ADVICE: (a) stats-less plans report the defaultSizeInBytes
+    sentinel and must fall back to the real partition count; (b) a frame
+    already spread must not be re-shuffled on every call."""
+    from etl_excel_csv_sql_spark.operators import relational as R
+
+    target = spark.sparkContext.defaultParallelism
+    small = spark.read.parquet(f"{sf_dir}/region.parquet")
+    spread = R.spread_for_compute(small)
+    assert spread.rdd.getNumPartitions() >= target
+    # idempotent: a second call sees the Repartition top node and returns
+    # the SAME frame (no redundant shuffle)
+    assert R.spread_for_compute(spread) is spread
+    # RDD-backed frame: optimizer stats are the Long.MaxValue sentinel —
+    # the old size-only probe read that as "huge" and left it on 2
+    # partitions; the fallback must still spread it
+    rdd = spark.sparkContext.parallelize([(i,) for i in range(100)], 2)
+    rdd_df = spark.createDataFrame(rdd, "id: bigint")
+    assert R.spread_for_compute(rdd_df).rdd.getNumPartitions() >= target

@@ -178,3 +178,30 @@ def test_quantization_report_quality_and_edges(spark):
         for r in quantization_report(df, "vec_id", "embedding", bits=4).collect()
     }
     assert rep4[2].mse >= rep[2].mse
+
+
+def test_ivf_skip_if_exists_fingerprints_corpus(spark, emb, tmp_path):
+    """r4 ADVICE: build-once reuse must revalidate the corpus + params —
+    a regenerated corpus or changed n_cells rebuilds; identical inputs
+    skip."""
+    import os
+
+    emb_df, _rows = emb
+    idx = similarity.IvfIndex(str(tmp_path / "ivf_fp"))
+    idx.build(emb_df, n_cells=8, kmeans_iters=1)
+    assert idx.is_built()
+    mtime = os.path.getmtime(idx._manifest)
+
+    # identical corpus + params → reuse (manifest untouched)
+    idx.build(emb_df, n_cells=8, kmeans_iters=1, skip_if_exists=True)
+    assert os.path.getmtime(idx._manifest) == mtime
+
+    # changed build params → rebuild even with skip_if_exists
+    idx.build(emb_df, n_cells=4, kmeans_iters=1, skip_if_exists=True)
+    assert os.path.getmtime(idx._manifest) > mtime
+
+    # changed corpus content → rebuild
+    mtime = os.path.getmtime(idx._manifest)
+    smaller = emb_df.filter(F.col("vec_id") < 100)
+    idx.build(smaller, n_cells=4, kmeans_iters=1, skip_if_exists=True)
+    assert os.path.getmtime(idx._manifest) > mtime
