@@ -343,6 +343,109 @@ def wav_meta(payload: bytes) -> tuple[int, int, int, int]:
 
 
 # ---------------------------------------------------------------------------
+# AVI — RIFF container metadata demux (no frame decode)
+# ---------------------------------------------------------------------------
+#
+# AVI is RIFF, same chunk grammar as WAV: the main header lives in
+# LIST/hdrl → avih (dims, total frames) and the video stream header in
+# the nested LIST/strl → strh (dwRate/dwScale = exact fps rational).
+# Header-only parse — the movi payload is never touched, so this stays a
+# cheap narrow map at any video size. Layouts per the public AVI RIFF
+# spec (AVIMAINHEADER / AVISTREAMHEADER).
+
+
+def encode_avi(
+    width: int, height: int, fps: int, n_frames: int
+) -> bytes:
+    """Minimal but structurally valid AVI: RIFF(AVI ) → LIST hdrl
+    (avih + LIST strl(strh vids + strf BITMAPINFOHEADER)) + LIST movi
+    with ``n_frames`` empty '00db' frame chunks. Metadata-true: every
+    field avi_meta reads round-trips."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    avih = struct.pack(
+        "<10I16x",
+        1_000_000 // fps,  # dwMicroSecPerFrame (informational)
+        0, 0, 0,
+        n_frames,          # dwTotalFrames
+        0,
+        1,                 # dwStreams
+        0,
+        width, height,
+    )
+    strh = struct.pack(
+        "<4s4s I HH I II II I i I 4H",
+        b"vids", b"\x00\x00\x00\x00",
+        0, 0, 0, 0,
+        1, fps,            # dwScale / dwRate → exact fps rational
+        0, n_frames,       # dwStart / dwLength
+        0, -1, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, width * height * 3,
+        0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", b"") for _ in range(n_frames)))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _riff_chunks(payload: bytes, pos: int, end: int):
+    """Yield (tag, body_start, body_size) over a RIFF chunk run —
+    word-aligned, bounds-checked; shared grammar with the WAV walker."""
+    while pos + 8 <= end:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > end:
+            raise ValueError("truncated RIFF chunk")
+        yield tag, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def avi_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, fps, n_frames) from the AVI headers only.
+
+    width/height/n_frames come from avih; fps from the 'vids' stream's
+    strh dwRate/dwScale (the exact rational — dwMicroSecPerFrame is a
+    rounded duplicate). Raises ValueError on non-AVI payloads, missing
+    headers, or out-of-range fields (the lenient-mode quarantine
+    contract, same as wav_meta)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF-AVI payload")
+    width = height = n_frames = None
+    rate = scale = None
+    for tag, start, size in _riff_chunks(payload, 12, len(payload)):
+        if tag != b"LIST" or payload[start : start + 4] != b"hdrl":
+            continue
+        for t2, s2, z2 in _riff_chunks(payload, start + 4, start + size):
+            if t2 == b"avih" and z2 >= 40:
+                n_frames, _, _, _, width, height = struct.unpack_from(
+                    "<16xI3I2I", payload, s2
+                )
+            elif t2 == b"LIST" and payload[s2 : s2 + 4] == b"strl":
+                for t3, s3, z3 in _riff_chunks(payload, s2 + 4, s2 + z2):
+                    if t3 == b"strh" and z3 >= 28:
+                        fcc = payload[s3 : s3 + 4]
+                        if fcc == b"vids":
+                            scale, rate = struct.unpack_from("<II", payload, s3 + 20)
+    if width is None or rate is None:
+        raise ValueError("AVI missing avih or vids strh header")
+    if scale < 1 or rate < 1 or width < 1 or height < 1:
+        raise ValueError(
+            f"AVI header out of range (w={width}, h={height}, "
+            f"rate={rate}, scale={scale})"
+        )
+    return width, height, rate // scale, n_frames
+
+
+# ---------------------------------------------------------------------------
 # Unified sniff + decode dispatch
 # ---------------------------------------------------------------------------
 
@@ -360,6 +463,8 @@ def sniff_format(payload: bytes | None) -> str | None:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     return None
 
 

@@ -282,6 +282,63 @@ def extract_audio_meta(df: DataFrame, strict: bool = False) -> DataFrame:
     return df.mapInPandas(batches, AUDIO_META_SCHEMA)
 
 
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("byte_len", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("fps", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def extract_video_meta(df: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL video container metadata: AVI RIFF header walk
+    (``codecs.avi_meta``) → (width, height, fps, n_frames, duration_ms)
+    per payload. Header-only — the movi frame data is never read, so the
+    kernel is a cheap narrow map no matter how large the videos are.
+    ``duration_ms = n_frames * 1000 // fps`` (integer floor, externally
+    predictable). Non-AVI containers raise under ``strict=True`` and
+    yield nulls otherwise — same lenient/quarantine contract as the
+    image and audio kernels."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {
+                "width": [], "height": [], "fps": [],
+                "n_frames": [], "duration_ms": [],
+            }
+            for payload in pdf["payload"]:
+                if payload is None:
+                    if strict:
+                        raise ValueError("null payload in strict video demux")
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                try:
+                    w, h, fps, frames = codecs.avi_meta(bytes(payload))
+                except ValueError:
+                    if strict:
+                        raise
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["fps"].append(fps)
+                cols["n_frames"].append(frames)
+                cols["duration_ms"].append(frames * 1000 // fps if fps else 0)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "byte_len": pdf["byte_len"],
+                 **{k: pd.Series(v, dtype="object") for k, v in cols.items()}}
+            )
+
+    return df.mapInPandas(batches, VIDEO_META_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic synthetic payload generators (test/driver fixtures)
 # ---------------------------------------------------------------------------
@@ -338,6 +395,41 @@ def synth_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for mid in pdf["media_id"]:
                 fmt, w, h = synth_image_dims(int(mid))
                 payloads.append(codecs.encode_image(_synth_pixels(int(mid), w, h), fmt))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "payload": pd.Series(payloads, dtype="object")}
+            )
+
+    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+
+
+_SYNTH_FPS = (10, 12, 24, 25, 30, 50)
+
+
+def synth_video_params(media_id: int) -> tuple[int, int, int, int]:
+    """id → (width, height, fps, n_frames) contract shared with the SQL
+    oracle: width = 16 + (9*id) % 128; height = 16 + (5*id) % 96;
+    fps = (10,12,24,25,30,50)[id % 6]; n_frames = 24 + id % 96."""
+    return (
+        16 + (9 * media_id) % 128,
+        16 + (5 * media_id) % 96,
+        _SYNTH_FPS[media_id % 6],
+        24 + media_id % 96,
+    )
+
+
+def synth_video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (media_id, payload) with REAL AVI container bytes per the
+    ``synth_video_params`` contract (headers exact; empty frame chunks —
+    avi_meta never reads frame data)."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                w, h, fps, frames = synth_video_params(int(mid))
+                payloads.append(codecs.encode_avi(w, h, fps, frames))
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"],
                  "payload": pd.Series(payloads, dtype="object")}

@@ -2516,6 +2516,39 @@ def q_media_audio_meta(spark, sf_dir):
 
 
 @register(
+    "media_video_meta",
+    # REAL AVI RIFF demux with a full value oracle via the
+    # synth_video_params id contract: every header field the walker
+    # reads is an integer function of the row id. fps list indexing is
+    # 1-based in DuckDB.
+    """
+    SELECT doc_id AS media_id,
+           16 + (9 * doc_id) % 128 AS width,
+           16 + (5 * doc_id) % 96 AS height,
+           ([10, 12, 24, 25, 30, 50])[(doc_id % 6) + 1] AS fps,
+           24 + doc_id % 96 AS n_frames,
+           ((24 + doc_id % 96) * 1000)
+               // (([10, 12, 24, 25, 30, 50])[(doc_id % 6) + 1]) AS duration_ms
+    FROM documents
+    """,
+    doc="REAL video container metadata (AVI RIFF hdrl walk: avih dims + "
+    "frame count, vids-strh dwRate/dwScale exact fps) via Arrow "
+    "mapInPandas — header-only, movi bytes never read, so the kernel "
+    "stays a narrow map at any video size; dims/fps/frames/duration "
+    "value-checked by the oracle. Closes the r4 'video is plumbing-only' "
+    "gap the same way r4 closed images/audio",
+)
+def q_media_video_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    clips = multimodal.synth_video_payloads(docs, "doc_id")
+    media = multimodal.to_media_column(clips, "media_id", "payload", "video")
+    meta = multimodal.extract_video_meta(media, strict=True)
+    return meta.select(
+        "media_id", "width", "height", "fps", "n_frames", "duration_ms"
+    )
+
+
+@register(
     "media_frame_plan",
     # one row per 20 ms hop of the REAL demuxed duration; the oracle
     # rebuilds duration_ms from the synth contract and unnests the same

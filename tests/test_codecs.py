@@ -136,3 +136,63 @@ def test_undecodable_payload_raises():
         C.image_meta(b"\x00\x01\x02\x03 garbage")
     assert C.sniff_format(None) is None
     assert C.sniff_format(b"") is None
+
+
+def test_avi_roundtrip_and_validation():
+    from etl_excel_csv_sql_spark.operators import codecs
+
+    b = codecs.encode_avi(640, 480, 30, 90)
+    assert codecs.sniff_format(b) == "avi"
+    assert codecs.avi_meta(b) == (640, 480, 30, 90)
+    # fps comes from strh dwRate/dwScale, exact for non-integer-microsec
+    # rates like 24
+    assert codecs.avi_meta(codecs.encode_avi(16, 16, 24, 7))[2] == 24
+    import pytest
+
+    with pytest.raises(ValueError):
+        codecs.avi_meta(b"RIFF\x04\x00\x00\x00WAVE")  # wrong form type
+    with pytest.raises(ValueError):
+        codecs.avi_meta(b[:50])  # truncated chunk run
+    # header chunks present but fields out of range → ValueError (the
+    # lenient-mode quarantine contract), never ZeroDivision/garbage
+    import struct
+
+    zero_scale = bytearray(codecs.encode_avi(16, 16, 25, 4))
+    strh_at = zero_scale.find(b"strh")
+    struct.pack_into("<II", zero_scale, strh_at + 8 + 20, 0, 25)
+    with pytest.raises(ValueError):
+        codecs.avi_meta(bytes(zero_scale))
+
+
+def test_wav_meta_rejects_out_of_range_fmt():
+    import struct
+
+    import pytest
+
+    from etl_excel_csv_sql_spark.operators import codecs
+    import numpy as np
+
+    good = bytearray(
+        codecs.encode_wav(np.zeros((8, 1), dtype=np.int16), 8000, 1)
+    )
+    fmt_at = good.find(b"fmt ")
+    # zero channels must raise ValueError, not ZeroDivisionError
+    struct.pack_into("<H", good, fmt_at + 8 + 2, 0)
+    with pytest.raises(ValueError):
+        codecs.wav_meta(bytes(good))
+
+
+def test_bmp_meta_rejects_core_header():
+    import struct
+
+    import pytest
+
+    from etl_excel_csv_sql_spark.operators import codecs
+
+    # BITMAPCOREHEADER: 12-byte DIB with 16-bit dims — meta must refuse
+    # rather than unpack garbage from the INFOHEADER layout
+    core = b"BM" + struct.pack("<IHHI", 26, 0, 0, 26) + struct.pack(
+        "<IHHHH", 12, 7, 9, 1, 24
+    )
+    with pytest.raises(ValueError):
+        codecs.bmp_meta(core)

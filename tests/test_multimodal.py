@@ -147,3 +147,30 @@ def test_synth_payloads_follow_id_contract(spark):
     for mid, r in clips.items():
         rate, ch, frames = multimodal.synth_audio_params(mid)
         assert codecs.wav_meta(bytes(r.payload)) == (rate, ch, 16, frames)
+
+
+def test_extract_video_meta_real_avi(spark):
+    from etl_excel_csv_sql_spark.operators import multimodal
+
+    ids = spark.range(0, 40).selectExpr("id AS doc_id")
+    clips = multimodal.synth_video_payloads(ids, "doc_id")
+    media = multimodal.to_media_column(clips, "media_id", "payload", "video")
+    meta = multimodal.extract_video_meta(media, strict=True)
+    rows = {r.media_id: r for r in meta.collect()}
+    assert len(rows) == 40
+    for mid, r in rows.items():
+        w, h, fps, frames = multimodal.synth_video_params(mid)
+        assert (r.width, r.height, r.fps, r.n_frames) == (w, h, fps, frames)
+        assert r.duration_ms == frames * 1000 // fps
+
+
+def test_extract_video_meta_lenient_nulls_on_non_avi(spark):
+    from etl_excel_csv_sql_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not an avi at all")), (2, None)],
+        "media_id: long, payload: binary",
+    ).selectExpr("media_id", "payload", "length(payload) AS byte_len")
+    out = multimodal.extract_video_meta(df, strict=False).collect()
+    assert len(out) == 2
+    assert all(r.width is None and r.fps is None for r in out)
