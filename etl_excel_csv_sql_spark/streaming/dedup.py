@@ -37,7 +37,9 @@ def dedupe_stream_within_watermark(
     """Drop rows whose ``keys`` were already seen within ``delay`` of event
     time; state self-evicts past the watermark (bounded memory on an
     unbounded stream)."""
-    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+    from etl_excel_csv_sql_spark.streaming.windows import with_watermark
+
+    return with_watermark(stream, ts_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
 def dedupe_document_stream(

@@ -49,8 +49,10 @@ def stream_stream_interval_join(
     stay buffered (calibrated empirically on this engine and mirrored by
     the registered oracle).
     """
-    lhs = left.withWatermark(ts_col, watermark).alias("l")
-    rhs = right.withWatermark(ts_col, watermark).alias("r")
+    from etl_excel_csv_sql_spark.streaming.windows import with_watermark
+
+    lhs = with_watermark(left, ts_col, watermark).alias("l")
+    rhs = with_watermark(right, ts_col, watermark).alias("r")
     cond = (
         (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
         & (F.col(f"r.{ts_col}") > F.col(f"l.{ts_col}"))

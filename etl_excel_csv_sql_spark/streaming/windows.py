@@ -15,12 +15,36 @@ stream length.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from etl_excel_csv_sql_spark.operators.events import (
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
 )
+
+
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Cast ``ts_col`` to TIMESTAMP if it is TIMESTAMP_NTZ.
+
+    ``withWatermark`` rejects TIMESTAMP_NTZ event time
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and parquet written without
+    isAdjustedToUTC — e.g. by DuckDB or pandas — infers as NTZ under
+    Spark 4. The cast interprets the naive value in the session timezone
+    (pinned UTC in session.py), so wall-clock digits are unchanged and
+    downstream window/date_format output is byte-identical; it is a no-op
+    for already-tz-aware columns."""
+    field = df.schema[ts_col]
+    if isinstance(field.dataType, T.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """NTZ-safe ``withWatermark`` — every watermark in this package goes
+    through here so file-source timestamp flavor never breaks a stream."""
+    return ensure_event_time(df, ts_col).withWatermark(ts_col, delay)
 
 
 def stream_tumbling_agg(
@@ -33,7 +57,7 @@ def stream_tumbling_agg(
     """Tumbling windows over a streaming frame; windows finalize (append
     mode) once the watermark passes their end."""
     return tumbling_window_agg(
-        events.withWatermark(ts_col, watermark), ts_col, width, group_cols
+        with_watermark(events, ts_col, watermark), ts_col, width, group_cols
     )
 
 
@@ -46,7 +70,7 @@ def stream_sliding_agg(
     group_cols: tuple[str, ...] = ("event_type",),
 ) -> DataFrame:
     return sliding_window_agg(
-        events.withWatermark(ts_col, watermark), ts_col, width, slide, group_cols
+        with_watermark(events, ts_col, watermark), ts_col, width, slide, group_cols
     )
 
 
@@ -62,5 +86,5 @@ def stream_session_agg(
     shape streaming can't express; session_window is the engine-native
     equivalent with managed state)."""
     return session_window_agg(
-        events.withWatermark(ts_col, watermark), ts_col, user_col, gap
+        with_watermark(events, ts_col, watermark), ts_col, user_col, gap
     )

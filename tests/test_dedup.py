@@ -137,6 +137,10 @@ def test_simhash_block_widening_same_pairs(spark):
     )
     assert minimal == wide
     assert len(wide) >= 8  # the corpus actually contains twins
+    # the adaptive default (n_blocks=None) picks b = k+1 below the corpus
+    # threshold — its output must equal both explicit schemes
+    adaptive = _pairs(dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=7))
+    assert adaptive == wide
 
 
 def test_simhash_band_key_width_controls_buckets(spark):
