@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Tables materialized by the driver under /root/testdata/sf*/ .
 TABLES: tuple[str, ...] = (
@@ -30,15 +31,33 @@ TABLES: tuple[str, ...] = (
 BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier"})
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP.
+
+    The driver's testdata timestamp flavor has changed between rounds
+    (TIMESTAMP(NANOS) in earlier drops, naive micros — which Spark 4
+    infers as NTZ — in later ones). NTZ breaks event-time APIs
+    (``withWatermark``, ``unix_micros``); casting in the pinned-UTC
+    session interprets the naive digits as UTC, so formatted output and
+    interval arithmetic are byte-identical to the DuckDB oracle's naive
+    semantics. Normalizing at the catalog makes every downstream operator
+    independent of which flavor a given drop carries."""
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one parquet table. Columnar scan: Catalyst prunes columns and
     pushes filters into this source automatically.
 
-    The events table stores TIMESTAMP(NANOS) which the Spark parquet reader
-    rejects ([PARQUET_TYPE_ILLEGAL]); we read nanos as long
-    (``nanosAsLong``) and truncate to microseconds — the same truncation
-    DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, so both engines
-    see identical values.
+    Timestamp handling (see :func:`_normalize_timestamps`): NTZ columns
+    are cast to TIMESTAMP; an events table stored as TIMESTAMP(NANOS) —
+    which the Spark parquet reader rejects ([PARQUET_TYPE_ILLEGAL]) — is
+    read nanos-as-long and truncated to microseconds, the same truncation
+    DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so both engines see
+    identical values.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -49,8 +68,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _normalize_timestamps(df)
+    return _normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def load_tables(

@@ -451,8 +451,9 @@ def simhash_pairs(
     if n_blocks is None:
         # b=k+1 emits (k+1)/C(k+3,k) of the banded rows (4/20 at k=3) —
         # the self-join input shrinks 5x. A/B at sf0.1 (60k docs, warm,
-        # best-of-2): fixed b=6 3.36s → adaptive b=4 2.62s, identical
-        # output (test_dedup proves pair-set equality across b).
+        # best-of-2): fixed b=6 2.89s → adaptive 2.33s (count probe
+        # included; explicit b=4 2.16s), identical output (test_dedup
+        # proves pair-set equality across b).
         n_blocks = (
             max_hamming + 1 if sh.count() <= _ADAPTIVE_DOCS else max_hamming + 3
         )
