@@ -114,6 +114,46 @@ def tfidf_top_terms(
     )
 
 
+def lexical_diversity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document lexical-diversity quality signals: type-token ratio
+    and unigram Shannon entropy — the standard template/boilerplate
+    filters (a low-entropy doc is a repetitive doc, whatever its length).
+
+    Plan: explode lowercase tokens (same tokenization contract as
+    tfidf_top_terms) → per-(doc, term) counts (one shuffle on the narrow
+    (doc, term) pair) → per-doc aggregate (one shuffle on doc). Entropy
+    comes from the one-pass identity H = log2(N) − (Σ c·log2 c)/N over
+    the term counts, so no per-doc normalization join is needed. Docs
+    with zero tokens drop out (no term rows), mirroring the oracle's
+    unnest. Rounded to 6 on both engines to absorb FP summation-order
+    noise. Output: (doc, n_tokens, n_types, ttr, unigram_entropy).
+    """
+    from etl_excel_csv_sql_spark.operators.relational import (
+        spread_for_compute,
+    )
+
+    terms = (
+        spread_for_compute(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(text_col)).alias("term_raw"),
+        )
+        .select("doc", F.lower(F.col("term_raw")).alias("term"))
+    )
+    tf = terms.groupBy("doc", "term").agg(F.count("*").alias("c"))
+    n = F.sum("c").cast("double")
+    return tf.groupBy("doc").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.round(F.count("*") / n, 6).alias("ttr"),
+        F.round(
+            F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 6
+        ).alias("unigram_entropy"),
+    )
+
+
 def repetition_signals(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1706,6 +1706,34 @@ def q_tfidf(spark, sf_dir):
 
 
 @register(
+    "doc_lexical_diversity",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id AS doc, lower(unnest({_TOKS_SQL})) AS term FROM documents
+    ), tf AS (
+      SELECT doc, term, count(*) AS c FROM toks GROUP BY 1, 2
+    )
+    SELECT doc,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+           round(log2(CAST(sum(c) AS DOUBLE))
+                 - sum(c * log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE),
+                 6) AS unigram_entropy
+    FROM tf GROUP BY doc
+    """,
+    doc="lexical-diversity quality signals per document: type-token ratio "
+    "+ unigram Shannon entropy via the one-pass identity "
+    "H = log2(N) - sum(c*log2 c)/N — the standard repetitive/template-doc "
+    "filter; same tokenization contract as tfidf_top_terms",
+)
+def q_doc_lexical_diversity(spark, sf_dir):
+    return textstats.lexical_diversity(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@register(
     "repetition_signals",
     rf"""
     WITH base AS (

@@ -125,6 +125,32 @@ def test_repetition_signals_known_values(spark):
     assert abs(got[3].digit_fraction - 7 / 11) < 1e-6
 
 
+def test_lexical_diversity_known_values(spark):
+    import math
+
+    from etl_excel_csv_sql_spark.operators.textstats import lexical_diversity
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # zero entropy, ttr 1/4
+            (2, "a b"),              # one bit, ttr 1
+            (3, "A a b b"),          # case-folds: {a:2, b:2} → 1 bit, ttr 1/2
+            (4, "x y z w"),          # uniform 4 → 2 bits
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc: r for r in lexical_diversity(df).collect()}
+    assert got[1].n_tokens == 4 and got[1].n_types == 1
+    assert got[1].unigram_entropy == 0.0 and got[1].ttr == 0.25
+    assert got[2].unigram_entropy == 1.0 and got[2].ttr == 1.0
+    assert got[3].n_types == 2 and got[3].unigram_entropy == 1.0
+    assert got[4].unigram_entropy == 2.0
+    # non-uniform: {a:2, b:1, c:1} → H = 1.5 exactly
+    df2 = spark.createDataFrame([(9, "a a b c")], ["doc_id", "text"])
+    row = lexical_diversity(df2).first()
+    assert math.isclose(row.unigram_entropy, 1.5)
+
+
 def test_duplicate_ngram_spans_counts(spark):
     from etl_excel_csv_sql_spark.operators.dedup import duplicate_ngram_spans
 
