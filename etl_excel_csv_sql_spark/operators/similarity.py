@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_excel_csv_sql_spark.functions.vectors import cosine_similarity
+from etl_excel_csv_sql_spark.functions.vectors import cosine_similarity, l2_norm
 from etl_excel_csv_sql_spark.operators.relational import (
     grouped_bounded_topk,
     spread_for_compute,
@@ -475,4 +475,52 @@ def quantization_report(
         F.round("scale", 6).alias("scale"),
         F.round(sq_err / F.size("vec"), 6).alias("mse"),
         F.round(cosine_similarity("vec", "recon"), 6).alias("cos_recon"),
+    )
+
+
+def label_cohesion_report(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding-cluster cohesion: (label, n_vectors,
+    centroid_norm, mean_cos_to_centroid).
+
+    The standard embedding-space health check — a label whose members
+    barely point at their own centroid (low mean cosine) is a mislabeled
+    or incoherent cluster, and a near-zero centroid norm means the
+    members cancel out (random directions).
+
+    Plan, sized for 10⁹+ vectors: centroids come from ONE shuffle of the
+    posexploded frame on the narrow (label, dim-position) key — map-side
+    partial avg applies, so the shuffle carries |labels|·dim partials per
+    task, not rows. The per-label centroid arrays are tiny
+    (|labels| × dim) and broadcast back; the per-vector cosine is then a
+    pure JVM higher-order expression (zip_with dot against the broadcast
+    array — no second shuffle over the corpus), and the final rollup
+    shuffles one row per vector on the label key.
+    """
+    e = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).select("label", "pos", F.col("val").cast("double").alias("val"))
+    cent = e.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
+    cent_arrays = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s.getField("cval"),
+        ).alias("centroid")
+    ).withColumnRenamed("label", "__cent_label")
+    scored = df.join(
+        F.broadcast(cent_arrays), F.col(label_col) == F.col("__cent_label")
+    ).select(
+        F.col(label_col).alias("label"),
+        cosine_similarity(F.col(vec_col), F.col("centroid")).alias("cos_c"),
+        l2_norm("centroid").alias("cnorm"),
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.min("cnorm"), 6).alias("centroid_norm"),
+        F.round(F.avg("cos_c"), 6).alias("mean_cos_to_centroid"),
     )

@@ -2420,6 +2420,47 @@ def q_embedding_norms(spark, sf_dir):
 
 
 @register(
+    "embedding_label_cohesion",
+    """
+    WITH e AS (
+      SELECT label, vec_id,
+             CAST(unnest(embedding) AS DOUBLE) AS val,
+             unnest(generate_series(1, len(embedding))) AS pos
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, avg(val) AS cval FROM e GROUP BY 1, 2
+    ), cnorm AS (
+      SELECT label, sqrt(sum(cval * cval)) AS cn FROM cent GROUP BY label
+    ), vec AS (
+      SELECT e.label, e.vec_id,
+             sum(e.val * c.cval) AS dot,
+             sqrt(sum(e.val * e.val)) AS vnorm
+      FROM e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+      GROUP BY 1, 2
+    )
+    SELECT v.label,
+           count(*) AS n_vectors,
+           round(min(n.cn), 6) AS centroid_norm,
+           round(avg(CASE WHEN v.vnorm * n.cn > 0
+                          THEN v.dot / (v.vnorm * n.cn) END),
+                 6) AS mean_cos_to_centroid
+    FROM vec v JOIN cnorm n ON v.label = n.label
+    GROUP BY v.label
+    """,
+    doc="per-label embedding-cluster cohesion (centroid norm + mean "
+    "cosine-to-centroid): one narrow (label, dim) shuffle builds "
+    "centroids, broadcast-join back, per-vector cosine as a JVM "
+    "higher-order expression — the mislabeled/incoherent-cluster "
+    "detector",
+)
+def q_embedding_label_cohesion(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.label_cohesion_report(
+        emb, "label", "vec_id", "embedding"
+    )
+
+
+@register(
     "ann_ivf_topk",
     None,  # centroid sampling is engine-hash-based → rows-only check
     doc="IVF-style approximate nearest neighbors (probe 4/16 cells)",

@@ -205,3 +205,45 @@ def test_ivf_skip_if_exists_fingerprints_corpus(spark, emb, tmp_path):
     smaller = emb_df.filter(F.col("vec_id") < 100)
     idx.build(smaller, n_cells=4, kmeans_iters=1, skip_if_exists=True)
     assert os.path.getmtime(idx._manifest) > mtime
+
+
+def test_label_cohesion_known_geometry(spark):
+    """Label 10: {(1,0), (0,1)} → centroid (.5,.5), norm √.5, each member
+    at cos 1/√2 to it. Label 20: {(2,0), (-2,0)} → members cancel, zero
+    centroid, cosine undefined (null), but both vectors still counted."""
+    df = spark.createDataFrame(
+        [
+            (1, 10, [1.0, 0.0]),
+            (2, 10, [0.0, 1.0]),
+            (3, 20, [2.0, 0.0]),
+            (4, 20, [-2.0, 0.0]),
+        ],
+        ["vec_id", "label", "embedding"],
+    )
+    got = {
+        r.label: r
+        for r in similarity.label_cohesion_report(df).collect()
+    }
+    inv_sqrt2 = round(1 / math.sqrt(2), 6)
+    assert got[10].n_vectors == 2
+    assert got[10].centroid_norm == inv_sqrt2
+    assert got[10].mean_cos_to_centroid == inv_sqrt2
+    assert got[20].n_vectors == 2
+    assert got[20].centroid_norm == 0.0
+    assert got[20].mean_cos_to_centroid is None
+
+
+def test_label_cohesion_broadcasts_centroids(spark):
+    """The corpus-side cosine must come from a broadcast join — a second
+    corpus shuffle would defeat the one-shuffle design."""
+    df = spark.createDataFrame(
+        [(i, i % 3, [float(i), 1.0]) for i in range(50)],
+        ["vec_id", "label", "embedding"],
+    )
+    plan = (
+        similarity.label_cohesion_report(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
