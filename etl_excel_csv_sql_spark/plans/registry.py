@@ -1338,6 +1338,58 @@ def q_doc_quality(spark, sf_dir):
 
 
 @register(
+    "source_quality_rollup",
+    # same quality contract as doc_quality_score, aggregated per source —
+    # the mixture-monitoring view a crawl pipeline dashboards
+    rf"""
+    WITH toks AS (SELECT doc_id, source, text, {_TOKS_SQL} AS t FROM documents),
+    m AS (
+      SELECT doc_id, source, len(t) AS tc,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(t, x -> lower(x) IN
+                        ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                       / len(t) END AS swr,
+             length(regexp_replace(text, '\s', '', 'g')) AS non_ws,
+             length(regexp_replace(text, '[[:punct:]\s]', '', 'g')) AS non_punct_non_ws
+      FROM toks
+    ), q AS (
+      SELECT doc_id, source,
+             ((CASE WHEN tc BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN swr > 0.01 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN (CASE WHEN non_ws > 0
+                                 THEN CAST(non_ws - non_punct_non_ws AS DOUBLE) / non_ws
+                                 ELSE 0.0 END) < 0.3
+                      THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality
+      FROM m
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(quality), 6) AS mean_quality,
+           CAST(sum(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low_quality,
+           round(sum(CASE WHEN quality < 0.5 THEN 1.0 ELSE 0.0 END)
+                 / count(*), 6) AS pct_low_quality
+    FROM q GROUP BY source
+    """,
+    doc="per-source quality rollup (mean composite quality, low-quality "
+    "share) — the crawl-mixture monitoring view; map-side partial agg on "
+    "the narrow source key, quality stays a JVM expression",
+)
+def q_source_quality_rollup(spark, sf_dir):
+    from etl_excel_csv_sql_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select("source", quality_score("text").alias("quality"))
+    low = F.when(F.col("quality") < 0.5, 1.0).otherwise(0.0)
+    return q.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+        F.sum(low).cast("bigint").alias("n_low_quality"),
+        F.round(F.sum(low) / F.count("*"), 6).alias("pct_low_quality"),
+    )
+
+
+@register(
     "events_session_native",
     """
     WITH flagged AS (
