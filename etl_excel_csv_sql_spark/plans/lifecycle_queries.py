@@ -1042,3 +1042,67 @@ def q_invoice_pipeline(spark, sf_dir):
         ("run2", r2["expected"], r2["found"], r2["copies"]["copied"]),
     ]
     return spark.createDataFrame(rows, ["run", "expected", "found", "copied"])
+
+
+@register(
+    "media_streaming_meta_rollup",
+    # Decode-in-stream e2e: encoded image payloads replayed through
+    # readStream, headers parsed IN the stream by the Arrow mapInPandas
+    # kernel (stateless → streaming-safe), complete-mode per-format
+    # rollup. Every aggregate is predicted by the synth_image_dims id
+    # contract, so this is a full value oracle over a streaming decode.
+    """
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'ppm'
+           END AS fmt,
+           count(*) AS n_images,
+           CAST(max(8 + (7 * doc_id) % 80) AS BIGINT) AS max_width,
+           CAST(max(8 + (5 * doc_id) % 60) AS BIGINT) AS max_height,
+           round(avg(CAST((8 + (7 * doc_id) % 80)
+                          * (8 + (5 * doc_id) % 60) AS DOUBLE)), 6)
+               AS mean_pixels
+    FROM documents GROUP BY 1
+    """,
+    doc="streaming multimodal e2e: REAL encoded BMP/PNG/PPM payloads "
+    "replayed via readStream → header decode in-stream (Arrow "
+    "mapInPandas, stateless) → complete-mode per-format dimension "
+    "rollup; the oracle predicts every aggregate from the synth id "
+    "contract — the decode-at-ingest shape of a media training pipeline",
+)
+def q_media_streaming_meta_rollup(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators import multimodal
+
+    scratch = _scratch(
+        "media_streaming_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    src = os.path.join(scratch, "in")
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.synth_image_payloads(docs, "doc_id")
+    payloads.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    media = multimodal.to_media_column(stream, "media_id", "payload", "image")
+    meta = multimodal.extract_image_meta(media, strict=True)
+    rollup = meta.groupBy("fmt").agg(
+        F.count("*").alias("n_images"),
+        F.max("width").cast("bigint").alias("max_width"),
+        F.max("height").cast("bigint").alias("max_height"),
+        F.round(
+            F.avg((F.col("width") * F.col("height")).cast("double")), 6
+        ).alias("mean_pixels"),
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    sink_name = f"media_stream_rollup_{_STREAM_RUN_SEQ[0]}"
+    (
+        rollup.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink_name).select(
+        "fmt", "n_images", "max_width", "max_height", "mean_pixels"
+    )
