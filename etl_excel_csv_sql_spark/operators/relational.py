@@ -493,3 +493,52 @@ def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def skew_report(df: DataFrame, key_col: str, k: int = 5) -> DataFrame:
+    """Pre-join skew diagnostics for a candidate join/aggregation key:
+    the top-``k`` hottest key values with their share of all rows, next
+    to the global skew ratio (hottest count / mean count per key).
+
+    This is the measurement half of the skew toolkit — a skew_ratio in
+    the hundreds says the plain shuffle join will straggle on the hot
+    keys and the salted join (``salted_join`` in this module) or AQE
+    skew splitting should take over.
+
+    Plan: ONE shuffle (groupBy on the key); the per-key counts reduce to
+    a single-row total via a broadcast cross join (in-plan, no driver
+    action), and the hot-key ranking runs through the bounded two-phase
+    top-k over the already-aggregated counts — no Window, no global
+    sort, no row of the base table leaves its partition un-aggregated.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("cnt").alias("n_rows"), F.count("*").alias("n_keys")
+        )
+    )
+    ranked = grouped_bounded_topk(
+        counts.withColumn("__g", F.lit(0)),
+        ["__g"],
+        F.struct(
+            (-F.col("cnt")).alias("neg_cnt"),
+            F.col("key").alias("key"),
+            F.col("cnt").alias("cnt"),
+        ),
+        k,
+    )
+    avg_per_key = F.col("n_rows").cast("double") / F.col("n_keys")
+    return ranked.crossJoin(totals).select(
+        "rank",
+        F.col("item.key").alias("key"),
+        F.col("item.cnt").alias("cnt"),
+        F.round(F.col("item.cnt") / F.col("n_rows").cast("double"), 6).alias(
+            "share"
+        ),
+        "n_rows",
+        "n_keys",
+        F.round(avg_per_key, 6).alias("avg_per_key"),
+        F.round(F.col("item.cnt") / avg_per_key, 6).alias("skew_ratio"),
+    )

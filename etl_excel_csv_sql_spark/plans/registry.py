@@ -2039,6 +2039,39 @@ def q_table_profile(spark, sf_dir):
 
 
 @register(
+    "join_skew_report",
+    """
+    WITH c AS (
+      SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1
+    ), t AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys FROM c
+    ), h AS (
+      SELECT key, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, key ASC) AS INT)
+                 AS rank
+      FROM c QUALIFY rank <= 5
+    )
+    SELECT h.rank, h.key, h.cnt,
+           round(CAST(h.cnt AS DOUBLE) / t.n_rows, 6) AS share,
+           t.n_rows, t.n_keys,
+           round(CAST(t.n_rows AS DOUBLE) / t.n_keys, 6) AS avg_per_key,
+           round(h.cnt / (CAST(t.n_rows AS DOUBLE) / t.n_keys), 6)
+               AS skew_ratio
+    FROM h, t
+    """,
+    doc="pre-join skew diagnostics on orders.o_custkey: top-5 hottest "
+    "keys with row share + global skew ratio (hot count / mean per key) "
+    "— the measurement that routes a join to salted_join / AQE skew "
+    "handling; one shuffle, broadcast single-row totals, bounded top-k "
+    "(no Window over the key counts)",
+)
+def q_join_skew_report(spark, sf_dir):
+    return relational.skew_report(
+        _t(spark, sf_dir, "orders"), "o_custkey", k=5
+    )
+
+
+@register(
     "scd2_snapshot_apply",
     """
     WITH dim AS (

@@ -267,3 +267,32 @@ def test_multi_resolution_rollup_reaggregation_exact(spark):
     assert got == raw_daily and len(got) > 0
     # and hourly partials sum to the same totals
     assert hourly.agg(F.sum("n_events")).first()[0] == ev.count()
+
+
+def test_skew_report_known_distribution(spark):
+    """Keys a×6, b×3, d×3, c×1 → n_rows 13, n_keys 4, mean 3.25;
+    a leads at share 6/13 and skew 6/3.25; the b/d tie breaks by key."""
+    from etl_excel_csv_sql_spark.operators.relational import skew_report
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("d",)] * 3 + [("c",)]
+    df = spark.createDataFrame(rows, ["k"])
+    got = {r.rank: r for r in skew_report(df, "k", k=3).collect()}
+    assert [got[i].key for i in (1, 2, 3)] == ["a", "b", "d"]
+    assert got[1].cnt == 6 and got[1].n_rows == 13 and got[1].n_keys == 4
+    assert got[1].share == round(6 / 13, 6)
+    assert got[1].avg_per_key == round(13 / 4, 6)
+    assert got[1].skew_ratio == round(6 / 3.25, 6)
+
+
+def test_skew_report_plan_single_shuffle_no_window(spark):
+    from etl_excel_csv_sql_spark.operators.relational import skew_report
+
+    df = spark.createDataFrame([(i % 7,) for i in range(100)], ["k"])
+    plan = (
+        skew_report(df, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
