@@ -51,12 +51,15 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def stage_exec_ms(spark) -> dict[tuple[int, int], int]:
+def stage_exec_ms(spark) -> dict[tuple[int, int], int] | None:
     """(stageId, attemptId) → executorRunTime ms for every completed stage,
     from the Spark UI REST API. Wall-clock on this box swings ±20-30%
     between identical-code runs (VERDICT r4 #7); summed executor run time
     is scheduled-CPU, not queue wait, so it is the load-robust series —
-    two same-code runs agree within ~5%. Returns {} if the UI is off."""
+    two same-code runs agree within ~5%. Returns None if the probe fails
+    (callers must drop the sample: a failed *before* probe paired with a
+    working *after* probe would charge the run for every stage since
+    application start — ADVICE r5 #1)."""
     import json as _json
     import urllib.request
 
@@ -72,7 +75,7 @@ def stage_exec_ms(spark) -> dict[tuple[int, int], int]:
         }
     except Exception as exc:
         log(f"bench: stage metrics unavailable: {exc}")
-        return {}
+        return None
 
 
 def main() -> int:
@@ -133,7 +136,9 @@ def main() -> int:
                 break
             runs.append(round(time.perf_counter() - t0, 3))
             after = stage_exec_ms(spark)
-            if after:
+            # Both probes must have succeeded: a None on either side means
+            # the delta is unbounded, not zero (ADVICE r5 #1).
+            if after is not None and before is not None:
                 new_ms = sum(v for k, v in after.items() if k not in before)
                 exec_runs.append(round(new_ms / 1000.0, 3))
         if runs is None:
@@ -153,22 +158,33 @@ def main() -> int:
     ok = {k: v for k, v in timings.items() if v >= 0}
     ok_first = {k: v for k, v in first.items() if v >= 0}
     ok_best = {k: v for k, v in best.items() if v >= 0}
-    result = {
+    # Stdout carries ONLY the compact contract line {metric, value, unit,
+    # queries, sf}: r5's full record (four per-query series + methodology
+    # text) overflowed the driver's stdout tail buffer and BENCH_r05.json
+    # recorded "parsed": null (VERDICT r5 gap #1). The full record — the
+    # auxiliary series included — goes to .benchmarks/history.jsonl.
+    headline = {
         "metric": "headline_queries_wall",
         "value": round(sum(ok.values()), 3),
         "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    detail = {
+        "ts": time.time(),
+        **headline,
         "methodology": "median-of-3 per query (r4+); first-pass series in "
         "queries_first matches the r1-r3 single-shot methodology",
-        "queries": timings,
         "queries_first": first,
         "value_first": round(sum(ok_first.values()), 3),
         "queries_best": best,
         "value_best": round(sum(ok_best.values()), 3),
         # load-robust series (r5+): per-query summed executor run time from
-        # the UI REST API — scheduled-CPU, excludes host-load queue wait
+        # the UI REST API — scheduled-CPU, excludes host-load queue wait.
+        # null (not 0.0) when the UI probe failed all round: a 0.0 would
+        # read as an impossibly perfect score downstream (ADVICE r5 #2).
         "queries_exec": exec_sec,
-        "value_exec": round(sum(exec_sec.values()), 3),
-        "sf": sf,
+        "value_exec": round(sum(exec_sec.values()), 3) if exec_sec else None,
     }
     try:
         os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -176,11 +192,11 @@ def main() -> int:
         hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             ".benchmarks", "history.jsonl")
         with open(hist, "a") as fh:
-            fh.write(json.dumps({"ts": time.time(), **result}) + "\n")
+            fh.write(json.dumps(detail) + "\n")
     except OSError as exc:
         log(f"bench: history write skipped: {exc}")
 
-    print(json.dumps(result), flush=True)
+    print(json.dumps(headline), flush=True)
     return 0
 
 
