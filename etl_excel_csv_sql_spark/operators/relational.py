@@ -510,6 +510,13 @@ def skew_report(df: DataFrame, key_col: str, k: int = 5) -> DataFrame:
     action), and the hot-key ranking runs through the bounded two-phase
     top-k over the already-aggregated counts — no Window, no global
     sort, no row of the base table leaves its partition un-aggregated.
+
+    A null key is one groupBy group like any other, and its rank
+    tiebreak is engine-consistent: the sort struct carries an explicit
+    nulls-last flag ahead of the key, because Spark's struct comparison
+    would otherwise rank a null key field SMALLEST among count ties
+    while SQL engines' ORDER BY key ASC (DuckDB default) put NULLs last
+    (ADVICE r5 #3).
     """
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count("*").alias("cnt")
@@ -524,6 +531,11 @@ def skew_report(df: DataFrame, key_col: str, k: int = 5) -> DataFrame:
         ["__g"],
         F.struct(
             (-F.col("cnt")).alias("neg_cnt"),
+            # nulls-last among count ties: the flag resolves the compare
+            # before the (possibly null) key field is consulted; groupBy
+            # folds all nulls into one group, so two null-key structs can
+            # never tie with each other
+            F.col("key").isNull().cast("int").alias("key_nulls_last"),
             F.col("key").alias("key"),
             F.col("cnt").alias("cnt"),
         ),

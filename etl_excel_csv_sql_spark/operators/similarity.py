@@ -483,6 +483,7 @@ def label_cohesion_report(
     label_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_centroids: bool = True,
 ) -> DataFrame:
     """Per-label embedding-cluster cohesion: (label, n_vectors,
     centroid_norm, mean_cos_to_centroid).
@@ -492,14 +493,20 @@ def label_cohesion_report(
     or incoherent cluster, and a near-zero centroid norm means the
     members cancel out (random directions).
 
-    Plan, sized for 10⁹+ vectors: centroids come from ONE shuffle of the
-    posexploded frame on the narrow (label, dim-position) key — map-side
-    partial avg applies, so the shuffle carries |labels|·dim partials per
-    task, not rows. The per-label centroid arrays are tiny
-    (|labels| × dim) and broadcast back; the per-vector cosine is then a
-    pure JVM higher-order expression (zip_with dot against the broadcast
-    array — no second shuffle over the corpus), and the final rollup
-    shuffles one row per vector on the label key.
+    Plan, sized for 10⁹+ vectors **with bounded label cardinality**:
+    centroids come from ONE shuffle of the posexploded frame on the
+    narrow (label, dim-position) key — map-side partial avg applies, so
+    the shuffle carries |labels|·dim partials per task, not rows. With
+    the default ``broadcast_centroids=True`` the per-label centroid
+    arrays (|labels| × dim doubles) are broadcast back and the
+    per-vector cosine is a pure JVM higher-order expression — no second
+    shuffle over the corpus. That broadcast is the precondition
+    (ADVICE r5 #4): it only holds while |labels|·dim stays
+    driver/executor-memory-tiny (≲10⁶ labels at dim 128 ≈ 1 GB is
+    already too big). For high-cardinality label spaces pass
+    ``broadcast_centroids=False``: the centroid join becomes a plain
+    shuffle hash join on the label key (corpus shuffles once on label —
+    the unavoidable cost when the small side isn't small).
     """
     e = df.select(
         F.col(label_col).alias("label"),
@@ -512,8 +519,10 @@ def label_cohesion_report(
             lambda s: s.getField("cval"),
         ).alias("centroid")
     ).withColumnRenamed("label", "__cent_label")
+    if broadcast_centroids:
+        cent_arrays = F.broadcast(cent_arrays)
     scored = df.join(
-        F.broadcast(cent_arrays), F.col(label_col) == F.col("__cent_label")
+        cent_arrays, F.col(label_col) == F.col("__cent_label")
     ).select(
         F.col(label_col).alias("label"),
         cosine_similarity(F.col(vec_col), F.col("centroid")).alias("cos_c"),

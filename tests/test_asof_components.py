@@ -125,6 +125,31 @@ def test_dedup_keep_first_drops_losers_only(spark):
     assert kept == [0, 1, 2, 5]  # 3 and 4 fold into keeper 0
 
 
+def test_dedup_keep_first_algorithm_selection(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], ["doc_id", "text"]
+    )
+    # a chain (worst case for diameter-bounded propagation) + an isolate pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8)], ["id_a", "id_b"]
+    )
+    kept_star = sorted(
+        r.doc_id
+        for r in dedup_keep_first(docs, pairs, "doc_id", algorithm="star").collect()
+    )
+    kept_prop = sorted(
+        r.doc_id
+        for r in dedup_keep_first(
+            docs, pairs, "doc_id", algorithm="propagation"
+        ).collect()
+    )
+    assert kept_star == kept_prop == [0, 1, 6, 7, 9]
+    with pytest.raises(ValueError, match="algorithm"):
+        dedup_keep_first(docs, pairs, "doc_id", algorithm="bogus")
+
+
 def _comp_map(df):
     return {r.id: r.component for r in df.collect()}
 
@@ -282,6 +307,19 @@ def test_skew_report_known_distribution(spark):
     assert got[1].share == round(6 / 13, 6)
     assert got[1].avg_per_key == round(13 / 4, 6)
     assert got[1].skew_ratio == round(6 / 3.25, 6)
+
+
+def test_skew_report_null_key_ranks_last_among_ties(spark):
+    """A null key is one group; on a count tie it must rank AFTER every
+    non-null key (SQL NULLS LAST), not first (Spark's raw struct-null
+    ordering) — ADVICE r5 #3."""
+    from etl_excel_csv_sql_spark.operators.relational import skew_report
+
+    rows = [("a",)] * 3 + [(None,)] * 2 + [("b",)] * 2 + [("c",)]
+    df = spark.createDataFrame(rows, "k: string")
+    got = {r.rank: r.key for r in skew_report(df, "k", k=4).collect()}
+    # counts: a=3, b=2, null=2, c=1 → the b/null tie breaks b first
+    assert got == {1: "a", 2: "b", 3: None, 4: "c"}
 
 
 def test_skew_report_plan_single_shuffle_no_window(spark):

@@ -247,3 +247,24 @@ def test_label_cohesion_broadcasts_centroids(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_label_cohesion_shuffle_fallback_same_result(spark):
+    """broadcast_centroids=False (the high-label-cardinality path,
+    ADVICE r5 #4) must produce identical numbers to the broadcast path."""
+    df = spark.createDataFrame(
+        [(i, i % 5, [float(i % 7) - 3.0, 1.0, float(i % 3)]) for i in range(60)],
+        ["vec_id", "label", "embedding"],
+    )
+    rows_bc = sorted(
+        map(tuple, similarity.label_cohesion_report(df).collect())
+    )
+    rows_sh = sorted(
+        map(
+            tuple,
+            similarity.label_cohesion_report(
+                df, broadcast_centroids=False
+            ).collect(),
+        )
+    )
+    assert rows_bc == rows_sh
