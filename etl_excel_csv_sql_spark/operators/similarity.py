@@ -132,21 +132,34 @@ def kmeans_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "lloyd",
 ) -> DataFrame:
-    """Lloyd-iteration k-means centroids (cosine assignment, mean update) —
-    real cluster centers for the IVF index instead of the hash-sample
-    stand-in, measurably improving probe recall.
+    """K-means centroids for the IVF index — real cluster centers instead
+    of the hash-sample stand-in, measurably improving probe recall.
 
-    Per iteration: shuffle-free assignment (broadcast packed centroids,
-    see ivf_assign) → element-wise member means via posexplode +
-    (cell, dim) aggregation — two small shuffles whose row counts are
-    |corpus|·dim exploded scalars and k·dim partials, both independent of
-    how wide the corpus gets in bytes. Centroids localCheckpoint per
-    round so the plan doesn't grow with iterations. Cells that lose all
-    members drop out (k shrinks rather than seeding empties).
+    ``engine="lloyd"`` (default) is the in-module Lloyd iteration (cosine
+    assignment, mean update). Per iteration: shuffle-free assignment
+    (broadcast packed centroids, see ivf_assign) → element-wise member
+    means via posexplode + (cell, dim) aggregation — two small shuffles
+    whose row counts are |corpus|·dim exploded scalars and k·dim
+    partials, both independent of how wide the corpus gets in bytes.
+    Centroids localCheckpoint per round so the plan doesn't grow with
+    iterations. Cells that lose all members drop out (k shrinks rather
+    than seeding empties).
+
+    ``engine="mllib"`` delegates to ``pyspark.ml.clustering.KMeans``
+    (VERDICT r5 #6): k-means|| initialization + native aggregation give
+    better-separated centers at large k than the hash-seeded Lloyd
+    rounds; the fitted centers come back as the SAME (cell_id, centroid)
+    contract so assignment/probing downstream is engine-agnostic.
+
     Output: (cell_id, centroid) — cell ids are stable small ints only
     within one build; persist the assignment, not the ids.
     """
+    if engine == "mllib":
+        return _kmeans_centroids_mllib(corpus, n_cells, iters, vec_col)
+    if engine != "lloyd":
+        raise ValueError(f"engine must be 'lloyd' or 'mllib', got {engine!r}")
     cents = _centroids(corpus, id_col, vec_col, n_cells)
     for _ in range(max(0, iters)):
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
@@ -167,6 +180,35 @@ def kmeans_centroids(
             .localCheckpoint(eager=True)
         )
     return cents
+
+
+def _kmeans_centroids_mllib(
+    corpus: DataFrame,
+    n_cells: int,
+    iters: int,
+    vec_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib KMeans → (cell_id, centroid) rows. The model's
+    clusterCenters() is k·dim floats on the driver — the same tiny
+    footprint the Lloyd path broadcasts — so rehydrating it into a
+    DataFrame is not a collect-of-data, it's the index metadata."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=n_cells, maxIter=max(1, iters), seed=seed, featuresCol="features"
+    ).fit(feats)
+    rows = [
+        (i, [float(x) for x in center])
+        for i, center in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "cell_id: int, centroid: array<double>"
+    )
 
 
 def ivf_assign(
@@ -262,6 +304,7 @@ class IvfIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         skip_if_exists: bool = False,
+        engine: str = "lloyd",
     ) -> None:
         """``skip_if_exists=True`` is the build-once contract: a committed
         index at this path is reused, so repeat invocations (bench passes,
@@ -279,6 +322,7 @@ class IvfIndex:
         manifest = self._corpus_manifest(
             corpus, n_cells, kmeans_iters, id_col, vec_col
         )
+        manifest["engine"] = engine  # a changed solver also voids reuse
         if skip_if_exists and self.is_built():
             try:
                 with open(self._manifest) as f:
@@ -286,7 +330,9 @@ class IvfIndex:
                         return
             except (OSError, ValueError):
                 pass  # unreadable manifest → rebuild
-        cents = kmeans_centroids(corpus, n_cells, kmeans_iters, id_col, vec_col)
+        cents = kmeans_centroids(
+            corpus, n_cells, kmeans_iters, id_col, vec_col, engine=engine
+        )
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
         assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
             self._vectors
@@ -367,6 +413,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     kmeans_iters: int = 2,
+    engine: str = "lloyd",
 ) -> DataFrame:
     """IVF approximate top-k: probe only the ``n_probe`` cells whose
     centroids are closest to the query. Scanned fraction ≈ n_probe/n_cells;
@@ -379,7 +426,9 @@ def ivf_topk(
     shuffle-free (see ivf_assign); the probe list is |queries|×n_probe
     rows (broadcast); final ranking is the bounded two-phase top-k, so
     the corpus again never shuffles."""
-    cents = kmeans_centroids(corpus, n_cells, kmeans_iters, id_col, vec_col)
+    cents = kmeans_centroids(
+        corpus, n_cells, kmeans_iters, id_col, vec_col, engine=engine
+    )
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
     # top-n_probe cells per query: tiny (|queries| × n_cells rows) — the

@@ -1106,3 +1106,137 @@ def q_media_streaming_meta_rollup(spark, sf_dir):
     return spark.table(sink_name).select(
         "fmt", "n_images", "max_width", "max_height", "mean_pixels"
     )
+
+
+# ---------------------------------------------------------------------------
+# r6: driver-visible queries for the last pytest-only §2 behaviors
+# (VERDICT r5 gap #2 — K3, F3, F9/F7, P7, A3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lock_fallback_naming",
+    """
+    SELECT * FROM (VALUES
+        ('unlocked', 'report.csv', 'report.csv', FALSE),
+        ('locked',   'report.csv', 'report_20240315.csv', TRUE)
+    ) AS t(scenario, requested_name, written_name, fallback_used)
+    """,
+    doc="K3: locked-target CSV write-back falls back to the dated sibling "
+    "<stem>_<yyyyMMdd><ext> (InvoiceFileSearchFromSQL.ps1:143-151). The "
+    "query runs write_csv_with_lock_fallback twice against real files — "
+    "once unobstructed, once with the target path occupied by an "
+    "unremovable directory (the portable stand-in for a desktop-app file "
+    "lock) — and manifests the names actually written; the oracle pins "
+    "both the passthrough and the derived fallback name.",
+)
+def q_lock_fallback_naming(spark, sf_dir):
+    from datetime import datetime
+
+    from etl_excel_csv_sql_spark.io.csv_io import write_csv_with_lock_fallback
+
+    scratch = _scratch("lock_fallback")
+    frame = spark.createDataFrame([(1, "a"), (2, "b")], ["pk", "val"])
+    fixed_now = datetime(2024, 3, 15, 10, 30)
+    rows = []
+
+    free = os.path.join(scratch, "free", "report.csv")
+    os.makedirs(os.path.dirname(free))
+    written = write_csv_with_lock_fallback(frame, free, now=fixed_now)
+    rows.append(
+        ("unlocked", "report.csv", os.path.basename(written), written != free)
+    )
+
+    locked = os.path.join(scratch, "locked", "report.csv")
+    os.makedirs(locked)  # a directory at the target → OSError on overwrite
+    written2 = write_csv_with_lock_fallback(frame, locked, now=fixed_now)
+    rows.append(
+        ("locked", "report.csv", os.path.basename(written2), written2 != locked)
+    )
+
+    for path in (written, written2):  # both sinks must hold real bytes
+        assert os.path.isfile(path) and os.path.getsize(path) > 0, path
+    return spark.createDataFrame(
+        rows, ["scenario", "requested_name", "written_name", "fallback_used"]
+    )
+
+
+@register(
+    "sql_compose_quoting",
+    """
+    SELECT * FROM (VALUES
+        ('bracket', 'OrderId', '[OrderId]'),
+        ('bracket', 'Order Id', '[Order Id]'),
+        ('bracket', '[Bracketed]', '[Bracketed]'),
+        ('in_list', 'SELECT * FROM t WHERE ref IN (&reflist&)',
+         'SELECT * FROM t WHERE ref IN (''INV-001'',''O''''Brien'')')
+    ) AS t(kind, input, output)
+    """,
+    doc="F3/F9/F7: SQL text composition — identifier bracket-quoting "
+    "(CSVtoSQLimport.ps1:49-57; already-bracketed names pass through) and "
+    "the template → quoted-IN-list splice with single quotes escaped by "
+    "doubling (InvoiceFileSearchFromSQL.ps1:63). Runs the actual helpers "
+    "(enclose_with_brackets, JdbcQuerySource.with_in_list); the oracle "
+    "pins the exact composed strings.",
+)
+def q_sql_compose_quoting(spark, sf_dir):
+    from etl_excel_csv_sql_spark.functions.scalars import enclose_with_brackets
+    from etl_excel_csv_sql_spark.io.jdbc import JdbcQuerySource
+
+    rows = [
+        ("bracket", ident, enclose_with_brackets(ident))
+        for ident in ("OrderId", "Order Id", "[Bracketed]")
+    ]
+    template = "SELECT * FROM t WHERE ref IN (&reflist&)"
+    src = JdbcQuerySource(url="jdbc:derby:memory:unused", query=template)
+    rows.append(
+        ("in_list", template, src.with_in_list("&reflist&", ["INV-001", "O'Brien"]).query)
+    )
+    return spark.createDataFrame(rows, ["kind", "input", "output"])
+
+
+@register(
+    "settings_validation_outcomes",
+    """
+    SELECT * FROM (VALUES
+        ('nations', 'importTable,importTablePK', FALSE, TRUE),
+        ('orders',  '', TRUE, FALSE),
+        ('parts',   'importTablePK', FALSE, TRUE)
+    ) AS t(source_name, missing_keys, any_datetime_fields, skipped)
+    """,
+    doc="P7/A3: per-source param validation — require() reports "
+    "missing/empty mandatory keys (ExcelToCSVexport.ps1:87-90, "
+    "CSVtoSQLimport.ps1:170-180) and the any-datetime-fields-configured "
+    "flag derives from split_list (CSVtoSQLimport.ps1:153-155); a source "
+    "with missing params is skipped, not fatal.",
+)
+def q_settings_validation(spark, sf_dir):
+    from etl_excel_csv_sql_spark.io.settings import (
+        parse_settings_text,
+        require,
+        split_list,
+    )
+
+    configs = {
+        "orders": (
+            "importTable==dbo.Orders\nimportTablePK==OrderId\n"
+            "datetimeFields=Created, Updated\n"
+        ),
+        "parts": "importTable==dbo.Parts\nimportTablePK==\ndatetimeFields=\n",
+        "nations": "# comment only\nnote=no table configured\n",
+    }
+    rows = []
+    for name, text in sorted(configs.items()):
+        values = parse_settings_text(text)
+        missing = require(values, ["importTable", "importTablePK"])
+        rows.append(
+            (
+                name,
+                ",".join(missing),
+                len(split_list(values.get("datetimeFields"))) > 0,  # A3
+                bool(missing),
+            )
+        )
+    return spark.createDataFrame(
+        rows, ["source_name", "missing_keys", "any_datetime_fields", "skipped"]
+    )
