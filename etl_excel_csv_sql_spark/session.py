@@ -56,6 +56,16 @@ def get_spark(
         master = f"local[{cpus}]" if cpus else "local[*]"
     builder = SparkSession.builder.appName(app_name).master(master)
     merged = {**DEFAULT_CONF, **(conf or {})}
+    if master.startswith("local") and "spark.driver.memory" not in merged:
+        # In local mode the driver JVM IS every executor; Spark's legacy
+        # 1g default starves 32 task threads and OOMs shuffles that any
+        # real per-core memory budget absorbs (found by the 10x scale
+        # probe, r6). ~0.4 GB/thread mirrors a lean cluster executor.
+        # Only effective when this call actually launches the JVM;
+        # override via $SPARK_GRAFT_DRIVER_MEM or conf.
+        merged["spark.driver.memory"] = os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "12g"
+        )
     for key, value in merged.items():
         builder = builder.config(key, value)
     return builder.getOrCreate()

@@ -1,0 +1,182 @@
+"""Scale-growth probe for the dedup/ANN family (VERDICT r5 #5).
+
+The driver ships sf0.001/0.01/0.1 only, so the "does it survive 10x?"
+claim needs a larger corpus: this tool derives one deterministically from
+sf0.1 (never touching /root/testdata) and measures how the subquadratic
+operators actually grow.
+
+Corpus derivation (multiplier m, replicas k = 0..m-1):
+
+- documents: replica k word-shuffles every text with a Fisher-Yates
+  permutation seeded by (k, doc_id). A shuffled word-salad is another
+  draw from the same vocabulary/length distribution, but shares almost
+  no 5-gram shingles with its origin — so replicas are NOT near-dups of
+  each other and the near-dup density per document stays comparable to
+  sf0.1 (replica 0 is the original). Naive replication would instead
+  make every doc a 45-pair dup clique and the growth curve meaningless.
+- embeddings: replica k rotates each vector's dimensions by k and flips
+  the sign of every (k mod dim)-th element — norm- and geometry-
+  preserving, so cluster structure per replica matches the original
+  while replicas land in different regions.
+
+Measurement: each probe query runs twice per scale (run1 may include
+one-time index builds; run2 is steady state). One JSON line per
+(query, scale) is appended to .benchmarks/history.jsonl with metric
+"scale_probe", and a summary table prints to stderr. Growth verdict per
+query: ratio of scaled run2 wall to base run2 wall, vs the multiplier
+(ratio ~ m is linear; ~ m^2 quadratic).
+
+Usage: python tools/scale_probe.py [multiplier=10]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE_SF = "/root/testdata/sf0.1"
+PROBES = (
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "dedup_components",
+    "ann_ivf_persisted_topk",
+)
+ID_STRIDE = 10_000_000
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_scaled(mult: int) -> str:
+    """Derive the scaled corpus under .tmp/scale{mult} (build-once)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(REPO, ".tmp", f"scale{mult}")
+    done = os.path.join(out_dir, ".done")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = pq.read_table(os.path.join(BASE_SF, "documents.parquet"))
+    d = docs.to_pylist()
+    rows = []
+    for k in range(mult):
+        for r in d:
+            words = r["text"].split(" ")
+            if k > 0:
+                random.Random((k << 32) ^ r["doc_id"]).shuffle(words)
+            text = " ".join(words)
+            rows.append(
+                {
+                    "doc_id": r["doc_id"] + k * ID_STRIDE,
+                    "text": text,
+                    "lang": r["lang"],
+                    "source": r["source"],
+                    "n_chars": len(text),
+                }
+            )
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=docs.schema),
+        os.path.join(out_dir, "documents.parquet"),
+    )
+    log(f"scale_probe: wrote {len(rows)} documents (x{mult})")
+
+    emb = pq.read_table(os.path.join(BASE_SF, "embeddings.parquet"))
+    e = emb.to_pylist()
+    erows = []
+    for k in range(mult):
+        for r in e:
+            vec = r["embedding"]
+            if k > 0:
+                dim = len(vec)
+                rot = k % dim
+                vec = vec[rot:] + vec[:rot]
+                vec = [
+                    -x if (i % dim) == (k % dim) else x
+                    for i, x in enumerate(vec)
+                ]
+            erows.append(
+                {
+                    "vec_id": r["vec_id"] + k * ID_STRIDE,
+                    "embedding": vec,
+                    "label": r["label"],
+                }
+            )
+    pq.write_table(
+        pa.Table.from_pylist(erows, schema=emb.schema),
+        os.path.join(out_dir, "embeddings.parquet"),
+    )
+    log(f"scale_probe: wrote {len(erows)} embeddings (x{mult})")
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return out_dir
+
+
+def main() -> int:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sys.path.insert(0, REPO)
+    from etl_excel_csv_sql_spark.plans.registry import all_queries
+    from etl_excel_csv_sql_spark.session import get_spark
+
+    scaled_dir = build_scaled(mult)
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    hist = os.path.join(REPO, ".benchmarks", "history.jsonl")
+    os.makedirs(os.path.dirname(hist), exist_ok=True)
+    results = {}
+    for sf_label, sf_dir in (("sf0.1", BASE_SF), (f"sf0.1x{mult}", scaled_dir)):
+        for name in PROBES:
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            results[(name, sf_label)] = runs
+            log(f"scale_probe: {name} @ {sf_label}: run1 {runs[0]}s run2 {runs[1]}s")
+            with open(hist, "a") as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "ts": time.time(),
+                            "metric": "scale_probe",
+                            "query": name,
+                            "scale": sf_label,
+                            "multiplier": 1 if sf_dir == BASE_SF else mult,
+                            "run1_sec": runs[0],
+                            "run2_sec": runs[1],
+                        }
+                    )
+                    + "\n"
+                )
+
+    summary = {}
+    for name in PROBES:
+        base = results[(name, "sf0.1")][1]
+        big = results[(name, f"sf0.1x{mult}")][1]
+        summary[name] = {
+            "base_sec": base,
+            "scaled_sec": big,
+            "growth": round(big / base, 2) if base > 0 else None,
+            "multiplier": mult,
+        }
+        log(
+            f"scale_probe: {name}: {base}s -> {big}s at x{mult} "
+            f"(growth x{summary[name]['growth']})"
+        )
+    print(json.dumps({"metric": "scale_probe_summary", "queries": summary}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
