@@ -87,6 +87,51 @@ def test_ivf_recall_vs_brute_force(spark, emb):
     )
 
 
+def test_ivf_mllib_engine_recall_ab(spark, emb):
+    """engine='mllib' (pyspark.ml KMeans centroids behind the same
+    (cell_id, centroid) contract) must at least match the hand-rolled
+    Lloyd path's recall at equal n_cells/n_probe (VERDICT r5 #6)."""
+    emb_df, _rows = emb
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(
+            emb_df, _queries(emb_df), k=10
+        ).collect()
+    }
+
+    def recall(engine):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(
+                emb_df, _queries(emb_df), k=10, n_cells=8, n_probe=4,
+                kmeans_iters=2, engine=engine,
+            ).collect()
+        }
+        return len(approx & exact) / len(exact)
+
+    r_lloyd = recall("lloyd")
+    r_mllib = recall("mllib")
+    assert r_mllib >= r_lloyd, (
+        f"mllib IVF recall {r_mllib:.2f} < lloyd {r_lloyd:.2f}"
+    )
+    with pytest.raises(ValueError, match="engine"):
+        similarity.kmeans_centroids(emb_df, engine="bogus")
+
+
+def test_mllib_centroids_contract(spark, emb):
+    """MLlib engine output: exactly n_cells rows of (int cell_id,
+    array<double> centroid) with the corpus dimensionality."""
+    emb_df, _rows = emb
+    cents = similarity.kmeans_centroids(
+        emb_df, n_cells=6, iters=2, engine="mllib"
+    )
+    rows = cents.collect()
+    assert len(rows) == 6
+    assert sorted(r.cell_id for r in rows) == list(range(6))
+    assert all(len(r.centroid) == 12 for r in rows)
+    assert dict(cents.dtypes)["centroid"] == "array<double>"
+
+
 def test_no_window_operator_in_plans(spark, emb):
     """The scale invariant from VERDICT r1: ranking must not shuffle all
     scored rows into one task per query. Assert the physical plans contain
