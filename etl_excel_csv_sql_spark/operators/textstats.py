@@ -351,3 +351,115 @@ def corpus_rollup(
             F.sum(F.length(text_col)).alias("total_chars"),
         )
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio: (id, n_bytes, n_compressed,
+    compression_ratio = compressed/raw bytes).
+
+    The classic cheap quality/repetition signal (used by Gopher-style
+    and FineWeb-style pipeline filters): boilerplate and highly
+    repetitive documents compress far below natural text (~0.3-0.4 for
+    English prose; <0.1 screams template spam), while already-compressed
+    or random payloads sit near 1.0. Complements repetition_signals
+    (which counts exact n-gram repeats) with a distribution-free
+    whole-document measure.
+
+    zlib lives Python-side, so this is one of the engine's few
+    non-column-expression kernels: an Arrow-batched ``mapInPandas``
+    narrow map — no shuffle, bounded batch memory, bytes never
+    round-trip as Python row objects. UTF-8 byte length (not char
+    count) is the denominator; empty/null text → null ratio.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("t")
+    )
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("n_compressed", LongType()),
+            StructField("compression_ratio", DoubleType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in it:
+            n_bytes: list[int | None] = []
+            n_comp: list[int | None] = []
+            ratio: list[float | None] = []
+            for text in pdf["t"]:
+                if text is None:
+                    n_bytes.append(None), n_comp.append(None), ratio.append(None)
+                    continue
+                raw = text.encode("utf-8")
+                comp = zlib.compress(raw, level)
+                n_bytes.append(len(raw))
+                n_comp.append(len(comp))
+                ratio.append(
+                    round(len(comp) / len(raw), 6) if raw else None
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": pd.array(n_bytes, dtype="Int64"),
+                    "n_compressed": pd.array(n_comp, dtype="Int64"),
+                    "compression_ratio": pd.array(ratio, dtype="float64"),
+                }
+            )
+
+    return src.mapInPandas(batches, out_schema)
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_fraction: float = 0.6,
+) -> DataFrame:
+    """Keep the top ``keep_fraction`` of documents by quality score —
+    the filter STAGE of a training-data pipeline (doc_quality_score is
+    the measurement; this acts on it).
+
+    The threshold is the exact (1-keep_fraction) quantile of the quality
+    distribution, computed IN-PLAN: one aggregate row broadcast back via
+    crossJoin (the in-plan-scalar pattern — no driver action, no
+    second job), then a narrow filter. Exact ``percentile`` (not
+    percentile_approx) keeps the cut reproducible across engines and
+    partitionings; at 100 TB swap in percentile_approx(…, accuracy)
+    consciously — the tradeoff knob is the caller's, not hidden here.
+    Output: (id, quality, threshold) for kept rows.
+    """
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        F.round(quality_score(text_col), 6).alias("quality"),
+    )
+    thr = F.broadcast(
+        scored.agg(
+            F.expr(
+                f"percentile(quality, {1.0 - keep_fraction})"
+            ).alias("threshold")
+        )
+    )
+    return (
+        scored.crossJoin(thr)
+        .filter(F.col("quality") >= F.col("threshold"))
+        .select("id", "quality", F.round("threshold", 6).alias("threshold"))
+    )

@@ -1240,3 +1240,44 @@ def q_settings_validation(spark, sf_dir):
     return spark.createDataFrame(
         rows, ["source_name", "missing_keys", "any_datetime_fields", "skipped"]
     )
+
+
+@register(
+    "jsonl_roundtrip",
+    """
+    SELECT doc_id, lang, source, n_chars, text
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+    doc="JSONL source/sink e2e: documents subset -> newline-delimited JSON "
+    "(multi-part parallel write) -> schema-explicit read back (no "
+    "inference pass) with PERMISSIVE corrupt-line capture armed; value "
+    "parity against the source parquet proves the interchange path a "
+    "training-data pipeline ingests crawl dumps through.",
+)
+def q_jsonl_roundtrip(spark, sf_dir):
+    from etl_excel_csv_sql_spark.io import jsonl
+
+    scratch = _scratch("jsonl_roundtrip")
+    path = os.path.join(scratch, "docs.jsonl")
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "lang", "source", "n_chars", "text")
+    )
+    jsonl.write_jsonl(docs, path)
+    out = jsonl.read_jsonl(
+        spark,
+        path,
+        schema="doc_id bigint, lang string, source string, "
+        "n_chars bigint, text string",
+        capture_corrupt=True,
+    )
+    # a corrupt line would surface as a non-null _corrupt_record row with
+    # null data fields; the clean roundtrip must produce none, and the
+    # driver's value hash checks every surviving field. The filter also
+    # references doc_id: Spark forbids plans whose only referenced column
+    # from a raw JSON scan is the internal corrupt-record column (a bare
+    # count() would prune down to exactly that).
+    return out.filter(
+        F.col("doc_id").isNotNull() & F.col(jsonl.CORRUPT_COL).isNull()
+    ).select("doc_id", "lang", "source", "n_chars", "text")

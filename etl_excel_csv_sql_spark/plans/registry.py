@@ -1338,6 +1338,57 @@ def q_doc_quality(spark, sf_dir):
 
 
 @register(
+    "doc_compression_ratio",
+    None,  # zlib has no DuckDB equivalent → rows-only; byte-exact values
+    # are pytest-asserted against direct zlib calls (test_textstats)
+    doc="per-document zlib compression ratio via Arrow-batched "
+    "mapInPandas — the Gopher/FineWeb-style repetition/boilerplate "
+    "signal; narrow map, no shuffle",
+)
+def q_doc_compression_ratio(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.compression_ratio(docs, "doc_id", "text")
+
+
+@register(
+    "quality_filter_pipeline",
+    rf"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents),
+    m AS (
+      SELECT doc_id, len(t) AS tc,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(t, x -> lower(x) IN
+                        ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                       / len(t) END AS swr,
+             length(regexp_replace(text, '\s', '', 'g')) AS non_ws,
+             length(regexp_replace(text, '[[:punct:]\s]', '', 'g')) AS non_punct_non_ws
+      FROM toks
+    ), scored AS (
+      SELECT doc_id AS id,
+             round(((CASE WHEN tc BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN swr > 0.01 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN (CASE WHEN non_ws > 0
+                                     THEN CAST(non_ws - non_punct_non_ws AS DOUBLE) / non_ws
+                                     ELSE 0.0 END) < 0.3
+                          THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+      FROM m
+    ), thr AS (SELECT quantile_cont(quality, 0.4) AS threshold FROM scored)
+    SELECT s.id, s.quality, round(t.threshold, 6) AS threshold
+    FROM scored s CROSS JOIN thr t
+    WHERE s.quality >= t.threshold
+    """,
+    doc="quality-filter STAGE: keep the top 60% of documents by the "
+    "composite quality score; the cut threshold is the exact 0.4 "
+    "quantile computed in-plan (one aggregate row broadcast back via "
+    "crossJoin — no driver action) so the filter is reproducible across "
+    "engines and partitionings",
+)
+def q_quality_filter_pipeline(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.quality_filter(docs, "doc_id", "text", keep_fraction=0.6)
+
+
+@register(
     "source_quality_rollup",
     # same quality contract as doc_quality_score, aggregated per source —
     # the mixture-monitoring view a crawl pipeline dashboards

@@ -331,3 +331,72 @@ def test_lang_id_expression_is_linear(spark):
     df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
     tree = df.select(lang_id("text").alias("p"))._jdf.queryExecution().optimizedPlan().toString()
     assert len(tree) < 200_000, f"lang_id expression tree blew up: {len(tree)} chars"
+
+
+def test_compression_ratio_byte_exact(spark):
+    """Ratios must match direct zlib calls byte-for-byte (same level)."""
+    import zlib
+
+    from etl_excel_csv_sql_spark.operators.textstats import compression_ratio
+
+    texts = {
+        1: "a" * 400,                       # degenerate repetition
+        2: "the quick brown fox jumps over the lazy dog — twice! " * 3,
+        3: "",                              # empty → null ratio
+        4: None,                            # null text → null row stats
+        5: "héllo wörld ünïcode",           # multi-byte utf-8
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id: long, text: string"
+    )
+    got = {r.id: r for r in compression_ratio(df).collect()}
+    for i, t in texts.items():
+        if t is None:
+            assert got[i].n_bytes is None and got[i].compression_ratio is None
+            continue
+        raw = t.encode("utf-8")
+        assert got[i].n_bytes == len(raw)
+        assert got[i].n_compressed == len(zlib.compress(raw, 6))
+        if raw:
+            assert got[i].compression_ratio == round(
+                len(zlib.compress(raw, 6)) / len(raw), 6
+            )
+        else:
+            assert got[i].compression_ratio is None
+    # the repetitive doc must compress far better than natural text
+    assert got[1].compression_ratio < 0.1 < got[2].compression_ratio
+
+
+def test_quality_filter_keeps_top_fraction(spark):
+    from etl_excel_csv_sql_spark.operators.textstats import quality_filter
+
+    good = "the cat sat on the mat and it is a fine day for all of us here"
+    bad = "!!! ??? *** !!!"
+    rows = [(i, good) for i in range(8)] + [(i, bad) for i in range(8, 10)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    kept = quality_filter(df, keep_fraction=0.6).collect()
+    # the 8 good docs share the top quality level; threshold lands on it,
+    # so exactly the good docs survive and every row carries the cut
+    assert sorted(r.id for r in kept) == list(range(8))
+    assert len({r.threshold for r in kept}) == 1
+    assert all(r.quality >= r.threshold for r in kept)
+
+
+def test_jsonl_corrupt_line_capture(spark, tmp_path):
+    import os
+
+    from etl_excel_csv_sql_spark.io import jsonl
+
+    path = os.path.join(str(tmp_path), "mixed.jsonl")
+    with open(path, "w") as fh:
+        fh.write('{"doc_id": 1, "text": "ok"}\n')
+        fh.write("this is not json\n")
+        fh.write('{"doc_id": 2, "text": "also ok"}\n')
+    out = jsonl.read_jsonl(
+        spark, path, schema="doc_id bigint, text string", capture_corrupt=True
+    ).collect()
+    good = [r for r in out if r[jsonl.CORRUPT_COL] is None]
+    bad = [r for r in out if r[jsonl.CORRUPT_COL] is not None]
+    assert sorted(r.doc_id for r in good) == [1, 2]
+    assert len(bad) == 1 and bad[0][jsonl.CORRUPT_COL] == "this is not json"
+    assert bad[0].doc_id is None
