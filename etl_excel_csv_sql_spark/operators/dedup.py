@@ -151,6 +151,31 @@ def minhash_signatures(
     )
 
 
+def _band_keys(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) LSH keys: xxhash64 of each band's signature
+    slice (arrays hash directly — no string building). Python-level
+    loop: slice offsets are compile-time ints. Narrow map, no shuffle."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(
+                                F.col("signature"), b * rows_per_band + 1, rows_per_band
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -176,29 +201,8 @@ def minhash_lsh_pairs(
     1-(1-j^(num_hashes/bands))^bands — 32 hashes / 8 bands ≈ r=4 rows per
     band, catching j≥0.5 with p≈0.63, j≥0.7 with p≈0.95.
     """
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
-    # Band keys: xxhash64 of each band's signature slice (arrays hash
-    # directly — no string building). Python-level loop: slice offsets are
-    # compile-time ints.
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice(
-                                F.col("signature"), b * rows_per_band + 1, rows_per_band
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _band_keys(sigs, num_hashes, bands)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -265,6 +269,172 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+class MinHashIndex:
+    """Persisted MinHash-LSH index: incremental dedup of NEW documents
+    against an existing corpus without ever re-pairing the corpus with
+    itself.
+
+    This is the production shape at 100 TB: `minhash_lsh_pairs` answers
+    "which pairs inside this frame are near-dups" (cost grows with the
+    whole corpus every run), while a crawl/training pipeline asks "is
+    this incoming batch a dup of anything we already have" every few
+    minutes. ``build`` runs the signature+banding map ONCE over the
+    corpus and persists the (band, bucket, id) keys plus the signatures;
+    ``query`` computes the same narrow map over just the new batch and
+    hash-joins it against the stored buckets — incremental cost is
+    O(|batch| + touched buckets), corpus text is never re-read.
+
+    Verification is the standard MinHash estimator (matching-lane
+    fraction — unbiased for true Jaccard, σ = sqrt(j(1-j)/k) ≈ 0.09 at
+    k=32): the stored corpus SIGNATURES verify candidates, so the index
+    is self-contained. For byte-exact Jaccard, semi-join the candidate
+    ids back to the corpus text and reuse the ngram verify — that needs
+    corpus text access and is deliberately not part of the index
+    contract. Build reuse is fingerprinted like IvfIndex: a changed
+    corpus or changed (num_hashes, bands, n, seed) voids the cache.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        num_hashes: int = 32,
+        bands: int = 8,
+        n: int = 3,
+        seed: int = 42,
+    ):
+        self.path = path
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.n = n
+        self.seed = seed
+
+    @property
+    def _buckets(self) -> str:
+        return f"{self.path}/buckets"
+
+    @property
+    def _signatures(self) -> str:
+        return f"{self.path}/signatures"
+
+    @property
+    def _manifest(self) -> str:
+        return f"{self.path}/manifest.json"
+
+    def is_built(self) -> bool:
+        import os
+
+        return os.path.exists(self._manifest) and all(
+            os.path.exists(os.path.join(p, "_SUCCESS"))
+            for p in (self._buckets, self._signatures)
+        )
+
+    def _corpus_manifest(self, corpus: DataFrame, id_col: str, text_col: str) -> dict:
+        from .relational import table_fingerprint
+
+        row = table_fingerprint(corpus.select(id_col, text_col)).collect()[0]
+        return {
+            "n_rows": int(row["n_rows"]),
+            "fingerprint": str(row["fingerprint"]),
+            "num_hashes": self.num_hashes,
+            "bands": self.bands,
+            "n": self.n,
+            "seed": self.seed,
+        }
+
+    def build(
+        self,
+        corpus: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        skip_if_exists: bool = False,
+    ) -> None:
+        import json
+
+        manifest = self._corpus_manifest(corpus, id_col, text_col)
+        if skip_if_exists and self.is_built():
+            try:
+                with open(self._manifest) as f:
+                    if json.load(f) == manifest:
+                        return
+            except (OSError, ValueError):
+                pass  # unreadable manifest → rebuild
+        sigs = minhash_signatures(
+            corpus, id_col, text_col, self.num_hashes, self.n, self.seed
+        ).localCheckpoint(eager=True)  # feeds both writes; shingle once
+        _band_keys(sigs, self.num_hashes, self.bands).write.mode(
+            "overwrite"
+        ).parquet(self._buckets)
+        sigs.write.mode("overwrite").parquet(self._signatures)
+        with open(self._manifest, "w") as f:
+            json.dump(manifest, f)
+
+    def query(
+        self,
+        new_docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        threshold: float = 0.5,
+    ) -> DataFrame:
+        """(new_id, corpus_id, est_jaccard ≥ threshold) for the incoming
+        batch. Plan: narrow signature+banding map over the batch → hash
+        join on (band, bucket) against the stored keys (AQE broadcasts
+        the batch side when small) → distinct candidates → one join to
+        the stored signatures for the matching-lane estimate. An id
+        present in both spaces never pairs with itself."""
+        spark = new_docs.sparkSession
+        nsigs = minhash_signatures(
+            new_docs, id_col, text_col, self.num_hashes, self.n, self.seed
+        ).localCheckpoint(eager=True)  # banding + verify both consume it
+        nbands = _band_keys(nsigs, self.num_hashes, self.bands)
+        buckets = spark.read.parquet(self._buckets)
+        candidates = (
+            nbands.alias("q")
+            .join(
+                buckets.alias("c"),
+                on=(F.col("q.band") == F.col("c.band"))
+                & (F.col("q.bucket") == F.col("c.bucket"))
+                & (F.col("q.id") != F.col("c.id")),
+            )
+            .select(
+                F.col("q.id").alias("new_id"), F.col("c.id").alias("corpus_id")
+            )
+            .distinct()
+        )
+        csigs = spark.read.parquet(self._signatures)
+        matching = F.aggregate(
+            F.zip_with(
+                F.col("q_sig"),
+                F.col("c_sig"),
+                lambda x, y: (x == y).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        return (
+            candidates.join(
+                nsigs.select(
+                    F.col("id").alias("new_id"), F.col("signature").alias("q_sig")
+                ),
+                "new_id",
+            )
+            .join(
+                csigs.select(
+                    F.col("id").alias("corpus_id"),
+                    F.col("signature").alias("c_sig"),
+                ),
+                "corpus_id",
+            )
+            .select(
+                "new_id",
+                "corpus_id",
+                F.round(matching / F.lit(self.num_hashes), 6).alias(
+                    "est_jaccard"
+                ),
+            )
+            .filter(F.col("est_jaccard") >= threshold)
+        )
 
 
 def _simhash_tallies(hashes: Column) -> Column:

@@ -1281,3 +1281,97 @@ def q_jsonl_roundtrip(spark, sf_dir):
     return out.filter(
         F.col("doc_id").isNotNull() & F.col(jsonl.CORRUPT_COL).isNull()
     ).select("doc_id", "lang", "source", "n_chars", "text")
+
+
+@register(
+    "dedup_incremental_minhash",
+    None,  # LSH bucket membership is hash-dependent → rows-only; the
+    # estimator's accuracy and the catch/no-catch behavior are
+    # pytest-asserted on known corpora (test_dedup)
+    doc="INCREMENTAL dedup against a persisted MinHash-LSH index "
+    "(dedup.MinHashIndex): corpus signatures+buckets built once "
+    "(fingerprinted build-once reuse), then an incoming batch — held-out "
+    "docs plus verbatim copies of corpus docs under new ids — is checked "
+    "by a narrow signature map + bucket hash-join + matching-lane "
+    "estimate. The production shape: corpus text is never re-read, "
+    "incremental cost is O(|batch| + touched buckets).",
+)
+def q_dedup_incremental_minhash(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators.dedup import MinHashIndex
+
+    scratch = _scratch_keep(
+        "minhash_index_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    index = MinHashIndex(os.path.join(scratch, "idx"))
+    index.build(corpus, "doc_id", "text", skip_if_exists=True)
+    # incoming batch: the held-out 20% (near-dups only by chance) plus
+    # verbatim copies of three corpus docs under fresh ids (guaranteed
+    # catches: every lane of a copy's signature matches its original)
+    copies = (
+        corpus.filter(F.col("doc_id") < 15)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text").unionByName(copies)
+    return index.query(batch, "doc_id", "text", threshold=0.5)
+
+
+@register(
+    "events_streaming_merge_upsert",
+    """
+    SELECT event_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE)
+           + CASE WHEN event_id % 2 = 0 THEN 1000.0 ELSE 0.0 END AS value
+    FROM events
+    """,
+    doc="streaming warehouse ingest, end-to-end: two file micro-batches "
+    "(maxFilesPerTrigger=1, pinned mtimes) — batch 1 carries the even "
+    "events duplicated in-batch, batch 2 the odd events plus REPLAYED "
+    "even events with value+1000 — flow through foreachBatch → in-batch "
+    "dropDuplicates → ParquetMergeSink.upsert keyed on event_id. Value "
+    "parity proves in-batch dedup, cross-batch key replacement (update "
+    "beats insert), and idempotent final state: every even event must "
+    "carry exactly one +1000 row.",
+)
+def q_events_streaming_merge_upsert(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io.jdbc import ParquetMergeSink
+
+    scratch = _scratch(
+        "events_merge_upsert_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    src = os.path.join(scratch, "in")
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,4)").cast("double").alias("value"),
+    )
+    even = ev.filter(F.col("event_id") % 2 == 0)
+    odd = ev.filter(F.col("event_id") % 2 == 1)
+    replayed = even.withColumn("value", F.col("value") + F.lit(1000.0))
+    _write_single_parquet(
+        even.unionAll(even), scratch, os.path.join(src, "b1.parquet"), 1_000_000
+    )
+    _write_single_parquet(
+        odd.unionByName(replayed), scratch, os.path.join(src, "b2.parquet"), 1_000_010
+    )
+
+    sink = ParquetMergeSink(path=os.path.join(scratch, "table"), keys=["event_id"])
+
+    def _merge(batch_df, _batch_id):
+        sink.upsert(batch_df.sparkSession, batch_df.dropDuplicates(["event_id"]))
+
+    schema = spark.read.parquet(os.path.join(src, "b1.parquet")).schema
+    (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return sink.read(spark).select("event_id", "event_type", "value")

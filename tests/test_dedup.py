@@ -235,3 +235,55 @@ def test_exact_dedup_groups(spark):
         for r in dedup.exact_dedup_fingerprint(df, "doc_id", "text").collect()
     }
     assert got == {10: 2, 12: 1}
+
+
+def test_minhash_index_incremental_query(spark, near_dup_docs, tmp_path):
+    """Corpus = originals + unrelated; batch = the edited twins (must hit
+    their originals), a verbatim copy (est 1.0), and a fresh unrelated doc
+    (must miss)."""
+    corpus = near_dup_docs.filter(F.col("doc_id") % 3 != 1)
+    idx = dedup.MinHashIndex(str(tmp_path / "idx"))
+    idx.build(corpus, "doc_id", "text")
+
+    copy_row = near_dup_docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 500).alias("doc_id"), "text"
+    )
+    rng = random.Random(99)
+    fresh = spark.createDataFrame(
+        [(600, " ".join(rng.choice(WORDS) for _ in range(80)))],
+        ["doc_id", "text"],
+    )
+    batch = (
+        near_dup_docs.filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id", "text")
+        .unionByName(copy_row)
+        .unionByName(fresh)
+    )
+    got = {(r.new_id, r.corpus_id): r.est_jaccard for r in idx.query(batch).collect()}
+
+    # the verbatim copy matches doc 0 on every lane
+    assert got[(500, 0)] == 1.0
+    # the fresh unrelated doc must produce no match
+    assert not any(nid == 600 for nid, _ in got)
+    # most edited twins (j≈0.85-0.95) hit their original
+    twin_hits = sum(1 for (nid, cid) in got if nid % 3 == 1 and cid == nid - 1)
+    assert twin_hits >= 16, f"only {twin_hits}/20 twins matched"
+    # estimator sanity: every reported estimate is a valid lane fraction
+    assert all(0.5 <= v <= 1.0 for v in got.values())
+
+
+def test_minhash_index_build_once_and_refingerprint(spark, near_dup_docs, tmp_path):
+    import os
+
+    corpus = near_dup_docs.filter(F.col("doc_id") % 3 == 0)
+    idx = dedup.MinHashIndex(str(tmp_path / "idx2"))
+    idx.build(corpus, "doc_id", "text", skip_if_exists=True)
+    mtime = os.path.getmtime(idx._manifest)
+    # identical corpus + params → reuse, no rewrite
+    idx.build(corpus, "doc_id", "text", skip_if_exists=True)
+    assert os.path.getmtime(idx._manifest) == mtime
+    # changed corpus → fingerprint mismatch → rebuild
+    idx.build(
+        corpus.filter(F.col("doc_id") > 10), "doc_id", "text", skip_if_exists=True
+    )
+    assert os.path.getmtime(idx._manifest) > mtime
