@@ -768,6 +768,10 @@ def connected_components(
     edges = edges_fwd.union(
         edges_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+    # NOTE (r6, measured): repartition(dst) before this checkpoint does
+    # NOT help — DataFrame.localCheckpoint drops outputPartitioning, so
+    # the per-round join re-shuffles edges regardless (verified by plan
+    # inspection with broadcast off: 2 exchanges either way).
     edges = edges.localCheckpoint(eager=True)
 
     labels = (
