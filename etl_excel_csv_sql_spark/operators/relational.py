@@ -554,3 +554,139 @@ def skew_report(df: DataFrame, key_col: str, k: int = 5) -> DataFrame:
         F.round(avg_per_key, 6).alias("avg_per_key"),
         F.round(F.col("item.cnt") / avg_per_key, 6).alias("skew_ratio"),
     )
+
+
+def _bloom_lane_hit(
+    key: Column, bloom_words: Column, n_bits: int, lane: int
+) -> Column:
+    """One hash lane's membership test: position = xxhash64(key, lane)
+    mod n_bits; true iff that bit is set in the word map. Pure JVM column
+    expressions (codegen-friendly) — no UDF. shiftleft goes through
+    call_function because the PySpark wrapper only takes a literal shift
+    amount while the SQL function accepts a column."""
+    pos = F.pmod(F.xxhash64(key, F.lit(lane)), F.lit(n_bits))
+    word = F.coalesce(
+        F.element_at(bloom_words, F.floor(pos / 64).cast("int")),
+        F.lit(0).cast("long"),
+    )
+    mask = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+    )
+    return word.bitwiseAND(mask) != 0
+
+
+def build_bloom(
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Distributed Bloom filter build over a key column: a single-row
+    frame with a ``bloom_words`` map<int,long> (64-bit word index → word)
+    plus the filter geometry.
+
+    This is the runtime-row-filter half of a large-to-large semi join.
+    When the key side is too big to broadcast as an exact hash set, a
+    Bloom filter of it is still tiny (n_bits/8 bytes regardless of key
+    count — 128 KiB at the default 2^20 bits), so the probe side can be
+    pre-filtered BEFORE its shuffle, which is where the win lives at
+    100 TB: shuffle volume drops by (1 - selectivity) of the semi join,
+    at the cost of a few scan-side hash expressions per row. Spark's own
+    InjectRuntimeFilter does this for eligible shapes; this operator
+    makes it explicit, composable, and available to DataFrame pipelines
+    (the SQL functions bloom_filter_agg/might_contain are internal-only
+    in PySpark 4.1 — UNRESOLVED_ROUTINE from user SQL).
+
+    Build plan: n_hashes positions per distinct key via
+    xxhash64(key, lane) mod n_bits → (word_idx, bit) pairs → ONE shuffle
+    on word_idx (at most n_bits/64 groups) bit_or-folded into words →
+    a single-row map. No driver-side collect: the map rides to the probe
+    as a broadcast single-row frame. Keys hash through a string cast so
+    int/bigint/string key columns build and probe consistently.
+
+    Sizing: for m bits and n keys, fp_rate ≈ (1 - e^(-k·n/m))^k; the
+    2^20 default holds ~10^5 keys at k=5 under 1% false positives. False
+    positives only cost wasted shuffle rows — exactness comes from the
+    downstream verify join (``bloom_prefilter_semi_join``).
+    """
+    k = (
+        keys.select(F.col(key_col).cast("string").alias("k"))
+        .where(F.col("k").isNotNull())
+        .distinct()
+    )
+    lanes = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col("k"), F.lit(i)), F.lit(n_bits))
+            for i in range(n_hashes)
+        ]
+    )
+    entries = (
+        k.select(F.explode(lanes).alias("pos"))
+        .select(
+            F.floor(F.col("pos") / 64).cast("int").alias("word_idx"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("pos") % 64).cast("int"),
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    return entries.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("bloom_words"),
+        F.lit(n_bits).alias("n_bits"),
+        F.lit(n_hashes).alias("n_hashes"),
+    )
+
+
+def bloom_prefilter_semi_join(
+    big: DataFrame,
+    keys: DataFrame,
+    big_key: str,
+    keys_key: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    exact_verify: bool = True,
+) -> DataFrame:
+    """Semi join of ``big`` against ``keys`` with a Bloom-filter
+    pre-filter on the big side.
+
+    Shape: build_bloom(keys) → broadcast the single-row filter onto
+    ``big`` (BroadcastNestedLoopJoin of ONE row — the in-plan-scalar
+    pattern) → drop non-candidate rows where they were scanned, before
+    any shuffle of ``big`` → exact LEFT SEMI join (AQE picks broadcast
+    vs shuffle by the true size of ``keys``) removes Bloom false
+    positives, so the result is EXACTLY the plain semi join, row for
+    row. With exact_verify=False you get the prefilter alone — a
+    superset with no false negatives — for pipelines that tolerate
+    approximate membership (e.g. candidate generation).
+
+    Null big-side keys hash like any value but can never survive: the
+    exact verify's equality predicate drops them (semi-join semantics);
+    in prefilter-only mode they pass through as "candidate" only if the
+    null-string hash happens to hit — callers doing approximate
+    membership should pre-filter nulls per their own policy.
+    """
+    bloom = F.broadcast(build_bloom(keys, keys_key, n_bits, n_hashes))
+    probe = F.col(big_key).cast("string")
+    cond = F.lit(True)
+    for i in range(n_hashes):
+        cond = cond & _bloom_lane_hit(
+            probe, F.col("bloom_words"), n_bits, i
+        )
+    out = (
+        big.crossJoin(bloom)
+        .filter(cond)
+        .drop("bloom_words", "n_bits", "n_hashes")
+    )
+    if exact_verify:
+        right = (
+            keys.select(F.col(keys_key))
+            .where(F.col(keys_key).isNotNull())
+            .distinct()
+        )
+        out = out.join(right, out[big_key] == right[keys_key], "left_semi")
+    return out

@@ -158,3 +158,77 @@ def corpus_mixture_weights(
             "uniform_weight",
         )
     )
+
+
+def stratified_exact(
+    df: DataFrame,
+    stratum_cols: list,
+    id_col: str,
+    fraction: float,
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """EXACT-fraction stratified sample: every stratum contributes
+    ceil(fraction · n_stratum) rows, chosen by md5(salt || id) order —
+    deterministic across runs, partitionings, and engines (the oracle
+    recomputes the identical choice), unlike Bernoulli ``sampleBy``
+    whose per-stratum counts only hold in expectation.
+
+    Plan: ONE shuffle on the stratum key feeding a per-stratum sort for
+    row_number + a per-stratum count — both window functions share the
+    same partitioning, so Catalyst plans a single Window over one
+    Exchange. Stratum cardinality is the skew bound: per-language or
+    per-source strata at web scale are large but each stratum sorts
+    only its own rows (distributed across tasks by key), and the hash
+    sort key is incompressible so there is no hot prefix.
+    """
+    from pyspark.sql import Window
+
+    order = _hash_bucket16(F.col(id_col), salt)
+    by = [F.col(c) for c in stratum_cols]
+    w = Window.partitionBy(*by).orderBy(order, F.col(id_col))
+    wc = Window.partitionBy(*by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(wc))
+        .filter(F.col("__rn") <= F.ceil(F.lit(fraction) * F.col("__n")))
+        .drop("__rn", "__n")
+    )
+
+
+def temperature_weights(
+    df: DataFrame,
+    stratum_cols: list,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-based (alpha-smoothed) multinomial resampling weights
+    per stratum: q_s = p_s^alpha / Σ p^alpha where p_s is the stratum's
+    raw share of rows. The standard low-resource-upweighting scheme for
+    multilingual corpus mixing (alpha≈0.3 in the mC4/XLM lineage):
+    alpha=1 keeps the natural distribution, alpha=0 is uniform.
+
+    Output per stratum: n_rows, prob_raw (p), prob_temp (q), and
+    resample_weight (q/p — the per-document sampling multiplier to feed
+    a weighted sampler or epoch repeat factor). Ratios round to 6
+    decimals per the engine's cross-engine float convention.
+
+    Plan: one groupBy shuffle over stratum-cardinality rows, then two
+    broadcast single-row reductions (total, normalizer) — in-plan
+    scalars, no driver action, no second pass over the corpus.
+    """
+    per = df.groupBy(*stratum_cols).agg(F.count("*").alias("n_rows"))
+    total = per.agg(F.sum("n_rows").alias("__total"))
+    with_p = per.crossJoin(F.broadcast(total)).withColumn(
+        "__p", F.col("n_rows") / F.col("__total")
+    )
+    z = with_p.agg(F.sum(F.pow(F.col("__p"), F.lit(alpha))).alias("__z"))
+    q = F.pow(F.col("__p"), F.lit(alpha)) / F.col("__z")
+    return (
+        with_p.crossJoin(F.broadcast(z))
+        .select(
+            *stratum_cols,
+            "n_rows",
+            F.round(F.col("__p"), 6).alias("prob_raw"),
+            F.round(q, 6).alias("prob_temp"),
+            F.round(q / F.col("__p"), 6).alias("resample_weight"),
+        )
+    )

@@ -463,3 +463,56 @@ def quality_filter(
         .filter(F.col("quality") >= F.col("threshold"))
         .select("id", "quality", F.round("threshold", 6).alias("threshold"))
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed-size sliding token windows per document — the chunking step
+    of an embedding/RAG or context-window-packing pipeline: each document
+    becomes ceil(max(n_tokens-overlap,1)/stride) overlapping chunks of at
+    most ``chunk_size`` whitespace tokens, stepping ``stride`` tokens
+    (overlap = chunk_size - stride).
+
+    Output: (id, chunk_id, start_token, n_tokens, chunk_text). chunk_id
+    is start_token/stride — stable, dense per doc, independent of
+    partitioning.
+
+    Plan: narrow map only — split + sequence + explode + slice run
+    per-row inside codegen/generate with NO shuffle; chunking 100 TB of
+    text is embarrassingly parallel and this plan keeps it that way.
+    The tail chunk may be shorter than chunk_size (never empty: starts
+    stop at the last token); documents chunk independently, so skew only
+    arises from pathological single-document length, which the upstream
+    quality filter caps.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = df.select(F.col(id_col), words.alias("__words"))
+    # start positions 0, stride, 2·stride … ≤ n-1 (greatest guards the
+    # empty-text edge: one empty chunk rather than an invalid sequence)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(F.col("__words")) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    chunk = F.slice(F.col("__words"), F.col("start_token") + 1, chunk_size)
+    return (
+        d.select(
+            F.col(id_col),
+            F.col("__words"),
+            F.explode(starts).alias("start_token"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("start_token") / stride).cast("bigint").alias("chunk_id"),
+            F.col("start_token").cast("bigint").alias("start_token"),
+            F.size(chunk).cast("bigint").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

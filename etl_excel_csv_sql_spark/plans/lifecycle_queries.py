@@ -1375,3 +1375,47 @@ def q_events_streaming_merge_upsert(spark, sf_dir):
         .awaitTermination()
     )
     return sink.read(spark).select("event_id", "event_type", "value")
+
+
+@register(
+    "orc_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_str,
+           o_orderpriority
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+    doc="ORC columnar source/sink e2e: orders subset -> native vectorized "
+    "ORC write (zlib, stripe-splittable) -> schema-pinned read back; "
+    "value parity against the source parquet (timestamps cross as "
+    "strings per convention) proves the Hive-lineage interchange path. "
+    "Scan-side machinery matches parquet: pushdown + pruning + "
+    "splittable stripes, so a 100 TB ORC lake reads with identical "
+    "parallelism.",
+)
+def q_orc_roundtrip(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io import orc_io
+
+    scratch = _scratch("orc_roundtrip")
+    path = os.path.join(scratch, "orders_orc")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 5 == 0
+    )
+    orc_io.write_orc(orders, path)
+    out = orc_io.read_orc(
+        spark,
+        path,
+        schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "o_orderdate_str"
+        ),
+        "o_orderpriority",
+    )

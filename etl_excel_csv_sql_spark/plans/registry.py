@@ -2834,6 +2834,129 @@ from etl_excel_csv_sql_spark.plans import lifecycle_queries  # noqa: E402,F401
 # r4/r5 entries all carry green CORRECTNESS rows ≤2 rounds old.
 # ---------------------------------------------------------------------------
 
+
+@register(
+    "bloom_semi_join_prefilter",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    )
+    """,
+    doc="semi join with a distributed Bloom-filter pre-filter on the big "
+    "side (relational.bloom_prefilter_semi_join): the key set folds into "
+    "a 2^17-bit filter via one tiny shuffle, broadcasts as ONE row, and "
+    "drops non-matching probe rows at the scan — before any shuffle of "
+    "the big table — then an exact LEFT SEMI join removes Bloom false "
+    "positives, so the oracle is the plain IN-subquery. The "
+    "large-to-large semi-join scale path when the key side exceeds "
+    "broadcast size; shuffle volume shrinks by the semi join's "
+    "unselectivity (~99% of orders dropped pre-shuffle here)",
+)
+def q_bloom_semi_prefilter(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    keys = customer.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    return relational.bloom_prefilter_semi_join(
+        orders, keys, "o_custkey", "c_custkey", n_bits=1 << 17, n_hashes=5
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "doc_chunk_windows",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    ), s AS (
+      SELECT doc_id, words,
+             unnest(range(0, greatest(len(words), 1), 48)) AS start_token
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(start_token // 48 AS BIGINT) AS chunk_id,
+           CAST(start_token AS BIGINT) AS start_token,
+           CAST(len(words[start_token + 1 : start_token + 64]) AS BIGINT)
+             AS n_tokens,
+           array_to_string(words[start_token + 1 : start_token + 64], ' ')
+             AS chunk_text
+    FROM s
+    """,
+    doc="sliding token-window chunking (64-token chunks, stride 48) — the "
+    "document→chunk explosion an embedding/RAG pipeline runs before "
+    "encoding; pure narrow map (split+sequence+explode+slice in codegen, "
+    "zero shuffles), full value oracle incl. reassembled chunk text",
+)
+def q_doc_chunk_windows(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.chunk_windows(
+        docs, id_col="doc_id", text_col="text", chunk_size=64, stride=48
+    )
+
+
+@register(
+    "stratified_sample_exact",
+    """
+    WITH r AS (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strat-v1' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars FROM r WHERE rn <= CEIL(0.2 * n)
+    """,
+    doc="EXACT-fraction stratified sampling: every language stratum "
+    "contributes ceil(0.2·n) documents chosen by md5(salt||id) order — "
+    "deterministic across engines/partitionings (full value oracle), "
+    "unlike Bernoulli sampleBy; one shuffle on the stratum key, "
+    "row_number and per-stratum count share a single Window exchange",
+)
+def q_stratified_sample_exact(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return sampling.stratified_exact(
+        docs, ["lang"], "doc_id", 0.2, salt="strat-v1"
+    )
+
+
+@register(
+    "temperature_resample_weights",
+    """
+    WITH g AS (
+      SELECT lang, COUNT(*) AS n_rows FROM documents GROUP BY 1
+    ), t AS (
+      SELECT SUM(n_rows) AS total FROM g
+    ), s AS (
+      SELECT lang, n_rows, n_rows / total AS p FROM g, t
+    ), z AS (
+      SELECT SUM(POW(p, 0.3)) AS zz FROM s
+    )
+    SELECT lang, n_rows,
+           ROUND(p, 6) AS prob_raw,
+           ROUND(POW(p, 0.3) / zz, 6) AS prob_temp,
+           ROUND((POW(p, 0.3) / zz) / p, 6) AS resample_weight
+    FROM s, z
+    """,
+    doc="temperature/alpha-smoothed multinomial resampling weights per "
+    "language (alpha=0.3, the mC4/XLM low-resource-upweighting scheme): "
+    "q = p^alpha / sum(p^alpha), resample_weight = q/p; one stratum "
+    "groupBy + two broadcast single-row reductions, ratios rounded to "
+    "6dp per the cross-engine float convention",
+)
+def q_temperature_weights(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.temperature_weights(docs, ["lang"], alpha=0.3)
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- stable core: §2 parity + live JDBC (1-11, kept every round) ---
     "filter_neq_case_insensitive",

@@ -400,3 +400,84 @@ def test_jsonl_corrupt_line_capture(spark, tmp_path):
     assert sorted(r.doc_id for r in good) == [1, 2]
     assert len(bad) == 1 and bad[0][jsonl.CORRUPT_COL] == "this is not json"
     assert bad[0].doc_id is None
+
+
+def test_chunk_windows_shapes_and_reassembly(spark):
+    from etl_excel_csv_sql_spark.operators.textstats import chunk_windows
+
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "solo"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = chunk_windows(df, chunk_size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 10 tokens, starts 0,3,6,9 → sizes 4,4,4,1
+    c1 = sorted(by_doc[1], key=lambda r: r.start_token)
+    assert [r.start_token for r in c1] == [0, 3, 6, 9]
+    assert [r.chunk_id for r in c1] == [0, 1, 2, 3]
+    assert [r.n_tokens for r in c1] == [4, 4, 4, 1]
+    assert c1[0].chunk_text == "w0 w1 w2 w3"
+    assert c1[-1].chunk_text == "w9"
+    # overlap: consecutive chunks share chunk_size - stride tokens
+    assert c1[0].chunk_text.split()[3:] == c1[1].chunk_text.split()[:1]
+    # single-token and empty docs chunk without error
+    assert [r.n_tokens for r in by_doc[2]] == [1]
+    assert len(by_doc[3]) == 1  # one degenerate chunk, never zero rows
+
+
+def test_chunk_windows_covers_every_token(spark):
+    from etl_excel_csv_sql_spark.operators.textstats import chunk_windows
+
+    n = 257  # not a multiple of either parameter
+    df = spark.createDataFrame(
+        [(7, " ".join(str(i) for i in range(n)))], "doc_id bigint, text string"
+    )
+    rows = chunk_windows(df, chunk_size=64, stride=48).collect()
+    covered = set()
+    for r in rows:
+        covered.update(range(r.start_token, r.start_token + r.n_tokens))
+    assert covered == set(range(n))
+
+
+def test_stratified_exact_counts_and_determinism(spark):
+    from etl_excel_csv_sql_spark.operators.sampling import stratified_exact
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, stratum string")
+    out = stratified_exact(df, ["stratum"], "id", 0.25)
+    counts = {
+        r.stratum: r.n
+        for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    }
+    # strata: a has 66 rows → ceil(16.5)=17; b has 34 → ceil(8.5)=9
+    assert counts == {"a": 17, "b": 9}
+    # deterministic under repartitioning
+    ids1 = sorted(r.id for r in out.collect())
+    ids2 = sorted(
+        r.id
+        for r in stratified_exact(
+            df.repartition(7), ["stratum"], "id", 0.25
+        ).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_temperature_weights_limits(spark):
+    from etl_excel_csv_sql_spark.operators.sampling import temperature_weights
+
+    rows = [(i, "en" if i < 80 else ("fr" if i < 95 else "sw")) for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, lang string")
+    # alpha=1 → natural distribution, weight 1 everywhere
+    nat = temperature_weights(df, ["lang"], alpha=1.0).collect()
+    assert all(abs(r.resample_weight - 1.0) < 1e-6 for r in nat)
+    # alpha=0 → uniform target: q = 1/3 per stratum
+    uni = temperature_weights(df, ["lang"], alpha=0.0).collect()
+    assert all(abs(r.prob_temp - 1 / 3) < 1e-6 for r in uni)
+    # alpha in between upweights the tail, downweights the head,
+    # and q still sums to 1
+    mid = {r.lang: r for r in temperature_weights(df, ["lang"], alpha=0.3).collect()}
+    assert mid["sw"].resample_weight > 1.0 > mid["en"].resample_weight
+    assert abs(sum(r.prob_temp for r in mid.values()) - 1.0) < 1e-5
