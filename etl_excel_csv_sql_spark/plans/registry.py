@@ -2957,6 +2957,32 @@ def q_temperature_weights(spark, sf_dir):
     return sampling.temperature_weights(docs, ["lang"], alpha=0.3)
 
 
+
+@register(
+    "ann_pq_topk",
+    None,  # codebook is k-means/hash-seeded → rows-only; recall vs brute
+    # force (0.66 ADC-only / 1.0 with rerank on the test corpus), code
+    # contracts, and the zero-shuffle encode plan are pytest-asserted
+    # (tests/test_similarity.py::test_pq_*)
+    doc="product-quantization ANN with exact rerank "
+    "(similarity.pq_search): per-subspace k-means codebook (16 "
+    "subspaces x 64 codes = 16 B/vector vs 256 B float32), ADC scoring "
+    "via per-query lookup tables (O(M) per corpus row, corpus never "
+    "shuffles), then exact-cosine rerank of the 4k-candidate shortlist "
+    "only. The memory-compression half of billion-scale ANN, next to "
+    "IVF's scan-pruning half",
+)
+def q_ann_pq_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.pq_search(
+        emb, queries, k=10, n_subspaces=16, n_codes=64, iters=3,
+        rerank_factor=4,
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- stable core: §2 parity + live JDBC (1-11, kept every round) ---
     "filter_neq_case_insensitive",
