@@ -216,3 +216,113 @@ def multi_resolution_rollup(
         )
     )
     return hourly, daily
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hourly resampling with gap filling and forward fill — the
+    regularization step before feeding event metrics to downstream
+    models: every (key, hour) bucket in each key's observed span exists
+    in the output (n_events = 0 where nothing happened), and the hourly
+    metric carries the last observed value forward across gaps.
+
+    Plan: one groupBy (key, hour) over the events (map-side partials;
+    the only pass over the big table), then a per-key min/max + an
+    exploded hour spine — spine cardinality is keys × span-hours,
+    independent of event count — left-joined back and forward-filled
+    with last(ignorenulls) over a per-key window. The Window partitions
+    by key over spine rows (bounded), never over raw events. Hourly
+    means are decimal-exact (sum before divide) so results are
+    partition-order independent.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    hourly = df.groupBy(
+        F.col(key_col).alias("key"), hour.alias("h")
+    ).agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("hour_avg"),
+    )
+    spine = (
+        hourly.groupBy("key")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(
+                    F.col("h0"), F.col("h1"), F.expr("interval 1 hour")
+                )
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["key", "h"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("key").alias(key_col),
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.round(
+            F.last("hour_avg", ignorenulls=True).over(w), 6
+        ).alias("value_ffill"),
+    )
+
+
+def mad_anomalies(
+    df: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-key anomaly detection via the modified z-score
+    (Iglewicz–Hoaglin): 0.6745·|x − median| / MAD > threshold. Median
+    and MAD resist the contamination that wrecks mean/stddev gating —
+    the standard data-quality screen on metric streams before training
+    aggregation.
+
+    Plan: two grouped exact-percentile passes (median of values, then
+    median of absolute deviations) — each one shuffle on the key with
+    map-side partials — and the tiny per-key stats broadcast back for
+    the final map-side flag filter; the events table itself shuffles
+    zero times (scored via broadcast joins). At extreme scale swap the
+    exact percentile for approx_percentile and the plan shape is
+    unchanged (documented, not defaulted: exactness keeps the oracle).
+    """
+    med = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    dev = df.join(
+        F.broadcast(med), df[key_col] == F.col("key")
+    ).select(
+        df[id_col].alias("id"),
+        df[key_col].alias("k"),
+        df[value_col].alias("v"),
+        F.abs(df[value_col] - F.col("med")).alias("dev"),
+        F.col("med"),
+    )
+    mad = dev.groupBy(F.col("k").alias("key")).agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    z = F.lit(0.6745) * F.col("dev") / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), dev["k"] == mad["key"])
+        .filter((F.col("mad") > 0) & (z > threshold))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("k").alias(key_col),
+            F.col("v").alias(value_col),
+            F.round(F.col("med"), 6).alias("median"),
+            F.round(F.col("mad"), 6).alias("mad"),
+            F.round(z, 4).alias("mod_zscore"),
+        )
+    )

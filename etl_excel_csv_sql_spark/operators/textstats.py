@@ -516,3 +516,113 @@ def chunk_windows(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def tfidf_doc_similarity(
+    df: DataFrame,
+    query_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_df_ratio: float = 1.0,
+) -> DataFrame:
+    """Sparse document-to-document similarity: cosine over TF-IDF term
+    vectors via an INVERTED-INDEX join — the lexical complement of the
+    dense-embedding ANN path (no model needed; exact on the weighted
+    bag-of-words geometry).
+
+    ``query_pred`` (a boolean Column over the input) bounds the left
+    side — similarity runs queries-vs-corpus, not all-pairs. For each
+    query doc: top-``k`` most similar other docs.
+
+    Plan: tokens explode once; (doc, term) counts and term DFs are the
+    same two shuffles tfidf_top_terms pays; the pair scores come from a
+    join ON TERM (each term contributes |q-docs with t| × |docs with t|
+    products — the inverted-index plan, NOT a doc×doc cross join), and
+    the d² blowup on ubiquitous terms is cut by ``max_df_ratio``, the
+    stop-term analog of the dedup stop-shingle cutoff (terms in every
+    document carry near-zero idf AND dominate join fanout: dropping
+    them changes scores negligibly and join cost massively at corpus
+    scale). Ranking is rounded-score bounded top-k — cross-engine
+    stable because the struct key uses the ROUNDED cosine (ties break
+    by neighbor id), and window-free.
+    """
+    from etl_excel_csv_sql_spark.functions.text import tokens
+    from etl_excel_csv_sql_spark.operators.relational import (
+        grouped_bounded_topk,
+        spread_for_compute,
+    )
+
+    totals = F.broadcast(df.agg(F.count("*").alias("__n_docs")))
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("__text"),
+        query_pred.alias("__is_query"),
+    )
+    terms = spread_for_compute(base).select(
+        "doc",
+        "__is_query",
+        F.explode(tokens("__text")).alias("term_raw"),
+    ).select("doc", "__is_query", F.lower(F.col("term_raw")).alias("term"))
+    tf = terms.groupBy("doc", "term").agg(
+        F.count("*").alias("tf"), F.first("__is_query").alias("__is_query")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df")).crossJoin(totals)
+    if max_df_ratio < 1.0:
+        dfreq = dfreq.filter(
+            F.col("df")
+            <= F.floor(F.lit(max_df_ratio) * F.col("__n_docs")).cast("long")
+        )
+    w = tf.join(dfreq, "term").select(
+        "doc",
+        "term",
+        "__is_query",
+        (
+            F.col("tf")
+            * F.log(F.col("__n_docs").cast("double") / F.col("df"))
+        ).alias("w"),
+    )
+    norms = w.groupBy("doc").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    q = w.filter(F.col("__is_query")).select(
+        F.col("doc").alias("query_doc"), "term", F.col("w").alias("wq")
+    )
+    pairs = (
+        q.join(
+            w.select(F.col("doc").alias("similar_doc"), "term", "w"),
+            "term",
+        )
+        .filter(F.col("similar_doc") != F.col("query_doc"))
+        .groupBy("query_doc", "similar_doc")
+        .agg(F.sum(F.col("wq") * F.col("w")).alias("dot"))
+        .join(
+            norms.select(F.col("doc").alias("query_doc"), F.col("nrm").alias("nq")),
+            "query_doc",
+        )
+        .join(
+            norms.select(
+                F.col("doc").alias("similar_doc"), F.col("nrm").alias("nd")
+            ),
+            "similar_doc",
+        )
+        .select(
+            "query_doc",
+            "similar_doc",
+            F.round(F.col("dot") / (F.col("nq") * F.col("nd")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    key = F.struct(
+        (-F.col("cosine")).alias("neg_cos"),
+        F.col("similar_doc").alias("similar_doc"),
+        F.col("cosine").alias("cosine"),
+    )
+    top = grouped_bounded_topk(pairs, ["query_doc"], key, k)
+    return top.select(
+        "query_doc",
+        F.col("item.similar_doc").alias("similar_doc"),
+        F.col("item.cosine").alias("cosine"),
+        "rank",
+    )

@@ -2983,6 +2983,130 @@ def q_ann_pq_topk(spark, sf_dir):
     )
 
 
+
+@register(
+    "events_resample_ffill",
+    """
+    WITH hourly AS (
+      SELECT event_type AS key, date_trunc('hour', ts) AS h,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+               AS hour_avg
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT key, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR))
+               AS h
+      FROM hourly GROUP BY key
+    ), joined AS (
+      SELECT s.key, s.h,
+             COALESCE(hourly.n_events, 0) AS n_events, hourly.hour_avg
+      FROM spine s LEFT JOIN hourly ON s.key = hourly.key AND s.h = hourly.h
+    )
+    SELECT key AS event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           n_events,
+           ROUND(last_value(hour_avg IGNORE NULLS) OVER (
+             PARTITION BY key ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS value_ffill
+    FROM joined
+    """,
+    doc="hourly resample + gap fill + forward fill (events.resample_ffill): "
+    "every (event_type, hour) bucket in the observed span exists "
+    "(n_events=0 for gaps) and the decimal-exact hourly mean carries "
+    "forward via last(ignorenulls); one shuffle over events, the spine "
+    "explodes from per-key min/max only, window partitions are bounded "
+    "spine rows — the time-series regularization step before modeling",
+)
+def q_events_resample_ffill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return events.resample_ffill(ev, "event_type", "ts", "value")
+
+
+@register(
+    "events_value_anomalies",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ), dev AS (
+      SELECT e.event_id, e.event_type, e.value, med.med,
+             abs(e.value - med.med) AS dev
+      FROM events e JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT dev.event_id, dev.event_type, dev.value,
+           ROUND(dev.med, 6) AS median, ROUND(mad.mad, 6) AS mad,
+           ROUND(0.6745 * dev.dev / mad.mad, 4) AS mod_zscore
+    FROM dev JOIN mad USING (event_type)
+    WHERE mad.mad > 0 AND 0.6745 * dev.dev / mad.mad > 3.5
+    """,
+    doc="robust per-key anomaly flags via the Iglewicz-Hoaglin modified "
+    "z-score (0.6745*|x-median|/MAD > 3.5): exact grouped percentiles "
+    "(Spark percentile == DuckDB quantile_cont) computed in two "
+    "one-shuffle passes, per-key stats broadcast back so the events "
+    "table never shuffles; the data-quality screen on metric streams",
+)
+def q_events_value_anomalies(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return events.mad_anomalies(ev, "event_type", "event_id", "value", 3.5)
+
+
+@register(
+    "tfidf_doc_similarity",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id AS doc, lower(unnest({_TOKS_SQL})) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), w AS (
+      SELECT doc, tf.term,
+             tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df)
+               AS w
+      FROM tf JOIN dfreq ON tf.term = dfreq.term
+    ), norms AS (
+      SELECT doc, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc
+    ), pairs AS (
+      SELECT a.doc AS query_doc, b.doc AS similar_doc,
+             SUM(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND b.doc <> a.doc
+      WHERE a.doc < 20
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT p.query_doc, p.similar_doc,
+             ROUND(p.dot / (na.nrm * nb.nrm), 6) AS cosine
+      FROM pairs p
+      JOIN norms na ON na.doc = p.query_doc
+      JOIN norms nb ON nb.doc = p.similar_doc
+    ), ranked AS (
+      SELECT query_doc, similar_doc, cosine,
+             row_number() OVER (
+               PARTITION BY query_doc ORDER BY cosine DESC, similar_doc ASC
+             ) AS rank
+      FROM scored
+    )
+    SELECT query_doc, similar_doc, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+    doc="sparse lexical doc-to-doc similarity: cosine over TF-IDF term "
+    "vectors through an inverted-index TERM join (never a doc x doc "
+    "cross join) for 20 query docs vs the corpus, top-3 each; "
+    "rounded-score bounded top-k keeps ranking window-free and "
+    "cross-engine stable; max_df_ratio (the stop-term cutoff) bounds "
+    "hot-term join fanout at corpus scale — the no-model lexical "
+    "complement of the embedding ANN path",
+)
+def q_tfidf_doc_similarity(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.tfidf_doc_similarity(
+        docs, F.col("doc_id") < 20, k=3
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- stable core: §2 parity + live JDBC (1-11, kept every round) ---
     "filter_neq_case_insensitive",

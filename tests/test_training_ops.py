@@ -481,3 +481,96 @@ def test_temperature_weights_limits(spark):
     mid = {r.lang: r for r in temperature_weights(df, ["lang"], alpha=0.3).collect()}
     assert mid["sw"].resample_weight > 1.0 > mid["en"].resample_weight
     assert abs(sum(r.prob_temp for r in mid.values()) - 1.0) < 1e-5
+
+
+def test_resample_ffill_gaps_and_carry(spark):
+    import datetime as dt
+
+    from etl_excel_csv_sql_spark.operators.events import resample_ffill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 15)
+    rows = [
+        (1, "a", t0, 10.0),
+        (2, "a", t0 + dt.timedelta(minutes=20), 20.0),  # same hour
+        # hours 1-2 silent, then one more event in hour 3
+        (3, "a", t0 + dt.timedelta(hours=3), 40.0),
+        (4, "b", t0, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, ts timestamp, value double"
+    )
+    out = {
+        (r.event_type, r.hour): r
+        for r in resample_ffill(df, "event_type", "ts", "value").collect()
+    }
+    # key a spans 4 hourly buckets: observed, gap, gap, observed
+    a = [out[("a", f"2024-01-01 0{h}:00:00")] for h in range(4)]
+    assert [r.n_events for r in a] == [2, 0, 0, 1]
+    assert a[0].value_ffill == 15.0          # (10+20)/2
+    assert a[1].value_ffill == 15.0          # carried across the gap
+    assert a[2].value_ffill == 15.0
+    assert a[3].value_ffill == 40.0          # new observation resets
+    # key b: single bucket, no spine beyond its own span
+    assert [k for k in out if k[0] == "b"] == [("b", "2024-01-01 00:00:00")]
+
+
+def test_mad_anomalies_flags_only_outliers(spark):
+    import datetime as dt
+
+    from etl_excel_csv_sql_spark.operators.events import mad_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 1000.0]
+    rows = [(i, "m", base, v) for i, v in enumerate(vals)]
+    # a constant-valued key (MAD 0) must produce no flags, not div-by-zero
+    rows += [(100 + i, "flat", base, 5.0) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, ts timestamp, value double"
+    )
+    got = mad_anomalies(df, "event_type", "event_id", "value", 3.5).collect()
+    assert [r.event_id for r in got] == [7]
+    assert got[0].mod_zscore > 100
+
+
+def test_tfidf_doc_similarity_geometry(spark):
+    from etl_excel_csv_sql_spark.operators.textstats import (
+        tfidf_doc_similarity,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana cherry"),
+            (1, "apple banana cherry"),      # identical to 0 → cosine 1
+            (2, "apple banana plum"),        # shares 2/3 terms
+            (3, "xylo zebra quark"),         # disjoint
+        ],
+        "doc_id bigint, text string",
+    )
+    out = tfidf_doc_similarity(docs, F.col("doc_id") == 0, k=3).collect()
+    by_rank = {r.rank: r for r in out}
+    assert by_rank[1].similar_doc == 1 and abs(by_rank[1].cosine - 1.0) < 1e-6
+    assert by_rank[2].similar_doc == 2 and 0 < by_rank[2].cosine < 1
+    # doc 3 shares no terms → never appears (inverted index emits no pair)
+    assert {r.similar_doc for r in out} == {1, 2}
+
+
+def test_tfidf_doc_similarity_max_df_cuts_hot_terms(spark):
+    from etl_excel_csv_sql_spark.operators.textstats import (
+        tfidf_doc_similarity,
+    )
+
+    # "the" appears in all 4 docs; with max_df_ratio=0.9 it is dropped and
+    # docs sharing ONLY "the" lose their pairing
+    docs = spark.createDataFrame(
+        [
+            (0, "the apple"),
+            (1, "the apple"),
+            (2, "the zebra"),
+            (3, "the quark"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = tfidf_doc_similarity(
+        docs, F.col("doc_id") == 0, k=3, max_df_ratio=0.9
+    ).collect()
+    assert {r.similar_doc for r in out} == {1}
