@@ -3107,6 +3107,96 @@ def q_tfidf_doc_similarity(spark, sf_dir):
     )
 
 
+
+@register(
+    "events_trailing_hour_window",
+    """
+    SELECT event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           COUNT(*) OVER w AS n_trailing_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             AS value_trailing_hour
+    FROM events
+    WINDOW w AS (
+      PARTITION BY event_type ORDER BY epoch_us(ts)
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc="event-TIME range frame (RANGE BETWEEN 1h PRECEDING on "
+    "microsecond epoch): trailing-hour count and decimal-exact value "
+    "sum per event — the rolling-rate primitive; RANGE frames include "
+    "timestamp peers, so results are deterministic under tie reordering "
+    "(a ROWS frame would not be); one shuffle on the partition key",
+)
+def q_events_trailing_hour(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1000000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("value_trailing_hour"),
+    )
+
+
+@register(
+    "numeric_histogram",
+    """
+    WITH bounds AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 10.0))
+                      AS BIGINT), 9) AS bin, lo, hi
+      FROM orders, bounds
+    )
+    SELECT bin,
+           ROUND(lo + bin * ((hi - lo) / 10.0), 4) AS bin_lo,
+           ROUND(lo + (bin + 1) * ((hi - lo) / 10.0), 4) AS bin_hi,
+           COUNT(*) AS n
+    FROM binned GROUP BY bin, lo, hi
+    """,
+    doc="equi-width 10-bin histogram with IN-PLAN bounds: the single-row "
+    "min/max aggregate broadcasts into the binning projection (no "
+    "driver action, one scan + one tiny agg shuffle); identical IEEE "
+    "bin arithmetic on both engines makes even edge values land "
+    "identically — the profiling primitive behind range-band reports",
+)
+def q_numeric_histogram(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    bounds = F.broadcast(
+        orders.agg(
+            F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+        )
+    )
+    width = (F.col("hi") - F.col("lo")) / 10.0
+    bin_ = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("bigint"),
+        F.lit(9).cast("bigint"),
+    )
+    return (
+        orders.crossJoin(bounds)
+        .select(bin_.alias("bin"), "lo", "hi")
+        .groupBy("bin", "lo", "hi")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            F.round(F.col("lo") + F.col("bin") * ((F.col("hi") - F.col("lo")) / 10.0), 4).alias("bin_lo"),
+            F.round(F.col("lo") + (F.col("bin") + 1) * ((F.col("hi") - F.col("lo")) / 10.0), 4).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- stable core: §2 parity + live JDBC (1-11, kept every round) ---
     "filter_neq_case_insensitive",
