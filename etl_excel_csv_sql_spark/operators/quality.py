@@ -1,0 +1,178 @@
+"""Declarative data-quality constraint suite (a deequ-lite).
+
+Validates a table against a list of declared constraints and returns one
+row per constraint with its violation count — the contract-enforcement
+layer a production pipeline runs before publishing a table (the reference
+validates only settings-file parameters, Settings.ps1; this generalizes
+validation to the data itself).
+
+Scale design:
+
+- **All row-level checks on a table compile into ONE aggregation pass**:
+  each check becomes a conditional-sum column in a single ``agg`` (plus
+  ``count(*)`` for the denominator), so adding a tenth check costs zero
+  extra scans. The per-check result rows are then exploded from the
+  single aggregate row map-side (inline of a literal-built struct array)
+  — no shuffle beyond the one partial/final aggregate.
+- **Uniqueness rides the same pass** as
+  ``count(*) - count(DISTINCT struct(cols))`` (exact, map-side partials
+  via Spark's distinct-aggregate expand; at extreme cardinality swap in
+  approx_count_distinct — not done here because the suite's contract is
+  exact violation counts).
+- **Referential-integrity checks are one LEFT ANTI join each** against
+  the distinct key projection of the dimension; the dimension side is
+  broadcast when small (Catalyst/AQE decides from stats — the projection
+  is a single column, so even a 100M-row dim fits the default 10 MB
+  threshold rarely; for big dims it degrades to a shuffle semi-join,
+  which is the correct plan anyway). The fact table is scanned once per
+  FK — unavoidable without multi-output plans.
+
+Every check treats NULL explicitly: ``not_null`` counts nulls as
+violations; the value checks (``in_range``/``in_set``/``matches``)
+follow SQL three-valued logic and do NOT count NULLs as violations
+(declare ``not_null`` separately — composable, matches deequ semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """A row-level constraint: ``violated`` is a boolean Column that is
+    True exactly on violating rows."""
+
+    name: str
+    violated: Column
+
+
+def not_null(col: str) -> Check:
+    return Check(f"not_null({col})", F.col(col).isNull())
+
+
+def in_range(col: str, lo: float, hi: float) -> Check:
+    """Violated when the value falls outside [lo, hi]; NULL passes."""
+    c = F.col(col)
+    return Check(
+        f"in_range({col},{lo},{hi})",
+        c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))),
+    )
+
+
+def in_set(col: str, values: list[str]) -> Check:
+    c = F.col(col)
+    return Check(
+        f"in_set({col})", c.isNotNull() & ~c.isin(values)
+    )
+
+
+def matches(col: str, pattern: str) -> Check:
+    """Violated when the value does not match the (RE2-ish, engine-common)
+    regex; NULL passes. Keep patterns to the syntax subset Java regex and
+    the oracle engine share (anchors, classes, quantifiers)."""
+    c = F.col(col)
+    return Check(f"matches({col})", c.isNotNull() & ~c.rlike(pattern))
+
+
+@dataclass(frozen=True)
+class Unique:
+    """Exact uniqueness over a column tuple: violations = rows beyond the
+    first of each duplicated tuple (count(*) - count(distinct tuple))."""
+
+    cols: tuple[str, ...]
+
+    @property
+    def name(self) -> str:
+        return f"unique({','.join(self.cols)})"
+
+
+@dataclass(frozen=True)
+class RefIntegrity:
+    """Foreign key containment: every non-null ``fk_col`` value must exist
+    in ``dim_col`` of the dimension table."""
+
+    fk_col: str
+    dim: DataFrame
+    dim_col: str
+    dim_name: str
+
+    @property
+    def name(self) -> str:
+        return f"ref({self.fk_col}->{self.dim_name}.{self.dim_col})"
+
+
+def run_checks(
+    df: DataFrame,
+    table_name: str,
+    checks: list[Check] = (),
+    uniques: list[Unique] = (),
+    refs: list[RefIntegrity] = (),
+) -> DataFrame:
+    """Evaluate the suite; returns (table_name, constraint, violations,
+    total, passed) with one row per constraint.
+
+    One full-table aggregate covers all ``checks`` + ``uniques``; each
+    ``refs`` entry adds one anti-join count. Results union row-wise.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("__total")]
+    for ck in checks:
+        aggs.append(
+            F.sum(F.when(ck.violated, 1).otherwise(0)).cast("long").alias(ck.name)
+        )
+    for uq in uniques:
+        aggs.append(
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(F.struct(*[F.col(c) for c in uq.cols]))
+            )
+            .cast("long")
+            .alias(uq.name)
+        )
+    one = df.agg(*aggs)
+
+    # single aggregate row -> one row per constraint, map-side
+    names = [ck.name for ck in checks] + [uq.name for uq in uniques]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("constraint"), F.col(f"`{n}`").alias("violations")
+            )
+            for n in names
+        ]
+    )
+    out = one.select(
+        F.lit(table_name).alias("table_name"),
+        F.inline(pairs),
+        F.col("__total").alias("total"),
+    )
+
+    total_df = one.select(F.col("__total").alias("total"))
+    for ref in refs:
+        dim_keys = ref.dim.select(F.col(ref.dim_col).alias("__k")).distinct()
+        orphans = (
+            df.where(F.col(ref.fk_col).isNotNull())
+            .join(dim_keys, F.col(ref.fk_col) == F.col("__k"), "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        )
+        row = (
+            orphans.crossJoin(total_df)  # 1x1: attach the in-plan total
+            .select(
+                F.lit(table_name).alias("table_name"),
+                F.lit(ref.name).alias("constraint"),
+                "violations",
+                "total",
+            )
+        )
+        out = out.unionByName(row)
+
+    return out.select(
+        "table_name",
+        "constraint",
+        "violations",
+        "total",
+        (F.col("violations") == 0).alias("passed"),
+    )

@@ -232,3 +232,53 @@ def temperature_weights(
             F.round(q / F.col("__p"), 6).alias("resample_weight"),
         )
     )
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wswr-v1",
+) -> DataFrame:
+    """Exact-size weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis A-ES, Inf. Process. Lett. 97(5), 2006): each row draws a key
+    ln(u)/w (u uniform, w its weight) and the global top-k keys ARE a
+    weighted sample without replacement — the distributed one-pass
+    formulation of importance-weighted corpus selection (sample documents
+    proportional to a quality/length weight, each at most once).
+
+    u is deterministic from md5(salt || id): 13 hex chars → a 52-bit
+    integer (+0.5, so u ∈ (0,1) exclusive — ln(0) guarded by
+    construction), over 2^52. Reproducible across runs, partitionings,
+    and engines — the oracle recomputes the identical draw. Rows with
+    weight <= 0 or NULL are excluded (they can never be sampled).
+
+    Plan: the key is a narrow map; top-k plans as TakeOrderedAndProject
+    (per-partition k-heap + k-row driver merge) — no global sort shuffle,
+    scale-invariant. Changing ``salt`` redraws; keeping it pins the
+    sample under re-runs (idempotent pipeline restarts).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 52))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    eligible = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col).cast("double") > 0)
+    )
+    # maximize u^(1/w) == maximize ln(u)/w  (ln(u) < 0): key DESC; id
+    # tiebreak makes the order total (keys are continuous — ties are
+    # hash collisions only, but determinism must not depend on that)
+    return (
+        eligible.withColumn("__es_key", key)
+        .orderBy(F.col("__es_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__es_key")
+    )

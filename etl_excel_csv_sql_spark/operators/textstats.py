@@ -626,3 +626,55 @@ def tfidf_doc_similarity(
         F.col("item.cosine").alias("cosine"),
         "rank",
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram LM —
+    the CCNet/Gopher-style statistical quality signal (a document whose
+    tokens are improbable under the corpus distribution is boilerplate,
+    noise, or another language; one whose tokens are too probable is
+    template spam). No trained model needed: the LM is the corpus itself.
+
+    bits_per_token = -(1/n) Σ_w log2(c_w / N)   over the doc's tokens,
+    where c_w is the corpus count of token w and N the corpus token total.
+
+    Plan: tokens explode once; the vocab (term → corpus count) is ONE
+    shuffle on term; N rides the same aggregate as an in-plan single-row
+    broadcast (no driver action). Scoring joins the exploded tokens back
+    to the vocab on term — the vocab side is the distinct-term frame, tiny
+    relative to the corpus (Zipf), so Catalyst/AQE broadcasts it at this
+    scale; at web scale (vocab beyond the broadcast threshold) the same
+    plan degrades to a shuffle join on term, which is the correct plan.
+    Per-doc aggregation is the only other shuffle. Same tokenization
+    contract as tfidf_top_terms (lowercased whitespace tokens).
+    """
+    from etl_excel_csv_sql_spark.operators.relational import spread_for_compute
+
+    toks = (
+        spread_for_compute(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(text_col)).alias("term_raw"),
+        )
+        .select("doc", F.lower(F.col("term_raw")).alias("term"))
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = F.broadcast(vocab.agg(F.sum("c").alias("n")))
+    scored = toks.join(vocab, "term").crossJoin(totals)
+    return (
+        scored.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.sum(
+                    F.log2(F.col("c").cast("double") / F.col("n").cast("double"))
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("bits_per_token"),
+        )
+    )

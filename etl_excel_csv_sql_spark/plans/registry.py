@@ -3197,6 +3197,236 @@ def q_numeric_histogram(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Data-quality constraint suite (deequ-lite; operators/quality.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dq_check_suite",
+    """
+    WITH li AS (
+      SELECT count(*) AS total,
+             sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+             sum(CASE WHEN l_quantity IS NOT NULL
+                       AND (l_quantity < 1.0 OR l_quantity > 50.0)
+                      THEN 1 ELSE 0 END) AS v_qty,
+             sum(CASE WHEN l_discount IS NOT NULL
+                       AND (l_discount < 0.0 OR l_discount > 0.05)
+                      THEN 1 ELSE 0 END) AS v_disc,
+             sum(CASE WHEN l_returnflag IS NOT NULL
+                       AND l_returnflag NOT IN ('A','N','R')
+                      THEN 1 ELSE 0 END) AS v_rf,
+             sum(CASE WHEN l_linestatus IS NOT NULL
+                       AND NOT regexp_matches(l_linestatus, '^[OF]$')
+                      THEN 1 ELSE 0 END) AS v_ls,
+             count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_uq,
+             sum(CASE WHEN l_orderkey IS NOT NULL
+                       AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+                      THEN 1 ELSE 0 END) AS v_fk_o,
+             sum(CASE WHEN l_partkey IS NOT NULL
+                       AND l_partkey NOT IN (SELECT p_partkey FROM part)
+                      THEN 1 ELSE 0 END) AS v_fk_p
+      FROM lineitem
+    ), od AS (
+      SELECT count(*) AS total,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+             sum(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('F','O','P')
+                      THEN 1 ELSE 0 END) AS v_st,
+             sum(CASE WHEN o_orderpriority IS NOT NULL
+                       AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+                      THEN 1 ELSE 0 END) AS v_pr,
+             count(*) - count(DISTINCT o_orderkey) AS v_uq,
+             sum(CASE WHEN o_custkey IS NOT NULL
+                       AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+                      THEN 1 ELSE 0 END) AS v_fk_c
+      FROM orders
+    ), rows_ AS (
+      SELECT 'lineitem' AS tn, 'not_null(l_orderkey)' AS cn, v_nn AS v, total FROM li
+      UNION ALL SELECT 'lineitem', 'in_range(l_quantity,1.0,50.0)', v_qty, total FROM li
+      UNION ALL SELECT 'lineitem', 'in_range(l_discount,0.0,0.05)', v_disc, total FROM li
+      UNION ALL SELECT 'lineitem', 'in_set(l_returnflag)', v_rf, total FROM li
+      UNION ALL SELECT 'lineitem', 'matches(l_linestatus)', v_ls, total FROM li
+      UNION ALL SELECT 'lineitem', 'unique(l_orderkey,l_linenumber)', v_uq, total FROM li
+      UNION ALL SELECT 'lineitem', 'ref(l_orderkey->orders.o_orderkey)', v_fk_o, total FROM li
+      UNION ALL SELECT 'lineitem', 'ref(l_partkey->part.p_partkey)', v_fk_p, total FROM li
+      UNION ALL SELECT 'orders', 'not_null(o_custkey)', v_nn, total FROM od
+      UNION ALL SELECT 'orders', 'in_set(o_orderstatus)', v_st, total FROM od
+      UNION ALL SELECT 'orders', 'matches(o_orderpriority)', v_pr, total FROM od
+      UNION ALL SELECT 'orders', 'unique(o_orderkey)', v_uq, total FROM od
+      UNION ALL SELECT 'orders', 'ref(o_custkey->customer.c_custkey)', v_fk_c, total FROM od
+    )
+    SELECT tn AS table_name, cn AS "constraint",
+           CAST(v AS BIGINT) AS violations, CAST(total AS BIGINT) AS total,
+           v = 0 AS passed
+    FROM rows_
+    """,
+    doc="declarative data-quality gate (deequ-lite, operators/quality.py): "
+    "13 constraints over lineitem+orders — null/range/set/regex/uniqueness "
+    "compile into ONE conditional-aggregate pass per table (no per-check "
+    "scans), referential integrity as broadcast LEFT ANTI joins; the "
+    "publish-or-abort contract a production table needs (generalizes the "
+    "reference's settings-only validation, Settings.ps1:21-38). The "
+    "l_discount range and o_orderpriority regex checks fail by design so "
+    "both outcomes are exercised",
+)
+def q_dq_check_suite(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import quality as dq
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    customer = _t(spark, sf_dir, "customer")
+    li_report = dq.run_checks(
+        li,
+        "lineitem",
+        checks=[
+            dq.not_null("l_orderkey"),
+            dq.in_range("l_quantity", 1.0, 50.0),
+            dq.in_range("l_discount", 0.0, 0.05),
+            dq.in_set("l_returnflag", ["A", "N", "R"]),
+            dq.matches("l_linestatus", "^[OF]$"),
+        ],
+        uniques=[dq.Unique(("l_orderkey", "l_linenumber"))],
+        refs=[
+            dq.RefIntegrity("l_orderkey", orders, "o_orderkey", "orders"),
+            dq.RefIntegrity("l_partkey", part, "p_partkey", "part"),
+        ],
+    )
+    ord_report = dq.run_checks(
+        orders,
+        "orders",
+        checks=[
+            dq.not_null("o_custkey"),
+            dq.in_set("o_orderstatus", ["F", "O", "P"]),
+            dq.matches("o_orderpriority", "^[1-3]-"),
+        ],
+        uniques=[dq.Unique(("o_orderkey",))],
+        refs=[dq.RefIntegrity("o_custkey", customer, "c_custkey", "customer")],
+    )
+    return li_report.unionByName(ord_report)
+
+
+# ---------------------------------------------------------------------------
+# Record linkage / entity resolution (operators/linkage.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "fuzzy_part_pairs",
+    """
+    WITH d AS (
+      SELECT p_name AS text, min(p_partkey) AS rep_id, count(*) AS n_members
+      FROM part GROUP BY p_name
+    ), s AS (
+      SELECT rep_id AS id, text, string_split(text, ' ')[-1] AS blk FROM d
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.text AS text_a, b.text AS text_b,
+           CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist,
+           round(1.0 - levenshtein(a.text, b.text)
+                   / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE),
+                 6) AS similarity
+    FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+    WHERE levenshtein(a.text, b.text) <= 2
+    """,
+    doc="entity resolution via the three-stage funnel (operators/"
+    "linkage.py): exact-duplicate canonicalization (O(rows) groupBy) -> "
+    "last-token blocking (pairs only within a block, cost SUM(block^2) "
+    "never n^2, with an in-plan max_block skew cap available) -> JVM "
+    "levenshtein comparator with threshold + normalized similarity; "
+    "generalizes the reference's trimmed case-insensitive sheet-name "
+    "equality match (ExcelDataImportToSQL.ps1:31-36) to approximate "
+    "string identity",
+)
+def q_fuzzy_part_pairs(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import linkage
+
+    part = _t(spark, sf_dir, "part")
+    distinct = linkage.canonicalize_exact(part, "p_partkey", "p_name")
+    return linkage.fuzzy_self_pairs(
+        distinct, linkage.last_token_block(), max_dist=2
+    ).select(
+        "id_a",
+        "id_b",
+        "text_a",
+        "text_b",
+        F.col("dist").cast("int").alias("dist"),
+        "similarity",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal (corpus-as-model quality signal; textstats.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_unigram_surprisal",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id AS doc, lower(unnest({_TOKS_SQL})) AS term FROM documents
+    ), vocab AS (
+      SELECT term, count(*) AS c FROM toks GROUP BY term
+    ), tot AS (
+      SELECT sum(c) AS n FROM vocab
+    )
+    SELECT doc,
+           count(*) AS n_tokens,
+           round(-sum(log2(c / CAST(n AS DOUBLE))) / count(*), 6)
+             AS bits_per_token
+    FROM toks JOIN vocab USING (term), tot
+    GROUP BY doc
+    """,
+    doc="CCNet/Gopher-style statistical quality signal: per-document "
+    "cross-entropy under the corpus's own unigram LM (no external model; "
+    "bits_per_token = -(1/n) sum log2(c_w/N)). Vocab is one term shuffle; "
+    "the corpus token total N is an in-plan broadcast single-row "
+    "aggregate; scoring is a term join (broadcast at this scale, shuffle "
+    "join at web-scale vocab — both correct). Outlier docs in either "
+    "direction are the filter targets",
+)
+def q_doc_unigram_surprisal(spark, sf_dir):
+    return textstats.unigram_surprisal(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis; sampling.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "weighted_sample_orders",
+    """
+    WITH keyed AS (
+      SELECT o_orderkey, o_totalprice,
+             ln((('0x' || substr(md5('wswr-v1' || CAST(o_orderkey AS VARCHAR)),
+                                 1, 13))::UBIGINT + 0.5)
+                / 4503599627370496.0)
+               / o_totalprice AS es_key
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+    )
+    SELECT o_orderkey, o_totalprice
+    FROM keyed ORDER BY es_key DESC, o_orderkey LIMIT 100
+    """,
+    doc="exact-size weighted sampling WITHOUT replacement (Efraimidis-"
+    "Spirakis A-ES, one distributed pass): key = ln(u)/w with u drawn "
+    "deterministically from md5(salt||id) (52-bit mantissa-exact), global "
+    "top-k by key — plans as TakeOrderedAndProject (per-partition k-heap, "
+    "k-row driver merge, NO global sort shuffle). The importance-weighted "
+    "corpus-selection primitive; salt pins the draw across engines and "
+    "re-runs (the oracle recomputes the identical sample)",
+)
+def q_weighted_sample_orders(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import sampling
+
+    return sampling.weighted_sample_without_replacement(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        "o_orderkey",
+        "o_totalprice",
+        k=100,
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- stable core: §2 parity + live JDBC (1-11, kept every round) ---
     "filter_neq_case_insensitive",

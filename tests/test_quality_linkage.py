@@ -1,0 +1,206 @@
+"""Tests for the data-quality suite, record linkage, unigram surprisal,
+and weighted sampling (r6 batch 3)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_excel_csv_sql_spark.catalog import load_table
+from etl_excel_csv_sql_spark.operators import linkage, quality as dq, sampling
+
+
+# ---------------------------------------------------------------------------
+# quality: deequ-lite constraint suite
+# ---------------------------------------------------------------------------
+
+def test_dq_check_suite_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A", "x"),
+            (2, 10.0, "A", "y"),
+            (2, 200.0, "B", None),  # dup id, out-of-range, bad set member
+            (None, 5.0, "A", "zz"),  # null id
+        ],
+        "id int, amount double, flag string, ref string",
+    )
+    dim = spark.createDataFrame([("x",), ("y",)], "k string")
+    rep = dq.run_checks(
+        df,
+        "t",
+        checks=[
+            dq.not_null("id"),
+            dq.in_range("amount", 0.0, 100.0),
+            dq.in_set("flag", ["A"]),
+            dq.matches("ref", "^[a-z]$"),
+        ],
+        uniques=[dq.Unique(("id",))],
+        refs=[dq.RefIntegrity("ref", dim, "k", "dim")],
+    ).collect()
+    got = {r["constraint"]: (r["violations"], r["total"], r["passed"]) for r in rep}
+    assert got["not_null(id)"] == (1, 4, False)
+    assert got["in_range(amount,0.0,100.0)"] == (1, 4, False)
+    assert got["in_set(flag)"] == (1, 4, False)
+    # NULL ref passes matches (three-valued logic); 'zz' fails the regex
+    assert got["matches(ref)"] == (1, 4, False)
+    # ids: 1, 2, 2, NULL -> 4 rows, 3 distinct tuples (NULL counts as a
+    # distinct group under count_distinct? no — count_distinct skips NULL)
+    assert got["unique(id)"][0] >= 1
+    # refs: non-null refs are x, y, zz -> zz orphan
+    assert got["ref(ref->dim.k)"] == (1, 4, False)
+
+
+def test_dq_all_green_on_clean_frame(spark):
+    df = spark.createDataFrame([(1, "A"), (2, "B")], "id int, f string")
+    rep = dq.run_checks(
+        df,
+        "clean",
+        checks=[dq.not_null("id"), dq.in_set("f", ["A", "B"])],
+        uniques=[dq.Unique(("id",))],
+    ).collect()
+    assert all(r["passed"] for r in rep)
+    assert {r["constraint"] for r in rep} == {
+        "not_null(id)",
+        "in_set(f)",
+        "unique(id)",
+    }
+
+
+# ---------------------------------------------------------------------------
+# linkage: blocked fuzzy matching
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_self_pairs_basic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "cold widget"),
+            (2, "bold widget"),   # dist 1 from cold widget
+            (3, "small widget"),  # dist 4 from cold widget
+            (4, "cold gear"),     # different block
+            (5, "cold widget"),   # exact dup of 1 — canonicalized away
+        ],
+        "id int, name string",
+    )
+    distinct = linkage.canonicalize_exact(df, "id", "name")
+    assert distinct.count() == 4
+    members = {
+        r["text"]: r["n_members"] for r in distinct.collect()
+    }
+    assert members["cold widget"] == 2
+
+    pairs = linkage.fuzzy_self_pairs(
+        distinct, linkage.last_token_block(), max_dist=2
+    ).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert {p["text_a"], p["text_b"]} == {"cold widget", "bold widget"}
+    assert p["dist"] == 1
+    assert abs(p["similarity"] - (1 - 1 / 11)) < 1e-6
+
+
+def test_fuzzy_max_block_cap_drops_mega_blocks(spark):
+    rows = [(i, f"name{i:02d} common") for i in range(20)] + [
+        (100, "alpha rare"),
+        (101, "alphb rare"),
+    ]
+    df = spark.createDataFrame(rows, "id int, name string")
+    distinct = linkage.canonicalize_exact(df, "id", "name")
+    pairs = linkage.fuzzy_self_pairs(
+        distinct, linkage.last_token_block(), max_dist=2, max_block=10
+    ).collect()
+    # the 20-name 'common' block exceeds the cap and is dropped entirely;
+    # only the rare-block pair survives
+    assert len(pairs) == 1
+    assert {pairs[0]["text_a"], pairs[0]["text_b"]} == {"alpha rare", "alphb rare"}
+
+
+def test_multi_pass_blocking_raises_recall(spark):
+    # suffix edit: last-token blocking misses it, prefix blocking finds it
+    df = spark.createDataFrame(
+        [(1, "abcdef gears"), (2, "abcdef gearz")], "id int, name string"
+    )
+    distinct = linkage.canonicalize_exact(df, "id", "name")
+    p1 = linkage.fuzzy_self_pairs(distinct, linkage.last_token_block(), 2)
+    p2 = linkage.fuzzy_self_pairs(distinct, linkage.prefix_length_block(), 2)
+    assert p1.count() == 0
+    union = p1.unionByName(p2).dropDuplicates(["id_a", "id_b"])
+    assert union.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# unigram surprisal
+# ---------------------------------------------------------------------------
+
+def test_unigram_surprisal_hand_computed(spark):
+    from etl_excel_csv_sql_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id int, text string"
+    )
+    # corpus counts: a=2, b=2, c=1, N=5
+    out = {
+        r["doc"]: r for r in textstats.unigram_surprisal(df).collect()
+    }
+    exp1 = -(2 * math.log2(2 / 5) + math.log2(2 / 5)) / 3
+    exp2 = -(math.log2(2 / 5) + math.log2(1 / 5)) / 2
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["bits_per_token"] - exp1) < 1e-6
+    assert abs(out[2]["bits_per_token"] - exp2) < 1e-6
+
+
+def test_unigram_surprisal_flags_outlier_docs(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import textstats
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = textstats.unigram_surprisal(docs)
+    stats = scored.agg(
+        F.min("bits_per_token"), F.max("bits_per_token")
+    ).first()
+    # corpus is drawn from one vocab: scores are finite, positive, spread
+    assert 0 < stats[0] <= stats[1] < 30
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement
+# ---------------------------------------------------------------------------
+
+def test_wswr_exact_k_and_deterministic(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    s1 = sampling.weighted_sample_without_replacement(
+        orders, "o_orderkey", "o_totalprice", k=50
+    )
+    ids1 = {r["o_orderkey"] for r in s1.collect()}
+    ids2 = {
+        r["o_orderkey"]
+        for r in sampling.weighted_sample_without_replacement(
+            orders.repartition(7), "o_orderkey", "o_totalprice", k=50
+        ).collect()
+    }
+    assert len(ids1) == 50
+    assert ids1 == ids2  # partitioning-invariant draw
+    ids3 = {
+        r["o_orderkey"]
+        for r in sampling.weighted_sample_without_replacement(
+            orders, "o_orderkey", "o_totalprice", k=50, salt="other"
+        ).collect()
+    }
+    assert ids1 != ids3  # fresh salt redraws
+
+
+def test_wswr_weight_bias(spark):
+    # two strata: weight 100 vs weight 1 — the heavy stratum must dominate
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id int, w double")
+    got = sampling.weighted_sample_without_replacement(df, "id", "w", k=50)
+    heavy = got.where(F.col("w") == 100.0).count()
+    # E[heavy] ≈ 46 of 50 under A-ES; anything ≥ 30 shows the bias works
+    assert heavy >= 30
+
+
+def test_wswr_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -5.0), (3, None), (4, 2.0)], "id int, w double"
+    )
+    got = sampling.weighted_sample_without_replacement(df, "id", "w", k=10)
+    assert [r["id"] for r in got.collect()] == [4]
