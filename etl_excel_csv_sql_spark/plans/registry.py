@@ -3427,6 +3427,99 @@ def q_weighted_sample_orders(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Z-order layout (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+def _zorder_oracle() -> str:
+    from etl_excel_csv_sql_spark.operators.layout import spread_bits_sql
+
+    sa = spread_bits_sql("ba")
+    sb = spread_bits_sql("bb")
+    bucket = (
+        "LEAST(GREATEST(CAST(FLOOR(((CAST({x} AS DOUBLE) - {lo}) / ({hi} - {lo}))"
+        " * 65536.0) AS BIGINT), 0), 65535)"
+    )
+    ba = bucket.format(x="o_custkey", lo="lo_a", hi="hi_a")
+    bb = bucket.format(x="o_totalprice", lo="lo_b", hi="hi_b")
+    return f"""
+    WITH bounds AS (
+      SELECT CAST(min(o_custkey) AS DOUBLE) AS lo_a,
+             CAST(max(o_custkey) AS DOUBLE) AS hi_a,
+             CAST(min(o_totalprice) AS DOUBLE) AS lo_b,
+             CAST(max(o_totalprice) AS DOUBLE) AS hi_b
+      FROM orders
+    ), bk AS (
+      SELECT o_orderkey, {ba} AS ba, {bb} AS bb FROM orders, bounds
+    )
+    SELECT o_orderkey, CAST(({sa}) | (({sb}) << 1) AS BIGINT) AS zvalue
+    FROM bk
+    """
+
+
+@register(
+    "zorder_layout_sample",
+    _zorder_oracle(),
+    doc="Z-order (Morton) clustering key over (o_custkey, o_totalprice): "
+    "equal-width 16-bit buckets from IN-PLAN min/max bounds, bits "
+    "interleaved by the standard shift-or-mask spread — all exact integer "
+    "JVM ops inside codegen (no UDF), bit-identical in the oracle. "
+    "write_zordered range-partitions + sorts on this value so every "
+    "parquet file owns a small RECTANGLE of the 2-D key space — min-max "
+    "scan pruning then works on EITHER filter column (the Delta/Iceberg "
+    "OPTIMIZE ZORDER layout; single-column sort prunes only one). The "
+    "file-stat pruning effect is measured in tests/test_layout.py",
+)
+def q_zorder_layout_sample(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import layout
+
+    orders = _t(spark, sf_dir, "orders")
+    return layout.with_zorder(orders, "o_custkey", "o_totalprice").select(
+        "o_orderkey", F.col("zvalue").cast("bigint").alias("zvalue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches (operators/sketches.py) — rows-only: estimates are
+# algorithm-specific (DataSketches HLL / Greenwald-Khanna), not
+# SQL-reproducible; tests/test_sketches.py asserts the error bounds.
+# ---------------------------------------------------------------------------
+
+@register(
+    "hll_distinct_calibration",
+    None,
+    doc="mergeable-sketch distinct counts (Apache DataSketches HLL, "
+    "JVM-native hll_sketch_agg/hll_union_agg — no UDF): per-event-type "
+    "user sketches + a 'total' row estimated by UNIONING the per-group "
+    "sketch BYTES (no raw re-scan — the sublinear rollup path exact "
+    "COUNT DISTINCT cannot offer at 100 TB), each paired with the exact "
+    "count and measured rel_error (bounds asserted in pytest; ~1.6%% "
+    "theoretical at lg_k=12)",
+)
+def q_hll_distinct_calibration(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import sketches
+
+    return sketches.distinct_count_calibration(
+        _t(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+@register(
+    "quantile_sketch_calibration",
+    None,
+    doc="approx_percentile (Greenwald-Khanna sketch, mergeable map-side "
+    "partials) vs exact percentiles per event_type at accuracy=10000, "
+    "long-form with measured abs_error — the single-pass quantile path "
+    "for corpus-scale length/score distributions",
+)
+def q_quantile_sketch_calibration(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import sketches
+
+    return sketches.quantile_calibration(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- stable core: §2 parity + live JDBC (1-11, kept every round) ---
     "filter_neq_case_insensitive",

@@ -1,0 +1,63 @@
+"""Error-bound tests for the mergeable-sketch calibration reports."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_excel_csv_sql_spark.catalog import load_table
+from etl_excel_csv_sql_spark.operators import sketches
+
+
+def test_hll_calibration_error_bound(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    rep = sketches.distinct_count_calibration(
+        events, "event_type", "user_id"
+    ).collect()
+    scopes = {r["scope"] for r in rep}
+    assert "total" in scopes and len(scopes) >= 3
+    for r in rep:
+        # lg_k=12 → rsd ≈ 1.6%; 5% is a loose, stable bound
+        assert r["rel_error"] < 0.05, (r["scope"], r["rel_error"])
+
+
+def test_hll_union_equals_direct_sketch(spark):
+    # merging per-group sketches must estimate ≈ sketching the whole
+    # column directly (mergeability, the property rollups rely on)
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 7919).alias("v")
+    )
+    per_group = sketches.group_sketches(df, "g", "v")
+    merged = sketches.merge_sketches(per_group).first()["approx_distinct"]
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v", F.lit(12)))
+    ).first()[0]
+    assert abs(merged - direct) / direct < 0.02
+    assert abs(merged - 7919) / 7919 < 0.05
+
+
+def test_quantile_calibration_rank_guarantee(spark, sf_dir):
+    # Greenwald-Khanna's contract is on RANK, not value: the returned
+    # point's exact rank must be within eps=1/accuracy of the target
+    # quantile (value-space error can be large in a sparse tail — that is
+    # the report's job to surface, not a sketch defect)
+    events = load_table(spark, sf_dir, "events")
+    rep = sketches.quantile_calibration(events, "event_type", "value").collect()
+    assert {r["quantile"] for r in rep} == {0.5, 0.9, 0.99}
+    groups = {
+        r["event_type"]: r["vals"]
+        for r in events.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("value")).alias("vals"))
+        .collect()
+    }
+    for r in rep:
+        vals = groups[r["scope"]]
+        n = len(vals)
+        below = sum(1 for v in vals if v < r["approx_value"])
+        at_or_below = sum(1 for v in vals if v <= r["approx_value"])
+        eps = 1.0 / 10000 + 2.0 / n
+        assert below / n - eps <= r["quantile"] <= at_or_below / n + eps, (
+            r["scope"],
+            r["quantile"],
+            below / n,
+            at_or_below / n,
+        )
