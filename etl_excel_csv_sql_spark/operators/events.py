@@ -326,3 +326,99 @@ def mad_anomalies(
             F.round(z, 4).alias("mod_zscore"),
         )
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_weeks: int = 12,
+) -> DataFrame:
+    """Weekly cohort-retention matrix in long form: users are cohorted by
+    the ISO week of their FIRST event; each later active week counts them
+    once at its week offset. The product-analytics staple
+    (cohort_week, week_offset, active_users, cohort_size,
+    retention_rate).
+
+    Plan: first-seen is one min-aggregate on user (shuffle 1); activity
+    weeks dedup to (user, week) pairs (shuffle 2, collapses event volume
+    to at most users x weeks); the cohort join is ON USER between two
+    user-keyed frames (co-partitioned by AQE); the final matrix aggregate
+    is over (cohort_week, offset) — tiny. Event rows are never joined
+    pairwise; everything after shuffle 2 is user-cardinality, not
+    event-cardinality. Offsets are whole weeks from the cohort week's
+    Monday (date_trunc 'week'), capped at ``max_weeks``.
+    """
+    first_seen = df.groupBy(F.col(user_col).alias("u")).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias("cohort_week")
+    )
+    active = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.date_trunc("week", F.col(ts_col)).cast("date").alias("active_week"),
+        )
+        .distinct()
+    )
+    joined = active.join(first_seen, "u").select(
+        "u",
+        "cohort_week",
+        (F.datediff("active_week", "cohort_week") / 7).cast("int").alias(
+            "week_offset"
+        ),
+    )
+    cohort_sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    matrix = (
+        joined.where(F.col("week_offset") <= max_weeks)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    return matrix.join(cohort_sizes, "cohort_week").select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "active_users",
+        "cohort_size",
+        F.round(
+            F.col("active_users") / F.col("cohort_size").cast("double"), 6
+        ).alias("retention_rate"),
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition frequencies between consecutive
+    event types within each user's timeline: (from_type, to_type, n,
+    probability). The behavioral-model fit step (next-action prediction,
+    anomalous-sequence detection).
+
+    Plan: ONE window shuffle partitioned by user (bounded partitions —
+    a user's history, never the global stream) computing lag; then a tiny
+    (from, to) aggregate. probability normalizes per from-type via a
+    second small aggregate joined back — all on type-cardinality frames.
+    Ties in ts order break on the event id to keep the sequence total.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = (
+        df.withColumn("prev_type", F.lag(type_col).over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return pairs.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("row_total").cast("double"), 6).alias(
+            "probability"
+        ),
+    )

@@ -690,3 +690,51 @@ def bloom_prefilter_semi_join(
         )
         out = out.join(right, out[big_key] == right[keys_key], "left_semi")
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare: Sequence[str],
+) -> DataFrame:
+    """Change-data-capture between two table snapshots: emits one row per
+    changed key with op ∈ {'I','D','U'} (insert / delete / update) plus
+    the old and new values of each compared column — the diff feed a
+    downstream incremental consumer (or SCD2 writer, scd2_apply) ingests
+    instead of re-reading the full snapshot.
+
+    Plan: ONE full-outer shuffle join on the key columns (both snapshots
+    hash-partition on the same key — with bucketed snapshot layout,
+    io/warehouse.py, even that shuffle disappears); unchanged rows are
+    dropped IN the join's output filter (null-safe <=> per compared
+    column), so the result is change-cardinality, not table-cardinality.
+    Update detection is null-safe: NULL -> value, value -> NULL, and
+    value -> value all compare correctly.
+    """
+    o = old.select(*keys, *compare)
+    n = new.select(*keys, *compare)
+    for c in keys + list(compare):
+        o = o.withColumnRenamed(c, f"__o_{c}")
+        n = n.withColumnRenamed(c, f"__n_{c}")
+    cond = [o[f"__o_{k}"] == n[f"__n_{k}"] for k in keys]
+    joined = o.join(n, cond, "full_outer")
+    in_old = F.col(f"__o_{keys[0]}").isNotNull()
+    in_new = F.col(f"__n_{keys[0]}").isNotNull()
+    changed = None
+    for c in compare:
+        ne = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    op = (
+        F.when(~in_old, F.lit("I"))
+        .when(~in_new, F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"__o_{k}"), F.col(f"__n_{k}")).alias(k) for k in keys
+    ]
+    out_cols.append(op.alias("op"))
+    for c in compare:
+        out_cols.append(F.col(f"__o_{c}").alias(f"old_{c}"))
+        out_cols.append(F.col(f"__n_{c}").alias(f"new_{c}"))
+    return joined.select(*out_cols).where(F.col("op").isNotNull())

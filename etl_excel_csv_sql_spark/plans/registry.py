@@ -3520,6 +3520,137 @@ def q_quantile_sketch_calibration(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Cohort retention + Markov transitions (operators/events.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cohort_retention_weekly",
+    """
+    WITH first_seen AS (
+      SELECT user_id AS u,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM events
+    ), joined AS (
+      SELECT f.cohort_week,
+             CAST((a.active_week - f.cohort_week) / 7 AS INT) AS week_offset
+      FROM active a JOIN first_seen f USING (u)
+    ), sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size
+      FROM first_seen GROUP BY cohort_week
+    ), matrix AS (
+      SELECT cohort_week, week_offset, count(*) AS active_users
+      FROM joined WHERE week_offset <= 12 GROUP BY 1, 2
+    )
+    SELECT strftime(m.cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset, active_users, cohort_size,
+           round(active_users / CAST(cohort_size AS DOUBLE), 6)
+             AS retention_rate
+    FROM matrix m JOIN sizes s USING (cohort_week)
+    """,
+    doc="weekly cohort-retention matrix (long form): first-seen week per "
+    "user (one user-keyed min agg), activity collapsed to distinct "
+    "(user, week) BEFORE any join — post-shuffle frames are user-"
+    "cardinality, never event-cardinality; week offsets are exact "
+    "Monday-to-Monday multiples so the /7 is integer-exact in both "
+    "engines. The product-analytics staple the events table lacked",
+)
+def q_cohort_retention_weekly(spark, sf_dir):
+    return events.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), totals AS (
+      SELECT from_type, sum(n) AS row_total FROM pairs GROUP BY 1
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           round(n / CAST(row_total AS DOUBLE), 6) AS probability
+    FROM pairs JOIN totals USING (from_type)
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: ONE user-partitioned lag window (bounded partitions), "
+    "then type-cardinality aggregates only — the next-action/anomalous-"
+    "sequence model fit; (ts, event_id) tiebreak keeps the order total",
+)
+def q_event_transition_matrix(spark, sf_dir):
+    return events.transition_matrix(_t(spark, sf_dir, "events")).select(
+        "from_type", "to_type", F.col("n").cast("long").alias("n"), "probability"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff (relational.snapshot_diff)
+# ---------------------------------------------------------------------------
+
+@register(
+    "snapshot_diff_cdc",
+    """
+    WITH old_s AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 89 <> 3
+    ), new_s AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 5
+    ), d AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                  WHEN n.o_orderkey IS NULL THEN 'D'
+                  WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  THEN 'U' END AS op,
+             o.o_totalprice AS old_o_totalprice,
+             n.o_totalprice AS new_o_totalprice,
+             o.o_orderstatus AS old_o_orderstatus,
+             n.o_orderstatus AS new_o_orderstatus
+      FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT * FROM d WHERE op IS NOT NULL
+    """,
+    doc="change-data-capture between two snapshots (relational."
+    "snapshot_diff): ONE key-partitioned full-outer join, null-safe "
+    "per-column change detection, unchanged rows dropped inside the join "
+    "output so the result is change-cardinality — the incremental feed "
+    "for scd2_apply/merge-upsert consumers (with bucketed snapshots the "
+    "join shuffle itself disappears, io/warehouse.py). Snapshots are "
+    "derived deterministically from orders via modulus filters so "
+    "inserts, deletes, and updates all occur",
+)
+def q_snapshot_diff_cdc(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    old_s = orders.where(F.col("o_orderkey") % 89 != 3).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new_s = orders.where(F.col("o_orderkey") % 97 != 5).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 10.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return relational.snapshot_diff(
+        old_s, new_s, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- stable core: §2 parity + live JDBC (1-11, kept every round) ---
     "filter_neq_case_insensitive",

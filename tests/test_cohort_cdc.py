@@ -1,0 +1,114 @@
+"""Tests for cohort retention, Markov transitions, and CDC snapshot diff."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_excel_csv_sql_spark.operators import events, relational
+
+
+def _ts(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_cohort_retention_hand_computed(spark):
+    # week of 2024-01-01 is a Monday; 2024-01-08 the next
+    rows = [
+        (1, 100, _ts(1)),   # u100 cohort wk0, active wk0
+        (2, 100, _ts(9)),   # u100 active wk1
+        (3, 101, _ts(2)),   # u101 cohort wk0, active wk0 only
+        (4, 102, _ts(8)),   # u102 cohort wk1
+        (5, 102, _ts(10)),  # same week — dedup to one active week
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): (
+            r["active_users"],
+            r["cohort_size"],
+            r["retention_rate"],
+        )
+        for r in events.cohort_retention(df).collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert got[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert len(got) == 3
+
+
+def test_transition_matrix_hand_computed(spark):
+    rows = [
+        (1, 1, _ts(1, 1), "view"),
+        (2, 1, _ts(1, 2), "click"),
+        (3, 1, _ts(1, 3), "view"),
+        (4, 2, _ts(1, 1), "view"),
+        (5, 2, _ts(1, 2), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["probability"])
+        for r in events.transition_matrix(df).collect()
+    }
+    assert got[("view", "click")] == (2, 1.0)
+    assert got[("click", "view")] == (1, 1.0)
+    assert len(got) == 2
+
+
+def test_transition_matrix_tiebreak_on_event_id(spark):
+    # identical timestamps: order must come from event_id, deterministically
+    rows = [(1, 1, _ts(1), "a"), (2, 1, _ts(1), "b"), (3, 1, _ts(1), "c")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {(r["from_type"], r["to_type"]) for r in events.transition_matrix(df).collect()}
+    assert got == {("a", "b"), ("b", "c")}
+
+
+def test_snapshot_diff_all_ops(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "A"), (3, 30.0, "A"), (5, None, "A")],
+        "k long, price double, status string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 25.0, "A"), (4, 40.0, "B"), (5, 5.0, "A")],
+        "k long, price double, status string",
+    )
+    got = {
+        r["k"]: r
+        for r in relational.snapshot_diff(
+            old, new, ["k"], ["price", "status"]
+        ).collect()
+    }
+    assert 1 not in got  # unchanged suppressed
+    assert got[2]["op"] == "U" and got[2]["old_price"] == 20.0 and got[2]["new_price"] == 25.0
+    assert got[3]["op"] == "D" and got[3]["new_price"] is None
+    assert got[4]["op"] == "I" and got[4]["old_price"] is None
+    assert got[5]["op"] == "U"  # NULL -> value must register (null-safe)
+
+
+def test_snapshot_diff_roundtrip_via_merge(spark):
+    # applying the diff to the old snapshot must reproduce the new one
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, price double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (4, 40.0)], "k long, price double"
+    )
+    diff = relational.snapshot_diff(old, new, ["k"], ["price"])
+    upserts = diff.where(F.col("op").isin("I", "U")).select(
+        "k", F.col("new_price").alias("price")
+    )
+    deletes = diff.where(F.col("op") == "D").select("k")
+    rebuilt = (
+        old.join(diff.select("k"), "k", "left_anti")
+        .unionByName(upserts)
+        .join(deletes, "k", "left_anti")
+    )
+    assert sorted((r["k"], r["price"]) for r in rebuilt.collect()) == sorted(
+        (r["k"], r["price"]) for r in new.collect()
+    )
