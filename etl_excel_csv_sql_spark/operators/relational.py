@@ -738,3 +738,72 @@ def snapshot_diff(
         out_cols.append(F.col(f"__o_{c}").alias(f"old_{c}"))
         out_cols.append(F.col(f"__n_{c}").alias(f"new_{c}"))
     return joined.select(*out_cols).where(F.col("op").isNotNull())
+
+
+def incremental_agg_apply(
+    base_agg: DataFrame,
+    diff: DataFrame,
+    group_col: str,
+    value_col: str,
+    sum_col: str = "total",
+    cnt_col: str = "n_rows",
+) -> DataFrame:
+    """Incremental view maintenance for a grouped SUM/COUNT aggregate:
+    apply a :func:`snapshot_diff` change feed to the materialized
+    aggregate of the OLD snapshot and get the aggregate of the NEW one —
+    without rescanning the table. At 100 TB the full recompute reads
+    everything; this reads only the change feed plus the (group-
+    cardinality) materialized state.
+
+    Contribution algebra (handles group migration on update — an updated
+    row may MOVE between groups, so updates contribute to both sides):
+
+    - D/U rows subtract (old value, 1) from their OLD group
+    - I/U rows add (new value, 1) to their NEW group
+
+    Sums run in DECIMAL(18,4) so incremental result == full recompute
+    EXACTLY (double addition is order-dependent; decimal is associative
+    — the same invariant money_sum pins). ``base_agg`` must carry
+    (group_col, sum_col, cnt_col) with sum_col decimal-exact semantics
+    (build it with money_sum). Groups whose count reaches zero drop out,
+    matching what a full recompute would produce.
+    """
+    dec = "decimal(18,4)"
+    minus = diff.where(F.col("op").isin("D", "U")).select(
+        F.col(f"old_{group_col}").alias("g"),
+        (-F.col(f"old_{value_col}").cast(dec)).alias("dv"),
+        F.lit(-1).cast("long").alias("dn"),
+    )
+    plus = diff.where(F.col("op").isin("I", "U")).select(
+        F.col(f"new_{group_col}").alias("g"),
+        F.col(f"new_{value_col}").cast(dec).alias("dv"),
+        F.lit(1).cast("long").alias("dn"),
+    )
+    delta = (
+        minus.unionByName(plus)
+        .groupBy("g")
+        .agg(F.sum("dv").alias("dv"), F.sum("dn").alias("dn"))
+    )
+    base = base_agg.select(
+        F.col(group_col).alias("g"),
+        F.col(sum_col).cast(dec).alias("bv"),
+        F.col(cnt_col).cast("long").alias("bn"),
+    )
+    zero_v = F.lit(0).cast(dec)
+    merged = (
+        base.join(delta, "g", "full_outer")
+        .select(
+            F.col("g").alias(group_col),
+            (
+                F.coalesce(F.col("bv"), zero_v)
+                + F.coalesce(F.col("dv"), zero_v)
+            )
+            .cast("double")
+            .alias(sum_col),
+            (
+                F.coalesce(F.col("bn"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))
+            ).alias(cnt_col),
+        )
+        .where(F.col(cnt_col) > 0)
+    )
+    return merged

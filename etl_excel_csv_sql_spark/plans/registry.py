@@ -3633,21 +3633,100 @@ def q_event_transition_matrix(spark, sf_dir):
     "inserts, deletes, and updates all occur",
 )
 def q_snapshot_diff_cdc(spark, sf_dir):
+    old_s, new_s = _cdc_snapshots(spark, sf_dir)
+    return relational.snapshot_diff(
+        old_s, new_s, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance (relational.incremental_agg_apply)
+# ---------------------------------------------------------------------------
+
+def _cdc_snapshots(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     old_s = orders.where(F.col("o_orderkey") % 89 != 3).select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
     new_s = orders.where(F.col("o_orderkey") % 97 != 5).select(
         "o_orderkey",
-        F.when(
-            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 10.0
-        )
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 10.0)
         .otherwise(F.col("o_totalprice"))
         .alias("o_totalprice"),
         "o_orderstatus",
     )
-    return relational.snapshot_diff(
+    return old_s, new_s
+
+
+@register(
+    "incremental_agg_maintenance",
+    """
+    WITH new_s AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 5
+    )
+    SELECT o_orderstatus,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           count(*) AS n_rows
+    FROM new_s GROUP BY o_orderstatus
+    """,
+    doc="incremental view maintenance: the Spark side maintains the "
+    "revenue-by-status aggregate by applying ONLY the snapshot_diff "
+    "change feed to the old snapshot's materialized aggregate "
+    "(contribution algebra in DECIMAL so incremental == full recompute "
+    "EXACTLY, including group-migration updates); the ORACLE is the full "
+    "recompute over the new snapshot — their equality is the IVM "
+    "correctness proof, checked by the driver. At scale this reads the "
+    "change feed + group-cardinality state instead of 100 TB of table",
+)
+def q_incremental_agg_maintenance(spark, sf_dir):
+    old_s, new_s = _cdc_snapshots(spark, sf_dir)
+    base = old_s.groupBy("o_orderstatus").agg(
+        _msum("o_totalprice").alias("total"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    diff = relational.snapshot_diff(
         old_s, new_s, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return relational.incremental_agg_apply(
+        base, diff, "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "unpivot_status_metrics",
+    """
+    WITH a AS (
+      SELECT o_orderstatus,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_revenue
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM a
+    UNION ALL
+    SELECT o_orderstatus, 'total_revenue', total_revenue FROM a
+    """,
+    doc="unpivot/melt (the inverse of pivot_status_by_priority): wide "
+    "per-status metrics to long (status, metric, value) via the native "
+    "DataFrame.unpivot (Expand node, map-side — no shuffle beyond the "
+    "source aggregate); long form is what generic metric sinks and "
+    "chart/alert consumers ingest",
+)
+def q_unpivot_status_metrics(spark, sf_dir):
+    wide = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            _msum("o_totalprice").alias("total_revenue"),
+        )
+    )
+    return wide.unpivot(
+        ["o_orderstatus"], ["n_orders", "total_revenue"], "metric", "value"
     )
 
 
