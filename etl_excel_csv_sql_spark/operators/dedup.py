@@ -627,6 +627,17 @@ def simhash_pairs(
         n_blocks = (
             max_hamming + 1 if sh.count() <= _ADAPTIVE_DOCS else max_hamming + 3
         )
+    return hamming_pairs(sh, max_hamming, n_blocks)
+
+
+def hamming_pairs(
+    sh: DataFrame, max_hamming: int = 3, n_blocks: int | None = None
+) -> DataFrame:
+    """Near-dup pairs for ANY (id, simhash) 64-bit fingerprint frame:
+    Manku banding candidates (exact superset of the Hamming ball, see
+    :func:`simhash_band_keys`) + popcount-on-XOR verify. Fingerprint-
+    agnostic — text SimHash (:func:`simhash_pairs`) and image perceptual
+    hashes (multimodal.ahash_images) share this exact pairing plan."""
     banded = simhash_band_keys(sh, max_hamming, n_blocks)
     a = banded.alias("a")
     b = banded.alias("b")

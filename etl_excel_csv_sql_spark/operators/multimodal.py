@@ -464,3 +464,126 @@ def synth_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ahash", LongType(), True),
+    ]
+)
+
+
+def _ahash_bits(gray: np.ndarray, hash_size: int) -> int:
+    """Block-mean average hash of a 2-D grayscale array: downsample to
+    hash_size² cells by BLOCK MEAN (integral image — robust to per-pixel
+    noise, unlike nearest-neighbor picking), threshold at the global cell
+    mean, pack row-major MSB-first."""
+    h, w = gray.shape
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = gray.astype(np.float64).cumsum(axis=0).cumsum(axis=1)
+    ys = (np.arange(hash_size + 1) * h) // hash_size
+    xs = (np.arange(hash_size + 1) * w) // hash_size
+    # degenerate cells (dim < hash_size) borrow the next boundary
+    ys = np.maximum(ys, np.arange(hash_size + 1))
+    xs = np.maximum(xs, np.arange(hash_size + 1))
+    ys = np.minimum(ys, h)
+    xs = np.minimum(xs, w)
+    y0, y1 = ys[:-1], ys[1:]
+    x0, x1 = xs[:-1], xs[1:]
+    areas = np.maximum(
+        (y1 - y0)[:, None] * (x1 - x0)[None, :], 1
+    ).astype(np.float64)
+    sums = (
+        ii[y1[:, None], x1[None, :]]
+        - ii[y0[:, None], x1[None, :]]
+        - ii[y1[:, None], x0[None, :]]
+        + ii[y0[:, None], x0[None, :]]
+    )
+    cells = sums / areas
+    bits = (cells > cells.mean()).ravel()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    if val >= 1 << 63:
+        val -= 1 << 64  # two's-complement into a Spark LongType
+    return val
+
+
+def ahash_images(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    hash_size: int = 8,
+    strict: bool = False,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per image: decode (real stdlib
+    BMP/PNG/PPM codecs) → grayscale → block-mean downsample to
+    hash_size² → threshold at the mean → 64-bit fingerprint. The image
+    twin of text SimHash: visually-near-identical images (re-encodes,
+    slight noise, small edits) land within a small Hamming distance, so
+    ``dedup.hamming_pairs`` finds image near-duplicates with the SAME
+    banded plan text dedup uses — no new shuffle machinery.
+
+    Arrow-batched mapInPandas (never per-row Python UDF); payloads stay
+    in executors, only (id, 64-bit hash) ever shuffles. Undecodable
+    payloads yield NULL (or raise when ``strict``).
+    """
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes: list[int | None] = []
+            for payload in pdf["payload"]:
+                try:
+                    _, arr = codecs.decode_image(bytes(payload))
+                    gray = (
+                        arr.astype(np.float64).mean(axis=2)
+                        if arr.ndim == 3
+                        else arr.astype(np.float64)
+                    )
+                    hashes.append(_ahash_bits(gray, hash_size))
+                except Exception:
+                    if strict:
+                        raise
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "ahash": pd.Series(hashes, dtype="object")}
+            )
+
+    return src.mapInPandas(batches, AHASH_SCHEMA)
+
+
+def perturbed_image_payloads(
+    df: DataFrame, id_col: str = "doc_id", id_offset: int = 1_000_000
+) -> DataFrame:
+    """Near-duplicate twins of :func:`synth_image_payloads`: same synth
+    pixels per the id contract, plus ±2 noise on a sparse pixel grid —
+    visually the same image (a re-encode/transmission-noise stand-in),
+    so each twin must land within a small Hamming ball of its original.
+    Twin ids are original + ``id_offset``."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                fmt, w, h = synth_image_dims(mid)
+                arr = _synth_pixels(mid, w, h).astype(np.int16)
+                arr[::5, ::7, :] += 2
+                arr[1::6, 2::5, :] -= 2
+                arr = np.clip(arr, 0, 255).astype(np.uint8)
+                out_ids.append(mid + id_offset)
+                payloads.append(codecs.encode_image(arr, fmt))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)

@@ -3730,6 +3730,34 @@ def q_unpivot_status_metrics(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Image perceptual near-dup (multimodal.ahash_images + dedup.hamming_pairs)
+# ---------------------------------------------------------------------------
+
+@register(
+    "media_ahash_neardup",
+    None,
+    doc="image near-duplicate detection end-to-end on REAL bytes: encoded "
+    "BMP/PNG/PPM payloads -> stdlib decode -> block-mean perceptual "
+    "average-hash (integral-image downsample, Arrow mapInPandas kernel) "
+    "-> the SAME Manku-banded Hamming pairing text SimHash uses "
+    "(dedup.hamming_pairs — fingerprint-agnostic, no new shuffle "
+    "machinery). Corpus = 5%% sample of documents as synth images plus "
+    "noise-perturbed twins (+-2 on a sparse grid, a re-encode stand-in); "
+    "rows-only (pixel pipelines have no SQL oracle) — pytest proves every "
+    "twin is found at Hamming <= 2 and hashes are decode-derived",
+)
+def q_media_ahash_neardup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    originals = multimodal.synth_image_payloads(docs, "doc_id")
+    twins = multimodal.perturbed_image_payloads(docs, "doc_id")
+    corpus = originals.unionByName(twins)
+    hashes = multimodal.ahash_images(corpus).select(
+        F.col("media_id").alias("id"), F.col("ahash").alias("simhash")
+    )
+    return dedup.hamming_pairs(hashes, max_hamming=2)
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- stable core: §2 parity + live JDBC (1-11, kept every round) ---
     "filter_neq_case_insensitive",

@@ -174,3 +174,68 @@ def test_extract_video_meta_lenient_nulls_on_non_avi(spark):
     out = multimodal.extract_video_meta(df, strict=False).collect()
     assert len(out) == 2
     assert all(r.width is None and r.fps is None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# perceptual average-hash near-dup (r6 batch 3)
+# ---------------------------------------------------------------------------
+
+def test_ahash_twins_within_hamming_ball(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators import dedup, multimodal
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 20 == 0
+    )
+    n_docs = docs.count()
+    originals = multimodal.synth_image_payloads(docs, "doc_id")
+    twins = multimodal.perturbed_image_payloads(docs, "doc_id")
+    hashes = multimodal.ahash_images(originals.unionByName(twins)).select(
+        F.col("media_id").alias("id"), F.col("ahash").alias("simhash")
+    )
+    assert hashes.where(F.col("simhash").isNull()).count() == 0
+    pairs = dedup.hamming_pairs(hashes, max_hamming=2)
+    twin_pairs = pairs.where(
+        F.col("id_b") - F.col("id_a") == 1_000_000
+    ).count()
+    # every original must be paired with its perturbed twin
+    assert twin_pairs == n_docs
+
+
+def test_ahash_identical_images_hash_equal(spark):
+    from pyspark.sql import functions as F
+
+    from etl_excel_csv_sql_spark.operators import multimodal
+
+    base = spark.createDataFrame([(7,), (7,)], "doc_id long")
+    payloads = multimodal.synth_image_payloads(base, "doc_id")
+    got = multimodal.ahash_images(payloads).collect()
+    assert got[0]["ahash"] == got[1]["ahash"]
+
+
+def test_ahash_distinguishes_inverted_pattern():
+    import numpy as np
+
+    from etl_excel_csv_sql_spark.operators.multimodal import _ahash_bits
+
+    grad = np.tile(np.arange(64, dtype=np.float64), (64, 1))
+    inv = grad[:, ::-1]
+    a, b = _ahash_bits(grad, 8), _ahash_bits(inv, 8)
+    ham = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham >= 32  # opposite layouts disagree on ~every cell
+
+
+def test_ahash_undecodable_payloads(spark):
+    import pytest as _pytest
+
+    from etl_excel_csv_sql_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not an image"))], "media_id long, payload binary"
+    )
+    got = multimodal.ahash_images(df).collect()
+    assert got[0]["ahash"] is None
+    with _pytest.raises(Exception):
+        multimodal.ahash_images(df, strict=True).collect()
