@@ -1419,3 +1419,58 @@ def q_orc_roundtrip(spark, sf_dir):
         ),
         "o_orderpriority",
     )
+
+
+@register(
+    "events_streaming_approx_users",
+    None,
+    doc="streaming + mergeable sketches composed: hourly tumbling windows "
+    "with approx_count_distinct(user_id) under a watermark — EXACT "
+    "distinct aggregation is unsupported in streaming (it would need "
+    "unbounded per-window value state); the HLL++ sketch is the "
+    "documented scale path (bounded state per window regardless of user "
+    "cardinality). Rows-only: estimates are algorithm-specific; pytest "
+    "asserts <=5%% error vs the batch exact distinct per window",
+)
+def q_events_streaming_approx_users(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.streaming.windows import with_watermark
+
+    scratch = _scratch(
+        "events_approx_users_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    src = os.path.join(scratch, "events_in")
+    load_table(spark, sf_dir, "events").select(
+        "ts", "user_id"
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        with_watermark(stream, "ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "approx_users",
+            "n_events",
+        )
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    sink_name = f"evt_approx_users_{_STREAM_RUN_SEQ[0]}"
+    (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink_name).select(
+        "window_start", "approx_users", "n_events"
+    )

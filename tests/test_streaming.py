@@ -345,3 +345,38 @@ def test_stream_stream_left_outer_null_emission(spark, tmp_path):
     # click 1 (T+1h < T+12h) emits null; click 4 (T+12h == wm) withheld;
     # click 3 (T+21h > wm) withheld; click 2 matched.
     assert got == [(1, None), (2, 100)]
+
+
+def test_streaming_approx_users_matches_batch_exact(spark):
+    """The streaming HLL++ per-window estimate must sit within 5% of the
+    batch exact distinct per window (r6: streaming+sketch composition)."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from etl_excel_csv_sql_spark.catalog import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["window_start"]: r["approx_users"]
+        for r in entry.queries()["events_streaming_approx_users"](
+            spark, sf_dir
+        ).collect()
+    }
+    exact = {
+        r["ws"]: r["exact"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(
+                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("ws")
+        )
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for ws, approx in got.items():
+        assert abs(approx - exact[ws]) / max(exact[ws], 1) <= 0.05, (
+            ws,
+            approx,
+            exact[ws],
+        )
