@@ -422,3 +422,56 @@ def transition_matrix(
             "probability"
         ),
     )
+
+
+def attribute_last_touch(
+    df: DataFrame,
+    convert_type: str = "purchase",
+    touch_type: str = "click",
+    window_seconds: int = 7 * 24 * 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: for every conversion event, the most
+    recent preceding touch event by the same user, attributed when it
+    falls within the lookback window — the marketing-analytics join that
+    normally gets written as an O(n²) self-join; here it is ONE
+    user-partitioned window pass.
+
+    Plan: a single window shuffle on user (bounded partitions — one
+    user's timeline); ``last(touch_ts) IGNORE NULLS`` over rows up to the
+    previous event carries the latest touch forward, so no self-join, no
+    re-scan, event-cardinality output filtered to conversions map-side
+    after the window. (ts, id) tiebreak keeps the sequence total.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_ts = F.when(F.col(type_col) == touch_type, F.col(ts_col))
+    with_touch = df.withColumn(
+        "last_touch_ts", F.last(touch_ts, ignorenulls=True).over(w)
+    )
+    conv = with_touch.where(F.col(type_col) == convert_type)
+    # exact integer micros, then one division — engine-portable (a
+    # double-cast timestamp difference would hinge on each engine's
+    # ns-truncation flavor)
+    gap = (
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("last_touch_ts"))
+    ) / F.lit(1_000_000.0)
+    return conv.select(
+        F.col(id_col).alias("conversion_id"),
+        F.col(user_col).alias("user_id"),
+        F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss").alias("conversion_ts"),
+        F.date_format("last_touch_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "last_touch_ts"
+        ),
+        F.round(gap, 6).alias("seconds_since_touch"),
+        (
+            F.col("last_touch_ts").isNotNull()
+            & (gap <= F.lit(float(window_seconds)))
+        ).alias("attributed"),
+    )

@@ -3731,6 +3731,43 @@ def q_unpivot_status_metrics(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Last-touch attribution (operators/events.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "attribution_last_touch",
+    """
+    WITH seq AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN ts END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch_ts
+      FROM events
+    )
+    SELECT event_id AS conversion_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS conversion_ts,
+           strftime(last_touch_ts, '%Y-%m-%d %H:%M:%S') AS last_touch_ts,
+           round((epoch_us(ts) - epoch_us(last_touch_ts)) / 1000000.0, 6)
+             AS seconds_since_touch,
+           last_touch_ts IS NOT NULL
+             AND (epoch_us(ts) - epoch_us(last_touch_ts)) / 1000000.0
+                 <= 604800.0 AS attributed
+    FROM seq WHERE event_type = 'purchase'
+    """,
+    doc="last-touch conversion attribution: latest preceding click per "
+    "purchase within a 7-day lookback — ONE user-partitioned window pass "
+    "with last(...) IGNORE NULLS carrying the touch forward (the naive "
+    "formulation is an O(n^2) event self-join); bounded partitions (one "
+    "user's timeline), exact integer-micros gap arithmetic on both "
+    "engines, (ts, event_id) total order",
+)
+def q_attribution_last_touch(spark, sf_dir):
+    return events.attribute_last_touch(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
 # Image perceptual near-dup (multimodal.ahash_images + dedup.hamming_pairs)
 # ---------------------------------------------------------------------------
 
@@ -3759,17 +3796,22 @@ def q_media_ahash_neardup(spark, sf_dir):
 
 
 WINDOW_ORDER: tuple[str, ...] = (
-    # --- stable core: §2 parity + live JDBC (1-11, kept every round) ---
-    "filter_neq_case_insensitive",
-    "project_columns",
-    "filter_notnull_key",
-    "semi_join_inlist",
-    "update_join_writeback",
-    "found_report",
-    "copy_plan_manifest",
-    "sanitize_sql_string",
-    "path_scrub",
-    "archive_naming",
+    # --- NEW in late r6 (1-10): this round's oracle-backed additions.
+    # They take the stable-core slots for exactly one round: the §2
+    # parity core all has r5-green driver rows (1 round old), so it can
+    # skip one window safely; never-checked beats 1-round-fresh. r7
+    # restores the core (see ROUND6_NOTES r7 rotation).
+    "dq_check_suite",
+    "fuzzy_part_pairs",
+    "doc_unigram_surprisal",
+    "weighted_sample_orders",
+    "zorder_layout_sample",
+    "cohort_retention_weekly",
+    "event_transition_matrix",
+    "snapshot_diff_cdc",
+    "incremental_agg_maintenance",
+    "unpivot_status_metrics",
+    # --- live JDBC (kept every round: only live-Derby evidence) ---
     "jdbc_live_roundtrip",
     # --- r3-stale rotation (12-41): io/runner roundtrips ---
     "excel_roundtrip",

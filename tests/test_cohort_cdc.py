@@ -112,3 +112,25 @@ def test_snapshot_diff_roundtrip_via_merge(spark):
     assert sorted((r["k"], r["price"]) for r in rebuilt.collect()) == sorted(
         (r["k"], r["price"]) for r in new.collect()
     )
+
+
+def test_attribution_last_touch_hand_computed(spark):
+    rows = [
+        (1, 1, _ts(1, 0), "click"),
+        (2, 1, _ts(1, 5), "view"),
+        (3, 1, _ts(1, 6), "purchase"),   # attributed to click at day1 0h
+        (4, 1, _ts(2, 0), "click"),
+        (5, 1, _ts(12, 0), "purchase"),  # click 10 days earlier: outside 7d
+        (6, 2, _ts(3, 0), "purchase"),   # no touch at all
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r["conversion_id"]: r for r in events.attribute_last_touch(df).collect()}
+    assert got[3]["attributed"] is True
+    assert got[3]["last_touch_ts"] == "2024-01-01 00:00:00"
+    assert got[3]["seconds_since_touch"] == 6 * 3600.0
+    assert got[5]["attributed"] is False  # touch exists but stale
+    assert got[5]["last_touch_ts"] == "2024-01-02 00:00:00"
+    assert got[6]["attributed"] is False and got[6]["last_touch_ts"] is None
+    assert len(got) == 3
