@@ -1,0 +1,116 @@
+"""Distributed statistics: contingency/independence and closed-form
+regression — the profiling layer above relational.profile_table.
+
+Everything is aggregate-only (one or two shuffles on low-cardinality
+keys, map-side partials), so the plans scale with group counts, not row
+counts. Engine parity discipline: all large sums run in DECIMAL (exact,
+associative — independent of partitioning and addition order); doubles
+appear only in the final few-term arithmetic, where both engines execute
+the identical IEEE expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns: observed counts vs expected = row_total * col_total / N.
+
+    Returns one row: (chi2, dof, n, n_cells). Plan: ONE (a, b) count
+    aggregate (the contingency table, |A|x|B| rows); marginals derive
+    from it (tiny re-aggregations); the statistic is a sum over cells.
+    Zero-count cells contribute 0 observed but their expected mass is
+    implicit in the marginal products — handled by summing over the
+    OBSERVED cells plus correcting with N - sum(expected over observed):
+    chi2 = sum_obs (O-E)^2/E + (N - sum_obs E), since every unobserved
+    cell contributes exactly E ((0-E)^2/E = E).
+    """
+    obs = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    row_m = obs.groupBy("a").agg(F.sum("o").alias("ra"))
+    col_m = obs.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = obs.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("a").alias("ka"),
+        F.count_distinct("b").alias("kb"),
+    )
+    cells = (
+        obs.join(row_m, "a")
+        .join(col_m, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o",
+            "n",
+            "ka",
+            "kb",
+            (
+                F.col("ra").cast("double")
+                * F.col("cb").cast("double")
+                / F.col("n").cast("double")
+            ).alias("e"),
+        )
+    )
+    diff = F.col("o").cast("double") - F.col("e")
+    return cells.groupBy("n", "ka", "kb").agg(
+        F.round(
+            F.sum(diff * diff / F.col("e"))
+            + (
+                F.first("n").cast("double") - F.sum("e")
+            ),  # unobserved cells: each contributes exactly its expected mass
+            6,
+        ).alias("chi2"),
+        F.count(F.lit(1)).alias("n_observed_cells"),
+    ).select(
+        "chi2",
+        ((F.col("ka") - 1) * (F.col("kb") - 1)).cast("long").alias("dof"),
+        F.col("n").cast("long").alias("n"),
+        (F.col("ka") * F.col("kb")).cast("long").alias("n_cells"),
+        "n_observed_cells",
+    )
+
+
+def linear_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Simple OLS y = a + b*x in closed form from one aggregation pass.
+
+    The moment sums (Sx, Sy, Sxx, Sxy, Syy) run in DECIMAL — exact and
+    associative, so the result is independent of partitioning AND the
+    slope's catastrophic cancellation (n*Sxy - Sx*Sy over near-equal
+    magnitudes) happens on exact values, not on noise-carrying double
+    sums. Only the final 5-term formula is double arithmetic, identical
+    in any engine. Returns (n, slope, intercept, r2).
+    """
+    dec = "decimal(18,4)"
+    x = F.col(x_col).cast(dec)
+    y = F.col(y_col).cast(dec)
+    m = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x_n = n * sxx - sx * sx
+    var_y_n = n * syy - sy * sy
+    slope = cov_n / var_x_n
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round((cov_n * cov_n) / (var_x_n * var_y_n), 6).alias("r2"),
+    )

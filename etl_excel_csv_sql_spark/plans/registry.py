@@ -3795,6 +3795,102 @@ def q_media_ahash_neardup(spark, sf_dir):
     return dedup.hamming_pairs(hashes, max_hamming=2)
 
 
+# ---------------------------------------------------------------------------
+# Distributed statistics (operators/stats.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "stats_chi_square_lang_source",
+    """
+    WITH obs AS (
+      SELECT lang AS a, source AS b, count(*) AS o
+      FROM documents GROUP BY 1, 2
+    ), row_m AS (SELECT a, sum(o) AS ra FROM obs GROUP BY a),
+    col_m AS (SELECT b, sum(o) AS cb FROM obs GROUP BY b),
+    tot AS (
+      SELECT sum(o) AS n, count(DISTINCT a) AS ka, count(DISTINCT b) AS kb
+      FROM obs
+    ), cells AS (
+      SELECT o, n, ka, kb,
+             CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE) AS e
+      FROM obs JOIN row_m USING (a) JOIN col_m USING (b), tot
+    )
+    SELECT round(sum((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e)
+                 + (CAST(any_value(n) AS DOUBLE) - sum(e)), 6) AS chi2,
+           CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+           CAST(n AS BIGINT) AS n,
+           CAST(ka * kb AS BIGINT) AS n_cells,
+           count(*) AS n_observed_cells
+    FROM cells GROUP BY n, ka, kb
+    """,
+    doc="Pearson chi-square independence test between document language "
+    "and source: ONE contingency aggregate (|A|x|B| rows), marginals "
+    "re-derived from it, unobserved cells folded in exactly via the "
+    "N - sum(E_observed) identity (each empty cell contributes its full "
+    "expected mass) — no dense cross join of category domains; the "
+    "crawl-mixture drift detector for corpus monitoring",
+)
+def q_stats_chi_square(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import stats
+
+    return stats.chi_square_independence(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+@register(
+    "stats_linear_fit_price_qty",
+    """
+    WITH m AS (
+      SELECT count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+             sum(CAST(l_quantity AS DECIMAL(19,4))
+                 * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+             sum(CAST(l_quantity AS DECIMAL(19,4))
+                 * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy,
+             sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                 * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+             AS intercept,
+           round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS r2
+    FROM m
+    """,
+    doc="closed-form simple OLS (price ~ quantity) from ONE aggregation "
+    "pass: moment sums run in DECIMAL — exact and associative, so the "
+    "slope's catastrophic cancellation (n*Sxy - Sx*Sy) happens on exact "
+    "values, partitioning-independent; only the final 5-term formula is "
+    "double arithmetic, identical in both engines",
+)
+def q_stats_linear_fit(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import stats
+
+    return stats.linear_fit(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2

@@ -1,0 +1,86 @@
+"""Tests for the distributed statistics operators."""
+
+from __future__ import annotations
+
+import math
+
+from etl_excel_csv_sql_spark.operators import stats
+
+
+def test_chi_square_independent_uniform(spark):
+    # perfectly balanced 2x2 table -> chi2 == 0
+    rows = [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = stats.chi_square_independence(df, "a", "b").first()
+    assert r["chi2"] == 0.0
+    assert r["dof"] == 1 and r["n"] == 40 and r["n_cells"] == 4
+
+
+def test_chi_square_perfect_dependence(spark):
+    # a == b determines everything: chi2 == n * (k-1) for a kxk diagonal
+    rows = [("x", "p")] * 10 + [("y", "q")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = stats.chi_square_independence(df, "a", "b").first()
+    assert abs(r["chi2"] - 20.0) < 1e-6  # n*(k-1) = 20*(2-1)
+    assert r["n_observed_cells"] == 2  # empty cells folded in exactly
+
+
+def test_chi_square_matches_scipy_formula(spark):
+    # hand-computed 2x3 with unbalanced margins
+    rows = (
+        [("x", "p")] * 8 + [("x", "q")] * 2 + [("x", "r")] * 5
+        + [("y", "p")] * 3 + [("y", "q")] * 9 + [("y", "r")] * 4
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = stats.chi_square_independence(df, "a", "b").first()
+    n = 31
+    obs = {("x", "p"): 8, ("x", "q"): 2, ("x", "r"): 5,
+           ("y", "p"): 3, ("y", "q"): 9, ("y", "r"): 4}
+    ra = {"x": 15, "y": 16}
+    cb = {"p": 11, "q": 11, "r": 9}
+    chi2 = sum(
+        (o - ra[a] * cb[b] / n) ** 2 / (ra[a] * cb[b] / n)
+        for (a, b), o in obs.items()
+    )
+    assert abs(r["chi2"] - chi2) < 1e-6
+    assert r["dof"] == 2
+
+
+def test_linear_fit_exact_line(spark):
+    rows = [(float(x), 3.0 * x + 2.0) for x in range(1, 50)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = stats.linear_fit(df, "x", "y").first()
+    assert abs(r["slope"] - 3.0) < 1e-6
+    assert abs(r["intercept"] - 2.0) < 1e-6
+    assert abs(r["r2"] - 1.0) < 1e-6
+
+
+def test_linear_fit_known_noise(spark):
+    # symmetric residuals around y = 2x: slope stays 2, r2 < 1
+    rows = [(1.0, 2.0 + 1.0), (2.0, 4.0 - 1.0), (3.0, 6.0 + 1.0), (4.0, 8.0 - 1.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = stats.linear_fit(df, "x", "y").first()
+    # hand OLS: Sx=10 Sy=20 Sxx=30 Sxy=58 n=4 -> slope=(232-200)/20=1.6
+    sx, sy, sxx, sxy = 10.0, 20.0, 30.0, 58.0
+    n = 4.0
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(r["slope"] - slope) < 1e-6
+    assert 0 < r["r2"] < 1
+
+
+def test_linear_fit_partitioning_invariant(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = stats.linear_fit(li, "l_quantity", "l_extendedprice").first()
+    b = stats.linear_fit(
+        li.repartition(13), "l_quantity", "l_extendedprice"
+    ).first()
+    assert (a["slope"], a["intercept"], a["r2"]) == (
+        b["slope"],
+        b["intercept"],
+        b["r2"],
+    )  # decimal moment sums: bit-identical under re-partitioning
+    # synthetic lineitem draws price independently of quantity (unlike
+    # real TPC-H): a near-zero r2 on a valid fit is the correct answer
+    assert 0.0 <= a["r2"] <= 1.0
