@@ -114,3 +114,92 @@ def linear_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
         F.round((cov_n * cov_n) / (var_x_n * var_y_n), 6).alias("r2"),
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations in long form (col_a, col_b, corr),
+    upper triangle only — ONE aggregation pass computes every moment
+    (k + k(k+1)/2 sums, all DECIMAL-exact and partitioning-invariant),
+    then the tiny single-row frame explodes into pairs map-side. The
+    feature-redundancy screen before model training; contrast with k²/2
+    separate corr() jobs."""
+    dec = "decimal(19,4)"
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(dec)).alias(f"s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum(F.col(a).cast(dec) * F.col(b).cast(dec)).alias(
+                    f"p_{a}_{b}"
+                )
+            )
+    m = df.agg(*aggs)
+
+    n = F.col("n").cast("double")
+
+    def cross(a: str, b: str):
+        key = f"p_{a}_{b}" if f"p_{a}_{b}" in [
+            f"p_{x}_{y}" for i, x in enumerate(cols) for y in cols[i:]
+        ] else f"p_{b}_{a}"
+        return n * F.col(key).cast("double") - F.col(f"s_{a}").cast(
+            "double"
+        ) * F.col(f"s_{b}").cast("double")
+
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            corr = cross(a, b) / F.sqrt(cross(a, a) * cross(b, b))
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(corr, 6).alias("corr"),
+                )
+            )
+    return m.select(F.inline(F.array(*pairs)))
+
+
+def join_cardinality_estimate(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str
+) -> DataFrame:
+    """Pre-flight join sizing WITHOUT materializing the join:
+    |A JOIN B on k| = Σ_k cnt_A(k)·cnt_B(k), computed by joining the two
+    GROUPED (key → count) frames — cost O(distinct keys), not O(join
+    output). The guard a pipeline runs before an unfamiliar join that
+    might explode (many-to-many key overlap); pairs with skew_report,
+    which localizes WHICH keys are hot.
+
+    Returns one row: (join_rows, matched_keys, max_key_contribution,
+    left_rows, right_rows, expansion_factor = join_rows/left_rows).
+    """
+    la = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    rb = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    lt = F.broadcast(left.agg(F.count(F.lit(1)).alias("left_rows")))
+    rt = F.broadcast(right.agg(F.count(F.lit(1)).alias("right_rows")))
+    return (
+        la.join(rb, "k")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("join_rows"),
+            F.count(F.lit(1)).alias("matched_keys"),
+            F.max(F.col("ca") * F.col("cb")).cast("long").alias(
+                "max_key_contribution"
+            ),
+        )
+        .crossJoin(lt)
+        .crossJoin(rt)
+        .select(
+            "join_rows",
+            "matched_keys",
+            "max_key_contribution",
+            "left_rows",
+            "right_rows",
+            F.round(
+                F.col("join_rows") / F.col("left_rows").cast("double"), 6
+            ).alias("expansion_factor"),
+        )
+    )

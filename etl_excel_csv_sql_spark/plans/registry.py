@@ -3891,6 +3891,107 @@ def q_stats_linear_fit(spark, sf_dir):
     )
 
 
+@register(
+    "stats_correlation_matrix",
+    """
+    WITH m AS (
+      SELECT count(*) AS n,
+        sum(CAST(l_quantity AS DECIMAL(19,4))) AS s_q,
+        sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS s_p,
+        sum(CAST(l_discount AS DECIMAL(19,4))) AS s_d,
+        sum(CAST(l_quantity AS DECIMAL(19,4))
+            * CAST(l_quantity AS DECIMAL(19,4))) AS p_qq,
+        sum(CAST(l_quantity AS DECIMAL(19,4))
+            * CAST(l_extendedprice AS DECIMAL(19,4))) AS p_qp,
+        sum(CAST(l_quantity AS DECIMAL(19,4))
+            * CAST(l_discount AS DECIMAL(19,4))) AS p_qd,
+        sum(CAST(l_extendedprice AS DECIMAL(19,4))
+            * CAST(l_extendedprice AS DECIMAL(19,4))) AS p_pp,
+        sum(CAST(l_extendedprice AS DECIMAL(19,4))
+            * CAST(l_discount AS DECIMAL(19,4))) AS p_pd,
+        sum(CAST(l_discount AS DECIMAL(19,4))
+            * CAST(l_discount AS DECIMAL(19,4))) AS p_dd
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           round((CAST(n AS DOUBLE) * CAST(p_qp AS DOUBLE)
+                  - CAST(s_q AS DOUBLE) * CAST(s_p AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(p_qq AS DOUBLE)
+                         - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(p_pp AS DOUBLE)
+                           - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))), 6)
+             AS corr
+    FROM m
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           round((CAST(n AS DOUBLE) * CAST(p_qd AS DOUBLE)
+                  - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(p_qq AS DOUBLE)
+                         - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(p_dd AS DOUBLE)
+                           - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))), 6)
+    FROM m
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           round((CAST(n AS DOUBLE) * CAST(p_pd AS DOUBLE)
+                  - CAST(s_p AS DOUBLE) * CAST(s_d AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(p_pp AS DOUBLE)
+                         - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(p_dd AS DOUBLE)
+                           - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))), 6)
+    FROM m
+    """,
+    doc="pairwise Pearson correlation matrix (long-form upper triangle) "
+    "from ONE aggregation pass — k + k(k+1)/2 DECIMAL-exact moment sums, "
+    "pairs exploded map-side from the single-row frame; the feature-"
+    "redundancy screen, vs k^2/2 separate corr() jobs each rescanning "
+    "the table",
+)
+def q_stats_correlation_matrix(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import stats
+
+    return stats.correlation_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
+@register(
+    "join_cardinality_estimate",
+    """
+    WITH la AS (SELECT l_orderkey AS k, count(*) AS ca
+                FROM lineitem GROUP BY 1),
+    rb AS (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1),
+    j AS (
+      SELECT CAST(sum(ca * cb) AS BIGINT) AS join_rows,
+             count(*) AS matched_keys,
+             CAST(max(ca * cb) AS BIGINT) AS max_key_contribution
+      FROM la JOIN rb USING (k)
+    ), lt AS (SELECT count(*) AS left_rows FROM lineitem),
+    rt AS (SELECT count(*) AS right_rows FROM orders)
+    SELECT join_rows, matched_keys, max_key_contribution,
+           left_rows, right_rows,
+           round(join_rows / CAST(left_rows AS DOUBLE), 6)
+             AS expansion_factor
+    FROM j, lt, rt
+    """,
+    doc="pre-flight join sizing WITHOUT materializing the join: "
+    "|A JOIN B| = SUM_k cntA(k)*cntB(k) over the two grouped key frames "
+    "— cost O(distinct keys) not O(output); the explosion guard to run "
+    "before an unfamiliar many-to-many join, pairing with "
+    "join_skew_report which localizes the hot keys",
+)
+def q_join_cardinality_estimate(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import stats
+
+    return stats.join_cardinality_estimate(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2

@@ -84,3 +84,40 @@ def test_linear_fit_partitioning_invariant(spark, sf_dir):
     # synthetic lineitem draws price independently of quantity (unlike
     # real TPC-H): a near-zero r2 on a valid fit is the correct answer
     assert 0.0 <= a["r2"] <= 1.0
+
+
+def test_correlation_matrix_known_values(spark):
+    rows = [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0), (4.0, 8.5, -4.0)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in stats.correlation_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert len(got) == 3
+    assert got[("x", "z")] == -1.0          # exact anti-correlation
+    assert 0.99 < got[("x", "y")] <= 1.0    # near-perfect line
+    assert -1.0 <= got[("y", "z")] < -0.99
+
+
+def test_join_cardinality_matches_real_join(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    est = stats.join_cardinality_estimate(
+        li, orders, "l_orderkey", "o_orderkey"
+    ).first()
+    actual = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).count()
+    assert est["join_rows"] == actual  # exact, not an estimate, by construction
+
+
+def test_join_cardinality_flags_manytomany_explosion(spark):
+    left = spark.createDataFrame([(1,)] * 100 + [(2,)] * 2, "k long")
+    right = spark.createDataFrame([(1,)] * 50 + [(3,)] * 5, "k long")
+    r = stats.join_cardinality_estimate(left, right, "k", "k").first()
+    assert r["join_rows"] == 5000
+    assert r["matched_keys"] == 1
+    assert r["max_key_contribution"] == 5000
+    assert r["expansion_factor"] > 49.0
