@@ -14,6 +14,13 @@ selection / AQE. Families:
 - events.py     — event-time windows & sessionization
 - asof.py       — point-in-time (as-of) join
 - sampling.py   — deterministic splits, stratified sampling
-- multimodal.py — binary media columns with REAL stdlib decode kernels
+- multimodal.py — binary media columns with REAL stdlib decode kernels,
+                  perceptual average-hash image near-dup
 - codecs.py — pure-stdlib BMP/PNG/PPM/JPEG/WAV codecs (struct+zlib+numpy)
+- quality.py    — declarative data-quality constraint suite (deequ-lite)
+- linkage.py    — record linkage: blocked fuzzy matching funnel
+- layout.py     — Z-order (Morton) clustering for min-max scan pruning
+- sketches.py   — mergeable HLL distinct / GK quantile calibration
+- stats.py      — chi-square independence, decimal-exact OLS, one-pass
+                  correlation matrix, pre-flight join cardinality
 """
