@@ -132,7 +132,13 @@ def run_checks(
             .cast("long")
             .alias(uq.name)
         )
-    one = df.agg(*aggs)
+    # Eagerly checkpoint the single aggregate row: every ref-integrity
+    # branch re-attaches the total via a 1x1 cross join, and without the
+    # checkpoint Catalyst column-prunes each branch into a DIFFERENT
+    # narrow aggregate (no ReuseExchange) — one extra full table scan PER
+    # ref constraint. Materializing the one-row result makes the row
+    # checks exactly one pass and the refs one anti-join pass each.
+    one = df.agg(*aggs).localCheckpoint(eager=True)
 
     # single aggregate row -> one row per constraint, map-side
     names = [ck.name for ck in checks] + [uq.name for uq in uniques]
