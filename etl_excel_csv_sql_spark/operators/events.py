@@ -349,15 +349,21 @@ def cohort_retention(
     event-cardinality. Offsets are whole weeks from the cohort week's
     Monday (date_trunc 'week'), capped at ``max_weeks``.
     """
-    first_seen = df.groupBy(F.col(user_col).alias("u")).agg(
-        F.date_trunc("week", F.min(ts_col)).cast("date").alias("cohort_week")
-    )
+    # ONE event scan: the deduped (user, week) frame is checkpointed and
+    # feeds BOTH the cohort derivation and the activity join (without it
+    # Catalyst recomputes the distinct from the raw events for each
+    # consumer — a second full scan). first_seen derives from it because
+    # date_trunc is monotone: min(trunc(ts)) == trunc(min(ts)).
     active = (
         df.select(
             F.col(user_col).alias("u"),
             F.date_trunc("week", F.col(ts_col)).cast("date").alias("active_week"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
+    )
+    first_seen = active.groupBy("u").agg(
+        F.min("active_week").alias("cohort_week")
     )
     joined = active.join(first_seen, "u").select(
         "u",
@@ -404,6 +410,9 @@ def transition_matrix(
     Ties in ts order break on the event id to keep the sequence total.
     """
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    # checkpoint the tiny (|types|² rows) pair counts: totals and the
+    # normalization join both consume them, and without it the lag window
+    # over the FULL event stream runs twice
     pairs = (
         df.withColumn("prev_type", F.lag(type_col).over(w))
         .where(F.col("prev_type").isNotNull())
@@ -412,6 +421,7 @@ def transition_matrix(
             F.col(type_col).alias("to_type"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     totals = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
     return pairs.join(totals, "from_type").select(

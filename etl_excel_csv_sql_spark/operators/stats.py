@@ -30,9 +30,14 @@ def chi_square_independence(
     chi2 = sum_obs (O-E)^2/E + (N - sum_obs E), since every unobserved
     cell contributes exactly E ((0-E)^2/E = E).
     """
-    obs = df.groupBy(
-        F.col(col_a).alias("a"), F.col(col_b).alias("b")
-    ).agg(F.count(F.lit(1)).alias("o"))
+    # checkpoint the |A|x|B|-row contingency table: marginals, totals and
+    # the cell join all consume it — without this the raw-table count
+    # aggregate runs four times
+    obs = (
+        df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)
+    )
     row_m = obs.groupBy("a").agg(F.sum("o").alias("ra"))
     col_m = obs.groupBy("b").agg(F.sum("o").alias("cb"))
     tot = obs.agg(

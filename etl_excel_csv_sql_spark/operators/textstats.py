@@ -662,7 +662,15 @@ def unigram_surprisal(
         )
         .select("doc", F.lower(F.col("term_raw")).alias("term"))
     )
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # checkpoint the term-cardinality vocab: the totals aggregate and the
+    # scoring join both consume it — without this the corpus explode+count
+    # runs three times (vocab for totals, vocab for the join, toks for
+    # scoring) instead of the two passes the algorithm needs
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     totals = F.broadcast(vocab.agg(F.sum("c").alias("n")))
     scored = toks.join(vocab, "term").crossJoin(totals)
     return (
