@@ -59,9 +59,12 @@ def fuzzy_self_pairs(
     (id_a, id_b, text_a, text_b, dist, similarity) with id_a < id_b,
     dist <= max_dist, similarity = 1 - dist/max(len_a, len_b).
     """
+    # checkpoint the distinct-string frame: the self-join consumes it on
+    # both sides (plus the block-size guard), and Catalyst would otherwise
+    # recompute the upstream canonicalization groupBy per consumer
     sides = distinct_df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("t"), block.alias("blk")
-    )
+    ).localCheckpoint(eager=True)
     if max_block is not None:
         # in-plan block-size guard: count per block, keep small blocks —
         # the skew cap that keeps Σ|block|² bounded on adversarial data
