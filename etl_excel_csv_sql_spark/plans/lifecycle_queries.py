@@ -1474,3 +1474,71 @@ def q_events_streaming_approx_users(spark, sf_dir):
     return spark.table(sink_name).select(
         "window_start", "approx_users", "n_events"
     )
+
+
+@register(
+    "events_streaming_enriched",
+    """
+    SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           c.c_mktsegment AS segment,
+           count(*) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="stream-static dimension enrichment e2e: events stream joined to "
+    "the customer dim (explicit broadcast — per micro-batch the join is "
+    "map-side, the stream never shuffles for the lookup; static side "
+    "re-read per batch per Spark's slowly-changing-dim semantics) then "
+    "hourly windowed counts by market segment, complete mode over a "
+    "bounded replay == the batch join+aggregate, so the full value "
+    "oracle applies to the streaming path",
+)
+def q_events_streaming_enriched(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.streaming.joins import stream_static_enrich
+    from etl_excel_csv_sql_spark.streaming.windows import with_watermark
+
+    scratch = _scratch(
+        "events_enriched_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    src = os.path.join(scratch, "events_in")
+    load_table(spark, sf_dir, "events").select(
+        "ts", "user_id"
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream_static_enrich(
+        with_watermark(stream, "ts", "2 hours"), dim, "user_id", "c_custkey"
+    )
+    agg = (
+        enriched.groupBy(
+            F.window("ts", "1 hour"), F.col("c_mktsegment").alias("segment")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "segment",
+            "n_events",
+        )
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    sink_name = f"evt_enriched_{_STREAM_RUN_SEQ[0]}"
+    (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    # per-window distinct users deliberately NOT in this output: exact
+    # distinct is unsupported in streaming and the sketch path has its
+    # own rows-only query (events_streaming_approx_users)
+    return spark.table(sink_name).select("window_start", "segment", "n_events")

@@ -3505,6 +3505,24 @@ def q_hll_distinct_calibration(spark, sf_dir):
 
 
 @register(
+    "hll_set_overlap",
+    None,
+    doc="pairwise audience overlap between event types from HLL sketch "
+    "ALGEBRA: |A int B| ~ |A|+|B|-|A u B| with the union estimated by "
+    "merging sketch BYTES (hll_union) — after the one sketch-building "
+    "pass, no raw values are touched or joined; the cross-set "
+    "contamination / audience-overlap question at 100 TB. Rows-only; "
+    "pytest calibrates against exact intersections",
+)
+def q_hll_set_overlap(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import sketches
+
+    return sketches.set_overlap_estimate(
+        _t(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+@register(
     "quantile_sketch_calibration",
     None,
     doc="approx_percentile (Greenwald-Khanna sketch, mergeable map-side "

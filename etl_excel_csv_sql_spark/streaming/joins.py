@@ -62,3 +62,32 @@ def stream_stream_interval_join(
         )
     )
     return lhs.join(rhs, cond, how)
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join each micro-batch against
+    a batch dimension table — the lookup/enrichment side of streaming
+    ETL (no state store involved; only stream-stream joins need state).
+
+    The dim side is explicitly broadcast: per micro-batch Spark re-plans
+    the join, so a broadcast dim means NO shuffle of the stream at all —
+    the enrichment is map-side on whatever partitioning the source gives.
+    The static side is re-read per micro-batch by the engine (file-backed
+    dims pick up slowly-changing updates between batches; this is the
+    documented Spark semantics, not a cache).
+
+    For dims beyond broadcast size, drop the hint and pre-bucket both
+    sides on the key (io/warehouse.py) so the per-batch join is still
+    shuffle-free on the stream side.
+    """
+    from pyspark.sql import functions as F
+
+    return stream.join(
+        F.broadcast(dim), stream[stream_key] == dim[dim_key], how
+    )

@@ -61,3 +61,34 @@ def test_quantile_calibration_rank_guarantee(spark, sf_dir):
             below / n,
             at_or_below / n,
         )
+
+
+def test_set_overlap_known_sets(spark):
+    # g=A: values 0..9999; g=B: 5000..14999 -> |A|=|B|=10000,
+    # union=15000, intersection=5000, jaccard=1/3
+    df = spark.range(0, 10000).selectExpr("'A' AS g", "id AS v").union(
+        spark.range(5000, 15000).selectExpr("'B' AS g", "id AS v")
+    )
+    r = sketches.set_overlap_estimate(df, "g", "v").first()
+    assert (r["group_a"], r["group_b"]) == ("A", "B")
+    assert abs(r["approx_union"] - 15000) / 15000 < 0.05
+    assert abs(r["approx_intersection"] - 5000) / 5000 < 0.10
+    assert abs(r["jaccard"] - 1 / 3) < 0.05
+
+
+def test_set_overlap_disjoint_and_identical(spark):
+    df = (
+        spark.range(0, 5000).selectExpr("'A' AS g", "id AS v")
+        .union(spark.range(5000, 10000).selectExpr("'B' AS g", "id AS v"))
+        .union(spark.range(0, 5000).selectExpr("'C' AS g", "id AS v"))
+    )
+    rows = {
+        (r["group_a"], r["group_b"]): r
+        for r in sketches.set_overlap_estimate(df, "g", "v").collect()
+    }
+    ab = rows[("A", "B")]
+    ac = rows[("A", "C")]
+    # disjoint: intersection ~0 relative to set sizes
+    assert ab["approx_intersection"] < 0.05 * 5000
+    # identical: jaccard ~1
+    assert ac["jaccard"] > 0.95
