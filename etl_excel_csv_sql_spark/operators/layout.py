@@ -83,7 +83,15 @@ def with_zorder(
     z_col: str = "zvalue",
 ) -> DataFrame:
     """Attach the z-value of (col_a, col_b) with in-plan min/max
-    bucketization — one tiny aggregate + a narrow map, no driver action."""
+    bucketization — one tiny aggregate + a narrow map, no driver action.
+
+    The spread runs as STAGED projections (one per mask step, buckets
+    materialized first): each step references its input twice, so a
+    single composed Column would duplicate the whole upstream expression
+    per reference — 2^4 copies of the bucket arithmetic per dimension in
+    the plan tree (CollapseProject only keeps stages apart when the
+    duplicated expression is non-cheap AND already staged; compose-in-
+    Python never stages). Identical semantics, linear plan size."""
     bounds = F.broadcast(
         df.agg(
             F.min(col_a).alias("__lo_a"),
@@ -92,12 +100,29 @@ def with_zorder(
             F.max(col_b).alias("__hi_b"),
         )
     )
-    ba = minmax_bucket(F.col(col_a), F.col("__lo_a"), F.col("__hi_a"), bits)
-    bb = minmax_bucket(F.col(col_b), F.col("__lo_b"), F.col("__hi_b"), bits)
-    return (
-        df.crossJoin(bounds)
-        .withColumn(z_col, zorder_value(ba, bb))
-        .drop("__lo_a", "__hi_a", "__lo_b", "__hi_b")
+    orig = df.columns
+    cur = df.crossJoin(bounds).select(
+        *orig,
+        minmax_bucket(
+            F.col(col_a), F.col("__lo_a"), F.col("__hi_a"), bits
+        ).alias("__za"),
+        minmax_bucket(
+            F.col(col_b), F.col("__lo_b"), F.col("__hi_b"), bits
+        ).alias("__zb"),
+    )
+    for shift, mask in _SPREAD_MASKS:
+        def step(c: str) -> Column:
+            x = F.col(c)
+            return (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(
+                F.lit(mask)
+            ).alias(c)
+
+        cur = cur.select(*orig, step("__za"), step("__zb"))
+    return cur.select(
+        *orig,
+        F.col("__za")
+        .bitwiseOR(F.shiftleft(F.col("__zb"), 1))
+        .alias(z_col),
     )
 
 

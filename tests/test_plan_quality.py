@@ -154,3 +154,67 @@ def test_spread_for_compute_probe_caveats(spark, sf_dir):
     rdd = spark.sparkContext.parallelize([(i,) for i in range(100)], 2)
     rdd_df = spark.createDataFrame(rdd, "id: bigint")
     assert R.spread_for_compute(rdd_df).rdd.getNumPartitions() >= target
+
+
+# ---------------------------------------------------------------------------
+# late-r6 batch 3 plan guarantees
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_plans_take_ordered(spark, sf_dir):
+    from etl_excel_csv_sql_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["weighted_sample_orders"](spark, sf_dir))
+    # global top-k must be the per-partition-heap plan, not a full sort:
+    # a Sort+Exchange here would shuffle the whole table at 100 TB
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_zorder_value_is_exchange_free(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import layout
+
+    orders = load_table(spark, sf_dir, "orders")
+    plan = _plan(layout.with_zorder(orders, "o_custkey", "o_totalprice"))
+    # the z-value computation must never hash-shuffle the table: the only
+    # exchanges allowed are the single-row bounds aggregate + broadcast
+    assert "hashpartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # in-plan bounds attach
+    # staged spread: the plan tree stays linear, not 2^steps expansions
+    assert len(plan) < 20000
+
+
+def test_dq_ref_integrity_broadcasts_dim_keys(spark, sf_dir):
+    from etl_excel_csv_sql_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["dq_check_suite"](spark, sf_dir))
+    # FK checks: dimension key projections broadcast; the fact side is
+    # never shuffled for referential integrity
+    assert "LeftAnti" in plan
+    import re
+    assert re.search(r"BroadcastHashJoin \[[^\]]*\], \[[^\]]*\], LeftAnti", plan)
+
+
+def test_fuzzy_join_shuffles_on_block_key_only(spark, sf_dir):
+    from etl_excel_csv_sql_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["fuzzy_part_pairs"](spark, sf_dir))
+    # the pair generation must be an equi-join on the block key (hash
+    # join / sort-merge), never a nested-loop over all distinct strings
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_single_window_no_self_join(spark, sf_dir):
+    from etl_excel_csv_sql_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["attribution_last_touch"](spark, sf_dir))
+    # one window pass: any Join node would mean the O(n^2) formulation
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_correlation_matrix_single_aggregate(spark, sf_dir):
+    from etl_excel_csv_sql_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["stats_correlation_matrix"](spark, sf_dir))
+    # all moments in one pass: exactly one scan of lineitem
+    assert plan.count("Scan parquet") == 1
