@@ -150,3 +150,80 @@ def test_profile_table_quotes_hostile_column_names(spark):
     assert set(out) == set(hostile)
     assert out["weird col"].n_null == 0 and out["it's"].n_null == 1
     assert out["tick`mark"].min_value == "1.5"
+
+
+# ---------------------------------------------------------------------------
+# late-r6 batch 3 properties
+# ---------------------------------------------------------------------------
+
+_key = st.integers(min_value=1, max_value=30)
+_grp = st.sampled_from(["A", "B", "C"])
+_val = st.floats(
+    min_value=-1000, max_value=1000, allow_nan=False, allow_infinity=False
+).map(lambda v: round(v, 4))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.dictionaries(_key, st.tuples(_grp, _val), min_size=1, max_size=20),
+    st.dictionaries(_key, st.tuples(_grp, _val), min_size=1, max_size=20),
+)
+def test_ivm_equals_recompute_on_arbitrary_snapshots(spark, old_map, new_map):
+    """For ANY old/new snapshot pair (arbitrary inserts, deletes, value
+    updates, group migrations), applying snapshot_diff incrementally must
+    equal the full recompute exactly."""
+    from etl_excel_csv_sql_spark.operators import relational
+
+    old = spark.createDataFrame(
+        [(k, g, v) for k, (g, v) in old_map.items()], "k long, g string, v double"
+    )
+    new = spark.createDataFrame(
+        [(k, g, v) for k, (g, v) in new_map.items()], "k long, g string, v double"
+    )
+
+    def agg(df):
+        return df.groupBy("g").agg(
+            relational.money_sum("v").alias("total"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    diff = relational.snapshot_diff(old, new, ["k"], ["g", "v"])
+    got = {
+        (r["g"], r["total"], r["n_rows"])
+        for r in relational.incremental_agg_apply(
+            agg(old), diff, "g", "v"
+        ).collect()
+    }
+    want = {
+        (r["g"], r["total"], r["n_rows"]) for r in agg(new).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.1, max_value=100, allow_nan=False),
+        min_size=5,
+        max_size=40,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+def test_wswr_is_a_valid_sample(spark, weights, k):
+    """Any draw: exactly min(k, n) distinct eligible rows, stable under
+    re-partitioning."""
+    from etl_excel_csv_sql_spark.operators import sampling
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = sampling.weighted_sample_without_replacement(df, "id", "w", k=k)
+    ids = [r["id"] for r in got.collect()]
+    assert len(ids) == len(set(ids)) == min(k, len(rows))
+    ids2 = [
+        r["id"]
+        for r in sampling.weighted_sample_without_replacement(
+            df.repartition(5), "id", "w", k=k
+        ).collect()
+    ]
+    assert set(ids) == set(ids2)
