@@ -485,3 +485,72 @@ def attribute_last_touch(
             & (gap <= F.lit(float(window_seconds)))
         ).alias("attributed"),
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    z_threshold: float = 3.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Seasonal-baseline anomaly screen: each event's value is judged
+    against the mean/stddev of ITS OWN (event_type, hour-of-day) cell —
+    the diurnal-pattern complement of the global/grouped MAD screen
+    (mad_anomalies): a value normal at peak hour can be anomalous at 4am.
+
+    Plan: one tiny (type, hour) aggregate (|types| x 24 rows) with
+    DECIMAL moment sums (mean and population stddev derive from exact
+    Sx/Sxx, so the baselines are partitioning-invariant and engine-
+    identical); the baseline broadcasts back onto the events via a
+    map-side join — the event stream itself never shuffles. Returns
+    flagged rows with their z-score.
+    """
+    dec = "decimal(19,4)"
+    x = F.col(value_col).cast(dec)
+    hour = F.hour(ts_col)
+    base = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(type_col).alias("t"), hour.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(x * x).alias("sxx"),
+        )
+        .select(
+            "t",
+            "h",
+            "n",
+            (F.col("sx").cast("double") / F.col("n").cast("double")).alias(
+                "mu"
+            ),
+            (
+                F.sqrt(
+                    F.col("n").cast("double") * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx").cast("double")
+                )
+                / F.col("n").cast("double")
+            ).alias("sigma"),
+        )
+    )
+    joined = df.join(
+        F.broadcast(base),
+        (F.col(type_col) == F.col("t")) & (F.hour(ts_col) == F.col("h")),
+    )
+    zscore = (F.col(value_col) - F.col("mu")) / F.col("sigma")
+    return (
+        joined.where(
+            (F.col("sigma") > 0) & (F.abs(zscore) > F.lit(z_threshold))
+        )
+        .select(
+            F.col(id_col).alias("event_id"),
+            F.col(type_col).alias("event_type"),
+            F.col("h").alias("hour_of_day"),
+            F.col(value_col).alias("value"),
+            F.round("mu", 6).alias("seasonal_mean"),
+            F.round("sigma", 6).alias("seasonal_std"),
+            F.round(zscore, 6).alias("zscore"),
+        )
+    )

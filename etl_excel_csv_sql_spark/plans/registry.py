@@ -4010,6 +4010,123 @@ def q_join_cardinality_estimate(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Multi-join report + anti-join breadth (TPC-H Q10/Q22 shapes)
+# ---------------------------------------------------------------------------
+
+@register(
+    "returned_item_report",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item customer report): 4-table join "
+    "where the returnflag filter pushes to the lineitem SCAN, nation "
+    "broadcasts, customer-orders-lineitem co-shuffle on their keys, "
+    "revenue is decimal-exact, and the final top-20 is "
+    "TakeOrderedAndProject — the full multi-join + agg + top-k shape in "
+    "one plan (cited: the reference computes no joins beyond its "
+    "IN-list, InvoiceFileSearchFromSQL.ps1; this is engine breadth)",
+)
+def q_returned_item_report(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    agg = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return relational.top_k(
+        agg, [F.col("revenue").desc()], 20, tiebreak=["c_custkey"]
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    """,
+    doc="NOT EXISTS shape (TPC-H Q22 family) as a LEFT ANTI join — "
+    "lapsed customers with no order since 2000-01-01 (the date filter "
+    "pushes to the orders SCAN, then the side reduces to its key "
+    "projection); at scale the same plan takes the bloom-prefilter fast "
+    "path (bloom_semi_join_prefilter) when the key set exceeds broadcast "
+    "size",
+)
+def q_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "events_seasonal_anomalies",
+    """
+    WITH base AS (
+      SELECT event_type AS t, hour(ts) AS h,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(19,4))) AS sx,
+             sum(CAST(value AS DECIMAL(19,4))
+                 * CAST(value AS DECIMAL(19,4))) AS sxx
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), stats_ AS (
+      SELECT t, h,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+             sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS sigma
+      FROM base
+    )
+    SELECT e.event_id, e.event_type, s.h AS hour_of_day, e.value,
+           round(s.mu, 6) AS seasonal_mean,
+           round(s.sigma, 6) AS seasonal_std,
+           round((e.value - s.mu) / s.sigma, 6) AS zscore
+    FROM events e
+    JOIN stats_ s ON e.event_type = s.t AND hour(e.ts) = s.h
+    WHERE s.sigma > 0 AND abs((e.value - s.mu) / s.sigma) > 3.0
+    """,
+    doc="seasonal-baseline anomaly screen: values judged against their "
+    "own (event_type, hour-of-day) diurnal cell — mean/stddev from "
+    "DECIMAL moment sums (partitioning-invariant, engine-identical), "
+    "baselines broadcast back map-side, events never shuffle; the "
+    "diurnal complement of the MAD screen (events_value_anomalies)",
+)
+def q_events_seasonal_anomalies(spark, sf_dir):
+    return events.seasonal_anomalies(_t(spark, sf_dir, "events"))
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2

@@ -134,3 +134,18 @@ def test_attribution_last_touch_hand_computed(spark):
     assert got[5]["last_touch_ts"] == "2024-01-02 00:00:00"
     assert got[6]["attributed"] is False and got[6]["last_touch_ts"] is None
     assert len(got) == 3
+
+
+def test_seasonal_anomalies_flags_planted_outlier(spark):
+    # a tight cluster at hour 3 plus one wild value: only it flags
+    rows = [(i, 1, _ts(1, 3), "view", 10.0 + (i % 3) * 0.1) for i in range(30)]
+    rows.append((99, 1, _ts(2, 3), "view", 500.0))
+    # another hour with identical values -> sigma 0, never flags
+    rows += [(200 + i, 1, _ts(1, 5), "view", 7.0) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = events.seasonal_anomalies(df).collect()
+    assert [r["event_id"] for r in got] == [99]
+    assert got[0]["hour_of_day"] == 3
+    assert got[0]["zscore"] > 3.0
