@@ -928,3 +928,115 @@ def pq_search(
         F.round(F.col("item.cosine"), 6).alias("approx_cosine"),
         "rank",
     )
+
+
+def pca_analysis(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Distributed PCA over an embedding corpus: mean vector, top-k
+    principal components, and explained-variance ratios.
+
+    The distributed work is ONE mapInPandas pass emitting per-batch
+    partial sums (count, Σx, ΣxᵀX as a flattened dim² outer-product
+    accumulation — numpy X.T@X per Arrow batch, never per row) reduced
+    by a tiny aggregate; the (dim × dim) covariance eigen-solve runs on
+    the driver, which is correct at ANY corpus size because the matrix
+    is dim-bounded (64² doubles here), not data-bounded. Mirrors the
+    classic Spark MLlib RowMatrix.computePrincipalComponents design.
+
+    Returns numpy (mean[dim], components[k, dim], ratios[k]) — driver-
+    side model artifacts, meant to be broadcast back by
+    :func:`pca_project`.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    dim = len(df.select(vec_col).first()[0])
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("ss", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(it):
+        import pandas as pd
+
+        n = 0
+        s = np.zeros(dim)
+        ss = np.zeros((dim, dim))
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            ss += x.T @ x
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+        )
+
+    rows = df.select(vec_col).mapInPandas(partials, schema).collect()
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    ss = np.sum([np.array(r["ss"]).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals = np.maximum(evals[order], 0.0)
+    comps = evecs[:, order].T[:k]
+    ratios = evals[:k] / evals.sum() if evals.sum() > 0 else evals[:k]
+    return mean, comps, ratios
+
+
+def pca_project(
+    df: DataFrame,
+    mean,
+    components,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto the principal components: the centered dot
+    products run as JVM higher-order functions over a broadcast literal
+    component matrix — a narrow map, no UDF, no shuffle."""
+    k = len(components)
+    comps = [
+        F.array(*[F.lit(float(v)) for v in comp]) for comp in components
+    ]
+    mean_arr = F.array(*[F.lit(float(v)) for v in mean])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), mean_arr, lambda a, b: a - b
+    )
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(centered, comps[i], lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for i in range(k)
+        ]
+    )
+    return df.withColumn(out_col, proj)
+
+
+def pca_variance_report(
+    df: DataFrame, vec_col: str = "embedding", k: int = 8
+) -> DataFrame:
+    """(component, explained_variance_ratio, cumulative_ratio) for the
+    top-k principal axes — the dimensionality-vs-information profile that
+    sizes a PQ/IVF compression choice."""
+    _, _, ratios = pca_analysis(df, vec_col, k)
+    spark = df.sparkSession
+    rows, cum = [], 0.0
+    for i, r in enumerate(ratios, start=1):
+        cum += float(r)
+        rows.append((i, round(float(r), 6), round(cum, 6)))
+    return spark.createDataFrame(
+        rows, "component int, explained_variance_ratio double, cumulative_ratio double"
+    )

@@ -4127,6 +4127,28 @@ def q_events_seasonal_anomalies(spark, sf_dir):
     return events.seasonal_anomalies(_t(spark, sf_dir, "events"))
 
 
+# ---------------------------------------------------------------------------
+# Distributed PCA (similarity.pca_analysis / pca_project)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_pca_variance",
+    None,
+    doc="distributed PCA over the embedding corpus: ONE Arrow mapInPandas "
+    "pass of per-batch partial sums (count, sum, X^T X outer products — "
+    "numpy per batch, never per row), dim^2-bounded covariance "
+    "eigen-solve on the driver (correct at any corpus size — the matrix "
+    "is dim-bounded), explained-variance profile for sizing PQ/IVF "
+    "compression. Rows-only (eigendecomposition has no SQL oracle); "
+    "pytest proves parity with numpy PCA on the full collected corpus "
+    "and projection-variance consistency",
+)
+def q_embedding_pca_variance(spark, sf_dir):
+    return similarity.pca_variance_report(
+        _t(spark, sf_dir, "embeddings"), "embedding", k=8
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2

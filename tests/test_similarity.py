@@ -393,3 +393,62 @@ def test_pq_recall_and_rerank(spark, emb):
         na = _math.sqrt(sum(x * x for x in a))
         nb = _math.sqrt(sum(x * x for x in b))
         assert abs(top.approx_cosine - dot / (na * nb)) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA (late r6)
+# ---------------------------------------------------------------------------
+
+def test_pca_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, ratios = similarity.pca_analysis(emb, "embedding", k=5)
+
+    x = np.stack(
+        [np.array(r["embedding"], dtype=np.float64) for r in emb.collect()]
+    )
+    np_mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    np_ratios = evals[:5] / evals.sum()
+
+    assert np.allclose(mean, np_mean, atol=1e-8)
+    assert np.allclose(ratios, np_ratios, atol=1e-6)
+    # components orthonormal
+    assert np.allclose(comps @ comps.T, np.eye(5), atol=1e-8)
+
+
+def test_pca_partials_invariant_to_partitioning(spark, sf_dir):
+    import numpy as np
+
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, _, r1 = similarity.pca_analysis(emb, "embedding", k=4)
+    _, _, r2 = similarity.pca_analysis(emb.repartition(7), "embedding", k=4)
+    assert np.allclose(r1, r2, atol=1e-9)
+
+
+def test_pca_projection_variance_decreases(spark, sf_dir):
+    import numpy as np
+
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, ratios = similarity.pca_analysis(emb, "embedding", k=3)
+    proj = similarity.pca_project(emb, mean, comps)
+    vals = np.stack(
+        [np.array(r["pca"]) for r in proj.select("pca").collect()]
+    )
+    variances = vals.var(axis=0)
+    # per-axis projected variance must rank like the eigenvalues
+    assert variances[0] >= variances[1] >= variances[2]
+    # and projections are centered
+    assert np.allclose(vals.mean(axis=0), 0, atol=1e-8)
