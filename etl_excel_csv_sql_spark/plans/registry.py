@@ -4149,6 +4149,83 @@ def q_embedding_pca_variance(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Privacy / governance (operators/privacy.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "k_anonymity_violations",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             '[' || CAST(CAST(floor(c_acctbal / 5000.0) * 5000.0 AS BIGINT)
+                         AS VARCHAR)
+                 || ','
+                 || CAST(CAST(floor(c_acctbal / 5000.0) * 5000.0 AS BIGINT)
+                         + 5000 AS VARCHAR)
+                 || ')' AS acctbal_band
+      FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment, acctbal_band,
+           count(*) AS group_size,
+           5 - count(*) AS deficit
+    FROM g
+    GROUP BY 1, 2, 3
+    HAVING count(*) < 5
+    """,
+    doc="k-anonymity audit (k=5) on the (nation, segment, balance-band) "
+    "quasi-identifier tuple — the banded balance comes from "
+    "privacy.generalize_band, the generalization primitive that also "
+    "REPAIRS violations by widening bands (pytest proves widening "
+    "monotonically shrinks the violation set). One groupBy pass; each "
+    "under-k combination is a re-identification risk; the release gate "
+    "next to redact_pii",
+)
+def q_k_anonymity_violations(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import privacy
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "acctbal_band", privacy.generalize_band(F.col("c_acctbal"), 5000.0)
+    )
+    return privacy.k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment", "acctbal_band"], k=5
+    )
+
+
+@register(
+    "dp_noisy_event_counts",
+    """
+    WITH counts AS (
+      SELECT event_type AS grp, count(*) AS true_count
+      FROM events GROUP BY 1
+    ), draws AS (
+      SELECT grp, true_count,
+             ((('0x' || substr(md5('dp-v1' || grp), 1, 13))::UBIGINT + 0.5)
+              / 4503599627370496.0) AS u
+      FROM counts
+    )
+    SELECT grp, true_count,
+           round(true_count
+                 + (-(1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))),
+                 6) AS noisy_count,
+           1.0 AS epsilon
+    FROM draws
+    """,
+    doc="epsilon-differentially-private count release (Laplace(1/eps), "
+    "sensitivity 1) with DETERMINISTIC per-(salt, group) noise from the "
+    "md5-uniform inverse CDF: re-running the publication releases the "
+    "SAME values (no budget re-spend on pipeline retries; rotate the "
+    "salt to redraw) and the oracle reproduces the release exactly — "
+    "true_count included here only for the calibration contract",
+)
+def q_dp_noisy_event_counts(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import privacy
+
+    return privacy.dp_noisy_counts(
+        _t(spark, sf_dir, "events"), "event_type", epsilon=1.0
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2
