@@ -1040,3 +1040,53 @@ def pca_variance_report(
     return spark.createDataFrame(
         rows, "component int, explained_variance_ratio double, cumulative_ratio double"
     )
+
+
+def embedding_drift_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Distribution-drift monitor between two embedding corpora (train
+    vs serve, yesterday vs today): cosine between the mean vectors, L2
+    shift of the means, and mean-norm ratio — the cheap first-line
+    alarm before anything expensive (full PCA, re-clustering).
+
+    Plan: per-dim mean of each corpus in ONE aggregation pass per side
+    (dim explicit sum columns — no explode, no (pos) shuffle of dim x n
+    rows); the two single-row frames cross-combine and the final
+    few-hundred-term arithmetic runs on the driver-bound 1x1 frame.
+    Float elements cast to double BEFORE summing.
+    """
+    if dim is None:
+        dim = len(df_a.select(vec_col).first()[0])
+
+    def means(df: DataFrame, tag: str) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias(f"n_{tag}")]
+        for i in range(dim):
+            aggs.append(
+                F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{tag}{i}")
+            )
+        return df.agg(*aggs)
+
+    both = means(df_a, "a").crossJoin(means(df_b, "b"))  # 1x1
+    dot = None
+    na = None
+    nb = None
+    shift = None
+    for i in range(dim):
+        ma, mb = F.col(f"ma{i}"), F.col(f"mb{i}")
+        term = ma * mb
+        dot = term if dot is None else dot + term
+        na = ma * ma if na is None else na + ma * ma
+        nb = mb * mb if nb is None else nb + mb * mb
+        d = ma - mb
+        shift = d * d if shift is None else shift + d * d
+    return both.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 6).alias("mean_cosine"),
+        F.round(F.sqrt(shift), 6).alias("mean_l2_shift"),
+        F.round(F.sqrt(na) / F.sqrt(nb), 6).alias("mean_norm_ratio"),
+    )

@@ -4226,6 +4226,58 @@ def q_dp_noisy_event_counts(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Embedding drift (similarity.embedding_drift_report)
+# ---------------------------------------------------------------------------
+
+def _drift_oracle(dim: int = 64) -> str:
+    ma = ", ".join(
+        f"avg(CAST(embedding[{i+1}] AS DOUBLE)) AS ma{i}" for i in range(dim)
+    )
+    mb = ", ".join(
+        f"avg(CAST(embedding[{i+1}] AS DOUBLE)) AS mb{i}" for i in range(dim)
+    )
+    dot = " + ".join(f"ma{i} * mb{i}" for i in range(dim))
+    na = " + ".join(f"ma{i} * ma{i}" for i in range(dim))
+    nb = " + ".join(f"mb{i} * mb{i}" for i in range(dim))
+    shift = " + ".join(f"(ma{i} - mb{i}) * (ma{i} - mb{i})" for i in range(dim))
+    return f"""
+    WITH a AS (
+      SELECT count(*) AS n_a, {ma}
+      FROM embeddings WHERE vec_id % 2 = 0
+    ), b AS (
+      SELECT count(*) AS n_b, {mb}
+      FROM embeddings WHERE vec_id % 2 = 1
+    )
+    SELECT n_a, n_b,
+           round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) AS mean_cosine,
+           round(sqrt({shift}), 6) AS mean_l2_shift,
+           round(sqrt({na}) / sqrt({nb}), 6) AS mean_norm_ratio
+    FROM a, b
+    """
+
+
+@register(
+    "embedding_drift_report",
+    _drift_oracle(),
+    doc="embedding distribution-drift monitor between two corpus halves "
+    "(vec_id parity stands in for train-vs-serve): cosine between mean "
+    "vectors, L2 mean shift, norm ratio — per-dim means in ONE "
+    "aggregation pass per side (explicit sum columns, no dim x n "
+    "explode shuffle), final arithmetic on the 1x1 cross of the "
+    "single-row frames; the cheap first-line alarm before full PCA or "
+    "re-clustering",
+)
+def q_embedding_drift_report(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_drift_report(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        "embedding",
+        dim=64,
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2

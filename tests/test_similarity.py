@@ -452,3 +452,31 @@ def test_pca_projection_variance_decreases(spark, sf_dir):
     assert variances[0] >= variances[1] >= variances[2]
     # and projections are centered
     assert np.allclose(vals.mean(axis=0), 0, atol=1e-8)
+
+
+def test_drift_report_identical_corpora(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = similarity.embedding_drift_report(emb, emb).first()
+    assert r["mean_cosine"] == 1.0
+    assert r["mean_l2_shift"] == 0.0
+    assert r["mean_norm_ratio"] == 1.0
+
+
+def test_drift_report_detects_planted_shift(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # shift every dim by +1: the mean moves, cosine of means drops off 1
+    shifted = emb.withColumn(
+        "embedding",
+        F.transform(F.col("embedding"), lambda v: v + F.lit(1.0)),
+    )
+    r = similarity.embedding_drift_report(emb, shifted).first()
+    assert r["mean_l2_shift"] > 5.0  # sqrt(64) * 1 = 8 minus base means
+    assert r["mean_cosine"] < 0.99
