@@ -1,0 +1,168 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2015,
+arXiv:1508.07909) — the tokenizer-fitting step of an LLM data pipeline,
+run where the data lives.
+
+The key scale observation: BPE trains on the WORD-FREQUENCY table, not
+the corpus. One corpus pass builds (word, count) — vocab-sized (Zipf:
+millions of rows at web scale, not billions) — and every merge
+iteration then runs on that small frame:
+
+1. pair counting: explode each word's adjacent symbol pairs, weighted
+   by word count — one vocab-sized aggregate;
+2. best pair: global top-1 with a deterministic tiebreak
+   (count desc, then lexicographic) via TakeOrderedAndProject;
+3. merge application: a JVM higher-order ``aggregate`` fold rebuilds
+   each symbol array merging (a,b) -> ab occurrences left-to-right —
+   no Python, no shuffle (narrow map), matching the reference
+   sequential semantics exactly (including overlapping-pair handling:
+   "aaa" under merge (a,a) -> ["aa", "a"]);
+4. localCheckpoint per iteration (the standard Spark iterative
+   pattern — truncates the growing lineage).
+
+The merge TABLE (what this trains) is tiny; applying it to text at
+corpus scale is the same fold chain as step 3 run per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_frequency_table(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, count) over lowercased whitespace tokens — the vocab-sized
+    training input. One corpus pass."""
+    from etl_excel_csv_sql_spark.functions.text import tokens
+    from etl_excel_csv_sql_spark.operators.relational import spread_for_compute
+
+    return (
+        spread_for_compute(df)
+        .select(F.explode(tokens(text_col)).alias("w"))
+        .select(F.lower("w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _merge_pair_in_array(syms: Column, left: str, right: str) -> Column:
+    """Fold ``syms`` merging adjacent (left, right) -> left+right,
+    left-to-right and non-overlapping — the exact reference BPE merge
+    semantics, as a JVM HOF (codegen'd, no Python)."""
+    merged = F.lit(left + right)
+    start = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("carry"),
+    )
+
+    def step(acc, x):
+        carry = acc["carry"]
+        return (
+            F.when(
+                carry.isNull(),
+                F.struct(acc["out"].alias("out"), x.alias("carry")),
+            )
+            .when(
+                (carry == F.lit(left)) & (x == F.lit(right)),
+                F.struct(
+                    F.concat(acc["out"], F.array(merged)).alias("out"),
+                    F.lit(None).cast("string").alias("carry"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(carry)).alias("out"),
+                    x.alias("carry"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(
+            acc["carry"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["carry"])))
+
+    return F.aggregate(syms, start, step, finish)
+
+
+def train_bpe(
+    word_counts: DataFrame,
+    n_merges: int = 20,
+    word_col: str = "w",
+    count_col: str = "cnt",
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges from a (word, count) frame.
+    Returns [(left, right, pair_count), ...] in merge order — the
+    tokenizer artifact (tiny; ship it to the encode side).
+
+    Deterministic: best pair = max count, ties broken lexicographically
+    on (left, right) — partitioning-independent because the top-1 is an
+    exact global TakeOrdered.
+    """
+    vocab = word_counts.select(
+        F.split(F.col(word_col), "").alias("syms"),
+        F.col(count_col).alias("cnt"),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("left"), b.alias("right")
+                        ),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = (
+            pairs.orderBy(
+                F.col("n").desc(), F.col("p.left"), F.col("p.right")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < 2:
+            break
+        left, right, n = (
+            best[0]["p"]["left"],
+            best[0]["p"]["right"],
+            int(best[0]["n"]),
+        )
+        merges.append((left, right, n))
+        vocab = vocab.select(
+            _merge_pair_in_array(F.col("syms"), left, right).alias("syms"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge table to documents: per word, the same HOF
+    fold chain the trainer used, one fold per merge — a narrow map over
+    the corpus (encode is embarrassingly parallel; the merge table is a
+    broadcast-sized literal)."""
+    from etl_excel_csv_sql_spark.functions.text import tokens
+
+    def encode_word(word_syms: Column) -> Column:
+        out = word_syms
+        for left, right, _ in merges:
+            out = _merge_pair_in_array(out, left, right)
+        return out
+
+    words = F.transform(
+        tokens(text_col), lambda w: encode_word(F.split(F.lower(w), ""))
+    )
+    return df.withColumn(out_col, F.flatten(words))

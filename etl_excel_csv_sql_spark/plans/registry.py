@@ -4278,6 +4278,38 @@ def q_embedding_drift_report(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "bpe_train_report",
+    None,
+    doc="BPE tokenizer training (Sennrich et al. 1508.07909) run "
+    "distributed: the trainer operates on the vocab-sized WORD-FREQUENCY "
+    "table (one corpus pass), each merge iteration = one vocab-sized "
+    "pair-count aggregate + exact global top-1 (TakeOrdered, "
+    "deterministic count-then-lex tiebreak) + a JVM higher-order fold "
+    "applying the merge (no Python in the loop, reference-exact "
+    "overlapping-pair semantics). Output = the learned merge table, the "
+    "tokenizer artifact. Rows-only (iterative argmax has no SQL "
+    "oracle); pytest proves merge-for-merge parity with a pure-Python "
+    "reference BPE on the same corpus and encode-path consistency",
+)
+def q_bpe_train_report(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import bpe
+
+    wc = bpe.word_frequency_table(_t(spark, sf_dir, "documents"))
+    merges = bpe.train_bpe(wc, n_merges=12)
+    return spark.createDataFrame(
+        [
+            (i + 1, left, right, n)
+            for i, (left, right, n) in enumerate(merges)
+        ],
+        "rank int, left string, right string, pair_count long",
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2
