@@ -1,0 +1,53 @@
+"""Fixed-width text files — the mainframe/legacy-feed format every ETL
+engine eventually meets (the reference family's CSV/Excel feeds have a
+fixed-width sibling in most shops; SURVEY §2.1 scope extension).
+
+Read path: ``spark.read.text`` (splittable, parallel) + SUBSTRING column
+slices from the spec — pure Catalyst expressions, so column pruning
+drops unused slices and the scan stays one narrow map. No Python ever
+touches a row.
+
+Write path: pad/truncate each column to its width (rpad on a stringified
+value — overflow TRUNCATES, documented; keys should size their width),
+concat, write as text. Round-trips exactly for values within width.
+
+A spec is ``[(name, width, type)]``; type is any Spark cast target
+("string" values are trimmed of the right-padding on read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Spec = "list[tuple[str, int, str]]"
+
+
+def write_fixed_width(df: DataFrame, path: str, spec: Spec) -> None:
+    parts = []
+    for name, width, _typ in spec:
+        parts.append(
+            F.rpad(
+                F.coalesce(F.col(name).cast("string"), F.lit("")), width, " "
+            ).substr(1, width)
+        )
+    df.select(F.concat(*parts).alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def read_fixed_width(spark: SparkSession, path: str, spec: Spec) -> DataFrame:
+    raw = spark.read.text(path)
+    cols = []
+    pos = 1
+    for name, width, typ in spec:
+        sl = F.col("value").substr(pos, width)
+        if typ == "string":
+            sl = F.rtrim(sl)
+        else:
+            # all-blank field = NULL (what the writer emits for NULL);
+            # nullif first — ANSI mode rejects casting '' to numerics
+            sl = F.nullif(F.rtrim(sl), F.lit("")).cast(typ)
+        cols.append(sl.alias(name))
+        pos += width
+    return raw.select(*cols)

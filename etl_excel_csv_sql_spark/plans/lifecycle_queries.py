@@ -1542,3 +1542,41 @@ def q_events_streaming_enriched(spark, sf_dir):
     # distinct is unsupported in streaming and the sketch path has its
     # own rows-only query (events_streaming_approx_users)
     return spark.table(sink_name).select("window_start", "segment", "n_events")
+
+
+@register(
+    "fixed_width_roundtrip",
+    """
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(floor(c_acctbal) AS BIGINT) AS acctbal_int
+    FROM customer
+    """,
+    doc="fixed-width text source/sink (io/fixed_width.py — the "
+    "mainframe/legacy-feed sibling of the reference's CSV surface): "
+    "write = rpad/concat column expressions to text (splittable files); "
+    "read = spark.read.text + SUBSTRING slices, pure Catalyst (column "
+    "pruning drops unused slices, no Python per row). Round-trip of a "
+    "customer projection vs the source table is the full value oracle; "
+    "acctbal goes through floor->int since fixed-width carries no "
+    "decimal-point contract by default",
+)
+def q_fixed_width_roundtrip(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io import fixed_width as fw
+
+    spec = [
+        ("c_custkey", 12, "bigint"),
+        ("c_name", 30, "string"),
+        ("c_mktsegment", 12, "string"),
+        ("acctbal_int", 14, "bigint"),
+    ]
+    scratch = _scratch("fixed_width_" + os.path.basename(sf_dir.rstrip("/")))
+    path = os.path.join(scratch, "cust_fw")
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.floor("c_acctbal").cast("bigint").alias("acctbal_int"),
+    )
+    fw.write_fixed_width(src, path, spec)
+    return fw.read_fixed_width(spark, path, spec)

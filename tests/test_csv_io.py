@@ -55,3 +55,48 @@ def test_write_lock_fallback(spark, tmp_path):
     )
     assert written == str(tmp_path / "target_20240301.csv")
     assert os.path.isfile(written)
+
+
+# ---------------------------------------------------------------------------
+# fixed-width source/sink (late r6)
+# ---------------------------------------------------------------------------
+
+def test_fixed_width_roundtrip_and_truncation(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_excel_csv_sql_spark.io import fixed_width as fw
+
+    spec = [("id", 4, "bigint"), ("name", 6, "string"), ("v", 5, "int")]
+    df = spark.createDataFrame(
+        [(1, "ab", 10), (22, "toolongname", None), (333, "", 5)],
+        "id long, name string, v int",
+    )
+    path = str(tmp_path / "fw")
+    fw.write_fixed_width(df, path, spec)
+    got = {r["id"]: r for r in fw.read_fixed_width(spark, path, spec).collect()}
+    assert got[1]["name"] == "ab" and got[1]["v"] == 10
+    assert got[22]["name"] == "toolon"  # overflow truncates at width
+    assert got[22]["v"] is None  # NULL -> blanks -> NULL on typed read
+    assert got[333]["name"] == "" or got[333]["name"] is None
+    assert got[333]["v"] == 5
+
+    # lines are truly fixed width
+    import glob
+
+    for f in glob.glob(f"{path}/part-*"):
+        with open(f) as fh:
+            for line in fh.read().splitlines():
+                assert len(line) == 15
+
+
+def test_fixed_width_read_prunes_unused_slices(spark, tmp_path):
+    from etl_excel_csv_sql_spark.io import fixed_width as fw
+
+    spec = [("a", 3, "string"), ("b", 3, "string")]
+    df = spark.createDataFrame([("x", "y")], "a string, b string")
+    path = str(tmp_path / "fw2")
+    fw.write_fixed_width(df, path, spec)
+    q = fw.read_fixed_width(spark, path, spec).select("a")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # pruned projection: only one substring slice survives
+    assert plan.count("substring") <= 1
