@@ -208,3 +208,94 @@ def join_cardinality_estimate(
             ).alias("expansion_factor"),
         )
     )
+
+
+def ab_test_report(
+    events: DataFrame,
+    user_col: str = "user_id",
+    convert_expr: Column | None = None,
+    salt: str = "ab-v1",
+    treat_fraction: float = 0.5,
+) -> DataFrame:
+    """Hash-randomized A/B experiment readout with a two-proportion
+    z-test: users assign deterministically to control/treatment by the
+    md5 bucket trick (same draw the split/sampling operators pin — the
+    assignment is reproducible, engine-portable, and stable as new
+    events arrive), conversion = any event matching ``convert_expr``.
+
+    Output (one row per variant + a 'lift' row): variant, n_users,
+    n_converted, rate, and on the lift row the absolute lift and the
+    z statistic  z = (p_t - p_c) / sqrt(p(1-p)(1/n_c + 1/n_t))  under
+    the pooled null. Closed-form from 4 counts — one user-level
+    aggregate then a 1-row combine; nothing about significance testing
+    needs more than one pass at any scale.
+    """
+    from etl_excel_csv_sql_spark.operators.sampling import (
+        _hash_bucket,
+        split_threshold,
+    )
+
+    if convert_expr is None:
+        convert_expr = F.col("event_type") == "purchase"
+    thr = split_threshold(treat_fraction)
+    per_user = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.when(convert_expr, 1).otherwise(0).alias("c"),
+        )
+        .groupBy("u")
+        .agg(F.max("c").alias("converted"))
+        .select(
+            F.when(
+                _hash_bucket(F.col("u"), salt) < F.lit(thr), F.lit("treatment")
+            )
+            .otherwise(F.lit("control"))
+            .alias("variant"),
+            "converted",
+        )
+    )
+    counts = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    variants = counts.select(
+        "variant",
+        "n_users",
+        F.col("n_converted").cast("long").alias("n_converted"),
+        F.round(
+            F.col("n_converted") / F.col("n_users").cast("double"), 6
+        ).alias("rate"),
+        F.lit(None).cast("double").alias("lift"),
+        F.lit(None).cast("double").alias("z_score"),
+    )
+    wide = (
+        counts.groupBy()
+        .pivot("variant", ["control", "treatment"])
+        .agg(
+            F.first("n_users").alias("n"),
+            F.first("n_converted").alias("k"),
+        )
+    )
+    nc = F.col("control_n").cast("double")
+    nt = F.col("treatment_n").cast("double")
+    kc = F.col("control_k").cast("double")
+    kt = F.col("treatment_k").cast("double")
+    pc = kc / nc
+    pt = kt / nt
+    pooled = (kc + kt) / (nc + nt)
+    # degenerate experiments (everyone or no one converts -> pooled
+    # variance 0) have no defined z: emit NULL, not a crash/Inf
+    z = F.try_divide(
+        pt - pc, F.sqrt(pooled * (1 - pooled) * (1 / nc + 1 / nt))
+    )
+    lift_row = wide.select(
+        F.lit("lift").alias("variant"),
+        (F.col("control_n") + F.col("treatment_n")).alias("n_users"),
+        (F.col("control_k") + F.col("treatment_k"))
+        .cast("long")
+        .alias("n_converted"),
+        F.round(pooled, 6).alias("rate"),
+        F.round(pt - pc, 6).alias("lift"),
+        F.round(z, 6).alias("z_score"),
+    )
+    return variants.unionByName(lift_row)

@@ -4310,6 +4310,66 @@ def q_bpe_train_report(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# A/B experiment readout (stats.ab_test_report)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ab_test_report",
+    """
+    WITH per_user AS (
+      SELECT user_id AS u,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY 1
+    ), assigned AS (
+      SELECT CASE WHEN substr(md5('ab-v1' || CAST(u AS VARCHAR)), 1, 4)
+                       < '8000'
+                  THEN 'treatment' ELSE 'control' END AS variant,
+             converted
+      FROM per_user
+    ), counts AS (
+      SELECT variant, count(*) AS n_users, sum(converted) AS n_converted
+      FROM assigned GROUP BY 1
+    ), wide AS (
+      SELECT
+        CAST(sum(CASE WHEN variant = 'control' THEN n_users END)
+             AS DOUBLE) AS nc,
+        CAST(sum(CASE WHEN variant = 'control' THEN n_converted END)
+             AS DOUBLE) AS kc,
+        CAST(sum(CASE WHEN variant = 'treatment' THEN n_users END)
+             AS DOUBLE) AS nt,
+        CAST(sum(CASE WHEN variant = 'treatment' THEN n_converted END)
+             AS DOUBLE) AS kt
+      FROM counts
+    )
+    SELECT variant, n_users, CAST(n_converted AS BIGINT) AS n_converted,
+           round(n_converted / CAST(n_users AS DOUBLE), 6) AS rate,
+           CAST(NULL AS DOUBLE) AS lift, CAST(NULL AS DOUBLE) AS z_score
+    FROM counts
+    UNION ALL
+    SELECT 'lift', CAST(nc + nt AS BIGINT), CAST(kc + kt AS BIGINT),
+           round((kc + kt) / (nc + nt), 6),
+           round(kt / nt - kc / nc, 6),
+           round((kt / nt - kc / nc)
+                 / nullif(sqrt(((kc + kt) / (nc + nt))
+                               * (1 - (kc + kt) / (nc + nt))
+                               * (1 / nc + 1 / nt)), 0), 6)
+    FROM wide
+    """,
+    doc="A/B experiment readout: deterministic md5-bucket user "
+    "assignment (reproducible as new events arrive — the same trick the "
+    "split operators pin), per-variant conversion from one user-level "
+    "aggregate, and the two-proportion pooled z-test in closed form on "
+    "the 1-row combine — significance testing needs exactly one pass at "
+    "any scale",
+)
+def q_ab_test_report(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import stats
+
+    return stats.ab_test_report(_t(spark, sf_dir, "events"))
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2

@@ -121,3 +121,36 @@ def test_join_cardinality_flags_manytomany_explosion(spark):
     assert r["matched_keys"] == 1
     assert r["max_key_contribution"] == 5000
     assert r["expansion_factor"] > 49.0
+
+
+def test_ab_test_known_counts(spark):
+    # synthetic: assignment determined by the same md5 trick, so build
+    # events whose conversion depends on the user id and check the math
+    rows = []
+    for u in range(200):
+        rows.append((u * 10, u, "view"))
+        if u % 4 == 0:
+            rows.append((u * 10 + 1, u, "purchase"))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    rep = {r["variant"]: r for r in stats.ab_test_report(df).collect()}
+    assert set(rep) == {"control", "treatment", "lift"}
+    c, t, l = rep["control"], rep["treatment"], rep["lift"]
+    assert c["n_users"] + t["n_users"] == 200
+    assert l["n_converted"] == 50
+    # z from the four counts, recomputed in python
+    import math
+
+    nc, kc, nt, kt = c["n_users"], c["n_converted"], t["n_users"], t["n_converted"]
+    p = (kc + kt) / (nc + nt)
+    z = (kt / nt - kc / nc) / math.sqrt(p * (1 - p) * (1 / nc + 1 / nt))
+    assert abs(l["z_score"] - z) < 1e-6
+    # conversion is independent of the hash assignment: no significance
+    assert abs(l["z_score"]) < 3
+
+
+def test_ab_test_degenerate_all_convert(spark):
+    rows = [(u, u, "purchase") for u in range(50)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    rep = {r["variant"]: r for r in stats.ab_test_report(df).collect()}
+    assert rep["lift"]["z_score"] is None  # pooled variance 0 -> NULL, no crash
+    assert rep["lift"]["rate"] == 1.0
