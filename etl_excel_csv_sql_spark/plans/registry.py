@@ -4370,6 +4370,84 @@ def q_ab_test_report(spark, sf_dir):
     return stats.ab_test_report(_t(spark, sf_dir, "events"))
 
 
+# ---------------------------------------------------------------------------
+# Composed end-to-end corpus pipeline (quality -> dedup -> split)
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_pipeline_e2e",
+    rf"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents),
+    m AS (
+      SELECT doc_id, text, len(t) AS tc,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(t, x -> lower(x) IN
+                        ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                       / len(t) END AS swr,
+             length(regexp_replace(text, '\s', '', 'g')) AS non_ws,
+             length(regexp_replace(text, '[[:punct:]\s]', '', 'g')) AS non_punct_non_ws
+      FROM toks
+    ), scored AS (
+      SELECT doc_id, text,
+             round(((CASE WHEN tc BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN swr > 0.01 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN (CASE WHEN non_ws > 0
+                                     THEN CAST(non_ws - non_punct_non_ws AS DOUBLE) / non_ws
+                                     ELSE 0.0 END) < 0.3
+                          THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+      FROM m
+    ), thr AS (SELECT quantile_cont(quality, 0.4) AS threshold FROM scored),
+    filtered AS (
+      SELECT s.doc_id, s.text, s.quality
+      FROM scored s CROSS JOIN thr t WHERE s.quality >= t.threshold
+    ), fp AS (
+      SELECT doc_id, quality,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM filtered
+    ), keepers AS (
+      SELECT fingerprint, min(doc_id) AS keeper FROM fp GROUP BY fingerprint
+    )
+    SELECT f.doc_id, f.quality,
+           CASE WHEN substr(md5('split-v1' || CAST(f.doc_id AS VARCHAR)), 1, 4)
+                     < '199a'
+                THEN 'test' ELSE 'train' END AS split
+    FROM fp f JOIN keepers k
+      ON f.fingerprint = k.fingerprint AND f.doc_id = k.keeper
+    """,
+    doc="the COMPOSED training-data pipeline in one call — quality "
+    "filter (exact in-plan quantile cut, top 60%%) -> exact-dup "
+    "keep-first (md5 fingerprint, min-id keeper; 16-byte shuffles, "
+    "never text) -> deterministic hash split (10%% test) — each stage "
+    "is an independently-oracled operator (quality_filter_pipeline, "
+    "exact_dup_groups, train_test_split) and the composition carries a "
+    "stage-by-stage CTE oracle; what a reference user actually RUNS "
+    "nightly, as one lazy plan with no intermediate materialization",
+)
+def q_corpus_pipeline_e2e(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = textstats.quality_filter(docs, "doc_id", "text", keep_fraction=0.6)
+    filtered = docs.join(
+        kept.select(F.col("id").alias("doc_id"), "quality"), "doc_id"
+    )
+    fp = filtered.withColumn(
+        "fingerprint",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ),
+    )
+    keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper"))
+    deduped = fp.join(
+        keepers,
+        (fp["fingerprint"] == keepers["fingerprint"])
+        & (fp["doc_id"] == keepers["keeper"]),
+    ).select("doc_id", "quality")
+    return hash_split(deduped, "doc_id", test_fraction=0.1).select(
+        "doc_id", "quality", "split"
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2
