@@ -4448,6 +4448,81 @@ def q_corpus_pipeline_e2e(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time dimension lookup
+# ---------------------------------------------------------------------------
+
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             TIMESTAMP '1995-01-01' AS valid_from,
+             CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '1998-01-01'
+                  ELSE TIMESTAMP '9999-12-31' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_mktsegment || '_V2',
+             TIMESTAMP '1998-01-01', TIMESTAMP '9999-12-31'
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           d.segment AS segment_at_order_time
+    FROM orders o
+    JOIN dim d ON o.o_custkey = d.c_custkey
+              AND o.o_orderdate >= d.valid_from
+              AND o.o_orderdate < d.valid_to
+    """,
+    doc="point-in-time lookup against an SCD2 versioned dimension "
+    "(every fact row joins the dim VERSION valid at its event time — "
+    "the query every scd2_apply-maintained warehouse dim exists to "
+    "serve): equi-join on the key with the validity range as a join-"
+    "side filter, so the plan is a plain hash join on custkey (no "
+    "range-join explosion — each fact matches exactly one version). "
+    "Dim versions derive deterministically from customer (a 1998 "
+    "segment change for every third key) so both engines build the "
+    "identical dimension",
+)
+def q_scd2_point_in_time_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    v1 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.lit("1998-01-01").cast("timestamp"),
+        )
+        .otherwise(F.lit("9999-12-31").cast("timestamp"))
+        .alias("valid_to"),
+    )
+    v2 = (
+        cust.where(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("segment"),
+            F.lit("1998-01-01").cast("timestamp").alias("valid_from"),
+            F.lit("9999-12-31").cast("timestamp").alias("valid_to"),
+        )
+    )
+    dim = v1.unionByName(v2)
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(dim, orders["o_custkey"] == dim["c_custkey"])
+        .where(
+            (F.col("o_orderdate") >= F.col("valid_from"))
+            & (F.col("o_orderdate") < F.col("valid_to"))
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("segment").alias("segment_at_order_time"),
+        )
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2
