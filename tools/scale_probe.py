@@ -44,6 +44,11 @@ PROBES = (
     "simhash_pairs",
     "dedup_components",
     "ann_ivf_persisted_topk",
+    # late-r6: corpus-pass operators (documents-only inputs, so the
+    # derived corpus exercises them faithfully)
+    "doc_unigram_surprisal",
+    "corpus_pipeline_e2e",
+    "bpe_train_report",
 )
 ID_STRIDE = 10_000_000
 
