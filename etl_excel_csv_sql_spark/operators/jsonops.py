@@ -1,0 +1,99 @@
+"""Semi-structured (JSON) processing: schema-on-read over string columns.
+
+The reference moves everything through flat CSV/Excel grids; real event
+streams carry a JSON payload column. Two Spark-native paths, both pure
+Catalyst (``from_json`` is a JVM expression — no UDF, stays inside
+whole-stage codegen, and Catalyst prunes unreferenced struct fields from
+the parse via ``spark.sql.optimizer.enableJsonExpressionOptimization``):
+
+- **typed extraction** (``typed_extract``): a declared schema projects the
+  payload into real columns — the right path when the contract is known.
+  Malformed payloads degrade to NULL fields, never fail the job.
+- **schema-less explode** (``kv_explode``): ``map<string,string>`` parse +
+  ``explode`` flattens unknown payloads into (id, key, value) rows — the
+  discovery path when the contract is NOT known. ``from_json`` to a map
+  returns NULL for malformed input, so invalid payloads drop out of the
+  explode instead of poisoning it.
+
+Malformed-input semantics (measured, tests/test_jsonops.py): struct parse
+→ null-filled struct; map parse → NULL map. ``is_valid_json`` therefore
+uses the map parse, mirroring DuckDB's ``json_valid``.
+
+Scale: both paths are narrow maps over the scan — no shuffle is added by
+parsing. The per-group profile is one conditional-aggregate pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def is_valid_json(col: Column | str) -> Column:
+    """True iff the string parses as a JSON object/array/value.
+
+    ``from_json`` to ``map<string,string>`` yields NULL exactly for
+    non-NULL malformed input (struct schemas would yield a null-FILLED
+    struct instead — measured, not assumed).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNotNull() & F.from_json(c, "map<string,string>").isNotNull()
+
+
+def typed_extract(
+    df: DataFrame, json_col: str, ddl_schema: str, prefix: str = ""
+) -> DataFrame:
+    """Project a JSON string column into typed top-level columns.
+
+    ``ddl_schema`` is a DDL string (e.g. ``"k INT, tag STRING"``).
+    Catalyst's JSON expression optimizer prunes the parse to the fields a
+    downstream select actually references, so over-declaring the schema
+    does not cost I/O or CPU for unused fields.
+    """
+    parsed = F.from_json(F.col(json_col), ddl_schema)
+    names = [f.strip().split()[0] for f in ddl_schema.split(",")]
+    return df.select(
+        "*", *[parsed[n].alias(f"{prefix}{n}") for n in names]
+    )
+
+
+def kv_explode(df: DataFrame, id_col: str, json_col: str) -> DataFrame:
+    """Flatten a schema-less JSON object column into (id, key, value) rows.
+
+    Malformed / NULL payloads produce zero rows (NULL map under explode),
+    so the output is exactly the valid key-value pairs. One narrow map +
+    explode — no shuffle.
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.from_json(F.col(json_col), "map<string,string>")).alias(
+            "key", "value"
+        ),
+    )
+
+
+def json_payload_profile(
+    df: DataFrame, group_col: str, json_col: str, int_field: str
+) -> DataFrame:
+    """Per-group payload health + typed-field stats in ONE aggregate pass.
+
+    Output: (group, n_events, n_malformed, n_with_field, avg_field,
+    min_field, max_field). ``n_malformed`` counts non-NULL strings that do
+    not parse; the typed stats come from the declared-schema extraction.
+    At scale this is the payload-contract monitor: a schema change or
+    producer bug shows up as n_malformed / n_with_field drift per group.
+    """
+    c = F.col(json_col)
+    valid = is_valid_json(c)
+    field = F.from_json(c, f"{int_field} BIGINT")[int_field]
+    return (
+        df.groupBy(F.col(group_col).alias("group_key"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((c.isNotNull() & ~valid).cast("long")).alias("n_malformed"),
+            F.sum(field.isNotNull().cast("long")).alias("n_with_field"),
+            F.round(F.avg(field), 6).alias("avg_field"),
+            F.min(field).alias("min_field"),
+            F.max(field).alias("max_field"),
+        )
+    )

@@ -4523,6 +4523,89 @@ def q_scd2_point_in_time_join(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Semi-structured (JSON) processing (operators/jsonops.py)
+# ---------------------------------------------------------------------------
+
+# Deterministic dirty-payload injection shared by both engines: every 97th
+# event gets a malformed payload, every 101st a NULL, so the
+# malformed/NULL/valid branches are all EXERCISED by the oracle compare
+# (the generated props are 100% valid JSON — without injection the health
+# columns would be vacuously green).
+_DIRTY_PAYLOAD_CASE = (
+    "CASE WHEN event_id % 97 = 0 THEN 'not json' "
+    "WHEN event_id % 101 = 0 THEN CAST(NULL AS STRING) "
+    "ELSE props END"
+)
+
+
+@register(
+    "json_payload_profile",
+    f"""
+    WITH dirty AS (
+      SELECT event_type, {_DIRTY_PAYLOAD_CASE} AS payload FROM events
+    )
+    SELECT event_type AS group_key,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN payload IS NOT NULL AND NOT json_valid(payload)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+           CAST(sum(CASE WHEN payload IS NOT NULL AND json_valid(payload)
+                     AND json_extract_string(payload, '$.k') IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_field,
+           round(avg(CASE WHEN payload IS NOT NULL AND json_valid(payload)
+                          THEN CAST(json_extract_string(payload, '$.k') AS BIGINT)
+                     END), 6) AS avg_field,
+           min(CASE WHEN payload IS NOT NULL AND json_valid(payload)
+                    THEN CAST(json_extract_string(payload, '$.k') AS BIGINT)
+               END) AS min_field,
+           max(CASE WHEN payload IS NOT NULL AND json_valid(payload)
+                    THEN CAST(json_extract_string(payload, '$.k') AS BIGINT)
+               END) AS max_field
+    FROM dirty GROUP BY event_type
+    """,
+    doc="schema-on-read payload contract monitor: per-event-type JSON "
+    "health (malformed count via the measured map-parse-NULL semantics) "
+    "+ typed-field stats, ONE conditional-aggregate pass, from_json is "
+    "pure Catalyst (no UDF, codegen-resident). Deterministic dirty-row "
+    "injection exercises malformed/NULL/valid branches on both engines",
+)
+def q_json_payload_profile(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import jsonops
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "payload", F.expr(_DIRTY_PAYLOAD_CASE)
+    )
+    return jsonops.json_payload_profile(ev, "event_type", "payload", "k")
+
+
+@register(
+    "json_kv_explode",
+    f"""
+    WITH dirty AS (
+      SELECT event_id, {_DIRTY_PAYLOAD_CASE} AS payload FROM events
+    ), valid AS (
+      SELECT event_id, payload FROM dirty
+      WHERE payload IS NOT NULL AND json_valid(payload)
+    )
+    SELECT event_id AS id, u.k AS key,
+           json_extract_string(payload, '$.' || u.k) AS value
+    FROM valid, unnest(json_keys(payload)) AS u(k)
+    """,
+    doc="schema-less JSON discovery path: map<string,string> parse + "
+    "explode flattens unknown payloads to (id, key, value) rows; "
+    "malformed/NULL payloads yield zero rows (NULL map under explode) "
+    "instead of failing the job. Narrow map over the scan — parsing "
+    "adds no shuffle",
+)
+def q_json_kv_explode(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import jsonops
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "payload", F.expr(_DIRTY_PAYLOAD_CASE)
+    )
+    return jsonops.kv_explode(ev, "event_id", "payload")
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2
