@@ -4606,6 +4606,71 @@ def q_json_kv_explode(spark, sf_dir):
     return jsonops.kv_explode(ev, "event_id", "payload")
 
 
+# ---------------------------------------------------------------------------
+# Market-basket mining (operators/itemsets.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "assoc_rules_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ), nb AS (
+      SELECT count(DISTINCT basket) AS n FROM items
+    ), counts AS (
+      SELECT item, count(*) AS cnt FROM items GROUP BY item
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_count
+      FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT item_a, item_b, pair_count,
+           ca.cnt AS count_a, cb.cnt AS count_b,
+           round(pair_count / CAST(n AS DOUBLE), 6) AS support,
+           round(pair_count / CAST(ca.cnt AS DOUBLE), 6) AS confidence_a_to_b,
+           round(pair_count / CAST(cb.cnt AS DOUBLE), 6) AS confidence_b_to_a,
+           round((pair_count * CAST(n AS DOUBLE)) / (ca.cnt * cb.cnt), 6) AS lift
+    FROM pairs
+      JOIN counts ca ON ca.item = item_a
+      JOIN counts cb ON cb.item = item_b
+      CROSS JOIN nb
+    """,
+    doc="exact pair association rules (support/confidence/lift) on "
+    "order baskets: pair generation self-joins KEYED ON the basket id "
+    "(blow-up bounded by basket size, max_basket in-plan skew cap "
+    "available), basket total enters as a broadcast scalar — the exact "
+    "co-purchase readout; FP-Growth covers arbitrary-size itemsets",
+)
+def q_assoc_rules_pairs(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import itemsets
+
+    return itemsets.pair_association_rules(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        min_pair_count=2,
+    )
+
+
+@register(
+    "frequent_itemsets_fpgrowth",
+    None,
+    doc="distributed FP-Growth (pyspark.ml.fpm, the PFP/Li-et-al "
+    "parallel algorithm) over order baskets at min_support=0.002: ALL "
+    "frequent itemsets, any size, exact (no sampling); itemsets "
+    "rendered as sorted '|'-joined strings so output is scalar. "
+    "Rows-only: the FP-tree traversal is not SQL-expressible; "
+    "tests/test_itemsets.py cross-checks singleton and pair freqs "
+    "against brute-force enumeration",
+)
+def q_frequent_itemsets_fpgrowth(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import itemsets
+
+    return itemsets.frequent_itemsets(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        min_support=0.002,
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2
