@@ -1,0 +1,122 @@
+"""Graph analytics on edge DataFrames: PageRank and BFS reachability.
+
+Spark-first Pregel emulation: a graph iteration is `edges ⋈ state on src
+→ groupBy dst` — the same join+aggregate round the connected-components
+operators use (dedup.py). Two algorithms with FIXED, deterministic round
+counts so results are reproducible and ORACLE-CHECKABLE (the oracle
+unrolls the same rounds as chained CTEs — no recursion needed):
+
+- **PageRank** (``pagerank``): the simple power-iteration variant
+  rank' = (1-d)/N + d·Σ rank(in)/outdeg(in). Dangling-node mass is NOT
+  redistributed (documented choice — both engines drop it identically;
+  feed a symmetrized edge list if every node must have out-edges).
+  Intermediate ranks are rounded to 12dp each round ON BOTH ENGINES,
+  which pins the tiny FP summation-order drift to zero instead of letting
+  it compound across rounds.
+- **BFS** (``bfs_distances``): minimum hop count from a seed set, frontier
+  expansion, at most ``max_hops`` rounds.
+
+Scale: per round the state frame is one row per vertex and the join
+shuffles on the edge key — the edge list is checkpointed once and reused
+every round (it is the big side; at 100 TB pre-partition it by src so
+every round's join co-locates). State is checkpointed per round to keep
+the plan linear in rounds, not exponential.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _edges(df: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    return df.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+    ).distinct()
+
+
+def pagerank(
+    edge_df: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank) after ``iterations`` rounds of simple power iteration.
+
+    Vertices = distinct endpoints of the (deduplicated) edge list. Ranks
+    start uniform at 1/N; each round every vertex emits rank/outdeg along
+    its out-edges. Final rank rounded to 6dp (intermediates to 12dp, see
+    module docstring).
+    """
+    edges = _edges(edge_df, src_col, dst_col).localCheckpoint(eager=True)
+    vertices = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # one row per vertex per round — N is an in-plan broadcast scalar
+    n_row = vertices.agg(F.count("*").alias("n"))
+    ranks = vertices.crossJoin(F.broadcast(n_row)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(iterations):
+        contribs = (
+            edges.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+        )
+        ranks = (
+            vertices.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("contrib"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # linear plan across rounds
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def bfs_distances(
+    edge_df: DataFrame,
+    src_col: str,
+    dst_col: str,
+    seeds: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """(node, hops) minimum hop count from ``seeds`` (a one-column frame
+    of node ids), reachable within ``max_hops`` rounds; seeds are hop 0.
+
+    Frontier-optimized: each round expands only the vertices discovered
+    in the previous round, so work per round is proportional to the
+    frontier, not the visited set.
+    """
+    edges = _edges(edge_df, src_col, dst_col).localCheckpoint(eager=True)
+    visited = seeds.select(
+        F.col(seeds.columns[0]).cast("string").alias("node"),
+        F.lit(0).alias("hops"),
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        neighbors = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            neighbors.join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    return visited

@@ -4671,6 +4671,128 @@ def q_frequent_itemsets_fpgrowth(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Graph analytics (operators/graph.py): PageRank + BFS on the symmetrized
+# part<->supplier bipartite graph from lineitem
+# ---------------------------------------------------------------------------
+
+_GRAPH_EDGE_CTE = """
+    e AS (
+      SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT 's:' || l_suppkey, 'p:' || l_partkey FROM lineitem
+    )
+"""
+
+
+def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    ctes = [
+        _GRAPH_EDGE_CTE,
+        """v AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+          )
+        )""",
+        "n AS (SELECT count(*) AS n FROM v)",
+        "od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n.n AS rank FROM v CROSS JOIN n)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""r{i} AS (
+          SELECT v.node,
+                 round(CAST({1.0 - damping} AS DOUBLE) / n.n
+                       + CAST({damping} AS DOUBLE) * coalesce(c.contrib, 0),
+                       12) AS rank
+          FROM v CROSS JOIN n
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank / od.outdeg) AS contrib
+            FROM e JOIN od USING (src) JOIN r{i-1} r ON r.node = e.src
+            GROUP BY e.dst
+          ) c ON c.node = v.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
+def _bfs_oracle(max_hops: int = 3) -> str:
+    ctes = [
+        _GRAPH_EDGE_CTE,
+        """d0 AS (
+          SELECT DISTINCT 'p:' || p_partkey AS node, 0 AS hops
+          FROM part WHERE p_partkey % 500 = 0
+        )""",
+    ]
+    for i in range(1, max_hops + 1):
+        ctes.append(f"""d{i} AS (
+          SELECT * FROM d{i-1}
+          UNION ALL
+          SELECT node, {i} AS hops FROM (
+            SELECT DISTINCT e.dst AS node
+            FROM e JOIN d{i-1} f ON e.src = f.node AND f.hops = {i-1}
+          ) WHERE node NOT IN (SELECT node FROM d{i-1})
+        )""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, hops FROM d{max_hops}"
+
+
+def _graph_edges(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    )
+    rev = li.select(
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+    )
+    return fwd.unionByName(rev)
+
+
+@register(
+    "pagerank_part_supplier",
+    _pagerank_oracle(iterations=5, damping=0.85),
+    doc="PageRank (5 fixed power-iteration rounds, d=0.85, simple "
+    "variant — dangling mass dropped identically on both engines) over "
+    "the symmetrized part<->supplier co-purchase graph: each round is "
+    "edges-join-state + groupBy(dst) (the Pregel-on-DataFrame pattern), "
+    "edge list checkpointed ONCE and reused, per-round state "
+    "checkpointed so the plan stays linear in rounds; intermediate "
+    "ranks rounded to 12dp on both engines to pin FP summation-order "
+    "drift. Oracle = the SAME 5 rounds unrolled as chained CTEs",
+)
+def q_pagerank(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import graph
+
+    return graph.pagerank(
+        _graph_edges(spark, sf_dir), "src", "dst", iterations=5, damping=0.85
+    )
+
+
+@register(
+    "bfs_reachability",
+    _bfs_oracle(max_hops=3),
+    doc="BFS minimum-hop distances (≤3 hops) from seed parts "
+    "(p_partkey % 500 = 0) over the symmetrized part<->supplier graph: "
+    "frontier-optimized rounds (only newly-discovered vertices expand — "
+    "work per round is frontier-, not visited-, proportional), with an "
+    "early-exit probe on an empty frontier. Oracle = hop-unrolled CTEs",
+)
+def q_bfs_reachability(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import graph
+
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 500 == 0)
+        .select(F.concat(F.lit("p:"), F.col("p_partkey")).alias("node"))
+        .distinct()
+    )
+    return graph.bfs_distances(
+        _graph_edges(spark, sf_dir), "src", "dst", seeds, max_hops=3
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2

@@ -1,0 +1,84 @@
+from __future__ import annotations
+
+import pytest
+
+from etl_excel_csv_sql_spark.operators import graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def _ref_pagerank(pairs, iterations=5, d=0.85):
+    """Plain-Python reference: same simple variant, same 12dp rounding."""
+    edges = sorted(set(pairs))
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            contrib[t] += rank[s] / out[s]
+        rank = {v: round((1 - d) / n + d * contrib[v], 12) for v in nodes}
+    return {v: round(r, 6) for v, r in rank.items()}
+
+
+CHAIN = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+
+
+def test_pagerank_matches_reference(spark):
+    got = {
+        r.node: r.rank
+        for r in graph.pagerank(_edges(spark, CHAIN), "src", "dst").collect()
+    }
+    assert got == _ref_pagerank(CHAIN)
+
+
+def test_pagerank_rank_mass_sane(spark):
+    # cycle a->b->c->a: symmetric roles → equal ranks, sum == 1
+    cyc = [("a", "b"), ("b", "c"), ("c", "a")]
+    got = [
+        r.rank
+        for r in graph.pagerank(_edges(spark, cyc), "src", "dst").collect()
+    ]
+    assert len(set(got)) == 1
+    assert sum(got) == pytest.approx(1.0, abs=5e-6)  # 3 ranks @ 6dp rounding
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    got = {
+        r.node: r.rank
+        for r in graph.pagerank(
+            _edges(spark, CHAIN + CHAIN), "src", "dst"
+        ).collect()
+    }
+    assert got == _ref_pagerank(CHAIN)
+
+
+def test_bfs_min_hops_and_frontier(spark):
+    # a -> b -> c -> d -> e, plus shortcut a -> c
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c")]
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {
+        r.node: r.hops
+        for r in graph.bfs_distances(
+            _edges(spark, pairs), "src", "dst", seeds, max_hops=3
+        ).collect()
+    }
+    # c reached at hop 1 via shortcut (min, not first-listed path)
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+
+
+def test_bfs_early_exit_on_exhausted_frontier(spark):
+    pairs = [("a", "b")]
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {
+        r.node: r.hops
+        for r in graph.bfs_distances(
+            _edges(spark, pairs), "src", "dst", seeds, max_hops=10
+        ).collect()
+    }
+    assert got == {"a": 0, "b": 1}
