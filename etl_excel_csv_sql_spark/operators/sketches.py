@@ -176,3 +176,96 @@ def set_overlap_estimate(
         inter.cast("long").alias("approx_intersection"),
         F.round(inter / est_u, 6).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequency: Misra-Gries heavy hitters (mergeable, Agarwal et al. PODS'12)
+# ---------------------------------------------------------------------------
+
+def misra_gries_partials(
+    df: DataFrame, key_col: str, width: int
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries: ≤ ``width`` (key, est) rows
+    per partition, one Arrow-batched pass, NO shuffle of raw keys.
+
+    Batch processing uses the summary-merge form of MG (sum counters,
+    subtract the (width+1)-th largest, keep positives) which preserves
+    the estimate bound est ≥ count − n_p/(width+1) (Agarwal et al.,
+    "Mergeable Summaries", PODS'12 — merging does not grow error beyond
+    the concatenated-stream bound). Python touches only per-batch
+    value_counts() results (vocabulary-sized), never row-at-a-time.
+    """
+
+    keyed = df.select(F.col(key_col).cast("string").alias("key"))
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf["key"].dropna().value_counts()
+            for k, c in vc.items():
+                counters[k] = counters.get(k, 0) + int(c)
+            if len(counters) > width:
+                # subtract the (width+1)-th largest from everything
+                cut = sorted(counters.values(), reverse=True)[width]
+                counters = {
+                    k: c - cut for k, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame(
+            {"key": list(counters), "est": list(counters.values())}
+        )
+
+    return keyed.mapInPandas(summarize, "key string, est long")
+
+
+def phi_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    phi: float,
+    width: int | None = None,
+) -> DataFrame:
+    """EXACT phi-heavy hitters (keys with frequency ≥ phi·n) at
+    sketch cost: (key, cnt, freq), counts exact.
+
+    Two passes over the data, NEITHER shuffling raw keys:
+
+    1. Misra-Gries partials per partition (width defaults to ceil(2/phi))
+       merged by key — any key with count > n/(width+1) ≤ phi·n/2
+       survives with positive estimate, so the merged summary is a
+       guaranteed SUPERSET of the phi-heavy set.
+    2. Exact verify: count only the candidate keys (broadcast semi-join
+       prunes at the scan), filter to ≥ phi·n with n as an in-plan
+       broadcast scalar.
+
+    The result is therefore exact and oracle-checkable with plain
+    GROUP BY/HAVING — while the shuffle carries at most
+    width·partitions summary rows plus candidate counts, never the
+    key column of the full table.
+    """
+    import math
+
+    if width is None:
+        width = int(math.ceil(2.0 / phi))
+    keyed = df.select(F.col(key_col).cast("string").alias("key"))
+    candidates = (
+        misra_gries_partials(df, key_col, width)
+        .groupBy("key")
+        .agg(F.sum("est").alias("est"))
+        .select("key")
+    )
+    total = keyed.agg(F.count("key").alias("n"))  # 1 row → broadcast
+    exact = (
+        keyed.join(F.broadcast(candidates), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(phi) * F.col("n"))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("freq"),
+        )
+    )

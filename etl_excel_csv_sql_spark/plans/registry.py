@@ -4793,6 +4793,37 @@ def q_bfs_reachability(spark, sf_dir):
     )
 
 
+@register(
+    "heavy_hitters_phi",
+    """
+    WITH keyed AS (
+      SELECT CAST(CAST(l_quantity AS INT) AS VARCHAR) AS key
+      FROM lineitem WHERE l_quantity IS NOT NULL
+    ), tot AS (SELECT count(*) AS n FROM keyed)
+    SELECT key, count(*) AS cnt,
+           round(count(*) / CAST(n AS DOUBLE), 6) AS freq
+    FROM keyed CROSS JOIN tot
+    GROUP BY key, n
+    HAVING count(*) >= 0.015 * n
+    """,
+    doc="EXACT phi-heavy hitters (freq ≥ 1.5%) at sketch cost: "
+    "per-partition Misra-Gries summaries (mergeable, Agarwal et al. "
+    "PODS'12; ≤ width rows/partition, raw keys NEVER shuffle) give a "
+    "guaranteed candidate SUPERSET, then a broadcast-semi-join exact "
+    "verify + in-plan total makes the output exact — hence the plain "
+    "GROUP BY/HAVING oracle. The high-cardinality frequency question "
+    "at 100 TB without a full-key shuffle; Zipf guarantee + merge "
+    "soundness asserted in tests/test_sketches.py",
+)
+def q_heavy_hitters_phi(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("int").alias("qty")
+    )
+    return sketches.phi_heavy_hitters(li, "qty", phi=0.015)
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2

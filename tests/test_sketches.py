@@ -92,3 +92,60 @@ def test_set_overlap_disjoint_and_identical(spark):
     assert ab["approx_intersection"] < 0.05 * 5000
     # identical: jaccard ~1
     assert ac["jaccard"] > 0.95
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def _zipf_rows():
+    # deterministic Zipf-ish stream: key i appears 2000//i times, i=1..60
+    return [(f"k{i}",) for i in range(1, 61) for _ in range(2000 // i)]
+
+
+def test_mg_partials_bounded_and_superset(spark):
+    from etl_excel_csv_sql_spark.operators import sketches
+
+    df = spark.createDataFrame(_zipf_rows(), ["key"]).repartition(7)
+    width = 20
+    partials = sketches.misra_gries_partials(df, "key", width).toPandas()
+    # ≤ width rows per partition → ≤ 7 * width total
+    assert len(partials) <= 7 * width
+    # estimates never exceed true counts
+    true = {f"k{i}": 2000 // i for i in range(1, 61)}
+    merged = partials.groupby("key")["est"].sum()
+    assert all(est <= true[k] for k, est in merged.items())
+
+
+def test_phi_heavy_hitters_exact_on_zipf(spark):
+    from etl_excel_csv_sql_spark.operators import sketches
+
+    rows = _zipf_rows()
+    n = len(rows)
+    phi = 0.05
+    df = spark.createDataFrame(rows, ["key"]).repartition(7)
+    got = {
+        r.key: (r.cnt, r.freq)
+        for r in sketches.phi_heavy_hitters(df, "key", phi).collect()
+    }
+    true = {f"k{i}": 2000 // i for i in range(1, 61)}
+    want = {k: c for k, c in true.items() if c >= phi * n}
+    assert set(got) == set(want)
+    for k, (cnt, freq) in got.items():
+        assert cnt == want[k]  # exact counts, not estimates
+        assert freq == round(want[k] / n, 6)
+
+
+def test_phi_heavy_hitters_partitioning_invariant(spark):
+    from etl_excel_csv_sql_spark.operators import sketches
+
+    rows = _zipf_rows()
+    a = sketches.phi_heavy_hitters(
+        spark.createDataFrame(rows, ["key"]).repartition(1), "key", 0.03
+    ).collect()
+    b = sketches.phi_heavy_hitters(
+        spark.createDataFrame(rows, ["key"]).repartition(13), "key", 0.03
+    ).collect()
+    assert sorted((r.key, r.cnt) for r in a) == sorted(
+        (r.key, r.cnt) for r in b
+    )
