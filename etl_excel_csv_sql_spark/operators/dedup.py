@@ -49,6 +49,94 @@ def exact_dedup_fingerprint(
     )
 
 
+def shingle_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Checkpointed distinct-shingle inverted index: (id, shingle) rows.
+
+    ``max_df`` is the stop-shingle cutoff (see :func:`ngram_jaccard_pairs`
+    — a df=d shingle produces d² candidate rows, so boilerplate shingles
+    are removed via a broadcast anti-join before any self-join). The
+    checkpoint materializes the index once because every consumer reads
+    it 2-3 times (per-doc sizes + both sides of the posting-list
+    self-join) and the tokenize→shingle explode is the expensive part;
+    at scale this trades local-disk I/O for re-shingling the corpus.
+    """
+    shingled = spread_for_compute(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    if max_df is not None:
+        hot = (
+            shingled.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        shingled = shingled.join(F.broadcast(hot), "shingle", "left_anti")
+    return shingled.localCheckpoint(eager=True)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """DIRECTED near-dup pairs by shingle-set containment
+    C(src→dst) = |S_src ∩ S_dst| / |S_src| ≥ threshold.
+
+    Containment is the sub-document inclusion signal Jaccard misses: a
+    short doc pasted inside a long one has high containment but low
+    Jaccard (the union is dominated by the long side). Same inverted-
+    index plan as :func:`ngram_jaccard_pairs` — the unordered
+    intersection is computed ONCE per pair, then both directions are
+    emitted and filtered, so asymmetry costs nothing extra.
+
+    Output: (id_src, id_dst, containment) — src's shingles appear in dst.
+    """
+    shingled = shingle_postings(df, id_col, text_col, n, max_df)
+    sizes = shingled.groupBy("id").agg(F.count("*").alias("set_size"))
+
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=(F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter_size"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    both = inter.join(sa, "id_a").join(sb, "id_b")
+    fwd = both.select(
+        F.col("id_a").alias("id_src"),
+        F.col("id_b").alias("id_dst"),
+        (F.col("inter_size") / F.col("size_a")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("id_src"),
+        F.col("id_a").alias("id_dst"),
+        (F.col("inter_size") / F.col("size_b")).alias("containment"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_src", "id_dst", F.round("containment", 6).alias("containment")
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -74,24 +162,7 @@ def ngram_jaccard_pairs(
     Exact (not approximate): use minhash_lsh_pairs when the candidate set
     must stay subquadratic.
     """
-    shingled = spread_for_compute(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
-    )
-    if max_df is not None:
-        hot = (
-            shingled.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("shingle")
-        )
-        shingled = shingled.join(F.broadcast(hot), "shingle", "left_anti")
-    # Materialize the inverted index once: it feeds three consumers (the
-    # per-doc sizes and both sides of the posting-list self-join), and the
-    # tokenize→shingle explode is the expensive part. The checkpoint spills
-    # MEMORY_AND_DISK — at scale this trades local-disk I/O for 3×
-    # recomputing the shingle pipeline over the corpus.
-    shingled = shingled.localCheckpoint(eager=True)
+    shingled = shingle_postings(df, id_col, text_col, n, max_df)
     sizes = shingled.groupBy("id").agg(F.count("*").alias("set_size"))
 
     a = shingled.alias("a")

@@ -4824,6 +4824,59 @@ def q_heavy_hitters_phi(spark, sf_dir):
     return sketches.phi_heavy_hitters(li, "qty", phi=0.015)
 
 
+@register(
+    "ngram_containment_pairs",
+    r"""
+    WITH shingled_all AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+                    THEN list_transform(
+                           generate_series(1, len(string_split_regex(trim(text), '\s+')) - 2),
+                           i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' '))
+                    ELSE [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
+               END)) AS shingle
+      FROM documents
+    ), hot AS (
+      SELECT shingle FROM shingled_all GROUP BY shingle HAVING count(*) > 100
+    ), shingled AS (
+      SELECT id, shingle FROM shingled_all
+      WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ), sizes AS (
+      SELECT id, count(*) AS set_size FROM shingled GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter_size
+      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT id_a, id_b, inter_size,
+             sa.set_size AS size_a, sb.set_size AS size_b
+      FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+    ), directed AS (
+      SELECT id_a AS id_src, id_b AS id_dst,
+             CAST(inter_size AS DOUBLE) / size_a AS containment
+      FROM sized
+      UNION ALL
+      SELECT id_b, id_a, CAST(inter_size AS DOUBLE) / size_b FROM sized
+    )
+    SELECT id_src, id_dst, round(containment, 6) AS containment
+    FROM directed WHERE containment >= 0.4
+    """,
+    doc="DIRECTED containment near-dup pairs |S_src ∩ S_dst|/|S_src| ≥ "
+    "0.4 — the sub-document-inclusion signal Jaccard misses (short doc "
+    "pasted into a long one: high containment, low Jaccard). Same "
+    "inverted-index + stop-shingle plan as ngram_jaccard_pairs "
+    "(shared shingle_postings helper); the unordered intersection is "
+    "computed once per pair, both directions emitted for free",
+)
+def q_ngram_containment(spark, sf_dir):
+    return dedup.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.4, max_df=100,
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2

@@ -287,3 +287,46 @@ def test_minhash_index_build_once_and_refingerprint(spark, near_dup_docs, tmp_pa
         corpus.filter(F.col("doc_id") > 10), "doc_id", "text", skip_if_exists=True
     )
     assert os.path.getmtime(idx._manifest) > mtime
+
+
+# ---------------------------------------------------------------------------
+# Containment pairs (asymmetric near-dup)
+# ---------------------------------------------------------------------------
+
+def test_containment_asymmetric_subdocument(spark):
+    """A short doc pasted inside a long one: containment(short→long) is
+    1.0 while Jaccard stays low — the case containment exists for."""
+    short = "alpha beta gamma delta epsilon"
+    long = short + " zeta eta theta iota kappa lam mu nu xi omicron pi rho"
+    df = spark.createDataFrame([(1, short), (2, long)], ["doc_id", "text"])
+    got = {
+        (r.id_src, r.id_dst): r.containment
+        for r in dedup.ngram_containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.1
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0  # every shingle of the short doc is in long
+    # reverse direction: 3 of 15 long shingles come from the short doc
+    assert got[(2, 1)] == round(3 / 15, 6)
+
+
+def test_containment_consistent_with_jaccard(spark, sf_dir):
+    """For every pair both operators emit, containment ≥ jaccard (the
+    union dominates size_src), and they agree on the intersection."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.12, max_df=100
+        ).collect()
+    }
+    cont = {
+        (r.id_src, r.id_dst): r.containment
+        for r in dedup.ngram_containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.0, max_df=100
+        ).collect()
+    }
+    assert jac, "fixture should contain at least one near-dup pair"
+    for (a, b), j in jac.items():
+        assert cont[(a, b)] >= j - 1e-6  # containment rounded to 6dp
+        assert cont[(b, a)] >= j - 1e-6
