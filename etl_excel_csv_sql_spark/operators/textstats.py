@@ -686,3 +686,67 @@ def unigram_surprisal(
             ).alias("bits_per_token"),
         )
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) of a text column — the
+    canonical first step of any multilingual corpus pipeline (composed
+    vs decomposed accents otherwise break dedup fingerprints, tokenizer
+    merges and equality joins).
+
+    The JVM has no normalization expression in pyspark.sql.functions, so
+    this is an Arrow-batched ``mapInPandas`` narrow map over
+    ``unicodedata.normalize`` (stdlib, Unicode-standard behavior —
+    matching DuckDB's ``nfc_normalize``): no shuffle, vectorized
+    transfer, no per-row Python objects beyond the string batch itself.
+
+    Output: (id, len_raw, text_norm, len_norm) — length deltas are the
+    cheap monitor for how much composition actually happened.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("t")
+    )
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("len_raw", IntegerType()),
+            StructField("text_norm", StringType()),
+            StructField("len_norm", IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import unicodedata
+
+        for pdf in it:
+            norm = pdf["t"].map(
+                lambda s: unicodedata.normalize(form, s)
+                if s is not None
+                else None
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "len_raw": pdf["t"].str.len().astype("Int32"),
+                    "text_norm": norm,
+                    "len_norm": norm.str.len().astype("Int32"),
+                }
+            )
+
+    return src.mapInPandas(batches, out_schema)

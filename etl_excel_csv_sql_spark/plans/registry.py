@@ -4877,6 +4877,38 @@ def q_ngram_containment(spark, sf_dir):
     )
 
 
+@register(
+    "unicode_nfc_normalize",
+    """
+    WITH decomposed AS (
+      -- deterministic decomposed-accent injection, mirrored in Spark:
+      -- every 'e' becomes 'e' + U+0301 (combining acute), so NFC has
+      -- real composition work to do (the corpus itself is ASCII)
+      SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS t
+      FROM documents
+    )
+    SELECT doc_id AS id,
+           length(t) AS len_raw,
+           nfc_normalize(t) AS text_norm,
+           length(nfc_normalize(t)) AS len_norm
+    FROM decomposed
+    """,
+    doc="Unicode NFC normalization (unicodedata via Arrow mapInPandas "
+    "narrow map — no JVM normalization expression exists; no shuffle) "
+    "with length-delta monitoring. Injected combining-acute accents "
+    "(mirrored on both engines) give NFC real composition work since "
+    "the generated corpus is ASCII; oracle is DuckDB nfc_normalize — "
+    "two independent Unicode-standard implementations must agree "
+    "byte-for-byte",
+)
+def q_unicode_nfc_normalize(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", "e", "e\u0301").alias("text"),
+    )
+    return textstats.normalize_unicode(docs, "doc_id", "text", form="NFC")
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2

@@ -574,3 +574,18 @@ def test_tfidf_doc_similarity_max_df_cuts_hot_terms(spark):
         docs, F.col("doc_id") == 0, k=3, max_df_ratio=0.9
     ).collect()
     assert {r.similar_doc for r in out} == {1}
+
+
+def test_normalize_unicode_nfc(spark):
+    from etl_excel_csv_sql_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "plain"), (3, None)], ["doc_id", "text"]
+    )
+    out = {
+        r.id: r for r in textstats.normalize_unicode(df, "doc_id", "text").collect()
+    }
+    assert out[1].text_norm == "café"  # composed
+    assert out[1].len_raw == 5 and out[1].len_norm == 4
+    assert out[2].text_norm == "plain" and out[2].len_norm == 5
+    assert out[3].text_norm is None and out[3].len_norm is None
