@@ -105,3 +105,60 @@ def cobucketed_join(
     left = spark.table(left_table)
     right = spark.table(right_table)
     return left.join(right, left[left_key] == right[right_key], how)
+
+
+def parquet_file_stats(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(file, bytes) for every parquet data file under ``path``, via the
+    Hadoop FileSystem API — works against any supported filesystem
+    (local, HDFS, object stores), not just local paths."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(p, True)  # recursive
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        if name.endswith(".parquet"):
+            out.append((name, st.getLen()))
+    return out
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Rewrite a many-small-files parquet dataset into ~``target_bytes``
+    files (the OPTIMIZE/compaction maintenance op every long-lived table
+    needs: streaming sinks and over-parallel writers leave thousands of
+    KB-sized files, and at 100 TB the per-file open/footer cost starts to
+    dominate scans).
+
+    File count is sized from the SOURCE byte total (compressed size is
+    layout-independent to first order); ``repartition`` (round-robin)
+    balances rows evenly so output files are uniform — a ``coalesce``
+    would skip the shuffle but inherit the input's skew.
+
+    Returns a 2-row report frame (phase, n_files, total_bytes, n_rows) —
+    the before/after evidence.
+    """
+    import math
+
+    src_files = parquet_file_stats(spark, src_path)
+    total = sum(b for _, b in src_files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_out).write.mode("overwrite").parquet(dst_path)
+    dst_files = parquet_file_stats(spark, dst_path)
+    n_src_rows = spark.read.parquet(src_path).count()
+    n_dst_rows = spark.read.parquet(dst_path).count()
+    return spark.createDataFrame(
+        [
+            ("before", len(src_files), int(total), n_src_rows),
+            ("after", len(dst_files), int(sum(b for _, b in dst_files)), n_dst_rows),
+        ],
+        "phase string, n_files int, total_bytes long, n_rows long",
+    )

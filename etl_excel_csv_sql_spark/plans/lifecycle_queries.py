@@ -1580,3 +1580,67 @@ def q_fixed_width_roundtrip(spark, sf_dir):
     )
     fw.write_fixed_width(src, path, spec)
     return fw.read_fixed_width(spark, path, spec)
+
+
+# ---------------------------------------------------------------------------
+# Warehouse layout maintenance: partition pruning + small-file compaction
+# ---------------------------------------------------------------------------
+
+@register(
+    "partition_pruned_read",
+    """
+    SELECT event_id, event_type, strftime(ts, '%Y-%m-%d') AS event_date
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') IN ('2024-01-05', '2024-01-17')
+    """,
+    doc="directory-partitioned write (io/warehouse.write_partitioned, "
+    "partitionBy event_date) + pruned read-back of 2 of 30 day "
+    "directories: the filter binds to the PARTITION column so the scan "
+    "touches only matching directories (PartitionFilters — plan-asserted "
+    "in tests/test_warehouse.py, the layout that turns a 100 TB "
+    "time-range query into a per-day scan). Full value oracle vs the "
+    "unpartitioned source",
+)
+def q_partition_pruned_read(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io.warehouse import write_partitioned
+
+    scratch = _scratch("part_events_" + os.path.basename(sf_dir.rstrip("/")))
+    path = os.path.join(scratch, "events_by_day")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+    )
+    write_partitioned(ev, path, ["event_date"])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("event_date").isin("2024-01-05", "2024-01-17"))
+        .select("event_id", "event_type", "event_date")
+    )
+
+
+@register(
+    "compact_small_files_report",
+    None,
+    doc="small-file compaction (io/warehouse.compact_small_files — the "
+    "OPTIMIZE maintenance op): a deliberately over-parallel 64-file "
+    "write is rewritten into target-size files (count derived from the "
+    "SOURCE byte total via the Hadoop FileSystem API — filesystem-"
+    "agnostic, not local-only; round-robin repartition for uniform "
+    "output sizes). Rows-only report (file counts/bytes are "
+    "environment-dependent); tests/test_warehouse.py asserts file-count "
+    "collapse and row preservation",
+)
+def q_compact_small_files_report(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io.warehouse import compact_small_files
+
+    scratch = _scratch("compact_" + os.path.basename(sf_dir.rstrip("/")))
+    src = os.path.join(scratch, "small")
+    dst = os.path.join(scratch, "compacted")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li.repartition(64).write.mode("overwrite").parquet(src)
+    return compact_small_files(spark, src, dst, target_bytes=8 * 1024 * 1024)

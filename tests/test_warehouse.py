@@ -85,3 +85,43 @@ def test_cobucketed_join_has_no_exchange(spark, tmp_path):
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customers")
+
+
+def test_compact_small_files_collapses_and_preserves(spark, tmp_path):
+    from etl_excel_csv_sql_spark.io.warehouse import (
+        compact_small_files,
+        parquet_file_stats,
+    )
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(0, 50_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(src)
+    assert len(parquet_file_stats(spark, src)) == 40
+
+    report = {
+        r.phase: r
+        for r in compact_small_files(
+            spark, src, dst, target_bytes=64 * 1024 * 1024
+        ).collect()
+    }
+    assert report["before"].n_files == 40
+    assert report["after"].n_files < report["before"].n_files
+    assert report["after"].n_rows == report["before"].n_rows == 50_000
+    # compacted data identical, not just counted
+    a = sorted(r.id for r in spark.read.parquet(dst).collect())
+    assert a == list(range(50_000))
+
+
+def test_partitioned_read_prunes(spark, tmp_path):
+    from etl_excel_csv_sql_spark.io.warehouse import write_partitioned
+
+    path = str(tmp_path / "by_day")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 5) + 1:02d}") for i in range(100)], ["id", "day"]
+    )
+    write_partitioned(df, path, ["day"])
+    rd = spark.read.parquet(path).filter(F.col("day") == "2024-01-03")
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-01-03" in plan
+    assert rd.count() == 20
