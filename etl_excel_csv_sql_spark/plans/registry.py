@@ -4909,6 +4909,31 @@ def q_unicode_nfc_normalize(spark, sf_dir):
     return textstats.normalize_unicode(docs, "doc_id", "text", form="NFC")
 
 
+@register(
+    "bpe_encode_tokens",
+    None,
+    doc="BPE ENCODE at corpus scale: train 12 merges on the vocab-sized "
+    "word-frequency table (one corpus pass), then apply the broadcast-"
+    "literal merge chain per document via the same JVM higher-order "
+    "fold the trainer used — a narrow map, no Python in the encode "
+    "path, no shuffle. Output (doc_id, n_bpe_tokens, head_tokens). "
+    "Rows-only: the merge table is learned, not SQL-expressible; "
+    "tests/test_bpe.py proves token-for-token parity with the "
+    "sequential reference encoder",
+)
+def q_bpe_encode_tokens(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(bpe.word_frequency_table(docs), n_merges=12)
+    enc = bpe.bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe_tokens"),
+        F.array_join(F.slice("bpe_tokens", 1, 12), "|").alias("head_tokens"),
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2

@@ -72,3 +72,34 @@ def test_overlapping_merge_semantics(spark):
         bpe._merge_pair_in_array(F.col("syms"), "a", "a").alias("m")
     ).first()["m"]
     assert out == ["aa", "aa", "a"]  # left-to-right, non-overlapping
+
+
+def _reference_encode(text: str, merges) -> list[str]:
+    toks = []
+    for w in text.lower().split():
+        syms = list(w)
+        for left, right, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        toks.extend(syms)
+    return toks
+
+
+def test_encode_token_parity_with_reference(spark, sf_dir):
+    """Distributed encode == sequential reference encode, token for
+    token, on real corpus docs with corpus-trained merges."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    merges = bpe.train_bpe(bpe.word_frequency_table(docs), n_merges=12)
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe.bpe_encode(docs, merges).select("doc_id", "bpe_tokens").collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r["doc_id"]] == _reference_encode(r["text"], merges), r["doc_id"]
