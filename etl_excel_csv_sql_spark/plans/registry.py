@@ -4934,6 +4934,272 @@ def q_bpe_encode_tokens(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Classic analytic join/agg shapes (TPC-H Q7/Q14/Q15/Q17/Q18/Q19 adapted to
+# the available schema — no partsupp/shipmode columns in the testdata)
+# ---------------------------------------------------------------------------
+
+@register(
+    "nation_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(strftime(l_shipdate, '%Y') AS INT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3'))
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape (volume shipping between a nation pair by "
+    "year): fact joins one mid (orders, shuffle on orderkey) and four "
+    "broadcast dims; the nation-pair disjunction prunes AFTER the two "
+    "broadcast nation joins, years derived from shipdate",
+)
+def q_nation_volume_shipping(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(_msum(rev).alias("revenue"))
+
+
+@register(
+    "promo_revenue_pct",
+    """
+    SELECT round(
+             100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                        AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))) AS DOUBLE),
+             6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    doc="TPC-H Q14 shape (promo revenue share): broadcast part join, "
+    "ONE conditional-aggregate pass for both numerator and denominator, "
+    "decimal-exact sums so the ratio is partitioning-independent",
+)
+def q_promo_revenue_pct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * _msum(promo_rev) / _msum(rev), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    doc="TPC-H Q15 shape (top supplier by period revenue): per-supplier "
+    "decimal-exact revenue computed ONCE (checkpointed — it feeds both "
+    "the max scalar and the equality filter), the max enters as an "
+    "in-plan broadcast scalar; exact-decimal sums make the revenue "
+    "equality deterministic across partitionings",
+)
+def q_top_supplier_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            _msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    max_row = rev.agg(F.max("total_revenue").alias("max_rev"))
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(max_row))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "small_qty_order_revenue",
+    """
+    SELECT round(
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0,
+             6) AS avg_yearly
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN (
+        SELECT l_partkey AS agg_partkey,
+               0.2 * (SUM(l_quantity) / COUNT(l_quantity)) AS qty_cut
+        FROM lineitem GROUP BY l_partkey
+      ) pa ON agg_partkey = l_partkey
+    WHERE p_brand = 'Brand#2' AND l_quantity < qty_cut
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): the correlated "
+    "per-part avg-quantity subquery becomes one aggregate + a join back "
+    "on partkey (NOT a per-row subquery rescan); quantities are "
+    "integral so sum/count is IEEE-identical on both engines; revenue "
+    "sum decimal-exact",
+)
+def q_small_qty_order_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    cuts = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        (F.lit(0.2) * (F.sum("l_quantity") / F.count("l_quantity"))).alias(
+            "qty_cut"
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(cuts, F.col("l_partkey") == F.col("agg_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(_msum("l_extendedprice") / F.lit(7.0), 6).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "large_volume_customers",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250
+    """,
+    doc="TPC-H Q18 shape (large-volume orders): lineitem pre-aggregates "
+    "BY ORDERKEY FIRST (the group-then-join order that keeps the "
+    "shuffle on the fact's natural key), HAVING on the decimal-exact "
+    "quantity sum, then customer broadcast-joins the survivors only",
+)
+def q_large_volume_customers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(_msum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        qty.join(orders, qty.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "disjunctive_predicate_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    doc="TPC-H Q19 shape (disjunctive multi-branch predicate): broadcast "
+    "part join with a 3-branch OR across both join sides — the shape "
+    "that exercises CNF conversion / partial pushdown (the per-table "
+    "conjuncts l_quantity<=30, p_size>=1 are derivable); decimal-exact "
+    "revenue",
+)
+def q_disjunctive_predicate_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(b).agg(_msum(rev).alias("revenue"))
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2
