@@ -807,3 +807,36 @@ def incremental_agg_apply(
         .where(F.col(cnt_col) > 0)
     )
     return merged
+
+
+def golden_records(
+    df: DataFrame,
+    match_key: Column,
+    order_by: list[Column],
+    payload: list[str],
+) -> DataFrame:
+    """Survivorship / golden-record selection (the MDM consolidation
+    step after matching): group records by ``match_key`` and keep, per
+    group, the single record that wins the ordered rule list
+    ``order_by`` (ascending lexicographic — encode "prefer non-null"
+    as a 0/1 flag, "prefer larger" as a negated value; make the last
+    key unique so selection is total).
+
+    Implemented as ``min(struct(rules..., payload...))`` — ONE
+    aggregate pass with map-side partials, no window (a row_number
+    window would sort every group; min-of-struct keeps a single
+    running winner per group). Output: (match_key, n_records,
+    <payload...>).
+    """
+    packed = F.struct(
+        *[c.alias(f"_r{i}") for i, c in enumerate(order_by)],
+        *[F.col(c).alias(c) for c in payload],
+    )
+    agg = df.groupBy(match_key.alias("match_key")).agg(
+        F.count("*").alias("n_records"), F.min(packed).alias("w")
+    )
+    return agg.select(
+        "match_key",
+        "n_records",
+        *[F.col(f"w.{c}").alias(c) for c in payload],
+    )

@@ -1090,3 +1090,90 @@ def embedding_drift_report(
         F.round(F.sqrt(shift), 6).alias("mean_l2_shift"),
         F.round(F.sqrt(na) / F.sqrt(nb), 6).alias("mean_norm_ratio"),
     )
+
+
+def embedding_dim_stats(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """Per-dimension distribution stats (dim, mean, std, min_val,
+    max_val) in ONE aggregation pass — no explode (a posexplode plan
+    shuffles n·dim rows; this shuffles ONE row of 4·dim agg columns).
+
+    std is population std computed as sqrt(E[x²] − E[x]²) explicitly so
+    the oracle can run the byte-identical formula; mean/std rounded to
+    6dp (double-sum noise ≪ rounding step), min/max exact (floats cast
+    to double are exact).
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    aggs = []
+    for i in range(dim):
+        x = F.col(vec_col)[i].cast("double")
+        aggs += [
+            F.avg(x).alias(f"m{i}"),
+            F.avg(x * x).alias(f"s{i}"),
+            F.min(x).alias(f"lo{i}"),
+            F.max(x).alias(f"hi{i}"),
+        ]
+    wide = df.agg(*aggs)  # 1 row
+    packed = F.posexplode(
+        F.array(
+            *[
+                F.struct(
+                    F.round(F.col(f"m{i}"), 6).alias("mean"),
+                    F.round(
+                        F.sqrt(F.col(f"s{i}") - F.col(f"m{i}") * F.col(f"m{i}")),
+                        6,
+                    ).alias("std"),
+                    F.col(f"lo{i}").alias("min_val"),
+                    F.col(f"hi{i}").alias("max_val"),
+                )
+                for i in range(dim)
+            ]
+        )
+    )
+    return wide.select(packed.alias("dim", "st")).select(
+        "dim",
+        F.col("st.mean").alias("mean"),
+        F.col("st.std").alias("std"),
+        F.col("st.min_val").alias("min_val"),
+        F.col("st.max_val").alias("max_val"),
+    )
+
+
+def standardize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """Z-score each embedding dimension: (x − mean)/std, zero-std dims
+    pass through as 0. One stats pass (same single-row aggregate as
+    :func:`embedding_dim_stats`) broadcast back as array literals — the
+    transform itself is a narrow map, no shuffle of the corpus.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    aggs = []
+    for i in range(dim):
+        x = F.col(vec_col)[i].cast("double")
+        aggs += [F.avg(x).alias(f"m{i}"), F.avg(x * x).alias(f"s{i}")]
+    stats = df.agg(*aggs).select(
+        F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("mu"),
+        F.array(
+            *[
+                F.sqrt(F.col(f"s{i}") - F.col(f"m{i}") * F.col(f"m{i}"))
+                for i in range(dim)
+            ]
+        ).alias("sigma"),
+    )
+    out_cols = [c for c in df.columns]
+    z = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.arrays_zip(F.col("mu"), F.col("sigma")),
+        lambda x, ms: F.when(
+            ms["sigma"] > 0, (x - ms["mu"]) / ms["sigma"]
+        ).otherwise(F.lit(0.0)),
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(vec_col + "_std", z)
+        .select(*out_cols, vec_col + "_std")
+    )

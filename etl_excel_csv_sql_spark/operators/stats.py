@@ -299,3 +299,32 @@ def ab_test_report(
         F.round(z, 6).alias("z_score"),
     )
     return variants.unionByName(lift_row)
+
+
+def benford_report(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fraud/synthetic-data audit. Digit extraction is pure math
+    (floor(v / 10^floor(log10 v))), not string formatting, so both
+    engines agree bit-for-bit; expected shares are log10(1 + 1/d).
+
+    One aggregate pass; the total enters as a broadcast scalar.
+    Output: (digit, cnt, pct, benford_pct, abs_dev), 6dp.
+    """
+    v = F.col(value_col).cast("double")
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    d = df.filter(v > 0).select(digit.alias("digit"))
+    tot = d.agg(F.count("*").alias("n"))
+    pct = F.col("cnt") / F.col("n").cast("double")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "cnt",
+            F.round(pct, 6).alias("pct"),
+            F.round(benford, 6).alias("benford_pct"),
+            F.round(F.abs(pct - benford), 6).alias("abs_dev"),
+        )
+    )

@@ -5200,6 +5200,163 @@ def q_disjunctive_predicate_revenue(spark, sf_dir):
     return j.filter(b).agg(_msum(rev).alias("revenue"))
 
 
+# ---------------------------------------------------------------------------
+# Batch 8: MDM survivorship, multiset ops, embedding feature scaling,
+# Benford audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "golden_record_survivorship",
+    """
+    WITH dirty AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000, upper(c_name) || '  ', CAST(NULL AS DOUBLE)
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 2000000, lower(c_name), c_acctbal + 0.5
+      FROM customer WHERE c_custkey % 17 = 0
+    ), keyed AS (
+      SELECT lower(trim(c_name)) AS match_key, c_custkey, c_acctbal
+      FROM dirty
+    ), ranked AS (
+      SELECT match_key, c_custkey, c_acctbal,
+             row_number() OVER (
+               PARTITION BY match_key
+               ORDER BY CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END,
+                        coalesce(-c_acctbal, 1e308), c_custkey
+             ) AS rn,
+             count(*) OVER (PARTITION BY match_key) AS n_records
+      FROM keyed
+    )
+    SELECT match_key, n_records, c_custkey, c_acctbal
+    FROM ranked WHERE rn = 1
+    """,
+    doc="MDM golden-record survivorship after matching: deterministic "
+    "dirty-variant injection (case/whitespace mutants + a null-balance "
+    "mutant, mirrored on both engines), canonical match key, then the "
+    "winner per group by rule list (non-null balance first, then "
+    "highest balance, then lowest key) — ONE min(struct(rules, "
+    "payload)) aggregate with map-side partials, NO window sort "
+    "(relational.golden_records); oracle proves min-of-struct == "
+    "row_number()=1 under the same ordering",
+)
+def q_golden_record_survivorship(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select("c_custkey", "c_name", "c_acctbal")
+    v1 = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.concat(F.upper("c_name"), F.lit("  ")).alias("c_name"),
+            F.lit(None).cast("double").alias("c_acctbal"),
+        )
+    )
+    v2 = (
+        cust.filter(F.col("c_custkey") % 17 == 0)
+        .select(
+            (F.col("c_custkey") + 2000000).alias("c_custkey"),
+            F.lower("c_name").alias("c_name"),
+            (F.col("c_acctbal") + 0.5).alias("c_acctbal"),
+        )
+    )
+    dirty = base.unionByName(v1).unionByName(v2)
+    return relational.golden_records(
+        dirty,
+        F.lower(F.trim("c_name")),
+        [
+            F.when(F.col("c_acctbal").isNull(), 1).otherwise(0),
+            F.coalesce(-F.col("c_acctbal"), F.lit(1e308)),
+            F.col("c_custkey"),
+        ],
+        ["c_custkey", "c_acctbal"],
+    )
+
+
+@register(
+    "multiset_ops",
+    """
+    SELECT 'except_all' AS op, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'intersect_all', o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+    doc="multiset (bag) semantics the distinct set-op trio cannot "
+    "express: EXCEPT ALL / INTERSECT ALL via df.exceptAll / "
+    "df.intersectAll — per-row multiplicity arithmetic, value-compared "
+    "against the SQL bag operators",
+)
+def q_multiset_ops(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    ex = a.exceptAll(b).select(
+        F.lit("except_all").alias("op"), F.col("o_custkey")
+    )
+    inter = a.intersectAll(b).select(
+        F.lit("intersect_all").alias("op"), F.col("o_custkey")
+    )
+    return ex.unionByName(inter)
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH e AS (
+      SELECT s.i AS i, CAST(embedding[s.i] AS DOUBLE) AS v
+      FROM embeddings, generate_series(1, 64) s(i)
+    )
+    SELECT i - 1 AS dim,
+           round(avg(v), 6) AS mean,
+           round(sqrt(avg(v * v) - avg(v) * avg(v)), 6) AS std,
+           min(v) AS min_val, max(v) AS max_val
+    FROM e GROUP BY i
+    """,
+    doc="per-dimension embedding distribution stats (the feature-"
+    "scaling fit step): ONE aggregation pass of 4·dim agg columns — no "
+    "posexplode (which would shuffle n·dim rows); population std as "
+    "sqrt(E[x²]−E[x]²) so the oracle runs the identical formula. The "
+    "companion standardize_embeddings transform (z-score, broadcast "
+    "stats, narrow map) is value-tested in tests/test_similarity.py",
+)
+def q_embedding_dim_stats(spark, sf_dir):
+    return similarity.embedding_dim_stats(
+        _t(spark, sf_dir, "embeddings"), "embedding", dim=64
+    )
+
+
+@register(
+    "benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(floor(o_totalprice / power(10, floor(log10(o_totalprice)))) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), tot AS (SELECT count(*) AS n FROM d)
+    SELECT digit, count(*) AS cnt,
+           round(count(*) / CAST(n AS DOUBLE), 6) AS pct,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_pct,
+           round(abs(count(*) / CAST(n AS DOUBLE)
+                 - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
+    FROM d CROSS JOIN tot GROUP BY digit, n
+    """,
+    doc="Benford first-significant-digit audit (fraud / synthetic-data "
+    "screen) on order totals: digit via pure math (floor(v/10^floor("
+    "log10 v)) — no string formatting, bit-identical across engines), "
+    "expected share log10(1+1/d), one aggregate pass + broadcast total",
+)
+def q_benford_first_digit(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import stats as stats_ops
+
+    return stats_ops.benford_report(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2

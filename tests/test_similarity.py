@@ -480,3 +480,39 @@ def test_drift_report_detects_planted_shift(spark, sf_dir):
     r = similarity.embedding_drift_report(emb, shifted).first()
     assert r["mean_l2_shift"] > 5.0  # sqrt(64) * 1 = 8 minus base means
     assert r["mean_cosine"] < 0.99
+
+
+def test_standardize_embeddings_zscores(spark):
+    from etl_excel_csv_sql_spark.operators import similarity
+
+    rows = [(i, [float(i), 10.0, 5.0 + (i % 2)]) for i in range(8)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.standardize_embeddings(df, "embedding", dim=3)
+    import numpy as np
+
+    mat = np.array(
+        [r.embedding_std for r in out.orderBy("vec_id").collect()]
+    )
+    # standardized dims: mean ~0, std ~1
+    assert abs(mat[:, 0].mean()) < 1e-9 and abs(mat[:, 0].std() - 1) < 1e-9
+    assert abs(mat[:, 2].mean()) < 1e-9 and abs(mat[:, 2].std() - 1) < 1e-9
+    # zero-variance dim maps to 0, not NaN/inf
+    assert (mat[:, 1] == 0).all()
+
+
+def test_embedding_dim_stats_matches_numpy(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import similarity
+    import numpy as np
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.array([r.embedding for r in df.collect()], dtype=np.float64)
+    got = {
+        r.dim: r
+        for r in similarity.embedding_dim_stats(df, "embedding", dim=64).collect()
+    }
+    assert len(got) == 64
+    for d in (0, 7, 63):
+        assert got[d].mean == round(float(mat[:, d].mean()), 6)
+        assert abs(got[d].std - float(mat[:, d].std())) < 2e-6
+        assert got[d].min_val == float(mat[:, d].min())
+        assert got[d].max_val == float(mat[:, d].max())

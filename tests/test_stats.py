@@ -154,3 +154,31 @@ def test_ab_test_degenerate_all_convert(spark):
     rep = {r["variant"]: r for r in stats.ab_test_report(df).collect()}
     assert rep["lift"]["z_score"] is None  # pooled variance 0 -> NULL, no crash
     assert rep["lift"]["rate"] == 1.0
+
+
+def test_benford_report_on_benford_sample(spark):
+    """A log-uniform sample IS Benford-distributed: deviations should be
+    small; a uniform sample is NOT: deviation for digit 1 is large."""
+    from etl_excel_csv_sql_spark.operators.stats import benford_report
+    import math
+
+    log_uniform = [(10 ** (0.0001 * i),) for i in range(40000)]  # 1..~10^4
+    got = {
+        r.digit: r
+        for r in benford_report(
+            spark.createDataFrame(log_uniform, ["v"]), "v"
+        ).collect()
+    }
+    assert set(got) == set(range(1, 10))
+    for d in range(1, 10):
+        assert got[d].abs_dev < 0.01
+        assert got[d].benford_pct == round(math.log10(1 + 1 / d), 6)
+
+    uniform = [(float(i),) for i in range(1, 10001)]
+    got_u = {
+        r.digit: r
+        for r in benford_report(
+            spark.createDataFrame(uniform, ["v"]), "v"
+        ).collect()
+    }
+    assert got_u[1].abs_dev > 0.05  # uniform ≠ Benford
