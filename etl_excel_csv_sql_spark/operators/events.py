@@ -554,3 +554,56 @@ def seasonal_anomalies(
             F.round(zscore, 6).alias("zscore"),
         )
     )
+
+
+def ewma_by_group(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Exponentially-weighted moving average per series — the classic
+    smoothing/monitoring signal, computed as an ORDER-SENSITIVE fold:
+    s_0 = x_0, s_t = alpha*x_t + (1-alpha)*s_{t-1} (pandas
+    ewm(adjust=False) semantics).
+
+    Spark has no ordered-aggregate fold, so the series is bucketed
+    (group, time-bucket) -> exact decimal mean, gathered with
+    sort_array(collect_list(struct(bucket, mean))) and folded by the JVM
+    higher-order ``aggregate`` — one shuffle on (group, bucket), one on
+    group; the collected list is series-length (buckets), not raw-event,
+    sized, so state is bounded by the time range, never the event count.
+    The fold is deterministic: list order is total (bucket asc) and the
+    arithmetic is sequential IEEE — which is what lets DuckDB's
+    ``list_reduce`` reproduce it bit-for-bit as an oracle.
+
+    Output: (group_key, n_points, ewma) with ewma rounded to 6dp.
+    """
+    b = (
+        df.groupBy(
+            F.col(group_col).alias("group_key"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("h"),
+        )
+        .agg(
+            (
+                F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+    )
+    series = b.groupBy("group_key").agg(
+        F.sort_array(F.collect_list(F.struct("h", "m"))).alias("pts")
+    )
+    ms = F.transform(F.col("pts"), lambda p: p["m"])
+    folded = F.aggregate(
+        F.slice(ms, 2, F.greatest(F.size(ms) - 1, F.lit(0))),
+        F.element_at(ms, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return series.select(
+        "group_key",
+        F.size("pts").alias("n_points"),
+        F.round(folded, 6).alias("ewma"),
+    )

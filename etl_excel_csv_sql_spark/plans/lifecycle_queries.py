@@ -1644,3 +1644,103 @@ def q_compact_small_files_report(spark, sf_dir):
     )
     li.repartition(64).write.mode("overwrite").parquet(src)
     return compact_small_files(spark, src, dst, target_bytes=8 * 1024 * 1024)
+
+
+@register(
+    "events_stream_stream_full_join",
+    # Completes the stream-stream join matrix (inner / left_outer /
+    # full_outer). Matched pairs emit on arrival (== batch join).
+    # Never-matched CLICKS finalize once the global min-watermark
+    # strictly passes click_ts + interval (same rule the left-outer
+    # query calibrated); never-matched VIEWS finalize once it strictly
+    # passes view_ts itself (a view can only match EARLIER clicks, so
+    # its last possible partner is a click at view_ts - epsilon, making
+    # view_ts the eviction horizon). Both rules verified empirically
+    # against this engine before being encoded here.
+    """
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+         v AS (SELECT * FROM events WHERE event_type = 'view'),
+         wm AS (
+           SELECT least(date_trunc('millisecond', (SELECT max(ts) FROM c)),
+                        date_trunc('millisecond', (SELECT max(ts) FROM v)))
+                  - INTERVAL 8 HOUR AS w
+         )
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+    FROM c JOIN v
+      ON c.user_id = v.user_id
+     AND v.ts > c.ts AND v.ts <= c.ts + INTERVAL 4 HOUR
+    UNION ALL
+    SELECT c.event_id, CAST(NULL AS BIGINT), c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S'), CAST(NULL AS VARCHAR)
+    FROM c, wm
+    WHERE NOT EXISTS (
+            SELECT 1 FROM v
+            WHERE v.user_id = c.user_id
+              AND v.ts > c.ts AND v.ts <= c.ts + INTERVAL 4 HOUR
+          )
+      AND c.ts + INTERVAL 4 HOUR < wm.w
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), v.event_id, v.user_id,
+           CAST(NULL AS VARCHAR), strftime(v.ts, '%Y-%m-%d %H:%M:%S')
+    FROM v, wm
+    WHERE NOT EXISTS (
+            SELECT 1 FROM c
+            WHERE c.user_id = v.user_id
+              AND v.ts > c.ts AND v.ts <= c.ts + INTERVAL 4 HOUR
+          )
+      AND wm.w > v.ts
+    """,
+    doc="FULL-OUTER stream-stream interval join e2e: matched pairs emit "
+    "on arrival; unmatched rows from EACH side emit with nulls at that "
+    "side's watermark-finalization horizon (click_ts+interval for the "
+    "left, view_ts for the right) — the oracle rebuilds both horizons",
+)
+def q_events_stream_stream_full_join(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    scratch = _scratch(
+        "events_stream_fjoin_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    src = os.path.join(scratch, "in")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def side(event_type: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .filter(F.col("event_type") == event_type)
+        )
+
+    joined = stream_stream_interval_join(
+        side("click"), side("view"), "user_id", "ts",
+        interval="4 hours", watermark="8 hours", how="full_outer",
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("view_id"),
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+        F.date_format(F.col("l.ts"), "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format(F.col("r.ts"), "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    sink_name = f"evt_ss_fjoin_{_STREAM_RUN_SEQ[0]}"
+    (
+        joined.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink_name).select(
+        "click_id", "view_id", "user_id", "click_ts", "view_ts"
+    )

@@ -5357,6 +5357,34 @@ def q_benford_first_digit(spark, sf_dir):
     return stats_ops.benford_report(_t(spark, sf_dir, "orders"), "o_totalprice")
 
 
+@register(
+    "events_ewma_smoothing",
+    """
+    WITH b AS (
+      SELECT event_type AS group_key, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+      FROM events GROUP BY 1, 2
+    ), l AS (
+      SELECT group_key, count(*) AS n_points, list(m ORDER BY h) AS ms
+      FROM b GROUP BY group_key
+    )
+    SELECT group_key, n_points,
+           round(list_reduce(ms, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+    FROM l
+    """,
+    doc="EWMA smoothing per event-type series (s_t = 0.3·x_t + 0.7·"
+    "s_{t-1}, pandas adjust=False semantics): hourly decimal-exact "
+    "bucket means, then an ORDER-SENSITIVE JVM aggregate fold over the "
+    "sorted series (state scales with the TIME RANGE, not event "
+    "count); the sequential-IEEE fold is reproduced bit-for-bit by "
+    "DuckDB list_reduce as the oracle",
+)
+def q_events_ewma_smoothing(spark, sf_dir):
+    return events.ewma_by_group(
+        _t(spark, sf_dir, "events"), "event_type", "ts", "value", alpha=0.3
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2

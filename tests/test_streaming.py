@@ -380,3 +380,30 @@ def test_streaming_approx_users_matches_batch_exact(spark):
             approx,
             exact[ws],
         )
+
+
+def test_ewma_matches_pandas(spark):
+    """ewma_by_group == pandas ewm(adjust=False) on a hand series."""
+    import pandas as pd
+
+    from etl_excel_csv_sql_spark.operators import events as ev_ops
+
+    rows = [
+        ("a", f"2024-01-01 {h:02d}:00:00", float(v))
+        for h, v in enumerate([10, 20, 5, 40, 15])
+    ] + [("b", "2024-01-01 00:00:00", 7.0)]
+    df = spark.createDataFrame(rows, ["event_type", "ts_s", "value"]).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    got = {
+        r.group_key: r
+        for r in ev_ops.ewma_by_group(
+            df, "event_type", "ts", "value", alpha=0.3
+        ).collect()
+    }
+    want = (
+        pd.Series([10.0, 20, 5, 40, 15]).ewm(alpha=0.3, adjust=False).mean()
+    ).iloc[-1]
+    assert got["a"].n_points == 5
+    assert got["a"].ewma == round(float(want), 6)
+    assert got["b"].n_points == 1 and got["b"].ewma == 7.0  # single point
