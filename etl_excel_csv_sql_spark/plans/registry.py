@@ -5385,6 +5385,125 @@ def q_events_ewma_smoothing(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Scalar/aggregate function breadth probes — each Spark function paired
+# with its (sometimes differently-spelled) DuckDB twin, value-compared
+# ---------------------------------------------------------------------------
+
+@register(
+    "datetime_functions_breadth",
+    """
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mth,
+           CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
+           CAST(EXTRACT(dow FROM o_orderdate) + 1 AS INT) AS dow,
+           CAST(EXTRACT(week FROM o_orderdate) AS INT) AS iso_week,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2_months,
+           strftime(CAST(o_orderdate AS DATE) + 10, '%Y-%m-%d') AS plus_10_days,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS days_to_anchor,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start
+    FROM orders
+    """,
+    doc="datetime function battery over order dates: calendar parts "
+    "(incl. ISO week and the Sunday=1 day-of-week convention mapped to "
+    "DuckDB's dow+1), month-end, end-of-month-clamped add_months, "
+    "date_add, datediff to an anchor, quarter truncation — every pair "
+    "value-compared across engines on 30 years of dates",
+)
+def q_datetime_functions_breadth(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mth"),
+        F.dayofmonth(d).alias("dom"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("iso_week"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus_2_months"),
+        F.date_format(F.date_add(d.cast("date"), 10), "yyyy-MM-dd").alias(
+            "plus_10_days"
+        ),
+        F.datediff(F.lit("1998-01-01").cast("date"), d.cast("date")).alias(
+            "days_to_anchor"
+        ),
+        F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias(
+            "quarter_start"
+        ),
+    )
+
+
+@register(
+    "aggregate_functions_breadth",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_large,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           min_by(o_totalprice, o_orderkey) AS price_of_first_key,
+           max_by(o_totalprice, o_orderkey) AS price_of_last_key,
+           round(CAST(sum(DISTINCT CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_distinct_price,
+           median(o_custkey) AS median_custkey
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="aggregate function battery per order status: count_if, "
+    "bool_and/bool_or, min_by/max_by (ordered by the UNIQUE key so "
+    "selection is deterministic), DISTINCT-modified decimal sum, exact "
+    "median — the conditional/ordered/distinct aggregate surface "
+    "beyond plain sum/avg",
+)
+def q_aggregate_functions_breadth(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.min_by("o_totalprice", "o_orderkey").alias("price_of_first_key"),
+        F.max_by("o_totalprice", "o_orderkey").alias("price_of_last_key"),
+        F.round(
+            F.sum_distinct(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                "double"
+            ),
+            4,
+        ).alias("sum_distinct_price"),
+        F.median(F.col("o_custkey").cast("double")).alias("median_custkey"),
+    )
+
+
+@register(
+    "regexp_functions_breadth",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS INT) AS n_vowel_pairs,
+           regexp_matches(text, 'scan|join') AS mentions_op,
+           regexp_replace(text, '[aeiou]', '', 'g') AS devoweled,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word
+    FROM documents
+    """,
+    doc="regex function battery over documents: extract_all counting, "
+    "boolean rlike, global-replace, group extraction — Java regex vs "
+    "DuckDB RE2 agreeing on the shared POSIX-class dialect",
+)
+def q_regexp_functions_breadth(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("([aeiou]{2})"))).alias(
+            "n_vowel_pairs"
+        ),
+        F.col("text").rlike("scan|join").alias("mentions_op"),
+        F.regexp_replace("text", "[aeiou]", "").alias("devoweled"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2
