@@ -5524,7 +5524,6 @@ WINDOW_ORDER: tuple[str, ...] = (
     "jdbc_live_roundtrip",
     # --- r3-stale rotation (12-41): io/runner roundtrips ---
     "excel_roundtrip",
-    "excel_multisheet_roundtrip",
     "csv_roundtrip",
     "quarantine_split_rows",
     "salted_join_equivalence",
@@ -5537,25 +5536,34 @@ WINDOW_ORDER: tuple[str, ...] = (
     "dedup_keep_first",
     "minhash_lsh_pairs",
     "dup_ngram_spans",
-    "dup_span_coverage",
-    # --- r3-stale rotation: text analysis / sampling ---
-    "doc_fingerprint_rolling",
+    # --- r3-stale rotation: text analysis ---
     "lang_id_heuristic",
     "tfidf_top_terms",
-    "repetition_signals",
-    "contamination_check",
-    "pack_documents_by_lang",
-    "redact_pii",
-    "train_test_split",
-    "subword_token_count",
     # --- r3-stale rotation: streaming / similarity / media / as-of ---
     "events_tumbling_streaming",
     "cosine_topk",
     "embedding_dup_pairs",
-    "embedding_dup_pairs_exact",
     "ann_ivf_topk",
     "media_metadata",
     "asof_latest_order_per_event",
+    # --- NEW in the batch-6 continuation session: never-checked heads of
+    # the new module families (jsonops, graph, itemsets, MG sketch,
+    # containment, NFC, MDM, full-outer stream join). They displace 10
+    # r3-stale queries that each have a green sibling in-window or deep
+    # pytest (dup_span_coverage↔dup_ngram_spans, embedding_dup_pairs_
+    # exact↔embedding_dup_pairs, excel_multisheet↔excel_roundtrip,
+    # repetition/fingerprint/subword/pack/redact/split/contamination —
+    # all r3-green + pytest); those ride r7. Never-checked beats stale.
+    "json_payload_profile",
+    "json_kv_explode",
+    "pagerank_part_supplier",
+    "bfs_reachability",
+    "heavy_hitters_phi",
+    "assoc_rules_pairs",
+    "ngram_containment_pairs",
+    "unicode_nfc_normalize",
+    "golden_record_survivorship",
+    "events_stream_stream_full_join",
     # --- r5 additions, judge-verified but never driver-checked (42-46) ---
     "doc_lexical_diversity",
     "embedding_label_cohesion",

@@ -60,16 +60,19 @@ def test_dup_span_coverage_uses_semi_join(spark, sf_dir):
 def test_no_python_udfs_in_window_queries(spark, sf_dir):
     """Every driver-window query plan is JVM-only. Intentional exceptions:
     the media_* family IS the documented Arrow mapInPandas decode path
-    (stdlib codecs run in Python by design), and the streaming queries
-    execute a whole stream on construction (their returned frame is a
-    memory-sink scan — nothing to assert, and running them here would
-    re-run the stream)."""
+    (stdlib codecs run in Python by design); heavy_hitters_phi's
+    Misra-Gries partials and unicode_nfc_normalize's unicodedata kernel
+    are likewise documented Arrow narrow maps (no JVM expression exists
+    for either); and the streaming queries execute a whole stream on
+    construction (their returned frame is a memory-sink scan — nothing
+    to assert, and running them here would re-run the stream)."""
     from etl_excel_csv_sql_spark.plans.registry import all_queries, WINDOW_ORDER
 
+    arrow_kernels = {"heavy_hitters_phi", "unicode_nfc_normalize"}
     qs = all_queries()
     offenders = []
     for name in WINDOW_ORDER:
-        if name.startswith("media_") or "stream" in name:
+        if name.startswith("media_") or "stream" in name or name in arrow_kernels:
             continue
         plan = _plan(qs[name](spark, sf_dir))
         if (
