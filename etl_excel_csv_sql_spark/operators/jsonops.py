@@ -97,3 +97,34 @@ def json_payload_profile(
             F.max(field).alias("max_field"),
         )
     )
+
+
+def variant_extract(
+    df: DataFrame,
+    id_col: str,
+    json_col: str,
+    paths: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Typed extraction through the VARIANT type (Spark 4): parse once
+    with ``try_parse_json`` (malformed → NULL variant, job never fails),
+    then ``try_variant_get`` per requested path.
+
+    ``paths`` maps output column name → (variant path, target type),
+    e.g. ``{"k_int": ("$.k", "int")}``. VARIANT differs from the
+    from_json paths above: the payload is parsed ONCE into a binary
+    semi-structured encoding and every extraction reads that encoding —
+    the open-schema columnar-JSON storage pattern (same model as
+    Parquet/Iceberg/Delta variant columns) rather than a per-expression
+    re-parse.
+
+    Output: (id, is_valid, <one column per path>).
+    """
+    v = F.try_parse_json(F.col(json_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        (v.isNotNull() & F.col(json_col).isNotNull()).alias("is_valid"),
+        *[
+            F.try_variant_get(v, path, typ).alias(name)
+            for name, (path, typ) in paths.items()
+        ],
+    )

@@ -1744,3 +1744,58 @@ def q_events_stream_stream_full_join(spark, sf_dir):
     return spark.table(sink_name).select(
         "click_id", "view_id", "user_id", "click_ts", "view_ts"
     )
+
+
+@register(
+    "settings_datasource_scan",
+    """
+    SELECT * FROM (VALUES
+      ('alpha', 'alpha_export_settings.txt', 'SourceFolder', '/data/in'),
+      ('alpha', 'alpha_export_settings.txt', 'Fields', 'a, b ,c'),
+      ('alpha', 'alpha_export_settings.txt', 'Enabled', 'true'),
+      ('beta',  'beta_export_settings.txt',  'SourceFolder', '/data/beta'),
+      ('beta',  'beta_export_settings.txt',  'Table', 'dbo.Beta'),
+      ('gamma', 'gamma_export_settings.txt', 'SourceFolder', '/data/g'),
+      ('gamma', 'gamma_export_settings.txt', 'Retention', '30')
+    ) AS t(source, file, key, value)
+    """,
+    doc="the settings catalog as a REGISTERED Spark data source (Spark 4 "
+    "Python DataSource API, io/settings_datasource.py): spark.read."
+    "format('kv_settings') plans ONE INPUT PARTITION PER FILE on the "
+    "driver (cheap listing) and parses file content ON EXECUTORS — the "
+    "distributed path for 100k-file catalogs vs the driver-side loop; "
+    "both = and == delimiters and later-duplicate-wins parse semantics "
+    "ride the same io/settings.py parser (S4/S6). Fixed fixture files "
+    "→ literal VALUES oracle",
+)
+def q_settings_datasource_scan(spark, sf_dir):
+    from etl_excel_csv_sql_spark.io.settings_datasource import (
+        register_kv_settings,
+    )
+
+    scratch = _scratch("settings_ds_" + os.path.basename(sf_dir.rstrip("/")))
+    files = {
+        "alpha_export_settings.txt": (
+            "# catalog entry\n"
+            "SourceFolder=/data/in\n"
+            "Fields=a, b ,c\n"
+            "Enabled==false\n"
+            "Enabled==true\n"  # later duplicate wins
+        ),
+        "beta_export_settings.txt": (
+            "SourceFolder==/data/beta\nTable==dbo.Beta\n\n"
+        ),
+        "gamma_export_settings.txt": (
+            "SourceFolder=/data/g\nRetention=30\n"
+        ),
+        "ignored_other_suffix.txt": "X=1\n",  # suffix filter must skip
+    }
+    for name, body in files.items():
+        with open(os.path.join(scratch, name), "w", encoding="utf-8") as fh:
+            fh.write(body)
+    register_kv_settings(spark)
+    return (
+        spark.read.format("kv_settings")
+        .option("suffix", "_export_settings.txt")
+        .load(scratch)
+    )

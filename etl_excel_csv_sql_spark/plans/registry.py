@@ -5504,6 +5504,41 @@ def q_regexp_functions_breadth(spark, sf_dir):
     )
 
 
+@register(
+    "variant_payload_extract",
+    f"""
+    WITH dirty AS (
+      SELECT event_id, {_DIRTY_PAYLOAD_CASE} AS payload FROM events
+    )
+    SELECT event_id AS id,
+           (payload IS NOT NULL AND json_valid(payload)) AS is_valid,
+           CASE WHEN payload IS NOT NULL AND json_valid(payload)
+                THEN CAST(json_extract_string(payload, '$.k') AS INT)
+           END AS k_int,
+           CASE WHEN payload IS NOT NULL AND json_valid(payload)
+                THEN json_extract_string(payload, '$.k')
+           END AS k_str
+    FROM dirty
+    """,
+    doc="Spark 4 VARIANT path: try_parse_json parses the payload ONCE "
+    "into the binary semi-structured encoding (the open-schema variant-"
+    "column storage model), try_variant_get serves every typed "
+    "extraction from that encoding — vs the from_json paths which "
+    "re-parse per expression; malformed payloads → NULL variant, job "
+    "never fails. Same dirty-row injection as the from_json queries",
+)
+def q_variant_payload_extract(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import jsonops
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "payload", F.expr(_DIRTY_PAYLOAD_CASE)
+    )
+    return jsonops.variant_extract(
+        ev, "event_id", "payload",
+        {"k_int": ("$.k", "int"), "k_str": ("$.k", "string")},
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2

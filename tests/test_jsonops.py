@@ -71,3 +71,20 @@ def test_kv_explode_plan_is_narrow(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_variant_extract_typed_and_malformed(spark):
+    from etl_excel_csv_sql_spark.operators import jsonops
+
+    out = {
+        r.id: r
+        for r in jsonops.variant_extract(
+            _frame(spark), "id", "props",
+            {"k_int": ("$.k", "int"), "tag": ("$.tag", "string")},
+        ).collect()
+    }
+    assert out[1].is_valid and out[1].k_int == 87 and out[1].tag == "x"
+    assert not out[2].is_valid and out[2].k_int is None  # malformed
+    assert not out[3].is_valid  # NULL payload
+    assert out[4].is_valid and out[4].k_int is None  # explicit null
+    assert out[5].is_valid and out[5].k_int is None  # absent path

@@ -47,3 +47,23 @@ def test_discover_settings(tmp_path):
 
 def test_require_reports_missing():
     assert require({"a": "1", "b": " "}, ["a", "b", "c"]) == ["b", "c"]
+
+
+def test_kv_settings_datasource(spark, tmp_path):
+    from etl_excel_csv_sql_spark.io.settings_datasource import (
+        register_kv_settings,
+    )
+
+    (tmp_path / "a_settings.txt").write_text("X=1\nY==2\nY==3\n#c\n")
+    (tmp_path / "b_settings.txt").write_text("Z=9\n")
+    (tmp_path / "skip.cfg").write_text("W=0\n")
+    register_kv_settings(spark)
+    df = (
+        spark.read.format("kv_settings")
+        .option("suffix", "_settings.txt")
+        .load(str(tmp_path))
+    )
+    rows = {(r.source, r.key): r.value for r in df.collect()}
+    assert rows == {("a", "X"): "1", ("a", "Y"): "3", ("b", "Z"): "9"}
+    # one input partition per file
+    assert df.rdd.getNumPartitions() == 2
