@@ -49,6 +49,18 @@ PROBES = (
     "doc_unigram_surprisal",
     "corpus_pipeline_e2e",
     "bpe_train_report",
+    # batch-6 families. lineitem replicas shift (orderkey, partkey,
+    # suppkey) by k·STRIDE: pagerank gets k disconnected graph copies
+    # (10x nodes AND edges — the honest scale-up; expect ~linear),
+    # heavy-hitters a 10x stream with the same key distribution (MG
+    # summary size is constant — expect ~linear scan cost), assoc rules
+    # 10x baskets of identical size (pair explosion bounded per basket),
+    # containment the shuffled-replica document corpus (near-dup density
+    # constant, like jaccard).
+    "pagerank_part_supplier",
+    "heavy_hitters_phi",
+    "assoc_rules_pairs",
+    "ngram_containment_pairs",
 )
 ID_STRIDE = 10_000_000
 
@@ -65,6 +77,7 @@ def build_scaled(mult: int) -> str:
     out_dir = os.path.join(REPO, ".tmp", f"scale{mult}")
     done = os.path.join(out_dir, ".done")
     if os.path.exists(done):
+        _ensure_scaled_lineitem(out_dir, mult)
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
@@ -120,7 +133,35 @@ def build_scaled(mult: int) -> str:
     log(f"scale_probe: wrote {len(erows)} embeddings (x{mult})")
     with open(done, "w") as fh:
         fh.write("ok")
+    _ensure_scaled_lineitem(out_dir, mult)
     return out_dir
+
+
+def _ensure_scaled_lineitem(out_dir: str, mult: int) -> None:
+    """10x lineitem (own marker — upgrades pre-existing doc/embedding
+    corpora in place): replica k shifts the three join keys by k·STRIDE,
+    all measures unchanged. Columnar (pyarrow compute), not pylist —
+    600k x mult rows."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    target = os.path.join(out_dir, "lineitem.parquet")
+    if os.path.exists(target):
+        return
+    li = pq.read_table(os.path.join(BASE_SF, "lineitem.parquet"))
+    parts = []
+    for k in range(mult):
+        t = li
+        for key in ("l_orderkey", "l_partkey", "l_suppkey"):
+            idx = t.schema.get_field_index(key)
+            t = t.set_column(
+                idx, key, pc.add(t.column(key), k * ID_STRIDE)
+            )
+        parts.append(t)
+    import pyarrow as pa
+
+    pq.write_table(pa.concat_tables(parts), target)
+    log(f"scale_probe: wrote {sum(len(p) for p in parts)} lineitem rows (x{mult})")
 
 
 def main() -> int:
