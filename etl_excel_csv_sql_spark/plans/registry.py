@@ -5539,6 +5539,56 @@ def q_variant_payload_extract(spark, sf_dir):
     )
 
 
+@register(
+    "sql_defined_functions",
+    r"""
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(c_name || CASE WHEN c_custkey % 3 = 0
+                                           THEN '''; DROP TABLE x; --'
+                                           ELSE '' END,
+                            '--|''|;', '', 'g'),
+             '\b(SELECT|INSERT|UPDATE|DELETE|DROP|ALTER|CREATE|EXECUTE|EXEC|UNION|TRUNCATE)\b',
+             '[[\1]]', 'gi') AS clean_name,
+           regexp_replace('north/' || c_mktsegment || '\win', '[\\/]', ' ', 'g') AS scrubbed,
+           strftime(TIMESTAMP '1899-12-30 00:00:00'
+                    + to_seconds(CAST(round((40000.25 + c_custkey) * 86400.0) AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS serial_ts,
+           c_name || ' - ' || c_mktsegment || ' - ' || 'inv.pdf' AS composed
+    FROM customer
+    """,
+    doc="the scalar library exposed to PURE SQL as SQL-defined functions "
+    "(Spark 4 CREATE FUNCTION ... RETURN <expr>): expression bodies are "
+    "INLINED by Catalyst at resolution — the plan is identical to the "
+    "hand-written expression (codegen-resident, no UDF serialization); "
+    "this query executes entirely as SQL text through those functions "
+    "(sanitize_str / scrub_path / excel_serial_ts / compose_name), "
+    "with deterministic injection-attack suffixes exercising the "
+    "sanitizer; tests assert SQL-function == column-expression parity",
+)
+def q_sql_defined_functions(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import register_views
+    from etl_excel_csv_sql_spark.functions.sql_functions import (
+        register_sql_functions,
+    )
+
+    register_views(spark, sf_dir, ("customer",))
+    register_sql_functions(spark)
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               sanitize_str(c_name || CASE WHEN c_custkey % 3 = 0
+                                           THEN '\\'; DROP TABLE x; --'
+                                           ELSE '' END) AS clean_name,
+               scrub_path('north/' || c_mktsegment || '\\\\win') AS scrubbed,
+               date_format(excel_serial_ts(40000.25 + c_custkey),
+                           'yyyy-MM-dd HH:mm:ss') AS serial_ts,
+               compose_name(c_name, c_mktsegment, 'inv.pdf') AS composed
+        FROM customer
+        """
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2
