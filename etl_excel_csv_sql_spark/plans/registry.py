@@ -5589,6 +5589,106 @@ def q_sql_defined_functions(spark, sf_dir):
     )
 
 
+@register(
+    "null_semantics_battery",
+    """
+    WITH probe AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS bal,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+    SELECT c_custkey,
+           (bal IS NOT DISTINCT FROM NULL) AS bal_null_safe_eq_null,
+           (seg IS NOT DISTINCT FROM 'BUILDING') AS seg_null_safe_eq,
+           coalesce(seg, 'UNKNOWN') AS seg_filled,
+           nullif(seg, 'BUILDING') AS seg_nullified,
+           CASE WHEN seg IS NOT NULL THEN 'has' ELSE 'none' END AS nvl2_like,
+           -- three-valued logic: NULL comparison propagates through NOT
+           (NOT (bal > 0)) IS NULL AS not_of_null_is_null,
+           -- NOT IN with a NULL in the list is never TRUE
+           c_custkey NOT IN (1, 2, NULL) AS not_in_with_null
+    FROM probe
+    """,
+    doc="three-valued-logic battery (the classic engine-correctness "
+    "traps): null-safe equality (<=> / IS NOT DISTINCT FROM), coalesce/"
+    "nullif, NOT over NULL comparisons, and NOT IN against a list "
+    "containing NULL (never TRUE — the trap that silently empties "
+    "queries); deterministic NULL injection, every cell value-compared",
+)
+def q_null_semantics_battery(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    probe = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None)).otherwise(
+            F.col("c_acctbal")
+        ).alias("bal"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ).alias("seg"),
+    )
+    return probe.select(
+        "c_custkey",
+        F.col("bal").eqNullSafe(F.lit(None).cast("double")).alias(
+            "bal_null_safe_eq_null"
+        ),
+        F.col("seg").eqNullSafe("BUILDING").alias("seg_null_safe_eq"),
+        F.coalesce("seg", F.lit("UNKNOWN")).alias("seg_filled"),
+        F.nullif("seg", F.lit("BUILDING")).alias("seg_nullified"),
+        F.when(F.col("seg").isNotNull(), "has").otherwise("none").alias(
+            "nvl2_like"
+        ),
+        (~(F.col("bal") > 0)).isNull().alias("not_of_null_is_null"),
+        (~F.col("c_custkey").isin(F.lit(1), F.lit(2), F.lit(None))).alias(
+            "not_in_with_null"
+        ),
+    )
+
+
+@register(
+    "source_score_quantile_norm",
+    """
+    WITH scored AS (
+      SELECT doc_id, source,
+             round(CAST(n_chars AS DOUBLE) / (1 + abs(doc_id % 7)), 6) AS score
+      FROM documents
+    )
+    SELECT doc_id, source, score,
+           round(percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id),
+                 6) AS norm_score
+    FROM scored
+    """,
+    doc="rank-based per-source score normalization (quantile norm): "
+    "percent_rank within each source aligns heterogeneous quality-score "
+    "distributions before cross-source thresholding — the data-curation "
+    "step that stops one source's scale dominating a global cutoff; "
+    "doc_id tiebreak makes ranks total and engine-portable. One window "
+    "over the (source)-partitioned frame — at 100 TB sources are "
+    "bounded partitions, not a global sort",
+)
+def q_source_score_quantile_norm(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.col("n_chars").cast("double")
+            / (1 + F.abs(F.col("doc_id") % 7)),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    return scored.select(
+        "doc_id",
+        "source",
+        "score",
+        F.round(F.percent_rank().over(w), 6).alias("norm_score"),
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2
