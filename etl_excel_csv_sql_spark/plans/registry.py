@@ -5689,6 +5689,68 @@ def q_source_score_quantile_norm(spark, sf_dir):
     )
 
 
+@register(
+    "nested_orders_rollup",
+    """
+    WITH arr AS (
+      SELECT o_custkey,
+             list(struct_pack(
+                    k := o_orderkey,
+                    d := strftime(o_orderdate, '%Y-%m-%d'),
+                    s := o_orderstatus,
+                    p := CAST(o_totalprice AS DECIMAL(18,4)))
+                  ORDER BY o_orderkey) AS os
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(len(os) AS INT) AS n_orders,
+           CAST(len(list_filter(os, x -> x.s = 'F')) AS INT) AS n_finished,
+           CAST(list_sum(list_transform(os, x -> x.p)) AS DOUBLE) AS total_price,
+           CAST(list_max(list_transform(os, x -> x.p)) AS DOUBLE) AS max_price,
+           os[1].d AS first_order_date,
+           os[-1].d AS last_order_date
+    FROM arr
+    """,
+    doc="nested-data processing: orders nested into a per-customer "
+    "array<struct> (sorted by the unique key — total order), then "
+    "processed ENTIRELY with JVM higher-order functions (filter / "
+    "transform / aggregate / element_at) without re-exploding — the "
+    "denormalized-document shape (array-of-structs columns) first-"
+    "class; decimal fold keeps the in-array sum partitioning-exact",
+)
+def q_nested_orders_rollup(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    arr = orders.groupBy("o_custkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderkey").alias("k"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+                    F.col("o_orderstatus").alias("s"),
+                    F.col("o_totalprice").cast("decimal(18,4)").alias("p"),
+                )
+            )
+        ).alias("os")
+    )
+    prices = F.transform(F.col("os"), lambda x: x["p"])
+    return arr.select(
+        "o_custkey",
+        F.size("os").alias("n_orders"),
+        F.size(F.filter(F.col("os"), lambda x: x["s"] == "F")).alias(
+            "n_finished"
+        ),
+        F.aggregate(
+            prices,
+            F.lit(0).cast("decimal(28,4)"),
+            # decimal + widens per step; cast back so the acc type is stable
+            lambda acc, x: (acc + x).cast("decimal(28,4)"),
+        ).cast("double").alias("total_price"),
+        F.array_max(prices).cast("double").alias("max_price"),
+        F.element_at(F.col("os"), 1)["d"].alias("first_order_date"),
+        F.element_at(F.col("os"), -1)["d"].alias("last_order_date"),
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2
