@@ -282,3 +282,20 @@ def weighted_sample_without_replacement(
         .limit(k)
         .drop("__es_key")
     )
+
+
+def kfold_assignment(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    salt: str = "fold-v1",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    hash-bucket(id) mod k — engine-portable (md5), partitioning- and
+    growth-stable like :func:`hash_split` (a row keeps its fold forever;
+    new rows join uniformly). Use ``group_safe_split``'s keying idea
+    (pass a group id as ``id_col``) when folds must not straddle groups.
+    """
+    bucket = F.conv(_hash_bucket(F.col(id_col), salt), 16, 10).cast("long")
+    return df.withColumn(fold_col, (bucket % k).cast("int"))

@@ -5751,6 +5751,77 @@ def q_nested_orders_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "kfold_assignment",
+    """
+    WITH buckets AS (
+      SELECT doc_id,
+             list_reduce(
+               list_transform(
+                 string_split(substr(md5('fold-v1' || CAST(doc_id AS VARCHAR)), 1, 4), ''),
+                 c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, CAST(bucket % 5 AS INT) AS fold FROM buckets
+    """,
+    doc="deterministic k-fold cross-validation assignment: fold = "
+    "md5-bucket(id) mod k — engine-portable, partitioning- and growth-"
+    "stable (a row keeps its fold forever, new rows join uniformly), "
+    "same salt contract as hash_split; the oracle recomputes the "
+    "identical hex arithmetic via a digit fold",
+)
+def q_kfold_assignment(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import sampling
+
+    return sampling.kfold_assignment(
+        _t(spark, sf_dir, "documents"), "doc_id", k=5
+    ).select("doc_id", "fold")
+
+
+@register(
+    "pivot_multi_agg",
+    """
+    SELECT o_orderpriority,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS f_n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS f_revenue,
+           CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS o_n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS o_revenue,
+           CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS p_n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS p_revenue
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="pivot with MULTIPLE aggregates per pivot value (count + decimal "
+    "revenue per status): pivot(values).agg(n, m) — Spark names output "
+    "columns value_alias, matched by the oracle's conditional "
+    "aggregation; explicit pivot values skip the distinct-scan planning "
+    "pass (the 100 TB form)",
+)
+def q_pivot_multi_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            # count(*) is invalid inside Pivot — count a non-null literal
+            F.count(F.lit(1)).alias("n"),
+            _msum("o_totalprice").alias("revenue"),
+        )
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("F_n").alias("f_n"),
+        F.col("F_revenue").alias("f_revenue"),
+        F.col("O_n").alias("o_n"),
+        F.col("O_revenue").alias("o_revenue"),
+        F.col("P_n").alias("p_n"),
+        F.col("P_revenue").alias("p_revenue"),
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2

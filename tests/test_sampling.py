@@ -59,3 +59,30 @@ def test_stratified_sample_respects_fractions(spark):
     counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert counts["fr"] == 1000            # keep-all stratum is exact
     assert 400 <= counts["en"] <= 800      # ~600 expected of 3000
+
+
+def test_kfold_assignment_properties(spark):
+    from etl_excel_csv_sql_spark.operators.sampling import kfold_assignment
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    got = {r.doc_id: r.fold for r in kfold_assignment(df, "doc_id", k=5).collect()}
+    # folds cover 0..4 roughly uniformly
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert set(c) == {0, 1, 2, 3, 4}
+    assert max(c.values()) < 1.3 * min(c.values())
+    # growth-stable: a subset keeps identical assignments
+    sub = {
+        r.doc_id: r.fold
+        for r in kfold_assignment(
+            spark.range(0, 500).withColumnRenamed("id", "doc_id"), "doc_id", k=5
+        ).collect()
+    }
+    assert all(got[i] == f for i, f in sub.items())
+    # salt draws an independent assignment
+    other = {
+        r.doc_id: r.fold
+        for r in kfold_assignment(df, "doc_id", k=5, salt="fold-v2").collect()
+    }
+    assert any(other[i] != got[i] for i in got)
