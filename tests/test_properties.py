@@ -227,3 +227,79 @@ def test_wswr_is_a_valid_sample(spark, weights, k):
         ).collect()
     ]
     assert set(ids) == set(ids2)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # group
+            st.one_of(st.none(), st.floats(min_value=-100, max_value=100,
+                                           allow_nan=False)),  # balance
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_golden_records_winner_is_rule_minimum(spark, rows):
+    """For ANY frame, the survivor per group is exactly the min under the
+    rule ordering (non-null first, largest balance, lowest id), and
+    n_records is the true group size."""
+    from etl_excel_csv_sql_spark.operators import relational
+
+    data = [(i, g, b) for i, (g, b) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, g int, bal double")
+    out = {
+        r.match_key: r
+        for r in relational.golden_records(
+            df,
+            F.col("g"),
+            [
+                F.when(F.col("bal").isNull(), 1).otherwise(0),
+                F.coalesce(-F.col("bal"), F.lit(1e308)),
+                F.col("id"),
+            ],
+            ["id", "bal"],
+        ).collect()
+    }
+    groups: dict[int, list[tuple[int, float | None]]] = {}
+    for i, g, b in data:
+        groups.setdefault(g, []).append((i, b))
+    for g, members in groups.items():
+        want = min(
+            members,
+            key=lambda m: (
+                m[1] is None,
+                -(m[1] if m[1] is not None else -1e308),
+                m[0],
+            ),
+        )
+        assert out[g].n_records == len(members)
+        assert out[g].id == want[0]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pagerank_mass_bounded_and_dup_invariant(spark, pairs):
+    """For ANY edge list: duplicate edges don't change ranks, every rank
+    ≥ (1-d)/N, and total mass ≤ 1 (dangling mass only leaks out)."""
+    from etl_excel_csv_sql_spark.operators import graph
+
+    pairs = [(f"n{a}", f"n{b}") for a, b in pairs if a != b]
+    if not pairs:
+        return
+    df1 = spark.createDataFrame(pairs, ["src", "dst"])
+    df2 = spark.createDataFrame(pairs + pairs, ["src", "dst"])
+    r1 = {r.node: r.rank for r in graph.pagerank(df1, "src", "dst", 3).collect()}
+    r2 = {r.node: r.rank for r in graph.pagerank(df2, "src", "dst", 3).collect()}
+    assert r1 == r2
+    n = len({x for e in pairs for x in e})
+    assert all(v >= round(0.15 / n, 6) - 1e-9 for v in r1.values())
+    # each rank is rounded to 6dp, so the sum can exceed 1 by n*5e-7
+    assert sum(r1.values()) <= 1.0 + n * 5e-7 + 1e-9
