@@ -120,3 +120,86 @@ def bfs_distances(
             break
         visited = visited.unionByName(frontier).localCheckpoint(eager=True)
     return visited
+
+
+def personalized_pagerank(
+    edge_df: DataFrame,
+    src_col: str,
+    dst_col: str,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Personalized (seed-restart) PageRank, optionally edge-WEIGHTED:
+    the teleport mass returns to the SEED set instead of spreading
+    uniformly — rank' = (1-d)·seed_share + d·Σ rank(in)·w/Σw(out) —
+    so scores measure proximity to the seeds (the recommendation /
+    related-items primitive). With ``weight_col`` the walk follows edge
+    weights (e.g. co-purchase counts); weights are normalized by the
+    source's total outgoing weight.
+
+    Same Pregel-style round structure as :func:`pagerank` (checkpointed
+    edges, per-round state checkpoint, 12dp intermediate rounding);
+    seeds start with uniform 1/|seeds| mass, non-seeds with 0.
+    """
+    cols = [F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("w"))
+        edges = (
+            edge_df.select(*cols)
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        edges = (
+            edge_df.select(*cols)
+            .distinct()
+            .withColumn("w", F.lit(1.0))
+            .localCheckpoint(eager=True)
+        )
+    vertices = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_nodes = seeds.select(
+        F.col(seeds.columns[0]).cast("string").alias("node")
+    ).distinct()
+    n_seeds = seed_nodes.agg(F.count("*").alias("ns"))  # broadcast scalar
+    base = (
+        vertices.join(seed_nodes.withColumn("is_seed", F.lit(1)), "node", "left")
+        .crossJoin(F.broadcast(n_seeds))
+        .select(
+            "node",
+            (F.coalesce(F.col("is_seed"), F.lit(0)) / F.col("ns")).alias(
+                "seed_share"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ranks = base.select("node", F.col("seed_share").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(out_w, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("out_w")).alias("c"))
+        )
+        ranks = (
+            base.join(contribs, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) * F.col("seed_share")
+                    + damping * F.coalesce(F.col("c"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -5822,6 +5822,87 @@ def q_pivot_multi_agg(spark, sf_dir):
     )
 
 
+def _ppr_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+    ctes = [
+        """e AS (
+          SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+            SELECT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+            FROM lineitem
+            UNION ALL
+            SELECT 's:' || l_suppkey, 'p:' || l_partkey FROM lineitem
+          ) GROUP BY src, dst
+        )""",
+        """v AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+          )
+        )""",
+        """seeds AS (
+          SELECT DISTINCT 'p:' || p_partkey AS node
+          FROM part WHERE p_partkey % 500 = 0
+        )""",
+        "ns AS (SELECT count(*) AS ns FROM seeds)",
+        """base AS (
+          SELECT v.node,
+                 CAST(CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS DOUBLE)
+                   / ns.ns AS seed_share
+          FROM v LEFT JOIN seeds s ON s.node = v.node CROSS JOIN ns
+        )""",
+        "ow AS (SELECT src, sum(w) AS out_w FROM e GROUP BY src)",
+        "r0 AS (SELECT node, seed_share AS rank FROM base)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""r{i} AS (
+          SELECT b.node,
+                 round(CAST({1.0 - damping} AS DOUBLE) * b.seed_share
+                       + CAST({damping} AS DOUBLE) * coalesce(c.c, 0), 12) AS rank
+          FROM base b
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank * e.w / ow.out_w) AS c
+            FROM e JOIN ow USING (src) JOIN r{i-1} r ON r.node = e.src
+            GROUP BY e.dst
+          ) c ON c.node = b.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
+@register(
+    "personalized_pagerank_parts",
+    _ppr_oracle(iterations=5, damping=0.85),
+    doc="personalized + WEIGHTED PageRank (seed-restart to p_partkey%500 "
+    "parts, edge weight = co-purchase multiplicity, walk follows "
+    "w/Σw(out)): the related-items / recommendation primitive — scores "
+    "are proximity to the seed set, not global importance. Same "
+    "checkpointed Pregel rounds and 12dp drift pinning as pagerank; "
+    "oracle unrolls the weighted restart recurrence",
+)
+def q_personalized_pagerank_parts(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    )
+    rev = li.select(
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+    )
+    edges = fwd.unionByName(rev).withColumn("w", F.lit(1.0))
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 500 == 0)
+        .select(F.concat(F.lit("p:"), F.col("p_partkey")).alias("node"))
+    )
+    return graph.personalized_pagerank(
+        edges, "src", "dst", seeds, iterations=5, damping=0.85,
+        weight_col="w",
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2

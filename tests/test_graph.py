@@ -82,3 +82,60 @@ def test_bfs_early_exit_on_exhausted_frontier(spark):
         ).collect()
     }
     assert got == {"a": 0, "b": 1}
+
+
+def test_personalized_pagerank_proximity_and_weights(spark):
+    from pyspark.sql import functions as F
+
+    # two communities bridged weakly; seeds in community A
+    pairs = [
+        ("a1", "a2", 5.0), ("a2", "a1", 5.0), ("a2", "a3", 5.0),
+        ("a3", "a1", 5.0), ("a1", "a3", 5.0), ("a3", "a2", 5.0),
+        ("a3", "b1", 0.1),  # weak bridge
+        ("b1", "b2", 5.0), ("b2", "b1", 5.0),
+    ]
+    edges = spark.createDataFrame(pairs, ["src", "dst", "w"])
+    seeds = spark.createDataFrame([("a1",)], ["node"])
+    got = {
+        r.node: r.rank
+        for r in graph.personalized_pagerank(
+            edges, "src", "dst", seeds, iterations=8, weight_col="w"
+        ).collect()
+    }
+    # every A node outranks every B node (proximity to seed)
+    assert min(got["a1"], got["a2"], got["a3"]) > max(got["b1"], got["b2"])
+    # seed holds the most mass
+    assert got["a1"] == max(got.values())
+
+    # weights matter: boosting the bridge raises B's rank
+    boosted = [(s, d, (5.0 if (s, d) == ("a3", "b1") else w)) for s, d, w in pairs]
+    got2 = {
+        r.node: r.rank
+        for r in graph.personalized_pagerank(
+            spark.createDataFrame(boosted, ["src", "dst", "w"]),
+            "src", "dst", seeds, iterations=8, weight_col="w",
+        ).collect()
+    }
+    assert got2["b1"] > got["b1"]
+
+
+def test_personalized_pagerank_unweighted_equals_unit_weights(spark):
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    weighted = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in pairs], ["src", "dst", "w"]
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    r1 = sorted(
+        (r.node, r.rank)
+        for r in graph.personalized_pagerank(
+            edges, "src", "dst", seeds, iterations=4
+        ).collect()
+    )
+    r2 = sorted(
+        (r.node, r.rank)
+        for r in graph.personalized_pagerank(
+            weighted, "src", "dst", seeds, iterations=4, weight_col="w"
+        ).collect()
+    )
+    assert r1 == r2
