@@ -516,3 +516,171 @@ def resize_nearest(arr: np.ndarray, dst_w: int, dst_h: int) -> np.ndarray:
     ys = (np.arange(dst_h) * h) // dst_h
     xs = (np.arange(dst_w) * w) // dst_w
     return arr[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# EXIF — APP1/TIFF IFD walk (pure struct; both byte orders)
+# ---------------------------------------------------------------------------
+
+_EXIF_TAG_ORIENTATION = 0x0112
+_EXIF_TAG_MAKE = 0x010F
+_EXIF_TAG_MODEL = 0x0110
+_EXIF_TAG_DATETIME = 0x0132
+_EXIF_TAG_EXIF_IFD = 0x8769
+_EXIF_TAG_PIXEL_X = 0xA002
+_EXIF_TAG_PIXEL_Y = 0xA003
+
+
+def _tiff_value(tiff: bytes, bo: str, typ: int, count: int, raw: bytes):
+    """Decode one IFD entry value. Types: 2 ASCII, 3 SHORT, 4 LONG.
+    Values ≤4 bytes live inline in ``raw``; longer ones via offset."""
+    size = {2: 1, 3: 2, 4: 4}.get(typ)
+    if size is None:
+        return None
+    total = size * count
+    if total <= 4:
+        data = raw[:total]
+    else:
+        (off,) = struct.unpack(bo + "I", raw)
+        data = tiff[off : off + total]
+    if typ == 2:
+        return data.split(b"\x00", 1)[0].decode("ascii", "replace")
+    fmt = "H" if typ == 3 else "I"
+    vals = struct.unpack(bo + fmt * count, data)
+    return vals[0] if count == 1 else vals
+
+
+def _walk_ifd(tiff: bytes, bo: str, offset: int) -> dict[int, object]:
+    (n,) = struct.unpack_from(bo + "H", tiff, offset)
+    out: dict[int, object] = {}
+    for i in range(n):
+        base = offset + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(bo + "HHI", tiff, base)
+        out[tag] = _tiff_value(tiff, bo, typ, count, tiff[base + 8 : base + 12])
+    return out
+
+
+def exif_meta(payload: bytes) -> dict[str, object]:
+    """EXIF fields from a JPEG's APP1 segment — a real TIFF IFD walk
+    (byte-order aware, inline-vs-offset values), not a regex scrape.
+
+    Returns {orientation, make, model, datetime, exif_width,
+    exif_height} with None for absent fields; raises ValueError when the
+    payload is not a JPEG or carries no EXIF APP1.
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    i = 2
+    tiff = None
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            break
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", payload, i + 2)
+        if marker == 0xE1 and payload[i + 4 : i + 10] == b"Exif\x00\x00":
+            tiff = payload[i + 10 : i + 2 + seg_len]
+            break
+        if marker == 0xD9:
+            break
+        i += 2 + seg_len
+    if tiff is None:
+        raise ValueError("no EXIF APP1 segment")
+    order = tiff[:2]
+    bo = "<" if order == b"II" else ">" if order == b"MM" else None
+    if bo is None or struct.unpack_from(bo + "H", tiff, 2)[0] != 42:
+        raise ValueError("corrupt TIFF header in EXIF")
+    (ifd0_off,) = struct.unpack_from(bo + "I", tiff, 4)
+    ifd0 = _walk_ifd(tiff, bo, ifd0_off)
+    sub: dict[int, object] = {}
+    if isinstance(ifd0.get(_EXIF_TAG_EXIF_IFD), int):
+        sub = _walk_ifd(tiff, bo, ifd0[_EXIF_TAG_EXIF_IFD])
+    return {
+        "orientation": ifd0.get(_EXIF_TAG_ORIENTATION),
+        "make": ifd0.get(_EXIF_TAG_MAKE),
+        "model": ifd0.get(_EXIF_TAG_MODEL),
+        "datetime": ifd0.get(_EXIF_TAG_DATETIME),
+        "exif_width": sub.get(_EXIF_TAG_PIXEL_X),
+        "exif_height": sub.get(_EXIF_TAG_PIXEL_Y),
+    }
+
+
+def build_exif_app1(
+    orientation: int,
+    make: str,
+    model: str,
+    datetime_str: str,
+    width: int,
+    height: int,
+    byte_order: str = "<",
+) -> bytes:
+    """Construct a real APP1 EXIF segment: TIFF header + IFD0
+    (Make/Model/Orientation/DateTime + ExifIFD pointer) + Exif sub-IFD
+    (PixelXDimension/PixelYDimension). Long ASCII values are stored via
+    offsets exactly per spec, so :func:`exif_meta` round-trips it."""
+    bo = byte_order
+
+    def entry(tag: int, typ: int, count: int, value: bytes) -> bytes:
+        return struct.pack(bo + "HHI", tag, typ, count) + value.ljust(4, b"\x00")
+
+    # layout: TIFF header (8) | IFD0 (2 + 5*12 + 4) | sub-IFD (2 + 2*12 + 4)
+    # | data area (ASCII overflow values)
+    ifd0_off = 8
+    ifd0_size = 2 + 5 * 12 + 4
+    sub_off = ifd0_off + ifd0_size
+    sub_size = 2 + 2 * 12 + 4
+    data_off = sub_off + sub_size
+    data = b""
+
+    def ascii_val(s: str) -> tuple[int, bytes]:
+        nonlocal data
+        raw = s.encode("ascii") + b"\x00"
+        if len(raw) <= 4:
+            return len(raw), raw
+        off = data_off + len(data)
+        data += raw
+        return len(raw), struct.pack(bo + "I", off)
+
+    mk_n, mk_v = ascii_val(make)
+    md_n, md_v = ascii_val(model)
+    dt_n, dt_v = ascii_val(datetime_str)
+    ifd0 = struct.pack(bo + "H", 5)
+    ifd0 += entry(_EXIF_TAG_MAKE, 2, mk_n, mk_v)
+    ifd0 += entry(_EXIF_TAG_MODEL, 2, md_n, md_v)
+    ifd0 += entry(_EXIF_TAG_ORIENTATION, 3, 1, struct.pack(bo + "H", orientation))
+    ifd0 += entry(_EXIF_TAG_DATETIME, 2, dt_n, dt_v)
+    ifd0 += entry(_EXIF_TAG_EXIF_IFD, 4, 1, struct.pack(bo + "I", sub_off))
+    ifd0 += struct.pack(bo + "I", 0)  # next-IFD pointer
+    sub = struct.pack(bo + "H", 2)
+    sub += entry(_EXIF_TAG_PIXEL_X, 4, 1, struct.pack(bo + "I", width))
+    sub += entry(_EXIF_TAG_PIXEL_Y, 4, 1, struct.pack(bo + "I", height))
+    sub += struct.pack(bo + "I", 0)
+    tiff = (
+        (b"II" if bo == "<" else b"MM")
+        + struct.pack(bo + "H", 42)
+        + struct.pack(bo + "I", ifd0_off)
+        + ifd0
+        + sub
+        + data
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg_header_only(
+    width: int, height: int, app1: bytes | None = None
+) -> bytes:
+    """A structurally-valid JPEG marker stream (SOI [APP1] SOF0 EOI) with
+    NO entropy-coded data — enough for every header parser
+    (:func:`jpeg_meta`, :func:`exif_meta`) while staying stdlib-pure
+    (full JPEG entropy coding is out of scope, like video frames)."""
+    sof = struct.pack(">HBHHB", 8 + 3, 8, height, width, 1) + b"\x01\x11\x00"
+    return (
+        b"\xff\xd8"
+        + (app1 or b"")
+        + b"\xff\xc0"
+        + sof
+        + b"\xff\xd9"
+    )

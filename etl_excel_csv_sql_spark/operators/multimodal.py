@@ -587,3 +587,100 @@ def perturbed_image_payloads(
             )
 
     return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+
+
+EXIF_META_SCHEMA = (
+    "media_id long, width int, height int, orientation int, make string, "
+    "model string, taken_at string, exif_width int, exif_height int"
+)
+
+
+def extract_exif_meta(df: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL EXIF extraction from JPEG payloads: SOF dims + the APP1 TIFF
+    IFD walk (``codecs.exif_meta`` — byte-order aware, offset values).
+    Arrow mapInPandas narrow map; payloads without EXIF (or undecodable)
+    yield null EXIF fields unless ``strict``.
+
+    The typed-metadata side of the multimodal contract: camera fields
+    become real columns a curation pipeline can filter/group on
+    (orientation-based rotation routing, per-device sampling, capture-
+    time range filters).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "width", "height", "orientation", "make", "model",
+                    "taken_at", "exif_width", "exif_height",
+                )
+            }
+            for payload in pdf["payload"]:
+                meta = dims = None
+                if payload is not None:
+                    try:
+                        b = bytes(payload)
+                        dims = codecs.jpeg_meta(b)
+                        meta = codecs.exif_meta(b)
+                    except ValueError:
+                        if strict:
+                            raise
+                        meta = dims = None
+                elif strict:
+                    raise ValueError("null payload in strict EXIF decode")
+                cols["width"].append(dims[0] if dims else None)
+                cols["height"].append(dims[1] if dims else None)
+                m = meta or {}
+                cols["orientation"].append(m.get("orientation"))
+                cols["make"].append(m.get("make"))
+                cols["model"].append(m.get("model"))
+                cols["taken_at"].append(m.get("datetime"))
+                cols["exif_width"].append(m.get("exif_width"))
+                cols["exif_height"].append(m.get("exif_height"))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"]}
+                | {k: pd.Series(v, dtype="object") for k, v in cols.items()}
+            )
+
+    return df.mapInPandas(batches, EXIF_META_SCHEMA)
+
+
+def synth_exif_params(media_id: int) -> tuple[int, str, str, str, int, int]:
+    """Deterministic EXIF contract: (orientation, make, model, datetime,
+    width, height) as pure id arithmetic — the oracle predicts every
+    extracted value without touching bytes (same pattern as
+    synth_image_dims)."""
+    orientation = 1 + media_id % 8
+    make = f"CAM{media_id % 5}"
+    model = f"MODEL-{media_id % 11}-LONGNAME"
+    day = 1 + media_id % 28
+    dt = f"2024:01:{day:02d} 12:00:00"
+    w = 16 + (3 * media_id) % 64
+    h = 16 + (5 * media_id) % 48
+    return orientation, make, model, dt, w, h
+
+
+def synth_exif_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload): REAL JPEG marker streams with REAL APP1 EXIF
+    segments following ``synth_exif_params``; byte order alternates per
+    id (II/MM both exercised). No entropy data (documented stdlib
+    boundary, like video frames — headers are exact)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for mid in pdf[id_col]:
+                o, mk, md, dt, w, h = synth_exif_params(int(mid))
+                app1 = codecs.build_exif_app1(
+                    o, mk, md, dt, w, h,
+                    byte_order="<" if int(mid) % 2 == 0 else ">",
+                )
+                payloads.append(codecs.encode_jpeg_header_only(w, h, app1))
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(
+        batches, f"media_id long, payload binary"
+    )

@@ -5903,6 +5903,39 @@ def q_personalized_pagerank_parts(spark, sf_dir):
     )
 
 
+@register(
+    "media_exif_meta",
+    # REAL EXIF: payloads are genuine JPEG marker streams carrying real
+    # APP1/TIFF IFD structures (both byte orders, offset-stored ASCII);
+    # the Spark side walks the IFDs (codecs.exif_meta); the oracle
+    # predicts every field from the synth_exif_params id contract.
+    """
+    SELECT doc_id AS media_id,
+           CAST(16 + (3 * doc_id) % 64 AS INT) AS width,
+           CAST(16 + (5 * doc_id) % 48 AS INT) AS height,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           'CAM' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           'MODEL-' || CAST(doc_id % 11 AS VARCHAR) || '-LONGNAME' AS model,
+           '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+             || ' 12:00:00' AS taken_at,
+           CAST(16 + (3 * doc_id) % 64 AS INT) AS exif_width,
+           CAST(16 + (5 * doc_id) % 48 AS INT) AS exif_height
+    FROM documents
+    """,
+    doc="typed camera metadata from REAL EXIF APP1 segments: a byte-"
+    "order-aware TIFF IFD walk (IFD0 Make/Model/Orientation/DateTime + "
+    "Exif sub-IFD pixel dims, inline AND offset-stored values) over "
+    "Arrow mapInPandas — orientation routing / per-device sampling / "
+    "capture-time filtering become plain column ops; strict mode, "
+    "alternating II/MM byte orders exercised, full id-contract oracle",
+)
+def q_media_exif_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    jpegs = multimodal.synth_exif_jpeg_payloads(docs, "doc_id")
+    media = multimodal.to_media_column(jpegs, "media_id", "payload", "image")
+    return multimodal.extract_exif_meta(media, strict=True)
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2

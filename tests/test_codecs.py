@@ -196,3 +196,46 @@ def test_bmp_meta_rejects_core_header():
     )
     with pytest.raises(ValueError):
         codecs.bmp_meta(core)
+
+
+# ---------------------------------------------------------------------------
+# EXIF / TIFF IFD
+# ---------------------------------------------------------------------------
+
+def test_exif_roundtrip_both_byte_orders():
+    for bo in ("<", ">"):
+        app1 = C.build_exif_app1(
+            6, "CameraCo", "ModelX-Long-Name-9000", "2024:01:05 10:30:00",
+            640, 480, byte_order=bo,
+        )
+        jp = C.encode_jpeg_header_only(640, 480, app1)
+        assert C.jpeg_meta(jp) == (640, 480)
+        m = C.exif_meta(jp)
+        assert m["orientation"] == 6
+        assert m["make"] == "CameraCo"  # ≤4+null? no: offset-stored
+        assert m["model"] == "ModelX-Long-Name-9000"
+        assert m["datetime"] == "2024:01:05 10:30:00"
+        assert (m["exif_width"], m["exif_height"]) == (640, 480)
+
+
+def test_exif_inline_short_ascii():
+    # "abc" + NUL is exactly 4 bytes → stored inline, not by offset
+    app1 = C.build_exif_app1(1, "abc", "xy", "2024:01:01 00:00:00", 8, 8)
+    m = C.exif_meta(C.encode_jpeg_header_only(8, 8, app1))
+    assert m["make"] == "abc" and m["model"] == "xy"
+
+
+def test_exif_missing_and_corrupt():
+    plain = C.encode_jpeg_header_only(32, 16)
+    assert C.jpeg_meta(plain) == (32, 16)
+    with pytest.raises(ValueError):
+        C.exif_meta(plain)  # no APP1
+    with pytest.raises(ValueError):
+        C.exif_meta(b"\x00\x01not a jpeg")
+    # corrupt TIFF magic
+    app1 = bytearray(
+        C.build_exif_app1(1, "a", "b", "2024:01:01 00:00:00", 8, 8)
+    )
+    app1[12] = 99  # clobber the 42 magic (after FFE1 len 'Exif\0\0' II)
+    with pytest.raises(ValueError):
+        C.exif_meta(C.encode_jpeg_header_only(8, 8, bytes(app1)))

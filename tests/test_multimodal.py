@@ -239,3 +239,28 @@ def test_ahash_undecodable_payloads(spark):
     assert got[0]["ahash"] is None
     with _pytest.raises(Exception):
         multimodal.ahash_images(df, strict=True).collect()
+
+
+def test_extract_exif_meta_contract_and_nulls(spark):
+    from etl_excel_csv_sql_spark.operators import codecs, multimodal
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    jpegs = multimodal.synth_exif_jpeg_payloads(docs, "doc_id")
+    media = multimodal.to_media_column(jpegs, "media_id", "payload", "image")
+    got = {r.media_id: r for r in multimodal.extract_exif_meta(media).collect()}
+    for mid in (0, 1, 7, 39):  # both byte orders (even=II, odd=MM)
+        o, mk, md, dt, w, h = multimodal.synth_exif_params(mid)
+        r = got[mid]
+        assert (r.orientation, r.make, r.model, r.taken_at) == (o, mk, md, dt)
+        assert (r.width, r.height, r.exif_width, r.exif_height) == (w, h, w, h)
+
+    # non-strict: EXIF-less and undecodable payloads yield null fields
+    plain = codecs.encode_jpeg_header_only(32, 16)
+    mixed = spark.createDataFrame(
+        [(1, bytearray(plain)), (2, bytearray(b"garbage")), (3, None)],
+        "media_id long, payload binary",
+    )
+    media2 = multimodal.to_media_column(mixed, "media_id", "payload", "image")
+    rows = {r.media_id: r for r in multimodal.extract_exif_meta(media2).collect()}
+    assert rows[1].orientation is None  # JPEG without EXIF → null fields
+    assert rows[2].width is None and rows[3].width is None
