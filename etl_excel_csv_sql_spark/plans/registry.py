@@ -5936,6 +5936,112 @@ def q_media_exif_meta(spark, sf_dir):
     return multimodal.extract_exif_meta(media, strict=True)
 
 
+@register(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecast revenue change): pure scan-side "
+    "conjunctive filter + one decimal aggregate — the canonical "
+    "pushdown/codegen microbenchmark query; every predicate reaches "
+    "the parquet scan",
+)
+def q_forecast_revenue_change(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _msum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue_delta"
+            )
+        )
+    )
+
+
+@register(
+    "observed_pipeline_metrics",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem WHERE l_quantity < 30
+    """,
+    doc="in-flight pipeline metrics via the Observation API "
+    "(df.observe): counters and sums are collected DURING the action "
+    "that already runs — zero extra passes over the data (the way a "
+    "production job exports row counts / quality tallies at 100 TB "
+    "instead of re-aggregating); the observed values are returned as a "
+    "1-row frame and value-checked against a direct aggregate oracle",
+)
+def q_observed_pipeline_metrics(spark, sf_dir):
+    from pyspark.sql import Observation
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 30)
+    obs = Observation("pipeline_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        relational.money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the real action
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_discounted"], m["revenue"])],
+        "n_rows long, n_discounted long, revenue double",
+    )
+
+
+@register(
+    "collation_ci_matching",
+    """
+    WITH mixed AS (
+      SELECT c_custkey, c_nationkey,
+             CASE c_custkey % 3 WHEN 0 THEN lower(c_mktsegment)
+                  WHEN 1 THEN upper(c_mktsegment)
+                  ELSE c_mktsegment END AS seg_mixed
+      FROM customer
+    )
+    SELECT c_nationkey,
+           CAST(count_if(lower(seg_mixed) = 'building') AS BIGINT) AS n_building_ci,
+           CAST(count(DISTINCT lower(seg_mixed)) AS BIGINT) AS n_segments_ci
+    FROM mixed GROUP BY c_nationkey
+    """,
+    doc="Spark 4 COLLATIONS: case-insensitive equality and DISTINCT via "
+    "collate(col, 'UNICODE_CI') — collation-aware comparison INSIDE the "
+    "engine (hash/compare operators use the collation) instead of "
+    "lower()-normalizing every call site; deterministic mixed-case "
+    "injection, oracle proves CI semantics == the lower() rewrite",
+)
+def q_collation_ci_matching(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    mixed = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lower("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.upper("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_mixed"),
+    )
+    ci = F.expr("collate(seg_mixed, 'UNICODE_CI')")
+    return mixed.groupBy("c_nationkey").agg(
+        F.count_if(ci == F.lit("Building")).alias("n_building_ci"),
+        F.count_distinct(ci).alias("n_segments_ci"),
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2
