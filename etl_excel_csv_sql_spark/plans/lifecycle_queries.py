@@ -1799,3 +1799,44 @@ def q_settings_datasource_scan(spark, sf_dir):
         .option("suffix", "_export_settings.txt")
         .load(scratch)
     )
+
+
+@register(
+    "events_streaming_progress_report",
+    None,
+    doc="streaming observability (streaming/monitor.py): per-micro-batch "
+    "StreamingQueryProgress reshaped into a typed frame — input rows, "
+    "per-operator STATE size (the watermark-bound check), rows dropped "
+    "by watermark, watermark position; the engine emits these for free "
+    "per batch (no extra pass over the stream — the streaming twin of "
+    "the batch Observation API). Rows-only: batch boundaries are "
+    "environment-dependent; pytest asserts the invariants (input-row "
+    "total == source count, bounded state, monotone watermark)",
+)
+def q_events_streaming_progress_report(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.streaming.monitor import progress_report
+    from etl_excel_csv_sql_spark.streaming.windows import stream_tumbling_agg
+
+    scratch = _scratch(
+        "events_stream_progress_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    src = os.path.join(scratch, "in")
+    load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = stream_tumbling_agg(stream, "ts", "1 hour", watermark="2 hours")
+    _STREAM_RUN_SEQ[0] += 1
+    sink_name = f"evt_progress_{_STREAM_RUN_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return progress_report(spark, q)

@@ -407,3 +407,34 @@ def test_ewma_matches_pandas(spark):
     assert got["a"].n_points == 5
     assert got["a"].ewma == round(float(want), 6)
     assert got["b"].n_points == 1 and got["b"].ewma == 7.0  # single point
+
+
+def test_streaming_progress_report_invariants(spark, sf_dir, tmp_path):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.streaming.monitor import progress_report
+    from etl_excel_csv_sql_spark.streaming.windows import stream_tumbling_agg
+
+    src = str(tmp_path / "in")
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    n_src = ev.count()
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = stream_tumbling_agg(stream, "ts", "1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("progress_probe")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rep = progress_report(spark, q).collect()
+    assert rep, "at least one progress row"
+    # every source row was read exactly once across micro-batches
+    assert sum(r.num_input_rows for r in rep) == n_src
+    # the stateful agg reports state, bounded by (windows x types)
+    n_windows = spark.table("progress_probe").count()
+    data_batches = [r for r in rep if r.num_input_rows > 0]
+    assert data_batches[-1].state_rows_total == n_windows
+    assert all(r.rows_dropped_by_watermark == 0 for r in rep)  # replay is in order
