@@ -221,3 +221,43 @@ def test_correlation_matrix_single_aggregate(spark, sf_dir):
     plan = _plan(all_queries()["stats_correlation_matrix"](spark, sf_dir))
     # all moments in one pass: exactly one scan of lineitem
     assert plan.count("Scan parquet") == 1
+
+
+def test_aqe_rewrites_skewed_join_at_runtime(spark):
+    """Scale posture: beyond the explicit mitigations (salted_join,
+    bucketing, skew_report), the engine leaves AQE on so RUNTIME skew is
+    re-planned without code changes. This proves the rewrite actually
+    fires: a 90%-hot-key sort-merge join executes with
+    SortMergeJoin(skew=true) splits under production-shaped thresholds."""
+    tweaks = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tweaks}
+    try:
+        for k, v in tweaks.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 500_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-payload-payload-"), F.col("id")).alias("v"),
+        )
+        right = spark.range(0, 5000).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv")
+        )
+        j = left.join(right, "k")
+        qe = j._jdf.queryExecution()
+        n = qe.toRdd().count()  # execute THIS QueryExecution to finality
+        plan = qe.executedPlan().toString()
+        # 450k hot rows match right k=0 once; ids 0,10,...,4990 match their own key
+        assert n == 450_500
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
