@@ -6042,6 +6042,85 @@ def q_collation_ci_matching(spark, sf_dir):
     )
 
 
+@register(
+    "ansi_safe_arithmetic",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 7 = 0 THEN NULL
+                ELSE round(c_acctbal / (c_custkey % 7), 6) END AS safe_div,
+           CASE WHEN c_custkey <= 1
+                THEN c_custkey * 4611686018427387904 ELSE NULL END AS safe_mul,
+           try_cast(CASE WHEN c_custkey % 4 = 0 THEN 'not-a-number'
+                         ELSE CAST(c_custkey AS VARCHAR) END AS INT) AS safe_cast,
+           ([10, 20, 30])[CAST(c_custkey % 5 + 1 AS INT)] AS safe_elem
+    FROM customer
+    """,
+    doc="ANSI-mode error safety battery: Spark 4 runs ANSI by default "
+    "(div-by-zero / overflow / bad casts THROW), so pipelines that must "
+    "degrade per-row instead of failing per-job use the try_* family — "
+    "try_divide, try_multiply (long overflow), try_cast, "
+    "try_element_at — every branch deterministically exercised and "
+    "value-checked against DuckDB's native NULL-on-error semantics",
+)
+def q_ansi_safe_arithmetic(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    dirty_str = F.when(
+        F.col("c_custkey") % 4 == 0, F.lit("not-a-number")
+    ).otherwise(F.col("c_custkey").cast("string"))
+    return cust.select(
+        "c_custkey",
+        F.round(
+            F.try_divide(F.col("c_acctbal"), F.col("c_custkey") % 7), 6
+        ).alias("safe_div"),
+        F.try_multiply(
+            F.col("c_custkey"), F.lit(4611686018427387904)
+        ).alias("safe_mul"),
+        dirty_str.try_cast("int").alias("safe_cast"),
+        F.try_element_at(
+            F.array(F.lit(10), F.lit(20), F.lit(30)),
+            (F.col("c_custkey") % 5 + 1).cast("int"),
+        ).alias("safe_elem"),
+    )
+
+
+@register(
+    "calendar_dim_spine",
+    """
+    SELECT strftime(d, '%Y-%m-%d') AS cal_date,
+           CAST(EXTRACT(year FROM d) AS INT) AS yr,
+           CAST(EXTRACT(month FROM d) AS INT) AS mth,
+           CAST(EXTRACT(dow FROM d) + 1 AS INT) AS dow,
+           (EXTRACT(dow FROM d) IN (0, 6)) AS is_weekend,
+           (CAST(d AS DATE) = last_day(CAST(d AS DATE))) AS is_month_end
+    FROM generate_series(DATE '1996-01-01', DATE '1996-12-31',
+                         INTERVAL 1 DAY) AS t(d)
+    """,
+    doc="generated calendar dimension (date spine): sequence() + explode "
+    "builds the continuous day axis IN-ENGINE (no source table) — the "
+    "gap-filling / fiscal-attribute join side every warehouse needs; "
+    "attributes derived per day (weekend, month-end), one narrow map "
+    "over the generated range",
+)
+def q_calendar_dim_spine(spark, sf_dir):
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"),
+                F.lit("1996-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    return days.select(
+        F.date_format("d", "yyyy-MM-dd").alias("cal_date"),
+        F.year("d").alias("yr"),
+        F.month("d").alias("mth"),
+        F.dayofweek("d").alias("dow"),
+        F.dayofweek("d").isin(1, 7).alias("is_weekend"),
+        (F.col("d") == F.last_day("d")).alias("is_month_end"),
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2
