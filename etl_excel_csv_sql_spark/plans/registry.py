@@ -6121,6 +6121,70 @@ def q_calendar_dim_spine(spark, sf_dir):
     )
 
 
+@register(
+    "map_functions_breadth",
+    """
+    WITH src AS (
+      SELECT event_id, user_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events
+    )
+    SELECT event_id,
+           3 AS n_keys,
+           TRUE AS has_user_key,
+           CAST(2 * k AS VARCHAR) AS doubled_k,
+           'k=' || k || ',u=' || user_id AS without_type,
+           'k=' || k || ',t=' || event_type || ',u=' || user_id || ',x=1'
+             AS with_extra
+    FROM src
+    """,
+    doc="MapType manipulation battery: create_map from columns, then "
+    "size / map_contains_key / transform_values / map_filter / "
+    "map_concat — all JVM higher-order map expressions; outputs are "
+    "canonicalized (sorted map_entries joined to a string) so the "
+    "unordered map type compares deterministically, and the oracle "
+    "predicts every string from the source columns directly",
+)
+def q_map_functions_breadth(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.from_json("props", "k INT")["k"].alias("k"),
+    )
+    m = F.create_map(
+        F.lit("k"), F.col("k").cast("string"),
+        F.lit("u"), F.col("user_id").cast("string"),
+        F.lit("t"), F.col("event_type"),
+    )
+
+    def canon(mp):
+        return F.array_join(
+            F.transform(
+                F.sort_array(F.map_entries(mp)),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+            ",",
+        )
+
+    doubled = F.transform_values(
+        m,
+        lambda k, v: F.when(
+            k == "k", (v.cast("int") * 2).cast("string")
+        ).otherwise(v),
+    )
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.map_contains_key(m, "u").alias("has_user_key"),
+        F.element_at(doubled, "k").alias("doubled_k"),
+        canon(F.map_filter(m, lambda k, _v: k != "t")).alias("without_type"),
+        canon(
+            F.map_concat(m, F.create_map(F.lit("x"), F.lit("1")))
+        ).alias("with_extra"),
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2
