@@ -6185,6 +6185,82 @@ def q_map_functions_breadth(spark, sf_dir):
     )
 
 
+@register(
+    "grouped_minmax_scaling",
+    """
+    WITH stats AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(CASE WHEN s.hi > s.lo
+                      THEN (e.value - s.lo) / (s.hi - s.lo)
+                      ELSE 0.0 END, 6) AS scaled
+    FROM events e JOIN stats s USING (event_type)
+    """,
+    doc="grouped-map applyInPandas (the 4th Pandas API surface next to "
+    "mapInPandas / applyInPandasWithState / Arrow batches): per-group "
+    "min-max scaling where each group arrives as ONE pandas frame — "
+    "the escape hatch for per-group logic Catalyst can't express "
+    "(here deliberately expressible, so the join+window rewrite IS the "
+    "oracle). Scale caveat documented in-code: a group must fit one "
+    "executor's memory — keys must be bounded (event types), never "
+    "unbounded ids",
+)
+def q_grouped_minmax_scaling(spark, sf_dir):
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["value"].min(), pdf["value"].max()
+        scaled = (
+            (pdf["value"] - lo) / (hi - lo) if hi > lo else pdf["value"] * 0.0
+        )
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "scaled": scaled.round(6),
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        scale, "event_id long, event_type string, scaled double"
+    )
+
+
+@register(
+    "grouped_agg_pandas_udf",
+    """
+    SELECT event_type,
+           round(exp(avg(ln(value))), 6) AS geo_mean_value
+    FROM events WHERE value > 0
+    GROUP BY event_type
+    """,
+    doc="custom aggregate via pandas_udf GROUPED_AGG (the UDAF surface): "
+    "a geometric mean aggregates each group's values as one Arrow "
+    "series inside groupBy().agg() alongside built-ins; oracle is the "
+    "exp(avg(ln)) identity. For a 100 TB rollup prefer the identity "
+    "as column expressions (map-side partials); the UDAF path exists "
+    "for aggregates with no such rewrite",
+)
+def q_grouped_agg_pandas_udf(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's `from __future__ import
+    # annotations` stringifies type hints, defeating hint inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geo_mean(v):
+        return float(np.exp(np.log(v).mean()))
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return ev.groupBy("event_type").agg(
+        F.round(geo_mean("value"), 6).alias("geo_mean_value")
+    )
+
+
 WINDOW_ORDER: tuple[str, ...] = (
     # --- NEW in late r6 (1-10): this round's oracle-backed additions.
     # They take the stable-core slots for exactly one round: the §2
