@@ -50,8 +50,12 @@ def typed_extract(
     downstream select actually references, so over-declaring the schema
     does not cost I/O or CPU for unused fields.
     """
+    from pyspark.sql.types import StructType
+
     parsed = F.from_json(F.col(json_col), ddl_schema)
-    names = [f.strip().split()[0] for f in ddl_schema.split(",")]
+    # parse the DDL properly — a naive comma split breaks on
+    # parameterized types like DECIMAL(10,2)
+    names = [f.name for f in StructType.fromDDL(ddl_schema).fields]
     return df.select(
         "*", *[parsed[n].alias(f"{prefix}{n}") for n in names]
     )

@@ -88,3 +88,12 @@ def test_variant_extract_typed_and_malformed(spark):
     assert not out[3].is_valid  # NULL payload
     assert out[4].is_valid and out[4].k_int is None  # explicit null
     assert out[5].is_valid and out[5].k_int is None  # absent path
+
+
+def test_typed_extract_parameterized_types(spark):
+    """DDL with commas inside type parameters must not break field-name
+    derivation (DECIMAL(10,2) regression guard)."""
+    df = spark.createDataFrame([(1, '{"k": 3, "d": "12.345"}')], ["id", "props"])
+    out = jsonops.typed_extract(df, "props", "k INT, d DECIMAL(10,2)").collect()[0]
+    assert out.k == 3
+    assert float(out.d) == 12.35  # decimal(10,2) rounds on parse
