@@ -242,6 +242,10 @@ def phi_heavy_hitters(
     GROUP BY/HAVING — while the shuffle carries at most
     width·partitions summary rows plus candidate counts, never the
     key column of the full table.
+
+    NULL keys are excluded on both passes (dropped from the summaries,
+    absent from candidates) and from the frequency denominator — the
+    SQL ``WHERE key IS NOT NULL`` semantics.
     """
     import math
 
