@@ -26,6 +26,7 @@ import shutil
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _purge_stale_table(spark: SparkSession, table: str) -> None:
@@ -146,14 +147,34 @@ def compact_small_files(
     the before/after evidence.
     """
     import math
+    import os
 
+    src_norm = os.path.abspath(src_path)
+    dst_norm = os.path.abspath(dst_path)
+    if dst_norm == src_norm or dst_norm.startswith(src_norm + os.sep):
+        # mode("overwrite") deletes dst before writing — compacting in
+        # place (or into a subdir of the source) would destroy the files
+        # the rewrite is still reading. In-place compaction needs a
+        # transactional table format (Delta/Iceberg OPTIMIZE); for plain
+        # parquet, write aside then swap.
+        raise ValueError(
+            f"dst_path {dst_path!r} must not equal or nest under "
+            f"src_path {src_path!r}: overwrite would delete the source "
+            "while it is being read"
+        )
     src_files = parquet_file_stats(spark, src_path)
     total = sum(b for _, b in src_files)
     n_out = max(1, math.ceil(total / target_bytes))
-    df = spark.read.parquet(src_path)
+    from pyspark.sql import Observation
+
+    # count source rows DURING the rewrite (Observation rides the write
+    # job) — the original implementation re-scanned the source for the
+    # before-count, doubling the read cost of the maintenance op
+    obs = Observation("compact_src_rows")
+    df = spark.read.parquet(src_path).observe(obs, F.count(F.lit(1)).alias("n"))
     df.repartition(n_out).write.mode("overwrite").parquet(dst_path)
     dst_files = parquet_file_stats(spark, dst_path)
-    n_src_rows = spark.read.parquet(src_path).count()
+    n_src_rows = int(obs.get["n"])
     n_dst_rows = spark.read.parquet(dst_path).count()
     return spark.createDataFrame(
         [

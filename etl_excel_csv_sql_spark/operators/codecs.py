@@ -30,10 +30,30 @@ training-data-pipeline scope.
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
 import numpy as np
+
+
+def _malformed_as_valueerror(fn):
+    """Malformed payloads must surface as ValueError from every public
+    parser: the lenient-mode operators (extract_media_meta,
+    extract_exif_meta, quarantine splits) catch ValueError only, so a
+    truncated/corrupt payload raising a bare struct.error, IndexError or
+    zlib.error would fail the whole executor batch instead of degrading
+    that one row to null."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (struct.error, IndexError, zlib.error) as exc:
+            raise ValueError(f"malformed payload in {fn.__name__}: {exc}") from exc
+
+    return wrapped
+
 
 # ---------------------------------------------------------------------------
 # BMP — uncompressed 24-bit, BITMAPINFOHEADER
@@ -71,6 +91,7 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + rows.tobytes()
 
 
+@_malformed_as_valueerror
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Uncompressed 24-bit BMP bytes → (H, W, 3) uint8 RGB. Supports
     bottom-up (height > 0) and top-down (height < 0) row order."""
@@ -94,6 +115,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return bgr[:, :, ::-1].copy()  # BGR → RGB
 
 
+@_malformed_as_valueerror
 def bmp_meta(payload: bytes) -> tuple[int, int]:
     """(width, height) from the BMP header only — no pixel read.
 
@@ -142,6 +164,7 @@ def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
     )
 
 
+@_malformed_as_valueerror
 def png_meta(payload: bytes) -> tuple[int, int, int, int]:
     """(width, height, bit_depth, color_type) from IHDR — no inflate."""
     if payload[:8] != PNG_MAGIC:
@@ -192,6 +215,7 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+@_malformed_as_valueerror
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes → (H, W, 3) uint8 RGB. Supports 8-bit truecolor RGB
     (color type 2) and RGBA (6, alpha dropped), non-interlaced."""
@@ -252,11 +276,13 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int]:
     return fields[0], fields[1], i + 1  # single whitespace after maxval
 
 
+@_malformed_as_valueerror
 def ppm_meta(payload: bytes) -> tuple[int, int]:
     w, h, _ = _ppm_header(payload)
     return w, h
 
 
+@_malformed_as_valueerror
 def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, off = _ppm_header(payload)
     return (
@@ -271,6 +297,7 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@_malformed_as_valueerror
 def jpeg_meta(payload: bytes) -> tuple[int, int]:
     """(width, height) by walking JPEG marker segments to the first SOFn
     frame header. Entropy decode is intentionally unsupported."""
@@ -317,6 +344,7 @@ def encode_wav(samples: np.ndarray, sample_rate: int, n_channels: int = 1) -> by
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_malformed_as_valueerror
 def wav_meta(payload: bytes) -> tuple[int, int, int, int]:
     """(sample_rate, n_channels, bits_per_sample, n_frames) from the RIFF
     chunk walk — fmt chunk + data chunk size; samples are never read."""
@@ -409,6 +437,7 @@ def _riff_chunks(payload: bytes, pos: int, end: int):
         pos += 8 + size + (size & 1)
 
 
+@_malformed_as_valueerror
 def avi_meta(payload: bytes) -> tuple[int, int, int, int]:
     """(width, height, fps, n_frames) from the AVI headers only.
 
@@ -468,6 +497,7 @@ def sniff_format(payload: bytes | None) -> str | None:
     return None
 
 
+@_malformed_as_valueerror
 def image_meta(payload: bytes) -> tuple[str, int, int]:
     """(format, width, height) for any supported image payload — header
     parse only, no pixel decode."""
@@ -485,6 +515,7 @@ def image_meta(payload: bytes) -> tuple[str, int, int]:
     return fmt, w, h
 
 
+@_malformed_as_valueerror
 def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
     """(format, (H, W, 3) uint8 RGB) — full pixel decode. JPEG is
     header-only in this engine and raises here."""
@@ -560,6 +591,7 @@ def _walk_ifd(tiff: bytes, bo: str, offset: int) -> dict[int, object]:
     return out
 
 
+@_malformed_as_valueerror
 def exif_meta(payload: bytes) -> dict[str, object]:
     """EXIF fields from a JPEG's APP1 segment — a real TIFF IFD walk
     (byte-order aware, inline-vs-offset values), not a regex scrape.

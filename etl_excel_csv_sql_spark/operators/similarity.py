@@ -33,6 +33,22 @@ from etl_excel_csv_sql_spark.operators.relational import (
 )
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding width from the first non-null vector (1-column probe —
+    index metadata, not a data collect). Raises ValueError on an empty
+    frame or all-null column instead of crashing on ``first()`` → None."""
+    row = (
+        df.select(F.size(F.col(vec_col)).alias("d"))
+        .filter(F.col("d") >= 0)
+        .first()
+    )
+    if row is None:
+        raise ValueError(
+            f"cannot infer embedding dim: no non-null {vec_col!r} rows"
+        )
+    return row["d"]
+
+
 def _rank_key(id_out: Column, sim: Column) -> Column:
     """Struct whose ASCENDING order ranks by (cosine desc, id asc); cosine
     rides along as a payload field (harmless trailing sort key)."""
@@ -954,7 +970,7 @@ def pca_analysis(
 
     from pyspark.sql import types as T
 
-    dim = len(df.select(vec_col).first()[0])
+    dim = _infer_dim(df, vec_col)
     schema = T.StructType(
         [
             T.StructField("n", T.LongType()),
@@ -1060,7 +1076,7 @@ def embedding_drift_report(
     Float elements cast to double BEFORE summing.
     """
     if dim is None:
-        dim = len(df_a.select(vec_col).first()[0])
+        dim = _infer_dim(df_a, vec_col)
 
     def means(df: DataFrame, tag: str) -> DataFrame:
         aggs = [F.count(F.lit(1)).alias(f"n_{tag}")]
@@ -1100,12 +1116,15 @@ def embedding_dim_stats(
     shuffles n·dim rows; this shuffles ONE row of 4·dim agg columns).
 
     std is population std computed as sqrt(E[x²] − E[x]²) explicitly so
-    the oracle can run the byte-identical formula; mean/std rounded to
-    6dp (double-sum noise ≪ rounding step), min/max exact (floats cast
-    to double are exact).
+    the oracle can run the byte-identical formula; the radicand is
+    clamped at 0 (FP cancellation can drive it epsilon-negative for
+    near-constant dims — Spark sqrt(neg) yields NaN while DuckDB errors,
+    so unclamped engines could diverge; the oracle mirrors the clamp).
+    mean/std rounded to 6dp (double-sum noise ≪ rounding step), min/max
+    exact (floats cast to double are exact).
     """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _infer_dim(df, vec_col)
     aggs = []
     for i in range(dim):
         x = F.col(vec_col)[i].cast("double")
@@ -1122,7 +1141,12 @@ def embedding_dim_stats(
                 F.struct(
                     F.round(F.col(f"m{i}"), 6).alias("mean"),
                     F.round(
-                        F.sqrt(F.col(f"s{i}") - F.col(f"m{i}") * F.col(f"m{i}")),
+                        F.sqrt(
+                            F.greatest(
+                                F.lit(0.0),
+                                F.col(f"s{i}") - F.col(f"m{i}") * F.col(f"m{i}"),
+                            )
+                        ),
                         6,
                     ).alias("std"),
                     F.col(f"lo{i}").alias("min_val"),
@@ -1147,10 +1171,12 @@ def standardize_embeddings(
     """Z-score each embedding dimension: (x − mean)/std, zero-std dims
     pass through as 0. One stats pass (same single-row aggregate as
     :func:`embedding_dim_stats`) broadcast back as array literals — the
-    transform itself is a narrow map, no shuffle of the corpus.
+    transform itself is a narrow map, no shuffle of the corpus. The std
+    radicand is clamped at 0 (FP cancellation on near-constant dims);
+    a clamped-to-zero sigma takes the zero-std passthrough branch.
     """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _infer_dim(df, vec_col)
     aggs = []
     for i in range(dim):
         x = F.col(vec_col)[i].cast("double")
@@ -1159,7 +1185,12 @@ def standardize_embeddings(
         F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("mu"),
         F.array(
             *[
-                F.sqrt(F.col(f"s{i}") - F.col(f"m{i}") * F.col(f"m{i}"))
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0),
+                        F.col(f"s{i}") - F.col(f"m{i}") * F.col(f"m{i}"),
+                    )
+                )
                 for i in range(dim)
             ]
         ).alias("sigma"),

@@ -5315,7 +5315,7 @@ def q_multiset_ops(spark, sf_dir):
     )
     SELECT i - 1 AS dim,
            round(avg(v), 6) AS mean,
-           round(sqrt(avg(v * v) - avg(v) * avg(v)), 6) AS std,
+           round(sqrt(greatest(0.0, avg(v * v) - avg(v) * avg(v))), 6) AS std,
            min(v) AS min_val, max(v) AS max_val
     FROM e GROUP BY i
     """,
@@ -6261,77 +6261,63 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
     )
 
 
+# --- r7 window: all 50 slots on never-driver-checked queries (the
+# 75 late-r6 additions had zero driver rows; judge verified all 75
+# green locally in r6). Emitted by tools/rotation.py 7 --emit under
+# the documented policy: err > never-checked > stalest, oracle before
+# rows-only. The remaining 25 never-checked + the section-2 parity
+# core ride the r8 window (projection in ROUND7_NOTES).
 WINDOW_ORDER: tuple[str, ...] = (
-    # --- NEW in late r6 (1-10): this round's oracle-backed additions.
-    # They take the stable-core slots for exactly one round: the §2
-    # parity core all has r5-green driver rows (1 round old), so it can
-    # skip one window safely; never-checked beats 1-round-fresh. r7
-    # restores the core (see ROUND6_NOTES r7 rotation).
-    "dq_check_suite",
-    "fuzzy_part_pairs",
-    "doc_unigram_surprisal",
-    "weighted_sample_orders",
-    "zorder_layout_sample",
-    "cohort_retention_weekly",
-    "event_transition_matrix",
-    "snapshot_diff_cdc",
-    "incremental_agg_maintenance",
-    "unpivot_status_metrics",
-    # --- live JDBC (kept every round: only live-Derby evidence) ---
-    "jdbc_live_roundtrip",
-    # --- r3-stale rotation (12-41): io/runner roundtrips ---
-    "excel_roundtrip",
-    "csv_roundtrip",
-    "quarantine_split_rows",
-    "salted_join_equivalence",
-    "merge_upsert_roundtrip",
-    "schema_guard_outcomes",
-    # --- r3-stale rotation: dedup family ---
-    "exact_dup_groups",
-    "ngram_jaccard_pairs",
-    "dedup_components",
-    "dedup_keep_first",
-    "minhash_lsh_pairs",
-    "dup_ngram_spans",
-    # --- r3-stale rotation: text analysis ---
-    "lang_id_heuristic",
-    "tfidf_top_terms",
-    # --- r3-stale rotation: streaming / similarity / media / as-of ---
-    "events_tumbling_streaming",
-    "cosine_topk",
-    "embedding_dup_pairs",
-    "ann_ivf_topk",
-    "media_metadata",
-    "asof_latest_order_per_event",
-    # --- NEW in the batch-6 continuation session: never-checked heads of
-    # the new module families (jsonops, graph, itemsets, MG sketch,
-    # containment, NFC, MDM, full-outer stream join). They displace 10
-    # r3-stale queries that each have a green sibling in-window or deep
-    # pytest (dup_span_coverage↔dup_ngram_spans, embedding_dup_pairs_
-    # exact↔embedding_dup_pairs, excel_multisheet↔excel_roundtrip,
-    # repetition/fingerprint/subword/pack/redact/split/contamination —
-    # all r3-green + pytest); those ride r7. Never-checked beats stale.
-    "json_payload_profile",
-    "json_kv_explode",
-    "pagerank_part_supplier",
-    "bfs_reachability",
-    "heavy_hitters_phi",
-    "assoc_rules_pairs",
-    "ngram_containment_pairs",
-    "unicode_nfc_normalize",
-    "golden_record_survivorship",
-    "events_stream_stream_full_join",
-    # --- r5 additions, judge-verified but never driver-checked (42-46) ---
-    "doc_lexical_diversity",
-    "embedding_label_cohesion",
-    "source_quality_rollup",
-    "media_streaming_meta_rollup",
-    "join_skew_report",
-    # --- NEW in r6 (47-50): last pytest-only §2 behaviors + mllib IVF ---
-    "lock_fallback_naming",
-    "sql_compose_quoting",
-    "settings_validation_outcomes",
-    "ann_ivf_mllib_topk",
+    "quality_filter_pipeline",
+    "jsonl_roundtrip",
+    "events_streaming_merge_upsert",
+    "orc_roundtrip",
+    "events_streaming_enriched",
+    "fixed_width_roundtrip",
+    "partition_pruned_read",
+    "settings_datasource_scan",
+    "bloom_semi_join_prefilter",
+    "doc_chunk_windows",
+    "stratified_sample_exact",
+    "temperature_resample_weights",
+    "events_resample_ffill",
+    "events_value_anomalies",
+    "tfidf_doc_similarity",
+    "events_trailing_hour_window",
+    "numeric_histogram",
+    "attribution_last_touch",
+    "stats_chi_square_lang_source",
+    "stats_linear_fit_price_qty",
+    "stats_correlation_matrix",
+    "join_cardinality_estimate",
+    "returned_item_report",
+    "customers_without_orders",
+    "events_seasonal_anomalies",
+    "k_anonymity_violations",
+    "dp_noisy_event_counts",
+    "embedding_drift_report",
+    "ab_test_report",
+    "corpus_pipeline_e2e",
+    "scd2_point_in_time_join",
+    "nation_volume_shipping",
+    "promo_revenue_pct",
+    "top_supplier_revenue",
+    "small_qty_order_revenue",
+    "large_volume_customers",
+    "disjunctive_predicate_revenue",
+    "multiset_ops",
+    "embedding_dim_stats",
+    "benford_first_digit",
+    "events_ewma_smoothing",
+    "datetime_functions_breadth",
+    "aggregate_functions_breadth",
+    "regexp_functions_breadth",
+    "variant_payload_extract",
+    "sql_defined_functions",
+    "null_semantics_battery",
+    "source_score_quantile_norm",
+    "nested_orders_rollup",
+    "kfold_assignment",
 )
 
 _missing = [n for n in WINDOW_ORDER if n not in _REGISTRY]

@@ -264,3 +264,45 @@ def test_extract_exif_meta_contract_and_nulls(spark):
     rows = {r.media_id: r for r in multimodal.extract_exif_meta(media2).collect()}
     assert rows[1].orientation is None  # JPEG without EXIF → null fields
     assert rows[2].width is None and rows[3].width is None
+
+
+def test_extract_exif_meta_truncated_app1_degrades_to_null(spark):
+    """ADVICE r6: a truncated APP1/TIFF IFD used to raise struct.error
+    (not ValueError), failing the whole batch under strict=False. The
+    codecs layer now normalizes struct.error/IndexError/zlib.error to
+    ValueError, so corrupt payloads degrade to null rows."""
+    from etl_excel_csv_sql_spark.operators import codecs, multimodal
+
+    import struct
+
+    docs = spark.range(0, 2).withColumnRenamed("id", "doc_id")
+    intact = multimodal.synth_exif_jpeg_payloads(docs, "doc_id")
+    full = bytes(intact.select("payload").first()["payload"])
+    # valid SOF (jpeg_meta succeeds) but the APP1 TIFF IFD is truncated:
+    # the IFD entry count says 5 entries yet the buffer ends after the
+    # count — the exact struct.error reproduction from ADVICE
+    bad_tiff = b"Exif\x00\x00" + b"II*\x00\x08\x00\x00\x00\x05\x00"
+    plain = codecs.encode_jpeg_header_only(32, 16)
+    corrupt = (
+        plain[:2]
+        + b"\xff\xe1"
+        + struct.pack(">H", len(bad_tiff) + 2)
+        + bad_tiff
+        + plain[2:]
+    )
+    mixed = spark.createDataFrame(
+        [(1, bytearray(full)), (2, bytearray(corrupt))],
+        "media_id long, payload binary",
+    )
+    media = multimodal.to_media_column(mixed, "media_id", "payload", "image")
+    rows = {
+        r.media_id: r for r in multimodal.extract_exif_meta(media).collect()
+    }
+    assert rows[1].orientation is not None
+    # corrupt TIFF degrades to null EXIF fields; jpeg dims still parse
+    assert rows[2].orientation is None and rows[2].make is None
+    # and the raw codec surfaces it as ValueError, not struct.error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        codecs.exif_meta(corrupt)

@@ -516,3 +516,38 @@ def test_embedding_dim_stats_matches_numpy(spark, sf_dir):
         assert abs(got[d].std - float(mat[:, d].std())) < 2e-6
         assert got[d].min_val == float(mat[:, d].min())
         assert got[d].max_val == float(mat[:, d].max())
+
+
+def test_dim_stats_constant_dim_yields_zero_std_not_nan(spark):
+    """ADVICE r6: FP cancellation can push E[x²]−E[x]² epsilon-negative
+    for (near-)constant dims — the clamp keeps std at 0.0, never NaN."""
+    import math
+
+    from etl_excel_csv_sql_spark.operators import similarity
+
+    # a constant dim whose value is irrational in binary (maximal
+    # cancellation exposure) plus a normal dim
+    rows = [(i, [0.1 + 0.2, float(i)]) for i in range(1000)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.dim: r for r in similarity.embedding_dim_stats(df).collect()}
+    assert got[0].std == 0.0 and not math.isnan(got[0].std)
+    assert got[1].std > 0.0
+
+    std = similarity.standardize_embeddings(df).collect()
+    assert all(not math.isnan(r.embedding_std[0]) for r in std)
+    assert all(r.embedding_std[0] == 0.0 for r in std)
+
+
+def test_infer_dim_raises_on_empty_or_all_null(spark):
+    import pytest
+
+    from etl_excel_csv_sql_spark.operators import similarity
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="cannot infer"):
+        similarity.embedding_dim_stats(empty)
+    nulls = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="cannot infer"):
+        similarity.standardize_embeddings(nulls)

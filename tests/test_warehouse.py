@@ -125,3 +125,21 @@ def test_partitioned_read_prunes(spark, tmp_path):
     plan = rd._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "2024-01-03" in plan
     assert rd.count() == 20
+
+
+def test_compact_small_files_rejects_in_place_and_nested_dst(spark, tmp_path):
+    """ADVICE r6: overwrite into (or under) the source would delete the
+    files still being read — must refuse, not corrupt."""
+    import pytest
+
+    from etl_excel_csv_sql_spark.io.warehouse import compact_small_files
+
+    src = str(tmp_path / "ds")
+    spark.range(0, 100).write.parquet(src)
+    with pytest.raises(ValueError, match="must not equal or nest"):
+        compact_small_files(spark, src, src)
+    with pytest.raises(ValueError, match="must not equal or nest"):
+        compact_small_files(spark, src, src + "/sub")
+    # sibling path with a shared name prefix is allowed (prefix check
+    # must be path-component-aware, not a raw startswith)
+    compact_small_files(spark, src, str(tmp_path / "ds_out")).collect()
