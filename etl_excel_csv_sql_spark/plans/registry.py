@@ -69,6 +69,16 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL; None → driver does a rows-only check
     doc: str = ""
+    # Evidence-freshness tier, read by tools/rotation.py. "op" (default):
+    # a real operator-family or reference-parity query — always competes
+    # for driver-window slots by staleness. "breadth": a pure SQL-shape
+    # query whose semantics are entirely pinned by its DuckDB oracle in
+    # the local full gate; once it has 2+ green driver rounds it DEMOTES
+    # (stops consuming window slots and rides pytest + the local gate,
+    # re-entering only on an err row). With 219 queries and 50 slots per
+    # round the ≤3-round freshness target is structurally unsatisfiable
+    # without this split (see ROUND6_NOTES demotion policy).
+    tier: str = "op"
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -6319,6 +6329,71 @@ WINDOW_ORDER: tuple[str, ...] = (
     "nested_orders_rollup",
     "kfold_assignment",
 )
+
+# Breadth-tier queries (see QuerySpec.tier): pure SQL-shape coverage —
+# TPC-H-style report shapes, function batteries, window/set-op/pivot
+# breadth — each fully value-pinned by its DuckDB oracle every local
+# gate run. Operator families (dedup/similarity/text/streaming/graph/
+# sketches/io/runner/§2 parity) stay tier="op" and keep rotating.
+BREADTH_TIER: frozenset[str] = frozenset(
+    {
+        "above_avg_orders",
+        "aggregate_functions_breadth",
+        "ansi_safe_arithmetic",
+        "anti_join_unmatched",
+        "benford_first_digit",
+        "calendar_dim_spine",
+        "case_when_bands",
+        "collation_ci_matching",
+        "count_distinct",
+        "cube_agg",
+        "customers_without_orders",
+        "date_functions_breadth",
+        "datetime_functions_breadth",
+        "disjunctive_predicate_revenue",
+        "distinct_values",
+        "forecast_revenue_change",
+        "group_by_multi",
+        "grouping_sets_exists",
+        "having_filter",
+        "large_volume_customers",
+        "map_functions_breadth",
+        "multiset_ops",
+        "nation_volume_shipping",
+        "nested_orders_rollup",
+        "null_semantics_battery",
+        "numeric_histogram",
+        "percentile_prices",
+        "pivot_multi_agg",
+        "pivot_status_by_priority",
+        "pricing_summary",
+        "promo_revenue_pct",
+        "reconciliation_customer_orders",
+        "regexp_functions_breadth",
+        "region_revenue",
+        "returned_item_report",
+        "rollup_agg",
+        "set_except",
+        "set_intersect",
+        "set_union",
+        "shipping_priority_top10",
+        "small_qty_order_revenue",
+        "string_functions_breadth",
+        "table_profile_customer",
+        "top_k_orders",
+        "top_supplier_revenue",
+        "unpivot_status_metrics",
+        "window_analytics_breadth",
+        "window_lag_gap",
+        "window_rank_dense",
+        "window_running_sum",
+        "window_topk_per_group",
+    }
+)
+_unknown_breadth = [n for n in BREADTH_TIER if n not in _REGISTRY]
+assert not _unknown_breadth, f"BREADTH_TIER names not registered: {_unknown_breadth}"
+for _n in BREADTH_TIER:
+    _REGISTRY[_n].tier = "breadth"
 
 _missing = [n for n in WINDOW_ORDER if n not in _REGISTRY]
 assert not _missing, f"WINDOW_ORDER names not registered: {_missing}"

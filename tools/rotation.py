@@ -6,18 +6,30 @@ evidence-freshness budget. This tool computes, from the actual
 CORRECTNESS_r*.json records plus the live registry:
 
 - per-query latest driver round, status (pass / rows-only / err /
-  never-checked) and staleness;
-- a staleness histogram and the never-checked list;
-- a PROPOSED next-round window under the documented policy:
-  1. any query whose latest driver row is an ERROR (must re-prove),
+  never-checked), staleness and total green-round count;
+- the DEMOTED set, from data: a ``tier="breadth"`` query (tagged in the
+  registry — pure SQL-shape coverage fully pinned by its DuckDB oracle
+  in the local full gate) with >= 2 green driver rounds stops consuming
+  window slots and rides pytest + the local gate; it re-enters only if
+  its latest driver row is an error. With 219 queries and 50 slots per
+  round, the <=3-round freshness target is structurally unsatisfiable
+  without this split;
+- a PROPOSED next-round window over the NON-demoted queries under the
+  documented policy:
+  1. any query whose latest driver row is an ERROR (must re-prove,
+     demoted or not),
   2. never-checked queries (new code paths first — the judge can't see
      local-gate evidence),
   3. stalest first among the rest,
   with full-oracle queries preferred over rows-only at equal staleness.
 
 Usage: python tools/rotation.py [round_number_about_to_run]
-Prints a report; pass --emit to print the 50-name tuple ready to paste
-into WINDOW_ORDER.
+  --emit     print the 50-name tuple ready to paste into WINDOW_ORDER
+  --project  assume the CURRENT WINDOW_ORDER receives green driver rows
+             in round (N-1) first, then plan round N — the look-ahead
+             used to pre-compute the NEXT round's window before the
+             driver has actually run (e.g. ``rotation.py 8 --project``
+             while the r7 record doesn't exist yet).
 """
 
 from __future__ import annotations
@@ -32,9 +44,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
 
-def load_history() -> dict[str, tuple[int, str]]:
-    """query → (latest_round, status) from all CORRECTNESS_r*.json."""
-    latest: dict[str, tuple[int, str]] = {}
+def load_history() -> dict[str, list[tuple[int, str]]]:
+    """query → [(round, status), ...] from all CORRECTNESS_r*.json."""
+    hist: dict[str, list[tuple[int, str]]] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", path)
         if not m:
@@ -58,22 +70,64 @@ def load_history() -> dict[str, tuple[int, str]]:
                 status = "rows-only"
             else:
                 status = "unknown"
-            prev = latest.get(name)
-            if prev is None or rnd >= prev[0]:
-                latest[name] = (rnd, status)
-    return latest
+            hist.setdefault(name, []).append((rnd, status))
+    for runs in hist.values():
+        runs.sort()
+    return hist
+
+
+GREEN = ("pass", "rows-only")
+
+
+def plan(
+    queries: list[str],
+    oracles: dict[str, str],
+    tiers: dict[str, str],
+    hist: dict[str, list[tuple[int, str]]],
+    next_round: int,
+) -> tuple[list[str], list[str], list[tuple]]:
+    """→ (window, demoted, rows) for ``next_round``."""
+    rows = []
+    demoted = []
+    for name in queries:
+        runs = hist.get(name, [])
+        rnd, status = runs[-1] if runs else (None, "never-checked")
+        stale = (next_round - rnd) if rnd is not None else None
+        greens = sum(1 for _, s in runs if s in GREEN)
+        is_demoted = (
+            tiers.get(name) == "breadth" and greens >= 2 and status != "err"
+        )
+        if is_demoted:
+            demoted.append(name)
+        rows.append((name, rnd, status, stale, name in oracles, is_demoted))
+
+    def key(r):
+        name, rnd, status, stale, has_oracle, _ = r
+        tier = 0 if status == "err" else (1 if rnd is None else 2)
+        return (
+            tier,
+            -(stale or 0) if tier == 2 else 0,
+            not has_oracle,
+            queries.index(name),
+        )
+
+    eligible = [r for r in rows if not r[5] or r[2] == "err"]
+    window = [r[0] for r in sorted(eligible, key=key)[:WINDOW]]
+    return window, demoted, rows
 
 
 def main() -> int:
     sys.path.insert(0, REPO)
     next_round = None
     emit = "--emit" in sys.argv
+    project = "--project" in sys.argv
     for a in sys.argv[1:]:
         if a.isdigit():
             next_round = int(a)
 
     from etl_excel_csv_sql_spark.plans.registry import (  # noqa: E402
         WINDOW_ORDER,
+        _REGISTRY,
         all_oracles,
         all_queries,
     )
@@ -81,46 +135,56 @@ def main() -> int:
 
     queries = list(all_queries())
     oracles = all_oracles()
+    tiers = {n: s.tier for n, s in _REGISTRY.items()}
     hist = load_history()
     if next_round is None:
-        next_round = max((r for r, _ in hist.values()), default=0) + 1
+        next_round = max(
+            (runs[-1][0] for runs in hist.values() if runs), default=0
+        ) + 1
 
-    rows = []
-    for name in queries:
-        rnd, status = hist.get(name, (None, "never-checked"))
-        stale = (next_round - rnd) if rnd is not None else None
-        rows.append((name, rnd, status, stale, name in oracles))
+    if project:
+        # look-ahead: assume the driver runs the CURRENT window in round
+        # next_round-1 and every entry comes back green (oracle entries
+        # pass, oracle-less ones rows-only), then plan next_round
+        assumed = next_round - 1
+        for name in WINDOW_ORDER:
+            status = "pass" if name in oracles else "rows-only"
+            hist.setdefault(name, []).append((assumed, status))
+            hist[name].sort()
+        print(f"[projection: current WINDOW_ORDER assumed green in r{assumed}]")
+
+    window, demoted, rows = plan(queries, oracles, tiers, hist, next_round)
 
     never = [r for r in rows if r[1] is None]
     errs = [r for r in rows if r[2] == "err"]
-    print(f"registry: {len(queries)} queries ({len(oracles)} oracle)")
+    n_breadth = sum(1 for t in tiers.values() if t == "breadth")
+    print(f"registry: {len(queries)} queries ({len(oracles)} oracle, "
+          f"{n_breadth} breadth-tier)")
     print(f"never-checked: {len(never)}; latest-status err: {len(errs)}")
+    print(f"demoted (breadth + >=2 green driver rounds): {len(demoted)}")
     by_stale: dict[int, int] = {}
-    for _, _, _, stale, _ in rows:
+    for _, _, _, stale, _, _ in rows:
         if stale is not None:
             by_stale[stale] = by_stale.get(stale, 0) + 1
     print("staleness histogram (rounds since last driver row):",
           dict(sorted(by_stale.items())))
+    active = len(queries) - len(demoted)
+    print(f"active pool: {active} queries / {WINDOW} slots "
+          f"→ worst-case freshness ≈ {-(-active // WINDOW)} rounds")
 
-    # policy ordering
-    def key(r):
-        name, rnd, status, stale, has_oracle = r
-        tier = 0 if status == "err" else (1 if rnd is None else 2)
-        staleness = -(stale or 0)
-        return (tier, staleness if tier == 2 else 0, not has_oracle,
-                queries.index(name))
-
-    proposed = [r[0] for r in sorted(rows, key=key)[:WINDOW]]
-    print(f"\nproposed r{next_round} window (50):")
-    for n in proposed:
-        rnd, status = hist.get(n, (None, "never-checked"))
+    print(f"\nproposed r{next_round} window ({len(window)}):")
+    for n in window:
+        runs = hist.get(n, [])
+        rnd, status = runs[-1] if runs else (None, "never-checked")
         print(f"  {n:42s} last={rnd} {status}")
-    drop = [n for n in WINDOW_ORDER if n not in proposed]
-    add = [n for n in proposed if n not in WINDOW_ORDER]
+    if demoted:
+        print(f"\ndemoted ({len(demoted)}): {', '.join(sorted(demoted))}")
+    drop = [n for n in WINDOW_ORDER if n not in window]
+    add = [n for n in window if n not in WINDOW_ORDER]
     print(f"\nvs current WINDOW_ORDER: +{len(add)} −{len(drop)}")
     if emit:
         print("\nWINDOW_ORDER: tuple[str, ...] = (")
-        for n in proposed:
+        for n in window:
             print(f'    "{n}",')
         print(")")
     return 0
