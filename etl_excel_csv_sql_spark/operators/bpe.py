@@ -144,25 +144,121 @@ def train_bpe(
     return merges
 
 
+def apply_merges_sequential(
+    syms: list[str], merges: list[tuple[str, str]]
+) -> list[str]:
+    """Reference BPE merge application: each merge in learned order,
+    scanned left-to-right, non-overlapping — byte-for-byte the semantics
+    of the HOF fold in :func:`_merge_pair_in_array` ("aaa" under (a,a)
+    → ["aa", "a"]). The symbol-set guard skips merges whose operands
+    cannot occur in this word — exact-semantics-preserving (a merge with
+    an absent operand is a no-op scan), and it is what keeps a
+    production 32k-merge vocab O(|applicable merges| · |word|) instead
+    of O(32k · |word|) per word."""
+    present = set(syms)
+    for left, right in merges:
+        if len(syms) < 2 or left not in present or right not in present:
+            continue
+        out: list[str] = []
+        i, n = 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        if len(out) != len(syms):
+            syms = out
+            present = set(syms)
+    return syms
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str, int]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    engine: str = "auto",
 ) -> DataFrame:
-    """Apply a learned merge table to documents: per word, the same HOF
-    fold chain the trainer used, one fold per merge — a narrow map over
-    the corpus (encode is embarrassingly parallel; the merge table is a
-    broadcast-sized literal)."""
-    from etl_excel_csv_sql_spark.functions.text import tokens
+    """Apply a learned merge table to documents. Two engines, identical
+    semantics (the trainer's sequential left-to-right non-overlapping
+    fold per merge):
 
-    def encode_word(word_syms: Column) -> Column:
-        out = word_syms
-        for left, right, _ in merges:
-            out = _merge_pair_in_array(out, left, right)
-        return out
+    - ``"hof"``: one JVM ``aggregate`` fold per merge compiled into a
+      single Catalyst expression — zero Python, ideal at oracle-sized
+      merge tables, but each merge NESTS another fold into the same
+      expression tree, so analysis/codegen cost grows with the merge
+      count: fine at ~20 merges, a compile-time blowup at a production
+      32k vocab (VERDICT r6 #4).
+    - ``"arrow"``: mapInPandas kernel — the merge table ships to
+      executors inside the closure (broadcast-sized: a 32k vocab is
+      <1 MB) and each Arrow batch encodes with a per-batch distinct-word
+      cache (Zipf: most tokens repeat, so each distinct word is encoded
+      once per batch). Plan cost is independent of the merge count —
+      the scale path for real vocabularies.
 
-    words = F.transform(
-        tokens(text_col), lambda w: encode_word(F.split(F.lower(w), ""))
+    ``"auto"`` picks hof for ≤32 merges (keeps the all-JVM plan and the
+    DuckDB-oracle parity path), arrow beyond.
+
+    Tokenization parity note: the Arrow kernel mirrors ``tokens()``
+    (trim + split ``\\s+``) and ``lower()`` in Python; Java and Python
+    agree on ASCII whitespace/case, which the corpus fixtures use —
+    divergence is possible on exotic Unicode (documented, not hit).
+    """
+    if engine == "auto":
+        engine = "hof" if len(merges) <= 32 else "arrow"
+    if engine == "hof":
+        from etl_excel_csv_sql_spark.functions.text import tokens
+
+        def encode_word(word_syms: Column) -> Column:
+            out = word_syms
+            for left, right, _ in merges:
+                out = _merge_pair_in_array(out, left, right)
+            return out
+
+        words = F.transform(
+            tokens(text_col), lambda w: encode_word(F.split(F.lower(w), ""))
+        )
+        return df.withColumn(out_col, F.flatten(words))
+    if engine != "arrow":
+        raise ValueError(f"engine must be 'auto', 'hof' or 'arrow', got {engine!r}")
+
+    import re
+
+    from pyspark.sql import types as T
+
+    pairs = [(left, right) for left, right, _ in merges]
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.StringType()))]
     )
-    return df.withColumn(out_col, F.flatten(words))
+    ws = re.compile(r"\s+")
+
+    def batches(it):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def encode_text(text) -> list[str]:
+            if text is None:
+                return None
+            stripped = text.strip()
+            if not stripped:
+                return []
+            toks: list[str] = []
+            for w in ws.split(stripped):
+                w = w.lower()
+                enc = cache.get(w)
+                if enc is None:
+                    enc = apply_merges_sequential(list(w), pairs)
+                    cache[w] = enc
+                toks.extend(enc)
+            return toks
+
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[text_col].map(encode_text)
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
