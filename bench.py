@@ -172,6 +172,10 @@ def main() -> int:
     }
     detail = {
         "ts": time.time(),
+        # optional experiment label (e.g. heap A/B runs) so history
+        # entries stay attributable; absent for normal runs
+        **({"tag": os.environ["SPARK_GRAFT_BENCH_TAG"]}
+           if os.environ.get("SPARK_GRAFT_BENCH_TAG") else {}),
         **headline,
         "methodology": "median-of-3 per query (r4+); first-pass series in "
         "queries_first matches the r1-r3 single-shot methodology",

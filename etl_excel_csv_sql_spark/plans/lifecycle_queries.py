@@ -1840,3 +1840,121 @@ def q_events_streaming_progress_report(spark, sf_dir):
     )
     q.awaitTermination()
     return progress_report(spark, q)
+
+
+@register(
+    "events_streaming_soak_50_batches",
+    None,
+    doc="streaming state-stability soak (VERDICT r6 #8): the events table "
+    "sliced into 50 time-ordered micro-batches (pinned ascending mtimes, "
+    "maxFilesPerTrigger=1) driven through a watermarked 6-hour tumbling "
+    "aggregate in update mode -> foreachBatch ParquetMergeSink.upsert "
+    "keyed on (window_start, event_type) — the streaming-warehouse "
+    "pattern at ~50x the batch count of the other streaming queries. "
+    "Returns the per-micro-batch progress frame (streaming/monitor.py): "
+    "because event time advances batch over batch, the watermark evicts "
+    "closed windows and state_rows_total stays FLAT (bounded by the "
+    "watermark horizon, ~3 active windows x |event_type|) instead of "
+    "growing with batch count — the evidence that watermark bounds hold "
+    "over a long run, heap size notwithstanding. Rows-only: exact batch "
+    "boundaries are environment-dependent; pytest asserts the invariants "
+    "(>=45 batches, input total == source count, late-batch state no "
+    "larger than mid-run state, sink == per-window aggregates).",
+)
+def q_events_streaming_soak(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io.jdbc import ParquetMergeSink
+    from etl_excel_csv_sql_spark.streaming.monitor import progress_report
+
+    n_chunks = 50
+    scratch = _scratch(
+        "events_stream_soak_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    src = os.path.join(scratch, "in")
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", F.col("value").cast("double").alias("value")
+    )
+    ev.persist()
+    try:
+        bounds = ev.agg(
+            F.min(F.unix_timestamp("ts")).alias("lo"),
+            F.max(F.unix_timestamp("ts")).alias("hi"),
+        ).first()
+        lo, hi = int(bounds["lo"]), int(bounds["hi"])
+        span = max(1, hi - lo + 1)
+        chunk = F.least(
+            F.lit(n_chunks - 1),
+            F.floor(
+                F.lit(n_chunks) * (F.unix_timestamp("ts") - F.lit(lo)) / F.lit(span)
+            ),
+        )
+        chunked = ev.withColumn("chunk", chunk)
+        # ONE partitioned write (repartition by chunk → each chunk lands
+        # in exactly one task → one file per chunk dir), then promote the
+        # part files to flat b{i}.parquet names with pinned ascending
+        # mtimes — 50 micro-batch files from a single Spark job instead
+        # of 50 filter+coalesce jobs
+        staged = os.path.join(scratch, "staged")
+        (
+            chunked.repartition(n_chunks, "chunk")
+            .write.partitionBy("chunk")
+            .parquet(staged)
+        )
+        import glob as _glob
+
+        for i in range(n_chunks):
+            parts = _glob.glob(os.path.join(staged, f"chunk={i}", "*.parquet"))
+            dst = os.path.join(src, f"b{i:02d}.parquet")
+            if not parts:
+                continue  # empty time slice (possible at tiny scales)
+            if len(parts) == 1:
+                shutil.move(parts[0], dst)
+            else:  # hash collision put two chunks in one task: still one
+                # file each per dir is not guaranteed — fall back to merge
+                _write_single_parquet(
+                    spark.read.parquet(os.path.join(staged, f"chunk={i}")),
+                    scratch, dst, 2_000_000 + i * 10,
+                )
+            os.utime(dst, (2_000_000 + i * 10, 2_000_000 + i * 10))
+        shutil.rmtree(staged)
+    finally:
+        ev.unpersist()
+
+    sink = ParquetMergeSink(
+        path=os.path.join(scratch, "table"),
+        keys=["window_start", "event_type"],
+    )
+
+    def _merge(batch_df, _batch_id):
+        flat = batch_df.select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "value_sum",
+            "n",
+        )
+        sink.upsert(batch_df.sparkSession, flat)
+
+    schema = spark.read.parquet(os.path.join(src, "b00.parquet")).schema
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(
+            F.round(F.sum("value"), 6).alias("value_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return progress_report(spark, q)

@@ -438,3 +438,68 @@ def test_streaming_progress_report_invariants(spark, sf_dir, tmp_path):
     data_batches = [r for r in rep if r.num_input_rows > 0]
     assert data_batches[-1].state_rows_total == n_windows
     assert all(r.rows_dropped_by_watermark == 0 for r in rep)  # replay is in order
+
+
+def test_streaming_soak_50_batches_state_stays_flat(spark):
+    """VERDICT r6 #8: ~50 event-time-ordered micro-batches through the
+    watermarked windowed agg + merge-upsert sink. State must be bounded
+    by the watermark horizon (windows evict as event time advances),
+    NOT grow with batch count; the sink must hold the exact per-window
+    aggregates at the end."""
+    from etl_excel_csv_sql_spark.plans.registry import all_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    rep = sorted(
+        all_queries()["events_streaming_soak_50_batches"](spark, sf_dir)
+        .collect(),
+        key=lambda r: r.batch_id,
+    )
+    data = [r for r in rep if r.num_input_rows > 0]
+    assert len(data) >= 45, f"expected ~50 micro-batches, got {len(data)}"
+
+    from etl_excel_csv_sql_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r.num_input_rows for r in rep) == ev.count()
+
+    # flat state: a ~14.4 h batch time-slice spans <=4 six-hour windows,
+    # plus the 2 h watermark lag holds the previous slice's tail windows
+    # open -> <=8 windows x |event_type| live at a batch boundary;
+    # cumulative windows are ~120 x |event_type|, so ANY growth trend
+    # would blow through this bound within a few batches
+    n_types = ev.select("event_type").distinct().count()
+    states = [r.state_rows_total for r in data]
+    assert max(states) <= 8 * n_types, (max(states), n_types)
+    # no upward trend: late-run state no larger than mid-run peak
+    mid_peak = max(states[10:30])
+    late_peak = max(states[-10:])
+    assert late_peak <= mid_peak + n_types, (mid_peak, late_peak)
+    # watermark advanced monotonically across the run
+    marks = [r.watermark for r in data if r.watermark]
+    assert marks == sorted(marks) and len(set(marks)) > 10
+
+    # the merge-upsert sink holds the exact per-window aggregates: the
+    # update-mode stream re-emits a window every time it changes, and
+    # upsert keeps only the latest version of each (window, type) row
+    import etl_excel_csv_sql_spark.plans.lifecycle_queries as lq
+
+    sink_path = os.path.join(
+        os.path.abspath(lq._SCRATCH_ROOT), "events_stream_soak_sf0.001", "table"
+    )
+    got = spark.read.parquet(sink_path)
+    expect = (
+        ev.groupBy(
+            F.date_format(
+                F.window("ts", "6 hours")["start"], "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.round(F.sum(F.col("value").cast("double")), 6).alias("value_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    assert got.count() == expect.count()
+    assert (
+        got.unionByName(expect).distinct().count() == expect.count()
+    ), "sink rows differ from the batch-twin aggregates"
