@@ -1208,3 +1208,115 @@ def standardize_embeddings(
         .withColumn(vec_col + "_std", z)
         .select(*out_cols, vec_col + "_std")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    engine: str = "lloyd",
+    max_cell: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv 2303.09540): semantic deduplication
+    by clustering embeddings and dropping within-cluster near-identical
+    points — the embedding-space complement of MinHash/SimHash text
+    near-dup (catches paraphrases and re-encodings that share no
+    shingles).
+
+    Plan shape (the paper's design, Spark-first):
+
+    1. k-means cells (:func:`kmeans_centroids`, lloyd or mllib) —
+       centroids broadcast, assignment a zero-shuffle narrow projection
+       (:func:`ivf_assign`).
+    2. Pair scoring ONLY within a cell: self-join on cell_id — cost
+       Σ|cell|² not n², exactly the banding idea of LSH with clusters as
+       the bands. ``max_cell`` optionally drops degenerate cells
+       (in-plan guard, same shape as linkage.fuzzy_self_pairs).
+    3. Keep rule, deterministic: within a cell, rank = (cosine to the
+       cell centroid DESC, id ASC) — the paper keeps LOW-centroid-
+       similarity examples, i.e. drops the redundant near-centroid mass
+       first; a row is dropped when a HIGHER-ranked row in its cell sits
+       within ``threshold`` cosine. Every near-dup clique keeps at
+       least its top-ranked member (greedy pairwise, matching the
+       paper's per-cluster boolean, not transitive closure).
+
+    Output: (id, cell_id, keep, max_dup_cosine, dup_of) — dup_of is the
+    highest-ranked neighbor that caused the drop (null for kept rows).
+    """
+    cents = kmeans_centroids(
+        corpus, n_cells=n_cells, iters=iters, id_col=id_col,
+        vec_col=vec_col, engine=engine,
+    )
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    if max_cell is not None:
+        sizes = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("__cn"))
+        assigned = assigned.join(
+            sizes.where(F.col("__cn") <= max_cell), "cell_id", "left_semi"
+        )
+    # rank key: centroid similarity desc, id asc (null-safe: zero-norm
+    # vectors rank last)
+    with_rank = (
+        assigned.join(F.broadcast(cents), "cell_id")
+        .select(
+            "cell_id",
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.coalesce(
+                cosine_similarity(F.col(vec_col), F.col("centroid")),
+                F.lit(-2.0),
+            ).alias("c_sim"),
+        )
+    )
+    a = with_rank.select(
+        "cell_id",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.col("c_sim").alias("c_sim_a"),
+    )
+    b = with_rank.select(
+        "cell_id",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.col("c_sim").alias("c_sim_b"),
+    )
+    # a outranks b: higher centroid-sim first, id asc tiebreak
+    outranks = (F.col("c_sim_a") > F.col("c_sim_b")) | (
+        (F.col("c_sim_a") == F.col("c_sim_b"))
+        & (F.col("id_a") < F.col("id_b"))
+    )
+    pair_sim = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    dups = (
+        a.join(b, ["cell_id"])
+        .where(outranks)
+        .select(
+            "cell_id",
+            "id_b",
+            "id_a",
+            "c_sim_a",
+            pair_sim.alias("sim"),
+        )
+        .where(F.col("sim") >= F.lit(threshold))
+    )
+    # per dropped row: the single highest-ranked culprit
+    culprit = dups.groupBy("cell_id", F.col("id_b").alias("id")).agg(
+        F.max("sim").alias("max_dup_cosine"),
+        F.min(
+            F.struct(
+                (-F.col("c_sim_a")).alias("neg_rank"),
+                F.col("id_a").alias("dup_of"),
+            )
+        )["dup_of"].alias("dup_of"),
+    )
+    return (
+        with_rank.join(culprit, ["cell_id", "id"], "left")
+        .select(
+            "id",
+            "cell_id",
+            F.col("dup_of").isNull().alias("keep"),
+            F.round("max_dup_cosine", 6).alias("max_dup_cosine"),
+            "dup_of",
+        )
+    )

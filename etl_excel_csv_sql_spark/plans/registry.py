@@ -3327,8 +3327,12 @@ def q_dq_check_suite(spark, sf_dir):
     WITH d AS (
       SELECT p_name AS text, min(p_partkey) AS rep_id, count(*) AS n_members
       FROM part GROUP BY p_name
-    ), s AS (
+    ), s0 AS (
       SELECT rep_id AS id, text, string_split(text, ' ')[-1] AS blk FROM d
+    ), s AS (
+      SELECT * FROM s0 WHERE blk IN (
+        SELECT blk FROM s0 GROUP BY blk HAVING count(*) <= 2000
+      )
     )
     SELECT a.id AS id_a, b.id AS id_b, a.text AS text_a, b.text AS text_b,
            CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist,
@@ -3341,7 +3345,9 @@ def q_dq_check_suite(spark, sf_dir):
     doc="entity resolution via the three-stage funnel (operators/"
     "linkage.py): exact-duplicate canonicalization (O(rows) groupBy) -> "
     "last-token blocking (pairs only within a block, cost SUM(block^2) "
-    "never n^2, with an in-plan max_block skew cap available) -> JVM "
+    "never n^2, with the in-plan max_block=2000 skew cap ENGAGED — a "
+    "hot blocking key drops out instead of going quadratic, mirrored "
+    "in the oracle's HAVING) -> JVM "
     "levenshtein comparator with threshold + normalized similarity; "
     "generalizes the reference's trimmed case-insensitive sheet-name "
     "equality match (ExcelDataImportToSQL.ps1:31-36) to approximate "
@@ -3353,7 +3359,7 @@ def q_fuzzy_part_pairs(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     distinct = linkage.canonicalize_exact(part, "p_partkey", "p_name")
     return linkage.fuzzy_self_pairs(
-        distinct, linkage.last_token_block(), max_dist=2
+        distinct, linkage.last_token_block(), max_dist=2, max_block=2000
     ).select(
         "id_a",
         "id_b",
@@ -6398,3 +6404,26 @@ for _n in BREADTH_TIER:
 _missing = [n for n in WINDOW_ORDER if n not in _REGISTRY]
 assert not _missing, f"WINDOW_ORDER names not registered: {_missing}"
 assert len(WINDOW_ORDER) == 50, f"window must be exactly 50, got {len(WINDOW_ORDER)}"
+
+
+@register(
+    "semantic_dedup_report",
+    None,
+    doc="SemDeDup (Abbas et al., arXiv 2303.09540) over the embeddings "
+    "table: k-means cells (broadcast centroids, zero-shuffle assignment) "
+    "-> within-cell pair scoring only (sum-of-cell-squared, the cluster-"
+    "as-band idea) -> deterministic keep rule (centroid-similarity rank; "
+    "a row drops when a higher-ranked cell-mate sits within the cosine "
+    "threshold). The embedding-space complement of the MinHash/SimHash "
+    "text near-dup family: catches paraphrases that share no shingles. "
+    "Rows-only: k-means cells are not SQL-expressible; pytest injects "
+    "exact+near duplicate vectors and asserts full recall of injected "
+    "copies, >=1 survivor per clique, and no cross-cell false drops",
+)
+def q_semantic_dedup_report(spark, sf_dir):
+    return similarity.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.93,
+        n_cells=8,
+        max_cell=100_000,
+    )

@@ -551,3 +551,62 @@ def test_infer_dim_raises_on_empty_or_all_null(spark):
     )
     with pytest.raises(ValueError, match="cannot infer"):
         similarity.standardize_embeddings(nulls)
+
+
+def test_semantic_dedup_recalls_injected_copies(spark, sf_dir):
+    """SemDeDup: exact copies of corpus vectors (cosine 1.0) must all be
+    caught — one survivor per copy-pair — while the keep rule never
+    drops more than it marks."""
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(copies)
+    rep = similarity.semantic_dedup(corpus, threshold=0.999, n_cells=4)
+    rows = {r.id: r for r in rep.collect()}
+    assert len(rows) == corpus.count()
+    # each injected copy-pair: exactly one member dropped, dup_of points
+    # at the other member (both land in the same cell: identical vectors
+    # share a nearest centroid)
+    for vid in range(20):
+        pair = [rows[vid], rows[vid + 1_000_000]]
+        dropped = [r for r in pair if not r.keep]
+        kept = [r for r in pair if r.keep]
+        assert len(dropped) == 1 and len(kept) == 1, vid
+        assert dropped[0].max_dup_cosine >= 0.999
+        # the culprit is its twin unless a third identical vector exists
+        assert dropped[0].dup_of is not None
+    # untouched vectors far from any copy survive
+    n_dropped = sum(1 for r in rows.values() if not r.keep)
+    assert n_dropped <= 25  # the 20 copies + at most a few natural dups
+
+
+def test_semantic_dedup_keeps_highest_centroid_rank(spark):
+    """Deterministic keep rule: within a near-dup clique the highest
+    centroid-similarity member survives; chain cliques keep >=1."""
+    from etl_excel_csv_sql_spark.operators import similarity
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], "a"),
+        (2, [0.999, 0.001, 0.0, 0.0], "a"),
+        (3, [0.998, 0.002, 0.0, 0.0], "a"),
+        (10, [0.0, 1.0, 0.0, 0.0], "b"),
+        (11, [0.0, 0.0, 1.0, 0.0], "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    rep = {
+        r.id: r
+        for r in similarity.semantic_dedup(
+            df, threshold=0.999, n_cells=3, iters=2
+        ).collect()
+    }
+    clique = [rep[1], rep[2], rep[3]]
+    assert sum(1 for r in clique if r.keep) >= 1
+    assert any(not r.keep for r in clique)  # 1-2 and 2-3 are >=0.999
+    assert rep[10].keep and rep[11].keep  # orthogonal vectors untouched

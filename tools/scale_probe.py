@@ -26,7 +26,11 @@ one-time index builds; run2 is steady state). One JSON line per
 query: ratio of scaled run2 wall to base run2 wall, vs the multiplier
 (ratio ~ m is linear; ~ m^2 quadratic).
 
-Usage: python tools/scale_probe.py [multiplier=10]
+Usage: python tools/scale_probe.py [multiplier=10] [--queries a,b,c]
+  --queries restricts the probe set (names from PROBES or any registered
+  query) — used for the ×100 runs where only the corpus-size-light
+  families are probed (VERDICT r6 #6: probe-side ANN, heavy hitters,
+  exact dedup at ×100; minhash at ×30).
 """
 
 from __future__ import annotations
@@ -61,6 +65,8 @@ PROBES = (
     "heavy_hitters_phi",
     "assoc_rules_pairs",
     "ngram_containment_pairs",
+    # corpus-size-light family for the x100 runs
+    "exact_dup_groups",
 )
 ID_STRIDE = 10_000_000
 
@@ -165,7 +171,13 @@ def _ensure_scaled_lineitem(out_dir: str, mult: int) -> None:
 
 
 def main() -> int:
-    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = sys.argv[1:]
+    probes = PROBES
+    if "--queries" in args:
+        i = args.index("--queries")
+        probes = tuple(args[i + 1].split(","))
+        del args[i : i + 2]
+    mult = int(args[0]) if args else 10
     sys.path.insert(0, REPO)
     from etl_excel_csv_sql_spark.plans.registry import all_queries
     from etl_excel_csv_sql_spark.session import get_spark
@@ -180,7 +192,7 @@ def main() -> int:
     os.makedirs(os.path.dirname(hist), exist_ok=True)
     results = {}
     for sf_label, sf_dir in (("sf0.1", BASE_SF), (f"sf0.1x{mult}", scaled_dir)):
-        for name in PROBES:
+        for name in probes:
             runs = []
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -207,7 +219,7 @@ def main() -> int:
                 )
 
     summary = {}
-    for name in PROBES:
+    for name in probes:
         base = results[(name, "sf0.1")][1]
         big = results[(name, f"sf0.1x{mult}")][1]
         summary[name] = {
