@@ -113,3 +113,99 @@ def prefix_length_block(text_col: str = "text", prefix: int = 1) -> Column:
         F.substring(F.col(text_col), 1, prefix),
         (F.length(text_col) / F.lit(4)).cast("int").cast("string"),
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    block,
+    max_dist: int = 2,
+    max_block: int | None = None,
+    left_id: str = "id",
+    left_text: str = "text",
+    right_id: str = "rep_id",
+    right_text: str = "text",
+    best_only: bool = False,
+) -> DataFrame:
+    """Blocked approximate join BETWEEN two tables — the lookup-
+    enrichment half of entity resolution (dirty feed names matched to a
+    canonical dimension), complementing :func:`fuzzy_self_pairs`'
+    within-table dedup.
+
+    Same funnel economics: candidates only within a block (shuffle on
+    the block key, cost Σ|block_l|·|block_r| never |L|·|R|; when the
+    canonical side is dimension-sized Catalyst broadcasts it and the
+    probe side never shuffles), ``max_block`` drops degenerate RIGHT
+    blocks in-plan, JVM levenshtein comparator with threshold.
+
+    ``best_only`` keeps one row per left record — min (dist, right_id)
+    — via a grouped min-struct aggregate (bounded two-phase agg with a
+    map-side partial, NOT a row_number window: no per-key sort state,
+    no unbounded partition).
+
+    Output: (left_id, right_id, left_text, right_text, dist,
+    similarity), one row per candidate pair (or per left record with
+    ``best_only``).
+    """
+    lt = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(left_text).alias("__ltext"),
+        block_for(block, left_text).alias("blk"),
+    )
+    rt = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(right_text).alias("__rtext"),
+        block_for(block, right_text).alias("blk"),
+    )
+    if max_block is not None:
+        sizes = rt.groupBy("blk").agg(F.count(F.lit(1)).alias("__bn"))
+        rt = rt.join(sizes.where(F.col("__bn") <= max_block), "blk", "left_semi")
+    dist = F.levenshtein("__ltext", "__rtext")
+    pairs = (
+        lt.join(rt, "blk")
+        .where(dist <= F.lit(max_dist))
+        .select(
+            F.col("__lid").alias("left_id"),
+            F.col("__rid").alias("right_id"),
+            F.col("__ltext").alias("left_text"),
+            F.col("__rtext").alias("right_text"),
+            dist.alias("dist"),
+            F.round(
+                1.0
+                - dist.cast("double")
+                / F.greatest(F.length("__ltext"), F.length("__rtext")),
+                6,
+            ).alias("similarity"),
+        )
+    )
+    if not best_only:
+        return pairs
+    best = pairs.groupBy("left_id").agg(
+        F.min(
+            F.struct(
+                F.col("dist").alias("dist"),
+                F.col("right_id").alias("right_id"),
+                F.col("left_text").alias("left_text"),
+                F.col("right_text").alias("right_text"),
+                F.col("similarity").alias("similarity"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "left_id",
+        F.col("m.right_id").alias("right_id"),
+        F.col("m.left_text").alias("left_text"),
+        F.col("m.right_text").alias("right_text"),
+        F.col("m.dist").alias("dist"),
+        F.col("m.similarity").alias("similarity"),
+    )
+
+
+def block_for(block, text_col: str) -> Column:
+    """Re-anchor a block builder onto ``text_col``. A Column closes over
+    one column NAME, but between two tables the text columns can differ
+    — so ``fuzzy_join`` takes the BUILDER (a callable text_col→Column,
+    e.g. :func:`last_token_block`) and re-derives it per side."""
+    if callable(block):
+        return block(text_col)
+    return block

@@ -328,3 +328,142 @@ def benford_report(df: DataFrame, value_col: str) -> DataFrame:
             F.round(F.abs(pct - benford), 6).alias("abs_dev"),
         )
     )
+
+
+def cuped_ab_report(
+    events: DataFrame,
+    split_ts: str,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    salt: str = "ab-v1",
+    treat_fraction: float = 0.5,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    Walker, WSDM'13): the post-period metric Y is adjusted by the
+    pre-period covariate X of the SAME user —
+    ``Y' = Y − θ·(X − mean(X))`` with ``θ = cov(X, Y)/var(X)`` — which
+    removes the between-user variance X predicts and shrinks the
+    experiment's error bars at zero cost in bias (X predates assignment,
+    so E[X|variant] is equal across arms).
+
+    Everything is three bounded passes, no window, no per-user state:
+
+    1. per-user aggregate — X = Σvalue before ``split_ts``, Y = Σvalue
+       after, decimal-exact per the money convention; variant by the
+       md5-bucket assignment (identical to :func:`ab_test_report`);
+    2. one 1-row global aggregate → (θ, mean X) broadcast back;
+    3. per-variant aggregate of Y and Y' → means and population
+       variances, plus a 'delta' row with the raw and CUPED treatment
+       effects and the pooled variance-reduction ratio.
+
+    Output: (variant, n_users, mean_y, mean_y_cuped, var_y, var_y_cuped,
+    var_reduction) for 'control'/'treatment'/'delta' (6dp; on the delta
+    row the means carry the effect sizes and n_users the total).
+    """
+    from etl_excel_csv_sql_spark.operators.sampling import (
+        _hash_bucket,
+        split_threshold,
+    )
+
+    thr = split_threshold(treat_fraction)
+    pre = F.when(
+        F.col(ts_col) < F.lit(split_ts).cast("timestamp"),
+        F.col(value_col).cast("decimal(18,4)"),
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    post = F.when(
+        F.col(ts_col) >= F.lit(split_ts).cast("timestamp"),
+        F.col(value_col).cast("decimal(18,4)"),
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    per_user = (
+        events.select(F.col(user_col).alias("u"), pre.alias("pre"), post.alias("post"))
+        .groupBy("u")
+        .agg(
+            F.sum("pre").cast("double").alias("x"),
+            F.sum("post").cast("double").alias("y"),
+        )
+        .select(
+            F.when(
+                _hash_bucket(F.col("u"), salt) < F.lit(thr), F.lit("treatment")
+            )
+            .otherwise(F.lit("control"))
+            .alias("variant"),
+            "x",
+            "y",
+        )
+    )
+    glob = per_user.agg(
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+    ).select(
+        "mx",
+        F.try_divide(
+            F.col("mxy") - F.col("mx") * F.col("my"),
+            F.col("mxx") - F.col("mx") * F.col("mx"),
+        ).alias("theta"),
+    )
+    adj = per_user.crossJoin(F.broadcast(glob)).select(
+        "variant",
+        "y",
+        (
+            F.col("y")
+            - F.coalesce(F.col("theta"), F.lit(0.0))
+            * (F.col("x") - F.col("mx"))
+        ).alias("y_adj"),
+    )
+    per_variant = adj.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.avg("y").alias("my"),
+        F.avg("y_adj").alias("mya"),
+        (F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y")).alias("vy"),
+        (
+            F.avg(F.col("y_adj") * F.col("y_adj"))
+            - F.avg("y_adj") * F.avg("y_adj")
+        ).alias("vya"),
+    )
+    variants = per_variant.select(
+        "variant",
+        "n_users",
+        F.round("my", 6).alias("mean_y"),
+        F.round("mya", 6).alias("mean_y_cuped"),
+        F.round("vy", 6).alias("var_y"),
+        F.round("vya", 6).alias("var_y_cuped"),
+        F.round(F.try_divide(F.lit(1.0) * F.col("vya"), F.col("vy")), 6).alias(
+            "var_ratio"
+        ),
+    ).withColumn(
+        "var_reduction", F.round(1.0 - F.col("var_ratio"), 6)
+    ).drop("var_ratio")
+    wide = per_variant.groupBy().pivot(
+        "variant", ["control", "treatment"]
+    ).agg(
+        F.first("n_users").alias("n"),
+        F.first("my").alias("my"),
+        F.first("mya").alias("mya"),
+        F.first("vy").alias("vy"),
+        F.first("vya").alias("vya"),
+    )
+    pooled_vy = (
+        F.col("control_vy") * F.col("control_n")
+        + F.col("treatment_vy") * F.col("treatment_n")
+    ) / (F.col("control_n") + F.col("treatment_n"))
+    pooled_vya = (
+        F.col("control_vya") * F.col("control_n")
+        + F.col("treatment_vya") * F.col("treatment_n")
+    ) / (F.col("control_n") + F.col("treatment_n"))
+    delta = wide.select(
+        F.lit("delta").alias("variant"),
+        (F.col("control_n") + F.col("treatment_n")).alias("n_users"),
+        F.round(F.col("treatment_my") - F.col("control_my"), 6).alias("mean_y"),
+        F.round(F.col("treatment_mya") - F.col("control_mya"), 6).alias(
+            "mean_y_cuped"
+        ),
+        F.round(pooled_vy, 6).alias("var_y"),
+        F.round(pooled_vya, 6).alias("var_y_cuped"),
+        F.round(1.0 - F.try_divide(pooled_vya, pooled_vy), 6).alias(
+            "var_reduction"
+        ),
+    )
+    return variants.unionByName(delta)

@@ -6427,3 +6427,139 @@ def q_semantic_dedup_report(spark, sf_dir):
         n_cells=8,
         max_cell=100_000,
     )
+
+
+@register(
+    "fuzzy_join_enrichment",
+    """
+    WITH d AS (
+      SELECT p_partkey + 500000 AS left_id,
+             substr(p_name, 1, 1) || substr(p_name, 3) AS left_text
+      FROM part WHERE p_partkey % 7 = 0
+    ), c AS (
+      SELECT p_name AS right_text, min(p_partkey) AS right_id
+      FROM part GROUP BY p_name
+    ), cb AS (
+      SELECT *, string_split(right_text, ' ')[-1] AS blk FROM c
+    ), keepblk AS (
+      SELECT blk FROM cb GROUP BY blk HAVING count(*) <= 2000
+    ), pairs AS (
+      SELECT d.left_id, cb.right_id, d.left_text, cb.right_text,
+             levenshtein(d.left_text, cb.right_text) AS dist
+      FROM d JOIN cb ON string_split(d.left_text, ' ')[-1] = cb.blk
+      WHERE cb.blk IN (SELECT blk FROM keepblk)
+        AND levenshtein(d.left_text, cb.right_text) <= 2
+    )
+    SELECT left_id, right_id, left_text, right_text,
+           CAST(dist AS INTEGER) AS dist,
+           round(1.0 - dist / CAST(greatest(length(left_text),
+                 length(right_text)) AS DOUBLE), 6) AS similarity
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY left_id
+                               ORDER BY dist, right_id) = 1
+    """,
+    doc="cross-table fuzzy linkage (linkage.fuzzy_join): dirty feed "
+    "records (part names with a deleted character, the classic typo "
+    "feed) matched to the canonical dimension via last-token blocking + "
+    "JVM levenshtein, best match per record chosen by a grouped "
+    "min-struct aggregate (two-phase agg with map-side partial — NOT a "
+    "row_number window, so no per-key sort state at 100 TB). The "
+    "lookup-enrichment half of entity resolution next to "
+    "fuzzy_part_pairs' within-table dedup; max_block=2000 skew cap on "
+    "the canonical side, mirrored in the oracle",
+)
+def q_fuzzy_join_enrichment(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import linkage
+
+    part = _t(spark, sf_dir, "part")
+    dirty = part.filter(F.col("p_partkey") % 7 == 0).select(
+        (F.col("p_partkey") + 500_000).alias("id"),
+        F.expr("substring(p_name, 1, 1) || substring(p_name, 3)").alias(
+            "text"
+        ),
+    )
+    canon = linkage.canonicalize_exact(part, "p_partkey", "p_name")
+    return linkage.fuzzy_join(
+        dirty,
+        canon,
+        block=linkage.last_token_block,
+        max_dist=2,
+        max_block=2000,
+        best_only=True,
+    )
+
+
+@register(
+    "cuped_ab_report",
+    """
+    WITH per_user AS (
+      SELECT user_id AS u,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                           THEN CAST(value AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                           THEN CAST(value AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS y
+      FROM events GROUP BY 1
+    ), assigned AS (
+      SELECT CASE WHEN substr(md5('ab-v1' || CAST(u AS VARCHAR)), 1, 4)
+                       < '8000'
+                  THEN 'treatment' ELSE 'control' END AS variant, x, y
+      FROM per_user
+    ), g AS (
+      SELECT avg(x) AS mx,
+             (avg(x * y) - avg(x) * avg(y))
+               / nullif(avg(x * x) - avg(x) * avg(x), 0) AS theta
+      FROM assigned
+    ), adj AS (
+      SELECT variant, y, y - coalesce(theta, 0) * (x - mx) AS y_adj
+      FROM assigned, g
+    ), pv AS (
+      SELECT variant, count(*) AS n_users, avg(y) AS my, avg(y_adj) AS mya,
+             avg(y * y) - avg(y) * avg(y) AS vy,
+             avg(y_adj * y_adj) - avg(y_adj) * avg(y_adj) AS vya
+      FROM adj GROUP BY 1
+    ), wide AS (
+      SELECT
+        sum(CASE WHEN variant = 'control' THEN n_users END) AS nc,
+        sum(CASE WHEN variant = 'control' THEN my END) AS myc,
+        sum(CASE WHEN variant = 'control' THEN mya END) AS myac,
+        sum(CASE WHEN variant = 'control' THEN vy END) AS vyc,
+        sum(CASE WHEN variant = 'control' THEN vya END) AS vyac,
+        sum(CASE WHEN variant = 'treatment' THEN n_users END) AS nt,
+        sum(CASE WHEN variant = 'treatment' THEN my END) AS myt,
+        sum(CASE WHEN variant = 'treatment' THEN mya END) AS myat,
+        sum(CASE WHEN variant = 'treatment' THEN vy END) AS vyt,
+        sum(CASE WHEN variant = 'treatment' THEN vya END) AS vyat
+      FROM pv
+    )
+    SELECT variant, CAST(n_users AS BIGINT) AS n_users,
+           round(my, 6) AS mean_y, round(mya, 6) AS mean_y_cuped,
+           round(vy, 6) AS var_y, round(vya, 6) AS var_y_cuped,
+           round(1 - vya / nullif(vy, 0), 6) AS var_reduction
+    FROM pv
+    UNION ALL
+    SELECT 'delta', CAST(nc + nt AS BIGINT),
+           round(myt - myc, 6), round(myat - myac, 6),
+           round((vyc * nc + vyt * nt) / (nc + nt), 6),
+           round((vyac * nc + vyat * nt) / (nc + nt), 6),
+           round(1 - ((vyac * nc + vyat * nt) / (nc + nt))
+                   / nullif((vyc * nc + vyt * nt) / (nc + nt), 0), 6)
+    FROM wide
+    """,
+    doc="CUPED variance-reduced experiment readout (Deng/Xu/Kohavi/"
+    "Walker WSDM'13): per-user pre-period covariate X (events before "
+    "the experiment midpoint) adjusts the post-period metric Y via "
+    "Y' = Y - theta*(X - mean X), theta = cov/var from ONE 1-row global "
+    "aggregate broadcast back — the error-bar shrink every mature "
+    "experimentation platform applies, as three bounded passes with no "
+    "window and no per-user state; md5-bucket assignment shared with "
+    "ab_test_report, decimal-exact per-user sums per the money "
+    "convention",
+)
+def q_cuped_ab_report(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import stats
+
+    return stats.cuped_ab_report(
+        _t(spark, sf_dir, "events"), split_ts="2024-01-16 00:00:00"
+    )

@@ -204,3 +204,52 @@ def test_wswr_excludes_nonpositive_weights(spark):
     )
     got = sampling.weighted_sample_without_replacement(df, "id", "w", k=10)
     assert [r["id"] for r in got.collect()] == [4]
+
+
+def test_fuzzy_join_best_match_and_block_reanchoring(spark):
+    """Cross-table linkage: typo'd feed names resolve to their canonical
+    record; best_only picks min (dist, right_id) deterministically; the
+    block builder re-anchors per side (different text column names)."""
+    from etl_excel_csv_sql_spark.operators import linkage
+
+    canon = spark.createDataFrame(
+        [(1, "blue widget"), (2, "red widget"), (3, "green gadget")],
+        "rep_id long, text string",
+    )
+    dirty = spark.createDataFrame(
+        [(100, "blu widget"), (101, "redd widget"), (102, "green gizmo")],
+        "id long, feed_name string",
+    )
+    out = {
+        r.left_id: r
+        for r in linkage.fuzzy_join(
+            dirty,
+            canon,
+            block=linkage.last_token_block,
+            max_dist=2,
+            left_text="feed_name",
+            best_only=True,
+        ).collect()
+    }
+    assert out[100].right_id == 1 and out[100].dist == 1
+    assert out[101].right_id == 2 and out[101].dist == 1
+    assert 102 not in out  # different last token: never a candidate
+
+
+def test_fuzzy_join_max_block_drops_hot_canonical_block(spark):
+    from etl_excel_csv_sql_spark.operators import linkage
+
+    canon = spark.createDataFrame(
+        [(i, f"name{i} hot") for i in range(10)] + [(99, "cold alpha")],
+        "rep_id long, text string",
+    )
+    dirty = spark.createDataFrame(
+        [(1000, "name1 hot"), (1001, "colt alpha")], "id long, text string"
+    )
+    out = linkage.fuzzy_join(
+        dirty, canon, block=linkage.last_token_block, max_dist=2,
+        max_block=5, best_only=True,
+    ).collect()
+    ids = {r.left_id for r in out}
+    assert 1000 not in ids  # hot block dropped by the cap
+    assert 1001 in ids  # small block unaffected

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from etl_excel_csv_sql_spark.operators import stats
 
 
@@ -182,3 +184,60 @@ def test_benford_report_on_benford_sample(spark):
         ).collect()
     }
     assert got_u[1].abs_dev > 0.05  # uniform ≠ Benford
+
+
+def test_cuped_reduces_variance_when_covariate_predicts(spark):
+    """CUPED property test: when the pre-period covariate strongly
+    predicts the post-period metric, the adjusted variance collapses;
+    the unadjusted and adjusted treatment effects stay close (CUPED is
+    unbiased)."""
+    import random
+
+    from etl_excel_csv_sql_spark.operators import stats
+
+    rng = random.Random(7)
+    rows = []
+    for u in range(400):
+        base = rng.uniform(10, 100)  # the user's persistent level
+        for d in range(1, 11):  # pre-period: Jan 1-10
+            rows.append((u, f"2024-01-{d:02d} 12:00:00", base + rng.uniform(-1, 1)))
+        for d in range(21, 31):  # post-period: Jan 21-30
+            rows.append((u, f"2024-01-{d:02d} 12:00:00", base + rng.uniform(-1, 1)))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, value double"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    rep = {
+        r.variant: r
+        for r in stats.cuped_ab_report(df, split_ts="2024-01-16 00:00:00").collect()
+    }
+    assert set(rep) == {"control", "treatment", "delta"}
+    # persistent user level dominates -> X ~ Y -> massive shrink
+    assert rep["delta"].var_reduction > 0.9
+    for v in ("control", "treatment"):
+        assert rep[v].var_y_cuped < rep[v].var_y * 0.2
+    # unbiasedness: effects agree well inside the raw noise scale
+    assert abs(rep["delta"].mean_y - rep["delta"].mean_y_cuped) < (
+        rep["delta"].var_y ** 0.5
+    )
+
+
+def test_cuped_handles_degenerate_zero_variance_covariate(spark):
+    """Constant pre-period covariate -> var(X)=0 -> theta null-guarded
+    to 0: CUPED must degrade to the raw readout, not divide by zero."""
+    from etl_excel_csv_sql_spark.operators import stats
+
+    rows = [
+        (u, "2024-01-05 00:00:00", 5.0) for u in range(50)
+    ] + [
+        (u, "2024-01-25 00:00:00", float(u % 7)) for u in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, value double"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    rep = {
+        r.variant: r
+        for r in stats.cuped_ab_report(df, split_ts="2024-01-16 00:00:00").collect()
+    }
+    for v in ("control", "treatment"):
+        assert rep[v].mean_y == rep[v].mean_y_cuped
+        assert rep[v].var_y == rep[v].var_y_cuped
