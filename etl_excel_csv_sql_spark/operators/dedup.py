@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from etl_excel_csv_sql_spark.functions.text import (
     normalize_text,
     positional_word_ngrams,
+    tokens,
     word_shingles,
 )
 from etl_excel_csv_sql_spark.functions.vectors import (
@@ -1093,4 +1094,87 @@ def embedding_dup_pairs(
             sim.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-SET Jaccard self-join via prefix filtering (AllPairs,
+    Bayardo/Ma/Srikant WWW'07) — the third pillar of the near-dup family
+    next to the inverted shingle index (ngram_jaccard_pairs, exact but
+    postings-bounded) and MinHash LSH (probabilistic):
+
+    Under one GLOBAL token order (document frequency asc, token asc —
+    rare tokens first), two sets with Jaccard >= t MUST share a token in
+    each other's first  |s| - ceil(t*|s|) + 1  tokens, so only that prefix
+    enters the candidate index. With rare tokens first, prefix postings
+    are short by construction — the selectivity comes from the order,
+    not a max_df heuristic.
+
+    No global rank materializes anywhere: the order key is the
+    (df, token) struct itself, sorted PER DOCUMENT with array_sort — the
+    vocabulary is never single-partition sorted (at web scale a dense
+    global rank would be its own bottleneck).
+
+    Plan: tokenize -> token df counts (one agg) -> join freq back ->
+    per-doc sorted token array + prefix slice -> explode prefix ->
+    self-join on token (id_a < id_b, distinct) -> verify exact Jaccard
+    on the full sorted arrays (array_intersect/array_union, JVM).
+    Output: (id_a, id_b, jaccard) rounded to 6dp, jaccard >= threshold.
+    """
+    toks = (
+        spread_for_compute(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(tokens(F.lower(F.col(text_col))))
+            ).alias("tok"),
+        )
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    keyed = toks.join(freq, "tok").select(
+        "id", F.struct(F.col("df"), F.col("tok")).alias("k")
+    )
+    docs = keyed.groupBy("id").agg(
+        F.array_sort(F.collect_list("k")).alias("ordered")
+    )
+    n = F.size("ordered")
+    prefix_len = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
+    with_prefix = docs.select(
+        "id",
+        F.transform(F.col("ordered"), lambda s: s["tok"]).alias("toks"),
+        F.slice(F.col("ordered"), F.lit(1), prefix_len).alias("prefix"),
+    ).localCheckpoint(eager=True)
+    cand = (
+        with_prefix.select(
+            F.col("id").alias("id_a"),
+            F.explode(F.col("prefix")).alias("p"),
+        )
+        .join(
+            with_prefix.select(
+                F.col("id").alias("id_b"),
+                F.explode(F.col("prefix")).alias("p"),
+            ),
+            "p",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = with_prefix.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
+    b = with_prefix.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
     )

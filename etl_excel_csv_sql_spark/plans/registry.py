@@ -6563,3 +6563,129 @@ def q_cuped_ab_report(spark, sf_dir):
     return stats.cuped_ab_report(
         _t(spark, sf_dir, "events"), split_ts="2024-01-16 00:00:00"
     )
+
+
+@register(
+    "set_similarity_join_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_sort(list_distinct(
+               string_split_regex(lower(trim(text)), '\s+'))) AS s
+      FROM documents
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(len(list_intersect(a.s, b.s))
+                 / CAST(len(a.s) + len(b.s)
+                        - len(list_intersect(a.s, b.s)) AS DOUBLE),
+                 6) AS jaccard
+    FROM toks a JOIN toks b ON a.id < b.id
+    WHERE len(list_intersect(a.s, b.s))
+          >= 0.95 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+    """,
+    doc="exact token-set Jaccard self-join via PREFIX FILTERING "
+    "(AllPairs, Bayardo/Ma/Srikant WWW'07): under a global (df asc, "
+    "token) order, sets with Jaccard >= t must share a token within "
+    "each other's |s|-ceil(t|s|)+1 prefix, so only rare-first prefixes "
+    "enter the candidate index — selectivity from the ORDER, not a "
+    "max_df heuristic, and no global token rank ever materializes (the "
+    "(df, token) struct IS the sort key, sorted per document). Third "
+    "pillar of the near-dup family next to the shingle inverted index "
+    "and MinHash LSH; oracle is the brute-force all-pairs Jaccard",
+)
+def q_set_similarity_join(spark, sf_dir):
+    return dedup.set_similarity_join(
+        _t(spark, sf_dir, "documents"), threshold=0.95
+    )
+
+
+@register(
+    "late_supplier_blame_report",
+    """
+    WITH l AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s JOIN (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM l l1
+      WHERE l1.late = 1
+        AND EXISTS (
+          SELECT 1 FROM l l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM l l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
+    ) w ON w.l_suppkey = s.s_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY numwait DESC, s.s_suppkey
+    LIMIT 25
+    """,
+    doc="TPC-H Q21 shape (suppliers who alone kept multi-supplier "
+    "orders waiting; late := shipped >60 days after order date since "
+    "the fixture lineitem has no receipt/commit dates). The Spark side "
+    "DECORRELATES the EXISTS / NOT EXISTS pair into one per-order "
+    "aggregate — n distinct suppliers, n distinct LATE suppliers — and "
+    "the blame condition becomes (late AND n_supp > 1 AND n_late = 1): "
+    "one shuffle on orderkey instead of two correlated subquery "
+    "re-scans; the oracle runs the literal correlated form, so the "
+    "driver value-proves the decorrelation. Broadcast supplier dim, "
+    "TakeOrderedAndProject top-25",
+)
+def q_late_supplier_blame(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    l = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("late"),
+        )
+    )
+    per_order_supp = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    per_order = per_order_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late"),
+    )
+    blamed = (
+        per_order_supp.join(per_order, "l_orderkey")
+        .where(
+            (F.col("late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    counts = blamed.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+    return (
+        counts.join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            counts["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(25)
+    )
