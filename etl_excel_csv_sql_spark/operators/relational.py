@@ -840,3 +840,32 @@ def golden_records(
         "n_records",
         *[F.col(f"w.{c}").alias(c) for c in payload],
     )
+
+
+def apply_cdc(
+    base: DataFrame,
+    diff: DataFrame,
+    keys: Sequence[str],
+    compare: Sequence[str],
+) -> DataFrame:
+    """Apply a :func:`snapshot_diff` change feed to the OLD snapshot and
+    produce the NEW one — the consumer half of the CDC pair (the
+    merge-with-deletes every incremental table maintenance needs;
+    ParquetMergeSink.upsert handles I/U but cannot delete).
+
+    One anti-join + one union, both change-cardinality on the small
+    side: rows whose key appears in the feed AT ALL (U and D, and
+    degenerately I) leave the base via LEFT ANTI — the feed's key set
+    broadcasts when change-cardinality is small, so the base never
+    shuffles — and the feed's I/U rows re-enter with their new values.
+
+    Invariant (property-tested and oracle-proven):
+    ``apply_cdc(old, snapshot_diff(old, new)) == new`` for any pair of
+    snapshots.
+    """
+    feed_keys = diff.select(*keys).distinct()
+    kept = base.join(F.broadcast(feed_keys), list(keys), "left_anti")
+    incoming = diff.where(F.col("op").isin("I", "U")).select(
+        *keys, *[F.col(f"new_{c}").alias(c) for c in compare]
+    )
+    return kept.select(*keys, *compare).unionByName(incoming)

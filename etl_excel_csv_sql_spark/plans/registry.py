@@ -6689,3 +6689,83 @@ def q_late_supplier_blame(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), "s_suppkey")
         .limit(25)
     )
+
+
+@register(
+    "cdc_apply_roundtrip",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 97 <> 5
+    """,
+    doc="CDC consumer half (relational.apply_cdc): the snapshot_diff "
+    "change feed applied back onto the OLD snapshot must reproduce the "
+    "NEW snapshot exactly — merge WITH deletes (ParquetMergeSink.upsert "
+    "covers I/U only; D needs the anti-join leg). Plan: the feed's key "
+    "set BROADCASTS into a left-anti join so the base table never "
+    "shuffles, then the feed's I/U rows union in. The oracle is simply "
+    "the new-snapshot derivation — the driver value-proves the "
+    "diff-then-apply round trip end to end",
+)
+def q_cdc_apply_roundtrip(spark, sf_dir):
+    old_s, new_s = _cdc_snapshots(spark, sf_dir)
+    diff = relational.snapshot_diff(
+        old_s, new_s, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return relational.apply_cdc(
+        old_s, diff, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+@register(
+    "global_outlier_customers",
+    """
+    WITH avg_pos AS (
+      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT substr(c_name, 1, 9) AS name_prefix, c_custkey,
+           round(c_acctbal, 2) AS acctbal
+    FROM customer, avg_pos
+    WHERE c_acctbal > 1.3 * a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    ORDER BY acctbal DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q22 shape (promising DORMANT customers - above-average "
+    "balance, no order since 2000): a scalar subquery (global "
+    "positive-balance average) feeding a filter, plus "
+    "NOT EXISTS decorrelated to a LEFT ANTI join against orders. The "
+    "scalar enters the Spark plan as a broadcast 1-row cross join (no "
+    "collect, no second action); the anti join shuffles on custkey "
+    "only. Oracle runs the literal correlated NOT EXISTS",
+)
+def q_global_outlier_customers(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_pos = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .where(F.col("c_acctbal") > 1.3 * F.col("a"))
+        .join(
+            orders.where(
+                F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+            ).select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .select(
+            F.substring("c_name", 1, 9).alias("name_prefix"),
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy(F.col("acctbal").desc(), "c_custkey")
+        .limit(20)
+    )

@@ -149,3 +149,26 @@ def test_seasonal_anomalies_flags_planted_outlier(spark):
     assert [r["event_id"] for r in got] == [99]
     assert got[0]["hour_of_day"] == 3
     assert got[0]["zscore"] > 3.0
+
+
+def test_apply_cdc_roundtrip_reproduces_new_snapshot(spark):
+    """apply_cdc(old, snapshot_diff(old, new)) == new, including deletes
+    (the leg ParquetMergeSink.upsert cannot express)."""
+    from etl_excel_csv_sql_spark.operators import relational
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged
+         (2, "B", 20.0),        # update (string)
+         (4, "d", 41.0),        # update (value)
+         (5, "e", 50.0)],       # insert; 3 deleted
+        "k long, s string, v double",
+    )
+    diff = relational.snapshot_diff(old, new, ["k"], ["s", "v"])
+    ops = {r.k: r.op for r in diff.collect()}
+    assert ops == {2: "U", 3: "D", 4: "U", 5: "I"}
+    got = relational.apply_cdc(old, diff, ["k"], ["s", "v"])
+    assert sorted(got.collect()) == sorted(new.collect())
