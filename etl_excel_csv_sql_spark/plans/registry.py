@@ -6362,7 +6362,9 @@ BREADTH_TIER: frozenset[str] = frozenset(
         "group_by_multi",
         "grouping_sets_exists",
         "having_filter",
+        "global_outlier_customers",
         "large_volume_customers",
+        "late_supplier_blame_report",
         "map_functions_breadth",
         "multiset_ops",
         "nation_volume_shipping",
@@ -6396,10 +6398,6 @@ BREADTH_TIER: frozenset[str] = frozenset(
         "window_topk_per_group",
     }
 )
-_unknown_breadth = [n for n in BREADTH_TIER if n not in _REGISTRY]
-assert not _unknown_breadth, f"BREADTH_TIER names not registered: {_unknown_breadth}"
-for _n in BREADTH_TIER:
-    _REGISTRY[_n].tier = "breadth"
 
 _missing = [n for n in WINDOW_ORDER if n not in _REGISTRY]
 assert not _missing, f"WINDOW_ORDER names not registered: {_missing}"
@@ -6769,3 +6767,10 @@ def q_global_outlier_customers(spark, sf_dir):
         .orderBy(F.col("acctbal").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# applied at module end so late-registered queries can be tagged too
+_unknown_breadth = [n for n in BREADTH_TIER if n not in _REGISTRY]
+assert not _unknown_breadth, f"BREADTH_TIER names not registered: {_unknown_breadth}"
+for _n in BREADTH_TIER:
+    _REGISTRY[_n].tier = "breadth"
