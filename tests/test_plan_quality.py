@@ -261,3 +261,51 @@ def test_aqe_rewrites_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cdc_apply_broadcasts_feed_keys(spark, sf_dir):
+    """apply_cdc's anti-join must broadcast the change feed's key set so
+    the base snapshot never shuffles (change-cardinality << table)."""
+    from etl_excel_csv_sql_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["cdc_apply_roundtrip"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "LeftAnti" in plan
+
+
+def test_fuzzy_join_best_match_is_window_free(spark, sf_dir):
+    """Best-match-per-record must come from the grouped min-struct
+    aggregate, never a row_number window (no per-key sort state)."""
+    from etl_excel_csv_sql_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["fuzzy_join_enrichment"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_set_similarity_join_no_cartesian_no_window(spark, sf_dir):
+    """Prefix-filter candidates must come from an equi-join on the
+    prefix token — never an all-pairs nested loop."""
+    from etl_excel_csv_sql_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["set_similarity_join_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_cuped_global_stats_broadcast_no_second_action(spark, sf_dir):
+    """CUPED's theta/mean must rejoin as a broadcast single row inside
+    ONE plan — no collect-based second action."""
+    from etl_excel_csv_sql_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["cuped_ab_report"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+
+
+def test_q22_scalar_subquery_broadcasts(spark, sf_dir):
+    from etl_excel_csv_sql_spark.plans.registry import all_queries
+
+    plan = _plan(all_queries()["global_outlier_customers"](spark, sf_dir))
+    assert "BroadcastExchange" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan

@@ -303,3 +303,37 @@ def test_pagerank_mass_bounded_and_dup_invariant(spark, pairs):
     assert all(v >= round(0.15 / n, 6) - 1e-9 for v in r1.values())
     # each rank is rounded to 6dp, so the sum can exceed 1 by n*5e-7
     assert sum(r1.values()) <= 1.0 + n * 5e-7 + 1e-9
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    old_rows=st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.one_of(st.none(), st.text(max_size=4)),
+            st.one_of(st.none(), st.integers(-5, 5)),
+        ),
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    new_rows=st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.one_of(st.none(), st.text(max_size=4)),
+            st.one_of(st.none(), st.integers(-5, 5)),
+        ),
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_property_cdc_diff_apply_roundtrip(spark, old_rows, new_rows):
+    """For ANY pair of keyed snapshots (nulls included):
+    apply_cdc(old, snapshot_diff(old, new)) == new."""
+    from etl_excel_csv_sql_spark.operators import relational
+
+    schema = "k long, s string, v long"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    diff = relational.snapshot_diff(old, new, ["k"], ["s", "v"])
+    got = relational.apply_cdc(old, diff, ["k"], ["s", "v"])
+    assert sorted(map(tuple, got.collect())) == sorted(new_rows)
