@@ -361,6 +361,86 @@ class IvfIndex:
         with open(self._manifest, "w") as f:
             json.dump(manifest, f)
 
+    def upsert(
+        self,
+        incoming: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> dict:
+        """Incremental index maintenance: add or replace vectors WITHOUT
+        a full rebuild — the production path for a continuously-ingesting
+        corpus (a nightly full k-means + partitioned rewrite over 100 TB
+        of vectors is exactly what an index exists to avoid).
+
+        Semantics: rows whose id matches an incoming id are replaced
+        (their vector may have changed cell — the old copy is removed
+        from wherever it lived); new ids are inserted into the cell the
+        EXISTING centroids assign (centroids are not refit — standard
+        IVF practice; refit by calling build() when drift warrants,
+        which the manifest fingerprint will detect anyway).
+
+        Only AFFECTED partitions rewrite (dynamic partition overwrite):
+        the narrow (id, cell_id) scan finds the old cells of replaced
+        ids, incoming vectors assign to their new cells, and the union
+        of those cell ids is the entire write set — untouched cells'
+        files are not rewritten (asserted by tests via file mtimes).
+
+        Returns {"cells_rewritten": n, "rows_written": m}. The manifest
+        fingerprint is recomputed from the stored index content so a
+        later build(skip_if_exists=True) over the true new corpus
+        still matches (table_fingerprint is order/partition-commutative).
+        """
+        import json
+
+        from .relational import table_fingerprint
+
+        spark = incoming.sparkSession
+        cents = spark.read.parquet(self._centroids)
+        new_assign = ivf_assign(incoming, cents, id_col, vec_col)
+        inc_ids = incoming.select(F.col(id_col)).distinct()
+        stored = spark.read.parquet(self._vectors)
+        old_cells = (
+            stored.join(F.broadcast(inc_ids), id_col, "left_semi")
+            .select("cell_id")
+            .distinct()
+        )
+        new_cells = new_assign.select("cell_id").distinct()
+        affected = [
+            r.cell_id
+            for r in old_cells.unionByName(new_cells).distinct().collect()
+        ]
+        survivors = stored.filter(F.col("cell_id").isin(affected)).join(
+            F.broadcast(inc_ids), id_col, "left_anti"
+        )
+        replacement = survivors.select(
+            id_col, vec_col, "cell_id"
+        ).unionByName(new_assign.select(id_col, vec_col, "cell_id"))
+        replacement = replacement.localCheckpoint(eager=True)
+        n_rows = replacement.count()
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            replacement.write.mode("overwrite").partitionBy("cell_id").parquet(
+                self._vectors
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # refresh the manifest fingerprint from the stored content so
+        # fingerprinted reuse keeps working after incremental changes
+        row = table_fingerprint(
+            spark.read.parquet(self._vectors).select(id_col, vec_col)
+        ).collect()[0]
+        try:
+            with open(self._manifest) as f:
+                manifest = json.load(f)
+        except (OSError, ValueError):
+            manifest = {}
+        manifest["n_rows"] = int(row["n_rows"])
+        manifest["fingerprint"] = str(row["fingerprint"])
+        with open(self._manifest, "w") as f:
+            json.dump(manifest, f)
+        return {"cells_rewritten": len(affected), "rows_written": n_rows}
+
     def query(
         self,
         queries: DataFrame,

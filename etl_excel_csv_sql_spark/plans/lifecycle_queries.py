@@ -1958,3 +1958,42 @@ def q_events_streaming_soak(spark, sf_dir):
     )
     q.awaitTermination()
     return progress_report(spark, q)
+
+
+@register(
+    "ann_ivf_upsert_topk",
+    None,
+    doc="incremental IVF index maintenance (similarity.IvfIndex.upsert): "
+    "build on 80% of the embeddings, then UPSERT the held-out 20% plus "
+    "10 replaced vectors — old copies removed from whatever cell they "
+    "lived in, new vectors assigned by the EXISTING centroids (no "
+    "refit), and ONLY affected partitions rewritten via dynamic "
+    "partition overwrite (the production path for a continuously-"
+    "ingesting corpus; a full rebuild over 100 TB is what an index "
+    "exists to avoid). Returns the post-upsert top-k for probes drawn "
+    "from the upserted vectors — every probe must find its exact copy "
+    "as rank 1. Rows-only: k-means cells are not SQL-expressible; "
+    "pytest (test_ivf_index_upsert_incremental) additionally asserts "
+    "replaced-id uniqueness, row accounting, and untouched-partition "
+    "file mtimes",
+)
+def q_ann_ivf_upsert(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators.similarity import IvfIndex
+
+    scratch = _scratch(
+        "ivf_upsert_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    idx = IvfIndex(os.path.join(scratch, "idx"))
+    idx.build(base, n_cells=8, kmeans_iters=2)
+    held_out = emb.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id", "embedding"
+    )
+    idx.upsert(held_out)
+    probes = held_out.limit(20).select(
+        (F.col("vec_id") + 7_000_000).alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return idx.query(probes, k=3, n_probe=4)

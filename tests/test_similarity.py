@@ -610,3 +610,81 @@ def test_semantic_dedup_keeps_highest_centroid_rank(spark):
     assert sum(1 for r in clique if r.keep) >= 1
     assert any(not r.keep for r in clique)  # 1-2 and 2-3 are >=0.999
     assert rep[10].keep and rep[11].keep  # orthogonal vectors untouched
+
+
+def test_ivf_index_upsert_incremental(spark, sf_dir, tmp_path):
+    """Incremental IVF maintenance: replaced ids disappear from their
+    old cell, new vectors are probeable, and UNTOUCHED partition files
+    are not rewritten (the whole point at 100 TB)."""
+    import glob
+    import os
+    import time
+
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators.similarity import IvfIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    idx = IvfIndex(str(tmp_path / "ivf"))
+    idx.build(base, n_cells=8, kmeans_iters=2)
+    n_base = base.count()
+
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(str(tmp_path / "ivf" / "vectors" / "cell_id=*/*.parquet"))
+    }
+    time.sleep(1.1)  # mtime resolution guard
+
+    # incoming: 50 brand-new ids + 10 REPLACED ids whose vector moved to
+    # a (likely) different cell — steal another corpus vector's embedding
+    newbies = emb.filter(
+        (F.col("vec_id") >= 400) & (F.col("vec_id") < 450)
+    ).select("vec_id", "embedding")
+    moved = (
+        emb.filter(F.col("vec_id") >= 450)
+        .limit(10)
+        .select(F.lit(None).alias("drop"), "embedding")
+        .drop("drop")
+        .limit(10)
+    )
+    import pandas as pd  # build the replacement frame deterministically
+
+    moved_vecs = [r.embedding for r in moved.collect()]
+    replaced = spark.createDataFrame(
+        [(i, moved_vecs[i]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    incoming = newbies.unionByName(replaced)
+    report = idx.upsert(incoming)
+    assert report["rows_written"] > 0
+
+    stored = spark.read.parquet(str(tmp_path / "ivf" / "vectors"))
+    # row count: base − 10 replaced + 10 replacements + 50 new
+    assert stored.count() == n_base + 50
+    # each replaced id appears exactly once, with the NEW vector
+    for i in (0, 5, 9):
+        rows = stored.filter(F.col("vec_id") == i).collect()
+        assert len(rows) == 1
+        assert [round(float(x), 5) for x in rows[0].embedding] == [
+            round(float(x), 5) for x in moved_vecs[i]
+        ]
+    # untouched partitions were NOT rewritten
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(str(tmp_path / "ivf" / "vectors" / "cell_id=*/*.parquet"))
+    }
+    untouched = [p for p in before if p in after and before[p] == after[p]]
+    rewritten_cells = report["cells_rewritten"]
+    total_cells = len(
+        glob.glob(str(tmp_path / "ivf" / "vectors" / "cell_id=*"))
+    )
+    assert rewritten_cells <= total_cells
+    if rewritten_cells < total_cells:
+        assert untouched, "expected at least one untouched partition file"
+
+    # a new vector is probeable as its own exact neighbor
+    probe = spark.createDataFrame(
+        [(9001, moved_vecs[0])], "query_id long, query_vec array<float>"
+    )
+    res = idx.query(probe, k=3, n_probe=8).collect()
+    assert res and res[0].cosine > 0.9999
