@@ -203,3 +203,57 @@ def personalized_pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def label_propagation(
+    edge_df: DataFrame,
+    src_col: str,
+    dst_col: str,
+    rounds: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) with a DETERMINISTIC update: each round every node adopts
+    the most frequent label among its in-neighbors, ties broken by the
+    smallest label, isolated/in-edge-less nodes keep their own. A FIXED
+    round count makes the result reproducible and oracle-checkable (the
+    oracle unrolls the same rounds as chained CTEs), sidestepping
+    async-LPA's run-to-run nondeterminism.
+
+    Per round: edges ⋈ labels on src → groupBy (dst, label) count → the
+    per-node argmax via a grouped min-struct aggregate ((-count, label)
+    — bounded two-phase agg, NO row_number window), left-joined back so
+    label-less nodes persist. Edge list checkpointed once; state
+    checkpointed per round (plan linear in rounds). Feed a symmetrized
+    edge list for undirected communities.
+
+    Output: (node, community) — community ids are node ids (strings),
+    stable within a build.
+    """
+    edges = _edges(edge_df, src_col, dst_col).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(max(0, rounds)):
+        counts = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("n"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pick = counts.groupBy("n").agg(
+            F.min(
+                F.struct((-F.col("c")).alias("negc"), F.col("label"))
+            )["label"].alias("new_label")
+        )
+        labels = (
+            labels.join(pick, labels["node"] == pick["n"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -6774,3 +6774,114 @@ _unknown_breadth = [n for n in BREADTH_TIER if n not in _REGISTRY]
 assert not _unknown_breadth, f"BREADTH_TIER names not registered: {_unknown_breadth}"
 for _n in BREADTH_TIER:
     _REGISTRY[_n].tier = "breadth"
+
+
+@register(
+    "fuzzy_part_pairs_multipass",
+    """
+    WITH d AS (
+      SELECT p_name AS text, min(p_partkey) AS rep_id FROM part
+      GROUP BY p_name
+    ), s1 AS (
+      SELECT rep_id AS id, text, string_split(text, ' ')[-1] AS blk FROM d
+    ), k1 AS (
+      SELECT * FROM s1 WHERE blk IN (
+        SELECT blk FROM s1 GROUP BY blk HAVING count(*) <= 2000)
+    ), s2 AS (
+      SELECT rep_id AS id, text,
+             substr(text, 1, 1) || '|'
+               || CAST(CAST(floor(length(text) / 4) AS INT) AS VARCHAR)
+               AS blk
+      FROM d
+    ), k2 AS (
+      SELECT * FROM s2 WHERE blk IN (
+        SELECT blk FROM s2 GROUP BY blk HAVING count(*) <= 2000)
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.text AS text_a, b.text AS text_b
+      FROM k1 a JOIN k1 b ON a.blk = b.blk AND a.id < b.id
+      WHERE levenshtein(a.text, b.text) <= 2
+      UNION
+      SELECT a.id, b.id, a.text, b.text
+      FROM k2 a JOIN k2 b ON a.blk = b.blk AND a.id < b.id
+      WHERE levenshtein(a.text, b.text) <= 2
+    )
+    SELECT id_a, id_b, text_a, text_b,
+           CAST(levenshtein(text_a, text_b) AS INTEGER) AS dist,
+           round(1.0 - levenshtein(text_a, text_b)
+                   / CAST(greatest(length(text_a), length(text_b))
+                          AS DOUBLE), 6) AS similarity
+    FROM pairs
+    """,
+    doc="multi-pass blocking recall (the linkage.py module doc's "
+    "documented composition, now driver-evidenced): pairs from the "
+    "last-token pass UNION pairs from the (prefix, length-band) pass — "
+    "the second key catches suffix edits the first misses (and vice "
+    "versa); each pass stays sum-of-block-squared with its own "
+    "max_block cap, and the union dedups pair-level. The found-pair set "
+    "contains the single-pass fuzzy_part_pairs result (equal on the "
+    "fixture corpus, whose duplicates are all last-token-stable; the "
+    "superset relation is asserted by the verify drive)",
+)
+def q_fuzzy_part_pairs_multipass(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import linkage
+
+    part = _t(spark, sf_dir, "part")
+    distinct = linkage.canonicalize_exact(part, "p_partkey", "p_name")
+    p1 = linkage.fuzzy_self_pairs(
+        distinct, linkage.last_token_block(), max_dist=2, max_block=2000
+    )
+    p2 = linkage.fuzzy_self_pairs(
+        distinct, linkage.prefix_length_block(), max_dist=2, max_block=2000
+    )
+    return p1.unionByName(p2).distinct()
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    ctes = [
+        _GRAPH_EDGE_CTE,
+        """v AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+          )
+        )""",
+        "l0 AS (SELECT node, node AS label FROM v)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""c{i} AS (
+          SELECT e.dst AS node, l.label, count(*) AS c
+          FROM e JOIN l{i-1} l ON l.node = e.src
+          GROUP BY 1, 2
+        )""")
+        ctes.append(f"""p{i} AS (
+          SELECT node, label FROM c{i}
+          QUALIFY row_number() OVER (PARTITION BY node
+                                     ORDER BY c DESC, label) = 1
+        )""")
+        ctes.append(f"""l{i} AS (
+          SELECT l.node, coalesce(p.label, l.label) AS label
+          FROM l{i-1} l LEFT JOIN p{i} p USING (node)
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, label AS community FROM l{rounds}"
+    )
+
+
+@register(
+    "lpa_communities",
+    _lpa_oracle(rounds=3),
+    doc="community detection by synchronous label propagation (Raghavan "
+    "et al. 2007) over the symmetrized part<->supplier graph, 3 FIXED "
+    "rounds with a deterministic update (neighbor-majority label, ties "
+    "to smallest) so the result is reproducible and value-checkable — "
+    "the oracle unrolls the same rounds as chained CTEs. Spark side "
+    "picks the per-node argmax with a grouped min-struct aggregate "
+    "(bounded two-phase agg), NOT a row_number window; edge list "
+    "checkpointed once, state per round (plan linear in rounds)",
+)
+def q_lpa_communities(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import graph
+
+    return graph.label_propagation(
+        _graph_edges(spark, sf_dir), "src", "dst", rounds=3
+    )

@@ -139,3 +139,40 @@ def test_personalized_pagerank_unweighted_equals_unit_weights(spark):
         ).collect()
     )
     assert r1 == r2
+
+
+def test_lpa_separates_disjoint_cliques(spark):
+    """Two disjoint triangles must converge to two communities, each
+    labeled by its smallest node id (deterministic tie-break)."""
+    from etl_excel_csv_sql_spark.operators import graph
+
+    tri1 = [("a", "b"), ("b", "c"), ("c", "a")]
+    tri2 = [("x", "y"), ("y", "z"), ("z", "x")]
+    edges = [(s, d) for s, d in tri1 + tri2] + [
+        (d, s) for s, d in tri1 + tri2
+    ]
+    df = spark.createDataFrame(edges, "s string, d string")
+    out = {
+        r.node: r.community
+        for r in graph.label_propagation(df, "s", "d", rounds=4).collect()
+    }
+    assert len({out["a"], out["b"], out["c"]}) == 1
+    assert len({out["x"], out["y"], out["z"]}) == 1
+    assert out["a"] != out["x"]
+
+
+def test_lpa_isolated_node_keeps_own_label(spark):
+    from etl_excel_csv_sql_spark.operators import graph
+
+    # q has an out-edge but no in-edge: it keeps its own label forever.
+    # (Sync LPA oscillates on bare 2-cycles — documented fixed-round
+    # semantics, oracle-matched — so anchor the pair to a triangle.)
+    tri = [("a", "b"), ("b", "c"), ("c", "a")]
+    edges = tri + [(d, s) for s, d in tri] + [("q", "a")]
+    df = spark.createDataFrame(edges, "s string, d string")
+    out = {
+        r.node: r.community
+        for r in graph.label_propagation(df, "s", "d", rounds=4).collect()
+    }
+    assert out["q"] == "q"
+    assert len({out["a"], out["b"], out["c"]}) == 1
