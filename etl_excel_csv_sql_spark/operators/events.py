@@ -607,3 +607,80 @@ def ewma_by_group(
         F.size("pts").alias("n_points"),
         F.round(folded, 6).alias("ewma"),
     )
+
+
+def sessionize_bucketed(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+    bucket_hours: int = 6,
+) -> DataFrame:
+    """Whale-proof sessionization: IDENTICAL semantics to
+    :func:`sessionize` (same gap rule, same (ts, event_id) tie order,
+    same session_seq numbering — the driver value-checks both against
+    the same oracle) but no task ever sorts one user's full history.
+
+    The plain lag+cumsum window partitions by user, so one whale user
+    (the skew probe's 90%-hot case) serializes into a single task's
+    sort. This variant is the standard two-level scan (the same shape
+    pack_documents uses for single-shard corpora):
+
+    1. sessionize WITHIN (user, time-bucket) — partitions are bounded
+       by per-bucket activity, not per-user history;
+    2. stitch at bucket boundaries on the per-(user, bucket) SUMMARY
+       frame (one row per active bucket — bounded by the time range /
+       bucket width, independent of event count): bucket k merges into
+       the previous ACTIVE bucket when the boundary gap <= gap, and the
+       global session number is
+       sum(sessions before k) - sum(links through k) + local_seq —
+       exact, no approximation.
+
+    The only remaining per-user state is the summary window (#active
+    buckets rows). Pick ``bucket_hours`` >> gap; boundary correctness
+    does not depend on it (oracle-proven), only the skew bound does.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    ts = F.col(ts_col).cast("timestamp")
+    tsu = F.unix_micros(ts)
+    base = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col),
+        "event_id",
+        tsu.alias("__tsu"),
+        F.floor(tsu / F.lit(bucket_hours * 3600 * 1_000_000)).alias("__b"),
+    )
+    w_in = Window.partitionBy("u", "__b").orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    prev = F.lag("__tsu").over(w_in)
+    is_new = F.when(
+        prev.isNull() | ((F.col("__tsu") - prev) > gap_us), 1
+    ).otherwise(0)
+    ev = base.withColumn("__local", F.sum(is_new).over(w_in))
+    summ = ev.groupBy("u", "__b").agg(
+        F.min("__tsu").alias("__first"),
+        F.max("__tsu").alias("__last"),
+        F.max("__local").alias("__n"),
+    )
+    w_b = Window.partitionBy("u").orderBy("__b")
+    prev_last = F.lag("__last").over(w_b)
+    link = F.when(
+        prev_last.isNotNull() & ((F.col("__first") - prev_last) <= gap_us), 1
+    ).otherwise(0)
+    base_expr = (
+        F.coalesce(
+            F.sum("__n").over(w_b.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        - F.sum(link).over(w_b.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    offsets = summ.select("u", "__b", base_expr.alias("__base"))
+    sessioned = ev.join(offsets, ["u", "__b"]).select(
+        F.col("u").alias(user_col),
+        ts_col,
+        (F.col("__base") + F.col("__local")).alias("session_seq"),
+    )
+    return sessioned.groupBy(user_col, "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )

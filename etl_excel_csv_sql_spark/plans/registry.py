@@ -6885,3 +6885,39 @@ def q_lpa_communities(spark, sf_dir):
     return graph.label_propagation(
         _graph_edges(spark, sf_dir), "src", "dst", rounds=3
     )
+
+@register(
+    "events_sessionize_bucketed",
+    # IDENTICAL oracle to events_sessionize: the bucket-and-stitch
+    # variant must produce byte-identical sessions to the naive
+    # per-user window — the driver value-proves the equivalence
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM sess GROUP BY user_id, CAST(session_seq AS BIGINT)
+    """,
+    doc="whale-proof sessionization (events.sessionize_bucketed): "
+    "two-level scan — sessionize within (user, 6h bucket), then stitch "
+    "bucket boundaries on the per-(user, bucket) summary frame (rows = "
+    "active buckets, independent of event count), global session id = "
+    "prefix-sessions - prefix-links + local id, exact. No task ever "
+    "sorts one user's full history (the plain per-user window "
+    "serializes a 90%%-hot whale user into one task); oracle is the "
+    "SAME SQL as events_sessionize, so the driver proves the rewrite "
+    "changes nothing",
+)
+def q_events_sessionize_bucketed(spark, sf_dir):
+    return events.sessionize_bucketed(_t(spark, sf_dir, "events"))

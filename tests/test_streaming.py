@@ -503,3 +503,43 @@ def test_streaming_soak_50_batches_state_stays_flat(spark):
     assert (
         got.unionByName(expect).distinct().count() == expect.count()
     ), "sink rows differ from the batch-twin aggregates"
+
+
+def test_sessionize_bucketed_equals_naive_on_whale_user(spark):
+    """Bucket-and-stitch == naive lag+cumsum, including on a whale user
+    whose sessions repeatedly span bucket boundaries, exact-gap edges,
+    and users with empty buckets between activity."""
+    from etl_excel_csv_sql_spark.operators import events as ev_ops
+
+    rows = []
+    eid = 0
+    import datetime as dt
+
+    # whale: an event every 20 min for 3 days -> ONE session crossing
+    # every 6h bucket boundary (gap 30 > 20)
+    t0 = dt.datetime(2024, 1, 1)
+    for i in range(3 * 72):
+        rows.append((1, t0 + dt.timedelta(minutes=20 * i), eid)); eid += 1
+    # exact-gap edge: second event exactly 30:00 later (NOT a new session
+    # under "> gap") right at a bucket boundary
+    b = dt.datetime(2024, 1, 10, 5, 45)
+    rows.append((2, b, eid)); eid += 1
+    rows.append((2, b + dt.timedelta(minutes=30), eid)); eid += 1
+    # and one 30:00.000001 later -> new session
+    rows.append((2, b + dt.timedelta(minutes=60, microseconds=1), eid)); eid += 1
+    # sparse user: activity in bucket 0 and bucket 40 only
+    rows.append((3, t0, eid)); eid += 1
+    rows.append((3, t0 + dt.timedelta(days=10), eid)); eid += 1
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+
+    naive = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_start, r.session_end)
+        for r in ev_ops.sessionize(df).collect()
+    }
+    bucketed = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_start, r.session_end)
+        for r in ev_ops.sessionize_bucketed(df).collect()
+    }
+    assert naive == bucketed
+    # sanity of the fixture's intent: whale is one long session
+    assert naive[(1, 1)][0] == 3 * 72

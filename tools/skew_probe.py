@@ -38,6 +38,10 @@ PROBES = (
     "source_capped_sample",
     "cohort_retention_weekly",
     "fuzzy_part_pairs",
+    # whale-user sessionization: naive per-user window vs the
+    # bucket-and-stitch rewrite (events corpus is 90% one user)
+    "events_sessionize",
+    "events_sessionize_bucketed",
 )
 HOT_FRACTION = 10  # 9 of every 10 rows get the hot key
 
