@@ -11,7 +11,7 @@ the identical IEEE expression.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -467,3 +467,217 @@ def cuped_ab_report(
         ),
     )
     return variants.unionByName(delta)
+
+
+def kaplan_meier(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon_hours: int = 24,
+) -> DataFrame:
+    """Kaplan–Meier survival curve over per-user activity lifetimes
+    (Kaplan & Meier, JASA 1958) with right-censoring.
+
+    A user's lifetime is the span between their first and last event,
+    in whole hours. A user is an observed "death" (churn) only when
+    their last event predates the corpus's global max timestamp by more
+    than ``horizon_hours`` — otherwise they may still be active and the
+    lifetime is right-censored at its current length. The estimator is
+    the standard product-limit: S(t) = Π_{t_i <= t} (1 − d_i / n_i)
+    with d_i churns at lifetime t_i and n_i users still at risk
+    (lifetime >= t_i); censored users leave the risk set without
+    contributing a factor.
+
+    Scale shape: one shuffle on the user key (per-user min/max), then
+    everything happens on the BY-DISTINCT-LIFETIME summary frame —
+    bounded by the corpus time range in hours, independent of user and
+    event counts — so the ordered cumulative windows below never see
+    data-sized partitions. The global max timestamp and the user total
+    ride as broadcast 1-row scalars. The survival product is computed
+    as exp(Σ ln(factor)) (associativity-safe to FP noise ≪ the 6dp
+    rounding); a zero factor (everyone remaining churns at t) is
+    clamped to 1e-300 so both engines return a clean 0.0.
+    """
+    tsu = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(tsu).alias("first_us"), F.max(tsu).alias("last_us")
+    )
+    gmax = per_user.agg(
+        F.max("last_us").alias("gmax_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    horizon_us = horizon_hours * 3600 * 1_000_000
+    enriched = per_user.crossJoin(F.broadcast(gmax)).select(
+        F.floor((F.col("last_us") - F.col("first_us")) / (3600 * 1_000_000))
+        .cast("bigint")
+        .alias("dur_hours"),
+        F.when(
+            F.col("last_us") < F.col("gmax_us") - F.lit(horizon_us), 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+        "n_users",
+    )
+    by_dur = enriched.groupBy("dur_hours", "n_users").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("churned").cast("bigint").alias("n_churned"),
+    )
+    # summary-frame windows: rows = distinct lifetimes (time-range bound)
+    w_prev = Window.orderBy("dur_hours").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("dur_hours").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = F.col("n_users") - F.coalesce(
+        F.sum("n_total").over(w_prev), F.lit(0)
+    )
+    curve = by_dur.withColumn("n_at_risk", at_risk.cast("bigint"))
+    factor = 1.0 - F.col("n_churned") / F.col("n_at_risk")
+    surv = F.exp(
+        F.sum(F.log(F.greatest(factor, F.lit(1e-300)))).over(w_cum)
+    )
+    return curve.select(
+        "dur_hours",
+        "n_at_risk",
+        "n_churned",
+        (F.col("n_total") - F.col("n_churned")).cast("bigint").alias(
+            "n_censored"
+        ),
+        F.round(surv, 6).alias("survival"),
+    )
+
+
+def rfm_segmentation(orders: DataFrame, k: int = 4) -> DataFrame:
+    """RFM customer segmentation (Hughes, "Strategic Database
+    Marketing") — recency / frequency / monetary quartile scores and a
+    segment label, built scale-safe.
+
+    Per-customer metrics are one shuffle on the customer key: recency =
+    days between the customer's last order and the corpus max order
+    date (broadcast 1-row scalar), frequency = order count, monetary =
+    decimal-exact revenue. Each k-tile score is NTILE(k) under a total
+    order (metric, custkey) — but computed via
+    :func:`relational.global_row_number` +
+    :func:`relational.ntile_from_rank` (range-partitioned two-level
+    rank) instead of the single-partition window native ntile plans, so
+    the scoring step distributes at any customer count. Orderings put
+    the BEST value last (most recent / most frequent / highest spend
+    ⇒ score k). The driver's oracle runs native NTILE — proving the
+    distributed rewrite bucket-for-bucket equal.
+    """
+    from etl_excel_csv_sql_spark.operators import relational
+
+    odate = F.col("o_orderdate").cast("date")
+    gmax = orders.agg(F.max(odate).alias("gmax_date"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(gmax))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(F.first("gmax_date"), F.max(odate))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("monetary"),
+        )
+    )
+    n = F.col("__n")
+    totals = per_cust.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    scored = per_cust.crossJoin(F.broadcast(totals))
+    specs = [
+        ("r_score", [F.col("recency_days").desc(), F.col("c_custkey").asc()]),
+        ("f_score", [F.col("frequency").asc(), F.col("c_custkey").asc()]),
+        ("m_score", [F.col("monetary").asc(), F.col("c_custkey").asc()]),
+    ]
+    for out, order in specs:
+        scored = relational.global_row_number(
+            scored, order, out_col="__rank"
+        ).withColumn(
+            out, relational.ntile_from_rank(F.col("__rank"), n, k)
+        ).drop("__rank")
+    segment = (
+        F.when(
+            (F.col("r_score") >= 3)
+            & (F.col("f_score") >= 3)
+            & (F.col("m_score") >= 3),
+            "champion",
+        )
+        .when(
+            (F.col("r_score") >= 3) & (F.col("f_score") >= 2), "loyal"
+        )
+        .when(F.col("r_score") >= 3, "recent")
+        .when(F.col("f_score") >= 3, "at_risk")
+        .otherwise("hibernating")
+    )
+    return scored.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        segment.alias("segment"),
+    )
+
+
+def winsorized_summary(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorized summary: clamp the value column to its
+    group's exact [lower, upper] percentiles (linear interpolation —
+    Spark ``percentile`` ≡ DuckDB ``quantile_cont``), then report the
+    robust mean/stddev next to the clip diagnostics. Winsorization is
+    the standard heavy-tail guard before z-scoring or model features —
+    unlike trimming it keeps row counts stable.
+
+    Two grouped aggregates on the same key (percentiles, then moments
+    of the clamped value after a broadcast join of the per-group
+    thresholds — group cardinality, not row cardinality) and zero
+    windows. Engine-parity discipline: the clamped value and its square
+    are cast to DECIMAL before SUM (exact, order-independent — the money
+    convention), so the only residual cross-engine noise is a clip-
+    boundary ulp on the interpolated threshold itself, ≪ the 6dp
+    rounding; the population-variance radicand is clamped at 0 (the
+    ADVICE r6 FP-cancellation guard).
+    """
+    v = F.col(value_col).cast("double")
+    thresholds = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.percentile(v, F.lit(lower)).alias("p_lo"),
+        F.percentile(v, F.lit(upper)).alias("p_hi"),
+    )
+    joined = df.select(F.col(group_col).alias("g"), v.alias("v")).join(
+        F.broadcast(thresholds), "g"
+    )
+    clipped = F.least(F.greatest(F.col("v"), F.col("p_lo")), F.col("p_hi"))
+    n = F.count(F.lit(1)).cast("bigint")
+    sum_c = F.sum(clipped.cast("decimal(18,6)")).cast("double")
+    sum_c2 = F.sum((clipped * clipped).cast("decimal(30,8)")).cast("double")
+    mean = sum_c / n
+    var_pop = F.greatest(sum_c2 / n - mean * mean, F.lit(0.0))
+    return (
+        joined.groupBy("g")
+        .agg(
+            n.alias("n"),
+            F.round(F.first("p_lo"), 6).alias("clip_lo"),
+            F.round(F.first("p_hi"), 6).alias("clip_hi"),
+            F.sum((F.col("v") < F.col("p_lo")).cast("bigint")).alias(
+                "n_clipped_low"
+            ),
+            F.sum((F.col("v") > F.col("p_hi")).cast("bigint")).alias(
+                "n_clipped_high"
+            ),
+            F.round(mean, 6).alias("winsor_mean"),
+            F.round(F.sqrt(var_pop), 6).alias("winsor_std"),
+        )
+        .withColumnRenamed("g", group_col)
+    )

@@ -6921,3 +6921,157 @@ def q_lpa_communities(spark, sf_dir):
 )
 def q_events_sessionize_bucketed(spark, sf_dir):
     return events.sessionize_bucketed(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "survival_curve_users",
+    """
+    WITH pu AS (
+      SELECT user_id,
+             epoch_us(min(ts)) AS first_us,
+             epoch_us(max(ts)) AS last_us
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT max(last_us) AS gmax_us, count(*) AS n_users FROM pu
+    ), e AS (
+      SELECT (last_us - first_us) // 3600000000 AS dur_hours,
+             CASE WHEN last_us < gmax_us - 86400000000
+                  THEN 1 ELSE 0 END AS churned,
+             n_users
+      FROM pu, g
+    ), bd AS (
+      SELECT dur_hours, n_users,
+             count(*) AS n_total, sum(churned) AS n_churned
+      FROM e GROUP BY 1, 2
+    ), curve AS (
+      SELECT dur_hours, n_churned, n_total,
+             n_users - coalesce(sum(n_total) OVER (
+               ORDER BY dur_hours
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n_at_risk
+      FROM bd
+    )
+    SELECT CAST(dur_hours AS BIGINT) AS dur_hours,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(n_churned AS BIGINT) AS n_churned,
+           CAST(n_total - n_churned AS BIGINT) AS n_censored,
+           round(exp(sum(ln(greatest(
+                 1.0 - n_churned / CAST(n_at_risk AS DOUBLE), 1e-300)))
+               OVER (ORDER BY dur_hours
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+               6) AS survival
+    FROM curve
+    """,
+    doc="Kaplan-Meier product-limit survival over per-user activity "
+    "lifetimes (hours between first and last event), right-censored at "
+    "a 24h recency horizon — the churn-analysis primitive. One shuffle "
+    "on the user key; every window below runs on the distinct-lifetime "
+    "summary frame (time-range bounded), never on data rows; S(t) as "
+    "exp-sum-ln with the zero-factor clamp mirrored in the oracle",
+)
+def q_survival_curve_users(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import stats
+
+    return stats.kaplan_meier(
+        _t(spark, sf_dir, "events"), horizon_hours=24
+    )
+
+
+@register(
+    "rfm_segmentation",
+    """
+    WITH g AS (
+      SELECT max(CAST(o_orderdate AS DATE)) AS gmax FROM orders
+    ), pc AS (
+      SELECT o_custkey AS c_custkey,
+             date_diff('day', max(CAST(o_orderdate AS DATE)),
+                       (SELECT gmax FROM g)) AS recency_days,
+             count(*) AS frequency,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                        AS DOUBLE), 2) AS monetary
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT c_custkey, recency_days, frequency, monetary,
+             ntile(4) OVER (ORDER BY recency_days DESC, c_custkey)
+               AS r_score,
+             ntile(4) OVER (ORDER BY frequency ASC, c_custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary ASC, c_custkey) AS m_score
+      FROM pc
+    )
+    SELECT c_custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           monetary,
+           CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3
+                  THEN 'champion'
+                WHEN r_score >= 3 AND f_score >= 2 THEN 'loyal'
+                WHEN r_score >= 3 THEN 'recent'
+                WHEN f_score >= 3 THEN 'at_risk'
+                ELSE 'hibernating' END AS segment
+    FROM s
+    """,
+    doc="RFM quartile segmentation over orders. The oracle scores with "
+    "native single-partition NTILE; the Spark side computes the SAME "
+    "buckets via relational.global_row_number (repartitionByRange + "
+    "per-split row_number + broadcast prefix offsets) and the "
+    "closed-form ntile_from_rank — the driver value-proves that the "
+    "distributed rank rewrite is bucket-for-bucket identical, which is "
+    "the point: native ntile's global window serializes all customers "
+    "through one task at 100 TB",
+)
+def q_rfm_segmentation(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import stats
+
+    return stats.rfm_segmentation(_t(spark, sf_dir, "orders"), k=4)
+
+
+@register(
+    "winsorized_price_stats",
+    """
+    WITH t AS (
+      SELECT l_returnflag AS g,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.01) AS p_lo,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS p_hi
+      FROM lineitem GROUP BY 1
+    ), j AS (
+      SELECT t.g, CAST(l.l_extendedprice AS DOUBLE) AS v, t.p_lo, t.p_hi,
+             least(greatest(CAST(l.l_extendedprice AS DOUBLE), t.p_lo),
+                   t.p_hi) AS c
+      FROM lineitem l JOIN t ON l.l_returnflag = t.g
+    )
+    SELECT g AS l_returnflag,
+           count(*) AS n,
+           round(any_value(p_lo), 6) AS clip_lo,
+           round(any_value(p_hi), 6) AS clip_hi,
+           CAST(sum(CASE WHEN v < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(sum(CASE WHEN v > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           round(CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / count(*),
+                 6) AS winsor_mean,
+           round(sqrt(greatest(
+             CAST(sum(CAST(c * c AS DECIMAL(30,8))) AS DOUBLE) / count(*)
+             - (CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+               * (CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / count(*)),
+             0.0)), 6) AS winsor_std
+    FROM j GROUP BY g
+    """,
+    doc="per-group winsorized robust moments (clamp at exact p01/p99, "
+    "Spark percentile = DuckDB quantile_cont linear interpolation) on "
+    "lineitem prices — the heavy-tail guard before z-scoring. Decimal-"
+    "exact sums of the clamped value and its square (order-independent "
+    "across partitionings); thresholds broadcast back per group",
+)
+def q_winsorized_price_stats(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import stats
+
+    return stats.winsorized_summary(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_returnflag",
+        lower=0.01,
+        upper=0.99,
+    )

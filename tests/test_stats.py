@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_excel_csv_sql_spark.operators import stats
@@ -241,3 +243,135 @@ def test_cuped_handles_degenerate_zero_variance_covariate(spark):
     for v in ("control", "treatment"):
         assert rep[v].mean_y == rep[v].mean_y_cuped
         assert rep[v].var_y == rep[v].var_y_cuped
+
+
+# ---------------------------------------------------------------- KM / RFM
+
+
+def test_kaplan_meier_hand_computed(spark):
+    """4 users on a tiny timeline; KM factors checked by hand.
+
+    Corpus max = t0+100h. Horizon 10h. Users:
+      a: [0, 5h]    -> dur 5,  last 95h before max  -> churned
+      b: [0, 5h30]  -> dur 5,  churned
+      c: [0, 50h]   -> dur 50, churned
+      d: [0, 100h]  -> dur 100, last == max -> censored
+    Curve: t=5: n=4, d=2 -> S=0.5; t=50: n=2, d=1 -> S=0.25;
+           t=100: n=1, d=0 (censored) -> S=0.25.
+    """
+    from etl_excel_csv_sql_spark.operators import stats
+
+    base = 1_700_000_000_000_000  # us
+    h = 3_600 * 1_000_000
+    rows = []
+    for uid, first, last in [
+        (1, 0, 5 * h),
+        (2, 0, 5 * h + 30 * 60 * 1_000_000),
+        (3, 0, 50 * h),
+        (4, 0, 100 * h),
+    ]:
+        rows.append((uid, base + first))
+        rows.append((uid, base + last))
+    df = spark.createDataFrame(rows, "user_id long, us long").select(
+        "user_id", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    out = {
+        r["dur_hours"]: r
+        for r in stats.kaplan_meier(df, horizon_hours=10).collect()
+    }
+    assert set(out) == {5, 50, 100}
+    assert out[5]["n_at_risk"] == 4 and out[5]["n_churned"] == 2
+    assert out[5]["survival"] == pytest.approx(0.5)
+    assert out[50]["n_at_risk"] == 2 and out[50]["n_churned"] == 1
+    assert out[50]["survival"] == pytest.approx(0.25)
+    assert out[100]["n_at_risk"] == 1 and out[100]["n_churned"] == 0
+    assert out[100]["n_censored"] == 1
+    assert out[100]["survival"] == pytest.approx(0.25)
+
+
+def test_kaplan_meier_monotone_and_bounded(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators import stats
+
+    events = load_table(spark, sf_dir, "events")
+    curve = (
+        stats.kaplan_meier(events, horizon_hours=24)
+        .orderBy("dur_hours")
+        .collect()
+    )
+    assert curve, "curve must be non-empty"
+    prev = 1.0
+    for r in curve:
+        assert 0.0 <= r["survival"] <= prev + 1e-9
+        prev = r["survival"]
+    # risk set at the smallest lifetime is every user
+    n_users = events.select("user_id").distinct().count()
+    assert curve[0]["n_at_risk"] == n_users
+
+
+def test_global_row_number_total_order(spark):
+    from etl_excel_csv_sql_spark.operators import relational
+
+    df = spark.range(0, 997).select(
+        (F.col("id") * 7919 % 997).alias("k"), "id"
+    )
+    out = relational.global_row_number(
+        df, [F.col("k").asc(), F.col("id").asc()], out_col="rn",
+        num_partitions=8,
+    ).collect()
+    ordered = sorted(out, key=lambda r: (r["k"], r["id"]))
+    assert [r["rn"] for r in ordered] == list(range(1, 998))
+
+
+def test_ntile_from_rank_matches_native_ntile(spark):
+    from pyspark.sql import Window
+
+    from etl_excel_csv_sql_spark.operators import relational
+
+    for n, k in [(17, 4), (16, 4), (3, 4), (100, 7)]:
+        df = spark.range(1, n + 1).select(F.col("id").alias("rank"))
+        got = df.select(
+            "rank",
+            relational.ntile_from_rank(
+                F.col("rank"), F.lit(n).cast("bigint"), k
+            ).alias("bucket"),
+            F.ntile(k).over(Window.orderBy("rank")).alias("native"),
+        ).collect()
+        for r in got:
+            assert r["bucket"] == r["native"], (n, k, r)
+
+
+def test_rfm_scores_reward_best_customers(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators import stats
+
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = stats.rfm_segmentation(orders, k=4)
+    rows = rfm.collect()
+    # quartiles are balanced: each score 1..4, sizes differ by <= 1
+    from collections import Counter
+
+    for col in ("r_score", "f_score", "m_score"):
+        c = Counter(r[col] for r in rows)
+        assert set(c) == {1, 2, 3, 4}
+        assert max(c.values()) - min(c.values()) <= 1
+    # the biggest spender holds the top monetary score
+    top = max(rows, key=lambda r: r["monetary"])
+    assert top["m_score"] == 4
+    # most stale customer gets the lowest recency score
+    stale = max(rows, key=lambda r: (r["recency_days"], -r["c_custkey"]))
+    assert stale["r_score"] == 1
+
+
+def test_winsorized_summary_clips_outliers(spark):
+    from etl_excel_csv_sql_spark.operators import stats
+
+    vals = [(float(i), "g") for i in range(1, 100)] + [(10_000.0, "g")]
+    df = spark.createDataFrame(vals, "v double, g string")
+    out = stats.winsorized_summary(
+        df, "v", "g", lower=0.05, upper=0.95
+    ).collect()[0]
+    assert out["n"] == 100
+    assert out["n_clipped_high"] >= 1  # the 10k outlier got clamped
+    assert out["winsor_mean"] < 200  # mean is robust to the outlier
+    assert out["clip_hi"] < 10_000
