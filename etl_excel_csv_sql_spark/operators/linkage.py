@@ -209,3 +209,128 @@ def block_for(block, text_col: str) -> Column:
     if callable(block):
         return block(text_col)
     return block
+
+
+def _jaro_winkler_py(s1: str, s2: str) -> float:
+    """Jaro–Winkler similarity (Winkler 1990), standard parameters:
+    match window max(|a|,|b|)//2 - 1, transpositions halved, prefix
+    bonus up to 4 chars at 0.1 scaling applied only when jaro > 0.7.
+    Empty-vs-anything (including empty-vs-empty) is 0.0 — bit-equal to
+    DuckDB's jaro_winkler_similarity (fuzz-verified over 5k random
+    pairs in tests), which is what makes the oracle exact."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(max(l1, l2) // 2 - 1, 0)
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = i - window if i > window else 0
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    sim = (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+    if sim > 0.7:
+        plen = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            plen += 1
+        sim += plen * 0.1 * (1.0 - sim)
+    return sim
+
+
+def jaro_winkler_pairs(
+    distinct_df: DataFrame,
+    block: Column,
+    threshold: float = 0.94,
+    max_block: int | None = 2000,
+    text_col: str = "text",
+    id_col: str = "rep_id",
+) -> DataFrame:
+    """Blocked Jaro–Winkler near-duplicate pairs — the edit-model
+    complement of :func:`fuzzy_self_pairs`: Levenshtein charges
+    character swaps two edits, while JW's transposition term makes it
+    the standard scorer for name/short-string linkage (it also
+    length-normalizes for free).
+
+    Plan shape is identical to the Levenshtein pass (and shares its
+    scale argument): candidate generation is a JVM-side blocked
+    self-join with the Σ|block|² skew cap; only surviving CANDIDATE
+    PAIRS — already reduced from n² to sum of squared block sizes —
+    flow through the Arrow-batched ``mapInPandas`` scorer (JW has no
+    Spark built-in; a per-pair Python loop over Arrow batches is the
+    sanctioned slow path since the hot path, blocking, stays in
+    codegen). Emits (id_a, id_b, text_a, text_b, similarity) with
+    similarity >= threshold, id_a < id_b, 6dp.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    sides = distinct_df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        block.alias("blk"),
+    ).localCheckpoint(eager=True)
+    if max_block is not None:
+        sizes = sides.groupBy("blk").agg(F.count(F.lit(1)).alias("__bn"))
+        sides = sides.join(
+            sizes.where(F.col("__bn") <= max_block), "blk", "left_semi"
+        )
+    a = sides.select(
+        "blk", F.col("id").alias("id_a"), F.col("t").alias("text_a")
+    )
+    b = sides.select(
+        "blk", F.col("id").alias("id_b"), F.col("t").alias("text_b")
+    )
+    cands = (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "text_a", "text_b")
+    )
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("text_a", StringType()),
+            StructField("text_b", StringType()),
+            StructField("similarity", DoubleType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sims = [
+                round(_jaro_winkler_py(ta, tb), 6)
+                if ta is not None and tb is not None
+                else None
+                for ta, tb in zip(pdf["text_a"], pdf["text_b"])
+            ]
+            out = pdf.assign(similarity=pd.array(sims, dtype="float64"))
+            yield out[out["similarity"] >= threshold]
+
+    return cands.mapInPandas(batches, out_schema)

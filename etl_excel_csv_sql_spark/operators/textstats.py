@@ -750,3 +750,73 @@ def normalize_unicode(
             )
 
     return src.mapInPandas(batches, out_schema)
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own BIGRAM LM with
+    add-k smoothing — the order-sensitive upgrade of
+    :func:`unigram_surprisal`: shuffled-word salad scores normal under
+    a unigram model but improbable under the conditional
+    P(w_i | w_{i-1}), so this is the signal that separates fluent text
+    from bag-of-words spam.
+
+    bits_per_bigram = -(1/(n-1)) Σ log2( (c(v,w)+k) / (c(v,·)+k·V) )
+    over the doc's adjacent token pairs, with V the vocabulary over
+    bigram slots (tokens of 1-token docs open no bigram and are
+    outside the model, mirrored by the oracle). Docs with fewer than two tokens have no bigrams
+    and drop out (mirrored by the oracle).
+
+    Plan: bigrams are built NARROW — zip_with over the token array and
+    its shift-by-one slice, no per-doc window, no positional self-join
+    — then exploded once. The LM is two grouped aggregates on that one
+    exploded frame ((prev, term) counts; prev totals derived from them),
+    V rides as an in-plan broadcast 1-row aggregate, and scoring joins
+    bigrams back on (prev, term) — vocab-sized frames against the
+    corpus-sized probe, broadcast at test scale, shuffle join at web
+    scale, both the right plan.
+    """
+    from etl_excel_csv_sql_spark.operators.relational import (
+        spread_for_compute,
+    )
+
+    arr = F.transform(tokens(text_col), lambda t: F.lower(t))
+    n = F.size(arr)
+    win = F.greatest(n - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(arr, F.lit(1), win),
+        F.slice(arr, F.lit(2), win),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("term")),
+    )
+    big = (
+        spread_for_compute(df)
+        .select(F.col(id_col).alias("doc"), F.explode(pairs).alias("p"))
+        .select("doc", F.col("p.prev").alias("prev"), F.col("p.term").alias("term"))
+    )
+    # checkpoint: the bigram-count frame feeds the prefix totals, the
+    # vocab scalar AND the scoring join
+    c2 = (
+        big.groupBy("prev", "term")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    # V counts every unigram type, including final tokens that never
+    # open a bigram: distinct over both bigram slots
+    vocab = F.broadcast(
+        c2.select(F.col("prev").alias("t"))
+        .union(c2.select("term"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    scored = big.join(c2, ["prev", "term"]).join(c1, "prev").crossJoin(vocab)
+    prob = (F.col("c2") + F.lit(k)) / (
+        F.col("c1") + F.lit(k) * F.col("v").cast("double")
+    )
+    return scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.avg(F.log2(prob)), 6).alias("bits_per_bigram"),
+    )

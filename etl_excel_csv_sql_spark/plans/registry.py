@@ -7075,3 +7075,82 @@ def q_winsorized_price_stats(spark, sf_dir):
         lower=0.01,
         upper=0.99,
     )
+
+
+@register(
+    "jaro_winkler_part_pairs",
+    """
+    WITH k AS (
+      SELECT min(p_partkey) AS rep_id, p_name AS text
+      FROM part GROUP BY p_name
+    ), k2 AS (
+      SELECT rep_id, text, string_split(text, ' ')[-1] AS blk FROM k
+    ), s AS (
+      SELECT * FROM k2 WHERE blk IN (
+        SELECT blk FROM k2 GROUP BY blk HAVING count(*) <= 2000
+      )
+    )
+    SELECT a.rep_id AS id_a, b.rep_id AS id_b,
+           a.text AS text_a, b.text AS text_b,
+           round(jaro_winkler_similarity(a.text, b.text), 6) AS similarity
+    FROM s a JOIN s b ON a.blk = b.blk AND a.rep_id < b.rep_id
+    WHERE round(jaro_winkler_similarity(a.text, b.text), 6) >= 0.92
+    """,
+    doc="blocked Jaro-Winkler near-duplicate part names — the "
+    "transposition-tolerant name-linkage scorer next to the Levenshtein "
+    "pass (fuzzy_part_pairs). Candidate generation is the same JVM "
+    "last-token blocking with the max_block skew cap; only candidate "
+    "pairs reach the Arrow-batched scorer (JW has no Spark built-in). "
+    "The Python kernel is fuzz-proven bit-equal to DuckDB's "
+    "jaro_winkler_similarity, so this is a full value oracle; both "
+    "sides filter on the 6dp-rounded score",
+)
+def q_jaro_winkler_part_pairs(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import linkage
+
+    part = _t(spark, sf_dir, "part")
+    distinct = linkage.canonicalize_exact(part, "p_partkey", "p_name")
+    return linkage.jaro_winkler_pairs(
+        distinct, linkage.last_token_block(), threshold=0.92, max_block=2000
+    )
+
+
+@register(
+    "doc_bigram_surprisal",
+    rf"""
+    WITH base AS (
+      SELECT doc_id AS doc,
+             list_transform({_TOKS_SQL}, x -> lower(x)) AS arr
+      FROM documents
+    ), big AS (
+      SELECT doc, u.pair[1] AS prev, u.pair[2] AS term
+      FROM base,
+           unnest(list_zip(arr[1:length(arr)-1], arr[2:length(arr)]))
+             AS u(pair)
+    ), c2 AS (
+      SELECT prev, term, count(*) AS c2 FROM big GROUP BY 1, 2
+    ), c1 AS (
+      SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY 1
+    ), v AS (
+      SELECT count(DISTINCT t) AS v FROM (
+        SELECT prev AS t FROM c2 UNION ALL SELECT term FROM c2
+      )
+    )
+    SELECT doc, count(*) AS n_bigrams,
+           round(-avg(log2((c2 + 0.5) / (c1 + 0.5 * v))), 6)
+             AS bits_per_bigram
+    FROM big JOIN c2 USING (prev, term) JOIN c1 USING (prev), v
+    GROUP BY doc
+    """,
+    doc="order-sensitive statistical quality: per-document cross-entropy "
+    "under the corpus's own add-k-smoothed bigram LM (shuffled-word "
+    "salad passes a unigram filter, fails this one). Bigrams built "
+    "narrow via zip_with on the token array against its shift-by-one "
+    "slice (no per-doc window, no positional self-join); LM = two "
+    "grouped aggregates; scoring is a (prev, term) join with V as an "
+    "in-plan broadcast scalar",
+)
+def q_doc_bigram_surprisal(spark, sf_dir):
+    return textstats.bigram_surprisal(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=0.5
+    )

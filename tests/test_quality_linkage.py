@@ -253,3 +253,71 @@ def test_fuzzy_join_max_block_drops_hot_canonical_block(spark):
     ids = {r.left_id for r in out}
     assert 1000 not in ids  # hot block dropped by the cap
     assert 1001 in ids  # small block unaffected
+
+
+# ------------------------------------------------------------ Jaro-Winkler
+
+
+def test_jaro_winkler_kernel_matches_duckdb_fuzz():
+    """The whole oracle strategy rests on bit-parity of the Python
+    kernel with DuckDB's jaro_winkler_similarity — fuzz it directly."""
+    import random
+
+    import duckdb
+
+    from etl_excel_csv_sql_spark.operators.linkage import _jaro_winkler_py
+
+    con = duckdb.connect()
+    rng = random.Random(1234)
+    cases = [
+        ("", ""), ("a", ""), ("", "b"), ("martha", "marhta"),
+        ("dixon", "dicksonx"), ("same", "same"),
+    ]
+    for _ in range(2000):
+        n1, n2 = rng.randint(0, 14), rng.randint(0, 14)
+        cases.append((
+            "".join(rng.choice("abcdE 9") for _ in range(n1)),
+            "".join(rng.choice("abcdE 9") for _ in range(n2)),
+        ))
+    for s1, s2 in cases:
+        duck = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [s1, s2]
+        ).fetchone()[0]
+        assert abs(duck - _jaro_winkler_py(s1, s2)) < 1e-12, (s1, s2)
+
+
+def test_jaro_winkler_pairs_finds_transposed_names(spark):
+    from etl_excel_csv_sql_spark.operators import linkage
+
+    df = spark.createDataFrame(
+        [
+            (1, "chartreuse metallic anchor"),
+            (2, "chartruese metallic anchor"),  # transposition typo
+            (3, "completely different anchor"),
+            (4, "lone wolf"),
+        ],
+        "rep_id long, text string",
+    )
+    out = linkage.jaro_winkler_pairs(
+        df, linkage.last_token_block(), threshold=0.9, max_block=100
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in pairs
+    assert all(p != (1, 3) and p != (2, 3) for p in pairs)
+    sim = {(r.id_a, r.id_b): r.similarity for r in out}[(1, 2)]
+    assert 0.9 <= sim < 1.0
+
+
+def test_jaro_winkler_pairs_respects_block_cap(spark):
+    from etl_excel_csv_sql_spark.operators import linkage
+
+    rows = [(i, f"name{i} hot") for i in range(10)] + [
+        (100, "cold alpha"),
+        (101, "colt alpha"),
+    ]
+    df = spark.createDataFrame(rows, "rep_id long, text string")
+    out = linkage.jaro_winkler_pairs(
+        df, linkage.last_token_block(), threshold=0.8, max_block=5
+    ).collect()
+    ids = {i for r in out for i in (r.id_a, r.id_b)}
+    assert ids == {100, 101}  # the hot block never generated candidates

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_excel_csv_sql_spark.functions.text import redact_pii
@@ -589,3 +590,52 @@ def test_normalize_unicode_nfc(spark):
     assert out[1].len_raw == 5 and out[1].len_norm == 4
     assert out[2].text_norm == "plain" and out[2].len_norm == 5
     assert out[3].text_norm is None and out[3].len_norm is None
+
+
+# --------------------------------------------------------- bigram surprisal
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    """Corpus: doc1 = "a b", doc2 = "a b", doc3 = "a c", doc4 = "x".
+
+    Bigrams: (a,b) x2, (a,c) x1 -> c1(a)=3, V={a,b,c}, k=0.5.
+    P(b|a) = 2.5/4.5; P(c|a) = 1.5/4.5. doc4 has no bigrams -> absent.
+    """
+    import math
+
+    from etl_excel_csv_sql_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "x")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc"]: r
+        for r in textstats.bigram_surprisal(df, k=0.5).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["bits_per_bigram"] == pytest.approx(
+        -math.log2(2.5 / 4.5), abs=1e-6
+    )
+    assert out[3]["bits_per_bigram"] == pytest.approx(
+        -math.log2(1.5 / 4.5), abs=1e-6
+    )
+
+
+def test_bigram_surprisal_flags_word_salad(spark, sf_dir):
+    """A shuffled copy of a repetitive fluent doc must score strictly
+    higher (more surprising) than the fluent original."""
+    from etl_excel_csv_sql_spark.operators import textstats
+
+    fluent = "the cat sat on the mat " * 20
+    salad = "mat the on sat cat the sat the mat on cat the " * 10
+    df = spark.createDataFrame(
+        [(1, fluent), (2, fluent), (3, fluent), (4, salad)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc"]: r["bits_per_bigram"]
+        for r in textstats.bigram_surprisal(df).collect()
+    }
+    assert out[4] > out[1]
