@@ -134,3 +134,71 @@ def frequent_itemsets(
         F.col("freq"),
         F.round(F.col("freq") / F.lit(float(n)), 6).alias("support"),
     )
+
+
+def sequential_patterns(
+    events: DataFrame,
+    min_support: float = 0.2,
+    max_pattern_length: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    item_col: str = "event_type",
+) -> DataFrame:
+    """Frequent sequential patterns over per-(user, day) event-type
+    sequences via distributed PrefixSpan (Pei et al., ICDE 2001 —
+    ``pyspark.ml.fpm.PrefixSpan``, the projected-database algorithm:
+    work divides across frequent prefixes, each executor mines its
+    projected postfix DB locally).
+
+    Sequence construction is one shuffle on (user, day): events sort
+    WITHIN the group via sort_array over (ts, event_id, item) structs —
+    deterministic total order, partitions bounded by daily activity,
+    never whole-user history. A pattern is counted once per sequence
+    containing it as a subsequence (gaps allowed — the PrefixSpan
+    contract, brute-force-verified in tests).
+
+    Output renders patterns scalar for the driver: steps joined by
+    ' > ' (single-item steps here — each event is one itemset), with
+    (pattern, n_steps, freq, support). support = freq / #sequences.
+    """
+    from pyspark.ml.fpm import PrefixSpan
+
+    day = F.to_date(F.col(ts_col))
+    seqs = (
+        events.groupBy(F.col(user_col).alias("u"), day.alias("d"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("ts"),
+                        F.col("event_id").alias("eid"),
+                        F.col(item_col).cast("string").alias("item"),
+                    )
+                )
+            ).alias("evs")
+        )
+        .select(
+            F.transform(F.col("evs"), lambda e: F.array(e["item"])).alias(
+                "sequence"
+            )
+        )
+        .localCheckpoint(eager=True)  # consumed by the miner AND count()
+    )
+    n_seq = seqs.count()
+    patterns = PrefixSpan(
+        minSupport=min_support,
+        maxPatternLength=max_pattern_length,
+        sequenceCol="sequence",
+    ).findFrequentSequentialPatterns(seqs)
+    return patterns.select(
+        F.array_join(
+            F.transform(
+                F.col("sequence"),
+                lambda step: F.array_join(F.array_sort(step), "&"),
+            ),
+            " > ",
+        ).alias("pattern"),
+        F.size("sequence").alias("n_steps"),
+        F.col("freq"),
+        F.round(F.col("freq") / F.lit(float(n_seq)), 6).alias("support"),
+    )

@@ -820,3 +820,72 @@ def bigram_surprisal(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(-F.avg(F.log2(prob)), 6).alias("bits_per_bigram"),
     )
+
+
+def importance_weights(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Data-selection importance score in the DSIR spirit (Xie et al.,
+    arXiv 2302.03169): per-document mean log-likelihood ratio between a
+    TARGET-domain unigram LM and the general-corpus LM, both estimated
+    from the corpus itself with add-k smoothing —
+
+        llr(doc) = (1/n) Σ_w [ log2 P_t(w) − log2 P_g(w) ]
+
+    Positive scores mark documents that look like the target slice
+    (``target`` is any boolean Column over the input rows); ranking or
+    exponentiated-sampling on this score is importance resampling.
+    (DSIR hashes n-grams into buckets; on this corpus plain unigrams
+    are the faithful small-scale instantiation — swap `tokens` for a
+    hashed-ngram column to get the paper's exact estimator.)
+
+    Plan: ONE token explode feeds both LMs — counts carry a
+    conditional sum for the target slice (no second pass over the
+    corpus); totals ride as an in-plan broadcast 1-row aggregate;
+    scoring is one join on term (vocab-sized build side). Smoothing
+    uses the overall vocab size V for both models so unseen-in-target
+    terms stay finite.
+    """
+    from etl_excel_csv_sql_spark.operators.relational import (
+        spread_for_compute,
+    )
+
+    toks = (
+        spread_for_compute(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            target.cast("int").alias("is_t"),
+            F.explode(tokens(text_col)).alias("term_raw"),
+        )
+        .select("doc", "is_t", F.lower("term_raw").alias("term"))
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("cg"),
+            F.sum("is_t").alias("ct"),
+        )
+        .localCheckpoint(eager=True)  # feeds totals AND the scoring join
+    )
+    totals = F.broadcast(
+        vocab.agg(
+            F.sum("cg").alias("ng"),
+            F.sum("ct").alias("nt"),
+            F.count(F.lit(1)).cast("double").alias("v"),
+        )
+    )
+    scored = toks.join(vocab, "term").crossJoin(totals)
+    log_pt = F.log2(
+        (F.col("ct") + F.lit(k)) / (F.col("nt") + F.lit(k) * F.col("v"))
+    )
+    log_pg = F.log2(
+        (F.col("cg") + F.lit(k)) / (F.col("ng") + F.lit(k) * F.col("v"))
+    )
+    return scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(log_pt - log_pg), 6).alias("llr_per_token"),
+    )

@@ -7154,3 +7154,62 @@ def q_doc_bigram_surprisal(spark, sf_dir):
     return textstats.bigram_surprisal(
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=0.5
     )
+
+
+@register(
+    "event_sequential_patterns",
+    None,  # PrefixSpan mining is not SQL-expressible; pytest holds the
+    # brute-force subsequence-count parity evidence
+    doc="frequent sequential patterns over per-(user, day) event-type "
+    "sequences via distributed PrefixSpan (Pei et al. ICDE'01; "
+    "pyspark.ml.fpm — projected-database parallelism). Sequence build "
+    "is one (user, day) shuffle with in-group sort_array ordering "
+    "(deterministic (ts, event_id) total order, partitions bounded by "
+    "daily activity); pattern strings rendered scalar for the driver. "
+    "Subsequence semantics brute-force-verified in "
+    "tests/test_itemsets.py",
+)
+def q_event_sequential_patterns(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import itemsets
+
+    return itemsets.sequential_patterns(
+        _t(spark, sf_dir, "events"), min_support=0.1, max_pattern_length=3
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+             lower(unnest({_TOKS_SQL})) AS term
+      FROM documents
+    ), vocab AS (
+      SELECT term, count(*) AS cg, sum(is_t) AS ct FROM toks GROUP BY 1
+    ), tot AS (
+      SELECT sum(cg) AS ng, sum(ct) AS nt,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM vocab
+    )
+    SELECT doc, count(*) AS n_tokens,
+           round(avg(log2((ct + 0.5) / (nt + 0.5 * v))
+                     - log2((cg + 0.5) / (ng + 0.5 * v))), 6)
+             AS llr_per_token
+    FROM toks JOIN vocab USING (term), tot
+    GROUP BY doc
+    """,
+    doc="DSIR-style data selection (Xie et al. arXiv 2302.03169): "
+    "per-doc mean log-likelihood ratio between the lang='en' target "
+    "slice's unigram LM and the general corpus LM, add-k smoothed with "
+    "the shared vocab size. One token explode feeds BOTH models (the "
+    "target count rides the same aggregate as a conditional sum); "
+    "totals broadcast in-plan; positive scores = target-like docs, the "
+    "resampling weight for domain upweighting",
+)
+def q_dsir_importance_weights(spark, sf_dir):
+    return textstats.importance_weights(
+        _t(spark, sf_dir, "documents"),
+        target=F.col("lang") == "en",
+        k=0.5,
+    )

@@ -76,3 +76,81 @@ def test_fpgrowth_matches_brute_force(spark):
     # triple a|b|c appears twice (baskets 1, 5): support 1/3 ≥ 0.3
     want["a|b|c"] = 2
     assert out == want
+
+
+# ------------------------------------------------------------- PrefixSpan
+
+
+def _contains_subseq(seq: list[str], pat: list[str]) -> bool:
+    it = iter(seq)
+    return all(any(s == p for s in it) for p in pat)
+
+
+def test_sequential_patterns_brute_force_parity(spark):
+    """PrefixSpan output == brute-force subsequence counts over every
+    candidate pattern up to the max length, on a corpus small enough to
+    enumerate."""
+    import datetime
+    import itertools
+
+    from etl_excel_csv_sql_spark.operators import itemsets
+
+    day0 = datetime.datetime(2024, 1, 1)
+    seqs = {
+        1: ["a", "b", "c"],
+        2: ["a", "c"],
+        3: ["b", "a", "b"],
+        4: ["a", "b"],
+        5: ["c"],
+    }
+    rows = []
+    eid = 0
+    for u, items in seqs.items():
+        for i, it_ in enumerate(items):
+            eid += 1
+            rows.append((eid, u, day0 + datetime.timedelta(minutes=i), it_))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    min_support = 0.4  # >= 2 of 5 sequences
+    got = {
+        r["pattern"]: r["freq"]
+        for r in itemsets.sequential_patterns(
+            df, min_support=min_support, max_pattern_length=3
+        ).collect()
+    }
+    alphabet = ["a", "b", "c"]
+    expected = {}
+    for ln in (1, 2, 3):
+        for pat in itertools.product(alphabet, repeat=ln):
+            freq = sum(
+                1 for s in seqs.values() if _contains_subseq(s, list(pat))
+            )
+            if freq >= min_support * len(seqs):
+                expected[" > ".join(pat)] = freq
+    assert got == expected
+
+
+def test_sequential_patterns_counts_sequence_once(spark):
+    """A pattern repeated inside one sequence still counts that
+    sequence once (support is sequence-level, not occurrence-level)."""
+    import datetime
+
+    from etl_excel_csv_sql_spark.operators import itemsets
+
+    day0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i + 1, 1, day0 + datetime.timedelta(minutes=i), t)
+        for i, t in enumerate(["x", "y", "x", "y", "x", "y"])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r["pattern"]: (r["freq"], r["support"])
+        for r in itemsets.sequential_patterns(
+            df, min_support=0.5, max_pattern_length=2
+        ).collect()
+    }
+    assert out["x > y"] == (1, 1.0)
+    assert out["x"] == (1, 1.0)

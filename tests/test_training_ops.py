@@ -639,3 +639,46 @@ def test_bigram_surprisal_flags_word_salad(spark, sf_dir):
         for r in textstats.bigram_surprisal(df).collect()
     }
     assert out[4] > out[1]
+
+
+# ----------------------------------------------------------------- DSIR
+
+
+def test_importance_weights_separates_domains(spark):
+    """Docs sharing the target slice's vocabulary must score higher
+    than docs from the off-target vocabulary, and a doc mixing both
+    sits between."""
+    from etl_excel_csv_sql_spark.operators import textstats
+
+    rows = [
+        (1, "alpha beta gamma", "en"),
+        (2, "alpha gamma beta alpha", "en"),
+        (3, "rouge noir vert", "fr"),
+        (4, "noir vert rouge rouge", "fr"),
+        (5, "alpha beta noir vert", "de"),  # mixed, off-target label
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc"]: r["llr_per_token"]
+        for r in textstats.importance_weights(
+            df, target=F.col("lang") == "en"
+        ).collect()
+    }
+    assert out[1] > out[5] > out[3]
+    assert out[3] < 0 < out[1]
+
+
+def test_importance_weights_n_tokens(spark):
+    from etl_excel_csv_sql_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "one two three", "en"), (2, "four", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["doc"]: r["n_tokens"]
+        for r in textstats.importance_weights(
+            df, target=F.col("lang") == "en"
+        ).collect()
+    }
+    assert out == {1: 3, 2: 1}
