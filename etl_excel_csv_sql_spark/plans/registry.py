@@ -7213,3 +7213,57 @@ def q_dsir_importance_weights(spark, sf_dir):
         target=F.col("lang") == "en",
         k=0.5,
     )
+
+
+@register(
+    "gopher_rule_filter",
+    r"""
+    WITH base AS (
+      SELECT doc_id AS doc,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+')
+             END AS arr
+      FROM documents
+    ), m AS (
+      SELECT doc,
+             length(arr) AS n,
+             CASE WHEN length(arr) > 0
+                  THEN list_sum(list_transform(arr, t -> length(t)))
+                       / CAST(length(arr) AS DOUBLE)
+                  ELSE 0.0 END AS mean_wl,
+             length(list_filter(arr,
+                t -> starts_with(t, '#') OR contains(t, '...'))) AS n_sym,
+             length(list_filter(arr,
+                t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+             length(list_filter(arr, t -> t IN ('the','a','be','to','of',
+                'and','that','have','with','in'))) AS stop_hits
+      FROM base
+    ), r AS (
+      SELECT doc,
+             CAST(n AS BIGINT) AS n_words,
+             round(mean_wl, 6) AS mean_word_len,
+             CAST(stop_hits AS BIGINT) AS stopword_hits,
+             (n >= 20 AND n <= 100000) AS rule_word_count,
+             (mean_wl >= 2.0 AND mean_wl <= 10.0) AS rule_mean_word_len,
+             CASE WHEN n > 0 THEN n_sym / CAST(n AS DOUBLE) <= 0.1
+                  ELSE FALSE END AS rule_symbol_ratio,
+             CASE WHEN n > 0 THEN n_alpha / CAST(n AS DOUBLE) >= 0.8
+                  ELSE FALSE END AS rule_alpha_frac,
+             (stop_hits >= 1) AS rule_stopwords
+      FROM m
+    )
+    SELECT *, (rule_word_count AND rule_mean_word_len AND
+               rule_symbol_ratio AND rule_alpha_frac AND rule_stopwords)
+              AS keep
+    FROM r
+    """,
+    doc="the Gopher quality-rule battery (Rae et al. arXiv 2112.11446 "
+    "SA1.1) as named per-rule booleans plus the conjunction keep flag — "
+    "auditable pre-training text filtering (word-count bounds, "
+    "mean-word-length band, symbol ratio cap, alphabetic fraction "
+    "floor, stopword probe). Pure narrow higher-order-function column "
+    "expressions over the token array: no explode, no shuffle, no "
+    "Python — filtering stays embarrassingly parallel at 100 TB",
+)
+def q_gopher_rule_filter(spark, sf_dir):
+    return textstats.gopher_rules(_t(spark, sf_dir, "documents"))

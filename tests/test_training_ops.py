@@ -682,3 +682,40 @@ def test_importance_weights_n_tokens(spark):
         ).collect()
     }
     assert out == {1: 3, 2: 1}
+
+
+# ---------------------------------------------------------- Gopher rules
+
+
+def test_gopher_rules_each_rule_toggles(spark):
+    from etl_excel_csv_sql_spark.operators import textstats
+
+    good = "the quick brown fox jumps over a lazy dog " * 3  # 30 words
+    rows = [
+        (1, good),
+        (2, "short text only"),  # < 20 words
+        (3, "zz " * 25),  # no stopwords
+        (4, ("#tag " * 10) + good),  # symbol ratio > 0.1
+        (5, ""),  # empty
+        (6, ("12345 " * 30)),  # no alphabetic words, no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r for r in textstats.gopher_rules(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["rule_word_count"] is False and out[2]["keep"] is False
+    assert out[3]["rule_stopwords"] is False and out[3]["keep"] is False
+    assert out[4]["rule_symbol_ratio"] is False and out[4]["keep"] is False
+    assert out[5]["n_words"] == 0 and out[5]["keep"] is False
+    assert out[6]["rule_alpha_frac"] is False and out[6]["keep"] is False
+
+
+def test_gopher_rules_reports_counts(spark):
+    from etl_excel_csv_sql_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat")], "doc_id long, text string"
+    )
+    r = textstats.gopher_rules(df).collect()[0]
+    assert r["n_words"] == 5
+    assert r["stopword_hits"] == 3  # the, and, the
+    assert abs(r["mean_word_len"] - 15 / 5) < 1e-9
