@@ -182,3 +182,91 @@ def run_checks(
         "total",
         (F.col("violations") == 0).alias("passed"),
     )
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index drift report between two snapshots of
+    a numeric column — the standard model-monitoring / data-contract
+    drift metric: bucket the NEW distribution by the OLD snapshot's
+    equi-depth quantile edges and score
+    ``PSI = Σ (p_new − p_old) · ln(p_new / p_old)`` per bucket
+    (ε-floored so empty buckets stay finite; PSI < 0.1 stable,
+    0.1–0.25 moderate, > 0.25 drifted, per the credit-scoring folklore
+    the metric comes from).
+
+    Edges are the old snapshot's exact percentiles (i/n_buckets) — ONE
+    aggregate row broadcast into both scans; bucket assignment is a
+    narrow CASE over the edge array (left-closed, the outermost buckets
+    unbounded, so every non-null value lands somewhere). Each side then
+    contributes one count-by-bucket aggregate over n_buckets groups.
+    Output: one row per bucket (bucket, lo, hi, frac_old, frac_new,
+    contribution) — sum(contribution) IS the PSI, kept per-bucket so
+    the report shows WHERE the mass moved.
+    """
+    eps = 1e-6
+    v = F.col(value_col).cast("double")
+    pcts = F.array(
+        *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
+    )
+    edges_df = old.agg(F.percentile(v, pcts).alias("edges"))
+
+    def bucket_of(col: Column) -> Column:
+        # index of the first edge >= value, else the last bucket: a
+        # narrow O(n_buckets) filter over the broadcast edge array
+        return F.size(
+            F.filter(F.col("edges"), lambda e: e < col)
+        ).cast("int")
+
+    def side_counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.where(v.isNotNull())
+            .crossJoin(F.broadcast(edges_df))
+            .groupBy(bucket_of(v).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(f"n_{name}"))
+        )
+
+    # n_buckets-row frames; the full outer join covers buckets one side
+    # never populates
+    spine = (
+        side_counts(old, "old")
+        .join(side_counts(new, "new"), "bucket", "full_outer")
+        .crossJoin(F.broadcast(edges_df))
+    )
+    # totals via in-plan scalar aggregates (broadcast 1-row frames)
+    totals_old = old.where(v.isNotNull()).agg(
+        F.count(F.lit(1)).cast("double").alias("t_old")
+    )
+    totals_new = new.where(v.isNotNull()).agg(
+        F.count(F.lit(1)).cast("double").alias("t_new")
+    )
+    p_old = F.greatest(
+        F.coalesce("n_old", F.lit(0)) / F.col("t_old"), F.lit(eps)
+    )
+    p_new = F.greatest(
+        F.coalesce("n_new", F.lit(0)) / F.col("t_new"), F.lit(eps)
+    )
+    lo = F.when(
+        F.col("bucket") == 0, F.lit(None).cast("double")
+    ).otherwise(F.element_at("edges", F.col("bucket")))
+    hi = F.when(
+        F.col("bucket") == n_buckets - 1, F.lit(None).cast("double")
+    ).otherwise(F.element_at("edges", F.col("bucket") + 1))
+    return (
+        spine.crossJoin(F.broadcast(totals_old))
+        .crossJoin(F.broadcast(totals_new))
+        .select(
+            "bucket",
+            F.round(lo, 6).alias("lo"),
+            F.round(hi, 6).alias("hi"),
+            F.round(p_old, 6).alias("frac_old"),
+            F.round(p_new, 6).alias("frac_new"),
+            F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias(
+                "contribution"
+            ),
+        )
+    )

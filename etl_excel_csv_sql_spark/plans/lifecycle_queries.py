@@ -1997,3 +1997,116 @@ def q_ann_ivf_upsert(spark, sf_dir):
         F.col("embedding").alias("query_vec"),
     )
     return idx.query(probes, k=3, n_probe=4)
+
+
+@register(
+    "events_streaming_dedup_watermarked",
+    # Full value oracle for dropDuplicatesWithinWatermark's THREE
+    # behaviors at once, over a deterministic 3-micro-batch replay
+    # (maxFilesPerTrigger=1, pinned mtimes, empty arm batch per
+    # SPARK-24634 two-watermark semantics):
+    #   b0: first-2-days slice UNIONed with itself -> in-watermark
+    #       duplicates are dropped (b1 contributes its DISTINCT rows);
+    #   arm: empty batch lets b0's watermark take effect and evict
+    #       state for keys whose first sighting + 1h delay is below it;
+    #   b2: days 6-8 slice (all new ids, all kept) PLUS the 20 earliest
+    #       b0 events re-emitted with ts+6d — their key state was
+    #       EVICTED, so they are re-admitted (the bounded-state
+    #       tradeoff made visible: a late re-occurrence past the delay
+    #       is a new row, by design).
+    # Expected output == b1 ∪ b2 ∪ the 20 re-emits, exactly.
+    """
+    WITH m AS (SELECT min(ts) AS m0 FROM events),
+    b1 AS (
+      SELECT event_id, ts, event_type, value FROM events, m
+      WHERE ts < m0 + INTERVAL 2 DAY
+    ),
+    b2 AS (
+      SELECT event_id, ts, event_type, value FROM events, m
+      WHERE ts >= m0 + INTERVAL 6 DAY AND ts < m0 + INTERVAL 8 DAY
+    ),
+    re AS (
+      SELECT event_id, ts + INTERVAL 6 DAY AS ts, event_type, value
+      FROM b1 ORDER BY ts, event_id LIMIT 20
+    )
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           event_type,
+           CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value
+    FROM (SELECT * FROM b1
+          UNION ALL SELECT * FROM b2
+          UNION ALL SELECT * FROM re)
+    """,
+    doc="streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark "
+    "over a 3-batch replay proves in-watermark duplicates drop, state "
+    "evicts past the 1h delay, and an evicted key's re-occurrence is "
+    "re-admitted — the 100 TB dedup contract (unbounded-key streams "
+    "cannot keep state forever; dedupe_stream_forever documents the "
+    "bounded-domain alternative). Oracle reconstructs the exact "
+    "expected union",
+)
+def q_events_streaming_dedup_watermarked(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.streaming.dedup import (
+        dedupe_stream_within_watermark,
+    )
+
+    scratch = _scratch(
+        "events_stream_dedup_wm_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    src = os.path.join(scratch, "in")
+    os.makedirs(src, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type",
+        F.col("value").cast("decimal(18,4)").cast("double").alias("value"),
+    )
+    m0 = ev.agg(F.min("ts").alias("m0"))
+    based = ev.crossJoin(F.broadcast(m0))
+    b1 = based.where(
+        F.col("ts") < F.col("m0") + F.expr("INTERVAL 2 DAYS")
+    ).drop("m0")
+    b2 = based.where(
+        (F.col("ts") >= F.col("m0") + F.expr("INTERVAL 6 DAYS"))
+        & (F.col("ts") < F.col("m0") + F.expr("INTERVAL 8 DAYS"))
+    ).drop("m0")
+    re_emit = (
+        b1.orderBy("ts", "event_id")
+        .limit(20)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 6 DAYS"))
+    )
+    empty = ev.limit(0)
+    _write_single_parquet(
+        b1.unionAll(b1), scratch, os.path.join(src, "b0.parquet"), 1_000
+    )
+    _write_single_parquet(
+        empty, scratch, os.path.join(src, "b1_arm.parquet"), 2_000
+    )
+    _write_single_parquet(
+        b2.unionAll(re_emit), scratch, os.path.join(src, "b2.parquet"), 3_000
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = dedupe_stream_within_watermark(
+        stream, ["event_id"], ts_col="ts", delay="1 hour"
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    sink_name = f"evt_dedup_wm_stream_{_STREAM_RUN_SEQ[0]}"
+    (
+        deduped.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink_name).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+        "value",
+    )

@@ -92,6 +92,20 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+def _validate_registry() -> None:
+    """Deferred completeness checks (run on first use, not import):
+    every WINDOW_ORDER / BREADTH_TIER name must exist once all
+    registration modules have finished importing — catching typos while
+    staying safe under either import order of registry /
+    lifecycle_queries (circular partners)."""
+    missing = [n for n in WINDOW_ORDER if n not in _REGISTRY]
+    assert not missing, f"WINDOW_ORDER names not registered: {missing}"
+    unknown = [n for n in BREADTH_TIER if n not in _REGISTRY]
+    assert not unknown, f"BREADTH_TIER names not registered: {unknown}"
+    for n in BREADTH_TIER:
+        _REGISTRY[n].tier = "breadth"
+
+
 def _ordered_registry() -> dict[str, QuerySpec]:
     """Registry in curated order: WINDOW_ORDER first, then the rest.
 
@@ -104,6 +118,7 @@ def _ordered_registry() -> dict[str, QuerySpec]:
     CORRECTNESS_r02, unchanged since) sit beyond the window and ride on
     pytest.
     """
+    _validate_registry()
     ordered = {n: _REGISTRY[n] for n in WINDOW_ORDER}
     ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
     return ordered
@@ -6399,8 +6414,11 @@ BREADTH_TIER: frozenset[str] = frozenset(
     }
 )
 
-_missing = [n for n in WINDOW_ORDER if n not in _REGISTRY]
-assert not _missing, f"WINDOW_ORDER names not registered: {_missing}"
+# Completeness asserts are DEFERRED to first registry use (see
+# _validate_registry): io/runner lifecycle queries register on import of
+# lifecycle_queries, and if THAT module is the import entrypoint the
+# circular import back into this one sees its partial shell — asserting
+# here would fail on a legal import order (bit a test once).
 assert len(WINDOW_ORDER) == 50, f"window must be exactly 50, got {len(WINDOW_ORDER)}"
 
 
@@ -6769,11 +6787,11 @@ def q_global_outlier_customers(spark, sf_dir):
     )
 
 
-# applied at module end so late-registered queries can be tagged too
-_unknown_breadth = [n for n in BREADTH_TIER if n not in _REGISTRY]
-assert not _unknown_breadth, f"BREADTH_TIER names not registered: {_unknown_breadth}"
+# applied at module end so late-registered queries can be tagged too;
+# unknown-name checking rides _validate_registry (import-order safe)
 for _n in BREADTH_TIER:
-    _REGISTRY[_n].tier = "breadth"
+    if _n in _REGISTRY:
+        _REGISTRY[_n].tier = "breadth"
 
 
 @register(
@@ -7267,3 +7285,67 @@ def q_dsir_importance_weights(spark, sf_dir):
 )
 def q_gopher_rule_filter(spark, sf_dir):
     return textstats.gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "psi_drift_orders",
+    """
+    WITH old AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+    ), new AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+    ), e AS (
+      SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+               AS edges
+      FROM old
+    ), co AS (
+      SELECT len(list_filter(e.edges, x -> x < v)) AS bucket,
+             count(*) AS n_old
+      FROM old, e GROUP BY 1
+    ), cn AS (
+      SELECT len(list_filter(e.edges, x -> x < v)) AS bucket,
+             count(*) AS n_new
+      FROM new, e GROUP BY 1
+    ), spine AS (
+      SELECT coalesce(co.bucket, cn.bucket) AS bucket,
+             coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+      FROM co FULL OUTER JOIN cn ON co.bucket = cn.bucket
+    ), tot AS (
+      SELECT (SELECT CAST(count(*) AS DOUBLE) FROM old) AS t_old,
+             (SELECT CAST(count(*) AS DOUBLE) FROM new) AS t_new
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CASE WHEN bucket = 0 THEN NULL
+                ELSE round(e.edges[bucket], 6) END AS lo,
+           CASE WHEN bucket = 9 THEN NULL
+                ELSE round(e.edges[bucket + 1], 6) END AS hi,
+           round(greatest(n_old / t_old, 1e-6), 6) AS frac_old,
+           round(greatest(n_new / t_new, 1e-6), 6) AS frac_new,
+           round((greatest(n_new / t_new, 1e-6)
+                  - greatest(n_old / t_old, 1e-6))
+                 * ln(greatest(n_new / t_new, 1e-6)
+                      / greatest(n_old / t_old, 1e-6)), 6) AS contribution
+    FROM spine, e, tot
+    """,
+    doc="Population Stability Index drift between the pre-1998 and "
+    "post-1998 order-value distributions — the model-monitoring metric "
+    "for detecting input drift before a model degrades. The NEW "
+    "snapshot is bucketed by the OLD snapshot's exact decile edges "
+    "(one broadcast aggregate row); each side contributes one "
+    "count-by-bucket aggregate over 10 groups; per-bucket "
+    "contributions sum to the PSI so the report shows where the "
+    "mass moved",
+)
+def q_psi_drift_orders(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import quality
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    return quality.psi_drift(
+        orders.where(F.col("o_orderdate") < cut),
+        orders.where(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+        n_buckets=10,
+    )

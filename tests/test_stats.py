@@ -375,3 +375,29 @@ def test_winsorized_summary_clips_outliers(spark):
     assert out["n_clipped_high"] >= 1  # the 10k outlier got clamped
     assert out["winsor_mean"] < 200  # mean is robust to the outlier
     assert out["clip_hi"] < 10_000
+
+
+# ------------------------------------------------------------------- PSI
+
+
+def test_psi_drift_zero_on_identical_distributions(spark):
+    from etl_excel_csv_sql_spark.operators import quality
+
+    df = spark.range(0, 1000).select((F.col("id") % 100).cast("double").alias("v"))
+    out = quality.psi_drift(df, df, "v", n_buckets=10).collect()
+    assert len(out) == 10
+    assert all(abs(r["contribution"]) < 1e-9 for r in out)
+    assert all(abs(r["frac_old"] - 0.1) < 0.011 for r in out)
+
+
+def test_psi_drift_detects_shift(spark):
+    from etl_excel_csv_sql_spark.operators import quality
+
+    old = spark.range(0, 1000).select((F.col("id") % 100).cast("double").alias("v"))
+    new = old.select((F.col("v") + 80).alias("v"))  # hard right shift
+    out = quality.psi_drift(old, new, "v", n_buckets=10).collect()
+    psi = sum(r["contribution"] for r in out)
+    assert psi > 0.25  # "drifted" by the standard rule of thumb
+    # all new mass sits in the top buckets
+    top = [r for r in out if r["bucket"] >= 8]
+    assert sum(r["frac_new"] for r in top) > 0.5

@@ -543,3 +543,74 @@ def test_sessionize_bucketed_equals_naive_on_whale_user(spark):
     assert naive == bucketed
     # sanity of the fixture's intent: whale is one long session
     assert naive[(1, 1)][0] == 3 * 72
+
+
+def test_dedup_within_watermark_drop_evict_readmit(spark, tmp_path):
+    """The three dropDuplicatesWithinWatermark behaviors on a
+    handcrafted 3-batch replay: in-watermark dup dropped; state
+    evicted past the delay; evicted key re-admitted."""
+    import os
+
+    from etl_excel_csv_sql_spark.plans import registry  # noqa: F401 (must
+    # import before lifecycle_queries: the registry module body pulls in
+    # the lifecycle registrations itself mid-file)
+    from etl_excel_csv_sql_spark.plans.lifecycle_queries import (
+        _write_single_parquet,
+    )
+    from etl_excel_csv_sql_spark.streaming.dedup import (
+        dedupe_stream_within_watermark,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "ts_s string, k long").select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "k"
+        )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+    b0 = mk(
+        [
+            ("2024-01-01 10:00:00", 1),
+            ("2024-01-01 10:00:30", 1),  # dup within watermark -> drop
+            ("2024-01-01 13:00:00", 2),  # advances watermark to 12:00
+        ]
+    )
+    arm = mk([])
+    b2 = mk(
+        [
+            ("2024-01-01 13:30:00", 1),  # key 1 evicted -> re-admitted
+            ("2024-01-01 13:30:00", 2),  # key 2 still in state -> drop
+            ("2024-01-01 13:40:00", 3),  # fresh key -> kept
+        ]
+    )
+    _write_single_parquet(b0, str(tmp_path), os.path.join(src, "b0.parquet"), 1000)
+    _write_single_parquet(arm, str(tmp_path), os.path.join(src, "b1.parquet"), 2000)
+    _write_single_parquet(b2, str(tmp_path), os.path.join(src, "b2.parquet"), 3000)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = dedupe_stream_within_watermark(
+        stream, ["k"], ts_col="ts", delay="1 hour"
+    )
+    (
+        out.writeStream.format("memory")
+        .queryName("wm_dedup_unit")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = sorted(
+        (r["k"], r["ts"].strftime("%H:%M:%S"))
+        for r in spark.table("wm_dedup_unit").collect()
+    )
+    assert got == [
+        (1, "10:00:00"),
+        (1, "13:30:00"),  # the eviction-then-readmit row
+        (2, "13:00:00"),
+        (3, "13:40:00"),
+    ]
