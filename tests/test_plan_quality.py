@@ -309,3 +309,94 @@ def test_q22_scalar_subquery_broadcasts(spark, sf_dir):
     plan = _plan(all_queries()["global_outlier_customers"](spark, sf_dir))
     assert "BroadcastExchange" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_gopher_rules_narrow_no_shuffle_no_python(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators.textstats import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(gopher_rules(docs))
+    # the whole rule battery is a narrow map: no exchange, no explode,
+    # no Python evaluation — the property that keeps it trivially
+    # parallel at 100 TB
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_global_row_number_no_single_partition_window(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators.relational import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = global_row_number(
+        orders, [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    )
+    plan = _plan(out)
+    # data rows flow through a RANGE partitioned exchange, and every
+    # Window node is keyed (on the partition id / the tiny offsets
+    # frame) — never the global single-partition sort a plain
+    # row_number() OVER (ORDER BY ...) plans
+    assert "rangepartitioning" in plan.lower()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            assert "SinglePartition" not in line
+
+
+def test_rfm_offsets_frame_broadcasts(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators.stats import rfm_segmentation
+
+    orders = load_table(spark, sf_dir, "orders")
+    plan = _plan(rfm_segmentation(orders))
+    # the per-partition offset frames join back via broadcast — the
+    # rank rewrite must not introduce shuffle joins on data rows
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_kaplan_meier_windows_only_on_summary_frame(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators.stats import kaplan_meier
+
+    events = load_table(spark, sf_dir, "events")
+    plan = _plan(kaplan_meier(events))
+    # the single-partition windows are over the distinct-lifetime
+    # summary frame (post-aggregate), so the plan has them strictly
+    # AFTER the per-user HashAggregate pair
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # executedPlan prints leaves last: Window (downstream) appears
+    # before the aggregates feeding it
+    assert win_pos < plan.rfind("HashAggregate")
+
+
+def test_psi_drift_edges_broadcast_counts_bounded(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators.quality import psi_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    plan = _plan(
+        psi_drift(
+            orders.where(F.col("o_orderdate") < cut),
+            orders.where(F.col("o_orderdate") >= cut),
+            "o_totalprice",
+        )
+    )
+    # decile edges ride a broadcast nested loop of a 1-row frame into
+    # both side scans (the in-plan scalar pattern)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jaro_winkler_blocking_stays_jvm_side(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import linkage
+
+    part = load_table(spark, sf_dir, "part")
+    distinct = linkage.canonicalize_exact(part, "p_partkey", "p_name")
+    plan = _plan(
+        linkage.jaro_winkler_pairs(
+            distinct, linkage.last_token_block(), threshold=0.92
+        )
+    )
+    # exactly ONE Python stage (the pair scorer), fed by a JVM-side
+    # block join — candidate generation itself must not hit Python
+    assert plan.count("ArrowEvalPython") <= 1  # mapInPandas shows as...
+    assert "CartesianProduct" not in plan
