@@ -684,3 +684,71 @@ def sessionize_bucketed(
         F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
     )
+
+
+def acf_daily(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function of the daily metric total at lags
+    1..max_lag — the seasonality detector behind every forecasting /
+    anomaly pipeline (a strong lag-7 spike = weekly cycle; use it to
+    pick the seasonal period instead of guessing).
+
+    acf(l) = Σ_t (y_t − ȳ)(y_{t+l} − ȳ) / Σ_t (y_t − ȳ)²  over the
+    day-indexed series, the standard biased estimator (denominator =
+    full-series sum of squares, so acf(0) = 1 and |acf| <= 1).
+
+    Scale shape: ONE shuffle aggregates events to the per-day summary
+    frame with a decimal-exact total (identical across engines and
+    partitionings); everything after — the lead windows, the global
+    sums — runs on that calendar-bounded frame (rows = #days, whatever
+    the event count). Output: (lag, n_pairs, acf).
+    """
+    day = F.to_date(F.col(ts_col)).alias("d")
+    daily = df.groupBy(day).agg(
+        F.sum(F.col(value_col).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("y")
+    )
+    mean = daily.agg(F.avg("y").alias("m"))
+    centered = daily.crossJoin(F.broadcast(mean)).select(
+        "d", (F.col("y") - F.col("m")).alias("c")
+    )
+    # calendar-bounded summary frame: the global-order window is over
+    # #days rows, never event rows
+    w = Window.orderBy("d")
+    leads = centered.select(
+        "c",
+        *[
+            F.lead("c", lag).over(w).alias(f"c{lag}")
+            for lag in range(1, max_lag + 1)
+        ],
+    )
+    denom = F.sum(F.col("c") * F.col("c"))
+    aggs = leads.agg(
+        denom.alias("ss"),
+        *[
+            F.sum(F.col("c") * F.col(f"c{lag}")).alias(f"num{lag}")
+            for lag in range(1, max_lag + 1)
+        ],
+        *[
+            F.count(F.col(f"c{lag}")).alias(f"n{lag}")
+            for lag in range(1, max_lag + 1)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(lag).alias("lag"),
+                F.col(f"n{lag}").cast("bigint").alias("n_pairs"),
+                F.round(
+                    F.try_divide(F.col(f"num{lag}"), F.col("ss")), 6
+                ).alias("acf"),
+            )
+            for lag in range(1, max_lag + 1)
+        ]
+    )
+    return aggs.select(F.inline(pairs))

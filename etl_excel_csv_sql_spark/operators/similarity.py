@@ -1400,3 +1400,73 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+def quantize_embeddings_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    levels: int = 256,
+) -> DataFrame:
+    """Per-dimension int8-style affine quantization fit + error report —
+    the memory-compression step before shipping an embedding corpus to
+    an ANN serving tier (4× smaller than float32 at levels=256; PQ in
+    this module is the sub-byte cousin). Asymmetric min/max calibration:
+    scale_d = (max_d − min_d)/(levels−1), q(x) = round((x − min_d)/scale),
+    dequant = min_d + q·scale. Reported per dimension: the fitted
+    (min_val, scale) and the reconstruction quality (mse, max_abs_err) —
+    the go/no-go numbers for dropping to int8.
+
+    Two aggregation passes, NO explode (a posexplode would shuffle
+    n·dim rows; each pass here shuffles one row of O(dim) agg columns):
+    pass 1 fits min/max per dim, broadcasts back as an in-plan 1-row
+    frame; pass 2 aggregates the per-row reconstruction errors.
+    Constant dims (scale 0) dequantize to the constant exactly.
+    """
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    fit = df.agg(
+        *[
+            agg
+            for i in range(dim)
+            for agg in (
+                F.min(F.col(vec_col)[i].cast("double")).alias(f"lo{i}"),
+                F.max(F.col(vec_col)[i].cast("double")).alias(f"hi{i}"),
+            )
+        ]
+    )
+    joined = df.crossJoin(F.broadcast(fit))
+    err_aggs = []
+    for i in range(dim):
+        x = F.col(vec_col)[i].cast("double")
+        lo, hi = F.col(f"lo{i}"), F.col(f"hi{i}")
+        scale = (hi - lo) / F.lit(float(levels - 1))
+        deq = F.when(hi > lo, lo + F.round((x - lo) / scale, 0) * scale).otherwise(lo)
+        err = x - deq
+        err_aggs += [
+            F.avg(err * err).alias(f"mse{i}"),
+            F.max(F.abs(err)).alias(f"mae{i}"),
+            F.first(lo).alias(f"flo{i}"),
+            F.first(scale).alias(f"fsc{i}"),
+        ]
+    wide = joined.agg(*err_aggs)
+    packed = F.posexplode(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"flo{i}").alias("min_val"),
+                    F.round(F.col(f"fsc{i}"), 9).alias("scale"),
+                    F.round(F.col(f"mse{i}"), 9).alias("mse"),
+                    F.round(F.col(f"mae{i}"), 9).alias("max_abs_err"),
+                )
+                for i in range(dim)
+            ]
+        )
+    )
+    return wide.select(packed.alias("dim", "q")).select(
+        F.col("dim").cast("int"),
+        F.col("q.min_val").alias("min_val"),
+        F.col("q.scale").alias("scale"),
+        F.col("q.mse").alias("mse"),
+        F.col("q.max_abs_err").alias("max_abs_err"),
+    )

@@ -7349,3 +7349,76 @@ def q_psi_drift_orders(spark, sf_dir):
         "o_totalprice",
         n_buckets=10,
     )
+
+
+def _acf_oracle(max_lag: int = 7) -> str:
+    leads = ",\n             ".join(
+        f"lead(c, {k}) OVER w AS c{k}" for k in range(1, max_lag + 1)
+    )
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {k} AS lag, CAST(count(c{k}) AS BIGINT) AS n_pairs, "
+        f"round(sum(c * c{k}) / sum(c * c), 6) AS acf FROM l"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+      FROM events GROUP BY 1
+    ), m AS (SELECT avg(y) AS m FROM daily),
+    c AS (SELECT d, y - m.m AS c FROM daily, m),
+    l AS (
+      SELECT c, {leads}
+      FROM c WINDOW w AS (ORDER BY d)
+    )
+    {rows}
+    """
+
+
+@register(
+    "events_acf_daily",
+    _acf_oracle(7),
+    doc="autocorrelation of the daily event-value total at lags 1..7 — "
+    "the seasonality detector (lag-7 spike = weekly cycle) behind "
+    "period selection for forecasting/anomaly models. One decimal-"
+    "exact shuffle to the per-day series; lead windows and global sums "
+    "run on the calendar-bounded summary frame (rows = #days); "
+    "standard biased estimator (full-series denominator, |acf| <= 1)",
+)
+def q_events_acf_daily(spark, sf_dir):
+    return events.acf_daily(_t(spark, sf_dir, "events"), max_lag=7)
+
+
+@register(
+    "embedding_quantization_report",
+    """
+    WITH e AS (
+      SELECT s.i AS i, CAST(embedding[s.i] AS DOUBLE) AS v
+      FROM embeddings, generate_series(1, 64) s(i)
+    ), st AS (
+      SELECT i, min(v) AS lo, max(v) AS hi FROM e GROUP BY i
+    ), d AS (
+      SELECT e.i, lo, (hi - lo) / 255.0 AS sc,
+             v - (CASE WHEN hi > lo
+                       THEN lo + round((v - lo) / ((hi - lo) / 255.0)) * ((hi - lo) / 255.0)
+                       ELSE lo END) AS err
+      FROM e JOIN st USING (i)
+    )
+    SELECT CAST(i - 1 AS INT) AS dim,
+           any_value(lo) AS min_val,
+           round(any_value(sc), 9) AS scale,
+           round(avg(err * err), 9) AS mse,
+           round(max(abs(err)), 9) AS max_abs_err
+    FROM d GROUP BY i
+    """,
+    doc="per-dimension int8 affine quantization fit (asymmetric min/max "
+    "calibration, 256 levels) + reconstruction-error report (mse, "
+    "max_abs_err) — the go/no-go numbers before dropping an ANN corpus "
+    "to int8 (4x memory; PQ is the sub-byte cousin). Two aggregation "
+    "passes of O(dim) columns each, NO posexplode (which would shuffle "
+    "n*dim rows); fit broadcasts back as an in-plan 1-row frame",
+)
+def q_embedding_quantization_report(spark, sf_dir):
+    return similarity.quantize_embeddings_report(
+        _t(spark, sf_dir, "embeddings"), "embedding", dim=64, levels=256
+    )

@@ -688,3 +688,35 @@ def test_ivf_index_upsert_incremental(spark, sf_dir, tmp_path):
     )
     res = idx.query(probe, k=3, n_probe=8).collect()
     assert res and res[0].cosine > 0.9999
+
+
+def test_quantization_report_known_values(spark):
+    from etl_excel_csv_sql_spark.operators import similarity
+
+    # dim0 spans [0, 255] -> scale 1.0, integers reconstruct exactly;
+    # dim1 constant -> scale 0, zero error
+    rows = [([float(i), 5.0],) for i in range(256)]
+    df = spark.createDataFrame(rows, "embedding array<float>")
+    out = {
+        r["dim"]: r
+        for r in similarity.quantize_embeddings_report(
+            df, dim=2, levels=256
+        ).collect()
+    }
+    assert out[0]["scale"] == pytest.approx(1.0)
+    assert out[0]["mse"] == pytest.approx(0.0, abs=1e-12)
+    assert out[0]["max_abs_err"] == pytest.approx(0.0, abs=1e-12)
+    assert out[1]["scale"] == 0.0
+    assert out[1]["mse"] == 0.0 and out[1]["min_val"] == 5.0
+
+
+def test_quantization_error_bounded_by_half_scale(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.quantize_embeddings_report(emb, dim=64).collect()
+    assert len(out) == 64
+    for r in out:
+        # affine quantization error can never exceed half a step
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12

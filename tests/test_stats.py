@@ -401,3 +401,41 @@ def test_psi_drift_detects_shift(spark):
     # all new mass sits in the top buckets
     top = [r for r in out if r["bucket"] >= 8]
     assert sum(r["frac_new"] for r in top) > 0.5
+
+
+# ------------------------------------------------------------------- ACF
+
+
+def test_acf_perfect_period_two(spark):
+    """Alternating daily series -> acf(1) ~ -1, acf(2) ~ +1 (biased
+    estimator shrinks toward 0 with the n_pairs/n ratio)."""
+    import datetime
+
+    from etl_excel_csv_sql_spark.operators import events as ev_ops
+
+    rows = []
+    for i in range(40):
+        rows.append(
+            (
+                i,
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i),
+                100.0 if i % 2 == 0 else 0.0,
+            )
+        )
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = {r["lag"]: r["acf"] for r in ev_ops.acf_daily(df, max_lag=3).collect()}
+    assert out[1] < -0.9
+    assert out[2] > 0.9
+    assert abs(out[3] - out[1]) < 0.1  # odd lags align
+
+
+def test_acf_lag_zero_normalization_bound(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators import events as ev_ops
+
+    events = load_table(spark, sf_dir, "events")
+    out = ev_ops.acf_daily(events, max_lag=7).collect()
+    assert len(out) == 7
+    for r in out:
+        assert abs(r["acf"]) <= 1.0 + 1e-9
+        assert r["n_pairs"] > 0
