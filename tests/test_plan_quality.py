@@ -400,3 +400,37 @@ def test_jaro_winkler_blocking_stays_jvm_side(spark, sf_dir):
     # block join — candidate generation itself must not hit Python
     assert plan.count("ArrowEvalPython") <= 1  # mapInPandas shows as...
     assert "CartesianProduct" not in plan
+
+
+def test_global_row_number_spreads_constant_hot_key(spark):
+    """90%-constant order metric: range partitioning on (metric,
+    tiebreak) splits the hot value across partitions BY THE TIEBREAK,
+    so no single task sorts the whale group — the skew property the
+    rank rewrite was built for. Assert both exactness and spread."""
+    from etl_excel_csv_sql_spark.operators.relational import global_row_number
+
+    n = 20_000
+    df = spark.range(0, n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(42.0))
+        .otherwise(F.col("id").cast("double"))
+        .alias("m"),
+        "id",
+    )
+    ranked = global_row_number(
+        df, [F.col("m").asc(), F.col("id").asc()], num_partitions=16
+    )
+    # spread: the largest range split holds far less than the 90% whale
+    sizes = (
+        ranked.groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in sizes) < n * 0.5
+    # exactness on the hot region: ranks are a permutation of 1..n
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct("rn").alias("d"),
+        F.min("rn").alias("lo"),
+        F.max("rn").alias("hi"),
+    ).collect()[0]
+    assert (agg["c"], agg["d"], agg["lo"], agg["hi"]) == (n, n, 1, n)

@@ -84,6 +84,7 @@ def build_scaled(mult: int) -> str:
     done = os.path.join(out_dir, ".done")
     if os.path.exists(done):
         _ensure_scaled_lineitem(out_dir, mult)
+        _ensure_scaled_tpch_dims(out_dir, mult)
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
@@ -140,6 +141,7 @@ def build_scaled(mult: int) -> str:
     with open(done, "w") as fh:
         fh.write("ok")
     _ensure_scaled_lineitem(out_dir, mult)
+    _ensure_scaled_tpch_dims(out_dir, mult)
     return out_dir
 
 
@@ -168,6 +170,77 @@ def _ensure_scaled_lineitem(out_dir: str, mult: int) -> None:
 
     pq.write_table(pa.concat_tables(parts), target)
     log(f"scale_probe: wrote {sum(len(p) for p in parts)} lineitem rows (x{mult})")
+
+
+def _ensure_scaled_tpch_dims(out_dir: str, mult: int) -> None:
+    """Replicas for orders / part / events (own marker — upgrades
+    pre-existing corpora in place), for the r7-continuation probes:
+
+    - orders: replica k shifts o_orderkey/o_custkey by k*STRIDE — m×
+      customers with the original per-customer order distribution
+      (rfm/psi probe: ranks and deciles over m× rows);
+    - part: replica k ALSO word-shuffles p_name (seeded per (k, key))
+      — identical names would collapse in canonicalize_exact and fake
+      the linkage probe; shuffled names keep the name-length/token
+      distribution while re-mixing blocks, so candidate density per
+      block stays comparable;
+    - events: replica k shifts event_id/user_id by k*STRIDE, same
+      timestamps — m× users with the original lifetime distribution
+      (survival probe), m× daily totals over the same #days (acf)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(out_dir, ".done_tpch_dims")
+    if os.path.exists(marker):
+        return
+    orders = pq.read_table(os.path.join(BASE_SF, "orders.parquet"))
+    parts_o = []
+    for k in range(mult):
+        t = orders
+        for key in ("o_orderkey", "o_custkey"):
+            idx = t.schema.get_field_index(key)
+            t = t.set_column(idx, key, pc.add(t.column(key), k * ID_STRIDE))
+        parts_o.append(t)
+    pq.write_table(
+        pa.concat_tables(parts_o), os.path.join(out_dir, "orders.parquet")
+    )
+    log(f"scale_probe: wrote {len(orders) * mult} orders rows (x{mult})")
+
+    part = pq.read_table(os.path.join(BASE_SF, "part.parquet")).to_pylist()
+    prows = []
+    for k in range(mult):
+        for r in part:
+            name = r["p_name"]
+            if k > 0:
+                words = name.split(" ")
+                random.Random((k << 32) ^ r["p_partkey"]).shuffle(words)
+                name = " ".join(words)
+            row = dict(r)
+            row["p_partkey"] = r["p_partkey"] + k * ID_STRIDE
+            row["p_name"] = name
+            prows.append(row)
+    ptable = pq.read_table(os.path.join(BASE_SF, "part.parquet"))
+    pq.write_table(
+        pa.Table.from_pylist(prows, schema=ptable.schema),
+        os.path.join(out_dir, "part.parquet"),
+    )
+    log(f"scale_probe: wrote {len(prows)} part rows (x{mult})")
+
+    events = pq.read_table(os.path.join(BASE_SF, "events.parquet"))
+    parts_e = []
+    for k in range(mult):
+        t = events
+        for key in ("event_id", "user_id"):
+            idx = t.schema.get_field_index(key)
+            t = t.set_column(idx, key, pc.add(t.column(key), k * ID_STRIDE))
+        parts_e.append(t)
+    pq.write_table(
+        pa.concat_tables(parts_e), os.path.join(out_dir, "events.parquet")
+    )
+    log(f"scale_probe: wrote {len(events) * mult} events rows (x{mult})")
+    with open(marker, "w") as fh:
+        fh.write("ok")
 
 
 def main() -> int:
