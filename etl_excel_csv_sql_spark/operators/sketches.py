@@ -273,3 +273,82 @@ def phi_heavy_hitters(
             F.round(F.col("cnt") / F.col("n"), 6).alias("freq"),
         )
     )
+
+
+def count_min_estimates(
+    df: DataFrame,
+    key_col: str,
+    bucket_hex: int = 3,
+    depth: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, J.Alg 2005) built
+    IN-PLAN, with a self-auditing estimate-vs-exact report for the
+    heaviest keys.
+
+    The sketch is depth x 16^bucket_hex counters; lane j's bucket for a
+    key is the first ``bucket_hex`` hex chars of md5('cms{j}|' || key)
+    — the engine-portable hashing convention every sampler in this repo
+    uses, which is what makes a full value oracle possible (the sketch
+    is a deterministic function of the data, so DuckDB can rebuild the
+    identical table). estimate(key) = min over lanes of its counter —
+    always >= the true count, and <= true + eps*N with prob 1-delta
+    (eps = e/width, delta = e^-depth).
+
+    Plan: ONE explode of depth (lane, bucket) pairs per row -> ONE
+    shuffle on (lane, bucket) bounded by depth*width groups — that
+    aggregate IS the sketch, a ~12k-row frame at the defaults,
+    mergeable across any partitioning (counter addition commutes).
+    Estimates then join the distinct-key frame's lane buckets to the
+    broadcast sketch and take the per-key min. The exact counts carried
+    alongside are the AUDIT columns (they cost a key-cardinality
+    aggregate here at test scale; the production value of the sketch is
+    exactly that you can drop them — bounded memory, single pass,
+    streaming-mergeable — while the oracle still pins the estimates).
+
+    Output: the ``top_k`` heaviest keys (by exact count, key tiebreak)
+    with (key, exact_count, est_count, overestimate).
+    """
+    key = F.col(key_col).cast("string").alias("k")
+    keyed = df.where(F.col(key_col).isNotNull()).select(key)
+    lanes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("lane"),
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{j}|"), F.col("k"))),
+                    1,
+                    bucket_hex,
+                ).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    sketch = (
+        keyed.select(F.explode(lanes).alias("lb"))
+        .groupBy(F.col("lb.lane").alias("lane"), F.col("lb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("counter"))
+    )
+    exact = keyed.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    probes = exact.select("k", "exact_count", F.explode(lanes).alias("lb"))
+    est = (
+        probes.join(
+            F.broadcast(sketch),
+            (F.col("lb.lane") == F.col("lane"))
+            & (F.col("lb.bucket") == F.col("bucket")),
+        )
+        .groupBy("k", "exact_count")
+        .agg(F.min("counter").alias("est_count"))
+    )
+    return (
+        est.select(
+            F.col("k").alias("key"),
+            "exact_count",
+            "est_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact_count").desc(), "key")
+        .limit(top_k)
+    )

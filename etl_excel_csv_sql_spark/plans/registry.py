@@ -7422,3 +7422,52 @@ def q_embedding_quantization_report(spark, sf_dir):
     return similarity.quantize_embeddings_report(
         _t(spark, sf_dir, "embeddings"), "embedding", dim=64, levels=256
     )
+
+
+@register(
+    "count_min_partkey",
+    """
+    WITH keyed AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+      WHERE l_partkey IS NOT NULL
+    ), lanes AS (
+      SELECT k, lane,
+             substr(md5('cms' || lane || '|' || k), 1, 3) AS bucket
+      FROM keyed, (SELECT unnest([0, 1, 2]) AS lane)
+    ), sketch AS (
+      SELECT lane, bucket, count(*) AS counter
+      FROM lanes GROUP BY 1, 2
+    ), exact AS (
+      SELECT k, count(*) AS exact_count FROM keyed GROUP BY 1
+    ), probes AS (
+      SELECT e.k, e.exact_count, lane,
+             substr(md5('cms' || lane || '|' || e.k), 1, 3) AS bucket
+      FROM exact e, (SELECT unnest([0, 1, 2]) AS lane)
+    ), est AS (
+      SELECT p.k, p.exact_count, min(s.counter) AS est_count
+      FROM probes p JOIN sketch s USING (lane, bucket)
+      GROUP BY 1, 2
+    )
+    SELECT k AS key,
+           CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(est_count AS BIGINT) AS est_count,
+           CAST(est_count - exact_count AS BIGINT) AS overestimate
+    FROM est
+    ORDER BY exact_count DESC, key
+    LIMIT 20
+    """,
+    doc="Count-Min sketch (Cormode & Muthukrishnan '05) built in-plan "
+    "over lineitem part keys — 3 lanes x 4096 md5 buckets; ONE shuffle "
+    "bounded by depth*width groups IS the sketch (mergeable counter "
+    "table), estimates join the broadcast sketch and take the lane "
+    "min. Deterministic md5 lanes make the whole sketch oracle-"
+    "rebuildable in DuckDB — a FULL VALUE oracle for a probabilistic "
+    "structure; est >= exact always, audited per key",
+)
+def q_count_min_partkey(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import sketches
+
+    return sketches.count_min_estimates(
+        _t(spark, sf_dir, "lineitem"), "l_partkey",
+        bucket_hex=3, depth=3, top_k=20,
+    )

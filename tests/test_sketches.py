@@ -149,3 +149,40 @@ def test_phi_heavy_hitters_partitioning_invariant(spark):
     assert sorted((r.key, r.cnt) for r in a) == sorted(
         (r.key, r.cnt) for r in b
     )
+
+
+# -------------------------------------------------------------- Count-Min
+
+
+def test_count_min_never_underestimates(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators import sketches
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = sketches.count_min_estimates(li, "l_partkey", top_k=50).collect()
+    assert out, "expected rows"
+    for r in out:
+        assert r["est_count"] >= r["exact_count"]
+        assert r["overestimate"] == r["est_count"] - r["exact_count"]
+
+
+def test_count_min_error_bound_holds(spark):
+    """eps = e/width with width 4096: overestimate <= eps*N for the
+    vast majority of keys (the CMS (eps, delta) guarantee; delta =
+    e^-3 ~ 5% per key)."""
+    import math
+
+    from etl_excel_csv_sql_spark.operators import sketches
+
+    n = 50_000
+    df = spark.range(0, n).select((F.col("id") % 997).alias("key"))
+    out = sketches.count_min_estimates(
+        df, "key", bucket_hex=3, depth=3, top_k=997
+    ).collect()
+    eps_n = math.e / 4096 * n
+    bad = sum(1 for r in out if r["overestimate"] > eps_n)
+    assert bad <= max(1, int(0.05 * len(out)))
+    # with 997 keys in 4096 buckets the sketch must be near-exact for
+    # most keys
+    exactish = sum(1 for r in out if r["overestimate"] == 0)
+    assert exactish > len(out) * 0.5
