@@ -752,3 +752,66 @@ def acf_daily(
         ]
     )
     return aggs.select(F.inline(pairs))
+
+
+def seasonal_decompose_daily(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily metric
+    total (the moving-average method behind STL's initial pass):
+    y = trend + seasonal + residual, with
+
+    - trend: centered ``period``-day moving average (null at the edges
+      where the window is incomplete — no fabricated trend);
+    - seasonal: the per-phase mean of the detrended series (phase =
+      epoch-day mod period, engine-portable — weekday when period=7),
+      re-centered to sum to zero across phases so trend keeps the
+      level;
+    - residual: what's left — the input for anomaly screens after the
+      cycle is explained (mad/seasonal_anomalies judge raw values;
+      this explains the weekly cycle first).
+
+    Scale shape: one decimal-exact shuffle to the per-day frame;
+    the moving-average window, the period-phase aggregate (``period``
+    rows) and the final join all run on calendar-bounded frames.
+    """
+    day = F.to_date(F.col(ts_col)).alias("d")
+    daily = df.groupBy(day).agg(
+        F.sum(F.col(value_col).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("y")
+    )
+    half = period // 2
+    w = Window.orderBy("d").rowsBetween(-half, half)
+    trend = F.when(
+        F.count(F.lit(1)).over(w) == period, F.avg("y").over(w)
+    )
+    phase = (
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % period
+    ).alias("phase")
+    based = daily.select(
+        "d", "y", phase, trend.alias("trend")
+    ).withColumn("det", F.col("y") - F.col("trend"))
+    by_phase = based.groupBy("phase").agg(
+        F.avg("det").alias("s_raw")
+    )
+    centering = by_phase.agg(F.avg("s_raw").alias("s_mean"))
+    seasonal = by_phase.crossJoin(F.broadcast(centering)).select(
+        "phase", (F.col("s_raw") - F.col("s_mean")).alias("seasonal")
+    )
+    return (
+        based.join(F.broadcast(seasonal), "phase")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("phase").cast("int").alias("phase"),
+            F.round("y", 4).alias("y"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("y") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+    )

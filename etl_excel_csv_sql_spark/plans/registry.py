@@ -7471,3 +7471,46 @@ def q_count_min_partkey(spark, sf_dir):
         _t(spark, sf_dir, "lineitem"), "l_partkey",
         bucket_hex=3, depth=3, top_k=20,
     )
+
+
+@register(
+    "seasonal_decompose_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+      FROM events GROUP BY 1
+    ), based AS (
+      SELECT d, y,
+             (d - DATE '1970-01-01') % 7 AS phase,
+             CASE WHEN count(*) OVER w = 7
+                  THEN avg(y) OVER w END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+      SELECT *, y - trend AS dt FROM based
+    ), by_phase AS (
+      SELECT phase, avg(dt) AS s_raw FROM det GROUP BY 1
+    ), c AS (
+      SELECT avg(s_raw) AS s_mean FROM by_phase
+    ), seas AS (
+      SELECT phase, s_raw - s_mean AS seasonal FROM by_phase, c
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(det.phase AS INTEGER) AS phase,
+           round(y, 4) AS y,
+           round(trend, 6) AS trend,
+           round(seasonal, 6) AS seasonal,
+           round(y - trend - seasonal, 6) AS residual
+    FROM det JOIN seas USING (phase)
+    """,
+    doc="classical additive decomposition of the daily total (STL's "
+    "initial moving-average pass): centered 7-day trend (null at "
+    "incomplete edges), phase = epoch-day mod 7 seasonal means "
+    "re-centered to sum to zero, residual for post-cycle anomaly "
+    "screens. All windows/aggregates on calendar-bounded frames after "
+    "one decimal-exact day shuffle; the ACF query picks the period, "
+    "this one explains it",
+)
+def q_seasonal_decompose_daily(spark, sf_dir):
+    return events.seasonal_decompose_daily(_t(spark, sf_dir, "events"))

@@ -439,3 +439,36 @@ def test_acf_lag_zero_normalization_bound(spark, sf_dir):
     for r in out:
         assert abs(r["acf"]) <= 1.0 + 1e-9
         assert r["n_pairs"] > 0
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    """Plant y = 1000 + phase_effect(weekday) on a flat trend: the
+    decomposition must put the cycle in `seasonal` (zero-sum) and
+    leave residuals ~0 away from edges."""
+    import datetime
+
+    from etl_excel_csv_sql_spark.operators import events as ev_ops
+
+    effect = [30.0, -20.0, 10.0, 0.0, -10.0, 20.0, -30.0]
+    rows = []
+    for i in range(35):
+        d = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i)
+        phase = (d.date() - datetime.date(1970, 1, 1)).days % 7
+        rows.append((i, d, 1000.0 + effect[phase]))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = ev_ops.seasonal_decompose_daily(df).collect()
+    assert len(out) == 35
+    by_day = {r["day"]: r for r in out}
+    # edges: first/last 3 days have no full window -> null trend
+    assert by_day["2024-01-01"]["trend"] is None
+    assert by_day["2024-02-04"]["trend"] is None
+    # interior: trend = 1000 (7-day MA of a pure weekly cycle is flat),
+    # seasonal = planted effect, residual ~ 0
+    mid = by_day["2024-01-15"]
+    assert mid["trend"] == pytest.approx(1000.0, abs=1e-6)
+    phase = (datetime.date(2024, 1, 15) - datetime.date(1970, 1, 1)).days % 7
+    assert mid["seasonal"] == pytest.approx(effect[phase], abs=1e-6)
+    assert mid["residual"] == pytest.approx(0.0, abs=1e-6)
+    # seasonal components sum to ~0 across the 7 phases
+    seas = {r["phase"]: r["seasonal"] for r in out if r["seasonal"] is not None}
+    assert sum(seas.values()) == pytest.approx(0.0, abs=1e-6)
