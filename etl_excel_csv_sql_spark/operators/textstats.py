@@ -966,3 +966,143 @@ def gopher_rules(
     for name in list(rules)[1:]:
         keep = keep & F.col(name)
     return out.withColumn("keep", keep)
+
+
+def corpus_datacard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-stop corpus summary in the datasheets-for-datasets spirit
+    (Gebru et al., CACM 2021): the tall (metric, value) frame a corpus
+    release ships next to the shards — sizes, token distribution,
+    language mix, source spread, exact-duplicate rate.
+
+    TWO passes total, both bounded: one aggregate over the documents
+    (per-row token counts computed narrow; the md5 text fingerprint's
+    distinct count rides the same pass as approx-free exact
+    count-distinct), one tiny per-language aggregate inlined as extra
+    rows. Every value is a double so the frame stays tall and typed.
+    """
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("n_tok"),
+        F.md5(F.col(text_col)).alias("fp"),
+        F.col(lang_col).alias("lang"),
+        F.col(source_col).alias("src"),
+    )
+    one = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("n_tok").cast("double").alias("n_tokens"),
+        F.avg("n_tok").alias("mean_tokens"),
+        F.min("n_tok").cast("double").alias("min_tokens"),
+        F.max("n_tok").cast("double").alias("max_tokens"),
+        F.countDistinct("fp").cast("double").alias("n_distinct_texts"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.countDistinct("src").cast("double").alias("n_sources"),
+    )
+    metrics = one.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("metric"),
+                        F.round(expr, 6).alias("value"),
+                    )
+                    for name, expr in [
+                        ("n_docs", F.col("n_docs")),
+                        ("n_tokens", F.col("n_tokens")),
+                        ("mean_tokens_per_doc", F.col("mean_tokens")),
+                        ("min_tokens", F.col("min_tokens")),
+                        ("max_tokens", F.col("max_tokens")),
+                        ("n_langs", F.col("n_langs")),
+                        ("n_sources", F.col("n_sources")),
+                        (
+                            "exact_dup_rate",
+                            1.0 - F.col("n_distinct_texts") / F.col("n_docs"),
+                        ),
+                    ]
+                ]
+            )
+        )
+    )
+    lang_rows = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(one.select("n_docs")))
+        .select(
+            F.concat(F.lit("lang_frac_"), F.col("lang")).alias("metric"),
+            F.round(F.col("n") / F.col("n_docs"), 6).alias("value"),
+        )
+    )
+    return metrics.unionByName(lang_rows)
+
+
+def vocab_coverage_report(
+    df: DataFrame,
+    ks: tuple[int, ...] = (100, 1000, 10000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-budget coverage: for each candidate vocab size K, the
+    share of token OCCURRENCES covered by the top-K most frequent
+    types — the first question of any tokenizer/embedding-table budget
+    ("how big must V be before OOV is negligible?"). The complement of
+    each row is the OOV rate at that budget.
+
+    Scale shape: one token explode -> one vocab shuffle (term counts);
+    the frequency ranking runs on the VOCAB frame via
+    relational.global_row_number under the (count desc, term) total
+    order — no single-partition window even at web-scale vocabularies —
+    and coverage at each K is one conditional sum.
+    """
+    from etl_excel_csv_sql_spark.operators.relational import (
+        global_row_number,
+        spread_for_compute,
+    )
+
+    toks = (
+        spread_for_compute(df)
+        .select(F.explode(tokens(text_col)).alias("t"))
+        .select(F.lower("t").alias("term"))
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    ranked = global_row_number(
+        vocab,
+        [F.col("c").desc(), F.col("term").asc()],
+        out_col="rank",
+    )
+    return ranked.agg(
+        *[
+            agg
+            for k in ks
+            for agg in (
+                F.sum(F.when(F.col("rank") <= k, F.col("c"))).alias(f"cov{k}"),
+                F.sum(F.when(F.col("rank") <= k, 1)).alias(f"types{k}"),
+            )
+        ],
+        F.sum("c").alias("total"),
+    ).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("vocab_size"),
+                        F.coalesce(F.col(f"types{k}"), F.lit(0))
+                        .cast("bigint")
+                        .alias("types_used"),
+                        F.round(
+                            F.coalesce(F.col(f"cov{k}"), F.lit(0))
+                            / F.col("total"),
+                            6,
+                        ).alias("occurrence_coverage"),
+                    )
+                    for k in ks
+                ]
+            )
+        )
+    )

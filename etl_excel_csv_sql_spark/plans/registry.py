@@ -7514,3 +7514,85 @@ def q_count_min_partkey(spark, sf_dir):
 )
 def q_seasonal_decompose_daily(spark, sf_dir):
     return events.seasonal_decompose_daily(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "corpus_datacard",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+'))
+             END AS n_tok,
+             md5(text) AS fp, lang, source AS src
+      FROM documents
+    ), one AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(n_tok) AS DOUBLE) AS n_tokens,
+             avg(n_tok) AS mean_tokens,
+             CAST(min(n_tok) AS DOUBLE) AS mn,
+             CAST(max(n_tok) AS DOUBLE) AS mx,
+             CAST(count(DISTINCT fp) AS DOUBLE) AS nd,
+             CAST(count(DISTINCT lang) AS DOUBLE) AS nl,
+             CAST(count(DISTINCT src) AS DOUBLE) AS ns
+      FROM base
+    )
+    SELECT 'n_docs' AS metric, round(n_docs, 6) AS value FROM one
+    UNION ALL SELECT 'n_tokens', round(n_tokens, 6) FROM one
+    UNION ALL SELECT 'mean_tokens_per_doc', round(mean_tokens, 6) FROM one
+    UNION ALL SELECT 'min_tokens', round(mn, 6) FROM one
+    UNION ALL SELECT 'max_tokens', round(mx, 6) FROM one
+    UNION ALL SELECT 'n_langs', round(nl, 6) FROM one
+    UNION ALL SELECT 'n_sources', round(ns, 6) FROM one
+    UNION ALL SELECT 'exact_dup_rate', round(1.0 - nd / n_docs, 6) FROM one
+    UNION ALL
+    SELECT 'lang_frac_' || lang,
+           round(count(*) / (SELECT n_docs FROM one), 6)
+    FROM base GROUP BY lang
+    """,
+    doc="corpus datacard (datasheets-for-datasets, Gebru et al. CACM'21): "
+    "the tall (metric, value) release summary — sizes, token "
+    "distribution, language mix, source spread, exact-duplicate rate — "
+    "in two bounded passes (one doc aggregate where the md5-fingerprint "
+    "exact distinct rides along, one per-language rollup)",
+)
+def q_corpus_datacard(spark, sf_dir):
+    return textstats.corpus_datacard(_t(spark, sf_dir, "documents"))
+
+
+def _vocab_coverage_oracle(ks=(100, 1000, 10000)) -> str:
+    rows = "\n    UNION ALL ".join(
+        f"SELECT {k} AS vocab_size, "
+        f"CAST(count(CASE WHEN rank <= {k} THEN 1 END) AS BIGINT) AS types_used, "
+        f"round(coalesce(sum(CASE WHEN rank <= {k} THEN c END), 0) "
+        f"/ (SELECT total FROM t), 6) AS occurrence_coverage FROM ranked"
+        for k in ks
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT lower(unnest({_TOKS_SQL})) AS term FROM documents
+    ), vocab AS (
+      SELECT term, count(*) AS c FROM toks GROUP BY 1
+    ), ranked AS (
+      SELECT term, c, row_number() OVER (ORDER BY c DESC, term) AS rank
+      FROM vocab
+    ), t AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM vocab)
+    {rows}
+    """
+
+
+@register(
+    "vocab_coverage_report",
+    _vocab_coverage_oracle(),
+    doc="tokenizer/embedding-table budget analysis: share of token "
+    "occurrences covered by the top-K frequency types at K = 100 / 1k "
+    "/ 10k (complement = OOV rate at that budget). One explode + one "
+    "vocab shuffle; the frequency ranking runs on the vocab frame via "
+    "relational.global_row_number (range-partitioned two-level rank), "
+    "oracle uses the native single-partition row_number — again "
+    "value-proving the distributed rank rewrite",
+)
+def q_vocab_coverage_report(spark, sf_dir):
+    return textstats.vocab_coverage_report(
+        _t(spark, sf_dir, "documents"), ks=(100, 1000, 10000)
+    )

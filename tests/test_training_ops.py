@@ -719,3 +719,44 @@ def test_gopher_rules_reports_counts(spark):
     assert r["n_words"] == 5
     assert r["stopword_hits"] == 3  # the, and, the
     assert abs(r["mean_word_len"] - 15 / 5) < 1e-9
+
+
+# ---------------------------------------------------------- datacard/vocab
+
+
+def test_corpus_datacard_known_values(spark):
+    from etl_excel_csv_sql_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1"),
+            (2, "a b c", "en", "s1"),  # exact dup
+            (3, "d e", "fr", "s2"),
+            (4, "", "fr", "s2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["metric"]: r["value"] for r in textstats.corpus_datacard(df).collect()}
+    assert out["n_docs"] == 4.0
+    assert out["n_tokens"] == 8.0
+    assert out["min_tokens"] == 0.0 and out["max_tokens"] == 3.0
+    assert out["exact_dup_rate"] == pytest.approx(0.25)
+    assert out["lang_frac_en"] == pytest.approx(0.5)
+    assert out["n_sources"] == 2.0
+
+
+def test_vocab_coverage_monotone_and_exact_on_small_vocab(spark):
+    from etl_excel_csv_sql_spark.operators import textstats
+
+    # 3 types: x appears 6 times, y 3, z 1
+    df = spark.createDataFrame(
+        [(1, "x x x y"), (2, "x x x y y z")], "doc_id long, text string"
+    )
+    out = {
+        r["vocab_size"]: r
+        for r in textstats.vocab_coverage_report(df, ks=(1, 2, 3)).collect()
+    }
+    assert out[1]["occurrence_coverage"] == pytest.approx(0.6)
+    assert out[2]["occurrence_coverage"] == pytest.approx(0.9)
+    assert out[3]["occurrence_coverage"] == pytest.approx(1.0)
+    assert out[3]["types_used"] == 3
