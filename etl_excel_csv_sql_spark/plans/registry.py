@@ -7596,3 +7596,37 @@ def q_vocab_coverage_report(spark, sf_dir):
     return textstats.vocab_coverage_report(
         _t(spark, sf_dir, "documents"), ks=(100, 1000, 10000)
     )
+
+
+@register(
+    "dup_pair_edit_script",
+    None,  # difflib's opcode recursion has no SQL equivalent → rows-only;
+    # the reconstruction invariant (applying the script to a yields b)
+    # and direct difflib parity are pytest-pinned
+    doc="dedup forensics through the Python UDTF surface (Spark 4 "
+    "lateral table function): for every blocked Levenshtein near-dup "
+    "part-name pair, difflib's deterministic edit script — one row per "
+    "opcode with half-open spans and segments — shows WHICH spans "
+    "differ before a collapse decision. Python runs per PAIR (the "
+    "blocked, capped candidate frame), never per corpus row; invoked "
+    "via SQL `... , LATERAL diff_spans(text_a, text_b)` so the lateral "
+    "UDTF path itself is driver-evidenced",
+)
+def q_dup_pair_edit_script(spark, sf_dir):
+    from etl_excel_csv_sql_spark.functions.udtfs import register_udtfs
+    from etl_excel_csv_sql_spark.operators import linkage
+
+    register_udtfs(spark)
+    part = _t(spark, sf_dir, "part")
+    distinct = linkage.canonicalize_exact(part, "p_partkey", "p_name")
+    pairs = linkage.fuzzy_self_pairs(
+        distinct, linkage.last_token_block(), max_dist=2, max_block=2000
+    )
+    pairs.createOrReplaceTempView("__dup_pairs")
+    return spark.sql(
+        """
+        SELECT p.id_a, p.id_b, d.op,
+               d.a_start, d.a_end, d.b_start, d.b_end, d.a_seg, d.b_seg
+        FROM __dup_pairs p, LATERAL diff_spans(p.text_a, p.text_b) d
+        """
+    )

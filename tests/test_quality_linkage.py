@@ -321,3 +321,48 @@ def test_jaro_winkler_pairs_respects_block_cap(spark):
     ).collect()
     ids = {i for r in out for i in (r.id_a, r.id_b)}
     assert ids == {100, 101}  # the hot block never generated candidates
+
+
+# ----------------------------------------------------------------- UDTF
+
+
+def test_diff_spans_reconstruction_invariant(spark):
+    """Applying the emitted edit script to `a` must rebuild `b`, and
+    the opcodes must equal difflib's directly."""
+    import difflib
+
+    from etl_excel_csv_sql_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    pairs = [
+        ("promo burnished copper", "promo burnishes copper"),
+        ("abc", "xbc"),
+        ("same same", "same same"),
+        ("", "new"),
+    ]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    df.createOrReplaceTempView("__diff_in")
+    rows = spark.sql(
+        """
+        SELECT i.a, i.b, d.op, d.a_start, d.a_end, d.b_start, d.b_end,
+               d.a_seg, d.b_seg
+        FROM __diff_in i, LATERAL diff_spans(i.a, i.b) d
+        """
+    ).collect()
+    by_pair = {}
+    for r in rows:
+        by_pair.setdefault((r["a"], r["b"]), []).append(r)
+    assert set(by_pair) == set(pairs)
+    for (a, b), ops in by_pair.items():
+        ops.sort(key=lambda r: r["a_start"])
+        rebuilt = "".join(
+            r["b_seg"] if r["op"] != "equal" else a[r["a_start"]:r["a_end"]]
+            for r in sorted(ops, key=lambda r: (r["a_start"], r["b_start"]))
+        )
+        assert rebuilt == b, (a, b)
+        expect = difflib.SequenceMatcher(a=a, b=b, autojunk=False).get_opcodes()
+        got = [
+            (r["op"], r["a_start"], r["a_end"], r["b_start"], r["b_end"])
+            for r in sorted(ops, key=lambda r: (r["a_start"], r["b_start"]))
+        ]
+        assert got == expect, (a, b)
