@@ -131,3 +131,43 @@ def write_csv_with_lock_fallback(
         fallback = f"{stem}_{(now or datetime.now()).strftime('%Y%m%d')}{ext}"
         write_csv_single(df, fallback)
         return fallback
+
+
+def read_csv_permissive(
+    spark: SparkSession,
+    path: str,
+    ddl_schema: str,
+    header: bool = True,
+    corrupt_col: str = "corrupt_record",
+) -> DataFrame:
+    """Typed CSV ingestion that QUARANTINES instead of failing or
+    silently nulling: PERMISSIVE mode with an explicit corrupt-record
+    column — rows that parse land typed with ``corrupt_col`` NULL; rows
+    with any malformed field keep the RAW LINE in ``corrupt_col``
+    (PERMISSIVE nulls the unparseable FIELDS but keeps ones that did
+    parse — e.g. a good leading int before a bad column survives), so
+    the caller can split good/quarantine with one null-test and never
+    loses bytes.
+
+    This is the ingestion half of the T3 at-least-once + poison-row
+    contract (jdbc.quarantine_split is the load half): malformed input
+    must neither kill the job (FAILFAST) nor vanish (DROPMALFORMED) —
+    both Spark modes exist and are the wrong default for a pipeline
+    that must account for every input row.
+
+    Spark caveat encoded here: the corrupt column must be IN the schema
+    and the raw line is only retained while the parsed row stays
+    unprojected — callers must filter/split BEFORE dropping it.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromDDL(ddl_schema).add(
+        T.StructField(corrupt_col, T.StringType())
+    )
+    return (
+        spark.read.option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(schema)
+        .csv(path)
+    )

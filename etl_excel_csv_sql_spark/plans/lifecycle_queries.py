@@ -2110,3 +2110,88 @@ def q_events_streaming_dedup_watermarked(spark, sf_dir):
         "event_type",
         "value",
     )
+
+
+@register(
+    "csv_permissive_quarantine",
+    # Full value oracle for BOTH halves of permissive ingestion: the
+    # good rows come back typed and byte-equal to the source slice; the
+    # three injected garbage lines come back null-typed with the raw
+    # line preserved in corrupt_record. DROPMALFORMED would lose the
+    # garbage silently; FAILFAST would kill the job — this is the
+    # accounted-for-every-row mode.
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DOUBLE) AS quantity,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+           CAST(NULL AS VARCHAR) AS corrupt_record
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    UNION ALL
+    SELECT NULL, NULL, NULL, NULL, garbage FROM (
+      VALUES ('###not-a-row###'),
+             ('x,y'),
+             ('1,notanint,alpha,beta')
+    ) g(garbage)
+    """,
+    doc="PERMISSIVE CSV ingestion with corrupt-record quarantine "
+    "(io/csv_io.read_csv_permissive) — the ingestion half of the T3 "
+    "poison-row contract: a lineitem slice plus 3 injected malformed "
+    "lines round-trips through CSV; good rows return typed and "
+    "value-equal, bad rows return null-typed with the raw line "
+    "retained. The oracle reconstructs both halves exactly",
+)
+def q_csv_permissive_quarantine(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io.csv_io import read_csv_permissive
+
+    scratch = _scratch(
+        "csv_permissive_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    csv_dir = os.path.join(scratch, "in_csv")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 100 == 0
+    )
+    (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity")
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("quantity"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(csv_dir)
+    )
+    # inject malformed lines into the single part file, after the header
+    import glob as _glob
+
+    (part,) = _glob.glob(os.path.join(csv_dir, "part-*.csv"))
+    with open(part, "a", encoding="utf-8") as fh:
+        fh.write("###not-a-row###\n")
+        fh.write("x,y\n")
+        fh.write("1,notanint,alpha,beta\n")
+    # the append invalidates Hadoop's .crc sidecar for the part file —
+    # drop the checksums or the re-read fails with ChecksumException
+    for crc in _glob.glob(os.path.join(csv_dir, ".*.crc")):
+        os.remove(crc)
+    out = read_csv_permissive(
+        spark,
+        csv_dir,
+        "l_orderkey bigint, l_linenumber int, quantity double, ship_day string",
+    )
+    # PERMISSIVE keeps FIELDS that parsed even on a quarantined row
+    # ('1,notanint,alpha,beta' keeps l_orderkey=1) — normalize to a
+    # binary split for the report: typed columns null whenever the raw
+    # line is quarantined
+    good = F.col("corrupt_record").isNull()
+    return out.select(
+        F.when(good, F.col("l_orderkey")).alias("l_orderkey"),
+        F.when(good, F.col("l_linenumber")).alias("l_linenumber"),
+        F.when(good, F.col("quantity")).alias("quantity"),
+        F.when(good, F.col("ship_day")).alias("ship_day"),
+        "corrupt_record",
+    )

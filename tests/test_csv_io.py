@@ -100,3 +100,34 @@ def test_fixed_width_read_prunes_unused_slices(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     # pruned projection: only one substring slice survives
     assert plan.count("substring") <= 1
+
+
+def test_read_csv_permissive_splits_good_and_quarantine(spark, tmp_path):
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_excel_csv_sql_spark.io.csv_io import read_csv_permissive
+
+    csv_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, 10.5, "a"), (2, 20.0, "b")], "id bigint, v double, s string"
+    ).coalesce(1).write.mode("overwrite").option("header", "true").csv(csv_dir)
+    (part,) = glob.glob(os.path.join(csv_dir, "part-*.csv"))
+    with open(part, "a", encoding="utf-8") as fh:
+        fh.write("oops\n")
+        fh.write("3,notadouble,c\n")
+    for crc in glob.glob(os.path.join(csv_dir, ".*.crc")):
+        os.remove(crc)
+    out = read_csv_permissive(spark, csv_dir, "id bigint, v double, s string")
+    good = out.where(F.col("corrupt_record").isNull()).collect()
+    bad = out.where(F.col("corrupt_record").isNotNull()).collect()
+    assert sorted((r["id"], r["v"]) for r in good) == [(1, 10.5), (2, 20.0)]
+    assert sorted(r["corrupt_record"] for r in bad) == [
+        "3,notadouble,c",
+        "oops",
+    ]
+    # PERMISSIVE retains fields that DID parse on a quarantined row
+    arity_ok = [r for r in bad if r["corrupt_record"].startswith("3,")][0]
+    assert arity_ok["id"] == 3 and arity_ok["v"] is None
