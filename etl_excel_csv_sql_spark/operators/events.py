@@ -815,3 +815,80 @@ def seasonal_decompose_daily(
             ).alias("residual"),
         )
     )
+
+
+def attribute_time_decay(
+    df: DataFrame,
+    convert_type: str = "purchase",
+    window_seconds: int = 24 * 3600,
+    half_life_seconds: int = 6 * 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-decay MULTI-touch attribution: every touch in the lookback
+    window shares a conversion's value, weighted exp(−Δt·ln2/half_life)
+    and normalized per conversion — the standard refinement of
+    last-touch (which hands 100% to the final click; see
+    :func:`attribute_last_touch`) when several channels assist.
+
+    The touch-to-conversion pairing is a (user, time-range) join. A
+    bare inequality join degenerates to a nested-loop product, and even
+    a user-equi join serializes a whale user's touches×conversions; so
+    the range is BUCKETIZED like relational.bucketed_range_join, with
+    the user IN the join key: each conversion's window covers at most 2
+    buckets of width = window_seconds, each touch lands in exactly 1,
+    and the join is a hash join on (user, bucket) + the exact range
+    predicate. Per-conversion weight totals come from one
+    conversion-keyed aggregate joined back (bounded groups).
+
+    Output per channel (touch event_type): n_touches, attributed
+    conversions reached, credited value (4dp).
+    """
+    tsu = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w_us = window_seconds * 1_000_000
+    touches = df.where(F.col(type_col) != convert_type).select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("channel"),
+        tsu.alias("t_us"),
+        F.floor(tsu / w_us).alias("bkt"),
+    )
+    convs = df.where(F.col(type_col) == convert_type).select(
+        F.col(user_col).alias("u"),
+        F.col(id_col).alias("conv_id"),
+        tsu.alias("c_us"),
+        F.col(value_col).cast("double").alias("val"),
+    )
+    conv_b = convs.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("c_us") - w_us) / w_us),
+                F.floor(F.col("c_us") / w_us),
+            )
+        ),
+    )
+    pairs = touches.join(conv_b, ["u", "bkt"]).where(
+        (F.col("t_us") < F.col("c_us"))
+        & (F.col("t_us") >= F.col("c_us") - w_us)
+    )
+    dt_sec = (F.col("c_us") - F.col("t_us")) / 1_000_000.0
+    weighted = pairs.select(
+        "channel",
+        "conv_id",
+        "val",
+        F.exp(-dt_sec * F.log(F.lit(2.0)) / half_life_seconds).alias("w"),
+    ).localCheckpoint(eager=True)  # totals + credit both consume it
+    totals = weighted.groupBy("conv_id").agg(F.sum("w").alias("w_sum"))
+    credited = weighted.join(totals, "conv_id").select(
+        "channel",
+        "conv_id",
+        (F.col("val") * F.col("w") / F.col("w_sum")).alias("credit"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_conversions"),
+        F.round(F.sum("credit"), 4).alias("credited_value"),
+    )

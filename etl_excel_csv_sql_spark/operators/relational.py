@@ -937,3 +937,51 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
         .otherwise(r + F.floor((rank - big_span - 1) / q) + 1)
         .cast("int")
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order: Sequence[Column],
+    value_col: str,
+    out_col: str = "prefix",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running total of ``value_col`` under a TOTAL order, distributed
+    the same way as :func:`global_row_number` (range partition →
+    per-split running sum keyed by partition id → broadcast per-split
+    totals prefix-summed on the #partitions-row frame). The
+    sum-semantics sibling of the row-number rewrite: a plain
+    ``sum() OVER (ORDER BY …)`` serializes the frame through one task.
+
+    ``value_col`` should be decimal for exact, order-independent
+    prefixes (the caller's choice — doubles work but inherit FP
+    noise). Emits the input columns plus ``out_col`` (inclusive prefix).
+    """
+    n_parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    ranged = df.repartitionByRange(int(n_parts), *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("__lps", F.sum(value_col).over(w_local))
+    w_pid = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__s"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__s").over(w_pid), F.lit(0)).alias("__off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__lps"))
+        .drop("__pid", "__lps", "__off")
+    )

@@ -681,3 +681,61 @@ def winsorized_summary(
         )
         .withColumnRenamed("g", group_col)
     )
+
+
+def pareto_abc(
+    lineitem: DataFrame,
+    a_share: float = 0.8,
+    b_share: float = 0.95,
+) -> DataFrame:
+    """Pareto / ABC revenue classification of parts — the 80/20 working
+    set every inventory and caching decision starts from: rank parts by
+    revenue, take the running share of total, tag A (first ``a_share``
+    of revenue), B (to ``b_share``), C (tail).
+
+    Scale design: revenue per part is one decimal-exact shuffle; the
+    running total uses :func:`relational.global_prefix_sum` (range
+    partition + per-split running sum + broadcast offsets) — never a
+    single-partition ORDER BY window — and because the prefix and the
+    grand total are both EXACT decimals, the A/B boundary comparison is
+    bit-identical in any engine and any partitioning (no FP boundary
+    flips). The oracle runs the native windowed running sum.
+    """
+    from etl_excel_csv_sql_spark.operators import relational
+
+    rev = lineitem.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("revenue")
+    )
+    order = [F.col("revenue").desc(), F.col("partkey").asc()]
+    ranked = relational.global_row_number(rev, order, out_col="rank")
+    with_prefix = relational.global_prefix_sum(
+        ranked, order, "revenue", out_col="cum_revenue"
+    )
+    total = rev.agg(F.sum("revenue").alias("total"))
+    # both operands are EXACT decimals small enough to be exact doubles
+    # (< 2^53 quanta), so the double division — and therefore the A/B
+    # class boundary comparison — is bit-identical across engines;
+    # decimal/decimal division would instead round at an engine-chosen
+    # result scale
+    share = F.col("cum_revenue").cast("double") / F.col("total").cast(
+        "double"
+    )
+    cls = (
+        F.when(share <= a_share, "A")
+        .when(share <= b_share, "B")
+        .otherwise(F.lit("C"))
+    )
+    return (
+        with_prefix.crossJoin(F.broadcast(total))
+        .select(
+            "partkey",
+            "rank",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.round(share, 6).alias("cum_share"),
+            cls.alias("abc_class"),
+        )
+    )

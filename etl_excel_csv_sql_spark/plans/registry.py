@@ -7630,3 +7630,148 @@ def q_dup_pair_edit_script(spark, sf_dir):
         FROM __dup_pairs p, LATERAL diff_spans(p.text_a, p.text_b) d
         """
     )
+
+
+@register(
+    "copurchase_triangles",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, CAST(l_partkey AS VARCHAR) AS p
+      FROM lineitem
+    ), e AS (
+      SELECT DISTINCT least(a.p, b.p) AS a, greatest(a.p, b.p) AS b
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.p < b.p
+    ), deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY v
+    ), tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), agg AS (
+      SELECT (SELECT count(*) FROM deg) AS n_nodes,
+             (SELECT count(*) FROM e) AS n_edges,
+             (SELECT n_triangles FROM tri) AS n_triangles,
+             (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg)
+               AS wedges
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           wedges,
+           CASE WHEN wedges > 0
+                THEN round(3.0 * n_triangles / wedges, 6) END AS clustering
+    FROM agg
+    """,
+    doc="exact triangle count + global clustering of the co-purchase "
+    "part graph (parts sharing an order; pairs bounded by order size). "
+    "Spark side uses the degree-ordered orientation (Suri & "
+    "Vassilvitskii WWW'11) so per-node out-degree is O(sqrt m) and the "
+    "wedge join dodges the last-reducer hub blowup; the oracle counts "
+    "with the naive a<b<c three-way join — the driver value-proves the "
+    "orientation rewrite",
+)
+def q_copurchase_triangles(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").cast("string").alias("p")
+    ).distinct()
+    a = li.withColumnRenamed("p", "p1")
+    b = li.withColumnRenamed("p", "p2")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+    )
+    return graph.triangle_stats(edges, "p1", "p2")
+
+
+@register(
+    "pareto_abc_parts",
+    """
+    WITH rev AS (
+      SELECT l_partkey AS partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,4))) AS revenue
+      FROM lineitem GROUP BY 1
+    ), t AS (SELECT sum(revenue) AS total FROM rev),
+    r AS (
+      SELECT partkey, revenue,
+             row_number() OVER w AS rank,
+             sum(revenue) OVER (ORDER BY revenue DESC, partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+      FROM rev
+      WINDOW w AS (ORDER BY revenue DESC, partkey)
+    )
+    SELECT partkey,
+           CAST(rank AS BIGINT) AS rank,
+           CAST(revenue AS DOUBLE) AS revenue,
+           round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS cum_share,
+           CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8
+                  THEN 'A'
+                WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95
+                  THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r, t
+    """,
+    doc="Pareto/ABC revenue classification of parts (the 80/20 working "
+    "set): decimal-exact per-part revenue, running share via "
+    "relational.global_prefix_sum (range partition + per-split running "
+    "sum + broadcast offsets — the sum sibling of the distributed "
+    "rank; oracle runs the native single-partition running-sum "
+    "window), exact-decimal prefixes so the class boundaries cannot "
+    "FP-flip between engines",
+)
+def q_pareto_abc_parts(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import stats
+
+    return stats.pareto_abc(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "attribution_time_decay",
+    """
+    WITH touches AS (
+      SELECT user_id AS u, event_type AS channel, epoch_us(ts) AS t_us
+      FROM events WHERE event_type <> 'purchase'
+    ), convs AS (
+      SELECT user_id AS u, event_id AS conv_id, epoch_us(ts) AS c_us,
+             CAST(value AS DOUBLE) AS val
+      FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+      SELECT t.channel, c.conv_id, c.val,
+             exp(-((c.c_us - t.t_us) / 1000000.0) * ln(2.0) / 21600)
+               AS w
+      FROM touches t JOIN convs c
+        ON t.u = c.u
+       AND t.t_us < c.c_us
+       AND t.t_us >= c.c_us - 86400000000
+    ), totals AS (
+      SELECT conv_id, sum(w) AS w_sum FROM pairs GROUP BY 1
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+           round(sum(val * w / w_sum), 4) AS credited_value
+    FROM pairs JOIN totals USING (conv_id)
+    GROUP BY channel
+    """,
+    doc="time-decay multi-touch attribution (24h lookback, 6h "
+    "half-life, per-conversion-normalized exp weights): the "
+    "touch-to-conversion pairing is a bucketized (user, time-range) "
+    "hash join — window-width buckets IN the join key, <=2 buckets per "
+    "conversion, 1 per touch — instead of the nested-loop/whale-user "
+    "shapes a bare range join plans; the oracle runs the literal "
+    "inequality join, value-proving the bucketization",
+)
+def q_attribution_time_decay(spark, sf_dir):
+    return events.attribute_time_decay(
+        _t(spark, sf_dir, "events"),
+        window_seconds=24 * 3600,
+        half_life_seconds=6 * 3600,
+    )

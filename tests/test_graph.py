@@ -176,3 +176,44 @@ def test_lpa_isolated_node_keeps_own_label(spark):
     }
     assert out["q"] == "q"
     assert len({out["a"], out["b"], out["c"]}) == 1
+
+
+# ------------------------------------------------------------- triangles
+
+
+def test_triangle_stats_known_graph(spark):
+    """K4 plus a pendant: K4 has 4 triangles; the pendant adds none.
+    Wedges: deg(3,3,3,4... ) — compute explicitly."""
+    from etl_excel_csv_sql_spark.operators import graph
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(k4, "src string, dst string")
+    r = graph.triangle_stats(df).collect()[0]
+    assert r["n_nodes"] == 5 and r["n_edges"] == 7
+    assert r["n_triangles"] == 4
+    # degrees: a,b,c=3, d=4, e=1 -> wedges = 3*3 + 6 + 0 = 15
+    assert r["wedges"] == 15
+    assert r["clustering"] == pytest.approx(12 / 15)
+
+
+def test_triangle_stats_triangle_free(spark):
+    from etl_excel_csv_sql_spark.operators import graph
+
+    star = [("c", f"x{i}") for i in range(5)]
+    df = spark.createDataFrame(star, "src string, dst string")
+    r = graph.triangle_stats(df).collect()[0]
+    assert r["n_triangles"] == 0 and r["wedges"] == 10
+    assert r["clustering"] == 0.0
+
+
+def test_triangle_stats_ignores_duplicates_and_direction(spark):
+    from etl_excel_csv_sql_spark.operators import graph
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c"),
+         ("a", "a")],
+        "src string, dst string",
+    )
+    r = graph.triangle_stats(df).collect()[0]
+    assert r["n_edges"] == 3 and r["n_triangles"] == 1

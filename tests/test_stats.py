@@ -472,3 +472,85 @@ def test_seasonal_decompose_recovers_planted_cycle(spark):
     # seasonal components sum to ~0 across the 7 phases
     seas = {r["phase"]: r["seasonal"] for r in out if r["seasonal"] is not None}
     assert sum(seas.values()) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_global_prefix_sum_matches_window(spark):
+    from pyspark.sql import Window as W
+
+    from etl_excel_csv_sql_spark.operators import relational
+
+    df = spark.range(0, 500).select(
+        (F.col("id") * 37 % 113).alias("k"),
+        "id",
+        (F.col("id") % 7).cast("decimal(10,2)").alias("v"),
+    )
+    order = [F.col("k").asc(), F.col("id").asc()]
+    got = relational.global_prefix_sum(
+        df, order, "v", out_col="ps", num_partitions=8
+    )
+    want = df.withColumn(
+        "ps_w",
+        F.sum("v").over(
+            W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    j = got.join(want.select("id", "ps_w"), "id")
+    assert j.where(F.col("ps") != F.col("ps_w")).count() == 0
+
+
+def test_pareto_abc_classes_partition_revenue(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators import stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = stats.pareto_abc(li).collect()
+    classes = {r["abc_class"] for r in out}
+    assert classes == {"A", "B", "C"}
+    # cum_share is monotone in rank and ends at 1.0
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    assert by_rank[-1]["cum_share"] == pytest.approx(1.0, abs=1e-6)
+    shares = [r["cum_share"] for r in by_rank]
+    assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))
+    # class A holds the head of the curve
+    assert by_rank[0]["abc_class"] == "A"
+
+
+def test_time_decay_attribution_hand_weights(spark):
+    """One conversion (value 100) with two touches 1h and 7h before, at
+    6h half-life: w1 = 2^(-1/6), w2 = 2^(-7/6); credits split
+    proportionally. A touch outside the 24h window gets nothing."""
+    import datetime
+
+    from etl_excel_csv_sql_spark.operators import events as ev_ops
+
+    t0 = datetime.datetime(2024, 5, 1, 12, 0, 0)
+
+    def at(hours_before):
+        return t0 - datetime.timedelta(hours=hours_before)
+
+    rows = [
+        (1, 7, at(30), "click", 0.0),   # outside 24h window
+        (2, 7, at(7), "click", 0.0),
+        (3, 7, at(1), "view", 0.0),
+        (4, 7, t0, "purchase", 100.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = {
+        r["channel"]: r
+        for r in ev_ops.attribute_time_decay(
+            df, window_seconds=24 * 3600, half_life_seconds=6 * 3600
+        ).collect()
+    }
+    w_click = 2 ** (-7 / 6)
+    w_view = 2 ** (-1 / 6)
+    total = w_click + w_view
+    assert set(out) == {"click", "view"}
+    assert out["click"]["credited_value"] == pytest.approx(
+        100 * w_click / total, abs=1e-3
+    )
+    assert out["view"]["credited_value"] == pytest.approx(
+        100 * w_view / total, abs=1e-3
+    )
+    assert out["click"]["n_touches"] == 1  # the 30h-old touch is out
