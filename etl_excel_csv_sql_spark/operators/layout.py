@@ -147,3 +147,92 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def hilbert_index(x: Column, y: Column, bits: int = 8) -> Column:
+    """Hilbert-curve distance of an integer 2-D point (xy2d, the
+    standard bit-level rotation fold) — the locality-preserving
+    alternative to :func:`zorder_value`: consecutive Hilbert cells are
+    always spatially ADJACENT (Morton order jumps at quadrant
+    boundaries), so range scans touch fewer files for the same file
+    count; Delta's OPTIMIZE added exactly this as LIQUID clustering's
+    curve.
+
+    Implemented as a pure Catalyst higher-order fold: the (d, x, y)
+    state folds over the ``bits`` levels (an F.aggregate over a literal
+    level array — all JVM integer ops inside codegen, no UDF), one
+    rotate/flip per level per the classic xy2d recurrence. Inputs must
+    already be bucketed to [0, 2^bits) (pair with
+    :func:`minmax_bucket`). The DuckDB oracle runs the identical fold
+    through list_reduce, so the curve is value-checkable end to end.
+    """
+    levels = F.array(
+        *[F.lit(1 << k).cast("long") for k in range(bits - 1, -1, -1)]
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("d"),
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        ax, ay = acc.getField("x"), acc.getField("y")
+        rx = F.when(ax.bitwiseAND(s) > 0, F.lit(3).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        ry = F.when(ay.bitwiseAND(s) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        d = acc.getField("d") + s * s * rx.bitwiseXOR(ry)
+        swap_needed = ay.bitwiseAND(s) == 0
+        flip = ax.bitwiseAND(s) > 0
+        nx = F.when(
+            swap_needed, F.when(flip, s - 1 - ay).otherwise(ay)
+        ).otherwise(ax)
+        ny = F.when(
+            swap_needed, F.when(flip, s - 1 - ax).otherwise(ax)
+        ).otherwise(ay)
+        return F.struct(
+            d.alias("d"),
+            nx.cast("long").alias("x"),
+            ny.cast("long").alias("y"),
+        )
+
+    return F.aggregate(levels, init, step).getField("d")
+
+
+def with_hilbert(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    h_col: str = "hvalue",
+    bits: int = 8,
+) -> DataFrame:
+    """Attach the Hilbert clustering key over two numeric columns:
+    equal-width ``bits``-bit buckets from in-plan min/max bounds (same
+    bucketing as :func:`with_zorder`), then the xy2d fold. Use with
+    repartitionByRange + sortWithinPartitions for the layout write,
+    exactly like ``write_zordered``."""
+    bounds = df.agg(
+        F.min(F.col(col_a).cast("double")).alias("__lo_a"),
+        F.max(F.col(col_a).cast("double")).alias("__hi_a"),
+        F.min(F.col(col_b).cast("double")).alias("__lo_b"),
+        F.max(F.col(col_b).cast("double")).alias("__hi_b"),
+    )
+    ba = minmax_bucket(
+        F.col(col_a).cast("double"),
+        F.col("__lo_a"),
+        F.col("__hi_a"),
+        bits=bits,
+    )
+    bb = minmax_bucket(
+        F.col(col_b).cast("double"),
+        F.col("__lo_b"),
+        F.col("__hi_b"),
+        bits=bits,
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(h_col, hilbert_index(ba, bb, bits=bits))
+        .drop("__lo_a", "__hi_a", "__lo_b", "__hi_b")
+    )

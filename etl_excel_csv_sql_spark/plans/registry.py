@@ -7775,3 +7775,81 @@ def q_attribution_time_decay(spark, sf_dir):
         window_seconds=24 * 3600,
         half_life_seconds=6 * 3600,
     )
+
+
+def _hilbert_oracle(bits: int = 8) -> str:
+    n = 1 << bits
+    bucket = (
+        "LEAST(GREATEST(CAST(FLOOR(((CAST({x} AS DOUBLE) - {lo}) / ({hi} - {lo}))"
+        f" * {float(n)}) AS BIGINT), 0), {n - 1})"
+    )
+    ba = bucket.format(x="o_custkey", lo="lo_a", hi="hi_a")
+    bb = bucket.format(x="o_totalprice", lo="lo_b", hi="hi_b")
+    # DuckDB 1.0's list_reduce mis-evaluates STRUCT accumulators with
+    # cross-field reads (probed: the per-level rotate comes back wrong
+    # inside the fold while the identical expressions are correct
+    # standalone), so the (d, x, y) state is PACKED into one BIGINT:
+    # acc = d*2^22 + (x+1024)*2^11 + (y+1024). Coordinates stay within
+    # (-2^bits, 2^bits+2^bits) through the rotate/flip recurrence, so
+    # the 11-bit offset-1024 lanes never overflow; verified exact
+    # against the reference xy2d on 300+ random points in tests.
+    y_d = "((acc % 2048) - 1024)"
+    x_d = "(((acc // 2048) % 2048) - 1024)"
+    d_d = "(acc // 4194304)"
+    rx = f"CASE WHEN ({x_d} & e) > 0 THEN 3 ELSE 0 END"
+    ry = f"CASE WHEN ({y_d} & e) > 0 THEN 1 ELSE 0 END"
+    nd = f"({d_d} + e * e * xor({rx}, {ry}))"
+    nx = (
+        f"CASE WHEN ({y_d} & e) = 0 THEN "
+        f"CASE WHEN ({x_d} & e) > 0 THEN (e - 1 - {y_d}) ELSE {y_d} END "
+        f"ELSE {x_d} END"
+    )
+    ny = (
+        f"CASE WHEN ({y_d} & e) = 0 THEN "
+        f"CASE WHEN ({x_d} & e) > 0 THEN (e - 1 - {x_d}) ELSE {x_d} END "
+        f"ELSE {y_d} END"
+    )
+    step = f"(({nd} * 2048 + ({nx} + 1024)) * 2048 + ({ny} + 1024))"
+    levels = ", ".join(
+        f"CAST({1 << k} AS BIGINT)" for k in range(bits - 1, -1, -1)
+    )
+    fold = (
+        "list_reduce(list_prepend("
+        "CAST((0 * 2048 + (ba + 1024)) * 2048 + (bb + 1024) AS BIGINT), "
+        f"[{levels}]), (acc, e) -> {step}) // 4194304"
+    )
+    return f"""
+    WITH bounds AS (
+      SELECT CAST(min(o_custkey) AS DOUBLE) AS lo_a,
+             CAST(max(o_custkey) AS DOUBLE) AS hi_a,
+             CAST(min(o_totalprice) AS DOUBLE) AS lo_b,
+             CAST(max(o_totalprice) AS DOUBLE) AS hi_b
+      FROM orders
+    ), bk AS (
+      SELECT o_orderkey, {ba} AS ba, {bb} AS bb FROM orders, bounds
+    )
+    SELECT o_orderkey, CAST({fold} AS BIGINT) AS hvalue
+    FROM bk
+    """
+
+
+@register(
+    "hilbert_layout_sample",
+    _hilbert_oracle(8),
+    doc="Hilbert-curve clustering key over (o_custkey, o_totalprice) — "
+    "the locality-preserving upgrade of the Morton/z-order key "
+    "(consecutive Hilbert cells are always spatially adjacent; Morton "
+    "jumps at quadrant boundaries, so equal-size files cover tighter "
+    "rectangles under Hilbert). The xy2d rotation fold runs as a pure "
+    "Catalyst F.aggregate over the bit levels (JVM codegen, no UDF); "
+    "the oracle executes the IDENTICAL fold via DuckDB list_reduce — "
+    "a bit-level value proof of a space-filling curve across engines. "
+    "tests/test_layout.py measures the locality win vs z-order",
+)
+def q_hilbert_layout_sample(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import layout
+
+    orders = _t(spark, sf_dir, "orders")
+    return layout.with_hilbert(
+        orders, "o_custkey", "o_totalprice", bits=8
+    ).select("o_orderkey", F.col("hvalue").cast("bigint").alias("hvalue"))
