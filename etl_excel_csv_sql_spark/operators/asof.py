@@ -102,3 +102,84 @@ def asof_join(
         F.col("__best").getField(c).alias(f"asof_{c}") for c in value_cols
     ] + [F.col("__best").getField("__rts").alias("asof_ts")]
     return lid.join(picked, "__lid", how).select(*out_cols)
+
+
+def asof_join_directional(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "nearest",
+    tolerance: Column | None = None,
+    right_value_cols: list[str] | None = None,
+    tiebreak_col: str | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """pandas ``merge_asof``-complete as-of join: ``direction`` picks the
+    latest at-or-before match ('backward', = :func:`asof_join`), the
+    earliest at-or-after ('forward'), or the temporally closest either
+    side ('nearest', exact ties resolve BACKWARD, matching pandas).
+
+    Same plan shape as :func:`asof_join` (narrow surrogate-id band join
+    + one argmin/argmax aggregate + payload re-join); ``tolerance``
+    (e.g. ``F.expr("INTERVAL 1 DAY")``) bounds the band on the active
+    side(s) — as with max_lookback, ALWAYS set it at scale or a key's
+    whole history is the intermediate. Deterministic tie rules, all
+    mirrored by the oracle: equal-|Δt| → backward; equal timestamps on
+    one side → max ``tiebreak_col``.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
+    value_cols = right_value_cols or [
+        c for c in right.columns if c not in (right_key, right_ts)
+    ]
+    lid = left.withColumn(
+        "__lid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=False)
+    narrow = lid.select(
+        "__lid",
+        F.col(left_key).alias("__lk"),
+        F.col(left_ts).alias("__lts"),
+    )
+    r = right.select(
+        F.col(right_key).alias("__rk"),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c) for c in value_cols],
+    )
+    cond = F.col("__lk") == F.col("__rk")
+    lts, rts = F.col("__lts"), F.col("__rts")
+    if direction == "backward":
+        cond = cond & (rts <= lts)
+        if tolerance is not None:
+            cond = cond & (rts >= lts - tolerance)
+    elif direction == "forward":
+        cond = cond & (rts >= lts)
+        if tolerance is not None:
+            cond = cond & (rts <= lts + tolerance)
+    else:
+        if tolerance is not None:
+            cond = cond & (rts >= lts - tolerance) & (rts <= lts + tolerance)
+    joined = narrow.join(r, on=cond, how="inner")
+    payload = F.struct(*[F.col(c) for c in value_cols], F.col("__rts"))
+    tb = (
+        F.col(tiebreak_col)
+        if tiebreak_col
+        else F.lit(0)
+    )
+    if direction == "backward":
+        agg = F.max_by(payload, F.struct(rts, tb))
+    elif direction == "forward":
+        # earliest wins; among equal timestamps the MAX tiebreak, so the
+        # tiebreak is inverted inside a min_by
+        agg = F.min_by(payload, F.struct(rts, -tb))
+    else:
+        delta = F.abs(F.unix_micros(lts) - F.unix_micros(rts))
+        backward_first = F.when(rts <= lts, 0).otherwise(1)
+        agg = F.min_by(payload, F.struct(delta, backward_first, -tb))
+    picked = joined.groupBy("__lid").agg(agg.alias("__best"))
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col("__best").getField(c).alias(f"asof_{c}") for c in value_cols
+    ] + [F.col("__best").getField("__rts").alias("asof_ts")]
+    return lid.join(picked, "__lid", how).select(*out_cols)

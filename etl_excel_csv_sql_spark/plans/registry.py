@@ -7853,3 +7853,67 @@ def q_hilbert_layout_sample(spark, sf_dir):
     return layout.with_hilbert(
         orders, "o_custkey", "o_totalprice", bits=8
     ).select("o_orderkey", F.col("hvalue").cast("bigint").alias("hvalue"))
+
+
+@register(
+    "asof_nearest_purchase_per_event",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), p AS (
+      SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase'
+    ), cand AS (
+      SELECT ev.event_id, ev.ts, p.p_id, p.pts
+      FROM ev JOIN p ON p.user_id = ev.user_id
+        AND p.pts >= ev.ts - INTERVAL 1 DAY
+        AND p.pts <= ev.ts + INTERVAL 1 DAY
+    )
+    SELECT event_id, p_id AS asof_p_id,
+           strftime(pts, '%Y-%m-%d %H:%M:%S') AS asof_ts
+    FROM cand
+    QUALIFY row_number() OVER (
+      PARTITION BY event_id
+      ORDER BY abs(epoch_us(ts) - epoch_us(pts)),
+               CASE WHEN pts <= ts THEN 0 ELSE 1 END,
+               p_id DESC) = 1
+    """,
+    doc="direction='nearest' as-of join (pandas merge_asof parity): for "
+    "every event, the temporally closest purchase by the same user "
+    "within a +/-1 day tolerance band — exact-tie resolves backward, "
+    "equal-timestamp ties to the max id, both mirrored in the oracle's "
+    "QUALIFY ordering. Same narrow surrogate-id band-join + one "
+    "argmin aggregate shape as the backward as-of (asof.py); forward "
+    "is the third direction of the same operator",
+)
+def q_asof_nearest_purchase(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators.asof import asof_join_directional
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    purchases = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("pts"),
+        )
+    )
+    out = asof_join_directional(
+        ev,
+        purchases,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        direction="nearest",
+        tolerance=F.expr("INTERVAL 1 DAY"),
+        right_value_cols=["p_id"],
+        tiebreak_col="p_id",
+        how="inner",
+    )
+    return out.select(
+        "event_id",
+        "asof_p_id",
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("asof_ts"),
+    )

@@ -334,3 +334,60 @@ def test_skew_report_plan_single_shuffle_no_window(spark):
     )
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ------------------------------------------------------- direction variants
+
+
+def test_asof_directional_matches_pandas_merge_asof(spark):
+    """backward / forward / nearest vs pandas merge_asof on a corpus
+    with ties and out-of-tolerance gaps."""
+    import pandas as pd
+
+    from etl_excel_csv_sql_spark.operators.asof import asof_join_directional
+
+    left = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2],
+            "lts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 12:00", "2024-01-05 00:00",
+                 "2024-01-02 09:00", "2024-01-02 11:00"]
+            ),
+            "lid": [10, 11, 12, 13, 14],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2],
+            "rts": pd.to_datetime(
+                ["2024-01-01 09:00", "2024-01-01 11:00", "2024-01-01 13:00",
+                 "2024-01-02 10:00"]
+            ),
+            "rid": [100, 101, 102, 103],
+        }
+    )
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r["lid"]: r["asof_rid"]
+            for r in asof_join_directional(
+                sl, sr, "k", "k", "lts", "rts",
+                direction=direction,
+                tolerance=F.expr("INTERVAL 1 DAY"),
+                right_value_cols=["rid"],
+                tiebreak_col="rid",
+                how="left",
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            left.sort_values("lts"),
+            right.sort_values("rts"),
+            left_on="lts", right_on="rts", by="k",
+            direction=direction, tolerance=pd.Timedelta("1 day"),
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in want_df.itertuples()
+        }
+        assert got == want, direction
