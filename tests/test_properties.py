@@ -337,3 +337,80 @@ def test_property_cdc_diff_apply_roundtrip(spark, old_rows, new_rows):
     diff = relational.snapshot_diff(old, new, ["k"], ["s", "v"])
     got = relational.apply_cdc(old, diff, ["k"], ["s", "v"])
     assert sorted(map(tuple, got.collect())) == sorted(new_rows)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    n_parts=st.sampled_from([1, 3, 8]),
+)
+def test_global_row_number_is_partition_invariant(spark, rows, n_parts):
+    """The distributed rank must equal the single-partition window
+    row_number for ANY data and ANY range-partition count."""
+    from pyspark.sql import Window as W
+
+    from etl_excel_csv_sql_spark.operators.relational import global_row_number
+
+    df = spark.createDataFrame(rows, "k long, uid long")
+    order = [F.col("k").asc(), F.col("uid").asc()]
+    got = global_row_number(df, order, out_col="rn", num_partitions=n_parts)
+    want = df.withColumn("rn_w", F.row_number().over(W.orderBy(*order)))
+    diff = got.join(want, ["k", "uid"]).where(F.col("rn") != F.col("rn_w"))
+    assert diff.count() == 0
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 10_000),
+                  st.integers(-100, 100)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[1],
+    ),
+    n_parts=st.sampled_from([1, 4, 16]),
+)
+def test_global_prefix_sum_is_partition_invariant(spark, rows, n_parts):
+    from pyspark.sql import Window as W
+
+    from etl_excel_csv_sql_spark.operators.relational import global_prefix_sum
+
+    df = spark.createDataFrame(rows, "k long, uid long, v long").withColumn(
+        "v", F.col("v").cast("decimal(12,2)")
+    )
+    order = [F.col("k").asc(), F.col("uid").asc()]
+    got = global_prefix_sum(
+        df, order, "v", out_col="ps", num_partitions=n_parts
+    )
+    want = df.withColumn(
+        "ps_w",
+        F.sum("v").over(
+            W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    diff = got.join(want, ["k", "uid"]).where(F.col("ps") != F.col("ps_w"))
+    assert diff.count() == 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    a=st.text(alphabet="abcXY 01", max_size=16),
+    b=st.text(alphabet="abcXY 01", max_size=16),
+)
+def test_jaro_winkler_kernel_invariants(a, b):
+    """Pure-Python property sweep (no Spark job per example): symmetry,
+    range, identity, and the Winkler bonus never lowering the score."""
+    from etl_excel_csv_sql_spark.operators.linkage import _jaro_winkler_py
+
+    s = _jaro_winkler_py(a, b)
+    assert 0.0 <= s <= 1.0
+    assert s == _jaro_winkler_py(b, a)
+    if a and a == b:
+        assert s == 1.0
+    if not a or not b:
+        assert s == 0.0
