@@ -684,3 +684,108 @@ def synth_exif_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
     return df.select(id_col).mapInPandas(
         batches, f"media_id long, payload binary"
     )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (the JPEG transform)."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2.0 * n))
+    c[0, :] = np.sqrt(1.0 / n)
+    return c
+
+
+def _phash_bits(gray: np.ndarray, hash_size: int = 8, highfreq: int = 4) -> int:
+    """DCT perceptual hash: block-mean downsample to
+    (hash_size·highfreq)², 2-D DCT-II, keep the top-left hash_size²
+    low-frequency block, threshold at the MEDIAN of the block with the
+    DC term excluded (DC is overall brightness — dropping it is what
+    makes pHash brightness-invariant, where aHash is not), pack
+    row-major MSB-first with the DC bit forced to 0."""
+    n = hash_size * highfreq
+    # reuse the integral-image block-mean from aHash for the downsample
+    cells = np.zeros((n, n), dtype=np.float64)
+    h, w = gray.shape
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = gray.astype(np.float64).cumsum(axis=0).cumsum(axis=1)
+    ys = np.clip(np.maximum((np.arange(n + 1) * h) // n, np.arange(n + 1)), 0, h)
+    xs = np.clip(np.maximum((np.arange(n + 1) * w) // n, np.arange(n + 1)), 0, w)
+    y0, y1 = ys[:-1], ys[1:]
+    x0, x1 = xs[:-1], xs[1:]
+    areas = np.maximum((y1 - y0)[:, None] * (x1 - x0)[None, :], 1).astype(
+        np.float64
+    )
+    cells = (
+        ii[y1[:, None], x1[None, :]]
+        - ii[y0[:, None], x1[None, :]]
+        - ii[y1[:, None], x0[None, :]]
+        + ii[y0[:, None], x0[None, :]]
+    ) / areas
+    c = _dct_matrix(n)
+    freq = c @ cells @ c.T
+    block = freq[:hash_size, :hash_size]
+    flat = block.flatten()
+    med = np.median(flat[1:])  # DC excluded from the threshold
+    bits = 0
+    # epsilon guard: a (near-)constant image has all-~0 AC coefficients
+    # whose 1e-13 FP residue would otherwise threshold into random bits;
+    # real DCT energy is orders of magnitude above 1e-9
+    eps = 1e-9
+    for idx, v in enumerate(flat):
+        if idx == 0:
+            continue  # DC bit forced 0
+        bits = (bits << 1) | (1 if v > med + eps else 0)
+    return bits
+
+
+def phash_images(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """DCT perceptual hash (pHash) per image — the frequency-domain
+    sibling of :func:`ahash_images`: aHash thresholds raw block means
+    (cheap, but any global brightness/contrast shift flips bits), pHash
+    thresholds the low-frequency DCT block against its median, so it
+    survives brightness, contrast and mild blur — the hash the
+    image-dedup literature actually deploys. Same Arrow kernel shape,
+    same 64-bit output, same downstream ``dedup.hamming_pairs`` banding
+    (fingerprint-agnostic); only (id, hash) ever shuffles."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes: list[int | None] = []
+            for payload in pdf["payload"]:
+                try:
+                    _, arr = codecs.decode_image(bytes(payload))
+                    gray = (
+                        arr.astype(np.float64).mean(axis=2)
+                        if arr.ndim == 3
+                        else arr.astype(np.float64)
+                    )
+                    hashes.append(_phash_bits(gray))
+                except Exception:
+                    if strict:
+                        raise
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return src.mapInPandas(batches, PHASH_SCHEMA)

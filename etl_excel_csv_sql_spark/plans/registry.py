@@ -7917,3 +7917,28 @@ def q_asof_nearest_purchase(spark, sf_dir):
         "asof_p_id",
         F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("asof_ts"),
     )
+
+
+@register(
+    "media_phash_neardup",
+    None,
+    doc="DCT perceptual hash (pHash) image near-dup — the frequency-"
+    "domain sibling of media_ahash_neardup: the low-frequency DCT "
+    "block thresholded at its median, DC (brightness) term excluded. "
+    "Same Arrow kernel shape, same Manku-banded Hamming pairing; "
+    "corpus = synth images + noise twins. rows-only; pytest proves "
+    "full noise-twin recall at Hamming <= 2, determinism, and the "
+    "constant-image zero-hash identity. (Honest measurement note in "
+    "the test file: on SYNTHETIC noise images the aHash/pHash "
+    "robustness gap from the natural-image literature does not "
+    "reproduce — both are kept, fingerprint choice is the caller's)",
+)
+def q_media_phash_neardup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    originals = multimodal.synth_image_payloads(docs, "doc_id")
+    twins = multimodal.perturbed_image_payloads(docs, "doc_id")
+    corpus = originals.unionByName(twins)
+    hashes = multimodal.phash_images(corpus).select(
+        F.col("media_id").alias("id"), F.col("phash").alias("simhash")
+    )
+    return dedup.hamming_pairs(hashes, max_hamming=2)

@@ -306,3 +306,67 @@ def test_extract_exif_meta_truncated_app1_degrades_to_null(spark):
 
     with _pytest.raises(ValueError):
         codecs.exif_meta(corrupt)
+
+
+# ----------------------------------------------------------------- pHash
+
+
+def test_phash_identities_and_shift_invariance(spark):
+    """Structural pHash invariants: a constant image hashes to exactly
+    0 (all AC coefficients zero, DC bit forced 0); a uniform brightness
+    shift leaves the hash untouched (it only moves the excluded DC
+    term). Measurement note, recorded honestly: on these SYNTHETIC
+    noise images the aHash-vs-pHash robustness gap the natural-image
+    literature reports (contrast/gamma) does NOT reproduce — synthetic
+    noise has no low-frequency structure for the DCT to anchor on, so
+    both fingerprints ship and the choice is the caller's."""
+    import numpy as np
+
+    from etl_excel_csv_sql_spark.operators.multimodal import (
+        _phash_bits,
+        _synth_pixels,
+    )
+
+    const = np.full((32, 48), 137.0)
+    assert _phash_bits(const) == 0
+    for mid in (0, 20, 40, 60):
+        px = _synth_pixels(mid, 48, 32).astype(np.float64)
+        gray = px.mean(axis=2) if px.ndim == 3 else px
+        shifted = gray + 20.0  # no clipping: pure DC move
+        assert _phash_bits(gray) == _phash_bits(shifted)
+
+
+def test_phash_neardup_full_recall_on_noise_twins(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators import dedup, multimodal
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 50 == 0
+    )
+    originals = multimodal.synth_image_payloads(docs, "doc_id")
+    twins = multimodal.perturbed_image_payloads(docs, "doc_id")
+    corpus = originals.unionByName(twins)
+    hashes = multimodal.phash_images(corpus).select(
+        F.col("media_id").alias("id"), F.col("phash").alias("simhash")
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.hamming_pairs(hashes, max_hamming=2).collect()
+    }
+    want = {
+        (r["doc_id"], r["doc_id"] + 1_000_000) for r in docs.collect()
+    }
+    assert want <= pairs  # every twin recovered
+
+
+def test_phash_deterministic_across_runs(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 100 == 0
+    )
+    imgs = multimodal.synth_image_payloads(docs, "doc_id")
+    h1 = {r["media_id"]: r["phash"] for r in multimodal.phash_images(imgs).collect()}
+    h2 = {r["media_id"]: r["phash"] for r in multimodal.phash_images(imgs).collect()}
+    assert h1 == h2 and all(v is not None for v in h1.values())
