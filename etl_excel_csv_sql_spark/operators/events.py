@@ -892,3 +892,55 @@ def attribute_time_decay(
         F.countDistinct("conv_id").cast("bigint").alias("n_conversions"),
         F.round(F.sum("credit"), 4).alias("credited_value"),
     )
+
+
+def daily_user_accounting(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily new / returning / cumulative-distinct user accounting —
+    the growth dashboard's backbone. The naive formulation (COUNT
+    DISTINCT over an ever-growing window) needs running set state; the
+    scale-correct identity used here: cumulative distinct users at day
+    d == users whose FIRST event day <= d. So:
+
+    - one (user) shuffle for first_day per user;
+    - one (day, user) -> day two-level aggregate for daily actives
+      (distinct within day only — bounded state);
+    - new(d) = count of first_day == d, cum(d) = prefix sum of new over
+      the calendar-bounded daily frame, returning = active − new.
+
+    Exact (no sketch), every window on the #days summary frame.
+    """
+    day = F.to_date(F.col(ts_col))
+    first_day = (
+        df.groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(day).alias("d0"))
+        .groupBy("d0")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    active = (
+        df.select(day.alias("d"), F.col(user_col).alias("u"))
+        .distinct()
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        active.join(
+            first_day.withColumnRenamed("d0", "d"), "d", "left"
+        )
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+        # calendar-bounded summary frame: #days rows
+        .withColumn("cum_users", F.sum("n_new").over(w))
+    )
+    return out.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("n_new").cast("bigint").alias("n_new"),
+        (F.col("n_active") - F.col("n_new")).cast("bigint").alias(
+            "n_returning"
+        ),
+        F.col("cum_users").cast("bigint").alias("cum_users"),
+    )

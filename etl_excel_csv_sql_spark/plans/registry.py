@@ -7942,3 +7942,37 @@ def q_media_phash_neardup(spark, sf_dir):
         F.col("media_id").alias("id"), F.col("phash").alias("simhash")
     )
     return dedup.hamming_pairs(hashes, max_hamming=2)
+
+
+@register(
+    "daily_user_accounting",
+    """
+    WITH fd AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+    ), nw AS (
+      SELECT d0 AS d, count(*) AS n_new FROM fd GROUP BY 1
+    ), act AS (
+      SELECT d, count(*) AS n_active FROM (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+      ) GROUP BY 1
+    )
+    SELECT strftime(act.d, '%Y-%m-%d') AS day,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+           CAST(n_active - coalesce(n_new, 0) AS BIGINT) AS n_returning,
+           CAST(sum(coalesce(n_new, 0)) OVER (
+             ORDER BY act.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_users
+    FROM act LEFT JOIN nw ON act.d = nw.d
+    """,
+    doc="daily new / returning / cumulative-distinct users — the "
+    "growth-accounting identity cum_distinct(d) = #users with "
+    "first_day <= d replaces the running-COUNT-DISTINCT state a naive "
+    "plan needs: one user shuffle (first day), one bounded "
+    "(day, user) distinct, prefix sum on the calendar-bounded daily "
+    "frame. Exact, no sketch; the cumulative curve's last value equals "
+    "total distinct users (pytest-pinned)",
+)
+def q_daily_user_accounting(spark, sf_dir):
+    return events.daily_user_accounting(_t(spark, sf_dir, "events"))

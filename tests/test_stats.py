@@ -554,3 +554,26 @@ def test_time_decay_attribution_hand_weights(spark):
         100 * w_view / total, abs=1e-3
     )
     assert out["click"]["n_touches"] == 1  # the 30h-old touch is out
+
+
+def test_daily_user_accounting_identities(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators import events as ev_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = sorted(
+        ev_ops.daily_user_accounting(ev).collect(), key=lambda r: r["day"]
+    )
+    total_users = ev.select("user_id").distinct().count()
+    # the cumulative curve ends at the total distinct user count
+    assert rows[-1]["cum_users"] == total_users
+    # day 1: everyone active is new
+    assert rows[0]["n_new"] == rows[0]["n_active"]
+    assert rows[0]["n_returning"] == 0
+    # invariants every day
+    cum = 0
+    for r in rows:
+        cum += r["n_new"]
+        assert r["cum_users"] == cum
+        assert r["n_active"] == r["n_new"] + r["n_returning"]
+        assert r["n_returning"] >= 0
