@@ -2195,3 +2195,53 @@ def q_csv_permissive_quarantine(spark, sf_dir):
         F.when(good, F.col("ship_day")).alias("ship_day"),
         "corrupt_record",
     )
+
+
+@register(
+    "dpp_partition_pruned_revenue",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE year(o_orderdate) IN (1995, 1996)
+    GROUP BY 1
+    """,
+    doc="DYNAMIC PARTITION PRUNING evidence — the TPC-DS headline "
+    "optimization: orders land directory-partitioned by year in "
+    "scratch; the fact scan joins a tiny independent era dimension "
+    "whose filter (era='early') only resolves at runtime, and Spark "
+    "injects a dynamicpruning subquery into the scan's "
+    "PartitionFilters so only the 2 matching year directories are "
+    "read (asserted on the executed plan in "
+    "tests/test_plan_quality.py). The oracle computes the same "
+    "revenue with the era predicate inlined — value-proving that "
+    "pruning changed the scan, not the answer",
+)
+def q_dpp_partition_pruned_revenue(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io.warehouse import write_partitioned
+
+    scratch = _scratch("dpp_" + os.path.basename(sf_dir.rstrip("/")))
+    path = os.path.join(scratch, "orders_by_year")
+    marker = os.path.join(scratch, ".written")
+    if not os.path.exists(marker):
+        orders = load_table(spark, sf_dir, "orders").withColumn(
+            "o_year", F.year("o_orderdate")
+        )
+        write_partitioned(orders, path, ["o_year"])
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    fact = spark.read.parquet(path)
+    era_dim = spark.createDataFrame(
+        [(y, "early" if y <= 1996 else "late") for y in range(1995, 2002)],
+        "o_year int, era string",
+    )
+    pruned = fact.join(
+        F.broadcast(era_dim.where(F.col("era") == "early")), "o_year"
+    )
+    return pruned.groupBy("o_year").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue")
+    )
