@@ -194,3 +194,37 @@ def test_hilbert_locality_beats_zorder(spark):
     z_jump = total_jump("z")
     assert hilbert_jump == n * n - 1  # unit steps: the defining property
     assert z_jump > hilbert_jump * 1.5
+
+
+def test_hilbert_write_tightens_both_dims_at_least_as_well(spark, sf_dir, tmp_path):
+    """The file-stat view of the locality claim: a Hilbert-ordered
+    write must bound BOTH dims per file like z-order does (each file a
+    small rectangle), and its total normalized span must not be worse
+    than the Morton layout's on the same data / file count."""
+    from etl_excel_csv_sql_spark.operators.layout import with_hilbert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    hpath = str(tmp_path / "hilb")
+    zpath = str(tmp_path / "zord")
+    hdf = with_hilbert(orders, "o_custkey", "o_totalprice", bits=8)
+    (
+        hdf.repartitionByRange(16, F.col("hvalue"))
+        .sortWithinPartitions("hvalue")
+        .drop("hvalue")
+        .write.mode("overwrite")
+        .parquet(hpath)
+    )
+    layout.write_zordered(
+        orders, zpath, "o_custkey", "o_totalprice", num_files=16
+    )
+    h_spans = _file_spans(hpath, "o_custkey", "o_totalprice")
+    z_spans = _file_spans(zpath, "o_custkey", "o_totalprice")
+    h_mean_a = sum(s[0] for s in h_spans) / len(h_spans)
+    h_mean_b = sum(s[1] for s in h_spans) / len(h_spans)
+    z_total = sum(s[0] + s[1] for s in z_spans) / len(z_spans)
+    h_total = sum(s[0] + s[1] for s in h_spans) / len(h_spans)
+    assert h_mean_a < 0.6 and h_mean_b < 0.6  # rectangles, not stripes
+    assert h_total <= z_total * 1.1  # at least as tight as Morton
+    assert spark.read.parquet(hpath).count() == orders.count()
