@@ -1178,3 +1178,69 @@ def set_similarity_join(
         )
         .where(F.col("jaccard") >= F.lit(threshold))
     )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The ACTION to :func:`duplicate_span_coverage`'s measurement:
+    remove every token covered by a cross-document repeated n-gram and
+    return the cleaned text — Lee et al.'s ExactSubstr deduplication
+    (arXiv 2107.06499) at n-gram granularity: boilerplate disappears
+    from every document that carries it, the surrounding prose stays.
+
+    Plan: positional grams explode once; the duplicated-gram set (one
+    agg shuffle) semi-join-flags each doc's span START positions, which
+    aggregate into one bounded per-doc sorted array; the final rewrite
+    is a NARROW map — token index t is covered iff some flagged start
+    s satisfies s <= t < s+n (an O(|starts|) F.exists per token, both
+    arrays bounded by document length). The corpus text shuffles only
+    as the per-doc starts array, never gram-exploded.
+
+    Output: (id, n_tokens, n_removed, cleaned_text). Documents shorter
+    than ``n`` tokens form one whole-text gram, so a short doc repeated
+    verbatim empties itself (consistent with the detector).
+    """
+    from etl_excel_csv_sql_spark.functions.text import (
+        positional_word_ngrams,
+        tokens,
+    )
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(positional_word_ngrams(text_col, n)).alias(
+            "pos", "gram"
+        ),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    starts = (
+        grams.join(dup, "gram", "left_semi")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("ss"))
+    )
+    toks = tokens(text_col)
+    joined = df.select(F.col(id_col).alias("id"), toks.alias("toks")).join(
+        starts, "id", "left"
+    ).withColumn("ss", F.coalesce("ss", F.array().cast("array<int>")))
+    idx = F.sequence(F.lit(0), F.size("toks") - 1)
+    covered = lambda t: F.exists(  # noqa: E731
+        F.col("ss"), lambda s: (s <= t) & (t < s + n)
+    )
+    keep = F.filter(idx, lambda t: ~covered(t))
+    return joined.select(
+        "id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.size("toks") - F.size(keep)).cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.transform(keep, lambda t: F.element_at("toks", t + 1)), " "
+        ).alias("cleaned_text"),
+    )
