@@ -1227,11 +1227,19 @@ def strip_duplicate_spans(
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("pos")).alias("ss"))
     )
-    toks = tokens(text_col)
+    # Null text → empty token array (size(null) is null in Spark 3+, which
+    # would null out n_tokens and the sequence guard below).
+    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
     joined = df.select(F.col(id_col).alias("id"), toks.alias("toks")).join(
         starts, "id", "left"
     ).withColumn("ss", F.coalesce("ss", F.array().cast("array<int>")))
-    idx = F.sequence(F.lit(0), F.size("toks") - 1)
+    # Guard the empty-doc case: sequence(0, -1) defaults its step to -1
+    # when start > stop, yielding the DESCENDING [0, -1] whose -1 entry
+    # feeds element_at(toks, 0) → INVALID_INDEX_OF_ZERO; one blank doc
+    # would kill the whole job.
+    idx = F.when(
+        F.size("toks") > 0, F.sequence(F.lit(0), F.size("toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     covered = lambda t: F.exists(  # noqa: E731
         F.col("ss"), lambda s: (s <= t) & (t < s + n)
     )

@@ -2292,6 +2292,60 @@ def q_dup_ngram_spans(spark, sf_dir):
 
 
 @register(
+    "strip_duplicate_spans_clean",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\s+') END AS t
+      FROM documents
+    ), pg AS (
+      SELECT id, unnest(CASE WHEN len(t) >= 5
+          THEN list_transform(generate_series(1, len(t) - 4),
+                 i -> {'pos': i - 1, 'gram': array_to_string(t[i:i+4], ' ')})
+          WHEN len(t) > 0
+          THEN [{'pos': 0, 'gram': array_to_string(t, ' ')}]
+          ELSE CAST([] AS STRUCT(pos INTEGER, gram VARCHAR)[]) END) AS g
+      FROM toks
+    ), grams AS (
+      SELECT id, g.pos AS pos, g.gram AS gram FROM pg
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT id) >= 2
+    ), starts AS (
+      SELECT id, list(pos ORDER BY pos) AS ss FROM grams
+      WHERE gram IN (SELECT gram FROM dup) GROUP BY id
+    ), joined AS (
+      SELECT tk.id, tk.t, COALESCE(s.ss, CAST([] AS INTEGER[])) AS ss
+      FROM toks tk LEFT JOIN starts s ON tk.id = s.id
+    ), kept AS (
+      SELECT id, t,
+        list_filter(CASE WHEN len(t) > 0 THEN generate_series(0, len(t) - 1)
+                         ELSE CAST([] AS BIGINT[]) END,
+                    p -> NOT len(list_filter(ss, s -> s <= p AND p < s + 5)) > 0
+        ) AS keep
+      FROM joined
+    )
+    SELECT id AS doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(keep) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(
+             list_transform(keep, p -> t[CAST(p AS INTEGER) + 1]), ' '),
+             '') AS cleaned_text
+    FROM kept
+    """,
+    doc="the ACTION to dup_span_coverage's measurement: remove every token "
+    "covered by a cross-doc repeated 5-gram and return cleaned text (Lee et "
+    "al. ExactSubstr at n-gram granularity); corpus text shuffles only as a "
+    "bounded per-doc starts array, final rewrite is a narrow map",
+)
+def q_strip_duplicate_spans_clean(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    res = dedup.strip_duplicate_spans(docs, "doc_id", "text", n=5, min_docs=2)
+    return res.select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_removed", "cleaned_text"
+    )
+
+
+@register(
     "dup_span_coverage",
     "WITH "
     + _POSITIONAL_GRAM_CTES
@@ -6292,63 +6346,62 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
     )
 
 
-# --- r7 window: all 50 slots on never-driver-checked queries (the
-# 75 late-r6 additions had zero driver rows; judge verified all 75
-# green locally in r6). Emitted by tools/rotation.py 7 --emit under
-# the documented policy: err > never-checked > stalest, oracle before
-# rows-only. The remaining 25 never-checked + the section-2 parity
-# core ride the r8 window (projection in ROUND7_NOTES).
+# --- r8 window: evidence-banking round (VERDICT r7 #1/#2): all 50
+# slots on never-driver-checked queries, emitted by
+# tools/rotation.py 8 --emit under the documented policy (err >
+# never-checked > stalest, oracle before rows-only). Registry growth
+# held near zero this round so the 63-query backlog shrinks to <=13.
 WINDOW_ORDER: tuple[str, ...] = (
-    "quality_filter_pipeline",
-    "jsonl_roundtrip",
-    "events_streaming_merge_upsert",
-    "orc_roundtrip",
-    "events_streaming_enriched",
-    "fixed_width_roundtrip",
-    "partition_pruned_read",
-    "settings_datasource_scan",
-    "bloom_semi_join_prefilter",
-    "doc_chunk_windows",
-    "stratified_sample_exact",
-    "temperature_resample_weights",
-    "events_resample_ffill",
-    "events_value_anomalies",
-    "tfidf_doc_similarity",
-    "events_trailing_hour_window",
-    "numeric_histogram",
-    "attribution_last_touch",
-    "stats_chi_square_lang_source",
-    "stats_linear_fit_price_qty",
-    "stats_correlation_matrix",
-    "join_cardinality_estimate",
-    "returned_item_report",
-    "customers_without_orders",
-    "events_seasonal_anomalies",
-    "k_anonymity_violations",
-    "dp_noisy_event_counts",
-    "embedding_drift_report",
-    "ab_test_report",
-    "corpus_pipeline_e2e",
-    "scd2_point_in_time_join",
-    "nation_volume_shipping",
-    "promo_revenue_pct",
-    "top_supplier_revenue",
-    "small_qty_order_revenue",
-    "large_volume_customers",
-    "disjunctive_predicate_revenue",
-    "multiset_ops",
-    "embedding_dim_stats",
-    "benford_first_digit",
-    "events_ewma_smoothing",
-    "datetime_functions_breadth",
-    "aggregate_functions_breadth",
-    "regexp_functions_breadth",
-    "variant_payload_extract",
-    "sql_defined_functions",
-    "null_semantics_battery",
-    "source_score_quantile_norm",
-    "nested_orders_rollup",
-    "kfold_assignment",
+    "events_streaming_dedup_watermarked",
+    "csv_permissive_quarantine",
+    "dpp_partition_pruned_revenue",
+    "pivot_multi_agg",
+    "personalized_pagerank_parts",
+    "media_exif_meta",
+    "forecast_revenue_change",
+    "observed_pipeline_metrics",
+    "collation_ci_matching",
+    "ansi_safe_arithmetic",
+    "calendar_dim_spine",
+    "map_functions_breadth",
+    "grouped_minmax_scaling",
+    "grouped_agg_pandas_udf",
+    "fuzzy_join_enrichment",
+    "cuped_ab_report",
+    "set_similarity_join_pairs",
+    "late_supplier_blame_report",
+    "cdc_apply_roundtrip",
+    "global_outlier_customers",
+    "fuzzy_part_pairs_multipass",
+    "lpa_communities",
+    "events_sessionize_bucketed",
+    "survival_curve_users",
+    "rfm_segmentation",
+    "winsorized_price_stats",
+    "jaro_winkler_part_pairs",
+    "doc_bigram_surprisal",
+    "dsir_importance_weights",
+    "gopher_rule_filter",
+    "psi_drift_orders",
+    "events_acf_daily",
+    "embedding_quantization_report",
+    "count_min_partkey",
+    "seasonal_decompose_daily",
+    "corpus_datacard",
+    "vocab_coverage_report",
+    "copurchase_triangles",
+    "pareto_abc_parts",
+    "attribution_time_decay",
+    "hilbert_layout_sample",
+    "asof_nearest_purchase_per_event",
+    "daily_user_accounting",
+    "doc_compression_ratio",
+    "dedup_incremental_minhash",
+    "events_streaming_approx_users",
+    "compact_small_files_report",
+    "events_streaming_progress_report",
+    "events_streaming_soak_50_batches",
+    "ann_ivf_upsert_topk",
 )
 
 # Breadth-tier queries (see QuerySpec.tier): pure SQL-shape coverage —

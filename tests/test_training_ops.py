@@ -206,6 +206,72 @@ def test_duplicate_span_coverage_bounds_and_zero(spark):
         assert 0.0 <= r.dup_coverage <= 1.0
 
 
+def test_strip_duplicate_spans_removes_boilerplate(spark):
+    from etl_excel_csv_sql_spark.operators.dedup import strip_duplicate_spans
+
+    boiler = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            (1, "intro words " + boiler + " outro words"),
+            (2, boiler + " unrelated tail text here"),
+            (3, "totally different words live here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.id: r
+        for r in strip_duplicate_spans(df, "doc_id", "text", n=5).collect()
+    }
+    # the shared 5-gram disappears from BOTH carriers, surrounding prose stays
+    assert got[1].cleaned_text == "intro words outro words"
+    assert got[1].n_removed == 5 and got[1].n_tokens == 9
+    assert got[2].cleaned_text == "unrelated tail text here"
+    # untouched doc passes through verbatim
+    assert got[3].n_removed == 0
+    assert got[3].cleaned_text == "totally different words live here now"
+
+
+def test_strip_duplicate_spans_empty_short_null_docs(spark):
+    """Regression (ADVICE r7): sequence(0, size-1) on an empty token array
+    yields the DESCENDING [0,-1] (Spark defaults step to -1), whose -1
+    entry drives element_at(toks, 0) → INVALID_INDEX_OF_ZERO; one blank
+    doc used to kill the whole job."""
+    from pyspark.sql import types as T
+
+    from etl_excel_csv_sql_spark.operators.dedup import strip_duplicate_spans
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    boiler = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            (1, ""),  # empty
+            (2, "     "),  # whitespace-only (spaces: F.trim and the
+            # DuckDB oracle's trim() both strip only 0x20)
+            (3, None),  # null
+            (4, "tiny doc"),  # shorter than n, unique -> kept whole
+            (5, boiler),  # exactly n, repeated verbatim -> empties itself
+            (6, boiler),
+        ],
+        schema,
+    )
+    got = {
+        r.id: r
+        for r in strip_duplicate_spans(df, "doc_id", "text", n=5).collect()
+    }
+    for i in (1, 2, 3):
+        assert got[i].n_tokens == 0 and got[i].n_removed == 0
+        assert got[i].cleaned_text == ""
+    assert got[4].cleaned_text == "tiny doc" and got[4].n_removed == 0
+    # short docs repeated verbatim empty themselves (whole-text gram)
+    assert got[5].cleaned_text == "" and got[5].n_removed == 5
+    assert got[6].cleaned_text == "" and got[6].n_tokens == 5
+
+
 def test_source_capped_sample_deterministic_cap(spark):
     from etl_excel_csv_sql_spark.operators.sampling import source_capped_sample
 
