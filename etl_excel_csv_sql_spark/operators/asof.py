@@ -168,16 +168,20 @@ def asof_join_directional(
         if tiebreak_col
         else F.lit(0)
     )
+    # For forward/nearest the "smallest wins" keys are inverted inside a
+    # max_by rather than negating the tiebreak: -tb would silently cast a
+    # non-numeric tiebreak_col (e.g. a string label) to double, nulling it
+    # out; the timestamp/delta keys are always numeric, so they carry the
+    # negation and tb keeps its natural ordering for any orderable type.
     if direction == "backward":
         agg = F.max_by(payload, F.struct(rts, tb))
     elif direction == "forward":
-        # earliest wins; among equal timestamps the MAX tiebreak, so the
-        # tiebreak is inverted inside a min_by
-        agg = F.min_by(payload, F.struct(rts, -tb))
+        # earliest timestamp wins; among equal timestamps the MAX tiebreak
+        agg = F.max_by(payload, F.struct(-F.unix_micros(rts), tb))
     else:
         delta = F.abs(F.unix_micros(lts) - F.unix_micros(rts))
-        backward_first = F.when(rts <= lts, 0).otherwise(1)
-        agg = F.min_by(payload, F.struct(delta, backward_first, -tb))
+        backward_pref = F.when(rts <= lts, 1).otherwise(0)
+        agg = F.max_by(payload, F.struct(-delta, backward_pref, tb))
     picked = joined.groupBy("__lid").agg(agg.alias("__best"))
     out_cols = [F.col(c) for c in left.columns] + [
         F.col("__best").getField(c).alias(f"asof_{c}") for c in value_cols

@@ -764,8 +764,13 @@ def seasonal_decompose_daily(
     total (the moving-average method behind STL's initial pass):
     y = trend + seasonal + residual, with
 
-    - trend: centered ``period``-day moving average (null at the edges
-      where the window is incomplete — no fabricated trend);
+    - trend: centered ``period``-day moving average over a DENSIFIED
+      calendar (a day spine from min to max date, so ROWS offsets are
+      true day offsets and calendar gaps can't silently widen the
+      window); null at the edges / around missing days where the
+      window is incomplete — no fabricated trend. Even ``period`` uses
+      the classical 2×period centered MA (half-weight endpoints over
+      period+1 days), the standard way to keep the average centered;
     - seasonal: the per-phase mean of the detrended series (phase =
       epoch-day mod period, engine-portable — weekday when period=7),
       re-centered to sum to zero across phases so trend keeps the
@@ -784,15 +789,37 @@ def seasonal_decompose_daily(
         .cast("double")
         .alias("y")
     )
+    # Densify to a gap-free day spine so the ROWS window spans exactly
+    # `period` CALENDAR days (a ROWS window over a gappy daily frame
+    # silently widens the moving average across missing days). Spine
+    # days with no data carry null y: they never fabricate trend (the
+    # presence count below excludes them) and are dropped at the end.
+    spine = daily.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    ).select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    cal = spine.join(daily, "d", "left")
     half = period // 2
     w = Window.orderBy("d").rowsBetween(-half, half)
-    trend = F.when(
-        F.count(F.lit(1)).over(w) == period, F.avg("y").over(w)
-    )
+    if period % 2 == 0:
+        # classical 2x(period) centered MA: the (period+1)-row window
+        # with half-weight endpoints — count==period is never true in
+        # the interior of an even-period window (it holds period+1
+        # rows), which is exactly the bug this branch replaces.
+        wrow = Window.orderBy("d")
+        ylo = F.lag("y", half).over(wrow)
+        yhi = F.lead("y", half).over(wrow)
+        trend = F.when(
+            F.count("y").over(w) == period + 1,
+            (F.sum("y").over(w) - (ylo + yhi) / 2) / period,
+        )
+    else:
+        trend = F.when(
+            F.count("y").over(w) == period, F.avg("y").over(w)
+        )
     phase = (
         F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % period
     ).alias("phase")
-    based = daily.select(
+    based = cal.select(
         "d", "y", phase, trend.alias("trend")
     ).withColumn("det", F.col("y") - F.col("trend"))
     by_phase = based.groupBy("phase").agg(
@@ -803,7 +830,8 @@ def seasonal_decompose_daily(
         "phase", (F.col("s_raw") - F.col("s_mean")).alias("seasonal")
     )
     return (
-        based.join(F.broadcast(seasonal), "phase")
+        based.filter(F.col("y").isNotNull())
+        .join(F.broadcast(seasonal), "phase")
         .select(
             F.date_format("d", "yyyy-MM-dd").alias("day"),
             F.col("phase").cast("int").alias("phase"),

@@ -143,6 +143,7 @@ def sequential_patterns(
     user_col: str = "user_id",
     ts_col: str = "ts",
     item_col: str = "event_type",
+    id_col: str | None = "event_id",
 ) -> DataFrame:
     """Frequent sequential patterns over per-(user, day) event-type
     sequences via distributed PrefixSpan (Pei et al., ICDE 2001 —
@@ -151,9 +152,13 @@ def sequential_patterns(
     projected postfix DB locally).
 
     Sequence construction is one shuffle on (user, day): events sort
-    WITHIN the group via sort_array over (ts, event_id, item) structs —
+    WITHIN the group via sort_array over (ts, id, item) structs —
     deterministic total order, partitions bounded by daily activity,
-    never whole-user history. A pattern is counted once per sequence
+    never whole-user history. ``id_col`` is the within-timestamp
+    tiebreak (default ``event_id``); pass ``id_col=None`` for frames
+    without a row id — the item itself then breaks ties, which is
+    still a deterministic total order because equal (ts, item) rows
+    are interchangeable in the rendered sequence. A pattern is counted once per sequence
     containing it as a subsequence (gaps allowed — the PrefixSpan
     contract, brute-force-verified in tests).
 
@@ -164,6 +169,8 @@ def sequential_patterns(
     from pyspark.ml.fpm import PrefixSpan
 
     day = F.to_date(F.col(ts_col))
+    item = F.col(item_col).cast("string")
+    tiebreak = F.col(id_col) if id_col is not None else item
     seqs = (
         events.groupBy(F.col(user_col).alias("u"), day.alias("d"))
         .agg(
@@ -171,8 +178,8 @@ def sequential_patterns(
                 F.collect_list(
                     F.struct(
                         F.col(ts_col).alias("ts"),
-                        F.col("event_id").alias("eid"),
-                        F.col(item_col).cast("string").alias("item"),
+                        tiebreak.alias("tb"),
+                        item.alias("item"),
                     )
                 )
             ).alias("evs")

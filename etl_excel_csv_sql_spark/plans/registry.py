@@ -7533,15 +7533,20 @@ def q_count_min_partkey(spark, sf_dir):
       SELECT CAST(ts AS DATE) AS d,
              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
       FROM events GROUP BY 1
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM (SELECT min(d) AS lo, max(d) AS hi FROM daily)
+    ), cal AS (
+      SELECT s.d, daily.y FROM spine s LEFT JOIN daily USING (d)
     ), based AS (
       SELECT d, y,
              (d - DATE '1970-01-01') % 7 AS phase,
-             CASE WHEN count(*) OVER w = 7
+             CASE WHEN count(y) OVER w = 7
                   THEN avg(y) OVER w END AS trend
-      FROM daily
+      FROM cal
       WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
     ), det AS (
-      SELECT *, y - trend AS dt FROM based
+      SELECT *, y - trend AS dt FROM based WHERE y IS NOT NULL
     ), by_phase AS (
       SELECT phase, avg(dt) AS s_raw FROM det GROUP BY 1
     ), c AS (

@@ -391,3 +391,40 @@ def test_asof_directional_matches_pandas_merge_asof(spark):
             for r in want_df.itertuples()
         }
         assert got == want, direction
+
+
+def test_asof_directional_string_tiebreak(spark):
+    """Regression (ADVICE r7): forward/nearest negated the tiebreak column
+    (-tb), silently casting a non-numeric tiebreak to double → null →
+    nondeterministic tie resolution. The timestamp/delta keys now carry
+    the negation, so a string tiebreak resolves by its natural MAX
+    ordering in every direction."""
+    from etl_excel_csv_sql_spark.operators.asof import asof_join_directional
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 10)], ["k", "lts", "lid"]
+    ).withColumn("lts", F.to_timestamp("lts"))
+    # two right rows at the SAME timestamp on each side of lts; within a
+    # timestamp tie the max *string* label must win deterministically
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", "alpha"),
+            (1, "2024-01-01 09:00:00", "zulu"),
+            (1, "2024-01-01 11:00:00", "bravo"),
+            (1, "2024-01-01 11:00:00", "yankee"),
+        ],
+        ["k", "rts", "label"],
+    ).withColumn("rts", F.to_timestamp("rts"))
+    for direction, want in (
+        ("backward", "zulu"),
+        ("forward", "yankee"),
+        ("nearest", "zulu"),  # equal |Δt| resolves backward, then max tb
+    ):
+        rows = asof_join_directional(
+            left, right, "k", "k", "lts", "rts",
+            direction=direction,
+            right_value_cols=["label"],
+            tiebreak_col="label",
+            how="inner",
+        ).collect()
+        assert len(rows) == 1 and rows[0]["asof_label"] == want, direction

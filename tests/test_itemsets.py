@@ -154,3 +154,42 @@ def test_sequential_patterns_counts_sequence_once(spark):
     }
     assert out["x > y"] == (1, 1.0)
     assert out["x"] == (1, 1.0)
+
+
+def test_sequential_patterns_configurable_id_col(spark):
+    """Regression (ADVICE r7): the in-group sort tiebreak hardcoded
+    F.col('event_id'), so a frame without that column failed analysis
+    despite the configurable user/ts/item API. id_col now parameterizes
+    it, and id_col=None falls back to the item itself."""
+    import datetime
+
+    from etl_excel_csv_sql_spark.operators import itemsets
+
+    day0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        (7, day0 + datetime.timedelta(minutes=i), t, i + 100)
+        for i, t in enumerate(["a", "b", "c"])
+    ]
+    df = spark.createDataFrame(
+        rows, "uid long, when timestamp, action string, row_id long"
+    )
+    # custom id column
+    out = {
+        r["pattern"]: r["freq"]
+        for r in itemsets.sequential_patterns(
+            df, min_support=0.9, max_pattern_length=3,
+            user_col="uid", ts_col="when", item_col="action",
+            id_col="row_id",
+        ).collect()
+    }
+    assert out["a > b > c"] == 1
+    # no id column at all
+    out2 = {
+        r["pattern"]: r["freq"]
+        for r in itemsets.sequential_patterns(
+            df.drop("row_id"), min_support=0.9, max_pattern_length=3,
+            user_col="uid", ts_col="when", item_col="action",
+            id_col=None,
+        ).collect()
+    }
+    assert out2["a > b > c"] == 1

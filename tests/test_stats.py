@@ -474,6 +474,68 @@ def test_seasonal_decompose_recovers_planted_cycle(spark):
     assert sum(seas.values()) == pytest.approx(0.0, abs=1e-6)
 
 
+def test_seasonal_decompose_even_period_2xma(spark):
+    """Regression (ADVICE r7): with even `period` the rowsBetween(-half,
+    half) window holds period+1 rows, so the old count==period guard was
+    never true in the interior but WAS true one row from each edge —
+    trend came out null everywhere except spurious asymmetric edge
+    windows. Even periods now use the classical 2x(period) centered MA
+    (half-weight endpoints over period+1 days)."""
+    import datetime
+
+    from etl_excel_csv_sql_spark.operators import events as ev_ops
+
+    effect = [12.0, -4.0, 8.0, -16.0]  # zero-sum 4-day cycle
+    rows = []
+    for i in range(20):
+        d = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i)
+        phase = (d.date() - datetime.date(1970, 1, 1)).days % 4
+        rows.append((i, d, 500.0 + effect[phase]))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = {r["day"]: r for r in ev_ops.seasonal_decompose_daily(df, period=4).collect()}
+    assert len(out) == 20
+    # edges: the 2x4 MA needs 2 days each side -> null trend
+    for day in ("2024-01-01", "2024-01-02", "2024-01-19", "2024-01-20"):
+        assert out[day]["trend"] is None, day
+    # interior: 2x4 MA of a pure 4-day cycle is flat = 500, residual ~0
+    mid = out["2024-01-10"]
+    assert mid["trend"] == pytest.approx(500.0, abs=1e-6)
+    assert mid["residual"] == pytest.approx(0.0, abs=1e-6)
+    phase10 = (datetime.date(2024, 1, 10) - datetime.date(1970, 1, 1)).days % 4
+    assert mid["seasonal"] == pytest.approx(effect[phase10], abs=1e-6)
+
+
+def test_seasonal_decompose_calendar_gap_nulls_trend(spark):
+    """Regression (ADVICE r7): the ROWS window used to slide over a gappy
+    daily frame, silently widening the 'period-day' MA across missing
+    days. The day spine now makes ROWS offsets true day offsets: windows
+    touching a missing day produce null trend instead of a skewed one."""
+    import datetime
+
+    from etl_excel_csv_sql_spark.operators import events as ev_ops
+
+    rows = []
+    for i in range(21):
+        if i == 10:  # hole in the calendar
+            continue
+        d = datetime.datetime(2024, 3, 1) + datetime.timedelta(days=i)
+        rows.append((i, d, 100.0 + i))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = {r["day"]: r for r in ev_ops.seasonal_decompose_daily(df, period=7).collect()}
+    assert len(out) == 20  # missing day is not fabricated into the output
+    assert "2024-03-11" not in out
+    # any 7-day window covering the hole is incomplete -> null trend
+    for i in range(8, 14):
+        day = (datetime.date(2024, 3, 1) + datetime.timedelta(days=i)).isoformat()
+        if day == "2024-03-11":
+            continue
+        assert out[day]["trend"] is None, day
+    # a full window clear of the hole and the edges still has trend:
+    # linear series -> centered MA equals the center value
+    assert out["2024-03-05"]["trend"] == pytest.approx(104.0, abs=1e-6)
+    assert out["2024-03-18"]["trend"] == pytest.approx(117.0, abs=1e-6)
+
+
 def test_global_prefix_sum_matches_window(spark):
     from pyspark.sql import Window as W
 
