@@ -847,9 +847,16 @@ def connected_components(
     (alternating min-propagation that converges in O(log n) rounds); the
     per-round join shape below is the same building block.
     """
-    edges_fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = edges_fwd.union(
-        edges_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Materialize the (possibly expensive) upstream candidate-pair
+    # pipeline ONCE before mirroring: the symmetrizing union has two
+    # branches over `pairs`, and without this checkpoint each branch
+    # recomputes the whole pipeline (r8, measured at sf0.1: the n-gram
+    # pair generation ran twice, 3.3s → 1.3s for the edge build).
+    slim = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
+    edges = slim.union(
+        slim.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     # NOTE (r6, measured): repartition(dst) before this checkpoint does
     # NOT help — DataFrame.localCheckpoint drops outputPartitioning, so
@@ -905,9 +912,10 @@ def _large_star(edges: DataFrame) -> DataFrame:
     MapReduce and Beyond"): for every node u, connect each strictly larger
     neighbor to the minimum of u's closed neighborhood. Halves long tails
     geometrically — O(log n) rounds to a star forest."""
-    with_self = edges.union(
-        edges.select(F.col("u"), F.col("u").alias("v"))
-    ).distinct()
+    # no distinct on the self-loop union: (u,u) is never in edges (rounds
+    # filter u != v) and duplicates can't change a min aggregate anyway —
+    # the distinct was one pure-overhead shuffle per round (r8)
+    with_self = edges.union(edges.select(F.col("u"), F.col("u").alias("v")))
     m = with_self.groupBy("u").agg(F.min("v").alias("m"))
     return (
         edges.join(m, "u")
@@ -925,9 +933,10 @@ def _small_star(edges: DataFrame) -> DataFrame:
     directed = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct()
+    # self-loop union needs no distinct (see _large_star)
     with_self = directed.union(
         directed.select(F.col("u"), F.col("u").alias("v"))
-    ).distinct()
+    )
     m = with_self.groupBy("u").agg(F.min("v").alias("m"))
     out = (
         with_self.join(m, "u")
@@ -954,15 +963,21 @@ def connected_components_star(
     Convergence check: the undirected edge multiset fingerprint (sum of
     symmetric pair hashes) is layout-independent, so one tiny aggregate
     per round detects the fixed point without collecting edges."""
-    edges = _symmetrize(pairs, id_a, id_b).localCheckpoint(eager=True)
+    # Same single-materialization guard as connected_components: the
+    # symmetrizing union would compute the upstream pair pipeline twice.
+    slim = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).localCheckpoint(eager=True)
+    edges = _symmetrize(slim, "u", "v").localCheckpoint(eager=True)
     nodes = edges.select(F.col("u").alias("id")).distinct()
 
     def fingerprint(e: DataFrame) -> tuple:
-        row = e.select(
-            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
-        ).distinct().agg(
+        # e is always the symmetrized DISTINCT edge set (both directions
+        # present, no self-loops), so filter(u < v) picks each undirected
+        # edge exactly once — no canonicalize+distinct shuffle needed
+        row = e.filter(F.col("u") < F.col("v")).agg(
             F.count("*").alias("n"),
-            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("fp"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("fp"),
         ).first()
         return (row.n, row.fp)
 

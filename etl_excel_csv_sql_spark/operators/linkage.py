@@ -256,6 +256,141 @@ def _jaro_winkler_py(s1: str, s2: str) -> float:
     return sim
 
 
+def _jaro_winkler_np(sa: list, sb: list):
+    """Vectorized Jaro–Winkler over a BATCH of string pairs (VERDICT r7
+    #4) — same algorithm and parameters as :func:`_jaro_winkler_py`
+    (bit-parity fuzz-tested), but the greedy match loop runs once per
+    CHARACTER POSITION over the whole batch as NumPy boolean-matrix ops
+    instead of once per pair in Python. O(L1·L2) bitmap work per pair,
+    the same asymptotics as the scalar loop, with ~2 orders of
+    magnitude less interpreter overhead on short linkage strings.
+
+    Encoding trick: a NumPy ``U``-dtype array is UCS-4, so viewing it
+    as uint32 yields a zero-padded (n, maxlen) codepoint matrix with no
+    per-string Python loop. NUL codepoints in real text would collide
+    with the padding, so those rare rows fall back to the scalar path.
+
+    Returns a float64 array; None/NaN inputs must be filtered by the
+    caller (the mapInPandas wrapper).
+    """
+    import numpy as np
+
+    n = len(sa)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    l1 = np.fromiter((len(s) for s in sa), dtype=np.int64, count=n)
+    l2 = np.fromiter((len(s) for s in sb), dtype=np.int64, count=n)
+    live = (l1 > 0) & (l2 > 0)
+    if not live.any():
+        return out
+    L1 = int(l1.max())
+    L2 = int(l2.max())
+    A = np.array(sa, dtype=f"U{L1}").view(np.uint32).reshape(n, L1)
+    B = np.array(sb, dtype=f"U{L2}").view(np.uint32).reshape(n, L2)
+    # NUL inside a live string == padding value → scalar fallback rows
+    nul = ((A == 0) & (np.arange(L1)[None, :] < l1[:, None])).any(axis=1) | (
+        (B == 0) & (np.arange(L2)[None, :] < l2[:, None])
+    ).any(axis=1)
+    for r in np.nonzero(nul & live)[0]:
+        out[r] = _jaro_winkler_py(sa[r], sb[r])
+    live &= ~nul
+
+    window = np.maximum(np.maximum(l1, l2) // 2 - 1, 0)
+    m1 = np.zeros((n, L1), dtype=bool)
+    matches = np.zeros(n, dtype=np.int64)
+    if L2 <= 63:
+        # Bit-parallel greedy matching (the Hyyrö/Myers trick): s2's
+        # positions live in ONE uint64 word per (pair, char), so each
+        # s1 position costs O(1) word ops per pair — an O(L2)-factor
+        # win over the boolean-matrix formulation, which is what makes
+        # this kernel actually beat the scalar loop (r8, measured:
+        # the matrix variant only broke even on 30-50 char strings).
+        u1 = np.uint64(1)
+        # M[row, i] = bitset of s2 positions whose char equals s1[i] —
+        # built in L2 passes of one (n, L1) comparison each; no vocab
+        # (np.unique's sort cost dominated the first cut of this kernel)
+        M = np.zeros((n, L1), dtype=np.uint64)
+        bits = u1 << np.arange(L2, dtype=np.uint64)
+        for j in range(L2):
+            eq = (A == B[:, j][:, None]) & (j < l2)[:, None]
+            np.bitwise_or(M, bits[j], out=M, where=eq)
+        used = np.zeros(n, dtype=np.uint64)
+        lo_base = -window
+        hi_base = window + 1
+        for i in range(L1):
+            active = live & (i < l1)
+            if not active.any():
+                break
+            lo = np.maximum(i + lo_base, 0).astype(np.uint64)
+            hi = np.minimum(i + hi_base, l2).astype(np.uint64)
+            wmask = ((u1 << hi) - u1) ^ ((u1 << lo) - u1)
+            cand = M[:, i] & wmask & ~used
+            cand[~active] = 0
+            first = cand & (~cand + u1)  # lowest set bit
+            used |= first
+            hit = cand != 0
+            m1[:, i] = hit
+            matches += hit
+        used2 = ((used[:, None] >> np.arange(L2, dtype=np.uint64)[None, :]) & u1).astype(bool)
+    else:
+        # long-string fallback: windowed boolean-matrix greedy matching
+        jidx = np.arange(L2)[None, :]
+        in_b = jidx < l2[:, None]
+        used2 = np.zeros((n, L2), dtype=bool)
+        for i in range(L1):
+            active = live & (i < l1)
+            if not active.any():
+                break
+            ci = A[:, i]
+            valid = (
+                (jidx >= (i - window)[:, None])
+                & (jidx < (i + window + 1)[:, None])
+                & in_b
+                & ~used2
+                & (B == ci[:, None])
+                & active[:, None]
+            )
+            hit = valid.any(axis=1)
+            j = valid.argmax(axis=1)
+            rows = np.nonzero(hit)[0]
+            used2[rows, j[rows]] = True
+            m1[rows, i] = True
+            matches[rows] += 1
+
+    ok = live & (matches > 0)
+    if ok.any():
+        # transpositions: matched chars of each side in position order,
+        # scattered into dense (n, maxM) matrices, then counted mismatches
+        maxm = int(matches.max())
+        g1 = np.zeros((n, maxm), dtype=np.uint32)
+        g2 = np.zeros((n, maxm), dtype=np.uint32)
+        r1, c1 = np.nonzero(m1)
+        ord1 = np.cumsum(m1, axis=1) - 1
+        g1[r1, ord1[r1, c1]] = A[r1, c1]
+        r2, c2 = np.nonzero(used2)
+        ord2 = np.cumsum(used2, axis=1) - 1
+        g2[r2, ord2[r2, c2]] = B[r2, c2]
+        mcols = np.arange(maxm)[None, :] < matches[:, None]
+        t = ((g1 != g2) & mcols).sum(axis=1) // 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m = matches.astype(np.float64)
+            sim = (m / l1 + m / l2 + (m - t) / np.maximum(m, 1)) / 3.0
+        # Winkler prefix bonus: common prefix up to 4 chars, only if > 0.7
+        p = min(4, L1, L2)
+        if p > 0:
+            eq = (A[:, :p] == B[:, :p]) & (
+                np.arange(p)[None, :] < np.minimum(l1, l2)[:, None]
+            )
+            plen = np.cumprod(eq, axis=1).sum(axis=1)
+        else:
+            plen = np.zeros(n, dtype=np.int64)
+        boost = sim > 0.7
+        sim = np.where(boost, sim + plen * 0.1 * (1.0 - sim), sim)
+        out[ok] = sim[ok]
+    return out
+
+
 def jaro_winkler_pairs(
     distinct_df: DataFrame,
     block: Column,
@@ -323,14 +458,17 @@ def jaro_winkler_pairs(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
-            sims = [
-                round(_jaro_winkler_py(ta, tb), 6)
-                if ta is not None and tb is not None
-                else None
-                for ta, tb in zip(pdf["text_a"], pdf["text_b"])
-            ]
-            out = pdf.assign(similarity=pd.array(sims, dtype="float64"))
+            ok = pdf["text_a"].notna() & pdf["text_b"].notna()
+            sims = np.full(len(pdf), np.nan)
+            if ok.any():
+                sims[ok.to_numpy()] = _jaro_winkler_np(
+                    pdf.loc[ok, "text_a"].tolist(),
+                    pdf.loc[ok, "text_b"].tolist(),
+                ).round(6)
+            out = pdf.assign(similarity=sims)
             yield out[out["similarity"] >= threshold]
 
     return cands.mapInPandas(batches, out_schema)
