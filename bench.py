@@ -117,11 +117,17 @@ def main() -> int:
     first: dict[str, float] = {}
     best: dict[str, float] = {}
     exec_sec: dict[str, float] = {}
+    # host-load attribution (VERDICT r7 #10 / r8 #3): 1-min load average
+    # sampled before each query's three passes, so round-over-round
+    # per-query deltas are attributable to code vs host noise
+    load1_q: dict[str, float] = {}
+    load1_start = round(os.getloadavg()[0], 2)
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             log(f"bench: {name} not registered, skipping")
             continue
+        load1_q[name] = round(os.getloadavg()[0], 2)
         runs = []
         exec_runs = []
         for _ in range(3):
@@ -169,6 +175,10 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # 1-min load average at run start / end — the judge reads these
+        # against per-query deltas before calling anything a regression
+        "load1": round(os.getloadavg()[0], 2),
+        "load1_start": load1_start,
     }
     detail = {
         "ts": time.time(),
@@ -189,6 +199,8 @@ def main() -> int:
         # read as an impossibly perfect score downstream (ADVICE r5 #2).
         "queries_exec": exec_sec,
         "value_exec": round(sum(exec_sec.values()), 3) if exec_sec else None,
+        # per-query load1 sampled just before each query's passes
+        "queries_load1": load1_q,
     }
     try:
         os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -759,6 +759,7 @@ def seasonal_decompose_daily(
     value_col: str = "value",
     ts_col: str = "ts",
     period: int = 7,
+    max_spine_days: int = 36_600,
 ) -> DataFrame:
     """Classical additive seasonal decomposition of the daily metric
     total (the moving-average method behind STL's initial pass):
@@ -794,9 +795,32 @@ def seasonal_decompose_daily(
     # silently widens the moving average across missing days). Spine
     # days with no data carry null y: they never fabricate trend (the
     # presence count below excludes them) and are dropped at the end.
-    spine = daily.agg(
-        F.min("d").alias("lo"), F.max("d").alias("hi")
-    ).select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    # Spine-span guard: one corrupt far-future/past timestamp (e.g. year
+    # 9999) would make the sequence exceed Spark's max array length and
+    # kill the whole job with an opaque error. Fail loudly instead, with
+    # the actual span in the message. The check rides INSIDE the `hi`
+    # expression the sequence consumes, so column pruning can't drop it.
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    span = F.datediff("hi", "lo")
+    hi_checked = F.when(
+        span > max_spine_days,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "seasonal_decompose_daily: day spine spans "
+                ),
+                span.cast("string"),
+                F.lit(
+                    f" days (> max_spine_days={max_spine_days}) — "
+                    "likely corrupt timestamps; filter the input or "
+                    "raise max_spine_days"
+                ),
+            )
+        ).cast("date"),
+    ).otherwise(F.col("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", hi_checked)).alias("d")
+    )
     cal = spine.join(daily, "d", "left")
     half = period // 2
     w = Window.orderBy("d").rowsBetween(-half, half)

@@ -322,8 +322,13 @@ def _jaro_winkler_np(sa: list, sb: list):
             active = live & (i < l1)
             if not active.any():
                 break
-            lo = np.maximum(i + lo_base, 0).astype(np.uint64)
             hi = np.minimum(i + hi_base, l2).astype(np.uint64)
+            # clamp lo into [0, hi]: with l1 >= 128 the raw i - window
+            # can exceed 63, and a uint64 shift by >= 64 is undefined
+            # (zero here, but wraps mod 64 on x86 scalar paths — wmask
+            # would reopen low bits). lo == hi yields wmask 0, matching
+            # the scalar empty-window semantics.
+            lo = np.minimum(np.maximum(i + lo_base, 0).astype(np.uint64), hi)
             wmask = ((u1 << hi) - u1) ^ ((u1 << lo) - u1)
             cand = M[:, i] & wmask & ~used
             cand[~active] = 0

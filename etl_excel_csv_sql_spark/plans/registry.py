@@ -79,6 +79,17 @@ class QuerySpec:
     # round the ≤3-round freshness target is structurally unsatisfiable
     # without this split (see ROUND6_NOTES demotion policy).
     tier: str = "op"
+    # Sanctioned-Python-kernel reason (None → the plan must be JVM-only).
+    # Set centrally via PYTHON_KERNELS and applied in _validate_registry;
+    # tests/test_plan_quality.py derives its exception set from THIS
+    # field so WINDOW_ORDER rotations can never desynchronize the guard
+    # (the r8 rotation broke a hand-maintained per-test allowlist).
+    python_kernel: str | None = None
+    # True → constructing the frame runs jobs / side effects (streaming
+    # memory-sink scans, io roundtrips, lifecycle pipelines); plan-shape
+    # guards skip these instead of re-running the work. Set centrally
+    # via EAGER_QUERIES.
+    eager: bool = False
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -104,6 +115,14 @@ def _validate_registry() -> None:
     assert not unknown, f"BREADTH_TIER names not registered: {unknown}"
     for n in BREADTH_TIER:
         _REGISTRY[n].tier = "breadth"
+    bad_pk = [n for n in PYTHON_KERNELS if n not in _REGISTRY]
+    assert not bad_pk, f"PYTHON_KERNELS names not registered: {bad_pk}"
+    for n, reason in PYTHON_KERNELS.items():
+        _REGISTRY[n].python_kernel = reason
+    bad_eager = [n for n in EAGER_QUERIES if n not in _REGISTRY]
+    assert not bad_eager, f"EAGER_QUERIES names not registered: {bad_eager}"
+    for n in EAGER_QUERIES:
+        _REGISTRY[n].eager = True
 
 
 def _ordered_registry() -> dict[str, QuerySpec]:
@@ -133,6 +152,23 @@ def all_oracles() -> dict[str, str]:
         for name, spec in _ordered_registry().items()
         if spec.oracle
     }
+
+
+def python_kernel_queries() -> dict[str, str]:
+    """name → sanctioned-Python-kernel reason (plan guards exempt these)."""
+    return {
+        name: spec.python_kernel
+        for name, spec in _ordered_registry().items()
+        if spec.python_kernel
+    }
+
+
+def eager_queries() -> frozenset[str]:
+    """Queries whose construction runs jobs/side effects; plan-shape
+    guards skip them instead of re-running the work."""
+    return frozenset(
+        name for name, spec in _ordered_registry().items() if spec.eager
+    )
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -6346,62 +6382,62 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
     )
 
 
-# --- r8 window: evidence-banking round (VERDICT r7 #1/#2): all 50
-# slots on never-driver-checked queries, emitted by
-# tools/rotation.py 8 --emit under the documented policy (err >
-# never-checked > stalest, oracle before rows-only). Registry growth
-# held near zero this round so the 63-query backlog shrinks to <=13.
+# --- r9 window (tools/rotation.py 9 --emit): leads with ALL 14
+# never-driver-checked queries (VERDICT r8 #2 — backlog to zero), then
+# the stale-3+ tier (repetition_signals, contamination_check, ...) per
+# the staleness burn-down policy (err > never-checked > stalest,
+# oracle-before-rows-only at equal staleness).
 WINDOW_ORDER: tuple[str, ...] = (
-    "events_streaming_dedup_watermarked",
-    "csv_permissive_quarantine",
-    "dpp_partition_pruned_revenue",
-    "pivot_multi_agg",
-    "personalized_pagerank_parts",
-    "media_exif_meta",
-    "forecast_revenue_change",
-    "observed_pipeline_metrics",
-    "collation_ci_matching",
-    "ansi_safe_arithmetic",
-    "calendar_dim_spine",
-    "map_functions_breadth",
-    "grouped_minmax_scaling",
-    "grouped_agg_pandas_udf",
-    "fuzzy_join_enrichment",
-    "cuped_ab_report",
-    "set_similarity_join_pairs",
-    "late_supplier_blame_report",
-    "cdc_apply_roundtrip",
-    "global_outlier_customers",
-    "fuzzy_part_pairs_multipass",
-    "lpa_communities",
-    "events_sessionize_bucketed",
-    "survival_curve_users",
-    "rfm_segmentation",
-    "winsorized_price_stats",
-    "jaro_winkler_part_pairs",
-    "doc_bigram_surprisal",
-    "dsir_importance_weights",
-    "gopher_rule_filter",
-    "psi_drift_orders",
-    "events_acf_daily",
-    "embedding_quantization_report",
-    "count_min_partkey",
-    "seasonal_decompose_daily",
-    "corpus_datacard",
-    "vocab_coverage_report",
-    "copurchase_triangles",
-    "pareto_abc_parts",
-    "attribution_time_decay",
-    "hilbert_layout_sample",
-    "asof_nearest_purchase_per_event",
-    "daily_user_accounting",
-    "doc_compression_ratio",
-    "dedup_incremental_minhash",
-    "events_streaming_approx_users",
-    "compact_small_files_report",
-    "events_streaming_progress_report",
-    "events_streaming_soak_50_batches",
-    "ann_ivf_upsert_topk",
+    "strip_duplicate_spans_clean",
+    "ann_pq_topk",
+    "hll_distinct_calibration",
+    "hll_set_overlap",
+    "quantile_sketch_calibration",
+    "media_ahash_neardup",
+    "embedding_pca_variance",
+    "bpe_train_report",
+    "frequent_itemsets_fpgrowth",
+    "bpe_encode_tokens",
+    "semantic_dedup_report",
+    "event_sequential_patterns",
+    "dup_pair_edit_script",
+    "media_phash_neardup",
+    "repetition_signals",
+    "contamination_check",
+    "pack_documents_by_lang",
+    "redact_pii",
+    "train_test_split",
+    "dup_span_coverage",
+    "subword_token_count",
+    "embedding_dup_pairs_exact",
+    "excel_multisheet_roundtrip",
+    "doc_fingerprint_rolling",
+    "sql_text_interface",
+    "hypertable_rollup_daily",
+    "events_funnel",
+    "events_session_native",
+    "dedup_components_star",
+    "lang_confusion_matrix",
+    "reconciliation_customer_orders",
+    "table_profile_customer",
+    "scd2_snapshot_apply",
+    "range_join_price_bands",
+    "source_capped_sample",
+    "corpus_mixture_weights",
+    "embedding_quantization_error",
+    "media_image_meta",
+    "media_resize_plan",
+    "media_audio_meta",
+    "events_streaming_dedup",
+    "events_session_streaming",
+    "events_stream_stream_join",
+    "dedup_pipeline_minhash",
+    "ann_ivf_persisted_topk",
+    "filter_neq_case_insensitive",
+    "project_columns",
+    "filter_notnull_key",
+    "semi_join_inlist",
+    "update_join_writeback",
 )
 
 # Breadth-tier queries (see QuerySpec.tier): pure SQL-shape coverage —
@@ -6464,6 +6500,98 @@ BREADTH_TIER: frozenset[str] = frozenset(
         "window_rank_dense",
         "window_running_sum",
         "window_topk_per_group",
+    }
+)
+
+# Sanctioned Python kernels (see QuerySpec.python_kernel): every query
+# whose PLAN legitimately contains a Python evaluation stage, with the
+# reason no JVM expression can replace it. Derived from a full-registry
+# plan audit (r9); tests/test_plan_quality.py asserts BOTH directions —
+# untagged window queries must be JVM-only AND tagged queries must
+# actually carry a Python stage (stale tags fail too).
+PYTHON_KERNELS: dict[str, str] = {
+    "jaro_winkler_part_pairs": (
+        "no JVM Jaro-Winkler expression; bit-parallel NumPy kernel over "
+        "JVM-blocked candidate pairs (Arrow mapInPandas), fuzz-proven "
+        "bit-equal to DuckDB's jaro_winkler_similarity"
+    ),
+    "doc_compression_ratio": (
+        "zlib has no Catalyst equivalent; Arrow mapInPandas narrow map"
+    ),
+    "heavy_hitters_phi": (
+        "Misra-Gries per-partition summaries run as an Arrow narrow map; "
+        "raw keys never shuffle"
+    ),
+    "unicode_nfc_normalize": (
+        "no JVM Unicode-normalization expression; unicodedata via Arrow "
+        "mapInPandas narrow map"
+    ),
+    "dup_pair_edit_script": (
+        "difflib opcode extraction has no JVM equivalent; Arrow-batched "
+        "kernel over the bounded near-dup pair set"
+    ),
+    "grouped_minmax_scaling": (
+        "applyInPandas grouped-transform surface coverage (the Arrow "
+        "FlatMapGroupsInPandas path is the query's subject)"
+    ),
+    "grouped_agg_pandas_udf": (
+        "pandas_udf grouped-aggregate surface coverage (the Arrow "
+        "AggregateInPandas path is the query's subject)"
+    ),
+    "media_image_meta": "stdlib codec decode via Arrow mapInPandas",
+    "media_exif_meta": "stdlib codec decode via Arrow mapInPandas",
+    "media_audio_meta": "stdlib codec decode via Arrow mapInPandas",
+    "media_video_meta": "stdlib codec decode via Arrow mapInPandas",
+    "media_resize_plan": "stdlib codec decode via Arrow mapInPandas",
+    "media_frame_plan": "stdlib codec decode via Arrow mapInPandas",
+    "media_ahash_neardup": "stdlib codec decode via Arrow mapInPandas",
+    "media_phash_neardup": "stdlib codec decode via Arrow mapInPandas",
+}
+
+# Eager queries (see QuerySpec.eager): constructing the frame executes a
+# stream / io roundtrip / lifecycle pipeline; the returned frame is a
+# result scan (often a memory sink). Plan guards skip these — asserting
+# on their plan would re-run the side effects.
+EAGER_QUERIES: frozenset[str] = frozenset(
+    {
+        "ann_ivf_mllib_topk",
+        "ann_ivf_persisted_topk",
+        "ann_ivf_topk",
+        "ann_ivf_upsert_topk",
+        "archive_naming",
+        "copy_plan_manifest",
+        "csv_permissive_quarantine",
+        "csv_roundtrip",
+        "events_session_streaming",
+        "events_stateful_running_totals",
+        "events_stream_stream_full_join",
+        "events_stream_stream_join",
+        "events_stream_stream_left_join",
+        "events_streaming_approx_users",
+        "events_streaming_dedup",
+        "events_streaming_dedup_watermarked",
+        "events_streaming_enriched",
+        "events_streaming_merge_upsert",
+        "events_streaming_progress_report",
+        "events_streaming_soak_50_batches",
+        "events_tumbling_streaming",
+        "excel_multisheet_roundtrip",
+        "excel_roundtrip",
+        "excel_serial_to_ts",
+        "folder_queue_lifecycle",
+        "invoice_pipeline_e2e",
+        "jdbc_fullrefresh_roundtrip",
+        "jdbc_live_roundtrip",
+        "media_streaming_meta_rollup",
+        "merge_upsert_roundtrip",
+        "quarantine_split_rows",
+        "retention_sweep_report",
+        "schema_guard_outcomes",
+        "settings_catalog",
+        "settings_datasource_scan",
+        "settings_validation_outcomes",
+        "warehouse_bucketed_join",
+        "watermark_lifecycle",
     }
 )
 

@@ -57,31 +57,69 @@ def test_dup_span_coverage_uses_semi_join(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
-def test_no_python_udfs_in_window_queries(spark, sf_dir):
-    """Every driver-window query plan is JVM-only. Intentional exceptions:
-    the media_* family IS the documented Arrow mapInPandas decode path
-    (stdlib codecs run in Python by design); heavy_hitters_phi's
-    Misra-Gries partials and unicode_nfc_normalize's unicodedata kernel
-    are likewise documented Arrow narrow maps (no JVM expression exists
-    for either); and the streaming queries execute a whole stream on
-    construction (their returned frame is a memory-sink scan — nothing
-    to assert, and running them here would re-run the stream)."""
-    from etl_excel_csv_sql_spark.plans.registry import all_queries, WINDOW_ORDER
+# Plan-node substrings that mark a Python evaluation stage of any
+# flavor: Batch/ArrowEvalPython, MapInPandas / FlatMapGroupsInPandas /
+# AggregateInPandas, MapInArrow, ArrowAggregatePython.
+_PY_STAGE_TOKENS = ("EvalPython", "InPandas", "InArrow", "AggregatePython")
 
-    arrow_kernels = {"heavy_hitters_phi", "unicode_nfc_normalize"}
+
+def _has_python_stage(plan: str) -> bool:
+    return any(tok in plan for tok in _PY_STAGE_TOKENS)
+
+
+def test_no_python_udfs_in_window_queries(spark, sf_dir):
+    """Every driver-window query plan is JVM-only UNLESS the registry
+    entry itself carries a sanctioned-Python-kernel reason
+    (QuerySpec.python_kernel, set via registry.PYTHON_KERNELS — e.g. the
+    media_* stdlib-codec decodes, the Jaro-Winkler NumPy kernel, zlib
+    compression ratios). Eager queries (QuerySpec.eager — streaming
+    memory-sink scans, io roundtrips) are skipped: their frame is a
+    result scan and re-planning them re-runs the side effects. Deriving
+    both sets from the registry means WINDOW_ORDER rotations can never
+    desynchronize this guard (r8 regression)."""
+    from etl_excel_csv_sql_spark.plans.registry import (
+        WINDOW_ORDER,
+        all_queries,
+        eager_queries,
+        python_kernel_queries,
+    )
+
+    sanctioned = python_kernel_queries()
+    eager = eager_queries()
     qs = all_queries()
     offenders = []
     for name in WINDOW_ORDER:
-        if name.startswith("media_") or "stream" in name or name in arrow_kernels:
+        if name in sanctioned or name in eager:
             continue
-        plan = _plan(qs[name](spark, sf_dir))
-        if (
-            "BatchEvalPython" in plan
-            or "ArrowEvalPython" in plan
-            or "MapInPandas" in plan
-        ):
+        if _has_python_stage(_plan(qs[name](spark, sf_dir))):
             offenders.append(name)
-    assert not offenders, f"Python eval in window plans: {offenders}"
+    assert not offenders, (
+        f"Python eval in window plans: {offenders} — either make the "
+        "plan JVM-only or document the kernel in registry.PYTHON_KERNELS"
+    )
+
+
+def test_python_kernel_tags_are_not_stale(spark, sf_dir):
+    """The inverse guard: every PYTHON_KERNELS-tagged, non-eager query
+    must actually carry a Python stage in its plan — a tag that outlives
+    a JVM rewrite is a hole in the JVM-only guarantee above."""
+    from etl_excel_csv_sql_spark.plans.registry import (
+        all_queries,
+        eager_queries,
+        python_kernel_queries,
+    )
+
+    qs = all_queries()
+    eager = eager_queries()
+    stale = [
+        name
+        for name in python_kernel_queries()
+        if name not in eager and not _has_python_stage(_plan(qs[name](spark, sf_dir)))
+    ]
+    assert not stale, (
+        f"tagged as Python kernels but plan is JVM-only: {stale} — "
+        "remove them from registry.PYTHON_KERNELS"
+    )
 
 
 def test_oracle_gate_rejects_driver_unhashable_outputs(spark):
@@ -116,21 +154,16 @@ def test_window_queries_have_scalar_only_outputs(spark, sf_dir):
     import __spark_entry__ as entrymod
     from tools.check_oracle import non_scalar_columns
 
-    from etl_excel_csv_sql_spark.plans.registry import WINDOW_ORDER
+    from etl_excel_csv_sql_spark.plans.registry import WINDOW_ORDER, eager_queries
 
     qs = entrymod.queries()
-    # restrict to cheap-to-plan queries: skip lifecycle/streaming entries
-    # that run eagerly inside the fn (they are covered by the full local
-    # gate and the schema audit script)
-    slow_prefixes = ("events_stream", "events_session_streaming",
-                     "events_streaming", "events_stateful", "events_tumbling_streaming",
-                     "jdbc_", "excel_", "csv_", "warehouse_", "ann_ivf",
-                     "watermark_", "folder_", "settings_", "quarantine_",
-                     "merge_", "schema_guard", "invoice_pipeline",
-                     "retention_", "archive_", "copy_plan")
+    # restrict to cheap-to-plan queries: skip entries the registry marks
+    # eager (lifecycle/streaming — they run jobs inside the fn and are
+    # covered by the full local gate and the schema audit script)
+    eager = eager_queries()
     checked = 0
     for name in WINDOW_ORDER:
-        if name.startswith(slow_prefixes):
+        if name in eager:
             continue
         bad = non_scalar_columns(qs[name](spark, sf_dir))
         assert bad == [], f"{name} has driver-unhashable columns: {bad}"

@@ -311,8 +311,33 @@ def test_jaro_winkler_vectorized_matches_scalar_fuzz():
             "".join(rng.choice("abcdE 9ü水") for _ in range(n1)),
             "".join(rng.choice("abcdE 9ü水") for _ in range(n2)),
         ))
+    # long / mixed-length pairs: lengths 50-150 on each side exercise
+    # (a) the L2 > 63 boolean-matrix branch, and (b) the bit-parallel
+    # branch's window-past-end edge (l1 >= 128 vs short l2 drives the
+    # raw window lower bound past bit 63 — the r8 shift-UB site; the
+    # kernel must clamp, not rely on platform shift semantics)
+    for _ in range(300):
+        n1, n2 = rng.randint(50, 150), rng.randint(50, 150)
+        cases.append((
+            "".join(rng.choice("abcdE 9ü水") for _ in range(n1)),
+            "".join(rng.choice("abcdE 9ü水") for _ in range(n2)),
+        ))
     got = _jaro_winkler_np([a for a, _ in cases], [b for _, b in cases])
     for (s1, s2), g in zip(cases, got):
+        assert g == _jaro_winkler_py(s1, s2), (s1, s2)
+    # dedicated bit-parallel batch: the kernel branches on the BATCH max
+    # of len(s2), so every s2 here stays <= 63 while s1 runs 128-160 —
+    # the exact shape where i - window exceeds 63 inside the uint64 path
+    bit_cases = []
+    for _ in range(400):
+        bit_cases.append((
+            "".join(rng.choice("abcd") for _ in range(rng.randint(128, 160))),
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 63))),
+        ))
+    got_bits = _jaro_winkler_np(
+        [a for a, _ in bit_cases], [b for _, b in bit_cases]
+    )
+    for (s1, s2), g in zip(bit_cases, got_bits):
         assert g == _jaro_winkler_py(s1, s2), (s1, s2)
     # batch invariance: a sub-batch scores identically to the full batch
     sub = _jaro_winkler_np([cases[3][0]], [cases[3][1]])

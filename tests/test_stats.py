@@ -536,6 +536,32 @@ def test_seasonal_decompose_calendar_gap_nulls_trend(spark):
     assert out["2024-03-18"]["trend"] == pytest.approx(117.0, abs=1e-6)
 
 
+def test_seasonal_decompose_corrupt_timestamp_fails_loudly(spark):
+    """ADVICE r9: one year-9999 row must not kill the job with an opaque
+    max-array-length failure from the day-spine sequence — the span
+    guard raises a named error instead, and a sane span still works."""
+    import datetime
+
+    from etl_excel_csv_sql_spark.operators import events as ev_ops
+
+    rows = [
+        (i, datetime.datetime(2024, 3, 1) + datetime.timedelta(days=i), 10.0 + i)
+        for i in range(21)
+    ]
+    rows.append((99, datetime.datetime(9999, 12, 31), 1.0))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    with pytest.raises(Exception, match="max_spine_days"):
+        ev_ops.seasonal_decompose_daily(df, period=7).collect()
+    # an explicitly raised bound admits the wide spine (caller opt-in)
+    ok = ev_ops.seasonal_decompose_daily(
+        df, period=7, max_spine_days=4_000_000
+    )
+    assert ok.count() == 22
+    # and the clean series is untouched by the guard
+    clean = spark.createDataFrame(rows[:21], "event_id long, ts timestamp, value double")
+    assert ev_ops.seasonal_decompose_daily(clean, period=7).count() == 21
+
+
 def test_global_prefix_sum_matches_window(spark):
     from pyspark.sql import Window as W
 
