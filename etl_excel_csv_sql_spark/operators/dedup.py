@@ -1112,35 +1112,17 @@ def embedding_dup_pairs(
     )
 
 
-def set_similarity_join(
+def _allpairs_candidates(
     df: DataFrame,
-    threshold: float = 0.9,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Exact token-SET Jaccard self-join via prefix filtering (AllPairs,
-    Bayardo/Ma/Srikant WWW'07) — the third pillar of the near-dup family
-    next to the inverted shingle index (ngram_jaccard_pairs, exact but
-    postings-bounded) and MinHash LSH (probabilistic):
-
-    Under one GLOBAL token order (document frequency asc, token asc —
-    rare tokens first), two sets with Jaccard >= t MUST share a token in
-    each other's first  |s| - ceil(t*|s|) + 1  tokens, so only that prefix
-    enters the candidate index. With rare tokens first, prefix postings
-    are short by construction — the selectivity comes from the order,
-    not a max_df heuristic.
-
-    No global rank materializes anywhere: the order key is the
-    (df, token) struct itself, sorted PER DOCUMENT with array_sort — the
-    vocabulary is never single-partition sorted (at web scale a dense
-    global rank would be its own bottleneck).
-
-    Plan: tokenize -> token df counts (one agg) -> join freq back ->
-    per-doc sorted token array + prefix slice -> explode prefix ->
-    self-join on token (id_a < id_b, distinct) -> verify exact Jaccard
-    on the full sorted arrays (array_intersect/array_union, JVM).
-    Output: (id_a, id_b, jaccard) rounded to 6dp, jaccard >= threshold.
-    """
+    threshold: float,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """AllPairs candidate stage, exposed for the skew bound assert:
+    returns (with_prefix, candidate_pairs). Under the rare-first global
+    token order a DOMINANT token sorts last, so it almost never enters
+    a prefix — candidate counts stay near-linear on a 90%-hot-token
+    corpus (tests/test_plan_quality.py pins this with a direct count)."""
     toks = (
         spread_for_compute(df)
         .select(
@@ -1180,6 +1162,39 @@ def set_similarity_join(
         .select("id_a", "id_b")
         .distinct()
     )
+    return with_prefix, cand
+
+
+def set_similarity_join(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-SET Jaccard self-join via prefix filtering (AllPairs,
+    Bayardo/Ma/Srikant WWW'07) — the third pillar of the near-dup family
+    next to the inverted shingle index (ngram_jaccard_pairs, exact but
+    postings-bounded) and MinHash LSH (probabilistic):
+
+    Under one GLOBAL token order (document frequency asc, token asc —
+    rare tokens first), two sets with Jaccard >= t MUST share a token in
+    each other's first  |s| - ceil(t*|s|) + 1  tokens, so only that prefix
+    enters the candidate index. With rare tokens first, prefix postings
+    are short by construction — the selectivity comes from the order,
+    not a max_df heuristic.
+
+    No global rank materializes anywhere: the order key is the
+    (df, token) struct itself, sorted PER DOCUMENT with array_sort — the
+    vocabulary is never single-partition sorted (at web scale a dense
+    global rank would be its own bottleneck).
+
+    Plan: tokenize -> token df counts (one agg) -> join freq back ->
+    per-doc sorted token array + prefix slice -> explode prefix ->
+    self-join on token (id_a < id_b, distinct) -> verify exact Jaccard
+    on the full sorted arrays (array_intersect/array_union, JVM).
+    Output: (id_a, id_b, jaccard) rounded to 6dp, jaccard >= threshold.
+    """
+    with_prefix, cand = _allpairs_candidates(df, threshold, id_col, text_col)
     a = with_prefix.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
     b = with_prefix.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
     inter = F.size(F.array_intersect("ta", "tb"))

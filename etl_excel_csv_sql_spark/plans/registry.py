@@ -6615,14 +6615,22 @@ assert len(WINDOW_ORDER) == 50, f"window must be exactly 50, got {len(WINDOW_ORD
     "text near-dup family: catches paraphrases that share no shingles. "
     "Rows-only: k-means cells are not SQL-expressible; pytest injects "
     "exact+near duplicate vectors and asserts full recall of injected "
-    "copies, >=1 survivor per clique, and no cross-cell false drops",
+    "copies, >=1 survivor per clique, and no cross-cell false drops. "
+    "oversize='split' (r9): a hot-direction corpus that collapses into "
+    "one cell is sub-clustered instead of dropped, so Sum|cell|^2 stays "
+    "bounded WITH full coverage (skew_probe evidences the wall bound)",
 )
 def q_semantic_dedup_report(spark, sf_dir):
     return similarity.semantic_dedup(
         _t(spark, sf_dir, "embeddings"),
         threshold=0.93,
         n_cells=8,
-        max_cell=100_000,
+        # ~n/n_cells at sf0.1: tight enough that a degenerate cell
+        # splits into MANY parallel subcells (the pair join's unit of
+        # parallelism is the cell key), bounding Sum|cell|^2 near the
+        # balanced value
+        max_cell=250,
+        oversize="split",
     )
 
 

@@ -326,6 +326,30 @@ def test_set_similarity_join_no_cartesian_no_window(spark, sf_dir):
     assert "Window" not in plan
 
 
+def test_set_similarity_hot_token_candidates_stay_linear(spark):
+    """Skew bound (VERDICT r8 #4): with 90% of docs sharing one hot
+    token, a naive token-inverted-index join would generate ~(0.9n)²
+    candidate pairs through that token alone. The AllPairs rare-first
+    prefix order must keep the hot token OUT of prefixes, so candidates
+    stay near-linear in n."""
+    from etl_excel_csv_sql_spark.operators.dedup import _allpairs_candidates
+
+    n = 600
+    rows = [
+        (
+            i,
+            f"unique{i}a unique{i}b unique{i}c unique{i}d"
+            + (" hotsharedtoken" if i % 10 != 0 else ""),
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    _, cand = _allpairs_candidates(df, 0.9, "doc_id", "text")
+    n_cand = cand.count()
+    # quadratic-through-the-hot-token would be ~(540·539)/2 ≈ 145k
+    assert n_cand <= 5 * n, n_cand
+
+
 def test_cuped_global_stats_broadcast_no_second_action(spark, sf_dir):
     """CUPED's theta/mean must rejoin as a broadcast single row inside
     ONE plan — no collect-based second action."""

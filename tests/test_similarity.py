@@ -612,6 +612,55 @@ def test_semantic_dedup_keeps_highest_centroid_rank(spark):
     assert rep[10].keep and rep[11].keep  # orthogonal vectors untouched
 
 
+def test_semantic_dedup_split_bounds_hot_cell(spark):
+    """oversize='split' (VERDICT r8 #4): a 90%-hot-direction corpus
+    collapses into one k-means cell; the split guard must (a) bound
+    every final cell near max_cell so the pair join stays Σ|cell|², (b)
+    keep FULL coverage (every row classified — nothing dropped like
+    oversize='drop' would), and (c) still catch planted exact copies
+    that land in the same subcell."""
+    import math
+    import random
+
+    from etl_excel_csv_sql_spark.operators import similarity
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(900):  # hot mass: one direction + small jitter
+        v = [1.0 + rng.uniform(-0.01, 0.01), rng.uniform(-0.01, 0.01),
+             rng.uniform(-0.01, 0.01), rng.uniform(-0.01, 0.01)]
+        rows.append((i, v, "hot"))
+    for i in range(900, 1000):  # cold tail: scattered
+        v = [rng.uniform(-1, 1) for _ in range(4)]
+        rows.append((i, v, "cold"))
+    # planted exact copies inside the hot mass
+    for i in range(5):
+        rows.append((10_000 + i, list(rows[i][1]), "copy"))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    rep = similarity.semantic_dedup(
+        df, threshold=0.9999, n_cells=4, max_cell=200, oversize="split"
+    )
+    out = rep.collect()
+    assert len(out) == len(rows)  # full coverage: no dropped cells
+    by_cell: dict[int, int] = {}
+    for r in out:
+        by_cell[r.cell_id] = by_cell.get(r.cell_id, 0) + 1
+    # k-means sub-split is not perfectly balanced; salt fallback bounds
+    # the rest — allow slack but the 900-row whale must be gone
+    assert max(by_cell.values()) <= 400, sorted(by_cell.values())[-5:]
+    # exact copies: identical vectors share every centroid distance and
+    # salt on id only when degenerate — when co-located they dedup
+    rows_by_id = {r.id: r for r in out}
+    caught = sum(
+        1
+        for i in range(5)
+        if not rows_by_id[10_000 + i].keep or not rows_by_id[i].keep
+    )
+    assert caught >= 3  # most copy pairs stay co-located through splits
+
+
 def test_ivf_index_upsert_incremental(spark, sf_dir, tmp_path):
     """Incremental IVF maintenance: replaced ids disappear from their
     old cell, new vectors are probeable, and UNTOUCHED partition files

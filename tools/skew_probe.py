@@ -16,6 +16,16 @@ keys and measures the guard-carrying queries against both corpora:
   "hotblock" (one dominant blocking key) — exercises fuzzy_part_pairs'
   max_block guard: the hot block must DROP OUT in-plan instead of going
   |block|² quadratic.
+- documents (r9): 90% of rows additionally get one hot TOKEN appended
+  to text — exercises set_similarity_join_pairs' AllPairs prefix
+  filter: under the rare-first global order the hot token sorts last
+  and almost never enters a prefix, so candidates must not explode.
+  (Identical-document skew would be output-quadratic for ANY exact
+  join — a dominant token is the adversarial-but-answerable shape.)
+- embeddings (r9): 90% of rows become one hot direction + small jitter
+  (distinct vectors, so the true near-dup output stays linear) — all
+  land in one k-means cell, exercising semantic_dedup's
+  oversize="split" sub-clustering bound on Σ|cell|².
 
 Pass criterion (the brief's bar): skewed run2 wall within 2× of the
 uniform run2 wall at equal row counts. Results append to
@@ -42,6 +52,11 @@ PROBES = (
     # bucket-and-stitch rewrite (events corpus is 90% one user)
     "events_sessionize",
     "events_sessionize_bucketed",
+    # r9 (VERDICT r8 #4): the pair-join family under hot keys —
+    # AllPairs prefix filter vs a dominant token; SemDeDup
+    # oversize="split" vs a one-cell hot-direction embedding corpus
+    "set_similarity_join_pairs",
+    "semantic_dedup_report",
 )
 HOT_FRACTION = 10  # 9 of every 10 rows get the hot key
 
@@ -63,7 +78,7 @@ def build_skewed() -> str:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    out_dir = os.path.join(REPO, ".tmp", "skew1")
+    out_dir = os.path.join(REPO, ".tmp", "skew2")  # v2: + text/embeddings
     done = os.path.join(out_dir, ".done")
     if os.path.exists(done):
         return out_dir
@@ -77,8 +92,44 @@ def build_skewed() -> str:
             hot, pa.scalar(hot_val, pa.string()), docs.column(col)
         )
         docs = docs.set_column(idx, col, skewed)
+    # one dominant token appended to 90% of texts (r9): the AllPairs
+    # prefix filter must keep it out of candidate prefixes
+    tidx = docs.schema.get_field_index("text")
+    hot_text = pc.binary_join_element_wise(
+        docs.column("text").cast(pa.string()),
+        pa.array(["hotsharedtoken"] * len(docs)),
+        " ",
+    )
+    docs = docs.set_column(
+        tidx, "text", pc.if_else(hot, hot_text, docs.column("text"))
+    )
     pq.write_table(docs, os.path.join(out_dir, "documents.parquet"))
-    log(f"skew_probe: wrote {len(docs)} documents (90% hot lang/source)")
+    log(f"skew_probe: wrote {len(docs)} documents (90% hot lang/source/token)")
+
+    # embeddings: 90% of vectors → one hot direction + per-row jitter
+    # (distinct vectors: the true near-dup output stays LINEAR, so any
+    # quadratic wall is the algorithm's, not the answer's)
+    import numpy as np
+
+    emb = pq.read_table(os.path.join(BASE_SF, "embeddings.parquet"))
+    vecs = emb.column("embedding").to_pylist()
+    ids = emb.column("vec_id").to_pylist()
+    dim = len(vecs[0])
+    rng = np.random.RandomState(42)
+    base_dir = np.zeros(dim); base_dir[0] = 1.0
+    for i in range(len(vecs)):
+        if ids[i] % HOT_FRACTION != 0:
+            vecs[i] = (base_dir + rng.uniform(-0.02, 0.02, dim)).astype(
+                np.float32
+            ).tolist()
+    etype = emb.schema.field("embedding").type
+    emb = emb.set_column(
+        emb.schema.get_field_index("embedding"),
+        "embedding",
+        pa.array(vecs, type=etype),
+    )
+    pq.write_table(emb, os.path.join(out_dir, "embeddings.parquet"))
+    log(f"skew_probe: wrote {len(emb)} embeddings (90% one hot direction)")
 
     ev = pq.read_table(os.path.join(BASE_SF, "events.parquet"))
     hot_e = pc.not_equal(_mod(pc, ev.column("event_id"), HOT_FRACTION), 0)
