@@ -98,17 +98,36 @@ def stage_workbook_to_parquet(
     out_dir: str,
     sheets: list[str] | None = None,
     header_row: int = 1,
+    max_workers: int = 8,
 ) -> dict[str, str]:
     """Parse each (configured or all) sheet once and land it as parquet —
     the scale path: every downstream query then gets a splittable columnar
     scan with pushdown instead of a driver-side XML parse. Returns
-    {sheet: parquet_path}."""
+    {sheet: parquet_path} in workbook order.
+
+    Sheets stage CONCURRENTLY (VERDICT r7 #7): a thread pool overlaps the
+    GIL-releasing phases — zip inflate of sheet B's XML while sheet A's
+    parquet write waits on the JVM — so a many-sheet workbook stages in
+    roughly the longest sheet's wall, not the sum. Each thread opens its
+    own zipfile handle (ZipFile is not thread-safe for concurrent reads);
+    Spark write is driver-thread-safe. ``max_workers=1`` restores the
+    serial path."""
+    from concurrent.futures import ThreadPoolExecutor
+
     available = excel_sheet_names(path)
     targets = match_sheets(available, sheets) if sheets is not None else available
-    out: dict[str, str] = {}
-    for sheet in targets:
+    if not targets:
+        return {}
+
+    def _stage(sheet: str) -> str:
         df = read_excel_sheet(spark, path, sheet, header_row)
         dest = f"{out_dir}/{sheet}.parquet"
         df.write.mode("overwrite").parquet(dest)
-        out[sheet] = dest
-    return out
+        return dest
+
+    workers = max(1, min(max_workers, len(targets)))
+    if workers == 1:
+        return {sheet: _stage(sheet) for sheet in targets}
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        dests = list(pool.map(_stage, targets))
+    return dict(zip(targets, dests))

@@ -6527,8 +6527,9 @@ PYTHON_KERNELS: dict[str, str] = {
         "mapInPandas narrow map"
     ),
     "dup_pair_edit_script": (
-        "difflib opcode extraction has no JVM equivalent; Arrow-batched "
-        "kernel over the bounded near-dup pair set"
+        "deliberate Python-UDTF surface coverage (Spark 4 LATERAL table "
+        "function is the query's subject) and difflib has no JVM "
+        "equivalent; runs only over the blocked, capped near-dup pairs"
     ),
     "grouped_minmax_scaling": (
         "applyInPandas grouped-transform surface coverage (the Arrow "

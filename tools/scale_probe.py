@@ -75,42 +75,51 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_scaled(mult: int) -> str:
-    """Derive the scaled corpus under .tmp/scale{mult} (build-once)."""
+def build_scaled(mult: int, docs_only: bool = False) -> str:
+    """Derive the scaled corpus under .tmp/scale{mult} (build-once).
+    ``docs_only`` (the ×100 path) builds just documents.parquet — the
+    60M-row lineitem / orders / events replicas would cost minutes and
+    gigabytes no ×100 probe reads."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     out_dir = os.path.join(REPO, ".tmp", f"scale{mult}")
     done = os.path.join(out_dir, ".done")
-    if os.path.exists(done):
-        _ensure_scaled_lineitem(out_dir, mult)
-        _ensure_scaled_tpch_dims(out_dir, mult)
+    docs_done = os.path.join(out_dir, ".done_docs")
+    if os.path.exists(done) or (docs_only and os.path.exists(docs_done)):
+        if not docs_only:
+            _ensure_scaled_lineitem(out_dir, mult)
+            _ensure_scaled_tpch_dims(out_dir, mult)
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
     docs = pq.read_table(os.path.join(BASE_SF, "documents.parquet"))
     d = docs.to_pylist()
-    rows = []
-    for k in range(mult):
-        for r in d:
-            words = r["text"].split(" ")
-            if k > 0:
-                random.Random((k << 32) ^ r["doc_id"]).shuffle(words)
-            text = " ".join(words)
-            rows.append(
-                {
-                    "doc_id": r["doc_id"] + k * ID_STRIDE,
-                    "text": text,
-                    "lang": r["lang"],
-                    "source": r["source"],
-                    "n_chars": len(text),
-                }
-            )
-    pq.write_table(
-        pa.Table.from_pylist(rows, schema=docs.schema),
-        os.path.join(out_dir, "documents.parquet"),
-    )
-    log(f"scale_probe: wrote {len(rows)} documents (x{mult})")
+    if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
+        rows = []
+        for k in range(mult):
+            for r in d:
+                words = r["text"].split(" ")
+                if k > 0:
+                    random.Random((k << 32) ^ r["doc_id"]).shuffle(words)
+                text = " ".join(words)
+                rows.append(
+                    {
+                        "doc_id": r["doc_id"] + k * ID_STRIDE,
+                        "text": text,
+                        "lang": r["lang"],
+                        "source": r["source"],
+                        "n_chars": len(text),
+                    }
+                )
+        tmp = os.path.join(out_dir, "documents.parquet.tmp")
+        pq.write_table(pa.Table.from_pylist(rows, schema=docs.schema), tmp)
+        os.replace(tmp, os.path.join(out_dir, "documents.parquet"))
+        log(f"scale_probe: wrote {len(rows)} documents (x{mult})")
+    if docs_only:
+        with open(docs_done, "w") as fh:
+            fh.write("ok")
+        return out_dir
 
     emb = pq.read_table(os.path.join(BASE_SF, "embeddings.parquet"))
     e = emb.to_pylist()
@@ -143,6 +152,58 @@ def build_scaled(mult: int) -> str:
     _ensure_scaled_lineitem(out_dir, mult)
     _ensure_scaled_tpch_dims(out_dir, mult)
     return out_dir
+
+
+def build_scaled_token_suffix(mult: int) -> str:
+    """Token-SET-safe scaled documents under .tmp/scale{mult}ts (r9):
+    the word-shuffle derivation keeps each replica's token SET identical
+    to its origin — fine for shingle/MinHash probes, but an exact
+    token-set Jaccard join (set_similarity_join_pairs) would see every
+    doc as an m-replica clique and its OUTPUT goes quadratic in m — the
+    growth curve would measure the answer, not the algorithm. Here
+    replica k suffixes every token with ~k instead: per-replica df
+    distribution (and thus prefix-posting sizes) matches the base
+    corpus exactly, replicas share zero tokens, and true near-dup
+    density stays constant — the honest linear-scale-up for AllPairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(REPO, ".tmp", f"scale{mult}ts")
+    done = os.path.join(out_dir, ".done")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pq.read_table(os.path.join(BASE_SF, "documents.parquet"))
+    d = docs.to_pylist()
+    rows = []
+    for k in range(mult):
+        for r in d:
+            text = (
+                r["text"]
+                if k == 0
+                else " ".join(w + f"~{k}" for w in r["text"].split(" "))
+            )
+            rows.append(
+                {
+                    "doc_id": r["doc_id"] + k * ID_STRIDE,
+                    "text": text,
+                    "lang": r["lang"],
+                    "source": r["source"],
+                    "n_chars": len(text),
+                }
+            )
+    tmp = os.path.join(out_dir, "documents.parquet.tmp")
+    pq.write_table(pa.Table.from_pylist(rows, schema=docs.schema), tmp)
+    os.replace(tmp, os.path.join(out_dir, "documents.parquet"))
+    log(f"scale_probe: wrote {len(rows)} token-suffixed documents (x{mult})")
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return out_dir
+
+
+# probes whose semantics require the token-suffixed corpus (see
+# build_scaled_token_suffix)
+TOKEN_SET_PROBES = frozenset({"set_similarity_join_pairs"})
 
 
 def _ensure_scaled_lineitem(out_dir: str, mult: int) -> None:
@@ -250,12 +311,20 @@ def main() -> int:
         i = args.index("--queries")
         probes = tuple(args[i + 1].split(","))
         del args[i : i + 2]
+    docs_only = "--docs-only" in args
+    if docs_only:
+        args.remove("--docs-only")
     mult = int(args[0]) if args else 10
     sys.path.insert(0, REPO)
     from etl_excel_csv_sql_spark.plans.registry import all_queries
     from etl_excel_csv_sql_spark.session import get_spark
 
-    scaled_dir = build_scaled(mult)
+    scaled_dir = build_scaled(mult, docs_only=docs_only)
+    ts_dir = (
+        build_scaled_token_suffix(mult)
+        if any(p in TOKEN_SET_PROBES for p in probes)
+        else None
+    )
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -266,10 +335,15 @@ def main() -> int:
     results = {}
     for sf_label, sf_dir in (("sf0.1", BASE_SF), (f"sf0.1x{mult}", scaled_dir)):
         for name in probes:
+            qdir = (
+                ts_dir
+                if (name in TOKEN_SET_PROBES and sf_dir != BASE_SF)
+                else sf_dir
+            )
             runs = []
             for _ in range(2):
                 t0 = time.perf_counter()
-                queries[name](spark, sf_dir).write.format("noop").mode(
+                queries[name](spark, qdir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 runs.append(round(time.perf_counter() - t0, 3))
