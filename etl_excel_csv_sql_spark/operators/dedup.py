@@ -1112,57 +1112,119 @@ def embedding_dup_pairs(
     )
 
 
-def _allpairs_candidates(
+def _setsim_candidates(
     df: DataFrame,
     threshold: float,
     id_col: str,
     text_col: str,
 ) -> tuple[DataFrame, DataFrame]:
-    """AllPairs candidate stage, exposed for the skew bound assert:
-    returns (with_prefix, candidate_pairs). Under the rare-first global
-    token order a DOMINANT token sorts last, so it almost never enters
-    a prefix — candidate counts stay near-linear on a 90%-hot-token
-    corpus (tests/test_plan_quality.py pins this with a direct count)."""
-    toks = (
-        spread_for_compute(df)
+    """PartEnum-style pigeonhole candidate stage (Arasu/Ganti/Kaushik,
+    VLDB'06), exposed for the skew/scale bound asserts: returns
+    (with_toks, candidate_pairs).
+
+    Why not AllPairs prefix filtering: the r9 ×100 probe measured 9.7M
+    candidates from 5,000 docs (avg 23 distinct tokens) at t=0.95 — in
+    a low-diversity corpus even the per-doc "rarest" tokens carry
+    hundreds-deep postings, so prefix-token postings go quadratic and
+    the verify join spilled ~200 GB at ×100. The pigeonhole signature
+    is the high-threshold fix:
+
+    Jaccard(a, b) >= t  ⟹  |aΔb| <= (1-t)/t · min(|a|,|b|). Partition
+    the TOKEN UNIVERSE into ℓ = e+1 hash classes (e the symmetric-
+    difference budget): the <= e differing tokens occupy <= e classes,
+    so at least one class's token content is IDENTICAL on both sides —
+    join on (ℓ, class, hash(class content)) instead of single tokens.
+    A candidate now requires an exact match of ~|s|/ℓ tokens, not one
+    shared token: postings collapse to true near-duplicate groups.
+
+    Each doc emits signatures for every ℓ a qualifying partner could
+    require: ℓ(m) = floor(m·(1-t)/t)+1 for all plausible smaller-side
+    sizes m ∈ [ceil(t·n), n] (a qualifying pair's smaller side has
+    m >= t·n, and the pair's budget is e(min) — monotone in m — so both
+    sides emit that ℓ). At t=0.95 this is 1-2 ℓ values → ~2 signature
+    rows per doc, vs 50M exploded token rows before.
+
+    High-threshold by design (the dedup use case): as t falls toward
+    0.5, ℓ grows toward |s| and classes thin out — the prefix-filter
+    family wins there. Exactness holds for any t; the constant factor
+    is tuned for t >= ~0.8."""
+    import math
+
+    t = float(threshold)
+    # Rationalize the threshold for EXACT integer floor/ceil: the naive
+    # floor(m·(1-t)/t) under fp computed floor(4·0.2/0.8) = floor(
+    # 0.9999…) = 0, silently dropping the ℓ=2 signature level and with
+    # it real pairs. p/q is t shifted down one millionth so candidates
+    # also cover the verify stage's 6dp ROUNDING boundary (round(jac,6)
+    # >= t admits true jac down to t − 5e-7); relaxing e upward only
+    # adds signatures — recall can't be hurt by it.
+    p = max(1, int(round(t * 1_000_000)) - 1)
+    q = 1_000_000
+    g = math.gcd(p, q)
+    p, q = p // g, q // g
+    base = spread_for_compute(df).select(
+        F.col(id_col).alias("id"),
+        F.array_sort(
+            F.array_distinct(tokens(F.lower(F.col(text_col))))
+        ).alias("toks"),
+    )
+    with_toks = base.localCheckpoint(eager=True)
+    n = F.size("toks")
+    # smallest plausible partner size: ceil(p·n/q) = (p·n + q − 1) div q
+    lo = F.floor(
+        (F.lit(p) * n.cast("bigint") + F.lit(q - 1)) / F.lit(q)
+    ).cast("int")
+    # ℓ(m) = floor(m·(q−p)/p) + 1, exact (int products < 2^53, and a
+    # correctly-rounded double quotient of ints with denominator <= 1e6
+    # can't cross an integer boundary)
+    ls = F.array_distinct(
+        F.transform(
+            F.sequence(lo, n),
+            lambda m: (
+                F.floor((m.cast("bigint") * F.lit(q - p)) / F.lit(p)) + 1
+            ).cast("int"),
+        )
+    )
+    # empty docs never pair (matches the verify stage, where a 0-size
+    # union nulls the score out anyway)
+    sigs = (
+        with_toks.where(n > 0)
+        .select("id", "toks", F.explode(ls).alias("l"))
         .select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.array_distinct(tokens(F.lower(F.col(text_col))))
-            ).alias("tok"),
+            "id",
+            "toks",
+            "l",
+            F.explode(F.sequence(F.lit(0), F.col("l") - 1)).alias("part"),
+        )
+        .select(
+            "id",
+            "l",
+            "part",
+            F.xxhash64(
+                F.concat_ws(
+                    "\x00",
+                    F.filter(
+                        "toks",
+                        lambda x: F.pmod(F.xxhash64(x), F.col("l"))
+                        == F.col("part"),
+                    ),
+                ),
+                "l",
+                "part",
+            ).alias("sig"),
         )
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    keyed = toks.join(freq, "tok").select(
-        "id", F.struct(F.col("df"), F.col("tok")).alias("k")
-    )
-    docs = keyed.groupBy("id").agg(
-        F.array_sort(F.collect_list("k")).alias("ordered")
-    )
-    n = F.size("ordered")
-    prefix_len = n - F.ceil(F.lit(threshold) * n).cast("int") + 1
-    with_prefix = docs.select(
-        "id",
-        F.transform(F.col("ordered"), lambda s: s["tok"]).alias("toks"),
-        F.slice(F.col("ordered"), F.lit(1), prefix_len).alias("prefix"),
-    ).localCheckpoint(eager=True)
     cand = (
-        with_prefix.select(
-            F.col("id").alias("id_a"),
-            F.explode(F.col("prefix")).alias("p"),
-        )
+        sigs.select(F.col("id").alias("id_a"), "l", "part", "sig")
         .join(
-            with_prefix.select(
-                F.col("id").alias("id_b"),
-                F.explode(F.col("prefix")).alias("p"),
-            ),
-            "p",
+            sigs.select(F.col("id").alias("id_b"), "l", "part", "sig"),
+            ["l", "part", "sig"],
         )
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    return with_prefix, cand
+    return with_toks, cand
 
 
 def set_similarity_join(
@@ -1171,30 +1233,29 @@ def set_similarity_join(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact token-SET Jaccard self-join via prefix filtering (AllPairs,
-    Bayardo/Ma/Srikant WWW'07) — the third pillar of the near-dup family
-    next to the inverted shingle index (ngram_jaccard_pairs, exact but
-    postings-bounded) and MinHash LSH (probabilistic):
+    """Exact token-SET Jaccard self-join via pigeonhole signatures
+    (PartEnum, Arasu/Ganti/Kaushik VLDB'06 — see
+    :func:`_setsim_candidates` for why this replaced the r7 AllPairs
+    prefix filter: prefix-token postings went quadratic on
+    low-diversity corpora, 9.7M candidates from 5k docs) — the third
+    pillar of the near-dup family next to the inverted shingle index
+    (ngram_jaccard_pairs, exact but postings-bounded) and MinHash LSH
+    (probabilistic).
 
-    Under one GLOBAL token order (document frequency asc, token asc —
-    rare tokens first), two sets with Jaccard >= t MUST share a token in
-    each other's first  |s| - ceil(t*|s|) + 1  tokens, so only that prefix
-    enters the candidate index. With rare tokens first, prefix postings
-    are short by construction — the selectivity comes from the order,
-    not a max_df heuristic.
+    Jaccard >= t bounds the symmetric difference by e = floor(
+    (1-t)/t · min(|a|,|b|)); hashing the token universe into e+1
+    classes forces at least one class to match EXACTLY, so candidates
+    join on (ℓ, class, class-content hash) — an exact multi-token
+    match, not one shared token. Requires no global token statistics
+    at all (the df-counting shuffle of the AllPairs design is gone).
 
-    No global rank materializes anywhere: the order key is the
-    (df, token) struct itself, sorted PER DOCUMENT with array_sort — the
-    vocabulary is never single-partition sorted (at web scale a dense
-    global rank would be its own bottleneck).
-
-    Plan: tokenize -> token df counts (one agg) -> join freq back ->
-    per-doc sorted token array + prefix slice -> explode prefix ->
-    self-join on token (id_a < id_b, distinct) -> verify exact Jaccard
-    on the full sorted arrays (array_intersect/array_union, JVM).
+    Plan: tokenize -> per-doc sorted distinct token array (checkpointed
+    once) -> ~2 signature rows per doc -> self-join on signature
+    (id_a < id_b, distinct) -> verify exact Jaccard on the full sorted
+    arrays (array_intersect/array_union, JVM).
     Output: (id_a, id_b, jaccard) rounded to 6dp, jaccard >= threshold.
     """
-    with_prefix, cand = _allpairs_candidates(df, threshold, id_col, text_col)
+    with_prefix, cand = _setsim_candidates(df, threshold, id_col, text_col)
     a = with_prefix.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
     b = with_prefix.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
     inter = F.size(F.array_intersect("ta", "tb"))

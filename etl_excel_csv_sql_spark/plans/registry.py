@@ -6789,15 +6789,17 @@ def q_cuped_ab_report(spark, sf_dir):
     WHERE len(list_intersect(a.s, b.s))
           >= 0.95 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
     """,
-    doc="exact token-set Jaccard self-join via PREFIX FILTERING "
-    "(AllPairs, Bayardo/Ma/Srikant WWW'07): under a global (df asc, "
-    "token) order, sets with Jaccard >= t must share a token within "
-    "each other's |s|-ceil(t|s|)+1 prefix, so only rare-first prefixes "
-    "enter the candidate index — selectivity from the ORDER, not a "
-    "max_df heuristic, and no global token rank ever materializes (the "
-    "(df, token) struct IS the sort key, sorted per document). Third "
-    "pillar of the near-dup family next to the shingle inverted index "
-    "and MinHash LSH; oracle is the brute-force all-pairs Jaccard",
+    doc="exact token-set Jaccard self-join via PIGEONHOLE SIGNATURES "
+    "(PartEnum, Arasu/Ganti/Kaushik VLDB'06; replaced the AllPairs "
+    "prefix filter in r9 after the x100 probe measured prefix postings "
+    "going quadratic on low-diversity corpora — 9.7M candidates from "
+    "5k docs): Jaccard >= t bounds the symmetric difference by "
+    "e = floor((1-t)/t*min(|a|,|b|)); hashing the token universe into "
+    "e+1 classes forces one class to match EXACTLY, so candidates are "
+    "exact multi-token class matches, ~2 signature rows per doc, no "
+    "global token statistics. Third pillar of the near-dup family next "
+    "to the shingle inverted index and MinHash LSH; oracle is the "
+    "brute-force all-pairs Jaccard",
 )
 def q_set_similarity_join(spark, sf_dir):
     return dedup.set_similarity_join(

@@ -333,9 +333,9 @@ def test_containment_consistent_with_jaccard(spark, sf_dir):
 
 
 def test_set_similarity_join_equals_brute_force(spark):
-    """Prefix filtering (AllPairs) must lose NOTHING vs brute-force
+    """The pigeonhole candidate stage must lose NOTHING vs brute-force
     token-set Jaccard at the threshold — including pairs whose shared
-    tokens are all high-frequency (the prefix still covers them)."""
+    tokens are all high-frequency."""
     from itertools import combinations
 
     docs = [
@@ -362,9 +362,51 @@ def test_set_similarity_join_equals_brute_force(spark):
         assert got == want, (t, got, want)
 
 
+def test_set_similarity_join_brute_force_fuzz(spark):
+    """Exactness fuzz for the PartEnum rewrite (r9): random low-
+    diversity corpora — the shape where recall bugs would hide (many
+    near-identical sets, heavy hash-class collisions) — must match the
+    brute-force answer exactly at several thresholds, including docs
+    built as 1-2 token edits of each other and varied set sizes."""
+    import random
+    from itertools import combinations
+
+    rng = random.Random(1234)
+    vocab = [f"t{i}" for i in range(40)]
+    docs = []
+    i = 0
+    for _ in range(60):
+        base = rng.sample(vocab, rng.randint(5, 24))
+        docs.append((i, " ".join(base))); i += 1
+        if rng.random() < 0.6:  # a 0-2 edit near-dup of the previous doc
+            mut = list(base)
+            for _ in range(rng.randint(0, 2)):
+                if rng.random() < 0.5 and len(mut) > 2:
+                    mut.pop(rng.randrange(len(mut)))
+                else:
+                    tok = rng.choice(vocab)
+                    if tok not in mut:
+                        mut.append(tok)
+            docs.append((i, " ".join(mut))); i += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sets = {d: set(s.split()) for d, s in docs}
+    for t in (0.8, 0.9, 0.95):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.set_similarity_join(df, threshold=t).collect()
+        }
+        want = {}
+        for a, b in combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= t:
+                want[(a, b)] = round(inter / union, 6)
+        assert got == want, (t, len(got), len(want))
+
+
 def test_set_similarity_prefix_is_short(spark):
-    """The per-doc candidate prefix must be |s| - ceil(t|s|) + 1 tokens
-    (the whole point: at t=0.9 a 20-token set indexes only 3 tokens)."""
+    """A 1-doc corpus yields no pairs and must not error (degenerate
+    signature frame)."""
     df = spark.createDataFrame(
         [(1, " ".join(f"w{i}" for i in range(20)))], "doc_id long, text string"
     )

@@ -329,10 +329,10 @@ def test_set_similarity_join_no_cartesian_no_window(spark, sf_dir):
 def test_set_similarity_hot_token_candidates_stay_linear(spark):
     """Skew bound (VERDICT r8 #4): with 90% of docs sharing one hot
     token, a naive token-inverted-index join would generate ~(0.9n)²
-    candidate pairs through that token alone. The AllPairs rare-first
-    prefix order must keep the hot token OUT of prefixes, so candidates
-    stay near-linear in n."""
-    from etl_excel_csv_sql_spark.operators.dedup import _allpairs_candidates
+    candidate pairs through that token alone. The pigeonhole signature
+    requires an exact multi-token class match, so the hot token alone
+    can never pair two docs — candidates stay near-linear in n."""
+    from etl_excel_csv_sql_spark.operators.dedup import _setsim_candidates
 
     n = 600
     rows = [
@@ -344,9 +344,32 @@ def test_set_similarity_hot_token_candidates_stay_linear(spark):
         for i in range(n)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    _, cand = _allpairs_candidates(df, 0.9, "doc_id", "text")
+    _, cand = _setsim_candidates(df, 0.9, "doc_id", "text")
     n_cand = cand.count()
     # quadratic-through-the-hot-token would be ~(540·539)/2 ≈ 145k
+    assert n_cand <= 5 * n, n_cand
+
+
+def test_set_similarity_low_diversity_candidates_stay_linear(spark):
+    """Scale bound (r9 ×100 probe finding): a low-diversity corpus —
+    every doc drawing ~20 tokens from a 60-word vocabulary — made the
+    old AllPairs prefix postings go quadratic (9.7M candidates from 5k
+    docs at sf0.1; ~200 GB of spill at ×100). The pigeonhole candidate
+    stage must stay near-linear on exactly that shape."""
+    import random
+
+    from etl_excel_csv_sql_spark.operators.dedup import _setsim_candidates
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(60)]
+    n = 2000
+    rows = [
+        (i, " ".join(rng.sample(vocab, 20))) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    _, cand = _setsim_candidates(df, 0.95, "doc_id", "text")
+    n_cand = cand.count()
+    # the AllPairs design produced ~0.4·n² candidates on this shape
     assert n_cand <= 5 * n, n_cand
 
 
