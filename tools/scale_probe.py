@@ -87,6 +87,7 @@ def build_scaled(mult: int, docs_only: bool = False) -> str:
     done = os.path.join(out_dir, ".done")
     docs_done = os.path.join(out_dir, ".done_docs")
     if os.path.exists(done) or (docs_only and os.path.exists(docs_done)):
+        _ensure_scaled_embeddings(out_dir, mult)  # upgrade older corpora
         if not docs_only:
             _ensure_scaled_lineitem(out_dir, mult)
             _ensure_scaled_tpch_dims(out_dir, mult)
@@ -117,10 +118,28 @@ def build_scaled(mult: int, docs_only: bool = False) -> str:
         os.replace(tmp, os.path.join(out_dir, "documents.parquet"))
         log(f"scale_probe: wrote {len(rows)} documents (x{mult})")
     if docs_only:
+        # embeddings ride along (cheap, enables the semantic-dedup/ANN
+        # ×100 probes); only the 60M-row lineitem/dims replicas skip
+        _ensure_scaled_embeddings(out_dir, mult)
         with open(docs_done, "w") as fh:
             fh.write("ok")
         return out_dir
 
+    _ensure_scaled_embeddings(out_dir, mult)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    _ensure_scaled_lineitem(out_dir, mult)
+    _ensure_scaled_tpch_dims(out_dir, mult)
+    return out_dir
+
+
+def _ensure_scaled_embeddings(out_dir: str, mult: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(target):
+        return
     emb = pq.read_table(os.path.join(BASE_SF, "embeddings.parquet"))
     e = emb.to_pylist()
     erows = []
@@ -142,16 +161,10 @@ def build_scaled(mult: int, docs_only: bool = False) -> str:
                     "label": r["label"],
                 }
             )
-    pq.write_table(
-        pa.Table.from_pylist(erows, schema=emb.schema),
-        os.path.join(out_dir, "embeddings.parquet"),
-    )
+    tmp = target + ".tmp"
+    pq.write_table(pa.Table.from_pylist(erows, schema=emb.schema), tmp)
+    os.replace(tmp, target)
     log(f"scale_probe: wrote {len(erows)} embeddings (x{mult})")
-    with open(done, "w") as fh:
-        fh.write("ok")
-    _ensure_scaled_lineitem(out_dir, mult)
-    _ensure_scaled_tpch_dims(out_dir, mult)
-    return out_dir
 
 
 def build_scaled_token_suffix(mult: int) -> str:
