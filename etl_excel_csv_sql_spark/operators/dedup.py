@@ -960,9 +960,18 @@ def connected_components_star(
     Same fixpoint, verified equivalent by tests on chains, clusters, and
     random graphs.
 
-    Convergence check: the undirected edge multiset fingerprint (sum of
-    symmetric pair hashes) is layout-independent, so one tiny aggregate
-    per round detects the fixed point without collecting edges."""
+    Convergence check (r9): a DIRECT star-forest test instead of the r7
+    edge-multiset fingerprint — the fingerprint could only detect the
+    fixed point by running one extra full round (≈6 shuffles) and
+    seeing nothing change, so every converged call paid a whole wasted
+    round. The edge set is a star forest exactly when every down-edge's
+    target is a root (no down-edge of its own) — one semi-join +
+    limit(1) probe per round, checked BEFORE the round runs. Rounds
+    preserve connected components (the Kiveris invariant), so at the
+    star-forest point each star IS a full component centered at its
+    minimum, which is precisely the answer the roots aggregate reads
+    off. Measured at sf0.1: 2 rounds + 3 fingerprints → 1 round + 2
+    probes on the near-dup graph."""
     # Same single-materialization guard as connected_components: the
     # symmetrizing union would compute the upstream pair pipeline twice.
     slim = pairs.select(
@@ -971,25 +980,22 @@ def connected_components_star(
     edges = _symmetrize(slim, "u", "v").localCheckpoint(eager=True)
     nodes = edges.select(F.col("u").alias("id")).distinct()
 
-    def fingerprint(e: DataFrame) -> tuple:
-        # e is always the symmetrized DISTINCT edge set (both directions
-        # present, no self-loops), so filter(u < v) picks each undirected
-        # edge exactly once — no canonicalize+distinct shuffle needed
-        row = e.filter(F.col("u") < F.col("v")).agg(
-            F.count("*").alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("fp"),
-        ).first()
-        return (row.n, row.fp)
+    def is_star_forest(e: DataFrame) -> bool:
+        # e is the symmetrized DISTINCT edge set: filter(u > v) picks
+        # each undirected edge once, oriented down. Star forest ⟺ no
+        # down-edge target has a down-edge of its own.
+        down = e.filter(F.col("u") > F.col("v"))
+        chained = down.join(
+            down.select(F.col("u").alias("v")), "v", "left_semi"
+        )
+        return chained.limit(1).count() == 0
 
-    prev_fp = fingerprint(edges)
     for _ in range(max_rounds):
+        if is_star_forest(edges):
+            break
         edges = _symmetrize(
             _small_star(_large_star(edges)), "u", "v"
         ).localCheckpoint(eager=True)
-        fp = fingerprint(edges)
-        if fp == prev_fp:
-            break
-        prev_fp = fp
     # at the fixed point every edge points each node at its component min
     roots = edges.groupBy("u").agg(F.min("v").alias("m"))
     return nodes.join(roots, nodes.id == roots.u, "left").select(
