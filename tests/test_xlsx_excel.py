@@ -95,8 +95,15 @@ def test_stage_workbook_parallel_matches_serial(spark, tmp_path):
     par = stage_workbook_to_parquet(
         spark, wb, str(tmp_path / "par"), max_workers=8
     )
-    assert list(serial) == list(par) == sorted(sheets)
+    arrow = stage_workbook_to_parquet(
+        spark, wb, str(tmp_path / "arr"), max_workers=8, engine="arrow"
+    )
+    assert list(serial) == list(par) == list(arrow) == sorted(sheets)
     for name in sheets:
         a = {tuple(r) for r in spark.read.parquet(serial[name]).collect()}
         b = {tuple(r) for r in spark.read.parquet(par[name]).collect()}
-        assert a == b and len(a) == n_rows, name
+        c = {tuple(r) for r in spark.read.parquet(arrow[name]).collect()}
+        assert a == b == c and len(a) == n_rows, name
+        # schema parity: all-string columns under both engines
+        sch = spark.read.parquet(arrow[name]).schema
+        assert [f.dataType.simpleString() for f in sch.fields] == ["string"] * 2
