@@ -56,6 +56,7 @@ def shingle_postings(
     text_col: str,
     n: int = 3,
     max_df: int | None = None,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Checkpointed distinct-shingle inverted index: (id, shingle) rows.
 
@@ -66,10 +67,25 @@ def shingle_postings(
     it 2-3 times (per-doc sizes + both sides of the posting-list
     self-join) and the tokenize→shingle explode is the expensive part;
     at scale this trades local-disk I/O for re-shingling the corpus.
+
+    ``hash_shingles=True`` is the 100 TB path (same design as
+    ``duplicate_ngram_spans(hash_grams=True)``): the posting key becomes
+    ``xxhash64(shingle)`` — 8 bytes instead of an n-word string — so the
+    checkpoint, the shuffle, and every join comparison shrink by the
+    average shingle width. Set SIZES and intersection COUNTS are
+    invariant under an injective-in-practice hash (a 64-bit collision
+    inside one document's set or across a pair's intersection has
+    probability ~|shingles|²/2⁶⁵), so downstream Jaccard/containment
+    values are unchanged; only the key column's TYPE differs (long).
     """
+    sets = word_shingles(text_col, n)
+    if hash_shingles:
+        # Hash inside the array (explode must stay the top-level
+        # generator); word_shingles output is already distinct per doc,
+        # and xxhash64 keeps it so.
+        sets = F.transform(sets, lambda s: F.xxhash64(s))
     shingled = spread_for_compute(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
+        F.col(id_col).alias("id"), F.explode(sets).alias("shingle")
     )
     if max_df is not None:
         hot = (
@@ -89,6 +105,7 @@ def ngram_containment_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """DIRECTED near-dup pairs by shingle-set containment
     C(src→dst) = |S_src ∩ S_dst| / |S_src| ≥ threshold.
@@ -102,7 +119,7 @@ def ngram_containment_pairs(
 
     Output: (id_src, id_dst, containment) — src's shingles appear in dst.
     """
-    shingled = shingle_postings(df, id_col, text_col, n, max_df)
+    shingled = shingle_postings(df, id_col, text_col, n, max_df, hash_shingles)
     sizes = shingled.groupBy("id").agg(F.count("*").alias("set_size"))
 
     a = shingled.alias("a")
@@ -145,6 +162,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted index:
 
@@ -162,8 +180,13 @@ def ngram_jaccard_pairs(
 
     Exact (not approximate): use minhash_lsh_pairs when the candidate set
     must stay subquadratic.
+
+    ``hash_shingles=True`` (the 100 TB default for pipeline callers):
+    posting keys are ``xxhash64(shingle)`` longs — the self-join shuffles
+    8-byte keys instead of n-word strings, identical output values (see
+    :func:`shingle_postings`).
     """
-    shingled = shingle_postings(df, id_col, text_col, n, max_df)
+    shingled = shingle_postings(df, id_col, text_col, n, max_df, hash_shingles)
     sizes = shingled.groupBy("id").agg(F.count("*").alias("set_size"))
 
     a = shingled.alias("a")
@@ -309,9 +332,16 @@ def minhash_lsh_pairs(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
         .join(cand_ids, "id", "left_semi")
     )
+    # Shingle keys are xxhash64 longs: the verify join only counts
+    # matches (set sizes + intersection sizes), never emits the shingle,
+    # so 8-byte keys shrink the explode/shuffle/join by the average
+    # shingle width at identical output (collision odds ~pairs/2⁶⁵ —
+    # the same risk class as the banding hash itself).
     shingled = spread_for_compute(restricted).select(
         "id",
-        F.explode(word_shingles("__text", n)).alias("shingle"),
+        F.explode(
+            F.transform(word_shingles("__text", n), lambda s: F.xxhash64(s))
+        ).alias("shingle"),
     )
     sizes = shingled.groupBy("id").agg(F.count("*").alias("set_size"))
     sa = shingled.select(F.col("id").alias("id_a"), F.col("shingle"))
@@ -1283,6 +1313,7 @@ def strip_duplicate_spans(
     text_col: str,
     n: int = 5,
     min_docs: int = 2,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """The ACTION to :func:`duplicate_span_coverage`'s measurement:
     remove every token covered by a cross-document repeated n-gram and
@@ -1301,17 +1332,24 @@ def strip_duplicate_spans(
     Output: (id, n_tokens, n_removed, cleaned_text). Documents shorter
     than ``n`` tokens form one whole-text gram, so a short doc repeated
     verbatim empties itself (consistent with the detector).
+
+    ``hash_grams=True`` (default — the gram text never reaches the
+    output): the duplicated-gram aggregate and the start-flag semi-join
+    key on ``xxhash64(gram)`` longs instead of n-word strings, the same
+    8-byte-key trade as :func:`duplicate_ngram_spans`; a collision
+    (~|grams|²/2⁶⁵) could at worst over-strip one span.
     """
     from etl_excel_csv_sql_spark.functions.text import (
         positional_word_ngrams,
         tokens,
     )
 
+    gram_arr = positional_word_ngrams(text_col, n)
+    if hash_grams:
+        gram_arr = F.transform(gram_arr, lambda g: F.xxhash64(g))
     grams = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(positional_word_ngrams(text_col, n)).alias(
-            "pos", "gram"
-        ),
+        F.posexplode(gram_arr).alias("pos", "gram"),
     )
     dup = (
         grams.groupBy("gram")

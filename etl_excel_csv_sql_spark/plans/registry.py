@@ -1617,16 +1617,20 @@ _NGRAM_PAIR_CTES = r"""
     "index, with the df>100 stop-shingle cutoff mirrored on both engines",
 )
 def q_ngram_jaccard(spark, sf_dir):
+    # hash_shingles: posting keys are xxhash64 longs (8 bytes vs ~20-byte
+    # 3-word strings through the checkpoint + self-join shuffle); output
+    # values identical — the DuckDB oracle stays string-keyed on purpose,
+    # so the hash gate itself proves the invariance every driver round.
     return dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        n=3, threshold=0.12, max_df=100,
+        n=3, threshold=0.12, max_df=100, hash_shingles=True,
     )
 
 
 def _ngram_pairs_012(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        n=3, threshold=0.12, max_df=100,
+        n=3, threshold=0.12, max_df=100, hash_shingles=True,
     )
 
 
@@ -4994,7 +4998,7 @@ def q_heavy_hitters_phi(spark, sf_dir):
 def q_ngram_containment(spark, sf_dir):
     return dedup.ngram_containment_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        n=3, threshold=0.4, max_df=100,
+        n=3, threshold=0.4, max_df=100, hash_shingles=True,
     )
 
 

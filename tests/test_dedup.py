@@ -61,6 +61,41 @@ def test_minhash_lsh_recall_vs_exact(spark, near_dup_docs):
     assert recall >= 0.8, f"minhash recall {recall:.2f} over {len(exact)} pairs"
 
 
+def test_hashed_shingle_postings_value_parity(spark, near_dup_docs):
+    """hash_shingles=True must reproduce the string-key path EXACTLY —
+    same pairs, same Jaccard/containment values — because set sizes and
+    intersection counts are invariant under an injective hash. This is
+    the guard that lets pipeline callers default to the 8-byte-key plan."""
+    jac_str = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            near_dup_docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    jac_hash = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            near_dup_docs, "doc_id", "text", n=3, threshold=0.5,
+            hash_shingles=True,
+        ).collect()
+    }
+    assert jac_str and jac_hash == jac_str
+    con_str = {
+        (r.id_src, r.id_dst): r.containment
+        for r in dedup.ngram_containment_pairs(
+            near_dup_docs, "doc_id", "text", n=3, threshold=0.4
+        ).collect()
+    }
+    con_hash = {
+        (r.id_src, r.id_dst): r.containment
+        for r in dedup.ngram_containment_pairs(
+            near_dup_docs, "doc_id", "text", n=3, threshold=0.4,
+            hash_shingles=True,
+        ).collect()
+    }
+    assert con_str and con_hash == con_str
+
+
 def test_simhash_finds_light_edits(spark):
     """SimHash radius vs edit size: a 1-word edit in an 80-word doc flips
     ~3/78 shingles → expected Hamming ≈ 64·acos(0.96)/π ≈ 6, so radius 7

@@ -231,6 +231,41 @@ def test_strip_duplicate_spans_removes_boilerplate(spark):
     assert got[3].cleaned_text == "totally different words live here now"
 
 
+def test_strip_duplicate_spans_hash_gram_parity(spark):
+    """hash_grams=True (the default 8-byte-key plan) must reproduce the
+    string-key path row-for-row — span detection counts and the rewrite
+    are invariant under an injective gram hash."""
+    import random
+
+    from etl_excel_csv_sql_spark.operators.dedup import strip_duplicate_spans
+
+    rng = random.Random(11)
+    vocab = "aa bb cc dd ee ff gg hh ii jj".split()
+    boiler = "one two three four five six"
+    rows = []
+    for i in range(30):
+        words = [rng.choice(vocab) for _ in range(20)]
+        if i % 3 == 0:  # a third of the docs carry the boilerplate
+            at = rng.randrange(len(words))
+            words[at:at] = boiler.split()
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    by_hash = {
+        r.id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in strip_duplicate_spans(
+            df, "doc_id", "text", n=5, hash_grams=True
+        ).collect()
+    }
+    by_str = {
+        r.id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in strip_duplicate_spans(
+            df, "doc_id", "text", n=5, hash_grams=False
+        ).collect()
+    }
+    assert by_hash == by_str
+    assert any(v[1] > 0 for v in by_str.values())  # something was stripped
+
+
 def test_strip_duplicate_spans_empty_short_null_docs(spark):
     """Regression (ADVICE r7): sequence(0, size-1) on an empty token array
     yields the DESCENDING [0,-1] (Spark defaults step to -1), whose -1

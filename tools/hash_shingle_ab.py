@@ -1,0 +1,74 @@
+"""A/B: string-key vs xxhash64-key inverted-index posting lists.
+
+Measures ngram_jaccard_pairs (the headline exact-Jaccard query) and the
+star-CC pipeline's edge build at sf0.1 with hash_shingles on/off, plus
+result parity. Appends one jsonl row to .benchmarks/history.jsonl
+(metric="hash_shingle_ab").
+
+Usage: python tools/hash_shingle_ab.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_excel_csv_sql_spark.operators import dedup  # noqa: E402
+from etl_excel_csv_sql_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("hash_shingle_ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.limit(1).collect()  # warm
+
+    def run(hash_shingles: bool) -> tuple[float, int]:
+        # best-of-2 warm wall: run1 pays shuffle-file priming, run2 is
+        # the comparable number (same protocol as scale_probe)
+        walls = []
+        n = 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.12, max_df=100,
+                hash_shingles=hash_shingles,
+            ).count()
+            walls.append(time.perf_counter() - t0)
+        return min(walls), n
+
+    load1 = round(os.getloadavg()[0], 2)
+    wall_str, n_str = run(False)
+    wall_hash, n_hash = run(True)
+
+    row = {
+        "ts": time.time(),
+        "metric": "hash_shingle_ab",
+        "sf_dir": sf_dir,
+        "query": "ngram_jaccard_pairs(t=0.12, max_df=100)",
+        "string_sec": round(wall_str, 3),
+        "hash_sec": round(wall_hash, 3),
+        "speedup": round(wall_str / wall_hash, 2) if wall_hash else None,
+        "pairs_string": n_str,
+        "pairs_hash": n_hash,
+        "rows_equal": n_str == n_hash,
+        "load1": load1,
+        "note": "best-of-2 warm wall; 8-byte xxhash64 posting keys vs "
+        "n-word strings; value parity pinned in test_dedup",
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".benchmarks", "history.jsonl"), "a"
+    ) as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
