@@ -21,6 +21,7 @@ from etl_excel_csv_sql_spark.functions.text import (
     stopword_ratio,
     token_count,
     tokens,
+    word_shingle_hashes,
     word_shingles,
 )
 from etl_excel_csv_sql_spark.functions.vectors import (
@@ -43,6 +44,7 @@ __all__ = [
     "stopword_ratio",
     "token_count",
     "tokens",
+    "word_shingle_hashes",
     "word_shingles",
     "cosine_similarity",
     "dot_product",

@@ -27,6 +27,7 @@ from etl_excel_csv_sql_spark.functions.text import (
     normalize_text,
     positional_word_ngrams,
     tokens,
+    word_shingle_hashes,
     word_shingles,
 )
 from etl_excel_csv_sql_spark.functions.vectors import (
@@ -78,12 +79,11 @@ def shingle_postings(
     probability ~|shingles|²/2⁶⁵), so downstream Jaccard/containment
     values are unchanged; only the key column's TYPE differs (long).
     """
-    sets = word_shingles(text_col, n)
-    if hash_shingles:
-        # Hash inside the array (explode must stay the top-level
-        # generator); word_shingles output is already distinct per doc,
-        # and xxhash64 keeps it so.
-        sets = F.transform(sets, lambda s: F.xxhash64(s))
+    sets = (
+        word_shingle_hashes(text_col, n)
+        if hash_shingles
+        else word_shingles(text_col, n)
+    )
     shingled = spread_for_compute(df).select(
         F.col(id_col).alias("id"), F.explode(sets).alias("shingle")
     )
@@ -227,9 +227,10 @@ def minhash_signatures(
     lambdas run interpreted per element and CollapseProject re-inlines any
     staging projection — a measured ~20× slowdown. No shuffle."""
     long_max = (1 << 63) - 1
-    hashes = F.transform(
-        word_shingles(text_col, n), lambda s: F.xxhash64(F.lit(seed), s)
-    )
+    # distinct=False: duplicate shingles cannot change a min fold, and
+    # skipping array_distinct plus the string materialization is the
+    # measured-cheaper base-hash path (see word_shingle_hashes).
+    hashes = word_shingle_hashes(text_col, n, seed, distinct=False)
     init = F.array(*[F.lit(long_max).cast("long") for _ in range(num_hashes)])
     sig = F.aggregate(
         hashes,
@@ -339,9 +340,7 @@ def minhash_lsh_pairs(
     # the same risk class as the banding hash itself).
     shingled = spread_for_compute(restricted).select(
         "id",
-        F.explode(
-            F.transform(word_shingles("__text", n), lambda s: F.xxhash64(s))
-        ).alias("shingle"),
+        F.explode(word_shingle_hashes("__text", n)).alias("shingle"),
     )
     sizes = shingled.groupBy("id").agg(F.count("*").alias("set_size"))
     sa = shingled.select(F.col("id").alias("id_a"), F.col("shingle"))
@@ -593,8 +592,7 @@ def simhash64(text_col: str | Column, n: int = 3, seed: int = 42) -> Column:
     materializes the intermediate arrays in separate projections so they
     are provably computed once.
     """
-    shingles = word_shingles(text_col, n)
-    hashes = F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), s))
+    hashes = word_shingle_hashes(text_col, n, seed)
     return _simhash_from_tallies(_simhash_tallies(hashes))
 
 
@@ -605,9 +603,7 @@ def simhash_frame(
     each expensive array expression is evaluated once per row — Catalyst's
     CollapseProject keeps non-cheap duplicated expressions in separate
     stages, so the hash array is never recomputed per bit."""
-    hashes = F.transform(
-        word_shingles(text_col, n), lambda s: F.xxhash64(F.lit(seed), s)
-    )
+    hashes = word_shingle_hashes(text_col, n, seed)
     return (
         spread_for_compute(df)
         .select(F.col(id_col).alias("id"), hashes.alias("__hashes"))
