@@ -347,6 +347,11 @@ def minhash_lsh_pairs(
     # so 8-byte keys shrink the explode/shuffle/join by the average
     # shingle width at identical output (collision odds ~pairs/2⁶⁵ —
     # the same risk class as the banding hash itself).
+    # Lazy on purpose: sizes + both join sides re-run this explode, but
+    # the frame is already semi-joined down to candidate docs (a small
+    # fraction of the corpus — the LeftSemi the plan test pins), so the
+    # recompute is bounded by the candidate set; an eager checkpoint here
+    # measured within noise at sf0.1 and would hide the LeftSemi plan.
     shingled = spread_for_compute(restricted).select(
         "id",
         F.explode(word_shingle_hashes("__text", n)).alias("shingle"),
@@ -1352,10 +1357,14 @@ def strip_duplicate_spans(
     gram_arr = positional_word_ngrams(text_col, n)
     if hash_grams:
         gram_arr = F.transform(gram_arr, lambda g: F.xxhash64(g))
+    # Checkpointed: the duplicated-gram aggregate AND the start-flag
+    # semi-join both read this explode — un-materialized, the positional
+    # gram fold would run twice over the corpus (hash_grams keeps the
+    # materialized rows at (id, pos, long)).
     grams = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(gram_arr).alias("pos", "gram"),
-    )
+    ).localCheckpoint(eager=True)
     dup = (
         grams.groupBy("gram")
         .agg(F.countDistinct("id").alias("nd"))
