@@ -414,3 +414,45 @@ def test_jaro_winkler_kernel_invariants(a, b):
         assert s == 1.0
     if not a or not b:
         assert s == 0.0
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FFF
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_word_shingle_hashes_matches_string_shingles(spark, texts):
+    """The key-only hash fold must agree with the string path on SET
+    CARDINALITY for arbitrary unicode text (the invariant every hashed
+    posting consumer relies on for exact Jaccard/containment values),
+    and equal texts must produce equal hash sets. One Spark job per
+    example batch."""
+    from etl_excel_csv_sql_spark.functions.text import (
+        word_shingle_hashes,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+    )
+    rows = df.select(
+        "id",
+        F.size(word_shingles("text", 3)).alias("n_str"),
+        F.size(word_shingle_hashes("text", 3)).alias("n_hash"),
+        F.sort_array(word_shingle_hashes("text", 3)).alias("hs"),
+    ).collect()
+    by_id = {r.id: r for r in rows}
+    for r in rows:
+        assert r.n_str == r.n_hash, (r.id, texts[r.id])
+    for i, t in enumerate(texts):
+        for j, u in enumerate(texts):
+            if t == u:
+                assert by_id[i].hs == by_id[j].hs
