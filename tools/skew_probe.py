@@ -57,6 +57,13 @@ PROBES = (
     # oversize="split" vs a one-cell hot-direction embedding corpus
     "set_similarity_join_pairs",
     "semantic_dedup_report",
+    # r9 (post hash-key rewrite): the shingle inverted index vs a hot
+    # token — the appended token mints up to 3 hot SHINGLES per doc,
+    # which must fall to the max_df stop-shingle anti-join instead of
+    # going df² in the posting self-join; minhash's banding must keep
+    # bucket sizes flat for the same corpus.
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
 )
 HOT_FRACTION = 10  # 9 of every 10 rows get the hot key
 
