@@ -333,6 +333,43 @@ def test_minhash_index_build_once_and_refingerprint(spark, near_dup_docs, tmp_pa
 # Containment pairs (asymmetric near-dup)
 # ---------------------------------------------------------------------------
 
+def test_stop_shingle_cutoff_bounds_postings(spark):
+    """The max_df anti-join is the inverted index's skew guard: a
+    boilerplate shingle carried by EVERY doc must leave the posting list
+    entirely (df > max_df would make the self-join df²-quadratic on that
+    key at scale), while Jaccard is computed over the RETAINED sets —
+    docs unique except for the boilerplate must still pair."""
+    boiler = "click here to subscribe"
+    rng = random.Random(17)
+    rows = []
+    for g in range(30):
+        base = [rng.choice(WORDS) for _ in range(40)]
+        rows.append((2 * g, " ".join(base) + " " + boiler))
+        edited = list(base)
+        edited[5] = rng.choice(WORDS)
+        rows.append((2 * g + 1, " ".join(edited) + " " + boiler))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for hashed in (False, True):
+        postings = dedup.shingle_postings(
+            df, "doc_id", "text", n=3, max_df=20, hash_shingles=hashed
+        )
+        max_seen = (
+            postings.groupBy("shingle")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert max_seen <= 20, f"hot shingle survived (hashed={hashed})"
+    pairs = _pairs(
+        dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5, max_df=20,
+            hash_shingles=True,
+        )
+    )
+    twins = {(2 * g, 2 * g + 1) for g in range(30)}
+    assert twins <= pairs  # boilerplate removal didn't break real twins
+
+
 def test_containment_asymmetric_subdocument(spark):
     """A short doc pasted inside a long one: containment(short→long) is
     1.0 while Jaccard stays low — the case containment exists for."""
