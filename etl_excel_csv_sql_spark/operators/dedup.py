@@ -37,6 +37,16 @@ from etl_excel_csv_sql_spark.functions.vectors import (
 from etl_excel_csv_sql_spark.operators.relational import spread_for_compute
 
 
+#: Version tag for the shingle→base-hash mapping that MinHash signatures
+#: are built from. Bump whenever the mapping changes (r9: joined-string
+#: xxhash64 → direct token-slice xxhash64): a persisted MinHashIndex
+#: whose signatures predate the current mapping would otherwise
+#: hash-join NOTHING against fresh query signatures — silently missing
+#: every duplicate — because the bucket keys no longer align. The tag
+#: rides in the index manifest, so skip_if_exists voids stale caches.
+SIGNATURE_ALGO = "slice-xxhash64-v2"
+
+
 def exact_dedup_fingerprint(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -456,6 +466,11 @@ class MinHashIndex:
             "bands": self.bands,
             "n": self.n,
             "seed": self.seed,
+            # signature-algorithm version: an index persisted under an
+            # older shingle→hash mapping must rebuild, not silently
+            # miss every candidate (old manifests lack the key, so the
+            # dict comparison voids them too)
+            "sig_algo": SIGNATURE_ALGO,
         }
 
     def build(

@@ -326,7 +326,23 @@ def test_minhash_index_build_once_and_refingerprint(spark, near_dup_docs, tmp_pa
     idx.build(
         corpus.filter(F.col("doc_id") > 10), "doc_id", "text", skip_if_exists=True
     )
-    assert os.path.getmtime(idx._manifest) > mtime
+    mtime2 = os.path.getmtime(idx._manifest)
+    assert mtime2 > mtime
+    # stale signature algorithm (an index persisted by an older code
+    # version) → rebuild, never silently hash-join nothing
+    import json
+    import time
+
+    with open(idx._manifest) as f:
+        stale = json.load(f)
+    stale["sig_algo"] = "joined-string-xxhash64-v1"
+    with open(idx._manifest, "w") as f:
+        json.dump(stale, f)
+    time.sleep(0.05)
+    idx.build(
+        corpus.filter(F.col("doc_id") > 10), "doc_id", "text", skip_if_exists=True
+    )
+    assert os.path.getmtime(idx._manifest) > mtime2
 
 
 # ---------------------------------------------------------------------------
