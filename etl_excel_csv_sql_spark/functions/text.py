@@ -216,7 +216,14 @@ def word_shingle_hashes(
         F.sequence(F.lit(0), k - n),
         lambda i: F.xxhash64(F.lit(seed), F.slice(toks, i + 1, n)),
     )
-    whole = F.array(F.xxhash64(F.lit(seed), toks))
+    # NULL text must stay a [null] key, mirroring word_shingles'
+    # [null] shingle: xxhash64 of a null array is a CONSTANT long, so
+    # without the guard every null-text doc would share one key and
+    # null-null pairs would score jaccard 1.0 — the string path (and
+    # the DuckDB oracles) never equi-join nulls.
+    whole = F.array(
+        F.when(toks.isNotNull(), F.xxhash64(F.lit(seed), toks))
+    )
     out = F.when(k >= n, grams).otherwise(whole)
     return F.array_distinct(out) if distinct else out
 

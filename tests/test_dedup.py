@@ -96,6 +96,41 @@ def test_hashed_shingle_postings_value_parity(spark, near_dup_docs):
     assert con_str and con_hash == con_str
 
 
+def test_hashed_shingles_null_and_empty_docs(spark):
+    """Null text must behave identically under both key engines: the
+    hash path's [null] key never equi-joins (xxhash64 of a null array is
+    a CONSTANT — unguarded, every pair of null docs would score 1.0),
+    while two EMPTY docs legitimately pair (both reduce to the
+    whole-text shingle of zero tokens, matching the string path and the
+    DuckDB oracle's '' shingle)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, None),
+            (3, ""),
+            (4, ""),
+            (5, "alpha bravo charlie delta echo"),
+        ],
+        schema,
+    )
+    for hashed in (False, True):
+        pairs = _pairs(
+            dedup.ngram_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=0.5,
+                hash_shingles=hashed,
+            )
+        )
+        assert pairs == {(3, 4)}, f"hashed={hashed}: {pairs}"
+
+
 def test_simhash_finds_light_edits(spark):
     """SimHash radius vs edit size: a 1-word edit in an 80-word doc flips
     ~3/78 shingles → expected Hamming ≈ 64·acos(0.96)/π ≈ 6, so radius 7
