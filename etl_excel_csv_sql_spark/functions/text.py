@@ -199,10 +199,13 @@ def word_shingle_hashes(
 
     Hashes each n-token slice DIRECTLY (``xxhash64(seed, slice)`` over
     the ``array<string>``) instead of materializing the joined shingle
-    string first and hashing that: measured 1.4× less fold CPU at sf0.1
-    (string build + copy dominates), identical set semantics — tokens
-    contain no whitespace, so slice↔string is a bijection and distinct
-    counts match the string path exactly (modulo ~2⁻⁶⁴ collisions).
+    string first and hashing that. Interleaved warm A/B at sf0.1: the
+    two folds are cost-par (~0.29s both, best-of-5 ×2 rounds — an early
+    1.4× read was JIT/ordering bias); the value is one shared fold for
+    every key-only consumer and no transient string garbage. Identical
+    set semantics — tokens contain no whitespace, so slice↔string is a
+    bijection and distinct counts match the string path exactly (modulo
+    ~2⁻⁶⁴ collisions).
 
     ``distinct=False`` skips the dedup pass for min/sign folds where
     duplicate shingles cannot change the result (MinHash min, posting

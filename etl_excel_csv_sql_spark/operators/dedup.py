@@ -246,9 +246,10 @@ def minhash_signatures(
     lambdas run interpreted per element and CollapseProject re-inlines any
     staging projection — a measured ~20× slowdown. No shuffle."""
     long_max = (1 << 63) - 1
-    # distinct=False: duplicate shingles cannot change a min fold, and
-    # skipping array_distinct plus the string materialization is the
-    # measured-cheaper base-hash path (see word_shingle_hashes).
+    # distinct=False: duplicate shingles cannot change a min fold, so
+    # the array_distinct pass is skipped; the slice-hash fold itself is
+    # cost-par with the old string-then-hash fold (see
+    # word_shingle_hashes) — shared here for the single-kernel design.
     hashes = word_shingle_hashes(text_col, n, seed, distinct=False)
     init = F.array(*[F.lit(long_max).cast("long") for _ in range(num_hashes)])
     sig = F.aggregate(

@@ -28,23 +28,37 @@ def main() -> int:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.limit(1).collect()  # warm
 
-    def run(hash_shingles: bool) -> tuple[float, int]:
-        # best-of-2 warm wall: run1 pays shuffle-file priming, run2 is
-        # the comparable number (same protocol as scale_probe)
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import stage_exec_ms
+
+    def run(hash_shingles: bool) -> tuple[float, float | None, int]:
+        # best-of-2 warm wall + summed executor run time on the second
+        # pass (the load-robust series — wall on this host swings
+        # ±20-30% between identical runs; scheduled-CPU does not)
         walls = []
+        execs = []
         n = 0
         for _ in range(2):
+            before = stage_exec_ms(spark)
             t0 = time.perf_counter()
             n = dedup.ngram_jaccard_pairs(
                 docs, "doc_id", "text", n=3, threshold=0.12, max_df=100,
                 hash_shingles=hash_shingles,
             ).count()
             walls.append(time.perf_counter() - t0)
-        return min(walls), n
+            after = stage_exec_ms(spark)
+            if before is not None and after is not None:
+                execs.append(
+                    sum(v for k, v in after.items() if k not in before)
+                    / 1000.0
+                )
+        return min(walls), (min(execs) if execs else None), n
 
     load1 = round(os.getloadavg()[0], 2)
-    wall_str, n_str = run(False)
-    wall_hash, n_hash = run(True)
+    wall_str, exec_str, n_str = run(False)
+    wall_hash, exec_hash, n_hash = run(True)
 
     row = {
         "ts": time.time(),
@@ -54,6 +68,11 @@ def main() -> int:
         "string_sec": round(wall_str, 3),
         "hash_sec": round(wall_hash, 3),
         "speedup": round(wall_str / wall_hash, 2) if wall_hash else None,
+        "string_exec_sec": round(exec_str, 3) if exec_str else None,
+        "hash_exec_sec": round(exec_hash, 3) if exec_hash else None,
+        "exec_speedup": (
+            round(exec_str / exec_hash, 2) if exec_str and exec_hash else None
+        ),
         "pairs_string": n_str,
         "pairs_hash": n_hash,
         "rows_equal": n_str == n_hash,
