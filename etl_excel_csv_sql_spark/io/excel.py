@@ -109,6 +109,13 @@ def _stage_sheet_arrow(args: tuple) -> tuple:
     import pyarrow.parquet as pq
 
     header, data = _normalize_sheet(xlsx.read_rows(path, sheet), header_row)
+    if not header:
+        # Parity with the Spark engine, which refuses to write an
+        # empty-schema parquet: a header_row beyond the sheet must fail
+        # loudly, not land a 0-column file Spark cannot read back.
+        raise ValueError(
+            f"sheet {sheet!r}: header_row {header_row} yields no columns"
+        )
     cols = {
         name: pa.array([r[i] for r in data], type=pa.string())
         for i, name in enumerate(header)

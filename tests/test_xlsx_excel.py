@@ -107,3 +107,25 @@ def test_stage_workbook_parallel_matches_serial(spark, tmp_path):
         # schema parity: all-string columns under both engines
         sch = spark.read.parquet(arrow[name]).schema
         assert [f.dataType.simpleString() for f in sch.fields] == ["string"] * 2
+
+
+def test_stage_workbook_arrow_rejects_empty_header(spark, tmp_path):
+    """Both engines must FAIL on a header_row beyond the sheet: Spark
+    refuses empty-schema parquet; the arrow worker raises the same
+    contract error instead of landing a 0-column file Spark can't read."""
+    import pytest
+
+    from etl_excel_csv_sql_spark.io import xlsx
+    from etl_excel_csv_sql_spark.io.excel import stage_workbook_to_parquet
+
+    wb = str(tmp_path / "one.xlsx")
+    xlsx.write_workbook(wb, {"S": [["a", "b"], ["1", "2"]]})
+    with pytest.raises(Exception):
+        stage_workbook_to_parquet(
+            spark, wb, str(tmp_path / "sp"), header_row=99
+        )
+    with pytest.raises(ValueError, match="no columns"):
+        stage_workbook_to_parquet(
+            spark, wb, str(tmp_path / "ar"), header_row=99, engine="arrow",
+            max_workers=1,
+        )
