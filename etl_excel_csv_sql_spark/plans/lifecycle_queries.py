@@ -166,6 +166,40 @@ def q_excel_multisheet(spark, sf_dir):
 
 
 @register(
+    "excel_arrow_stage_roundtrip",
+    _CUSTOMER_ORACLE,
+    doc="S1/S2 scale path, arrow engine: customer subset → .xlsx → "
+    "stage_workbook_to_parquet(engine='arrow') — per-sheet PROCESS-pool "
+    "parse + pyarrow parquet write (42× vs serial on a 16-sheet fixture, "
+    "excel_stage_bench) — → Spark reads the staged parquet; value parity "
+    "proves the staged layout byte-equivalent to the driver-side sheet "
+    "scan (same oracle as excel_roundtrip)",
+)
+def q_excel_arrow_stage(spark, sf_dir):
+    from etl_excel_csv_sql_spark.io import xlsx
+    from etl_excel_csv_sql_spark.io.excel import stage_workbook_to_parquet
+
+    scratch = _scratch("excel_arrow_stage")
+    rows = _customer_subset(spark, sf_dir).collect()
+    book = os.path.join(scratch, "customers.xlsx")
+    xlsx.write_workbook(
+        book,
+        {
+            "Customers": [
+                ["exported by engine", None, None],  # banner → StartRow=2
+                ["c_custkey", "c_name", "c_mktsegment"],
+                *[[r.c_custkey, r.c_name, r.c_mktsegment] for r in rows],
+            ]
+        },
+    )
+    staged = stage_workbook_to_parquet(
+        spark, book, os.path.join(scratch, "staged"), header_row=2,
+        engine="arrow",
+    )
+    return spark.read.parquet(staged["Customers"])
+
+
+@register(
     "csv_roundtrip",
     _CUSTOMER_ORACLE,
     doc="S3/K1: customer subset → single-file UTF-8 CSV (Export-Csv parity) "

@@ -6580,6 +6580,7 @@ EAGER_QUERIES: frozenset[str] = frozenset(
         "events_streaming_progress_report",
         "events_streaming_soak_50_batches",
         "events_tumbling_streaming",
+        "excel_arrow_stage_roundtrip",
         "excel_multisheet_roundtrip",
         "excel_roundtrip",
         "excel_serial_to_ts",
