@@ -116,11 +116,17 @@ def _stage_sheet_arrow(args: tuple) -> tuple:
         raise ValueError(
             f"sheet {sheet!r}: header_row {header_row} yields no columns"
         )
-    cols = {
-        name: pa.array([r[i] for r in data], type=pa.string())
-        for i, name in enumerate(header)
-    }
-    pq.write_table(pa.table(cols), dest)
+    if len(set(header)) != len(header):
+        # Parity with the Spark engine, which fails loudly on duplicate
+        # column names at parquet write. A name-keyed dict would let the
+        # LAST duplicate silently overwrite the first — data loss.
+        dupes = sorted({h for h in header if header.count(h) > 1})
+        raise ValueError(f"sheet {sheet!r}: duplicate header names {dupes}")
+    arrays = [
+        pa.array([r[i] for r in data], type=pa.string())
+        for i in range(len(header))
+    ]
+    pq.write_table(pa.Table.from_arrays(arrays, names=header), dest)
     return sheet, dest
 
 
@@ -158,6 +164,11 @@ def stage_workbook_to_parquet(
     order, all-string columns (byte-parity pinned in tests)."""
     from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
+    # Validate the engine name BEFORE the empty-targets early return: a
+    # typo'd engine on a no-match sheet list must fail loudly, not
+    # "succeed" with {} until a matching workbook happens through.
+    if engine not in ("spark", "arrow"):
+        raise ValueError(f"engine must be 'spark' or 'arrow', got {engine!r}")
     available = excel_sheet_names(path)
     targets = match_sheets(available, sheets) if sheets is not None else available
     if not targets:
@@ -176,8 +187,6 @@ def stage_workbook_to_parquet(
             return dict(_stage_sheet_arrow(j) for j in jobs)
         with ProcessPoolExecutor(max_workers=workers) as pool:
             return dict(pool.map(_stage_sheet_arrow, jobs))
-    if engine != "spark":
-        raise ValueError(f"engine must be 'spark' or 'arrow', got {engine!r}")
 
     def _stage(sheet: str) -> str:
         df = read_excel_sheet(spark, path, sheet, header_row)

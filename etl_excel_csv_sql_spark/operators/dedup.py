@@ -99,22 +99,28 @@ def shingle_postings(
     )
     if max_df is None:
         return shingled.localCheckpoint(eager=True)
-    # Checkpoint the RAW postings before the stop-shingle pass: the hot
+    # Cache the RAW postings across the stop-shingle pass: the hot
     # aggregate and the anti-join input otherwise both re-run the
     # tokenize→shingle explode — 2× the corpus fold CPU, the expensive
-    # part at 100 TB. The second (filtered) checkpoint is a linear
-    # posting-list write, far cheaper than a re-shingle; measured
-    # 1.66s → 1.29s build / 2.56s → 2.16s full query at sf0.1.
-    raw = shingled.localCheckpoint(eager=True)
-    hot = (
-        raw.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > max_df)
-        .select("shingle")
-    )
-    return raw.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint(
-        eager=True
-    )
+    # part at 100 TB (measured 2.56s → 2.16s full query at sf0.1).
+    # persist() + unpersist() (not a second localCheckpoint) so the raw
+    # postings — the strictly larger frame — release their executor
+    # storage as soon as the filtered checkpoint materializes, instead
+    # of pinning ~2× posting storage for the caller's lifetime
+    # (code-review r9 catch).
+    raw = shingled.persist()
+    try:
+        hot = (
+            raw.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        return raw.join(
+            F.broadcast(hot), "shingle", "left_anti"
+        ).localCheckpoint(eager=True)
+    finally:
+        raw.unpersist()
 
 
 def ngram_containment_pairs(
@@ -246,11 +252,12 @@ def minhash_signatures(
     lambdas run interpreted per element and CollapseProject re-inlines any
     staging projection — a measured ~20× slowdown. No shuffle."""
     long_max = (1 << 63) - 1
-    # distinct=False: duplicate shingles cannot change a min fold, so
-    # the array_distinct pass is skipped; the slice-hash fold itself is
-    # cost-par with the old string-then-hash fold (see
-    # word_shingle_hashes) — shared here for the single-kernel design.
-    hashes = word_shingle_hashes(text_col, n, seed, distinct=False)
+    # distinct=True on purpose: duplicate shingles cannot change a min
+    # fold, but WITHOUT the O(k) array_distinct pass the 32-lane fold
+    # runs per token POSITION — a 10k-token doc repeating one 4-word
+    # phrase would pay ~32×10k lane hashes instead of ~32×4. Dedup
+    # first is the boilerplate-document guard (code-review r9 catch).
+    hashes = word_shingle_hashes(text_col, n, seed)
     init = F.array(*[F.lit(long_max).cast("long") for _ in range(num_hashes)])
     sig = F.aggregate(
         hashes,
@@ -501,6 +508,28 @@ class MinHashIndex:
         with open(self._manifest, "w") as f:
             json.dump(manifest, f)
 
+    def _check_signature_algo(self) -> None:
+        """Refuse to QUERY an index whose persisted signatures predate
+        the current shingle→hash mapping: fresh query signatures can
+        never hash-join against old bucket keys, so an unguarded query
+        would return (near-)zero candidates and silently miss every
+        duplicate — the build(skip_if_exists=True) manifest check alone
+        does not protect the build-once-query-forever contract."""
+        import json
+
+        try:
+            with open(self._manifest) as f:
+                stored = json.load(f).get("sig_algo")
+        except (OSError, ValueError):
+            return  # unbuilt / unreadable: the parquet read will fail loudly
+        if stored != SIGNATURE_ALGO:
+            raise ValueError(
+                f"MinHashIndex at {self.path} was built with signature "
+                f"algorithm {stored!r} but this code computes "
+                f"{SIGNATURE_ALGO!r}; rebuild the index "
+                "(build(..., skip_if_exists=True) rebuilds on mismatch)"
+            )
+
     def query(
         self,
         new_docs: DataFrame,
@@ -514,6 +543,7 @@ class MinHashIndex:
         the batch side when small) → distinct candidates → one join to
         the stored signatures for the matching-lane estimate. An id
         present in both spaces never pairs with itself."""
+        self._check_signature_algo()
         spark = new_docs.sparkSession
         nsigs = minhash_signatures(
             new_docs, id_col, text_col, self.num_hashes, self.n, self.seed

@@ -378,6 +378,17 @@ def test_minhash_index_build_once_and_refingerprint(spark, near_dup_docs, tmp_pa
         corpus.filter(F.col("doc_id") > 10), "doc_id", "text", skip_if_exists=True
     )
     assert os.path.getmtime(idx._manifest) > mtime2
+    # query() must REFUSE a stale-algo index outright (the build-once
+    # contract means nothing forces a build() call before querying):
+    # old bucket keys can never hash-join fresh signatures, so an
+    # unguarded query would silently return zero candidates
+    with open(idx._manifest) as f:
+        stale = json.load(f)
+    stale["sig_algo"] = "joined-string-xxhash64-v1"
+    with open(idx._manifest, "w") as f:
+        json.dump(stale, f)
+    with pytest.raises(ValueError, match="rebuild"):
+        idx.query(corpus, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------

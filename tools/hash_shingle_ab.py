@@ -28,37 +28,45 @@ def main() -> int:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.limit(1).collect()  # warm
 
-    sys.path.insert(
-        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
     from bench import stage_exec_ms
 
-    def run(hash_shingles: bool) -> tuple[float, float | None, int]:
-        # best-of-2 warm wall + summed executor run time on the second
-        # pass (the load-robust series — wall on this host swings
-        # ±20-30% between identical runs; scheduled-CPU does not)
-        walls = []
-        execs = []
-        n = 0
-        for _ in range(2):
-            before = stage_exec_ms(spark)
-            t0 = time.perf_counter()
-            n = dedup.ngram_jaccard_pairs(
-                docs, "doc_id", "text", n=3, threshold=0.12, max_df=100,
-                hash_shingles=hash_shingles,
-            ).count()
-            walls.append(time.perf_counter() - t0)
-            after = stage_exec_ms(spark)
-            if before is not None and after is not None:
-                execs.append(
-                    sum(v for k, v in after.items() if k not in before)
-                    / 1000.0
-                )
-        return min(walls), (min(execs) if execs else None), n
+    def one(hash_shingles: bool) -> tuple[float, float | None, int]:
+        before = stage_exec_ms(spark)
+        t0 = time.perf_counter()
+        n = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.12, max_df=100,
+            hash_shingles=hash_shingles,
+        ).count()
+        wall = time.perf_counter() - t0
+        after = stage_exec_ms(spark)
+        ex = (
+            sum(v for k, v in after.items() if k not in before) / 1000.0
+            if before is not None and after is not None
+            else None
+        )
+        return wall, ex, n
 
+    # INTERLEAVED arms (string, hash) × 3 rounds, best-of per arm: a
+    # sequential string-string-hash-hash protocol hands the second arm a
+    # fully warmed JIT — exactly the ordering bias that produced the
+    # spurious 1.4× fold reading this tool exists to avoid (code-review
+    # r9 catch). Round 1 is warmup for BOTH arms; wall is best-of-3,
+    # exec (the load-robust series) best of the probe-complete rounds.
     load1 = round(os.getloadavg()[0], 2)
-    wall_str, exec_str, n_str = run(False)
-    wall_hash, exec_hash, n_hash = run(True)
+    walls: dict[bool, list] = {False: [], True: []}
+    execs: dict[bool, list] = {False: [], True: []}
+    counts: dict[bool, int] = {}
+    for _ in range(3):
+        for arm in (False, True):
+            w, e, n = one(arm)
+            walls[arm].append(w)
+            if e is not None:
+                execs[arm].append(e)
+            counts[arm] = n
+    wall_str, wall_hash = min(walls[False]), min(walls[True])
+    exec_str = min(execs[False]) if execs[False] else None
+    exec_hash = min(execs[True]) if execs[True] else None
+    n_str, n_hash = counts[False], counts[True]
 
     row = {
         "ts": time.time(),
@@ -77,8 +85,9 @@ def main() -> int:
         "pairs_hash": n_hash,
         "rows_equal": n_str == n_hash,
         "load1": load1,
-        "note": "best-of-2 warm wall; 8-byte xxhash64 posting keys vs "
-        "n-word strings; value parity pinned in test_dedup",
+        "note": "interleaved (string,hash)x3 best-of per arm; 8-byte "
+        "xxhash64 posting keys vs n-word strings; value parity pinned "
+        "in test_dedup",
     }
     with open(
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
