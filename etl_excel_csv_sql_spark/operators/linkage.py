@@ -170,10 +170,15 @@ def fuzzy_join(
             F.col("__ltext").alias("left_text"),
             F.col("__rtext").alias("right_text"),
             dist.alias("dist"),
+            # greatest(..., 1) guards the empty-vs-empty pair: dist=0
+            # passes the threshold but 0/0 would make similarity NULL
+            # (identical empties are similarity 1.0 by the contract)
             F.round(
                 1.0
                 - dist.cast("double")
-                / F.greatest(F.length("__ltext"), F.length("__rtext")),
+                / F.greatest(
+                    F.length("__ltext"), F.length("__rtext"), F.lit(1)
+                ),
                 6,
             ).alias("similarity"),
         )
@@ -425,11 +430,15 @@ def jaro_winkler_pairs(
     import pandas as pd
     from pyspark.sql.types import (
         DoubleType,
-        LongType,
         StringType,
         StructField,
         StructType,
     )
+
+    # id fields keep the INPUT's id type (string/int/long all valid per
+    # the fuzzy_self_pairs contract) — a hardcoded LongType made Arrow
+    # conversion crash on any non-bigint id (code-review r9 catch)
+    id_type = distinct_df.schema[id_col].dataType
 
     sides = distinct_df.select(
         F.col(id_col).alias("id"),
@@ -454,8 +463,8 @@ def jaro_winkler_pairs(
     )
     out_schema = StructType(
         [
-            StructField("id_a", LongType()),
-            StructField("id_b", LongType()),
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
             StructField("text_a", StringType()),
             StructField("text_b", StringType()),
             StructField("similarity", DoubleType()),

@@ -216,11 +216,26 @@ def _kmeans_centroids_mllib(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = corpus.select(
+    # Null vectors drop (array_to_vector(null) -> null features crashes
+    # fit; the lloyd engine tolerates the same corpus), and the fit uses
+    # COSINE distance — every downstream consumer (ivf_assign,
+    # semantic_dedup ranking) assigns by cosine, so Euclidean centers on
+    # unnormalized vectors would cluster by magnitude while membership
+    # is assigned by angle, silently degrading probe recall
+    # (code-review r9 catch).
+    # (zero-norm vectors also drop: MLlib's cosine measure is undefined
+    # for them and fit() throws; the lloyd path coalesces them to -2)
+    feats = corpus.where(
+        F.col(vec_col).isNotNull() & (l2_norm(F.col(vec_col)) > 0)
+    ).select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
     model = KMeans(
-        k=n_cells, maxIter=max(1, iters), seed=seed, featuresCol="features"
+        k=n_cells,
+        maxIter=max(1, iters),
+        seed=seed,
+        featuresCol="features",
+        distanceMeasure="cosine",
     ).fit(feats)
     rows = [
         (i, [float(x) for x in center])
@@ -425,6 +440,25 @@ class IvfIndex:
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # Dynamic partition overwrite only rewrites partitions PRESENT in
+        # the written data: an affected cell whose every row was
+        # replaced-and-moved contributes zero replacement rows, so its
+        # directory is never touched and the stale copy would survive —
+        # the id would then exist twice in the index and the recomputed
+        # fingerprint would bless the corruption (code-review r9 catch).
+        # Drop emptied partitions explicitly.
+        import os
+        import shutil
+
+        written = {
+            r.cell_id for r in replacement.select("cell_id").distinct().collect()
+        }
+        for cid in affected:
+            if cid not in written:
+                shutil.rmtree(
+                    os.path.join(self._vectors, f"cell_id={cid}"),
+                    ignore_errors=True,
+                )
         # refresh the manifest fingerprint from the stored content so
         # fingerprinted reuse keeps working after incremental changes
         row = table_fingerprint(
@@ -1076,7 +1110,14 @@ def pca_analysis(
             {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
         )
 
-    rows = df.select(vec_col).mapInPandas(partials, schema).collect()
+    # Null/short vectors drop BEFORE the Arrow kernel: np.stack on a
+    # batch containing None raises and kills the job, while sibling
+    # operators (pq_train, the cosine paths) tolerate nulls — filter at
+    # the plan level so the scan prunes them too (code-review r9 catch).
+    clean = df.select(vec_col).where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
+    rows = clean.mapInPandas(partials, schema).collect()
     n = sum(r["n"] for r in rows)
     s = np.sum([np.array(r["s"]) for r in rows], axis=0)
     ss = np.sum([np.array(r["ss"]).reshape(dim, dim) for r in rows], axis=0)
@@ -1296,7 +1337,7 @@ def _split_oversized_cells(
     id_col: str,
     vec_col: str,
     iters: int = 1,
-) -> DataFrame:
+) -> tuple[DataFrame, int | None]:
     """Bound Σ|cell|² for the within-cell pair join by SPLITTING any
     cell larger than ``max_cell`` instead of dropping it (coverage
     survives a skewed corpus — e.g. 90% of vectors sharing one hot
@@ -1315,8 +1356,20 @@ def _split_oversized_cells(
        when that mass is expected).
 
     The oversized-cell id list is ≤ n_cells ints — collecting it is
-    index metadata, not data. New cell ids are (cid+1)·100_000 offsets
-    (disjoint from k-means ids while n_cells < 100_000).
+    index metadata, not data.
+
+    Returns ``(frame, split_floor)``: every SPLIT subcell id is
+    ``<= split_floor`` and every intact cell keeps its ORIGINAL id
+    (``> split_floor``); ``split_floor`` is None when nothing split.
+    Split ids descend from ``min(all existing cell ids) - 1``, so
+    disjointness is PROVABLE from the collected size map — k-means cell
+    ids are sampled corpus vector ids of arbitrary magnitude, so no
+    fixed offset scheme (the old ``(cid+1)·100_000 + sub·1_000``) can
+    guarantee it: realistic ≥100k vec_ids collided bases, and a salted
+    subcell with >1000·max_cell rows bled into its neighbor's slot
+    (code-review r9 catch). Sub ids densify to 0..k-1 via a broadcast
+    mapping; the per-cell stride ``n // max_cell + 2`` exceeds any
+    per-subcell shard count by construction.
     """
     assigned = assigned.localCheckpoint(eager=True)
     sizes = {
@@ -1327,11 +1380,14 @@ def _split_oversized_cells(
     }
     over = {c: n for c, n in sizes.items() if n > max_cell}
     if not over:
-        return assigned
+        return assigned, None
+    spark = assigned.sparkSession
+    split_floor = min(sizes) - 1
+    next_id = split_floor
     parts = [
         assigned.where(~F.col("cell_id").isin(*[int(c) for c in over]))
     ]
-    for rank, (cid, n) in enumerate(sorted(over.items())):
+    for cid, n in sorted(over.items()):
         sub = assigned.where(F.col("cell_id") == int(cid)).select(
             id_col, vec_col
         )
@@ -1340,29 +1396,41 @@ def _split_oversized_cells(
             sub, n_cells=k_sub, iters=iters, id_col=id_col, vec_col=vec_col
         )
         sub_assigned = ivf_assign(sub, cents, id_col, vec_col)
-        base = (int(cid) + 1) * 100_000
+        # densify the sub-k-means ids (also sampled vector ids) to
+        # 0..k_real-1 — ≤ k_sub rows of driver metadata
+        sub_ids = sorted(r.cell_id for r in cents.select("cell_id").collect())
+        dense = spark.createDataFrame(
+            [(int(s), j) for j, s in enumerate(sub_ids)],
+            "cell_id long, __dense long",
+        )
+        # stride bounds any per-subcell shard count: a subcell cannot
+        # exceed its cell's n rows, so shards <= n // max_cell + 1
+        stride = n // max_cell + 2
         # salt shards for subcells still over the bound; shard count is
         # per-subcell (ceil(|subcell| / max_cell)), attached in-plan
         sub_sizes = sub_assigned.groupBy("cell_id").agg(
-            F.ceil(F.count(F.lit(1)) / max_cell).cast("int").alias("__shards")
+            F.ceil(F.count(F.lit(1)) / max_cell).cast("long").alias("__shards")
+        )
+        salt = F.when(F.col("__shards") <= 1, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("__shards"))
         )
         parts.append(
-            sub_assigned.join(F.broadcast(sub_sizes), "cell_id").select(
+            sub_assigned.join(F.broadcast(sub_sizes), "cell_id")
+            .join(F.broadcast(dense), "cell_id")
+            .select(
                 (
-                    F.lit(base)
-                    + F.col("cell_id") * 1_000
-                    + F.when(F.col("__shards") <= 1, F.lit(0)).otherwise(
-                        F.pmod(F.xxhash64(F.col(id_col)), F.col("__shards"))
-                    ).cast("int")
+                    F.lit(next_id)
+                    - (F.col("__dense") * F.lit(stride) + salt)
                 ).alias("cell_id"),
                 id_col,
                 vec_col,
             )
         )
+        next_id -= len(sub_ids) * stride
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return out, split_floor
 
 
 def semantic_dedup(
@@ -1418,15 +1486,21 @@ def semantic_dedup(
         # Ranking centroids are then the per-final-cell member means
         # (the Lloyd update step itself), since subcells have no entry
         # in the top-level centroid table.
-        assigned = _split_oversized_cells(
+        assigned, split_floor = _split_oversized_cells(
             assigned, max_cell, id_col, vec_col
         )
         # ranking centroids: intact cells keep the k-means centers;
-        # split subcells (ids >= 100_000 by construction) get their
+        # split subcells (ids <= split_floor — strictly below every
+        # original cell id, see _split_oversized_cells) get their
         # member means — computed only over the split rows, not the
         # whole corpus
+        is_split = (
+            F.col("cell_id") <= F.lit(split_floor)
+            if split_floor is not None
+            else F.lit(False)
+        )
         split_means = (
-            assigned.where(F.col("cell_id") >= 100_000)
+            assigned.where(is_split)
             .select(
                 "cell_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
             )

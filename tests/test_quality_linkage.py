@@ -425,3 +425,38 @@ def test_diff_spans_reconstruction_invariant(spark):
             for r in sorted(ops, key=lambda r: (r["a_start"], r["b_start"]))
         ]
         assert got == expect, (a, b)
+
+
+def test_jaro_winkler_pairs_string_ids(spark):
+    """The mapInPandas output schema must carry the INPUT id type —
+    a hardcoded LongType crashed Arrow conversion on string ids."""
+    from etl_excel_csv_sql_spark.operators import linkage
+
+    df = spark.createDataFrame(
+        [("a1", "jellyfish"), ("b2", "jellyfish"), ("c3", "smellyfish")],
+        ["id", "name"],
+    )
+    got = {
+        (r.id_a, r.id_b): r.similarity
+        for r in linkage.jaro_winkler_pairs(
+            df, block=F.substring("name", -4, 4), threshold=0.5,
+            text_col="name", id_col="id",
+        ).collect()
+    }
+    assert got and all(isinstance(k[0], str) for k in got)
+    assert got[("a1", "b2")] == 1.0
+
+
+def test_fuzzy_join_empty_vs_empty_similarity(spark):
+    """dist=0 on two empty strings must yield similarity 1.0, not the
+    NULL a 0/0 division produces."""
+    from etl_excel_csv_sql_spark.operators import linkage
+
+    left = spark.createDataFrame([(1, "")], ["lid", "ltext"])
+    right = spark.createDataFrame([(10, "")], ["rid", "rtext"])
+    got = linkage.fuzzy_join(
+        left, right, block=F.lit("k"), max_dist=2,
+        left_id="lid", left_text="ltext", right_id="rid", right_text="rtext",
+    ).collect()
+    assert len(got) == 1
+    assert got[0].dist == 0 and got[0].similarity == 1.0

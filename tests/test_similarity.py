@@ -661,6 +661,42 @@ def test_semantic_dedup_split_bounds_hot_cell(spark):
     assert caught >= 3  # most copy pairs stay co-located through splits
 
 
+def test_semantic_dedup_split_with_realistic_large_ids(spark):
+    """k-means cell ids are sampled corpus VECTOR ids, so the split-id
+    scheme must survive realistic id magnitudes (snowflake/db ids far
+    above 100k). The old fixed-offset scheme ((cid+1)·100_000 + sub·1_000)
+    misclassified intact large-id cells as split cells — duplicating
+    every row of those cells through a second centroid join — and
+    collided sub bases across cells. Split ids now descend strictly
+    below min(existing ids), provably disjoint."""
+    import random
+
+    from etl_excel_csv_sql_spark.operators import similarity
+
+    rng = random.Random(11)
+    rows = []
+    base_id = 9_120_003_447  # realistic 64-bit id territory
+    for i in range(500):  # hot mass -> oversized cell -> split path
+        v = [1.0 + rng.uniform(-0.01, 0.01), rng.uniform(-0.01, 0.01),
+             rng.uniform(-0.01, 0.01)]
+        rows.append((base_id + i, v))
+    for i in range(500, 600):  # cold scattered tail -> intact cells
+        rows.append((base_id + i, [rng.uniform(-1, 1) for _ in range(3)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.semantic_dedup(
+        df, threshold=0.9999, n_cells=4, max_cell=100, oversize="split"
+    ).collect()
+    # exactly one output row per input row: no duplicated intact cells,
+    # no dropped rows
+    assert len(out) == len(rows)
+    assert len({r.id for r in out}) == len(rows)
+    # the hot mass actually split (bound holds)
+    counts: dict[int, int] = {}
+    for r in out:
+        counts[r.cell_id] = counts.get(r.cell_id, 0) + 1
+    assert max(counts.values()) <= 200, sorted(counts.values())[-3:]
+
+
 def test_ivf_index_upsert_incremental(spark, sf_dir, tmp_path):
     """Incremental IVF maintenance: replaced ids disappear from their
     old cell, new vectors are probeable, and UNTOUCHED partition files
@@ -769,3 +805,85 @@ def test_quantization_error_bounded_by_half_scale(spark, sf_dir):
     for r in out:
         # affine quantization error can never exceed half a step
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+
+
+def test_ivf_upsert_emptied_cell_leaves_no_stale_rows(spark, tmp_path):
+    """Dynamic partition overwrite only rewrites partitions present in
+    the written data — a cell whose EVERY row was replaced-and-moved
+    must have its directory dropped explicitly, or the stale copies
+    survive and replaced ids exist twice in the index."""
+    import numpy as np
+
+    from etl_excel_csv_sql_spark.operators.similarity import IvfIndex
+
+    rng = np.random.default_rng(5)
+    rows = []
+    # three orthogonal clusters so the index spreads over >= 2 cells
+    for i in range(30):
+        base = [0.0, 0.0, 0.0, 0.0]
+        base[i % 3] = 1.0
+        jitter = (rng.random(4) * 0.01).tolist()
+        rows.append((i, [float(b + j) for b, j in zip(base, jitter)]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = IvfIndex(str(tmp_path / "ivf_empty"))
+    idx.build(corpus, n_cells=4, kmeans_iters=3)
+    stored_before = spark.read.parquet(str(tmp_path / "ivf_empty" / "vectors"))
+    cells_before = stored_before.select("cell_id").distinct().count()
+    assert cells_before >= 2, "fixture must spread over several cells"
+
+    # replace EVERY id with a vector in one tight direction -> all rows
+    # land in a single cell, so every other previously-occupied cell
+    # is emptied
+    moved = [
+        (i, [1.0, 1.0, 1.0, float(1.0 + 0.001 * i)]) for i in range(30)
+    ]
+    idx.upsert(
+        spark.createDataFrame(moved, "vec_id long, embedding array<float>")
+    )
+    stored = spark.read.parquet(str(tmp_path / "ivf_empty" / "vectors"))
+    assert stored.count() == 30  # no stale duplicates from emptied cells
+    assert stored.select("vec_id").distinct().count() == 30
+    # every stored vector is the NEW one (first component 1.0, not ~0/1 basis)
+    mins = stored.select(F.min(F.element_at("embedding", 1))).collect()[0][0]
+    assert mins is not None and float(mins) > 0.9
+
+
+def test_pca_tolerates_null_embeddings(spark):
+    """pca_analysis must skip null vectors like its sibling operators
+    (np.stack on a batch containing None killed the whole job)."""
+    import numpy as np
+
+    from etl_excel_csv_sql_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.random(4).tolist()) for i in range(40)]
+    rows.append((998, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mean, comps, ratios = similarity.pca_analysis(df, k=2)
+    assert mean.shape == (4,) and comps.shape == (2, 4)
+    assert np.isfinite(mean).all() and np.isfinite(comps).all()
+
+
+def test_kmeans_mllib_cosine_and_null_tolerance(spark):
+    """engine='mllib' must cluster by the same metric downstream
+    assignment uses (cosine, not Euclidean magnitude) and tolerate
+    null/zero vectors like the lloyd engine."""
+    from etl_excel_csv_sql_spark.operators import similarity
+
+    rows = []
+    # two DIRECTIONS with wildly different magnitudes per member:
+    # Euclidean k-means would split by magnitude, cosine by angle
+    for i in range(20):
+        scale = 0.1 if i % 2 == 0 else 100.0
+        rows.append((i, [scale, 0.0]))
+        rows.append((100 + i, [0.0, scale]))
+    rows.append((998, None))
+    rows.append((999, [0.0, 0.0]))  # zero norm: undefined cosine
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_centroids(df, n_cells=2, iters=5, engine="mllib")
+    got = {
+        tuple(1 if abs(x) > 1e-9 else 0 for x in r.centroid)
+        for r in cents.collect()
+    }
+    # one center per DIRECTION — magnitude did not drive the split
+    assert got == {(1, 0), (0, 1)}, got
