@@ -44,6 +44,46 @@ def canonicalize_exact(
     )
 
 
+def _blocked_candidate_pairs(
+    distinct_df: DataFrame,
+    block: Column,
+    max_block: int | None,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared blocked self-join candidate generator for every pairwise
+    string scorer (Levenshtein fuzzy_self_pairs, Jaro–Winkler
+    jaro_winkler_pairs — ONE copy of the checkpoint + skew-guard +
+    ordered self-join plan, so a fix to either lands in both).
+
+    Returns (id_a, id_b, text_a, text_b) with id_a < id_b within blocks
+    of equal ``block`` value; blocks larger than ``max_block`` drop
+    IN-PLAN (the skew cap that keeps Σ|block|² bounded on adversarial
+    data — never collected)."""
+    # checkpoint the distinct-string frame: the self-join consumes it on
+    # both sides (plus the block-size guard), and Catalyst would otherwise
+    # recompute the upstream canonicalization groupBy per consumer
+    sides = distinct_df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t"), block.alias("blk")
+    ).localCheckpoint(eager=True)
+    if max_block is not None:
+        sizes = sides.groupBy("blk").agg(F.count(F.lit(1)).alias("__bn"))
+        sides = (
+            sides.join(sizes.where(F.col("__bn") <= max_block), "blk", "left_semi")
+        )
+    a = sides.select(
+        F.col("blk"), F.col("id").alias("id_a"), F.col("t").alias("text_a")
+    )
+    b = sides.select(
+        F.col("blk"), F.col("id").alias("id_b"), F.col("t").alias("text_b")
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "text_a", "text_b")
+    )
+
+
 def fuzzy_self_pairs(
     distinct_df: DataFrame,
     block: Column,
@@ -59,29 +99,9 @@ def fuzzy_self_pairs(
     (id_a, id_b, text_a, text_b, dist, similarity) with id_a < id_b,
     dist <= max_dist, similarity = 1 - dist/max(len_a, len_b).
     """
-    # checkpoint the distinct-string frame: the self-join consumes it on
-    # both sides (plus the block-size guard), and Catalyst would otherwise
-    # recompute the upstream canonicalization groupBy per consumer
-    sides = distinct_df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("t"), block.alias("blk")
-    ).localCheckpoint(eager=True)
-    if max_block is not None:
-        # in-plan block-size guard: count per block, keep small blocks —
-        # the skew cap that keeps Σ|block|² bounded on adversarial data
-        sizes = sides.groupBy("blk").agg(F.count(F.lit(1)).alias("__bn"))
-        sides = (
-            sides.join(sizes.where(F.col("__bn") <= max_block), "blk", "left_semi")
-        )
-    a = sides.select(
-        F.col("blk"), F.col("id").alias("id_a"), F.col("t").alias("text_a")
-    )
-    b = sides.select(
-        F.col("blk"), F.col("id").alias("id_b"), F.col("t").alias("text_b")
-    )
     dist = F.levenshtein("text_a", "text_b")
     return (
-        a.join(b, "blk")
-        .where(F.col("id_a") < F.col("id_b"))
+        _blocked_candidate_pairs(distinct_df, block, max_block, text_col, id_col)
         .where(dist <= F.lit(max_dist))
         .select(
             "id_a",
@@ -92,7 +112,9 @@ def fuzzy_self_pairs(
             F.round(
                 1.0
                 - dist.cast("double")
-                / F.greatest(F.length("text_a"), F.length("text_b")),
+                / F.greatest(
+                    F.length("text_a"), F.length("text_b"), F.lit(1)
+                ),
                 6,
             ).alias("similarity"),
         )
@@ -440,26 +462,8 @@ def jaro_winkler_pairs(
     # conversion crash on any non-bigint id (code-review r9 catch)
     id_type = distinct_df.schema[id_col].dataType
 
-    sides = distinct_df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("t"),
-        block.alias("blk"),
-    ).localCheckpoint(eager=True)
-    if max_block is not None:
-        sizes = sides.groupBy("blk").agg(F.count(F.lit(1)).alias("__bn"))
-        sides = sides.join(
-            sizes.where(F.col("__bn") <= max_block), "blk", "left_semi"
-        )
-    a = sides.select(
-        "blk", F.col("id").alias("id_a"), F.col("t").alias("text_a")
-    )
-    b = sides.select(
-        "blk", F.col("id").alias("id_b"), F.col("t").alias("text_b")
-    )
-    cands = (
-        a.join(b, "blk")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "text_a", "text_b")
+    cands = _blocked_candidate_pairs(
+        distinct_df, block, max_block, text_col, id_col
     )
     out_schema = StructType(
         [

@@ -121,6 +121,32 @@ def _centroids(corpus: DataFrame, id_col: str, vec_col: str, n_cells: int) -> Da
     )
 
 
+def _member_means(
+    df: DataFrame, key_cols: list[str], vec_col: str, out_col: str = "centroid"
+) -> DataFrame:
+    """Element-wise mean vector per key group — the k-means update step,
+    shared by the Lloyd loop, PQ codebook training, and semantic_dedup's
+    split-cell ranking centroids (one implementation, three call sites).
+    Plan: posexplode → (keys, dim) avg → array_sort(collect_list)
+    reassembly; shuffle rows are |df|·dim scalars then k·dim partials."""
+    # dunder-prefixed internals: key_cols are caller-named (pq_train
+    # keys on a column literally called "m")
+    return (
+        df.select(
+            *key_cols, F.posexplode(F.col(vec_col)).alias("__pos", "__x")
+        )
+        .groupBy(*key_cols, "__pos")
+        .agg(F.avg(F.col("__x").cast("double")).alias("__m"))
+        .groupBy(*key_cols)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                lambda s: s.getField("__m"),
+            ).alias(out_col)
+        )
+    )
+
+
 def _packed_centroids(centroids: DataFrame) -> DataFrame:
     """Collapse the (tiny) centroid table into ONE row holding an
     array<struct<cell_id,centroid>> so assignment becomes a pure per-row
@@ -183,21 +209,8 @@ def kmeans_centroids(
     cents = _centroids(corpus, id_col, vec_col, n_cells)
     for _ in range(max(0, iters)):
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
-        exploded = assigned.select(
-            "cell_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
-        )
-        means = exploded.groupBy("cell_id", "pos").agg(
-            F.avg(F.col("x").cast("double")).alias("m")
-        )
-        cents = (
-            means.groupBy("cell_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s.getField("m"),
-                ).alias("centroid")
-            )
-            .localCheckpoint(eager=True)
+        cents = _member_means(assigned, ["cell_id"], vec_col).localCheckpoint(
+            eager=True
         )
     return cents
 
@@ -487,16 +500,60 @@ class IvfIndex:
     ) -> DataFrame:
         spark = queries.sparkSession
         cents = spark.read.parquet(self._centroids)
-        qscored = queries.crossJoin(F.broadcast(cents)).select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(query_vec_col).alias("query_vec"),
-            F.col("cell_id"),
-            F.coalesce(
-                cosine_similarity(F.col(query_vec_col), F.col("centroid")),
-                F.lit(-2.0),
-            ).alias("csim"),
+
+        def index_for(probes: DataFrame) -> DataFrame:
+            # partition-pruned scan: only the probed cells' directories
+            # are read (the probe cell-id list is |queries|×n_probe ints
+            # of driver metadata)
+            probe_cells = [
+                r.cell_id
+                for r in probes.select("cell_id").distinct().collect()
+            ]
+            return spark.read.parquet(self._vectors).filter(
+                F.col("cell_id").isin(probe_cells)
+            )
+
+        return _probe_and_rank(
+            cents, queries, k, n_probe, id_col, vec_col,
+            query_id_col, query_vec_col,
+            index_for=index_for,
+            # probes feeds TWO consumers (the cell-id collect and the
+            # broadcast join); checkpoint once so the crossJoin+topk
+            # subtree doesn't recompute per consumer
+            prepare_probes=lambda p: p.localCheckpoint(eager=True),
         )
-        probes = grouped_bounded_topk(
+
+
+def _probe_and_rank(
+    cents: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    index_for,
+    prepare_probes=lambda p: p,
+) -> DataFrame:
+    """Shared IVF probe pipeline (one implementation for the in-memory
+    ivf_topk and the persisted IvfIndex.query): score every centroid per
+    query (tiny |queries|×n_cells crossJoin of a broadcast) → bounded
+    top-n_probe cells → scan ``index_for(probes)`` restricted to those
+    cells → bounded cosine top-k. ``prepare_probes`` lets the persisted
+    path checkpoint the probe frame once (it feeds both the partition-
+    prune collect and the broadcast join)."""
+    qscored = queries.crossJoin(F.broadcast(cents)).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("query_vec"),
+        F.col("cell_id"),
+        F.coalesce(
+            cosine_similarity(F.col(query_vec_col), F.col("centroid")),
+            F.lit(-2.0),
+        ).alias("csim"),
+    )
+    probes = prepare_probes(
+        grouped_bounded_topk(
             qscored.select(
                 "query_id",
                 "query_vec",
@@ -508,32 +565,30 @@ class IvfIndex:
             ["query_id", "query_vec"],
             F.col("__k"),
             n_probe,
-        ).select("query_id", "query_vec", F.col("item.cell_id").alias("cell_id"))
-        # probes feeds TWO consumers (the cell-id collect and the broadcast
-        # join); checkpoint it once so the crossJoin+topk subtree doesn't
-        # recompute per consumer — at scale this frame is |queries|×n_probe
-        # rows, far smaller than the work that produced it
-        probes = probes.localCheckpoint(eager=True)
-
-        probe_cells = [r.cell_id for r in probes.select("cell_id").distinct().collect()]
-        index = spark.read.parquet(self._vectors).filter(
-            F.col("cell_id").isin(probe_cells)  # partition-pruned scan
+        ).select(
+            "query_id", "query_vec", F.col("item.cell_id").alias("cell_id")
         )
-        sim = cosine_similarity(F.col(vec_col), F.col("query_vec"))
-        scored = index.join(F.broadcast(probes), "cell_id").select(
+    )
+    sim = cosine_similarity(F.col(vec_col), F.col("query_vec"))
+    scored = (
+        index_for(probes)
+        .join(F.broadcast(probes), "cell_id")
+        .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             sim.alias("cosine"),
-        ).filter(F.col("cosine").isNotNull())
-        topk = grouped_bounded_topk(
-            scored, ["query_id"], _rank_key(F.col("neighbor_id"), F.col("cosine")), k
         )
-        return topk.select(
-            "query_id",
-            F.col("item.neighbor_id").alias("neighbor_id"),
-            F.col("item.cosine").alias("cosine"),
-            "rank",
-        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    topk = grouped_bounded_topk(
+        scored, ["query_id"], _rank_key(F.col("neighbor_id"), F.col("cosine")), k
+    )
+    return topk.select(
+        "query_id",
+        F.col("item.neighbor_id").alias("neighbor_id"),
+        F.col("item.cosine").alias("cosine"),
+        "rank",
+    )
 
 
 def ivf_topk(
@@ -564,45 +619,10 @@ def ivf_topk(
         corpus, n_cells, kmeans_iters, id_col, vec_col, engine=engine
     )
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
-
-    # top-n_probe cells per query: tiny (|queries| × n_cells rows) — the
-    # bounded grouped top-k keeps even this window-free.
-    qscored = queries.crossJoin(F.broadcast(cents)).select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("query_vec"),
-        F.col("cell_id"),
-        F.coalesce(
-            cosine_similarity(F.col(query_vec_col), F.col("centroid")), F.lit(-2.0)
-        ).alias("csim"),
-    )
-    probes = grouped_bounded_topk(
-        qscored.select(
-            "query_id", "query_vec",
-            F.struct(
-                (-F.col("csim")).alias("negsim"), F.col("cell_id").alias("cell_id")
-            ).alias("__k"),
-        ).select(
-            "query_id", "query_vec", "__k"
-        ),
-        ["query_id", "query_vec"],
-        F.col("__k"),
-        n_probe,
-    ).select("query_id", "query_vec", F.col("item.cell_id").alias("cell_id"))
-
-    sim = cosine_similarity(F.col(vec_col), F.col("query_vec"))
-    scored = assigned.join(F.broadcast(probes), "cell_id").select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        sim.alias("cosine"),
-    ).filter(F.col("cosine").isNotNull())
-    topk = grouped_bounded_topk(
-        scored, ["query_id"], _rank_key(F.col("neighbor_id"), F.col("cosine")), k
-    )
-    return topk.select(
-        "query_id",
-        F.col("item.neighbor_id").alias("neighbor_id"),
-        F.col("item.cosine").alias("cosine"),
-        "rank",
+    return _probe_and_rank(
+        cents, queries, k, n_probe, id_col, vec_col,
+        query_id_col, query_vec_col,
+        index_for=lambda _probes: assigned,
     )
 
 
@@ -861,19 +881,8 @@ def pq_train(
                 F.col("sub"), F.element_at(F.col("__pack"), F.col("m") + 1)
             ).alias("code"),
         )
-        means = (
-            assigned.select(
-                "m", "code", F.posexplode("sub").alias("pos", "x")
-            )
-            .groupBy("m", "code", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("mean"))
-            .groupBy("m", "code")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mean"))),
-                    lambda s: s.getField("mean"),
-                ).alias("new_centroid")
-            )
+        means = _member_means(
+            assigned, ["m", "code"], "sub", out_col="new_centroid"
         )
         codebook = (
             codebook.join(means, ["m", "code"], "left")
@@ -1499,20 +1508,8 @@ def semantic_dedup(
             if split_floor is not None
             else F.lit(False)
         )
-        split_means = (
-            assigned.where(is_split)
-            .select(
-                "cell_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
-            )
-            .groupBy("cell_id", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .groupBy("cell_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s.getField("m"),
-                ).alias("centroid")
-            )
+        split_means = _member_means(
+            assigned.where(is_split), ["cell_id"], vec_col
         )
         cents = cents.select(
             "cell_id", F.col("centroid").cast("array<double>")
