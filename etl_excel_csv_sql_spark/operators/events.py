@@ -311,12 +311,27 @@ def mad_anomalies(
         F.col("med"),
     )
     mad = dev.groupBy(F.col("k").alias("key")).agg(
-        F.expr("percentile(dev, 0.5)").alias("mad")
+        F.expr("percentile(dev, 0.5)").alias("mad"),
+        F.avg("dev").alias("meanad"),
     )
-    z = F.lit(0.6745) * F.col("dev") / F.col("mad")
+    # Iglewicz–Hoaglin degenerate-distribution fallback: MAD = 0
+    # whenever >= half the group's values are identical, which used to
+    # suppress EVERY anomaly for that key — exactly the corruption shape
+    # ([5,5,5,5,1e6]) the screen exists to catch. Their recommended
+    # substitute is the mean absolute deviation about the median:
+    # Mi = |x − med| / (1.253314·meanAD). Both zero → no spread at all,
+    # nothing flags (z stays null and drops at the filter).
+    z = F.when(
+        F.col("mad") > 0, F.lit(0.6745) * F.col("dev") / F.col("mad")
+    ).otherwise(
+        F.when(
+            F.col("meanad") > 0,
+            F.col("dev") / (F.lit(1.253314) * F.col("meanad")),
+        )
+    )
     return (
         dev.join(F.broadcast(mad), dev["k"] == mad["key"])
-        .filter((F.col("mad") > 0) & (z > threshold))
+        .filter(z > threshold)
         .select(
             F.col("id").alias(id_col),
             F.col("k").alias(key_col),
@@ -468,9 +483,13 @@ def attribute_last_touch(
     conv = with_touch.where(F.col(type_col) == convert_type)
     # exact integer micros, then one division — engine-portable (a
     # double-cast timestamp difference would hinge on each engine's
-    # ns-truncation flavor)
+    # ns-truncation flavor). cast("timestamp") first: unix_micros
+    # rejects TIMESTAMP_NTZ (the same guard sessionize/attribute_
+    # time_decay/kaplan_meier apply — this was the one call site
+    # missing it, code-review r9 catch).
     gap = (
-        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("last_touch_ts"))
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        - F.unix_micros(F.col("last_touch_ts").cast("timestamp"))
     ) / F.lit(1_000_000.0)
     return conv.select(
         F.col(id_col).alias("conversion_id"),
@@ -691,11 +710,19 @@ def acf_daily(
     value_col: str = "value",
     ts_col: str = "ts",
     max_lag: int = 7,
+    max_spine_days: int = 36_600,
 ) -> DataFrame:
     """Autocorrelation function of the daily metric total at lags
     1..max_lag — the seasonality detector behind every forecasting /
     anomaly pipeline (a strong lag-7 spike = weekly cycle; use it to
     pick the seasonal period instead of guessing).
+
+    The series densifies to a gap-free day spine first (missing days
+    are a true total of 0): lead(c, l) over the observed-days frame
+    silently turns day-lags into ROW-lags on any calendar gap — a
+    weekday-only series would report its weekly spike at lag 5 instead
+    of 7 (code-review r9 catch; same spine as seasonal_decompose_daily,
+    including its corrupt-timestamp span guard).
 
     acf(l) = Σ_t (y_t − ȳ)(y_{t+l} − ȳ) / Σ_t (y_t − ȳ)²  over the
     day-indexed series, the standard biased estimator (denominator =
@@ -713,8 +740,11 @@ def acf_daily(
         .cast("double")
         .alias("y")
     )
-    mean = daily.agg(F.avg("y").alias("m"))
-    centered = daily.crossJoin(F.broadcast(mean)).select(
+    cal = _day_spine(daily, max_spine_days, "acf_daily").select(
+        "d", F.coalesce("y", F.lit(0.0)).alias("y")
+    )
+    mean = cal.agg(F.avg("y").alias("m"))
+    centered = cal.crossJoin(F.broadcast(mean)).select(
         "d", (F.col("y") - F.col("m")).alias("c")
     )
     # calendar-bounded summary frame: the global-order window is over
@@ -752,6 +782,44 @@ def acf_daily(
         ]
     )
     return aggs.select(F.inline(pairs))
+
+
+def _day_spine(
+    daily: DataFrame, max_spine_days: int, op_name: str
+) -> DataFrame:
+    """Densify a (d date, ...) daily frame to a gap-free calendar from
+    min(d) to max(d) — days absent from the input carry null metric
+    columns (callers coalesce if a missing day means 0). Shared by every
+    day-indexed operator whose lags/windows must be CALENDAR offsets
+    (seasonal_decompose_daily, acf_daily): row-offset windows over a
+    gappy frame silently turn day-lags into row-lags.
+
+    Spine-span guard: one corrupt far-future/past timestamp (e.g. year
+    9999) would make the sequence exceed Spark's max array length and
+    kill the whole job with an opaque error. Fail loudly instead, with
+    the actual span in the message; the check rides INSIDE the `hi`
+    expression the sequence consumes, so column pruning can't drop it.
+    """
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    span = F.datediff("hi", "lo")
+    hi_checked = F.when(
+        span > max_spine_days,
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op_name}: day spine spans "),
+                span.cast("string"),
+                F.lit(
+                    f" days (> max_spine_days={max_spine_days}) — "
+                    "likely corrupt timestamps; filter the input or "
+                    "raise max_spine_days"
+                ),
+            )
+        ).cast("date"),
+    ).otherwise(F.col("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", hi_checked)).alias("d")
+    )
+    return spine.join(daily, "d", "left")
 
 
 def seasonal_decompose_daily(
@@ -795,33 +863,7 @@ def seasonal_decompose_daily(
     # silently widens the moving average across missing days). Spine
     # days with no data carry null y: they never fabricate trend (the
     # presence count below excludes them) and are dropped at the end.
-    # Spine-span guard: one corrupt far-future/past timestamp (e.g. year
-    # 9999) would make the sequence exceed Spark's max array length and
-    # kill the whole job with an opaque error. Fail loudly instead, with
-    # the actual span in the message. The check rides INSIDE the `hi`
-    # expression the sequence consumes, so column pruning can't drop it.
-    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
-    span = F.datediff("hi", "lo")
-    hi_checked = F.when(
-        span > max_spine_days,
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "seasonal_decompose_daily: day spine spans "
-                ),
-                span.cast("string"),
-                F.lit(
-                    f" days (> max_spine_days={max_spine_days}) — "
-                    "likely corrupt timestamps; filter the input or "
-                    "raise max_spine_days"
-                ),
-            )
-        ).cast("date"),
-    ).otherwise(F.col("hi"))
-    spine = bounds.select(
-        F.explode(F.sequence("lo", hi_checked)).alias("d")
-    )
-    cal = spine.join(daily, "d", "left")
+    cal = _day_spine(daily, max_spine_days, "seasonal_decompose_daily")
     half = period // 2
     w = Window.orderBy("d").rowsBetween(-half, half)
     if period % 2 == 0:

@@ -100,10 +100,13 @@ def bfs_distances(
     frontier, not the visited set.
     """
     edges = _edges(edge_df, src_col, dst_col).localCheckpoint(eager=True)
+    # distinct: a seed frame with repeats (e.g. built from an event scan)
+    # would emit duplicate (node, 0) rows and double-count downstream —
+    # same normalization personalized_pagerank applies to its seeds
     visited = seeds.select(
         F.col(seeds.columns[0]).cast("string").alias("node"),
         F.lit(0).alias("hops"),
-    ).localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=True)
     frontier = visited
     for hop in range(1, max_hops + 1):
         neighbors = (
@@ -160,15 +163,21 @@ def personalized_pagerank(
             .withColumn("w", F.lit(1.0))
             .localCheckpoint(eager=True)
         )
-    vertices = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     seed_nodes = seeds.select(
         F.col(seeds.columns[0]).cast("string").alias("node")
     ).distinct()
+    # Vertex set includes OUT-OF-GRAPH seeds: a seed with no edges still
+    # receives its (1-d)·seed_share teleport mass every round (it just
+    # never propagates). Without the union, isolated seeds vanished from
+    # the output while n_seeds counted them — every rank deflated and
+    # total teleport mass leaked (code-review r9 catch).
+    vertices = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .unionByName(seed_nodes)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_seeds = seed_nodes.agg(F.count("*").alias("ns"))  # broadcast scalar
     base = (
         vertices.join(seed_nodes.withColumn("is_seed", F.lit(1)), "node", "left")

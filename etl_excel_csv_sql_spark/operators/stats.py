@@ -11,7 +11,7 @@ the identical IEEE expression.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -30,11 +30,19 @@ def chi_square_independence(
     chi2 = sum_obs (O-E)^2/E + (N - sum_obs E), since every unobserved
     cell contributes exactly E ((0-E)^2/E = E).
     """
+    # Listwise-drop null categories FIRST: groupBy keeps a null group
+    # (it would count into N and the marginals) but the null-rejecting
+    # equi-joins below drop those cells from the observed sum, so their
+    # mass would re-enter as spurious "unobserved expected" correction —
+    # a strongly-significant chi2 on independent data with nulls
+    # (code-review r9 catch). dof's count_distinct ignores nulls, which
+    # now matches.
+    clean = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     # checkpoint the |A|x|B|-row contingency table: marginals, totals and
     # the cell join all consume it — without this the raw-table count
     # aggregate runs four times
     obs = (
-        df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        clean.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
         .agg(F.count(F.lit(1)).alias("o"))
         .localCheckpoint(eager=True)
     )
@@ -127,7 +135,14 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     (k + k(k+1)/2 sums, all DECIMAL-exact and partitioning-invariant),
     then the tiny single-row frame explodes into pairs map-side. The
     feature-redundancy screen before model training; contrast with k²/2
-    separate corr() jobs."""
+    separate corr() jobs.
+
+    Rows with a null in ANY requested column drop first (listwise
+    deletion, the same contract linear_fit applies): n counted all rows
+    while the moment sums skipped nulls, silently mixing row sets —
+    corr(x, x) could exceed 1 or flip sign (code-review r9 catch)."""
+    for c in cols:
+        df = df.where(F.col(c).isNotNull())
     dec = "decimal(19,4)"
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in cols:
@@ -413,14 +428,22 @@ def cuped_ab_report(
             * (F.col("x") - F.col("mx"))
         ).alias("y_adj"),
     )
+    # variance radicands clamp at 0 (the ADVICE r6 FP-cancellation
+    # guard winsorized_summary applies): near-constant y with a large
+    # mean can cancel to a tiny NEGATIVE E[y²]−E[y]² in doubles, which
+    # would flip var_reduction's sign / NaN a downstream sqrt
     per_variant = adj.groupBy("variant").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.avg("y").alias("my"),
         F.avg("y_adj").alias("mya"),
-        (F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y")).alias("vy"),
-        (
+        F.greatest(
+            F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y"),
+            F.lit(0.0),
+        ).alias("vy"),
+        F.greatest(
             F.avg(F.col("y_adj") * F.col("y_adj"))
-            - F.avg("y_adj") * F.avg("y_adj")
+            - F.avg("y_adj") * F.avg("y_adj"),
+            F.lit(0.0),
         ).alias("vya"),
     )
     variants = per_variant.select(
@@ -651,6 +674,10 @@ def winsorized_summary(
     ADVICE r6 FP-cancellation guard).
     """
     v = F.col(value_col).cast("double")
+    # Null values drop FIRST: percentiles skip nulls but count(lit(1))
+    # counted them, deflating winsor_mean / corrupting winsor_std for
+    # any group with nulls in value_col (code-review r9 catch).
+    df = df.where(F.col(value_col).isNotNull())
     thresholds = df.groupBy(F.col(group_col).alias("g")).agg(
         F.percentile(v, F.lit(lower)).alias("p_lo"),
         F.percentile(v, F.lit(upper)).alias("p_hi"),

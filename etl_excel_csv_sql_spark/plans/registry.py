@@ -3153,20 +3153,28 @@ def q_events_resample_ffill(spark, sf_dir):
              abs(e.value - med.med) AS dev
       FROM events e JOIN med USING (event_type)
     ), mad AS (
-      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad, avg(dev) AS meanad
       FROM dev GROUP BY 1
+    ), z AS (
+      SELECT dev.event_id, dev.event_type, dev.value, dev.med, dev.dev,
+             mad.mad,
+             CASE WHEN mad.mad > 0 THEN 0.6745 * dev.dev / mad.mad
+                  WHEN mad.meanad > 0 THEN dev.dev / (1.253314 * mad.meanad)
+             END AS mz
+      FROM dev JOIN mad USING (event_type)
     )
-    SELECT dev.event_id, dev.event_type, dev.value,
-           ROUND(dev.med, 6) AS median, ROUND(mad.mad, 6) AS mad,
-           ROUND(0.6745 * dev.dev / mad.mad, 4) AS mod_zscore
-    FROM dev JOIN mad USING (event_type)
-    WHERE mad.mad > 0 AND 0.6745 * dev.dev / mad.mad > 3.5
+    SELECT event_id, event_type, value,
+           ROUND(med, 6) AS median, ROUND(mad, 6) AS mad,
+           ROUND(mz, 4) AS mod_zscore
+    FROM z WHERE mz > 3.5
     """,
     doc="robust per-key anomaly flags via the Iglewicz-Hoaglin modified "
     "z-score (0.6745*|x-median|/MAD > 3.5): exact grouped percentiles "
     "(Spark percentile == DuckDB quantile_cont) computed in two "
     "one-shuffle passes, per-key stats broadcast back so the events "
-    "table never shuffles; the data-quality screen on metric streams",
+    "table never shuffles; MAD=0 (degenerate distributions) falls back "
+    "to the I-H mean-absolute-deviation form |x-med|/(1.253314*meanAD) "
+    "instead of suppressing the group's anomalies",
 )
 def q_events_value_anomalies(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -3947,7 +3955,9 @@ def q_media_ahash_neardup(spark, sf_dir):
     """
     WITH obs AS (
       SELECT lang AS a, source AS b, count(*) AS o
-      FROM documents GROUP BY 1, 2
+      FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+      GROUP BY 1, 2
     ), row_m AS (SELECT a, sum(o) AS ra FROM obs GROUP BY a),
     col_m AS (SELECT b, sum(o) AS cb FROM obs GROUP BY b),
     tot AS (
@@ -6727,8 +6737,8 @@ def q_fuzzy_join_enrichment(spark, sf_dir):
       FROM assigned, g
     ), pv AS (
       SELECT variant, count(*) AS n_users, avg(y) AS my, avg(y_adj) AS mya,
-             avg(y * y) - avg(y) * avg(y) AS vy,
-             avg(y_adj * y_adj) - avg(y_adj) * avg(y_adj) AS vya
+             greatest(avg(y * y) - avg(y) * avg(y), 0) AS vy,
+             greatest(avg(y_adj * y_adj) - avg(y_adj) * avg(y_adj), 0) AS vya
       FROM adj GROUP BY 1
     ), wide AS (
       SELECT
@@ -7562,8 +7572,17 @@ def _acf_oracle(max_lag: int = 7) -> str:
       SELECT CAST(ts AS DATE) AS d,
              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
       FROM events GROUP BY 1
-    ), m AS (SELECT avg(y) AS m FROM daily),
-    c AS (SELECT d, y - m.m AS c FROM daily, m),
+    ), b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+      FROM b
+    ),
+    cal AS (
+      SELECT spine.d, coalesce(daily.y, 0.0) AS y
+      FROM spine LEFT JOIN daily USING (d)
+    ),
+    m AS (SELECT avg(y) AS m FROM cal),
+    c AS (SELECT d, y - m.m AS c FROM cal, m),
     l AS (
       SELECT c, {leads}
       FROM c WINDOW w AS (ORDER BY d)

@@ -217,3 +217,35 @@ def test_triangle_stats_ignores_duplicates_and_direction(spark):
     )
     r = graph.triangle_stats(df).collect()[0]
     assert r["n_edges"] == 3 and r["n_triangles"] == 1
+
+
+def test_personalized_pagerank_keeps_isolated_seeds(spark):
+    """A seed with no edges must appear in the output and retain its
+    teleport mass — previously it vanished while n_seeds counted it, so
+    every rank deflated and total teleport mass leaked."""
+    from pyspark.sql import functions as F
+
+    from etl_excel_csv_sql_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("a",), ("zzz",)], ["node"])
+    got = {
+        r.node: r.rank
+        for r in graph.personalized_pagerank(
+            edges, "src", "dst", seeds, iterations=3, damping=0.85
+        ).collect()
+    }
+    assert "zzz" in got and got["zzz"] > 0  # isolated seed kept
+    # teleport shares used ns=2 AND the isolated seed holds its share
+    assert abs(got["zzz"] - 0.15 * 0.5) < 1e-9
+
+
+def test_bfs_distances_dedups_seeds(spark):
+    from etl_excel_csv_sql_spark.operators import graph
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",), ("a",)], ["node"])
+    got = graph.bfs_distances(edges, "src", "dst", seeds, max_hops=2).collect()
+    assert sorted((r.node, r.hops) for r in got) == [("a", 0), ("b", 1)]

@@ -665,3 +665,45 @@ def test_daily_user_accounting_identities(spark, sf_dir):
         assert r["cum_users"] == cum
         assert r["n_active"] == r["n_new"] + r["n_returning"]
         assert r["n_returning"] >= 0
+
+
+def test_chi_square_drops_null_categories(spark):
+    """Nulls in either categorical must drop listwise: the null group
+    survived the contingency groupBy but fell out of the null-rejecting
+    marginal joins, re-entering chi2 as spurious 'unobserved expected'
+    mass — a strongly significant statistic on independent data."""
+    from etl_excel_csv_sql_spark.operators import stats
+
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")] * 25
+    rows += [(None, "x")] * 50 + [("a", None)] * 50  # half the rows null-keyed
+    df = spark.createDataFrame(rows, "ca string, cb string")
+    got = stats.chi_square_independence(df, "ca", "cb").collect()[0]
+    # perfectly independent 2x2 with equal counts -> chi2 == 0
+    assert got.chi2 == 0.0 and got.n == 100 and got.dof == 1
+
+
+def test_correlation_matrix_listwise_null_deletion(spark):
+    """corr(x, y) where y==x on non-null rows must be exactly 1.0 even
+    when y is null elsewhere (n and the moment sums previously used
+    different row sets)."""
+    from etl_excel_csv_sql_spark.operators import stats
+
+    rows = [(float(i), float(i) if i % 2 == 0 else None) for i in range(100)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in stats.correlation_matrix(df, ["x", "y"]).collect()
+    }
+    assert got[("x", "y")] == 1.0
+
+
+def test_winsorized_summary_ignores_null_values(spark):
+    from etl_excel_csv_sql_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [("g", 10.0), ("g", 10.0), ("g", None), ("g", None)],
+        "grp string, v double",
+    )
+    got = stats.winsorized_summary(df, "v", "grp", 0.0, 1.0).collect()[0]
+    assert got.n == 2
+    assert got.winsor_mean == 10.0 and got.winsor_std == 0.0

@@ -861,3 +861,49 @@ def test_vocab_coverage_monotone_and_exact_on_small_vocab(spark):
     assert out[2]["occurrence_coverage"] == pytest.approx(0.9)
     assert out[3]["occurrence_coverage"] == pytest.approx(1.0)
     assert out[3]["types_used"] == 3
+
+
+def test_mad_anomalies_degenerate_mad_fallback(spark):
+    """MAD = 0 (>= half the group identical) must fall back to the
+    Iglewicz-Hoaglin mean-absolute-deviation form instead of silently
+    suppressing the group's anomalies — the [5,5,5,5,huge] corruption
+    shape is exactly what the screen exists to catch."""
+    from etl_excel_csv_sql_spark.operators import events as ev_ops
+
+    df = spark.createDataFrame(
+        [(i, "k", 5.0) for i in range(8)] + [(99, "k", 1_000_000.0)],
+        "event_id long, event_type string, value double",
+    )
+    got = ev_ops.mad_anomalies(df, "event_type", "event_id", "value", 3.5)
+    rows = got.collect()
+    assert [r.event_id for r in rows] == [99]
+    # all-identical group: nothing flags (no spread at all)
+    flat = spark.createDataFrame(
+        [(i, "k", 5.0) for i in range(6)],
+        "event_id long, event_type string, value double",
+    )
+    assert ev_ops.mad_anomalies(flat, "event_type", "event_id", "value").count() == 0
+
+
+def test_acf_daily_calendar_gaps_keep_weekly_lag(spark):
+    """A weekday-only series (calendar gaps every weekend) must still
+    spike at lag 7, not lag 5 — lead() over the observed-days frame
+    turned day-lags into row-lags before the day-spine densification."""
+    import datetime
+
+    from etl_excel_csv_sql_spark.operators import events as ev_ops
+
+    rows = []
+    d0 = datetime.datetime(2024, 1, 1)  # a Monday
+    for day in range(56):
+        dt = d0 + datetime.timedelta(days=day)
+        if dt.weekday() >= 5:
+            continue  # no weekend events at all
+        # strong weekly cycle on weekdays: Monday high, Friday low
+        v = 100.0 - 20.0 * dt.weekday()
+        rows.append((day, dt, v))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    acf = {r.lag: r.acf for r in ev_ops.acf_daily(df, "value", "ts", 7).collect()}
+    assert acf[7] > 0.8, acf  # weekly cycle lands at CALENDAR lag 7
+    # (the biased estimator's full-series denominator caps it below 1)
+    assert acf[7] > acf[5] + 0.2, acf  # and not at row-lag 5
