@@ -26,8 +26,17 @@ def _hash_bucket(key: Column, salt: str) -> Column:
 
 
 def split_threshold(fraction: float) -> str:
-    """The 4-hex-digit cutoff selecting ~fraction of buckets."""
+    """The 4-hex-digit cutoff selecting ~fraction of buckets.
+
+    Clamped to 65535+1 encoded as "g000": format(65536, '04x') is the
+    FIVE-char "10000", which breaks the fixed-width lexicographic
+    contract ("ffff" > "10000", so fraction=1.0 selected only the ~6%
+    of buckets starting with "0" — code-review r9 catch). "g000" sorts
+    above every 4-hex-digit bucket, so fraction=1.0 marks everything.
+    """
     n = max(0, min(65536, round(fraction * 65536)))
+    if n == 65536:
+        return "g000"  # > every hex bucket: the whole space selected
     return format(n, "04x")
 
 
@@ -187,10 +196,17 @@ def stratified_exact(
     by = [F.col(c) for c in stratum_cols]
     w = Window.partitionBy(*by).orderBy(order, F.col(id_col))
     wc = Window.partitionBy(*by)
+    # DECIMAL ceil: double arithmetic rounds fraction*n just above an
+    # integer for many decimal fractions (0.07*100 = 7.000...001 →
+    # ceil 8, one extra row kept AND an oracle mismatch — DuckDB's
+    # CEIL(0.07*n) is decimal-exact). 10dp covers any sane fraction.
+    k_exact = F.ceil(
+        F.lit(fraction).cast("decimal(12,10)") * F.col("__n")
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .withColumn("__n", F.count("*").over(wc))
-        .filter(F.col("__rn") <= F.ceil(F.lit(fraction) * F.col("__n")))
+        .filter(F.col("__rn") <= k_exact)
         .drop("__rn", "__n")
     )
 
@@ -270,8 +286,13 @@ def weighted_sample_without_replacement(
         + F.lit(0.5)
     ) / F.lit(float(1 << 52))
     key = F.log(u) / F.col(weight_col).cast("double")
+    # NaN guard: Spark orders NaN ABOVE every number and NaN > 0 is
+    # true, so a NaN weight would pass eligibility and its NaN key
+    # would win the descending sort — the k "sampled" rows would be
+    # exactly the garbage-weight rows (code-review r9 catch).
+    wd = F.col(weight_col).cast("double")
     eligible = df.where(
-        F.col(weight_col).isNotNull() & (F.col(weight_col).cast("double") > 0)
+        F.col(weight_col).isNotNull() & ~F.isnan(wd) & (wd > 0)
     )
     # maximize u^(1/w) == maximize ln(u)/w  (ln(u) < 0): key DESC; id
     # tiebreak makes the order total (keys are continuous — ties are

@@ -31,12 +31,13 @@ def group_sketches(
     """Per-group HLL sketch (binary, mergeable) + its estimate. The
     sketch column is the artifact to persist: any union of groups can be
     estimated later WITHOUT the raw data (hll_union_agg)."""
+    # estimate as a post-projection over the ONE aggregated sketch —
+    # nesting a second hll_sketch_agg inside the estimate relied on
+    # Catalyst deduplicating semantically-equal aggregates and would
+    # silently build the sketch twice if the two calls ever drifted
     return df.groupBy(group_col).agg(
-        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch"),
-        F.hll_sketch_estimate(
-            F.hll_sketch_agg(F.col(value_col), F.lit(lg_k))
-        ).alias("approx_distinct"),
-    )
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch")
+    ).withColumn("approx_distinct", F.hll_sketch_estimate("sketch"))
 
 
 def merge_sketches(sketches: DataFrame) -> DataFrame:
@@ -101,9 +102,11 @@ def quantile_calibration(
     quantiles: list[float] = (0.5, 0.9, 0.99),
     accuracy: int = 10000,
 ) -> DataFrame:
-    """Per-group approx_percentile vs exact percentile_disc-style values
-    (exact via sort-based percentile on the group — calibration scale
-    only). Output long-form: (scope, quantile, approx_value, exact_value,
+    """Per-group approx_percentile vs exact INTERPOLATED percentiles
+    (percentile_cont semantics — F.percentile linearly interpolates
+    between data values, so abs_error includes the interpolation gap on
+    sparse value ranges, not just sketch error; calibration scale only).
+    Output long-form: (scope, quantile, approx_value, exact_value,
     abs_error)."""
     qs = list(quantiles)
     agg = df.groupBy(group_col).agg(
@@ -264,9 +267,15 @@ def phi_heavy_hitters(
         .groupBy("key")
         .agg(F.count("*").alias("cnt"))
     )
+    # DECIMAL threshold: double(phi)*n rounds above the integer for
+    # many decimal phis (0.1*30 = 3.0000000000000004 excludes a key at
+    # frequency EXACTLY phi — phi-heavy by definition, and the DuckDB
+    # oracle's decimal HAVING includes it). 10dp covers any sane phi.
     return (
         exact.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") >= F.lit(phi) * F.col("n"))
+        .filter(
+            F.col("cnt") >= F.lit(phi).cast("decimal(12,10)") * F.col("n")
+        )
         .select(
             "key",
             "cnt",

@@ -386,12 +386,15 @@ def compression_ratio(
         StructType,
     )
 
+    # id keeps the INPUT's type — a hardcoded cast("long") silently
+    # nulled every string/UUID document id (code-review r9 catch)
+    id_type = df.schema[id_col].dataType
     src = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("t")
+        F.col(id_col).alias("id"), F.col(text_col).alias("t")
     )
     out_schema = StructType(
         [
-            StructField("id", LongType()),
+            StructField("id", id_type),
             StructField("n_bytes", LongType()),
             StructField("n_compressed", LongType()),
             StructField("compression_ratio", DoubleType()),
@@ -473,10 +476,16 @@ def chunk_windows(
     stride: int = 48,
 ) -> DataFrame:
     """Fixed-size sliding token windows per document — the chunking step
-    of an embedding/RAG or context-window-packing pipeline: each document
-    becomes ceil(max(n_tokens-overlap,1)/stride) overlapping chunks of at
-    most ``chunk_size`` whitespace tokens, stepping ``stride`` tokens
-    (overlap = chunk_size - stride).
+    of an embedding/RAG or context-window-packing pipeline: one chunk
+    per start position 0, stride, 2·stride, … ≤ n_tokens−1, i.e.
+    ceil(n_tokens/stride) chunks of at most ``chunk_size`` whitespace
+    tokens (overlap = chunk_size − stride per step). Trailing starts
+    within the last ``chunk_size`` tokens yield chunks fully CONTAINED
+    in an earlier chunk — size a downstream job from this count, not
+    from the distinct-content count. An empty/whitespace-only document
+    yields one chunk whose single token is the empty string
+    (n_tokens=1, chunk_text '') — the split('') artifact, pinned by the
+    oracle.
 
     Output: (id, chunk_id, start_token, n_tokens, chunk_text). chunk_id
     is start_token/stride — stable, dense per doc, independent of
@@ -485,10 +494,8 @@ def chunk_windows(
     Plan: narrow map only — split + sequence + explode + slice run
     per-row inside codegen/generate with NO shuffle; chunking 100 TB of
     text is embarrassingly parallel and this plan keeps it that way.
-    The tail chunk may be shorter than chunk_size (never empty: starts
-    stop at the last token); documents chunk independently, so skew only
-    arises from pathological single-document length, which the upstream
-    quality filter caps.
+    Documents chunk independently, so skew only arises from pathological
+    single-document length, which the upstream quality filter caps.
     """
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
@@ -613,6 +620,11 @@ def tfidf_doc_similarity(
                 "cosine"
             ),
         )
+        # a zero-norm doc (every surviving term has idf 0) makes the
+        # division NULL, and null struct fields sort FIRST in the
+        # bounded top-k — the meaningless pair would rank #1 and
+        # displace real neighbors (code-review r9 catch)
+        .filter(F.col("cosine").isNotNull())
     )
     key = F.struct(
         (-F.col("cosine")).alias("neg_cos"),
@@ -719,12 +731,14 @@ def normalize_unicode(
         StructType,
     )
 
+    # id keeps the INPUT's type (see compression_ratio)
+    id_type = df.schema[id_col].dataType
     src = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("t")
+        F.col(id_col).alias("id"), F.col(text_col).alias("t")
     )
     out_schema = StructType(
         [
-            StructField("id", LongType()),
+            StructField("id", id_type),
             StructField("len_raw", IntegerType()),
             StructField("text_norm", StringType()),
             StructField("len_norm", IntegerType()),
@@ -924,9 +938,10 @@ def gopher_rules(
     no shuffle, no Python. Filtering 100 TB of text stays
     embarrassingly parallel.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    empty = F.length(F.trim(F.col(text_col))) == 0
-    arr = F.when(empty, F.array().cast("array<string>")).otherwise(toks)
+    # the SHARED tokenization contract (functions.text.tokens) — a
+    # private re-implementation here could silently drift from every
+    # other operator's tokenizer (code-review r9 catch)
+    arr = tokens(F.lower(F.col(text_col)))
     n = F.size(arr)
     nd = n.cast("double")
     total_len = F.aggregate(
@@ -986,9 +1001,7 @@ def corpus_datacard(
     count-distinct), one tiny per-language aggregate inlined as extra
     rows. Every value is a double so the frame stays tall and typed.
     """
-    toks = F.when(
-        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    toks = token_count(text_col)  # the shared tokenization contract
     base = df.select(
         F.col(id_col).alias("id"),
         toks.alias("n_tok"),

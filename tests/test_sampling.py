@@ -86,3 +86,47 @@ def test_kfold_assignment_properties(spark):
         for r in kfold_assignment(df, "doc_id", k=5, salt="fold-v2").collect()
     }
     assert any(other[i] != got[i] for i in got)
+
+
+def test_hash_split_fraction_one_marks_everything(spark):
+    """split_threshold(1.0) used to return the 5-char hex '10000', which
+    sorts BELOW most 4-char buckets lexicographically — fraction=1.0
+    silently marked ~94% of rows train."""
+    from etl_excel_csv_sql_spark.operators.sampling import hash_split
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    got = hash_split(df, "doc_id", test_fraction=1.0)
+    assert got.where(F.col("split") == "train").count() == 0
+    assert hash_split(df, "doc_id", test_fraction=0.0).where(
+        F.col("split") == "test"
+    ).count() == 0
+
+
+def test_stratified_exact_decimal_ceil_boundary(spark):
+    """ceil(fraction*n) must be decimal-exact: 0.07*100 in doubles is
+    7.000...001 -> ceil 8, one extra row kept and an oracle mismatch."""
+    from etl_excel_csv_sql_spark.operators.sampling import stratified_exact
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("g")
+    )
+    got = stratified_exact(df, ["g"], "doc_id", 0.07)
+    assert got.count() == 7
+
+
+def test_wswr_ignores_nan_weights(spark):
+    """NaN > 0 is true in Spark and NaN sorts above every number — NaN
+    weights used to pass eligibility and always win the sample."""
+    import math
+
+    from etl_excel_csv_sql_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = [(i, 1.0) for i in range(20)] + [
+        (100 + i, float("nan")) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample_without_replacement(df, "doc_id", "w", k=10)
+    ids = [r.doc_id for r in got.collect()]
+    assert len(ids) == 10 and all(i < 100 for i in ids)

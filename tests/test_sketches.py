@@ -186,3 +186,15 @@ def test_count_min_error_bound_holds(spark):
     # most keys
     exactish = sum(1 for r in out if r["overestimate"] == 0)
     assert exactish > len(out) * 0.5
+
+
+def test_phi_heavy_hitters_exact_boundary(spark):
+    """A key at frequency EXACTLY phi is phi-heavy by definition; the
+    double-arithmetic threshold (0.1*30 = 3.0000000000000004) used to
+    exclude it, diverging from the decimal-exact oracle."""
+    from etl_excel_csv_sql_spark.operators.sketches import phi_heavy_hitters
+
+    rows = [("hot",)] * 3 + [(f"k{i}",) for i in range(27)]
+    df = spark.createDataFrame(rows, "key string")
+    got = {r.key for r in phi_heavy_hitters(df, "key", phi=0.1).collect()}
+    assert "hot" in got

@@ -907,3 +907,16 @@ def test_acf_daily_calendar_gaps_keep_weekly_lag(spark):
     assert acf[7] > 0.8, acf  # weekly cycle lands at CALENDAR lag 7
     # (the biased estimator's full-series denominator caps it below 1)
     assert acf[7] > acf[5] + 0.2, acf  # and not at row-lag 5
+
+
+def test_compression_ratio_keeps_string_ids(spark):
+    """A hardcoded cast('long') used to null every string/UUID id."""
+    from etl_excel_csv_sql_spark.operators.textstats import compression_ratio
+
+    df = spark.createDataFrame(
+        [("doc-aa", "hello hello hello hello"), ("doc-bb", "xyz")],
+        ["doc_id", "text"],
+    )
+    got = {r.id: r.compression_ratio for r in compression_ratio(df).collect()}
+    assert set(got) == {"doc-aa", "doc-bb"}
+    assert all(v > 0 for v in got.values())
