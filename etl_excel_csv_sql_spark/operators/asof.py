@@ -58,9 +58,13 @@ def asof_join(
     construction (ids are never null, unlike arbitrary left columns under a
     USING join) and keeps duplicate left rows distinct in both modes.
     """
-    value_cols = right_value_cols or [
-        c for c in right.columns if c not in (right_key, right_ts)
-    ]
+    # `is not None`: an explicit [] means "surface only asof_ts" — the
+    # falsy-empty `or` default silently surfaced ALL right columns
+    value_cols = (
+        list(right_value_cols)
+        if right_value_cols is not None
+        else [c for c in right.columns if c not in (right_key, right_ts)]
+    )
     # The id column is consumed by TWO branches (the narrow join input and
     # the final payload re-join). monotonically_increasing_id is
     # nondeterministic, so each branch recomputing it from scratch could
@@ -74,10 +78,20 @@ def asof_join(
         F.col(left_key).alias("__lk"),
         F.col(left_ts).alias("__lts"),
     )
+    # the tiebreak column rides in the narrow right projection even when
+    # the caller didn't surface it as a value column (it used to be
+    # unresolvable → AnalysisException)
+    extra = (
+        [F.col(tiebreak_col)]
+        if tiebreak_col and tiebreak_col not in value_cols
+        and tiebreak_col not in (right_key, right_ts)
+        else []
+    )
     r = right.select(
         F.col(right_key).alias("__rk"),
         F.col(right_ts).alias("__rts"),
         *[F.col(c) for c in value_cols],
+        *extra,
     )
     cond = (F.col("__lk") == F.col("__rk")) & (
         F.col("__rts") <= F.col("__lts")
@@ -132,9 +146,11 @@ def asof_join_directional(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction: {direction!r}")
-    value_cols = right_value_cols or [
-        c for c in right.columns if c not in (right_key, right_ts)
-    ]
+    value_cols = (
+        list(right_value_cols)
+        if right_value_cols is not None
+        else [c for c in right.columns if c not in (right_key, right_ts)]
+    )
     lid = left.withColumn(
         "__lid", F.monotonically_increasing_id()
     ).localCheckpoint(eager=False)
@@ -143,10 +159,17 @@ def asof_join_directional(
         F.col(left_key).alias("__lk"),
         F.col(left_ts).alias("__lts"),
     )
+    extra = (
+        [F.col(tiebreak_col)]
+        if tiebreak_col and tiebreak_col not in value_cols
+        and tiebreak_col not in (right_key, right_ts)
+        else []
+    )
     r = right.select(
         F.col(right_key).alias("__rk"),
         F.col(right_ts).alias("__rts"),
         *[F.col(c) for c in value_cols],
+        *extra,
     )
     cond = F.col("__lk") == F.col("__rk")
     lts, rts = F.col("__lts"), F.col("__rts")
@@ -173,13 +196,18 @@ def asof_join_directional(
     # non-numeric tiebreak_col (e.g. a string label) to double, nulling it
     # out; the timestamp/delta keys are always numeric, so they carry the
     # negation and tb keeps its natural ordering for any orderable type.
+    # unix_micros rejects TIMESTAMP_NTZ and non-timestamp types; the
+    # cast makes forward/nearest accept the same inputs backward does
+    # (NTZ parquet, plain comparisons) — a no-op for tz-aware columns
+    lts_us = F.unix_micros(lts.cast("timestamp"))
+    rts_us = F.unix_micros(rts.cast("timestamp"))
     if direction == "backward":
         agg = F.max_by(payload, F.struct(rts, tb))
     elif direction == "forward":
         # earliest timestamp wins; among equal timestamps the MAX tiebreak
-        agg = F.max_by(payload, F.struct(-F.unix_micros(rts), tb))
+        agg = F.max_by(payload, F.struct(-rts_us, tb))
     else:
-        delta = F.abs(F.unix_micros(lts) - F.unix_micros(rts))
+        delta = F.abs(lts_us - rts_us)
         backward_pref = F.when(rts <= lts, 1).otherwise(0)
         agg = F.max_by(payload, F.struct(-delta, backward_pref, tb))
     picked = joined.groupBy("__lid").agg(agg.alias("__best"))

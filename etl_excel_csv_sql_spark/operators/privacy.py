@@ -38,16 +38,22 @@ def k_anonymity_report(
 def generalize_band(col: Column, width: float, out_fmt: str = "[{lo},{hi})") -> Column:
     """Generalization: replace a numeric value by its band label (the
     standard k-anonymity repair — widen bands until groups reach k).
-    Bands are [n*width, (n+1)*width)."""
-    lo = (F.floor(col / F.lit(width)) * F.lit(width)).cast("long")
-    hi = (lo + F.lit(int(width))).cast("long")
-    return F.concat(
-        F.lit(out_fmt.split("{lo}")[0]),
-        lo.cast("string"),
-        F.lit(","),
-        hi.cast("string"),
-        F.lit(out_fmt.split("{hi}")[-1]),
-    )
+    Bands are [n*width, (n+1)*width). Integer widths keep integer
+    labels ('[5,10)'); fractional widths label with the true fractional
+    bounds — truncating them to longs published bands that EXCLUDED
+    their own members (width=2.5, value 7.4 → '[5,7)' while the true
+    band is [5.0,7.5) — code-review r9 catch). ``out_fmt`` is honored
+    in full, including the text between {lo} and {hi}."""
+    band = F.floor(col / F.lit(width))
+    if float(width).is_integer():
+        lo: Column = (band * F.lit(int(width))).cast("long").cast("string")
+        hi: Column = ((band + 1) * F.lit(int(width))).cast("long").cast("string")
+    else:
+        lo = (band * F.lit(width)).cast("double").cast("string")
+        hi = ((band + 1) * F.lit(width)).cast("double").cast("string")
+    pre, rest = out_fmt.split("{lo}")
+    mid, post = rest.split("{hi}")
+    return F.concat(F.lit(pre), lo, F.lit(mid), hi, F.lit(post))
 
 
 def _uniform_from_hash(cell: Column, salt: str) -> Column:
@@ -82,7 +88,14 @@ def dp_noisy_counts(
     counts = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).alias("true_count")
     )
-    u = _uniform_from_hash(F.col("grp").cast("string"), salt)
+    # NULL group: concat(salt, NULL) is NULL → the whole noise draw
+    # nulls out and the NULL group would publish its EXACT count with
+    # noisy_count null. A sentinel no real stringified group can equal
+    # keeps the draw deterministic and the release noisy.
+    cell = F.coalesce(
+        F.col("grp").cast("string"), F.lit("\x00__null_group__")
+    )
+    u = _uniform_from_hash(cell, salt)
     centered = u - F.lit(0.5)
     noise = (
         -F.lit(b)

@@ -241,10 +241,22 @@ def salted_join(
     AQE's skew-join split (on by default in session.py) handles most skew
     automatically by splitting oversized partitions; reach for explicit
     salting when a SINGLE key exceeds what one task can hold even after
-    AQE splits, or on engines/configs without AQE. Join column name
-    collisions are avoided by aliasing; output columns = big's columns +
-    small's non-key columns.
+    AQE splits, or on engines/configs without AQE. Output columns =
+    big's columns + small's non-key columns (shared non-key names will
+    collide — rename before joining).
+
+    ``how`` is restricted to inner/left: under salting the small side
+    exists in ``salt`` replicas, so a right/full join would emit every
+    unmatched replica (salt-fold duplicate null-extended rows) and
+    semi/anti joins drop the columns the final select needs — all
+    silently wrong rather than obviously broken, hence the explicit
+    guard.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}: the "
+            "salt-replicated small side corrupts outer/semi/anti joins"
+        )
     salted_big = big.withColumn(
         "__salt", (F.rand(seed=42) * salt).cast("int")
     )
@@ -371,10 +383,13 @@ def scd2_apply(
     joined = cur.withColumn("__in_dim", F.lit(True)).join(
         snap, on=join_cond, how="full_outer"
     )
-    same_attrs = None
+    # lit(True) base: with tracked_cols=[] (a keys-only presence
+    # dimension) the fold would leave None and `~same_attrs` raised
+    # TypeError; matching keys then count as unchanged, which is the
+    # only sensible zero-attribute semantics
+    same_attrs = F.lit(True)
     for t in tracked:
-        eq = F.col(t).eqNullSafe(F.col(f"__sv_{t}"))
-        same_attrs = eq if same_attrs is None else (same_attrs & eq)
+        same_attrs = same_attrs & F.col(t).eqNullSafe(F.col(f"__sv_{t}"))
     in_dim = F.col("__in_dim").isNotNull()
     in_snap = F.col("__in_snap").isNotNull()
 
@@ -712,15 +727,21 @@ def snapshot_diff(
     Update detection is null-safe: NULL -> value, value -> NULL, and
     value -> value all compare correctly.
     """
-    o = old.select(*keys, *compare)
-    n = new.select(*keys, *compare)
+    keys = list(keys)  # accept any Sequence (a tuple broke the concat)
+    # presence markers + null-safe key equality (the scd2_apply pattern):
+    # key-column nullness as the presence probe misclassified NULL-key
+    # rows — a row with a NULL key never equi-joins, so an UNCHANGED
+    # null-key row emitted two spurious 'I' ops and broke the
+    # apply_cdc(old, diff) == new invariant (code-review r9 catch)
+    o = old.select(*keys, *compare).withColumn("__in_old", F.lit(True))
+    n = new.select(*keys, *compare).withColumn("__in_new", F.lit(True))
     for c in keys + list(compare):
         o = o.withColumnRenamed(c, f"__o_{c}")
         n = n.withColumnRenamed(c, f"__n_{c}")
-    cond = [o[f"__o_{k}"] == n[f"__n_{k}"] for k in keys]
+    cond = [o[f"__o_{k}"].eqNullSafe(n[f"__n_{k}"]) for k in keys]
     joined = o.join(n, cond, "full_outer")
-    in_old = F.col(f"__o_{keys[0]}").isNotNull()
-    in_new = F.col(f"__n_{keys[0]}").isNotNull()
+    in_old = F.coalesce(F.col("__in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("__in_new"), F.lit(False))
     changed = None
     for c in compare:
         ne = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
@@ -790,8 +811,13 @@ def incremental_agg_apply(
         F.col(cnt_col).cast("long").alias("bn"),
     )
     zero_v = F.lit(0).cast(dec)
+    # eqNullSafe merge: a USING full-outer never matches NULL groups, so
+    # a NULL group's base row and delta row would both survive unmerged
+    # (two output rows instead of their sum — code-review r9 catch)
+    db = delta.withColumnRenamed("g", "dg")
     merged = (
-        base.join(delta, "g", "full_outer")
+        base.join(db, F.col("g").eqNullSafe(F.col("dg")), "full_outer")
+        .select(F.coalesce(F.col("g"), F.col("dg")).alias("g"), "bv", "bn", "dv", "dn")
         .select(
             F.col("g").alias(group_col),
             (

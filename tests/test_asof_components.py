@@ -428,3 +428,53 @@ def test_asof_directional_string_tiebreak(spark):
             how="inner",
         ).collect()
         assert len(rows) == 1 and rows[0]["asof_label"] == want, direction
+
+
+def test_asof_tiebreak_not_in_value_cols(spark):
+    """The tiebreak column must resolve even when the caller doesn't
+    surface it as a value column (used to raise AnalysisException)."""
+    from etl_excel_csv_sql_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100)], "k int, ts int"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 100, 1, "low"), (1, 100, 2, "high")], "k int, ts int, seq int, price string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "seq", "price")
+    got = asof_join(
+        left, right, "k", "k", "ts", "ts",
+        right_value_cols=["price"], tiebreak_col="seq",
+    ).collect()
+    assert len(got) == 1 and got[0].asof_price == "high"  # max tiebreak wins
+
+
+def test_asof_empty_value_cols_means_only_ts(spark):
+    """right_value_cols=[] must surface ONLY asof_ts — the falsy-empty
+    `or` default silently surfaced every right column."""
+    from etl_excel_csv_sql_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k int, ts int").select(
+        "k", F.col("ts").cast("timestamp").alias("ts")
+    )
+    right = spark.createDataFrame(
+        [(1, 50, 9.0)], "k int, ts int, price double"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "price")
+    got = asof_join(left, right, "k", "k", "ts", "ts", right_value_cols=[])
+    assert got.columns == ["k", "ts", "asof_ts"]
+    assert got.count() == 1
+
+
+def test_asof_directional_numeric_ts(spark):
+    """forward/nearest must accept the same orderable ts types backward
+    does (unix_micros used to reject non-timestamp inputs)."""
+    from etl_excel_csv_sql_spark.operators.asof import asof_join_directional
+
+    left = spark.createDataFrame([(1, 100)], "k int, ts bigint")
+    right = spark.createDataFrame(
+        [(1, 90, "before"), (1, 120, "after")], "k int, ts bigint, tag string"
+    )
+    for direction, want in (("forward", "after"), ("nearest", "before")):
+        got = asof_join_directional(
+            left, right, "k", "k", "ts", "ts", direction=direction
+        ).collect()
+        assert got[0].asof_tag == want, direction

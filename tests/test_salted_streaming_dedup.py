@@ -105,3 +105,19 @@ def test_table_fingerprint_sees_null_position(spark):
     fa = table_fingerprint(a).first().fingerprint
     fb = table_fingerprint(b).first().fingerprint
     assert fa != fb
+
+
+def test_salted_join_rejects_outer_and_semi(spark):
+    """Under salting the small side exists in `salt` replicas: a
+    right/full join would emit every unmatched replica and semi/anti
+    drop the selected columns — all silently wrong, hence the guard."""
+    import pytest
+
+    from etl_excel_csv_sql_spark.operators.relational import salted_join
+
+    big = spark.createDataFrame([(1, "x")], ["k", "v"])
+    small = spark.createDataFrame([(1, "y")], ["k2", "w"])
+    for how in ("full", "right", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, "k", "k2", salt=4, how=how)
+    assert salted_join(big, small, "k", "k2", salt=4).count() == 1

@@ -93,3 +93,28 @@ def test_scd2_apply_generations_and_close_missing(spark):
     # history row from generation 1 still present and closed
     hist = [r for r in g2.collect() if r.k == 2 and r.attr == "B"]
     assert len(hist) == 1 and hist[0].valid_to is not None
+
+
+def test_scd2_apply_empty_tracked_cols(spark):
+    """keys-only presence dimension: tracked_cols=[] used to raise
+    TypeError (~None); matching keys must count as unchanged."""
+    from pyspark.sql import functions as F
+
+    from etl_excel_csv_sql_spark.operators.relational import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", None)],
+        "id int, valid_from string, valid_to string",
+    ).select(
+        "id",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    snap = spark.createDataFrame([(1,), (2,)], "id int")
+    out = scd2_apply(
+        dim, snap, ["id"], [],
+        effective_ts=F.to_timestamp(F.lit("2024-06-01 00:00:00")),
+    )
+    rows = {(r.id, r.valid_to is None) for r in out.collect()}
+    # key 1 unchanged (still open), key 2 newly opened
+    assert rows == {(1, True), (2, True)}
