@@ -80,16 +80,43 @@ def write_csv_single(df: DataFrame, path: str) -> None:
     Only for small frames consumed by downstream desktop tools — the
     parallel sink is write_csv_dir."""
     tmp = path + ".__tmp__"
-    df.coalesce(1).write.mode("overwrite").option("header", "true").options(
-        **_PRESERVE_WS
-    ).csv(tmp)
-    part = next(iter(glob.glob(os.path.join(tmp, "part-*.csv"))), None)
-    if part is None:  # pragma: no cover - spark always writes one part
-        raise FileNotFoundError(f"no part file produced under {tmp}")
-    if os.path.exists(path):
-        os.remove(path)
-    shutil.move(part, path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        df.coalesce(1).write.mode("overwrite").option(
+            "header", "true"
+        ).options(**_PRESERVE_WS).csv(tmp)
+        # glob.escape: a target named like 'Q1 [Final].csv' would turn
+        # the tmp prefix into a character class and never match the part
+        part = next(
+            iter(glob.glob(os.path.join(glob.escape(tmp), "part-*.csv"))),
+            None,
+        )
+        if part is None:  # pragma: no cover - spark always writes one part
+            raise FileNotFoundError(f"no part file produced under {tmp}")
+        # atomic rename-over (same filesystem by construction): the old
+        # remove-then-move left a window where a crash destroyed the
+        # previous CSV with no replacement
+        os.replace(part, path)
+    finally:
+        # never leak the temp dir — the locked-target path (K3) used to
+        # orphan a full CSV copy on every PermissionError cycle
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def collision_free_path(dest: str) -> str:
+    """Uniquify a timestamped destination: the reference's minute-granular
+    names collide when the same file name cycles twice within a minute,
+    and shutil.move would silently OVERWRITE the earlier audit copy. The
+    first file keeps the canonical reference name (the naming oracles
+    are unchanged); repeats get ' (n)' before the extension. Shared by
+    the archive/quarantine moves (runner.folder_queue) and the stale-
+    output divert below."""
+    if not os.path.exists(dest):
+        return dest
+    stem, ext = os.path.splitext(dest)
+    n = 1
+    while os.path.exists(f"{stem} ({n}){ext}"):
+        n += 1
+    return f"{stem} ({n}){ext}"
 
 
 def divert_stale_output(
@@ -105,7 +132,9 @@ def divert_stale_output(
     stamp = (now or datetime.now()).strftime("%Y.%m.%d %H.%M")
     base = os.path.basename(path)
     stem, ext = os.path.splitext(base)
-    dest = os.path.join(error_dir, f"Unprocessed {stem} {stamp}{ext}")
+    dest = collision_free_path(
+        os.path.join(error_dir, f"Unprocessed {stem} {stamp}{ext}")
+    )
     if logger is not None:
         logger.log(
             f"Unprocessed file {path}. File renamed and moved to {error_dir}.",

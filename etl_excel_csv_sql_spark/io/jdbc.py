@@ -61,8 +61,14 @@ class JdbcQuerySource:
 
     def with_in_list(self, placeholder: str, values: list[str]) -> "JdbcQuerySource":
         """Template splice (F7): replace ``placeholder`` with a quoted SQL
-        IN-list body, single quotes escaped by doubling."""
+        IN-list body, single quotes escaped by doubling. An EMPTY list
+        splices ``NULL`` — ``IN ()`` is invalid SQL on every target
+        database, while ``IN (NULL)`` is valid and matches no row (the
+        zero-pending-invoices cycle a scheduled job hits routinely must
+        return an empty frame, not a syntax error)."""
         quoted = ",".join("'" + v.replace("'", "''") + "'" for v in values)
+        if not values:
+            quoted = "NULL"
         return JdbcQuerySource(
             url=self.url,
             query=self.query.replace(placeholder, quoted),
@@ -71,11 +77,15 @@ class JdbcQuerySource:
         )
 
     def reader(self, spark: SparkSession):
-        reader = (
-            spark.read.format("jdbc")
-            .option("url", self.url)
-            .option("query", self.query)
-        )
+        reader = spark.read.format("jdbc").option("url", self.url)
+        if self.partition_options:
+            # Spark rejects 'query' combined with 'partitionColumn'
+            # (IllegalArgumentException) — parallel reads must go through
+            # a dbtable subquery alias instead, so partition_options
+            # actually work rather than failing every load()
+            reader = reader.option("dbtable", f"({self.query}) q")
+        else:
+            reader = reader.option("query", self.query)
         for key, value in {**self.options, **self.partition_options}.items():
             reader = reader.option(key, value)
         return reader
@@ -141,24 +151,53 @@ class ParquetMergeSink:
     path: str
     keys: list[str]
 
+    def _recover(self) -> None:
+        """Crash recovery for the two-rename swap: if a previous upsert
+        died between renaming the live table aside and renaming staging
+        in, the complete old table sits at ``.old`` — restore it instead
+        of treating the table as absent (which would let the next upsert
+        write ONLY its increment as the full table)."""
+        import os
+
+        old = self.path + ".old"
+        if not os.path.exists(self.path) and os.path.exists(old):
+            os.rename(old, self.path)
+
     def upsert(self, spark: SparkSession, df: DataFrame) -> None:
         import os
         import shutil
 
+        self._recover()
         staging = self.path + ".staging"
-        if os.path.exists(self.path):
-            existing = spark.read.parquet(self.path)
-            incoming_keys = df.select(*self.keys).distinct()
-            kept = existing.join(incoming_keys, on=self.keys, how="left_anti")
-            merged = kept.unionByName(df)
-        else:
-            merged = df
-        merged.write.mode("overwrite").parquet(staging)
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        os.rename(staging, self.path)
+        old = self.path + ".old"
+        # the incoming plan feeds TWO consumers (the distinct-keys
+        # anti-join and the union write) — persist so an expensive
+        # micro-batch aggregate isn't recomputed per consumer
+        df = df.persist()
+        try:
+            if os.path.exists(self.path):
+                existing = spark.read.parquet(self.path)
+                incoming_keys = df.select(*self.keys).distinct()
+                kept = existing.join(
+                    incoming_keys, on=self.keys, how="left_anti"
+                )
+                merged = kept.unionByName(df)
+            else:
+                merged = df
+            merged.write.mode("overwrite").parquet(staging)
+            # two renames instead of rmtree-then-rename: a crash between
+            # them leaves the COMPLETE old table at .old (recovered on
+            # the next call) rather than no live table at all
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(self.path):
+                os.rename(self.path, old)
+            os.rename(staging, self.path)
+            shutil.rmtree(old, ignore_errors=True)
+        finally:
+            df.unpersist()
 
     def read(self, spark: SparkSession) -> DataFrame:
+        self._recover()
         return spark.read.parquet(self.path)
 
 

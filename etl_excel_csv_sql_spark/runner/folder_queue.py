@@ -21,6 +21,7 @@ from datetime import datetime
 from enum import Enum
 from typing import Callable
 
+from etl_excel_csv_sql_spark.io.csv_io import collision_free_path as _collision_free
 from etl_excel_csv_sql_spark.runner.errorlog import ErrorLog
 
 
@@ -37,6 +38,10 @@ class FolderQueue:
     error_dir: str
     pattern: str = ".csv"
     errorlog: ErrorLog | None = field(default=None)
+    #: paths the HANDLER quarantined mid-process_all (so the drain can
+    #: report QUARANTINED instead of misfiling the vanished file as
+    #: SKIPPED/"left for next cycle" when its archive move fails)
+    _quarantined: set = field(default_factory=set, repr=False)
 
     def __post_init__(self) -> None:
         if self.errorlog is None:
@@ -47,10 +52,13 @@ class FolderQueue:
         processing order)."""
         if not os.path.isdir(self.drop_dir):
             return []
+        # case-insensitive suffix match: the reference runs on NTFS where
+        # '*.CSV' matches; a case-sensitive match here would leave such a
+        # file invisible forever — never processed, never logged
         return sorted(
             os.path.join(self.drop_dir, f)
             for f in os.listdir(self.drop_dir)
-            if f.endswith(self.pattern)
+            if f.lower().endswith(self.pattern.lower())
         )
 
     def archive(self, path: str, now: datetime | None = None) -> str:
@@ -58,8 +66,8 @@ class FolderQueue:
         (CSVtoSQLimport.ps1:257-264)."""
         os.makedirs(self.processed_dir, exist_ok=True)
         stamp = (now or datetime.now()).strftime("%Y.%m.%d %H.%M")
-        dest = os.path.join(
-            self.processed_dir, f"{stamp} {os.path.basename(path)}"
+        dest = _collision_free(
+            os.path.join(self.processed_dir, f"{stamp} {os.path.basename(path)}")
         )
         shutil.move(path, dest)
         return dest
@@ -69,9 +77,12 @@ class FolderQueue:
         (file-level T3; row-level quarantine is io.jdbc.quarantine_split)."""
         os.makedirs(self.error_dir, exist_ok=True)
         stamp = (now or datetime.now()).strftime("%Y.%m.%d %H.%M")
-        dest = os.path.join(self.error_dir, f"{stamp} {os.path.basename(path)}")
+        dest = _collision_free(
+            os.path.join(self.error_dir, f"{stamp} {os.path.basename(path)}")
+        )
         self.errorlog.log(f"{reason}: {path} moved to {dest}", fatal=False)
         shutil.move(path, dest)
+        self._quarantined.add(os.path.abspath(path))
         return dest
 
     def process_all(
@@ -89,6 +100,13 @@ class FolderQueue:
             except Exception as exc:  # log-and-continue semantics
                 self.errorlog.log(f"{exc} (file {path} left for next cycle)")
                 results[path] = Outcome.SKIPPED
+                continue
+            # handler quarantined the file itself: it is in Error/, not
+            # pending — archiving the vanished path would raise and the
+            # drain used to misreport it SKIPPED/"left for next cycle"
+            if os.path.abspath(path) in self._quarantined:
+                self._quarantined.discard(os.path.abspath(path))
+                results[path] = Outcome.QUARANTINED
                 continue
             try:
                 self.archive(path, now)

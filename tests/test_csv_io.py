@@ -131,3 +131,21 @@ def test_read_csv_permissive_splits_good_and_quarantine(spark, tmp_path):
     # PERMISSIVE retains fields that DID parse on a quarantined row
     arity_ok = [r for r in bad if r["corrupt_record"].startswith("3,")][0]
     assert arity_ok["id"] == 3 and arity_ok["v"] is None
+
+
+def test_write_csv_single_glob_metachars(spark, tmp_path):
+    """A target named like a sheet 'Q1 [Final].csv' must round-trip —
+    the unescaped glob turned '[Final]' into a character class and the
+    part file was never found."""
+    from etl_excel_csv_sql_spark.io import csv_io
+
+    path = str(tmp_path / "Q1 [Final].csv")
+    df = spark.createDataFrame([("a", "1")], ["c1", "c2"])
+    csv_io.write_csv_single(df, path)
+    # verify via plain file IO (Spark's reader itself globs paths, which
+    # is out of scope here — the WRITE used to fail to find its part)
+    with open(path) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == "c1,c2" and lines[1] == "a,1"
+    import os
+    assert not os.path.exists(path + ".__tmp__")  # temp never leaks

@@ -119,3 +119,33 @@ def test_live_jdbc_partitioned_parallel_read(spark, tmp_path):
     assert got.rdd.getNumPartitions() == 4
     assert got.count() == 1000
     assert got.agg({"DOUBLED": "sum"}).first()[0] == 999 * 1000
+
+
+def test_with_in_list_empty_values_is_valid_sql(spark):
+    """Zero pending keys must splice a valid no-match predicate, not the
+    'IN ()' syntax error every database rejects."""
+    from etl_excel_csv_sql_spark.io.jdbc import JdbcQuerySource
+
+    src = JdbcQuerySource(url="jdbc:x", query="SELECT * FROM t WHERE k IN (&l&)")
+    assert src.with_in_list("&l&", []).query == "SELECT * FROM t WHERE k IN (NULL)"
+    assert src.with_in_list("&l&", ["a'b"]).query == (
+        "SELECT * FROM t WHERE k IN ('a''b')"
+    )
+
+
+def test_parquet_merge_sink_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves the complete old
+    table at .old — read()/upsert() must restore it, not treat the
+    table as absent (the next upsert would then write ONLY its
+    increment as the full table)."""
+    import os
+
+    from etl_excel_csv_sql_spark.io.jdbc import ParquetMergeSink
+
+    sink = ParquetMergeSink(str(tmp_path / "tbl"), keys=["k"])
+    sink.upsert(spark, spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    # simulate the crash window: live table renamed aside, staging lost
+    os.rename(sink.path, sink.path + ".old")
+    assert {r.k for r in sink.read(spark).collect()} == {1, 2}  # recovered
+    sink.upsert(spark, spark.createDataFrame([(3, "c")], ["k", "v"]))
+    assert {r.k for r in sink.read(spark).collect()} == {1, 2, 3}

@@ -303,3 +303,63 @@ def test_watermark_observed_keyed_per_path(tmp_path):
     from etl_excel_csv_sql_spark.functions.scalars import ticks_to_unix_seconds
 
     assert abs(ticks_to_unix_seconds(committed) - t_old) < 1.0
+
+
+def test_folder_queue_handler_quarantine_reports_quarantined(tmp_path):
+    """A file the handler quarantined must report QUARANTINED — the
+    drain used to try archiving the vanished path, catch the OSError,
+    and misreport it SKIPPED/'left for next cycle' while it sat in
+    Error/ (the enum member was unreachable)."""
+    import os
+
+    from etl_excel_csv_sql_spark.runner.folder_queue import (
+        FolderQueue,
+        Outcome,
+    )
+
+    drop = tmp_path / "drop"; drop.mkdir()
+    (drop / "poison.csv").write_text("bad")
+    (drop / "good.csv").write_text("ok")
+    q = FolderQueue(
+        str(drop), str(tmp_path / "done"), str(tmp_path / "err")
+    )
+
+    def handler(path):
+        if "poison" in path:
+            q.quarantine(path, "bad header")
+
+    got = q.process_all(handler)
+    assert got[str(drop / "poison.csv")] == Outcome.QUARANTINED
+    assert got[str(drop / "good.csv")] == Outcome.PROCESSED
+    assert any("poison" in f for f in os.listdir(tmp_path / "err"))
+
+
+def test_folder_queue_same_minute_archive_no_overwrite(tmp_path):
+    """Two same-named files archived within one minute must BOTH survive
+    (shutil.move silently overwrote the first audit copy)."""
+    import datetime
+    import os
+
+    from etl_excel_csv_sql_spark.runner.folder_queue import FolderQueue
+
+    drop = tmp_path / "drop"; drop.mkdir()
+    q = FolderQueue(str(drop), str(tmp_path / "done"), str(tmp_path / "err"))
+    now = datetime.datetime(2024, 5, 1, 10, 5)
+    (drop / "data.csv").write_text("first")
+    q.archive(str(drop / "data.csv"), now)
+    (drop / "data.csv").write_text("second")
+    q.archive(str(drop / "data.csv"), now)
+    names = set(os.listdir(tmp_path / "done"))
+    assert names == {
+        "2024.05.01 10.05 data.csv",
+        "2024.05.01 10.05 data (1).csv",
+    }
+
+
+def test_folder_queue_pending_case_insensitive_suffix(tmp_path):
+    from etl_excel_csv_sql_spark.runner.folder_queue import FolderQueue
+
+    drop = tmp_path / "drop"; drop.mkdir()
+    (drop / "UPPER.CSV").write_text("x")
+    q = FolderQueue(str(drop), str(tmp_path / "d"), str(tmp_path / "e"))
+    assert [p.endswith("UPPER.CSV") for p in q.pending()] == [True]
