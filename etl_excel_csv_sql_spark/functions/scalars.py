@@ -26,7 +26,13 @@ EXCEL_ORIGIN_TRUE = "1899-12-30"
 #: days from Excel's displayed dates. Kept for byte-compat mode.
 EXCEL_ORIGIN_REFERENCE = "1900-01-01"
 
-#: Keywords the reference wraps in double brackets (CSVtoSQLimport.ps1:63-75).
+#: Keywords the reference wraps in double brackets (CSVtoSQLimport.ps1:63-75),
+#: plus UNION (absent there — an engine addition). The reference's own
+#: matching is CASE-SENSITIVE substring .Replace in list order (so "Select"
+#: passes through and "EXECUTE" becomes "[[EXEC]]UTE" because EXEC runs
+#: first); this engine deliberately deviates to case-insensitive
+#: WORD-BOUNDARY matching with longest-keyword-first — documented, not
+#: byte-compat (§2.12-style intended-semantics call).
 _SQL_KEYWORDS = (
     "SELECT",
     "INSERT",
@@ -35,12 +41,17 @@ _SQL_KEYWORDS = (
     "DROP",
     "ALTER",
     "CREATE",
-    # EXECUTE before EXEC: regex alternation is leftmost-first in both Java
-    # regex (Spark) and RE2 (DuckDB oracle); the longer keyword must win.
+    # EXECUTE before EXEC / TABLES before TABLE: regex alternation is
+    # leftmost-first in both Java regex (Spark) and RE2 (DuckDB oracle);
+    # the longer keyword must win.
     "EXECUTE",
     "EXEC",
+    "GRANT",
+    "REVOKE",
     "UNION",
     "TRUNCATE",
+    "TABLES",
+    "TABLE",
 )
 
 
@@ -62,21 +73,40 @@ def excel_serial_to_timestamp(
     ``EXCEL_ORIGIN_REFERENCE`` to reproduce the reference's +2-day skew.
     """
     # try_cast: malformed input → null (the reference's log-and-$null),
-    # including under Spark 4's default ANSI mode where cast would throw
+    # including under Spark 4's default ANSI mode where cast would throw.
+    # RANGE guard: the reference's DateTime.AddDays throws (→ null) for
+    # serials outside [0001-01-01, 9999-12-31]; without it a large-but-
+    # numeric serial (e.g. "200000000") sails past the double cast and
+    # KILLS the whole batch in timestamp_seconds' long multiply —
+    # contradicting the log-and-null contract (code-review r9 catch).
     serial_d = _col(serial).try_cast("double")
+    in_range = (serial_d >= F.lit(-693_593.0)) & (
+        serial_d <= F.lit(2_958_465.0)
+    )
     seconds = F.round(serial_d * F.lit(86400.0)).cast("long")
     base = F.unix_timestamp(F.to_timestamp(F.lit(f"{origin} 00:00:00")))
-    return F.when(serial_d.isNotNull(), F.timestamp_seconds(base + seconds))
+    return F.when(
+        serial_d.isNotNull() & in_range, F.timestamp_seconds(base + seconds)
+    )
 
 
 def sanitize_sql_string(value: ColumnOrName) -> Column:
-    """Reference-compatible cell sanitizer (CSVtoSQLimport.ps1:59-78):
-    strip ``'``, ``;`` and ``--``, then wrap bare SQL keywords in ``[[...]]``.
+    """Cell sanitizer after SanitizeString (CSVtoSQLimport.ps1:59-78):
+    strip ``'``, then ``;``, then ``--`` — SEQUENTIALLY, like the
+    reference's chained .Replace calls: a single alternation pass left
+    live ``--`` comment tokens whenever the removal itself formed them
+    ("-;-" → "--" — code-review r9 catch) — then wrap bare SQL keywords
+    in ``[[...]]``.
 
-    Unnecessary under typed/parameterized JDBC writes (the engine's default
-    sink is injection-free by construction); exposed for byte-compat mode.
+    Keyword matching deliberately deviates from the reference
+    (case-insensitive word boundaries vs its case-sensitive substring
+    .Replace in EXEC-first order — see _SQL_KEYWORDS). Unnecessary under
+    typed/parameterized JDBC writes (the engine's default sink is
+    injection-free by construction).
     """
-    cleaned = F.regexp_replace(_col(value), r"--|'|;", "")
+    cleaned = _col(value)
+    for tok in ("'", ";", "--"):
+        cleaned = F.replace(cleaned, F.lit(tok), F.lit(""))
     keyword_alt = "|".join(_SQL_KEYWORDS)
     return F.regexp_replace(cleaned, rf"(?i)\b({keyword_alt})\b", r"[[$1]]")
 
@@ -89,8 +119,14 @@ def scrub_path_chars(value: ColumnOrName, replacement: str = " ") -> Column:
 
 def compose_filename(*parts: ColumnOrName, sep: str = " - ") -> Column:
     """``"{invnum} - {customerRef} - {fileName}"`` composition
-    (InvoiceFileSearchFromSQL.ps1:101-102)."""
-    return F.concat_ws(sep, *[_col(p).cast("string") for p in parts])
+    (InvoiceFileSearchFromSQL.ps1:101-102). Null parts render as EMPTY
+    segments (two separators in a row), matching PowerShell's format
+    operator — concat_ws would silently SKIP them, composing a filename
+    the reference system never wrote (code-review r9 catch)."""
+    return F.concat_ws(
+        sep,
+        *[F.coalesce(_col(p).cast("string"), F.lit("")) for p in parts],
+    )
 
 
 def format_timestamp(ts: ColumnOrName, fmt: str = "yyyy.MM.dd HH.mm") -> Column:
@@ -103,13 +139,18 @@ def format_timestamp(ts: ColumnOrName, fmt: str = "yyyy.MM.dd HH.mm") -> Column:
 def enclose_with_brackets(identifier: str) -> str:
     """SQL identifier quoting (CSVtoSQLimport.ps1:49-57). The reference only
     brackets names containing spaces; we bracket whenever not already
-    bracketed (strictly safer, same output for the reference's inputs).
+    bracketed (strictly safer, same output for the reference's inputs),
+    doubling any ``]`` inside per T-SQL ("my]table" → "[my]]table]" —
+    the naive wrap emitted broken DDL). "Already bracketed" means ONE
+    well-formed bracketed token — "[a] [b]" is two and gets re-wrapped.
 
     Driver-side helper (plain str), used by the JDBC sink when building DDL.
     """
-    if identifier.startswith("[") and identifier.endswith("]"):
+    import re
+
+    if re.fullmatch(r"\[(?:[^\]]|\]\])*\]", identifier):
         return identifier
-    return f"[{identifier}]"
+    return "[" + identifier.replace("]", "]]") + "]"
 
 
 # .NET ticks (the reference's watermark unit, ExcelToCSVexport.ps1:154,225):

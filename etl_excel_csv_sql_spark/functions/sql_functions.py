@@ -26,8 +26,11 @@ _KEYWORD_ALT = "|".join(_SQL_KEYWORDS)
 _FUNCTIONS: dict[str, tuple[str, str]] = {
     "sanitize_str": (
         "(s STRING) RETURNS STRING",
-        r"regexp_replace(regexp_replace(s, '--|\'|;', ''),"
-        rf" '(?i)\\b({_KEYWORD_ALT})\\b', '[[$1]]')",
+        # SEQUENTIAL char removal (', then ;, then --) mirroring
+        # sanitize_sql_string: a single alternation pass left live '--'
+        # tokens whenever the removal itself formed them ("-;-" → "--")
+        r"regexp_replace(replace(replace(replace(s, '\'', ''), ';', ''),"
+        rf" '--', ''), '(?i)\\b({_KEYWORD_ALT})\\b', '[[$1]]')",
     ),
     "scrub_path": (
         "(s STRING) RETURNS STRING",
@@ -35,8 +38,12 @@ _FUNCTIONS: dict[str, tuple[str, str]] = {
     ),
     "excel_serial_ts": (
         "(serial DOUBLE) RETURNS TIMESTAMP",
-        # true Excel epoch 1899-12-30; fractional days → nearest second
-        "CASE WHEN try_cast(serial AS DOUBLE) IS NOT NULL THEN "
+        # true Excel epoch 1899-12-30; fractional days → nearest second;
+        # range guard mirrors excel_serial_to_timestamp (out-of-DateTime
+        # serials → null, never a long-multiply crash)
+        "CASE WHEN try_cast(serial AS DOUBLE) IS NOT NULL"
+        " AND try_cast(serial AS DOUBLE) BETWEEN -693593.0 AND 2958465.0"
+        " THEN "
         "timestamp_seconds(unix_timestamp(to_timestamp('1899-12-30 00:00:00'))"
         " + CAST(round(try_cast(serial AS DOUBLE) * 86400.0) AS BIGINT)) END",
     ),
@@ -46,7 +53,10 @@ _FUNCTIONS: dict[str, tuple[str, str]] = {
     ),
     "compose_name": (
         "(a STRING, b STRING, c STRING) RETURNS STRING",
-        "concat_ws(' - ', a, b, c)",
+        # null parts render as EMPTY segments (the reference's format
+        # operator), mirroring compose_filename — bare concat_ws SKIPS
+        # nulls and composes names the reference never wrote
+        "concat_ws(' - ', coalesce(a, ''), coalesce(b, ''), coalesce(c, ''))",
     ),
 }
 

@@ -49,7 +49,15 @@ def _purge_stale_table(spark: SparkSession, table: str) -> None:
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
     if wh.scheme not in ("", "file"):
         return
-    loc = os.path.join(wh.path, table.split(".")[-1].lower())
+    # db-qualified managed tables live at <warehouse>/<db>.db/<table> —
+    # purging <warehouse>/<table> for 'analytics.orders' deleted the
+    # wrong path and saveAsTable still hit LOCATION_ALREADY_EXISTS
+    # (code-review r9 catch)
+    parts = table.lower().split(".")
+    if len(parts) == 2:
+        loc = os.path.join(wh.path, f"{parts[0]}.db", parts[1])
+    else:
+        loc = os.path.join(wh.path, parts[-1])
     if os.path.isdir(loc):
         shutil.rmtree(loc, ignore_errors=True)
 
@@ -147,10 +155,20 @@ def compact_small_files(
     the before/after evidence.
     """
     import math
-    import os
 
-    src_norm = os.path.abspath(src_path)
-    dst_norm = os.path.abspath(dst_path)
+    def _local(p: str) -> str:
+        # normalize URI-form local paths AND symlinks before comparing:
+        # abspath('file:/tmp/data') is '<cwd>/file:/tmp/data', which let
+        # compact(spark, 'file:/tmp/data', '/tmp/data') slip past the
+        # guard and overwrite-delete the source mid-read (code-review r9
+        # catch)
+        u = urlparse(p)
+        if u.scheme == "file":
+            p = u.path
+        return os.path.realpath(os.path.abspath(p))
+
+    src_norm = _local(src_path)
+    dst_norm = _local(dst_path)
     if dst_norm == src_norm or dst_norm.startswith(src_norm + os.sep):
         # mode("overwrite") deletes dst before writing — compacting in
         # place (or into a subdir of the source) would destroy the files

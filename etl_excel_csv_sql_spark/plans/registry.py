@@ -381,8 +381,9 @@ def q_excel_serial(spark, sf_dir):
     r"""
     SELECT p_partkey,
            regexp_replace(
-             regexp_replace(p_name || '''; DROP TABLE x; --', '--|''|;', '', 'g'),
-             '\b(SELECT|INSERT|UPDATE|DELETE|DROP|ALTER|CREATE|EXECUTE|EXEC|UNION|TRUNCATE)\b',
+             replace(replace(replace(
+               p_name || '''; DROP TABLE x; --', '''', ''), ';', ''), '--', ''),
+             '\b(SELECT|INSERT|UPDATE|DELETE|DROP|ALTER|CREATE|EXECUTE|EXEC|GRANT|REVOKE|UNION|TRUNCATE|TABLES|TABLE)\b',
              '[[\1]]', 'gi') AS sanitized
     FROM part
     """,

@@ -63,3 +63,47 @@ def test_sql_function_bodies_inline_no_python(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sanitize_removes_reformed_comment_tokens(spark):
+    """'-;-' must sanitize to '' — the single alternation pass removed
+    only the ';' and left a live '--' comment token (the reference's
+    sequential .Replace strips it)."""
+    df = spark.createDataFrame([("-;-",), ("-'-",), ("a;b",)], ["s"])
+    got = [r.c for r in df.select(sanitize_sql_string("s").alias("c")).collect()]
+    assert got == ["", "", "ab"]
+    for v in got:
+        assert "--" not in v and "'" not in v and ";" not in v
+
+
+def test_excel_serial_out_of_range_yields_null(spark):
+    """A huge-but-numeric serial used to crash the whole batch in
+    timestamp_seconds' long multiply; the reference's AddDays throws ->
+    null, so must we."""
+    df = spark.createDataFrame([("200000000",), ("45123.5",)], ["s"])
+    got = df.select(
+        excel_serial_to_timestamp("s").alias("t")
+    ).collect()
+    assert got[0].t is None
+    assert got[1].t is not None
+
+
+def test_compose_filename_null_renders_empty_segment(spark):
+    """PowerShell's format operator renders null as an empty segment —
+    concat_ws would silently skip it, composing a filename the
+    reference system never wrote."""
+    df = spark.createDataFrame(
+        [("INV001", None, "f.pdf")], "a string, b string, c string"
+    )
+    got = df.select(
+        compose_filename(F.col("a"), F.col("b"), F.col("c")).alias("f")
+    ).collect()[0].f
+    assert got == "INV001 -  - f.pdf"
+
+
+def test_enclose_with_brackets_escapes_and_rewraps():
+    from etl_excel_csv_sql_spark.functions.scalars import enclose_with_brackets
+
+    assert enclose_with_brackets("my]table") == "[my]]table]"
+    assert enclose_with_brackets("[ok]") == "[ok]"
+    assert enclose_with_brackets("[a] [b]") == "[[a]] [b]]]"  # two tokens rewrap
