@@ -34,12 +34,19 @@ def parse_settings_text(text: str) -> dict[str, str]:
         line = raw.strip()
         if not line or line.startswith("#"):
             continue
-        if "==" in line:
-            key, _, value = line.partition("==")
-        elif "=" in line:
-            key, _, value = line.partition("=")
-        else:
+        # Delimiter rule: split at the FIRST '='; it is the '==' form
+        # exactly when the character right after is ALSO '='. Trying
+        # '==' first mis-parsed any single-'=' line whose VALUE contains
+        # '==' — base64 padding ('apiKey=YWJjZA==') lost the key
+        # entirely and require() reported the secret missing
+        # (code-review r9 catch).
+        eq = line.find("=")
+        if eq < 0:
             continue
+        if eq + 1 < len(line) and line[eq + 1] == "=":
+            key, value = line[:eq], line[eq + 2:]
+        else:
+            key, value = line[:eq], line[eq + 1:]
         out[key.strip()] = value.strip()
     return out
 
@@ -73,12 +80,18 @@ def discover_settings(folder: str, suffix: str) -> list[SettingsEntry]:
     parsed, with the source name derived by stripping the suffix from the
     basename (CSVtoSQLimport.ps1:158)."""
     entries = []
-    for path in sorted(glob.glob(os.path.join(folder, f"*{suffix}"))):
+    # glob.escape: a folder named 'run [prod]' is a character class to
+    # glob and every settings file in it would be silently skipped
+    for path in sorted(
+        glob.glob(os.path.join(glob.escape(folder), f"*{suffix}"))
+    ):
         base = os.path.basename(path)
         entries.append(
             SettingsEntry(
                 path=path,
-                source_name=base[: -len(suffix)] if base.endswith(suffix) else base,
+                # removesuffix: base[:-len('')] is base[:0] — an empty
+                # suffix used to collapse every source name to ''
+                source_name=base.removesuffix(suffix) if suffix else base,
                 values=parse_settings_file(path),
             )
         )

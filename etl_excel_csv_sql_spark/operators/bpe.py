@@ -238,6 +238,13 @@ def bpe_encode(
     def batches(it):
         import pandas as pd
 
+        # BOUNDED distinct-word cache: it lives for the whole partition
+        # (cross-batch hits are the point — Zipf), but unbounded it
+        # accumulated every distinct word a long high-cardinality text
+        # partition ever saw and could OOM the executor (code-review r9
+        # catch). At the cap, dropping it wholesale keeps the hot head
+        # (immediately re-cached) and is O(1) per miss amortized.
+        _CACHE_CAP = 1 << 20
         cache: dict[str, list[str]] = {}
 
         def encode_text(text) -> list[str]:
@@ -251,6 +258,8 @@ def bpe_encode(
                 w = w.lower()
                 enc = cache.get(w)
                 if enc is None:
+                    if len(cache) >= _CACHE_CAP:
+                        cache.clear()
                     enc = apply_merges_sequential(list(w), pairs)
                     cache[w] = enc
                 toks.extend(enc)

@@ -55,7 +55,17 @@ def spread_bits_sql(expr: str) -> str:
 
 def minmax_bucket(col: Column, lo: Column, hi: Column, bits: int = 16) -> Column:
     """Equal-width bucket of ``col`` into [0, 2^bits) given in-plan lo/hi.
-    Degenerate ranges (lo == hi) map everything to bucket 0."""
+    Degenerate ranges (lo == hi) map everything to bucket 0, and so do
+    NULL values (greatest() skips nulls) — a deliberate convention:
+    layout keys must be total, so nulls cluster at the curve origin
+    (document/partition nulls out upstream when 'IS NULL' pruning
+    matters). ``bits`` caps at 16 — the 32-bit spread masks silently
+    DESTROY bucket bits above 16, colliding distinct buckets."""
+    if not 1 <= bits <= 16:
+        raise ValueError(
+            f"bits must be in [1, 16] (the 32-bit spread masks drop "
+            f"higher bucket bits), got {bits}"
+        )
     n = 1 << bits
     raw = F.floor(
         (col.cast("double") - lo.cast("double"))

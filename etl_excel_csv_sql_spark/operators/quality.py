@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -63,19 +63,26 @@ def in_range(col: str, lo: float, hi: float) -> Check:
     )
 
 
-def in_set(col: str, values: list[str]) -> Check:
+def in_set(col: str, values: list[str], name: str | None = None) -> Check:
+    """``name`` disambiguates two same-column set checks in one suite —
+    constraint names become agg aliases, so duplicates would otherwise
+    crash run_checks (which now raises a CLEAR error instead of Spark's
+    AMBIGUOUS_REFERENCE)."""
     c = F.col(col)
     return Check(
-        f"in_set({col})", c.isNotNull() & ~c.isin(values)
+        name or f"in_set({col})", c.isNotNull() & ~c.isin(values)
     )
 
 
-def matches(col: str, pattern: str) -> Check:
+def matches(col: str, pattern: str, name: str | None = None) -> Check:
     """Violated when the value does not match the (RE2-ish, engine-common)
     regex; NULL passes. Keep patterns to the syntax subset Java regex and
-    the oracle engine share (anchors, classes, quantifiers)."""
+    the oracle engine share (anchors, classes, quantifiers). ``name``
+    disambiguates two same-column pattern checks in one suite."""
     c = F.col(col)
-    return Check(f"matches({col})", c.isNotNull() & ~c.rlike(pattern))
+    return Check(
+        name or f"matches({col})", c.isNotNull() & ~c.rlike(pattern)
+    )
 
 
 @dataclass(frozen=True)
@@ -118,6 +125,18 @@ def run_checks(
     One full-table aggregate covers all ``checks`` + ``uniques``; each
     ``refs`` entry adds one anti-join count. Results union row-wise.
     """
+    all_names = (
+        [ck.name for ck in checks]
+        + [uq.name for uq in uniques]
+        + [rf.name for rf in refs]
+    )
+    dupes = sorted({n for n in all_names if all_names.count(n) > 1})
+    if dupes:
+        # duplicate constraint names become duplicate agg aliases and
+        # would surface as Spark's cryptic AMBIGUOUS_REFERENCE — fail
+        # with the actual problem (pass name=... to disambiguate two
+        # same-column matches()/in_set() checks)
+        raise ValueError(f"duplicate constraint names in suite: {dupes}")
     aggs = [F.count(F.lit(1)).cast("long").alias("__total")]
     for ck in checks:
         aggs.append(
@@ -142,21 +161,31 @@ def run_checks(
 
     # single aggregate row -> one row per constraint, map-side
     names = [ck.name for ck in checks] + [uq.name for uq in uniques]
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(n).alias("constraint"), F.col(f"`{n}`").alias("violations")
-            )
-            for n in names
-        ]
-    )
-    out = one.select(
-        F.lit(table_name).alias("table_name"),
-        F.inline(pairs),
-        F.col("__total").alias("total"),
-    )
-
     total_df = one.select(F.col("__total").alias("total"))
+    if names:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("constraint"),
+                    F.col(f"`{n}`").alias("violations"),
+                )
+                for n in names
+            ]
+        )
+        out = one.select(
+            F.lit(table_name).alias("table_name"),
+            F.inline(pairs),
+            F.col("__total").alias("total"),
+        )
+    else:
+        # refs-only suite (a legal configuration): inline(array()) is
+        # ARRAY<VOID> and crashes — start from an empty typed frame and
+        # let the ref rows union in below
+        out = one.sparkSession.createDataFrame(
+            [],
+            "table_name string, constraint string, "
+            "violations long, total long",
+        )
     for ref in refs:
         dim_keys = ref.dim.select(F.col(ref.dim_col).alias("__k")).distinct()
         orphans = (
@@ -213,7 +242,13 @@ def psi_drift(
     pcts = F.array(
         *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
     )
-    edges_df = old.agg(F.percentile(v, pcts).alias("edges"))
+    # checkpoint the 1-row edge aggregate: THREE consumers (both side
+    # counts and the spine's edge attach) each re-ran the full old-
+    # snapshot percentile scan — 7 leaf scans total in the executed
+    # plan at 100 TB (same rationale as run_checks' one-row checkpoint)
+    edges_df = old.agg(F.percentile(v, pcts).alias("edges")).localCheckpoint(
+        eager=True
+    )
 
     def bucket_of(col: Column) -> Column:
         # index of the first edge >= value, else the last bucket: a
@@ -237,12 +272,17 @@ def psi_drift(
         .join(side_counts(new, "new"), "bucket", "full_outer")
         .crossJoin(F.broadcast(edges_df))
     )
-    # totals via in-plan scalar aggregates (broadcast 1-row frames)
-    totals_old = old.where(v.isNotNull()).agg(
-        F.count(F.lit(1)).cast("double").alias("t_old")
-    )
-    totals_new = new.where(v.isNotNull()).agg(
-        F.count(F.lit(1)).cast("double").alias("t_new")
+    # totals derive from the n_buckets-row spine for FREE (sum of the
+    # per-bucket counts == count of non-null rows, since every non-null
+    # value lands in exactly one bucket) — separate count aggregates
+    # added one more full scan per side
+    w_all = Window.partitionBy()
+    spine = spine.withColumn(
+        "t_old",
+        F.sum(F.coalesce("n_old", F.lit(0))).over(w_all).cast("double"),
+    ).withColumn(
+        "t_new",
+        F.sum(F.coalesce("n_new", F.lit(0))).over(w_all).cast("double"),
     )
     p_old = F.greatest(
         F.coalesce("n_old", F.lit(0)) / F.col("t_old"), F.lit(eps)
@@ -257,8 +297,7 @@ def psi_drift(
         F.col("bucket") == n_buckets - 1, F.lit(None).cast("double")
     ).otherwise(F.element_at("edges", F.col("bucket") + 1))
     return (
-        spine.crossJoin(F.broadcast(totals_old))
-        .crossJoin(F.broadcast(totals_new))
+        spine
         .select(
             "bucket",
             F.round(lo, 6).alias("lo"),

@@ -460,3 +460,39 @@ def test_fuzzy_join_empty_vs_empty_similarity(spark):
     ).collect()
     assert len(got) == 1
     assert got[0].dist == 0 and got[0].similarity == 1.0
+
+
+def test_run_checks_refs_only_suite(spark):
+    """A referential-integrity-only suite (no row checks, no uniques) is
+    a legal configuration — inline(array()) used to crash it."""
+    from etl_excel_csv_sql_spark.operators import quality as dq
+
+    df = spark.createDataFrame([(1,), (2,), (99,)], "fk int")
+    dim = spark.createDataFrame([(1,), (2,)], "k int")
+    got = dq.run_checks(
+        df, "t", refs=[dq.RefIntegrity("fk", dim, "k", "dim")]
+    ).collect()
+    assert len(got) == 1
+    assert got[0].violations == 1 and got[0].total == 3 and not got[0].passed
+
+
+def test_run_checks_duplicate_names_raise(spark):
+    from etl_excel_csv_sql_spark.operators import quality as dq
+
+    df = spark.createDataFrame([("a",)], "ref string")
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate constraint names"):
+        dq.run_checks(
+            df, "t",
+            checks=[dq.matches("ref", "^[a-z]+$"), dq.matches("ref", "^x")],
+        )
+    # explicit names disambiguate
+    got = dq.run_checks(
+        df, "t",
+        checks=[
+            dq.matches("ref", "^[a-z]+$"),
+            dq.matches("ref", "^x", name="matches(ref,starts_x)"),
+        ],
+    ).collect()
+    assert len(got) == 2

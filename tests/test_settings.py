@@ -67,3 +67,28 @@ def test_kv_settings_datasource(spark, tmp_path):
     assert rows == {("a", "X"): "1", ("a", "Y"): "3", ("b", "Z"): "9"}
     # one input partition per file
     assert df.rdd.getNumPartitions() == 2
+
+
+def test_parse_settings_base64_padded_value():
+    """'apiKey=YWJjZA==' must parse at the FIRST '=' — trying the '=='
+    delimiter first split inside the value and lost the key entirely."""
+    from etl_excel_csv_sql_spark.io.settings import parse_settings_text
+
+    got = parse_settings_text(
+        "apiKey=YWJjZA==\nname==value\nurl=http://x/a==b\n"
+    )
+    assert got == {
+        "apiKey": "YWJjZA==",
+        "name": "value",
+        "url": "http://x/a==b",
+    }
+
+
+def test_discover_settings_glob_metachar_folder(tmp_path):
+    from etl_excel_csv_sql_spark.io.settings import discover_settings
+
+    folder = tmp_path / "run [prod]"
+    folder.mkdir()
+    (folder / "stock_import_settings.txt").write_text("a=1\n")
+    got = discover_settings(str(folder), "_import_settings.txt")
+    assert len(got) == 1 and got[0].source_name == "stock"
