@@ -100,6 +100,19 @@ def _normalize_sheet(
     return header, data
 
 
+def _clear_dest(dest: str) -> None:
+    """Delete whatever currently sits at ``dest`` — a single file (arrow
+    engine layout) or a parquet directory (spark engine layout) — so
+    either engine can overwrite the other's output in place."""
+    import os
+    import shutil
+
+    if os.path.isdir(dest):
+        shutil.rmtree(dest, ignore_errors=True)
+    elif os.path.exists(dest):
+        os.remove(dest)
+
+
 def _stage_sheet_arrow(args: tuple) -> tuple:
     """Process-pool worker: parse ONE sheet and write parquet via
     pyarrow — no Spark, no GIL sharing with sibling sheets. Module-level
@@ -108,6 +121,12 @@ def _stage_sheet_arrow(args: tuple) -> tuple:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # overwrite semantics must match the Spark engine's mode('overwrite')
+    # even ACROSS engines (ADVICE r9): a prior spark-engine run left a
+    # parquet DIRECTORY at this path, which pq.write_table can't replace
+    # (IsADirectoryError); the reverse switch left a stale single file
+    # shadowed inside a directory listing. Clear whatever is there first.
+    _clear_dest(dest)
     header, data = _normalize_sheet(xlsx.read_rows(path, sheet), header_row)
     if not header:
         # Parity with the Spark engine, which refuses to write an
@@ -191,6 +210,10 @@ def stage_workbook_to_parquet(
     def _stage(sheet: str) -> str:
         df = read_excel_sheet(spark, path, sheet, header_row)
         dest = f"{out_dir}/{sheet}.parquet"
+        # a prior arrow-engine run left a single FILE here; Spark's
+        # overwrite handles it, but clear explicitly so both engines
+        # share one overwrite contract (ADVICE r9)
+        _clear_dest(dest)
         df.write.mode("overwrite").parquet(dest)
         return dest
 

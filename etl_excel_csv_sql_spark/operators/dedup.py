@@ -1068,13 +1068,26 @@ def connected_components_star(
 
     def is_star_forest(e: DataFrame) -> bool:
         # e is the symmetrized DISTINCT edge set: filter(u > v) picks
-        # each undirected edge once, oriented down. Star forest ⟺ no
-        # down-edge target has a down-edge of its own.
-        down = e.filter(F.col("u") > F.col("v"))
+        # each undirected edge once, oriented down. MIN-CENTERED star
+        # forest (the shape the roots read-off below assumes) ⟺
+        #   (a) no down-edge target has a down-edge of its own, AND
+        #   (b) every down-edge source has exactly ONE down-edge.
+        # (a) alone is NOT sufficient (ADVICE r9, verified live): a
+        # max-centered star like pairs (1,5),(2,5) has down-edges
+        # (5,1),(5,2) whose targets are roots — (a) passes — but node 2
+        # then reads component 2 instead of 1; likewise the shared-leaf
+        # path c1–u–c2 (c1<c2<u) passes (a) yet c2 reads itself. Both
+        # shapes violate (b): their one non-root node sources ≥2
+        # down-edges, whereas in a min-centered star every leaf points
+        # down only at its center.
+        down = e.filter(F.col("u") > F.col("v")).localCheckpoint(eager=True)
+        deg = down.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
+        multi = deg.filter(F.col("__d") > 1).select(F.lit(1).alias("__bad"))
         chained = down.join(
-            down.select(F.col("u").alias("v")), "v", "left_semi"
-        )
-        return chained.limit(1).count() == 0
+            deg.select(F.col("u").alias("v")), "v", "left_semi"
+        ).select(F.lit(1).alias("__bad"))
+        # one probe job for both violation classes
+        return multi.union(chained).limit(1).count() == 0
 
     for _ in range(max_rounds):
         if is_star_forest(edges):

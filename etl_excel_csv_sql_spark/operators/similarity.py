@@ -1483,6 +1483,14 @@ def semantic_dedup(
     Output: (id, cell_id, keep, max_dup_cosine, dup_of) — dup_of is the
     highest-ranked neighbor that caused the drop (null for kept rows).
     """
+    # validate unconditionally (ADVICE r9): with the default
+    # max_cell=None a typo'd oversize ('splitt') used to be silently
+    # ignored — the caller believed skew-splitting was active while the
+    # unguarded Σ|cell|² join ran
+    if oversize not in ("drop", "split"):
+        raise ValueError(
+            f"oversize must be 'drop' or 'split', got {oversize!r}"
+        )
     cents = kmeans_centroids(
         corpus, n_cells=n_cells, iters=iters, id_col=id_col,
         vec_col=vec_col, engine=engine,
@@ -1519,10 +1527,6 @@ def semantic_dedup(
             )
         )
     elif max_cell is not None:
-        if oversize != "drop":
-            raise ValueError(
-                f"oversize must be 'drop' or 'split', got {oversize!r}"
-            )
         sizes = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("__cn"))
         assigned = assigned.join(
             sizes.where(F.col("__cn") <= max_cell), "cell_id", "left_semi"

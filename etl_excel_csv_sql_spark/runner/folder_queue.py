@@ -95,6 +95,13 @@ class FolderQueue:
         {path: outcome}."""
         results: dict[str, Outcome] = {}
         for path in self.pending():
+            # a stale entry from a PRIOR iteration must not leak forward
+            # (ADVICE r9): if the handler quarantined this path and THEN
+            # raised, the except branch below never consumed the set
+            # entry, and a later file dropped at the same path would be
+            # misreported QUARANTINED — never archived, side effects
+            # re-run every cycle. Each file's verdict starts clean.
+            self._quarantined.discard(os.path.abspath(path))
             try:
                 handler(path)
             except Exception as exc:  # log-and-continue semantics

@@ -178,6 +178,48 @@ def test_star_components_match_propagation(spark):
         assert star == prop, f"{name}: star != propagation"
 
 
+def test_star_components_max_centered_star_not_accepted(spark):
+    # ADVICE r9 (high): the star-forest probe accepted MAX-centered
+    # stars — pairs (1,5),(2,5) have down-edges (5,1),(5,2) whose
+    # targets are roots, so the old target-has-no-down-edge check broke
+    # before any round ran, and the min-centered read-off returned
+    # {1:1, 2:2, 5:1} (node 2 stranded). The strengthened probe also
+    # requires every down-edge source to have out-degree 1.
+    from etl_excel_csv_sql_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame([(1, 5), (2, 5)], ["id_a", "id_b"])
+    star = _comp_map(connected_components_star(pairs))
+    prop = _comp_map(connected_components(pairs, max_iter=10))
+    assert star == prop == {1: 1, 2: 1, 5: 1}
+
+    # shared-leaf path c1-u-c2 (c1<c2<u): both down-edges target roots,
+    # same false-accept shape; out-degree(7) = 2 must reject it too
+    pairs2 = spark.createDataFrame([(7, 1), (7, 4)], ["id_a", "id_b"])
+    star2 = _comp_map(connected_components_star(pairs2))
+    assert star2 == {1: 1, 4: 1, 7: 1}
+
+    # keep-first on the max-centered star: the default (star) algorithm
+    # must drop BOTH dups, not silently keep row 2
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_keep_first(docs, pairs, "doc_id", algorithm="star").collect()
+    )
+    assert kept == [0, 1, 3, 4]
+
+    # a genuinely min-centered star forest must still converge with ZERO
+    # rounds (probe passes immediately) and read off correctly
+    pairs3 = spark.createDataFrame(
+        [(1, 5), (1, 6), (10, 12)], ["id_a", "id_b"]
+    )
+    star3 = _comp_map(connected_components_star(pairs3))
+    assert star3 == {1: 1, 5: 1, 6: 1, 10: 10, 12: 10}
+
+
 def test_star_components_chain_converges_in_log_rounds(spark):
     from etl_excel_csv_sql_spark.operators.dedup import (
         connected_components_star,

@@ -334,6 +334,45 @@ def test_folder_queue_handler_quarantine_reports_quarantined(tmp_path):
     assert any("poison" in f for f in os.listdir(tmp_path / "err"))
 
 
+def test_folder_queue_stale_quarantine_entry_does_not_leak(tmp_path):
+    """ADVICE r9 (medium): handler quarantines the file and THEN raises —
+    the except branch marks SKIPPED but used to leave the _quarantined
+    set entry behind; a later file dropped at the SAME path that
+    processes fine was then misreported QUARANTINED, never archived, and
+    its side effects re-ran every cycle."""
+    import os
+
+    from etl_excel_csv_sql_spark.runner.folder_queue import (
+        FolderQueue,
+        Outcome,
+    )
+
+    drop = tmp_path / "drop"; drop.mkdir()
+    path = drop / "data.csv"
+    path.write_text("bad")
+    q = FolderQueue(str(drop), str(tmp_path / "done"), str(tmp_path / "err"))
+
+    def bad_handler(p):
+        q.quarantine(p, "bad header")
+        raise RuntimeError("post-quarantine failure")
+
+    got1 = q.process_all(bad_handler)
+    assert got1[str(path)] == Outcome.SKIPPED  # exception wins the verdict
+
+    # a fresh, healthy file dropped at the same path next cycle
+    path.write_text("good")
+    seen = []
+    got2 = q.process_all(lambda p: seen.append(p))
+    assert got2[str(path)] == Outcome.PROCESSED
+    assert seen == [str(path)]
+    # consumed once: archived out of drop, present in done/
+    assert not path.exists()
+    assert any("data.csv" in f for f in os.listdir(tmp_path / "done"))
+    # third drain finds nothing — no re-processing loop
+    assert q.process_all(lambda p: seen.append(p)) == {}
+    assert len(seen) == 1
+
+
 def test_folder_queue_same_minute_archive_no_overwrite(tmp_path):
     """Two same-named files archived within one minute must BOTH survive
     (shutil.move silently overwrote the first audit copy)."""

@@ -612,6 +612,24 @@ def test_semantic_dedup_keeps_highest_centroid_rank(spark):
     assert rep[10].keep and rep[11].keep  # orthogonal vectors untouched
 
 
+def test_semantic_dedup_oversize_validated_without_max_cell(spark):
+    """ADVICE r9: oversize is validated at entry, independent of
+    max_cell — a typo'd 'splitt' with the default max_cell=None used to
+    be silently ignored (caller believed skew-splitting was active)."""
+    import pytest
+
+    from etl_excel_csv_sql_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="oversize"):
+        similarity.semantic_dedup(df, oversize="splitt")
+    with pytest.raises(ValueError, match="oversize"):
+        similarity.semantic_dedup(df, max_cell=10, oversize="splitt")
+
+
 def test_semantic_dedup_split_bounds_hot_cell(spark):
     """oversize='split' (VERDICT r8 #4): a 90%-hot-direction corpus
     collapses into one k-means cell; the split guard must (a) bound

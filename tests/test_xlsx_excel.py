@@ -109,6 +109,31 @@ def test_stage_workbook_parallel_matches_serial(spark, tmp_path):
         assert [f.dataType.simpleString() for f in sch.fields] == ["string"] * 2
 
 
+def test_stage_workbook_engine_switch_in_place(spark, tmp_path):
+    """ADVICE r9: re-staging the SAME out_dir with the other engine must
+    overwrite cleanly — spark leaves a parquet DIRECTORY per sheet,
+    arrow a single file; switching used to crash (IsADirectoryError) or
+    leave a stale mixed layout."""
+    from etl_excel_csv_sql_spark.io import xlsx
+    from etl_excel_csv_sql_spark.io.excel import stage_workbook_to_parquet
+
+    wb = str(tmp_path / "sw.xlsx")
+    xlsx.write_workbook(
+        wb, {"S": [["id", "val"], ["a", 1.0], ["b", 2.0]]}
+    )
+    out_dir = str(tmp_path / "staged")
+    # spark → arrow: pq.write_table onto an existing directory
+    m1 = stage_workbook_to_parquet(spark, wb, out_dir, engine="spark")
+    m2 = stage_workbook_to_parquet(spark, wb, out_dir, engine="arrow")
+    assert list(m1) == list(m2) == ["S"]
+    got = {tuple(r) for r in spark.read.parquet(m2["S"]).collect()}
+    assert got == {("a", "1"), ("b", "2")}
+    # arrow → spark: the directory write onto an existing single file
+    m3 = stage_workbook_to_parquet(spark, wb, out_dir, engine="spark")
+    got3 = {tuple(r) for r in spark.read.parquet(m3["S"]).collect()}
+    assert got3 == got
+
+
 def test_stage_workbook_arrow_rejects_empty_header(spark, tmp_path):
     """Both engines must FAIL on a header_row beyond the sheet: Spark
     refuses empty-schema parquet; the arrow worker raises the same
