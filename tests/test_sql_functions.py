@@ -107,3 +107,26 @@ def test_enclose_with_brackets_escapes_and_rewraps():
     assert enclose_with_brackets("my]table") == "[my]]table]"
     assert enclose_with_brackets("[ok]") == "[ok]"
     assert enclose_with_brackets("[a] [b]") == "[[a]] [b]]]"  # two tokens rewrap
+
+
+def test_oracle_keyword_alternation_cannot_drift():
+    """VERDICT r9 #1: two DuckDB oracles embed the sanitizer keyword
+    contract; a scalar-library keyword extension once re-mirrored one
+    and missed the other (the round's only local-gate red). Both oracles
+    now render their alternation from _SQL_KEYWORDS — assert the
+    rendered SQL carries every keyword in engine order, and that the
+    leftmost-first pairs (EXECUTE/EXEC, TABLES/TABLE) keep the longer
+    token first so the alternation brackets whole keywords."""
+    from etl_excel_csv_sql_spark.functions.scalars import _SQL_KEYWORDS
+    from etl_excel_csv_sql_spark.plans.registry import _REGISTRY
+
+    alt = "|".join(_SQL_KEYWORDS)
+    for name in ("sanitize_sql_string", "sql_defined_functions"):
+        oracle = _REGISTRY[name].oracle
+        assert alt in oracle, f"{name}: oracle alternation drifted"
+    assert _SQL_KEYWORDS.index("EXECUTE") < _SQL_KEYWORDS.index("EXEC")
+    assert _SQL_KEYWORDS.index("TABLES") < _SQL_KEYWORDS.index("TABLE")
+    # the SQL-function library renders from the same constant
+    from etl_excel_csv_sql_spark.functions.sql_functions import _KEYWORD_ALT
+
+    assert _KEYWORD_ALT == alt
