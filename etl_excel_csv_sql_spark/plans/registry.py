@@ -6412,56 +6412,56 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # the staleness burn-down policy (err > never-checked > stalest,
 # oracle-before-rows-only at equal staleness).
 WINDOW_ORDER: tuple[str, ...] = (
-    "strip_duplicate_spans_clean",
-    "ann_pq_topk",
-    "hll_distinct_calibration",
-    "hll_set_overlap",
-    "quantile_sketch_calibration",
-    "media_ahash_neardup",
-    "embedding_pca_variance",
-    "bpe_train_report",
-    "frequent_itemsets_fpgrowth",
-    "bpe_encode_tokens",
-    "semantic_dedup_report",
-    "event_sequential_patterns",
-    "dup_pair_edit_script",
-    "media_phash_neardup",
-    "repetition_signals",
-    "contamination_check",
-    "pack_documents_by_lang",
-    "redact_pii",
-    "train_test_split",
-    "dup_span_coverage",
-    "subword_token_count",
-    "embedding_dup_pairs_exact",
-    "excel_multisheet_roundtrip",
-    "doc_fingerprint_rolling",
-    "sql_text_interface",
-    "hypertable_rollup_daily",
-    "events_funnel",
-    "events_session_native",
-    "dedup_components_star",
-    "lang_confusion_matrix",
-    "reconciliation_customer_orders",
-    "table_profile_customer",
-    "scd2_snapshot_apply",
-    "range_join_price_bands",
-    "source_capped_sample",
-    "corpus_mixture_weights",
-    "embedding_quantization_error",
-    "media_image_meta",
-    "media_resize_plan",
-    "media_audio_meta",
-    "events_streaming_dedup",
-    "events_session_streaming",
-    "events_stream_stream_join",
-    "dedup_pipeline_minhash",
-    "ann_ivf_persisted_topk",
-    "filter_neq_case_insensitive",
-    "project_columns",
-    "filter_notnull_key",
-    "semi_join_inlist",
-    "update_join_writeback",
+    "excel_arrow_stage_roundtrip",
+    "found_report",
+    "in_list_literal",
+    "copy_plan_manifest",
+    "excel_serial_to_ts",
+    "sql_defined_functions",  # r10: drives the regenerated sanitizer oracle (VERDICT r9 #1); strict superset of sanitize_sql_string
+    "path_scrub",
+    "archive_naming",
+    "corr_price_quantity",
+    "fuzzy_name_distance",
+    "events_tumbling_hourly",
+    "events_sliding",
+    "events_sessionize",
+    "events_json_extract",
+    "doc_token_stats",
+    "corpus_rollup_lang",
+    "doc_quality_score",
+    "char_ngram_profile",
+    "embedding_norms",
+    "media_video_meta",
+    "media_frame_plan",
+    "jdbc_fullrefresh_roundtrip",
+    "events_stream_stream_left_join",
+    "events_stateful_running_totals",
+    "warehouse_bucketed_join",
+    "simhash_pairs",
+    "approx_quantiles_price",
+    "approx_distinct_users",
+    "settings_catalog",
+    "watermark_lifecycle",
+    "folder_queue_lifecycle",
+    "retention_sweep_report",
+    "invoice_pipeline_e2e",
+    "asof_latest_order_per_event",
+    "source_quality_rollup",
+    "exact_dup_groups",
+    "ngram_jaccard_pairs",
+    "dedup_components",
+    "dedup_keep_first",
+    "lang_id_heuristic",
+    "tfidf_top_terms",
+    "doc_lexical_diversity",
+    "join_skew_report",
+    "dup_ngram_spans",
+    "cosine_topk",
+    "embedding_dup_pairs",
+    "embedding_label_cohesion",
+    "media_metadata",
+    "excel_roundtrip",
+    "csv_roundtrip",
 )
 
 # Breadth-tier queries (see QuerySpec.tier): pure SQL-shape coverage —
