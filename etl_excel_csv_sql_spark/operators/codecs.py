@@ -16,6 +16,11 @@ stubbed:
   marker segments to SOF0..SOF15 (entropy decode is out of scope — dims
   and metadata only).
 - WAV (RIFF-WAVE): chunk walk → fmt (rate/channels/bits) + data size.
+- AVI (RIFF-AVI): header walk (dims/fps/frame count) plus FRAME-level
+  movi chunk iteration — MJPEG ('00dc') frames yield per-frame dims via
+  the JPEG SOF walker; uncompressed-DIB ('00db') frames decode to real
+  pixels (the BMP pixel-array layout). MJPEG entropy decode stays out
+  of scope like still JPEG.
 
 Everything operates on ``bytes`` in / ``bytes`` out with numpy pixel
 arrays (H, W, 3) uint8 in the middle, so the Spark kernels can call these
@@ -382,21 +387,29 @@ def wav_meta(payload: bytes) -> tuple[int, int, int, int]:
 # spec (AVIMAINHEADER / AVISTREAMHEADER).
 
 
-def encode_avi(
-    width: int, height: int, fps: int, n_frames: int
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(subtype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", subtype + body)
+
+
+def _build_avi(
+    width: int,
+    height: int,
+    fps: int,
+    frame_chunks: list[tuple[bytes, bytes]],
+    handler: bytes = b"\x00\x00\x00\x00",
+    compression: int = 0,
 ) -> bytes:
-    """Minimal but structurally valid AVI: RIFF(AVI ) → LIST hdrl
-    (avih + LIST strl(strh vids + strf BITMAPINFOHEADER)) + LIST movi
-    with ``n_frames`` empty '00db' frame chunks. Metadata-true: every
-    field avi_meta reads round-trips."""
-
-    def chunk(tag: bytes, body: bytes) -> bytes:
-        pad = b"\x00" if len(body) & 1 else b""
-        return tag + struct.pack("<I", len(body)) + body + pad
-
-    def lst(subtype: bytes, body: bytes) -> bytes:
-        return chunk(b"LIST", subtype + body)
-
+    """Shared AVI container builder: RIFF(AVI ) → LIST hdrl (avih +
+    LIST strl(strh vids + strf BITMAPINFOHEADER)) + LIST movi carrying
+    ``frame_chunks`` as (tag, body) pairs. ``handler`` is strh's
+    fccHandler; ``compression`` is strf's biCompression fourcc (0 =
+    BI_RGB uncompressed DIB)."""
+    n_frames = len(frame_chunks)
     avih = struct.pack(
         "<10I16x",
         1_000_000 // fps,  # dwMicroSecPerFrame (informational)
@@ -409,7 +422,7 @@ def encode_avi(
     )
     strh = struct.pack(
         "<4s4s I HH I II II I i I 4H",
-        b"vids", b"\x00\x00\x00\x00",
+        b"vids", handler,
         0, 0, 0, 0,
         1, fps,            # dwScale / dwRate → exact fps rational
         0, n_frames,       # dwStart / dwLength
@@ -417,12 +430,118 @@ def encode_avi(
         0, 0, width, height,
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, width * height * 3,
-        0, 0, 0, 0,
+        "<IiiHHIIiiII", 40, width, height, 1, 24, compression,
+        width * height * 3, 0, 0, 0, 0,
     )
-    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00db", b"") for _ in range(n_frames)))
-    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(
+            b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+        ),
+    )
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(t, b) for t, b in frame_chunks)
+    )
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def encode_avi(
+    width: int, height: int, fps: int, n_frames: int
+) -> bytes:
+    """Minimal but structurally valid AVI with ``n_frames`` EMPTY '00db'
+    frame chunks — headers exact (every field avi_meta reads
+    round-trips), zero frame payload. The cheap metadata fixture."""
+    return _build_avi(width, height, fps, [(b"00db", b"")] * n_frames)
+
+
+#: 'MJPG' biCompression fourcc as the little-endian uint32 strf carries
+MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+
+def encode_mjpeg_avi(
+    width: int, height: int, fps: int, jpeg_frames: list[bytes]
+) -> bytes:
+    """MJPEG-in-AVI: each frame is an independent JPEG byte stream in a
+    '00dc' (compressed-video) chunk; strh fccHandler and strf
+    biCompression carry 'MJPG'. Frames from
+    :func:`encode_jpeg_header_only` make the container walkable by
+    every header parser while staying stdlib-pure."""
+    for i, fr in enumerate(jpeg_frames):
+        if fr[:2] != b"\xff\xd8":
+            raise ValueError(f"frame {i} is not a JPEG stream")
+    return _build_avi(
+        width, height, fps, [(b"00dc", fr) for fr in jpeg_frames],
+        handler=b"MJPG", compression=MJPG_FOURCC,
+    )
+
+
+def encode_dib_avi(
+    width: int, height: int, fps: int, frames: list[np.ndarray]
+) -> bytes:
+    """Uncompressed-DIB AVI (biCompression=0): each '00db' chunk is one
+    raw 24-bit bottom-up BGR bitmap (BMP pixel-array layout, rows padded
+    to 4 bytes). The one video codec that is FULLY decodable with
+    stdlib+numpy — real pixels for frame-level near-dup hashing."""
+    row_size = (3 * width + 3) // 4 * 4
+    chunks = []
+    for i, arr in enumerate(frames):
+        if arr.shape != (height, width, 3):
+            raise ValueError(
+                f"frame {i} shape {arr.shape} != ({height}, {width}, 3)"
+            )
+        bgr = np.asarray(arr, dtype=np.uint8)[::-1, :, ::-1]
+        rows = np.zeros((height, row_size), dtype=np.uint8)
+        rows[:, : 3 * width] = bgr.reshape(height, 3 * width)
+        chunks.append((b"00db", rows.tobytes()))
+    return _build_avi(width, height, fps, chunks)
+
+
+@_malformed_as_valueerror
+def avi_frames(payload: bytes) -> list[tuple[int, str, bytes]]:
+    """Walk the movi LIST and return (frame_idx, kind, body) per VIDEO
+    frame chunk — kind 'dc' (compressed, e.g. MJPEG) or 'db'
+    (uncompressed DIB). Audio ('wb') and index chunks are skipped;
+    'rec ' grouping LISTs are descended. Frame bodies are returned
+    as-is: pair with :func:`jpeg_meta` for MJPEG dims or
+    :func:`decode_dib_frame` for DIB pixels."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF-AVI payload")
+    frames: list[tuple[int, str, bytes]] = []
+
+    def walk(pos: int, end: int) -> None:
+        for tag, start, size in _riff_chunks(payload, pos, end):
+            if tag == b"LIST" and payload[start : start + 4] == b"rec ":
+                walk(start + 4, start + size)
+            elif (
+                len(tag) == 4
+                and tag[:2].isdigit()
+                and tag[2:] in (b"db", b"dc")
+            ):
+                frames.append(
+                    (len(frames), tag[2:].decode(), payload[start : start + size])
+                )
+
+    for tag, start, size in _riff_chunks(payload, 12, len(payload)):
+        if tag == b"LIST" and payload[start : start + 4] == b"movi":
+            walk(start + 4, start + size)
+    return frames
+
+
+@_malformed_as_valueerror
+def decode_dib_frame(body: bytes, width: int, height: int) -> np.ndarray:
+    """One '00db' uncompressed-DIB frame body → (H, W, 3) uint8 RGB —
+    the BMP pixel-array layout (bottom-up BGR, 4-byte-padded rows)
+    without the BMP file header, dims from the container's strf."""
+    row_size = (3 * width + 3) // 4 * 4
+    if len(body) != row_size * height:
+        raise ValueError(
+            f"DIB frame is {len(body)} bytes, expected {row_size * height} "
+            f"for {width}x{height}"
+        )
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(height, row_size)
+    bgr = rows[:, : 3 * width].reshape(height, width, 3)
+    return bgr[::-1, :, ::-1].copy()  # bottom-up → top-down, BGR → RGB
 
 
 def _riff_chunks(payload: bytes, pos: int, end: int):

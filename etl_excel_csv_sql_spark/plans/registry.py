@@ -2901,6 +2901,97 @@ def q_media_video_meta(spark, sf_dir):
 
 
 @register(
+    "media_video_frames",
+    # VERDICT r9 #5: MJPEG-in-AVI frame DECODE — movi chunk walk, one
+    # row per '00dc' frame, per-frame dims from each frame's OWN JPEG
+    # SOF header. Every value is an integer function of
+    # (doc_id, frame_idx) per the synth_mjpeg contracts, so the frame
+    # table gets a FULL value oracle (better than the rows-only target).
+    """
+    WITH f AS (
+      SELECT doc_id AS media_id,
+             unnest(generate_series(0, 2 + doc_id % 6)) AS frame_idx
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           'dc' AS kind,
+           CAST(8 + (9 * media_id + 7 * frame_idx) % 120 AS INT) AS frame_width,
+           CAST(8 + (5 * media_id + 3 * frame_idx) % 90 AS INT) AS frame_height
+    FROM f
+    """,
+    doc="MJPEG-in-AVI per-frame demux: RIFF movi walk ('00dc' chunks) → "
+    "each frame's JPEG SOF header parsed independently for dims — the "
+    "step that turns the frame-sample *plan* into real frame decode. "
+    "Frame bytes never leave the Arrow kernel (only id/idx/kind/dims "
+    "shuffle); per-frame dims value-checked by the oracle via the "
+    "synth_mjpeg_frame_dims contract",
+)
+def q_media_video_frames(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    clips = multimodal.synth_mjpeg_payloads(docs, "doc_id")
+    frames = multimodal.extract_video_frames(clips, strict=True)
+    return frames.select(
+        "media_id", "frame_idx", "kind", "frame_width", "frame_height"
+    )
+
+
+@register(
+    "media_video_ahash_neardup",
+    None,
+    doc="video near-duplicate detection end-to-end on REAL pixels: "
+    "uncompressed-DIB AVI payloads (the one stdlib-decodable video "
+    "codec) -> movi walk -> per-frame DIB decode -> block-mean aHash -> "
+    "per-video fingerprint (XOR-free: min frame hash per video would "
+    "lose frames, so frames pair individually through the SAME "
+    "Manku-banded Hamming plan text SimHash and image aHash use, then "
+    "pairs roll up to video level requiring every frame to match). "
+    "Corpus = 2%% sample of documents as synth DIB clips plus "
+    "noise-perturbed twins; rows-only (pixel pipelines have no SQL "
+    "oracle) — pytest proves every twin clip is found",
+)
+def q_media_video_ahash_neardup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+    originals = multimodal.synth_dib_video_payloads(docs, "doc_id")
+    twins = multimodal.synth_dib_video_payloads(
+        docs, "doc_id", id_offset=1_000_000, perturb=True
+    )
+    corpus = originals.unionByName(twins)
+    hashes = multimodal.video_frame_ahash(corpus)
+    # frame-level banded Hamming pairing; id carries (video, frame) so
+    # only same-frame-index pairs can match videos frame-for-frame
+    frame_ids = hashes.select(
+        (F.col("media_id") * 100 + F.col("frame_idx")).alias("id"),
+        F.col("ahash").alias("simhash"),
+    )
+    pairs = dedup.hamming_pairs(frame_ids, max_hamming=2)
+    # roll frame pairs up to video pairs: same frame_idx on both sides,
+    # and EVERY frame of the smaller video must have a matching pair
+    vid = pairs.select(
+        (F.col("id_a") / 100).cast("long").alias("vid_a"),
+        (F.col("id_a") % 100).alias("f_a"),
+        (F.col("id_b") / 100).cast("long").alias("vid_b"),
+        (F.col("id_b") % 100).alias("f_b"),
+    ).where(
+        (F.col("f_a") == F.col("f_b")) & (F.col("vid_a") != F.col("vid_b"))
+    )
+    frame_counts = hashes.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    matched = vid.groupBy("vid_a", "vid_b").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    return (
+        matched.join(
+            frame_counts.withColumnRenamed("media_id", "vid_a"), "vid_a"
+        )
+        .where(F.col("n_matched") >= F.col("n_frames"))
+        .select("vid_a", "vid_b", "n_matched")
+        .orderBy("vid_a", "vid_b")
+    )
+
+
+@register(
     "media_frame_plan",
     # one row per 20 ms hop of the REAL demuxed duration; the oracle
     # rebuilds duration_ms from the synth contract and unnests the same
@@ -6413,11 +6504,12 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # oracle-before-rows-only at equal staleness).
 WINDOW_ORDER: tuple[str, ...] = (
     "excel_arrow_stage_roundtrip",
+    "media_video_frames",
+    "media_video_ahash_neardup",
     "found_report",
     "in_list_literal",
     "copy_plan_manifest",
     "excel_serial_to_ts",
-    "sql_defined_functions",  # r10: drives the regenerated sanitizer oracle (VERDICT r9 #1); strict superset of sanitize_sql_string
     "path_scrub",
     "archive_naming",
     "corr_price_quantity",
@@ -6437,6 +6529,7 @@ WINDOW_ORDER: tuple[str, ...] = (
     "events_stream_stream_left_join",
     "events_stateful_running_totals",
     "warehouse_bucketed_join",
+    "sql_defined_functions",  # r10: drives the regenerated sanitizer oracle (VERDICT r9 #1); strict superset of sanitize_sql_string
     "simhash_pairs",
     "approx_quantiles_price",
     "approx_distinct_users",
@@ -6460,8 +6553,6 @@ WINDOW_ORDER: tuple[str, ...] = (
     "embedding_dup_pairs",
     "embedding_label_cohesion",
     "media_metadata",
-    "excel_roundtrip",
-    "csv_roundtrip",
 )
 
 # Breadth-tier queries (see QuerySpec.tier): pure SQL-shape coverage —
@@ -6571,6 +6662,8 @@ PYTHON_KERNELS: dict[str, str] = {
     "media_frame_plan": "stdlib codec decode via Arrow mapInPandas",
     "media_ahash_neardup": "stdlib codec decode via Arrow mapInPandas",
     "media_phash_neardup": "stdlib codec decode via Arrow mapInPandas",
+    "media_video_frames": "stdlib codec decode via Arrow mapInPandas",
+    "media_video_ahash_neardup": "stdlib codec decode via Arrow mapInPandas",
 }
 
 # Eager queries (see QuerySpec.eager): constructing the frame executes a

@@ -239,3 +239,72 @@ def test_exif_missing_and_corrupt():
     app1[12] = 99  # clobber the 42 magic (after FFE1 len 'Exif\0\0' II)
     with pytest.raises(ValueError):
         C.exif_meta(C.encode_jpeg_header_only(8, 8, bytes(app1)))
+
+
+# ---------------------------------------------------------------------------
+# AVI frame-level walk (VERDICT r9 #5: MJPEG-in-AVI frame extraction)
+# ---------------------------------------------------------------------------
+
+
+def test_mjpeg_avi_frames_roundtrip():
+    jf = [C.encode_jpeg_header_only(32 + i, 24 + 2 * i) for i in range(5)]
+    avi = C.encode_mjpeg_avi(64, 48, 25, jf)
+    assert C.avi_meta(avi) == (64, 48, 25, 5)
+    frames = C.avi_frames(avi)
+    assert [(i, k) for i, k, _ in frames] == [(i, "dc") for i in range(5)]
+    # each frame's dims come from its OWN SOF header, not the container
+    assert [C.jpeg_meta(b) for _, _, b in frames] == [
+        (32 + i, 24 + 2 * i) for i in range(5)
+    ]
+
+
+def test_mjpeg_avi_rejects_non_jpeg_frame():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        C.encode_mjpeg_avi(8, 8, 10, [b"garbage"])
+
+
+def test_dib_avi_frames_pixel_roundtrip():
+    rng = np.random.default_rng(11)
+    frames = [
+        rng.integers(0, 256, (12, 10, 3)).astype(np.uint8) for _ in range(3)
+    ]
+    avi = C.encode_dib_avi(10, 12, 30, frames)
+    assert C.avi_meta(avi) == (10, 12, 30, 3)
+    for i, kind, body in C.avi_frames(avi):
+        assert kind == "db"
+        assert np.array_equal(C.decode_dib_frame(body, 10, 12), frames[i])
+
+
+def test_dib_frame_size_mismatch_raises():
+    with pytest.raises(ValueError, match="bytes"):
+        C.decode_dib_frame(b"\x00" * 10, 10, 12)
+
+
+def test_avi_frames_legacy_empty_chunks_and_rec_list():
+    # metadata-only fixture: empty 00db chunks still enumerate
+    old = C.encode_avi(16, 16, 10, 3)
+    assert C.avi_frames(old) == [(0, "db", b""), (1, "db", b""), (2, "db", b"")]
+    # 'rec ' grouping LIST inside movi is descended
+    import struct as _s
+
+    jf = C.encode_jpeg_header_only(9, 7)
+    inner = b"00dc" + _s.pack("<I", len(jf)) + jf + (b"\x00" if len(jf) & 1 else b"")
+    rec = b"LIST" + _s.pack("<I", 4 + len(inner)) + b"rec " + inner
+    base = C.encode_mjpeg_avi(16, 16, 10, [jf])
+    # splice: rebuild movi with the rec-wrapped frame
+    movi_at = base.find(b"movi")
+    assert movi_at > 0
+    head = base[: movi_at - 8]
+    new_movi = b"LIST" + _s.pack("<I", 4 + len(rec)) + b"movi" + rec
+    riff_body = head[12:] + new_movi
+    avi = b"RIFF" + _s.pack("<I", 4 + len(riff_body)) + b"AVI " + riff_body
+    frames = C.avi_frames(avi)
+    assert len(frames) == 1 and frames[0][1] == "dc"
+    assert C.jpeg_meta(frames[0][2]) == (9, 7)
+
+
+def test_avi_frames_rejects_non_avi():
+    with pytest.raises(ValueError):
+        C.avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        C.avi_frames(b"nonsense")

@@ -370,3 +370,84 @@ def test_phash_deterministic_across_runs(spark, sf_dir):
     h1 = {r["media_id"]: r["phash"] for r in multimodal.phash_images(imgs).collect()}
     h2 = {r["media_id"]: r["phash"] for r in multimodal.phash_images(imgs).collect()}
     assert h1 == h2 and all(v is not None for v in h1.values())
+
+
+# ---------------------------------------------------------------------------
+# per-frame video demux + frame-level near-dup (VERDICT r9 #5)
+# ---------------------------------------------------------------------------
+
+def test_extract_video_frames_mjpeg_goldens(spark):
+    from etl_excel_csv_sql_spark.operators import multimodal
+
+    ids = spark.range(0, 25).selectExpr("id AS doc_id")
+    clips = multimodal.synth_mjpeg_payloads(ids, "doc_id")
+    frames = multimodal.extract_video_frames(clips, strict=True)
+    rows = [(r.media_id, r.frame_idx, r.kind, r.frame_width, r.frame_height)
+            for r in frames.collect()]
+    expected = []
+    for mid in range(25):
+        _, _, _, n = multimodal.synth_mjpeg_params(mid)
+        for f in range(n):
+            w, h = multimodal.synth_mjpeg_frame_dims(mid, f)
+            expected.append((mid, f, "dc", w, h))
+    assert sorted(rows) == sorted(expected)
+
+
+def test_extract_video_frames_dib_and_lenient(spark):
+    from etl_excel_csv_sql_spark.operators import multimodal
+
+    ids = spark.range(3, 7).selectExpr("id AS doc_id")
+    clips = multimodal.synth_dib_video_payloads(ids, "doc_id")
+    out = multimodal.extract_video_frames(clips, strict=True).collect()
+    for r in out:
+        w, h, _, n = multimodal.synth_dib_video_params(r.media_id)
+        assert r.kind == "db"
+        assert (r.frame_width, r.frame_height) == (w, h)
+        assert r.frame_bytes == ((3 * w + 3) // 4 * 4) * h
+        assert 0 <= r.frame_idx < n
+    # lenient mode: non-AVI payloads yield ZERO rows (an exploding
+    # kernel must not fabricate a frame count), strict raises
+    import pytest as _pt
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"junk")), (2, None)], "media_id: long, payload: binary"
+    )
+    assert multimodal.extract_video_frames(bad, strict=False).count() == 0
+    with _pt.raises(Exception):
+        multimodal.extract_video_frames(bad, strict=True).count()
+
+
+def test_video_frame_ahash_twin_clips_match_framewise(spark):
+    from pyspark.sql import functions as F
+
+    from etl_excel_csv_sql_spark.operators import dedup, multimodal
+
+    ids = spark.range(0, 12).selectExpr("id AS doc_id")
+    originals = multimodal.synth_dib_video_payloads(ids, "doc_id")
+    twins = multimodal.synth_dib_video_payloads(
+        ids, "doc_id", id_offset=1_000_000, perturb=True
+    )
+    hashes = multimodal.video_frame_ahash(originals.unionByName(twins))
+    assert hashes.where(F.col("ahash").isNull()).count() == 0
+    frame_ids = hashes.select(
+        (F.col("media_id") * 100 + F.col("frame_idx")).alias("id"),
+        F.col("ahash").alias("simhash"),
+    )
+    pairs = dedup.hamming_pairs(frame_ids, max_hamming=2)
+    # every (video, frame) must pair with its perturbed twin frame
+    twin_frame_pairs = pairs.where(
+        F.col("id_b") - F.col("id_a") == 100_000_000
+    ).count()
+    expected = sum(
+        multimodal.synth_dib_video_params(mid)[3] for mid in range(12)
+    )
+    assert twin_frame_pairs == expected
+    # MJPEG payloads have no pixel decode: lenient skips, strict raises
+    import pytest as _pt
+
+    mj = multimodal.synth_mjpeg_payloads(
+        spark.range(0, 2).selectExpr("id AS doc_id"), "doc_id"
+    )
+    assert multimodal.video_frame_ahash(mj, strict=False).count() == 0
+    with _pt.raises(Exception):
+        multimodal.video_frame_ahash(mj, strict=True).count()
