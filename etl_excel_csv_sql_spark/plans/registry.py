@@ -132,6 +132,10 @@ def _validate_registry() -> None:
     assert not bad_eager, f"EAGER_QUERIES names not registered: {bad_eager}"
     for n in EAGER_QUERIES:
         _REGISTRY[n].eager = True
+    bad_uw = [n for n in UNPARTITIONED_WINDOWS if n not in _REGISTRY]
+    assert not bad_uw, (
+        f"UNPARTITIONED_WINDOWS names not registered: {bad_uw}"
+    )
 
 
 def _ordered_registry() -> dict[str, QuerySpec]:
@@ -178,6 +182,13 @@ def eager_queries() -> frozenset[str]:
     return frozenset(
         name for name, spec in _ordered_registry().items() if spec.eager
     )
+
+
+def unpartitioned_window_queries() -> dict[str, str]:
+    """name → boundedness rationale for every sanctioned unpartitioned
+    Window (single-partition sort). See UNPARTITIONED_WINDOWS."""
+    _validate_registry()
+    return dict(UNPARTITIONED_WINDOWS)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -6713,6 +6724,53 @@ EAGER_QUERIES: frozenset[str] = frozenset(
         "watermark_lifecycle",
     }
 )
+
+# Sanctioned unpartitioned Windows (VERDICT r9 #8): WindowExec with no
+# partition spec sorts ALL rows in ONE task — a 100 TB killer on a
+# data-sized frame, so the plan guard
+# (tests/test_plan_quality.py::test_unpartitioned_windows_are_enumerated)
+# fails any query that grows one unless it is listed HERE with the
+# argument for why its windowed frame is BOUNDED (rows independent of
+# corpus size, or hard-capped in-plan). Same closed-set pattern as
+# PYTHON_KERNELS: unknown names assert at first registry use, and the
+# guard checks both directions so the set can neither leak nor go stale.
+UNPARTITIONED_WINDOWS: dict[str, str] = {
+    "daily_user_accounting": (
+        "running total over the DAY SPINE (one row per calendar day of "
+        "the observed span) — frame rows = span days, not event rows"
+    ),
+    "events_acf_daily": (
+        "lead() over the densified day spine (shared _day_spine helper, "
+        "max_spine_days-guarded) — frame rows = span days"
+    ),
+    "pareto_abc_parts": (
+        "per-partition OFFSETS frame of the distributed global-rank "
+        "rewrite (r7): one row per shuffle partition id (~32), the "
+        "corpus itself ranks inside partitions"
+    ),
+    "psi_drift_orders": (
+        "grand-total sum over the BIN summary frame (one row per "
+        "histogram bin per side; bin count is a query constant)"
+    ),
+    "rfm_segmentation": (
+        "three per-partition offsets frames (distributed global ntile "
+        "rewrite) — one row per shuffle partition id each"
+    ),
+    "seasonal_decompose_daily": (
+        "±3-day moving average over the day spine — "
+        "max_spine_days-guarded (in-plan raise_error), frame rows = "
+        "span days"
+    ),
+    "survival_curve_users": (
+        "Kaplan-Meier cumulative products over the DISTINCT-LIFETIME "
+        "summary (one row per distinct duration-hours value — bounded "
+        "by the observation span, not the user count)"
+    ),
+    "vocab_coverage_report": (
+        "per-partition offsets frame of the global-rank rewrite over "
+        "the VOCAB frame (rows = vocabulary size, df-capped upstream)"
+    ),
+}
 
 # Completeness asserts are DEFERRED to first registry use (see
 # _validate_registry): io/runner lifecycle queries register on import of

@@ -547,3 +547,91 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
         ln for ln in plan.splitlines() if "dynamicpruning" in ln.lower()
     )
     assert scan_line  # partition filter rides the scan node
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level [...] groups of a plan line (nested brackets folded in)."""
+    groups: list[str] = []
+    depth, cur = 0, None
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                cur = []
+            else:
+                cur.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                cur = None
+            else:
+                cur.append(ch)
+        elif cur is not None:
+            cur.append(ch)
+    return groups
+
+
+def _unpartitioned_window_lines(plan: str) -> list[str]:
+    """Physical-plan lines whose Window node has NO partition spec (the
+    shape WindowExec WARNs about and executes in a single task). A
+    partitioned Window prints three top-level bracket groups
+    [funcs], [partition], [order]; two groups are unpartitioned iff the
+    second is an ORDER spec (carries ASC/DESC); one group (agg-only
+    frame) is always unpartitioned."""
+    hits = []
+    for raw in plan.splitlines():
+        line = raw.lstrip(" :+-*()0123456789")
+        if not line.startswith("Window "):
+            continue
+        gs = _bracket_groups(line)
+        if len(gs) >= 3:
+            continue
+        if len(gs) == 2 and not (" ASC" in gs[1] or " DESC" in gs[1]):
+            continue
+        hits.append(line[:160])
+    return hits
+
+
+def test_unpartitioned_windows_are_enumerated(spark, sf_dir):
+    """VERDICT r9 #8: every unpartitioned Window (single-task global
+    sort — a 100 TB killer on a data-sized frame) must be sanctioned in
+    registry.UNPARTITIONED_WINDOWS with its boundedness argument, and
+    every sanctioned entry must still HAVE one (no stale tags) — the
+    PYTHON_KERNELS two-direction pattern. Forward direction scans the
+    driver window; the inverse scans the sanctioned set directly, so
+    rotations can't desynchronize either side."""
+    from etl_excel_csv_sql_spark.plans.registry import (
+        WINDOW_ORDER,
+        all_queries,
+        eager_queries,
+        unpartitioned_window_queries,
+    )
+
+    sanctioned = unpartitioned_window_queries()
+    eager = eager_queries()
+    qs = all_queries()
+
+    offenders = {}
+    for name in WINDOW_ORDER:
+        if name in eager or name in sanctioned:
+            continue
+        hits = _unpartitioned_window_lines(_plan(qs[name](spark, sf_dir)))
+        if hits:
+            offenders[name] = hits[0]
+    assert not offenders, (
+        f"unsanctioned single-partition Windows: {offenders} — partition "
+        "the window or document the bounded frame in "
+        "registry.UNPARTITIONED_WINDOWS"
+    )
+
+    stale = [
+        name
+        for name in sanctioned
+        if name not in eager
+        and not _unpartitioned_window_lines(_plan(qs[name](spark, sf_dir)))
+    ]
+    assert not stale, (
+        f"tagged in UNPARTITIONED_WINDOWS but plan has none: {stale} — "
+        "remove the stale entries"
+    )
