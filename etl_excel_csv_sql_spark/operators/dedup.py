@@ -1066,6 +1066,18 @@ def connected_components_star(
     edges = _symmetrize(slim, "u", "v").localCheckpoint(eager=True)
     nodes = edges.select(F.col("u").alias("id")).distinct()
 
+    # Catalyst's Union constraint rewrite crashes ("key not found: u#N")
+    # when optimizing the SECOND round's nested star unions over
+    # NON-NULLABLE id columns — exactly what a parquet scan or
+    # spark.range feeds in (r10, reproduced on any >=2-round graph;
+    # nullable createDataFrame inputs mask it, which is why the chain
+    # tests passed). Constraint propagation buys nothing here — every
+    # round input is a checkpointed LogicalRDD with explicit filters —
+    # so it is scoped OFF for the round loop and restored after.
+    spark = pairs.sparkSession
+    _CP_KEY = "spark.sql.constraintPropagation.enabled"
+    prev_cp = spark.conf.get(_CP_KEY, "true")
+
     def is_star_forest(e: DataFrame) -> bool:
         # e is the symmetrized DISTINCT edge set: filter(u > v) picks
         # each undirected edge once, oriented down. MIN-CENTERED star
@@ -1089,12 +1101,16 @@ def connected_components_star(
         # one probe job for both violation classes
         return multi.union(chained).limit(1).count() == 0
 
-    for _ in range(max_rounds):
-        if is_star_forest(edges):
-            break
-        edges = _symmetrize(
-            _small_star(_large_star(edges)), "u", "v"
-        ).localCheckpoint(eager=True)
+    spark.conf.set(_CP_KEY, "false")
+    try:
+        for _ in range(max_rounds):
+            if is_star_forest(edges):
+                break
+            edges = _symmetrize(
+                _small_star(_large_star(edges)), "u", "v"
+            ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(_CP_KEY, prev_cp)
     # at the fixed point every edge points each node at its component min
     roots = edges.groupBy("u").agg(F.min("v").alias("m"))
     return nodes.join(roots, nodes.id == roots.u, "left").select(

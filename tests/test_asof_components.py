@@ -520,3 +520,29 @@ def test_asof_directional_numeric_ts(spark):
             left, right, "k", "k", "ts", "ts", direction=direction
         ).collect()
         assert got[0].asof_tag == want, direction
+
+
+def test_star_components_non_nullable_ids_long_chain(spark):
+    """r10: Catalyst's Union constraint rewrite crashes round 2 of the
+    star solver ('key not found: u#N') when the pair columns are
+    NON-NULLABLE — what parquet scans and spark.range produce; the
+    nullable createDataFrame fixtures masked it. Constraint propagation
+    is scoped off during the rounds. A 2000-node chain needs multiple
+    alternating rounds, and ids from range() are non-nullable."""
+    from pyspark.sql import functions as F
+
+    from etl_excel_csv_sql_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.range(1, 2000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    assert not any(f.nullable for f in pairs.schema.fields)
+    out = connected_components_star(pairs, max_rounds=25)
+    assert out.where(F.col("component") != 1).count() == 0
+    assert out.count() == 2000
+    # the session conf is restored afterwards
+    assert (
+        spark.conf.get("spark.sql.constraintPropagation.enabled") == "true"
+    )
