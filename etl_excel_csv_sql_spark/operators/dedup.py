@@ -1092,14 +1092,29 @@ def connected_components_star(
         # shapes violate (b): their one non-root node sources ≥2
         # down-edges, whereas in a min-centered star every leaf points
         # down only at its center.
-        down = e.filter(F.col("u") > F.col("v")).localCheckpoint(eager=True)
-        deg = down.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
-        multi = deg.filter(F.col("__d") > 1).select(F.lit(1).alias("__bad"))
-        chained = down.join(
-            deg.select(F.col("u").alias("v")), "v", "left_semi"
-        ).select(F.lit(1).alias("__bad"))
-        # one probe job for both violation classes
-        return multi.union(chained).limit(1).count() == 0
+        # ONE map-combined aggregate checks both classes — cheaper than
+        # the r9 semi-join probe (one exchange, no join): per node count
+        # down-edges sourced (s) and received (t); (b) fails on s > 1,
+        # (a) fails on a node that both receives and sources (s>=1 AND
+        # t>=1 — its in-edge's source chains through it). down is a
+        # cheap filter over the checkpointed edge RDD, read twice
+        # map-side within the same job.
+        down = e.filter(F.col("u") > F.col("v"))
+        marks = down.select(
+            F.col("u").alias("n"), F.lit(1).alias("s"), F.lit(0).alias("t")
+        ).union(
+            down.select(
+                F.col("v").alias("n"), F.lit(0).alias("s"), F.lit(1).alias("t")
+            )
+        )
+        bad = (
+            marks.groupBy("n")
+            .agg(F.sum("s").alias("s"), F.sum("t").alias("t"))
+            .filter(
+                (F.col("s") > 1) | ((F.col("s") >= 1) & (F.col("t") >= 1))
+            )
+        )
+        return bad.limit(1).count() == 0
 
     spark.conf.set(_CP_KEY, "false")
     try:
