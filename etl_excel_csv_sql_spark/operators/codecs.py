@@ -375,6 +375,43 @@ def wav_meta(payload: bytes) -> tuple[int, int, int, int]:
     return rate, channels, bits, n_frames
 
 
+@_malformed_as_valueerror
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Full PCM decode: RIFF-WAVE bytes → ((n_frames, n_channels) int16
+    array, sample_rate). 16-bit PCM only (format tag 1) — the format
+    :func:`encode_wav` writes and the one every stdlib-true pipeline
+    stage can rely on; other encodings raise ValueError (the lenient
+    quarantine contract)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF-WAVE payload")
+    pos = 12
+    fmt_tag = rate = channels = bits = None
+    data_off = data_size = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if tag == b"fmt ":
+            fmt_tag, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos + 8
+            )
+        elif tag == b"data":
+            data_off, data_size = pos + 8, size
+        pos += 8 + size + (size & 1)
+    if rate is None or data_off is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if fmt_tag != 1 or bits != 16:
+        raise ValueError(
+            f"only 16-bit PCM decodable (fmt_tag={fmt_tag}, bits={bits})"
+        )
+    if channels < 1 or data_off + data_size > len(payload):
+        raise ValueError("WAV data chunk truncated or fmt out of range")
+    n_frames = data_size // (2 * channels)
+    pcm = np.frombuffer(
+        payload, dtype="<i2", count=n_frames * channels, offset=data_off
+    ).reshape(n_frames, channels)
+    return pcm, rate
+
+
 # ---------------------------------------------------------------------------
 # AVI — RIFF container metadata demux (no frame decode)
 # ---------------------------------------------------------------------------

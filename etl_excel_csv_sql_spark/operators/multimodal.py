@@ -632,6 +632,173 @@ def video_frame_ahash(
     return df.mapInPandas(batches, FRAME_AHASH_SCHEMA)
 
 
+def _audio_fp_bits(
+    mono: np.ndarray,
+    rate: int,
+    frame_len: int,
+    hop: int,
+    n_bands: int,
+) -> list[int]:
+    """Haitsma–Kalker robust audio fingerprint (ISMIR 2002): Hann-
+    windowed frames → power spectrum → ``n_bands`` log-spaced band
+    energies → bit b of frame t is the sign of the band/time double
+    difference (E[t,b]−E[t,b+1]) − (E[t−1,b]−E[t−1,b+1]). n_bands−1 =
+    64 bits per sub-fingerprint, packed into a signed long so the same
+    Manku-banded ``dedup.hamming_pairs`` plan pairs audio, images, and
+    text. One deviation from the paper: the sign test uses a small
+    energy floor (1e−4 of the frame pair's total energy) instead of a
+    strict >0 — bands with no signal would otherwise emit noise-random
+    bits and a clip's re-encode could land far outside the Hamming
+    ball."""
+    n = len(mono)
+    if n < 2 * frame_len:
+        return []
+    window = np.hanning(frame_len)
+    starts = range(0, n - frame_len + 1, hop)
+    spec = np.stack(
+        [
+            np.abs(np.fft.rfft(mono[s : s + frame_len] * window)) ** 2
+            for s in starts
+        ]
+    )
+    f_lo, f_hi = 100.0, min(rate / 2.0, 3000.0)
+    edges = np.geomspace(f_lo, f_hi, n_bands + 1)
+    bin_hz = rate / frame_len
+    idx = np.clip((edges / bin_hz).astype(int), 0, spec.shape[1] - 1)
+    bands = np.stack(
+        [
+            spec[:, idx[b] : max(idx[b + 1], idx[b] + 1)].sum(axis=1)
+            for b in range(n_bands)
+        ],
+        axis=1,
+    )  # (n_frames, n_bands)
+    d = bands[:, :-1] - bands[:, 1:]          # band difference
+    dd = d[1:] - d[:-1]                        # time double-difference
+    floor = 1e-4 * (
+        bands[1:].sum(axis=1) + bands[:-1].sum(axis=1)
+    )
+    bits = dd > floor[:, None]
+    fps = []
+    for row in bits:
+        val = 0
+        for bit in row:
+            val = (val << 1) | int(bit)
+        if val >= 1 << 63:
+            val -= 1 << 64
+        fps.append(val)
+    return fps
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("fp", LongType(), True),
+    ]
+)
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    frame_len: int = 2048,
+    hop: int = 1024,
+    n_bands: int = 65,
+    strict: bool = False,
+) -> DataFrame:
+    """Per-frame spectral fingerprints over RIFF-WAVE payloads — real
+    PCM decode (``codecs.decode_wav``) → channel mean → Haitsma–Kalker
+    sub-fingerprints (:func:`_audio_fp_bits`). Output (media_id,
+    frame_idx, fp) feeds ``dedup.hamming_pairs`` for audio near-dup
+    (re-encodes, transmission noise) exactly like image aHash and video
+    frame hashes — the third modality on the one banded pairing plan.
+    PCM never leaves the Arrow kernel; only (id, idx, 64-bit fp)
+    shuffle. Non-WAV / non-PCM16 payloads and clips shorter than two
+    analysis frames yield zero rows (raise under ``strict``)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "fp": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    if strict:
+                        raise ValueError("null payload in strict audio fp")
+                    continue
+                try:
+                    pcm, rate = codecs.decode_wav(bytes(payload))
+                except ValueError:
+                    if strict:
+                        raise
+                    continue
+                mono = pcm.astype(np.float64).mean(axis=1)
+                fps = _audio_fp_bits(mono, rate, frame_len, hop, n_bands)
+                if not fps and strict:
+                    raise ValueError(
+                        f"clip {mid}: shorter than two analysis frames"
+                    )
+                for i, fp in enumerate(fps):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["fp"].append(fp)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="object") for k, v in out.items()}
+            )
+
+    return df.mapInPandas(batches, AUDIO_FP_SCHEMA)
+
+
+def synth_audio_fp_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    id_offset: int = 0,
+    perturb: bool = False,
+    n_samples: int = 8192,
+    rate: int = 8000,
+) -> DataFrame:
+    """(id) → (media_id, payload): mono PCM16 WAV clips purpose-built
+    for fingerprint tests — a stack of four id-keyed CHIRPED sinusoids
+    (each sweeps 30% of its base frequency across the clip) with
+    id-keyed amplitude modulation: non-stationary, temporally
+    correlated spectra — the signal class Haitsma–Kalker assumes;
+    stationary tones would give every frame the same bits and let
+    single-frame collisions masquerade as whole-clip dups.
+    ``perturb=True`` adds deterministic ±1%-amplitude noise (re-encode
+    stand-in); twin ids are original + ``id_offset``."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                t = np.arange(n_samples, dtype=np.float64) / rate
+                sig = np.zeros(n_samples)
+                for k in range(4):
+                    f0 = 150.0 + ((mid * 991 + k * 631) % 2600)
+                    freq = f0 * (0.85 + 0.3 * t / t[-1])
+                    phase = 2 * np.pi * np.cumsum(freq) / rate
+                    env = 0.6 + 0.4 * np.sin(
+                        2 * np.pi
+                        * (0.4 + ((mid * 13 + 5 * k) % 9) / 6.0)
+                        * t
+                    )
+                    sig += env * np.sin(phase)
+                sig *= 6000.0
+                if perturb:
+                    rng = np.random.default_rng(mid)
+                    sig += rng.uniform(-60.0, 60.0, n_samples)
+                pcm = np.clip(sig, -32768, 32767).astype(np.int16)
+                out_ids.append(mid + id_offset)
+                payloads.append(codecs.encode_wav(pcm, rate, 1))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+
+
 def synth_audio_params(media_id: int) -> tuple[int, int, int]:
     """id → (sample_rate, n_channels, n_frames) contract shared with the
     SQL oracle: rate = 8000 * (1 + id % 6); channels = 1 + id % 2;

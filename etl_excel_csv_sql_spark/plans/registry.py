@@ -3003,6 +3003,58 @@ def q_media_video_ahash_neardup(spark, sf_dir):
 
 
 @register(
+    "media_audio_fp_neardup",
+    None,
+    doc="audio near-duplicate detection end-to-end on REAL PCM: "
+    "RIFF-WAVE payloads -> full 16-bit PCM decode (codecs.decode_wav) "
+    "-> Haitsma-Kalker spectral sub-fingerprints (Hann window, "
+    "log-band energies, band/time double-difference signs; ISMIR 2002) "
+    "-> the SAME Manku-banded Hamming pairing as text SimHash, image "
+    "aHash, and video frame hashes — the third modality on one pairing "
+    "plan. Corpus = 2%% sample of documents as chirped synth clips plus "
+    "noise-perturbed twins; clip pair requires EVERY aligned analysis "
+    "frame within the Hamming ball. Rows-only (spectral pipelines have "
+    "no SQL oracle) — pytest proves every twin clip is found with zero "
+    "false clip pairs on the fixture",
+)
+def q_media_audio_fp_neardup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+    originals = multimodal.synth_audio_fp_payloads(docs, "doc_id")
+    twins = multimodal.synth_audio_fp_payloads(
+        docs, "doc_id", id_offset=1_000_000, perturb=True
+    )
+    corpus = originals.unionByName(twins)
+    fps = multimodal.audio_fingerprints(corpus)
+    frame_ids = fps.select(
+        (F.col("media_id") * 100 + F.col("frame_idx")).alias("id"),
+        F.col("fp").alias("simhash"),
+    )
+    pairs = dedup.hamming_pairs(frame_ids, max_hamming=3)
+    clip = pairs.select(
+        (F.col("id_a") / 100).cast("long").alias("clip_a"),
+        (F.col("id_a") % 100).alias("f_a"),
+        (F.col("id_b") / 100).cast("long").alias("clip_b"),
+        (F.col("id_b") % 100).alias("f_b"),
+    ).where(
+        (F.col("f_a") == F.col("f_b")) & (F.col("clip_a") != F.col("clip_b"))
+    )
+    frame_counts = fps.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    matched = clip.groupBy("clip_a", "clip_b").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    return (
+        matched.join(
+            frame_counts.withColumnRenamed("media_id", "clip_a"), "clip_a"
+        )
+        .where(F.col("n_matched") >= F.col("n_frames"))
+        .select("clip_a", "clip_b", "n_matched")
+        .orderBy("clip_a", "clip_b")
+    )
+
+
+@register(
     "media_frame_plan",
     # one row per 20 ms hop of the REAL demuxed duration; the oracle
     # rebuilds duration_ms from the synth contract and unnests the same
@@ -6518,7 +6570,7 @@ WINDOW_ORDER: tuple[str, ...] = (
     "media_video_frames",
     "media_video_ahash_neardup",
     "found_report",
-    "in_list_literal",
+    "media_audio_fp_neardup",  # r10: new audio near-dup op, never driver-checked
     "copy_plan_manifest",
     "excel_serial_to_ts",
     "path_scrub",
@@ -6675,6 +6727,7 @@ PYTHON_KERNELS: dict[str, str] = {
     "media_phash_neardup": "stdlib codec decode via Arrow mapInPandas",
     "media_video_frames": "stdlib codec decode via Arrow mapInPandas",
     "media_video_ahash_neardup": "stdlib codec decode via Arrow mapInPandas",
+    "media_audio_fp_neardup": "stdlib codec decode via Arrow mapInPandas",
 }
 
 # Eager queries (see QuerySpec.eager): constructing the frame executes a

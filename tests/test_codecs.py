@@ -308,3 +308,22 @@ def test_avi_frames_rejects_non_avi():
         C.avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
     with pytest.raises(ValueError):
         C.avi_frames(b"nonsense")
+
+
+def test_decode_wav_roundtrip_and_contract():
+    pcm = ((np.arange(6000) * 7) % 251 - 125).astype(np.int16).reshape(3000, 2)
+    wav = C.encode_wav(pcm, 22050, 2)
+    dec, rate = C.decode_wav(wav)
+    assert rate == 22050
+    assert np.array_equal(dec, pcm)
+    mono = ((np.arange(100) * 3) % 199 - 99).astype(np.int16)
+    dec_m, rate_m = C.decode_wav(C.encode_wav(mono, 8000, 1))
+    assert rate_m == 8000 and dec_m.shape == (100, 1)
+    assert np.array_equal(dec_m[:, 0], mono)
+    with pytest.raises(ValueError):
+        C.decode_wav(b"RIFF\x04\x00\x00\x00AVI ")
+    # truncated data chunk must raise, not wrap around
+    trunc = bytearray(C.encode_wav(mono, 8000, 1))
+    bad = bytes(trunc[:-50])
+    with pytest.raises(ValueError):
+        C.decode_wav(bad)

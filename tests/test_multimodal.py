@@ -451,3 +451,73 @@ def test_video_frame_ahash_twin_clips_match_framewise(spark):
     assert multimodal.video_frame_ahash(mj, strict=False).count() == 0
     with _pt.raises(Exception):
         multimodal.video_frame_ahash(mj, strict=True).count()
+
+
+def test_audio_fingerprint_twin_clips_match_framewise(spark):
+    """Haitsma-Kalker spectral fingerprints over REAL decoded PCM: every
+    chirped synth clip's noise-perturbed twin must match frame-for-frame
+    within the Hamming ball, and no distinct-clip pair may match on ALL
+    frames (clip-level false positive)."""
+    from pyspark.sql import functions as F
+
+    from etl_excel_csv_sql_spark.operators import dedup, multimodal
+
+    ids = spark.range(0, 200, 10).selectExpr("id AS doc_id")  # 20 clips
+    originals = multimodal.synth_audio_fp_payloads(ids, "doc_id")
+    twins = multimodal.synth_audio_fp_payloads(
+        ids, "doc_id", id_offset=1_000_000, perturb=True
+    )
+    fps = multimodal.audio_fingerprints(originals.unionByName(twins))
+    assert fps.where(F.col("fp").isNull()).count() == 0
+    n_frames = {r.media_id: r.n for r in fps.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n >= 2 for n in n_frames.values())
+    frame_ids = fps.select(
+        (F.col("media_id") * 100 + F.col("frame_idx")).alias("id"),
+        F.col("fp").alias("simhash"),
+    )
+    pairs = dedup.hamming_pairs(frame_ids, max_hamming=3).collect()
+    # every (clip, frame) pairs with its twin frame
+    twin_pairs = {
+        (r.id_a, r.id_b) for r in pairs if r.id_b - r.id_a == 100_000_000
+    }
+    expected = {
+        (mid * 100 + f, (mid + 1_000_000) * 100 + f)
+        for mid in range(0, 200, 10)
+        for f in range(n_frames[mid])
+    }
+    assert expected <= twin_pairs
+    # clip-level false positives: group non-twin frame pairs by clip
+    # pair; none may cover every frame of a clip
+    from collections import defaultdict
+
+    per_clip = defaultdict(set)
+    for r in pairs:
+        ca, fa = divmod(r.id_a, 100)
+        cb, fb = divmod(r.id_b, 100)
+        if fa == fb and cb - ca != 1_000_000 and ca != cb:
+            per_clip[(ca, cb)].add(fa)
+    false_clips = [
+        k for k, fs in per_clip.items()
+        if len(fs) >= n_frames[k[0] % 1_000_000]
+    ]
+    assert not false_clips, false_clips
+
+
+def test_audio_fingerprint_lenient_and_strict(spark):
+    import pytest as _pt
+
+    from etl_excel_csv_sql_spark.operators import multimodal
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"not a wav")), (2, None)],
+        "media_id: long, payload: binary",
+    )
+    assert multimodal.audio_fingerprints(bad, strict=False).count() == 0
+    with _pt.raises(Exception):
+        multimodal.audio_fingerprints(bad, strict=True).count()
+    # clips shorter than two analysis frames yield no rows
+    short = multimodal.synth_audio_fp_payloads(
+        spark.range(0, 2).selectExpr("id AS doc_id"), n_samples=1000
+    )
+    assert multimodal.audio_fingerprints(short, strict=False).count() == 0
