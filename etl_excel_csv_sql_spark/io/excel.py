@@ -121,12 +121,6 @@ def _stage_sheet_arrow(args: tuple) -> tuple:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    # overwrite semantics must match the Spark engine's mode('overwrite')
-    # even ACROSS engines (ADVICE r9): a prior spark-engine run left a
-    # parquet DIRECTORY at this path, which pq.write_table can't replace
-    # (IsADirectoryError); the reverse switch left a stale single file
-    # shadowed inside a directory listing. Clear whatever is there first.
-    _clear_dest(dest)
     header, data = _normalize_sheet(xlsx.read_rows(path, sheet), header_row)
     if not header:
         # Parity with the Spark engine, which refuses to write an
@@ -145,6 +139,13 @@ def _stage_sheet_arrow(args: tuple) -> tuple:
         pa.array([r[i] for r in data], type=pa.string())
         for i in range(len(header))
     ]
+    # overwrite semantics must match the Spark engine's mode('overwrite')
+    # even ACROSS engines (ADVICE r9): a prior spark-engine run left a
+    # parquet DIRECTORY here, which pq.write_table can't replace
+    # (IsADirectoryError); the reverse switch left a stale single file.
+    # Cleared only AFTER the parse succeeds — a corrupt sheet or bad
+    # header_row must not destroy the previous good staging output.
+    _clear_dest(dest)
     pq.write_table(pa.Table.from_arrays(arrays, names=header), dest)
     return sheet, dest
 

@@ -349,39 +349,14 @@ def encode_wav(samples: np.ndarray, sample_rate: int, n_channels: int = 1) -> by
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-@_malformed_as_valueerror
-def wav_meta(payload: bytes) -> tuple[int, int, int, int]:
-    """(sample_rate, n_channels, bits_per_sample, n_frames) from the RIFF
-    chunk walk — fmt chunk + data chunk size; samples are never read."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a RIFF-WAVE payload")
-    pos, rate, channels, bits, data_size = 12, None, None, None, None
-    while pos + 8 <= len(payload):
-        tag = payload[pos : pos + 4]
-        (size,) = struct.unpack_from("<I", payload, pos + 4)
-        if tag == b"fmt ":
-            _, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", payload, pos + 8)
-        elif tag == b"data":
-            data_size = size
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if rate is None or data_size is None:
-        raise ValueError("WAV missing fmt or data chunk")
-    # malformed fmt values must surface as ValueError (the lenient-mode
-    # quarantine contract catches ValueError only) — a bare
-    # ZeroDivisionError below would crash the executor batch instead
-    if channels < 1 or bits < 8:
-        raise ValueError(f"WAV fmt out of range (channels={channels}, bits={bits})")
-    n_frames = data_size // (channels * (bits // 8))
-    return rate, channels, bits, n_frames
-
-
-@_malformed_as_valueerror
-def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Full PCM decode: RIFF-WAVE bytes → ((n_frames, n_channels) int16
-    array, sample_rate). 16-bit PCM only (format tag 1) — the format
-    :func:`encode_wav` writes and the one every stdlib-true pipeline
-    stage can rely on; other encodings raise ValueError (the lenient
-    quarantine contract)."""
+def _wav_chunks(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Shared RIFF-WAVE walk for wav_meta and decode_wav: returns
+    (fmt_tag, channels, rate, bits, data_off, data_size) with the
+    range checks both callers rely on — a single place to validate so
+    the header parser and the PCM decoder can't desynchronize. Raises
+    ValueError per the lenient-quarantine contract (rate/channels/bits
+    out of range would otherwise surface later as ZeroDivisionError or
+    a geomspace crash OUTSIDE the callers' try blocks)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF-WAVE payload")
     pos = 12
@@ -396,15 +371,40 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             )
         elif tag == b"data":
             data_off, data_size = pos + 8, size
-        pos += 8 + size + (size & 1)
-    if rate is None or data_off is None:
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data_size is None:
         raise ValueError("WAV missing fmt or data chunk")
+    if channels < 1 or bits < 8 or rate < 1:
+        raise ValueError(
+            f"WAV fmt out of range (channels={channels}, bits={bits}, "
+            f"rate={rate})"
+        )
+    return fmt_tag, channels, rate, bits, data_off, data_size
+
+
+@_malformed_as_valueerror
+def wav_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """(sample_rate, n_channels, bits_per_sample, n_frames) from the RIFF
+    chunk walk — fmt chunk + data chunk size; samples are never read."""
+    _, channels, rate, bits, _, data_size = _wav_chunks(payload)
+    n_frames = data_size // (channels * (bits // 8))
+    return rate, channels, bits, n_frames
+
+
+@_malformed_as_valueerror
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Full PCM decode: RIFF-WAVE bytes → ((n_frames, n_channels) int16
+    array, sample_rate). 16-bit PCM only (format tag 1) — the format
+    :func:`encode_wav` writes and the one every stdlib-true pipeline
+    stage can rely on; other encodings raise ValueError (the lenient
+    quarantine contract)."""
+    fmt_tag, channels, rate, bits, data_off, data_size = _wav_chunks(payload)
     if fmt_tag != 1 or bits != 16:
         raise ValueError(
             f"only 16-bit PCM decodable (fmt_tag={fmt_tag}, bits={bits})"
         )
-    if channels < 1 or data_off + data_size > len(payload):
-        raise ValueError("WAV data chunk truncated or fmt out of range")
+    if data_off + data_size > len(payload):
+        raise ValueError("WAV data chunk truncated")
     n_frames = data_size // (2 * channels)
     pcm = np.frombuffer(
         payload, dtype="<i2", count=n_frames * channels, offset=data_off

@@ -1060,23 +1060,23 @@ def connected_components_star(
     probes on the near-dup graph."""
     # Same single-materialization guard as connected_components: the
     # symmetrizing union would compute the upstream pair pipeline twice.
+    #
+    # The when(isNotNull) wrappers are load-bearing: Catalyst's Union
+    # constraint rewrite crashes ("key not found: u#N") when optimizing
+    # the SECOND round's nested star unions over NON-NULLABLE id
+    # columns — exactly what a parquet scan or spark.range feeds in
+    # (r10, reproduced on any >=2-round graph; nullable createDataFrame
+    # fixtures masked it). The wrapper is a value no-op that marks the
+    # schema nullable, and the checkpointed LogicalRDD carries that
+    # nullability into every round — avoiding the bug without touching
+    # the session-global constraintPropagation conf (a toggle would
+    # race concurrent queries on the same session).
     slim = pairs.select(
-        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+        F.when(F.col(id_a).isNotNull(), F.col(id_a)).alias("u"),
+        F.when(F.col(id_b).isNotNull(), F.col(id_b)).alias("v"),
     ).localCheckpoint(eager=True)
     edges = _symmetrize(slim, "u", "v").localCheckpoint(eager=True)
     nodes = edges.select(F.col("u").alias("id")).distinct()
-
-    # Catalyst's Union constraint rewrite crashes ("key not found: u#N")
-    # when optimizing the SECOND round's nested star unions over
-    # NON-NULLABLE id columns — exactly what a parquet scan or
-    # spark.range feeds in (r10, reproduced on any >=2-round graph;
-    # nullable createDataFrame inputs mask it, which is why the chain
-    # tests passed). Constraint propagation buys nothing here — every
-    # round input is a checkpointed LogicalRDD with explicit filters —
-    # so it is scoped OFF for the round loop and restored after.
-    spark = pairs.sparkSession
-    _CP_KEY = "spark.sql.constraintPropagation.enabled"
-    prev_cp = spark.conf.get(_CP_KEY, "true")
 
     def is_star_forest(e: DataFrame) -> bool:
         # e is the symmetrized DISTINCT edge set: filter(u > v) picks
@@ -1116,16 +1116,12 @@ def connected_components_star(
         )
         return bad.limit(1).count() == 0
 
-    spark.conf.set(_CP_KEY, "false")
-    try:
-        for _ in range(max_rounds):
-            if is_star_forest(edges):
-                break
-            edges = _symmetrize(
-                _small_star(_large_star(edges)), "u", "v"
-            ).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set(_CP_KEY, prev_cp)
+    for _ in range(max_rounds):
+        if is_star_forest(edges):
+            break
+        edges = _symmetrize(
+            _small_star(_large_star(edges)), "u", "v"
+        ).localCheckpoint(eager=True)
     # at the fixed point every edge points each node at its component min
     roots = edges.groupBy("u").agg(F.min("v").alias("m"))
     return nodes.join(roots, nodes.id == roots.u, "left").select(

@@ -650,6 +650,11 @@ def _audio_fp_bits(
     strict >0 — bands with no signal would otherwise emit noise-random
     bits and a clip's re-encode could land far outside the Hamming
     ball."""
+    if not 2 <= n_bands <= 65:
+        # n_bands-1 bits must fit the signed 64-bit fp column; a larger
+        # value would overflow the single two's-complement wrap below
+        # and crash (or silently corrupt) at the Arrow boundary
+        raise ValueError(f"n_bands must be in [2, 65], got {n_bands}")
     n = len(mono)
     if n < 2 * frame_len:
         return []
@@ -696,6 +701,85 @@ AUDIO_FP_SCHEMA = StructType(
         StructField("fp", LongType(), True),
     ]
 )
+
+
+def frame_neardup_pairs(
+    frame_hashes: DataFrame,
+    max_hamming: int = 3,
+    stride: int = 1_000_000,
+) -> DataFrame:
+    """Clip-level near-dup rollup shared by video frame aHash and audio
+    fingerprints: frame-level Manku-banded Hamming pairing
+    (``dedup.hamming_pairs`` — the same plan text SimHash and image
+    aHash use) on aligned frame indices, then CONTAINMENT semantics at
+    the clip level — a pair (a, b) reports when every frame of the
+    SHORTER clip matched (least(n_a, n_b)), so a clip embedded in a
+    longer one is still found regardless of which id sorts lower.
+
+    ``frame_hashes`` is (media_id, frame_idx, hash) with any hash
+    column name third. Frame identity packs as media_id·stride +
+    frame_idx; an in-plan guard fails loudly if any frame_idx reaches
+    ``stride`` (silent aliasing would attribute matches to the wrong
+    clip). The input frame is persisted for the duration of the rollup:
+    it feeds the banded self-join (two reads) plus the per-clip frame
+    counts, and without pinning, an upstream decode pipeline would run
+    ~4x."""
+    id_col, frame_col, hash_col = frame_hashes.columns[:3]
+    pinned = frame_hashes.persist()
+    guarded_idx = F.when(
+        F.col(frame_col) >= F.lit(stride),
+        F.raise_error(
+            F.concat(
+                F.lit(f"frame_idx >= stride {stride} aliases clip ids: "),
+                F.col(frame_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(frame_col))
+    frame_ids = pinned.select(
+        (F.col(id_col) * stride + guarded_idx).alias("id"),
+        F.col(hash_col).alias("simhash"),
+    )
+    from etl_excel_csv_sql_spark.operators import dedup
+
+    pairs = dedup.hamming_pairs(frame_ids, max_hamming=max_hamming)
+    aligned = pairs.select(
+        (F.col("id_a") / stride).cast("long").alias("clip_a"),
+        (F.col("id_a") % stride).alias("f_a"),
+        (F.col("id_b") / stride).cast("long").alias("clip_b"),
+        (F.col("id_b") % stride).alias("f_b"),
+    ).where(
+        (F.col("f_a") == F.col("f_b")) & (F.col("clip_a") != F.col("clip_b"))
+    )
+    counts = pinned.groupBy(F.col(id_col).alias("clip")).agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    matched = aligned.groupBy("clip_a", "clip_b").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    out = (
+        matched.join(
+            counts.select(
+                F.col("clip").alias("clip_a"),
+                F.col("n_frames").alias("n_a"),
+            ),
+            "clip_a",
+        )
+        .join(
+            counts.select(
+                F.col("clip").alias("clip_b"),
+                F.col("n_frames").alias("n_b"),
+            ),
+            "clip_b",
+        )
+        .where(F.col("n_matched") >= F.least(F.col("n_a"), F.col("n_b")))
+        .select("clip_a", "clip_b", "n_matched")
+        .orderBy("clip_a", "clip_b")
+    )
+    # NOTE: pinned stays persisted (unpersist() here would eagerly drop
+    # the marker before the query ever runs — the cache populates at
+    # first action and LRU eviction reclaims it); callers that loop
+    # should unpersist via frame_hashes themselves.
+    return out
 
 
 def audio_fingerprints(

@@ -2969,37 +2969,9 @@ def q_media_video_ahash_neardup(spark, sf_dir):
     )
     corpus = originals.unionByName(twins)
     hashes = multimodal.video_frame_ahash(corpus)
-    # frame-level banded Hamming pairing; id carries (video, frame) so
-    # only same-frame-index pairs can match videos frame-for-frame
-    frame_ids = hashes.select(
-        (F.col("media_id") * 100 + F.col("frame_idx")).alias("id"),
-        F.col("ahash").alias("simhash"),
-    )
-    pairs = dedup.hamming_pairs(frame_ids, max_hamming=2)
-    # roll frame pairs up to video pairs: same frame_idx on both sides,
-    # and EVERY frame of the smaller video must have a matching pair
-    vid = pairs.select(
-        (F.col("id_a") / 100).cast("long").alias("vid_a"),
-        (F.col("id_a") % 100).alias("f_a"),
-        (F.col("id_b") / 100).cast("long").alias("vid_b"),
-        (F.col("id_b") % 100).alias("f_b"),
-    ).where(
-        (F.col("f_a") == F.col("f_b")) & (F.col("vid_a") != F.col("vid_b"))
-    )
-    frame_counts = hashes.groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("n_frames")
-    )
-    matched = vid.groupBy("vid_a", "vid_b").agg(
-        F.count(F.lit(1)).alias("n_matched")
-    )
-    return (
-        matched.join(
-            frame_counts.withColumnRenamed("media_id", "vid_a"), "vid_a"
-        )
-        .where(F.col("n_matched") >= F.col("n_frames"))
-        .select("vid_a", "vid_b", "n_matched")
-        .orderBy("vid_a", "vid_b")
-    )
+    return multimodal.frame_neardup_pairs(
+        hashes, max_hamming=2
+    ).withColumnsRenamed({"clip_a": "vid_a", "clip_b": "vid_b"})
 
 
 @register(
@@ -3025,33 +2997,7 @@ def q_media_audio_fp_neardup(spark, sf_dir):
     )
     corpus = originals.unionByName(twins)
     fps = multimodal.audio_fingerprints(corpus)
-    frame_ids = fps.select(
-        (F.col("media_id") * 100 + F.col("frame_idx")).alias("id"),
-        F.col("fp").alias("simhash"),
-    )
-    pairs = dedup.hamming_pairs(frame_ids, max_hamming=3)
-    clip = pairs.select(
-        (F.col("id_a") / 100).cast("long").alias("clip_a"),
-        (F.col("id_a") % 100).alias("f_a"),
-        (F.col("id_b") / 100).cast("long").alias("clip_b"),
-        (F.col("id_b") % 100).alias("f_b"),
-    ).where(
-        (F.col("f_a") == F.col("f_b")) & (F.col("clip_a") != F.col("clip_b"))
-    )
-    frame_counts = fps.groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("n_frames")
-    )
-    matched = clip.groupBy("clip_a", "clip_b").agg(
-        F.count(F.lit(1)).alias("n_matched")
-    )
-    return (
-        matched.join(
-            frame_counts.withColumnRenamed("media_id", "clip_a"), "clip_a"
-        )
-        .where(F.col("n_matched") >= F.col("n_frames"))
-        .select("clip_a", "clip_b", "n_matched")
-        .orderBy("clip_a", "clip_b")
-    )
+    return multimodal.frame_neardup_pairs(fps, max_hamming=3)
 
 
 @register(

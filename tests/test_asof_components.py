@@ -526,9 +526,10 @@ def test_star_components_non_nullable_ids_long_chain(spark):
     """r10: Catalyst's Union constraint rewrite crashes round 2 of the
     star solver ('key not found: u#N') when the pair columns are
     NON-NULLABLE — what parquet scans and spark.range produce; the
-    nullable createDataFrame fixtures masked it. Constraint propagation
-    is scoped off during the rounds. A 2000-node chain needs multiple
-    alternating rounds, and ids from range() are non-nullable."""
+    nullable createDataFrame fixtures masked it. The solver's nullable
+    when(isNotNull) projection sidesteps it without touching session
+    conf. A 2000-node chain needs multiple alternating rounds, and ids
+    from range() are non-nullable."""
     from pyspark.sql import functions as F
 
     from etl_excel_csv_sql_spark.operators.dedup import (
@@ -542,7 +543,7 @@ def test_star_components_non_nullable_ids_long_chain(spark):
     out = connected_components_star(pairs, max_rounds=25)
     assert out.where(F.col("component") != 1).count() == 0
     assert out.count() == 2000
-    # the session conf is restored afterwards
+    # no session-global conf was toggled to make that work
     assert (
         spark.conf.get("spark.sql.constraintPropagation.enabled") == "true"
     )

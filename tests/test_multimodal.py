@@ -521,3 +521,33 @@ def test_audio_fingerprint_lenient_and_strict(spark):
         spark.range(0, 2).selectExpr("id AS doc_id"), n_samples=1000
     )
     assert multimodal.audio_fingerprints(short, strict=False).count() == 0
+
+
+def test_frame_neardup_rollup_containment_and_stride_guard(spark):
+    """The shared clip rollup uses CONTAINMENT semantics — a pair
+    reports when every frame of the SHORTER clip matches, regardless of
+    which id sorts lower — and fails loudly when a frame_idx reaches
+    the packing stride (silent aliasing would misattribute matches)."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from etl_excel_csv_sql_spark.operators import multimodal
+
+    # clip 1 (LOWER id) is LONGER (4 frames); clip 2 (higher id, 2
+    # frames) is fully contained in it — under the old
+    # every-frame-of-vid_a rule this pair was missed
+    rows = [(1, f, 100 + f) for f in range(4)] + [
+        (2, f, 100 + f) for f in range(2)
+    ]
+    fh = spark.createDataFrame(
+        rows, "media_id long, frame_idx int, h long"
+    )
+    got = multimodal.frame_neardup_pairs(fh, max_hamming=0).collect()
+    assert [(r.clip_a, r.clip_b, r.n_matched) for r in got] == [(1, 2, 2)]
+
+    # stride guard: frame_idx at the stride must raise, not alias
+    bad = spark.createDataFrame(
+        [(1, 0, 5), (1, 10, 5)], "media_id long, frame_idx int, h long"
+    )
+    with _pt.raises(Exception, match="stride"):
+        multimodal.frame_neardup_pairs(bad, max_hamming=0, stride=10).count()
