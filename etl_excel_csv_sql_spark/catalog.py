@@ -62,8 +62,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # Try the plain read first: current drops store naive micros
+        # (NTZ) and need no legacy conf. Only a TIMESTAMP(NANOS) drop —
+        # which the reader rejects — turns on nanosAsLong, and then the
+        # conf must STAY set: it is consulted again at execution, so a
+        # scoped restore would fail the scan later. Setting it
+        # unconditionally leaked legacy semantics into every subsequent
+        # parquet read of the session (unrelated NANOS datasets silently
+        # came back bigint instead of failing loudly — r10 review).
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        except Exception:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))

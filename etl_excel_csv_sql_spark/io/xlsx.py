@@ -32,11 +32,16 @@ _NS = {
 _CELL_REF = re.compile(r"([A-Z]+)(\d+)")
 
 
-def _col_index(ref: str) -> int:
-    """'A1' → 0, 'B3' → 1, 'AA7' → 26 (0-based column index)."""
+def _col_index(ref: str, default: int = 0) -> int:
+    """'A1' → 0, 'B3' → 1, 'AA7' → 26 (0-based column index). A missing
+    or unparseable ``r`` attribute returns ``default`` — ECMA-376 makes
+    r optional, and a cell without one belongs at the next sequential
+    position (the caller passes len(cells)); collapsing all r-less
+    cells to column A silently overwrote them onto each other (r10
+    review)."""
     m = _CELL_REF.match(ref)
     if not m:
-        return 0
+        return default
     acc = 0
     for ch in m.group(1):
         acc = acc * 26 + (ord(ch) - ord("A") + 1)
@@ -47,11 +52,7 @@ def sheet_names(path: str) -> list[str]:
     """Worksheet names in workbook order (Get-ExcelSheetInfo equivalent,
     ExcelToCSVexport.ps1:171)."""
     with zipfile.ZipFile(path) as zf:
-        root = ET.fromstring(zf.read("xl/workbook.xml"))
-        return [
-            s.get("name", "")
-            for s in root.findall("m:sheets/m:sheet", _NS)
-        ]
+        return sheet_names_zf(zf)
 
 
 def _sheet_target(zf: zipfile.ZipFile, sheet: str) -> str:
@@ -68,6 +69,13 @@ def _sheet_target(zf: zipfile.ZipFile, sheet: str) -> str:
     for rel in rels.findall("pr:Relationship", _NS):
         if rel.get("Id") == rid:
             target = rel.get("Target", "")
+            # absolute targets ('/xl/worksheets/sheet1.xml') are legal
+            # OOXML (some third-party writers emit them) and are
+            # package-root-relative — prefixing them doubled the path
+            # into xl//xl/... and KeyError'd a valid workbook (r10
+            # review); relative targets resolve against xl/
+            if target.startswith("/"):
+                return target.lstrip("/")
             return target if target.startswith("xl/") else f"xl/{target}"
     raise KeyError(f"no relationship for sheet {sheet!r}")
 
@@ -77,16 +85,32 @@ def sheet_names_zf(zf: zipfile.ZipFile) -> list[str]:
     return [s.get("name", "") for s in root.findall("m:sheets/m:sheet", _NS)]
 
 
+_T_TAG = f"{{{_NS['m']}}}t"
+_RPH_TAG = f"{{{_NS['m']}}}rPh"
+
+
+def _string_item_text(el) -> str:
+    """Concatenated cell text of an <si>/<is> element: a single <t> or
+    rich-text runs <r><t>, EXCLUDING phonetic runs — <rPh> holds
+    furigana-style reading guides whose <t> children are not cell
+    content (Excel and openpyxl exclude them; naive .iter(t) corrupted
+    East Asian strings by appending the reading, r10 review)."""
+    if el.tag == _RPH_TAG:
+        return ""
+    if el.tag == _T_TAG:
+        return el.text or ""
+    return "".join(_string_item_text(ch) for ch in el)
+
+
 def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
     try:
         data = zf.read("xl/sharedStrings.xml")
     except KeyError:
         return []
-    out = []
-    for si in ET.fromstring(data).findall("m:si", _NS):
-        # an <si> may be a single <t> or rich-text runs of <r><t>
-        out.append("".join(t.text or "" for t in si.iter(f"{{{_NS['m']}}}t")))
-    return out
+    return [
+        _string_item_text(si)
+        for si in ET.fromstring(data).findall("m:si", _NS)
+    ]
 
 
 def read_rows(path: str, sheet: str) -> list[list[str | float | bool | None]]:
@@ -103,21 +127,19 @@ def read_rows(path: str, sheet: str) -> list[list[str | float | bool | None]]:
         c_tag = f"{{{_NS['m']}}}c"
         v_tag = f"{{{_NS['m']}}}v"
         row_tag = f"{{{_NS['m']}}}row"
-        t_tag = f"{{{_NS['m']}}}t"
         with zf.open(target) as fh:
             for _event, el in ET.iterparse(fh):
                 if el.tag != row_tag:
                     continue
                 cells: list = []
                 for c in el.iter(c_tag):
-                    idx = _col_index(c.get("r", ""))
+                    # r-less cells append sequentially (ECMA-376)
+                    idx = _col_index(c.get("r", ""), default=len(cells))
                     while len(cells) <= idx:
                         cells.append(None)
                     ctype = c.get("t", "n")
                     if ctype == "inlineStr":
-                        cells[idx] = "".join(
-                            t.text or "" for t in c.iter(t_tag)
-                        )
+                        cells[idx] = _string_item_text(c)
                         continue
                     v = c.find(v_tag)
                     if v is None or v.text is None:

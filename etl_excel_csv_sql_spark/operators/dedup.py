@@ -161,18 +161,33 @@ def ngram_containment_pairs(
     sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
     both = inter.join(sa, "id_a").join(sb, "id_b")
-    fwd = both.select(
-        F.col("id_a").alias("id_src"),
-        F.col("id_b").alias("id_dst"),
-        (F.col("inter_size") / F.col("size_a")).alias("containment"),
-    )
-    rev = both.select(
-        F.col("id_b").alias("id_src"),
-        F.col("id_a").alias("id_dst"),
-        (F.col("inter_size") / F.col("size_b")).alias("containment"),
+    # both directions EXPLODE from the single joined row (r10 review):
+    # the previous fwd.unionByName(rev) consumed `both` twice, running
+    # the posting self-join aggregation and both size joins once per
+    # branch — the dominant stage executed 2x. The explode keeps the
+    # plan lazy (no checkpoint needed) with exactly one consumer.
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_src"),
+                    F.col("id_b").alias("id_dst"),
+                    (F.col("inter_size") / F.col("size_a")).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_src"),
+                    F.col("id_a").alias("id_dst"),
+                    (F.col("inter_size") / F.col("size_b")).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("d")
     )
     return (
-        fwd.unionByName(rev)
+        directed.select("d.id_src", "d.id_dst", "d.containment")
         .filter(F.col("containment") >= threshold)
         .select(
             "id_src", "id_dst", F.round("containment", 6).alias("containment")
@@ -269,6 +284,18 @@ def minhash_signatures(
             ]
         ),
     )
+    # NULL text yields a NULL signature, not a constant one (r10 review):
+    # word_shingle_hashes' [null] guard protects POSTING keys, but here
+    # the fold's xxhash64(lit(i), null) SKIPS the null child and returns
+    # the per-lane seed hash — every null-text doc would share one
+    # signature, every band bucket, and est_jaccard 1.0 with every other
+    # null doc (quadratic candidates on a null-heavy corpus). _band_keys
+    # drops null signatures so nulls never enter any bucket, mirroring
+    # the never-equi-join-nulls contract of the string path. The guard
+    # tests the TEXT column (null text ⟺ [null] hash array), not the
+    # hash array — re-using `hashes` in a when() would re-evaluate the
+    # whole tokenize→shingle fold input per row.
+    sig = F.when(F.col(text_col).isNotNull(), sig)
     return spread_for_compute(df).select(
         F.col(id_col).alias("id"), sig.alias("signature")
     )
@@ -277,8 +304,20 @@ def minhash_signatures(
 def _band_keys(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(id, band, bucket) LSH keys: xxhash64 of each band's signature
     slice (arrays hash directly — no string building). Python-level
-    loop: slice offsets are compile-time ints. Narrow map, no shuffle."""
+    loop: slice offsets are compile-time ints. Narrow map, no shuffle.
+    NULL signatures (null-text docs) are dropped — xxhash64 of a null
+    slice is a constant, which would put every null doc in one shared
+    bucket per band. Invalid band counts fail loudly (r10 review):
+    bands > num_hashes made every slice empty (ONE global bucket — the
+    full O(n²) cross product), and a non-divisor silently dropped the
+    trailing lanes from the documented recall math."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands:
+        raise ValueError(
+            f"bands must divide num_hashes (got bands={bands}, "
+            f"num_hashes={num_hashes})"
+        )
     rows_per_band = num_hashes // bands
+    sigs = sigs.where(F.col("signature").isNotNull())
     return sigs.select(
         "id",
         F.explode(
@@ -1122,6 +1161,18 @@ def connected_components_star(
         edges = _symmetrize(
             _small_star(_large_star(edges)), "u", "v"
         ).localCheckpoint(eager=True)
+    else:
+        # r10 review: reading components off a NON-converged edge set
+        # silently assigns min-NEIGHBOR instead of component min and
+        # dedup_keep_first keeps/drops the wrong rows. Exhausting
+        # max_rounds must be loud. The extra probe runs only on this
+        # rare path.
+        if not is_star_forest(edges):
+            raise ValueError(
+                f"connected_components_star did not converge within "
+                f"{max_rounds} alternating rounds — raise max_rounds "
+                f"(O(log n) rounds suffice; 25 covers n ~ 10^7)"
+            )
     # at the fixed point every edge points each node at its component min
     roots = edges.groupBy("u").agg(F.min("v").alias("m"))
     return nodes.join(roots, nodes.id == roots.u, "left").select(

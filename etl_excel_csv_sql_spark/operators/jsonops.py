@@ -16,8 +16,10 @@ the parse via ``spark.sql.optimizer.enableJsonExpressionOptimization``):
   explode instead of poisoning it.
 
 Malformed-input semantics (measured, tests/test_jsonops.py): struct parse
-→ null-filled struct; map parse → NULL map. ``is_valid_json`` therefore
-uses the map parse, mirroring DuckDB's ``json_valid``.
+→ null-filled struct; map parse → NULL map (but also NULL for valid
+non-object roots). ``is_valid_json`` therefore uses ``try_parse_json``
+(the VARIANT parser — accepts any JSON value), mirroring DuckDB's
+``json_valid`` exactly.
 
 Scale: both paths are narrow maps over the scan — no shuffle is added by
 parsing. The per-group profile is one conditional-aggregate pass.
@@ -30,14 +32,19 @@ from pyspark.sql import functions as F
 
 
 def is_valid_json(col: Column | str) -> Column:
-    """True iff the string parses as a JSON object/array/value.
+    """True iff the string parses as a JSON object/array/value —
+    DuckDB ``json_valid`` parity, probed value-for-value on objects,
+    arrays, scalars, 'null'/'true' literals, malformed, empty, and NULL.
 
-    ``from_json`` to ``map<string,string>`` yields NULL exactly for
-    non-NULL malformed input (struct schemas would yield a null-FILLED
-    struct instead — measured, not assumed).
+    r10 review: the previous ``from_json`` to ``map<string,string>``
+    returned NULL for every non-OBJECT root, so valid arrays ('[1,2]')
+    and scalars ('123') were counted malformed, inflating
+    ``json_payload_profile``'s n_malformed for array-emitting
+    producers. ``try_parse_json`` (the VARIANT parser) accepts any JSON
+    value and yields NULL exactly for malformed input.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return c.isNotNull() & F.from_json(c, "map<string,string>").isNotNull()
+    return c.isNotNull() & F.try_parse_json(c).isNotNull()
 
 
 def typed_extract(

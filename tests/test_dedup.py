@@ -553,3 +553,88 @@ def test_set_similarity_prefix_is_short(spark):
     # internals: re-derive via the operator's own plan — a 1-doc corpus
     # yields no pairs, but the op must not error on it either
     assert out.count() == 0
+
+
+def test_minhash_null_text_docs_never_pair(spark):
+    """r10 review: the 32-lane fold's xxhash64(lit(i), null) SKIPS the
+    null child, so every null-text doc used to share one constant
+    signature — every band bucket, est_jaccard 1.0, quadratic
+    candidates on a null-heavy corpus. Null text now yields a NULL
+    signature and _band_keys drops it."""
+    from pyspark.sql import functions as F
+
+    from etl_excel_csv_sql_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, None),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r.id: r.signature for r in minhash_signatures(
+        df, "doc_id", "text").collect()}
+    assert sigs[1] is None and sigs[2] is None
+    assert sigs[3] == sigs[4] and sigs[3] is not None
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.9).collect()}
+    assert (3, 4) in pairs
+    assert not any(1 in p or 2 in p for p in pairs)
+
+
+def test_band_keys_rejects_invalid_band_counts(spark):
+    """r10 review: bands > num_hashes hashed an EMPTY slice per band
+    (one global bucket = full cross product); non-divisors silently
+    dropped trailing lanes from the recall math. Both now raise."""
+    import pytest
+
+    from etl_excel_csv_sql_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(df, "doc_id", "text", num_hashes=8, bands=16).count()
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(df, "doc_id", "text", num_hashes=32, bands=5).count()
+
+
+def test_star_components_raises_when_rounds_exhausted(spark):
+    """r10 review: exhausting max_rounds used to read components off a
+    non-converged edge set (min-NEIGHBOR, not component min) silently."""
+    import pytest
+
+    from etl_excel_csv_sql_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 200)], ["id_a", "id_b"]
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components_star(pairs, max_rounds=1).collect()
+
+
+def test_ngram_containment_direction_values(spark):
+    """Containment stays direction-correct through the r10 explode
+    rewrite: short-inside-long scores 1.0 forward, |S_s|/|S_l| reverse."""
+    from etl_excel_csv_sql_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.id_src, r.id_dst): r.containment for r in
+           ngram_containment_pairs(df, "doc_id", "text", n=3,
+                                   threshold=0.0).collect()}
+    assert out[(1, 2)] == 1.0          # all of doc1's shingles in doc2
+    assert 0 < out[(2, 1)] < 1.0

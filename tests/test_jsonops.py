@@ -97,3 +97,20 @@ def test_typed_extract_parameterized_types(spark):
     out = jsonops.typed_extract(df, "props", "k INT, d DECIMAL(10,2)").collect()[0]
     assert out.k == 3
     assert float(out.d) == 12.35  # decimal(10,2) rounds on parse
+
+
+def test_is_valid_json_accepts_arrays_and_scalars(spark):
+    """r10 review: DuckDB json_valid parity — arrays and scalar roots
+    are valid JSON; the old map<string,string> parse called them
+    malformed."""
+    from pyspark.sql import functions as F
+
+    from etl_excel_csv_sql_spark.operators.jsonops import is_valid_json
+
+    vals = ['{"k":1}', "[1,2]", "123", '"s"', "null", "true", "{bad", "", None]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r.s: r.ok for r in df.select(
+        "s", is_valid_json("s").alias("ok")).collect()}
+    assert got['{"k":1}'] and got["[1,2]"] and got["123"]
+    assert got['"s"'] and got["null"] and got["true"]
+    assert not got["{bad"] and not got[""] and not got[None]

@@ -154,3 +154,51 @@ def test_stage_workbook_arrow_rejects_empty_header(spark, tmp_path):
             spark, wb, str(tmp_path / "ar"), header_row=99, engine="arrow",
             max_workers=1,
         )
+
+
+def test_xlsx_rless_cells_and_phonetic_runs_and_abs_targets(tmp_path):
+    """r10 review triplet: (a) cells without r attributes append
+    sequentially instead of clobbering column A; (b) <rPh> phonetic
+    (furigana) runs are excluded from shared strings; (c) absolute
+    workbook-rels targets ('/xl/worksheets/sheet1.xml') resolve."""
+    import zipfile
+
+    from etl_excel_csv_sql_spark.io import xlsx
+
+    wb = str(tmp_path / "crafted.xlsx")
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c t="inlineStr"><is><t>a</t></is></c>'
+        '<c t="inlineStr"><is><t>b</t></is></c>'
+        '<c><v>3</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>0</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    shared = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<si><r><t>東京</t></r><rPh><t>トウキョウ</t></rPh></si></sst>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" '
+        'Target="/xl/worksheets/sheet1.xml"/></Relationships>'
+    )
+    with zipfile.ZipFile(wb, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        zf.writestr("xl/sharedStrings.xml", shared)
+    rows = xlsx.read_rows(wb, "S")
+    assert rows[0] == ["a", "b", 3.0]
+    assert rows[1] == ["東京"]
