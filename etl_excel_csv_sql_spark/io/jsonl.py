@@ -4,10 +4,11 @@ The lingua franca of training-data interchange (web-crawl dumps, HF
 datasets, annotation exports) — the engine reads it as a first-class
 source next to Excel/CSV/JDBC. Scale posture:
 
-- one JSON document per line → uncompressed (or block-compressed zstd/
-  bzip2) files are SPLITTABLE: a 100 TB dump fans out across executors
-  with no driver involvement. Plain gzip is not splittable — one file
-  becomes one task; prefer many medium files or block codecs.
+- one JSON document per line → UNCOMPRESSED files are SPLITTABLE: a
+  100 TB dump fans out across executors with no driver involvement.
+  Of Hadoop's codecs only bzip2 is splittable — gzip AND zstd are not
+  (one file = one task); for compressed dumps prefer many medium files
+  sized near the target split.
 - ALWAYS pass an explicit schema in production: schema inference is a
   full extra pass over the data (samplingRatio trades coverage for
   cost) and silently widens types on dirty rows.
@@ -49,7 +50,17 @@ def read_jsonl(
         reader = reader.option("mode", "PERMISSIVE").option(
             "columnNameOfCorruptRecord", CORRUPT_COL
         )
-    return reader.json(path)
+    df = reader.json(path)
+    if capture_corrupt and CORRUPT_COL not in df.columns:
+        # under schema INFERENCE Spark adds the corrupt column only if
+        # malformed lines were actually met — a clean file then broke
+        # the documented contract and downstream
+        # filter(_corrupt_record.isNull()) quarantine selects (r10
+        # review); a null literal keeps the shape stable either way
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(CORRUPT_COL, F.lit(None).cast("string"))
+    return df
 
 
 def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:

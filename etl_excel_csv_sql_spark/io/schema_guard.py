@@ -52,6 +52,24 @@ def check_header(
     )
 
 
+def _member_files(path: str) -> list[str]:
+    """CSV member files of a directory/glob path (empty list → treat
+    ``path`` as a single file). Case-insensitive suffix, mirroring
+    FolderQueue.pending()."""
+    import glob as _glob
+    import os
+
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.lower().endswith(".csv")
+        )
+    if any(ch in path for ch in "*?["):
+        return sorted(_glob.glob(path))
+    return []
+
+
 def read_csv_checked(
     spark: SparkSession,
     path: str,
@@ -60,7 +78,28 @@ def read_csv_checked(
 ) -> DataFrame | None:
     """All-string CSV read gated on the header: on drift, quarantine the
     file (when a queue is given) and return None; on success return the
-    frame projected to the EXPECTED column order (tolerating reorder)."""
+    frame projected to the EXPECTED column order (tolerating reorder).
+
+    Directory/glob paths check EVERY member file's own header (r10
+    review): Spark takes column names from the first file only and, with
+    the default enforceSchema, silently skips the other files' header
+    lines and maps their data POSITIONALLY — a reordered-column sibling
+    file loaded with its values swapped into the wrong columns, exactly
+    the silent corruption this guard exists to catch. Any drifted member
+    fails the whole read (per-file quarantine stays the FolderQueue
+    single-file flow)."""
+    for member in _member_files(path):
+        m_report = check_header(
+            csv_io.read_csv_all_string(spark, member).columns, expected_cols
+        )
+        if not m_report.ok or m_report.reordered:
+            # positional load would misplace a reordered member even
+            # though reorder is tolerable for a single file
+            if queue is not None:
+                queue.quarantine(
+                    member, f"schema drift: {m_report.describe()}"
+                )
+            return None
     df = csv_io.read_csv_all_string(spark, path)
     report = check_header(df.columns, expected_cols)
     if not report.ok:

@@ -43,12 +43,17 @@ def semi_join_matches(
     zero shuffle. Pass ``broadcast=False`` when the key side is unbounded
     (e.g. a fact table) — AQE then picks shuffle-hash/sort-merge and can
     still downgrade to broadcast at runtime if the side turns out small."""
-    key_side = keys.select(small_key).distinct()
+    # alias the key side (same trick as mark_found's __match_key): an
+    # unqualified F.col(small_key) is AMBIGUOUS whenever the big side
+    # also carries a column of that name — the most natural call shape
+    # (same key name on both sides) raised AMBIGUOUS_REFERENCE (r10
+    # review)
+    key_side = keys.select(F.col(small_key).alias("__semi_key")).distinct()
     if broadcast:
         key_side = F.broadcast(key_side)
     return big.join(
         key_side,
-        on=big[big_key] == F.col(small_key),
+        on=big[big_key] == F.col("__semi_key"),
         how="semi",
     )
 

@@ -22,10 +22,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: Output: one row per key per micro-batch it appears in.
+#: Output shape for the default user_col (kept for reference/tests);
+#: the operator derives the real schema from its input so the key
+#: column keeps ITS name and type.
 RUNNING_TOTALS_SCHEMA = StructType(
     [
-        StructField("user_id", LongType(), False),
+        StructField("user_id", LongType(), True),
         StructField("batch_events", LongType(), False),
         StructField("total_events", LongType(), False),
     ]
@@ -44,7 +46,24 @@ def running_user_totals(
     Each group's state is a single long; per batch the operator emits
     (user, events-in-this-batch, lifetime-total). Grouping shuffles on
     user_col once; the Arrow boundary moves only that user's batch rows.
+
+    The output schema is derived from the input (r10 review): the key
+    column keeps the caller's ``user_col`` name and type (it was
+    hardcoded 'user_id' long before), and is NULLABLE — a null grouping
+    key is a legal group, and a non-null declaration crashed the stream
+    at the Arrow boundary when one arrived.
     """
+    matches = [
+        f for f in events.schema.fields if f.name.lower() == user_col.lower()
+    ]
+    key_field = matches[0] if matches else events.schema[user_col]
+    out_schema = StructType(
+        [
+            StructField(key_field.name, key_field.dataType, True),
+            StructField("batch_events", LongType(), False),
+            StructField("total_events", LongType(), False),
+        ]
+    )
 
     def update(
         key: tuple[Any, ...],
@@ -57,7 +76,7 @@ def running_user_totals(
         state.update((total,))
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
+                key_field.name: [key[0]],
                 "batch_events": [batch_n],
                 "total_events": [total],
             }
@@ -65,7 +84,7 @@ def running_user_totals(
 
     return events.groupBy(user_col).applyInPandasWithState(
         update,
-        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

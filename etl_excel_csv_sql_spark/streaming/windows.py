@@ -35,7 +35,14 @@ def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
     (pinned UTC in session.py), so wall-clock digits are unchanged and
     downstream window/date_format output is byte-identical; it is a no-op
     for already-tz-aware columns."""
-    field = df.schema[ts_col]
+    # resolve case-insensitively, matching Spark's default column
+    # resolution — df.schema[...] alone is case-SENSITIVE and raised
+    # KeyError for 'ts' vs 'TS' before the watermark was ever applied
+    # (r10 review)
+    matches = [
+        f for f in df.schema.fields if f.name.lower() == ts_col.lower()
+    ]
+    field = matches[0] if matches else df.schema[ts_col]
     if isinstance(field.dataType, T.TimestampNTZType):
         return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df

@@ -149,3 +149,26 @@ def test_write_csv_single_glob_metachars(spark, tmp_path):
     assert lines[0] == "c1,c2" and lines[1] == "a,1"
     import os
     assert not os.path.exists(path + ".__tmp__")  # temp never leaks
+
+
+def test_fixed_width_rejects_line_breaks_and_nulls_strings(spark, tmp_path):
+    """r10 review: a value containing \\n used to split one record over
+    two physical lines, silently misaligning every later column; it now
+    fails the write loudly. All-blank string fields read back NULL (the
+    writer emits blanks for NULL — the format cannot tell NULL from
+    '')."""
+    import pytest
+
+    from etl_excel_csv_sql_spark.io import fixed_width as fw
+
+    spec = [("id", 4, "bigint"), ("name", 8, "string")]
+    bad = spark.createDataFrame([(1, "AB\nCD")], "id long, name string")
+    with pytest.raises(Exception, match="line break"):
+        fw.write_fixed_width(bad, str(tmp_path / "bad"), spec)
+
+    ok = spark.createDataFrame([(1, None), (2, "x")], "id long, name string")
+    path = str(tmp_path / "ok")
+    fw.write_fixed_width(ok, path, spec)
+    got = {r["id"]: r for r in fw.read_fixed_width(spark, path, spec).collect()}
+    assert got[1]["name"] is None
+    assert got[2]["name"] == "x"

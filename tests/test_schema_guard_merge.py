@@ -118,3 +118,30 @@ def test_scd2_apply_empty_tracked_cols(spark):
     rows = {(r.id, r.valid_to is None) for r in out.collect()}
     # key 1 unchanged (still open), key 2 newly opened
     assert rows == {(1, True), (2, True)}
+
+
+def test_read_csv_checked_multi_file_reordered_member_quarantined(
+    spark, tmp_path
+):
+    """r10 review: with a directory path Spark takes the header from the
+    FIRST file and maps sibling files' rows POSITIONALLY — a reordered
+    sibling loaded with values swapped into the wrong columns while the
+    guard reported ok. Every member file's own header is now checked."""
+    import os
+
+    from etl_excel_csv_sql_spark.io.schema_guard import read_csv_checked
+
+    d = tmp_path / "feed"; d.mkdir()
+    (d / "f1.csv").write_text("id,amount,date\n1,10,2024-01-01\n")
+    (d / "f2.csv").write_text("id,date,amount\n2,2024-01-02,20\n")
+    assert read_csv_checked(
+        spark, str(d), ["id", "amount", "date"]
+    ) is None
+
+    # consistent members load fine
+    (d / "f2.csv").write_text("id,amount,date\n2,20,2024-01-02\n")
+    out = read_csv_checked(spark, str(d), ["id", "amount", "date"])
+    rows = {r.id: r for r in out.collect()}
+    assert rows["2"].amount == "20" and rows["2"].date == "2024-01-02"
+    assert len(rows) == 2
+    assert os.listdir(d)  # nothing quarantined

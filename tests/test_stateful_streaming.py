@@ -57,3 +57,20 @@ def test_state_accumulates_across_restarts(spark, tmp_path):
     second = _drain(spark, str(drop), ckpt, str(tmp_path / "out2"))
     assert second == {1: (1, 3), 3: (1, 1)}
     assert os.path.isdir(os.path.join(ckpt, "state"))  # state store on disk
+
+
+def test_running_totals_custom_key_column_and_schema(spark):
+    """r10 review: the output key column follows user_col (it was
+    hardcoded 'user_id'), keeps the input's type, and is declared
+    nullable so a null grouping key cannot crash the Arrow boundary."""
+    from etl_excel_csv_sql_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    events = spark.createDataFrame(
+        [("a", 1), ("a", 2), (None, 3)], "account_id string, x int"
+    )
+    out = running_user_totals(events, user_col="account_id")
+    assert out.columns == ["account_id", "batch_events", "total_events"]
+    f = out.schema.fields[0]
+    assert f.dataType.simpleString() == "string" and f.nullable
