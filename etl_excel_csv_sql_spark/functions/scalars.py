@@ -26,6 +26,12 @@ EXCEL_ORIGIN_TRUE = "1899-12-30"
 #: days from Excel's displayed dates. Kept for byte-compat mode.
 EXCEL_ORIGIN_REFERENCE = "1900-01-01"
 
+#: Serial day numbers representable as .NET DateTime from the true
+#: origin ([0001-01-01, 9999-12-31]) — the reference's AddDays throws
+#: (→ null) outside it. Shared with quarantine range checks so the
+#: import pipeline and the scalar stay in lockstep.
+EXCEL_SERIAL_RANGE: tuple[float, float] = (-693_593.0, 2_958_465.0)
+
 #: Keywords the reference wraps in double brackets (CSVtoSQLimport.ps1:63-75),
 #: plus UNION (absent there — an engine addition). The reference's own
 #: matching is CASE-SENSITIVE substring .Replace in list order (so "Select"
@@ -80,8 +86,8 @@ def excel_serial_to_timestamp(
     # KILLS the whole batch in timestamp_seconds' long multiply —
     # contradicting the log-and-null contract (code-review r9 catch).
     serial_d = _col(serial).try_cast("double")
-    in_range = (serial_d >= F.lit(-693_593.0)) & (
-        serial_d <= F.lit(2_958_465.0)
+    in_range = (serial_d >= F.lit(EXCEL_SERIAL_RANGE[0])) & (
+        serial_d <= F.lit(EXCEL_SERIAL_RANGE[1])
     )
     seconds = F.round(serial_d * F.lit(86400.0)).cast("long")
     base = F.unix_timestamp(F.to_timestamp(F.lit(f"{origin} 00:00:00")))

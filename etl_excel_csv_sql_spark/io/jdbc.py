@@ -218,7 +218,10 @@ class ParquetFullRefreshSink:
 
 
 def quarantine_split(
-    df: DataFrame, typed_casts: dict[str, str], pk: str | None = None
+    df: DataFrame,
+    typed_casts: dict[str, str],
+    pk: str | None = None,
+    range_checks: dict[str, tuple[float, float]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """T3: split ``df`` into (good, quarantined) before the sink write.
 
@@ -227,15 +230,31 @@ def quarantine_split(
     null — the exact twin of DuckDB TRY_CAST, and ANSI-safe: Spark 4's
     default ANSI ``cast`` would throw) or when ``pk`` is null/empty (the
     reference skips those rows silently, CSVtoSQLimport.ps1:229; we
-    surface them). ``good`` carries the cast columns; ``quarantined``
-    keeps the original row plus a ``_reject_reason``. Both are pure column
-    expressions — narrow, no shuffle, one source scan feeding two sinks."""
+    surface them). ``range_checks``: column → (lo, hi) inclusive bounds on
+    the numeric value — a value that CASTS fine but is out of domain
+    (e.g. an Excel serial no DateTime can hold) is just as poisonous as
+    one that doesn't parse, and without the check it sailed into the
+    sink as a silent NULL (r10 review). ``good`` carries the cast
+    columns; ``quarantined`` keeps the original row plus a
+    ``_reject_reason``. Both are pure column expressions — narrow, no
+    shuffle, one source scan feeding two sinks."""
     bad_conds = []
     reasons = []
     for col, dtype in typed_casts.items():
         failed = F.col(col).isNotNull() & F.col(col).try_cast(dtype).isNull()
         bad_conds.append(failed)
         reasons.append(F.when(failed, F.lit(f"cast({col} as {dtype})")))
+    for col, (lo, hi) in (range_checks or {}).items():
+        v = F.col(col).try_cast("double")
+        failed = (
+            F.col(col).isNotNull()
+            & v.isNotNull()
+            & ((v < F.lit(lo)) | (v > F.lit(hi)))
+        )
+        bad_conds.append(failed)
+        reasons.append(
+            F.when(failed, F.lit(f"range({col} not in [{lo}, {hi}])"))
+        )
     if pk is not None:
         pk_bad = F.col(pk).isNull() | (F.col(pk).cast("string") == "")
         bad_conds.append(pk_bad)

@@ -2256,7 +2256,10 @@ def q_dpp_partition_pruned_revenue(spark, sf_dir):
     from etl_excel_csv_sql_spark.catalog import load_table
     from etl_excel_csv_sql_spark.io.warehouse import write_partitioned
 
-    scratch = _scratch("dpp_" + os.path.basename(sf_dir.rstrip("/")))
+    # _scratch_keep: _scratch wipes the directory per call, which made
+    # the build-once marker dead code — the partitioned table was
+    # rewritten on every invocation (r10 review)
+    scratch = _scratch_keep("dpp_" + os.path.basename(sf_dir.rstrip("/")))
     path = os.path.join(scratch, "orders_by_year")
     marker = os.path.join(scratch, ".written")
     if not os.path.exists(marker):

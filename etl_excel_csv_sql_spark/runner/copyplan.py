@@ -49,11 +49,24 @@ def execute_copy_plan(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
 
+    def anchored(root: str, component: str) -> str | None:
+        # os.path.join DISCARDS the root when the component is absolute
+        # (r10 review): a SubFolder of '' composed '/name.pdf' and the
+        # copy escaped src_root entirely (a crafted '/etc/...' or
+        # '../..' would read/write arbitrary paths) — DB-sourced
+        # components are anchored under the root and containment-checked
+        base = os.path.normpath(root)
+        p = os.path.normpath(os.path.join(base, component.lstrip("/\\")))
+        return p if p == base or p.startswith(base + os.sep) else None
+
     def run_partition(it):
         os.makedirs(dst_root, exist_ok=True)
         for row in it:
-            src = os.path.join(src_root, row.src)
-            dst = os.path.join(dst_root, row.dst)
+            src = anchored(src_root, row.src)
+            dst = anchored(dst_root, row.dst)
+            if src is None or dst is None:
+                missing.add(1)  # escape attempt = not a servable file
+                continue
             if not os.path.exists(src):
                 missing.add(1)  # reference logs NotFatal and continues (:97)
                 continue
@@ -61,7 +74,18 @@ def execute_copy_plan(
             if os.path.exists(dst):
                 skipped.add(1)  # idempotent re-run (:107)
                 continue
-            shutil.copyfile(src, dst)
+            # copy via temp + atomic rename (r10 review): a task killed
+            # mid-copyfile left a TRUNCATED dst that the exists-skip
+            # then treated as done on every retry and re-run — the
+            # corrupt file was counted handled forever. os.replace
+            # guarantees dst only ever holds complete bytes.
+            tmp = f"{dst}.__copying_{os.getpid()}"
+            try:
+                shutil.copyfile(src, tmp)
+                os.replace(tmp, dst)
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
             copied.add(1)
 
     rows.foreachPartition(run_partition)

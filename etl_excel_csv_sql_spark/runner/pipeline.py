@@ -109,11 +109,16 @@ def import_csv_to_table(spark: SparkSession, job: CsvImportJob) -> dict[str, Out
     batch is logged NotFatal and every file stays queued (T2/T3)."""
     import os
 
-    target = f"{job.source_name}.csv" if job.source_name else None
+    # case-insensitive name match (r10 review): FolderQueue.pending()
+    # matches the suffix case-insensitively for exactly this reason —
+    # the reference runs on NTFS where 'Orders.CSV' satisfies
+    # Test-Path 'orders.csv'; a case-sensitive basename compare left
+    # such a file pending forever, never imported and never logged
+    target = f"{job.source_name}.csv".lower() if job.source_name else None
     pending = [
         p
         for p in job.queue.pending()
-        if target is None or os.path.basename(p) == target
+        if target is None or os.path.basename(p).lower() == target
     ]
     if not pending:
         return {}
@@ -130,9 +135,21 @@ def import_csv_to_table(spark: SparkSession, job: CsvImportJob) -> dict[str, Out
                 out = out.withColumn(c, sanitize_sql_string(F.col(c)))
         # row-level quarantine BEFORE conversion: a non-null value that is
         # not a valid Excel serial in a configured datetime field is poison
-        # (the reference logs-and-nulls per cell, CSVtoSQLimport.ps1:85-91)
-        casts = {c: "double" for c in job.datetime_fields if c in df.columns}
-        good, bad = quarantine_split(out, casts, pk=job.pk)
+        # (the reference logs-and-nulls per cell, CSVtoSQLimport.ps1:85-91).
+        # The range check quarantines serials that CAST fine but exceed
+        # the DateTime domain — they previously sailed into the sink as
+        # silent NULLs (r10 review)
+        from etl_excel_csv_sql_spark.functions.scalars import (
+            EXCEL_SERIAL_RANGE,
+        )
+
+        dt_cols = [c for c in job.datetime_fields if c in df.columns]
+        good, bad = quarantine_split(
+            out,
+            {c: "double" for c in dt_cols},
+            pk=job.pk,
+            range_checks={c: EXCEL_SERIAL_RANGE for c in dt_cols},
+        )
         for c in job.datetime_fields:
             if c in good.columns:
                 good = good.withColumn(
@@ -143,35 +160,61 @@ def import_csv_to_table(spark: SparkSession, job: CsvImportJob) -> dict[str, Out
                     ),
                 )
         good = good.select(*cols)
-        job.sink.full_refresh(good)
-        if job.quarantine_sink is not None:
-            job.quarantine_sink.full_refresh(bad)
-        else:
-            n_bad = bad.count()
-            if n_bad:
-                job.queue.errorlog.log(
-                    f"{n_bad} rows quarantined from batch {pending}",
-                    fatal=False,
-                )
+        # pin the shared lineage across the two sink actions (r10
+        # review): with quarantine_sink=None, bad.count() used to
+        # re-read and re-sanitize every pending CSV from scratch — the
+        # whole ingestion scan ran twice per cycle
+        out = out.persist()
+        try:
+            job.sink.full_refresh(good)
+            if job.quarantine_sink is not None:
+                job.quarantine_sink.full_refresh(bad)
+            else:
+                n_bad = bad.count()
+                if n_bad:
+                    job.queue.errorlog.log(
+                        f"{n_bad} rows quarantined from batch {pending}",
+                        fatal=False,
+                    )
+        finally:
+            out.unpersist()
     except Exception as exc:  # log-and-continue (CSVtoSQLimport.ps1:175-180)
         job.queue.errorlog.log(f"{exc} (batch {pending} left for next cycle)")
         return {p: Outcome.SKIPPED for p in pending}
 
-    # Archive under the same log-and-continue contract as processing: a
-    # failed move must not raise out of the cycle, and files archived
-    # before a failure must still appear in the outcome map.
-    outcomes: dict[str, Outcome] = {}
+    # Archive under the same log-and-continue contract as processing —
+    # but ATOMICALLY for the batch (r10 review): with a multi-file
+    # full-refresh batch, archiving some files and leaving others
+    # queued means the NEXT cycle's refresh contains only the leftover
+    # files and silently ERASES the archived files' rows from the sink.
+    # On any failed move, already-archived members are moved back into
+    # the drop folder so the whole batch retries together (the refresh
+    # is idempotent, so re-importing it is safe).
+    import shutil
+
+    archived: list[tuple[str, str]] = []  # (original, archived_dest)
+    failed_at: str | None = None
     for p in pending:
         try:
-            job.queue.archive(p)
+            dest = job.queue.archive(p)
         except OSError as exc:
             job.queue.errorlog.log(
-                f"{exc} (archive failed; {p} left for next cycle)"
+                f"{exc} (archive failed; batch retried next cycle)"
             )
-            outcomes[p] = Outcome.SKIPPED
-        else:
-            outcomes[p] = Outcome.PROCESSED
-    return outcomes
+            failed_at = p
+            break
+        archived.append((p, dest))
+    if failed_at is None:
+        return {p: Outcome.PROCESSED for p in pending}
+    for original, dest in archived:
+        try:
+            if not os.path.exists(original):
+                shutil.move(dest, original)
+        except OSError as exc:  # best effort; the sink already has the data
+            job.queue.errorlog.log(
+                f"{exc} (could not return {dest} to the drop folder)"
+            )
+    return {p: Outcome.SKIPPED for p in pending}
 
 
 # ---------------------------------------------------------------------------

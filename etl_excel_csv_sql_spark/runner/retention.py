@@ -45,13 +45,20 @@ def retention_sweep(
             mtime = entry.stat().st_mtime
             if mtime >= horizon:
                 continue
+            deleted = delete
             if delete:
-                os.remove(entry.path)
+                # skip-and-report, like every other runner module (r10
+                # review): one locked/permission-denied file used to
+                # abort the whole sweep AND discard the partial report
+                try:
+                    os.remove(entry.path)
+                except OSError:
+                    deleted = False
             swept.append(
                 SweptFile(
                     path=entry.path,
                     age_days=(now - mtime) / 86400.0,
-                    deleted=delete,
+                    deleted=deleted,
                 )
             )
     return swept

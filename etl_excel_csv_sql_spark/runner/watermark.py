@@ -65,8 +65,17 @@ class WatermarkStore:
         (ExcelToCSVexport.ps1:165). The observed mtime is captured for
         commit: committing the PRE-read value means a modification landing
         while the batch runs leaves the file pending for the next run
-        instead of being silently absorbed."""
-        mtime = os.stat(path).st_mtime
+        instead of being silently absorbed.
+
+        A missing file is simply "nothing to process" (False) — the
+        settings can reference a workbook that has not been dropped yet
+        (or was consumed by another job), and an uncaught
+        FileNotFoundError here used to kill the remaining sources'
+        exports in a multi-source loop (r10 review)."""
+        try:
+            mtime = os.stat(path).st_mtime
+        except FileNotFoundError:
+            return False
         # keyed by (source, path): a source checked against several paths
         # in one cycle must not commit whichever path was stat'd last
         self._observed[(source, path)] = mtime

@@ -402,3 +402,175 @@ def test_folder_queue_pending_case_insensitive_suffix(tmp_path):
     (drop / "UPPER.CSV").write_text("x")
     q = FolderQueue(str(drop), str(tmp_path / "d"), str(tmp_path / "e"))
     assert [p.endswith("UPPER.CSV") for p in q.pending()] == [True]
+
+
+def test_import_case_insensitive_source_match(spark, tmp_path):
+    """r10 review: FolderQueue matches *.CSV case-insensitively, but the
+    per-source basename compare was case-sensitive — 'Orders.CSV'
+    (normal on the reference's NTFS) sat pending forever."""
+    from etl_excel_csv_sql_spark.io.jdbc import ParquetFullRefreshSink
+    from etl_excel_csv_sql_spark.runner.folder_queue import (
+        FolderQueue,
+        Outcome,
+    )
+    from etl_excel_csv_sql_spark.runner.pipeline import (
+        CsvImportJob,
+        import_csv_to_table,
+    )
+
+    drop = tmp_path / "drop"; drop.mkdir()
+    (drop / "Orders.CSV").write_text("id,who\n1,amy\n")
+    q = FolderQueue(str(drop), str(tmp_path / "done"), str(tmp_path / "err"))
+    sink = ParquetFullRefreshSink(str(tmp_path / "sink"))
+    job = CsvImportJob(
+        pk="id", fields=None, datetime_fields=[], sink=sink, queue=q,
+        sanitize=False, source_name="orders",
+    )
+    got = import_csv_to_table(spark, job)
+    assert list(got.values()) == [Outcome.PROCESSED]
+
+
+def test_import_quarantines_out_of_range_serial(spark, tmp_path):
+    """r10 review: a serial like 200000000 CASTS to double fine but no
+    DateTime can hold it — it used to sail into the sink as a silent
+    NULL; it is poison and must be quarantined like a non-numeric."""
+    from etl_excel_csv_sql_spark.io.jdbc import ParquetFullRefreshSink
+    from etl_excel_csv_sql_spark.runner.folder_queue import FolderQueue
+    from etl_excel_csv_sql_spark.runner.pipeline import (
+        CsvImportJob,
+        import_csv_to_table,
+    )
+
+    drop = tmp_path / "drop"; drop.mkdir()
+    (drop / "f.csv").write_text(
+        "id,when\n1,45123.5\n2,200000000\n3,oops\n"
+    )
+    q = FolderQueue(str(drop), str(tmp_path / "done"), str(tmp_path / "err"))
+    sink = ParquetFullRefreshSink(str(tmp_path / "sink"))
+    qsink = ParquetFullRefreshSink(str(tmp_path / "qsink"))
+    job = CsvImportJob(
+        pk="id", fields=None, datetime_fields=["when"], sink=sink, queue=q,
+        sanitize=False, quarantine_sink=qsink,
+    )
+    import_csv_to_table(spark, job)
+    good_ids = {r.id for r in sink.read(spark).collect()}
+    bad = {r.id: r._reject_reason for r in qsink.read(spark).collect()}
+    assert good_ids == {"1"}
+    assert set(bad) == {"2", "3"}
+    assert "range" in bad["2"] and "cast" in bad["3"]
+
+
+def test_import_archive_rollback_keeps_batch_together(spark, tmp_path):
+    """r10 review: with a multi-file full-refresh batch, archiving A but
+    failing on B meant the NEXT cycle refreshed with only B — silently
+    erasing A's rows from the sink while A sat in Processed/. A failed
+    archive now rolls the already-archived members back into the drop
+    folder so the whole batch retries together."""
+    from unittest import mock
+
+    from etl_excel_csv_sql_spark.io.jdbc import ParquetFullRefreshSink
+    from etl_excel_csv_sql_spark.runner.folder_queue import (
+        FolderQueue,
+        Outcome,
+    )
+    from etl_excel_csv_sql_spark.runner.pipeline import (
+        CsvImportJob,
+        import_csv_to_table,
+    )
+
+    drop = tmp_path / "drop"; drop.mkdir()
+    (drop / "a.csv").write_text("id,v\n1,10\n")
+    (drop / "b.csv").write_text("id,v\n2,20\n")
+    q = FolderQueue(str(drop), str(tmp_path / "done"), str(tmp_path / "err"))
+    sink = ParquetFullRefreshSink(str(tmp_path / "sink"))
+    job = CsvImportJob(
+        pk="id", fields=None, datetime_fields=[], sink=sink, queue=q,
+        sanitize=False,
+    )
+
+    real_archive = q.archive
+
+    def failing_archive(path, now=None):
+        if path.endswith("b.csv"):
+            raise OSError("simulated lock")
+        return real_archive(path, now)
+
+    with mock.patch.object(q, "archive", side_effect=failing_archive):
+        got = import_csv_to_table(spark, job)
+    assert set(got.values()) == {Outcome.SKIPPED}
+    # a.csv is back in the drop folder; nothing lingers in Processed/
+    import os
+
+    assert sorted(os.listdir(drop)) == ["a.csv", "b.csv"]
+    # next cycle re-imports the FULL batch
+    got2 = import_csv_to_table(spark, job)
+    assert set(got2.values()) == {Outcome.PROCESSED}
+    assert {r.id for r in sink.read(spark).collect()} == {"1", "2"}
+
+
+def test_watermark_missing_file_returns_false(tmp_path):
+    """r10 review: a settings-referenced workbook that has not been
+    dropped yet is 'nothing to process', not an uncaught
+    FileNotFoundError that kills the remaining sources' exports."""
+    from etl_excel_csv_sql_spark.runner.watermark import WatermarkStore
+
+    store = WatermarkStore(str(tmp_path / "wm"))
+    assert store.should_process("book", str(tmp_path / "nope.xlsx")) is False
+
+
+def test_retention_sweep_skips_locked_files(tmp_path):
+    """r10 review: one undeletable file must not abort the sweep and
+    discard the partial report — it is reported deleted=False."""
+    import os
+    import time
+    from unittest import mock
+
+    from etl_excel_csv_sql_spark.runner.retention import retention_sweep
+
+    d = tmp_path / "logs"; d.mkdir()
+    old = time.time() - 90 * 86400
+    for name in ("a.log", "b.log", "c.log"):
+        p = d / name
+        p.write_text("x")
+        os.utime(p, (old, old))
+
+    real_remove = os.remove
+
+    def failing_remove(path):
+        if path.endswith("b.log"):
+            raise PermissionError("locked")
+        real_remove(path)
+
+    with mock.patch(
+        "etl_excel_csv_sql_spark.runner.retention.os.remove",
+        side_effect=failing_remove,
+    ):
+        swept = retention_sweep([str(d)], max_age_days=30)
+    by_name = {s.path.split("/")[-1]: s.deleted for s in swept}
+    assert by_name == {"a.log": True, "b.log": False, "c.log": True}
+    assert sorted(os.listdir(d)) == ["b.log"]
+
+
+def test_copy_plan_rejects_root_escapes(spark, tmp_path):
+    """r10 review: absolute or traversal components from DB rows must
+    not escape src_root/dst_root (os.path.join discards the root on an
+    absolute component)."""
+    from etl_excel_csv_sql_spark.runner.copyplan import execute_copy_plan
+
+    src_root = tmp_path / "src"; src_root.mkdir()
+    dst_root = tmp_path / "dst"
+    (src_root / "ok.pdf").write_text("data")
+    plan = spark.createDataFrame(
+        [
+            ("ok.pdf", "out.pdf"),
+            ("/etc/hostname", "stolen.pdf"),
+            ("../../outside.pdf", "esc.pdf"),
+        ],
+        "src_path string, dst_name string",
+    )
+    counts = execute_copy_plan(plan, str(src_root), str(dst_root))
+    assert counts["copied"] == 1
+    assert counts["missing"] == 2
+    import os
+
+    assert sorted(os.listdir(dst_root)) == ["out.pdf"]
