@@ -203,8 +203,15 @@ def main() -> int:
         # the UI REST API — scheduled-CPU, excludes host-load queue wait.
         # null (not 0.0) when the UI probe failed all round: a 0.0 would
         # read as an impossibly perfect score downstream (ADVICE r5 #2).
+        # null ALSO on PARTIAL coverage (r10 review): a sum over 13 of
+        # 18 queries read as a big round-over-round exec improvement;
+        # the per-query map stays for whatever did land.
         "queries_exec": exec_sec,
-        "value_exec": round(sum(exec_sec.values()), 3) if exec_sec else None,
+        "value_exec": (
+            round(sum(exec_sec.values()), 3)
+            if exec_sec and set(exec_sec) == set(best)
+            else None
+        ),
         # per-query load1 sampled just before each query's passes
         "queries_load1": load1_q,
     }

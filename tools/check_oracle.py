@@ -37,13 +37,23 @@ def non_scalar_columns(sdf) -> list[str]:
 
 
 def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    # lowercase BEFORE sorting (r10 review): the schema gate compares
+    # names case-insensitively, but a case-sensitive sort ('Z_total' <
+    # 'a_key' in ASCII) paired mixed-case frames column-crosswise and
+    # produced spurious mismatches (or masked real ones)
+    df = df.rename(columns={c: c.lower() for c in df.columns})
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize cell values to comparable primitives — scalars only; the
     # non_scalar_columns() gate has already rejected array/map/struct
     # outputs, mirroring the driver's canonicalizer
+    import numpy as np
+
     def norm_cell(v):
-        if isinstance(v, float):
-            return round(v, 9)
+        # np.floating too (r10 review): Spark FloatType → np.float32,
+        # which is NOT a float subclass — it skipped the 9-decimal
+        # tolerance and false-mismatched against DuckDB doubles
+        if isinstance(v, (float, np.floating)):
+            return round(float(v), 9)
         if hasattr(v, "isoformat"):
             return v.isoformat()
         return v

@@ -66,6 +66,14 @@ def load_history() -> dict[str, list[tuple[int, str]]]:
                 status = "err"
             elif rec.get("hash_match"):
                 status = "pass"
+            elif rec.get("hash_match") is False or rec.get(
+                "rows_match"
+            ) is False:
+                # an ORACLE row that ran and MISMATCHED (r10 review):
+                # the old fallthrough called this green 'rows-only',
+                # counted it toward breadth demotion, and never
+                # re-prioritized the query the driver just flagged wrong
+                status = "err"
             elif rec.get("rows_match") or rec.get("spark_rows") is not None:
                 status = "rows-only"
             else:
@@ -148,9 +156,16 @@ def main() -> int:
         # pass, oracle-less ones rows-only), then plan next_round
         assumed = next_round - 1
         for name in WINDOW_ORDER:
+            runs = hist.setdefault(name, [])
+            if any(rnd == assumed for rnd, _ in runs):
+                # a REAL record for that round exists — never let the
+                # fabricated green supersede it (the tuple sort put
+                # 'err' < 'pass', so an actual driver error vanished
+                # from tier-0, r10 review)
+                continue
             status = "pass" if name in oracles else "rows-only"
-            hist.setdefault(name, []).append((assumed, status))
-            hist[name].sort()
+            runs.append((assumed, status))
+            runs.sort()
         print(f"[projection: current WINDOW_ORDER assumed green in r{assumed}]")
 
     window, demoted, rows = plan(queries, oracles, tiers, hist, next_round)

@@ -94,9 +94,12 @@ def build_scaled(mult: int, docs_only: bool = False) -> str:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
-    docs = pq.read_table(os.path.join(BASE_SF, "documents.parquet"))
-    d = docs.to_pylist()
     if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
+        # read only when actually building (r10 review: materializing
+        # the whole base corpus to a Python list before the existence
+        # check wasted seconds + peak RSS on every rebuild path)
+        docs = pq.read_table(os.path.join(BASE_SF, "documents.parquet"))
+        d = docs.to_pylist()
         rows = []
         for k in range(mult):
             for r in d:
@@ -138,7 +141,11 @@ def _ensure_scaled_embeddings(out_dir: str, mult: int) -> None:
     import pyarrow.parquet as pq
 
     target = os.path.join(out_dir, "embeddings.parquet")
-    if os.path.exists(target):
+    # version sidecar: v2 = k-keyed sign-pattern transform; a pre-r10
+    # corpus (single-flip, cycles at k=dim) must rebuild, not silently
+    # feed duplicate-ridden vectors to the probes
+    ver = os.path.join(out_dir, ".emb_v2")
+    if os.path.exists(target) and os.path.exists(ver):
         return
     emb = pq.read_table(os.path.join(BASE_SF, "embeddings.parquet"))
     e = emb.to_pylist()
@@ -150,8 +157,16 @@ def _ensure_scaled_embeddings(out_dir: str, mult: int) -> None:
                 dim = len(vec)
                 rot = k % dim
                 vec = vec[rot:] + vec[:rot]
+                # k-keyed SIGN PATTERN over the whole vector instead of
+                # one flipped element (r10 review): rotate+single-flip
+                # cycles with period dim (=64), so at x100 replicas k
+                # and k+64 were byte-identical — exact-dup cliques, the
+                # precise failure the derivation exists to avoid. Bits
+                # of a k-seeded hash give each replica a distinct
+                # orthogonal (norm-preserving) transform for any mult.
+                sign_bits = random.Random(k).getrandbits(dim)
                 vec = [
-                    -x if (i % dim) == (k % dim) else x
+                    -x if (sign_bits >> i) & 1 else x
                     for i, x in enumerate(vec)
                 ]
             erows.append(
@@ -164,6 +179,8 @@ def _ensure_scaled_embeddings(out_dir: str, mult: int) -> None:
     tmp = target + ".tmp"
     pq.write_table(pa.Table.from_pylist(erows, schema=emb.schema), tmp)
     os.replace(tmp, target)
+    with open(ver, "w") as fh:
+        fh.write("ok")
     log(f"scale_probe: wrote {len(erows)} embeddings (x{mult})")
 
 
@@ -242,7 +259,12 @@ def _ensure_scaled_lineitem(out_dir: str, mult: int) -> None:
         parts.append(t)
     import pyarrow as pa
 
-    pq.write_table(pa.concat_tables(parts), target)
+    # tmp + atomic replace (r10 review): existence IS the completion
+    # marker, so a crash mid-write (plausible: mult x 600k rows in
+    # memory) left a truncated file every later run trusted
+    tmp = target + ".tmp"
+    pq.write_table(pa.concat_tables(parts), tmp)
+    os.replace(tmp, target)
     log(f"scale_probe: wrote {sum(len(p) for p in parts)} lineitem rows (x{mult})")
 
 
@@ -348,18 +370,30 @@ def main() -> int:
     results = {}
     for sf_label, sf_dir in (("sf0.1", BASE_SF), (f"sf0.1x{mult}", scaled_dir)):
         for name in probes:
+            # skip-and-report per query (r10 review): a typo'd --queries
+            # name or one failing query used to abort the whole probe
+            # AFTER the expensive corpus build, losing the summary for
+            # everything already measured
+            if name not in queries:
+                log(f"scale_probe: UNKNOWN query {name!r} — skipped")
+                continue
             qdir = (
                 ts_dir
                 if (name in TOKEN_SET_PROBES and sf_dir != BASE_SF)
                 else sf_dir
             )
             runs = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                queries[name](spark, qdir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                runs.append(round(time.perf_counter() - t0, 3))
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    queries[name](spark, qdir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    runs.append(round(time.perf_counter() - t0, 3))
+            except Exception as exc:
+                log(f"scale_probe: {name} @ {sf_label} FAILED: "
+                    f"{str(exc)[:200]}")
+                continue
             results[(name, sf_label)] = runs
             log(f"scale_probe: {name} @ {sf_label}: run1 {runs[0]}s run2 {runs[1]}s")
             with open(hist, "a") as fh:
@@ -380,6 +414,10 @@ def main() -> int:
 
     summary = {}
     for name in probes:
+        if (name, "sf0.1") not in results or (
+            name, f"sf0.1x{mult}"
+        ) not in results:
+            continue  # failed/unknown above — already logged
         base = results[(name, "sf0.1")][1]
         big = results[(name, f"sf0.1x{mult}")][1]
         summary[name] = {

@@ -110,6 +110,17 @@ def build_skewed() -> str:
     docs = docs.set_column(
         tidx, "text", pc.if_else(hot, hot_text, docs.column("text"))
     )
+    # recompute n_chars for the appended token (r10 review): the corpus
+    # invariant is n_chars == len(text); a stale value would silently
+    # break any future size-partitioned probe over 90% of rows
+    nidx = docs.schema.get_field_index("n_chars")
+    docs = docs.set_column(
+        nidx,
+        "n_chars",
+        pc.utf8_length(docs.column("text")).cast(
+            docs.schema.field("n_chars").type
+        ),
+    )
     pq.write_table(docs, os.path.join(out_dir, "documents.parquet"))
     log(f"skew_probe: wrote {len(docs)} documents (90% hot lang/source/token)")
 
