@@ -284,20 +284,21 @@ def minhash_signatures(
             ]
         ),
     )
-    # NULL text yields a NULL signature, not a constant one (r10 review):
-    # word_shingle_hashes' [null] guard protects POSTING keys, but here
-    # the fold's xxhash64(lit(i), null) SKIPS the null child and returns
-    # the per-lane seed hash — every null-text doc would share one
-    # signature, every band bucket, and est_jaccard 1.0 with every other
-    # null doc (quadratic candidates on a null-heavy corpus). _band_keys
-    # drops null signatures so nulls never enter any bucket, mirroring
-    # the never-equi-join-nulls contract of the string path. The guard
-    # tests the TEXT column (null text ⟺ [null] hash array), not the
-    # hash array — re-using `hashes` in a when() would re-evaluate the
-    # whole tokenize→shingle fold input per row.
-    sig = F.when(F.col(text_col).isNotNull(), sig)
-    return spread_for_compute(df).select(
-        F.col(id_col).alias("id"), sig.alias("signature")
+    # NULL-text docs get NO signature row at all (r10 review): the
+    # fold's xxhash64(lit(i), null) SKIPS the null child and returns the
+    # per-lane seed hash — every null-text doc would share one constant
+    # signature, every band bucket, and est_jaccard 1.0 with every
+    # other null doc (quadratic candidates on a null-heavy corpus),
+    # where the string path (and the DuckDB oracles) never equi-join
+    # nulls. Filtering the TEXT column upstream is the cheap shape: a
+    # when()-wrapped signature plus a downstream IS NOT NULL filter
+    # measured 2.7x on the headline query, because predicate pushdown
+    # re-inlines the whole 32-lane fold into the filter (and
+    # CollapseProject into each band slice).
+    return (
+        spread_for_compute(df)
+        .where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), sig.alias("signature"))
     )
 
 
@@ -305,9 +306,11 @@ def _band_keys(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(id, band, bucket) LSH keys: xxhash64 of each band's signature
     slice (arrays hash directly — no string building). Python-level
     loop: slice offsets are compile-time ints. Narrow map, no shuffle.
-    NULL signatures (null-text docs) are dropped — xxhash64 of a null
-    slice is a constant, which would put every null doc in one shared
-    bucket per band. Invalid band counts fail loudly (r10 review):
+    Input contract: ``sigs`` carries no null signatures —
+    minhash_signatures (the only producer) drops null-text docs at the
+    source; re-filtering HERE would push the predicate through the
+    projection and re-inline the whole lane fold (measured 2.7x on the
+    headline query). Invalid band counts fail loudly (r10 review):
     bands > num_hashes made every slice empty (ONE global bucket — the
     full O(n²) cross product), and a non-divisor silently dropped the
     trailing lanes from the documented recall math."""
@@ -317,7 +320,6 @@ def _band_keys(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             f"num_hashes={num_hashes})"
         )
     rows_per_band = num_hashes // bands
-    sigs = sigs.where(F.col("signature").isNotNull())
     return sigs.select(
         "id",
         F.explode(

@@ -580,7 +580,10 @@ def test_minhash_null_text_docs_never_pair(spark):
     )
     sigs = {r.id: r.signature for r in minhash_signatures(
         df, "doc_id", "text").collect()}
-    assert sigs[1] is None and sigs[2] is None
+    # null-text docs emit NO signature row at all (cheaper than a null
+    # signature + downstream filter, which predicate pushdown re-inlined
+    # as a second full lane fold — measured 2.7x on the headline query)
+    assert 1 not in sigs and 2 not in sigs
     assert sigs[3] == sigs[4] and sigs[3] is not None
     pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
         df, "doc_id", "text", threshold=0.9).collect()}
