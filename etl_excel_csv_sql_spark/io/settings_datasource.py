@@ -60,12 +60,29 @@ class KvSettingsReader(DataSourceReader):
 
     def partitions(self):
         # one partition per settings file — planned on the driver from a
-        # cheap directory listing; file CONTENT is read on executors
-        from etl_excel_csv_sql_spark.io.settings import discover_settings
+        # LISTING ONLY (glob + basename strip); file CONTENT is read on
+        # executors. discover_settings() would eagerly parse every file
+        # on the driver and discard the values (r10 review) — for the
+        # 100k-file catalogs this source exists for, planning alone
+        # would cost more driver I/O than the loop it replaces.
+        import glob as _glob
+        import os
 
+        paths = sorted(
+            _glob.glob(
+                os.path.join(_glob.escape(self.folder), f"*{self.suffix}")
+            )
+        )
         return [
-            _SettingsFilePartition(e.source_name, e.path)
-            for e in discover_settings(self.folder, self.suffix)
+            _SettingsFilePartition(
+                (
+                    os.path.basename(p).removesuffix(self.suffix)
+                    if self.suffix
+                    else os.path.basename(p)
+                ),
+                p,
+            )
+            for p in paths
         ]
 
     def read(self, partition: _SettingsFilePartition):

@@ -269,6 +269,27 @@ def q_jdbc_live_roundtrip(spark, sf_dir):
     # hand back a cached engine over deleted files. A fresh path per call
     # sidesteps the boot cache; stale dirs from prior sessions are wiped
     # when their (name, seq) recurs in a new JVM.
+    #
+    # The PREVIOUS run's database is shut down first (r10 review):
+    # embedded Derby keeps every booted database's page cache and file
+    # handles alive for the JVM's lifetime, so a soak session booted
+    # engines without bound. ';shutdown=true' raises 08006 on success —
+    # Derby's documented contract, not an error — and the prior
+    # invocation's frame has already been consumed by the driver gate.
+    prev = _DERBY_RUN_SEQ[0]
+    if prev:
+        prev_db = os.path.join(
+            _SCRATCH_ROOT,
+            f"jdbc_derby_{os.path.basename(sf_dir.rstrip('/'))}_{prev}",
+            "db",
+        )
+        try:
+            jvm = spark._jvm
+            jvm.java.sql.DriverManager.getConnection(
+                f"jdbc:derby:{os.path.abspath(prev_db)};shutdown=true"
+            )
+        except Exception:
+            pass  # 08006 "database shut down" IS the success signal
     _DERBY_RUN_SEQ[0] += 1
     scratch = _scratch(
         f"jdbc_derby_{os.path.basename(sf_dir.rstrip('/'))}_{_DERBY_RUN_SEQ[0]}"
@@ -335,6 +356,20 @@ def q_ann_ivf_persisted(spark, sf_dir):
 _STREAM_RUN_SEQ = [0]
 
 
+def _next_sink_name(spark, prefix: str) -> str:
+    """Allocate a fresh memory-sink table name and DROP any prior run's
+    view with the same prefix: the memory sink retains its FULL result
+    on the driver for as long as the temp view references it, so reruns
+    (bench double passes, repeated gate rounds) used to accumulate one
+    complete result copy per invocation until JVM exit (r10 review)."""
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"{prefix}_{_STREAM_RUN_SEQ[0]}"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix + "_") and t.name != name:
+            spark.catalog.dropTempView(t.name)
+    return name
+
+
 @register(
     "events_tumbling_streaming",
     """
@@ -362,8 +397,7 @@ def q_events_tumbling_streaming(spark, sf_dir):
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
     agg = stream_tumbling_agg(stream, "ts", "1 hour", watermark="2 hours")
-    _STREAM_RUN_SEQ[0] += 1
-    sink_name = f"evt_tumbling_stream_{_STREAM_RUN_SEQ[0]}"
+    sink_name = _next_sink_name(spark, "evt_tumbling_stream")
     (
         agg.writeStream.format("memory")
         .queryName(sink_name)
@@ -409,8 +443,7 @@ def q_events_streaming_dedup(spark, sf_dir):
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
     deduped = dedupe_stream_forever(stream, ["event_id"])
-    _STREAM_RUN_SEQ[0] += 1
-    sink_name = f"evt_dedup_stream_{_STREAM_RUN_SEQ[0]}"
+    sink_name = _next_sink_name(spark, "evt_dedup_stream")
     (
         deduped.writeStream.format("memory")
         .queryName(sink_name)
@@ -475,7 +508,14 @@ def _write_single_parquet(df: DataFrame, scratch: str, dst: str, mtime: int) -> 
            strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
            n_events
     FROM sessions
-    WHERE s_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    -- Spark computes watermarks in MILLISECONDS: truncate max(ts)
+    -- like the stream-stream join oracles do, or a session ending in
+    -- the sub-millisecond sliver counts here but is not yet finalized
+    -- by the append-mode sink (latent per-fixture gate flake)
+    WHERE s_end <= (
+      SELECT date_trunc('millisecond', max(ts)) - INTERVAL 1 HOUR
+      FROM events
+    )
     """,
     doc="streaming session windows with LATE-DATA evidence: events replay "
     "as two deterministic micro-batches (maxFilesPerTrigger=1, pinned "
@@ -509,8 +549,7 @@ def q_events_session_streaming(spark, sf_dir):
     sessions = stream_session_agg(
         stream, "ts", "user_id", gap="30 minutes", watermark="1 hour"
     )
-    _STREAM_RUN_SEQ[0] += 1
-    sink_name = f"evt_session_stream_{_STREAM_RUN_SEQ[0]}"
+    sink_name = _next_sink_name(spark, "evt_session_stream")
     (
         sessions.writeStream.format("memory")
         .queryName(sink_name)
@@ -579,8 +618,7 @@ def q_events_stream_stream_join(spark, sf_dir):
         F.date_format(F.col("l.ts"), "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         F.date_format(F.col("r.ts"), "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
     )
-    _STREAM_RUN_SEQ[0] += 1
-    sink_name = f"evt_ss_join_{_STREAM_RUN_SEQ[0]}"
+    sink_name = _next_sink_name(spark, "evt_ss_join")
     (
         joined.writeStream.format("memory")
         .queryName(sink_name)
@@ -666,8 +704,7 @@ def q_events_stream_stream_left_join(spark, sf_dir):
         F.date_format(F.col("l.ts"), "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         F.date_format(F.col("r.ts"), "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
     )
-    _STREAM_RUN_SEQ[0] += 1
-    sink_name = f"evt_ss_ljoin_{_STREAM_RUN_SEQ[0]}"
+    sink_name = _next_sink_name(spark, "evt_ss_ljoin")
     (
         joined.writeStream.format("memory")
         .queryName(sink_name)
@@ -735,8 +772,7 @@ def q_events_stateful_running_totals(spark, sf_dir):
         .parquet(src)
     )
     totals = running_user_totals(stream, "user_id")
-    _STREAM_RUN_SEQ[0] += 1
-    sink_name = f"evt_stateful_{_STREAM_RUN_SEQ[0]}"
+    sink_name = _next_sink_name(spark, "evt_stateful")
     (
         totals.writeStream.format("memory")
         .queryName(sink_name)
@@ -935,8 +971,12 @@ def q_retention_sweep(spark, sf_dir):
         mtime = now - age_days * 86400
         os.utime(path, (mtime, mtime))
     swept = retention_sweep([scratch], max_age_days=30, delete=False, now=now)
+    # presence in the swept list IS the would-delete decision; the
+    # SweptFile.deleted flag records what a live sweep DID (always
+    # False in a dry run) — reporting it under 'would_delete' inverted
+    # the §2.11 semantics for every aged file (r10 review)
     rows = [
-        (os.path.basename(s.path), int(round(s.age_days)), s.deleted)
+        (os.path.basename(s.path), int(round(s.age_days)), True)
         for s in swept
     ]
     rows.append(("recent.csv", -1, False))  # explicit: untouched
@@ -1126,8 +1166,7 @@ def q_media_streaming_meta_rollup(spark, sf_dir):
             F.avg((F.col("width") * F.col("height")).cast("double")), 6
         ).alias("mean_pixels"),
     )
-    _STREAM_RUN_SEQ[0] += 1
-    sink_name = f"media_stream_rollup_{_STREAM_RUN_SEQ[0]}"
+    sink_name = _next_sink_name(spark, "media_stream_rollup")
     (
         rollup.writeStream.format("memory")
         .queryName(sink_name)
@@ -1341,8 +1380,9 @@ def q_dedup_incremental_minhash(spark, sf_dir):
     index = MinHashIndex(os.path.join(scratch, "idx"))
     index.build(corpus, "doc_id", "text", skip_if_exists=True)
     # incoming batch: the held-out 20% (near-dups only by chance) plus
-    # verbatim copies of three corpus docs under fresh ids (guaranteed
-    # catches: every lane of a copy's signature matches its original)
+    # verbatim copies of the ~12 corpus docs with doc_id < 15 under
+    # fresh ids (guaranteed catches: every lane of a copy's signature
+    # matches its original)
     copies = (
         corpus.filter(F.col("doc_id") < 15)
         .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
@@ -1494,8 +1534,7 @@ def q_events_streaming_approx_users(spark, sf_dir):
             "n_events",
         )
     )
-    _STREAM_RUN_SEQ[0] += 1
-    sink_name = f"evt_approx_users_{_STREAM_RUN_SEQ[0]}"
+    sink_name = _next_sink_name(spark, "evt_approx_users")
     (
         agg.writeStream.format("memory")
         .queryName(sink_name)
@@ -1561,8 +1600,7 @@ def q_events_streaming_enriched(spark, sf_dir):
             "n_events",
         )
     )
-    _STREAM_RUN_SEQ[0] += 1
-    sink_name = f"evt_enriched_{_STREAM_RUN_SEQ[0]}"
+    sink_name = _next_sink_name(spark, "evt_enriched")
     (
         agg.writeStream.format("memory")
         .queryName(sink_name)
@@ -1764,8 +1802,7 @@ def q_events_stream_stream_full_join(spark, sf_dir):
         F.date_format(F.col("l.ts"), "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         F.date_format(F.col("r.ts"), "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
     )
-    _STREAM_RUN_SEQ[0] += 1
-    sink_name = f"evt_ss_fjoin_{_STREAM_RUN_SEQ[0]}"
+    sink_name = _next_sink_name(spark, "evt_ss_fjoin")
     (
         joined.writeStream.format("memory")
         .queryName(sink_name)
@@ -1862,8 +1899,7 @@ def q_events_streaming_progress_report(spark, sf_dir):
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
     agg = stream_tumbling_agg(stream, "ts", "1 hour", watermark="2 hours")
-    _STREAM_RUN_SEQ[0] += 1
-    sink_name = f"evt_progress_{_STREAM_RUN_SEQ[0]}"
+    sink_name = _next_sink_name(spark, "evt_progress")
     q = (
         agg.writeStream.format("memory")
         .queryName(sink_name)
@@ -1944,8 +1980,14 @@ def q_events_streaming_soak(spark, sf_dir):
                 continue  # empty time slice (possible at tiny scales)
             if len(parts) == 1:
                 shutil.move(parts[0], dst)
-            else:  # hash collision put two chunks in one task: still one
-                # file each per dir is not guaranteed — fall back to merge
+            else:
+                # repartition(n, chunk) + partitionBy normally yields ONE
+                # file per chunk dir (a chunk lives in exactly one task;
+                # hash collisions merge tasks, not split dirs — r10
+                # review corrected the old comment), but session confs
+                # like spark.sql.files.maxRecordsPerFile CAN split a
+                # directory — merge to keep the one-file-per-micro-batch
+                # contract under any conf
                 _write_single_parquet(
                     spark.read.parquet(os.path.join(staged, f"chunk={i}")),
                     scratch, dst, 2_000_000 + i * 10,
@@ -2127,8 +2169,7 @@ def q_events_streaming_dedup_watermarked(spark, sf_dir):
     deduped = dedupe_stream_within_watermark(
         stream, ["event_id"], ts_col="ts", delay="1 hour"
     )
-    _STREAM_RUN_SEQ[0] += 1
-    sink_name = f"evt_dedup_wm_stream_{_STREAM_RUN_SEQ[0]}"
+    sink_name = _next_sink_name(spark, "evt_dedup_wm_stream")
     (
         deduped.writeStream.format("memory")
         .queryName(sink_name)
@@ -2258,17 +2299,28 @@ def q_dpp_partition_pruned_revenue(spark, sf_dir):
 
     # _scratch_keep: _scratch wipes the directory per call, which made
     # the build-once marker dead code — the partitioned table was
-    # rewritten on every invocation (r10 review)
+    # rewritten on every invocation (r10 review). The marker carries a
+    # SOURCE fingerprint (size+mtime of orders.parquet), same pattern
+    # as the IVF/MinHash index manifests: a regenerated testdata drop
+    # must rebuild, not leave Spark scanning a stale partitioned table
+    # while the oracle reads the new parquet.
     scratch = _scratch_keep("dpp_" + os.path.basename(sf_dir.rstrip("/")))
     path = os.path.join(scratch, "orders_by_year")
     marker = os.path.join(scratch, ".written")
-    if not os.path.exists(marker):
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fingerprint = f"{st.st_size}:{st.st_mtime_ns}"
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stale = fh.read().strip() != fingerprint
+    if stale:
         orders = load_table(spark, sf_dir, "orders").withColumn(
             "o_year", F.year("o_orderdate")
         )
         write_partitioned(orders, path, ["o_year"])
         with open(marker, "w") as fh:
-            fh.write("ok")
+            fh.write(fingerprint)
     fact = spark.read.parquet(path)
     era_dim = spark.createDataFrame(
         [(y, "early" if y <= 1996 else "late") for y in range(1995, 2002)],

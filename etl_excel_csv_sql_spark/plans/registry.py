@@ -6703,11 +6703,17 @@ EAGER_QUERIES: frozenset[str] = frozenset(
         "events_streaming_progress_report",
         "events_streaming_soak_50_batches",
         "events_tumbling_streaming",
+        "compact_small_files_report",
+        "dedup_incremental_minhash",
         "excel_arrow_stage_roundtrip",
         "excel_multisheet_roundtrip",
         "excel_roundtrip",
         "excel_serial_to_ts",
+        "fixed_width_roundtrip",
         "folder_queue_lifecycle",
+        "jsonl_roundtrip",
+        "lock_fallback_naming",
+        "orc_roundtrip",
         "invoice_pipeline_e2e",
         "jdbc_fullrefresh_roundtrip",
         "jdbc_live_roundtrip",
