@@ -106,6 +106,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
+        # duplicate names would silently SHADOW the earlier entry —
+        # the one registry invariant no _validate_registry name-set
+        # assert could catch (r10 registry sweep)
+        assert name not in _REGISTRY, f"duplicate query registration {name!r}"
         _REGISTRY[name] = QuerySpec(name, fn, oracle, doc)
         return fn
 
@@ -1603,56 +1607,30 @@ _NGRAM_PAIR_CTES = r"""
 """
 
 
-@register(
-    "ngram_jaccard_pairs",
-    r"""
-    WITH shingled_all AS (
-      SELECT doc_id AS id, unnest(list_distinct(
-               CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
-                    THEN list_transform(
-                           generate_series(1, len(string_split_regex(trim(text), '\s+')) - 2),
-                           i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' '))
-                    ELSE [array_to_string(string_split_regex(trim(text), '\s+'), ' ')]
-               END)) AS shingle
-      FROM documents
-    ), hot AS (
-      SELECT shingle FROM shingled_all GROUP BY shingle HAVING count(*) > 100
-    ), shingled AS (
-      SELECT id, shingle FROM shingled_all
-      WHERE shingle NOT IN (SELECT shingle FROM hot)
-    ), sizes AS (
-      SELECT id, count(*) AS set_size FROM shingled GROUP BY id
-    ), inter AS (
-      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter_size
-      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.id < b.id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           CAST(inter_size AS DOUBLE) / (sa.set_size + sb.set_size - inter_size) AS jaccard
-    FROM inter
-      JOIN sizes sa ON sa.id = id_a
-      JOIN sizes sb ON sb.id = id_b
-    WHERE CAST(inter_size AS DOUBLE) / (sa.set_size + sb.set_size - inter_size) >= 0.12
-    """,
-    doc="exact n-gram (3-word shingle) Jaccard near-dup pairs via inverted "
-    "index, with the df>100 stop-shingle cutoff mirrored on both engines",
-)
-def q_ngram_jaccard(spark, sf_dir):
-    # hash_shingles: posting keys are xxhash64 longs (8 bytes vs ~20-byte
-    # 3-word strings through the checkpoint + self-join shuffle); output
-    # values identical — the DuckDB oracle stays string-keyed on purpose,
-    # so the hash gate itself proves the invariance every driver round.
-    return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text",
-        n=3, threshold=0.12, max_df=100, hash_shingles=True,
-    )
-
-
 def _ngram_pairs_012(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
         n=3, threshold=0.12, max_df=100, hash_shingles=True,
     )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    # the oracle is the SHARED shingle-pipeline CTE constant — an inline
+    # copy of the same SQL desynchronized from a contract edit once (the
+    # r9 sanitizer-keyword lesson, re-found by the r10 registry sweep)
+    "WITH "
+    + _NGRAM_PAIR_CTES
+    + "SELECT id_a, id_b, jaccard FROM jac",
+    doc="exact n-gram (3-word shingle) Jaccard near-dup pairs via inverted "
+    "index, with the df>100 stop-shingle cutoff mirrored on both engines. "
+    "hash_shingles: posting keys are xxhash64 longs (8 bytes vs ~20-byte "
+    "3-word strings through the checkpoint + self-join shuffle); output "
+    "values identical — the DuckDB oracle stays string-keyed on purpose, "
+    "so the hash gate itself proves the invariance every driver round",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    return _ngram_pairs_012(spark, sf_dir)
 
 
 @register(
@@ -2581,8 +2559,11 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
-@register(
-    "embedding_dup_pairs",
+#: shared by embedding_dup_pairs (LSH path) and its exact-fallback twin:
+#: both MUST agree on what "correct" means — two inline copies once let
+#: a contract edit desynchronize a pair of oracles (the r9 sanitizer
+#: lesson; r10 registry sweep hoisted this one preemptively)
+_EMBEDDING_DUP_ORACLE = (
     _COSINE_EXPLODED
     + """
     , pairs AS (
@@ -2594,7 +2575,13 @@ def q_cosine_topk(spark, sf_dir):
     FROM pairs JOIN norms na ON na.vec_id = id_a
                JOIN norms nb ON nb.vec_id = id_b
     WHERE dot / (na.nrm * nb.nrm) >= 0.35
-    """,
+    """
+)
+
+
+@register(
+    "embedding_dup_pairs",
+    _EMBEDDING_DUP_ORACLE,
     doc="embedding near-dup pairs at cosine ≥ 0.35 via the DEFAULT multi-table "
     "hyperplane-LSH path (subquadratic candidate gen + exact-cosine verify, so "
     "output ⊆ the exact oracle). θ=0.35 is the lowest band with non-empty "
@@ -2613,18 +2600,7 @@ def q_embedding_dups(spark, sf_dir):
 
 @register(
     "embedding_dup_pairs_exact",
-    _COSINE_EXPLODED
-    + """
-    , pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
-      FROM exploded a JOIN exploded b ON a.i = b.i AND a.vec_id < b.vec_id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
-    FROM pairs JOIN norms na ON na.vec_id = id_a
-               JOIN norms nb ON nb.vec_id = id_b
-    WHERE dot / (na.nrm * nb.nrm) >= 0.35
-    """,
+    _EMBEDDING_DUP_ORACLE,
     doc="embedding pairs at cosine ≥ 0.35 via the EXACT all-pairs fallback "
     "(n_planes=0; small-n only — quadratic shuffle). Non-empty at sf0.01, so "
     "this entry is the value-level evidence for the cosine-pair machinery",
@@ -5042,7 +5018,11 @@ def q_bfs_reachability(spark, sf_dir):
     "heavy_hitters_phi",
     """
     WITH keyed AS (
-      SELECT CAST(CAST(l_quantity AS INT) AS VARCHAR) AS key
+      -- trunc() pins truncation-toward-zero explicitly: Spark's
+      -- cast("int") truncates while DuckDB's CAST rounds-to-nearest —
+      -- a latent divergence hidden only by integral fixture quantities
+      -- (r10 registry sweep)
+      SELECT CAST(CAST(trunc(l_quantity) AS INT) AS VARCHAR) AS key
       FROM lineitem WHERE l_quantity IS NOT NULL
     ), tot AS (SELECT count(*) AS n FROM keyed)
     SELECT key, count(*) AS cnt,
@@ -6783,6 +6763,11 @@ UNPARTITIONED_WINDOWS: dict[str, str] = {
 # circular import back into this one sees its partial shell — asserting
 # here would fail on a legal import order (bit a test once).
 assert len(WINDOW_ORDER) == 50, f"window must be exactly 50, got {len(WINDOW_ORDER)}"
+# uniqueness too (r10 registry sweep): a duplicated name passes the
+# length check while _ordered_registry's dict comprehension dedups it —
+# silently shrinking the curated window to 49 and letting an uncurated
+# query fill the driver's 50th slot
+assert len(set(WINDOW_ORDER)) == 50, "WINDOW_ORDER contains duplicates"
 
 
 @register(
@@ -7160,11 +7145,11 @@ def q_global_outlier_customers(spark, sf_dir):
     )
 
 
-# applied at module end so late-registered queries can be tagged too;
-# unknown-name checking rides _validate_registry (import-order safe)
-for _n in BREADTH_TIER:
-    if _n in _REGISTRY:
-        _REGISTRY[_n].tier = "breadth"
+# NOTE: breadth-tier tagging happens in _validate_registry on first
+# registry USE (after all registrations, including the entries below
+# and lifecycle_queries') — an import-time tagging loop here was dead
+# weight that silently skipped exactly the late registrations its
+# comment claimed to cover (r10 registry sweep).
 
 
 @register(
