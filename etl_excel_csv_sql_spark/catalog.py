@@ -72,7 +72,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # came back bigint instead of failing loudly — r10 review).
         try:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        except Exception:
+        except Exception as exc:
+            # Only the TIMESTAMP(NANOS) rejection warrants the legacy
+            # conf (r10 ADVICE): a transient failure (missing file,
+            # permissions) caught here would otherwise flip
+            # nanosAsLong for the whole session — re-introducing the
+            # legacy-semantics leak on an unrelated error path.
+            msg = str(exc)
+            if "NANOS" not in msg and "PARQUET_TYPE_ILLEGAL" not in msg and (
+                "illegal Parquet type" not in msg
+            ):
+                raise
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":

@@ -703,6 +703,10 @@ AUDIO_FP_SCHEMA = StructType(
 )
 
 
+# last frame_neardup_pairs pin — released on the NEXT call (see below)
+_NEARDUP_PIN: list = [None]
+
+
 def frame_neardup_pairs(
     frame_hashes: DataFrame,
     max_hamming: int = 3,
@@ -725,7 +729,20 @@ def frame_neardup_pairs(
     counts, and without pinning, an upstream decode pipeline would run
     ~4x."""
     id_col, frame_col, hash_col = frame_hashes.columns[:3]
+    # Single-slot pin (r10 ADVICE): unpersist() here would eagerly drop
+    # the marker before the query ever runs (the cache populates at the
+    # first action), and never unpersisting leaked one cache entry per
+    # invocation across driver rounds. Instead each call releases the
+    # PREVIOUS call's pin — by then that plan has been materialized and
+    # consumed — so the session holds at most one rollup cache entry.
+    prev = _NEARDUP_PIN[0]
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # prior session/context already gone
     pinned = frame_hashes.persist()
+    _NEARDUP_PIN[0] = pinned
     guarded_idx = F.when(
         F.col(frame_col) >= F.lit(stride),
         F.raise_error(
@@ -775,10 +792,6 @@ def frame_neardup_pairs(
         .select("clip_a", "clip_b", "n_matched")
         .orderBy("clip_a", "clip_b")
     )
-    # NOTE: pinned stays persisted (unpersist() here would eagerly drop
-    # the marker before the query ever runs — the cache populates at
-    # first action and LRU eviction reclaims it); callers that loop
-    # should unpersist via frame_hashes themselves.
     return out
 
 

@@ -245,7 +245,11 @@ def q_jdbc_fullrefresh(spark, sf_dir):
     return sink.read(spark)
 
 
-_DERBY_RUN_SEQ = [0]
+# [seq, last_db_path]: the ACTUAL previous database path is stored, not
+# reconstructed from the current sf_dir (r10 ADVICE) — mixed-scale soak
+# sessions (sf0.01 then sf0.1) would otherwise shut down a nonexistent
+# path while the real prior engine stayed booted.
+_DERBY_RUN_SEQ: list = [0, None]
 
 
 @register(
@@ -276,13 +280,8 @@ def q_jdbc_live_roundtrip(spark, sf_dir):
     # engines without bound. ';shutdown=true' raises 08006 on success —
     # Derby's documented contract, not an error — and the prior
     # invocation's frame has already been consumed by the driver gate.
-    prev = _DERBY_RUN_SEQ[0]
-    if prev:
-        prev_db = os.path.join(
-            _SCRATCH_ROOT,
-            f"jdbc_derby_{os.path.basename(sf_dir.rstrip('/'))}_{prev}",
-            "db",
-        )
+    prev_db = _DERBY_RUN_SEQ[1]
+    if prev_db:
         try:
             jvm = spark._jvm
             jvm.java.sql.DriverManager.getConnection(
@@ -294,6 +293,7 @@ def q_jdbc_live_roundtrip(spark, sf_dir):
     scratch = _scratch(
         f"jdbc_derby_{os.path.basename(sf_dir.rstrip('/'))}_{_DERBY_RUN_SEQ[0]}"
     )
+    _DERBY_RUN_SEQ[1] = os.path.join(scratch, "db")
     url = f"jdbc:derby:{os.path.join(scratch, 'db')};create=true"
     opts = {
         "driver": "org.apache.derby.jdbc.EmbeddedDriver",

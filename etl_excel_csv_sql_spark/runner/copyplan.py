@@ -39,6 +39,12 @@ def execute_copy_plan(
     the fact. ``src_root``/``dst_root`` must be visible to every executor
     (shared filesystem — same deployment assumption as the reference's
     SMB paths)."""
+    # Resolve relative roots on the DRIVER: anchored() runs executor-side
+    # where the Python worker's cwd is the daemon's, not the caller's —
+    # a relative root would silently anchor somewhere else (and '.'
+    # broke the normpath containment check outright, r10 ADVICE).
+    src_root = os.path.abspath(src_root)
+    dst_root = os.path.abspath(dst_root)
     sc = plan.sparkSession.sparkContext
     found = sc.accumulator(0)
     copied = sc.accumulator(0)
@@ -54,10 +60,17 @@ def execute_copy_plan(
         # (r10 review): a SubFolder of '' composed '/name.pdf' and the
         # copy escaped src_root entirely (a crafted '/etc/...' or
         # '../..' would read/write arbitrary paths) — DB-sourced
-        # components are anchored under the root and containment-checked
-        base = os.path.normpath(root)
-        p = os.path.normpath(os.path.join(base, component.lstrip("/\\")))
-        return p if p == base or p.startswith(base + os.sep) else None
+        # components are anchored under the root and containment-checked.
+        # abspath, not normpath (r10 ADVICE): a relative root of '.'
+        # normalizes to '.' while the joined path drops the './' prefix
+        # ('./x' → 'x'), so EVERY row failed containment; an empty or
+        # whitespace component resolves to the root dir itself and would
+        # pass containment only for copyfile to fail on a directory.
+        if component is None or not component.strip():
+            return None
+        base = os.path.abspath(root)
+        p = os.path.abspath(os.path.join(base, component.lstrip("/\\")))
+        return p if p != base and p.startswith(base + os.sep) else None
 
     def run_partition(it):
         os.makedirs(dst_root, exist_ok=True)

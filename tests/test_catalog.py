@@ -70,3 +70,18 @@ def test_event_time_apis_work_on_loaded_events(spark, sf_dir):
 def test_unknown_table_raises(spark, sf_dir):
     with pytest.raises(KeyError):
         load_table(spark, sf_dir, "nope")
+
+
+def test_events_transient_error_does_not_flip_nanos_conf(spark, tmp_path):
+    """r10 ADVICE: a transient events-read failure (missing file here)
+    must re-raise, NOT set spark.sql.legacy.parquet.nanosAsLong — the
+    blanket except flipped legacy parquet semantics for the whole
+    session on unrelated error paths."""
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    with pytest.raises(Exception) as exc_info:
+        load_table(spark, str(tmp_path / "no_such_dir"), "events")
+    assert "NANOS" not in str(exc_info.value)
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        == "false"
+    )

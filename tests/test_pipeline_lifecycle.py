@@ -574,3 +574,28 @@ def test_copy_plan_rejects_root_escapes(spark, tmp_path):
     import os
 
     assert sorted(os.listdir(dst_root)) == ["out.pdf"]
+
+
+def test_copy_plan_relative_root_and_empty_components(spark, tmp_path, monkeypatch):
+    """r10 ADVICE: a relative root of '.' broke containment (normpath
+    drops the './' prefix from joined paths so every row read as an
+    escape), and an empty/whitespace component resolved to the root
+    directory itself — passing containment only for copyfile to die on
+    a directory. abspath-anchoring + explicit empty rejection fix both."""
+    from etl_excel_csv_sql_spark.runner.copyplan import execute_copy_plan
+
+    (tmp_path / "srcrel").mkdir()
+    (tmp_path / "srcrel" / "ok.pdf").write_text("data")
+    monkeypatch.chdir(tmp_path)
+    plan = spark.createDataFrame(
+        [
+            ("ok.pdf", "out.pdf"),
+            ("", "from_empty.pdf"),   # empty src component → missing
+            ("ok.pdf", "  "),          # whitespace dst component → missing
+        ],
+        "src_path string, dst_name string",
+    )
+    counts = execute_copy_plan(plan, "./srcrel", "./dstrel")
+    assert counts["copied"] == 1
+    assert counts["missing"] == 2
+    assert sorted(os.listdir(tmp_path / "dstrel")) == ["out.pdf"]

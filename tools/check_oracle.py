@@ -41,6 +41,13 @@ def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
     # names case-insensitively, but a case-sensitive sort ('Z_total' <
     # 'a_key' in ASCII) paired mixed-case frames column-crosswise and
     # produced spurious mismatches (or masked real ones)
+    lowered = [c.lower() for c in df.columns]
+    # duplicate labels after lowercasing would make the rename produce
+    # ambiguous pandas columns and a crosswise compare (r10 ADVICE) —
+    # fail with a clear schema error instead
+    assert len(set(lowered)) == len(lowered), (
+        f"case-colliding column names: {sorted(df.columns)}"
+    )
     df = df.rename(columns={c: c.lower() for c in df.columns})
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize cell values to comparable primitives — scalars only; the
