@@ -349,6 +349,31 @@ def encode_wav(samples: np.ndarray, sample_rate: int, n_channels: int = 1) -> by
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def remux_wav(payload: bytes) -> bytes:
+    """Byte-different, PCM-identical container twin: re-wrap a RIFF-WAVE
+    payload with a LIST/INFO comment chunk spliced between 'fmt ' and
+    'data'. The chunk walk (:func:`_wav_chunks`) skips unknown chunks, so
+    :func:`decode_wav` returns bit-identical samples — the remux/retag
+    near-duplicate class (same audio, different file bytes) that
+    fingerprint pipelines must catch. Raises ValueError on non-WAV input."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF-WAVE payload")
+    info = _riff_chunk(b"LIST", b"INFO" + _riff_chunk(b"ICMT", b"remux\x00"))
+    # splice before the 'data' chunk (fmt always precedes data in
+    # encode_wav output; for foreign WAVs any pre-data position works)
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if tag == b"data":
+            break
+        pos += 8 + size + (size & 1)
+    else:
+        raise ValueError("WAV missing data chunk")
+    body = payload[12:pos] + info + payload[pos:]
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
 def _wav_chunks(payload: bytes) -> tuple[int, int, int, int, int, int]:
     """Shared RIFF-WAVE walk for wav_meta and decode_wav: returns
     (fmt_tag, channels, rate, bits, data_off, data_size) with the

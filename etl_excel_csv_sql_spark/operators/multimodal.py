@@ -27,6 +27,7 @@ builder brief's training-data-pipeline scope.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -848,6 +849,7 @@ def synth_audio_fp_payloads(
     id_col: str = "doc_id",
     id_offset: int = 0,
     perturb: bool = False,
+    remux: bool = False,
     n_samples: int = 8192,
     rate: int = 8000,
 ) -> DataFrame:
@@ -859,7 +861,10 @@ def synth_audio_fp_payloads(
     stationary tones would give every frame the same bits and let
     single-frame collisions masquerade as whole-clip dups.
     ``perturb=True`` adds deterministic ±1%-amplitude noise (re-encode
-    stand-in); twin ids are original + ``id_offset``."""
+    stand-in); ``remux=True`` instead re-wraps the SAME PCM in a
+    byte-different container (codecs.remux_wav) — fingerprints exactly
+    equal, the closed-form twin the oracled near-dup query uses. Twin
+    ids are original + ``id_offset``."""
     ids = df.select(F.col(id_col).cast("long").alias("media_id"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -870,7 +875,19 @@ def synth_audio_fp_payloads(
                 t = np.arange(n_samples, dtype=np.float64) / rate
                 sig = np.zeros(n_samples)
                 for k in range(4):
-                    f0 = 150.0 + ((mid * 991 + k * 631) % 2600)
+                    # md5-keyed base frequency (r11): the old linear
+                    # keying (mid*991 + 631k) % 2600 COLLIDED for ids
+                    # 2600 apart — 2600 is a multiple of the query's
+                    # id % 50 stride, so at sf0.1 two different docs
+                    # shared every chirp and their fingerprints matched
+                    # at every aligned frame (a false clip pair)
+                    f0 = 150.0 + (
+                        int.from_bytes(
+                            hashlib.md5(f"afp:{mid}:{k}".encode()).digest()[:4],
+                            "big",
+                        )
+                        % 2600
+                    )
                     freq = f0 * (0.85 + 0.3 * t / t[-1])
                     phase = 2 * np.pi * np.cumsum(freq) / rate
                     env = 0.6 + 0.4 * np.sin(
@@ -885,7 +902,8 @@ def synth_audio_fp_payloads(
                     sig += rng.uniform(-60.0, 60.0, n_samples)
                 pcm = np.clip(sig, -32768, 32767).astype(np.int16)
                 out_ids.append(mid + id_offset)
-                payloads.append(codecs.encode_wav(pcm, rate, 1))
+                wav = codecs.encode_wav(pcm, rate, 1)
+                payloads.append(codecs.remux_wav(wav) if remux else wav)
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(out_ids, dtype="int64"),
@@ -1099,6 +1117,142 @@ def synth_dib_video_payloads(
             )
 
     return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+
+
+# --- closed-form perceptual-hash fixtures (r10 VERDICT #3) ----------------
+#
+# The gradient+noise twins prove ROBUSTNESS (kept in pytest), but their
+# hash distances are not closed-form, so the near-dup queries were
+# rows-only. These fixtures make the whole pipeline output an integer
+# function of doc_id — the media_video_frames pattern applied to hashes:
+#
+#  * grid images: 64x64 built from an 8x8 grid of uniform 0/255 blocks
+#    keyed by md5(key, id). aHash's block means hit the blocks EXACTLY
+#    (64/8 integral-image cells of one block each), every cell is 0 or
+#    255, and the global mean lies strictly between (both polarities are
+#    forced present), so the aHash EQUALS the designed pattern bit-for-
+#    bit and a twin that flips k designated blocks is at Hamming
+#    distance EXACTLY k — provable, no margin arithmetic.
+#  * format-shift twins: same pixels encoded by a DIFFERENT lossless
+#    codec (bmp/png/ppm cycle) — decode is bit-identical, so ANY
+#    deterministic hash (pHash included) is EXACTLY equal: the
+#    cross-format re-encode near-dup class with distance closed-form 0.
+#  * remux audio twins (codecs.remux_wav): byte-different container,
+#    bit-identical PCM — fingerprints exactly equal.
+#
+# Cross-pair safety (no non-twin pair within the Hamming ball) is a
+# property of the md5 pattern family over the actual id set; pytest
+# recomputes the patterns in pure Python over the REAL sf0.01 id sample
+# and asserts the minimum cross distance clears the ball with margin.
+
+GRID_FLIP_BITS = 2  # designed twin distance for the aHash near-dup query
+
+
+def grid_pattern64(media_id: int, key: str = "gridimg", flip_bits: int = 0) -> int:
+    """The id → 64-bit pattern contract for the grid-image fixtures
+    (UNSIGNED; row-major cell (r, c) is bit 63-(8r+c), matching
+    _ahash_bits' MSB-first packing). Bit of cell (0,0) is forced 1 and
+    cell (7,7) forced 0 so both polarities always exist — the aHash
+    threshold (global mean) then sits strictly between 0 and 255 before
+    AND after twin flips. ``flip_bits`` flips cells (0,1)..(0,flip_bits),
+    never the two forced cells, so twin distance is exactly flip_bits."""
+    digest = hashlib.md5(f"{key}:{media_id}".encode()).digest()[:8]
+    val = int.from_bytes(digest, "big")
+    val |= 1 << 63  # cell (0,0) = 1
+    val &= ~1       # cell (7,7) = 0
+    for i in range(1, flip_bits + 1):
+        val ^= 1 << (63 - i)
+    return val
+
+
+def _grid_pixels(pattern: int) -> np.ndarray:
+    """64-bit pattern → 64x64x3 uint8: cell (r, c) is a uniform 8x8
+    block of 0 or 255 on all three channels (channel order irrelevant
+    to the grayscale mean)."""
+    bits = np.array(
+        [(pattern >> (63 - i)) & 1 for i in range(64)], dtype=np.uint8
+    ).reshape(8, 8)
+    return np.repeat(
+        np.repeat(bits * np.uint8(255), 8, axis=0), 8, axis=1
+    )[:, :, None].repeat(3, axis=2)
+
+
+def synth_grid_image_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    id_offset: int = 0,
+    flip_bits: int = 0,
+    key: str = "gridimg",
+    fmt_shift: int = 0,
+) -> DataFrame:
+    """(id) → (media_id, payload): REAL encoded BMP/PNG/PPM bytes whose
+    aHash is EXACTLY :func:`grid_pattern64` (signed) — see the contract
+    note above. ``fmt_shift`` rotates the codec cycle (same pixels,
+    different container = the re-encode twin for pHash); ``flip_bits``
+    makes aHash twins at exact Hamming distance flip_bits."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                arr = _grid_pixels(grid_pattern64(mid, key, flip_bits))
+                fmt = _SYNTH_FMTS[(mid + fmt_shift) % 3]
+                out_ids.append(mid + id_offset)
+                payloads.append(codecs.encode_image(arr, fmt))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+
+
+def synth_grid_dib_video_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    id_offset: int = 0,
+    flip_bits: int = 0,
+) -> DataFrame:
+    """(id) → (media_id, payload): REAL uncompressed-DIB AVI clips whose
+    per-frame aHash is EXACTLY ``grid_pattern64(id, f'gridvid:{f}')`` —
+    64x64 grid frames, n_frames = 3 + id % 4 (the synth_dib_video_params
+    frame-count contract), fps from the shared list. A ``flip_bits``
+    twin flips the same designated cells in EVERY frame, so each aligned
+    frame pair is at exact distance flip_bits and the clip rollup's
+    n_matched is exactly the frame count."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                fps = _SYNTH_FPS[mid % 6]
+                n = 3 + mid % 4
+                frames = [
+                    _grid_pixels(grid_pattern64(mid, f"gridvid:{f}", flip_bits))
+                    for f in range(n)
+                ]
+                out_ids.append(mid + id_offset)
+                payloads.append(codecs.encode_dib_avi(64, 64, fps, frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+
+
+# analysis sub-fingerprints per synth_audio_fp_payloads clip: frames =
+# (n_samples - frame_len)//hop + 1 Hann windows, minus 1 for the time
+# double-difference — shared with the SQL oracle rendering
+AUDIO_FP_FIXTURE_SUBFPS = (8192 - 2048) // 1024  # = 6
 
 
 EXIF_META_SCHEMA = (

@@ -2925,23 +2925,38 @@ def q_media_video_frames(spark, sf_dir):
 
 @register(
     "media_video_ahash_neardup",
-    None,
+    # r10 VERDICT #3: FULL value oracle via the grid contract — frame f
+    # of clip d is a 64x64 image of uniform 0/255 blocks whose aHash
+    # EQUALS grid_pattern64(d, f'gridvid:{f}') bit-for-bit (exact
+    # integral-image cells, both polarities forced present), and the
+    # twin flips exactly GRID_FLIP_BITS designated blocks per frame, so
+    # every aligned frame pair sits at Hamming distance exactly 2 <= 2
+    # and n_matched is exactly the frame count 3 + d % 4. Cross-pair
+    # safety (no non-twin clip pair within the ball) is pytest-pinned by
+    # a pure-Python recompute of the patterns over the real sf0.01/sf0.1
+    # id sample (min cross-frame distance 15+, ball radius 2).
+    """
+    SELECT doc_id AS vid_a,
+           doc_id + 1000000 AS vid_b,
+           CAST(3 + doc_id % 4 AS BIGINT) AS n_matched
+    FROM documents WHERE doc_id % 50 = 0
+    """,
     doc="video near-duplicate detection end-to-end on REAL pixels: "
     "uncompressed-DIB AVI payloads (the one stdlib-decodable video "
     "codec) -> movi walk -> per-frame DIB decode -> block-mean aHash -> "
-    "per-video fingerprint (XOR-free: min frame hash per video would "
-    "lose frames, so frames pair individually through the SAME "
-    "Manku-banded Hamming plan text SimHash and image aHash use, then "
-    "pairs roll up to video level requiring every frame to match). "
-    "Corpus = 2%% sample of documents as synth DIB clips plus "
-    "noise-perturbed twins; rows-only (pixel pipelines have no SQL "
-    "oracle) — pytest proves every twin clip is found",
+    "frames pair individually through the SAME Manku-banded Hamming "
+    "plan text SimHash and image aHash use, then pairs roll up to video "
+    "level requiring every frame of the shorter clip to match. Corpus = "
+    "2%% sample of documents as grid-contract DIB clips plus exact-2-bit "
+    "flip twins — the whole pair table (ids AND n_matched) is an integer "
+    "function of doc_id, so the pixel pipeline gets a FULL value oracle",
 )
 def q_media_video_ahash_neardup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
-    originals = multimodal.synth_dib_video_payloads(docs, "doc_id")
-    twins = multimodal.synth_dib_video_payloads(
-        docs, "doc_id", id_offset=1_000_000, perturb=True
+    originals = multimodal.synth_grid_dib_video_payloads(docs, "doc_id")
+    twins = multimodal.synth_grid_dib_video_payloads(
+        docs, "doc_id", id_offset=1_000_000,
+        flip_bits=multimodal.GRID_FLIP_BITS,
     )
     corpus = originals.unionByName(twins)
     hashes = multimodal.video_frame_ahash(corpus)
@@ -2952,7 +2967,25 @@ def q_media_video_ahash_neardup(spark, sf_dir):
 
 @register(
     "media_audio_fp_neardup",
-    None,
+    # r10 VERDICT #3: FULL value oracle via the remux contract — the
+    # twin re-wraps the SAME PCM in a byte-different RIFF container
+    # (codecs.remux_wav: LIST/INFO chunk spliced in; the chunk walk
+    # skips it), so decode_wav returns bit-identical samples and every
+    # aligned sub-fingerprint pair is at Hamming distance EXACTLY 0.
+    # n_matched is the fixture's closed-form sub-fp count (Hann frames
+    # minus one time-difference row — multimodal.AUDIO_FP_FIXTURE_SUBFPS,
+    # the SQL below renders from the same constant). Cross-pair safety is
+    # pytest-pinned by a pure-numpy recompute over the real sf0.01/sf0.1
+    # id sample (every non-twin clip pair has an aligned frame at
+    # distance >= 5 > ball radius 3) — which also caught and killed the
+    # r10 fixture's (mid*991)%2600 chirp-keying collision at ids 2600
+    # apart.
+    f"""
+    SELECT doc_id AS clip_a,
+           doc_id + 1000000 AS clip_b,
+           CAST({multimodal.AUDIO_FP_FIXTURE_SUBFPS} AS BIGINT) AS n_matched
+    FROM documents WHERE doc_id % 50 = 0
+    """,
     doc="audio near-duplicate detection end-to-end on REAL PCM: "
     "RIFF-WAVE payloads -> full 16-bit PCM decode (codecs.decode_wav) "
     "-> Haitsma-Kalker spectral sub-fingerprints (Hann window, "
@@ -2960,16 +2993,15 @@ def q_media_video_ahash_neardup(spark, sf_dir):
     "-> the SAME Manku-banded Hamming pairing as text SimHash, image "
     "aHash, and video frame hashes — the third modality on one pairing "
     "plan. Corpus = 2%% sample of documents as chirped synth clips plus "
-    "noise-perturbed twins; clip pair requires EVERY aligned analysis "
-    "frame within the Hamming ball. Rows-only (spectral pipelines have "
-    "no SQL oracle) — pytest proves every twin clip is found with zero "
-    "false clip pairs on the fixture",
+    "byte-different remux twins (identical PCM); clip pair requires "
+    "EVERY aligned analysis frame within the Hamming ball — FULL value "
+    "oracle from the remux + sub-fp-count contracts",
 )
 def q_media_audio_fp_neardup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
     originals = multimodal.synth_audio_fp_payloads(docs, "doc_id")
     twins = multimodal.synth_audio_fp_payloads(
-        docs, "doc_id", id_offset=1_000_000, perturb=True
+        docs, "doc_id", id_offset=1_000_000, remux=True
     )
     corpus = originals.unionByName(twins)
     fps = multimodal.audio_fingerprints(corpus)
@@ -4010,23 +4042,39 @@ def q_attribution_last_touch(spark, sf_dir):
 
 @register(
     "media_ahash_neardup",
-    None,
+    # r10 VERDICT #3: FULL value oracle via the grid contract — each
+    # image is 64x64 of uniform 0/255 blocks, so the decode -> grayscale
+    # -> integral-image block-mean -> threshold pipeline reproduces
+    # grid_pattern64(doc_id) EXACTLY (cells are single blocks, global
+    # mean strictly between the two polarities), and the twin flips
+    # exactly GRID_FLIP_BITS designated cells: the pair table INCLUDING
+    # the hamming column is an integer function of doc_id. Cross-pair
+    # safety pytest-pinned (pure-Python pattern recompute over the real
+    # sf0.01/sf0.1 ids: min cross distance 16+, ball radius 2).
+    f"""
+    SELECT doc_id AS id_a,
+           doc_id + 1000000 AS id_b,
+           CAST({multimodal.GRID_FLIP_BITS} AS INT) AS hamming
+    FROM documents WHERE doc_id % 20 = 0
+    """,
     doc="image near-duplicate detection end-to-end on REAL bytes: encoded "
     "BMP/PNG/PPM payloads -> stdlib decode -> block-mean perceptual "
     "average-hash (integral-image downsample, Arrow mapInPandas kernel) "
     "-> the SAME Manku-banded Hamming pairing text SimHash uses "
     "(dedup.hamming_pairs — fingerprint-agnostic, no new shuffle "
-    "machinery). Corpus = 5%% sample of documents as synth images plus "
-    "noise-perturbed twins (+-2 on a sparse grid, a re-encode stand-in); "
-    "rows-only (pixel pipelines have no SQL oracle) — pytest proves every "
-    "twin is found at Hamming <= 2 and hashes are decode-derived",
+    "machinery). Corpus = 5%% sample of documents as grid-contract images "
+    "plus exact-2-bit-flip twins — FULL value oracle (ids and hamming "
+    "closed-form); the gradient+noise robustness fixture stays in pytest",
 )
 def q_media_ahash_neardup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
-    originals = multimodal.synth_image_payloads(docs, "doc_id")
-    twins = multimodal.perturbed_image_payloads(docs, "doc_id")
+    originals = multimodal.synth_grid_image_payloads(docs, "doc_id")
+    twins = multimodal.synth_grid_image_payloads(
+        docs, "doc_id", id_offset=1_000_000,
+        flip_bits=multimodal.GRID_FLIP_BITS,
+    )
     corpus = originals.unionByName(twins)
-    hashes = multimodal.ahash_images(corpus).select(
+    hashes = multimodal.ahash_images(corpus, strict=True).select(
         F.col("media_id").alias("id"), F.col("ahash").alias("simhash")
     )
     return dedup.hamming_pairs(hashes, max_hamming=2)
@@ -8293,24 +8341,41 @@ def q_asof_nearest_purchase(spark, sf_dir):
 
 @register(
     "media_phash_neardup",
-    None,
+    # r10 VERDICT #3: FULL value oracle via the format-shift contract —
+    # the twin encodes the SAME grid pixels with the NEXT lossless codec
+    # in the bmp/png/ppm cycle, so decode returns a bit-identical array
+    # and the (float-deterministic) DCT hash is EXACTLY equal: hamming
+    # is closed-form 0 — the cross-format re-encode near-dup class.
+    # Cross-pair safety pytest-pinned by a pure-numpy pHash recompute
+    # over the real sf0.01/sf0.1 ids (min cross distance 16+, ball 2).
+    """
+    SELECT doc_id AS id_a,
+           doc_id + 1000000 AS id_b,
+           CAST(0 AS INT) AS hamming
+    FROM documents WHERE doc_id % 20 = 0
+    """,
     doc="DCT perceptual hash (pHash) image near-dup — the frequency-"
     "domain sibling of media_ahash_neardup: the low-frequency DCT "
     "block thresholded at its median, DC (brightness) term excluded. "
     "Same Arrow kernel shape, same Manku-banded Hamming pairing; "
-    "corpus = synth images + noise twins. rows-only; pytest proves "
-    "full noise-twin recall at Hamming <= 2, determinism, and the "
-    "constant-image zero-hash identity. (Honest measurement note in "
-    "the test file: on SYNTHETIC noise images the aHash/pHash "
-    "robustness gap from the natural-image literature does not "
-    "reproduce — both are kept, fingerprint choice is the caller's)",
+    "corpus = grid-contract images + cross-format re-encode twins "
+    "(same pixels, different lossless codec) — FULL value oracle. "
+    "Noise-twin recall, determinism, and the constant-image zero-hash "
+    "identity stay pytest-pinned on the gradient fixture. (Honest "
+    "measurement note in the test file: on SYNTHETIC noise images the "
+    "aHash/pHash robustness gap from the natural-image literature does "
+    "not reproduce — both are kept, fingerprint choice is the caller's)",
 )
 def q_media_phash_neardup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
-    originals = multimodal.synth_image_payloads(docs, "doc_id")
-    twins = multimodal.perturbed_image_payloads(docs, "doc_id")
+    originals = multimodal.synth_grid_image_payloads(
+        docs, "doc_id", key="gridimg_p"
+    )
+    twins = multimodal.synth_grid_image_payloads(
+        docs, "doc_id", id_offset=1_000_000, key="gridimg_p", fmt_shift=1
+    )
     corpus = originals.unionByName(twins)
-    hashes = multimodal.phash_images(corpus).select(
+    hashes = multimodal.phash_images(corpus, strict=True).select(
         F.col("media_id").alias("id"), F.col("phash").alias("simhash")
     )
     return dedup.hamming_pairs(hashes, max_hamming=2)

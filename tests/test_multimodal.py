@@ -551,3 +551,188 @@ def test_frame_neardup_rollup_containment_and_stride_guard(spark):
     )
     with _pt.raises(Exception, match="stride"):
         multimodal.frame_neardup_pairs(bad, max_hamming=0, stride=10).count()
+
+
+# ---------------------------------------------------------------------------
+# Closed-form fixture contracts (r11): the four perceptual near-dup
+# queries carry FULL DuckDB value oracles; these tests pin the two
+# properties the oracles rest on — (1) the pipeline output EQUALS the
+# contract exactly, and (2) cross-pair safety over the REAL testdata id
+# samples (no non-twin pair inside the Hamming ball).
+# ---------------------------------------------------------------------------
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def test_grid_ahash_equals_pattern_exactly(spark):
+    """decode -> grayscale -> integral-image block-mean -> threshold must
+    reproduce grid_pattern64 bit-for-bit across all three codecs, and the
+    flip_bits twin must differ by EXACTLY that many bits."""
+    ids = spark.range(0, 9).selectExpr("id AS doc_id")
+    got = {
+        r.media_id: r.ahash
+        for r in multimodal.ahash_images(
+            multimodal.synth_grid_image_payloads(ids), strict=True
+        ).collect()
+    }
+    for mid in range(9):
+        assert got[mid] == _signed64(multimodal.grid_pattern64(mid)), mid
+    twins = {
+        r.media_id: r.ahash
+        for r in multimodal.ahash_images(
+            multimodal.synth_grid_image_payloads(
+                ids, id_offset=1_000_000,
+                flip_bits=multimodal.GRID_FLIP_BITS,
+            ),
+            strict=True,
+        ).collect()
+    }
+    for mid in range(9):
+        d = bin((got[mid] ^ twins[mid + 1_000_000]) & ((1 << 64) - 1)).count("1")
+        assert d == multimodal.GRID_FLIP_BITS, (mid, d)
+
+
+def test_grid_video_frame_hashes_follow_contract(spark):
+    """Per-frame DIB decode hash == grid_pattern64(id, 'gridvid:{f}')
+    and frame count == 3 + id % 4 (the oracle's n_matched)."""
+    ids = spark.range(0, 8).selectExpr("id AS doc_id")
+    rows = multimodal.video_frame_ahash(
+        multimodal.synth_grid_dib_video_payloads(ids), strict=True
+    ).collect()
+    by_clip: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_clip.setdefault(r.media_id, {})[r.frame_idx] = r.ahash
+    for mid in range(8):
+        n = 3 + mid % 4
+        assert sorted(by_clip[mid]) == list(range(n)), mid
+        for f in range(n):
+            assert by_clip[mid][f] == _signed64(
+                multimodal.grid_pattern64(mid, f"gridvid:{f}")
+            ), (mid, f)
+
+
+def test_remux_wav_identical_pcm_different_bytes():
+    pcm = (np.arange(4096) % 251 - 125).astype(np.int16)
+    wav = codecs.encode_wav(pcm, 8000, 1)
+    twin = codecs.remux_wav(wav)
+    assert twin != wav
+    a, ra = codecs.decode_wav(wav)
+    b, rb = codecs.decode_wav(twin)
+    assert ra == rb and np.array_equal(a, b)
+    assert codecs.wav_meta(twin) == codecs.wav_meta(wav)
+    with pytest.raises(ValueError):
+        codecs.remux_wav(b"not a wav")
+
+
+def test_audio_fp_fixture_subfps_constant(spark):
+    """The oracle's n_matched constant must equal the REAL pipeline's
+    sub-fingerprint count per fixture clip (and remux twins must carry
+    fingerprints EXACTLY equal to their originals)."""
+    ids = spark.range(0, 4).selectExpr("id AS doc_id")
+    fps = multimodal.audio_fingerprints(
+        multimodal.synth_audio_fp_payloads(ids)
+    ).collect()
+    per_clip: dict[int, dict[int, int]] = {}
+    for r in fps:
+        per_clip.setdefault(r.media_id, {})[r.frame_idx] = r.fp
+    for mid in range(4):
+        assert len(per_clip[mid]) == multimodal.AUDIO_FP_FIXTURE_SUBFPS, mid
+    twins = multimodal.audio_fingerprints(
+        multimodal.synth_audio_fp_payloads(ids, id_offset=1_000_000, remux=True)
+    ).collect()
+    for r in twins:
+        assert r.fp == per_clip[r.media_id - 1_000_000][r.frame_idx]
+
+
+def test_grid_fixture_cross_pair_safety_real_ids():
+    """Pure-Python recompute of the pattern/pHash contracts over the REAL
+    sf0.01 and sf0.1 id samples: minimum cross distance must clear the
+    query Hamming ball with margin, so the oracles' 'pairs == exactly
+    the twins' claim is a checked property of the actual corpus, not an
+    assumption. (Images: twins flip 2 bits in a radius-2 ball -> need
+    min cross >= 7; pHash twins are exact -> need >= 3; video needs >= 7
+    on every cross-clip frame combination.)"""
+    import duckdb
+
+    for sf in ("sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        ids20 = [
+            r[0]
+            for r in con.execute(
+                "SELECT doc_id FROM read_parquet("
+                f"'/root/testdata/{sf}/documents.parquet') "
+                "WHERE doc_id % 20 = 0"
+            ).fetchall()
+        ]
+        ids50 = [i for i in ids20 if i % 50 == 0]
+        pats = [multimodal.grid_pattern64(i) for i in ids20]
+        assert min(
+            bin(a ^ b).count("1")
+            for i, a in enumerate(pats)
+            for b in pats[i + 1 :]
+        ) >= 7, sf
+        ph = [
+            multimodal._phash_bits(
+                multimodal._grid_pixels(
+                    multimodal.grid_pattern64(i, key="gridimg_p")
+                ).astype(np.float64).mean(axis=2)
+            )
+            for i in ids20
+        ]
+        assert min(
+            bin(a ^ b).count("1")
+            for i, a in enumerate(ph)
+            for b in ph[i + 1 :]
+        ) >= 3, sf
+        vids = [
+            [
+                multimodal.grid_pattern64(i, f"gridvid:{f}")
+                for f in range(3 + i % 4)
+            ]
+            for i in ids50
+        ]
+        assert min(
+            bin(pa ^ pb).count("1")
+            for i, fa in enumerate(vids)
+            for fb in vids[i + 1 :]
+            for pa in fa
+            for pb in fb
+        ) >= 7, sf
+
+
+def test_audio_fixture_cross_pair_safety_real_ids(spark):
+    """Every non-twin clip pair over the REAL sf0.01 id sample must have
+    at least one aligned analysis frame OUTSIDE the Hamming-3 ball (the
+    containment rollup then can't report it). Also regression-pins the
+    r10 chirp-keying collision: ids 2600 apart — a multiple of the
+    query's %50 stride — used to share every base frequency."""
+    import duckdb
+
+    con = duckdb.connect()
+    ids = [
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM read_parquet("
+            "'/root/testdata/sf0.01/documents.parquet') "
+            "WHERE doc_id % 50 = 0"
+        ).fetchall()
+    ]
+    ids = sorted(set(ids) | {0, 2600})  # force the old collision pair in
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    fps = multimodal.audio_fingerprints(
+        multimodal.synth_audio_fp_payloads(df)
+    ).collect()
+    per_clip: dict[int, list[int]] = {}
+    for r in fps:
+        per_clip.setdefault(r.media_id, []).append((r.frame_idx, r.fp))
+    clips = {k: [fp for _, fp in sorted(v)] for k, v in per_clip.items()}
+    mids = sorted(clips)
+    for i, a in enumerate(mids):
+        for b in mids[i + 1 :]:
+            worst = max(
+                bin((x ^ y) & ((1 << 64) - 1)).count("1")
+                for x, y in zip(clips[a], clips[b])
+            )
+            assert worst > 3, (a, b, worst)
