@@ -131,6 +131,7 @@ def ngram_containment_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     hash_shingles: bool = False,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """DIRECTED near-dup pairs by shingle-set containment
     C(src→dst) = |S_src ∩ S_dst| / |S_src| ≥ threshold.
@@ -143,8 +144,15 @@ def ngram_containment_pairs(
     emitted and filtered, so asymmetry costs nothing extra.
 
     Output: (id_src, id_dst, containment) — src's shingles appear in dst.
+
+    ``postings``: a prebuilt :func:`shingle_postings` frame (bring-your-
+    own inverted index — see :func:`ngram_jaccard_pairs`).
     """
-    shingled = shingle_postings(df, id_col, text_col, n, max_df, hash_shingles)
+    shingled = (
+        postings
+        if postings is not None
+        else shingle_postings(df, id_col, text_col, n, max_df, hash_shingles)
+    )
     sizes = shingled.groupBy("id").agg(F.count("*").alias("set_size"))
 
     a = shingled.alias("a")
@@ -203,6 +211,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     hash_shingles: bool = False,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted index:
 
@@ -225,8 +234,21 @@ def ngram_jaccard_pairs(
     posting keys are ``xxhash64(shingle)`` longs — the self-join shuffles
     8-byte keys instead of n-word strings, identical output values (see
     :func:`shingle_postings`).
+
+    ``postings``: bring-your-own inverted index — a prebuilt (and
+    checkpointed) :func:`shingle_postings` frame. The corpus-scale
+    pattern: build the index ONCE per corpus snapshot, then run Jaccard,
+    containment, and the connected-components family against the same
+    materialization instead of re-shingling the corpus per consumer
+    (r10 VERDICT #2). The caller owns the contract that ``postings`` was
+    built with the SAME (n, max_df, hash_shingles) this call names;
+    ``df``/``text_col`` are ignored when it is given.
     """
-    shingled = shingle_postings(df, id_col, text_col, n, max_df, hash_shingles)
+    shingled = (
+        postings
+        if postings is not None
+        else shingle_postings(df, id_col, text_col, n, max_df, hash_shingles)
+    )
     sizes = shingled.groupBy("id").agg(F.count("*").alias("set_size"))
 
     a = shingled.alias("a")

