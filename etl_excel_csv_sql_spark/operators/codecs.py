@@ -144,9 +144,25 @@ def bmp_meta(payload: bytes) -> tuple[int, int]:
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
+#: Adam7 pass grid (ISO/IEC 15948 §8.2): (x_start, y_start, x_step, y_step)
+#: per pass; pass p's reduced image is the pixels at
+#: (y_start::y_step, x_start::x_step), each pass independently filtered.
+ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def encode_png(arr: np.ndarray, level: int = 6, interlace: bool = False) -> bytes:
     """(H, W, 3) uint8 RGB → PNG bytes (8-bit truecolor, filter type 0 on
-    every row — valid PNG; decoders must accept any per-row filter)."""
+    every row — valid PNG; decoders must accept any per-row filter).
+    ``interlace=True`` writes Adam7: seven independently-filtered reduced
+    images in pass order (empty passes omitted, per spec)."""
     h, w, _ = arr.shape
 
     def chunk(tag: bytes, body: bytes) -> bytes:
@@ -157,10 +173,22 @@ def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color 2 = RGB
-    raw = np.zeros((h, 1 + 3 * w), dtype=np.uint8)
-    raw[:, 1:] = arr.reshape(h, 3 * w)  # leading 0 byte = filter None
-    idat = zlib.compress(raw.tobytes(), level)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            sub = arr[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ph, pw, _ = sub.shape
+            rows = np.zeros((ph, 1 + 3 * pw), dtype=np.uint8)
+            rows[:, 1:] = sub.reshape(ph, 3 * pw)
+            parts.append(rows.tobytes())
+        idat = zlib.compress(b"".join(parts), level)
+    else:
+        raw = np.zeros((h, 1 + 3 * w), dtype=np.uint8)
+        raw[:, 1:] = arr.reshape(h, 3 * w)  # leading 0 byte = filter None
+        idat = zlib.compress(raw.tobytes(), level)
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)
@@ -223,10 +251,16 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 @_malformed_as_valueerror
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes → (H, W, 3) uint8 RGB. Supports 8-bit truecolor RGB
-    (color type 2) and RGBA (6, alpha dropped), non-interlaced."""
+    (color type 2) and RGBA (6, alpha dropped), non-interlaced AND Adam7
+    interlaced (r10 VERDICT #5 — interlaced web images used to
+    quarantine; now they deinterleave over the same inflate + unfilter
+    core, one _png_unfilter call per reduced image)."""
     w, h, depth, color = png_meta(payload)
     if depth != 8 or color not in (2, 6):
         raise ValueError(f"only 8-bit RGB/RGBA PNG supported (depth={depth}, color={color})")
+    interlace = payload[28]
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     channels = 3 if color == 2 else 4
     # walk chunks, concatenating IDAT
     pos, idat = 8, []
@@ -238,10 +272,31 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif tag == b"IEND":
             break
         pos += 12 + length  # len + tag + body + crc
-    stride = w * channels
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if interlace == 1:
+        img = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes NO bytes (spec)
+            stride = pw * channels
+            need = ph * (1 + stride)
+            sub = raw[off : off + need]
+            if sub.size != need:
+                raise ValueError("Adam7 pixel stream truncated")
+            off += need
+            # each reduced image is filtered independently — prev row
+            # resets per pass, which _png_unfilter does by construction
+            pixels = _png_unfilter(sub.reshape(ph, 1 + stride), ph, stride, channels)
+            img[y0::dy, x0::dx] = pixels.reshape(ph, pw, channels)
+        if off != raw.size:
+            raise ValueError("Adam7 pixel stream size mismatch")
+        return img[:, :, :3].copy()
+    stride = w * channels
     if raw.size != h * (1 + stride):
-        raise ValueError("PNG pixel stream size mismatch (interlaced unsupported)")
+        raise ValueError("PNG pixel stream size mismatch")
     pixels = _png_unfilter(raw.reshape(h, 1 + stride), h, stride, channels)
     img = pixels.reshape(h, w, channels)
     return img[:, :, :3].copy()
@@ -883,17 +938,22 @@ def build_exif_app1(
 
 
 def encode_jpeg_header_only(
-    width: int, height: int, app1: bytes | None = None
+    width: int, height: int, app1: bytes | None = None,
+    progressive: bool = False,
 ) -> bytes:
-    """A structurally-valid JPEG marker stream (SOI [APP1] SOF0 EOI) with
+    """A structurally-valid JPEG marker stream (SOI [APP1] SOFn EOI) with
     NO entropy-coded data — enough for every header parser
     (:func:`jpeg_meta`, :func:`exif_meta`) while staying stdlib-pure
-    (full JPEG entropy coding is out of scope, like video frames)."""
+    (full JPEG entropy coding is out of scope, like video frames).
+    ``progressive=True`` emits SOF2 instead of SOF0 — the most common
+    real-world JPEG shape beyond baseline (r10 VERDICT #5); dims parse
+    identically (jpeg_meta walks to ANY SOFn)."""
     sof = struct.pack(">HBHHB", 8 + 3, 8, height, width, 1) + b"\x01\x11\x00"
+    marker = b"\xff\xc2" if progressive else b"\xff\xc0"
     return (
         b"\xff\xd8"
         + (app1 or b"")
-        + b"\xff\xc0"
+        + marker
         + sof
         + b"\xff\xd9"
     )
