@@ -276,3 +276,99 @@ def quarantine_split(
         "_reject_reason", F.coalesce(*reasons) if reasons else F.lit(None)
     )
     return good, quarantined
+
+
+# ---------------------------------------------------------------------------
+# T-SQL dialect surface (r10 VERDICT #7)
+# ---------------------------------------------------------------------------
+#
+# The reference's REAL destination is SQL Server (CSVtoSQLimport.ps1:
+# 183-200 builds CREATE TABLE / INSERT T-SQL by hand with every column as
+# a string). This engine proves sink semantics live on embedded Derby
+# (the right call in a sandbox), but a production deployment pointed at
+# SQL Server needs the dialect's DDL: datetime2 (not the legacy
+# datetime, whose 3.33 ms tick mangles Spark's microsecond timestamps),
+# nvarchar (Spark StringType is UTF-16-capable; varchar would mojibake
+# non-Latin corpora), bracket-quoted identifiers with ]-doubling.
+#
+# Spark's own createTableColumnTypes option canNOT express these — it
+# parses its value as *Spark SQL* types, and NVARCHAR(MAX)/DATETIME2 are
+# not in that grammar — so the emitter produces a complete CREATE TABLE
+# statement for the caller to run once against the server (the pattern
+# the reference itself uses); the Spark write then targets the existing
+# table with truncate=true, exactly like the Derby leg.
+
+#: Spark simpleString → T-SQL type. Choices documented in README §T-SQL.
+TSQL_TYPE_MAP: dict[str, str] = {
+    "string": "NVARCHAR(MAX)",
+    "boolean": "BIT",
+    "tinyint": "TINYINT",
+    "smallint": "SMALLINT",
+    "int": "INT",
+    "bigint": "BIGINT",
+    "float": "REAL",          # T-SQL REAL = 4-byte IEEE, Spark FloatType
+    "double": "FLOAT",        # T-SQL FLOAT(53) = 8-byte IEEE
+    "date": "DATE",
+    "timestamp": "DATETIME2(6)",      # microsecond precision, like Spark
+    "timestamp_ntz": "DATETIME2(6)",
+    "binary": "VARBINARY(MAX)",
+}
+
+
+def tsql_column_type(
+    dtype, varchar_len: int | None = None
+) -> str:
+    """Spark DataType → T-SQL column type. ``varchar_len`` caps strings
+    at NVARCHAR(n) instead of MAX (indexable; SQL Server keys reject
+    MAX columns). DecimalType maps precision/scale through; unmapped
+    types (arrays, maps, structs) raise — flatten before a relational
+    sink."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.DecimalType):
+        return f"DECIMAL({dtype.precision},{dtype.scale})"
+    if isinstance(dtype, T.StringType) and varchar_len is not None:
+        return f"NVARCHAR({varchar_len})"
+    name = dtype.simpleString()
+    try:
+        return TSQL_TYPE_MAP[name]
+    except KeyError:
+        raise ValueError(
+            f"no T-SQL mapping for Spark type {name!r} — flatten "
+            "array/map/struct columns before a relational sink"
+        ) from None
+
+
+def tsql_create_table(
+    table: str,
+    schema,
+    varchar_len: int | None = None,
+    primary_key: str | None = None,
+    if_not_exists: bool = True,
+) -> str:
+    """Emit the SQL Server CREATE TABLE for a Spark schema — bracket-
+    quoted identifiers (]-doubled via enclose_with_brackets), NOT NULL
+    from schema nullability, optional PRIMARY KEY (forces the pk column
+    NOT NULL, as T-SQL requires). ``if_not_exists`` wraps in the T-SQL
+    idiom (OBJECT_ID guard — SQL Server has no CREATE TABLE IF NOT
+    EXISTS). Dotted names quote each part separately ([dbo].[orders])."""
+    qtable = ".".join(enclose_with_brackets(p) for p in table.split("."))
+    cols = []
+    for f in schema.fields:
+        not_null = (not f.nullable) or f.name == primary_key
+        cols.append(
+            f"{enclose_with_brackets(f.name)} "
+            f"{tsql_column_type(f.dataType, varchar_len)}"
+            f"{' NOT NULL' if not_null else ''}"
+        )
+    if primary_key is not None:
+        if primary_key not in {f.name for f in schema.fields}:
+            raise ValueError(f"primary_key {primary_key!r} not in schema")
+        cols.append(f"PRIMARY KEY ({enclose_with_brackets(primary_key)})")
+    body = f"CREATE TABLE {qtable} (\n  " + ",\n  ".join(cols) + "\n)"
+    if if_not_exists:
+        return (
+            f"IF OBJECT_ID(N'{table.replace(chr(39), chr(39) * 2)}', N'U') "
+            f"IS NULL\n{body}"
+        )
+    return body

@@ -149,3 +149,96 @@ def test_parquet_merge_sink_recovers_from_crashed_swap(spark, tmp_path):
     assert {r.k for r in sink.read(spark).collect()} == {1, 2}  # recovered
     sink.upsert(spark, spark.createDataFrame([(3, "c")], ["k", "v"]))
     assert {r.k for r in sink.read(spark).collect()} == {1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# T-SQL dialect emitter (r10 VERDICT #7): pinned DDL strings — no live
+# SQL Server needed; Derby stays the live leg.
+# ---------------------------------------------------------------------------
+
+
+def test_tsql_create_table_pinned_ddl():
+    from pyspark.sql import types as T
+
+    from etl_excel_csv_sql_spark.io.jdbc import tsql_create_table
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType(), False),
+            T.StructField("o_orderstatus", T.StringType(), True),
+            T.StructField("o_totalprice", T.DoubleType(), True),
+            T.StructField("o_orderdate", T.TimestampType(), True),
+            T.StructField("is_priority", T.BooleanType(), True),
+            T.StructField("qty", T.DecimalType(12, 2), True),
+            T.StructField("blob", T.BinaryType(), True),
+        ]
+    )
+    got = tsql_create_table(
+        "dbo.orders_tbl", schema, varchar_len=64, primary_key="o_orderkey"
+    )
+    assert got == (
+        "IF OBJECT_ID(N'dbo.orders_tbl', N'U') IS NULL\n"
+        "CREATE TABLE [dbo].[orders_tbl] (\n"
+        "  [o_orderkey] BIGINT NOT NULL,\n"
+        "  [o_orderstatus] NVARCHAR(64),\n"
+        "  [o_totalprice] FLOAT,\n"
+        "  [o_orderdate] DATETIME2(6),\n"
+        "  [is_priority] BIT,\n"
+        "  [qty] DECIMAL(12,2),\n"
+        "  [blob] VARBINARY(MAX),\n"
+        "  PRIMARY KEY ([o_orderkey])\n"
+        ")"
+    )
+
+
+def test_tsql_unbounded_strings_and_no_guard():
+    from pyspark.sql import types as T
+
+    from etl_excel_csv_sql_spark.io.jdbc import tsql_create_table
+
+    schema = T.StructType([T.StructField("txt", T.StringType(), False)])
+    got = tsql_create_table("notes", schema, if_not_exists=False)
+    assert got == "CREATE TABLE [notes] (\n  [txt] NVARCHAR(MAX) NOT NULL\n)"
+
+
+def test_tsql_identifier_bracket_doubling_and_quoted_guard():
+    """]-containing identifiers must double per T-SQL, and the OBJECT_ID
+    guard must escape single quotes in the table name."""
+    from pyspark.sql import types as T
+
+    from etl_excel_csv_sql_spark.io.jdbc import tsql_create_table
+
+    schema = T.StructType([T.StructField("we]ird col", T.IntegerType(), True)])
+    got = tsql_create_table("o'brien]t", schema)
+    assert "[o'brien]]t]" in got
+    assert "[we]]ird col] INT" in got
+    assert "IF OBJECT_ID(N'o''brien]t', N'U') IS NULL" in got
+
+
+def test_tsql_rejects_nested_types_and_bad_pk():
+    import pytest
+    from pyspark.sql import types as T
+
+    from etl_excel_csv_sql_spark.io.jdbc import (
+        tsql_column_type,
+        tsql_create_table,
+    )
+
+    with pytest.raises(ValueError, match="no T-SQL mapping"):
+        tsql_column_type(T.ArrayType(T.IntegerType()))
+    schema = T.StructType([T.StructField("a", T.IntegerType(), True)])
+    with pytest.raises(ValueError, match="primary_key"):
+        tsql_create_table("t", schema, primary_key="nope")
+
+
+def test_tsql_timestamp_is_datetime2_not_datetime():
+    """The legacy DATETIME type has a 3.33 ms tick — Spark microsecond
+    timestamps written to it round silently. The mapping must be
+    DATETIME2(6)."""
+    from pyspark.sql import types as T
+
+    from etl_excel_csv_sql_spark.io.jdbc import tsql_column_type
+
+    assert tsql_column_type(T.TimestampType()) == "DATETIME2(6)"
+    assert tsql_column_type(T.TimestampNTZType()) == "DATETIME2(6)"
+    assert tsql_column_type(T.StringType()) == "NVARCHAR(MAX)"
