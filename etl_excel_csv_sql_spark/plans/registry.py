@@ -6562,62 +6562,65 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
     )
 
 
-# --- r9 window (tools/rotation.py 9 --emit): leads with ALL 14
-# never-driver-checked queries (VERDICT r8 #2 — backlog to zero), then
-# the stale-3+ tier (repetition_signals, contamination_check, ...) per
-# the staleness burn-down policy (err > never-checked > stalest,
-# oracle-before-rows-only at equal staleness).
+# --- r11 window (tools/rotation.py 11, hand-adjusted per VERDICT r10 #1
+# and #3): leads with the perceptual near-dup QUARTET — their oracle
+# status changed this round (rows-only -> full DuckDB value oracle), so
+# the driver must re-evidence them as hash-passes — then burns the ENTIRE
+# stale-7 (last=r4) and stale-6 (last=r5) tiers, demotion overridden for
+# this round so max driver staleness lands <= 6 (the judge's done
+# criterion; the breadth demotion policy resumes afterwards), then the
+# stalest non-demoted tier fills the remaining slots.
 WINDOW_ORDER: tuple[str, ...] = (
-    "excel_arrow_stage_roundtrip",
-    "media_video_frames",
+    "media_ahash_neardup",
+    "media_phash_neardup",
     "media_video_ahash_neardup",
-    "found_report",
-    "media_audio_fp_neardup",  # r10: new audio near-dup op, never driver-checked
-    "copy_plan_manifest",
-    "excel_serial_to_ts",
-    "path_scrub",
-    "archive_naming",
-    "corr_price_quantity",
-    "fuzzy_name_distance",
-    "events_tumbling_hourly",
-    "events_sliding",
-    "events_sessionize",
-    "events_json_extract",
-    "doc_token_stats",
-    "corpus_rollup_lang",
-    "doc_quality_score",
-    "char_ngram_profile",
-    "embedding_norms",
-    "media_video_meta",
-    "media_frame_plan",
-    "jdbc_fullrefresh_roundtrip",
-    "events_stream_stream_left_join",
-    "events_stateful_running_totals",
-    "warehouse_bucketed_join",
-    "sql_defined_functions",  # r10: drives the regenerated sanitizer oracle (VERDICT r9 #1); strict superset of sanitize_sql_string
-    "simhash_pairs",
-    "approx_quantiles_price",
-    "approx_distinct_users",
-    "settings_catalog",
-    "watermark_lifecycle",
-    "folder_queue_lifecycle",
-    "retention_sweep_report",
-    "invoice_pipeline_e2e",
-    "asof_latest_order_per_event",
-    "source_quality_rollup",
-    "exact_dup_groups",
-    "ngram_jaccard_pairs",
-    "dedup_components",
-    "dedup_keep_first",
-    "lang_id_heuristic",
-    "tfidf_top_terms",
-    "doc_lexical_diversity",
-    "join_skew_report",
-    "dup_ngram_spans",
-    "cosine_topk",
-    "embedding_dup_pairs",
-    "embedding_label_cohesion",
-    "media_metadata",
+    "media_audio_fp_neardup",
+    "above_avg_orders",
+    "cube_agg",
+    "group_by_multi",
+    "grouping_sets_exists",
+    "percentile_prices",
+    "pivot_status_by_priority",
+    "pricing_summary",
+    "region_revenue",
+    "rollup_agg",
+    "shipping_priority_top10",
+    "top_k_orders",
+    "window_analytics_breadth",
+    "window_running_sum",
+    "window_topk_per_group",
+    "anti_join_unmatched",
+    "case_when_bands",
+    "count_distinct",
+    "date_functions_breadth",
+    "distinct_values",
+    "having_filter",
+    "in_list_literal",
+    "sanitize_sql_string",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "string_functions_breadth",
+    "window_lag_gap",
+    "window_rank_dense",
+    "excel_roundtrip",
+    "csv_roundtrip",
+    "jdbc_live_roundtrip",
+    "events_tumbling_streaming",
+    "quarantine_split_rows",
+    "salted_join_equivalence",
+    "merge_upsert_roundtrip",
+    "media_streaming_meta_rollup",
+    "lock_fallback_naming",
+    "sql_compose_quoting",
+    "settings_validation_outcomes",
+    "events_stream_stream_full_join",
+    "dq_check_suite",
+    "fuzzy_part_pairs",
+    "doc_unigram_surprisal",
+    "weighted_sample_orders",
+    "zorder_layout_sample",
+    "cohort_retention_weekly",
 )
 
 # Breadth-tier queries (see QuerySpec.tier): pure SQL-shape coverage —
