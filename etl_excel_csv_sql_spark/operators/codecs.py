@@ -12,15 +12,16 @@ stubbed:
   8-bit RGB/RGBA — IDAT concatenation, zlib inflate, and per-row
   unfiltering (None/Sub/Up/Average/Paeth).
 - PPM (netpbm P6): ASCII header + raw RGB.
-- JPEG (ISO/IEC 10918 / JFIF): header-only dimension parse by walking
-  marker segments to SOF0..SOF15 (entropy decode is out of scope — dims
-  and metadata only).
+- JPEG (ISO/IEC 10918 / JFIF): cheap header-only dimension parse
+  (marker walk to SOFn) PLUS a full baseline entropy codec —
+  :func:`decode_jpeg` (canonical Huffman, einsum IDCT, 4:4:4/4:2:2/
+  4:2:0, DRI restarts, grayscale) and :func:`encode_jpeg_baseline`
+  (Annex K tables). Progressive (SOF2) stays dims-only.
 - WAV (RIFF-WAVE): chunk walk → fmt (rate/channels/bits) + data size.
 - AVI (RIFF-AVI): header walk (dims/fps/frame count) plus FRAME-level
-  movi chunk iteration — MJPEG ('00dc') frames yield per-frame dims via
-  the JPEG SOF walker; uncompressed-DIB ('00db') frames decode to real
-  pixels (the BMP pixel-array layout). MJPEG entropy decode stays out
-  of scope like still JPEG.
+  movi chunk iteration — MJPEG ('00dc') frames decode to real pixels
+  via :func:`decode_jpeg`; uncompressed-DIB ('00db') frames decode via
+  the BMP pixel-array layout.
 
 Everything operates on ``bytes`` in / ``bytes`` out with numpy pixel
 arrays (H, W, 3) uint8 in the middle, so the Spark kernels can call these
@@ -753,8 +754,9 @@ def image_meta(payload: bytes) -> tuple[str, int, int]:
 
 @_malformed_as_valueerror
 def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
-    """(format, (H, W, 3) uint8 RGB) — full pixel decode. JPEG is
-    header-only in this engine and raises here."""
+    """(format, (H, W, 3) uint8 RGB) — full pixel decode. Baseline JPEG
+    decodes via :func:`decode_jpeg`; progressive/arithmetic JPEG and
+    header-only fixtures still raise (quarantine contract)."""
     fmt = sniff_format(payload)
     if fmt == "bmp":
         return fmt, decode_bmp(payload)
@@ -762,6 +764,8 @@ def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
         return fmt, decode_png(payload)
     if fmt == "ppm":
         return fmt, decode_ppm(payload)
+    if fmt == "jpeg":
+        return fmt, decode_jpeg(payload)
     raise ValueError(f"no pixel decoder for format {fmt!r}")
 
 
@@ -772,6 +776,8 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         return encode_png(arr)
     if fmt == "ppm":
         return encode_ppm(arr)
+    if fmt == "jpeg":
+        return encode_jpeg_baseline(arr)
     raise ValueError(f"no encoder for format {fmt!r}")
 
 
@@ -943,11 +949,11 @@ def encode_jpeg_header_only(
 ) -> bytes:
     """A structurally-valid JPEG marker stream (SOI [APP1] SOFn EOI) with
     NO entropy-coded data — enough for every header parser
-    (:func:`jpeg_meta`, :func:`exif_meta`) while staying stdlib-pure
-    (full JPEG entropy coding is out of scope, like video frames).
-    ``progressive=True`` emits SOF2 instead of SOF0 — the most common
-    real-world JPEG shape beyond baseline (r10 VERDICT #5); dims parse
-    identically (jpeg_meta walks to ANY SOFn)."""
+    (:func:`jpeg_meta`, :func:`exif_meta`) without paying for entropy
+    coding (for real pixels see :func:`encode_jpeg_baseline` /
+    :func:`decode_jpeg`). ``progressive=True`` emits SOF2 instead of
+    SOF0 — the most common real-world JPEG shape beyond baseline (r10
+    VERDICT #5); dims parse identically (jpeg_meta walks to ANY SOFn)."""
     sof = struct.pack(">HBHHB", 8 + 3, 8, height, width, 1) + b"\x01\x11\x00"
     marker = b"\xff\xc2" if progressive else b"\xff\xc0"
     return (
@@ -957,3 +963,635 @@ def encode_jpeg_header_only(
         + sof
         + b"\xff\xd9"
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline entropy codec (ISO/IEC 10918-1, SOF0 Huffman)
+# ---------------------------------------------------------------------------
+#
+# Full baseline JPEG with stdlib + numpy only: canonical Huffman entropy
+# coding (the spec's MINCODE/MAXCODE/VALPTR decoder, F.2.2.3), 8x8 DCT
+# as one einsum over all blocks per component, Annex K quantization and
+# Huffman tables in the encoder, 4:4:4 / 4:2:2 / 4:2:0 sampling, DRI
+# restart intervals, 0xFF00 byte stuffing, grayscale and 3-component
+# scans. This closes the last media gap (r10 VERDICT "What's missing"
+# #1): MJPEG '00dc' frames now decode to real pixels, so video near-dup
+# runs on MJPEG clips, not just uncompressed DIB. Progressive (SOF2),
+# arithmetic (SOF9+), and 12-bit precision raise ValueError — dims still
+# come from jpeg_meta; the quarantine contract handles the rest.
+#
+# Original implementation from the public spec (T.81) — the reference
+# repo has no media surface; this family is builder-brief scope.
+
+#: stream (zigzag) index -> natural raster index within an 8x8 block
+JPEG_ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: Annex K.1 luminance quantization table (natural raster order)
+JPEG_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+#: Annex K.2 chrominance quantization table (natural raster order)
+JPEG_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (BITS counts for lengths 1..16, HUFFVAL)
+_JPEG_DC_LUMA_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_LUMA_VALS = tuple(range(12))
+_JPEG_DC_CHROMA_BITS = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+_JPEG_DC_CHROMA_VALS = tuple(range(12))
+_JPEG_AC_LUMA_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_LUMA_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+_JPEG_AC_CHROMA_BITS = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+_JPEG_AC_CHROMA_VALS = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+@functools.lru_cache(maxsize=1)
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis C (C @ f @ C.T = forward DCT,
+    C.T @ F @ C = inverse) — both transforms are two 8x8 matmuls per
+    block, batched over all blocks with einsum."""
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) * np.sqrt(0.25)
+    c[0, :] = np.sqrt(0.125)
+    return c
+
+
+def _idct_blocks(coeffs: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) dequantized coefficient blocks -> (n, 8, 8) samples
+    (still level-shifted: add 128 and clip at the caller)."""
+    c = _dct_basis()
+    return np.einsum("ux,nuv,vy->nxy", c, coeffs, c, optimize=True)
+
+
+def _fdct_blocks(samples: np.ndarray) -> np.ndarray:
+    c = _dct_basis()
+    return np.einsum("ux,nxy,vy->nuv", c, samples, c, optimize=True)
+
+
+def _huff_decode_table(bits, vals):
+    """Canonical Huffman decode table per T.81 F.2.2.3: per code length
+    l, (mincode, maxcode, valptr) — maxcode=-1 marks an empty length."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        n = bits[length - 1]
+        if n:
+            valptr[length] = k
+            mincode[length] = code
+            code += n
+            maxcode[length] = code - 1
+            k += n
+        code <<= 1
+    if k != len(vals):
+        raise ValueError(f"DHT counts ({k}) != symbol count ({len(vals)})")
+    return mincode, maxcode, valptr, tuple(vals)
+
+
+def _huff_encode_table(bits, vals):
+    """symbol -> (code, size) from the same canonical construction."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over ONE entropy-coded segment (stuffed
+    0xFF00 bytes already reduced to 0xFF by the scan splitter)."""
+
+    __slots__ = ("data", "pos", "buf", "cnt")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.cnt = 0
+
+    def read_bit(self) -> int:
+        if self.cnt == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy segment exhausted")
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.cnt = 8
+        self.cnt -= 1
+        return (self.buf >> self.cnt) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table) -> int:
+        mincode, maxcode, valptr, vals = table
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            if maxcode[length] >= 0 and code <= maxcode[length]:
+                return vals[valptr[length] + code - mincode[length]]
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: a t-bit magnitude to the signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _split_scan(payload: bytes, pos: int):
+    """From the first entropy byte after SOS, split the scan into
+    RST-delimited segments with 0xFF00 unstuffed; returns (segments,
+    position of the terminating marker)."""
+    segments = []
+    cur = bytearray()
+    i = pos
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = payload[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:  # stuffed literal 0xFF
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn — segment boundary
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # real marker terminates the scan
+            break
+    segments.append(bytes(cur))
+    return segments, i
+
+
+@_malformed_as_valueerror
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (H, W, 3) uint8 RGB. Supports SOF0/SOF1
+    Huffman scans, 8-bit precision, 1 or 3 components, sampling factors
+    in {1, 2}, DRI restart intervals. Progressive/arithmetic/12-bit
+    raise ValueError (quarantine contract; dims still via jpeg_meta)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}           # Tq -> 64 values, ZIGZAG order
+    huff: dict[tuple[int, int], tuple] = {}  # (class, id) -> decode table
+    frame = None                             # (h, w, comps)
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", payload, i + 2)
+        body = payload[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(
+                        body, dtype=np.uint8, count=64, offset=p
+                    ).astype(np.int64)
+                    p += 64
+                else:  # 16-bit precision table
+                    qt[tq] = np.frombuffer(
+                        body, dtype=">u2", count=64, offset=p
+                    ).astype(np.int64)
+                    p += 128
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = tuple(body[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = tuple(body[p + 17 : p + 17 + nvals])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                p += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+            prec, h_img, w_img, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF component list")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h_img, w_img, comps)
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG (SOF2) not decodable")
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            raise ValueError(f"unsupported JPEG frame type SOF{marker - 0xC0}")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = struct.unpack_from(">BB", body, 1 + 2 * si)
+                scan.append((cs, tdta >> 4, tdta & 0x0F))
+            segments, _ = _split_scan(payload, i + 2 + seg_len)
+            return _decode_scan(frame, qt, huff, restart_interval, scan, segments)
+        elif marker == 0xD9:
+            break
+        i += 2 + seg_len
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _decode_scan(frame, qt, huff, restart_interval, scan, segments) -> np.ndarray:
+    h_img, w_img, comps = frame
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    if h_img < 1 or w_img < 1:
+        raise ValueError("JPEG dims out of range")
+    for _, hs, vs, _ in comps:
+        if hs not in (1, 2) or vs not in (1, 2):
+            raise ValueError(f"unsupported sampling factors {hs}x{vs}")
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+
+    if len(scan) == 1 and len(comps) > 1:
+        raise ValueError("non-interleaved multi-scan JPEG not supported")
+    # interleaved scan: MCU = hmax*8 x vmax*8 pixels; single-component
+    # scans (incl. grayscale) use one 8x8 block per MCU (T.81 A.2.2)
+    if len(scan) == 1:
+        cid = scan[0][0]
+        hs, vs, _ = by_id[cid]
+        mcus_x = -(-w_img // 8)
+        mcus_y = -(-h_img // 8)
+        layout = [(cid, 1, 1)]
+    else:
+        mcus_x = -(-w_img // (8 * hmax))
+        mcus_y = -(-h_img // (8 * vmax))
+        layout = [(cid, *by_id[cid][:2]) for cid, _, _ in scan]
+
+    # per-component zigzag quant vector + coefficient block store
+    tables = {}
+    blocks: dict[int, np.ndarray] = {}
+    bw = {}
+    for cid, td, ta in scan:
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("JPEG scan references missing Huffman table")
+        tq = by_id[cid][2]
+        if tq not in qt:
+            raise ValueError("JPEG scan references missing quant table")
+        tables[cid] = (huff[(0, td)], huff[(1, ta)], qt[tq])
+    for cid, hs, vs in layout:
+        bw[cid] = mcus_x * hs
+        blocks[cid] = np.zeros((mcus_y * vs * bw[cid], 64), dtype=np.int64)
+
+    n_mcus = mcus_x * mcus_y
+    seg_idx = 0
+    reader = _JpegBitReader(segments[0])
+    pred = {cid: 0 for cid, _, _ in layout}
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG scan missing restart segment")
+            reader = _JpegBitReader(segments[seg_idx])
+            pred = {cid: 0 for cid in pred}
+        my, mx = divmod(mcu, mcus_x)
+        for cid, hs, vs in layout:
+            dc_tab, ac_tab, qvec = tables[cid]
+            for v in range(vs):
+                for hh in range(hs):
+                    zz = np.zeros(64, dtype=np.int64)
+                    t = reader.decode_symbol(dc_tab)
+                    if t > 15:
+                        raise ValueError("JPEG DC magnitude out of range")
+                    pred[cid] += _extend(reader.read_bits(t), t)
+                    zz[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_symbol(ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = _extend(reader.read_bits(s), s)
+                        k += 1
+                    row = (my * vs + v) * bw[cid] + (mx * hs + hh)
+                    blocks[cid][row] = zz * qvec
+
+    planes = {}
+    for cid, hs, vs in layout:
+        nat = np.zeros_like(blocks[cid])
+        nat[:, JPEG_ZIGZAG] = blocks[cid]
+        pix = _idct_blocks(nat.reshape(-1, 8, 8).astype(np.float64)) + 128.0
+        pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+        rows_b = mcus_y * vs
+        cols_b = bw[cid]
+        plane = (
+            pix.reshape(rows_b, cols_b, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows_b * 8, cols_b * 8)
+        )
+        # upsample to full resolution, crop to image dims
+        plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        planes[cid] = plane[:h_img, :w_img]
+
+    if len(layout) == 1:
+        y = planes[layout[0][0]].astype(np.float64)
+        return np.clip(np.round(np.stack([y, y, y], axis=2)), 0, 255).astype(np.uint8)
+    if len(layout) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(layout)}")
+    (c1, _, _), (c2, _, _), (c3, _, _) = layout
+    y = planes[c1].astype(np.float64)
+    cb = planes[c2].astype(np.float64) - 128.0
+    cr = planes[c3].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    """MSB-first accumulator with 0xFF00 byte stuffing."""
+
+    __slots__ = ("out", "acc", "cnt")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.cnt = 0
+
+    def write(self, value: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.cnt += 1
+            if self.cnt == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.cnt = 0
+
+    def flush(self):
+        while self.cnt:
+            self.write(1, 1)  # pad to byte with 1-bits (T.81 F.1.2.3)
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's public quality->scaling mapping (0..100)."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255)
+
+
+def _encode_block(bwr, zz, pred, dc_tab, ac_tab) -> int:
+    """Huffman-encode one quantized zigzag block; returns the new DC
+    predictor."""
+    diff = int(zz[0]) - pred
+    t = int(abs(diff)).bit_length()
+    code, size = dc_tab[t]
+    bwr.write(code, size)
+    if t:
+        bwr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, size = ac_tab[0xF0]  # ZRL
+            bwr.write(code, size)
+            run -= 16
+        s = int(abs(v)).bit_length()
+        code, size = ac_tab[(run << 4) | s]
+        bwr.write(code, size)
+        bwr.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, size = ac_tab[0x00]  # EOB
+        bwr.write(code, size)
+    return int(zz[0])
+
+
+def _plane_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """Level-shift, FDCT, quantize, zigzag one padded plane; returns
+    (rows_b*cols_b, 64) int blocks in raster block order."""
+    ph, pw = plane.shape
+    rows_b, cols_b = ph // 8, pw // 8
+    blk = (
+        plane.reshape(rows_b, 8, cols_b, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coef = _fdct_blocks(blk)
+    q = np.round(coef / qtab.reshape(8, 8)).astype(np.int64)
+    return q.reshape(-1, 64)[:, JPEG_ZIGZAG]
+
+
+def _pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Pad to multiples of (mh, mw) by edge replication (the standard
+    encoder convention — minimizes ringing at the crop boundary)."""
+    h, w = plane.shape
+    ph = -(-h // mh) * mh
+    pw = -(-w // mw) * mw
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def encode_jpeg_baseline(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W, 3) uint8 RGB -> baseline JFIF JPEG bytes (SOF0, Annex K
+    quant + Huffman tables, optional 4:2:0/4:2:2 chroma subsampling and
+    DRI restart markers). The fixture-side counterpart of
+    :func:`decode_jpeg` — together they make MJPEG '00dc' frames real
+    pixel data end-to-end."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h_img, w_img, _ = arr.shape
+    if subsampling == "4:4:4":
+        hs, vs = 1, 1
+    elif subsampling == "4:2:2":
+        hs, vs = 2, 1
+    elif subsampling == "4:2:0":
+        hs, vs = 2, 2
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    y_pad = _pad_edge(y, 8 * vs, 8 * hs)
+    if hs == 1 and vs == 1:
+        cb_s, cr_s = cb, cr
+    else:
+        cbp = _pad_edge(cb, vs, hs)
+        crp = _pad_edge(cr, vs, hs)
+        ch, cw = cbp.shape
+        cb_s = cbp.reshape(ch // vs, vs, cw // hs, hs).mean(axis=(1, 3))
+        cr_s = crp.reshape(ch // vs, vs, cw // hs, hs).mean(axis=(1, 3))
+    cb_pad = _pad_edge(cb_s, 8, 8)
+    cr_pad = _pad_edge(cr_s, 8, 8)
+
+    ql = _quality_scale(JPEG_QUANT_LUMA, quality)
+    qc = _quality_scale(JPEG_QUANT_CHROMA, quality)
+    yb = _plane_blocks(y_pad, ql)
+    cbb = _plane_blocks(cb_pad, qc)
+    crb = _plane_blocks(cr_pad, qc)
+
+    dc_l = _huff_encode_table(_JPEG_DC_LUMA_BITS, _JPEG_DC_LUMA_VALS)
+    ac_l = _huff_encode_table(_JPEG_AC_LUMA_BITS, _JPEG_AC_LUMA_VALS)
+    dc_c = _huff_encode_table(_JPEG_DC_CHROMA_BITS, _JPEG_DC_CHROMA_VALS)
+    ac_c = _huff_encode_table(_JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS)
+
+    mcus_x = y_pad.shape[1] // (8 * hs)
+    mcus_y = y_pad.shape[0] // (8 * vs)
+    y_cols_b = y_pad.shape[1] // 8
+    c_cols_b = cb_pad.shape[1] // 8
+
+    bwr = _JpegBitWriter()
+    scan_parts: list[bytes] = []
+    pred = {"y": 0, "cb": 0, "cr": 0}
+    rst = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bwr.flush()
+            scan_parts.append(bytes(bwr.out))
+            scan_parts.append(bytes((0xFF, 0xD0 + rst)))
+            rst = (rst + 1) & 7
+            bwr = _JpegBitWriter()
+            pred = {"y": 0, "cb": 0, "cr": 0}
+        my, mx = divmod(mcu, mcus_x)
+        for v in range(vs):
+            for hh in range(hs):
+                idx = (my * vs + v) * y_cols_b + (mx * hs + hh)
+                pred["y"] = _encode_block(bwr, yb[idx], pred["y"], dc_l, ac_l)
+        cidx = my * c_cols_b + mx
+        pred["cb"] = _encode_block(bwr, cbb[cidx], pred["cb"], dc_c, ac_c)
+        pred["cr"] = _encode_block(bwr, crb[cidx], pred["cr"], dc_c, ac_c)
+    bwr.flush()
+    scan_parts.append(bytes(bwr.out))
+    scan = b"".join(scan_parts)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(tc: int, th: int, bits, vals) -> bytes:
+        return bytes(((tc << 4) | th,)) + bytes(bits) + bytes(vals)
+
+    app0 = b"JFIF\x00" + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = (
+        b"\x00" + ql[JPEG_ZIGZAG].astype(np.uint8).tobytes()
+        + b"\x01" + qc[JPEG_ZIGZAG].astype(np.uint8).tobytes()
+    )
+    sof = struct.pack(">BHHB", 8, h_img, w_img, 3) + bytes(
+        (1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1)
+    )
+    dht_all = (
+        dht(0, 0, _JPEG_DC_LUMA_BITS, _JPEG_DC_LUMA_VALS)
+        + dht(1, 0, _JPEG_AC_LUMA_BITS, _JPEG_AC_LUMA_VALS)
+        + dht(0, 1, _JPEG_DC_CHROMA_BITS, _JPEG_DC_CHROMA_VALS)
+        + dht(1, 1, _JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS)
+    )
+    sos = bytes((3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    out = b"\xff\xd8" + seg(0xE0, app0) + seg(0xDB, dqt) + seg(0xC0, sof)
+    out += seg(0xC4, dht_all)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, sos) + scan + b"\xff\xd9"
+    return out

@@ -111,8 +111,8 @@ def test_jpeg_sof_dimension_walk():
     jpg = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof + b"\xff\xd9"
     assert C.jpeg_meta(jpg) == (123, 99)
     assert C.image_meta(jpg) == ("jpeg", 123, 99)
-    with pytest.raises(ValueError, match="no pixel decoder"):
-        C.decode_image(jpg)  # header-only format
+    with pytest.raises(ValueError, match="truncated SOF"):
+        C.decode_image(jpg)  # truncated header-only stream: dims parse, pixels don't
 
 
 def test_wav_roundtrip_mono_and_stereo():
@@ -406,3 +406,161 @@ def test_progressive_jpeg_sof2_dims():
     assert jpg[2:4] == b"\xff\xc2"
     assert C.jpeg_meta(jpg) == (640, 480)
     assert C.image_meta(jpg) == ("jpeg", 640, 480)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG entropy codec (r10 VERDICT missing-#1: MJPEG pixels)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_solid_color_dc_only_roundtrip():
+    """A solid color is a pure-DC image: every coefficient block is
+    DC-only, so the round-trip error is bounded by the DC quantizer
+    rounding alone (<= 1 code value per channel after color convert)."""
+    for color in ((0, 0, 0), (255, 255, 255), (120, 64, 200)):
+        arr = np.full((16, 24, 3), color, dtype=np.uint8)
+        for sub in ("4:4:4", "4:2:2", "4:2:0"):
+            enc = C.encode_jpeg_baseline(arr, quality=90, subsampling=sub)
+            assert C.sniff_format(enc) == "jpeg"
+            assert C.jpeg_meta(enc) == (24, 16)
+            dec = C.decode_jpeg(enc)
+            assert dec.shape == (16, 24, 3)
+            assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 1
+
+
+def test_jpeg_gradient_roundtrip_quality_ladder():
+    x = np.linspace(0, 255, 64)
+    g = np.zeros((64, 64, 3), np.uint8)
+    g[:, :, 0] = x[None, :]
+    g[:, :, 1] = x[:, None]
+    g[:, :, 2] = 128
+    prev_bytes = 0
+    for q in (50, 75, 90, 95):
+        enc = C.encode_jpeg_baseline(g, quality=q)
+        dec = C.decode_jpeg(enc)
+        err = np.abs(dec.astype(int) - g.astype(int))
+        assert err.max() <= 12 and err.mean() < 3.0
+        assert len(enc) > prev_bytes  # higher quality → more bits
+        prev_bytes = len(enc)
+
+
+def test_jpeg_nonmultiple_dims_and_restart_markers():
+    """37x51 at 4:2:0 forces edge padding + crop on both axes; a restart
+    interval of 3 exercises RSTn segmentation and DC-predictor resets.
+    Flat 8x8 blocks make the content JPEG-stable so the comparison is
+    tight even at 4:2:0."""
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (7, 7, 3), dtype=np.uint8)
+    arr = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)[:37, :51]
+    for ri in (0, 1, 3, 7):
+        enc = C.encode_jpeg_baseline(
+            arr, quality=95, subsampling="4:2:0", restart_interval=ri
+        )
+        dec = C.decode_jpeg(enc)
+        assert dec.shape == (37, 51, 3)
+        err = np.abs(dec.astype(int) - arr.astype(int))
+        # interior of each flat block must be near-exact; edges of the
+        # 8-grid see chroma averaging across block boundaries
+        assert err.mean() < 6.0
+    # restart segmentation must not change the decoded pixels at all
+    d0 = C.decode_jpeg(C.encode_jpeg_baseline(arr, quality=95, restart_interval=0))
+    d3 = C.decode_jpeg(C.encode_jpeg_baseline(arr, quality=95, restart_interval=3))
+    assert np.array_equal(d0, d3)
+
+
+def test_jpeg_ff_byte_stuffing_survives():
+    """White (Y=255 → DC magnitude with long 1-runs) plus high quality
+    reliably produces 0xFF entropy bytes; the stuffed stream must decode
+    and must contain at least one FF00 to prove the path was exercised."""
+    arr = np.full((32, 32, 3), 255, dtype=np.uint8)
+    arr[::9, ::7] = 0  # pepper to densify the entropy stream
+    enc = C.encode_jpeg_baseline(arr, quality=97)
+    scan = enc[enc.find(b"\xff\xda") :]
+    assert b"\xff\x00" in scan
+    dec = C.decode_jpeg(enc)
+    assert np.abs(dec.astype(int) - arr.astype(int)).mean() < 30
+
+
+def test_jpeg_decode_handbuilt_grayscale_independent_of_encoder():
+    """Decoder correctness independent of our own encoder: a DC-only
+    8x8 single-component JPEG hand-assembled bit by bit. Quant table all
+    ones; Huffman DC table: symbol t at code length t+1... simplest
+    canonical set {0:'0', 4:'10xxxx' style}. DC diff = 8 (t=4, bits
+    1000), so the sample plane decodes to round(8/8)+128-ish: IDCT of
+    DC=8 with all-ones quant = 8/8 = 1.0 scaled by basis → flat
+    128 + 8 * (1/8) = 129."""
+    # canonical table: bits counts = one symbol of length 1 (symbol 0),
+    # one of length 2 (symbol 4): codes 0b0, 0b10
+    dht_bits = bytes([1, 1] + [0] * 14)
+    dht_vals = bytes([0, 4])
+    dqt = b"\x00" + bytes([1] * 64)  # Tq=0, all-ones (zigzag irrelevant)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x11, 0))
+    sos = bytes((1, 1, 0x00, 0, 63, 0))
+    # entropy: DC symbol 4 -> code '10', then 4 magnitude bits '1000'
+    # (=8); AC table needed too: give it the same table; first AC symbol
+    # read will be code '0' -> symbol 0 = EOB. Stream: 10 1000 0 -> bits
+    # 1010000 + pad 1 -> 0b10100001 = 0xA1
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    jpg = (
+        b"\xff\xd8"
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof)
+        + seg(0xC4, b"\x00" + dht_bits + dht_vals)   # DC table 0
+        + seg(0xC4, b"\x10" + dht_bits + dht_vals)   # AC table 0
+        + seg(0xDA, sos)
+        + b"\xa1"
+        + b"\xff\xd9"
+    )
+    dec = C.decode_jpeg(jpg)
+    assert dec.shape == (8, 8, 3)
+    # DC coeff 8 * quant 1 → IDCT flat value 8 * 1/8 = 1 → 128 + 1
+    assert np.all(dec == 129)
+
+
+def test_jpeg_decode_rejects_unsupported_shapes():
+    arr = np.zeros((8, 8, 3), np.uint8)
+    enc = C.encode_jpeg_baseline(arr)
+    with pytest.raises(ValueError, match="progressive"):
+        C.decode_jpeg(C.encode_jpeg_header_only(8, 8, progressive=True))
+    with pytest.raises(ValueError, match="no SOS"):
+        C.decode_jpeg(C.encode_jpeg_header_only(8, 8))
+    with pytest.raises(ValueError):
+        C.decode_jpeg(enc[:-20])  # truncated entropy stream
+    with pytest.raises(ValueError, match="not a JPEG"):
+        C.decode_jpeg(b"RIFF....")
+    with pytest.raises(ValueError, match="subsampling"):
+        C.encode_jpeg_baseline(arr, subsampling="4:1:1")
+
+
+def test_jpeg_decode_image_dispatch_and_resize_reencode():
+    arr = np.repeat(np.repeat(np.array(
+        [[[200, 30, 90]], [[10, 220, 120]]], dtype=np.uint8), 16, axis=0), 32, axis=1)
+    enc = C.encode_jpeg_baseline(arr, quality=92)
+    fmt, dec = C.decode_image(enc)
+    assert fmt == "jpeg" and dec.shape == arr.shape
+    assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 4
+    # encode_image dispatch
+    re = C.encode_image(dec, "jpeg")
+    assert C.jpeg_meta(re) == (32, 32)
+
+
+def test_mjpeg_avi_real_pixel_frames_roundtrip():
+    """MJPEG AVI built from REAL baseline-encoded frames: every frame
+    decodes back through avi_frames + decode_jpeg to its source pixels
+    (flat-block content, quality 95 → tight bound)."""
+    rng = np.random.default_rng(5)
+    frames_px = [
+        np.repeat(np.repeat(rng.integers(0, 256, (3, 4, 3), dtype=np.uint8), 8, 0), 8, 1)
+        for _ in range(4)
+    ]
+    jpegs = [C.encode_jpeg_baseline(f, quality=95) for f in frames_px]
+    avi = C.encode_mjpeg_avi(32, 24, 10, jpegs)
+    assert C.avi_meta(avi) == (32, 24, 10, 4)
+    got = C.avi_frames(avi)
+    assert [(i, k) for i, k, _ in got] == [(i, "dc") for i in range(4)]
+    for (_, _, body), src in zip(got, frames_px):
+        dec = C.decode_jpeg(body)
+        assert dec.shape == (24, 32, 3)
+        assert np.abs(dec.astype(int) - src.astype(int)).mean() < 3.0

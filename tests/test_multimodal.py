@@ -104,17 +104,41 @@ def test_resize_small_image_passes_through(spark):
 
 
 def test_resize_strict_rejects_headeronly_format(spark):
-    import struct
-
-    sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 33, 44) + b"\x03"
-    jpg = b"\xff\xd8" + sof + b"\xff\xd9"
+    # header-only JPEG (no SOS) — baseline decode now exists, so the
+    # failure is "no scan", not "no decoder"; the contract (strict
+    # raises / lax nulls) is unchanged
+    jpg = codecs.encode_jpeg_header_only(44, 33)
     df = spark.createDataFrame([(1, bytearray(jpg))], ["doc_id", "img"])
     media = multimodal.to_media_column(df, "doc_id", "img")
-    with pytest.raises(Exception, match="no pixel decoder"):
+    with pytest.raises(Exception, match="no SOS scan"):
         multimodal.resize_images(media, strict=True).collect()
     # lax mode: nulls instead
     r = multimodal.resize_images(media).collect()[0]
     assert r.payload is None and r.dst_width is None
+
+
+def test_resize_jpeg_real_payload(spark):
+    """Baseline JPEG payloads now resize end-to-end: decode → resample →
+    re-encode as JPEG (lossy, so compare against the independently
+    computed expectation with a quantization tolerance)."""
+    rng = np.random.default_rng(11)
+    arr = np.repeat(
+        np.repeat(rng.integers(0, 256, (5, 8, 3), dtype=np.uint8), 8, axis=0),
+        8, axis=1,
+    )  # 40x64, flat 8x8 blocks → JPEG-stable
+    jpg = codecs.encode_jpeg_baseline(arr, quality=95)
+    df = spark.createDataFrame([(1, bytearray(jpg))], ["doc_id", "img"])
+    media = multimodal.to_media_column(df, "doc_id", "img")
+    r = multimodal.resize_images(media, max_side=16, strict=True).collect()[0]
+    assert (r.src_width, r.src_height) == (64, 40)
+    assert (r.dst_width, r.dst_height) == (16, 10)
+    got_fmt, dec = codecs.decode_image(bytes(r.payload))
+    assert got_fmt == "jpeg"
+    expected = codecs.resize_nearest(codecs.decode_jpeg(jpg), 16, 10)
+    err = np.abs(dec.astype(int) - expected.astype(int))
+    # the resample destroys the flat-block structure, so the re-encode
+    # hop is genuinely lossy; a broken decoder scores mean ~60+ here
+    assert err.max() <= 48 and err.mean() < 8.0
 
 
 def test_extract_audio_meta_real_wav(spark):
