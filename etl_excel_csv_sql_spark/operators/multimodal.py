@@ -1256,6 +1256,61 @@ def synth_grid_dib_video_payloads(
     return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
 
 
+def synth_grid_mjpeg_video_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    id_offset: int = 0,
+    flip_bits: int = 0,
+) -> DataFrame:
+    """(id) → (media_id, payload): REAL baseline-MJPEG AVI clips with
+    the SAME per-frame contract as :func:`synth_grid_dib_video_payloads`
+    — aHash of frame f is EXACTLY ``grid_pattern64(id, f'gridvid:{f}')``.
+    The grid's 8-px cells align with JPEG's 8x8 DCT blocks, so each
+    block is DC-only and quantization moves every pixel of a cell by the
+    same bounded amount; the threshold (global cell mean) still splits
+    the polarities exactly, hence the hash is LOSSLESS through the lossy
+    codec (verified over quality x subsampling x restart in
+    tests/test_multimodal.py). Encoder settings cycle per id —
+    quality 75/85/90, 4:4:4 / 4:2:2 / 4:2:0, restart interval 0/2 —
+    so the corpus exercises every entropy-decoder path, not one happy
+    path. Same n_frames / fps / twin-flip contracts as the DIB variant,
+    so the two queries share one value oracle while covering the two
+    decode branches of ``video_frame_ahash``."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, payloads = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                fps = _SYNTH_FPS[mid % 6]
+                n = 3 + mid % 4
+                quality = (75, 85, 90)[mid % 3]
+                sub = ("4:4:4", "4:2:2", "4:2:0")[(mid // 3) % 3]
+                restart = (0, 2)[mid % 2]
+                frames = [
+                    codecs.encode_jpeg_baseline(
+                        _grid_pixels(
+                            grid_pattern64(mid, f"gridvid:{f}", flip_bits)
+                        ),
+                        quality=quality,
+                        subsampling=sub,
+                        restart_interval=restart,
+                    )
+                    for f in range(n)
+                ]
+                out_ids.append(mid + id_offset)
+                payloads.append(codecs.encode_mjpeg_avi(64, 64, fps, frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+
+
 # analysis sub-fingerprints per synth_audio_fp_payloads clip: frames =
 # (n_samples - frame_len)//hop + 1 Hann windows, minus 1 for the time
 # double-difference — shared with the SQL oracle rendering

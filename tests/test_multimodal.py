@@ -637,6 +637,46 @@ def test_grid_video_frame_hashes_follow_contract(spark):
             ), (mid, f)
 
 
+def test_grid_mjpeg_frame_hashes_follow_contract(spark):
+    """Per-frame MJPEG ENTROPY decode hash == grid_pattern64(id,
+    'gridvid:{f}') — the hash is lossless through the lossy codec
+    because grid cells align with DCT blocks (DC-only, uniform shift
+    per cell). Ids 0..17 cover the fixture's full quality (75/85/90) x
+    subsampling (4:4:4/4:2:2/4:2:0) x restart (0/2) cycle, and twins
+    sit at exactly GRID_FLIP_BITS after the JPEG round-trip."""
+    ids = spark.range(0, 18).selectExpr("id AS doc_id")
+    rows = multimodal.video_frame_ahash(
+        multimodal.synth_grid_mjpeg_video_payloads(ids), strict=True
+    ).collect()
+    by_clip: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_clip.setdefault(r.media_id, {})[r.frame_idx] = r.ahash
+    for mid in range(18):
+        n = 3 + mid % 4
+        assert sorted(by_clip[mid]) == list(range(n)), mid
+        for f in range(n):
+            assert by_clip[mid][f] == _signed64(
+                multimodal.grid_pattern64(mid, f"gridvid:{f}")
+            ), (mid, f)
+    twins = {
+        r.media_id: {r.frame_idx: r.ahash}
+        for r in multimodal.video_frame_ahash(
+            multimodal.synth_grid_mjpeg_video_payloads(
+                spark.range(0, 6).selectExpr("id AS doc_id"),
+                id_offset=1_000_000,
+                flip_bits=multimodal.GRID_FLIP_BITS,
+            ),
+            strict=True,
+        ).collect()
+        if r.frame_idx == 0
+    }
+    for mid in range(6):
+        d = bin(
+            (by_clip[mid][0] ^ twins[mid + 1_000_000][0]) & ((1 << 64) - 1)
+        ).count("1")
+        assert d == multimodal.GRID_FLIP_BITS, (mid, d)
+
+
 def test_remux_wav_identical_pcm_different_bytes():
     pcm = (np.arange(4096) % 251 - 125).astype(np.int16)
     wav = codecs.encode_wav(pcm, 8000, 1)
