@@ -1298,7 +1298,11 @@ def _decode_scan(frame, qt, huff, restart_interval, scan, segments) -> np.ndarra
     # scans (incl. grayscale) use one 8x8 block per MCU (T.81 A.2.2)
     if len(scan) == 1:
         cid = scan[0][0]
-        hs, vs, _ = by_id[cid]
+        # T.81 A.2: a single-component scan is non-interleaved — the
+        # component decodes at its FULL resolution, so its declared
+        # sampling factors must not drive an upsample (a grayscale
+        # frame declaring 2x2 would otherwise come back 2x-zoomed).
+        hmax = vmax = 1
         mcus_x = -(-w_img // 8)
         mcus_y = -(-h_img // 8)
         layout = [(cid, 1, 1)]
@@ -1383,7 +1387,10 @@ def _decode_scan(frame, qt, huff, restart_interval, scan, segments) -> np.ndarra
         return np.clip(np.round(np.stack([y, y, y], axis=2)), 0, 255).astype(np.uint8)
     if len(layout) != 3:
         raise ValueError(f"unsupported JPEG component count {len(layout)}")
-    (c1, _, _), (c2, _, _), (c3, _, _) = layout
+    # Y/Cb/Cr identity comes from SOF component ORDER (T.81 convention),
+    # not scan order — a scan listing components out of SOF order must
+    # not swap chroma channels.
+    c1, c2, c3 = (cid for cid, _, _, _ in comps)
     y = planes[c1].astype(np.float64)
     cb = planes[c2].astype(np.float64) - 128.0
     cr = planes[c3].astype(np.float64) - 128.0

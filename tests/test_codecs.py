@@ -519,6 +519,104 @@ def test_jpeg_decode_handbuilt_grayscale_independent_of_encoder():
     assert np.all(dec == 129)
 
 
+def test_jpeg_grayscale_declared_sampling_not_upsampled():
+    """A single-component frame that DECLARES 2x2 sampling factors must
+    decode at full resolution (T.81 A.2: non-interleaved scans ignore
+    the interleave geometry) — the regression was a 2x zoom of the
+    top-left quadrant. Hand-built 16x16 with a left/right brightness
+    split so the zoom is detectable."""
+    dht_bits = bytes([1, 1] + [0] * 14)
+    dht_vals = bytes([0, 4])
+    dqt = b"\x00" + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, 16, 16, 1) + bytes((1, 0x22, 0))
+    sos = bytes((1, 1, 0x00, 0, 63, 0))
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    # 4 blocks raster order; DC diffs: 8, 0, 0, 0 -> right column blocks
+    # equal the left (predictor carries), all flat 129. Make block (0,1)
+    # differ: diffs 8, -8? -8 needs t=4 code '10' then low bits 0111.
+    # Stream per block: [sym4 '10' + 4 bits][EOB '0'].
+    # b0: 10 1000 0 | b1: 10 0111 0 | b2: 10 1000 0 | b3: 10 0111 0
+    bits = "1010000" + "1001110" + "1010000" + "1001110"
+    bits += "1" * (-len(bits) % 8)
+    entropy = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    jpg = (
+        b"\xff\xd8"
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof)
+        + seg(0xC4, b"\x00" + dht_bits + dht_vals)
+        + seg(0xC4, b"\x10" + dht_bits + dht_vals)
+        + seg(0xDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+    dec = C.decode_jpeg(jpg)
+    assert dec.shape == (16, 16, 3)
+    # left 8 cols bright (DC 8 -> 129), right 8 cols back to 0 -> 128
+    assert np.all(dec[:, :8] == 129) and np.all(dec[:, 8:] == 128)
+
+
+def test_jpeg_scan_order_does_not_swap_chroma():
+    """Component identity comes from SOF order, not scan order: re-list
+    the SOS components as (Y, Cr, Cb) with the entropy data interleaved
+    in that same order — decoded colors must be unchanged."""
+    arr = np.zeros((8, 8, 3), np.uint8)
+    arr[:, :, 0] = 200  # strongly red
+    base = C.encode_jpeg_baseline(arr)
+    ref = C.decode_jpeg(base)
+
+    # rebuild with swapped scan: same quant/huffman, blocks re-encoded
+    # in scan order Y, Cr, Cb and SOS listing ids 1, 3, 2
+    idx = base.find(b"\xff\xda")
+    (slen,) = struct.unpack_from(">H", base, idx + 2)
+    # decode the three blocks from the original scan, then re-emit
+    # swapped by re-encoding from the decoded planes is circular;
+    # instead run the encoder's own pieces directly:
+    from etl_excel_csv_sql_spark.operators.codecs import (
+        _JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS, _JPEG_AC_LUMA_BITS,
+        _JPEG_AC_LUMA_VALS, _JPEG_DC_CHROMA_BITS, _JPEG_DC_CHROMA_VALS,
+        _JPEG_DC_LUMA_BITS, _JPEG_DC_LUMA_VALS, _JpegBitWriter,
+        _encode_block, _huff_encode_table, _plane_blocks, _quality_scale,
+        JPEG_QUANT_CHROMA, JPEG_QUANT_LUMA,
+    )
+
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    ql = _quality_scale(JPEG_QUANT_LUMA, 90)
+    qc = _quality_scale(JPEG_QUANT_CHROMA, 90)
+    yb = _plane_blocks(y, ql)
+    cbb = _plane_blocks(cb, qc)
+    crb = _plane_blocks(cr, qc)
+    dc_l = _huff_encode_table(_JPEG_DC_LUMA_BITS, _JPEG_DC_LUMA_VALS)
+    ac_l = _huff_encode_table(_JPEG_AC_LUMA_BITS, _JPEG_AC_LUMA_VALS)
+    dc_c = _huff_encode_table(_JPEG_DC_CHROMA_BITS, _JPEG_DC_CHROMA_VALS)
+    ac_c = _huff_encode_table(_JPEG_AC_CHROMA_BITS, _JPEG_AC_CHROMA_VALS)
+    bwr = _JpegBitWriter()
+    _encode_block(bwr, yb[0], 0, dc_l, ac_l)
+    _encode_block(bwr, crb[0], 0, dc_c, ac_c)  # Cr FIRST in the scan
+    _encode_block(bwr, cbb[0], 0, dc_c, ac_c)
+    bwr.flush()
+    header = base[:idx]  # SOI..DHT unchanged
+    sos = bytes((3, 1, 0x00, 3, 0x11, 2, 0x11, 0, 63, 0))
+    jpg = (
+        header
+        + bytes((0xFF, 0xDA))
+        + struct.pack(">H", len(sos) + 2)
+        + sos
+        + bytes(bwr.out)
+        + b"\xff\xd9"
+    )
+    dec = C.decode_jpeg(jpg)
+    assert np.array_equal(dec, ref)
+    assert dec[4, 4, 0] > 150 > dec[4, 4, 2]  # still red, not blue
+
+
 def test_jpeg_decode_rejects_unsupported_shapes():
     arr = np.zeros((8, 8, 3), np.uint8)
     enc = C.encode_jpeg_baseline(arr)
