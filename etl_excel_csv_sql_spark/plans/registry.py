@@ -4992,14 +4992,45 @@ def q_assoc_rules_pairs(spark, sf_dir):
 
 @register(
     "frequent_itemsets_fpgrowth",
-    None,
+    # r11: FULL value oracle. The FP-tree TRAVERSAL is not
+    # SQL-expressible, but its RESULT is: FP-Growth is exact, and TPC-H
+    # baskets are tiny (max 13 distinct parts at sf0.01 — sum(2^|b|) =
+    # 786k subsets), so a recursive CTE enumerates every subset of
+    # every basket and counts support brute-force. Threshold matches
+    # MLlib's minCount = ceil(minSupport * n) in the same double
+    # arithmetic.
+    """
+    WITH RECURSIVE baskets AS (
+      SELECT l_orderkey AS basket,
+             list_sort(list(DISTINCT CAST(l_partkey AS VARCHAR))) AS items
+      FROM lineitem GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(ceil(0.002 * count(*)) AS BIGINT) AS mincount
+          FROM baskets),
+    positions AS (SELECT unnest(generate_series(1, 64)) AS j),
+    subsets AS (
+      SELECT basket, items, CAST([] AS VARCHAR[]) AS subset, 1 AS nxt
+      FROM baskets
+      UNION ALL
+      SELECT s.basket, s.items, list_append(s.subset, s.items[p.j]), p.j + 1
+      FROM subsets s JOIN positions p ON p.j >= s.nxt AND p.j <= len(s.items)
+    )
+    SELECT array_to_string(subset, '|') AS itemset,
+           CAST(len(subset) AS INT) AS set_size,
+           count(*) AS freq,
+           round(count(*) / any_value(n.n), 6) AS support
+    FROM subsets, n WHERE len(subset) > 0
+    GROUP BY subset HAVING count(*) >= any_value(n.mincount)
+    """,
     doc="distributed FP-Growth (pyspark.ml.fpm, the PFP/Li-et-al "
     "parallel algorithm) over order baskets at min_support=0.002: ALL "
     "frequent itemsets, any size, exact (no sampling); itemsets "
     "rendered as sorted '|'-joined strings so output is scalar. "
-    "Rows-only: the FP-tree traversal is not SQL-expressible; "
-    "tests/test_itemsets.py cross-checks singleton and pair freqs "
-    "against brute-force enumeration",
+    "Oracle = brute-force subset enumeration (recursive CTE) — "
+    "feasible because baskets are bounded, exact because FP-Growth is; "
+    "tests/test_itemsets.py additionally cross-checks singleton and "
+    "pair freqs against an independent brute force",
 )
 def q_frequent_itemsets_fpgrowth(spark, sf_dir):
     from etl_excel_csv_sql_spark.operators import itemsets
@@ -6612,7 +6643,13 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # stale-7 (last=r4) and stale-6 (last=r5) tiers, demotion overridden for
 # this round so max driver staleness lands <= 6 (the judge's done
 # criterion; the breadth demotion policy resumes afterwards), then the
-# stalest non-demoted tier fills the remaining slots.
+# stalest non-demoted tier fills the remaining slots. Three late-r11
+# swaps for queries whose oracle status changed THIS round (new full
+# oracles must be driver-evidenced): media_video_mjpeg_neardup (new),
+# frequent_itemsets_fpgrowth and event_sequential_patterns (rows-only ->
+# full) replace cohort_retention_weekly / weighted_sample_orders /
+# zorder_layout_sample (all last=r6 green -> staleness 5, within the
+# <= 6 target).
 WINDOW_ORDER: tuple[str, ...] = (
     "media_ahash_neardup",
     "media_phash_neardup",
@@ -6662,8 +6699,8 @@ WINDOW_ORDER: tuple[str, ...] = (
     "dq_check_suite",
     "fuzzy_part_pairs",
     "doc_unigram_surprisal",
-    "weighted_sample_orders",
-    "zorder_layout_sample",
+    "frequent_itemsets_fpgrowth",
+    "event_sequential_patterns",
 )
 
 # Breadth-tier queries (see QuerySpec.tier): pure SQL-shape coverage —
@@ -7657,22 +7694,69 @@ def q_doc_bigram_surprisal(spark, sf_dir):
 
 @register(
     "event_sequential_patterns",
-    None,  # PrefixSpan mining is not SQL-expressible; pytest holds the
-    # brute-force subsequence-count parity evidence
+    # r11: FULL value oracle. The PrefixSpan SEARCH is not
+    # SQL-expressible, but with single-item steps and maxPatternLength=3
+    # the result is: subsequence existence reduces to per-(seq, item)
+    # position lists — (a,b) iff min_pos(a) < max_pos(b); (a,b,c) iff a
+    # b-position p > min_pos(a) exists with max_pos(c) > min such p
+    # (greedy matching). min_support=0.01 keeps lengths 1/2/3 all
+    # load-bearing AND pruning (108 of 125 triples pass at sf0.01).
+    # Threshold matches MLlib's ceil(minSupport * n) double arithmetic.
+    """
+    WITH pos AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, CAST(event_type AS VARCHAR) AS item,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS idx
+      FROM events
+    ),
+    nseq AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                    CAST(ceil(0.01 * count(*)) AS BIGINT) AS mincount
+             FROM (SELECT DISTINCT user_id, d FROM pos)),
+    by_item AS (
+      SELECT user_id, d, item, list_sort(list(idx)) AS ps,
+             min(idx) AS mn, max(idx) AS mx
+      FROM pos GROUP BY 1, 2, 3
+    ),
+    p1 AS (SELECT item AS pattern, 1 AS n_steps, count(*) AS freq
+           FROM by_item GROUP BY 1),
+    p2 AS (
+      SELECT a.item || ' > ' || b.item AS pattern, 2 AS n_steps,
+             count(*) AS freq
+      FROM by_item a JOIN by_item b ON a.user_id = b.user_id AND a.d = b.d
+      WHERE a.mn < b.mx GROUP BY 1
+    ),
+    p3 AS (
+      SELECT a.item || ' > ' || b.item || ' > ' || c.item AS pattern,
+             3 AS n_steps, count(*) AS freq
+      FROM by_item a
+      JOIN by_item b ON a.user_id = b.user_id AND a.d = b.d
+      JOIN by_item c ON b.user_id = c.user_id AND b.d = c.d
+      WHERE len(list_filter(b.ps, p -> p > a.mn)) > 0
+        AND c.mx > list_min(list_filter(b.ps, p -> p > a.mn))
+      GROUP BY 1
+    ),
+    allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+             UNION ALL SELECT * FROM p3)
+    SELECT pattern, CAST(n_steps AS INT) AS n_steps, freq,
+           round(freq / any_value(nseq.n), 6) AS support
+    FROM allp, nseq GROUP BY pattern, n_steps, freq
+    HAVING freq >= any_value(nseq.mincount)
+    """,
     doc="frequent sequential patterns over per-(user, day) event-type "
     "sequences via distributed PrefixSpan (Pei et al. ICDE'01; "
     "pyspark.ml.fpm — projected-database parallelism). Sequence build "
     "is one (user, day) shuffle with in-group sort_array ordering "
     "(deterministic (ts, event_id) total order, partitions bounded by "
     "daily activity); pattern strings rendered scalar for the driver. "
-    "Subsequence semantics brute-force-verified in "
-    "tests/test_itemsets.py",
+    "Oracle = position-list subsequence algebra over the bounded "
+    "pattern length; subsequence semantics additionally brute-force-"
+    "verified in tests/test_itemsets.py",
 )
 def q_event_sequential_patterns(spark, sf_dir):
     from etl_excel_csv_sql_spark.operators import itemsets
 
     return itemsets.sequential_patterns(
-        _t(spark, sf_dir, "events"), min_support=0.1, max_pattern_length=3
+        _t(spark, sf_dir, "events"), min_support=0.01, max_pattern_length=3
     )
 
 
