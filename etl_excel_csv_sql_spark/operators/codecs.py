@@ -358,6 +358,258 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# GIF — LZW palette images (GIF87a/89a), pure stdlib + numpy
+# ---------------------------------------------------------------------------
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) rows
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
+    """GIF LZW (variable 3..12-bit codes, clear/EOI, LSB-first packing)
+    → uint8 index array of exactly n_pixels. Raises on malformed codes
+    or short streams."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    # dictionary as (prefix_code, last_byte) pairs; -1 prefix = root
+    prefix = [-1] * 4096
+    suffix = [0] * 4096
+    for c in range(clear):
+        suffix[c] = c
+    next_code = eoi + 1
+    width = min_code_size + 1
+    acc = cnt = 0
+    pos = 0
+    prev = -1
+    stack = bytearray()
+    while True:
+        while cnt < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream exhausted")
+            acc |= data[pos] << cnt
+            cnt += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        cnt -= width
+        if code == clear:
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = -1
+            continue
+        if code == eoi:
+            break
+        if prev < 0:
+            if code >= clear:
+                raise ValueError("GIF LZW first code not a literal")
+            out[n_out] = code
+            n_out += 1
+            prev = code
+            if n_out >= n_pixels:
+                break
+            continue
+        if code < next_code:
+            cur = code
+        elif code == next_code:
+            # KwKwK case: emit prev's expansion + its first byte
+            cur = prev
+        else:
+            raise ValueError("GIF LZW code out of range")
+        stack.clear()
+        c = cur
+        while c >= 0:
+            stack.append(suffix[c])
+            c = prefix[c]
+        first = stack[-1]
+        stack.reverse()
+        if code == next_code:
+            stack.append(first)
+        take = min(len(stack), n_pixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(bytes(stack[:take]), np.uint8)
+        n_out += take
+        if next_code < 4096:
+            prefix[next_code] = prev
+            suffix[next_code] = first
+            next_code += 1
+            if next_code < 4096 and next_code == (1 << width):
+                width += 1
+        prev = code
+        if n_out >= n_pixels:
+            break
+    if n_out != n_pixels:
+        raise ValueError(f"GIF pixel stream short: {n_out} of {n_pixels}")
+    return out
+
+
+def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate data sub-blocks starting at pos; returns (data, pos
+    after the 0x00 terminator)."""
+    parts = []
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF sub-blocks truncated")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(parts), pos
+        parts.append(payload[pos : pos + n])
+        if len(parts[-1]) != n:
+            raise ValueError("GIF sub-block truncated")
+        pos += n
+
+
+@_malformed_as_valueerror
+def gif_meta(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the logical screen descriptor."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    return w, h
+
+
+@_malformed_as_valueerror
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes → (H, W, 3) uint8 RGB of the FIRST frame, composited at
+    its descriptor offsets onto a background-color canvas of the logical
+    screen (the first-frame contract animated-GIF thumbnails want).
+    Handles global/local color tables, interlace, and 89a extensions
+    (skipped — transparency is treated as the palette color, the right
+    call for perceptual hashing where a deterministic color beats an
+    alpha channel we don't model)."""
+    w, h = gif_meta(payload)
+    flags = payload[10]
+    bg_index = payload[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            _, pos = _gif_subblocks(payload, pos + 2)
+        elif block == 0x2C:  # image descriptor
+            ix, iy, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+            iflags = payload[pos + 9]
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if table is None:
+                raise ValueError("GIF image has no color table")
+            min_code = payload[pos]
+            if not 2 <= min_code <= 11:
+                raise ValueError(f"GIF LZW min code size {min_code} out of range")
+            data, pos = _gif_subblocks(payload, pos + 1)
+            idx = _gif_lzw_decode(min_code, data, iw * ih)
+            if int(idx.max(initial=0)) >= len(table):
+                raise ValueError("GIF pixel index outside color table")
+            frame = table[idx].reshape(ih, iw, 3)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                ordered = np.empty_like(frame)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    n_rows = len(range(start, ih, step))
+                    ordered[start:ih:step] = frame[src : src + n_rows]
+                    src += n_rows
+                frame = ordered
+            bg = (
+                table[bg_index]
+                if gct is not None and bg_index < len(gct)
+                else np.zeros(3, np.uint8)
+            )
+            canvas = np.broadcast_to(bg, (h, w, 3)).copy()
+            if ix + iw > w or iy + ih > h:
+                raise ValueError("GIF frame outside logical screen")
+            canvas[iy : iy + ih, ix : ix + iw] = frame
+            return canvas
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF has no image descriptor")
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → GIF89a with an exact palette (raises above
+    256 distinct colors — this encoder is for fixtures and lossless
+    round-trips, not quantization) and real variable-width LZW."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF exact palette limited to 256 colors, got {len(colors)}")
+    # palette size = power of two >= max(2, n_colors)
+    depth = max(1, (len(colors) - 1).bit_length())
+    table = np.zeros((1 << depth, 3), np.uint8)
+    table[: len(colors)] = colors
+    min_code = max(2, depth)
+    clear = 1 << min_code
+    eoi = clear + 1
+
+    # LZW encode with a dict over (prefix_code, byte) → code
+    out = bytearray()
+    acc = cnt = 0
+    width = min_code + 1
+
+    def emit(code: int):
+        nonlocal acc, cnt
+        acc |= code << cnt
+        cnt += width
+        while cnt >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            cnt -= 8
+
+    emit(clear)
+    book: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    pixels = idx.astype(np.int64)
+    prev = int(pixels[0])
+    for p in pixels[1:]:
+        p = int(p)
+        got = book.get((prev, p))
+        if got is not None:
+            prev = got
+            continue
+        emit(prev)
+        if next_code == 4096:
+            emit(clear)
+            book.clear()
+            next_code = eoi + 1
+            width = min_code + 1
+        else:
+            book[(prev, p)] = next_code
+            next_code += 1
+            # the decoder's dictionary trails the encoder's by one add,
+            # so grow width only when next_code EXCEEDS 2^width (the
+            # decoder hits == at the matching read)
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        prev = p
+    emit(prev)
+    emit(eoi)
+    if cnt:
+        out.append(acc & 0xFF)
+
+    head = b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF0 | (depth - 1), 0, 0)
+    body = bytearray(head + table.tobytes())
+    body += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    body.append(min_code)
+    for i in range(0, len(out), 255):
+        chunk = out[i : i + 255]
+        body.append(len(chunk))
+        body += chunk
+    body += b"\x00\x3b"
+    return bytes(body)
+
+
 @_malformed_as_valueerror
 def jpeg_meta(payload: bytes) -> tuple[int, int]:
     """(width, height) by walking JPEG marker segments to the first SOFn
@@ -725,6 +977,8 @@ def sniff_format(payload: bytes | None) -> str | None:
         return "png"
     if payload[:2] == b"P6":
         return "ppm"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -745,6 +999,8 @@ def image_meta(payload: bytes) -> tuple[str, int, int]:
         w, h, _, _ = png_meta(payload)
     elif fmt == "ppm":
         w, h = ppm_meta(payload)
+    elif fmt == "gif":
+        w, h = gif_meta(payload)
     elif fmt == "jpeg":
         w, h = jpeg_meta(payload)
     else:
@@ -764,6 +1020,8 @@ def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
         return fmt, decode_png(payload)
     if fmt == "ppm":
         return fmt, decode_ppm(payload)
+    if fmt == "gif":
+        return fmt, decode_gif(payload)
     if fmt == "jpeg":
         return fmt, decode_jpeg(payload)
     raise ValueError(f"no pixel decoder for format {fmt!r}")
@@ -776,6 +1034,8 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         return encode_png(arr)
     if fmt == "ppm":
         return encode_ppm(arr)
+    if fmt == "gif":
+        return encode_gif(arr)
     if fmt == "jpeg":
         return encode_jpeg_baseline(arr)
     raise ValueError(f"no encoder for format {fmt!r}")

@@ -1,7 +1,7 @@
 """Multimodal columns: image/audio/video as opaque binary columns with
 REAL pure-stdlib decode kernels.
 
-Images (BMP / PNG / PPM / baseline JPEG full decode) and audio
+Images (BMP / PNG / PPM / GIF / baseline JPEG full decode) and audio
 (RIFF-WAVE demux) are handled by ``operators.codecs`` — ``struct`` +
 ``zlib`` + numpy only, no codec libraries — so metadata extraction and
 thumbnail resize run on real bytes end-to-end. Video is demuxed at the
@@ -180,7 +180,7 @@ def resize_images(
     df: DataFrame, max_side: int = 256, strict: bool = False
 ) -> DataFrame:
     """REAL aspect-preserving thumbnail resize via mapInPandas: decode
-    (BMP/PNG/PPM/baseline JPEG, ``codecs.decode_image``) →
+    (BMP/PNG/PPM/GIF/baseline JPEG, ``codecs.decode_image``) →
     nearest-neighbor resample (``codecs.resize_nearest``) → re-encode in
     the source format. Payload out is a genuinely resized image; src/dst
     dims use floor-division arithmetic (``_bounded_dims``) so results
@@ -365,15 +365,17 @@ SYNTH_IMAGE_SCHEMA = StructType(
     ]
 )
 
-_SYNTH_FMTS = ("bmp", "png", "ppm")
+_SYNTH_FMTS = ("bmp", "png", "ppm", "gif")
 
 
 def synth_image_dims(media_id: int) -> tuple[str, int, int]:
     """The id → (fmt, width, height) contract shared with the SQL oracle:
-    fmt cycles bmp/png/ppm by id % 3; width = 8 + (7*id) % 80;
-    height = 8 + (5*id) % 60."""
+    fmt cycles bmp/png/ppm/gif by id % 4 (all four LOSSLESS on the synth
+    pixel families: the gradient is a function of one byte so it has
+    ≤256 distinct colors, within GIF's exact palette); width =
+    8 + (7*id) % 80; height = 8 + (5*id) % 60."""
     return (
-        _SYNTH_FMTS[media_id % 3],
+        _SYNTH_FMTS[media_id % 4],
         8 + (7 * media_id) % 80,
         8 + (5 * media_id) % 60,
     )
@@ -1205,7 +1207,7 @@ def synth_grid_image_payloads(
             for mid in pdf["media_id"]:
                 mid = int(mid)
                 arr = _grid_pixels(grid_pattern64(mid, key, flip_bits))
-                fmt = _SYNTH_FMTS[(mid + fmt_shift) % 3]
+                fmt = _SYNTH_FMTS[(mid + fmt_shift) % 4]
                 out_ids.append(mid + id_offset)
                 payloads.append(codecs.encode_image(arr, fmt))
             yield pd.DataFrame(

@@ -2800,15 +2800,17 @@ def q_media_meta(spark, sf_dir):
     # (strict=True — any undecodable payload fails the query).
     """
     SELECT doc_id AS media_id,
-           CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'ppm'
+           CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                           WHEN 2 THEN 'ppm' ELSE 'gif'
            END AS fmt,
            8 + (7 * doc_id) % 80 AS width,
            8 + (5 * doc_id) % 60 AS height
     FROM documents
     """,
-    doc="REAL image header decode (BMP/PNG/PPM via stdlib codecs) over "
-    "Arrow-batched mapInPandas; dims follow the synth contract so the "
-    "oracle value-checks the decoder",
+    doc="REAL image header decode (BMP/PNG/PPM/GIF via stdlib codecs — "
+    "GIF added r11 with a full LZW decoder) over Arrow-batched "
+    "mapInPandas; dims follow the synth contract so the oracle "
+    "value-checks the decoder",
 )
 def q_media_image_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")

@@ -106,6 +106,101 @@ def test_ppm_header_comments():
     assert np.array_equal(C.decode_ppm(body), arr)
 
 
+def _gif_descriptor_pos(gif: bytes) -> int:
+    """Position of the 0x2C image descriptor (fixed header + GCT)."""
+    depth = (gif[10] & 0x07) + 1
+    return 13 + (2 << (depth - 1)) * 3
+
+
+def test_gif_roundtrip_exact_palette():
+    arr = ((np.arange(24 * 32 * 3).reshape(24, 32, 3) // 3 * 7) % 256).astype(
+        np.uint8
+    )
+    # force <=256 distinct colors: quantize to a byte-keyed gradient
+    s = (np.arange(24)[:, None] * 7 + np.arange(32)[None, :] * 3) % 256
+    arr = np.stack([s, (s + 31) % 256, (s + 62) % 256], axis=2).astype(np.uint8)
+    gif = C.encode_gif(arr)
+    assert C.sniff_format(gif) == "gif"
+    assert C.gif_meta(gif) == (32, 24)
+    assert C.image_meta(gif) == ("gif", 32, 24)
+    assert np.array_equal(C.decode_gif(gif), arr)
+
+
+def test_gif_lzw_dict_overflow_clear_codes():
+    """A 300x300 random 256-color image forces the LZW dictionary past
+    4096 entries — the encoder must emit CLEAR and the decoder must
+    reset mid-stream."""
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    arr = pal[rng.randint(0, 256, (300, 300))]
+    assert np.array_equal(C.decode_gif(C.encode_gif(arr)), arr)
+
+
+def test_gif_decode_handbuilt_independent_of_encoder():
+    """2x1 GIF hand-assembled bit by bit (min_code=2: codes clear=4,
+    eoi=5; pixel indices 1, 2 → LSB-first packed stream 0x8C 0x0A)."""
+    gct = bytes((0, 0, 0, 10, 20, 30, 40, 50, 60, 70, 80, 90))
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 1, 0xF1, 0, 0)
+        + gct
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 1, 0)
+        + bytes((2, 2, 0x8C, 0x0A, 0x00))
+        + b"\x3b"
+    )
+    dec = C.decode_gif(gif)
+    assert dec.shape == (1, 2, 3)
+    assert dec[0, 0].tolist() == [10, 20, 30]
+    assert dec[0, 1].tolist() == [40, 50, 60]
+
+
+def test_gif_interlaced_decode():
+    """Interlaced GIF: rows stored in 4-pass order decode back to
+    natural order (patch the descriptor's interlace bit on a stream
+    whose rows were pre-permuted into pass order)."""
+    s = (np.arange(8)[:, None] * 37 + np.arange(8)[None, :] * 5) % 256
+    arr = np.stack([s, s, s], axis=2).astype(np.uint8)
+    perm = [0, 4, 2, 6, 1, 3, 5, 7]  # pass order for h=8
+    gif = bytearray(C.encode_gif(arr[perm]))
+    dpos = _gif_descriptor_pos(bytes(gif))
+    assert gif[dpos] == 0x2C
+    gif[dpos + 9] |= 0x40  # interlace flag
+    assert np.array_equal(C.decode_gif(bytes(gif)), arr)
+
+
+def test_gif_animated_first_frame_and_extensions():
+    """89a extensions (graphic control, application) are skipped and
+    only the FIRST frame decodes; a frame smaller than the logical
+    screen composites onto the background color."""
+    arr = np.full((4, 4, 3), 200, np.uint8)
+    base = C.encode_gif(arr)
+    dpos = _gif_descriptor_pos(base)
+    gce = bytes((0x21, 0xF9, 4, 0, 0, 0, 0, 0))
+    app = (
+        bytes((0x21, 0xFF, 11)) + b"NETSCAPE2.0" + bytes((3, 1, 0, 0, 0))
+    )
+    frame_block = base[dpos:-1]  # descriptor..data, sans trailer
+    spliced = base[:dpos] + gce + app + frame_block + frame_block + b"\x3b"
+    assert np.array_equal(C.decode_gif(spliced), arr)
+
+
+def test_gif_rejects_malformed():
+    arr = np.zeros((6, 6, 3), np.uint8)
+    gif = C.encode_gif(arr)
+    with pytest.raises(ValueError, match="not a GIF"):
+        C.gif_meta(b"NOTAGIF" + gif)
+    with pytest.raises(ValueError):
+        C.decode_gif(gif[:20])  # truncated mid-GCT/descriptor
+    with pytest.raises(ValueError):
+        C.decode_gif(gif[:-8])  # truncated pixel stream
+    grad = np.zeros((32, 32, 3), np.uint8)
+    grad[:, :, 0] = (np.arange(32)[:, None] * 8) % 256
+    grad[:, :, 1] = (np.arange(32)[None, :] * 8) % 256
+    grad[:, :, 2] = ((np.arange(32)[:, None] + np.arange(32)[None, :]) * 4) % 256
+    with pytest.raises(ValueError, match="256"):
+        C.encode_gif(grad)
+
+
 def test_jpeg_sof_dimension_walk():
     sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 99, 123) + b"\x03"
     jpg = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof + b"\xff\xd9"

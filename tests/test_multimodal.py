@@ -808,7 +808,8 @@ def test_mixed_real_world_shapes_quarantine_rate_zero(spark):
     a mixed fixture of all six shapes must yield ZERO metadata
     quarantines, and interlaced pixels must hash identically to their
     sequential twin (same image, different PNG layout)."""
-    arr = ((np.arange(24 * 32 * 3).reshape(24, 32, 3) * 7) % 256).astype(np.uint8)
+    s = (np.arange(24)[:, None] * 7 + np.arange(32)[None, :] * 3) % 256
+    arr = np.stack([s, (s + 31) % 256, (s + 62) % 256], axis=2).astype(np.uint8)
     payloads = [
         (1, codecs.encode_bmp(arr)),
         (2, codecs.encode_png(arr)),
@@ -816,18 +817,29 @@ def test_mixed_real_world_shapes_quarantine_rate_zero(spark):
         (4, codecs.encode_ppm(arr)),
         (5, codecs.encode_jpeg_header_only(32, 24)),
         (6, codecs.encode_jpeg_header_only(32, 24, progressive=True)),
+        (7, codecs.encode_gif(arr)),
     ]
+    # interlaced GIF: rows pre-permuted into 4-pass order + flag patch
+    perm = sum(([r for r in range(s, 24, t)] for s, t in
+                ((0, 8), (4, 8), (2, 4), (1, 2))), [])
+    igif = bytearray(codecs.encode_gif(arr[perm]))
+    dpos = 13 + (2 << (igif[10] & 0x07)) * 3
+    igif[dpos + 9] |= 0x40
+    payloads.append((8, bytes(igif)))
     df = spark.createDataFrame(
         [(i, bytearray(p)) for i, p in payloads], ["doc_id", "blob"]
     )
     media = multimodal.to_media_column(df, "doc_id", "blob", "image")
     rows = {r.media_id: r for r in multimodal.extract_image_meta(media, strict=True).collect()}
-    assert len(rows) == 6
+    assert len(rows) == 8
     for mid, r in rows.items():
         assert (r.width, r.height) == (32, 24), mid
-    # pixel paths: interlaced decodes to the same array -> same aHash
+    # pixel paths: interlaced PNG/GIF decode to the same array -> same aHash
     pix = multimodal.ahash_images(
-        media.where(F.col("media_id").isin(1, 2, 3, 4)), strict=True
+        media.where(F.col("media_id").isin(1, 2, 3, 4, 7, 8)), strict=True
     ).collect()
     hashes = {r.media_id: r.ahash for r in pix}
-    assert hashes[2] == hashes[3] == hashes[1] == hashes[4]
+    assert (
+        hashes[2] == hashes[3] == hashes[1] == hashes[4]
+        == hashes[7] == hashes[8]
+    )
