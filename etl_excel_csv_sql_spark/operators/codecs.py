@@ -611,6 +611,276 @@ def encode_gif(arr: np.ndarray) -> bytes:
 
 
 @_malformed_as_valueerror
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
+) -> bytes:
+    """(H, W, 3) uint8 RGB → PROGRESSIVE JPEG bytes (SOF2) with a
+    libjpeg-style scan script: interleaved DC first (Al=1), per-
+    component banded AC first scans (Al=2), two AC refinement passes
+    (Al=2→1→0), and a DC refinement — every Annex-G decode path (EOB
+    runs, ZRL, correction bits, successive approximation) is exercised.
+    Quantized coefficients are identical to :func:`encode_jpeg_baseline`
+    at the same settings, so decode must match the baseline decode
+    BIT-FOR-BIT (the round-trip oracle the tests pin)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h_img, w_img, _ = arr.shape
+    if subsampling == "4:4:4":
+        hs, vs = 1, 1
+    elif subsampling == "4:2:2":
+        hs, vs = 2, 1
+    elif subsampling == "4:2:0":
+        hs, vs = 2, 2
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    y_pad = _pad_edge(y, 8 * vs, 8 * hs)
+    if hs == 1 and vs == 1:
+        cb_s, cr_s = cb, cr
+    else:
+        cbp = _pad_edge(cb, vs, hs)
+        crp = _pad_edge(cr, vs, hs)
+        ch_, cw_ = cbp.shape
+        cb_s = cbp.reshape(ch_ // vs, vs, cw_ // hs, hs).mean(axis=(1, 3))
+        cr_s = crp.reshape(ch_ // vs, vs, cw_ // hs, hs).mean(axis=(1, 3))
+    cb_pad = _pad_edge(cb_s, 8, 8)
+    cr_pad = _pad_edge(cr_s, 8, 8)
+    ql = _quality_scale(JPEG_QUANT_LUMA, quality)
+    qc = _quality_scale(JPEG_QUANT_CHROMA, quality)
+
+    mcus_x = y_pad.shape[1] // (8 * hs)
+    mcus_y = y_pad.shape[0] // (8 * vs)
+    # (comp_index, sampling, padded blocks, padded block cols,
+    #  non-interleaved block grid)
+    comps = []
+    for ci, (plane, qtab, chs, cvs, cw, ch2) in enumerate(
+        (
+            (y_pad, ql, hs, vs, w_img, h_img),
+            (cb_pad, qc, 1, 1, -(-w_img // hs), -(-h_img // vs)),
+            (cr_pad, qc, 1, 1, -(-w_img // hs), -(-h_img // vs)),
+        )
+    ):
+        blocks = _plane_blocks(plane, qtab)  # (rows*cols, 64) zigzag
+        cols_b = plane.shape[1] // 8
+        comps.append(
+            {
+                "blocks": blocks,
+                "cols_b": cols_b,
+                "hs": chs,
+                "vs": cvs,
+                "nb": (-(-ch2 // 8), -(-cw // 8)),
+                "luma": ci == 0,
+            }
+        )
+
+    dc_tabs = (
+        _huff_encode_table(_JPEG_DC_LUMA_BITS, _JPEG_DC_LUMA_VALS),
+        _huff_encode_table(_JPEG_DC_CHROMA_BITS, _JPEG_DC_CHROMA_VALS),
+    )
+    ac_tab_enc = _huff_encode_table(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+    def dc_first_scan(al: int) -> bytes:
+        bwr = _JpegBitWriter()
+        pred = [0, 0, 0]
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, c in enumerate(comps):
+                tab = dc_tabs[0 if c["luma"] else 1]
+                for v in range(c["vs"]):
+                    for hh in range(c["hs"]):
+                        idx = (my * c["vs"] + v) * c["cols_b"] + mx * c["hs"] + hh
+                        d = int(c["blocks"][idx, 0]) >> al
+                        diff = d - pred[ci]
+                        pred[ci] = d
+                        t = abs(diff).bit_length()
+                        code, size = tab[t]
+                        bwr.write(code, size)
+                        if t:
+                            bwr.write(
+                                diff if diff >= 0 else diff + (1 << t) - 1, t
+                            )
+        bwr.flush()
+        return bytes(bwr.out)
+
+    def dc_refine_scan(al: int) -> bytes:
+        bwr = _JpegBitWriter()
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for c in comps:
+                for v in range(c["vs"]):
+                    for hh in range(c["hs"]):
+                        idx = (my * c["vs"] + v) * c["cols_b"] + mx * c["hs"] + hh
+                        bwr.write((int(c["blocks"][idx, 0]) >> al) & 1, 1)
+        bwr.flush()
+        return bytes(bwr.out)
+
+    def _blk(c, by, bx):
+        return c["blocks"][by * c["cols_b"] + bx]
+
+    def ac_first_scan(c, ss, se, al) -> bytes:
+        tab = ac_tab_enc
+        bwr = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if not eobrun:
+                return
+            rr = eobrun.bit_length() - 1
+            code, size = tab[rr << 4]
+            bwr.write(code, size)
+            if rr:
+                bwr.write(eobrun - (1 << rr), rr)
+            eobrun = 0
+
+        bh, bw_ = c["nb"]
+        for by in range(bh):
+            for bx in range(bw_):
+                zz = _blk(c, by, bx)
+                run = 0
+                wrote = False
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    t = (v if v >= 0 else -v) >> al
+                    if t == 0:
+                        run += 1
+                        continue
+                    flush_eob()
+                    while run > 15:
+                        code, size = tab[0xF0]
+                        bwr.write(code, size)
+                        run -= 16
+                    s = t.bit_length()
+                    sv = t if v >= 0 else -t
+                    code, size = tab[(run << 4) | s]
+                    bwr.write(code, size)
+                    bwr.write(sv if sv >= 0 else sv + (1 << s) - 1, s)
+                    run = 0
+                    wrote = True
+                if run or not wrote:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        bwr.flush()
+        return bytes(bwr.out)
+
+    def ac_refine_scan(c, ss, se, al) -> bytes:
+        tab = ac_tab_enc
+        bwr = _JpegBitWriter()
+        eobrun = 0
+        pending: list[int] = []  # correction bits buffered across blocks
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                code, size = tab[rr << 4]
+                bwr.write(code, size)
+                if rr:
+                    bwr.write(eobrun - (1 << rr), rr)
+                eobrun = 0
+            for bit in pending:
+                bwr.write(bit, 1)
+            pending.clear()
+
+        bh, bw_ = c["nb"]
+        for by in range(bh):
+            for bx in range(bw_):
+                zz = _blk(c, by, bx)
+                absv = [0] * 64
+                eob_pos = ss - 1
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    t = (v if v >= 0 else -v) >> al
+                    absv[k] = t
+                    if t == 1:
+                        eob_pos = k
+                run = 0
+                block_bits: list[int] = []
+                for k in range(ss, se + 1):
+                    t = absv[k]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eob_pos:
+                        flush_eob()
+                        code, size = tab[0xF0]
+                        bwr.write(code, size)
+                        run -= 16
+                        for bit in block_bits:
+                            bwr.write(bit, 1)
+                        block_bits = []
+                    if t > 1:
+                        block_bits.append(t & 1)
+                        continue
+                    flush_eob()
+                    code, size = tab[(run << 4) | 1]
+                    bwr.write(code, size)
+                    bwr.write(1 if int(zz[k]) >= 0 else 0, 1)
+                    for bit in block_bits:
+                        bwr.write(bit, 1)
+                    block_bits = []
+                    run = 0
+                if run or block_bits:
+                    eobrun += 1
+                    pending.extend(block_bits)
+                    if eobrun == 0x7FFF or len(pending) > 900:
+                        flush_eob()
+        flush_eob()
+        bwr.flush()
+        return bytes(bwr.out)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(scan_comps, ss, se, ah, al, entropy: bytes) -> bytes:
+        body = bytes((len(scan_comps),))
+        for cid, td, ta in scan_comps:
+            body += bytes((cid, (td << 4) | ta))
+        body += bytes((ss, se, (ah << 4) | al))
+        return seg(0xDA, body) + entropy
+
+    def dht(tc: int, th: int, bits, vals) -> bytes:
+        return bytes(((tc << 4) | th,)) + bytes(bits) + bytes(vals)
+
+    app0 = b"JFIF\x00" + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = (
+        b"\x00" + ql[JPEG_ZIGZAG].astype(np.uint8).tobytes()
+        + b"\x01" + qc[JPEG_ZIGZAG].astype(np.uint8).tobytes()
+    )
+    sof = struct.pack(">BHHB", 8, h_img, w_img, 3) + bytes(
+        (1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1)
+    )
+    dht_all = (
+        dht(0, 0, _JPEG_DC_LUMA_BITS, _JPEG_DC_LUMA_VALS)
+        + dht(0, 1, _JPEG_DC_CHROMA_BITS, _JPEG_DC_CHROMA_VALS)
+        + dht(1, 0, _JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+    )
+    out = b"\xff\xd8" + seg(0xE0, app0) + seg(0xDB, dqt) + seg(0xC2, sof)
+    out += seg(0xC4, dht_all)
+    all_dc = ((1, 0, 0), (2, 1, 0), (3, 1, 0))
+    cids = (1, 2, 3)
+    # libjpeg-style script: DC first; banded AC firsts at Al=2; two AC
+    # refinement sweeps; DC refinement last. All AC scans share the
+    # progressive AC table (class 1, id 0).
+    out += sos(all_dc, 0, 0, 0, 1, dc_first_scan(1))
+    for ci, c in enumerate(comps):
+        out += sos(((cids[ci], 0, 0),), 1, 5, 0, 2, ac_first_scan(c, 1, 5, 2))
+        out += sos(((cids[ci], 0, 0),), 6, 63, 0, 2, ac_first_scan(c, 6, 63, 2))
+    for ci, c in enumerate(comps):
+        out += sos(((cids[ci], 0, 0),), 1, 63, 2, 1, ac_refine_scan(c, 1, 63, 1))
+    for ci, c in enumerate(comps):
+        out += sos(((cids[ci], 0, 0),), 1, 63, 1, 0, ac_refine_scan(c, 1, 63, 0))
+    out += sos(all_dc, 0, 0, 1, 0, dc_refine_scan(0))
+    return out + b"\xff\xd9"
+
+
 def jpeg_meta(payload: bytes) -> tuple[int, int]:
     """(width, height) by walking JPEG marker segments to the first SOFn
     frame header. Entropy decode is intentionally unsupported."""
@@ -1275,6 +1545,18 @@ JPEG_QUANT_CHROMA = np.array([
     99, 99, 99, 99, 99, 99, 99, 99,
 ], dtype=np.int64)
 
+# Progressive AC table: the Annex-K sequential AC tables have no EOBn
+# (n >= 1) symbols, so progressive scans define their own — a flat
+# canonical table (every symbol 9 bits) over EOB0..EOB14, ZRL, and all
+# (run 0..15, size 1..10) pairs. Real encoders optimize; fixtures just
+# need validity.
+_JPEG_PROG_AC_VALS = tuple(
+    [n << 4 for n in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_JPEG_PROG_AC_BITS = (0, 0, 0, 0, 0, 0, 0, 0, len(_JPEG_PROG_AC_VALS),
+                      0, 0, 0, 0, 0, 0, 0)
+
 # Annex K.3 typical Huffman tables: (BITS counts for lengths 1..16, HUFFVAL)
 _JPEG_DC_LUMA_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
 _JPEG_DC_LUMA_VALS = tuple(range(12))
@@ -1464,15 +1746,19 @@ def _split_scan(payload: bytes, pos: int):
 
 @_malformed_as_valueerror
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (H, W, 3) uint8 RGB. Supports SOF0/SOF1
-    Huffman scans, 8-bit precision, 1 or 3 components, sampling factors
-    in {1, 2}, DRI restart intervals. Progressive/arithmetic/12-bit
-    raise ValueError (quarantine contract; dims still via jpeg_meta)."""
+    """JPEG bytes -> (H, W, 3) uint8 RGB. Supports SOF0/SOF1 sequential
+    AND SOF2 progressive Huffman scans (spectral selection + successive
+    approximation, DC and AC refinement per T.81 Annex G), 8-bit
+    precision, 1 or 3 components, sampling factors in {1, 2}, DRI
+    restart intervals. Arithmetic/lossless/12-bit raise ValueError
+    (quarantine contract; dims still via jpeg_meta)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}           # Tq -> 64 values, ZIGZAG order
     huff: dict[tuple[int, int], tuple] = {}  # (class, id) -> decode table
     frame = None                             # (h, w, comps)
+    progressive = False
+    prog_state = None
     restart_interval = 0
     i = 2
     while i + 4 <= len(payload):
@@ -1521,8 +1807,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h_img, w_img, comps)
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) not decodable")
+        elif marker == 0xC2:  # SOF2 progressive
+            prec, h_img, w_img, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF component list")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h_img, w_img, comps)
+            progressive = True
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise ValueError(f"unsupported JPEG frame type SOF{marker - 0xC0}")
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -1533,11 +1829,40 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for si in range(ns):
                 cs, tdta = struct.unpack_from(">BB", body, 1 + 2 * si)
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
-            segments, _ = _split_scan(payload, i + 2 + seg_len)
-            return _decode_scan(frame, qt, huff, restart_interval, scan, segments)
+            segments, scan_end = _split_scan(payload, i + 2 + seg_len)
+            if not progressive:
+                return _decode_scan(
+                    frame, qt, huff, restart_interval, scan, segments
+                )
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if prog_state is None:
+                prog_state = _prog_init(frame)
+            _progressive_scan(
+                prog_state, frame, huff, restart_interval, scan,
+                (ss, se, ahal >> 4, ahal & 0x0F), segments,
+            )
+            i = scan_end
+            continue
         elif marker == 0xD9:
             break
         i += 2 + seg_len
+    if prog_state is not None:
+        h_img, w_img, comps = frame
+        blocks = {}
+        for cid, hs, vs, tq in comps:
+            if tq not in qt:
+                raise ValueError("JPEG frame references missing quant table")
+            blocks[cid] = prog_state["stores"][cid] * qt[tq]
+        if len(comps) == 1:
+            comp_list = [(comps[0][0], 1, 1)]
+        else:
+            comp_list = [(cid, hs, vs) for cid, hs, vs, _ in comps]
+        return _dequant_blocks_to_rgb(
+            h_img, w_img, comp_list,
+            blocks, prog_state["hmax"], prog_state["vmax"],
+        )
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -1625,14 +1950,35 @@ def _decode_scan(frame, qt, huff, restart_interval, scan, segments) -> np.ndarra
                     row = (my * vs + v) * bw[cid] + (mx * hs + hh)
                     blocks[cid][row] = zz * qvec
 
+    shaped = {
+        cid: blocks[cid].reshape(mcus_y * vs, bw[cid], 64)
+        for cid, hs, vs in layout
+    }
+    comp_list = (
+        layout
+        if len(layout) == 1
+        else [(cid, hs, vs) for cid, hs, vs, _ in comps]
+    )
+    return _dequant_blocks_to_rgb(h_img, w_img, comp_list, shaped, hmax, vmax)
+
+
+def _dequant_blocks_to_rgb(
+    h_img, w_img, comp_list, blocks, hmax, vmax
+) -> np.ndarray:
+    """(rows_b, cols_b, 64) DEQUANTIZED zigzag-order coefficient blocks
+    per component → (H, W, 3) uint8 RGB. Shared by the sequential and
+    progressive paths. ``comp_list`` is [(cid, hs, vs)] in SOF order —
+    Y/Cb/Cr identity comes from SOF component ORDER (T.81 convention),
+    not scan order."""
     planes = {}
-    for cid, hs, vs in layout:
-        nat = np.zeros_like(blocks[cid])
-        nat[:, JPEG_ZIGZAG] = blocks[cid]
+    for cid, hs, vs in comp_list:
+        zz = blocks[cid]
+        rows_b, cols_b = zz.shape[:2]
+        flat = zz.reshape(-1, 64)
+        nat = np.zeros_like(flat)
+        nat[:, JPEG_ZIGZAG] = flat
         pix = _idct_blocks(nat.reshape(-1, 8, 8).astype(np.float64)) + 128.0
         pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
-        rows_b = mcus_y * vs
-        cols_b = bw[cid]
         plane = (
             pix.reshape(rows_b, cols_b, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -1642,15 +1988,12 @@ def _decode_scan(frame, qt, huff, restart_interval, scan, segments) -> np.ndarra
         plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
         planes[cid] = plane[:h_img, :w_img]
 
-    if len(layout) == 1:
-        y = planes[layout[0][0]].astype(np.float64)
+    if len(comp_list) == 1:
+        y = planes[comp_list[0][0]].astype(np.float64)
         return np.clip(np.round(np.stack([y, y, y], axis=2)), 0, 255).astype(np.uint8)
-    if len(layout) != 3:
-        raise ValueError(f"unsupported JPEG component count {len(layout)}")
-    # Y/Cb/Cr identity comes from SOF component ORDER (T.81 convention),
-    # not scan order — a scan listing components out of SOF order must
-    # not swap chroma channels.
-    c1, c2, c3 = (cid for cid, _, _, _ in comps)
+    if len(comp_list) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(comp_list)}")
+    c1, c2, c3 = (cid for cid, _, _ in comp_list)
     y = planes[c1].astype(np.float64)
     cb = planes[c2].astype(np.float64) - 128.0
     cr = planes[c3].astype(np.float64) - 128.0
@@ -1663,6 +2006,207 @@ def _decode_scan(frame, qt, huff, restart_interval, scan, segments) -> np.ndarra
         axis=2,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _prog_init(frame) -> dict:
+    """Coefficient stores + geometry for a progressive frame: one
+    (rows_b, cols_b, 64) int64 zigzag-order store per component, sized
+    to the interleaved MCU grid (a superset of the non-interleaved
+    grid, which writes its own top-left sub-grid)."""
+    h_img, w_img, comps = frame
+    if h_img < 1 or w_img < 1:
+        raise ValueError("JPEG dims out of range")
+    for _, hs, vs, _ in comps:
+        if hs not in (1, 2) or vs not in (1, 2):
+            raise ValueError(f"unsupported sampling factors {hs}x{vs}")
+    if len(comps) == 1:
+        hmax = vmax = 1
+    else:
+        hmax = max(hs for _, hs, _, _ in comps)
+        vmax = max(vs for _, _, vs, _ in comps)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+    stores: dict[int, np.ndarray] = {}
+    nblocks: dict[int, tuple[int, int]] = {}
+    for cid, hs, vs, _ in comps:
+        hs, vs = (1, 1) if len(comps) == 1 else (hs, vs)
+        stores[cid] = np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
+        # non-interleaved block grid: ceil(comp_dim / 8) at the
+        # component's own resolution (T.81 A.2.2)
+        cw = -(-w_img * hs // hmax)
+        ch = -(-h_img * vs // vmax)
+        nblocks[cid] = (-(-ch // 8), -(-cw // 8))
+    return {
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcus_x": mcus_x,
+        "mcus_y": mcus_y,
+        "stores": stores,
+        "nblocks": nblocks,
+    }
+
+
+def _prog_refine_ac(reader, store_blk, ss, se, al, r, newval):
+    """AC-refinement coefficient walk (T.81 G.1.2.3): advance past ``r``
+    zero-history positions, emitting a correction bit for every
+    nonzero-history coefficient crossed; place ``newval`` (if any) at
+    the stopping position. Returns the index AFTER the placed/stopped
+    position."""
+    p1 = 1 << al
+    k = ss
+    while k <= se:
+        cur = int(store_blk[k])
+        if cur != 0:
+            if reader.read_bit():
+                if (cur & p1) == 0:
+                    store_blk[k] = cur + (p1 if cur >= 0 else -p1)
+        else:
+            if r == 0:
+                break
+            r -= 1
+        k += 1
+    if newval and k <= se:
+        store_blk[k] = newval
+    return k + 1
+
+
+def _progressive_scan(state, frame, huff, restart_interval, scan, prms, segments):
+    """Decode one progressive SOS into the coefficient stores.
+
+    ``prms`` = (ss, se, ah, al). DC scans (ss == 0) may interleave all
+    components; AC scans are single-component over that component's own
+    block grid (T.81 G.1). First scans (ah == 0) Huffman-decode
+    magnitudes shifted left by ``al``; refinement scans (ah > 0) add one
+    bit of precision — raw bits for DC, the correction-bit walk for AC.
+    Restart markers reset predictors and the EOB run."""
+    ss, se, ah, al = prms
+    h_img, w_img, comps = frame
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    stores = state["stores"]
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if not is_dc and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not is_dc and (ss > se or se > 63):
+        raise ValueError("bad progressive spectral range")
+    if ah not in (0, al + 1):
+        # successive approximation: each refinement lowers Al by one
+        raise ValueError(f"bad successive approximation Ah={ah} Al={al}")
+
+    seg_idx = 0
+    reader = _JpegBitReader(segments[0])
+
+    def next_segment():
+        nonlocal seg_idx, reader
+        seg_idx += 1
+        if seg_idx >= len(segments):
+            raise ValueError("JPEG scan missing restart segment")
+        reader = _JpegBitReader(segments[seg_idx])
+
+    if is_dc:
+        for cid, td, _ in scan:
+            if ah == 0 and (0, td) not in huff:
+                raise ValueError("JPEG scan references missing Huffman table")
+        interleaved = len(scan) > 1
+        if interleaved:
+            layout = [(cid, *by_id[cid][:2]) for cid, _, _ in scan]
+            n_units = state["mcus_x"] * state["mcus_y"]
+        else:
+            cid = scan[0][0]
+            layout = [(cid, 1, 1)]
+            n_units = state["nblocks"][cid][0] * state["nblocks"][cid][1]
+        pred = {cid: 0 for cid, _, _ in layout}
+        for unit in range(n_units):
+            if restart_interval and unit and unit % restart_interval == 0:
+                next_segment()
+                pred = {c: 0 for c in pred}
+            for cid, hs, vs in layout:
+                for v in range(vs):
+                    for hh in range(hs):
+                        if interleaved:
+                            my, mx = divmod(unit, state["mcus_x"])
+                            by, bx = my * vs + v, mx * hs + hh
+                        else:
+                            by, bx = divmod(unit, state["nblocks"][cid][1])
+                        blk = stores[cid][by, bx]
+                        if ah == 0:
+                            t = reader.decode_symbol(huff[(0, _scan_td(scan, cid))])
+                            if t > 15:
+                                raise ValueError("JPEG DC magnitude out of range")
+                            pred[cid] += _extend(reader.read_bits(t), t)
+                            blk[0] = pred[cid] << al
+                        else:  # DC refinement: one raw bit
+                            if reader.read_bit():
+                                blk[0] = int(blk[0]) | (1 << al)
+        return
+
+    # AC scan — single component, its own block raster
+    cid, _, ta = scan[0]
+    if ah == 0 and (1, ta) not in huff:
+        raise ValueError("JPEG scan references missing Huffman table")
+    if ah != 0 and (1, ta) not in huff:
+        raise ValueError("JPEG scan references missing Huffman table")
+    ac_tab = huff[(1, ta)]
+    bh, bw_ = state["nblocks"][cid]
+    eobrun = 0
+    for unit in range(bh * bw_):
+        if restart_interval and unit and unit % restart_interval == 0:
+            next_segment()
+            eobrun = 0
+        by, bx = divmod(unit, bw_)
+        blk = stores[cid][by, bx]
+        if ah == 0:  # first scan for this band
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.decode_symbol(ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC index overflow")
+                blk[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+        else:  # refinement scan
+            p1 = 1 << al
+            if eobrun:
+                eobrun -= 1
+                _prog_refine_ac(reader, blk, ss, se, al, 64, 0)
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.decode_symbol(ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:  # EOBn: correction bits through se, then run
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        _prog_refine_ac(reader, blk, k, se, al, 64, 0)
+                        break
+                    newval = 0  # ZRL: r stays 15 → skip 16 zero-history
+                elif s == 1:
+                    newval = p1 if reader.read_bit() else -p1
+                else:
+                    raise ValueError("JPEG AC refinement magnitude must be 1")
+                k = _prog_refine_ac(reader, blk, k, se, al, r, newval)
+
+
+def _scan_td(scan, cid) -> int:
+    for c, td, _ in scan:
+        if c == cid:
+            return td
+    raise ValueError("component missing from scan")
 
 
 class _JpegBitWriter:

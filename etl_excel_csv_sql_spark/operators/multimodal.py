@@ -5,11 +5,11 @@ Images (BMP / PNG / PPM / GIF / baseline JPEG full decode) and audio
 (RIFF-WAVE demux) are handled by ``operators.codecs`` — ``struct`` +
 ``zlib`` + numpy only, no codec libraries — so metadata extraction and
 thumbnail resize run on real bytes end-to-end. Video is demuxed at the
-FRAME level too (AVI movi walk): both uncompressed-DIB and
-baseline-MJPEG frames decode to real pixels for frame-level aHash
-near-dup (``codecs.decode_jpeg``). Formats outside that set
-(progressive JPEG pixels, non-AVI containers) raise in strict mode and
-degrade otherwise; that boundary is documented per kernel.
+FRAME level too (AVI movi walk): both uncompressed-DIB and MJPEG
+frames decode to real pixels for frame-level aHash near-dup
+(``codecs.decode_jpeg`` — baseline AND progressive). Formats outside
+that set (non-AVI containers, header-only fixtures) raise in strict
+mode and degrade otherwise; that boundary is documented per kernel.
 
 Design for 100 TB of media:
 - binary payloads stay in parquet/iceberg columns; never collect() them;
@@ -186,8 +186,8 @@ def resize_images(
     dims use floor-division arithmetic (``_bounded_dims``) so results
     are externally predictable.
 
-    Payloads without a pixel decoder (progressive JPEG, header-only
-    fixtures) raise under ``strict=True`` and yield null payload/dims
+    Payloads without a pixel decoder (header-only fixtures, arithmetic-
+    coded JPEG) raise under ``strict=True`` and yield null payload/dims
     otherwise.
 
     At 100 TB: this is the straggler-prone stage — repartition by a

@@ -715,7 +715,8 @@ def test_jpeg_scan_order_does_not_swap_chroma():
 def test_jpeg_decode_rejects_unsupported_shapes():
     arr = np.zeros((8, 8, 3), np.uint8)
     enc = C.encode_jpeg_baseline(arr)
-    with pytest.raises(ValueError, match="progressive"):
+    # header-only fixtures have no scan data (progressive or not)
+    with pytest.raises(ValueError, match="no SOS"):
         C.decode_jpeg(C.encode_jpeg_header_only(8, 8, progressive=True))
     with pytest.raises(ValueError, match="no SOS"):
         C.decode_jpeg(C.encode_jpeg_header_only(8, 8))
@@ -737,6 +738,41 @@ def test_jpeg_decode_image_dispatch_and_resize_reencode():
     # encode_image dispatch
     re = C.encode_image(dec, "jpeg")
     assert C.jpeg_meta(re) == (32, 32)
+
+
+def test_jpeg_progressive_decodes_bit_identical_to_baseline():
+    """SOF2 progressive decode (T.81 Annex G: spectral selection +
+    successive approximation, DC and AC refinement): the progressive
+    encoder quantizes identically to the baseline encoder, so decode
+    must match the baseline decode BIT-FOR-BIT. Noise exercises dense-
+    coefficient refinement; flat/gradient content exercises EOB runs."""
+    rng = np.random.RandomState(3)
+    cases = [
+        rng.randint(0, 256, (33, 41, 3)).astype(np.uint8),  # dense ACs
+        np.full((48, 64, 3), 130, np.uint8),  # all-zero ACs: max EOB runs
+    ]
+    s = (np.arange(40)[:, None] // 8 * 29 + np.arange(56)[None, :] // 8 * 13) % 256
+    cases.append(np.stack([s, s, s], axis=2).astype(np.uint8))  # sparse
+    for arr in cases:
+        for sub in ("4:4:4", "4:2:2", "4:2:0"):
+            for q in (10, 90):
+                base = C.decode_jpeg(
+                    C.encode_jpeg_baseline(arr, quality=q, subsampling=sub)
+                )
+                prog_bytes = C.encode_jpeg_progressive(
+                    arr, quality=q, subsampling=sub
+                )
+                assert C.jpeg_meta(prog_bytes) == (arr.shape[1], arr.shape[0])
+                assert np.array_equal(C.decode_jpeg(prog_bytes), base), (
+                    arr.shape, sub, q,
+                )
+
+
+def test_jpeg_progressive_is_really_sof2():
+    p = C.encode_jpeg_progressive(np.zeros((8, 8, 3), np.uint8))
+    assert b"\xff\xc2" in p and b"\xff\xc0" not in p
+    # six+ scans: DC first, 6 AC firsts, 6 AC refines, DC refine
+    assert p.count(b"\xff\xda") == 14
 
 
 def test_mjpeg_avi_real_pixel_frames_roundtrip():

@@ -803,11 +803,14 @@ def test_audio_fixture_cross_pair_safety_real_ids(spark):
 
 
 def test_mixed_real_world_shapes_quarantine_rate_zero(spark):
-    """r10 VERDICT #5: progressive JPEG (SOF2) and Adam7 interlaced PNG
-    are the two most common real-image shapes beyond the baseline set —
-    a mixed fixture of all six shapes must yield ZERO metadata
-    quarantines, and interlaced pixels must hash identically to their
-    sequential twin (same image, different PNG layout)."""
+    """r10 VERDICT #5 (+ r11 GIF/progressive): a mixed fixture of every
+    real-world image shape — BMP, PNG, interlaced PNG, PPM, header-only
+    JPEGs (sequential + progressive), GIF, interlaced GIF, baseline
+    JPEG, and REAL progressive JPEG — must yield ZERO metadata
+    quarantines; same-pixel payloads must hash identically across
+    layouts (interlace) and codecs (lossless set), and a progressive
+    JPEG must hash identically to its baseline twin (same quantized
+    coefficients)."""
     s = (np.arange(24)[:, None] * 7 + np.arange(32)[None, :] * 3) % 256
     arr = np.stack([s, (s + 31) % 256, (s + 62) % 256], axis=2).astype(np.uint8)
     payloads = [
@@ -818,6 +821,8 @@ def test_mixed_real_world_shapes_quarantine_rate_zero(spark):
         (5, codecs.encode_jpeg_header_only(32, 24)),
         (6, codecs.encode_jpeg_header_only(32, 24, progressive=True)),
         (7, codecs.encode_gif(arr)),
+        (9, codecs.encode_jpeg_baseline(arr, quality=90)),
+        (10, codecs.encode_jpeg_progressive(arr, quality=90)),
     ]
     # interlaced GIF: rows pre-permuted into 4-pass order + flag patch
     perm = sum(([r for r in range(s, 24, t)] for s, t in
@@ -831,15 +836,18 @@ def test_mixed_real_world_shapes_quarantine_rate_zero(spark):
     )
     media = multimodal.to_media_column(df, "doc_id", "blob", "image")
     rows = {r.media_id: r for r in multimodal.extract_image_meta(media, strict=True).collect()}
-    assert len(rows) == 8
+    assert len(rows) == 10
     for mid, r in rows.items():
         assert (r.width, r.height) == (32, 24), mid
-    # pixel paths: interlaced PNG/GIF decode to the same array -> same aHash
+    # pixel paths: interlaced PNG/GIF decode to the same array -> same
+    # aHash; progressive JPEG decodes bit-identical to its baseline twin
     pix = multimodal.ahash_images(
-        media.where(F.col("media_id").isin(1, 2, 3, 4, 7, 8)), strict=True
+        media.where(F.col("media_id").isin(1, 2, 3, 4, 7, 8, 9, 10)),
+        strict=True,
     ).collect()
     hashes = {r.media_id: r.ahash for r in pix}
     assert (
         hashes[2] == hashes[3] == hashes[1] == hashes[4]
         == hashes[7] == hashes[8]
     )
+    assert hashes[9] == hashes[10]
