@@ -48,6 +48,13 @@ HEADLINE = (
     # and similar sf0.1 wall, so the headline total stays comparable;
     # the min-propagation series continues under the r1-r8 name in
     # history.jsonl.
+    # r11 series note: the text-dedup family shares one materialized
+    # pair frame per (session, corpus) — ngram_jaccard_pairs is the
+    # BUILD (fresh=True, pays the posting self-join every pass; series
+    # comparable to r10), while dedup_components_star measures CC over
+    # the shared pairs (the build/probe split ann_ivf_persisted_topk
+    # already uses). Star values from r11 on are therefore ~1.5s lower
+    # than the r9/r10 series, which included a redundant pair rebuild.
     "dedup_components_star",
     "doc_quality_score",
 )
