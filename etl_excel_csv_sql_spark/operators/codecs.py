@@ -43,6 +43,36 @@ import zlib
 import numpy as np
 
 
+#: Decompression-bomb guard: a crafted 30-byte header claiming
+#: 65535x65535 would otherwise allocate ~12 GB BEFORE the pixel stream
+#: fails to parse — an executor OOM instead of a one-row quarantine.
+#: 2^26 pixels = 64 Mpx ≈ 192 MB decoded RGB, far above any legitimate
+#: thumbnail/near-dup input and far below executor memory.
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def _check_decode_dims(w: int, h: int) -> None:
+    if w < 1 or h < 1:
+        raise ValueError(f"image dims out of range: {w}x{h}")
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"image {w}x{h} exceeds the {MAX_DECODE_PIXELS}-pixel decode "
+            "guard (decompression-bomb protection)"
+        )
+
+
+def _bounded_inflate(data: bytes, expected: int) -> bytes:
+    """zlib inflate capped at ``expected`` bytes: a kilobyte-sized bomb
+    payload can otherwise inflate to gigabytes before the size check.
+    Raises if the stream yields MORE than expected (bomb or corrupt) —
+    yielding less surfaces at the caller's size check."""
+    d = zlib.decompressobj()
+    out = d.decompress(data, expected + 1)
+    if len(out) > expected or (d.unconsumed_tail and len(out) >= expected):
+        raise ValueError("inflated pixel stream exceeds declared size")
+    return out
+
+
 def _malformed_as_valueerror(fn):
     """Malformed payloads must surface as ValueError from every public
     parser: the lenient-mode operators (extract_media_meta,
@@ -111,6 +141,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if bpp != 24 or compression != 0:
         raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
     h = abs(h_raw)
+    _check_decode_dims(w, h)
     row_size = (3 * w + 3) // 4 * 4
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=row_size * h, offset=pix_off
@@ -262,6 +293,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     interlace = payload[28]
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
+    _check_decode_dims(w, h)
     channels = 3 if color == 2 else 4
     # walk chunks, concatenating IDAT
     pos, idat = 8, []
@@ -273,7 +305,15 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif tag == b"IEND":
             break
         pos += 12 + length  # len + tag + body + crc
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    # inflate bounded by the worst-case declared pixel stream — a
+    # kilobyte-sized zlib bomb must fail HERE, not after gigabytes of
+    # inflation. Bound covers both layouts: pixel data w*h*ch plus
+    # filter bytes (1/row sequential; Adam7 sums ~1.875 rows per image
+    # row across its 7 passes, so 2h + slack covers it).
+    raw = np.frombuffer(
+        _bounded_inflate(b"".join(idat), w * h * channels + 2 * h + 16),
+        dtype=np.uint8,
+    )
     if interlace == 1:
         img = np.zeros((h, w, channels), dtype=np.uint8)
         off = 0
@@ -346,6 +386,7 @@ def ppm_meta(payload: bytes) -> tuple[int, int]:
 @_malformed_as_valueerror
 def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, off = _ppm_header(payload)
+    _check_decode_dims(w, h)
     return (
         np.frombuffer(payload, dtype=np.uint8, count=3 * w * h, offset=off)
         .reshape(h, w, 3)
@@ -479,6 +520,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
     call for perceptual hashing where a deterministic color beats an
     alpha channel we don't model)."""
     w, h = gif_meta(payload)
+    _check_decode_dims(w, h)
     flags = payload[10]
     bg_index = payload[11]
     pos = 13
@@ -505,6 +547,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
             min_code = payload[pos]
             if not 2 <= min_code <= 11:
                 raise ValueError(f"GIF LZW min code size {min_code} out of range")
+            _check_decode_dims(iw, ih)
             data, pos = _gif_subblocks(payload, pos + 1)
             idx = _gif_lzw_decode(min_code, data, iw * ih)
             if int(idx.max(initial=0)) >= len(table):
@@ -1869,8 +1912,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 def _decode_scan(frame, qt, huff, restart_interval, scan, segments) -> np.ndarray:
     h_img, w_img, comps = frame
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
-    if h_img < 1 or w_img < 1:
-        raise ValueError("JPEG dims out of range")
+    scan_ids = [cid for cid, _, _ in scan]
+    for cid in scan_ids:
+        if cid not in by_id:
+            raise ValueError(f"JPEG scan references unknown component {cid}")
+    # a sequential interleaved scan must cover every frame component
+    # exactly once (T.81 A.2) — a mutated SOS with zero, duplicate, or
+    # missing components would otherwise leave the plane dict incomplete
+    if len(scan) != 1 and sorted(scan_ids) != sorted(by_id):
+        raise ValueError("JPEG interleaved scan must cover all components")
+    _check_decode_dims(w_img, h_img)
     for _, hs, vs, _ in comps:
         if hs not in (1, 2) or vs not in (1, 2):
             raise ValueError(f"unsupported sampling factors {hs}x{vs}")
@@ -2014,8 +2065,7 @@ def _prog_init(frame) -> dict:
     to the interleaved MCU grid (a superset of the non-interleaved
     grid, which writes its own top-left sub-grid)."""
     h_img, w_img, comps = frame
-    if h_img < 1 or w_img < 1:
-        raise ValueError("JPEG dims out of range")
+    _check_decode_dims(w_img, h_img)
     for _, hs, vs, _ in comps:
         if hs not in (1, 2) or vs not in (1, 2):
             raise ValueError(f"unsupported sampling factors {hs}x{vs}")
@@ -2082,6 +2132,11 @@ def _progressive_scan(state, frame, huff, restart_interval, scan, prms, segments
     ss, se, ah, al = prms
     h_img, w_img, comps = frame
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    if not scan:
+        raise ValueError("JPEG scan lists no components")
+    for cid, _, _ in scan:
+        if cid not in by_id:
+            raise ValueError(f"JPEG scan references unknown component {cid}")
     stores = state["stores"]
     is_dc = ss == 0
     if is_dc and se != 0:

@@ -106,6 +106,109 @@ def test_ppm_header_comments():
     assert np.array_equal(C.decode_ppm(body), arr)
 
 
+def test_decode_guards_reject_decompression_bombs():
+    """A crafted header claiming huge dims must raise ValueError FAST
+    (quarantine) instead of allocating gigabytes (executor OOM): the
+    one-bad-row-kills-the-batch class, but for memory."""
+    import resource, struct as _s, time, zlib as _z
+
+    # 60000x60000 claims ~10 GB decoded; the guard must fire pre-alloc
+    bomb_png = (
+        C.PNG_MAGIC
+        + _png_chunk(b"IHDR", _s.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", _z.compress(b"\x00" * 100))
+        + _png_chunk(b"IEND", b"")
+    )
+    bomb_gif = (
+        b"GIF89a" + _s.pack("<HHBBB", 60000, 60000, 0xF0, 0, 0)
+        + bytes(6)  # 2-entry GCT
+        + b"\x2c" + _s.pack("<HHHHB", 0, 0, 60000, 60000, 0)
+        + bytes((2, 1, 0x4C, 0x00)) + b"\x3b"
+    )
+    bomb_bmp = bytearray(C.encode_bmp(np.zeros((4, 4, 3), np.uint8)))
+    _s.pack_into("<ii", bomb_bmp, 18, 60000, 60000)
+    bomb_ppm = b"P6\n60000 60000\n255\n" + b"\x00" * 48
+    bomb_jpg = C.encode_jpeg_header_only(60000, 60000)
+    arr8 = np.zeros((8, 8, 3), np.uint8)
+    bomb_seq = bytearray(C.encode_jpeg_baseline(arr8))
+    sof = bomb_seq.find(b"\xff\xc0")
+    _s.pack_into(">HH", bomb_seq, sof + 5, 60000, 60000)
+    bomb_prog = bytearray(C.encode_jpeg_progressive(arr8))
+    sof2 = bomb_prog.find(b"\xff\xc2")
+    _s.pack_into(">HH", bomb_prog, sof2 + 5, 60000, 60000)
+    # a real zlib bomb INSIDE sane dims: 4x4 PNG whose IDAT inflates 1 MB
+    bomb_inflate = (
+        C.PNG_MAGIC
+        + _png_chunk(b"IHDR", _s.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", _z.compress(b"\x00" * 1_000_000))
+        + _png_chunk(b"IEND", b"")
+    )
+    for name, payload in (
+        ("png", bomb_png), ("gif", bomb_gif), ("bmp", bytes(bomb_bmp)),
+        ("ppm", bomb_ppm), ("jpeg-hdr", bomb_jpg),
+        ("jpeg-seq", bytes(bomb_seq)), ("jpeg-prog", bytes(bomb_prog)),
+        ("png-inflate", bomb_inflate),
+    ):
+        t0 = time.perf_counter()
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        with pytest.raises(ValueError):
+            C.decode_image(payload)
+        dt = time.perf_counter() - t0
+        drss_mb = (
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss - rss0
+        ) / 1024
+        assert dt < 1.0, (name, dt)
+        assert drss_mb < 256, (name, drss_mb)
+
+
+def test_decoders_raise_only_valueerror_on_garbage_and_mutations():
+    """Quarantine contract fuzz: random bytes and bit-flipped valid
+    payloads must either decode or raise ValueError — never any other
+    exception class (lenient-mode kernels catch ValueError only; a
+    stray KeyError/TypeError would kill the whole Arrow batch)."""
+    rng = np.random.RandomState(1234)
+    arr = ((np.arange(16)[:, None] * 9 + np.arange(24)[None, :] * 5) % 256)
+    arr = np.stack([arr, (arr + 31) % 256, (arr + 62) % 256], axis=2).astype(
+        np.uint8
+    )
+    valids = [
+        C.encode_bmp(arr), C.encode_png(arr),
+        C.encode_png(arr, interlace=True), C.encode_ppm(arr),
+        C.encode_gif(arr), C.encode_jpeg_baseline(arr),
+        C.encode_jpeg_baseline(arr, subsampling="4:2:0", restart_interval=2),
+        C.encode_jpeg_progressive(arr),
+    ]
+    trials = ok = quarantined = 0
+    # pure-garbage payloads with valid magics spliced in
+    magics = [b"BM", C.PNG_MAGIC, b"P6", b"GIF89a", b"\xff\xd8"]
+    for _ in range(60):
+        blob = rng.bytes(rng.randint(0, 120))
+        for m in magics:
+            trials += 1
+            try:
+                C.decode_image(m + blob)
+                ok += 1
+            except ValueError:
+                quarantined += 1
+    # mutation fuzz over every codec: flip 1-4 bytes / truncate
+    for payload in valids:
+        for _ in range(80):
+            buf = bytearray(payload)
+            if rng.rand() < 0.3:
+                buf = buf[: rng.randint(1, len(buf))]
+            for _ in range(rng.randint(1, 5)):
+                if buf:
+                    buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+            trials += 1
+            try:
+                C.decode_image(bytes(buf))
+                ok += 1
+            except ValueError:
+                quarantined += 1
+    assert trials == ok + quarantined  # no other exception escaped
+    assert quarantined > 0  # the fuzz actually hit malformed shapes
+
+
 def _gif_descriptor_pos(gif: bytes) -> int:
     """Position of the 0x2C image descriptor (fixed header + GCT)."""
     depth = (gif[10] & 0x07) + 1
