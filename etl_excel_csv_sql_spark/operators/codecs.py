@@ -653,7 +653,6 @@ def encode_gif(arr: np.ndarray) -> bytes:
     return bytes(body)
 
 
-@_malformed_as_valueerror
 def encode_jpeg_progressive(
     arr: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
 ) -> bytes:
@@ -924,6 +923,7 @@ def encode_jpeg_progressive(
     return out + b"\xff\xd9"
 
 
+@_malformed_as_valueerror
 def jpeg_meta(payload: bytes) -> tuple[int, int]:
     """(width, height) by walking JPEG marker segments to the first SOFn
     frame header. Entropy decode is intentionally unsupported."""
@@ -1384,11 +1384,19 @@ def _tiff_value(tiff: bytes, bo: str, typ: int, count: int, raw: bytes):
     if size is None:
         return None
     total = size * count
+    # a mutated count near 2^32 would otherwise build a gigabyte-scale
+    # struct format string ("H" * count) — minutes of CPU from a
+    # 100-byte payload (algorithmic-DoS class, found by the r11 fuzz).
+    # No legitimate value exceeds the TIFF blob that contains it.
+    if total > len(tiff):
+        return None
     if total <= 4:
         data = raw[:total]
     else:
         (off,) = struct.unpack(bo + "I", raw)
         data = tiff[off : off + total]
+    if len(data) != total:
+        return None
     if typ == 2:
         return data.split(b"\x00", 1)[0].decode("ascii", "replace")
     fmt = "H" if typ == 3 else "I"

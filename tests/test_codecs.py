@@ -209,6 +209,60 @@ def test_decoders_raise_only_valueerror_on_garbage_and_mutations():
     assert quarantined > 0  # the fuzz actually hit malformed shapes
 
 
+def test_every_public_parser_wears_the_valueerror_decorator():
+    """An insertion once split a decorator from its def (jpeg_meta lost
+    @_malformed_as_valueerror while the orphaned decorator wrapped the
+    function below it) — struct.error then escaped the quarantine
+    contract. Pin the full coverage set."""
+    for name in (
+        "decode_bmp", "bmp_meta", "decode_png", "png_meta", "decode_ppm",
+        "ppm_meta", "decode_gif", "gif_meta", "decode_jpeg", "jpeg_meta",
+        "decode_wav", "wav_meta", "avi_frames", "avi_meta", "exif_meta",
+        "image_meta", "decode_image", "decode_dib_frame",
+    ):
+        assert hasattr(getattr(C, name), "__wrapped__"), name
+
+
+def test_container_parsers_raise_only_valueerror_and_stay_fast():
+    """WAV/AVI/EXIF mutation fuzz: same quarantine contract as images,
+    plus a wall-clock cap per call — the r11 fuzz found a mutated EXIF
+    count of ~2^32 spending minutes building a struct format string
+    (algorithmic DoS from a 100-byte payload)."""
+    import time
+
+    rng = np.random.RandomState(7)
+    pcm = (np.arange(2048) % 251 - 125).astype(np.int16)
+    wav = C.encode_wav(pcm, 8000, 1)
+    mj = C.encode_mjpeg_avi(
+        16, 16, 10, [C.encode_jpeg_baseline(np.zeros((16, 16, 3), np.uint8))] * 2
+    )
+    dib = C.encode_dib_avi(16, 16, 10, [np.zeros((16, 16, 3), np.uint8)] * 2)
+    app1 = C.build_exif_app1(6, "Mk", "Mdl", "2024:01:02 03:04:05", 320, 240)
+    base = C.encode_jpeg_baseline(np.zeros((16, 16, 3), np.uint8))
+    exifed = base[:2] + app1 + base[2:]
+    fns = (C.decode_wav, C.wav_meta, C.avi_frames, C.avi_meta,
+           C.exif_meta, C.jpeg_meta)
+    trials = quarantined = 0
+    for payload in (wav, mj, dib, exifed):
+        for _ in range(60):
+            buf = bytearray(payload)
+            if rng.rand() < 0.3:
+                buf = buf[: rng.randint(1, len(buf))]
+            for _ in range(rng.randint(1, 6)):
+                if buf:
+                    buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+            b = bytes(buf)
+            for fn in fns:
+                trials += 1
+                t0 = time.perf_counter()
+                try:
+                    fn(b)
+                except ValueError:
+                    quarantined += 1
+                assert time.perf_counter() - t0 < 1.0, fn.__name__
+    assert quarantined > 0 and trials > 1000
+
+
 def _gif_descriptor_pos(gif: bytes) -> int:
     """Position of the 0x2C image descriptor (fixed header + GCT)."""
     depth = (gif[10] & 0x07) + 1
