@@ -1292,6 +1292,8 @@ def sniff_format(payload: bytes | None) -> str | None:
         return "ppm"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return "tiff"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -1314,6 +1316,8 @@ def image_meta(payload: bytes) -> tuple[str, int, int]:
         w, h = ppm_meta(payload)
     elif fmt == "gif":
         w, h = gif_meta(payload)
+    elif fmt == "tiff":
+        w, h = tiff_meta(payload)
     elif fmt == "jpeg":
         w, h = jpeg_meta(payload)
     else:
@@ -1335,6 +1339,8 @@ def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
         return fmt, decode_ppm(payload)
     if fmt == "gif":
         return fmt, decode_gif(payload)
+    if fmt == "tiff":
+        return fmt, decode_tiff(payload)
     if fmt == "jpeg":
         return fmt, decode_jpeg(payload)
     raise ValueError(f"no pixel decoder for format {fmt!r}")
@@ -1349,6 +1355,8 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         return encode_ppm(arr)
     if fmt == "gif":
         return encode_gif(arr)
+    if fmt == "tiff":
+        return encode_tiff(arr)
     if fmt == "jpeg":
         return encode_jpeg_baseline(arr)
     raise ValueError(f"no encoder for format {fmt!r}")
@@ -1522,6 +1530,166 @@ def build_exif_app1(
     )
     body = b"Exif\x00\x00" + tiff
     return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+# ---------------------------------------------------------------------------
+# TIFF — baseline uncompressed (the same IFD machinery EXIF uses)
+# ---------------------------------------------------------------------------
+
+_TIFF_TAG_W = 256
+_TIFF_TAG_H = 257
+_TIFF_TAG_BITS = 258
+_TIFF_TAG_COMPRESSION = 259
+_TIFF_TAG_PHOTOMETRIC = 262
+_TIFF_TAG_STRIP_OFFSETS = 273
+_TIFF_TAG_SPP = 277
+_TIFF_TAG_ROWS_PER_STRIP = 278
+_TIFF_TAG_STRIP_COUNTS = 279
+_TIFF_TAG_PLANAR = 284
+
+
+def _tiff_ifd0(payload: bytes):
+    order = payload[:2]
+    bo = "<" if order == b"II" else ">" if order == b"MM" else None
+    if bo is None or struct.unpack_from(bo + "H", payload, 2)[0] != 42:
+        raise ValueError("not a TIFF payload")
+    (off,) = struct.unpack_from(bo + "I", payload, 4)
+    return bo, _walk_ifd(payload, bo, off)
+
+
+@_malformed_as_valueerror
+def tiff_meta(payload: bytes) -> tuple[int, int]:
+    """(width, height) from IFD0 — tag walk only, no pixel read."""
+    _, ifd = _tiff_ifd0(payload)
+    w, h = ifd.get(_TIFF_TAG_W), ifd.get(_TIFF_TAG_H)
+    if not isinstance(w, int) or not isinstance(h, int):
+        raise ValueError("TIFF missing ImageWidth/ImageLength")
+    return w, h
+
+
+@_malformed_as_valueerror
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF bytes → (H, W, 3) uint8 RGB: uncompressed
+    (Compression=1) chunky (PlanarConfiguration=1) 8-bit RGB or
+    grayscale (PhotometricInterpretation 1 black-is-zero / 0 inverted),
+    any strip layout, both byte orders. LZW/PackBits/palette variants
+    raise (quarantine contract; dims still via tiff_meta)."""
+    _, ifd = _tiff_ifd0(payload)
+    w, h = ifd.get(_TIFF_TAG_W), ifd.get(_TIFF_TAG_H)
+    if not isinstance(w, int) or not isinstance(h, int):
+        raise ValueError("TIFF missing ImageWidth/ImageLength")
+    _check_decode_dims(w, h)
+    if ifd.get(_TIFF_TAG_COMPRESSION, 1) != 1:
+        raise ValueError(
+            f"only uncompressed TIFF supported (Compression="
+            f"{ifd.get(_TIFF_TAG_COMPRESSION)})"
+        )
+    if ifd.get(_TIFF_TAG_PLANAR, 1) != 1:
+        raise ValueError("planar (non-chunky) TIFF not supported")
+    spp = ifd.get(_TIFF_TAG_SPP, 1)
+    bits = ifd.get(_TIFF_TAG_BITS, 1)
+    bits_t = bits if isinstance(bits, tuple) else (bits,)
+    photometric = ifd.get(_TIFF_TAG_PHOTOMETRIC, 1)
+    if spp == 3:
+        if bits_t != (8, 8, 8):
+            raise ValueError(f"only 8-bit RGB TIFF supported (bits={bits_t})")
+    elif spp == 1:
+        if bits_t != (8,):
+            raise ValueError(f"only 8-bit grayscale TIFF supported (bits={bits_t})")
+        if photometric not in (0, 1):
+            raise ValueError(f"palette/unknown photometric {photometric}")
+    else:
+        raise ValueError(f"unsupported TIFF SamplesPerPixel {spp}")
+    offsets = ifd.get(_TIFF_TAG_STRIP_OFFSETS)
+    counts = ifd.get(_TIFF_TAG_STRIP_COUNTS)
+    if offsets is None or counts is None:
+        raise ValueError("TIFF missing strip offsets/counts")
+    offs = offsets if isinstance(offsets, tuple) else (offsets,)
+    cnts = counts if isinstance(counts, tuple) else (counts,)
+    if len(offs) != len(cnts):
+        raise ValueError("TIFF strip offset/count mismatch")
+    total = w * h * spp
+    if sum(cnts) != total:
+        raise ValueError(
+            f"TIFF strip bytes {sum(cnts)} != {total} for {w}x{h}x{spp}"
+        )
+    parts = []
+    for o, c in zip(offs, cnts):
+        seg = payload[o : o + c]
+        if len(seg) != c:
+            raise ValueError("TIFF strip outside payload")
+        parts.append(seg)
+    arr = np.frombuffer(b"".join(parts), np.uint8)
+    if spp == 3:
+        return arr.reshape(h, w, 3).copy()
+    gray = arr.reshape(h, w)
+    if photometric == 0:  # white-is-zero
+        gray = 255 - gray
+    return np.stack([gray, gray, gray], axis=2)
+
+
+def encode_tiff(arr: np.ndarray, strips: int = 1, byte_order: str = "<") -> bytes:
+    """(H, W, 3) uint8 RGB → uncompressed chunky TIFF (8-bit RGB,
+    ``strips`` row-strips, either byte order). Lossless — the
+    fixture-cycle counterpart of the other lossless encoders."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    bo = byte_order
+    if bo not in ("<", ">"):
+        raise ValueError("byte_order must be '<' or '>'")
+    strips = max(1, min(int(strips), h))
+    rows_per = -(-h // strips)
+    bounds = [(r0, min(r0 + rows_per, h)) for r0 in range(0, h, rows_per)]
+    n = len(bounds)
+    # layout: header(8) | IFD (2 + 10*12 + 4) | bits(6) | offsets(4n) |
+    # counts(4n) | pixel strips
+    ifd_off = 8
+    ifd_size = 2 + 10 * 12 + 4
+    bits_off = ifd_off + ifd_size
+    offs_off = bits_off + 6
+    cnts_off = offs_off + 4 * n
+    data_off = cnts_off + 4 * n
+    strip_bytes = [(r1 - r0) * w * 3 for r0, r1 in bounds]
+    strip_offs = []
+    pos = data_off
+    for sb in strip_bytes:
+        strip_offs.append(pos)
+        pos += sb
+
+    def entry(tag: int, typ: int, count: int, value: bytes) -> bytes:
+        return struct.pack(bo + "HHI", tag, typ, count) + value.ljust(4, b"\x00")
+
+    def long_or_off(vals: list[int], at: int) -> bytes:
+        if len(vals) == 1:
+            return struct.pack(bo + "I", vals[0])
+        return struct.pack(bo + "I", at)
+
+    ifd = struct.pack(bo + "H", 10)
+    ifd += entry(_TIFF_TAG_W, 4, 1, struct.pack(bo + "I", w))
+    ifd += entry(_TIFF_TAG_H, 4, 1, struct.pack(bo + "I", h))
+    ifd += entry(_TIFF_TAG_BITS, 3, 3, struct.pack(bo + "I", bits_off))
+    ifd += entry(_TIFF_TAG_COMPRESSION, 3, 1, struct.pack(bo + "H", 1))
+    ifd += entry(_TIFF_TAG_PHOTOMETRIC, 3, 1, struct.pack(bo + "H", 2))
+    ifd += entry(
+        _TIFF_TAG_STRIP_OFFSETS, 4, n, long_or_off(strip_offs, offs_off)
+    )
+    ifd += entry(_TIFF_TAG_SPP, 3, 1, struct.pack(bo + "H", 3))
+    ifd += entry(_TIFF_TAG_ROWS_PER_STRIP, 4, 1, struct.pack(bo + "I", rows_per))
+    ifd += entry(
+        _TIFF_TAG_STRIP_COUNTS, 4, n, long_or_off(strip_bytes, cnts_off)
+    )
+    ifd += entry(_TIFF_TAG_PLANAR, 3, 1, struct.pack(bo + "H", 1))
+    ifd += struct.pack(bo + "I", 0)  # next-IFD
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42)
+    out += struct.pack(bo + "I", ifd_off)
+    out += ifd
+    out += struct.pack(bo + "HHH", 8, 8, 8)
+    out += b"".join(struct.pack(bo + "I", o) for o in strip_offs)
+    out += b"".join(struct.pack(bo + "I", c) for c in strip_bytes)
+    for r0, r1 in bounds:
+        out += arr[r0:r1].tobytes()
+    return bytes(out)
 
 
 def encode_jpeg_header_only(

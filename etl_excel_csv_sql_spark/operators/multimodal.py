@@ -365,17 +365,17 @@ SYNTH_IMAGE_SCHEMA = StructType(
     ]
 )
 
-_SYNTH_FMTS = ("bmp", "png", "ppm", "gif")
+_SYNTH_FMTS = ("bmp", "png", "ppm", "gif", "tiff")
 
 
 def synth_image_dims(media_id: int) -> tuple[str, int, int]:
     """The id → (fmt, width, height) contract shared with the SQL oracle:
-    fmt cycles bmp/png/ppm/gif by id % 4 (all four LOSSLESS on the synth
-    pixel families: the gradient is a function of one byte so it has
-    ≤256 distinct colors, within GIF's exact palette); width =
+    fmt cycles bmp/png/ppm/gif/tiff by id % 5 (all five LOSSLESS on the
+    synth pixel families: the gradient is a function of one byte so it
+    has ≤256 distinct colors, within GIF's exact palette); width =
     8 + (7*id) % 80; height = 8 + (5*id) % 60."""
     return (
-        _SYNTH_FMTS[media_id % 4],
+        _SYNTH_FMTS[media_id % 5],
         8 + (7 * media_id) % 80,
         8 + (5 * media_id) % 60,
     )
@@ -1143,7 +1143,7 @@ def synth_dib_video_payloads(
 #    bit and a twin that flips k designated blocks is at Hamming
 #    distance EXACTLY k — provable, no margin arithmetic.
 #  * format-shift twins: same pixels encoded by a DIFFERENT lossless
-#    codec (bmp/png/ppm cycle) — decode is bit-identical, so ANY
+#    codec (bmp/png/ppm/gif/tiff cycle) — decode is bit-identical, so ANY
 #    deterministic hash (pHash included) is EXACTLY equal: the
 #    cross-format re-encode near-dup class with distance closed-form 0.
 #  * remux audio twins (codecs.remux_wav): byte-different container,
@@ -1207,7 +1207,7 @@ def synth_grid_image_payloads(
             for mid in pdf["media_id"]:
                 mid = int(mid)
                 arr = _grid_pixels(grid_pattern64(mid, key, flip_bits))
-                fmt = _SYNTH_FMTS[(mid + fmt_shift) % 4]
+                fmt = _SYNTH_FMTS[(mid + fmt_shift) % 5]
                 out_ids.append(mid + id_offset)
                 payloads.append(codecs.encode_image(arr, fmt))
             yield pd.DataFrame(

@@ -1126,8 +1126,8 @@ def q_invoice_pipeline(spark, sf_dir):
     # rollup. Every aggregate is predicted by the synth_image_dims id
     # contract, so this is a full value oracle over a streaming decode.
     """
-    SELECT CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
-                           WHEN 2 THEN 'ppm' ELSE 'gif'
+    SELECT CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                           WHEN 2 THEN 'ppm' WHEN 3 THEN 'gif' ELSE 'tiff'
            END AS fmt,
            count(*) AS n_images,
            CAST(max(8 + (7 * doc_id) % 80) AS BIGINT) AS max_width,
@@ -1137,7 +1137,7 @@ def q_invoice_pipeline(spark, sf_dir):
                AS mean_pixels
     FROM documents GROUP BY 1
     """,
-    doc="streaming multimodal e2e: REAL encoded BMP/PNG/PPM/GIF payloads "
+    doc="streaming multimodal e2e: REAL encoded BMP/PNG/PPM/GIF/TIFF payloads "
     "replayed via readStream → header decode in-stream (Arrow "
     "mapInPandas, stateless) → complete-mode per-format dimension "
     "rollup; the oracle predicts every aggregate from the synth id "

@@ -2828,17 +2828,17 @@ def q_media_meta(spark, sf_dir):
     # (strict=True — any undecodable payload fails the query).
     """
     SELECT doc_id AS media_id,
-           CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
-                           WHEN 2 THEN 'ppm' ELSE 'gif'
+           CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                           WHEN 2 THEN 'ppm' WHEN 3 THEN 'gif' ELSE 'tiff'
            END AS fmt,
            8 + (7 * doc_id) % 80 AS width,
            8 + (5 * doc_id) % 60 AS height
     FROM documents
     """,
-    doc="REAL image header decode (BMP/PNG/PPM/GIF via stdlib codecs — "
-    "GIF added r11 with a full LZW decoder) over Arrow-batched "
-    "mapInPandas; dims follow the synth contract so the oracle "
-    "value-checks the decoder",
+    doc="REAL image header decode (BMP/PNG/PPM/GIF/TIFF via stdlib "
+    "codecs — GIF with a full LZW decoder and TIFF via the EXIF IFD "
+    "machinery, both r11) over Arrow-batched mapInPandas; dims follow "
+    "the synth contract so the oracle value-checks the decoder",
 )
 def q_media_image_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -8532,7 +8532,7 @@ def q_asof_nearest_purchase(spark, sf_dir):
     "media_phash_neardup",
     # r10 VERDICT #3: FULL value oracle via the format-shift contract —
     # the twin encodes the SAME grid pixels with the NEXT lossless codec
-    # in the bmp/png/ppm cycle, so decode returns a bit-identical array
+    # in the bmp/png/ppm/gif/tiff cycle, so decode returns a bit-identical array
     # and the (float-deterministic) DCT hash is EXACTLY equal: hamming
     # is closed-form 0 — the cross-format re-encode near-dup class.
     # Cross-pair safety pytest-pinned by a pure-numpy pHash recompute

@@ -174,7 +174,8 @@ def test_decoders_raise_only_valueerror_on_garbage_and_mutations():
     valids = [
         C.encode_bmp(arr), C.encode_png(arr),
         C.encode_png(arr, interlace=True), C.encode_ppm(arr),
-        C.encode_gif(arr), C.encode_jpeg_baseline(arr),
+        C.encode_gif(arr), C.encode_tiff(arr, strips=3),
+        C.encode_jpeg_baseline(arr),
         C.encode_jpeg_baseline(arr, subsampling="4:2:0", restart_interval=2),
         C.encode_jpeg_progressive(arr),
     ]
@@ -209,6 +210,80 @@ def test_decoders_raise_only_valueerror_on_garbage_and_mutations():
     assert quarantined > 0  # the fuzz actually hit malformed shapes
 
 
+def _handbuilt_gray_tiff(gray: np.ndarray, photometric: int) -> bytes:
+    h, w = gray.shape
+    bo = "<"
+    n_entries = 9
+    data_off = 8 + 2 + n_entries * 12 + 4
+
+    def entry(tag, typ, count, value):
+        return struct.pack(bo + "HHI", tag, typ, count) + value.ljust(4, b"\x00")
+
+    ifd = struct.pack(bo + "H", n_entries)
+    ifd += entry(256, 4, 1, struct.pack(bo + "I", w))
+    ifd += entry(257, 4, 1, struct.pack(bo + "I", h))
+    ifd += entry(258, 3, 1, struct.pack(bo + "H", 8))
+    ifd += entry(259, 3, 1, struct.pack(bo + "H", 1))
+    ifd += entry(262, 3, 1, struct.pack(bo + "H", photometric))
+    ifd += entry(273, 4, 1, struct.pack(bo + "I", data_off))
+    ifd += entry(277, 3, 1, struct.pack(bo + "H", 1))
+    ifd += entry(278, 4, 1, struct.pack(bo + "I", h))
+    ifd += entry(279, 4, 1, struct.pack(bo + "I", w * h))
+    ifd += struct.pack(bo + "I", 0)
+    return (
+        b"II" + struct.pack(bo + "H", 42) + struct.pack(bo + "I", 8)
+        + ifd + gray.tobytes()
+    )
+
+
+def test_tiff_roundtrip_strips_and_byte_orders():
+    s = (np.arange(24)[:, None] * 7 + np.arange(32)[None, :] * 3) % 256
+    arr = np.stack([s, (s + 31) % 256, (s + 62) % 256], axis=2).astype(np.uint8)
+    for bo in ("<", ">"):
+        for strips in (1, 3, 24):
+            t = C.encode_tiff(arr, strips=strips, byte_order=bo)
+            assert C.sniff_format(t) == "tiff"
+            assert C.tiff_meta(t) == (32, 24)
+            assert C.image_meta(t) == ("tiff", 32, 24)
+            assert np.array_equal(C.decode_tiff(t), arr), (bo, strips)
+    f, d = C.decode_image(C.encode_image(arr, "tiff"))
+    assert f == "tiff" and np.array_equal(d, arr)
+
+
+def test_tiff_grayscale_both_photometrics_handbuilt():
+    """Decoder pinned independently of our encoder: 8-bit grayscale with
+    PhotometricInterpretation 1 (black-is-zero) and 0 (inverted)."""
+    g = ((np.arange(64).reshape(8, 8) * 4) % 256).astype(np.uint8)
+    d1 = C.decode_tiff(_handbuilt_gray_tiff(g, 1))
+    assert np.array_equal(d1[:, :, 0], g) and np.array_equal(d1[:, :, 1], g)
+    d0 = C.decode_tiff(_handbuilt_gray_tiff(g, 0))
+    assert np.array_equal(d0[:, :, 0], 255 - g)
+
+
+def test_tiff_rejects_unsupported_and_bombs():
+    arr = np.zeros((4, 4, 3), np.uint8)
+    base = C.encode_tiff(arr)
+    with pytest.raises(ValueError, match="not a TIFF"):
+        C.tiff_meta(b"IX\x2a\x00" + base[4:])
+    # LZW compression tag -> quarantine
+    buf = bytearray(base)
+    # entry 4 (Compression) value at ifd_off + 2 + 3*12 + 8
+    struct.pack_into("<H", buf, 8 + 2 + 3 * 12 + 8, 5)
+    with pytest.raises(ValueError, match="uncompressed"):
+        C.decode_tiff(bytes(buf))
+    # bomb dims raise pre-allocation
+    buf = bytearray(base)
+    struct.pack_into("<I", buf, 8 + 2 + 8, 60000)
+    struct.pack_into("<I", buf, 8 + 2 + 12 + 8, 60000)
+    with pytest.raises(ValueError):
+        C.decode_tiff(bytes(buf))
+    # strip pointing outside the payload
+    buf = bytearray(base)
+    struct.pack_into("<I", buf, 8 + 2 + 5 * 12 + 8, len(base) + 100)
+    with pytest.raises(ValueError):
+        C.decode_tiff(bytes(buf))
+
+
 def test_every_public_parser_wears_the_valueerror_decorator():
     """An insertion once split a decorator from its def (jpeg_meta lost
     @_malformed_as_valueerror while the orphaned decorator wrapped the
@@ -218,7 +293,8 @@ def test_every_public_parser_wears_the_valueerror_decorator():
         "decode_bmp", "bmp_meta", "decode_png", "png_meta", "decode_ppm",
         "ppm_meta", "decode_gif", "gif_meta", "decode_jpeg", "jpeg_meta",
         "decode_wav", "wav_meta", "avi_frames", "avi_meta", "exif_meta",
-        "image_meta", "decode_image", "decode_dib_frame",
+        "image_meta", "decode_image", "decode_dib_frame", "tiff_meta",
+        "decode_tiff",
     ):
         assert hasattr(getattr(C, name), "__wrapped__"), name
 

@@ -823,6 +823,7 @@ def test_mixed_real_world_shapes_quarantine_rate_zero(spark):
         (7, codecs.encode_gif(arr)),
         (9, codecs.encode_jpeg_baseline(arr, quality=90)),
         (10, codecs.encode_jpeg_progressive(arr, quality=90)),
+        (11, codecs.encode_tiff(arr, strips=4)),
     ]
     # interlaced GIF: rows pre-permuted into 4-pass order + flag patch
     perm = sum(([r for r in range(s, 24, t)] for s, t in
@@ -836,18 +837,18 @@ def test_mixed_real_world_shapes_quarantine_rate_zero(spark):
     )
     media = multimodal.to_media_column(df, "doc_id", "blob", "image")
     rows = {r.media_id: r for r in multimodal.extract_image_meta(media, strict=True).collect()}
-    assert len(rows) == 10
+    assert len(rows) == 11
     for mid, r in rows.items():
         assert (r.width, r.height) == (32, 24), mid
     # pixel paths: interlaced PNG/GIF decode to the same array -> same
     # aHash; progressive JPEG decodes bit-identical to its baseline twin
     pix = multimodal.ahash_images(
-        media.where(F.col("media_id").isin(1, 2, 3, 4, 7, 8, 9, 10)),
+        media.where(F.col("media_id").isin(1, 2, 3, 4, 7, 8, 9, 10, 11)),
         strict=True,
     ).collect()
     hashes = {r.media_id: r.ahash for r in pix}
     assert (
         hashes[2] == hashes[3] == hashes[1] == hashes[4]
-        == hashes[7] == hashes[8]
+        == hashes[7] == hashes[8] == hashes[11]
     )
     assert hashes[9] == hashes[10]
