@@ -50,13 +50,21 @@ import numpy as np
 #: thumbnail/near-dup input and far below executor memory.
 MAX_DECODE_PIXELS = 1 << 26
 
+#: JPEG gets a tighter cap (r11 review): its decode cost is ~24 B/px
+#: (int64 coefficient stores per component + float64 IDCT copies), not
+#: the 3 B/px of the numpy decoders, and the per-MCU Huffman loop is
+#: Python — at the generic cap a crafted-but-valid 8190x8190 flat JPEG
+#: would commit ~1.5 GB and minutes of CPU. 2^24 px still covers 4K
+#: photos (12 Mpx) with ~400 MB worst-case transient state.
+MAX_JPEG_DECODE_PIXELS = 1 << 24
 
-def _check_decode_dims(w: int, h: int) -> None:
+
+def _check_decode_dims(w: int, h: int, cap: int = MAX_DECODE_PIXELS) -> None:
     if w < 1 or h < 1:
         raise ValueError(f"image dims out of range: {w}x{h}")
-    if w * h > MAX_DECODE_PIXELS:
+    if w * h > cap:
         raise ValueError(
-            f"image {w}x{h} exceeds the {MAX_DECODE_PIXELS}-pixel decode "
+            f"image {w}x{h} exceeds the {cap}-pixel decode "
             "guard (decompression-bomb protection)"
         )
 
@@ -545,7 +553,11 @@ def decode_gif(payload: bytes) -> np.ndarray:
             if table is None:
                 raise ValueError("GIF image has no color table")
             min_code = payload[pos]
-            if not 2 <= min_code <= 11:
+            # spec cap is 8 (palette <= 256): accepting 9-11 would let
+            # literal codes 256-2047 wrap into the uint8 index array
+            # (wrong pixels on numpy 1.x, OverflowError escaping the
+            # quarantine contract on numpy 2.x) — r11 review catch
+            if not 2 <= min_code <= 8:
                 raise ValueError(f"GIF LZW min code size {min_code} out of range")
             _check_decode_dims(iw, ih)
             data, pos = _gif_subblocks(payload, pos + 1)
@@ -561,8 +573,11 @@ def decode_gif(payload: bytes) -> np.ndarray:
                     ordered[start:ih:step] = frame[src : src + n_rows]
                     src += n_rows
                 frame = ordered
+            # background color indexes the GLOBAL table (spec) — using
+            # the frame's LOCAL table quarantined valid GIFs whose LCT
+            # is smaller than bg_index (r11 review catch, repro'd)
             bg = (
-                table[bg_index]
+                gct[bg_index]
                 if gct is not None and bg_index < len(gct)
                 else np.zeros(3, np.uint8)
             )
@@ -664,34 +679,9 @@ def encode_jpeg_progressive(
     Quantized coefficients are identical to :func:`encode_jpeg_baseline`
     at the same settings, so decode must match the baseline decode
     BIT-FOR-BIT (the round-trip oracle the tests pin)."""
-    arr = np.asarray(arr, dtype=np.uint8)
-    h_img, w_img, _ = arr.shape
-    if subsampling == "4:4:4":
-        hs, vs = 1, 1
-    elif subsampling == "4:2:2":
-        hs, vs = 2, 1
-    elif subsampling == "4:2:0":
-        hs, vs = 2, 2
-    else:
-        raise ValueError(f"unsupported subsampling {subsampling!r}")
-
-    r = arr[:, :, 0].astype(np.float64)
-    g = arr[:, :, 1].astype(np.float64)
-    b = arr[:, :, 2].astype(np.float64)
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-    y_pad = _pad_edge(y, 8 * vs, 8 * hs)
-    if hs == 1 and vs == 1:
-        cb_s, cr_s = cb, cr
-    else:
-        cbp = _pad_edge(cb, vs, hs)
-        crp = _pad_edge(cr, vs, hs)
-        ch_, cw_ = cbp.shape
-        cb_s = cbp.reshape(ch_ // vs, vs, cw_ // hs, hs).mean(axis=(1, 3))
-        cr_s = crp.reshape(ch_ // vs, vs, cw_ // hs, hs).mean(axis=(1, 3))
-    cb_pad = _pad_edge(cb_s, 8, 8)
-    cr_pad = _pad_edge(cr_s, 8, 8)
+    y_pad, cb_pad, cr_pad, hs, vs, w_img, h_img = _jpeg_planes(
+        arr, subsampling
+    )
     ql = _quality_scale(JPEG_QUANT_LUMA, quality)
     qc = _quality_scale(JPEG_QUANT_CHROMA, quality)
 
@@ -2097,7 +2087,7 @@ def _decode_scan(frame, qt, huff, restart_interval, scan, segments) -> np.ndarra
     # missing components would otherwise leave the plane dict incomplete
     if len(scan) != 1 and sorted(scan_ids) != sorted(by_id):
         raise ValueError("JPEG interleaved scan must cover all components")
-    _check_decode_dims(w_img, h_img)
+    _check_decode_dims(w_img, h_img, MAX_JPEG_DECODE_PIXELS)
     for _, hs, vs, _ in comps:
         if hs not in (1, 2) or vs not in (1, 2):
             raise ValueError(f"unsupported sampling factors {hs}x{vs}")
@@ -2241,7 +2231,7 @@ def _prog_init(frame) -> dict:
     to the interleaved MCU grid (a superset of the non-interleaved
     grid, which writes its own top-left sub-grid)."""
     h_img, w_img, comps = frame
-    _check_decode_dims(w_img, h_img)
+    _check_decode_dims(w_img, h_img, MAX_JPEG_DECODE_PIXELS)
     for _, hs, vs, _ in comps:
         if hs not in (1, 2) or vs not in (1, 2):
             raise ValueError(f"unsupported sampling factors {hs}x{vs}")
@@ -2374,9 +2364,7 @@ def _progressive_scan(state, frame, huff, restart_interval, scan, prms, segments
 
     # AC scan — single component, its own block raster
     cid, _, ta = scan[0]
-    if ah == 0 and (1, ta) not in huff:
-        raise ValueError("JPEG scan references missing Huffman table")
-    if ah != 0 and (1, ta) not in huff:
+    if (1, ta) not in huff:
         raise ValueError("JPEG scan references missing Huffman table")
     ac_tab = huff[(1, ta)]
     bh, bw_ = state["nblocks"][cid]
@@ -2529,17 +2517,14 @@ def _pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
-def encode_jpeg_baseline(
-    arr: np.ndarray,
-    quality: int = 90,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """(H, W, 3) uint8 RGB -> baseline JFIF JPEG bytes (SOF0, Annex K
-    quant + Huffman tables, optional 4:2:0/4:2:2 chroma subsampling and
-    DRI restart markers). The fixture-side counterpart of
-    :func:`decode_jpeg` — together they make MJPEG '00dc' frames real
-    pixel data end-to-end."""
+def _jpeg_planes(
+    arr: np.ndarray, subsampling: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int, int, int, int]:
+    """Shared encoder preamble: RGB → padded Y/Cb/Cr planes. ONE copy
+    for both encoders — the progressive round-trip oracle pins decode
+    bit-for-bit against baseline, which requires their quantized
+    coefficients to come from the identical color/subsample/pad path
+    (r11 review: this existed as two verbatim copies)."""
     arr = np.asarray(arr, dtype=np.uint8)
     h_img, w_img, _ = arr.shape
     if subsampling == "4:4:4":
@@ -2550,14 +2535,12 @@ def encode_jpeg_baseline(
         hs, vs = 2, 2
     else:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
-
     r = arr[:, :, 0].astype(np.float64)
     g = arr[:, :, 1].astype(np.float64)
     b = arr[:, :, 2].astype(np.float64)
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-
     y_pad = _pad_edge(y, 8 * vs, 8 * hs)
     if hs == 1 and vs == 1:
         cb_s, cr_s = cb, cr
@@ -2569,6 +2552,23 @@ def encode_jpeg_baseline(
         cr_s = crp.reshape(ch // vs, vs, cw // hs, hs).mean(axis=(1, 3))
     cb_pad = _pad_edge(cb_s, 8, 8)
     cr_pad = _pad_edge(cr_s, 8, 8)
+    return y_pad, cb_pad, cr_pad, hs, vs, w_img, h_img
+
+
+def encode_jpeg_baseline(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W, 3) uint8 RGB -> baseline JFIF JPEG bytes (SOF0, Annex K
+    quant + Huffman tables, optional 4:2:0/4:2:2 chroma subsampling and
+    DRI restart markers). The fixture-side counterpart of
+    :func:`decode_jpeg` — together they make MJPEG '00dc' frames real
+    pixel data end-to-end."""
+    y_pad, cb_pad, cr_pad, hs, vs, w_img, h_img = _jpeg_planes(
+        arr, subsampling
+    )
 
     ql = _quality_scale(JPEG_QUANT_LUMA, quality)
     qc = _quality_scale(JPEG_QUANT_CHROMA, quality)
