@@ -1523,6 +1523,127 @@ def build_exif_app1(
 
 
 # ---------------------------------------------------------------------------
+# MP3 — MPEG-1 Layer III frame-header walk (metadata only; entropy audio
+# decode is out of scope, like arithmetic JPEG)
+# ---------------------------------------------------------------------------
+
+#: MPEG-1 Layer III bitrate table (kbps), index 1..14; 0 = free-format
+#: (rejected — frame length is then unknowable), 15 = invalid.
+_MP3_BITRATES = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_RATES = (44100, 48000, 32000)  # sample-rate index 0..2; 3 invalid
+_MP3_SAMPLES_PER_FRAME = 1152
+
+
+def _id3v2_size(payload: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (0 when absent). The size
+    field is syncsafe (7 bits per byte, MSB clear)."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    b6, b7, b8, b9 = payload[6:10]
+    if (b6 | b7 | b8 | b9) & 0x80:
+        raise ValueError("ID3v2 size bytes not syncsafe")
+    return 10 + ((b6 << 21) | (b7 << 14) | (b8 << 7) | b9)
+
+
+@_malformed_as_valueerror
+def mp3_meta(payload: bytes) -> tuple[int, int, int, int, bool]:
+    """(bitrate_kbps, sample_rate, n_frames, duration_ms, has_id3) from
+    an MPEG-1 Layer III frame-header walk — every frame's header is
+    parsed and its declared length followed, so VBR streams count real
+    frames and bitrate_kbps reports the MEAN over frames (== the CBR
+    value for constant streams). Free-format, Layer I/II, and MPEG-2
+    payloads raise (quarantine contract)."""
+    id3 = _id3v2_size(payload)
+    has_id3 = id3 > 0
+    pos = id3
+    n = len(payload)
+    n_frames = 0
+    kbps_sum = 0
+    rate = None
+    while pos + 4 <= n:
+        b0, b1, b2, _ = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            # trailing ID3v1 tag ('TAG', 128 bytes) ends the stream
+            if payload[pos : pos + 3] == b"TAG" and n - pos == 128:
+                break
+            raise ValueError(f"MP3 frame sync lost at byte {pos}")
+        version = (b1 >> 3) & 0x03
+        layer = (b1 >> 1) & 0x03
+        if version != 0b11 or layer != 0b01:
+            raise ValueError(
+                "only MPEG-1 Layer III supported "
+                f"(version bits {version:02b}, layer bits {layer:02b})"
+            )
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        padding = (b2 >> 1) & 0x01
+        if br_idx in (0, 15):
+            raise ValueError(f"unsupported MP3 bitrate index {br_idx}")
+        if sr_idx == 3:
+            raise ValueError("invalid MP3 sample-rate index")
+        kbps = _MP3_BITRATES[br_idx]
+        sr = _MP3_RATES[sr_idx]
+        if rate is None:
+            rate = sr
+        elif rate != sr:
+            raise ValueError("MP3 sample rate changes mid-stream")
+        frame_len = (144 * kbps * 1000) // sr + padding
+        if frame_len < 4 or pos + frame_len > n:
+            raise ValueError("MP3 frame truncated")
+        n_frames += 1
+        kbps_sum += kbps
+        pos += frame_len
+    if n_frames == 0 or rate is None:
+        raise ValueError("MP3 has no frames")
+    duration_ms = n_frames * _MP3_SAMPLES_PER_FRAME * 1000 // rate
+    return kbps_sum // n_frames, rate, n_frames, duration_ms, has_id3
+
+
+def encode_mp3_headers(
+    n_frames: int,
+    bitrate_kbps: int,
+    sample_rate: int,
+    id3_title: str | None = None,
+) -> bytes:
+    """Structurally valid MPEG-1 Layer III stream: correct frame headers
+    and lengths with zeroed main data (a demuxer parses it; a decoder
+    would render silence). The metadata fixture counterpart of
+    :func:`mp3_meta` — real audio ENCODING (psychoacoustics) is out of
+    scope by design."""
+    if bitrate_kbps not in _MP3_BITRATES[1:]:
+        raise ValueError(f"not an MPEG-1 Layer III bitrate: {bitrate_kbps}")
+    if sample_rate not in _MP3_RATES:
+        raise ValueError(f"not an MPEG-1 sample rate: {sample_rate}")
+    br_idx = _MP3_BITRATES.index(bitrate_kbps)
+    sr_idx = _MP3_RATES.index(sample_rate)
+    out = bytearray()
+    if id3_title is not None:
+        body = b"TIT2" + struct.pack(">I", len(id3_title) + 1)
+        body += b"\x00\x00\x00" + id3_title.encode("latin-1")
+        size = len(body)
+        out += b"ID3\x03\x00\x00" + bytes(
+            ((size >> 21) & 0x7F, (size >> 14) & 0x7F,
+             (size >> 7) & 0x7F, size & 0x7F)
+        )
+        out += body
+    header = bytes(
+        (
+            0xFF,
+            0xFB,  # MPEG-1 (11), Layer III (01), no CRC (1)
+            (br_idx << 4) | (sr_idx << 2),  # no padding, not private
+            0x00,  # stereo
+        )
+    )
+    frame_len = (144 * bitrate_kbps * 1000) // sample_rate
+    frame = header + bytes(frame_len - 4)
+    for _ in range(n_frames):
+        out += frame
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # TIFF — baseline uncompressed (the same IFD machinery EXIF uses)
 # ---------------------------------------------------------------------------
 

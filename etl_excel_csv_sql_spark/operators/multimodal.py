@@ -1319,6 +1319,100 @@ def synth_grid_mjpeg_video_payloads(
     return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
 
 
+_MP3_SYNTH_BITRATES = (
+    32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_SYNTH_RATES = (44100, 48000, 32000)
+
+
+def synth_mp3_params(media_id: int) -> tuple[int, int, int, bool]:
+    """id → (bitrate_kbps, sample_rate, n_frames, has_id3) contract
+    shared with the SQL oracle: bitrate cycles the 14 MPEG-1 Layer III
+    rates by id % 14; sample rate by id % 3; n_frames = 5 + id % 40;
+    every 4th clip carries an ID3v2 tag."""
+    return (
+        _MP3_SYNTH_BITRATES[media_id % 14],
+        _MP3_SYNTH_RATES[media_id % 3],
+        5 + media_id % 40,
+        media_id % 4 == 0,
+    )
+
+
+def synth_mp3_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (media_id, payload): structurally valid MPEG-1 Layer III
+    streams per the ``synth_mp3_params`` contract (real frame headers
+    and lengths, zeroed main data — the metadata surface is real; audio
+    ENCODING is out of scope by design, like image psychovisual
+    tuning)."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                kbps, sr, nf, id3 = synth_mp3_params(int(mid))
+                payloads.append(
+                    codecs.encode_mp3_headers(
+                        nf, kbps, sr,
+                        id3_title=f"clip-{int(mid)}" if id3 else None,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "payload": pd.Series(payloads, dtype="object")}
+            )
+
+    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+
+
+MP3_META_SCHEMA = (
+    "media_id long, bitrate_kbps int, sample_rate int, n_frames int, "
+    "duration_ms long, has_id3 boolean"
+)
+
+
+def extract_mp3_meta(df: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL MP3 metadata (MPEG-1 Layer III frame-header walk —
+    ``codecs.mp3_meta``: per-frame header parse, VBR-mean bitrate, ID3v2
+    skip, ID3v1 tolerance) via Arrow mapInPandas. Undecodable payloads
+    yield nulls unless ``strict`` — the audio-crawl analog of the image
+    metadata kernel (duration/bitrate stats, sample-rate routing)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "bitrate_kbps", "sample_rate", "n_frames",
+                    "duration_ms", "has_id3",
+                )
+            }
+            for payload in pdf["payload"]:
+                vals = None
+                if payload is not None:
+                    try:
+                        vals = codecs.mp3_meta(bytes(payload))
+                    except ValueError:
+                        if strict:
+                            raise
+                if vals is None:
+                    for k in cols:
+                        cols[k].append(None)
+                else:
+                    kbps, sr, nf, dur, id3 = vals
+                    cols["bitrate_kbps"].append(kbps)
+                    cols["sample_rate"].append(sr)
+                    cols["n_frames"].append(nf)
+                    cols["duration_ms"].append(dur)
+                    cols["has_id3"].append(id3)
+            out = pd.DataFrame({"media_id": pdf["media_id"], **cols})
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, MP3_META_SCHEMA
+    )
+
+
 # analysis sub-fingerprints per synth_audio_fp_payloads clip: frames =
 # (n_samples - frame_len)//hop + 1 Hann windows, minus 1 for the time
 # double-difference — shared with the SQL oracle rendering

@@ -3109,6 +3109,43 @@ def q_media_audio_fp_neardup(spark, sf_dir):
 
 
 @register(
+    "media_mp3_meta",
+    # r11: compressed-audio metadata — MPEG-1 Layer III frame-header
+    # walk with a FULL value oracle via the synth_mp3_params id
+    # contract (every output is integer arithmetic on doc_id; DuckDB
+    # list indexing is 1-based).
+    """
+    SELECT doc_id AS media_id,
+           CAST(([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+                [(doc_id % 14) + 1] AS INT) AS bitrate_kbps,
+           CAST(([44100,48000,32000])[(doc_id % 3) + 1] AS INT)
+               AS sample_rate,
+           CAST(5 + doc_id % 40 AS INT) AS n_frames,
+           (5 + doc_id % 40) * 1152 * 1000
+               // (([44100,48000,32000])[(doc_id % 3) + 1]) AS duration_ms,
+           doc_id % 4 = 0 AS has_id3
+    FROM documents
+    """,
+    doc="REAL MP3 metadata extraction (MPEG-1 Layer III frame-header "
+    "walk: per-frame bitrate/sample-rate parse, declared-length "
+    "follow, VBR-mean bitrate, syncsafe ID3v2 skip, ID3v1 tolerance) "
+    "via Arrow mapInPandas — the compressed-audio analog of the image "
+    "metadata kernel; bitrate/rate/frames/duration/ID3 flag all "
+    "value-checked by the oracle. Entropy audio decode stays out of "
+    "scope (quarantines), like arithmetic-coded JPEG",
+)
+def q_media_mp3_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    clips = multimodal.synth_mp3_payloads(docs, "doc_id")
+    media = multimodal.to_media_column(clips, "media_id", "payload", "audio")
+    meta = multimodal.extract_mp3_meta(media, strict=True)
+    return meta.select(
+        "media_id", "bitrate_kbps", "sample_rate", "n_frames",
+        "duration_ms", "has_id3",
+    )
+
+
+@register(
     "media_frame_plan",
     # one row per 20 ms hop of the REAL demuxed duration; the oracle
     # rebuilds duration_ms from the synth contract and unnests the same
@@ -6835,6 +6872,7 @@ PYTHON_KERNELS: dict[str, str] = {
     "media_image_meta": "stdlib codec decode via Arrow mapInPandas",
     "media_exif_meta": "stdlib codec decode via Arrow mapInPandas",
     "media_audio_meta": "stdlib codec decode via Arrow mapInPandas",
+    "media_mp3_meta": "stdlib codec decode via Arrow mapInPandas",
     "media_video_meta": "stdlib codec decode via Arrow mapInPandas",
     "media_resize_plan": "stdlib codec decode via Arrow mapInPandas",
     "media_frame_plan": "stdlib codec decode via Arrow mapInPandas",

@@ -284,6 +284,40 @@ def test_tiff_rejects_unsupported_and_bombs():
         C.decode_tiff(bytes(buf))
 
 
+def test_mp3_meta_frame_walk():
+    for kbps in (32, 128, 320):
+        for sr in (44100, 48000, 32000):
+            p = C.encode_mp3_headers(7, kbps, sr, id3_title="t")
+            assert C.mp3_meta(p) == (kbps, sr, 7, 7 * 1152 * 1000 // sr, True)
+    # VBR: mean bitrate over real frames
+    p = b"".join(C.encode_mp3_headers(1, k, 44100) for k in (128, 192, 128, 192))
+    assert C.mp3_meta(p)[:3] == (160, 44100, 4)
+    # trailing ID3v1 tag tolerated; no ID3v2 -> has_id3 False
+    p = C.encode_mp3_headers(3, 128, 44100) + b"TAG" + bytes(125)
+    assert C.mp3_meta(p)[2] == 3 and C.mp3_meta(p)[4] is False
+
+
+def test_mp3_meta_rejects_malformed():
+    good = C.encode_mp3_headers(2, 128, 44100)
+    for bad in (b"", b"\xff\xfb", bytes(20), good[:-10]):
+        with pytest.raises(ValueError):
+            C.mp3_meta(bad)
+    # mid-stream sample-rate change
+    p = C.encode_mp3_headers(1, 128, 44100) + C.encode_mp3_headers(1, 128, 48000)
+    with pytest.raises(ValueError, match="sample rate changes"):
+        C.mp3_meta(p)
+    # MPEG-2 version bits
+    buf = bytearray(good)
+    buf[1] = 0xF3  # version 10 (MPEG-2)
+    with pytest.raises(ValueError, match="MPEG-1"):
+        C.mp3_meta(bytes(buf))
+    # free-format bitrate index
+    buf = bytearray(good)
+    buf[2] &= 0x0F
+    with pytest.raises(ValueError, match="bitrate index"):
+        C.mp3_meta(bytes(buf))
+
+
 def test_every_public_parser_wears_the_valueerror_decorator():
     """An insertion once split a decorator from its def (jpeg_meta lost
     @_malformed_as_valueerror while the orphaned decorator wrapped the
@@ -294,7 +328,7 @@ def test_every_public_parser_wears_the_valueerror_decorator():
         "ppm_meta", "decode_gif", "gif_meta", "decode_jpeg", "jpeg_meta",
         "decode_wav", "wav_meta", "avi_frames", "avi_meta", "exif_meta",
         "image_meta", "decode_image", "decode_dib_frame", "tiff_meta",
-        "decode_tiff",
+        "decode_tiff", "mp3_meta",
     ):
         assert hasattr(getattr(C, name), "__wrapped__"), name
 
@@ -317,9 +351,10 @@ def test_container_parsers_raise_only_valueerror_and_stay_fast():
     base = C.encode_jpeg_baseline(np.zeros((16, 16, 3), np.uint8))
     exifed = base[:2] + app1 + base[2:]
     fns = (C.decode_wav, C.wav_meta, C.avi_frames, C.avi_meta,
-           C.exif_meta, C.jpeg_meta)
+           C.exif_meta, C.jpeg_meta, C.mp3_meta)
     trials = quarantined = 0
-    for payload in (wav, mj, dib, exifed):
+    mp3 = C.encode_mp3_headers(6, 128, 44100, id3_title="x")
+    for payload in (wav, mj, dib, exifed, mp3):
         for _ in range(60):
             buf = bytearray(payload)
             if rng.rand() < 0.3:

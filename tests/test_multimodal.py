@@ -677,6 +677,33 @@ def test_grid_mjpeg_frame_hashes_follow_contract(spark):
         assert d == multimodal.GRID_FLIP_BITS, (mid, d)
 
 
+def test_mp3_meta_kernel_follows_contract(spark):
+    """extract_mp3_meta over synth clips matches synth_mp3_params for
+    every field; undecodable payloads yield nulls (raise under strict)."""
+    df = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    clips = multimodal.synth_mp3_payloads(df)
+    media = multimodal.to_media_column(clips, "media_id", "payload", "audio")
+    rows = {
+        r.media_id: r
+        for r in multimodal.extract_mp3_meta(media, strict=True).collect()
+    }
+    for mid in range(12):
+        kbps, sr, nf, id3 = multimodal.synth_mp3_params(mid)
+        r = rows[mid]
+        assert (r.bitrate_kbps, r.sample_rate, r.n_frames, r.has_id3) == (
+            kbps, sr, nf, id3,
+        ), mid
+        assert r.duration_ms == nf * 1152 * 1000 // sr
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"not an mp3"))], ["doc_id", "blob"]
+    )
+    bad_media = multimodal.to_media_column(bad, "doc_id", "blob", "audio")
+    lax = multimodal.extract_mp3_meta(bad_media).collect()[0]
+    assert lax.bitrate_kbps is None and lax.has_id3 is None
+    with pytest.raises(Exception, match="sync|frames|MPEG"):
+        multimodal.extract_mp3_meta(bad_media, strict=True).collect()
+
+
 def test_remux_wav_identical_pcm_different_bytes():
     pcm = (np.arange(4096) % 251 - 125).astype(np.int16)
     wav = codecs.encode_wav(pcm, 8000, 1)
