@@ -16,7 +16,9 @@ stubbed:
   (marker walk to SOFn) PLUS a full baseline entropy codec —
   :func:`decode_jpeg` (canonical Huffman, einsum IDCT, 4:4:4/4:2:2/
   4:2:0, DRI restarts, grayscale) and :func:`encode_jpeg_baseline`
-  (Annex K tables). Progressive (SOF2) stays dims-only.
+  (Annex K tables). Progressive (SOF2) ALSO fully decodes — spectral-
+  selection + successive-approximation scans, DC and AC refinement
+  (pinned bit-for-bit against the baseline codec in test_codecs).
 - WAV (RIFF-WAVE): chunk walk → fmt (rate/channels/bits) + data size.
 - AVI (RIFF-AVI): header walk (dims/fps/frame count) plus FRAME-level
   movi chunk iteration — MJPEG ('00dc') frames decode to real pixels
@@ -1317,9 +1319,10 @@ def image_meta(payload: bytes) -> tuple[str, int, int]:
 
 @_malformed_as_valueerror
 def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
-    """(format, (H, W, 3) uint8 RGB) — full pixel decode. Baseline JPEG
-    decodes via :func:`decode_jpeg`; progressive/arithmetic JPEG and
-    header-only fixtures still raise (quarantine contract)."""
+    """(format, (H, W, 3) uint8 RGB) — full pixel decode. Baseline AND
+    progressive (SOF2) JPEG decode via :func:`decode_jpeg`; arithmetic-
+    coded JPEG and truncated/header-only fixtures raise (quarantine
+    contract)."""
     fmt = sniff_format(payload)
     if fmt == "bmp":
         return fmt, decode_bmp(payload)
@@ -1544,7 +1547,14 @@ def _id3v2_size(payload: bytes) -> int:
     b6, b7, b8, b9 = payload[6:10]
     if (b6 | b7 | b8 | b9) & 0x80:
         raise ValueError("ID3v2 size bytes not syncsafe")
-    return 10 + ((b6 << 21) | (b7 << 14) | (b8 << 7) | b9)
+    size = 10 + ((b6 << 21) | (b7 << 14) | (b8 << 7) | b9)
+    # ID3v2.4 footer flag (byte 5, bit 4): a 10-byte '3DI' footer follows
+    # the body and is NOT counted in the syncsafe size — skip it too, or
+    # the frame-sync walk lands on footer bytes and quarantines a valid
+    # stream.
+    if payload[5] & 0x10:
+        size += 10
+    return size
 
 
 @_malformed_as_valueerror
@@ -1640,6 +1650,322 @@ def encode_mp3_headers(
     frame = header + bytes(frame_len - 4)
     for _ in range(n_frames):
         out += frame
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MP4/MOV — ISO-BMFF (ISO/IEC 14496-12) box walk, metadata only.
+# What a real 100 TB video corpus is actually stored in: a pure-struct
+# container walk like the RIFF-AVI one (avi_meta above). Pixel decode
+# (H.264/H.265 entropy) stays a legitimate non-goal — undecodable
+# codec payloads are someone else's GPU problem; the CONTAINER metadata
+# (dims, duration, track census, codec fourcc) is what the corpus
+# cataloging / routing / dedup-prefilter stages need.
+# ---------------------------------------------------------------------------
+
+_MP4_MAX_BOXES = 10_000  # walk cap: a 100-byte payload must not loop forever
+
+
+def _bmff_boxes(payload: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_end) for each ISO-BMFF box in
+    [pos, end). Handles size==1 (64-bit largesize) and size==0
+    (extends to `end`); raises ValueError on truncation/overrun."""
+    n = 0
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("BMFF box header truncated")
+        (size,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("BMFF largesize truncated")
+            (size,) = struct.unpack_from(">Q", payload, pos + 8)
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"BMFF box {typ!r} size {size} overruns payload")
+        yield typ, body, pos + size
+        pos += size
+        n += 1
+        if n > _MP4_MAX_BOXES:
+            raise ValueError("BMFF box count exceeds walk cap")
+
+
+def _bmff_find(payload: bytes, pos: int, end: int, fourcc: bytes):
+    for typ, s, e in _bmff_boxes(payload, pos, end):
+        if typ == fourcc:
+            return s, e
+    return None
+
+
+def _mvhd_fields(payload: bytes, s: int, e: int) -> tuple[int, int]:
+    """(timescale, duration) from mvhd — version 0 (32-bit) or 1 (64)."""
+    version = payload[s]
+    if version == 0:
+        if s + 20 > e:
+            raise ValueError("mvhd v0 truncated")
+        ts, dur = struct.unpack_from(">II", payload, s + 12)
+    elif version == 1:
+        if s + 28 > e:
+            raise ValueError("mvhd v1 truncated")
+        (ts,) = struct.unpack_from(">I", payload, s + 20)
+        (dur,) = struct.unpack_from(">Q", payload, s + 24)
+    else:
+        raise ValueError(f"mvhd version {version} unknown")
+    if ts < 1:
+        raise ValueError("mvhd timescale out of range")
+    return ts, dur
+
+
+@_malformed_as_valueerror
+def mp4_meta(
+    payload: bytes,
+) -> tuple[str, int, int, int, int | None, int | None, str | None]:
+    """(major_brand, timescale, duration_ms, n_tracks, width, height,
+    video_codec) from the ISO-BMFF box tree — ftyp + moov walk only, no
+    mdat read, so cost is O(header bytes) regardless of media size.
+
+    width/height come from the FIRST video track's tkhd (16.16 fixed
+    point); video_codec is that track's first stsd sample-entry fourcc;
+    all three are None for audio-only files. Raises ValueError on
+    non-BMFF payloads, missing ftyp/moov/mvhd, or out-of-range fields
+    (the same lenient-mode quarantine contract as avi_meta/mp3_meta)."""
+    n = len(payload)
+    if n < 16 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no leading ftyp)")
+    brand = timescale = duration = None
+    n_tracks = 0
+    width = height = vcodec = None
+    for typ, s, e in _bmff_boxes(payload, 0, n):
+        if typ == b"ftyp":
+            if e - s < 8:
+                raise ValueError("ftyp truncated")
+            brand = payload[s : s + 4].decode("latin-1")
+        elif typ == b"moov":
+            for t2, s2, e2 in _bmff_boxes(payload, s, e):
+                if t2 == b"mvhd":
+                    timescale, duration = _mvhd_fields(payload, s2, e2)
+                elif t2 == b"trak":
+                    n_tracks += 1
+                    tk = _trak_video_fields(payload, s2, e2)
+                    if tk is not None and width is None:
+                        width, height, vcodec = tk
+    if brand is None or timescale is None:
+        raise ValueError("BMFF missing ftyp or moov/mvhd")
+    duration_ms = duration * 1000 // timescale
+    return brand, timescale, duration_ms, n_tracks, width, height, vcodec
+
+
+def _trak_video_fields(payload: bytes, s: int, e: int):
+    """(width, height, codec_fourcc) if this trak is a video track
+    (hdlr handler_type == 'vide'), else None."""
+    tkhd_wh = None
+    handler = None
+    codec = None
+    for typ, s2, e2 in _bmff_boxes(payload, s, e):
+        if typ == b"tkhd":
+            version = payload[s2]
+            # v0: ver/flags 4, ctime 4, mtime 4, id 4, resv 4, dur 4,
+            # resv 8, layer 2, altgrp 2, vol 2, resv 2, matrix 36 → 76
+            # v1: 64-bit ctime/mtime/duration → 88
+            off = s2 + (76 if version == 0 else 88)
+            if off + 8 > e2:
+                raise ValueError("tkhd truncated")
+            w_fx, h_fx = struct.unpack_from(">II", payload, off)
+            tkhd_wh = (w_fx >> 16, h_fx >> 16)
+        elif typ == b"mdia":
+            for t3, s3, e3 in _bmff_boxes(payload, s2, e2):
+                if t3 == b"hdlr":
+                    if s3 + 12 > e3:
+                        raise ValueError("hdlr truncated")
+                    handler = payload[s3 + 8 : s3 + 12]
+                elif t3 == b"minf":
+                    stbl = _bmff_find(payload, s3, e3, b"stbl")
+                    if stbl:
+                        stsd = _bmff_find(payload, stbl[0], stbl[1], b"stsd")
+                        if stsd:
+                            s4, e4 = stsd
+                            if s4 + 16 > e4:
+                                raise ValueError("stsd truncated")
+                            (count,) = struct.unpack_from(">I", payload, s4 + 4)
+                            if count >= 1:
+                                codec = payload[s4 + 12 : s4 + 16].decode(
+                                    "latin-1"
+                                )
+    if handler == b"vide":
+        if tkhd_wh is None or tkhd_wh[0] < 1 or tkhd_wh[1] < 1:
+            raise ValueError("video trak missing/zero tkhd dimensions")
+        return tkhd_wh[0], tkhd_wh[1], codec
+    return None
+
+
+def _bmff_box(typ: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def encode_mp4_headers(
+    major_brand: str,
+    timescale: int,
+    duration: int,
+    tracks: list[dict],
+) -> bytes:
+    """Structurally valid ISO-BMFF file: ftyp + moov(mvhd + trak…) +
+    empty mdat. Each track dict: {'handler': 'vide'|'soun',
+    'codec': fourcc, 'width': int, 'height': int} (dims video-only).
+    The metadata fixture counterpart of :func:`mp4_meta` — real sample
+    data (H.264 slices) is out of scope by design, like MP3 main data."""
+    ftyp = _bmff_box(
+        b"ftyp", major_brand.encode("latin-1") + struct.pack(">I", 0)
+        + b"isom" + major_brand.encode("latin-1")
+    )
+    mvhd = _bmff_box(
+        b"mvhd",
+        struct.pack(
+            ">B3x II II I H 10x 36x 24x I",
+            0, 0, 0, timescale, duration, 0x00010000, 0x0100,
+            len(tracks) + 1,
+        ),
+    )
+    traks = []
+    for i, tr in enumerate(tracks):
+        vide = tr["handler"] == "vide"
+        w = tr.get("width", 0) if vide else 0
+        h = tr.get("height", 0) if vide else 0
+        tkhd = _bmff_box(
+            b"tkhd",
+            struct.pack(
+                ">B3s II I 4x I 8x HHH 2x 36x II",
+                0, b"\x00\x00\x07", 0, 0, i + 1, duration,
+                0, 0, 0 if vide else 0x0100,
+                w << 16, h << 16,
+            ),
+        )
+        mdhd = _bmff_box(
+            b"mdhd", struct.pack(">B3x II II H 2x", 0, 0, 0, timescale,
+                                 duration, 0x55C4)
+        )
+        hdlr = _bmff_box(
+            b"hdlr",
+            struct.pack(">B3x 4x", 0) + tr["handler"].encode("latin-1")
+            + bytes(12) + b"\x00",
+        )
+        entry = struct.pack(">I", 16) + tr["codec"].encode("latin-1") + bytes(8)
+        stsd = _bmff_box(b"stsd", struct.pack(">B3x I", 0, 1) + entry)
+        stbl = _bmff_box(b"stbl", stsd)
+        minf = _bmff_box(b"minf", stbl)
+        mdia = _bmff_box(b"mdia", mdhd + hdlr + minf)
+        traks.append(_bmff_box(b"trak", tkhd + mdia))
+    moov = _bmff_box(b"moov", mvhd + b"".join(traks))
+    return ftyp + moov + _bmff_box(b"mdat", b"")
+
+
+# ---------------------------------------------------------------------------
+# FLAC — STREAMINFO metadata (the free-lossless-audio counterpart of
+# mp3_meta: fixed 34-byte bitfield parse + metadata-block skip walk,
+# including VORBIS_COMMENT). Frame/subframe audio decode (Rice coding)
+# stays out of scope, like MP3 main data.
+# ---------------------------------------------------------------------------
+
+
+@_malformed_as_valueerror
+def flac_meta(payload: bytes) -> tuple[int, int, int, int, int, bool]:
+    """(sample_rate, channels, bits_per_sample, total_samples,
+    duration_ms, has_vorbis_comment) from the FLAC metadata-block chain.
+
+    STREAMINFO (type 0, always first per the spec) carries the bitfield:
+    rate 20 bits, channels-1 3 bits, bps-1 5 bits, total samples 36
+    bits. The walk continues through the remaining blocks (respecting
+    each 24-bit length, flagging VORBIS_COMMENT type 4) until the
+    last-block bit — malformed chains raise (quarantine contract)."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    n = len(payload)
+    streaminfo = None
+    has_vc = False
+    blocks = 0
+    while True:
+        if pos + 4 > n:
+            raise ValueError("FLAC metadata block header truncated")
+        hdr = payload[pos]
+        btype = hdr & 0x7F
+        length = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = pos + 4
+        if body + length > n:
+            raise ValueError(f"FLAC block type {btype} overruns payload")
+        if blocks == 0 and btype != 0:
+            raise ValueError("FLAC first metadata block is not STREAMINFO")
+        if btype == 0:
+            if length != 34:
+                raise ValueError(f"STREAMINFO length {length} != 34")
+            streaminfo = payload[body : body + 34]
+        elif btype == 4:
+            has_vc = True
+        elif btype == 127:
+            raise ValueError("FLAC metadata block type 127 is invalid")
+        pos = body + length
+        blocks += 1
+        if blocks > _MP4_MAX_BOXES:
+            raise ValueError("FLAC block count exceeds walk cap")
+        if hdr & 0x80:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    # bytes 10..17: rate(20) | chan-1(3) | bps-1(5) | total_samples(36)
+    packed = int.from_bytes(streaminfo[10:18], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bps = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if rate < 1:
+        raise ValueError("FLAC sample rate 0 is invalid for audio streams")
+    return rate, channels, bps, total, total * 1000 // rate, has_vc
+
+
+def encode_flac_headers(
+    sample_rate: int,
+    channels: int,
+    bits_per_sample: int,
+    total_samples: int,
+    vorbis_comment: str | None = None,
+) -> bytes:
+    """fLaC magic + STREAMINFO (+ optional VORBIS_COMMENT) metadata
+    chain — the fixture counterpart of :func:`flac_meta`; audio frames
+    (Rice-coded subframes) are out of scope by design."""
+    if not (1 <= sample_rate < (1 << 20)):
+        raise ValueError(f"FLAC sample rate out of range: {sample_rate}")
+    if not (1 <= channels <= 8) or not (4 <= bits_per_sample <= 32):
+        raise ValueError("FLAC channels 1-8, bits 4-32")
+    if not (0 <= total_samples < (1 << 36)):
+        raise ValueError("FLAC total_samples exceeds 36 bits")
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | total_samples
+    )
+    streaminfo = (
+        struct.pack(">HH", 4096, 4096)  # min/max block size
+        + bytes(6)  # min/max frame size unknown
+        + packed.to_bytes(8, "big")
+        + bytes(16)  # MD5 unset
+    )
+    blocks = [(0, streaminfo)]
+    if vorbis_comment is not None:
+        vendor = b"etl-excel-csv-sql-spark"
+        com = vorbis_comment.encode("utf-8")
+        body = (
+            struct.pack("<I", len(vendor)) + vendor
+            + struct.pack("<I", 1)
+            + struct.pack("<I", len(com)) + com
+        )
+        blocks.append((4, body))
+    out = bytearray(b"fLaC")
+    for i, (btype, body) in enumerate(blocks):
+        last = 0x80 if i == len(blocks) - 1 else 0
+        out += bytes((last | btype,)) + len(body).to_bytes(3, "big") + body
     return bytes(out)
 
 

@@ -1061,7 +1061,13 @@ def perturbed_image_payloads(
                 arr = _synth_pixels(mid, w, h).astype(np.int16)
                 arr[::5, ::7, :] += 2
                 arr[1::6, 2::5, :] -= 2
-                arr = np.clip(arr, 0, 255).astype(np.uint8)
+                # Wrap (mod 256), do NOT clip: _synth_pixels colors are the
+                # 256-member family (v, v+31, v+62) mod 256, and a clipped
+                # channel leaves that family — encode_gif (exact 256-color
+                # palette) would then reject the twin for GIF-designated
+                # ids. Wrapping maps each noisy pixel to family member
+                # (v±2) mod 256, keeping every format encodable.
+                arr = (arr % 256).astype(np.uint8)
                 out_ids.append(mid + id_offset)
                 payloads.append(codecs.encode_image(arr, fmt))
             yield pd.DataFrame(
@@ -1410,6 +1416,195 @@ def extract_mp3_meta(df: DataFrame, strict: bool = False) -> DataFrame:
 
     return df.select("media_id", "payload").mapInPandas(
         batches, MP3_META_SCHEMA
+    )
+
+
+_MP4_BRANDS = ("isom", "mp42", "avc1")
+_MP4_TIMESCALES = (600, 1000, 90000, 48000)
+_MP4_VCODECS = ("avc1", "hev1", "mp4v")
+
+
+def synth_mp4_params(
+    media_id: int,
+) -> tuple[str, int, int, int, bool, str, int, int]:
+    """id → (brand, timescale, duration_units, n_tracks, has_video,
+    vcodec, width, height) contract shared with the SQL oracle — every
+    field is integer arithmetic on the id. Clips with id % 4 == 1 are
+    audio-only (no video trak → NULL dims/codec downstream)."""
+    ts = _MP4_TIMESCALES[media_id % 4]
+    return (
+        _MP4_BRANDS[media_id % 3],
+        ts,
+        ts * (1 + media_id % 30) + media_id % 97,
+        1 + media_id % 3,
+        media_id % 4 != 1,
+        _MP4_VCODECS[(media_id % 5) % 3],
+        160 + 8 * (media_id % 120),
+        120 + 8 * (media_id % 68),
+    )
+
+
+def synth_mp4_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (media_id, payload): structurally valid ISO-BMFF files per
+    the ``synth_mp4_params`` contract (real ftyp/moov/trak box tree,
+    empty mdat — the container-metadata surface is real; H.264 sample
+    ENCODING is out of scope by design, like MP3 main data)."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                brand, ts, dur, n_tracks, has_video, vc, w, h = (
+                    synth_mp4_params(int(mid))
+                )
+                tracks: list[dict] = []
+                if has_video:
+                    tracks.append(
+                        {"handler": "vide", "codec": vc, "width": w,
+                         "height": h}
+                    )
+                while len(tracks) < n_tracks:
+                    tracks.append({"handler": "soun", "codec": "mp4a"})
+                payloads.append(
+                    codecs.encode_mp4_headers(brand, ts, dur, tracks)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "payload": pd.Series(payloads, dtype="object")}
+            )
+
+    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+
+
+MP4_META_SCHEMA = (
+    "media_id long, major_brand string, timescale int, duration_ms long, "
+    "n_tracks int, width int, height int, video_codec string"
+)
+
+
+def extract_mp4_meta(df: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL MP4/MOV container metadata (ISO-BMFF box walk —
+    ``codecs.mp4_meta``: ftyp brand, mvhd timescale/duration, trak
+    census, first video trak's tkhd dims + stsd codec fourcc) via Arrow
+    mapInPandas. Undecodable payloads yield nulls unless ``strict`` —
+    the catalog/routing kernel for the container a real 100 TB video
+    corpus is actually stored in; pixel decode (H.264) stays a GPU-
+    stage concern, not an ingest concern."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "major_brand", "timescale", "duration_ms", "n_tracks",
+                    "width", "height", "video_codec",
+                )
+            }
+            for payload in pdf["payload"]:
+                vals = None
+                if payload is not None:
+                    try:
+                        vals = codecs.mp4_meta(bytes(payload))
+                    except ValueError:
+                        if strict:
+                            raise
+                if vals is None:
+                    for k in cols:
+                        cols[k].append(None)
+                else:
+                    for k, v in zip(cols, vals):
+                        cols[k].append(v)
+            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, MP4_META_SCHEMA
+    )
+
+
+_FLAC_RATES = (44100, 48000, 32000, 96000, 88200, 192000)
+_FLAC_BITS = (8, 16, 24, 32)
+
+
+def synth_flac_params(media_id: int) -> tuple[int, int, int, int, bool]:
+    """id → (sample_rate, channels, bits_per_sample, total_samples,
+    has_comment) contract shared with the SQL oracle; every 3rd clip
+    carries a VORBIS_COMMENT block (exercises the skip walk)."""
+    rate = _FLAC_RATES[media_id % 6]
+    return (
+        rate,
+        1 + media_id % 8,
+        _FLAC_BITS[media_id % 4],
+        rate * (1 + media_id % 20) + media_id % 1000,
+        media_id % 3 == 0,
+    )
+
+
+def synth_flac_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (media_id, payload): real fLaC metadata chains per the
+    ``synth_flac_params`` contract (STREAMINFO bitfields + optional
+    VORBIS_COMMENT; Rice-coded audio frames out of scope by design)."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                rate, ch, bits, total, vc = synth_flac_params(int(mid))
+                payloads.append(
+                    codecs.encode_flac_headers(
+                        rate, ch, bits, total,
+                        vorbis_comment=f"title=clip-{int(mid)}" if vc
+                        else None,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "payload": pd.Series(payloads, dtype="object")}
+            )
+
+    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+
+
+FLAC_META_SCHEMA = (
+    "media_id long, sample_rate int, channels int, bits_per_sample int, "
+    "total_samples long, duration_ms long, has_comment boolean"
+)
+
+
+def extract_flac_meta(df: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL FLAC metadata (STREAMINFO bitfield parse + metadata-block
+    walk — ``codecs.flac_meta``) via Arrow mapInPandas; undecodable
+    payloads yield nulls unless ``strict``. Completes the compressed-
+    audio pair with :func:`extract_mp3_meta`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "sample_rate", "channels", "bits_per_sample",
+                    "total_samples", "duration_ms", "has_comment",
+                )
+            }
+            for payload in pdf["payload"]:
+                vals = None
+                if payload is not None:
+                    try:
+                        vals = codecs.flac_meta(bytes(payload))
+                    except ValueError:
+                        if strict:
+                            raise
+                if vals is None:
+                    for k in cols:
+                        cols[k].append(None)
+                else:
+                    for k, v in zip(cols, vals):
+                        cols[k].append(v)
+            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, FLAC_META_SCHEMA
     )
 
 

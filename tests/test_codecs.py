@@ -295,6 +295,14 @@ def test_mp3_meta_frame_walk():
     # trailing ID3v1 tag tolerated; no ID3v2 -> has_id3 False
     p = C.encode_mp3_headers(3, 128, 44100) + b"TAG" + bytes(125)
     assert C.mp3_meta(p)[2] == 3 and C.mp3_meta(p)[4] is False
+    # ID3v2.4 footer flag (header byte 5, bit 4): the 10-byte '3DI'
+    # footer is NOT counted in the syncsafe size — the skip must add it
+    # or the frame-sync walk quarantines a valid stream (ADVICE r11)
+    body = bytes(20)
+    size_bytes = bytes((0, 0, len(body) >> 7, len(body) & 0x7F))
+    tag = b"ID3\x04\x00\x10" + size_bytes + body + b"3DI\x04\x00\x10" + size_bytes
+    p = tag + C.encode_mp3_headers(5, 192, 48000)
+    assert C.mp3_meta(p) == (192, 48000, 5, 5 * 1152 * 1000 // 48000, True)
 
 
 def test_mp3_meta_rejects_malformed():
@@ -318,6 +326,89 @@ def test_mp3_meta_rejects_malformed():
         C.mp3_meta(bytes(buf))
 
 
+def test_mp4_meta_box_walk():
+    p = C.encode_mp4_headers(
+        "isom", 90000, 90000 * 7 + 123,
+        [{"handler": "vide", "codec": "avc1", "width": 640, "height": 360},
+         {"handler": "soun", "codec": "mp4a"}],
+    )
+    assert C.mp4_meta(p) == ("isom", 90000, 7001, 2, 640, 360, "avc1")
+    # audio-only: NULL dims/codec
+    p = C.encode_mp4_headers("mp42", 1000, 2500,
+                             [{"handler": "soun", "codec": "mp4a"}])
+    assert C.mp4_meta(p) == ("mp42", 1000, 2500, 1, None, None, None)
+    # 64-bit largesize box wrapping moov is walked transparently
+    p = C.encode_mp4_headers("avc1", 600, 1200,
+                             [{"handler": "vide", "codec": "hev1",
+                               "width": 16, "height": 16}])
+    i = p.index(b"moov") - 4
+    import struct as _s
+    (size,) = _s.unpack_from(">I", p, i)
+    big = (p[:i] + _s.pack(">I", 1) + b"moov" + _s.pack(">Q", size + 8)
+           + p[i + 8 : i + size] + p[i + size :])
+    assert C.mp4_meta(big) == ("avc1", 600, 2000, 1, 16, 16, "hev1")
+    # mvhd v1 (64-bit duration): rebuild the mvhd body by hand
+    v1_body = _s.pack(">B3x QQ I Q", 1, 0, 0, 1000, 3750)
+    v1 = _s.pack(">I", 8 + len(v1_body)) + b"mvhd" + v1_body
+    moov = _s.pack(">I", 8 + len(v1)) + b"moov" + v1
+    ftyp = p[:i]
+    assert C.mp4_meta(ftyp + moov)[:4] == ("avc1", 1000, 3750, 0)
+
+
+def test_mp4_meta_rejects_malformed():
+    good = C.encode_mp4_headers(
+        "isom", 600, 600, [{"handler": "soun", "codec": "mp4a"}]
+    )
+    for bad in (b"", b"\x00\x00\x00\x08ftyp", bytes(32), good[:-6],
+                good[: good.index(b"moov") - 4]):
+        with pytest.raises(ValueError):
+            C.mp4_meta(bad)
+    # a box whose declared size overruns the payload
+    buf = bytearray(good)
+    import struct as _s
+    _s.pack_into(">I", buf, good.index(b"moov") - 4, len(good) * 2)
+    with pytest.raises(ValueError, match="overruns"):
+        C.mp4_meta(bytes(buf))
+    # timescale 0 divides somewhere downstream -> must quarantine here
+    buf = bytearray(good)
+    mvhd = good.index(b"mvhd") + 4
+    _s.pack_into(">I", buf, mvhd + 12, 0)
+    with pytest.raises(ValueError, match="timescale"):
+        C.mp4_meta(bytes(buf))
+
+
+def test_flac_meta_streaminfo():
+    p = C.encode_flac_headers(44100, 2, 16, 44100 * 3 + 7,
+                              vorbis_comment="title=x")
+    assert C.flac_meta(p) == (44100, 2, 16, 132307, 3000, True)
+    p = C.encode_flac_headers(192000, 8, 32, 12345)
+    assert C.flac_meta(p) == (192000, 8, 32, 12345, 64, False)
+    # 36-bit total-samples boundary
+    p = C.encode_flac_headers(96000, 1, 24, (1 << 36) - 1)
+    assert C.flac_meta(p)[3] == (1 << 36) - 1
+
+
+def test_flac_meta_rejects_malformed():
+    good = C.encode_flac_headers(48000, 2, 16, 48000)
+    for bad in (b"", b"fLaC", bytes(40), good[:-4]):
+        with pytest.raises(ValueError):
+            C.flac_meta(bad)
+    # STREAMINFO must come first
+    buf = bytearray(good)
+    buf[4] = 0x84  # relabel the first block as last VORBIS_COMMENT
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        C.flac_meta(bytes(buf))
+    # rate 0 (the 20-bit field all-zero)
+    with pytest.raises(ValueError):
+        C.encode_flac_headers(0, 2, 16, 100)
+    buf = bytearray(good)
+    buf[4 + 4 + 10] = 0
+    buf[4 + 4 + 11] = 0
+    buf[4 + 4 + 12] &= 0x0F
+    with pytest.raises(ValueError, match="sample rate"):
+        C.flac_meta(bytes(buf))
+
+
 def test_every_public_parser_wears_the_valueerror_decorator():
     """An insertion once split a decorator from its def (jpeg_meta lost
     @_malformed_as_valueerror while the orphaned decorator wrapped the
@@ -328,7 +419,7 @@ def test_every_public_parser_wears_the_valueerror_decorator():
         "ppm_meta", "decode_gif", "gif_meta", "decode_jpeg", "jpeg_meta",
         "decode_wav", "wav_meta", "avi_frames", "avi_meta", "exif_meta",
         "image_meta", "decode_image", "decode_dib_frame", "tiff_meta",
-        "decode_tiff", "mp3_meta",
+        "decode_tiff", "mp3_meta", "mp4_meta", "flac_meta",
     ):
         assert hasattr(getattr(C, name), "__wrapped__"), name
 
@@ -351,10 +442,16 @@ def test_container_parsers_raise_only_valueerror_and_stay_fast():
     base = C.encode_jpeg_baseline(np.zeros((16, 16, 3), np.uint8))
     exifed = base[:2] + app1 + base[2:]
     fns = (C.decode_wav, C.wav_meta, C.avi_frames, C.avi_meta,
-           C.exif_meta, C.jpeg_meta, C.mp3_meta)
+           C.exif_meta, C.jpeg_meta, C.mp3_meta, C.mp4_meta, C.flac_meta)
     trials = quarantined = 0
     mp3 = C.encode_mp3_headers(6, 128, 44100, id3_title="x")
-    for payload in (wav, mj, dib, exifed, mp3):
+    mp4 = C.encode_mp4_headers(
+        "isom", 90000, 90000 * 3,
+        [{"handler": "vide", "codec": "avc1", "width": 320, "height": 240},
+         {"handler": "soun", "codec": "mp4a"}],
+    )
+    flac = C.encode_flac_headers(44100, 2, 16, 44100, vorbis_comment="t=x")
+    for payload in (wav, mj, dib, exifed, mp3, mp4, flac):
         for _ in range(60):
             buf = bytearray(payload)
             if rng.rand() < 0.3:

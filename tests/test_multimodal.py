@@ -210,8 +210,12 @@ def test_ahash_twins_within_hamming_ball(spark, sf_dir):
     from etl_excel_csv_sql_spark.catalog import load_table
     from etl_excel_csv_sql_spark.operators import dedup, multimodal
 
+    # % 16 (not % 20): ids 0,16,32,48,64,... hit every residue mod 5, so
+    # the twin battery exercises ALL FIVE encode formats (bmp/png/ppm/
+    # gif/tiff) — % 20 ids were always bmp, which masked a GIF-palette
+    # crash in perturbed_image_payloads (clip vs wrap, ADVICE r11).
     docs = load_table(spark, sf_dir, "documents").where(
-        F.col("doc_id") % 20 == 0
+        F.col("doc_id") % 16 == 0
     )
     n_docs = docs.count()
     originals = multimodal.synth_image_payloads(docs, "doc_id")
@@ -702,6 +706,70 @@ def test_mp3_meta_kernel_follows_contract(spark):
     assert lax.bitrate_kbps is None and lax.has_id3 is None
     with pytest.raises(Exception, match="sync|frames|MPEG"):
         multimodal.extract_mp3_meta(bad_media, strict=True).collect()
+
+
+def test_mp4_meta_kernel_follows_contract(spark):
+    """extract_mp4_meta over synth ISO-BMFF fixtures matches
+    synth_mp4_params for every field; audio-only ids (id % 4 == 1)
+    yield NULL dims/codec; garbage yields nulls (raise under strict)."""
+    df = spark.range(0, 16).withColumnRenamed("id", "doc_id")
+    clips = multimodal.synth_mp4_payloads(df)
+    media = multimodal.to_media_column(clips, "media_id", "payload", "video")
+    rows = {
+        r.media_id: r
+        for r in multimodal.extract_mp4_meta(media, strict=True).collect()
+    }
+    for mid in range(16):
+        brand, ts, dur, n_tracks, has_video, vc, w, h = (
+            multimodal.synth_mp4_params(mid)
+        )
+        r = rows[mid]
+        assert (r.major_brand, r.timescale, r.n_tracks) == (
+            brand, ts, n_tracks,
+        ), mid
+        assert r.duration_ms == dur * 1000 // ts
+        if has_video:
+            assert (r.width, r.height, r.video_codec) == (w, h, vc), mid
+        else:
+            assert r.width is None and r.video_codec is None, mid
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"not an mp4 file at all........"))],
+        ["doc_id", "blob"],
+    )
+    bad_media = multimodal.to_media_column(bad, "doc_id", "blob", "video")
+    lax = multimodal.extract_mp4_meta(bad_media).collect()[0]
+    assert lax.major_brand is None and lax.n_tracks is None
+    with pytest.raises(Exception, match="BMFF|ftyp"):
+        multimodal.extract_mp4_meta(bad_media, strict=True).collect()
+
+
+def test_flac_meta_kernel_follows_contract(spark):
+    """extract_flac_meta over synth STREAMINFO fixtures matches
+    synth_flac_params for every field; garbage yields nulls (raise
+    under strict)."""
+    df = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    clips = multimodal.synth_flac_payloads(df)
+    media = multimodal.to_media_column(clips, "media_id", "payload", "audio")
+    rows = {
+        r.media_id: r
+        for r in multimodal.extract_flac_meta(media, strict=True).collect()
+    }
+    for mid in range(24):
+        rate, ch, bits, total, vc = multimodal.synth_flac_params(mid)
+        r = rows[mid]
+        assert (
+            r.sample_rate, r.channels, r.bits_per_sample, r.total_samples,
+            r.has_comment,
+        ) == (rate, ch, bits, total, vc), mid
+        assert r.duration_ms == total * 1000 // rate
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"fLaX not a flac"))], ["doc_id", "blob"]
+    )
+    bad_media = multimodal.to_media_column(bad, "doc_id", "blob", "audio")
+    lax = multimodal.extract_flac_meta(bad_media).collect()[0]
+    assert lax.sample_rate is None and lax.has_comment is None
+    with pytest.raises(Exception, match="FLAC|fLaC"):
+        multimodal.extract_flac_meta(bad_media, strict=True).collect()
 
 
 def test_remux_wav_identical_pcm_different_bytes():
