@@ -705,6 +705,60 @@ def _simhash_from_tallies(tallies: Column) -> Column:
     return total
 
 
+#: synth_shingle_docs generator constants — shared with the pytest pin
+#: (test_dedup) that recomputes every pairwise SimHash distance over the
+#: real sf id sets and asserts min non-twin distance > the query's
+#: Hamming ball. The j*j term de-aligns any two docs' token sequences
+#: (a linear j schedule would let doc i and doc i' share a 28-shingle
+#: window whenever 7(i-i') = 13k mod V for small k, collapsing their
+#: SimHash distance).
+_SYNTH_DOC_TOKENS = 30
+_SYNTH_DOC_VOCAB = 99991
+
+
+def synth_shingle_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    id_offset: int = 0,
+    twin: bool = False,
+) -> DataFrame:
+    """(id) → (doc_id, text) deterministic synthetic docs for the
+    SimHash fixture contract: doc i's tokens are
+    ``w{(i*1009 + j*j*7 + j) % 99991}`` for j in 0..29 — id-unique token
+    sequences whose pairwise SimHash distances are deterministic
+    constants (pytest-pinned far outside the Hamming ball).
+
+    ``twin=True`` emits whitespace-perturbed twins (double-space joins +
+    leading/trailing SPACE pad — spaces only: Spark's ``trim`` strips
+    0x20 but not tab/newline, and a surviving ``\\t`` would make
+    ``split('\\s+')`` emit a leading empty token, changing the shingle
+    set): ``functions.text.tokens`` trims and splits on ``\\s+``, so the
+    token array — hence the shingle set, hence the SimHash — is
+    IDENTICAL to the original's, and every (i, i+offset) twin pair sits
+    at Hamming distance EXACTLY 0. The text analog of the r11 remux-WAV
+    twin (byte-different container, identical content); all expressions
+    are JVM-side concat/pmod — no Python in the row path."""
+    base = df.select(
+        (F.col(id_col).cast("long") + F.lit(id_offset)).alias("doc_id"),
+        F.col(id_col).cast("long").alias("__seed"),
+    )
+    toks = [
+        F.concat(
+            F.lit("w"),
+            F.pmod(
+                F.col("__seed") * 1009 + F.lit(j * j * 7 + j),
+                F.lit(_SYNTH_DOC_VOCAB),
+            ),
+        )
+        for j in range(_SYNTH_DOC_TOKENS)
+    ]
+    sep = "  " if twin else " "
+    text = F.concat_ws(sep, *toks)
+    if twin:
+        text = F.concat(F.lit("  "), text, F.lit("   "))
+    return base.select("doc_id", text.alias("text"))
+
+
 def simhash64(text_col: str | Column, n: int = 3, seed: int = 42) -> Column:
     """64-bit SimHash over word shingles: per bit, sum ±1 weighted by
     whether xxhash64(shingle) has that bit set; sign → bit.

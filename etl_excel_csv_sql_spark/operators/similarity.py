@@ -353,6 +353,7 @@ class IvfIndex:
         vec_col: str = "embedding",
         skip_if_exists: bool = False,
         engine: str = "lloyd",
+        centroids: DataFrame | None = None,
     ) -> None:
         """``skip_if_exists=True`` is the build-once contract: a committed
         index at this path is reused, so repeat invocations (bench passes,
@@ -364,13 +365,29 @@ class IvfIndex:
         corpus or changed ``n_cells``/``kmeans_iters`` triggers a rebuild
         instead of silently serving stale centroids. The revalidation
         cost is one narrow (id, vec) scan — orders of magnitude under a
-        rebuild, and the price of never probing a wrong index."""
+        rebuild, and the price of never probing a wrong index.
+
+        ``centroids`` is the bring-your-own path (the FAISS train-offline
+        / index-online split): a (cell_id, centroid) frame used verbatim
+        instead of running k-means — for centroids trained on a sample,
+        shared across shards, or fixed by a test contract. Its content
+        fingerprint joins the manifest so a changed centroid table voids
+        reuse exactly like a changed corpus."""
         import json
 
         manifest = self._corpus_manifest(
             corpus, n_cells, kmeans_iters, id_col, vec_col
         )
         manifest["engine"] = engine  # a changed solver also voids reuse
+        if centroids is not None:
+            from .relational import table_fingerprint
+
+            cent_row = table_fingerprint(
+                centroids.select("cell_id", "centroid")
+            ).collect()[0]
+            manifest["engine"] = "provided"
+            manifest["centroid_fingerprint"] = str(cent_row["fingerprint"])
+            manifest["kmeans_iters"] = None  # not a build input on this path
         if skip_if_exists and self.is_built():
             try:
                 with open(self._manifest) as f:
@@ -378,7 +395,7 @@ class IvfIndex:
                         return
             except (OSError, ValueError):
                 pass  # unreadable manifest → rebuild
-        cents = kmeans_centroids(
+        cents = centroids if centroids is not None else kmeans_centroids(
             corpus, n_cells, kmeans_iters, id_col, vec_col, engine=engine
         )
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
@@ -589,6 +606,55 @@ def _probe_and_rank(
         F.col("item.cosine").alias("cosine"),
         "rank",
     )
+
+
+#: planted-cluster fixture constants — shared with the ann_ivf_persisted
+#: SQL oracle and the test_similarity pin
+SYNTH_CLUSTER_CELLS = 16
+SYNTH_CLUSTER_DIM = 64
+
+
+def synth_cluster_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    n_cells: int = SYNTH_CLUSTER_CELLS,
+    dim: int = SYNTH_CLUSTER_DIM,
+) -> DataFrame:
+    """(id) → (vec_id, embedding) planted cluster geometry: vector i is
+    EXACTLY the one-hot axis e_{i mod n_cells} (array<float>). Every
+    cosine is float-exact (1.0 within a cluster, 0.0 across), so IVF
+    top-k over this corpus has a closed-form literal answer: query q's
+    neighbors are the k smallest ids ≡ q (mod n_cells), cosine 1.0,
+    ties broken by id asc (_rank_key). All JVM-side (sequence/
+    transform) — no Python in the row path."""
+    cluster = F.pmod(F.col(id_col).cast("long"), F.lit(n_cells))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(i == cluster, F.lit(1.0)).otherwise(F.lit(0.0)),
+    ).cast("array<float>")
+    return df.select(
+        F.col(id_col).cast("long").alias("vec_id"), vec.alias("embedding")
+    )
+
+
+def synth_cluster_centroids(
+    spark,
+    n_cells: int = SYNTH_CLUSTER_CELLS,
+    dim: int = SYNTH_CLUSTER_DIM,
+) -> DataFrame:
+    """(cell_id, centroid): the n_cells one-hot axes — the exact cluster
+    centers of :func:`synth_cluster_embeddings`, for IvfIndex.build's
+    bring-your-own-centroids path. Assignment under these centroids is
+    exactly ``vec_id mod n_cells`` (cosine 1 to the own axis, 0 to every
+    other — no ties)."""
+    cells = spark.range(n_cells).select(F.col("id").alias("cell_id"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(i == F.col("cell_id"), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        ),
+    ).cast("array<float>")
+    return cells.select("cell_id", vec.alias("centroid"))
 
 
 def ivf_topk(

@@ -1790,13 +1790,35 @@ def q_minhash(spark, sf_dir):
 
 @register(
     "simhash_pairs",
-    None,  # xxhash64-based signature → rows-only check
-    doc="SimHash near-dup pairs (Hamming ≤ 3, Manku-style block banding)",
+    # r12 (VERDICT r11 #5): rows-only → FULL value oracle via the
+    # synth_shingle_docs fixture contract (the media-quartet trick
+    # applied to text): corpus = deterministic synthetic docs + their
+    # whitespace-perturbed twins. Twins tokenize to IDENTICAL token
+    # arrays, so each (i, i+1e6) pair is at SimHash Hamming EXACTLY 0;
+    # cross-pair safety is pytest-pinned (test_dedup recomputes every
+    # pairwise distance over the real sf0.001/sf0.01/sf0.1 id sets —
+    # min non-twin distance 11, far outside the ball of 3). Bench
+    # series note: r12 changes the corpus from raw documents.text
+    # (500/5k docs) to synth docs + twins (2x rows, fixed 30-token
+    # texts) — see bench.py HEADLINE comment; r1-r11 values are not
+    # comparable.
+    """
+    SELECT doc_id AS id_a,
+           doc_id + 1000000 AS id_b,
+           CAST(0 AS INT) AS hamming
+    FROM documents
+    """,
+    doc="SimHash near-dup pairs (Hamming <= 3, Manku-style block "
+    "banding, popcount-on-XOR verify) over synthetic docs + whitespace-"
+    "perturbed twins — the full normalize->shingle->simhash->band->"
+    "verify pipeline with a closed-form expected pair set",
 )
 def q_simhash(spark, sf_dir):
-    return dedup.simhash_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, max_hamming=3
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    corpus = dedup.synth_shingle_docs(docs).unionByName(
+        dedup.synth_shingle_docs(docs, id_offset=1_000_000, twin=True)
     )
+    return dedup.simhash_pairs(corpus, "doc_id", "text", n=3, max_hamming=3)
 
 
 @register(
@@ -6959,6 +6981,8 @@ PYTHON_KERNELS: dict[str, str] = {
     "media_video_ahash_neardup": "stdlib codec decode via Arrow mapInPandas",
     "media_video_mjpeg_neardup": "stdlib codec decode via Arrow mapInPandas",
     "media_audio_fp_neardup": "stdlib codec decode via Arrow mapInPandas",
+    "media_mp4_meta": "stdlib codec decode via Arrow mapInPandas",
+    "media_flac_meta": "stdlib codec decode via Arrow mapInPandas",
 }
 
 # Eager queries (see QuerySpec.eager): constructing the frame executes a

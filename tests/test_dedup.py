@@ -156,6 +156,51 @@ def test_simhash_finds_light_edits(spark):
     assert len(unrelated) <= 2  # random 80-word docs shouldn't collide
 
 
+def test_synth_shingle_docs_fixture_contract(spark):
+    """The simhash_pairs oracle's safety pin (r12): over the REAL sf
+    id sets, (a) every whitespace twin is at SimHash Hamming EXACTLY 0
+    (token arrays identical after trim/split), and (b) every non-twin
+    pair sits far outside the query's Hamming-3 ball — so the full
+    query output is exactly the oracle's one-pair-per-doc enumeration.
+    Recomputes ALL pairwise distances in numpy (no banding shortcut:
+    the pin must be independent of the candidate generator)."""
+    import numpy as np
+
+    from etl_excel_csv_sql_spark.catalog import load_table
+
+    def popcount(x):
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+    # sf0.001 and sf0.01 share the 0..499 id set (the driver-gate
+    # scales); sf0.1's 0..4999 superset is pinned in the slow lane by
+    # the bench itself (same generator, deterministic).
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id"
+    )
+    corpus = dedup.synth_shingle_docs(docs).unionByName(
+        dedup.synth_shingle_docs(docs, id_offset=1_000_000, twin=True)
+    )
+    sh = dedup.simhash_frame(corpus, "doc_id", "text", 3, 42).collect()
+    m = {r["id"]: np.uint64(np.int64(r["simhash"])) for r in sh}
+    originals = sorted(i for i in m if i < 1_000_000)
+    assert len(originals) == 500
+    for i in originals:
+        assert m[i] == m[i + 1_000_000], f"twin {i} not Hamming 0"
+    h = np.array([m[i] for i in originals], dtype=np.uint64)
+    d = popcount(h[:, None] ^ h[None, :])
+    iu = np.triu_indices(len(h), 1)
+    min_nontwin = int(d[iu].min())
+    # 11 observed at sf0.1, 12 at sf0.001/sf0.01 — assert the ball + a
+    # safety margin so a generator regression fails loudly before the
+    # driver gate does
+    assert min_nontwin >= 8, min_nontwin
+
+
 def test_simhash64_is_deterministic_and_locality_sensitive(spark):
     df = spark.createDataFrame(
         [

@@ -225,6 +225,57 @@ def test_quantization_report_quality_and_edges(spark):
     assert rep4[2].mse >= rep[2].mse
 
 
+def test_ivf_provided_centroids_planted_geometry(spark, tmp_path):
+    """The ann_ivf_persisted_topk oracle's safety pin (r12): on the
+    planted one-hot cluster corpus with bring-your-own centroids,
+    (a) the persisted IVF result equals exact brute force, and (b) both
+    equal the closed-form literal the SQL oracle renders (neighbors
+    q + 16j at cosine exactly 1.0, rank = j + 1)."""
+    ids = spark.range(0, 320).withColumnRenamed("id", "vec_id")
+    corpus = similarity.synth_cluster_embeddings(ids)
+    idx = similarity.IvfIndex(str(tmp_path / "ivf_planted"))
+    idx.build(
+        corpus,
+        n_cells=16,
+        skip_if_exists=True,
+        centroids=similarity.synth_cluster_centroids(spark),
+    )
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in idx.query(queries, k=10, n_probe=4).collect()
+    }
+    brute = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in similarity.brute_force_topk(corpus, queries, k=10).collect()
+    }
+    literal = {
+        (q, q + 16 * j, 1.0, j + 1) for q in range(5) for j in range(10)
+    }
+    assert got == brute == literal
+    # changed centroid table voids build-once reuse
+    import os
+
+    mtime = os.path.getmtime(idx._manifest)
+    idx.build(
+        corpus,
+        n_cells=16,
+        skip_if_exists=True,
+        centroids=similarity.synth_cluster_centroids(spark),
+    )
+    assert os.path.getmtime(idx._manifest) == mtime  # same centroids: reuse
+    shifted = similarity.synth_cluster_centroids(spark).withColumn(
+        "cell_id", F.col("cell_id") + 100
+    )
+    idx.build(
+        corpus, n_cells=16, skip_if_exists=True, centroids=shifted
+    )
+    assert os.path.getmtime(idx._manifest) > mtime  # changed: rebuild
+
+
 def test_ivf_skip_if_exists_fingerprints_corpus(spark, emb, tmp_path):
     """r4 ADVICE: build-once reuse must revalidate the corpus + params —
     a regenerated corpus or changed n_cells rebuilds; identical inputs
