@@ -65,6 +65,13 @@ HEADLINE = (
     # one-hot clusters + provided centroids (full value oracle). Probe
     # plan shape and index layout unchanged; the build pass no longer
     # pays k-means. r4-r11 values are not comparable to r12+.
+    # r12 noise-band note (quiet_regression_bisect_r12 ledger row): the
+    # r11 "+14% quiet regression" was HOST DRIFT -- identical r10-close
+    # code re-run quiet in the r12 session reads minhash exec +30-40%,
+    # simhash +25%, jaccard +45% vs its own r10-session numbers, while a
+    # same-day interleaved A/B puts HEAD 3.5s FASTER than r10-close.
+    # Cross-SESSION comparisons (even quiet, even exec-time) carry a
+    # +/-30-40% band; only same-day interleaved A/Bs are conclusive.
     "dedup_components_star",
     "doc_quality_score",
 )

@@ -1102,9 +1102,12 @@ def synth_dib_video_payloads(
     """(id) → (media_id, payload) with REAL uncompressed-DIB AVI bytes:
     frame f's pixels are ``_synth_pixels(id*100 + f, w, h)`` per the
     :func:`synth_dib_video_params` contract — fully decodable video.
-    ``perturb=True`` adds the same sparse ±2 noise the image twins use
-    (a re-encode stand-in for video near-dup tests); twin ids are
-    original + ``id_offset``."""
+    ``perturb=True`` adds the image twins' sparse ±2 noise grid (a
+    re-encode stand-in for video near-dup tests) — here CLIPPED at
+    0/255 rather than wrapped: DIB frames are raw RGB with no palette,
+    so the clip is harmless, while the image twins must wrap to stay
+    inside the GIF-encodable color family. Twin ids are original +
+    ``id_offset``."""
     ids = df.select(F.col(id_col).cast("long").alias("media_id"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
