@@ -887,7 +887,13 @@ def pq_train(
     1-column projection — index metadata, not a data collect).
     """
     nvec = l2_normalize(F.col(vec_col))
-    base = corpus.select(
+    # spread BEFORE the M-way explode + per-row n_codes Lloyd scoring: a
+    # single-split parquet corpus (the x100 probe's 200k-vector file)
+    # otherwise runs the whole exploded train loop on ONE task -- the
+    # r12 scale probe measured load 1.0 for 25+ min at x100 before this
+    # (same guard brute_force_topk/simhash use; no-op at production
+    # partition counts)
+    base = spread_for_compute(corpus).select(
         F.col(id_col).alias("id"), nvec.alias("v")
     ).filter(F.col("v").isNotNull())
     if dim is None:
@@ -977,7 +983,12 @@ def pq_encode(
     cosine to anyone)."""
     pack = F.broadcast(_pq_pack(codebook))
     nvec = l2_normalize(F.col(vec_col))
-    base = corpus.select(
+    # spread for the same reason as pq_train: nearest-code search is
+    # O(n_codes * dim) per row and must not run single-task on a
+    # single-split file (no-op when the input already carries >= cores
+    # partitions, so the "corpus never shuffles" claim still holds at
+    # production partition counts)
+    base = spread_for_compute(corpus).select(
         F.col(id_col).alias("id"), nvec.alias("v")
     ).filter(F.col("v").isNotNull())
     m_count = F.size(F.col("__pack"))

@@ -6815,7 +6815,9 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # Two late-r12 swaps, per the r11 precedent (new full-oracle queries
 # must be driver-evidenced the round they land): media_mp4_meta and
 # media_flac_meta (both new this round) replace embedding_drift_report
-# / ab_test_report (last=r7 green -> staleness 5, back in the r13 pool).
+# / ab_test_report, and media_streaming_audio_rollup (new streaming
+# full-oracle) replaces events_seasonal_anomalies (all three dropped
+# names last=r7 green -> staleness 5, back in the r13 pool).
 WINDOW_ORDER: tuple[str, ...] = (
     "media_mp3_meta",
     "media_mp4_meta",
@@ -6864,7 +6866,7 @@ WINDOW_ORDER: tuple[str, ...] = (
     "join_cardinality_estimate",
     "returned_item_report",
     "customers_without_orders",
-    "events_seasonal_anomalies",
+    "media_streaming_audio_rollup",
     "k_anonymity_violations",
     "dp_noisy_event_counts",
 )
@@ -7027,6 +7029,7 @@ EAGER_QUERIES: frozenset[str] = frozenset(
         "jdbc_fullrefresh_roundtrip",
         "jdbc_live_roundtrip",
         "media_streaming_meta_rollup",
+        "media_streaming_audio_rollup",
         "merge_upsert_roundtrip",
         "quarantine_split_rows",
         "retention_sweep_report",
