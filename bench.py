@@ -55,9 +55,11 @@ HEADLINE = (
     # the shared pairs (the build/probe split ann_ivf_persisted_topk
     # already uses). Star values from r11 on are therefore ~1.5s lower
     # than the r9/r10 series, which included a redundant pair rebuild.
-    # r12 series note: simhash_pairs changed corpus (VERDICT r11 #5,
-    # rows-only -> full oracle): raw documents.text -> synth_shingle_docs
-    # originals + whitespace twins (2x rows, fixed 30-token texts).
+    # r12 series note: simhash_pairs AND minhash_lsh_pairs changed corpus
+    # (VERDICT r11 #5, rows-only -> full oracle): raw documents.text ->
+    # synth_shingle_docs originals + whitespace twins (2x rows, fixed
+    # 30-token texts; minhash threshold 0.12 -> 0.5). r1-r11 values for
+    # both series are not comparable.
     # Same plan shape (shingle fold -> checkpoint -> band -> verify);
     # r1-r11 values are not comparable to r12+.
     # r12 series note: ann_ivf_persisted_topk changed corpus (same

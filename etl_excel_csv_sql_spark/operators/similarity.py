@@ -657,6 +657,33 @@ def synth_cluster_centroids(
     return cells.select("cell_id", vec.alias("centroid"))
 
 
+def synth_pq_codebook(
+    spark,
+    n_subspaces: int = 16,
+    ds: int = 4,
+) -> DataFrame:
+    """(m, code, centroid): the closed-form PQ codebook for
+    :func:`synth_cluster_embeddings` under n_subspaces × ds = dim
+    geometry — per subspace, code 0 is the zero sub-vector and code 1+j
+    is the ds-dim one-hot axis e_j. Every planted sub-vector appears in
+    the codebook VERBATIM (squared-L2 distance exactly 0 to its own
+    entry, ≥1 to every other — no ties), so pq_encode is exact and the
+    ADC lookup tables reconstruct exact cosines (1.0 within a planted
+    cluster, 0.0 across). The bring-your-own-codebook twin of
+    :func:`synth_cluster_centroids`."""
+    cells = spark.range(n_subspaces * (ds + 1)).select(
+        (F.col("id") / (ds + 1)).cast("int").alias("m"),
+        F.pmod(F.col("id"), F.lit(ds + 1)).cast("int").alias("code"),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(ds - 1)),
+        lambda i: F.when(i == F.col("code") - 1, F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        ),
+    ).cast("array<float>")
+    return cells.select("m", "code", vec.alias("centroid"))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1088,9 +1115,17 @@ def pq_search(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     rerank_factor: int = 0,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """train → encode → ADC top-k in one call (the judge-facing query
     shape; production persists the codebook+codes like IvfIndex does).
+
+    ``codebook`` is the bring-your-own path (the FAISS train-offline /
+    index-online split IvfIndex.build already has): a (m, code, centroid)
+    frame with codes dense per subspace skips pq_train entirely — for
+    codebooks trained on a sample, reused across corpora, or the planted
+    closed-form fixture (:func:`synth_pq_codebook`). n_subspaces /
+    n_codes / iters are ignored when it is given.
 
     ``rerank_factor`` r > 0 adds the standard refinement stage: ADC
     produces a shortlist of r·k candidates per query, then ONLY those
@@ -1107,9 +1142,10 @@ def pq_search(
     ≈ exact with rerank_factor 4 on the test corpus, at 16 B/vector vs
     256 B float32 (tests/test_similarity.py measures both).
     """
-    codebook = pq_train(
-        corpus, n_subspaces, n_codes, iters, id_col, vec_col
-    )
+    if codebook is None:
+        codebook = pq_train(
+            corpus, n_subspaces, n_codes, iters, id_col, vec_col
+        )
     encoded = pq_encode(corpus, codebook, id_col, vec_col)
     shortlist_k = k * rerank_factor if rerank_factor > 0 else k
     adc = pq_topk(
@@ -1529,6 +1565,7 @@ def semantic_dedup(
     engine: str = "lloyd",
     max_cell: int | None = None,
     oversize: str = "drop",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv 2303.09540): semantic deduplication
     by clustering embeddings and dropping within-cluster near-identical
@@ -1568,10 +1605,18 @@ def semantic_dedup(
         raise ValueError(
             f"oversize must be 'drop' or 'split', got {oversize!r}"
         )
-    cents = kmeans_centroids(
-        corpus, n_cells=n_cells, iters=iters, id_col=id_col,
-        vec_col=vec_col, engine=engine,
-    )
+    if centroids is not None:
+        # bring-your-own centroids (the same FAISS train-offline split
+        # IvfIndex.build and pq_search have): skip the in-call k-means —
+        # for centroids trained on a sample, reused across corpora, or
+        # the planted closed-form fixture (synth_cluster_centroids).
+        # n_cells / iters / engine are ignored.
+        cents = centroids.select("cell_id", "centroid")
+    else:
+        cents = kmeans_centroids(
+            corpus, n_cells=n_cells, iters=iters, id_col=id_col,
+            vec_col=vec_col, engine=engine,
+        )
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
     if max_cell is not None and oversize == "split":
         # skew guard (VERDICT r8 #4): oversized cells SPLIT (k-means

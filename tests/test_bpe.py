@@ -170,3 +170,49 @@ def test_apply_merges_sequential_overlap_and_skip_guard():
     syms = list("abab")
     merges = [("x", "y"), ("a", "b"), ("ab", "ab")]
     assert bpe.apply_merges_sequential(syms, merges) == ["abab"]
+
+
+def test_bpe_ladder_fixture_contract(spark):
+    """Safety pin for the bpe_train_report / bpe_encode_tokens oracles
+    (r12): on the planted frequency-ladder corpus over the REAL sf0.001
+    id set, the learned merge table equals BOTH the sequential
+    reference and the closed-form literal (rank i+1 merges the two
+    letters of word i at pair_count = |{d : d mod 13 >= i}| — strictly
+    decreasing, so the lex tiebreak never fires), and every doc encodes
+    to one token per planted word."""
+    from pyspark.sql import functions as F
+
+    words = [chr(97 + 2 * i) + chr(98 + 2 * i) for i in range(12)]
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            *[
+                F.when(F.pmod(F.col("doc_id"), F.lit(13)) >= i, F.lit(w))
+                for i, w in enumerate(words)
+            ],
+        ).alias("text"),
+    )
+    wc_df = bpe.word_frequency_table(docs)
+    got = bpe.train_bpe(wc_df, n_merges=12)
+    wc = {r["w"]: r["cnt"] for r in wc_df.collect()}
+    assert got == _reference_bpe(wc, 12)
+    literal = [
+        (w[0], w[1], sum(1 for d in ids if d % 13 >= i))
+        for i, w in enumerate(words)
+    ]
+    assert got == literal
+    counts = [n for _, _, n in literal]
+    assert counts == sorted(counts, reverse=True) and len(set(counts)) == 12
+    enc = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe.bpe_encode(docs, got).collect()
+    }
+    for d in ids:
+        assert enc[d] == words[: (d % 13) + 1]

@@ -201,6 +201,115 @@ def test_synth_shingle_docs_fixture_contract(spark):
     assert min_nontwin >= 8, min_nontwin
 
 
+def test_minhash_fixture_contract_full_output(spark):
+    """The minhash_lsh_pairs oracle's safety pin (r12): over the REAL
+    sf0.001/sf0.01 id set, (a) every non-twin pair's EXACT Jaccard —
+    recomputed in pure Python from the closed-form token schedule,
+    independent of signatures, banding, and Spark itself — is far below
+    the query's 0.5 threshold, and (b) the operator's full output on the
+    fixture corpus is EXACTLY the oracle's one-pair-per-doc enumeration
+    (recall is structural: identical token arrays → identical signatures
+    → co-bucketed in every band)."""
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators.dedup import (
+        _SYNTH_DOC_TOKENS,
+        _SYNTH_DOC_VOCAB,
+    )
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    assert len(ids) == 500
+
+    def shingle_set(i):
+        toks = [
+            f"w{(i * 1009 + 7 * j * j + j) % _SYNTH_DOC_VOCAB}"
+            for j in range(_SYNTH_DOC_TOKENS)
+        ]
+        return {
+            tuple(toks[j : j + 3]) for j in range(_SYNTH_DOC_TOKENS - 2)
+        }
+
+    sets = {i: shingle_set(i) for i in ids}
+    posting = {}
+    for i, s in sets.items():
+        for sh in s:
+            posting.setdefault(sh, []).append(i)
+    inter = {}
+    for docs_with in posting.values():
+        for x in range(len(docs_with)):
+            for y in range(x + 1, len(docs_with)):
+                k = (docs_with[x], docs_with[y])
+                inter[k] = inter.get(k, 0) + 1
+    max_j = 0.0
+    for (a, b), n_inter in inter.items():
+        max_j = max(
+            max_j, n_inter / (len(sets[a]) + len(sets[b]) - n_inter)
+        )
+    # 0.0 observed (no shared 3-gram shingles at all between distinct
+    # synth docs); assert a wide margin below the 0.5 threshold so a
+    # generator regression fails loudly before the driver gate does
+    assert max_j < 0.25, max_j
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id"
+    )
+    corpus = dedup.synth_shingle_docs(docs).unionByName(
+        dedup.synth_shingle_docs(docs, id_offset=1_000_000, twin=True)
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(
+            corpus, "doc_id", "text", num_hashes=32, bands=8, n=3,
+            threshold=0.5,
+        ).collect()
+    }
+    assert got == {(i, i + 1_000_000, 1.0) for i in ids}
+
+
+def test_minhash_twin_contract_pipeline_and_incremental(spark, tmp_path):
+    """Safety pins for the dedup_pipeline_minhash and
+    dedup_incremental_minhash oracles (r12): on the synth-twin fixture
+    over the REAL sf0.001/sf0.01 id set, (a) the whole pipeline's kept
+    set is EXACTLY the original ids (every twin loses to its min-id
+    original, no original is dragged into a spurious component), and
+    (b) the persisted-index incremental query over the all-twins batch
+    returns EXACTLY one (twin, original, 1.0) row per indexed corpus
+    member — held-out twins stay silent even at the signature level
+    (bucket collisions would need ≥16/32 identical minhashes)."""
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.operators.dedup import MinHashIndex
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id"
+    )
+    ids = [r["doc_id"] for r in docs.collect()]
+    corpus = dedup.synth_shingle_docs(docs).unionByName(
+        dedup.synth_shingle_docs(docs, id_offset=1_000_000, twin=True)
+    )
+    pairs = dedup.minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.5)
+    kept = {
+        r["doc_id"]
+        for r in dedup.dedup_keep_first(corpus, pairs, "doc_id").collect()
+    }
+    assert kept == set(ids)
+
+    index = MinHashIndex(str(tmp_path / "idx"))
+    base = dedup.synth_shingle_docs(docs).filter(F.col("doc_id") % 5 != 0)
+    index.build(base, "doc_id", "text")
+    batch = dedup.synth_shingle_docs(docs, id_offset=1_000_000, twin=True)
+    got = {
+        (r["new_id"], r["corpus_id"], r["est_jaccard"])
+        for r in index.query(batch, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert got == {
+        (i + 1_000_000, i, 1.0) for i in ids if i % 5 != 0
+    }
+
+
 def test_simhash64_is_deterministic_and_locality_sensitive(spark):
     df = spark.createDataFrame(
         [

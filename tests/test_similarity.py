@@ -404,6 +404,52 @@ def test_pq_encode_shape_and_no_corpus_shuffle(spark, emb):
     assert "Exchange" not in probe_side, plan
 
 
+def test_pq_provided_codebook_planted_geometry(spark):
+    """The ann_pq_topk oracle's safety pin (r12): on the planted one-hot
+    corpus with the closed-form bring-your-own codebook, (a) encode is
+    EXACT (vector of class c carries code 1 + c%4 in subspace c//4 and
+    the zero code everywhere else), and (b) both ADC-only and reranked
+    pq_search equal exact brute force equal the literal the SQL oracle
+    renders (neighbors q + 16j at cosine exactly 1.0, rank = j + 1)."""
+    ids = spark.range(0, 320).withColumnRenamed("id", "vec_id")
+    corpus = similarity.synth_cluster_embeddings(ids)
+    book = similarity.synth_pq_codebook(spark)
+    codes = {
+        r["id"]: list(r["codes"])
+        for r in similarity.pq_encode(corpus, book).collect()
+    }
+    assert len(codes) == 320
+    for vid, cs in codes.items():
+        c = vid % 16
+        expect = [0] * 16
+        expect[c // 4] = 1 + (c % 4)
+        assert cs == expect, (vid, cs)
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    literal = {
+        (q, q + 16 * j, 1.0, j + 1) for q in range(5) for j in range(10)
+    }
+    brute = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in similarity.brute_force_topk(corpus, queries, k=10).collect()
+    }
+    adc_only = {
+        (r.query_id, r.neighbor_id, r.approx_cosine, r.rank)
+        for r in similarity.pq_search(
+            corpus, queries, k=10, codebook=book
+        ).collect()
+    }
+    reranked = {
+        (r.query_id, r.neighbor_id, r.approx_cosine, r.rank)
+        for r in similarity.pq_search(
+            corpus, queries, k=10, rerank_factor=4, codebook=book
+        ).collect()
+    }
+    assert adc_only == reranked == brute == literal
+
+
 def test_pq_recall_and_rerank(spark, emb):
     emb_df, rows = emb
     queries = _queries(emb_df, 3)
@@ -956,3 +1002,51 @@ def test_kmeans_mllib_cosine_and_null_tolerance(spark):
     }
     # one center per DIRECTION — magnitude did not drive the split
     assert got == {(1, 0), (0, 1)}, got
+
+
+def test_pca_planted_spectrum_literal(spark):
+    """Safety pin for the embedding_pca_variance oracle (r12): on the
+    equal-mass planted one-hot corpus (320 = 16*20 ids), the covariance
+    spectrum is closed-form — 15 equal eigenvalues of ratio exactly
+    1/15 — and the report rows equal the oracle literal (0.066667,
+    cumulative i/15) after the 6-decimal rounding."""
+    ids = spark.range(0, 320).withColumnRenamed("id", "vec_id")
+    corpus = similarity.synth_cluster_embeddings(ids)
+    _, _, ratios = similarity.pca_analysis(corpus, "embedding", k=8)
+    for r in ratios:
+        assert abs(float(r) - 1.0 / 15.0) < 1e-9, ratios
+    rows = similarity.pca_variance_report(corpus, "embedding", k=8).collect()
+    got = [
+        (r["component"], r["explained_variance_ratio"], r["cumulative_ratio"])
+        for r in sorted(rows, key=lambda r: r["component"])
+    ]
+    want = [(i, 0.066667, round(i / 15.0, 6)) for i in range(1, 9)]
+    assert got == want
+
+
+def test_semantic_dedup_provided_centroids_planted(spark):
+    """Safety pin for the semantic_dedup_report oracle (r12): on the
+    planted one-hot corpus with bring-your-own centroids, every cell is
+    one class of identical vectors, so exactly the class-minimum id
+    survives and every other row drops with dup_of = the class min at
+    max_dup_cosine exactly 1.0 — the closed form the SQL oracle
+    renders. max_cell/oversize stay in the plan but never trigger."""
+    ids = spark.range(0, 320).withColumnRenamed("id", "vec_id")
+    corpus = similarity.synth_cluster_embeddings(ids)
+    rows = similarity.semantic_dedup(
+        corpus,
+        threshold=0.93,
+        max_cell=250,
+        oversize="split",
+        centroids=similarity.synth_cluster_centroids(spark),
+    ).collect()
+    assert len(rows) == 320
+    for r in rows:
+        assert r["cell_id"] == r["id"] % 16
+        if r["id"] < 16:
+            assert r["keep"] and r["dup_of"] is None
+            assert r["max_dup_cosine"] is None
+        else:
+            assert not r["keep"]
+            assert r["dup_of"] == r["id"] % 16
+            assert r["max_dup_cosine"] == 1.0
