@@ -6971,6 +6971,22 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # / ab_test_report, and media_streaming_audio_rollup (new streaming
 # full-oracle) replaces events_seasonal_anomalies (all three dropped
 # names last=r7 green -> staleness 5, back in the r13 pool).
+# Ten MORE late-r12 swaps, same precedent: the r12 rows-only -> full-
+# oracle conversions (simhash_pairs, ann_ivf_persisted_topk,
+# ann_ivf_upsert_topk, ann_pq_topk, dedup_pipeline_minhash,
+# dedup_incremental_minhash, bpe_train_report, bpe_encode_tokens,
+# embedding_pca_variance, semantic_dedup_report; minhash_lsh_pairs was
+# already in the window) carry NEW oracles that their old driver rows
+# do not evidence, so they take the slots of ten stale-r7 PURE-SQL
+# breadth shapes (temperature_resample_weights, events_trailing_hour_
+# window, numeric_histogram, attribution_last_touch, stats_chi_square_
+# lang_source, stats_linear_fit_price_qty, stats_correlation_matrix,
+# join_cardinality_estimate, returned_item_report, customers_without_
+# orders — all last=r7 green, code untouched since, each fully value-
+# pinned by its DuckDB oracle on every LOCAL gate run; back in the r13
+# pool at staleness 6). Rationale: a changed-oracle query with no
+# driver row is a flagged evidence gap (the r11 media_mp3_meta lesson);
+# a 6-round-stale unchanged breadth query is not.
 WINDOW_ORDER: tuple[str, ...] = (
     "media_mp3_meta",
     "media_mp4_meta",
@@ -7006,19 +7022,19 @@ WINDOW_ORDER: tuple[str, ...] = (
     "bloom_semi_join_prefilter",
     "doc_chunk_windows",
     "stratified_sample_exact",
-    "temperature_resample_weights",
     "events_resample_ffill",
     "events_value_anomalies",
     "tfidf_doc_similarity",
-    "events_trailing_hour_window",
-    "numeric_histogram",
-    "attribution_last_touch",
-    "stats_chi_square_lang_source",
-    "stats_linear_fit_price_qty",
-    "stats_correlation_matrix",
-    "join_cardinality_estimate",
-    "returned_item_report",
-    "customers_without_orders",
+    "simhash_pairs",
+    "ann_ivf_persisted_topk",
+    "ann_ivf_upsert_topk",
+    "ann_pq_topk",
+    "dedup_pipeline_minhash",
+    "dedup_incremental_minhash",
+    "bpe_train_report",
+    "bpe_encode_tokens",
+    "embedding_pca_variance",
+    "semantic_dedup_report",
     "media_streaming_audio_rollup",
     "k_anonymity_violations",
     "dp_noisy_event_counts",
