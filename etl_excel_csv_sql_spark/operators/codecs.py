@@ -1970,6 +1970,338 @@ def encode_flac_headers(
 
 
 # ---------------------------------------------------------------------------
+# AAC — ADTS frame-header walk (compressed-audio trio with MP3/FLAC)
+# ---------------------------------------------------------------------------
+
+#: ISO/IEC 14496-3 sampling_frequency_index table (indexes 13/14 reserved,
+#: 15 = explicit-frequency escape — all three quarantine)
+_ADTS_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350,
+)
+_ADTS_SAMPLES_PER_BLOCK = 1024
+_ADTS_PROFILES = ("main", "lc", "ssr", "ltp")
+
+
+@_malformed_as_valueerror
+def aac_adts_meta(payload: bytes) -> tuple[str, int, int, int, int, bool]:
+    """(profile, sample_rate, channels, n_frames, duration_ms, has_crc)
+    from an AAC ADTS frame-header walk — the same shape as
+    :func:`mp3_meta`: every frame's 7/9-byte header is parsed and its
+    declared aac_frame_length followed, so the count and duration are
+    real, not extrapolated. Channel-config 0 (PCE-carried layout),
+    reserved frequency indexes, mid-stream parameter changes, and
+    truncation all raise (quarantine contract). Raw AAC payload decode
+    (filterbank/Huffman) is out of scope by design — the ingest plan
+    for a 100 TB audio corpus is O(header bytes) per clip."""
+    pos = 0
+    n = len(payload)
+    n_frames = 0
+    total_blocks = 0
+    profile = rate = channels = has_crc = None
+    while pos < n:
+        if pos + 7 > n:
+            raise ValueError(f"ADTS header truncated at byte {pos}")
+        b0, b1, b2, b3, b4, b5, b6 = payload[pos : pos + 7]
+        if b0 != 0xFF or (b1 & 0xF0) != 0xF0:
+            raise ValueError(f"ADTS frame sync lost at byte {pos}")
+        if (b1 >> 1) & 0x03:
+            raise ValueError("ADTS layer bits must be 00")
+        crc = not (b1 & 0x01)
+        prof = b2 >> 6
+        sf_idx = (b2 >> 2) & 0x0F
+        if sf_idx >= len(_ADTS_RATES):
+            raise ValueError(f"reserved ADTS frequency index {sf_idx}")
+        chan = ((b2 & 0x01) << 2) | (b3 >> 6)
+        if chan == 0:
+            raise ValueError("ADTS channel-config 0 (PCE) unsupported")
+        frame_len = ((b3 & 0x03) << 11) | (b4 << 3) | (b5 >> 5)
+        header_len = 9 if crc else 7
+        if frame_len < header_len or pos + frame_len > n:
+            raise ValueError("ADTS frame truncated")
+        if profile is None:
+            profile, rate, channels, has_crc = (
+                prof, _ADTS_RATES[sf_idx], chan, crc,
+            )
+        elif (prof, _ADTS_RATES[sf_idx], chan, crc) != (
+            profile, rate, channels, has_crc
+        ):
+            raise ValueError("ADTS stream parameters change mid-stream")
+        total_blocks += (b6 & 0x03) + 1
+        n_frames += 1
+        if n_frames > _MP4_MAX_BOXES:
+            raise ValueError("ADTS frame count exceeds walk cap")
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("ADTS has no frames")
+    duration_ms = total_blocks * _ADTS_SAMPLES_PER_BLOCK * 1000 // rate
+    return (
+        _ADTS_PROFILES[profile], rate, channels, n_frames, duration_ms,
+        has_crc,
+    )
+
+
+def encode_adts_frames(
+    n_frames: int,
+    sample_rate: int,
+    channels: int,
+    profile: str = "lc",
+    crc: bool = False,
+    body_bytes: int = 13,
+) -> bytes:
+    """Structurally valid ADTS stream: correct 7/9-byte headers with real
+    frame lengths over deterministic filler payload — the fixture
+    counterpart of :func:`aac_adts_meta` (raw AAC decode out of scope,
+    like the MP3 fixture's silent frames)."""
+    sf_idx = _ADTS_RATES.index(sample_rate)
+    prof = _ADTS_PROFILES.index(profile)
+    if not (1 <= channels <= 7):
+        raise ValueError("ADTS channel-config must be 1-7 here")
+    header_len = 9 if crc else 7
+    frame_len = header_len + body_bytes
+    out = bytearray()
+    for i in range(n_frames):
+        b1 = 0xF0 | (0 << 3) | (0 << 1) | (0 if crc else 1)
+        b2 = (prof << 6) | (sf_idx << 2) | (channels >> 2)
+        b3 = ((channels & 0x03) << 6) | (frame_len >> 11)
+        b4 = (frame_len >> 3) & 0xFF
+        b5 = ((frame_len & 0x07) << 5) | 0x1F  # fullness high bits (VBR)
+        b6 = (0x3F << 2) | 0  # fullness low bits, 1 raw data block
+        out += bytes((0xFF, b1, b2, b3, b4, b5, b6))
+        if crc:
+            out += b"\x00\x00"
+        out += bytes(((i * 31 + j * 7) & 0xFF) for j in range(body_bytes))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# WebM/Matroska — EBML element walk (the open-web video container next
+# to ISO-BMFF; VP8/VP9/AV1 pixel decode stays a non-goal like H.264)
+# ---------------------------------------------------------------------------
+
+_EBML_ID_HEADER = 0x1A45DFA3
+_EBML_ID_DOCTYPE = 0x4282
+_EBML_ID_SEGMENT = 0x18538067
+_EBML_ID_INFO = 0x1549A966
+_EBML_ID_TIMESTAMP_SCALE = 0x2AD7B1
+_EBML_ID_DURATION = 0x4489
+_EBML_ID_TRACKS = 0x1654AE6B
+_EBML_ID_TRACK_ENTRY = 0xAE
+_EBML_ID_TRACK_TYPE = 0x83
+_EBML_ID_CODEC = 0x86
+_EBML_ID_VIDEO = 0xE0
+_EBML_ID_PIXEL_W = 0xB0
+_EBML_ID_PIXEL_H = 0xBA
+
+
+def _ebml_read_id(buf: bytes, pos: int) -> tuple[int, int]:
+    """EBML element ID: length from the leading-zero count of the first
+    byte, value INCLUDING the marker bits (the convention Matroska IDs
+    are published in, e.g. 0x1A45DFA3)."""
+    first = buf[pos]
+    if first == 0:
+        raise ValueError("EBML ID with >8-byte length")
+    length = 1
+    mask = 0x80
+    while not (first & mask):
+        mask >>= 1
+        length += 1
+    if pos + length > len(buf):
+        raise ValueError("EBML ID truncated")
+    return int.from_bytes(buf[pos : pos + length], "big"), pos + length
+
+
+def _ebml_read_size(buf: bytes, pos: int) -> tuple[int, int]:
+    """EBML data size: same vint scheme but the marker bit is stripped;
+    the all-ones 'unknown size' sentinel raises (a metadata walk cannot
+    bound an unknown-size element)."""
+    first = buf[pos]
+    if first == 0:
+        raise ValueError("EBML size with >8-byte length")
+    length = 1
+    mask = 0x80
+    while not (first & mask):
+        mask >>= 1
+        length += 1
+    if pos + length > len(buf):
+        raise ValueError("EBML size truncated")
+    raw = int.from_bytes(buf[pos : pos + length], "big")
+    val = raw & ~(mask << (8 * (length - 1)))
+    if val == (1 << (7 * length)) - 1:
+        raise ValueError("EBML unknown-size element unsupported")
+    return val, pos + length
+
+
+def _ebml_children(buf: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) over a master element's
+    children, bounds-checked, with the shared element-count cap."""
+    pos = start
+    count = 0
+    while pos < end:
+        eid, pos = _ebml_read_id(buf, pos)
+        size, pos = _ebml_read_size(buf, pos)
+        if pos + size > end:
+            raise ValueError(f"EBML element 0x{eid:X} overruns parent")
+        yield eid, pos, pos + size
+        pos += size
+        count += 1
+        if count > _MP4_MAX_BOXES:
+            raise ValueError("EBML element count exceeds walk cap")
+
+
+def _ebml_uint(buf: bytes, start: int, end: int) -> int:
+    if end - start > 8:
+        raise ValueError("EBML uint wider than 8 bytes")
+    return int.from_bytes(buf[start:end], "big")
+
+
+@_malformed_as_valueerror
+def webm_meta(
+    payload: bytes,
+) -> tuple[str, int, int, int, int | None, int | None, str | None]:
+    """(doc_type, timescale_ns, duration_ms, n_tracks, width, height,
+    video_codec) from a WebM/Matroska EBML walk: EBML header DocType,
+    Segment > Info TimestampScale (default 1,000,000 ns) + Duration
+    (float, timestamp-scale ticks), Segment > Tracks census with the
+    FIRST video TrackEntry's CodecID and PixelWidth/PixelHeight —
+    the EBML twin of :func:`mp4_meta`'s ISO-BMFF walk. Audio-only files
+    return NULL dims/codec; malformed vints, overruns, unknown-size
+    elements, and a missing header/Segment raise (quarantine
+    contract)."""
+    n = len(payload)
+    eid, pos = _ebml_read_id(payload, 0)
+    if eid != _EBML_ID_HEADER:
+        raise ValueError("not an EBML payload (missing 0x1A45DFA3 header)")
+    hsize, pos = _ebml_read_size(payload, pos)
+    if pos + hsize > n:
+        raise ValueError("EBML header overruns payload")
+    doc_type = None
+    for cid, b0, b1 in _ebml_children(payload, pos, pos + hsize):
+        if cid == _EBML_ID_DOCTYPE:
+            doc_type = payload[b0:b1].split(b"\x00")[0].decode("ascii")
+    if doc_type is None:
+        raise ValueError("EBML header missing DocType")
+    pos += hsize
+    eid, pos = _ebml_read_id(payload, pos)
+    if eid != _EBML_ID_SEGMENT:
+        raise ValueError("EBML payload missing Segment element")
+    ssize, pos = _ebml_read_size(payload, pos)
+    if pos + ssize > n:
+        raise ValueError("EBML Segment overruns payload")
+    timescale = 1_000_000
+    duration_ticks = None
+    n_tracks = 0
+    width = height = codec = None
+    for cid, b0, b1 in _ebml_children(payload, pos, pos + ssize):
+        if cid == _EBML_ID_INFO:
+            for iid, i0, i1 in _ebml_children(payload, b0, b1):
+                if iid == _EBML_ID_TIMESTAMP_SCALE:
+                    timescale = _ebml_uint(payload, i0, i1)
+                elif iid == _EBML_ID_DURATION:
+                    w = i1 - i0
+                    if w == 4:
+                        (duration_ticks,) = struct.unpack_from(
+                            ">f", payload, i0
+                        )
+                    elif w == 8:
+                        (duration_ticks,) = struct.unpack_from(
+                            ">d", payload, i0
+                        )
+                    else:
+                        raise ValueError(
+                            f"EBML Duration width {w} not 4/8"
+                        )
+        elif cid == _EBML_ID_TRACKS:
+            for tid, t0, t1 in _ebml_children(payload, b0, b1):
+                if tid != _EBML_ID_TRACK_ENTRY:
+                    continue
+                n_tracks += 1
+                ttype = tcodec = tw = th = None
+                for fid, f0, f1 in _ebml_children(payload, t0, t1):
+                    if fid == _EBML_ID_TRACK_TYPE:
+                        ttype = _ebml_uint(payload, f0, f1)
+                    elif fid == _EBML_ID_CODEC:
+                        tcodec = payload[f0:f1].decode("ascii")
+                    elif fid == _EBML_ID_VIDEO:
+                        for vid_, v0, v1 in _ebml_children(
+                            payload, f0, f1
+                        ):
+                            if vid_ == _EBML_ID_PIXEL_W:
+                                tw = _ebml_uint(payload, v0, v1)
+                            elif vid_ == _EBML_ID_PIXEL_H:
+                                th = _ebml_uint(payload, v0, v1)
+                if ttype == 1 and codec is None:
+                    width, height, codec = tw, th, tcodec
+    if timescale < 1:
+        raise ValueError("EBML TimestampScale 0 is invalid")
+    if duration_ticks is None or duration_ticks < 0:
+        raise ValueError("EBML Segment missing a valid Info Duration")
+    duration_ms = int(duration_ticks) * timescale // 1_000_000
+    return doc_type, timescale, duration_ms, n_tracks, width, height, codec
+
+
+def _ebml_elt(eid: int, body: bytes) -> bytes:
+    """ID bytes (published form, marker included) + minimal-width size
+    vint + body."""
+    id_len = (eid.bit_length() + 7) // 8
+    size = len(body)
+    slen = 1
+    while size >= (1 << (7 * slen)) - 1:  # avoid the unknown-size sentinel
+        slen += 1
+    marker = 1 << (8 * slen - slen)
+    return (
+        eid.to_bytes(id_len, "big")
+        + (marker | size).to_bytes(slen, "big")
+        + body
+    )
+
+
+def encode_webm_headers(
+    doc_type: str,
+    timescale: int,
+    duration_ticks: int,
+    tracks: list[dict],
+) -> bytes:
+    """EBML header + Segment(Info, Tracks) — the fixture counterpart of
+    :func:`webm_meta`; each track dict carries handler ('vide'/'soun'),
+    codec, and for video width/height. Clusters (frame data) are out of
+    scope by design, mirroring encode_mp4_headers."""
+    header = _ebml_elt(
+        _EBML_ID_HEADER,
+        _ebml_elt(_EBML_ID_DOCTYPE, doc_type.encode("ascii")),
+    )
+    info = _ebml_elt(
+        _EBML_ID_INFO,
+        _ebml_elt(
+            _EBML_ID_TIMESTAMP_SCALE,
+            timescale.to_bytes((max(timescale, 1).bit_length() + 7) // 8, "big"),
+        )
+        + _ebml_elt(_EBML_ID_DURATION, struct.pack(">d", float(duration_ticks))),
+    )
+    entries = b""
+    for t in tracks:
+        body = _ebml_elt(
+            _EBML_ID_TRACK_TYPE,
+            b"\x01" if t["handler"] == "vide" else b"\x02",
+        ) + _ebml_elt(_EBML_ID_CODEC, t["codec"].encode("ascii"))
+        if t["handler"] == "vide":
+            body += _ebml_elt(
+                _EBML_ID_VIDEO,
+                _ebml_elt(
+                    _EBML_ID_PIXEL_W, t["width"].to_bytes(2, "big")
+                )
+                + _ebml_elt(
+                    _EBML_ID_PIXEL_H, t["height"].to_bytes(2, "big")
+                ),
+            )
+        entries += _ebml_elt(_EBML_ID_TRACK_ENTRY, body)
+    segment = _ebml_elt(
+        _EBML_ID_SEGMENT, info + _ebml_elt(_EBML_ID_TRACKS, entries)
+    )
+    return header + segment
+
+
+# ---------------------------------------------------------------------------
 # TIFF — baseline uncompressed (the same IFD machinery EXIF uses)
 # ---------------------------------------------------------------------------
 

@@ -1611,6 +1611,191 @@ def extract_flac_meta(df: DataFrame, strict: bool = False) -> DataFrame:
     )
 
 
+_ADTS_PROFILE_CYCLE = ("main", "lc", "ssr")
+
+
+def synth_aac_params(media_id: int) -> tuple[str, int, int, int, bool]:
+    """id → (profile, sample_rate, channels, n_frames, has_crc) contract
+    shared with the SQL oracle; every 4th clip carries the 9-byte
+    CRC-protected header form (exercises both header widths)."""
+    from etl_excel_csv_sql_spark.operators.codecs import _ADTS_RATES
+
+    return (
+        _ADTS_PROFILE_CYCLE[media_id % 3],
+        _ADTS_RATES[media_id % 13],
+        1 + media_id % 7,
+        1 + media_id % 40,
+        media_id % 4 == 0,
+    )
+
+
+def synth_aac_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (media_id, payload): structurally valid ADTS streams per
+    the ``synth_aac_params`` contract (real frame headers with correct
+    lengths; raw AAC payload encoding out of scope by design, like MP3
+    main data)."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                prof, rate, ch, nf, crc = synth_aac_params(int(mid))
+                payloads.append(
+                    codecs.encode_adts_frames(
+                        nf, rate, ch, profile=prof, crc=crc
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "payload": pd.Series(payloads, dtype="object")}
+            )
+
+    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+
+
+AAC_META_SCHEMA = (
+    "media_id long, profile string, sample_rate int, channels int, "
+    "n_frames int, duration_ms long, has_crc boolean"
+)
+
+
+def extract_aac_meta(df: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL AAC metadata (ADTS frame-header walk —
+    ``codecs.aac_adts_meta``) via Arrow mapInPandas; undecodable
+    payloads yield nulls unless ``strict``. Completes the compressed-
+    audio trio with :func:`extract_mp3_meta` / :func:`extract_flac_meta`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "profile", "sample_rate", "channels", "n_frames",
+                    "duration_ms", "has_crc",
+                )
+            }
+            for payload in pdf["payload"]:
+                vals = None
+                if payload is not None:
+                    try:
+                        vals = codecs.aac_adts_meta(bytes(payload))
+                    except ValueError:
+                        if strict:
+                            raise
+                if vals is None:
+                    for k in cols:
+                        cols[k].append(None)
+                else:
+                    for k, v in zip(cols, vals):
+                        cols[k].append(v)
+            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, AAC_META_SCHEMA
+    )
+
+
+_WEBM_TIMESCALES = (1_000_000, 500_000, 2_000_000, 100_000)
+_WEBM_VCODECS = ("V_VP8", "V_VP9", "V_AV1")
+_WEBM_DOCTYPES = ("webm", "matroska")
+
+
+def synth_webm_params(
+    media_id: int,
+) -> tuple[str, int, int, int, bool, str, int, int]:
+    """id → (doc_type, timescale_ns, duration_ticks, n_tracks,
+    has_video, vcodec, width, height) contract shared with the SQL
+    oracle — the EBML twin of ``synth_mp4_params`` (same audio-only
+    residue id % 4 == 1, same dim arithmetic)."""
+    return (
+        _WEBM_DOCTYPES[media_id % 2],
+        _WEBM_TIMESCALES[media_id % 4],
+        1000 * (1 + media_id % 30) + media_id % 97,
+        1 + media_id % 3,
+        media_id % 4 != 1,
+        _WEBM_VCODECS[(media_id % 5) % 3],
+        160 + 8 * (media_id % 120),
+        120 + 8 * (media_id % 68),
+    )
+
+
+def synth_webm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (media_id, payload): structurally valid EBML trees per the
+    ``synth_webm_params`` contract (real EBML header/Segment/Info/Tracks
+    vint encoding; Clusters — VP8/VP9 frame data — out of scope by
+    design, like the empty mdat in the MP4 fixture)."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                dt, ts, ticks, n_tracks, has_video, vc, w, h = (
+                    synth_webm_params(int(mid))
+                )
+                tracks: list[dict] = []
+                if has_video:
+                    tracks.append(
+                        {"handler": "vide", "codec": vc, "width": w,
+                         "height": h}
+                    )
+                while len(tracks) < n_tracks:
+                    tracks.append({"handler": "soun", "codec": "A_OPUS"})
+                payloads.append(
+                    codecs.encode_webm_headers(dt, ts, ticks, tracks)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "payload": pd.Series(payloads, dtype="object")}
+            )
+
+    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+
+
+WEBM_META_SCHEMA = (
+    "media_id long, doc_type string, timescale_ns long, duration_ms long, "
+    "n_tracks int, width int, height int, video_codec string"
+)
+
+
+def extract_webm_meta(df: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL WebM/Matroska container metadata (EBML element walk —
+    ``codecs.webm_meta``: DocType, TimestampScale + Duration, track
+    census, first video track's CodecID + pixel dims) via Arrow
+    mapInPandas; undecodable payloads yield nulls unless ``strict``.
+    The open-web container twin of :func:`extract_mp4_meta`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_type", "timescale_ns", "duration_ms", "n_tracks",
+                    "width", "height", "video_codec",
+                )
+            }
+            for payload in pdf["payload"]:
+                vals = None
+                if payload is not None:
+                    try:
+                        vals = codecs.webm_meta(bytes(payload))
+                    except ValueError:
+                        if strict:
+                            raise
+                if vals is None:
+                    for k in cols:
+                        cols[k].append(None)
+                else:
+                    for k, v in zip(cols, vals):
+                        cols[k].append(v)
+            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, WEBM_META_SCHEMA
+    )
+
+
 # analysis sub-fingerprints per synth_audio_fp_payloads clip: frames =
 # (n_samples - frame_len)//hop + 1 Hann windows, minus 1 for the time
 # double-difference — shared with the SQL oracle rendering

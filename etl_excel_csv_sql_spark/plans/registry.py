@@ -3288,6 +3288,89 @@ def q_media_flac_meta(spark, sf_dir):
 
 
 @register(
+    "media_aac_meta",
+    # r12: AAC ADTS frame-header walk — completes the compressed-audio
+    # TRIO (MP3 frame walk, FLAC STREAMINFO, AAC ADTS). FULL value
+    # oracle via the synth_aac_params id contract; every 4th clip uses
+    # the 9-byte CRC header form so both widths are value-checked.
+    """
+    SELECT doc_id AS media_id,
+           (['main','lc','ssr'])[(doc_id % 3) + 1] AS profile,
+           CAST(([96000,88200,64000,48000,44100,32000,24000,22050,
+                  16000,12000,11025,8000,7350])[(doc_id % 13) + 1]
+                AS INT) AS sample_rate,
+           CAST(1 + doc_id % 7 AS INT) AS channels,
+           CAST(1 + doc_id % 40 AS INT) AS n_frames,
+           (1 + doc_id % 40) * 1024 * 1000
+               // ([96000,88200,64000,48000,44100,32000,24000,22050,
+                    16000,12000,11025,8000,7350])[(doc_id % 13) + 1]
+               AS duration_ms,
+           doc_id % 4 = 0 AS has_crc
+    FROM documents
+    """,
+    doc="REAL AAC metadata (ADTS frame-header walk: 7/9-byte headers, "
+    "13-entry frequency-index table, per-frame raw-data-block counts, "
+    "declared-length frame skips — the MP3 walk's MPEG-4 sibling) via "
+    "Arrow mapInPandas; profile/rate/channels/frames/duration/CRC all "
+    "value-checked by the oracle; raw AAC payload decode out of scope "
+    "by design",
+)
+def q_media_aac_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    clips = multimodal.synth_aac_payloads(docs, "doc_id")
+    media = multimodal.to_media_column(clips, "media_id", "payload", "audio")
+    meta = multimodal.extract_aac_meta(media, strict=True)
+    return meta.select(
+        "media_id", "profile", "sample_rate", "channels", "n_frames",
+        "duration_ms", "has_crc",
+    )
+
+
+@register(
+    "media_webm_meta",
+    # r12: WebM/Matroska EBML element walk — the open-web container
+    # twin of media_mp4_meta (vint IDs/sizes, DocType, TimestampScale +
+    # float Duration, track census, first video track's CodecID +
+    # PixelWidth/Height). FULL value oracle via the synth_webm_params
+    # id contract (same audio-only residue id % 4 == 1 as MP4).
+    """
+    SELECT doc_id AS media_id,
+           (['webm','matroska'])[(doc_id % 2) + 1] AS doc_type,
+           CAST(([1000000,500000,2000000,100000])[(doc_id % 4) + 1]
+                AS BIGINT) AS timescale_ns,
+           (1000 * (1 + doc_id % 30) + doc_id % 97)
+               * ([1000000,500000,2000000,100000])[(doc_id % 4) + 1]
+               // 1000000 AS duration_ms,
+           CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+           CASE WHEN doc_id % 4 = 1 THEN NULL
+                ELSE CAST(160 + 8 * (doc_id % 120) AS INT) END AS width,
+           CASE WHEN doc_id % 4 = 1 THEN NULL
+                ELSE CAST(120 + 8 * (doc_id % 68) AS INT) END AS height,
+           CASE WHEN doc_id % 4 = 1 THEN NULL
+                ELSE (['V_VP8','V_VP9','V_AV1'])[((doc_id % 5) % 3) + 1]
+                END AS video_codec
+    FROM documents
+    """,
+    doc="REAL WebM/Matroska container metadata (EBML element walk: "
+    "variable-length vint IDs and sizes, unknown-size sentinel and "
+    "overrun quarantine, DocType, TimestampScale + float Duration, "
+    "track census, first video track's CodecID + pixel dims) via Arrow "
+    "mapInPandas — with ISO-BMFF this covers both containers a real "
+    "100 TB web-video corpus arrives in; VP8/VP9/AV1 pixel decode "
+    "stays a GPU-stage non-goal like H.264",
+)
+def q_media_webm_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    clips = multimodal.synth_webm_payloads(docs, "doc_id")
+    media = multimodal.to_media_column(clips, "media_id", "payload", "video")
+    meta = multimodal.extract_webm_meta(media, strict=True)
+    return meta.select(
+        "media_id", "doc_type", "timescale_ns", "duration_ms", "n_tracks",
+        "width", "height", "video_codec",
+    )
+
+
+@register(
     "media_frame_plan",
     # one row per 20 ms hop of the REAL demuxed duration; the oracle
     # rebuilds duration_ms from the synth contract and unnests the same
@@ -6987,6 +7070,11 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # pool at staleness 6). Rationale: a changed-oracle query with no
 # driver row is a flagged evidence gap (the r11 media_mp3_meta lesson);
 # a 6-round-stale unchanged breadth query is not.
+# Two final late-r12 swaps: new full-oracle media_aac_meta (ADTS walk,
+# completing the compressed-audio trio) and media_webm_meta (EBML walk,
+# the ISO-BMFF twin) replace events_resample_ffill /
+# events_value_anomalies (both last=r7 green, untouched, value-pinned
+# by the local gate; back in the r13 pool).
 WINDOW_ORDER: tuple[str, ...] = (
     "media_mp3_meta",
     "media_mp4_meta",
@@ -7022,8 +7110,8 @@ WINDOW_ORDER: tuple[str, ...] = (
     "bloom_semi_join_prefilter",
     "doc_chunk_windows",
     "stratified_sample_exact",
-    "events_resample_ffill",
-    "events_value_anomalies",
+    "media_aac_meta",
+    "media_webm_meta",
     "tfidf_doc_similarity",
     "simhash_pairs",
     "ann_ivf_persisted_topk",
@@ -7154,6 +7242,8 @@ PYTHON_KERNELS: dict[str, str] = {
     "media_audio_fp_neardup": "stdlib codec decode via Arrow mapInPandas",
     "media_mp4_meta": "stdlib codec decode via Arrow mapInPandas",
     "media_flac_meta": "stdlib codec decode via Arrow mapInPandas",
+    "media_aac_meta": "stdlib codec decode via Arrow mapInPandas",
+    "media_webm_meta": "stdlib codec decode via Arrow mapInPandas",
 }
 
 # Eager queries (see QuerySpec.eager): constructing the frame executes a

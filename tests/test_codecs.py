@@ -420,6 +420,7 @@ def test_every_public_parser_wears_the_valueerror_decorator():
         "decode_wav", "wav_meta", "avi_frames", "avi_meta", "exif_meta",
         "image_meta", "decode_image", "decode_dib_frame", "tiff_meta",
         "decode_tiff", "mp3_meta", "mp4_meta", "flac_meta",
+        "aac_adts_meta", "webm_meta",
     ):
         assert hasattr(getattr(C, name), "__wrapped__"), name
 
@@ -442,7 +443,8 @@ def test_container_parsers_raise_only_valueerror_and_stay_fast():
     base = C.encode_jpeg_baseline(np.zeros((16, 16, 3), np.uint8))
     exifed = base[:2] + app1 + base[2:]
     fns = (C.decode_wav, C.wav_meta, C.avi_frames, C.avi_meta,
-           C.exif_meta, C.jpeg_meta, C.mp3_meta, C.mp4_meta, C.flac_meta)
+           C.exif_meta, C.jpeg_meta, C.mp3_meta, C.mp4_meta, C.flac_meta,
+           C.aac_adts_meta, C.webm_meta)
     trials = quarantined = 0
     mp3 = C.encode_mp3_headers(6, 128, 44100, id3_title="x")
     mp4 = C.encode_mp4_headers(
@@ -451,7 +453,13 @@ def test_container_parsers_raise_only_valueerror_and_stay_fast():
          {"handler": "soun", "codec": "mp4a"}],
     )
     flac = C.encode_flac_headers(44100, 2, 16, 44100, vorbis_comment="t=x")
-    for payload in (wav, mj, dib, exifed, mp3, mp4, flac):
+    aac = C.encode_adts_frames(8, 48000, 2, profile="lc", crc=True)
+    webm = C.encode_webm_headers(
+        "webm", 1_000_000, 4321,
+        [{"handler": "vide", "codec": "V_VP9", "width": 320, "height": 240},
+         {"handler": "soun", "codec": "A_OPUS"}],
+    )
+    for payload in (wav, mj, dib, exifed, mp3, mp4, flac, aac, webm):
         for _ in range(60):
             buf = bytearray(payload)
             if rng.rand() < 0.3:
@@ -1158,3 +1166,116 @@ def test_mjpeg_avi_real_pixel_frames_roundtrip():
         dec = C.decode_jpeg(body)
         assert dec.shape == (24, 32, 3)
         assert np.abs(dec.astype(int) - src.astype(int)).mean() < 3.0
+
+
+def test_aac_adts_meta_contract_cycle():
+    """Round-trip the full synth id cycle (both header widths, all 13
+    frequency indexes, profiles, channel configs) and check duration
+    arithmetic against the 1024-samples-per-raw-block rule."""
+    for mid in range(60):
+        rate = C._ADTS_RATES[mid % 13]
+        ch = 1 + mid % 7
+        prof = ("main", "lc", "ssr")[mid % 3]
+        nf = 1 + mid % 40
+        crc = mid % 4 == 0
+        p = C.encode_adts_frames(nf, rate, ch, profile=prof, crc=crc)
+        assert C.aac_adts_meta(p) == (
+            prof, rate, ch, nf, nf * 1024 * 1000 // rate, crc
+        )
+
+
+def test_aac_adts_meta_rejects_malformed():
+    good = C.encode_adts_frames(3, 44100, 2)
+    with pytest.raises(ValueError, match="sync"):
+        C.aac_adts_meta(b"\x00" + good)
+    with pytest.raises(ValueError, match="truncated"):
+        C.aac_adts_meta(good[:-4])
+    with pytest.raises(ValueError, match="no frames"):
+        C.aac_adts_meta(b"")
+    # reserved frequency index 13 (0b1101 in bits 2-5 of byte 2)
+    buf = bytearray(good)
+    buf[2] = (buf[2] & 0xC3) | (13 << 2)
+    with pytest.raises(ValueError, match="frequency index"):
+        C.aac_adts_meta(bytes(buf))
+    # channel-config 0 (PCE-carried layout)
+    buf = bytearray(good)
+    buf[2] &= 0xFE
+    buf[3] &= 0x3F
+    with pytest.raises(ValueError, match="PCE"):
+        C.aac_adts_meta(bytes(buf))
+    # layer bits must be 00
+    buf = bytearray(good)
+    buf[1] |= 0x06
+    with pytest.raises(ValueError, match="layer"):
+        C.aac_adts_meta(bytes(buf))
+    # parameter change mid-stream: splice a 48 kHz frame after 44.1 kHz
+    other = C.encode_adts_frames(1, 48000, 2)
+    with pytest.raises(ValueError, match="mid-stream"):
+        C.aac_adts_meta(good + other)
+
+
+def test_webm_meta_contract_cycle():
+    """Round-trip the synth id cycle: both doctypes, all timescales,
+    video-first and audio-only track layouts, integer duration-ms
+    arithmetic through the float Duration element."""
+    for mid in range(60):
+        ts = (1_000_000, 500_000, 2_000_000, 100_000)[mid % 4]
+        ticks = 1000 * (1 + mid % 30) + mid % 97
+        ntr = 1 + mid % 3
+        audio_only = mid % 4 == 1
+        w, h = 160 + 8 * (mid % 120), 120 + 8 * (mid % 68)
+        vc = ("V_VP8", "V_VP9", "V_AV1")[(mid % 5) % 3]
+        tracks = []
+        if not audio_only:
+            tracks.append(
+                {"handler": "vide", "codec": vc, "width": w, "height": h}
+            )
+        while len(tracks) < ntr:
+            tracks.append({"handler": "soun", "codec": "A_OPUS"})
+        dt = ("webm", "matroska")[mid % 2]
+        p = C.encode_webm_headers(dt, ts, ticks, tracks)
+        want = (
+            dt, ts, ticks * ts // 1_000_000, ntr,
+            None if audio_only else w,
+            None if audio_only else h,
+            None if audio_only else vc,
+        )
+        assert C.webm_meta(p) == want, mid
+
+
+def test_webm_meta_rejects_malformed():
+    good = C.encode_webm_headers(
+        "webm", 1_000_000, 1234,
+        [{"handler": "vide", "codec": "V_VP9", "width": 64, "height": 48}],
+    )
+    with pytest.raises(ValueError, match="EBML"):
+        C.webm_meta(b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="header"):
+        C.webm_meta(b"\x1aEx" + good[3:])
+    # truncation inside the Segment
+    with pytest.raises(ValueError, match="overrun|truncated"):
+        C.webm_meta(good[:-6])
+    # unknown-size sentinel on the Segment size vint (1-byte 0xFF)
+    seg_at = good.index(bytes.fromhex("18538067"))
+    buf = bytearray(good)
+    buf[seg_at + 4] = 0xFF
+    with pytest.raises(ValueError, match="unknown-size|overrun"):
+        C.webm_meta(bytes(buf))
+    # a header without DocType
+    no_doctype = C._ebml_elt(0x1A45DFA3, b"") + good[good.index(
+        bytes.fromhex("18538067")
+    ):]
+    with pytest.raises(ValueError, match="DocType"):
+        C.webm_meta(no_doctype)
+    # Duration element of invalid width (5 bytes) — composed bottom-up
+    # so every parent size stays consistent (a bytes.replace would
+    # desynchronize the Info/Segment lengths and fail earlier)
+    header = C._ebml_elt(0x1A45DFA3, C._ebml_elt(0x4282, b"webm"))
+    info = C._ebml_elt(
+        0x1549A966, C._ebml_elt(0x4489, b"\x00\x00\x00\x00\x00")
+    )
+    bad_dur = header + C._ebml_elt(
+        0x18538067, info + C._ebml_elt(0x1654AE6B, b"")
+    )
+    with pytest.raises(ValueError, match="width"):
+        C.webm_meta(bad_dur)

@@ -947,3 +947,63 @@ def test_mixed_real_world_shapes_quarantine_rate_zero(spark):
         == hashes[7] == hashes[8] == hashes[11]
     )
     assert hashes[9] == hashes[10]
+
+
+def test_aac_meta_kernel_follows_contract(spark):
+    """extract_aac_meta over synth ADTS fixtures matches
+    synth_aac_params for every field; garbage yields nulls (raise
+    under strict)."""
+    df = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    clips = multimodal.synth_aac_payloads(df)
+    media = multimodal.to_media_column(clips, "media_id", "payload", "audio")
+    rows = {
+        r.media_id: r
+        for r in multimodal.extract_aac_meta(media, strict=True).collect()
+    }
+    for mid in range(24):
+        prof, rate, ch, nf, crc = multimodal.synth_aac_params(mid)
+        r = rows[mid]
+        assert (
+            r.profile, r.sample_rate, r.channels, r.n_frames, r.has_crc
+        ) == (prof, rate, ch, nf, crc), mid
+        assert r.duration_ms == nf * 1024 * 1000 // rate
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"\x00not adts"))], ["doc_id", "blob"]
+    )
+    bad_media = multimodal.to_media_column(bad, "doc_id", "blob", "audio")
+    lax = multimodal.extract_aac_meta(bad_media).collect()[0]
+    assert lax.sample_rate is None and lax.has_crc is None
+    with pytest.raises(Exception, match="ADTS"):
+        multimodal.extract_aac_meta(bad_media, strict=True).collect()
+
+
+def test_webm_meta_kernel_follows_contract(spark):
+    """extract_webm_meta over synth EBML fixtures matches
+    synth_webm_params for every field (audio-only residue included);
+    garbage yields nulls (raise under strict)."""
+    df = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    clips = multimodal.synth_webm_payloads(df)
+    media = multimodal.to_media_column(clips, "media_id", "payload", "video")
+    rows = {
+        r.media_id: r
+        for r in multimodal.extract_webm_meta(media, strict=True).collect()
+    }
+    for mid in range(24):
+        dt, ts, ticks, ntr, has_video, vc, w, h = (
+            multimodal.synth_webm_params(mid)
+        )
+        r = rows[mid]
+        assert (r.doc_type, r.timescale_ns, r.n_tracks) == (dt, ts, ntr)
+        assert r.duration_ms == ticks * ts // 1_000_000
+        if has_video:
+            assert (r.width, r.height, r.video_codec) == (w, h, vc), mid
+        else:
+            assert (r.width, r.height, r.video_codec) == (None,) * 3, mid
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"\x00\x00 not ebml"))], ["doc_id", "blob"]
+    )
+    bad_media = multimodal.to_media_column(bad, "doc_id", "blob", "video")
+    lax = multimodal.extract_webm_meta(bad_media).collect()[0]
+    assert lax.doc_type is None and lax.n_tracks is None
+    with pytest.raises(Exception, match="EBML"):
+        multimodal.extract_webm_meta(bad_media, strict=True).collect()
