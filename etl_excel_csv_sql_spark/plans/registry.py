@@ -3526,6 +3526,125 @@ def q_stratified_sample_exact(spark, sf_dir):
 
 
 @register(
+    "sequence_packing_ffd",
+    # r12 (new operator family): sequence packing — FFD bin-packing of
+    # tokenized docs into fixed context windows, sharded into
+    # independent per-bucket sub-problems (the only way the inherently
+    # sequential first-fit scan distributes). FULL value oracle via a
+    # planted length contract: bucket = id % 16 (the deterministic
+    # bucket override; production uses the xxhash shard), length = 4096
+    # (capacity) for id % 3 == 0 else 2048. FFD order (len desc, id
+    # asc) makes the assignment closed-form: every full doc takes its
+    # own bin (bin_id = rank among fulls), halves then pair up in id
+    # order behind them (bin_id = n_full + (rank-1)//2) — first-fit
+    # can never place a half into a full bin, and the second half of
+    # each pair lands in the first half-open bin. test_packing pins the
+    # literal AND the invariants on random lengths.
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 16 AS bucket,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 4096 ELSE 2048 END
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT doc_id, bucket, n_tokens,
+             row_number() OVER (
+               PARTITION BY bucket, n_tokens ORDER BY doc_id
+             ) AS rn,
+             SUM(CASE WHEN n_tokens = 4096 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY bucket) AS nfull
+      FROM d
+    )
+    SELECT doc_id, bucket,
+           CAST(CASE WHEN n_tokens = 4096 THEN rn - 1
+                     ELSE nfull + (rn - 1) // 2 END AS BIGINT) AS bin_id,
+           n_tokens
+    FROM r
+    """,
+    doc="sequence packing (the T5/GPT example-packing stage): "
+    "first-fit-decreasing bin-packing of tokenized docs into "
+    "fixed-capacity context windows, sharded by a stable id hash into "
+    "independent applyInPandas sub-problems — ONE shuffle of two longs "
+    "per doc regardless of doc size, deterministic replayable "
+    "assignment, 11/9-OPT FFD bound per bucket. Planted length "
+    "geometry makes the full assignment closed-form — full value "
+    "oracle",
+)
+def q_sequence_packing_ffd(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit(4096))
+        .otherwise(F.lit(2048))
+        .alias("n_tokens"),
+    )
+    return packing.pack_sequences_ffd(
+        docs, capacity=4096,
+        bucket=F.pmod(F.col("doc_id"), F.lit(16)),
+    )
+
+
+@register(
+    "sequence_packing_report",
+    # r12: the capacity-sizing readout over the same planted packing —
+    # the oracle recomputes the closed-form bins and aggregates exactly
+    # like packing_report (no oversized docs in this geometry, so the
+    # packable-mass filters are no-ops on both sides).
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 16 AS bucket,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 4096 ELSE 2048 END
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT doc_id, bucket, n_tokens,
+             row_number() OVER (
+               PARTITION BY bucket, n_tokens ORDER BY doc_id
+             ) AS rn,
+             SUM(CASE WHEN n_tokens = 4096 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY bucket) AS nfull
+      FROM d
+    ), a AS (
+      SELECT bucket,
+             CASE WHEN n_tokens = 4096 THEN rn - 1
+                  ELSE nfull + (rn - 1) // 2 END AS bin_id,
+             n_tokens
+      FROM r
+    ), bins AS (
+      SELECT bucket, bin_id, SUM(n_tokens) AS fill, COUNT(*) AS nd
+      FROM a GROUP BY 1, 2
+    )
+    SELECT CAST(SUM(nd) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_bins,
+           CAST(0 AS BIGINT) AS n_oversized_bins,
+           ROUND(AVG(fill / 4096.0), 6) AS mean_fill_frac,
+           ROUND(SUM(4096 - fill) / CAST(COUNT(*) * 4096 AS DOUBLE), 6)
+             AS waste_frac
+    FROM bins
+    """,
+    doc="packing-quality summary (docs, bins, oversized bins, mean fill "
+    "fraction, padding-waste fraction) — the number the context-length "
+    "capacity knob is chosen from; one (bucket, bin) aggregation plus "
+    "one global reduce over the packing manifest",
+)
+def q_sequence_packing_report(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit(4096))
+        .otherwise(F.lit(2048))
+        .alias("n_tokens"),
+    )
+    assignments = packing.pack_sequences_ffd(
+        docs, capacity=4096,
+        bucket=F.pmod(F.col("doc_id"), F.lit(16)),
+    )
+    return packing.packing_report(assignments, capacity=4096)
+
+
+@register(
     "temperature_resample_weights",
     """
     WITH g AS (
@@ -7070,11 +7189,13 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # pool at staleness 6). Rationale: a changed-oracle query with no
 # driver row is a flagged evidence gap (the r11 media_mp3_meta lesson);
 # a 6-round-stale unchanged breadth query is not.
-# Two final late-r12 swaps: new full-oracle media_aac_meta (ADTS walk,
-# completing the compressed-audio trio) and media_webm_meta (EBML walk,
-# the ISO-BMFF twin) replace events_resample_ffill /
-# events_value_anomalies (both last=r7 green, untouched, value-pinned
-# by the local gate; back in the r13 pool).
+# Three final late-r12 swaps: new full-oracle media_aac_meta (ADTS
+# walk, completing the compressed-audio trio), media_webm_meta (EBML
+# walk, the ISO-BMFF twin), and sequence_packing_ffd (the new
+# example-packing operator family) replace events_resample_ffill /
+# events_value_anomalies / stratified_sample_exact (all last=r7 green,
+# untouched, value-pinned by the local gate; back in the r13 pool).
+# sequence_packing_report rides on the local gate + pytest until r13.
 WINDOW_ORDER: tuple[str, ...] = (
     "media_mp3_meta",
     "media_mp4_meta",
@@ -7109,7 +7230,7 @@ WINDOW_ORDER: tuple[str, ...] = (
     "settings_datasource_scan",
     "bloom_semi_join_prefilter",
     "doc_chunk_windows",
-    "stratified_sample_exact",
+    "sequence_packing_ffd",
     "media_aac_meta",
     "media_webm_meta",
     "tfidf_doc_similarity",
@@ -7244,6 +7365,10 @@ PYTHON_KERNELS: dict[str, str] = {
     "media_flac_meta": "stdlib codec decode via Arrow mapInPandas",
     "media_aac_meta": "stdlib codec decode via Arrow mapInPandas",
     "media_webm_meta": "stdlib codec decode via Arrow mapInPandas",
+    "sequence_packing_ffd": "sequential first-fit scan per bucket via "
+    "grouped applyInPandas (two longs per doc — never the tokens)",
+    "sequence_packing_report": "packs via the same applyInPandas kernel "
+    "before the pure-JVM aggregation",
 }
 
 # Eager queries (see QuerySpec.eager): constructing the frame executes a
