@@ -87,21 +87,44 @@ def pack_sequences_ffd(
         sorted_pdf = pdf.sort_values(
             ["n_tokens", "doc_id"], ascending=[False, True]
         )
-        fills: list[int] = []
+        # First-fit via a max-segment-tree over per-bin REMAINING space:
+        # "leftmost bin with remaining >= ln" is an O(log n) descent
+        # (go left iff the left subtree's max fits), so a bucket packs
+        # in O(n log n) instead of the naive O(n·bins) scan — the naive
+        # loop goes quadratic exactly in the common all-bins-nearly-full
+        # regime a ×100 corpus hits. Identical placement order to the
+        # textbook scan: the tree always yields the LOWEST-indexed bin
+        # with room.
+        n_items = len(sorted_pdf)
+        size = 1
+        while size < max(n_items, 1):
+            size *= 2
+        tree = [0] * (2 * size)  # max remaining per segment; leaf=bin
+        n_bins = 0
         bins: list[int] = []
+
+        def update(leaf: int, value: int) -> None:
+            i = size + leaf
+            tree[i] = value
+            i //= 2
+            while i:
+                tree[i] = max(tree[2 * i], tree[2 * i + 1])
+                i //= 2
+
         for ln in sorted_pdf["n_tokens"].to_numpy():
-            placed = None
-            if ln <= capacity:
-                for i, fill in enumerate(fills):
-                    if fill + ln <= capacity:
-                        placed = i
-                        break
-            if placed is None:
-                placed = len(fills)
-                fills.append(int(ln))
+            ln = int(ln)
+            if ln <= capacity and tree[1] >= ln:
+                i = 1
+                while i < size:
+                    i = 2 * i if tree[2 * i] >= ln else 2 * i + 1
+                leaf = i - size
+                bins.append(leaf)
+                update(leaf, tree[i] - ln)
             else:
-                fills[placed] += int(ln)
-            bins.append(placed)
+                # no bin fits (or the doc is oversize): open bin n_bins
+                bins.append(n_bins)
+                update(n_bins, max(capacity - ln, 0))
+                n_bins += 1
         out = sorted_pdf[["doc_id", "bucket", "n_tokens"]].copy()
         out["bin_id"] = bins
         return out[["doc_id", "bucket", "bin_id", "n_tokens"]]

@@ -118,3 +118,41 @@ def test_null_and_negative_lengths_raise(spark):
         packing.pack_sequences_ffd(df2, capacity=CAP).collect()
     with pytest.raises(ValueError, match="capacity"):
         packing.pack_sequences_ffd(df2, capacity=0)
+
+
+def test_segment_tree_first_fit_equals_naive_scan(spark):
+    """The O(n log n) segment-tree descent must place every item in
+    EXACTLY the bin the textbook O(n·bins) first-fit scan would pick
+    (the tree is an index, not a heuristic) — fuzzed over random
+    length mixes including exact fits and oversize docs."""
+    rng = random.Random(99)
+    for trial in range(5):
+        rows = [
+            (i, rng.choice([1, 7, 100, 250, 333, 500, 999, 1000, 1400]))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+        got = {
+            r["doc_id"]: r["bin_id"]
+            for r in packing.pack_sequences_ffd(
+                df, capacity=CAP, bucket=F.lit(0)
+            ).collect()
+        }
+        fills: list[int] = []
+        want = {}
+        for ln, did in sorted(
+            ((ln, did) for did, ln in rows), key=lambda t: (-t[0], t[1])
+        ):
+            placed = None
+            if ln <= CAP:
+                for i, fill in enumerate(fills):
+                    if fill + ln <= CAP:
+                        placed = i
+                        break
+            if placed is None:
+                placed = len(fills)
+                fills.append(ln)
+            else:
+                fills[placed] += ln
+            want[did] = placed
+        assert got == want, f"trial {trial}"
