@@ -2302,6 +2302,237 @@ def encode_webm_headers(
 
 
 # ---------------------------------------------------------------------------
+# WebP — RIFF container metadata (VP8 lossy / VP8L lossless / VP8X
+# extended headers; pixel decode of the VP8 bitstream is a non-goal
+# like H.264/VP9)
+# ---------------------------------------------------------------------------
+
+
+@_malformed_as_valueerror
+def webp_meta(payload: bytes) -> tuple[str, int, int, bool, bool]:
+    """(format, width, height, has_alpha, has_animation) from the WebP
+    RIFF header — format is 'lossy' (VP8 keyframe header), 'lossless'
+    (VP8L signature + 14-bit packed dims), or 'extended' (VP8X flags +
+    24-bit canvas dims). Truncation, bad signatures/start codes, and a
+    nonzero VP8L version all raise (quarantine contract)."""
+    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size + 8 > len(payload):
+        raise ValueError("WebP RIFF size overruns payload")
+    fourcc = payload[12:16]
+    (csize,) = struct.unpack_from("<I", payload, 16)
+    body = 20
+    if body + csize > len(payload):
+        raise ValueError("WebP chunk overruns payload")
+    if fourcc == b"VP8 ":
+        if csize < 10:
+            raise ValueError("VP8 chunk too short for a keyframe header")
+        tag = int.from_bytes(payload[body : body + 3], "little")
+        if tag & 0x01:
+            raise ValueError("WebP VP8 first frame is not a keyframe")
+        if payload[body + 3 : body + 6] != b"\x9d\x01\x2a":
+            raise ValueError("WebP VP8 keyframe start code missing")
+        (w16,) = struct.unpack_from("<H", payload, body + 6)
+        (h16,) = struct.unpack_from("<H", payload, body + 8)
+        return "lossy", w16 & 0x3FFF, h16 & 0x3FFF, False, False
+    if fourcc == b"VP8L":
+        if csize < 5 or payload[body] != 0x2F:
+            raise ValueError("WebP VP8L signature byte missing")
+        (bits,) = struct.unpack_from("<I", payload, body + 1)
+        if (bits >> 29) & 0x7:
+            raise ValueError("WebP VP8L version must be 0")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return "lossless", w, h, bool((bits >> 28) & 1), False
+    if fourcc == b"VP8X":
+        if csize < 10:
+            raise ValueError("VP8X chunk must be 10 bytes")
+        flags = payload[body]
+        w = int.from_bytes(payload[body + 4 : body + 7], "little") + 1
+        h = int.from_bytes(payload[body + 7 : body + 10], "little") + 1
+        return (
+            "extended", w, h, bool(flags & 0x10), bool(flags & 0x02),
+        )
+    raise ValueError(f"unsupported WebP chunk {fourcc!r}")
+
+
+def encode_webp_headers(
+    fmt: str,
+    width: int,
+    height: int,
+    alpha: bool = False,
+    animation: bool = False,
+) -> bytes:
+    """Structurally valid WebP header bytes for the three container
+    forms — the fixture counterpart of :func:`webp_meta` (VP8/VP8L
+    bitstream payload out of scope by design)."""
+    if fmt == "lossy":
+        if not (1 <= width < (1 << 14) and 1 <= height < (1 << 14)):
+            raise ValueError("VP8 dims are 14-bit")
+        body = (
+            b"\x00\x00\x00"  # keyframe tag
+            + b"\x9d\x01\x2a"
+            + struct.pack("<HH", width, height)
+            + bytes(8)  # truncated-but-declared bitstream filler
+        )
+        chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    elif fmt == "lossless":
+        if not (1 <= width <= (1 << 14) and 1 <= height <= (1 << 14)):
+            raise ValueError("VP8L dims are 14-bit + 1")
+        bits = (
+            (width - 1)
+            | ((height - 1) << 14)
+            | ((1 if alpha else 0) << 28)
+        )
+        body = b"\x2f" + struct.pack("<I", bits) + bytes(4)
+        chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    elif fmt == "extended":
+        if not (1 <= width <= (1 << 24) and 1 <= height <= (1 << 24)):
+            raise ValueError("VP8X canvas dims are 24-bit + 1")
+        flags = (0x10 if alpha else 0) | (0x02 if animation else 0)
+        body = (
+            bytes((flags,))
+            + bytes(3)
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little")
+        )
+        chunk = b"VP8X" + struct.pack("<I", len(body)) + body
+    else:
+        raise ValueError(f"unknown WebP fixture format {fmt!r}")
+    riff_body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+# ---------------------------------------------------------------------------
+# Ogg/Opus — page walk + OpusHead identification header (the fourth
+# compressed-audio container next to MP3/FLAC/AAC)
+# ---------------------------------------------------------------------------
+
+_OPUS_GRANULE_RATE = 48_000  # Opus granules are ALWAYS 48 kHz samples
+
+
+@_malformed_as_valueerror
+def ogg_opus_meta(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(channels, pre_skip, input_sample_rate, n_pages, duration_ms)
+    from an Ogg page walk: every page's segment table is followed (so
+    the page count is real), the FIRST page's single packet must be an
+    OpusHead identification header (RFC 7845), and the duration comes
+    from the LAST page's granule position minus pre-skip at the fixed
+    48 kHz granule rate. Bad capture patterns, truncated pages, and
+    non-Opus streams raise (quarantine contract)."""
+    pos = 0
+    n = len(payload)
+    n_pages = 0
+    channels = pre_skip = in_rate = None
+    last_granule = 0
+    while pos < n:
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError(f"Ogg capture pattern lost at byte {pos}")
+        if pos + 27 > n:
+            raise ValueError("Ogg page header truncated")
+        if payload[pos + 4] != 0:
+            raise ValueError("Ogg stream-structure version must be 0")
+        (granule,) = struct.unpack_from("<q", payload, pos + 6)
+        n_segs = payload[pos + 26]
+        table = payload[pos + 27 : pos + 27 + n_segs]
+        if len(table) != n_segs:
+            raise ValueError("Ogg segment table truncated")
+        body = pos + 27 + n_segs
+        body_len = sum(table)
+        if body + body_len > n:
+            raise ValueError("Ogg page body overruns payload")
+        if n_pages == 0:
+            head = payload[body : body + body_len]
+            if head[:8] != b"OpusHead":
+                raise ValueError("first Ogg packet is not OpusHead")
+            if len(head) < 19:
+                raise ValueError("OpusHead truncated")
+            if head[8] != 1:
+                raise ValueError(f"OpusHead version {head[8]} != 1")
+            channels = head[9]
+            if channels < 1:
+                raise ValueError("OpusHead channel count 0 is invalid")
+            (pre_skip,) = struct.unpack_from("<H", head, 10)
+            (in_rate,) = struct.unpack_from("<I", head, 12)
+        if granule >= 0:
+            last_granule = granule
+        n_pages += 1
+        if n_pages > _MP4_MAX_BOXES:
+            raise ValueError("Ogg page count exceeds walk cap")
+        pos = body + body_len
+    if n_pages == 0 or channels is None:
+        raise ValueError("Ogg has no pages")
+    samples = max(last_granule - pre_skip, 0)
+    return (
+        channels, pre_skip, in_rate, n_pages,
+        samples * 1000 // _OPUS_GRANULE_RATE,
+    )
+
+
+def _ogg_page(
+    seq: int, granule: int, packet: bytes, header_type: int = 0
+) -> bytes:
+    segs = []
+    rest = len(packet)
+    while rest >= 255:
+        segs.append(255)
+        rest -= 255
+    segs.append(rest)
+    return (
+        b"OggS"
+        + bytes((0, header_type))
+        + struct.pack("<q", granule)
+        + struct.pack("<I", 0x1234)  # serial
+        + struct.pack("<I", seq)
+        + struct.pack("<I", 0)  # CRC unchecked by the metadata walk
+        + bytes((len(segs),))
+        + bytes(segs)
+        + packet
+    )
+
+
+def encode_ogg_opus(
+    channels: int,
+    pre_skip: int,
+    input_sample_rate: int,
+    n_audio_pages: int,
+    samples: int,
+) -> bytes:
+    """OpusHead page + OpusTags page + ``n_audio_pages`` audio pages
+    whose final granule is ``pre_skip + samples`` — the fixture
+    counterpart of :func:`ogg_opus_meta` (Opus frame ENCODING out of
+    scope by design, like MP3/AAC main data)."""
+    if not (1 <= channels <= 8):
+        raise ValueError("Opus fixture channels 1-8")
+    head = (
+        b"OpusHead"
+        + bytes((1, channels))
+        + struct.pack("<H", pre_skip)
+        + struct.pack("<I", input_sample_rate)
+        + struct.pack("<h", 0)  # output gain
+        + bytes((0,))  # mapping family 0
+    )
+    tags = (
+        b"OpusTags"
+        + struct.pack("<I", 4) + b"etl0"
+        + struct.pack("<I", 0)
+    )
+    # header pages carry granule -1 per RFC 7845 (no PCM position);
+    # 0x02 marks beginning-of-stream on the identification page
+    out = _ogg_page(0, -1, head, header_type=0x02)
+    out += _ogg_page(1, -1, tags)
+    total = pre_skip + samples
+    for i in range(n_audio_pages):
+        frac = (i + 1) / n_audio_pages
+        granule = int(total * frac)
+        eos = 0x04 if i == n_audio_pages - 1 else 0
+        body = bytes(((i * 13 + j) & 0xFF) for j in range(20))
+        out += _ogg_page(2 + i, granule, body, header_type=eos)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # TIFF — baseline uncompressed (the same IFD machinery EXIF uses)
 # ---------------------------------------------------------------------------
 

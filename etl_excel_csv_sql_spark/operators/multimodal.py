@@ -1796,6 +1796,170 @@ def extract_webm_meta(df: DataFrame, strict: bool = False) -> DataFrame:
     )
 
 
+_WEBP_FORMATS = ("lossy", "lossless", "extended")
+
+
+def synth_webp_params(media_id: int) -> tuple[str, int, int, bool, bool]:
+    """id → (format, width, height, has_alpha, has_animation) contract
+    shared with the SQL oracle — lossy VP8 has no alpha bit, animation
+    exists only on the extended form."""
+    fmt = _WEBP_FORMATS[media_id % 3]
+    return (
+        fmt,
+        16 + (media_id % 120) * 8,
+        16 + (media_id % 68) * 8,
+        media_id % 2 == 0 and fmt != "lossy",
+        fmt == "extended" and media_id % 5 == 0,
+    )
+
+
+def synth_webp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (media_id, payload): structurally valid WebP RIFF headers
+    per the ``synth_webp_params`` contract (VP8/VP8L bitstream payload
+    out of scope by design)."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                fmt, w, h, alpha, anim = synth_webp_params(int(mid))
+                payloads.append(
+                    codecs.encode_webp_headers(
+                        fmt, w, h, alpha=alpha, animation=anim
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "payload": pd.Series(payloads, dtype="object")}
+            )
+
+    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+
+
+WEBP_META_SCHEMA = (
+    "media_id long, format string, width int, height int, "
+    "has_alpha boolean, has_animation boolean"
+)
+
+
+def extract_webp_meta(df: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL WebP metadata (RIFF VP8/VP8L/VP8X header parse —
+    ``codecs.webp_meta``) via Arrow mapInPandas; undecodable payloads
+    yield nulls unless ``strict``. Joins the image-container family
+    (BMP/PNG/PPM/GIF/JPEG/TIFF)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "format", "width", "height", "has_alpha",
+                    "has_animation",
+                )
+            }
+            for payload in pdf["payload"]:
+                vals = None
+                if payload is not None:
+                    try:
+                        vals = codecs.webp_meta(bytes(payload))
+                    except ValueError:
+                        if strict:
+                            raise
+                if vals is None:
+                    for k in cols:
+                        cols[k].append(None)
+                else:
+                    for k, v in zip(cols, vals):
+                        cols[k].append(v)
+            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, WEBP_META_SCHEMA
+    )
+
+
+_OGG_RATES = (48000, 44100, 16000, 8000)
+
+
+def synth_ogg_params(media_id: int) -> tuple[int, int, int, int, int]:
+    """id → (channels, pre_skip, input_sample_rate, n_audio_pages,
+    samples) contract shared with the SQL oracle (total page count =
+    audio pages + the OpusHead and OpusTags header pages)."""
+    return (
+        1 + media_id % 8,
+        312 + media_id % 100,
+        _OGG_RATES[media_id % 4],
+        1 + media_id % 9,
+        48000 * (1 + media_id % 10) + media_id % 997,
+    )
+
+
+def synth_ogg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (media_id, payload): real Ogg page chains carrying an
+    OpusHead/OpusTags header pair and granule-positioned audio pages
+    per the ``synth_ogg_params`` contract (Opus frame encoding out of
+    scope by design)."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                ch, ps, ir, npg, samp = synth_ogg_params(int(mid))
+                payloads.append(
+                    codecs.encode_ogg_opus(ch, ps, ir, npg, samp)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "payload": pd.Series(payloads, dtype="object")}
+            )
+
+    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+
+
+OGG_META_SCHEMA = (
+    "media_id long, channels int, pre_skip int, input_sample_rate long, "
+    "n_pages int, duration_ms long"
+)
+
+
+def extract_ogg_meta(df: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL Ogg/Opus metadata (page walk + OpusHead parse —
+    ``codecs.ogg_opus_meta``) via Arrow mapInPandas; undecodable
+    payloads yield nulls unless ``strict``. The fourth compressed-audio
+    container next to MP3/FLAC/AAC."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "channels", "pre_skip", "input_sample_rate",
+                    "n_pages", "duration_ms",
+                )
+            }
+            for payload in pdf["payload"]:
+                vals = None
+                if payload is not None:
+                    try:
+                        vals = codecs.ogg_opus_meta(bytes(payload))
+                    except ValueError:
+                        if strict:
+                            raise
+                if vals is None:
+                    for k in cols:
+                        cols[k].append(None)
+                else:
+                    for k, v in zip(cols, vals):
+                        cols[k].append(v)
+            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, OGG_META_SCHEMA
+    )
+
+
 # analysis sub-fingerprints per synth_audio_fp_payloads clip: frames =
 # (n_samples - frame_len)//hop + 1 Hann windows, minus 1 for the time
 # double-difference — shared with the SQL oracle rendering

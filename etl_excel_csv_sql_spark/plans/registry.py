@@ -3327,6 +3327,73 @@ def q_media_aac_meta(spark, sf_dir):
 
 
 @register(
+    "media_webp_meta",
+    # r12: WebP RIFF metadata — all three container forms (VP8 lossy
+    # keyframe header, VP8L lossless packed dims, VP8X extended canvas)
+    # cycle by id. FULL value oracle via the synth_webp_params id
+    # contract; lossy carries no alpha bit and animation exists only on
+    # the extended form, so both flags are closed-form too.
+    """
+    SELECT doc_id AS media_id,
+           (['lossy','lossless','extended'])[(doc_id % 3) + 1] AS format,
+           CAST(16 + (doc_id % 120) * 8 AS INT) AS width,
+           CAST(16 + (doc_id % 68) * 8 AS INT) AS height,
+           doc_id % 2 = 0 AND doc_id % 3 <> 0 AS has_alpha,
+           doc_id % 3 = 2 AND doc_id % 5 = 0 AS has_animation
+    FROM documents
+    """,
+    doc="REAL WebP metadata (RIFF walk over the three container forms: "
+    "VP8 keyframe start-code + 14-bit dims, VP8L signature + packed "
+    "dims/alpha, VP8X flags + 24-bit canvas) via Arrow mapInPandas — "
+    "joins the BMP/PNG/PPM/GIF/JPEG/TIFF image-container family; VP8 "
+    "bitstream pixel decode stays a non-goal like H.264",
+)
+def q_media_webp_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    clips = multimodal.synth_webp_payloads(docs, "doc_id")
+    media = multimodal.to_media_column(clips, "media_id", "payload", "image")
+    meta = multimodal.extract_webp_meta(media, strict=True)
+    return meta.select(
+        "media_id", "format", "width", "height", "has_alpha",
+        "has_animation",
+    )
+
+
+@register(
+    "media_ogg_meta",
+    # r12: Ogg/Opus page walk — the FOURTH compressed-audio container
+    # (MP3 frame walk, FLAC STREAMINFO, AAC ADTS, Ogg/Opus pages).
+    # FULL value oracle via the synth_ogg_params id contract: page
+    # count = audio pages + the two header pages, duration = final
+    # granule minus pre-skip at the fixed 48 kHz Opus granule rate.
+    """
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 8 AS INT) AS channels,
+           CAST(312 + doc_id % 100 AS INT) AS pre_skip,
+           CAST(([48000,44100,16000,8000])[(doc_id % 4) + 1] AS BIGINT)
+             AS input_sample_rate,
+           CAST(3 + doc_id % 9 AS INT) AS n_pages,
+           (48000 * (1 + doc_id % 10) + doc_id % 997) * 1000 // 48000
+             AS duration_ms
+    FROM documents
+    """,
+    doc="REAL Ogg/Opus metadata (page walk following every segment "
+    "table + RFC 7845 OpusHead parse: channels, pre-skip, input rate, "
+    "real page count, duration from the last granule position) via "
+    "Arrow mapInPandas; Opus frame decode out of scope by design",
+)
+def q_media_ogg_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    clips = multimodal.synth_ogg_payloads(docs, "doc_id")
+    media = multimodal.to_media_column(clips, "media_id", "payload", "audio")
+    meta = multimodal.extract_ogg_meta(media, strict=True)
+    return meta.select(
+        "media_id", "channels", "pre_skip", "input_sample_rate",
+        "n_pages", "duration_ms",
+    )
+
+
+@register(
     "media_webm_meta",
     # r12: WebM/Matroska EBML element walk — the open-web container
     # twin of media_mp4_meta (vint IDs/sizes, DocType, TimestampScale +
@@ -7189,13 +7256,17 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # pool at staleness 6). Rationale: a changed-oracle query with no
 # driver row is a flagged evidence gap (the r11 media_mp3_meta lesson);
 # a 6-round-stale unchanged breadth query is not.
-# Three final late-r12 swaps: new full-oracle media_aac_meta (ADTS
-# walk, completing the compressed-audio trio), media_webm_meta (EBML
-# walk, the ISO-BMFF twin), and sequence_packing_ffd (the new
-# example-packing operator family) replace events_resample_ffill /
-# events_value_anomalies / stratified_sample_exact (all last=r7 green,
-# untouched, value-pinned by the local gate; back in the r13 pool).
-# sequence_packing_report rides on the local gate + pytest until r13.
+# Five more late-r12 swaps, same rationale (never-checked new oracles
+# outrank stale unchanged re-checks): new full-oracle media_aac_meta
+# (ADTS walk, completing the compressed-audio trio), media_webm_meta
+# (EBML walk, the ISO-BMFF twin), media_webp_meta (RIFF image
+# container), media_ogg_meta (Ogg/Opus page walk), and
+# sequence_packing_ffd (the new example-packing operator family)
+# replace events_resample_ffill / events_value_anomalies /
+# stratified_sample_exact / doc_chunk_windows / tfidf_doc_similarity
+# (all last=r7 green, untouched, value-pinned by the local gate; back
+# in the r13 pool). sequence_packing_report rides on the local gate +
+# pytest until r13.
 WINDOW_ORDER: tuple[str, ...] = (
     "media_mp3_meta",
     "media_mp4_meta",
@@ -7229,11 +7300,11 @@ WINDOW_ORDER: tuple[str, ...] = (
     "partition_pruned_read",
     "settings_datasource_scan",
     "bloom_semi_join_prefilter",
-    "doc_chunk_windows",
+    "media_webp_meta",
     "sequence_packing_ffd",
     "media_aac_meta",
     "media_webm_meta",
-    "tfidf_doc_similarity",
+    "media_ogg_meta",
     "simhash_pairs",
     "ann_ivf_persisted_topk",
     "ann_ivf_upsert_topk",
@@ -7365,6 +7436,8 @@ PYTHON_KERNELS: dict[str, str] = {
     "media_flac_meta": "stdlib codec decode via Arrow mapInPandas",
     "media_aac_meta": "stdlib codec decode via Arrow mapInPandas",
     "media_webm_meta": "stdlib codec decode via Arrow mapInPandas",
+    "media_webp_meta": "stdlib codec decode via Arrow mapInPandas",
+    "media_ogg_meta": "stdlib codec decode via Arrow mapInPandas",
     "sequence_packing_ffd": "sequential first-fit scan per bucket via "
     "grouped applyInPandas (two longs per doc — never the tokens)",
     "sequence_packing_report": "packs via the same applyInPandas kernel "

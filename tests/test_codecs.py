@@ -420,7 +420,7 @@ def test_every_public_parser_wears_the_valueerror_decorator():
         "decode_wav", "wav_meta", "avi_frames", "avi_meta", "exif_meta",
         "image_meta", "decode_image", "decode_dib_frame", "tiff_meta",
         "decode_tiff", "mp3_meta", "mp4_meta", "flac_meta",
-        "aac_adts_meta", "webm_meta",
+        "aac_adts_meta", "webm_meta", "webp_meta", "ogg_opus_meta",
     ):
         assert hasattr(getattr(C, name), "__wrapped__"), name
 
@@ -444,7 +444,7 @@ def test_container_parsers_raise_only_valueerror_and_stay_fast():
     exifed = base[:2] + app1 + base[2:]
     fns = (C.decode_wav, C.wav_meta, C.avi_frames, C.avi_meta,
            C.exif_meta, C.jpeg_meta, C.mp3_meta, C.mp4_meta, C.flac_meta,
-           C.aac_adts_meta, C.webm_meta)
+           C.aac_adts_meta, C.webm_meta, C.webp_meta, C.ogg_opus_meta)
     trials = quarantined = 0
     mp3 = C.encode_mp3_headers(6, 128, 44100, id3_title="x")
     mp4 = C.encode_mp4_headers(
@@ -459,7 +459,10 @@ def test_container_parsers_raise_only_valueerror_and_stay_fast():
         [{"handler": "vide", "codec": "V_VP9", "width": 320, "height": 240},
          {"handler": "soun", "codec": "A_OPUS"}],
     )
-    for payload in (wav, mj, dib, exifed, mp3, mp4, flac, aac, webm):
+    webp = C.encode_webp_headers("extended", 320, 240, alpha=True)
+    ogg = C.encode_ogg_opus(2, 312, 48000, 3, 96000)
+    for payload in (wav, mj, dib, exifed, mp3, mp4, flac, aac, webm,
+                    webp, ogg):
         for _ in range(60):
             buf = bytearray(payload)
             if rng.rand() < 0.3:
@@ -1279,3 +1282,84 @@ def test_webm_meta_rejects_malformed():
     )
     with pytest.raises(ValueError, match="width"):
         C.webm_meta(bad_dur)
+
+
+def test_webp_meta_contract_cycle():
+    """Round-trip the synth id cycle across all three WebP container
+    forms (lossy has no alpha bit; animation only on extended)."""
+    for mid in range(45):
+        fmt = ("lossy", "lossless", "extended")[mid % 3]
+        w, h = 16 + (mid % 120) * 8, 16 + (mid % 68) * 8
+        alpha = mid % 2 == 0 and fmt != "lossy"
+        anim = fmt == "extended" and mid % 5 == 0
+        p = C.encode_webp_headers(fmt, w, h, alpha=alpha, animation=anim)
+        assert C.webp_meta(p) == (fmt, w, h, alpha, anim), mid
+
+
+def test_webp_meta_rejects_malformed():
+    good = C.encode_webp_headers("lossy", 64, 48)
+    with pytest.raises(ValueError, match="not a WebP"):
+        C.webp_meta(b"RIFX" + good[4:])
+    with pytest.raises(ValueError, match="overrun"):
+        C.webp_meta(good[:-6])
+    # non-keyframe first frame (tag bit 0 set)
+    buf = bytearray(good)
+    buf[20] |= 0x01
+    with pytest.raises(ValueError, match="keyframe"):
+        C.webp_meta(bytes(buf))
+    # broken VP8 start code
+    buf = bytearray(good)
+    buf[23] = 0x00
+    with pytest.raises(ValueError, match="start code"):
+        C.webp_meta(bytes(buf))
+    # VP8L version bits must be zero
+    lossless = bytearray(C.encode_webp_headers("lossless", 64, 48))
+    lossless[21 + 3] |= 0xE0  # top 3 bits of the packed LE word
+    with pytest.raises(ValueError, match="version"):
+        C.webp_meta(bytes(lossless))
+    with pytest.raises(ValueError, match="unsupported WebP chunk"):
+        bad = bytearray(good)
+        bad[12:16] = b"ALPH"
+        C.webp_meta(bytes(bad))
+
+
+def test_ogg_opus_meta_contract_cycle():
+    """Round-trip the synth id cycle: page counts include both header
+    pages, duration = (final granule - pre-skip) at the fixed 48 kHz
+    granule rate regardless of the input sample rate."""
+    for mid in range(40):
+        ch = 1 + mid % 8
+        ps = 312 + mid % 100
+        ir = (48000, 44100, 16000, 8000)[mid % 4]
+        npg = 1 + mid % 9
+        samp = 48000 * (1 + mid % 10) + mid % 997
+        p = C.encode_ogg_opus(ch, ps, ir, npg, samp)
+        assert C.ogg_opus_meta(p) == (
+            ch, ps, ir, npg + 2, samp * 1000 // 48000
+        ), mid
+
+
+def test_ogg_opus_meta_rejects_malformed():
+    good = C.encode_ogg_opus(2, 100, 48000, 2, 48000)
+    with pytest.raises(ValueError, match="capture pattern"):
+        C.ogg_opus_meta(b"OggX" + good[4:])
+    with pytest.raises(ValueError, match="overrun|truncated"):
+        C.ogg_opus_meta(good[:-3])
+    with pytest.raises(ValueError, match="no pages"):
+        C.ogg_opus_meta(b"")
+    # stream-structure version must be 0
+    buf = bytearray(good)
+    buf[4] = 1
+    with pytest.raises(ValueError, match="version"):
+        C.ogg_opus_meta(bytes(buf))
+    # a first packet that is not OpusHead (e.g. Vorbis) quarantines
+    vorbis = bytearray(good)
+    head_at = vorbis.index(b"OpusHead")
+    vorbis[head_at : head_at + 8] = b"\x01vorbis\x00"
+    with pytest.raises(ValueError, match="OpusHead"):
+        C.ogg_opus_meta(bytes(vorbis))
+    # OpusHead version must be 1
+    buf = bytearray(good)
+    buf[buf.index(b"OpusHead") + 8] = 9
+    with pytest.raises(ValueError, match="version 9"):
+        C.ogg_opus_meta(bytes(buf))

@@ -1007,3 +1007,58 @@ def test_webm_meta_kernel_follows_contract(spark):
     assert lax.doc_type is None and lax.n_tracks is None
     with pytest.raises(Exception, match="EBML"):
         multimodal.extract_webm_meta(bad_media, strict=True).collect()
+
+
+def test_webp_meta_kernel_follows_contract(spark):
+    """extract_webp_meta over synth RIFF fixtures matches
+    synth_webp_params for every field; garbage yields nulls (raise
+    under strict)."""
+    df = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    clips = multimodal.synth_webp_payloads(df)
+    media = multimodal.to_media_column(clips, "media_id", "payload", "image")
+    rows = {
+        r.media_id: r
+        for r in multimodal.extract_webp_meta(media, strict=True).collect()
+    }
+    for mid in range(24):
+        fmt, w, h, alpha, anim = multimodal.synth_webp_params(mid)
+        r = rows[mid]
+        assert (
+            r.format, r.width, r.height, r.has_alpha, r.has_animation
+        ) == (fmt, w, h, alpha, anim), mid
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"RIFFxxxxNOPE"))], ["doc_id", "blob"]
+    )
+    bad_media = multimodal.to_media_column(bad, "doc_id", "blob", "image")
+    lax = multimodal.extract_webp_meta(bad_media).collect()[0]
+    assert lax.format is None and lax.width is None
+    with pytest.raises(Exception, match="WebP"):
+        multimodal.extract_webp_meta(bad_media, strict=True).collect()
+
+
+def test_ogg_meta_kernel_follows_contract(spark):
+    """extract_ogg_meta over synth Ogg/Opus fixtures matches
+    synth_ogg_params for every field; garbage yields nulls (raise
+    under strict)."""
+    df = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    clips = multimodal.synth_ogg_payloads(df)
+    media = multimodal.to_media_column(clips, "media_id", "payload", "audio")
+    rows = {
+        r.media_id: r
+        for r in multimodal.extract_ogg_meta(media, strict=True).collect()
+    }
+    for mid in range(24):
+        ch, ps, ir, npg, samp = multimodal.synth_ogg_params(mid)
+        r = rows[mid]
+        assert (
+            r.channels, r.pre_skip, r.input_sample_rate, r.n_pages
+        ) == (ch, ps, ir, npg + 2), mid
+        assert r.duration_ms == samp * 1000 // 48000
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"not ogg at all"))], ["doc_id", "blob"]
+    )
+    bad_media = multimodal.to_media_column(bad, "doc_id", "blob", "audio")
+    lax = multimodal.extract_ogg_meta(bad_media).collect()[0]
+    assert lax.channels is None and lax.n_pages is None
+    with pytest.raises(Exception, match="Ogg|capture"):
+        multimodal.extract_ogg_meta(bad_media, strict=True).collect()
