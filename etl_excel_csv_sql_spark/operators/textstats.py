@@ -1119,3 +1119,65 @@ def vocab_coverage_report(
             )
         )
     )
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    max_iter: int = 50,
+    reg_param: float = 0.0,
+):
+    """Fit the GPT-3/LLaMA-style quality classifier: logistic regression
+    separating a trusted reference corpus (label 1) from raw crawl
+    (label 0) on cheap per-doc features (the doc_stats / gopher_rules /
+    lexical_diversity outputs are the intended inputs).
+
+    pyspark.ml LogisticRegression (distributed L-BFGS: one treeAggregate
+    gradient pass per iteration, model state driver-side and dim-bounded
+    like the PCA/k-means artifacts). Returns the fitted PipelineModel
+    (assembler + LR) — broadcast it by just calling `.transform`.
+
+    The heuristic filters (quality_filter, gopher_rules) are fixed
+    rules; this LEARNS the boundary from a reference corpus and is the
+    standard second filtering stage at 100 TB (GPT-3 appendix A,
+    LLaMA-1 CCNet pipeline).
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    assembler = VectorAssembler(
+        inputCols=list(feature_cols), outputCol="__features"
+    )
+    lr = LogisticRegression(
+        featuresCol="__features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        regParam=reg_param,
+        standardization=True,
+    )
+    return Pipeline(stages=[assembler, lr]).fit(labeled)
+
+
+def classify_quality(
+    model, docs: DataFrame, feature_cols: list[str], keep_threshold=None
+) -> DataFrame:
+    """Score docs with a trained quality classifier: appends
+    ``prediction`` (0.0/1.0). A ``keep_threshold`` instead keeps rows
+    whose P(quality) ≥ threshold (Pareto-style importance sampling uses
+    the raw probability; plain filtering uses the argmax prediction).
+    The transform is a narrow map over broadcast coefficients — no
+    shuffle, no Python in the row path (MLlib codegen)."""
+    scored = model.transform(docs)
+    if keep_threshold is None:
+        return scored.drop("__features", "rawPrediction", "probability")
+    from pyspark.ml.functions import vector_to_array
+
+    return (
+        scored.withColumn(
+            "__p1", vector_to_array(F.col("probability"))[1]
+        )
+        .filter(F.col("__p1") >= F.lit(float(keep_threshold)))
+        .drop("__features", "rawPrediction", "probability", "__p1")
+    )

@@ -3593,6 +3593,59 @@ def q_stratified_sample_exact(spark, sf_dir):
 
 
 @register(
+    "quality_classifier_predictions",
+    # r12 (new operator): the LEARNED quality filter (GPT-3 appendix A /
+    # LLaMA CCNet second stage) — pyspark.ml LogisticRegression
+    # separating reference-labeled docs from crawl-labeled docs on
+    # cheap per-doc features. FULL value oracle via planted separable
+    # geometry: features (id%7, id%5, id%3), label = [f1+f2 >= 6] —
+    # classes are linearly separable with a full unit of margin (5 vs
+    # 6), so 50 L-BFGS iterations classify every training point
+    # correctly and the self-prediction column is LITERALLY the planted
+    # rule (coefficients are solver floats and are NOT emitted; the
+    # argmax prediction is margin-robust to treeAggregate float
+    # ordering). Registered post-window; rides the local gate + pytest
+    # until the r13 rotation.
+    """
+    SELECT doc_id,
+           CASE WHEN (doc_id % 7) + (doc_id % 5) >= 6
+                THEN 1.0 ELSE 0.0 END AS prediction
+    FROM documents
+    """,
+    doc="learned quality classifier (the GPT-3/LLaMA reference-vs-crawl "
+    "filter): pyspark.ml LogisticRegression via distributed L-BFGS "
+    "(one treeAggregate gradient pass per iteration, dim-bounded "
+    "driver state), then a broadcast-coefficient narrow-map transform "
+    "— the trainable complement of the fixed-rule quality_filter / "
+    "gopher_rules stages. Planted separable geometry makes the "
+    "prediction column closed-form — full value oracle",
+)
+def q_quality_classifier(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import textstats
+
+    feats = ["f_wordlen", "f_stopword", "f_punct"]
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.pmod("doc_id", F.lit(7)).cast("double").alias("f_wordlen"),
+            F.pmod("doc_id", F.lit(5)).cast("double").alias("f_stopword"),
+            F.pmod("doc_id", F.lit(3)).cast("double").alias("f_punct"),
+        )
+        .withColumn(
+            "label",
+            (
+                (F.col("f_wordlen") + F.col("f_stopword")) >= 6
+            ).cast("double"),
+        )
+    )
+    model = textstats.train_quality_classifier(docs, feats, "label")
+    return textstats.classify_quality(model, docs, feats).select(
+        "doc_id", "prediction"
+    )
+
+
+@register(
     "sequence_packing_ffd",
     # r12 (new operator family): sequence packing — FFD bin-packing of
     # tokenized docs into fixed context windows, sharded into

@@ -920,3 +920,50 @@ def test_compression_ratio_keeps_string_ids(spark):
     got = {r.id: r.compression_ratio for r in compression_ratio(df).collect()}
     assert set(got) == {"doc-aa", "doc-bb"}
     assert all(v > 0 for v in got.values())
+
+
+def test_quality_classifier_planted_separable(spark):
+    """The quality_classifier_predictions oracle's safety pin: on the
+    planted (id%7, id%5, id%3) geometry with label = [f1+f2 >= 6]
+    (linearly separable with a full unit of margin), 50 L-BFGS
+    iterations classify EVERY point by the planted rule, predictions
+    are repartition-invariant, and the keep_threshold path filters to
+    exactly the predicted-quality side."""
+    from pyspark.sql import functions as F
+
+    from etl_excel_csv_sql_spark.operators import textstats
+
+    feats = ["f1", "f2", "f3"]
+    docs = (
+        spark.range(0, 500)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.pmod("id", F.lit(7)).cast("double").alias("f1"),
+            F.pmod("id", F.lit(5)).cast("double").alias("f2"),
+            F.pmod("id", F.lit(3)).cast("double").alias("f3"),
+        )
+        .withColumn(
+            "label", ((F.col("f1") + F.col("f2")) >= 6).cast("double")
+        )
+    )
+    model = textstats.train_quality_classifier(docs, feats, "label")
+    got = {
+        r["doc_id"]: r["prediction"]
+        for r in textstats.classify_quality(model, docs, feats).collect()
+    }
+    want = {d: (1.0 if (d % 7) + (d % 5) >= 6 else 0.0) for d in range(500)}
+    assert got == want
+    got_repart = {
+        r["doc_id"]: r["prediction"]
+        for r in textstats.classify_quality(
+            model, docs.repartition(13), feats
+        ).collect()
+    }
+    assert got_repart == want
+    kept = {
+        r["doc_id"]
+        for r in textstats.classify_quality(
+            model, docs, feats, keep_threshold=0.5
+        ).collect()
+    }
+    assert kept == {d for d, p in want.items() if p == 1.0}
