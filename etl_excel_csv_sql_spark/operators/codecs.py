@@ -2533,6 +2533,63 @@ def encode_ogg_opus(
 
 
 # ---------------------------------------------------------------------------
+# Container sniffing — magic-byte dispatch for mixed-corpus ingest
+# ---------------------------------------------------------------------------
+
+
+@_malformed_as_valueerror
+def sniff_container(payload: bytes) -> str:
+    """Container id from magic bytes alone (no parse): 'bmp' 'png'
+    'gif' 'jpeg' 'tiff' 'ppm' 'webp' 'wav' 'avi' 'mp3' 'adts' 'mp4'
+    'flac' 'webm' 'ogg'. The dispatch step of a mixed-dump ingest —
+    O(16 bytes) per blob regardless of size. The 0xFF sync ambiguity
+    between MP3 and ADTS resolves on the layer bits (ADTS requires 00,
+    MPEG-1 Layer III is 01); JPEG's FF D8 never matches either sync
+    mask. Unknown magics raise (quarantine contract)."""
+    if len(payload) < 4:
+        raise ValueError("payload too short to sniff")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:4] in (b"GIF8",):
+        return "gif"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:4] == b"RIFF" and len(payload) >= 12:
+        form = payload[8:12]
+        if form == b"WEBP":
+            return "webp"
+        if form == b"WAVE":
+            return "wav"
+        if form == b"AVI ":
+            return "avi"
+        raise ValueError(f"unknown RIFF form {form!r}")
+    if payload[:4] == b"fLaC":
+        return "flac"
+    if payload[:4] == b"OggS":
+        return "ogg"
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        return "webm"
+    if len(payload) >= 8 and payload[4:8] == b"ftyp":
+        return "mp4"
+    if payload[:3] == b"ID3":
+        return "mp3"
+    if payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0:
+        layer = (payload[1] >> 1) & 0x03
+        if layer == 0 and (payload[1] & 0xF0) == 0xF0:
+            return "adts"
+        if layer == 1:
+            return "mp3"
+        raise ValueError(f"0xFF sync with unsupported layer bits {layer}")
+    raise ValueError("unknown container magic")
+
+
+# ---------------------------------------------------------------------------
 # TIFF — baseline uncompressed (the same IFD machinery EXIF uses)
 # ---------------------------------------------------------------------------
 

@@ -1960,6 +1960,153 @@ def extract_ogg_meta(df: DataFrame, strict: bool = False) -> DataFrame:
     )
 
 
+#: mixed-corpus fixture cycle: container family by id % 7 — the seven
+#: header-walk families (image pixel formats keep their own fixtures)
+_MIXED_FAMILIES = ("mp3", "mp4", "flac", "adts", "webm", "ogg", "webp")
+
+
+def _mixed_payload(mid: int) -> bytes:
+    fam = _MIXED_FAMILIES[mid % 7]
+    if fam == "mp3":
+        kbps, rate, nf, id3 = synth_mp3_params(mid)
+        return codecs.encode_mp3_headers(
+            nf, kbps, rate, id3_title=f"clip-{mid}" if id3 else None
+        )
+    if fam == "mp4":
+        brand, ts, dur, n_tracks, has_video, vc, w, h = synth_mp4_params(mid)
+        tracks: list[dict] = []
+        if has_video:
+            tracks.append(
+                {"handler": "vide", "codec": vc, "width": w, "height": h}
+            )
+        while len(tracks) < n_tracks:
+            tracks.append({"handler": "soun", "codec": "mp4a"})
+        return codecs.encode_mp4_headers(brand, ts, dur, tracks)
+    if fam == "flac":
+        rate, ch, bits, total, vc = synth_flac_params(mid)
+        return codecs.encode_flac_headers(
+            rate, ch, bits, total,
+            vorbis_comment=f"title=clip-{mid}" if vc else None,
+        )
+    if fam == "adts":
+        prof, rate, ch, nf, crc = synth_aac_params(mid)
+        return codecs.encode_adts_frames(nf, rate, ch, profile=prof, crc=crc)
+    if fam == "webm":
+        dt, ts, ticks, n_tracks, has_video, vc, w, h = synth_webm_params(mid)
+        tracks = []
+        if has_video:
+            tracks.append(
+                {"handler": "vide", "codec": vc, "width": w, "height": h}
+            )
+        while len(tracks) < n_tracks:
+            tracks.append({"handler": "soun", "codec": "A_OPUS"})
+        return codecs.encode_webm_headers(dt, ts, ticks, tracks)
+    if fam == "ogg":
+        ch, ps, ir, npg, samp = synth_ogg_params(mid)
+        return codecs.encode_ogg_opus(ch, ps, ir, npg, samp)
+    fmt, w, h, alpha, anim = synth_webp_params(mid)
+    return codecs.encode_webp_headers(fmt, w, h, alpha=alpha, animation=anim)
+
+
+def synth_mixed_media_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id) → (media_id, payload): a MIXED corpus cycling all seven
+    header-walk container families by id % 7 — the fixture for the
+    sniff-and-dispatch catalog (what a real unlabeled 100 TB media dump
+    looks like: you don't get told which container each blob is)."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [_mixed_payload(int(m)) for m in pdf["media_id"]]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "payload": pd.Series(payloads, dtype="object")}
+            )
+
+    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+
+
+CATALOG_SCHEMA = (
+    "media_id long, container string, kind string, width int, "
+    "height int, duration_ms long"
+)
+
+_CATALOG_KIND = {
+    "mp3": "audio", "adts": "audio", "flac": "audio", "ogg": "audio",
+    "wav": "audio", "mp4": "video", "webm": "video", "avi": "video",
+    "webp": "image", "bmp": "image", "png": "image", "gif": "image",
+    "jpeg": "image", "tiff": "image", "ppm": "image",
+}
+
+
+def _catalog_row(payload: bytes) -> tuple:
+    container = codecs.sniff_container(payload)
+    kind = _CATALOG_KIND[container]
+    width = height = duration = None
+    if container == "mp3":
+        duration = codecs.mp3_meta(payload)[3]
+    elif container == "adts":
+        duration = codecs.aac_adts_meta(payload)[4]
+    elif container == "flac":
+        duration = codecs.flac_meta(payload)[4]
+    elif container == "ogg":
+        duration = codecs.ogg_opus_meta(payload)[4]
+    elif container == "mp4":
+        _, _, duration, _, width, height, _ = codecs.mp4_meta(payload)
+    elif container == "webm":
+        _, _, duration, _, width, height, _ = codecs.webm_meta(payload)
+    elif container == "webp":
+        _, width, height, _, _ = codecs.webp_meta(payload)
+    elif container == "wav":
+        rate, _ch, _bits, frames = codecs.wav_meta(payload)
+        duration = frames * 1000 // rate
+    elif container == "avi":
+        width, height, fps, n_frames = codecs.avi_meta(payload)
+        duration = n_frames * 1000 // fps if fps else None
+    else:  # pure image formats share the image_meta surface
+        _fmt, width, height = codecs.image_meta(payload)
+    return container, kind, width, height, duration
+
+
+def extract_media_catalog(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Mixed-corpus catalog: sniff each blob's container from magic
+    bytes, dispatch to the matching metadata walk, and normalize to
+    (container, kind, width, height, duration_ms) — the ingest entry
+    point that routes an unlabeled media dump into typed per-container
+    pipelines. O(header bytes) per blob; undecodable/unknown payloads
+    yield nulls unless ``strict``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "container", "kind", "width", "height", "duration_ms",
+                )
+            }
+            for payload in pdf["payload"]:
+                vals = None
+                if payload is not None:
+                    try:
+                        vals = _catalog_row(bytes(payload))
+                    except ValueError:
+                        if strict:
+                            raise
+                if vals is None:
+                    for k in cols:
+                        cols[k].append(None)
+                else:
+                    for k, v in zip(cols, vals):
+                        cols[k].append(v)
+            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, CATALOG_SCHEMA
+    )
+
+
 # analysis sub-fingerprints per synth_audio_fp_payloads clip: frames =
 # (n_samples - frame_len)//hop + 1 Hann windows, minus 1 for the time
 # double-difference — shared with the SQL oracle rendering

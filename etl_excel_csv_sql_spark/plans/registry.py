@@ -3394,6 +3394,75 @@ def q_media_ogg_meta(spark, sf_dir):
 
 
 @register(
+    "media_sniff_catalog",
+    # r12 capstone: mixed-corpus ingest — magic-byte sniff + dispatch
+    # across ALL SEVEN header-walk container families (id % 7 cycle),
+    # normalized to one catalog row per blob. The oracle composes the
+    # seven families' id contracts behind the same CASE the fixture
+    # cycles on, so every container/kind/dim/duration cell is
+    # closed-form integer arithmetic.
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 7 AS fam FROM documents
+    )
+    SELECT doc_id AS media_id,
+           (['mp3','mp4','flac','adts','webm','ogg','webp'])[fam + 1]
+             AS container,
+           CASE WHEN fam IN (1, 4) THEN 'video'
+                WHEN fam = 6 THEN 'image'
+                ELSE 'audio' END AS kind,
+           CASE
+             WHEN fam IN (1, 4) AND doc_id % 4 <> 1
+               THEN CAST(160 + 8 * (doc_id % 120) AS INT)
+             WHEN fam = 6 THEN CAST(16 + (doc_id % 120) * 8 AS INT)
+           END AS width,
+           CASE
+             WHEN fam IN (1, 4) AND doc_id % 4 <> 1
+               THEN CAST(120 + 8 * (doc_id % 68) AS INT)
+             WHEN fam = 6 THEN CAST(16 + (doc_id % 68) * 8 AS INT)
+           END AS height,
+           CASE fam
+             WHEN 0 THEN (5 + doc_id % 40) * 1152 * 1000
+                         // ([44100,48000,32000])[(doc_id % 3) + 1]
+             WHEN 1 THEN (([600,1000,90000,48000])[(doc_id % 4) + 1]
+                          * (1 + doc_id % 30) + doc_id % 97) * 1000
+                         // ([600,1000,90000,48000])[(doc_id % 4) + 1]
+             WHEN 2 THEN (([44100,48000,32000,96000,88200,192000])
+                            [(doc_id % 6) + 1]
+                          * (1 + doc_id % 20) + doc_id % 1000) * 1000
+                         // ([44100,48000,32000,96000,88200,192000])
+                            [(doc_id % 6) + 1]
+             WHEN 3 THEN (1 + doc_id % 40) * 1024 * 1000
+                         // ([96000,88200,64000,48000,44100,32000,24000,
+                              22050,16000,12000,11025,8000,7350])
+                            [(doc_id % 13) + 1]
+             WHEN 4 THEN (1000 * (1 + doc_id % 30) + doc_id % 97)
+                         * ([1000000,500000,2000000,100000])
+                            [(doc_id % 4) + 1] // 1000000
+             WHEN 5 THEN (48000 * (1 + doc_id % 10) + doc_id % 997)
+                         * 1000 // 48000
+           END AS duration_ms
+    FROM d
+    """,
+    doc="mixed-corpus media catalog (the ingest entry point for an "
+    "unlabeled 100 TB dump): sniff each blob's container from magic "
+    "bytes alone (O(16 bytes) — the MP3/ADTS 0xFF-sync ambiguity "
+    "resolves on layer bits), dispatch to the matching header walk, "
+    "normalize to (container, kind, width, height, duration_ms). "
+    "Seven container families cycle through one corpus; every cell "
+    "value-checked by the composed id-contract oracle",
+)
+def q_media_sniff_catalog(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    clips = multimodal.synth_mixed_media_payloads(docs, "doc_id")
+    media = multimodal.to_media_column(clips, "media_id", "payload", "mixed")
+    meta = multimodal.extract_media_catalog(media, strict=True)
+    return meta.select(
+        "media_id", "container", "kind", "width", "height", "duration_ms"
+    )
+
+
+@register(
     "media_webm_meta",
     # r12: WebM/Matroska EBML element walk — the open-web container
     # twin of media_mp4_meta (vint IDs/sizes, DocType, TimestampScale +
@@ -7491,6 +7560,7 @@ PYTHON_KERNELS: dict[str, str] = {
     "media_webm_meta": "stdlib codec decode via Arrow mapInPandas",
     "media_webp_meta": "stdlib codec decode via Arrow mapInPandas",
     "media_ogg_meta": "stdlib codec decode via Arrow mapInPandas",
+    "media_sniff_catalog": "stdlib codec decode via Arrow mapInPandas",
     "sequence_packing_ffd": "sequential first-fit scan per bucket via "
     "grouped applyInPandas (two longs per doc — never the tokens)",
     "sequence_packing_report": "packs via the same applyInPandas kernel "

@@ -421,6 +421,7 @@ def test_every_public_parser_wears_the_valueerror_decorator():
         "image_meta", "decode_image", "decode_dib_frame", "tiff_meta",
         "decode_tiff", "mp3_meta", "mp4_meta", "flac_meta",
         "aac_adts_meta", "webm_meta", "webp_meta", "ogg_opus_meta",
+        "sniff_container",
     ):
         assert hasattr(getattr(C, name), "__wrapped__"), name
 
@@ -1363,3 +1364,44 @@ def test_ogg_opus_meta_rejects_malformed():
     buf[buf.index(b"OpusHead") + 8] = 9
     with pytest.raises(ValueError, match="version 9"):
         C.ogg_opus_meta(bytes(buf))
+
+
+def test_sniff_container_every_family_and_ambiguity():
+    """Magic-byte sniffing routes EVERY encoder's output to its own
+    family — including the 0xFF-sync MP3-vs-ADTS ambiguity (layer
+    bits) and the three RIFF forms — and quarantines unknown magics."""
+    img = np.zeros((8, 8, 3), np.uint8)
+    pcm = (np.arange(256) % 251 - 125).astype(np.int16)
+    cases = {
+        "bmp": C.encode_bmp(img),
+        "png": C.encode_png(img),
+        "gif": C.encode_gif(img),
+        "jpeg": C.encode_jpeg_baseline(img),
+        "tiff": C.encode_tiff(img),
+        "ppm": C.encode_ppm(img),
+        "wav": C.encode_wav(pcm, 8000, 1),
+        "avi": C.encode_mjpeg_avi(
+            8, 8, 10, [C.encode_jpeg_baseline(img)] * 2
+        ),
+        "mp3": C.encode_mp3_headers(3, 128, 44100),
+        "adts": C.encode_adts_frames(3, 44100, 2),
+        "mp4": C.encode_mp4_headers(
+            "isom", 600, 1200, [{"handler": "soun", "codec": "mp4a"}]
+        ),
+        "flac": C.encode_flac_headers(44100, 2, 16, 44100),
+        "webm": C.encode_webm_headers(
+            "webm", 1_000_000, 100, [{"handler": "soun", "codec": "A_OPUS"}]
+        ),
+        "ogg": C.encode_ogg_opus(2, 100, 48000, 1, 4800),
+        "webp": C.encode_webp_headers("lossy", 64, 48),
+    }
+    for fam, payload in cases.items():
+        assert C.sniff_container(payload) == fam, fam
+    # an ID3-prefixed MP3 still sniffs as mp3
+    assert C.sniff_container(
+        C.encode_mp3_headers(3, 128, 44100, id3_title="x")
+    ) == "mp3"
+    for bad in (b"", b"zz", b"\x00\x01\x02\x03", b"RIFF1234ZZZZ",
+                b"\xff\xf7garbage"):
+        with pytest.raises(ValueError):
+            C.sniff_container(bad)

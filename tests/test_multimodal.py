@@ -1062,3 +1062,50 @@ def test_ogg_meta_kernel_follows_contract(spark):
     assert lax.channels is None and lax.n_pages is None
     with pytest.raises(Exception, match="Ogg|capture"):
         multimodal.extract_ogg_meta(bad_media, strict=True).collect()
+
+
+def test_media_catalog_kernel_follows_mixed_contract(spark):
+    """extract_media_catalog over the mixed id%7 fixture: container,
+    kind, dims, and duration all match the composed per-family
+    contracts; garbage yields nulls (raise under strict)."""
+    df = spark.range(0, 28).withColumnRenamed("id", "doc_id")
+    clips = multimodal.synth_mixed_media_payloads(df)
+    media = multimodal.to_media_column(clips, "media_id", "payload", "mixed")
+    rows = {
+        r.media_id: r
+        for r in multimodal.extract_media_catalog(
+            media, strict=True
+        ).collect()
+    }
+    fams = ("mp3", "mp4", "flac", "adts", "webm", "ogg", "webp")
+    for mid in range(28):
+        r = rows[mid]
+        fam = fams[mid % 7]
+        assert r.container == fam, mid
+        assert r.kind == (
+            "video" if fam in ("mp4", "webm")
+            else "image" if fam == "webp" else "audio"
+        )
+        if fam == "webp":
+            assert r.duration_ms is None
+            assert (r.width, r.height) == (
+                16 + (mid % 120) * 8, 16 + (mid % 68) * 8
+            )
+        elif fam in ("mp4", "webm"):
+            if mid % 4 == 1:
+                assert r.width is None and r.height is None
+            else:
+                assert (r.width, r.height) == (
+                    160 + 8 * (mid % 120), 120 + 8 * (mid % 68)
+                )
+            assert r.duration_ms is not None
+        else:
+            assert r.width is None and r.duration_ms is not None
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"\x00\x01 nothing"))], ["doc_id", "blob"]
+    )
+    bad_media = multimodal.to_media_column(bad, "doc_id", "blob", "mixed")
+    lax = multimodal.extract_media_catalog(bad_media).collect()[0]
+    assert lax.container is None and lax.kind is None
+    with pytest.raises(Exception, match="magic|sniff"):
+        multimodal.extract_media_catalog(bad_media, strict=True).collect()
