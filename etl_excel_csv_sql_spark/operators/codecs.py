@@ -2029,8 +2029,9 @@ def aac_adts_meta(payload: bytes) -> tuple[str, int, int, int, int, bool]:
             raise ValueError("ADTS stream parameters change mid-stream")
         total_blocks += (b6 & 0x03) + 1
         n_frames += 1
-        if n_frames > _MP4_MAX_BOXES:
-            raise ValueError("ADTS frame count exceeds walk cap")
+        # no frame-count cap (mp3_meta precedent): frame_len >=
+        # header_len guarantees progress, so the walk is linear in the
+        # payload — a real 4-minute clip is already >10k frames
         pos += frame_len
     if n_frames == 0:
         raise ValueError("ADTS has no frames")
@@ -2059,6 +2060,10 @@ def encode_adts_frames(
         raise ValueError("ADTS channel-config must be 1-7 here")
     header_len = 9 if crc else 7
     frame_len = header_len + body_bytes
+    if frame_len >= (1 << 13):
+        raise ValueError(
+            f"ADTS frame length {frame_len} exceeds the 13-bit field"
+        )
     out = bytearray()
     for i in range(n_frames):
         b1 = 0xF0 | (0 << 3) | (0 << 1) | (0 if crc else 1)
@@ -2134,9 +2139,11 @@ def _ebml_read_size(buf: bytes, pos: int) -> tuple[int, int]:
 
 def _ebml_children(buf: bytes, start: int, end: int):
     """Yield (element_id, body_start, body_end) over a master element's
-    children, bounds-checked, with the shared element-count cap."""
+    children, bounds-checked. No element-count cap: every child
+    consumes at least 2 bytes (ID vint + size vint), so the walk is
+    linear in the parent size — a fixed count would quarantine valid
+    many-cluster Segments."""
     pos = start
-    count = 0
     while pos < end:
         eid, pos = _ebml_read_id(buf, pos)
         size, pos = _ebml_read_size(buf, pos)
@@ -2144,9 +2151,6 @@ def _ebml_children(buf: bytes, start: int, end: int):
             raise ValueError(f"EBML element 0x{eid:X} overruns parent")
         yield eid, pos, pos + size
         pos += size
-        count += 1
-        if count > _MP4_MAX_BOXES:
-            raise ValueError("EBML element count exceeds walk cap")
 
 
 def _ebml_uint(buf: bytes, start: int, end: int) -> int:
@@ -2236,7 +2240,10 @@ def webm_meta(
         raise ValueError("EBML TimestampScale 0 is invalid")
     if duration_ticks is None or duration_ticks < 0:
         raise ValueError("EBML Segment missing a valid Info Duration")
-    duration_ms = int(duration_ticks) * timescale // 1_000_000
+    # scale BEFORE truncating: real Matroska Durations carry fractional
+    # ticks, and int(ticks) * scale would lose up to one full timescale
+    # unit (1 s at the default 1e6 ns scale)
+    duration_ms = int(duration_ticks * timescale) // 1_000_000
     return doc_type, timescale, duration_ms, n_tracks, width, height, codec
 
 
@@ -2419,12 +2426,15 @@ def ogg_opus_meta(payload: bytes) -> tuple[int, int, int, int, int]:
     the page count is real), the FIRST page's single packet must be an
     OpusHead identification header (RFC 7845), and the duration comes
     from the LAST page's granule position minus pre-skip at the fixed
-    48 kHz granule rate. Bad capture patterns, truncated pages, and
-    non-Opus streams raise (quarantine contract)."""
+    48 kHz granule rate. Bad capture patterns, truncated pages,
+    non-Opus streams, and chained/multiplexed files (a second bitstream
+    serial, or a beginning-of-stream flag past page 0 — concatenated
+    icecast-style dumps, which would otherwise yield confidently wrong
+    channels/duration) raise (quarantine contract)."""
     pos = 0
     n = len(payload)
     n_pages = 0
-    channels = pre_skip = in_rate = None
+    channels = pre_skip = in_rate = serial0 = None
     last_granule = 0
     while pos < n:
         if payload[pos : pos + 4] != b"OggS":
@@ -2433,7 +2443,16 @@ def ogg_opus_meta(payload: bytes) -> tuple[int, int, int, int, int]:
             raise ValueError("Ogg page header truncated")
         if payload[pos + 4] != 0:
             raise ValueError("Ogg stream-structure version must be 0")
+        header_type = payload[pos + 5]
         (granule,) = struct.unpack_from("<q", payload, pos + 6)
+        (serial,) = struct.unpack_from("<I", payload, pos + 14)
+        if n_pages == 0:
+            serial0 = serial
+        elif serial != serial0 or header_type & 0x02:
+            raise ValueError(
+                "chained/multiplexed Ogg unsupported (new bitstream "
+                f"serial or bos flag at page {n_pages})"
+            )
         n_segs = payload[pos + 26]
         table = payload[pos + 27 : pos + 27 + n_segs]
         if len(table) != n_segs:
@@ -2458,8 +2477,9 @@ def ogg_opus_meta(payload: bytes) -> tuple[int, int, int, int, int]:
         if granule >= 0:
             last_granule = granule
         n_pages += 1
-        if n_pages > _MP4_MAX_BOXES:
-            raise ValueError("Ogg page count exceeds walk cap")
+        # no page-count cap: every page consumes >= 27 bytes, so the
+        # walk is linear in the payload — low-latency streams carry
+        # 50 pages/second and would trip any fixed count quickly
         pos = body + body_len
     if n_pages == 0 or channels is None:
         raise ValueError("Ogg has no pages")
@@ -2545,30 +2565,22 @@ def sniff_container(payload: bytes) -> str:
     O(16 bytes) per blob regardless of size. The 0xFF sync ambiguity
     between MP3 and ADTS resolves on the layer bits (ADTS requires 00,
     MPEG-1 Layer III is 01); JPEG's FF D8 never matches either sync
-    mask. Unknown magics raise (quarantine contract)."""
+    mask. Image and WAV/AVI magics DELEGATE to :func:`sniff_format`
+    (one source of truth — a divergent copy here once sniffed 4-byte
+    'GIF8' that the dispatched image_meta then rejected). Unknown
+    magics raise (quarantine contract)."""
     if len(payload) < 4:
         raise ValueError("payload too short to sniff")
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        return "png"
-    if payload[:4] in (b"GIF8",):
-        return "gif"
-    if payload[:2] == b"\xff\xd8":
-        return "jpeg"
-    if payload[:2] == b"BM":
-        return "bmp"
-    if payload[:4] in (b"II*\x00", b"MM\x00*"):
-        return "tiff"
-    if payload[:2] == b"P6":
-        return "ppm"
     if payload[:4] == b"RIFF" and len(payload) >= 12:
-        form = payload[8:12]
-        if form == b"WEBP":
+        if payload[8:12] == b"WEBP":
             return "webp"
-        if form == b"WAVE":
-            return "wav"
-        if form == b"AVI ":
-            return "avi"
-        raise ValueError(f"unknown RIFF form {form!r}")
+        fmt = sniff_format(payload)  # WAVE / 'AVI '
+        if fmt is None:
+            raise ValueError(f"unknown RIFF form {payload[8:12]!r}")
+        return fmt
+    fmt = sniff_format(payload)
+    if fmt is not None:
+        return fmt
     if payload[:4] == b"fLaC":
         return "flac"
     if payload[:4] == b"OggS":

@@ -365,6 +365,54 @@ SYNTH_IMAGE_SCHEMA = StructType(
     ]
 )
 
+
+def _synth_payload_frame(df: DataFrame, id_col: str, build) -> DataFrame:
+    """(id) → (media_id, payload) via a per-id payload builder — the one
+    Arrow generation kernel behind every synth_*_payloads family
+    (payloads are born on executors, never on the driver)."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [build(int(m)) for m in pdf["media_id"]]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "payload": pd.Series(payloads, dtype="object")}
+            )
+
+    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+
+
+def _extract_meta_frame(
+    df: DataFrame, kernel, cols: tuple, schema: str, strict: bool
+) -> DataFrame:
+    """(media_id, payload) → (media_id, *cols) via a bytes → tuple
+    metadata kernel — the one Arrow extraction template behind every
+    extract_*_meta family (r12 review: eight byte-identical copies of
+    this loop drifted one strict-mode fix away from divergence).
+    Undecodable payloads yield nulls unless ``strict``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k: [] for k in cols}
+            for payload in pdf["payload"]:
+                vals = None
+                if payload is not None:
+                    try:
+                        vals = kernel(bytes(payload))
+                    except ValueError:
+                        if strict:
+                            raise
+                if vals is None:
+                    for k in out:
+                        out[k].append(None)
+                else:
+                    for k, v in zip(out, vals):
+                        out[k].append(v)
+            yield pd.DataFrame({"media_id": pdf["media_id"], **out})
+
+    return df.select("media_id", "payload").mapInPandas(batches, schema)
+
 _SYNTH_FMTS = ("bmp", "png", "ppm", "gif", "tiff")
 
 
@@ -1347,31 +1395,20 @@ def synth_mp3_params(media_id: int) -> tuple[int, int, int, bool]:
     )
 
 
+def _mp3_payload(mid: int) -> bytes:
+    kbps, sr, nf, id3 = synth_mp3_params(mid)
+    return codecs.encode_mp3_headers(
+        nf, kbps, sr, id3_title=f"clip-{mid}" if id3 else None
+    )
+
+
 def synth_mp3_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id) → (media_id, payload): structurally valid MPEG-1 Layer III
     streams per the ``synth_mp3_params`` contract (real frame headers
     and lengths, zeroed main data — the metadata surface is real; audio
     ENCODING is out of scope by design, like image psychovisual
     tuning)."""
-    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                kbps, sr, nf, id3 = synth_mp3_params(int(mid))
-                payloads.append(
-                    codecs.encode_mp3_headers(
-                        nf, kbps, sr,
-                        id3_title=f"clip-{int(mid)}" if id3 else None,
-                    )
-                )
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"],
-                 "payload": pd.Series(payloads, dtype="object")}
-            )
-
-    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+    return _synth_payload_frame(df, id_col, _mp3_payload)
 
 
 MP3_META_SCHEMA = (
@@ -1386,39 +1423,11 @@ def extract_mp3_meta(df: DataFrame, strict: bool = False) -> DataFrame:
     skip, ID3v1 tolerance) via Arrow mapInPandas. Undecodable payloads
     yield nulls unless ``strict`` — the audio-crawl analog of the image
     metadata kernel (duration/bitrate stats, sample-rate routing)."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            cols: dict[str, list] = {
-                k: []
-                for k in (
-                    "bitrate_kbps", "sample_rate", "n_frames",
-                    "duration_ms", "has_id3",
-                )
-            }
-            for payload in pdf["payload"]:
-                vals = None
-                if payload is not None:
-                    try:
-                        vals = codecs.mp3_meta(bytes(payload))
-                    except ValueError:
-                        if strict:
-                            raise
-                if vals is None:
-                    for k in cols:
-                        cols[k].append(None)
-                else:
-                    kbps, sr, nf, dur, id3 = vals
-                    cols["bitrate_kbps"].append(kbps)
-                    cols["sample_rate"].append(sr)
-                    cols["n_frames"].append(nf)
-                    cols["duration_ms"].append(dur)
-                    cols["has_id3"].append(id3)
-            out = pd.DataFrame({"media_id": pdf["media_id"], **cols})
-            yield out
-
-    return df.select("media_id", "payload").mapInPandas(
-        batches, MP3_META_SCHEMA
+    return _extract_meta_frame(
+        df, codecs.mp3_meta,
+        ("bitrate_kbps", "sample_rate", "n_frames", "duration_ms",
+         "has_id3"),
+        MP3_META_SCHEMA, strict,
     )
 
 
@@ -1447,37 +1456,24 @@ def synth_mp4_params(
     )
 
 
+def _mp4_payload(mid: int) -> bytes:
+    brand, ts, dur, n_tracks, has_video, vc, w, h = synth_mp4_params(mid)
+    tracks: list[dict] = []
+    if has_video:
+        tracks.append(
+            {"handler": "vide", "codec": vc, "width": w, "height": h}
+        )
+    while len(tracks) < n_tracks:
+        tracks.append({"handler": "soun", "codec": "mp4a"})
+    return codecs.encode_mp4_headers(brand, ts, dur, tracks)
+
+
 def synth_mp4_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id) → (media_id, payload): structurally valid ISO-BMFF files per
     the ``synth_mp4_params`` contract (real ftyp/moov/trak box tree,
     empty mdat — the container-metadata surface is real; H.264 sample
     ENCODING is out of scope by design, like MP3 main data)."""
-    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                brand, ts, dur, n_tracks, has_video, vc, w, h = (
-                    synth_mp4_params(int(mid))
-                )
-                tracks: list[dict] = []
-                if has_video:
-                    tracks.append(
-                        {"handler": "vide", "codec": vc, "width": w,
-                         "height": h}
-                    )
-                while len(tracks) < n_tracks:
-                    tracks.append({"handler": "soun", "codec": "mp4a"})
-                payloads.append(
-                    codecs.encode_mp4_headers(brand, ts, dur, tracks)
-                )
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"],
-                 "payload": pd.Series(payloads, dtype="object")}
-            )
-
-    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+    return _synth_payload_frame(df, id_col, _mp4_payload)
 
 
 MP4_META_SCHEMA = (
@@ -1494,34 +1490,11 @@ def extract_mp4_meta(df: DataFrame, strict: bool = False) -> DataFrame:
     the catalog/routing kernel for the container a real 100 TB video
     corpus is actually stored in; pixel decode (H.264) stays a GPU-
     stage concern, not an ingest concern."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            cols: dict[str, list] = {
-                k: []
-                for k in (
-                    "major_brand", "timescale", "duration_ms", "n_tracks",
-                    "width", "height", "video_codec",
-                )
-            }
-            for payload in pdf["payload"]:
-                vals = None
-                if payload is not None:
-                    try:
-                        vals = codecs.mp4_meta(bytes(payload))
-                    except ValueError:
-                        if strict:
-                            raise
-                if vals is None:
-                    for k in cols:
-                        cols[k].append(None)
-                else:
-                    for k, v in zip(cols, vals):
-                        cols[k].append(v)
-            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
-
-    return df.select("media_id", "payload").mapInPandas(
-        batches, MP4_META_SCHEMA
+    return _extract_meta_frame(
+        df, codecs.mp4_meta,
+        ("major_brand", "timescale", "duration_ms", "n_tracks",
+         "width", "height", "video_codec"),
+        MP4_META_SCHEMA, strict,
     )
 
 
@@ -1543,30 +1516,19 @@ def synth_flac_params(media_id: int) -> tuple[int, int, int, int, bool]:
     )
 
 
+def _flac_payload(mid: int) -> bytes:
+    rate, ch, bits, total, vc = synth_flac_params(mid)
+    return codecs.encode_flac_headers(
+        rate, ch, bits, total,
+        vorbis_comment=f"title=clip-{mid}" if vc else None,
+    )
+
+
 def synth_flac_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id) → (media_id, payload): real fLaC metadata chains per the
     ``synth_flac_params`` contract (STREAMINFO bitfields + optional
     VORBIS_COMMENT; Rice-coded audio frames out of scope by design)."""
-    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                rate, ch, bits, total, vc = synth_flac_params(int(mid))
-                payloads.append(
-                    codecs.encode_flac_headers(
-                        rate, ch, bits, total,
-                        vorbis_comment=f"title=clip-{int(mid)}" if vc
-                        else None,
-                    )
-                )
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"],
-                 "payload": pd.Series(payloads, dtype="object")}
-            )
-
-    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+    return _synth_payload_frame(df, id_col, _flac_payload)
 
 
 FLAC_META_SCHEMA = (
@@ -1580,34 +1542,11 @@ def extract_flac_meta(df: DataFrame, strict: bool = False) -> DataFrame:
     walk — ``codecs.flac_meta``) via Arrow mapInPandas; undecodable
     payloads yield nulls unless ``strict``. Completes the compressed-
     audio pair with :func:`extract_mp3_meta`."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            cols: dict[str, list] = {
-                k: []
-                for k in (
-                    "sample_rate", "channels", "bits_per_sample",
-                    "total_samples", "duration_ms", "has_comment",
-                )
-            }
-            for payload in pdf["payload"]:
-                vals = None
-                if payload is not None:
-                    try:
-                        vals = codecs.flac_meta(bytes(payload))
-                    except ValueError:
-                        if strict:
-                            raise
-                if vals is None:
-                    for k in cols:
-                        cols[k].append(None)
-                else:
-                    for k, v in zip(cols, vals):
-                        cols[k].append(v)
-            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
-
-    return df.select("media_id", "payload").mapInPandas(
-        batches, FLAC_META_SCHEMA
+    return _extract_meta_frame(
+        df, codecs.flac_meta,
+        ("sample_rate", "channels", "bits_per_sample", "total_samples",
+         "duration_ms", "has_comment"),
+        FLAC_META_SCHEMA, strict,
     )
 
 
@@ -1629,29 +1568,17 @@ def synth_aac_params(media_id: int) -> tuple[str, int, int, int, bool]:
     )
 
 
+def _adts_payload(mid: int) -> bytes:
+    prof, rate, ch, nf, crc = synth_aac_params(mid)
+    return codecs.encode_adts_frames(nf, rate, ch, profile=prof, crc=crc)
+
+
 def synth_aac_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id) → (media_id, payload): structurally valid ADTS streams per
     the ``synth_aac_params`` contract (real frame headers with correct
     lengths; raw AAC payload encoding out of scope by design, like MP3
     main data)."""
-    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                prof, rate, ch, nf, crc = synth_aac_params(int(mid))
-                payloads.append(
-                    codecs.encode_adts_frames(
-                        nf, rate, ch, profile=prof, crc=crc
-                    )
-                )
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"],
-                 "payload": pd.Series(payloads, dtype="object")}
-            )
-
-    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+    return _synth_payload_frame(df, id_col, _adts_payload)
 
 
 AAC_META_SCHEMA = (
@@ -1665,34 +1592,11 @@ def extract_aac_meta(df: DataFrame, strict: bool = False) -> DataFrame:
     ``codecs.aac_adts_meta``) via Arrow mapInPandas; undecodable
     payloads yield nulls unless ``strict``. Completes the compressed-
     audio trio with :func:`extract_mp3_meta` / :func:`extract_flac_meta`."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            cols: dict[str, list] = {
-                k: []
-                for k in (
-                    "profile", "sample_rate", "channels", "n_frames",
-                    "duration_ms", "has_crc",
-                )
-            }
-            for payload in pdf["payload"]:
-                vals = None
-                if payload is not None:
-                    try:
-                        vals = codecs.aac_adts_meta(bytes(payload))
-                    except ValueError:
-                        if strict:
-                            raise
-                if vals is None:
-                    for k in cols:
-                        cols[k].append(None)
-                else:
-                    for k, v in zip(cols, vals):
-                        cols[k].append(v)
-            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
-
-    return df.select("media_id", "payload").mapInPandas(
-        batches, AAC_META_SCHEMA
+    return _extract_meta_frame(
+        df, codecs.aac_adts_meta,
+        ("profile", "sample_rate", "channels", "n_frames", "duration_ms",
+         "has_crc"),
+        AAC_META_SCHEMA, strict,
     )
 
 
@@ -1720,37 +1624,24 @@ def synth_webm_params(
     )
 
 
+def _webm_payload(mid: int) -> bytes:
+    dt, ts, ticks, n_tracks, has_video, vc, w, h = synth_webm_params(mid)
+    tracks: list[dict] = []
+    if has_video:
+        tracks.append(
+            {"handler": "vide", "codec": vc, "width": w, "height": h}
+        )
+    while len(tracks) < n_tracks:
+        tracks.append({"handler": "soun", "codec": "A_OPUS"})
+    return codecs.encode_webm_headers(dt, ts, ticks, tracks)
+
+
 def synth_webm_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id) → (media_id, payload): structurally valid EBML trees per the
     ``synth_webm_params`` contract (real EBML header/Segment/Info/Tracks
     vint encoding; Clusters — VP8/VP9 frame data — out of scope by
     design, like the empty mdat in the MP4 fixture)."""
-    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                dt, ts, ticks, n_tracks, has_video, vc, w, h = (
-                    synth_webm_params(int(mid))
-                )
-                tracks: list[dict] = []
-                if has_video:
-                    tracks.append(
-                        {"handler": "vide", "codec": vc, "width": w,
-                         "height": h}
-                    )
-                while len(tracks) < n_tracks:
-                    tracks.append({"handler": "soun", "codec": "A_OPUS"})
-                payloads.append(
-                    codecs.encode_webm_headers(dt, ts, ticks, tracks)
-                )
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"],
-                 "payload": pd.Series(payloads, dtype="object")}
-            )
-
-    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+    return _synth_payload_frame(df, id_col, _webm_payload)
 
 
 WEBM_META_SCHEMA = (
@@ -1765,34 +1656,11 @@ def extract_webm_meta(df: DataFrame, strict: bool = False) -> DataFrame:
     census, first video track's CodecID + pixel dims) via Arrow
     mapInPandas; undecodable payloads yield nulls unless ``strict``.
     The open-web container twin of :func:`extract_mp4_meta`."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            cols: dict[str, list] = {
-                k: []
-                for k in (
-                    "doc_type", "timescale_ns", "duration_ms", "n_tracks",
-                    "width", "height", "video_codec",
-                )
-            }
-            for payload in pdf["payload"]:
-                vals = None
-                if payload is not None:
-                    try:
-                        vals = codecs.webm_meta(bytes(payload))
-                    except ValueError:
-                        if strict:
-                            raise
-                if vals is None:
-                    for k in cols:
-                        cols[k].append(None)
-                else:
-                    for k, v in zip(cols, vals):
-                        cols[k].append(v)
-            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
-
-    return df.select("media_id", "payload").mapInPandas(
-        batches, WEBM_META_SCHEMA
+    return _extract_meta_frame(
+        df, codecs.webm_meta,
+        ("doc_type", "timescale_ns", "duration_ms", "n_tracks",
+         "width", "height", "video_codec"),
+        WEBM_META_SCHEMA, strict,
     )
 
 
@@ -1813,28 +1681,16 @@ def synth_webp_params(media_id: int) -> tuple[str, int, int, bool, bool]:
     )
 
 
+def _webp_payload(mid: int) -> bytes:
+    fmt, w, h, alpha, anim = synth_webp_params(mid)
+    return codecs.encode_webp_headers(fmt, w, h, alpha=alpha, animation=anim)
+
+
 def synth_webp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id) → (media_id, payload): structurally valid WebP RIFF headers
     per the ``synth_webp_params`` contract (VP8/VP8L bitstream payload
     out of scope by design)."""
-    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                fmt, w, h, alpha, anim = synth_webp_params(int(mid))
-                payloads.append(
-                    codecs.encode_webp_headers(
-                        fmt, w, h, alpha=alpha, animation=anim
-                    )
-                )
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"],
-                 "payload": pd.Series(payloads, dtype="object")}
-            )
-
-    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+    return _synth_payload_frame(df, id_col, _webp_payload)
 
 
 WEBP_META_SCHEMA = (
@@ -1848,34 +1704,10 @@ def extract_webp_meta(df: DataFrame, strict: bool = False) -> DataFrame:
     ``codecs.webp_meta``) via Arrow mapInPandas; undecodable payloads
     yield nulls unless ``strict``. Joins the image-container family
     (BMP/PNG/PPM/GIF/JPEG/TIFF)."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            cols: dict[str, list] = {
-                k: []
-                for k in (
-                    "format", "width", "height", "has_alpha",
-                    "has_animation",
-                )
-            }
-            for payload in pdf["payload"]:
-                vals = None
-                if payload is not None:
-                    try:
-                        vals = codecs.webp_meta(bytes(payload))
-                    except ValueError:
-                        if strict:
-                            raise
-                if vals is None:
-                    for k in cols:
-                        cols[k].append(None)
-                else:
-                    for k, v in zip(cols, vals):
-                        cols[k].append(v)
-            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
-
-    return df.select("media_id", "payload").mapInPandas(
-        batches, WEBP_META_SCHEMA
+    return _extract_meta_frame(
+        df, codecs.webp_meta,
+        ("format", "width", "height", "has_alpha", "has_animation"),
+        WEBP_META_SCHEMA, strict,
     )
 
 
@@ -1895,27 +1727,17 @@ def synth_ogg_params(media_id: int) -> tuple[int, int, int, int, int]:
     )
 
 
+def _ogg_payload(mid: int) -> bytes:
+    ch, ps, ir, npg, samp = synth_ogg_params(mid)
+    return codecs.encode_ogg_opus(ch, ps, ir, npg, samp)
+
+
 def synth_ogg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id) → (media_id, payload): real Ogg page chains carrying an
     OpusHead/OpusTags header pair and granule-positioned audio pages
     per the ``synth_ogg_params`` contract (Opus frame encoding out of
     scope by design)."""
-    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = []
-            for mid in pdf["media_id"]:
-                ch, ps, ir, npg, samp = synth_ogg_params(int(mid))
-                payloads.append(
-                    codecs.encode_ogg_opus(ch, ps, ir, npg, samp)
-                )
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"],
-                 "payload": pd.Series(payloads, dtype="object")}
-            )
-
-    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+    return _synth_payload_frame(df, id_col, _ogg_payload)
 
 
 OGG_META_SCHEMA = (
@@ -1929,34 +1751,11 @@ def extract_ogg_meta(df: DataFrame, strict: bool = False) -> DataFrame:
     ``codecs.ogg_opus_meta``) via Arrow mapInPandas; undecodable
     payloads yield nulls unless ``strict``. The fourth compressed-audio
     container next to MP3/FLAC/AAC."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            cols: dict[str, list] = {
-                k: []
-                for k in (
-                    "channels", "pre_skip", "input_sample_rate",
-                    "n_pages", "duration_ms",
-                )
-            }
-            for payload in pdf["payload"]:
-                vals = None
-                if payload is not None:
-                    try:
-                        vals = codecs.ogg_opus_meta(bytes(payload))
-                    except ValueError:
-                        if strict:
-                            raise
-                if vals is None:
-                    for k in cols:
-                        cols[k].append(None)
-                else:
-                    for k, v in zip(cols, vals):
-                        cols[k].append(v)
-            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
-
-    return df.select("media_id", "payload").mapInPandas(
-        batches, OGG_META_SCHEMA
+    return _extract_meta_frame(
+        df, codecs.ogg_opus_meta,
+        ("channels", "pre_skip", "input_sample_rate", "n_pages",
+         "duration_ms"),
+        OGG_META_SCHEMA, strict,
     )
 
 
@@ -1966,46 +1765,12 @@ _MIXED_FAMILIES = ("mp3", "mp4", "flac", "adts", "webm", "ogg", "webp")
 
 
 def _mixed_payload(mid: int) -> bytes:
-    fam = _MIXED_FAMILIES[mid % 7]
-    if fam == "mp3":
-        kbps, rate, nf, id3 = synth_mp3_params(mid)
-        return codecs.encode_mp3_headers(
-            nf, kbps, rate, id3_title=f"clip-{mid}" if id3 else None
-        )
-    if fam == "mp4":
-        brand, ts, dur, n_tracks, has_video, vc, w, h = synth_mp4_params(mid)
-        tracks: list[dict] = []
-        if has_video:
-            tracks.append(
-                {"handler": "vide", "codec": vc, "width": w, "height": h}
-            )
-        while len(tracks) < n_tracks:
-            tracks.append({"handler": "soun", "codec": "mp4a"})
-        return codecs.encode_mp4_headers(brand, ts, dur, tracks)
-    if fam == "flac":
-        rate, ch, bits, total, vc = synth_flac_params(mid)
-        return codecs.encode_flac_headers(
-            rate, ch, bits, total,
-            vorbis_comment=f"title=clip-{mid}" if vc else None,
-        )
-    if fam == "adts":
-        prof, rate, ch, nf, crc = synth_aac_params(mid)
-        return codecs.encode_adts_frames(nf, rate, ch, profile=prof, crc=crc)
-    if fam == "webm":
-        dt, ts, ticks, n_tracks, has_video, vc, w, h = synth_webm_params(mid)
-        tracks = []
-        if has_video:
-            tracks.append(
-                {"handler": "vide", "codec": vc, "width": w, "height": h}
-            )
-        while len(tracks) < n_tracks:
-            tracks.append({"handler": "soun", "codec": "A_OPUS"})
-        return codecs.encode_webm_headers(dt, ts, ticks, tracks)
-    if fam == "ogg":
-        ch, ps, ir, npg, samp = synth_ogg_params(mid)
-        return codecs.encode_ogg_opus(ch, ps, ir, npg, samp)
-    fmt, w, h, alpha, anim = synth_webp_params(mid)
-    return codecs.encode_webp_headers(fmt, w, h, alpha=alpha, animation=anim)
+    build = {
+        "mp3": _mp3_payload, "mp4": _mp4_payload, "flac": _flac_payload,
+        "adts": _adts_payload, "webm": _webm_payload, "ogg": _ogg_payload,
+        "webp": _webp_payload,
+    }[_MIXED_FAMILIES[mid % 7]]
+    return build(mid)
 
 
 def synth_mixed_media_payloads(
@@ -2015,17 +1780,7 @@ def synth_mixed_media_payloads(
     header-walk container families by id % 7 — the fixture for the
     sniff-and-dispatch catalog (what a real unlabeled 100 TB media dump
     looks like: you don't get told which container each blob is)."""
-    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            payloads = [_mixed_payload(int(m)) for m in pdf["media_id"]]
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"],
-                 "payload": pd.Series(payloads, dtype="object")}
-            )
-
-    return ids.mapInPandas(batches, SYNTH_IMAGE_SCHEMA)
+    return _synth_payload_frame(df, id_col, _mixed_payload)
 
 
 CATALOG_SCHEMA = (
@@ -2077,33 +1832,10 @@ def extract_media_catalog(df: DataFrame, strict: bool = False) -> DataFrame:
     point that routes an unlabeled media dump into typed per-container
     pipelines. O(header bytes) per blob; undecodable/unknown payloads
     yield nulls unless ``strict``."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            cols: dict[str, list] = {
-                k: []
-                for k in (
-                    "container", "kind", "width", "height", "duration_ms",
-                )
-            }
-            for payload in pdf["payload"]:
-                vals = None
-                if payload is not None:
-                    try:
-                        vals = _catalog_row(bytes(payload))
-                    except ValueError:
-                        if strict:
-                            raise
-                if vals is None:
-                    for k in cols:
-                        cols[k].append(None)
-                else:
-                    for k, v in zip(cols, vals):
-                        cols[k].append(v)
-            yield pd.DataFrame({"media_id": pdf["media_id"], **cols})
-
-    return df.select("media_id", "payload").mapInPandas(
-        batches, CATALOG_SCHEMA
+    return _extract_meta_frame(
+        df, _catalog_row,
+        ("container", "kind", "width", "height", "duration_ms"),
+        CATALOG_SCHEMA, strict,
     )
 
 

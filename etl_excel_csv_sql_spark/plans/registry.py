@@ -7691,9 +7691,13 @@ assert len(set(WINDOW_ORDER)) == 50, "WINDOW_ORDER contains duplicates"
     # rank tiebreak is id asc), hence the keep rule is closed-form —
     # the min id of each class (vec_id < 16) survives, every other row
     # drops with dup_of = its class min and max_dup_cosine exactly 1.0.
-    # max_cell=250 + oversize='split' stay IN the plan (class sizes
-    # 31/31/125 at the test sfs never trigger them — the skew-split
-    # behavior itself stays pytest-pinned + skew_probe-evidenced).
+    # max_cell + oversize='split' stay IN the plan, with max_cell SIZED
+    # TO THE CORPUS (>= class size N/16): a fixed 250 would let the
+    # split path trigger at N > 4000 (sf0.1 bench, ×100 probes),
+    # sub-clustering identical vectors via the salt fallback and
+    # silently breaking the closed form (r12 review catch). The
+    # skew-split behavior itself stays pytest-pinned +
+    # skew_probe-evidenced on real vectors.
     """
     SELECT vec_id AS id,
            vec_id % 16 AS cell_id,
@@ -7717,10 +7721,11 @@ assert len(set(WINDOW_ORDER)) == 50, "WINDOW_ORDER contains duplicates"
 )
 def q_semantic_dedup_report(spark, sf_dir):
     ids = _t(spark, sf_dir, "embeddings").select("vec_id")
+    n = ids.count()
     return similarity.semantic_dedup(
         similarity.synth_cluster_embeddings(ids),
         threshold=0.93,
-        max_cell=250,
+        max_cell=max(250, n // 16 + 1),
         oversize="split",
         centroids=similarity.synth_cluster_centroids(spark),
     )

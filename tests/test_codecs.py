@@ -1405,3 +1405,35 @@ def test_sniff_container_every_family_and_ambiguity():
                 b"\xff\xf7garbage"):
         with pytest.raises(ValueError):
             C.sniff_container(bad)
+
+
+def test_r12_review_fixes_codecs():
+    """Pins for the r12 review catches: (a) song-length ADTS streams
+    parse (the borrowed 10k walk cap quarantined ~4-minute clips),
+    (b) chained/concatenated Ogg quarantines instead of reporting the
+    first stream's params over the second stream's granules,
+    (c) fractional Matroska Duration ticks scale BEFORE truncation,
+    (d) encode_adts_frames rejects bodies that overflow the 13-bit
+    frame-length field instead of corrupting byte 3."""
+    long_adts = C.encode_adts_frames(10_500, 44100, 2)
+    prof, rate, ch, nf, dur, crc = C.aac_adts_meta(long_adts)
+    assert nf == 10_500 and dur == 10_500 * 1024 * 1000 // 44100
+
+    a = C.encode_ogg_opus(2, 100, 48000, 2, 48000)
+    b = C.encode_ogg_opus(6, 900, 24000, 3, 480000)
+    with pytest.raises(ValueError, match="chained|serial|bos"):
+        C.ogg_opus_meta(a + b)
+
+    header = C._ebml_elt(0x1A45DFA3, C._ebml_elt(0x4282, b"webm"))
+    info = C._ebml_elt(
+        0x1549A966,
+        C._ebml_elt(0x2AD7B1, (1_000_000_000).to_bytes(4, "big"))
+        + C._ebml_elt(0x4489, struct.pack(">d", 1.9)),
+    )
+    frac = header + C._ebml_elt(
+        0x18538067, info + C._ebml_elt(0x1654AE6B, b"")
+    )
+    assert C.webm_meta(frac)[2] == 1900  # was 1000 under int(ticks)*scale
+
+    with pytest.raises(ValueError, match="13-bit"):
+        C.encode_adts_frames(1, 44100, 2, body_bytes=8200)
