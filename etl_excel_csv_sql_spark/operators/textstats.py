@@ -1127,6 +1127,7 @@ def train_quality_classifier(
     label_col: str = "label",
     max_iter: int = 50,
     reg_param: float = 0.0,
+    model_dir: str | None = None,
 ):
     """Fit the GPT-3/LLaMA-style quality classifier: logistic regression
     separating a trusted reference corpus (label 1) from raw crawl
@@ -1142,8 +1143,19 @@ def train_quality_classifier(
     rules; this LEARNS the boundary from a reference corpus and is the
     standard second filtering stage at 100 TB (GPT-3 appendix A,
     LLaMA-1 CCNet pipeline).
+
+    ``model_dir`` persists the fitted pipeline and returns the LOADED
+    copy. This is not optional hygiene: the freshly-fit
+    LogisticRegressionModel retains a trainingSummary that references
+    the SparkSession, and when the transform closure captures the model
+    the task fails with 'Task not serializable:
+    ObservationManager' (r12 full-sweep catch — the save/load roundtrip
+    strips the summary, and the saved dir is the deployable artifact a
+    scoring cluster loads anyway). Defaults to a scratch dir.
     """
-    from pyspark.ml import Pipeline
+    import tempfile
+
+    from pyspark.ml import Pipeline, PipelineModel
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
@@ -1157,7 +1169,11 @@ def train_quality_classifier(
         regParam=reg_param,
         standardization=True,
     )
-    return Pipeline(stages=[assembler, lr]).fit(labeled)
+    fitted = Pipeline(stages=[assembler, lr]).fit(labeled)
+    if model_dir is None:
+        model_dir = tempfile.mkdtemp(prefix="quality_clf_")
+    fitted.write().overwrite().save(model_dir)
+    return PipelineModel.load(model_dir)
 
 
 def classify_quality(
