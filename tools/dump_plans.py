@@ -145,6 +145,13 @@ QUERIES = (
     "attribution_time_decay",
     "hilbert_layout_sample",
     "asof_nearest_purchase_per_event",
+    # r12 additions: the FFD packer (one two-long-per-doc shuffle into
+    # grouped applyInPandas), the MLlib classifier transform (broadcast
+    # coefficients, narrow map), and the sniff-and-dispatch catalog
+    # (one mapInPandas over the mixed corpus)
+    "sequence_packing_ffd",
+    "quality_classifier_predictions",
+    "media_sniff_catalog",
 )
 
 
