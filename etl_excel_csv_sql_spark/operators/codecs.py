@@ -1708,7 +1708,10 @@ def _mvhd_fields(payload: bytes, s: int, e: int) -> tuple[int, int]:
             raise ValueError("mvhd v0 truncated")
         ts, dur = struct.unpack_from(">II", payload, s + 12)
     elif version == 1:
-        if s + 28 > e:
+        # the 8-byte duration ends at s+32 — an s+28 bound (r12 review
+        # catch) let a 28-31-byte truncated body read 4 bytes of the
+        # NEXT box's header into the duration (e.g. ~248-day clips)
+        if s + 32 > e:
             raise ValueError("mvhd v1 truncated")
         (ts,) = struct.unpack_from(">I", payload, s + 20)
         (dur,) = struct.unpack_from(">Q", payload, s + 24)

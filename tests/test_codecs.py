@@ -1437,3 +1437,30 @@ def test_r12_review_fixes_codecs():
 
     with pytest.raises(ValueError, match="13-bit"):
         C.encode_adts_frames(1, 44100, 2, body_bytes=8200)
+
+
+def test_mvhd_v1_truncated_body_quarantines():
+    """r12 review catch: a version-1 mvhd whose body stops mid-duration
+    (28-31 bytes) must raise, not read 4 bytes of the NEXT box's header
+    into the 64-bit duration (observed as a ~248-day clip)."""
+    import struct as _s
+
+    p = C.encode_mp4_headers(
+        "avc1", 600, 1200,
+        [{"handler": "vide", "codec": "hev1", "width": 16, "height": 16}],
+    )
+    ftyp = p[: p.index(b"moov") - 4]
+    # v1 body cut to 28 bytes: version/flags + 8+8 (times) + 4 (scale)
+    # — the 8-byte duration is missing
+    cut_body = _s.pack(">B3x QQ I", 1, 0, 0, 1000)
+    cut = _s.pack(">I", 8 + len(cut_body)) + b"mvhd" + cut_body
+    # a sibling box right after supplies the bytes the old bound read
+    sibling = _s.pack(">I", 16) + b"free" + bytes(8)
+    moov = _s.pack(">I", 8 + len(cut) + len(sibling)) + b"moov" + cut + sibling
+    with pytest.raises(ValueError, match="mvhd v1 truncated"):
+        C.mp4_meta(ftyp + moov)
+    # intact v1 still parses
+    ok_body = _s.pack(">B3x QQ I Q", 1, 0, 0, 1000, 3750)
+    ok = _s.pack(">I", 8 + len(ok_body)) + b"mvhd" + ok_body
+    moov = _s.pack(">I", 8 + len(ok)) + b"moov" + ok
+    assert C.mp4_meta(ftyp + moov)[:4] == ("avc1", 1000, 3750, 0)
