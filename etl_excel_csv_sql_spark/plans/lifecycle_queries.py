@@ -1453,6 +1453,74 @@ def q_settings_validation(spark, sf_dir):
 
 
 @register(
+    "warc_crawl_catalog",
+    # r12: WARC ingest — the container a real crawl corpus (Common
+    # Crawl) actually ships in. The fixture writes ONE .warc.gz of
+    # per-record gzip members (the CC layout) with a closed-form id
+    # contract; read_warc lists files via binaryFile (file = the
+    # parallelism unit — WARC.gz is not block-splittable, which is
+    # exactly why CC sizes segments at ~1 GB) and parses records in an
+    # Arrow kernel: CRLF-framed headers, exact Content-Length bodies,
+    # embedded HTTP status lines. body = 'doc-{id}-' + 'x'*(id%50), so
+    # n_body_bytes = 5 + len(str(id)) + id%50 and text_head is the
+    # literal body (< 120 chars) — full value oracle.
+    """
+    SELECT doc_id,
+           'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+             AS target_uri,
+           CAST(CASE WHEN doc_id % 7 = 3 THEN 404 ELSE 200 END AS INT)
+             AS http_status,
+           CAST(5 + length(CAST(doc_id AS VARCHAR)) + doc_id % 50
+                AS BIGINT) AS n_body_bytes,
+           'doc-' || CAST(doc_id AS VARCHAR) || '-'
+             || repeat('x', CAST(doc_id % 50 AS INT)) AS text_head
+    FROM documents
+    """,
+    doc="WARC/WARC.gz crawl ingest (io/warc.py): binaryFile file "
+    "listing + Arrow mapInPandas record parse (WARC/1.0 header block, "
+    "exact Content-Length framing, per-record gzip members, embedded "
+    "HTTP status + body) — the Common Crawl entry point of the LLM "
+    "pipeline, feeding the dedup/quality/language stages. URI, status, "
+    "body bytes, and text head all value-checked by the id-contract "
+    "oracle",
+)
+def q_warc_crawl_catalog(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io import warc
+
+    scratch = _scratch(
+        "warc_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    recs = [
+        {
+            "uri": f"https://example.org/doc/{i}",
+            "status": 404 if i % 7 == 3 else 200,
+            "body_text": f"doc-{i}-" + "x" * (i % 50),
+        }
+        for i in ids
+    ]
+    path = os.path.join(scratch, "crawl-00000.warc.gz")
+    with open(path, "wb") as f:
+        f.write(warc.encode_warc(recs, gzip_members=True))
+    df = warc.read_warc(spark, path, strict=True)
+    return df.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        "http_status",
+        "n_body_bytes",
+        "text_head",
+    )
+
+
+@register(
     "jsonl_roundtrip",
     """
     SELECT doc_id, lang, source, n_chars, text

@@ -7563,6 +7563,8 @@ PYTHON_KERNELS: dict[str, str] = {
     "media_sniff_catalog": "stdlib codec decode via Arrow mapInPandas",
     "sequence_packing_ffd": "sequential first-fit scan per bucket via "
     "grouped applyInPandas (two longs per doc — never the tokens)",
+    "warc_crawl_catalog": "WARC record parse via Arrow mapInPandas "
+    "over binaryFile (file = parallelism unit, the CC segment layout)",
     "sequence_packing_report": "packs via the same applyInPandas kernel "
     "before the pure-JVM aggregation",
 }
@@ -7617,6 +7619,7 @@ EAGER_QUERIES: frozenset[str] = frozenset(
         "settings_catalog",
         "settings_datasource_scan",
         "settings_validation_outcomes",
+        "warc_crawl_catalog",
         "warehouse_bucketed_join",
         "watermark_lifecycle",
     }
