@@ -149,10 +149,13 @@ WARC_SCHEMA = (
 
 
 def read_warc(
-    spark: SparkSession, path_glob: str, strict: bool = False
+    spark: SparkSession,
+    path_glob: str,
+    strict: bool = False,
+    head_chars: int = TEXT_HEAD_CHARS,
 ) -> DataFrame:
     """WARC/WARC.gz files → one row per record. ``http_status`` and
-    ``text_head`` (first ``TEXT_HEAD_CHARS`` chars, UTF-8 with
+    ``text_head`` (first ``head_chars`` chars, UTF-8 with
     replacement) are populated for ``response`` records carrying an
     embedded HTTP response; other record types leave them null.
     ``n_body_bytes`` is the HTTP body size for responses, else the
@@ -182,9 +185,9 @@ def read_warc(
                 ).startswith("application/http"):
                     status, http_body = http_response_fields(rec["body"])
                     nbytes = len(http_body)
-                    head = http_body[: 4 * TEXT_HEAD_CHARS].decode(
+                    head = http_body[: 4 * head_chars].decode(
                         "utf-8", "replace"
-                    )[:TEXT_HEAD_CHARS]
+                    )[:head_chars]
                 rows["file"].append(file)
                 rows["record_idx"].append(idx)
                 rows["warc_type"].append(rec["warc_type"])

@@ -1,0 +1,118 @@
+"""HTML → visible text extraction — the WET-conversion stage between
+crawl ingest (io/warc.py) and the text pipeline (language ID, quality,
+dedup): a crawl's response bodies are HTML, and every downstream
+operator wants the rendered text.
+
+Pure stdlib (``html.parser``, lenient by construction — real-world HTML
+is never "well-formed", so unlike the binary codecs there is no
+quarantine lane: every input produces SOME text). Extraction contract,
+deterministic and oracle-friendly:
+
+- ``<script> <style> <noscript> <template>`` subtrees contribute
+  nothing (the boilerplate a text pipeline must never train on);
+- ``<head>`` content is metadata, not visible text — the ``<title>``
+  is captured separately;
+- all other text nodes are concatenated in document order with every
+  whitespace run collapsed to one space;
+- ``n_links`` counts ``<a href=...>`` anchors (the out-degree feature
+  link-spam classifiers use).
+
+The Spark surface is one Arrow ``mapInPandas`` kernel, composing with
+``read_warc`` into crawl → text in two narrow passes.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+_SKIP_TAGS = {"script", "style", "noscript", "template"}
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self.title_parts: list[str] = []
+        self.n_links = 0
+        self._skip_depth = 0
+        self._in_head = 0
+        self._in_title = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+        elif tag == "head":
+            self._in_head += 1
+        elif tag == "title":
+            self._in_title += 1
+        elif tag == "a" and any(k == "href" for k, _ in attrs):
+            self.n_links += 1
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS and self._skip_depth:
+            self._skip_depth -= 1
+        elif tag == "head" and self._in_head:
+            self._in_head -= 1
+        elif tag == "title" and self._in_title:
+            self._in_title -= 1
+
+    def handle_data(self, data):
+        if self._in_title:
+            self.title_parts.append(data)
+        elif not self._skip_depth and not self._in_head:
+            self.parts.append(data)
+
+
+def html_to_text(html: str) -> tuple[str | None, str, int]:
+    """(title, visible_text, n_links) per the module's extraction
+    contract. Lenient like every browser: unclosed tags, bare text,
+    or outright garbage still yield their visible text."""
+    p = _TextExtractor()
+    p.feed(html)
+    p.close()
+    title = " ".join(" ".join(p.title_parts).split()) or None
+    text = " ".join(" ".join(p.parts).split())
+    return title, text, p.n_links
+
+
+WEB_TEXT_SCHEMA = (
+    "doc_id long, title string, text string, n_links int, n_chars long"
+)
+
+
+def extract_web_text(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "text_head"
+) -> DataFrame:
+    """(id, html) → (doc_id, title, text, n_links, n_chars) via one
+    Arrow mapInPandas pass — null html yields a null row (a failed
+    upstream fetch is not a failed extraction)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "title": [], "text": [],
+                "n_links": [], "n_chars": [],
+            }
+            for did, html in zip(pdf[id_col], pdf[html_col]):
+                out["doc_id"].append(did)
+                if html is None:
+                    out["title"].append(None)
+                    out["text"].append(None)
+                    out["n_links"].append(None)
+                    out["n_chars"].append(None)
+                    continue
+                title, text, n_links = html_to_text(str(html))
+                out["title"].append(title)
+                out["text"].append(text)
+                out["n_links"].append(n_links)
+                out["n_chars"].append(len(text))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, html_col).mapInPandas(
+        batches, WEB_TEXT_SCHEMA
+    )

@@ -1521,6 +1521,82 @@ def q_warc_crawl_catalog(spark, sf_dir):
 
 
 @register(
+    "warc_web_text_extract",
+    # r12: the WET-conversion stage chained onto the crawl reader —
+    # WARC.gz fixture whose response bodies are HTML (title + script
+    # boilerplate + heading/paragraph + id%4 anchors), read_warc, then
+    # the html.parser extraction kernel. The extraction contract
+    # (script/style/head dropped, whitespace collapsed, anchors
+    # counted) makes title/text/links/chars closed-form — full value
+    # oracle over a TWO-stage Python-kernel pipeline.
+    """
+    WITH t AS (
+      SELECT doc_id,
+             'H' || CAST(doc_id AS VARCHAR) || ' para '
+               || CAST(doc_id AS VARCHAR) || ' content'
+               || repeat(' l', CAST(doc_id % 4 AS INT)) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           text,
+           CAST(doc_id % 4 AS INT) AS n_links,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM t
+    """,
+    doc="crawl → text in two Arrow passes: read_warc (binaryFile + "
+    "record walk) feeds the html.parser visible-text extraction "
+    "(script/style/noscript/template and <head> dropped, whitespace "
+    "collapsed, <a href> counted — the WET stage every text pipeline "
+    "runs before language ID / quality / dedup). Title, text, link "
+    "count, and char count all value-checked by the id-contract oracle",
+)
+def q_warc_web_text(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io import warc
+    from etl_excel_csv_sql_spark.operators import webtext
+
+    scratch = _scratch(
+        "warc_html_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    recs = []
+    for i in ids:
+        links = "".join(f"<a href='/l{j}'>l</a>" for j in range(i % 4))
+        recs.append(
+            {
+                "uri": f"https://example.org/doc/{i}",
+                "status": 200,
+                "body_text": (
+                    f"<html><head><title>Doc {i}</title>"
+                    f"<script>var x = 1; if (x < 2) {{}}</script></head>"
+                    f"<body><h1>H{i}</h1><p>para {i} content</p>"
+                    f"{links}</body></html>"
+                ),
+            }
+        )
+    path = os.path.join(scratch, "crawl-00000.warc.gz")
+    with open(path, "wb") as f:
+        f.write(warc.encode_warc(recs, gzip_members=True))
+    pages = (
+        warc.read_warc(spark, path, strict=True, head_chars=2000)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "text_head",
+        )
+    )
+    return webtext.extract_web_text(pages, "doc_id", "text_head")
+
+
+@register(
     "jsonl_roundtrip",
     """
     SELECT doc_id, lang, source, n_chars, text

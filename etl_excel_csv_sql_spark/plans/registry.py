@@ -7565,6 +7565,8 @@ PYTHON_KERNELS: dict[str, str] = {
     "grouped applyInPandas (two longs per doc — never the tokens)",
     "warc_crawl_catalog": "WARC record parse via Arrow mapInPandas "
     "over binaryFile (file = parallelism unit, the CC segment layout)",
+    "warc_web_text_extract": "WARC record walk + html.parser visible-"
+    "text extraction, two Arrow mapInPandas passes",
     "sequence_packing_report": "packs via the same applyInPandas kernel "
     "before the pure-JVM aggregation",
 }
@@ -7620,6 +7622,7 @@ EAGER_QUERIES: frozenset[str] = frozenset(
         "settings_datasource_scan",
         "settings_validation_outcomes",
         "warc_crawl_catalog",
+        "warc_web_text_extract",
         "warehouse_bucketed_join",
         "watermark_lifecycle",
     }

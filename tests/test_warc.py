@@ -98,3 +98,56 @@ def test_read_warc_kernel_contract(spark, tmp_path):
     assert os.path.basename(lax[0]["file"].replace("file:", "")) or True
     with pytest.raises(Exception, match="WARC"):
         warc.read_warc(spark, bad, strict=True).collect()
+
+
+def test_html_to_text_contract_and_leniency():
+    """The warc_web_text_extract oracle's extraction-contract pin, plus
+    browser-grade leniency (no quarantine lane for HTML: garbage still
+    yields its visible text)."""
+    from etl_excel_csv_sql_spark.operators.webtext import html_to_text
+
+    for i in (0, 1, 2, 3, 7, 11):
+        links = "".join(f"<a href='/l{j}'>l</a>" for j in range(i % 4))
+        html = (
+            f"<html><head><title>Doc {i}</title>"
+            f"<script>var x = 1; if (x < 2) {{}}</script></head>"
+            f"<body><h1>H{i}</h1><p>para {i} content</p>{links}</body>"
+            f"</html>"
+        )
+        want = f"H{i} para {i} content" + " l" * (i % 4)
+        assert html_to_text(html) == (f"Doc {i}", want, i % 4), i
+    # style/noscript/template subtrees drop; head text is metadata
+    assert html_to_text(
+        "<head>meta junk</head><style>p{}</style><noscript>n</noscript>"
+        "<template>t</template>body text"
+    ) == (None, "body text", 0)
+    # anchors without href are not links; entities decode
+    assert html_to_text("<a name='x'>anchor</a> &amp; more") == (
+        None, "anchor & more", 0
+    )
+    # unclosed garbage still extracts
+    assert html_to_text("just <b>bold no closing") == (
+        None, "just bold no closing", 0
+    )
+    # whitespace runs collapse across nodes
+    assert html_to_text("<p>  a\n\n b </p>\t<p>c</p>") == (None, "a b c", 0)
+
+
+def test_extract_web_text_kernel_nulls_and_values(spark):
+    from etl_excel_csv_sql_spark.operators import webtext
+
+    df = spark.createDataFrame(
+        [
+            (1, "<title>T</title><body>hello <b>world</b></body>"),
+            (2, None),
+        ],
+        "doc_id long, text_head string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in webtext.extract_web_text(df).collect()
+    }
+    assert rows[1]["title"] == "T"
+    assert rows[1]["text"] == "hello world"
+    assert rows[1]["n_links"] == 0 and rows[1]["n_chars"] == 11
+    assert rows[2]["text"] is None and rows[2]["n_chars"] is None
