@@ -7389,57 +7389,68 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # (all last=r7 green, untouched, value-pinned by the local gate; back
 # in the r13 pool). sequence_packing_report rides on the local gate +
 # pytest until r13.
+# --- r13 window (tools/rotation.py 13, VERDICT r12 #1): leads with
+# the 5 never-driver-checked r12-close queries (media_sniff_catalog,
+# warc_crawl_catalog, warc_web_text_extract, quality_classifier_
+# predictions, sequence_packing_report — all judge-green via
+# check_oracle at r12 close, but driver rows are the contract), then
+# the FULL 38-query r7 staleness tier, then 7 slots from the r8 tier.
+# Done criterion: CORRECTNESS_r13 green on all 50; after this round no
+# query's latest driver row is older than r8 (freshness invariant,
+# VERDICT r12 #8). New r13 queries (warc charset bodies, pdf text,
+# crawl e2e, url hygiene) swap in late per the standing precedent:
+# never-checked new oracles outrank stale unchanged re-checks.
 WINDOW_ORDER: tuple[str, ...] = (
-    "media_mp3_meta",
-    "media_mp4_meta",
-    "media_flac_meta",
-    "weighted_sample_orders",
-    "zorder_layout_sample",
-    "cohort_retention_weekly",
-    "event_transition_matrix",
-    "snapshot_diff_cdc",
-    "incremental_agg_maintenance",
-    "unpivot_status_metrics",
-    "json_payload_profile",
-    "json_kv_explode",
-    "assoc_rules_pairs",
-    "pagerank_part_supplier",
-    "bfs_reachability",
-    "heavy_hitters_phi",
-    "ngram_containment_pairs",
-    "unicode_nfc_normalize",
-    "golden_record_survivorship",
-    "minhash_lsh_pairs",
-    "ann_ivf_topk",
-    "ann_ivf_mllib_topk",
-    "schema_guard_outcomes",
-    "quality_filter_pipeline",
-    "jsonl_roundtrip",
-    "events_streaming_merge_upsert",
-    "orc_roundtrip",
-    "events_streaming_enriched",
-    "fixed_width_roundtrip",
-    "partition_pruned_read",
-    "settings_datasource_scan",
-    "bloom_semi_join_prefilter",
-    "media_webp_meta",
-    "sequence_packing_ffd",
-    "media_aac_meta",
-    "media_webm_meta",
-    "media_ogg_meta",
-    "simhash_pairs",
-    "ann_ivf_persisted_topk",
-    "ann_ivf_upsert_topk",
-    "ann_pq_topk",
-    "dedup_pipeline_minhash",
-    "dedup_incremental_minhash",
-    "bpe_train_report",
-    "bpe_encode_tokens",
-    "embedding_pca_variance",
-    "semantic_dedup_report",
-    "media_streaming_audio_rollup",
-    "k_anonymity_violations",
-    "dp_noisy_event_counts",
+    "media_sniff_catalog",
+    "warc_crawl_catalog",
+    "warc_web_text_extract",
+    "quality_classifier_predictions",
+    "sequence_packing_report",
+    "doc_chunk_windows",
+    "stratified_sample_exact",
+    "temperature_resample_weights",
+    "events_resample_ffill",
+    "events_value_anomalies",
+    "tfidf_doc_similarity",
+    "events_trailing_hour_window",
+    "numeric_histogram",
+    "attribution_last_touch",
+    "stats_chi_square_lang_source",
+    "stats_linear_fit_price_qty",
+    "stats_correlation_matrix",
+    "join_cardinality_estimate",
+    "returned_item_report",
+    "customers_without_orders",
+    "events_seasonal_anomalies",
+    "embedding_drift_report",
+    "ab_test_report",
+    "corpus_pipeline_e2e",
+    "scd2_point_in_time_join",
+    "nation_volume_shipping",
+    "promo_revenue_pct",
+    "top_supplier_revenue",
+    "small_qty_order_revenue",
+    "large_volume_customers",
+    "disjunctive_predicate_revenue",
+    "multiset_ops",
+    "embedding_dim_stats",
+    "benford_first_digit",
+    "events_ewma_smoothing",
+    "datetime_functions_breadth",
+    "aggregate_functions_breadth",
+    "regexp_functions_breadth",
+    "variant_payload_extract",
+    "null_semantics_battery",
+    "source_score_quantile_norm",
+    "nested_orders_rollup",
+    "kfold_assignment",
+    "events_streaming_dedup_watermarked",
+    "csv_permissive_quarantine",
+    "dpp_partition_pruned_revenue",
+    "pivot_multi_agg",
+    "personalized_pagerank_parts",
+    "media_exif_meta",
+    "forecast_revenue_change",
 )
 
 # Breadth-tier queries (see QuerySpec.tier): pure SQL-shape coverage —
