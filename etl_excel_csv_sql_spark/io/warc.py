@@ -12,10 +12,30 @@ for ``response`` records the embedded HTTP/1.x status line + headers.
 No Python object ever round-trips through the driver; a 1000-executor
 cluster reads 90k files as 90k independent tasks.
 
+Memory contract (r13): parsing is a GENERATOR over a streaming inflate —
+the gzip member chain decompresses in ~1 MiB slices into a front-
+compacted buffer, each record's body is released as soon as its row is
+emitted, and output frames are chunked. Peak RSS per task is bounded by
+one record plus one file's EMITTED columns (the lenient quarantine
+contract below needs file-atomic commit), not by the whole decompressed
+stream plus every body — the r12 shape held ~2x the inflated bytes.
+
+Text contract (r13): ``text`` is the FULL decoded HTTP body (no
+truncation) with charset-aware decode — the embedded HTTP Content-Type
+``charset=`` parameter wins, else a ``<meta charset>`` /
+``<meta http-equiv="Content-Type">`` sniff over the first 4 KiB, else a
+BOM, else UTF-8-with-replacement. Real crawls are 10-15% legacy
+encodings (windows-125x, shift_jis, gbk); hardwired UTF-8 feeds
+mojibake into lang-ID and dedup. ``text_head`` stays as the cheap
+preview column; ``charset``/``charset_source`` record what decoded it.
+
 Quarantine contract matches the media codecs: a malformed record
 (bad version line, missing Content-Length, truncated body, broken gzip
-member) raises ValueError — lenient mode nulls the FILE's rows rather
-than killing the batch, strict raises.
+member, malformed embedded HTTP status) raises ValueError — lenient
+mode quarantines the whole FILE to one null sentinel row rather than
+killing the batch, strict raises. Commit is file-atomic: a file whose
+Nth record is malformed contributes NO rows for records 0..N-1 (r12
+double-counted such files as both partially ingested and quarantined).
 
 Cited reference scope: the reference engine reads CSV/Excel/SQL only
 (SURVEY §2.1); WARC is the LLM-pipeline superset's crawl-ingest lane,
@@ -24,6 +44,8 @@ next to the jsonl/fixed-width/ORC sources.
 
 from __future__ import annotations
 
+import codecs as _codecs
+import re
 import zlib
 from typing import Iterator
 
@@ -33,59 +55,106 @@ from pyspark.sql import DataFrame, SparkSession
 
 _CRLF = b"\r\n"
 TEXT_HEAD_CHARS = 120
+_INFLATE_CHUNK = 1 << 20
+# flush an output frame once the buffered rows carry this much text —
+# keeps the Arrow batch hand-off bounded even for multi-GB inputs
+_FRAME_CHARS = 32 << 20
+_META_SNIFF_BYTES = 4096
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?([A-Za-z0-9_.:-]+)""", re.I
+)
+_HEADER_CHARSET_RE = re.compile(r"charset\s*=\s*\"?([A-Za-z0-9_.:-]+)", re.I)
 
 
-def split_gzip_members(payload: bytes) -> bytes:
+def _inflate_chunks(payload: bytes) -> Iterator[bytes]:
     """Decompress a chain of gzip members (the WARC.gz layout: one
-    member per record) into one plain byte stream. Non-gzip input
-    passes through untouched; a truncated/corrupt member raises."""
+    member per record) in bounded slices. Non-gzip input passes through
+    untouched; a truncated/corrupt member raises ValueError."""
     if payload[:2] != b"\x1f\x8b":
-        return payload
-    out = bytearray()
-    rest = payload
-    while rest:
-        d = zlib.decompressobj(47)
-        try:
-            out += d.decompress(rest)
-            out += d.flush()
-        except zlib.error as exc:  # quarantine contract: ValueError only
-            raise ValueError(f"corrupt gzip member in WARC.gz: {exc}")
-        if not d.eof:
-            raise ValueError("truncated gzip member in WARC.gz chain")
-        rest = d.unused_data
-    return bytes(out)
-
-
-def parse_warc(payload: bytes) -> list[dict]:
-    """WARC bytes (plain or gzip-member chain) → list of record dicts:
-    ``warc_type target_uri warc_date content_type content_length body``.
-    Exact Content-Length framing — bodies may contain anything,
-    including things that look like record boundaries."""
-    data = split_gzip_members(payload)
-    records = []
+        yield payload
+        return
+    view = memoryview(payload)
     pos = 0
-    n = len(data)
+    n = len(payload)
     while pos < n:
-        # skip inter-record blank lines
-        while data[pos : pos + 2] == _CRLF:
-            pos += 2
-        if pos >= n:
+        d = zlib.decompressobj(47)
+        while not d.eof:
+            if pos >= n:
+                raise ValueError("truncated gzip member in WARC.gz chain")
+            piece = view[pos : pos + _INFLATE_CHUNK]
+            pos += len(piece)
+            try:
+                out = d.decompress(piece)
+            except zlib.error as exc:
+                raise ValueError(f"corrupt gzip member in WARC.gz: {exc}")
+            if out:
+                yield out
+        # bytes fed past the member end belong to the next member
+        pos -= len(d.unused_data)
+
+
+def iter_warc_records(payload: bytes) -> Iterator[dict]:
+    """WARC bytes (plain or gzip-member chain) → record dicts
+    ``warc_type target_uri warc_date content_type content_length body``,
+    one at a time over a front-compacted buffer (peak RSS ~ one record,
+    not the whole file). Exact Content-Length framing — bodies may
+    contain anything, including things that look like record
+    boundaries."""
+    chunks = _inflate_chunks(payload)
+    buf = bytearray()
+    done = False
+
+    def more() -> bool:
+        nonlocal done
+        if done:
+            return False
+        try:
+            buf.extend(next(chunks))
+            return True
+        except StopIteration:
+            done = True
+            return False
+
+    def find_crlf(start: int) -> int:
+        while True:
+            i = buf.find(_CRLF, start)
+            if i >= 0:
+                return i
+            start = max(start, len(buf) - 1)
+            if not more():
+                return -1
+
+    def ensure(nbytes: int) -> bool:
+        while len(buf) < nbytes:
+            if not more():
+                return False
+        return True
+
+    emitted = False
+    while True:
+        # skip inter-record blank lines at the front
+        while True:
+            if not ensure(2):
+                break
+            if buf[:2] == _CRLF:
+                del buf[:2]
+            else:
+                break
+        if not buf and done:
             break
-        eol = data.find(_CRLF, pos)
+        eol = find_crlf(0)
         if eol < 0:
             raise ValueError("WARC version line not CRLF-terminated")
-        version = data[pos:eol]
-        if not version.startswith(b"WARC/"):
-            raise ValueError(
-                f"expected WARC/x.y version line at byte {pos}"
-            )
+        if not buf[:eol].startswith(b"WARC/"):
+            raise ValueError("expected WARC/x.y version line")
         pos = eol + 2
         fields: dict[str, str] = {}
         while True:
-            eol = data.find(_CRLF, pos)
+            eol = find_crlf(pos)
             if eol < 0:
                 raise ValueError("WARC header block not terminated")
-            line = data[pos:eol]
+            line = bytes(buf[pos:eol])
             pos = eol + 2
             if not line:
                 break
@@ -99,32 +168,41 @@ def parse_warc(payload: bytes) -> list[dict]:
             length = int(fields["content-length"])
         except (KeyError, ValueError):
             raise ValueError("WARC record missing a valid Content-Length")
-        if length < 0 or pos + length > n:
+        if length < 0 or not ensure(pos + length + 4):
             raise ValueError("WARC record body overruns payload")
-        body = data[pos : pos + length]
+        body = bytes(buf[pos : pos + length])
         pos += length
-        if data[pos : pos + 4] != _CRLF + _CRLF:
+        if buf[pos : pos + 4] != _CRLF + _CRLF:
             raise ValueError("WARC record not followed by CRLF CRLF")
-        pos += 4
-        records.append(
-            {
-                "warc_type": fields.get("warc-type"),
-                "target_uri": fields.get("warc-target-uri"),
-                "warc_date": fields.get("warc-date"),
-                "content_type": fields.get("content-type"),
-                "content_length": length,
-                "body": body,
-            }
-        )
-    if not records:
+        # release consumed bytes BEFORE yielding: the caller may hold
+        # the record while the next chunk inflates
+        del buf[: pos + 4]
+        emitted = True
+        yield {
+            "warc_type": fields.get("warc-type"),
+            "target_uri": fields.get("warc-target-uri"),
+            "warc_date": fields.get("warc-date"),
+            "content_type": fields.get("content-type"),
+            "content_length": length,
+            "body": body,
+        }
+    if not emitted:
         raise ValueError("WARC payload has no records")
-    return records
 
 
-def http_response_fields(body: bytes) -> tuple[int, bytes]:
-    """(status_code, http_body) from an embedded HTTP/1.x response
-    (the payload of a WARC ``response`` record with
-    ``application/http`` content type)."""
+def parse_warc(payload: bytes) -> list[dict]:
+    """Materialized ``iter_warc_records`` — the fixture/test surface.
+    The Spark reader consumes the generator directly so a ~1 GB
+    .warc.gz never holds all bodies at once."""
+    return list(iter_warc_records(payload))
+
+
+def http_response_parts(body: bytes) -> tuple[int, dict[str, str], bytes]:
+    """(status_code, headers, http_body) from an embedded HTTP/1.x
+    response (the payload of a WARC ``response`` record with
+    ``application/http`` content type). Header names lowercase;
+    duplicate headers keep the first value (charset detection only
+    reads Content-Type, and RFC 9110 makes duplicates of it invalid)."""
     eol = body.find(_CRLF)
     if eol < 0:
         raise ValueError("HTTP status line not CRLF-terminated")
@@ -138,14 +216,67 @@ def http_response_fields(body: bytes) -> tuple[int, bytes]:
     sep = body.find(_CRLF + _CRLF, eol)
     if sep < 0:
         raise ValueError("HTTP header block not terminated")
-    return status, body[sep + 4 :]
+    headers: dict[str, str] = {}
+    for line in body[eol + 2 : sep].split(_CRLF):
+        name, hsep, value = line.partition(b":")
+        if hsep:
+            headers.setdefault(
+                name.strip().lower().decode("ascii", "replace"),
+                value.strip().decode("utf-8", "replace"),
+            )
+    return status, headers, body[sep + 4 :]
+
+
+def http_response_fields(body: bytes) -> tuple[int, bytes]:
+    """(status_code, http_body) — the r12 surface, kept for callers
+    that don't need headers."""
+    status, _, http_body = http_response_parts(body)
+    return status, http_body
+
+
+def _normalize_charset(label: str) -> str | None:
+    """A declared charset label → Python codec name, None if unknown
+    (unknown labels fall through to the next detection source; real
+    crawls declare plenty of garbage like charset=none)."""
+    try:
+        return _codecs.lookup(label).name
+    except LookupError:
+        return None
+
+
+def detect_charset(
+    headers: dict[str, str], http_body: bytes
+) -> tuple[str, str]:
+    """(codec_name, source) for an HTTP body per the WHATWG-ish
+    precedence real browsers use: Content-Type header charset, else
+    ``<meta charset>`` / ``<meta http-equiv>`` sniff over the first
+    4 KiB, else a Unicode BOM, else UTF-8. source is one of
+    ``header meta bom default``."""
+    ctype = headers.get("content-type", "")
+    m = _HEADER_CHARSET_RE.search(ctype)
+    if m:
+        name = _normalize_charset(m.group(1))
+        if name:
+            return name, "header"
+    m = _META_CHARSET_RE.search(http_body[:_META_SNIFF_BYTES])
+    if m:
+        name = _normalize_charset(m.group(1).decode("ascii", "replace"))
+        if name:
+            return name, "meta"
+    if http_body[:3] == b"\xef\xbb\xbf":
+        return "utf-8", "bom"
+    if http_body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16", "bom"
+    return "utf-8", "default"
 
 
 WARC_SCHEMA = (
     "file string, record_idx int, warc_type string, target_uri string, "
     "warc_date string, content_type string, http_status int, "
-    "n_body_bytes long, text_head string"
+    "n_body_bytes long, charset string, charset_source string, "
+    "text string, text_head string"
 )
+_WARC_COLS = tuple(f.split(" ")[0] for f in WARC_SCHEMA.split(", "))
 
 
 def read_warc(
@@ -154,68 +285,86 @@ def read_warc(
     strict: bool = False,
     head_chars: int = TEXT_HEAD_CHARS,
 ) -> DataFrame:
-    """WARC/WARC.gz files → one row per record. ``http_status`` and
-    ``text_head`` (first ``head_chars`` chars, UTF-8 with
-    replacement) are populated for ``response`` records carrying an
-    embedded HTTP response; other record types leave them null.
-    ``n_body_bytes`` is the HTTP body size for responses, else the
-    record Content-Length. Lenient mode nulls a malformed FILE's
-    columns (one sentinel row) instead of failing the batch."""
+    """WARC/WARC.gz files → one row per record. For ``response``
+    records carrying an embedded HTTP response, ``http_status``,
+    ``charset``/``charset_source`` (see ``detect_charset``), ``text``
+    (FULL decoded body, charset-aware, errors=replace) and
+    ``text_head`` (first ``head_chars`` chars of ``text``) are
+    populated; other record types leave them null. ``n_body_bytes`` is
+    the HTTP body size for responses, else the record Content-Length.
+    Lenient mode quarantines a malformed FILE to one null sentinel row
+    — file-atomic: no partial rows from before the malformed record."""
     binary = spark.read.format("binaryFile").load(path_glob).select(
         "path", "content"
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {k: [] for k in _WARC_COLS}
+        buffered_chars = 0
+
+        def frame():
+            nonlocal rows, buffered_chars
+            out = pd.DataFrame(rows)
+            rows = {k: [] for k in _WARC_COLS}
+            buffered_chars = 0
+            return out
+
         for pdf in it:
-            rows: dict[str, list] = {
-                k: []
-                for k in (
-                    "file", "record_idx", "warc_type", "target_uri",
-                    "warc_date", "content_type", "http_status",
-                    "n_body_bytes", "text_head",
-                )
-            }
-
-            def emit(file, idx, rec):
-                status = None
-                head = None
-                nbytes = rec["content_length"]
-                if rec["warc_type"] == "response" and (
-                    rec["content_type"] or ""
-                ).startswith("application/http"):
-                    status, http_body = http_response_fields(rec["body"])
-                    nbytes = len(http_body)
-                    head = http_body[: 4 * head_chars].decode(
-                        "utf-8", "replace"
-                    )[:head_chars]
-                rows["file"].append(file)
-                rows["record_idx"].append(idx)
-                rows["warc_type"].append(rec["warc_type"])
-                rows["target_uri"].append(rec["target_uri"])
-                rows["warc_date"].append(rec["warc_date"])
-                rows["content_type"].append(rec["content_type"])
-                rows["http_status"].append(status)
-                rows["n_body_bytes"].append(nbytes)
-                rows["text_head"].append(head)
-
             for file, content in zip(pdf["path"], pdf["content"]):
+                # file-atomic commit (ADVICE r12): buffer this file's
+                # rows locally; a ValueError anywhere in the file —
+                # including the embedded HTTP parse of its LAST record
+                # — discards the partial buffer before the sentinel
+                pending: list[tuple] = []
+                pending_chars = 0
                 try:
-                    for idx, rec in enumerate(parse_warc(bytes(content))):
-                        emit(file, idx, rec)
+                    for idx, rec in enumerate(
+                        iter_warc_records(bytes(content))
+                    ):
+                        status = charset = source = text = head = None
+                        nbytes = rec["content_length"]
+                        if rec["warc_type"] == "response" and (
+                            rec["content_type"] or ""
+                        ).startswith("application/http"):
+                            status, headers, http_body = (
+                                http_response_parts(rec["body"])
+                            )
+                            nbytes = len(http_body)
+                            charset, source = detect_charset(
+                                headers, http_body
+                            )
+                            text = http_body.decode(charset, "replace")
+                            head = text[:head_chars]
+                            pending_chars += len(text)
+                        rec["body"] = None  # release before next record
+                        pending.append((
+                            file, idx, rec["warc_type"],
+                            rec["target_uri"], rec["warc_date"],
+                            rec["content_type"], status, nbytes,
+                            charset, source, text, head,
+                        ))
                 except ValueError:
                     if strict:
                         raise
-                    for k in rows:
-                        rows[k].append(file if k == "file" else None)
-            yield pd.DataFrame(rows)
+                    pending = [(file,) + (None,) * (len(_WARC_COLS) - 1)]
+                    pending_chars = 0
+                for row in pending:
+                    for k, v in zip(_WARC_COLS, row):
+                        rows[k].append(v)
+                buffered_chars += pending_chars
+                if buffered_chars >= _FRAME_CHARS:
+                    yield frame()
+        yield frame()
 
     return binary.mapInPandas(batches, WARC_SCHEMA)
 
 
 def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
     """Fixture writer: a warcinfo header record plus one ``response``
-    record per input dict (``uri``, ``status``, ``body_text``,
-    optional ``date``) — byte-exact WARC/1.0 framing; gzip_members
+    record per input dict (``uri``, ``status``, ``body_text``, optional
+    ``date``, optional ``http_content_type`` for the embedded HTTP
+    Content-Type header, optional ``body_bytes`` to plant a non-UTF-8
+    encoded body verbatim) — byte-exact WARC/1.0 framing; gzip_members
     emits the Common Crawl one-member-per-record layout."""
 
     def record(rtype: str, fields: dict, body: bytes) -> bytes:
@@ -238,13 +387,16 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
         b"software: etl-excel-csv-sql-spark\r\n",
     )
     for r in records:
-        body_text = r["body_text"].encode()
+        body = r.get("body_bytes")
+        if body is None:
+            body = r["body_text"].encode()
+        ctype = r.get("http_content_type", "text/plain")
         http = (
             f"HTTP/1.1 {r['status']} "
             f"{'OK' if r['status'] == 200 else 'NOT-OK'}\r\n"
-            f"Content-Type: text/plain\r\n"
-            f"Content-Length: {len(body_text)}\r\n\r\n"
-        ).encode() + body_text
+            f"Content-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
         out += record(
             "response",
             {

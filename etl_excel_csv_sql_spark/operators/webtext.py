@@ -50,7 +50,15 @@ class _TextExtractor(HTMLParser):
             self._in_head += 1
         elif tag == "title":
             self._in_title += 1
-        elif tag == "a" and any(k == "href" for k, _ in attrs):
+        elif (
+            tag == "a"
+            and not self._skip_depth
+            and not self._in_head
+            and any(k == "href" for k, _ in attrs)
+        ):
+            # same visibility condition as handle_data (ADVICE r12):
+            # anchors inside skipped subtrees or <head> are boilerplate,
+            # not the out-degree a link-spam classifier wants
             self.n_links += 1
 
     def handle_endtag(self, tag):

@@ -1529,11 +1529,17 @@ def q_warc_crawl_catalog(spark, sf_dir):
     # (script/style/head dropped, whitespace collapsed, anchors
     # counted) makes title/text/links/chars closed-form — full value
     # oracle over a TWO-stage Python-kernel pipeline.
+    # r13 (VERDICT #2): extraction now reads read_warc's FULL `text`
+    # column (not a head_chars window), and every fixture body carries
+    # an 80-word pad paragraph pushing the HTML well past the default
+    # 120-char head — a truncating reader would lose the pad AND the
+    # trailing anchors, so the oracle pins truncation-free end-to-end.
     """
     WITH t AS (
       SELECT doc_id,
              'H' || CAST(doc_id AS VARCHAR) || ' para '
                || CAST(doc_id AS VARCHAR) || ' content'
+               || repeat(' w', 80)
                || repeat(' l', CAST(doc_id % 4 AS INT)) AS text
       FROM documents
     )
@@ -1545,11 +1551,12 @@ def q_warc_crawl_catalog(spark, sf_dir):
     FROM t
     """,
     doc="crawl → text in two Arrow passes: read_warc (binaryFile + "
-    "record walk) feeds the html.parser visible-text extraction "
-    "(script/style/noscript/template and <head> dropped, whitespace "
-    "collapsed, <a href> counted — the WET stage every text pipeline "
-    "runs before language ID / quality / dedup). Title, text, link "
-    "count, and char count all value-checked by the id-contract oracle",
+    "record walk, full-body charset-aware text column) feeds the "
+    "html.parser visible-text extraction (script/style/noscript/"
+    "template and <head> dropped, whitespace collapsed, <a href> "
+    "counted — the WET stage every text pipeline runs before language "
+    "ID / quality / dedup). Bodies exceed the head window, so title, "
+    "text, link count, and char count value-check truncation-free",
 )
 def q_warc_web_text(spark, sf_dir):
     from etl_excel_csv_sql_spark.catalog import load_table
@@ -1565,6 +1572,7 @@ def q_warc_web_text(spark, sf_dir):
         .select("doc_id")
         .collect()
     ]
+    pad = "<p>" + " w" * 80 + "</p>"
     recs = []
     for i in ids:
         links = "".join(f"<a href='/l{j}'>l</a>" for j in range(i % 4))
@@ -1576,7 +1584,7 @@ def q_warc_web_text(spark, sf_dir):
                     f"<html><head><title>Doc {i}</title>"
                     f"<script>var x = 1; if (x < 2) {{}}</script></head>"
                     f"<body><h1>H{i}</h1><p>para {i} content</p>"
-                    f"{links}</body></html>"
+                    f"{pad}{links}</body></html>"
                 ),
             }
         )
@@ -1584,16 +1592,135 @@ def q_warc_web_text(spark, sf_dir):
     with open(path, "wb") as f:
         f.write(warc.encode_warc(recs, gzip_members=True))
     pages = (
-        warc.read_warc(spark, path, strict=True, head_chars=2000)
+        warc.read_warc(spark, path, strict=True)
         .filter(F.col("warc_type") == "response")
         .select(
             F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
             .cast("long")
             .alias("doc_id"),
-            "text_head",
+            "text",
         )
     )
-    return webtext.extract_web_text(pages, "doc_id", "text_head")
+    return webtext.extract_web_text(pages, "doc_id", "text")
+
+
+@register(
+    "warc_charset_bodies",
+    # r13 (VERDICT #2): the charset lane of the crawl reader — real
+    # crawls are 10-15% legacy encodings, and a UTF-8-hardwired decode
+    # feeds mojibake into lang-ID/dedup. Fixture rotates three planted
+    # encodings by doc_id % 3: (0) no charset anywhere → UTF-8 default
+    # with a 200-char pad (also a truncation pin: body >> the 120-char
+    # head window); (1) windows-1251 Cyrillic declared in the embedded
+    # HTTP Content-Type header; (2) shift_jis Japanese declared ONLY in
+    # a <meta charset> tag (header says bare text/html) — exercising
+    # all three detection sources. Every decoded char, the normalized
+    # codec name, the detection source, and the byte-vs-char gap
+    # (shift_jis 日本語/テキスト are 2-byte chars: bytes = chars + 7)
+    # are closed-form — full value oracle.
+    """
+    WITH t AS (
+      SELECT doc_id, CAST(doc_id % 3 AS INT) AS r FROM documents
+    ), b AS (
+      SELECT doc_id, r,
+             CASE r
+               WHEN 0 THEN 'plain doc ' || CAST(doc_id AS VARCHAR)
+                 || ' ' || repeat('x', 200)
+               WHEN 1 THEN 'кириллица ' || CAST(doc_id AS VARCHAR)
+                 || ' ' || repeat('ю', 150)
+               ELSE '<html><head><meta charset="shift_jis"></head>'
+                 || '<body>日本語 ' || CAST(doc_id AS VARCHAR)
+                 || ' テキスト</body></html>'
+             END AS text
+      FROM t
+    )
+    SELECT doc_id,
+           CASE r WHEN 0 THEN 'utf-8' WHEN 1 THEN 'cp1251'
+                  ELSE 'shift_jis' END AS charset,
+           CASE r WHEN 0 THEN 'default' WHEN 1 THEN 'header'
+                  ELSE 'meta' END AS charset_source,
+           CAST(length(text) + CASE r WHEN 2 THEN 7 ELSE 0 END
+                AS BIGINT) AS n_body_bytes,
+           text,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM b
+    """,
+    doc="charset-aware full-body decode in the WARC reader "
+    "(io/warc.py detect_charset): HTTP Content-Type charset param "
+    "wins, else <meta charset> sniff over the first 4 KiB, else BOM, "
+    "else UTF-8-replace — the WHATWG-ish precedence browsers use. "
+    "Fixture plants windows-1251 and shift_jis bodies that must decode "
+    "to the exact planted Cyrillic/Japanese text (plus an "
+    "undeclared-UTF-8 lane longer than the head window), value-checked "
+    "per character by the id-contract oracle",
+)
+def q_warc_charset_bodies(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io import warc
+
+    scratch = _scratch(
+        "warc_charset_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    recs = []
+    for i in ids:
+        uri = f"https://example.org/doc/{i}"
+        r = i % 3
+        if r == 0:
+            recs.append(
+                {
+                    "uri": uri,
+                    "status": 200,
+                    "body_text": f"plain doc {i} " + "x" * 200,
+                }
+            )
+        elif r == 1:
+            txt = f"кириллица {i} " + "ю" * 150
+            recs.append(
+                {
+                    "uri": uri,
+                    "status": 200,
+                    "body_bytes": txt.encode("cp1251"),
+                    "http_content_type": (
+                        "text/html; charset=windows-1251"
+                    ),
+                }
+            )
+        else:
+            txt = (
+                '<html><head><meta charset="shift_jis"></head>'
+                f"<body>日本語 {i} テキスト</body></html>"
+            )
+            recs.append(
+                {
+                    "uri": uri,
+                    "status": 200,
+                    "body_bytes": txt.encode("shift_jis"),
+                    "http_content_type": "text/html",
+                }
+            )
+    path = os.path.join(scratch, "crawl-00000.warc.gz")
+    with open(path, "wb") as f:
+        f.write(warc.encode_warc(recs, gzip_members=True))
+    return (
+        warc.read_warc(spark, path, strict=True)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "charset",
+            "charset_source",
+            "n_body_bytes",
+            "text",
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
 
 
 @register(

@@ -100,6 +100,113 @@ def test_read_warc_kernel_contract(spark, tmp_path):
         warc.read_warc(spark, bad, strict=True).collect()
 
 
+def test_lenient_quarantine_is_file_atomic(spark, tmp_path):
+    """ADVICE r12 (medium): a file whose Nth record carries a malformed
+    embedded HTTP status must yield ONLY the sentinel row — not rows
+    for records 0..N-1 plus the sentinel (double-counting the file as
+    both partially ingested and quarantined)."""
+    good = warc.encode_warc(_recs(2))
+    # corrupt the LAST response record's HTTP status line, leaving the
+    # WARC framing itself intact (Content-Length unchanged)
+    bad = good.replace(b"HTTP/1.1 200 OK", b"XTTP/1.1 200 OK", 2)
+    bad = bad.replace(b"XTTP/1.1 200 OK", b"HTTP/1.1 200 OK", 1)
+    assert bad.count(b"XTTP") == 1 and bad != good
+    p = str(tmp_path / "partial.warc")
+    with open(p, "wb") as f:
+        f.write(bad)
+    rows = warc.read_warc(spark, p).collect()
+    assert len(rows) == 1
+    assert rows[0]["warc_type"] is None and rows[0]["file"]
+    with pytest.raises(Exception, match="HTTP status"):
+        warc.read_warc(spark, p, strict=True).collect()
+
+
+def test_detect_charset_precedence():
+    """header > meta > BOM > default, with unknown labels falling
+    through to the next source (real crawls declare charset=garbage)."""
+    body = b'<html><head><meta charset="shift_jis"></head>x</html>'
+    assert warc.detect_charset(
+        {"content-type": "text/html; charset=windows-1251"}, body
+    ) == ("cp1251", "header")
+    assert warc.detect_charset({"content-type": "text/html"}, body) == (
+        "shift_jis", "meta",
+    )
+    assert warc.detect_charset(
+        {"content-type": 'text/html; charset="utf-8"'}, b"plain"
+    ) == ("utf-8", "header")
+    # meta http-equiv form
+    assert warc.detect_charset(
+        {},
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=gbk">',
+    ) == ("gbk", "meta")
+    # unknown header label falls through to the meta tag
+    assert warc.detect_charset(
+        {"content-type": "text/html; charset=bogus-enc"}, body
+    ) == ("shift_jis", "meta")
+    assert warc.detect_charset({}, b"\xef\xbb\xbfhello") == ("utf-8", "bom")
+    assert warc.detect_charset({}, b"\xff\xfeh\x00") == ("utf-16", "bom")
+    assert warc.detect_charset({}, b"just bytes") == ("utf-8", "default")
+    # meta sniff window is bounded: a tag past 4 KiB is ignored
+    far = b" " * 5000 + b'<meta charset="shift_jis">'
+    assert warc.detect_charset({}, far) == ("utf-8", "default")
+
+
+def test_read_warc_full_text_and_charsets(spark, tmp_path):
+    """The warc_charset_bodies oracle's safety pin: full-body `text`
+    (no head truncation) decoded per the detected charset."""
+    cyr = "кириллица " + "ю" * 150
+    sjs = '<html><head><meta charset="shift_jis"></head><body>日本語</body></html>'
+    long_plain = "plain " + "x" * 300
+    recs = [
+        {"uri": "u0", "status": 200, "body_text": long_plain},
+        {
+            "uri": "u1", "status": 200,
+            "body_bytes": cyr.encode("cp1251"),
+            "http_content_type": "text/html; charset=windows-1251",
+        },
+        {
+            "uri": "u2", "status": 200,
+            "body_bytes": sjs.encode("shift_jis"),
+            "http_content_type": "text/html",
+        },
+    ]
+    p = str(tmp_path / "charset.warc.gz")
+    with open(p, "wb") as f:
+        f.write(warc.encode_warc(recs, gzip_members=True))
+    rows = {
+        r["target_uri"]: r
+        for r in warc.read_warc(spark, p, strict=True).collect()
+        if r["warc_type"] == "response"
+    }
+    assert rows["u0"]["text"] == long_plain          # NOT head-truncated
+    assert rows["u0"]["text_head"] == long_plain[:120]
+    assert rows["u0"]["charset_source"] == "default"
+    assert rows["u1"]["text"] == cyr
+    assert rows["u1"]["charset"] == "cp1251"
+    assert rows["u1"]["charset_source"] == "header"
+    assert rows["u1"]["n_body_bytes"] == len(cyr)    # 1 byte per char
+    assert rows["u2"]["text"] == sjs
+    assert rows["u2"]["charset"] == "shift_jis"
+    assert rows["u2"]["charset_source"] == "meta"
+    assert rows["u2"]["n_body_bytes"] == len(sjs) + 3  # 2-byte kanji ×3
+
+
+def test_iter_warc_records_is_streaming():
+    """The memory contract: records come out of the generator as the
+    buffer fills — the whole payload is never re-materialized (the r12
+    shape held decompressed-stream + all bodies ≈ 2× peak)."""
+    recs = _recs(200)
+    payload = warc.encode_warc(recs, gzip_members=True)
+    it = warc.iter_warc_records(payload)
+    first = next(it)
+    assert first["warc_type"] == "warcinfo"
+    # generator equivalence with the materialized surface
+    rest = list(it)
+    assert [r["target_uri"] for r in rest] == [r["uri"] for r in recs]
+    assert warc.parse_warc(payload) == [first] + rest
+
+
 def test_html_to_text_contract_and_leniency():
     """The warc_web_text_extract oracle's extraction-contract pin, plus
     browser-grade leniency (no quarantine lane for HTML: garbage still
@@ -125,6 +232,14 @@ def test_html_to_text_contract_and_leniency():
     assert html_to_text("<a name='x'>anchor</a> &amp; more") == (
         None, "anchor & more", 0
     )
+    # ADVICE r12: anchors inside skipped subtrees or <head> are
+    # invisible boilerplate — NOT out-degree
+    assert html_to_text(
+        "<noscript><a href='/n'>n</a></noscript>"
+        "<template><a href='/t'>t</a></template>"
+        "<head><a href='/h'>h</a></head>"
+        "<body><a href='/v'>visible</a></body>"
+    ) == (None, "visible", 1)
     # unclosed garbage still extracts
     assert html_to_text("just <b>bold no closing") == (
         None, "just bold no closing", 0
