@@ -2045,3 +2045,61 @@ def phash_images(
             )
 
     return src.mapInPandas(batches, PHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PDF text — the post-HTML corpus source (r13, VERDICT r12 #4)
+# ---------------------------------------------------------------------------
+
+
+def synth_pdf_pages(media_id: int) -> list[str]:
+    """id → per-page extracted-text contract shared with the SQL
+    oracle: 1 + id % 3 pages, page k reading exactly
+    ``doc {id} page {k} (ok)`` — rendered as a TJ array show (kerning
+    numbers between string pieces) plus a Tj show with escaped parens,
+    so both show operators and the escape lane are value-checked."""
+    return [
+        f"doc {media_id} page {k} (ok)"
+        for k in range(1 + media_id % 3)
+    ]
+
+
+def _pdf_payload(mid: int) -> bytes:
+    from etl_excel_csv_sql_spark.operators import pdf
+
+    shows = [
+        [["doc ", -28, f"{mid} pa", 35, f"ge {k}"], "(ok)"]
+        for k in range(1 + mid % 3)
+    ]
+    return pdf.encode_pdf(shows)
+
+
+def synth_pdf_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (media_id, payload): real classic-xref PDFs (FlateDecode
+    content streams, TJ/Tj shows, escaped parens) per the
+    ``synth_pdf_pages`` contract."""
+    return _synth_payload_frame(df, id_col, _pdf_payload)
+
+
+PDF_TEXT_SCHEMA = (
+    "media_id long, version string, n_pages int, text string, "
+    "n_chars long"
+)
+
+
+def extract_pdf_text(df: DataFrame, strict: bool = False) -> DataFrame:
+    """REAL PDF text extraction (``pdf.pdf_text_pages``: xref walk,
+    object parse, FlateDecode, BT..ET show-operator assembly) via Arrow
+    mapInPandas; pages join with newline. Undecodable payloads yield
+    nulls unless ``strict`` — same quarantine contract as every codec
+    kernel. The document twin of the WARC→HTML lane: crawl text comes
+    from webtext.extract_web_text, document text from here, and both
+    feed the same lang-ID/quality/dedup stages."""
+
+    from etl_excel_csv_sql_spark.operators import pdf
+
+    return _extract_meta_frame(
+        df, pdf.pdf_text_report,
+        ("version", "n_pages", "text", "n_chars"),
+        PDF_TEXT_SCHEMA, strict,
+    )

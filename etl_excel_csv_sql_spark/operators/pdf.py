@@ -1,0 +1,619 @@
+"""PDF text extraction — the post-HTML corpus source (VERDICT r12 #4):
+after web crawl text, PDFs are the next biggest real training-corpus
+lane. Pure stdlib in the same style as the 15 media codecs: the object
+model is parsed from bytes (header, classic xref table(s), trailer,
+indirect objects, literal/hex strings, dicts/arrays/refs, streams with
+exact /Length framing), page content streams FlateDecode via zlib, and
+text assembles from the Tj / TJ / ' / " show operators inside BT..ET
+blocks.
+
+Extraction contract, deterministic and oracle-friendly:
+
+- pages walk the /Root → /Pages → /Kids tree in order (depth-capped);
+- within a page, each show operator contributes one fragment: Tj / '
+  take their string, " takes its string operand, TJ concatenates the
+  STRING items of its array (kerning numbers are layout, not text);
+- a page's text is its fragments joined with a single space;
+- string bytes decode latin-1 (byte-transparent; the fixture contract
+  is ASCII + PDF escapes — full PDFDocEncoding/UTF-16BE text objects
+  are out of scope by design, like Rice-coded FLAC audio frames).
+
+Scope fences (each raises ValueError → the quarantine lane):
+cross-reference STREAMS (PDF 1.5+ compressed xref) and object streams,
+encryption, and non-Flate filters are declared out of scope; caps bound
+object count, xref chain length, page-tree depth/size, and inflate
+output (decompression-bomb guard), so a hostile payload degrades to a
+null row instead of an executor OOM.
+
+Quarantine contract matches the media codecs: every malformed shape
+surfaces as ValueError only — the lenient extraction kernel catches
+exactly that; Spark surface is ``operators.multimodal.extract_pdf_text``.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from etl_excel_csv_sql_spark.operators.codecs import _malformed_as_valueerror
+
+MAX_OBJECTS = 100_000
+MAX_XREF_SECTIONS = 64
+MAX_PAGE_TREE_DEPTH = 32
+MAX_PAGES = 50_000
+MAX_CONTENT_BYTES = 64 << 20
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int) -> None:
+        self.num = num
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"Ref({self.num})"
+
+
+class _Lexer:
+    """Byte-level PDF token scanner. Position-based so object offsets
+    from the xref table seek directly."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        data, n = self.data, len(self.data)
+        while self.pos < n:
+            c = self.data[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # % comment to EOL
+                eol = data.find(b"\n", self.pos)
+                self.pos = n if eol < 0 else eol + 1
+            else:
+                return
+
+    def peek(self) -> int:
+        self._skip_ws()
+        if self.pos >= len(self.data):
+            raise ValueError("unexpected end of PDF data")
+        return self.data[self.pos]
+
+    def keyword(self) -> str:
+        """Bare token (obj, endobj, stream, R, Tj, true, ...)."""
+        self._skip_ws()
+        start = self.pos
+        data, n = self.data, len(self.data)
+        while self.pos < n and data[self.pos] not in _WS and data[
+            self.pos
+        ] not in _DELIM:
+            self.pos += 1
+        if self.pos == start:
+            raise ValueError(
+                f"expected PDF keyword at byte {start}"
+            )
+        return data[start : self.pos].decode("latin-1")
+
+    def literal_string(self) -> bytes:
+        """(...) with escapes and balanced nested parens."""
+        data = self.data
+        assert data[self.pos] == 0x28
+        self.pos += 1
+        out = bytearray()
+        depth = 1
+        n = len(data)
+        while True:
+            if self.pos >= n:
+                raise ValueError("unterminated PDF literal string")
+            c = data[self.pos]
+            self.pos += 1
+            if c == 0x5C:  # backslash
+                if self.pos >= n:
+                    raise ValueError("dangling escape in PDF string")
+                e = data[self.pos]
+                self.pos += 1
+                if e in b"nrtbf":
+                    out += {
+                        0x6E: b"\n", 0x72: b"\r", 0x74: b"\t",
+                        0x62: b"\b", 0x66: b"\f",
+                    }[e]
+                elif e in b"()\\":
+                    out.append(e)
+                elif 0x30 <= e <= 0x37:  # \ooo 1-3 octal digits
+                    oct_digits = [e]
+                    for _ in range(2):
+                        if self.pos < n and 0x30 <= data[self.pos] <= 0x37:
+                            oct_digits.append(data[self.pos])
+                            self.pos += 1
+                        else:
+                            break
+                    out.append(int(bytes(oct_digits), 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    if e == 0x0D and self.pos < n and data[self.pos] == 0x0A:
+                        self.pos += 1
+                else:  # unknown escape: the char itself (spec 7.3.4.2)
+                    out.append(e)
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+
+    def hex_string(self) -> bytes:
+        data = self.data
+        assert data[self.pos] == 0x3C
+        self.pos += 1
+        end = data.find(b">", self.pos)
+        if end < 0:
+            raise ValueError("unterminated PDF hex string")
+        digits = bytes(
+            c for c in data[self.pos : end] if c not in _WS
+        ).decode("latin-1")
+        self.pos = end + 1
+        if len(digits) % 2:
+            digits += "0"  # odd count: trailing zero (spec 7.3.4.3)
+        try:
+            return bytes.fromhex(digits)
+        except ValueError:
+            raise ValueError("non-hex digit in PDF hex string")
+
+    def object(self, depth: int = 0):
+        """One PDF object: dict, array, name, string, number, ref,
+        bool, null. int-int-R lookahead collapses to _Ref."""
+        if depth > 64:
+            raise ValueError("PDF object nesting exceeds depth guard")
+        c = self.peek()
+        data = self.data
+        if c == 0x3C:  # < — dict or hex string
+            if data[self.pos : self.pos + 2] == b"<<":
+                self.pos += 2
+                d = {}
+                while True:
+                    if self.peek() == 0x3E:
+                        if data[self.pos : self.pos + 2] != b">>":
+                            raise ValueError("malformed PDF dict close")
+                        self.pos += 2
+                        return d
+                    if self.peek() != 0x2F:
+                        raise ValueError("PDF dict key must be a name")
+                    key = self.object(depth + 1)
+                    d[key] = self.object(depth + 1)
+            return self.hex_string()
+        if c == 0x28:
+            self._skip_ws()
+            return self.literal_string()
+        if c == 0x2F:  # /Name
+            self.pos += 1
+            start = self.pos
+            n = len(data)
+            while self.pos < n and data[self.pos] not in _WS and data[
+                self.pos
+            ] not in _DELIM:
+                self.pos += 1
+            return data[start : self.pos].decode("latin-1")
+        if c == 0x5B:  # [ array
+            self.pos += 1
+            arr = []
+            while True:
+                if self.peek() == 0x5D:
+                    self.pos += 1
+                    return arr
+                arr.append(self.object(depth + 1))
+        if c in b"+-.0123456789":
+            return self._number_or_ref()
+        kw = self.keyword()
+        if kw == "true":
+            return True
+        if kw == "false":
+            return False
+        if kw == "null":
+            return None
+        raise ValueError(f"unexpected PDF token {kw!r}")
+
+    def _number_or_ref(self):
+        num = self._number()
+        if isinstance(num, int) and num >= 0:
+            save = self.pos
+            try:
+                gen = self._number()
+                if isinstance(gen, int) and gen >= 0:
+                    save2 = self.pos
+                    if self.keyword() == "R":
+                        return _Ref(num)
+                    self.pos = save2
+            except ValueError:
+                pass
+            self.pos = save
+        return num
+
+    def _number(self):
+        self._skip_ws()
+        data, n = self.data, len(self.data)
+        start = self.pos
+        if self.pos < n and data[self.pos] in b"+-":
+            self.pos += 1
+        seen_digit = seen_dot = False
+        while self.pos < n:
+            c = data[self.pos]
+            if 0x30 <= c <= 0x39:
+                seen_digit = True
+                self.pos += 1
+            elif c == 0x2E and not seen_dot:
+                seen_dot = True
+                self.pos += 1
+            else:
+                break
+        if not seen_digit:
+            self.pos = start
+            raise ValueError(f"expected PDF number at byte {start}")
+        tok = data[start : self.pos].decode("latin-1")
+        return float(tok) if seen_dot else int(tok)
+
+
+class _Document:
+    def __init__(self, data: bytes) -> None:
+        if not data.startswith(b"%PDF-"):
+            raise ValueError("missing %PDF- header")
+        self.data = data
+        eol = data.find(b"\n", 0, 32)
+        self.version = (
+            data[5 : eol if eol > 0 else 8]
+            .rstrip(b"\r")
+            .decode("latin-1", "replace")[:8]
+        )
+        self.offsets: dict[int, int] = {}
+        self.trailer: dict = {}
+        self._cache: dict[int, object] = {}
+        self._load_xref()
+
+    def _load_xref(self) -> None:
+        data = self.data
+        tail = data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            raise ValueError("startxref not found")
+        offset = int(m.group(1))
+        for _ in range(MAX_XREF_SECTIONS):
+            if offset < 0 or offset >= len(data):
+                raise ValueError("xref offset out of range")
+            lex = _Lexer(data, offset)
+            if lex.keyword() != "xref":
+                raise ValueError(
+                    "cross-reference streams (PDF 1.5+) are out of "
+                    "scope: expected a classic xref table"
+                )
+            while True:
+                lex._skip_ws()
+                if data[lex.pos : lex.pos + 7] == b"trailer":
+                    lex.pos += 7
+                    break
+                first = lex._number()
+                count = lex._number()
+                if not (
+                    isinstance(first, int)
+                    and isinstance(count, int)
+                    and 0 <= count <= MAX_OBJECTS
+                    and len(self.offsets) + count <= MAX_OBJECTS
+                ):
+                    raise ValueError("xref subsection out of range")
+                lex._skip_ws()
+                for i in range(count):
+                    entry = data[lex.pos : lex.pos + 20]
+                    if len(entry) < 18:
+                        raise ValueError("truncated xref entry")
+                    try:
+                        off = int(entry[0:10])
+                    except ValueError:
+                        raise ValueError("malformed xref entry")
+                    kind = entry[17:18]
+                    # earlier sections in the chain win (incremental
+                    # updates list newest first)
+                    if kind == b"n":
+                        self.offsets.setdefault(first + i, off)
+                    elif kind != b"f":
+                        raise ValueError("malformed xref entry kind")
+                    lex.pos += 20 if len(entry) == 20 else len(entry)
+            trailer = lex.object()
+            if not isinstance(trailer, dict):
+                raise ValueError("PDF trailer is not a dict")
+            for k, v in trailer.items():
+                self.trailer.setdefault(k, v)
+            prev = trailer.get("Prev")
+            if prev is None:
+                return
+            if not isinstance(prev, int):
+                raise ValueError("trailer /Prev is not an offset")
+            offset = prev
+        raise ValueError("xref /Prev chain exceeds section guard")
+
+    def obj(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        off = self.offsets.get(num)
+        if off is None or off >= len(self.data):
+            raise ValueError(f"object {num} missing from xref")
+        lex = _Lexer(self.data, off)
+        got = lex._number()
+        lex._number()  # generation
+        if got != num or lex.keyword() != "obj":
+            raise ValueError(f"xref offset for object {num} is stale")
+        value = lex.object()
+        lex._skip_ws()
+        kw_start = lex.pos
+        kw = lex.keyword()
+        if kw == "stream":
+            if not isinstance(value, dict):
+                raise ValueError("stream without a dict")
+            # exactly CRLF or LF after the keyword (spec 7.3.8.1)
+            if self.data[lex.pos : lex.pos + 2] == b"\r\n":
+                lex.pos += 2
+            elif self.data[lex.pos : lex.pos + 1] == b"\n":
+                lex.pos += 1
+            length = self.resolve(value.get("Length"))
+            if not isinstance(length, int) or length < 0 or (
+                lex.pos + length > len(self.data)
+            ):
+                raise ValueError("stream /Length missing or overruns")
+            value = _Stream(
+                value, self.data[lex.pos : lex.pos + length]
+            )
+        elif kw != "endobj":
+            lex.pos = kw_start
+        self._cache[num] = value
+        return value
+
+    def resolve(self, value, depth: int = 0):
+        while isinstance(value, _Ref):
+            if depth > 32:
+                raise ValueError("indirect reference chain too deep")
+            value = self.obj(value.num)
+            depth += 1
+        return value
+
+
+class _Stream:
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes) -> None:
+        self.dict = d
+        self.raw = raw
+
+    def decoded(self, doc: _Document) -> bytes:
+        filt = doc.resolve(self.dict.get("Filter"))
+        if filt is None:
+            return self.raw
+        filters = filt if isinstance(filt, list) else [filt]
+        out = self.raw
+        for f in filters:
+            f = doc.resolve(f)
+            if f != "FlateDecode":
+                raise ValueError(
+                    f"stream filter {f!r} is out of scope "
+                    "(FlateDecode only)"
+                )
+            d = zlib.decompressobj()
+            try:
+                out = d.decompress(out, MAX_CONTENT_BYTES + 1)
+            except zlib.error as exc:
+                raise ValueError(f"corrupt FlateDecode stream: {exc}")
+            if len(out) > MAX_CONTENT_BYTES:
+                raise ValueError(
+                    "content stream exceeds the inflate guard"
+                )
+        return out
+
+
+_SHOW_OPS = frozenset(("Tj", "'", '"', "TJ"))
+
+
+def _page_text(content: bytes) -> str:
+    """Show-operator walk per the module contract: fragments from
+    Tj / ' / \" / TJ, joined with one space."""
+    lex = _Lexer(content)
+    stack: list = []
+    frags: list[str] = []
+    n = len(content)
+    while True:
+        lex._skip_ws()
+        if lex.pos >= n:
+            break
+        c = content[lex.pos]
+        if (
+            c in b"+-.0123456789"
+            or c in b"(<[/"
+        ):
+            # operand — inline images (BI..EI) would confuse the
+            # tokenizer but are out of the fixture contract; a garbage
+            # operand raises ValueError into the quarantine lane
+            stack.append(lex.object())
+            continue
+        op = lex.keyword()
+        if op in _SHOW_OPS:
+            if op == "TJ":
+                if not stack or not isinstance(stack[-1], list):
+                    raise ValueError("TJ without an array operand")
+                frags.append(
+                    "".join(
+                        el.decode("latin-1")
+                        for el in stack[-1]
+                        if isinstance(el, bytes)
+                    )
+                )
+            else:
+                if not stack or not isinstance(stack[-1], bytes):
+                    raise ValueError(f"{op} without a string operand")
+                frags.append(stack[-1].decode("latin-1"))
+        stack.clear()
+    return " ".join(frags)
+
+
+@_malformed_as_valueerror
+def pdf_meta(payload: bytes) -> tuple[str, int]:
+    """(version, n_pages) from the header + page-tree walk."""
+    doc = _Document(payload)
+    return doc.version, len(_walk_pages(doc))
+
+
+def _walk_pages(doc: _Document) -> list[dict]:
+    root = doc.resolve(doc.trailer.get("Root"))
+    if not isinstance(root, dict):
+        raise ValueError("trailer /Root missing or not a dict")
+    pages_obj = doc.resolve(root.get("Pages"))
+    out: list[dict] = []
+
+    def walk(node, depth: int) -> None:
+        node = doc.resolve(node)
+        if depth > MAX_PAGE_TREE_DEPTH:
+            raise ValueError("page tree exceeds depth guard")
+        if not isinstance(node, dict):
+            raise ValueError("page tree node is not a dict")
+        ntype = doc.resolve(node.get("Type"))
+        if ntype == "Pages":
+            kids = doc.resolve(node.get("Kids"))
+            if not isinstance(kids, list):
+                raise ValueError("/Pages without /Kids array")
+            for kid in kids:
+                walk(kid, depth + 1)
+        elif ntype == "Page":
+            if len(out) >= MAX_PAGES:
+                raise ValueError("page count exceeds guard")
+            out.append(node)
+        else:
+            raise ValueError(f"unexpected page tree node type {ntype!r}")
+
+    walk(pages_obj, 0)
+    return out
+
+
+@_malformed_as_valueerror
+def pdf_text_report(payload: bytes) -> tuple[str, int, str, int]:
+    """(version, n_pages, text, n_chars) in one parse — pages join
+    with newline. The extraction kernel's surface."""
+    doc = _Document(payload)
+    pages = _extract_pages_text(doc)
+    text = "\n".join(pages)
+    return doc.version, len(pages), text, len(text)
+
+
+def _extract_pages_text(doc: _Document) -> list[str]:
+    texts = []
+    for page in _walk_pages(doc):
+        contents = doc.resolve(page.get("Contents"))
+        if contents is None:
+            texts.append("")
+            continue
+        parts = contents if isinstance(contents, list) else [contents]
+        blobs = []
+        for part in parts:
+            part = doc.resolve(part)
+            if not isinstance(part, _Stream):
+                raise ValueError("/Contents is not a stream")
+            blobs.append(part.decoded(doc))
+        # multiple content streams form ONE logical stream (spec 7.8.2)
+        texts.append(_page_text(b"\n".join(blobs)))
+    return texts
+
+
+@_malformed_as_valueerror
+def pdf_text_pages(payload: bytes) -> list[str]:
+    """One extracted-text string per page, in page-tree order, per the
+    module's show-join contract."""
+    return _extract_pages_text(_Document(payload))
+
+
+def _escape_string(s: str) -> bytes:
+    out = s.encode("latin-1")
+    return (
+        out.replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
+    )
+
+
+def encode_pdf(pages: list[list], compress: bool = True) -> bytes:
+    """Fixture writer: a classic-xref PDF 1.4 whose page ``p`` content
+    stream renders ``pages[p]`` — each element a ``str`` (one Tj show)
+    or a ``list`` of str/int (one TJ show: strings shown, ints kerning)
+    — with byte-exact offsets, FlateDecode content (``compress``), and
+    a shared Helvetica /F1. The decode twin of ``pdf_text_pages``."""
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)  # 1-based object number
+
+    n_pages = len(pages)
+    cat_num = add(b"")      # 1: catalog (patched below)
+    pages_num = add(b"")    # 2: pages node (patched below)
+    font_num = add(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    kid_nums = []
+    for shows in pages:
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for show in shows:
+            if isinstance(show, str):
+                ops.append(b"(" + _escape_string(show) + b") Tj")
+            else:
+                items = b" ".join(
+                    b"(" + _escape_string(el) + b")"
+                    if isinstance(el, str)
+                    else str(el).encode()
+                    for el in show
+                )
+                ops.append(b"[" + items + b"] TJ")
+            ops.append(b"0 -14 Td")
+        ops.append(b"ET")
+        content = b"\n".join(ops)
+        if compress:
+            content = zlib.compress(content, 6)
+            extra = b" /Filter /FlateDecode"
+        else:
+            extra = b""
+        stream_num = add(
+            b"<< /Length " + str(len(content)).encode() + extra
+            + b" >>\nstream\n" + content + b"\nendstream"
+        )
+        kid_nums.append(
+            add(
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 "
+                + str(font_num).encode()
+                + b" 0 R >> >> /Contents "
+                + str(stream_num).encode()
+                + b" 0 R >>"
+            )
+        )
+    objects[cat_num - 1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[pages_num - 1] = (
+        b"<< /Type /Pages /Kids ["
+        + b" ".join(b"%d 0 R" % k for k in kid_nums)
+        + b"] /Count " + str(n_pages).encode() + b" >>"
+    )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_off)
+    )
+    return bytes(out)

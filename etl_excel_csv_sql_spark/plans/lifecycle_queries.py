@@ -1724,6 +1724,116 @@ def q_warc_charset_bodies(spark, sf_dir):
 
 
 @register(
+    "crawl_pipeline_e2e",
+    # r13 (VERDICT r12 #5): the COMPOSED crawl pipeline in one lazy
+    # plan — the nightly-run shape the whole crawl superset exists for:
+    # WARC ingest → HTML visible-text extraction → lang-ID filter →
+    # quality filter → MinHash keep-first. Fixture contract: pair
+    # partner g = id - id%2 shares IDENTICAL visible text (the minhash
+    # twin), category c = (g/2) % 3 plants one lane per filter stage:
+    # c=0 English prose interleaving en stopwords with group-unique
+    # tokens (every 3-shingle carries a group token → cross-group
+    # Jaccard exactly 0; quality = 3/3), c=1 German prose (dropped at
+    # lang-ID: de stopword argmax, zero en hits), c=2 junk (no
+    # stopwords → lang defaults 'en' and SURVIVES the lang stage, then
+    # drops at quality: <10 tokens, no stopwords, punct-heavy). So the
+    # kept set is closed-form: min(id) per c=0 pair group.
+    """
+    WITH cat AS (
+      SELECT doc_id,
+             doc_id - (doc_id % 2) AS g,
+             ((doc_id - (doc_id % 2)) // 2) % 3 AS c
+      FROM documents
+    ), en AS (
+      SELECT doc_id, g FROM cat WHERE c = 0
+    ), keep AS (
+      SELECT g, min(doc_id) AS doc_id FROM en GROUP BY g
+    )
+    SELECT doc_id, 'en' AS lang, CAST(1.0 AS DOUBLE) AS quality
+    FROM keep
+    """,
+    doc="crawl → corpus in ONE lazy plan: read_warc (binaryFile + "
+    "record walk, charset-aware full text) → extract_web_text "
+    "(html.parser WET stage) → lang_id =='en' (script ranges + "
+    "stopword argmax, pure Catalyst) → quality_score >= 0.5 (length/"
+    "stopword/punct bands) → minhash_lsh_pairs + dedup_keep_first "
+    "(banded LSH, min-id keeper). Mirrors corpus_pipeline_e2e for the "
+    "crawl entry point; each stage is an independently-oracled "
+    "operator and the composition carries a stage-by-stage closed-form "
+    "oracle. No intermediate materialization — Catalyst fuses the two "
+    "Arrow kernels with the JVM filter stages",
+)
+def q_crawl_pipeline_e2e(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.functions import text as tf
+    from etl_excel_csv_sql_spark.io import warc
+    from etl_excel_csv_sql_spark.operators import dedup, webtext
+
+    scratch = _scratch(
+        "crawl_e2e_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    en_stops = ("the", "and", "of", "to", "in", "is", "it", "that", "for")
+    de_stops = ("der", "die", "und", "ist", "ein", "zu", "den", "mit")
+    recs = []
+    for i in ids:
+        g = i - (i % 2)
+        c = (g // 2) % 3
+        if c == 0:
+            vis = " ".join(
+                f"{sw} w{g}x{k}" for k, sw in enumerate(en_stops)
+            )
+        elif c == 1:
+            vis = " ".join(
+                f"{sw} w{g}x{k}" for k, sw in enumerate(de_stops)
+            )
+        else:
+            vis = "zzz!!! qqq??? %%%"
+        recs.append(
+            {
+                "uri": f"https://example.org/doc/{i}",
+                "status": 200,
+                "body_text": (
+                    f"<html><head><title>Doc {i}</title></head>"
+                    f"<body><p>{vis}</p></body></html>"
+                ),
+            }
+        )
+    path = os.path.join(scratch, "crawl-00000.warc.gz")
+    with open(path, "wb") as f:
+        f.write(warc.encode_warc(recs, gzip_members=True))
+    pages = (
+        warc.read_warc(spark, path, strict=True)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "text",
+        )
+    )
+    wet = webtext.extract_web_text(pages, "doc_id", "text")
+    langed = wet.withColumn("lang", tf.lang_id("text")).filter(
+        F.col("lang") == "en"
+    )
+    scored = langed.withColumn(
+        "quality", tf.quality_score("text")
+    ).filter(F.col("quality") >= 0.5)
+    pairs = dedup.minhash_lsh_pairs(
+        scored, "doc_id", "text", threshold=0.5
+    )
+    kept = dedup.dedup_keep_first(scored, pairs, "doc_id")
+    return kept.select(
+        "doc_id", "lang", F.round("quality", 6).alias("quality")
+    )
+
+
+@register(
     "jsonl_roundtrip",
     """
     SELECT doc_id, lang, source, n_chars, text

@@ -3463,6 +3463,132 @@ def q_media_sniff_catalog(spark, sf_dir):
 
 
 @register(
+    "pdf_text_extract",
+    # r13 (VERDICT r12 #4): the post-HTML corpus source — PDF text via
+    # a pure-stdlib parse (classic xref walk, object model, FlateDecode
+    # content streams, BT..ET show-operator assembly: TJ arrays with
+    # kerning numbers AND Tj with escaped parens both exercised per
+    # page). FULL value oracle via the synth_pdf_pages id contract:
+    # 1 + id % 3 pages, page k reads 'doc {id} page {k} (ok)', pages
+    # join with chr(10).
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 3 AS INT) AS n_pages,
+             'doc ' || CAST(doc_id AS VARCHAR) AS stem
+      FROM documents
+    ), t AS (
+      SELECT doc_id, n_pages,
+             CASE n_pages
+               WHEN 1 THEN stem || ' page 0 (ok)'
+               WHEN 2 THEN stem || ' page 0 (ok)' || chr(10)
+                 || stem || ' page 1 (ok)'
+               ELSE stem || ' page 0 (ok)' || chr(10)
+                 || stem || ' page 1 (ok)' || chr(10)
+                 || stem || ' page 2 (ok)'
+             END AS text
+      FROM p
+    )
+    SELECT doc_id AS media_id,
+           '1.4' AS version,
+           n_pages,
+           text,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM t
+    """,
+    doc="REAL PDF text extraction (operators/pdf.py: %PDF header, "
+    "classic xref table chain, indirect-object resolution, exact "
+    "/Length stream framing, FlateDecode via stdlib zlib, literal-"
+    "string escapes, page-tree walk, Tj/TJ/' show assembly) via Arrow "
+    "mapInPandas — version, page count, per-page text, and char count "
+    "all value-checked by the id-contract oracle. Scope fences raise "
+    "into the quarantine lane: xref/object streams (PDF 1.5+), "
+    "encryption, non-Flate filters; caps bound objects, pages, tree "
+    "depth, and inflate output (bomb guard)",
+)
+def q_pdf_text_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pdfs = multimodal.synth_pdf_payloads(docs, "doc_id")
+    media = multimodal.to_media_column(pdfs, "media_id", "payload", "doc")
+    return multimodal.extract_pdf_text(media, strict=True)
+
+
+@register(
+    "url_normalize_dedup",
+    # r13 (VERDICT r12 #7): URL hygiene for the crawl lane — a 100 TB
+    # crawl dedups by URL KEY before content even downloads. Fixture is
+    # built IN-PLAN from doc_id (no Python anywhere): group g = id %
+    # 100 owns one canonical URL; variant v = (id // 100) % 5 renders
+    # it as canonical / SCHEME+HOST UPPERCASED / explicit :443 /
+    # trailing slash / whitespace+fragment — all five must normalize to
+    # the same key, so keeper = min(id) per group and n_dups = group
+    # size. Hosts rotate three shapes to value-check the eTLD+1
+    # heuristic: sub.X.co.uk (3-label registrar rule), www.X.com, X.org.
+    """
+    WITH g AS (
+      SELECT doc_id, doc_id % 100 AS grp FROM documents
+    ), a AS (
+      SELECT grp, min(doc_id) AS keeper_doc_id,
+             count(*) AS n_dups
+      FROM g GROUP BY grp
+    ), h AS (
+      SELECT grp, keeper_doc_id, n_dups,
+             CASE grp % 3
+               WHEN 0 THEN 'sub.example' || CAST(grp AS VARCHAR) || '.co.uk'
+               WHEN 1 THEN 'www.example' || CAST(grp AS VARCHAR) || '.com'
+               ELSE 'example' || CAST(grp AS VARCHAR) || '.org'
+             END AS host,
+             CASE grp % 3
+               WHEN 0 THEN 'example' || CAST(grp AS VARCHAR) || '.co.uk'
+               WHEN 1 THEN 'example' || CAST(grp AS VARCHAR) || '.com'
+               ELSE 'example' || CAST(grp AS VARCHAR) || '.org'
+             END AS etld1
+      FROM a
+    )
+    SELECT 'https://' || host || '/path' || CAST(grp AS VARCHAR)
+             AS url_norm,
+           host, etld1, keeper_doc_id,
+           CAST(n_dups AS BIGINT) AS n_dups
+    FROM h
+    """,
+    doc="URL normalization + registrable-domain extraction + URL-key "
+    "exact dedup (operators/urls.py), all pure Catalyst string "
+    "expressions inside whole-stage codegen: trim, fragment drop, "
+    "scheme/authority lowercase, default-port strip, trailing-slash "
+    "collapse, then keep-first on the normalized key (one shuffle on "
+    "the URL hash). The eTLD+1 heuristic (co/com/net/org/ac/gov/edu "
+    "second-level registrars under 2-letter ccTLDs take three labels) "
+    "is value-checked across all three host shapes",
+)
+def q_url_normalize_dedup(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import urls
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") % 100).cast("long")
+    v = (F.floor(F.col("doc_id") / 100) % 5).cast("int")
+    gs = g.cast("string")
+    host = (
+        F.when(g % 3 == 0, F.concat(F.lit("sub.example"), gs, F.lit(".co.uk")))
+        .when(g % 3 == 1, F.concat(F.lit("www.example"), gs, F.lit(".com")))
+        .otherwise(F.concat(F.lit("example"), gs, F.lit(".org")))
+    )
+    canon_tail = F.concat(host, F.lit("/path"), gs)
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), canon_tail))
+        .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(host),
+                               F.lit("/path"), gs))
+        .when(v == 2, F.concat(F.lit("https://"), host, F.lit(":443/path"),
+                               gs))
+        .when(v == 3, F.concat(F.lit("https://"), canon_tail, F.lit("/")))
+        .otherwise(
+            F.concat(F.lit("  https://"), canon_tail, F.lit("#frag"),
+                     F.col("doc_id").cast("string"), F.lit("  "))
+        )
+    )
+    return urls.url_key_dedup(d.withColumn("url", url), "doc_id", "url")
+
+
+@register(
     "media_webm_meta",
     # r12: WebM/Matroska EBML element walk — the open-web container
     # twin of media_mp4_meta (vint IDs/sizes, DocType, TimestampScale +
@@ -7578,6 +7704,12 @@ PYTHON_KERNELS: dict[str, str] = {
     "over binaryFile (file = parallelism unit, the CC segment layout)",
     "warc_web_text_extract": "WARC record walk + html.parser visible-"
     "text extraction, two Arrow mapInPandas passes",
+    "warc_charset_bodies": "WARC record walk with charset-aware "
+    "full-body decode via Arrow mapInPandas over binaryFile",
+    "crawl_pipeline_e2e": "WARC record walk + html.parser extraction "
+    "(two Arrow passes) feeding pure-JVM lang/quality/minhash stages",
+    "pdf_text_extract": "stdlib PDF parse (xref/objects/FlateDecode/"
+    "show ops) via Arrow mapInPandas",
     "sequence_packing_report": "packs via the same applyInPandas kernel "
     "before the pure-JVM aggregation",
 }
@@ -7632,6 +7764,8 @@ EAGER_QUERIES: frozenset[str] = frozenset(
         "settings_catalog",
         "settings_datasource_scan",
         "settings_validation_outcomes",
+        "crawl_pipeline_e2e",
+        "warc_charset_bodies",
         "warc_crawl_catalog",
         "warc_web_text_extract",
         "warehouse_bucketed_join",

@@ -1,0 +1,259 @@
+"""PDF text lane: byte-exact fixture roundtrips, the show-operator
+extraction contract, scope fences, bomb guards, and the same
+quarantine-fuzz battery as the media codecs."""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pytest
+
+from etl_excel_csv_sql_spark.operators import pdf
+
+
+def _doc(n_pages=2, mid=7, compress=True):
+    shows = [
+        [["doc ", -28, f"{mid} pa", 35, f"ge {k}"], "(ok)"]
+        for k in range(n_pages)
+    ]
+    return pdf.encode_pdf(shows, compress=compress)
+
+
+def test_roundtrip_tj_tj_and_escapes():
+    payload = _doc(3, mid=42)
+    assert pdf.pdf_meta(payload) == ("1.4", 3)
+    assert pdf.pdf_text_pages(payload) == [
+        f"doc 42 page {k} (ok)" for k in range(3)
+    ]
+    v, n, text, n_chars = pdf.pdf_text_report(payload)
+    assert (v, n) == ("1.4", 3)
+    assert text == "\n".join(f"doc 42 page {k} (ok)" for k in range(3))
+    assert n_chars == len(text)
+    # uncompressed twin extracts identically (filter lane vs raw lane)
+    assert pdf.pdf_text_pages(_doc(3, 42, compress=False)) == (
+        pdf.pdf_text_pages(payload)
+    )
+
+
+def test_string_escapes_and_hex_strings():
+    # \ ( ) octal and named escapes through encode → extract
+    tricky = "back\\slash (nested (parens)) tab\there"
+    payload = pdf.encode_pdf([[tricky]])
+    assert pdf.pdf_text_pages(payload) == [tricky]
+    # hand-built content exercising hex strings and ' show
+    lex_cases = [
+        (b"(simple) Tj", "simple"),
+        (b"(a\\(b\\)c) Tj", "a(b)c"),
+        (b"(oct\\101al) Tj", "octAal"),
+        (b"(nl\\nhere) Tj", "nl\nhere"),
+        (b"<48656C6C6F> Tj", "Hello"),
+        (b"<48656C6C6F7> Tj", "Hellop"),  # odd digits pad a 0
+        (b"(x) '", "x"),
+        (b'1 2 (y) "', "y"),
+        (b"[(a) -120 (b) 35 (c)] TJ", "abc"),
+        (b"BT /F1 12 Tf (in text block) Tj ET", "in text block"),
+    ]
+    for content, want in lex_cases:
+        assert pdf._page_text(content) == want, content
+
+
+def test_incremental_update_xref_chain():
+    """An appended incremental update (new xref section with /Prev)
+    must win for re-declared objects while older objects resolve
+    through the chain."""
+    base = pdf.encode_pdf([["original text"]], compress=False)
+    # replace the content stream (object 4: catalog, pages, font,
+    # stream, page) with a new revision appended at the end
+    new_stream = b"<< /Length 17 >>\nstream\nBT (patched) Tj ET\nendstream"
+    add = bytearray()
+    obj_off = len(base)
+    add += b"4 0 obj\n" + new_stream + b"\nendobj\n"
+    xref_off = len(base) + len(add)
+    add += b"xref\n4 1\n"
+    add += b"%010d 00000 n \n" % obj_off
+    prev = int(base.rsplit(b"startxref", 1)[1].split(b"%%EOF")[0])
+    add += (
+        b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (prev, xref_off)
+    )
+    patched = base + bytes(add)
+    assert pdf.pdf_text_pages(patched) == ["patched"]
+    assert pdf.pdf_text_pages(base) == ["original text"]
+
+
+def test_multiple_content_streams_form_one_logical_stream():
+    base = pdf.encode_pdf([["seed"]], compress=False)
+    doc = pdf._Document(base)
+    page = pdf._walk_pages(doc)[0]
+    assert doc.resolve(page.get("Contents")) is not None
+    # hand-build: page with /Contents [a b] split MID-OPERATOR is out
+    # of the fixture contract; split at an operator boundary is legal
+    c1 = b"BT (first) Tj"
+    c2 = b"(second) Tj ET"
+    raw = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>\nendobj\n"
+    )
+    raw = bytearray(raw)
+    offs = {}
+    for num, body in (
+        (4, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c1), c1)),
+        (5, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c2), c2)),
+    ):
+        offs[num] = len(raw)
+        raw += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    # recompute offsets of objects 1-3 from the text
+    for num in (1, 2, 3):
+        offs[num] = raw.index(b"%d 0 obj" % num)
+    xref_off = len(raw)
+    raw += b"xref\n0 6\n0000000000 65535 f \n"
+    for num in range(1, 6):
+        raw += b"%010d 00000 n \n" % offs[num]
+    raw += (
+        b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % xref_off
+    )
+    assert pdf.pdf_text_pages(bytes(raw)) == ["first second"]
+
+
+def test_scope_fences_raise_valueerror():
+    good = _doc(1)
+    # xref stream (PDF 1.5+): startxref points at an object, not 'xref'
+    body = good.replace(b"xref\n0", b"XREF\n0", 1)
+    with pytest.raises(ValueError, match="out of scope|xref"):
+        pdf.pdf_text_pages(body)
+    # non-Flate filter
+    bad_filter = good.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode")
+    with pytest.raises(ValueError, match="out of scope"):
+        pdf.pdf_text_pages(bad_filter)
+
+
+def test_quarantine_battery():
+    good = _doc(2)
+    for bad in (
+        b"",
+        b"not a pdf",
+        b"%PDF-1.4\n",                          # no xref
+        good[:-30],                              # truncated startxref
+        good.replace(b"/Root 1 0 R", b"/Rot 1 0 R"),
+        good.replace(b"stream\n", b"striim\n", 1),
+        good.replace(b"/Count", b"/Cnt", 1) if b"/Count" in good else b"x",
+    ):
+        with pytest.raises(ValueError):
+            pdf.pdf_text_pages(bad)
+    # corrupt flate bytes inside the stream
+    buf = bytearray(good)
+    i = good.index(b"stream\n") + 10
+    buf[i] ^= 0xFF
+    buf[i + 1] ^= 0xFF
+    with pytest.raises(ValueError):
+        pdf.pdf_text_pages(bytes(buf))
+
+
+def test_mutation_fuzz_raises_only_valueerror():
+    """Same battery as decode_image: bit flips and truncations must
+    extract or raise ValueError — never another exception class."""
+    rng = np.random.RandomState(777)
+    valids = [_doc(1), _doc(3, mid=11), _doc(2, compress=False)]
+    trials = ok = quarantined = 0
+    for payload in valids:
+        for _ in range(120):
+            buf = bytearray(payload)
+            if rng.rand() < 0.3:
+                buf = buf[: rng.randint(1, len(buf))]
+            for _ in range(rng.randint(1, 5)):
+                if buf:
+                    buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+            trials += 1
+            try:
+                pdf.pdf_text_report(bytes(buf))
+                ok += 1
+            except ValueError:
+                quarantined += 1
+    assert trials == ok + quarantined
+    assert quarantined > 0
+
+
+def test_bomb_guards():
+    # inflate guard: a content stream declaring a small /Length whose
+    # flate output would exceed the cap
+    bomb = zlib.compress(b"\x00" * (pdf.MAX_CONTENT_BYTES + 100), 9)
+    raw = pdf.encode_pdf([["x"]], compress=False)
+    # splice the bomb in place of the content stream
+    start = raw.index(b"stream\n") + 7
+    end = raw.index(b"\nendstream")
+    patched = (
+        raw[: raw.index(b"/Length ")]
+        + b"/Length %d /Filter /FlateDecode" % len(bomb)
+        + raw[raw.index(b" >>\nstream") : start]
+        + bomb
+        + raw[end:]
+    )
+    # offsets after the stream moved, so go through a rebuilt doc
+    # instead: hand-check the filter path directly
+    s = pdf._Stream({"Filter": "FlateDecode", "Length": len(bomb)}, bomb)
+
+    class _D:
+        def resolve(self, v, depth=0):
+            return v
+
+    with pytest.raises(ValueError, match="inflate guard"):
+        s.decoded(_D())
+    del patched
+    # page-tree depth guard
+    raw = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [2 0 R] /Count 1 >>\nendobj\n"
+    )
+    raw = bytearray(raw)
+    o1 = raw.index(b"1 0 obj")
+    o2 = raw.index(b"2 0 obj")
+    xref_off = len(raw)
+    raw += b"xref\n0 3\n0000000000 65535 f \n"
+    raw += b"%010d 00000 n \n%010d 00000 n \n" % (o1, o2)
+    raw += (
+        b"trailer\n<< /Size 3 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % xref_off
+    )
+    with pytest.raises(ValueError, match="depth guard"):
+        pdf.pdf_text_pages(bytes(raw))
+
+
+def test_pdf_parsers_wear_the_valueerror_decorator():
+    """The 29th/30th/31st parsers join the decorator pin (the codecs
+    battery pins its own set; an orphaned decorator once let
+    struct.error escape)."""
+    for name in ("pdf_meta", "pdf_text_pages", "pdf_text_report"):
+        assert hasattr(getattr(pdf, name), "__wrapped__"), name
+
+
+def test_extract_pdf_text_kernel_lenient_and_strict(spark):
+    from etl_excel_csv_sql_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(0,), (1,), (2,), (5,)], "doc_id long"
+    )
+    pdfs = multimodal.synth_pdf_payloads(docs, "doc_id")
+    media = multimodal.to_media_column(pdfs, "media_id", "payload", "doc")
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.extract_pdf_text(media, strict=True).collect()
+    }
+    for i in (0, 1, 2, 5):
+        want = "\n".join(multimodal.synth_pdf_pages(i))
+        assert rows[i]["text"] == want
+        assert rows[i]["n_pages"] == 1 + i % 3
+        assert rows[i]["version"] == "1.4"
+        assert rows[i]["n_chars"] == len(want)
+    # lenient: a corrupt payload degrades to nulls, strict raises
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"not a pdf"))], "media_id long, payload binary"
+    )
+    out = multimodal.extract_pdf_text(bad).collect()
+    assert out[0]["text"] is None and out[0]["n_pages"] is None
+    with pytest.raises(Exception, match="PDF|pdf"):
+        multimodal.extract_pdf_text(bad, strict=True).collect()
