@@ -7523,9 +7523,14 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # the FULL 38-query r7 staleness tier, then 7 slots from the r8 tier.
 # Done criterion: CORRECTNESS_r13 green on all 50; after this round no
 # query's latest driver row is older than r8 (freshness invariant,
-# VERDICT r12 #8). New r13 queries (warc charset bodies, pdf text,
-# crawl e2e, url hygiene) swap in late per the standing precedent:
-# never-checked new oracles outrank stale unchanged re-checks.
+# VERDICT r12 #8). Four late-r13 swaps per the standing precedent
+# (never-checked new full oracles outrank stale unchanged re-checks):
+# warc_charset_bodies / pdf_text_extract / url_normalize_dedup /
+# crawl_pipeline_e2e replace datetime_functions_breadth /
+# aggregate_functions_breadth / regexp_functions_breadth /
+# null_semantics_battery (all last=r7 green breadth-tier SQL shapes,
+# untouched, value-pinned by every local gate run; back in the r14
+# pool and demotion-eligible).
 WINDOW_ORDER: tuple[str, ...] = (
     "media_sniff_catalog",
     "warc_crawl_catalog",
@@ -7562,11 +7567,11 @@ WINDOW_ORDER: tuple[str, ...] = (
     "embedding_dim_stats",
     "benford_first_digit",
     "events_ewma_smoothing",
-    "datetime_functions_breadth",
-    "aggregate_functions_breadth",
-    "regexp_functions_breadth",
+    "warc_charset_bodies",
+    "pdf_text_extract",
+    "url_normalize_dedup",
     "variant_payload_extract",
-    "null_semantics_battery",
+    "crawl_pipeline_e2e",
     "source_score_quantile_norm",
     "nested_orders_rollup",
     "kfold_assignment",
