@@ -74,6 +74,13 @@ HEADLINE = (
     # same-day interleaved A/B puts HEAD 3.5s FASTER than r10-close.
     # Cross-SESSION comparisons (even quiet, even exec-time) carry a
     # +/-30-40% band; only same-day interleaved A/Bs are conclusive.
+    # r13 series baselines for the r12 twin-corpus fixtures (VERDICT
+    # r12 #6; ledger rows ts 10:32/10:38 2026-08-16): two quiet runs at
+    # load1_start 1.22 / 2.85 read minhash_lsh_pairs 2.825 / 2.813 s
+    # and simhash_pairs 2.568 / 2.785 s (totals 17.12 / 16.75 s) — the
+    # r13+ comparison base for both series. A x100 minhash probe on the
+    # new corpus joins the ledger the same day (metric "scale_probe",
+    # multiplier 100).
     "dedup_components_star",
     "doc_quality_score",
 )

@@ -2564,7 +2564,8 @@ def encode_ogg_opus(
 def sniff_container(payload: bytes) -> str:
     """Container id from magic bytes alone (no parse): 'bmp' 'png'
     'gif' 'jpeg' 'tiff' 'ppm' 'webp' 'wav' 'avi' 'mp3' 'adts' 'mp4'
-    'flac' 'webm' 'ogg'. The dispatch step of a mixed-dump ingest —
+    'flac' 'webm' 'ogg' 'pdf' (r13: documents route to the
+    operators/pdf.py text lane). The dispatch step of a mixed-dump ingest —
     O(16 bytes) per blob regardless of size. The 0xFF sync ambiguity
     between MP3 and ADTS resolves on the layer bits (ADTS requires 00,
     MPEG-1 Layer III is 01); JPEG's FF D8 never matches either sync
@@ -2592,6 +2593,8 @@ def sniff_container(payload: bytes) -> str:
         return "webm"
     if len(payload) >= 8 and payload[4:8] == b"ftyp":
         return "mp4"
+    if payload[:5] == b"%PDF-":
+        return "pdf"
     if payload[:3] == b"ID3":
         return "mp3"
     if payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0:

@@ -1793,6 +1793,7 @@ _CATALOG_KIND = {
     "wav": "audio", "mp4": "video", "webm": "video", "avi": "video",
     "webp": "image", "bmp": "image", "png": "image", "gif": "image",
     "jpeg": "image", "tiff": "image", "ppm": "image",
+    "pdf": "doc",  # r13: documents route to the operators/pdf.py lane
 }
 
 
@@ -1817,6 +1818,8 @@ def _catalog_row(payload: bytes) -> tuple:
     elif container == "wav":
         rate, _ch, _bits, frames = codecs.wav_meta(payload)
         duration = frames * 1000 // rate
+    elif container == "pdf":
+        pass  # documents carry no dims/duration; text lane extracts
     elif container == "avi":
         width, height, fps, n_frames = codecs.avi_meta(payload)
         duration = n_frames * 1000 // fps if fps else None

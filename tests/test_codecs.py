@@ -1401,6 +1401,10 @@ def test_sniff_container_every_family_and_ambiguity():
     assert C.sniff_container(
         C.encode_mp3_headers(3, 128, 44100, id3_title="x")
     ) == "mp3"
+    # r13: PDF documents route to the text lane
+    from etl_excel_csv_sql_spark.operators import pdf as _pdf
+
+    assert C.sniff_container(_pdf.encode_pdf([["x"]])) == "pdf"
     for bad in (b"", b"zz", b"\x00\x01\x02\x03", b"RIFF1234ZZZZ",
                 b"\xff\xf7garbage"):
         with pytest.raises(ValueError):

@@ -1109,3 +1109,14 @@ def test_media_catalog_kernel_follows_mixed_contract(spark):
     assert lax.container is None and lax.kind is None
     with pytest.raises(Exception, match="magic|sniff"):
         multimodal.extract_media_catalog(bad_media, strict=True).collect()
+    # r13: a PDF in a mixed dump routes as a dims-less 'doc' row (a
+    # KeyError here once would have killed the whole lenient batch)
+    from etl_excel_csv_sql_spark.operators import pdf as _pdf
+
+    doc = spark.createDataFrame(
+        [(7, bytearray(_pdf.encode_pdf([["x"]])))], ["doc_id", "blob"]
+    )
+    doc_media = multimodal.to_media_column(doc, "doc_id", "blob", "mixed")
+    row = multimodal.extract_media_catalog(doc_media, strict=True).collect()[0]
+    assert (row.container, row.kind) == ("pdf", "doc")
+    assert row.width is None and row.duration_ms is None

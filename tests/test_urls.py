@@ -1,0 +1,113 @@
+"""URL hygiene operators: the normalization contract's edge cases, the
+eTLD+1 heuristic table, and the dedup keeper shape — all pure-Catalyst,
+so one small frame exercises every branch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_excel_csv_sql_spark.operators import urls
+
+
+def _norm(spark, raw: list[str]) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in raw], "url string")
+    return [
+        r["n"]
+        for r in df.select(urls.normalize_url("url").alias("n")).collect()
+    ]
+
+
+def test_normalize_url_contract(spark):
+    cases = [
+        # scheme + host lowercase; path case preserved
+        ("HTTP://EXAMPLE.COM/PaTh", "http://example.com/PaTh"),
+        # default ports strip per scheme
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        # NON-default ports survive
+        ("https://example.com:8443/a", "https://example.com:8443/a"),
+        # http :443 is NOT default — survives
+        ("http://example.com:443/a", "http://example.com:443/a"),
+        # fragment drops, whitespace trims
+        ("  https://example.com/a#frag  ", "https://example.com/a"),
+        # trailing slashes collapse without a query...
+        ("https://example.com/a///", "https://example.com/a"),
+        ("https://example.com/", "https://example.com"),
+        # ...but a query string freezes the path
+        ("https://example.com/a/?q=1", "https://example.com/a/?q=1"),
+        # query values keep their case
+        ("https://example.com/a?Q=Vv", "https://example.com/a?Q=Vv"),
+        # idempotence fixture
+        ("https://example.com/a", "https://example.com/a"),
+    ]
+    got = _norm(spark, [c[0] for c in cases])
+    for (raw, want), out in zip(cases, got):
+        assert out == want, raw
+    # idempotent: normalizing the normalized form is a fixpoint
+    again = _norm(spark, [c[1] for c in cases])
+    assert again == [c[1] for c in cases]
+
+
+def test_host_and_registrable_domain(spark):
+    cases = [
+        ("https://sub.example.co.uk/x", "sub.example.co.uk", "example.co.uk"),
+        ("https://www.example.com/x", "www.example.com", "example.com"),
+        ("https://example.org/x", "example.org", "example.org"),
+        # port and userinfo strip from host
+        ("https://user:pw@example.com:8443/x", "example.com", "example.com"),
+        # 2-letter-TLD registrar rule needs >= 3 labels
+        ("https://example.ac/x", "example.ac", "example.ac"),
+        ("https://deep.a.b.example.gov.br/x", "deep.a.b.example.gov.br",
+         "example.gov.br"),
+        # single label (intranet host) passes through
+        ("https://localhost/x", "localhost", "localhost"),
+        # .com is not a 2-letter TLD: last TWO labels only
+        ("https://a.co.com/x", "a.co.com", "co.com"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "url string")
+    rows = df.select(
+        urls.normalize_url("url").alias("n")
+    ).select(
+        urls.url_host("n").alias("h")
+    ).select(
+        "h", urls.registrable_domain("h").alias("e")
+    ).collect()
+    for (raw, host, etld), r in zip(cases, rows):
+        assert r["h"] == host, raw
+        assert r["e"] == etld, raw
+
+
+def test_url_key_dedup_keeper_shape(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com/a"),
+            (2, "HTTPS://EXAMPLE.COM/a"),
+            (3, "https://example.com:443/a/"),
+            (4, "https://example.com/b"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {
+        r["url_norm"]: r
+        for r in urls.url_key_dedup(df, "doc_id", "url").collect()
+    }
+    assert rows["https://example.com/a"]["keeper_doc_id"] == 1
+    assert rows["https://example.com/a"]["n_dups"] == 3
+    assert rows["https://example.com/b"]["keeper_doc_id"] == 4
+    assert rows["https://example.com/b"]["n_dups"] == 1
+    assert rows["https://example.com/a"]["etld1"] == "example.com"
+
+
+def test_url_ops_stay_in_codegen(spark):
+    """No Python stage anywhere: the whole dedup plan must be Catalyst
+    exprs + one hash aggregate (the 100 TB scan-speed claim)."""
+    df = spark.createDataFrame(
+        [(1, "https://example.com/a")], "doc_id long, url string"
+    )
+    plan = (
+        urls.url_key_dedup(df, "doc_id", "url")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan
