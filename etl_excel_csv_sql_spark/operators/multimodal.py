@@ -2106,3 +2106,21 @@ def extract_pdf_text(df: DataFrame, strict: bool = False) -> DataFrame:
         ("version", "n_pages", "text", "n_chars"),
         PDF_TEXT_SCHEMA, strict,
     )
+
+
+def _pdf15_payload(mid: int) -> bytes:
+    from etl_excel_csv_sql_spark.operators import pdf
+
+    shows = [
+        [["doc ", -28, f"{mid} pa", 35, f"ge {k}"], "(ok)"]
+        for k in range(1 + mid % 3)
+    ]
+    return pdf.encode_pdf(shows, xref_stream=True, objstm=True)
+
+
+def synth_pdf15_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (media_id, payload): the PDF 1.5 twin of
+    ``synth_pdf_payloads`` — cross-reference STREAM + every non-stream
+    object packed into an ObjStm (the mass-produced real-world layout),
+    same ``synth_pdf_pages`` text contract."""
+    return _synth_payload_frame(df, id_col, _pdf15_payload)

@@ -18,12 +18,18 @@ Extraction contract, deterministic and oracle-friendly:
   is ASCII + PDF escapes — full PDFDocEncoding/UTF-16BE text objects
   are out of scope by design, like Rice-coded FLAC audio frames).
 
+Both cross-reference layouts parse (r13): classic xref tables with
+incremental-update /Prev chains AND PDF 1.5+ cross-reference STREAMS
+(/Type /XRef packed binary rows, /W field widths, /Index subsections,
+hybrid-reference /XRefStm side-loads) with objects compressed into
+object streams (/Type /ObjStm type-2 entries) — the layout
+mass-produced real-world PDFs actually ship.
+
 Scope fences (each raises ValueError → the quarantine lane):
-cross-reference STREAMS (PDF 1.5+ compressed xref) and object streams,
-encryption, and non-Flate filters are declared out of scope; caps bound
-object count, xref chain length, page-tree depth/size, and inflate
-output (decompression-bomb guard), so a hostile payload degrades to a
-null row instead of an executor OOM.
+encryption and non-Flate filters are out of scope; caps bound object
+count, xref chain length, page-tree depth/size, and inflate output
+(decompression-bomb guard), so a hostile payload degrades to a null
+row instead of an executor OOM.
 
 Quarantine contract matches the media codecs: every malformed shape
 surfaces as ValueError only — the lenient extraction kernel catches
@@ -270,9 +276,12 @@ class _Document:
             .rstrip(b"\r")
             .decode("latin-1", "replace")[:8]
         )
-        self.offsets: dict[int, int] = {}
+        # num → ("file", byte_offset) | ("objstm", stream_num, index)
+        self.offsets: dict[int, tuple] = {}
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, tuple] = {}
+        self._loading: set[int] = set()
         self._load_xref()
 
     def _load_xref(self) -> None:
@@ -284,65 +293,202 @@ class _Document:
         if m is None:
             raise ValueError("startxref not found")
         offset = int(m.group(1))
-        for _ in range(MAX_XREF_SECTIONS):
+        sections = 0
+        while offset is not None:
+            sections += 1
+            if sections > MAX_XREF_SECTIONS:
+                raise ValueError("xref /Prev chain exceeds section guard")
             if offset < 0 or offset >= len(data):
                 raise ValueError("xref offset out of range")
-            lex = _Lexer(data, offset)
-            if lex.keyword() != "xref":
-                raise ValueError(
-                    "cross-reference streams (PDF 1.5+) are out of "
-                    "scope: expected a classic xref table"
+            probe = _Lexer(data, offset)
+            probe._skip_ws()
+            if data[probe.pos : probe.pos + 4] == b"xref":
+                offset = self._load_classic_section(
+                    probe.pos + 4, sections
                 )
-            while True:
-                lex._skip_ws()
-                if data[lex.pos : lex.pos + 7] == b"trailer":
-                    lex.pos += 7
-                    break
-                first = lex._number()
-                count = lex._number()
-                if not (
-                    isinstance(first, int)
-                    and isinstance(count, int)
-                    and 0 <= count <= MAX_OBJECTS
-                    and len(self.offsets) + count <= MAX_OBJECTS
-                ):
-                    raise ValueError("xref subsection out of range")
-                lex._skip_ws()
-                for i in range(count):
-                    entry = data[lex.pos : lex.pos + 20]
-                    if len(entry) < 18:
-                        raise ValueError("truncated xref entry")
-                    try:
-                        off = int(entry[0:10])
-                    except ValueError:
-                        raise ValueError("malformed xref entry")
-                    kind = entry[17:18]
-                    # earlier sections in the chain win (incremental
-                    # updates list newest first)
-                    if kind == b"n":
-                        self.offsets.setdefault(first + i, off)
-                    elif kind != b"f":
-                        raise ValueError("malformed xref entry kind")
-                    lex.pos += 20 if len(entry) == 20 else len(entry)
-            trailer = lex.object()
-            if not isinstance(trailer, dict):
-                raise ValueError("PDF trailer is not a dict")
-            for k, v in trailer.items():
-                self.trailer.setdefault(k, v)
-            prev = trailer.get("Prev")
-            if prev is None:
-                return
-            if not isinstance(prev, int):
-                raise ValueError("trailer /Prev is not an offset")
-            offset = prev
-        raise ValueError("xref /Prev chain exceeds section guard")
+            else:
+                # PDF 1.5+ cross-reference STREAM (spec 7.5.8)
+                offset = self._load_xref_stream_section(offset)
+
+    def _load_classic_section(self, pos: int, sections: int):
+        """One classic xref table + trailer at ``pos`` (just past the
+        'xref' keyword) → next offset in the chain or None."""
+        data = self.data
+        lex = _Lexer(data, pos)
+        while True:
+            lex._skip_ws()
+            if data[lex.pos : lex.pos + 7] == b"trailer":
+                lex.pos += 7
+                break
+            first = lex._number()
+            count = lex._number()
+            if not (
+                isinstance(first, int)
+                and isinstance(count, int)
+                and 0 <= count <= MAX_OBJECTS
+                and len(self.offsets) + count <= MAX_OBJECTS
+            ):
+                raise ValueError("xref subsection out of range")
+            lex._skip_ws()
+            for i in range(count):
+                entry = data[lex.pos : lex.pos + 20]
+                if len(entry) < 18:
+                    raise ValueError("truncated xref entry")
+                try:
+                    off = int(entry[0:10])
+                except ValueError:
+                    raise ValueError("malformed xref entry")
+                kind = entry[17:18]
+                # earlier sections in the chain win (incremental
+                # updates list newest first)
+                if kind == b"n":
+                    self.offsets.setdefault(first + i, ("file", off))
+                elif kind != b"f":
+                    raise ValueError("malformed xref entry kind")
+                lex.pos += 20 if len(entry) == 20 else len(entry)
+        trailer = lex.object()
+        if not isinstance(trailer, dict):
+            raise ValueError("PDF trailer is not a dict")
+        for k, v in trailer.items():
+            self.trailer.setdefault(k, v)
+        # hybrid-reference file (spec 7.5.8.4): the classic trailer
+        # points at a PARALLEL xref stream carrying the compressed-
+        # object entries older readers can't see. Classic rows already
+        # loaded win via setdefault; the hybrid stream's own /Prev is
+        # ignored per spec (the classic /Prev drives the chain).
+        xrefstm = trailer.get("XRefStm")
+        if isinstance(xrefstm, int):
+            if sections >= MAX_XREF_SECTIONS:
+                raise ValueError("xref /Prev chain exceeds section guard")
+            self._load_xref_stream_section(xrefstm, hybrid=True)
+        prev = trailer.get("Prev")
+        if prev is None:
+            return None
+        if not isinstance(prev, int):
+            raise ValueError("trailer /Prev is not an offset")
+        return prev
+
+    def _load_xref_stream_section(
+        self, offset: int, hybrid: bool = False
+    ):
+        """One cross-reference stream object at ``offset`` → next
+        /Prev offset (None for hybrid side-loads)."""
+        if offset < 0 or offset >= len(self.data):
+            raise ValueError("xref stream offset out of range")
+        lex = _Lexer(self.data, offset)
+        lex._number()
+        lex._number()
+        if lex.keyword() != "obj":
+            raise ValueError(
+                "expected an xref table or xref stream object at the "
+                "startxref offset"
+            )
+        d = lex.object()
+        if not isinstance(d, dict) or d.get("Type") != "XRef":
+            raise ValueError("xref stream object is not /Type /XRef")
+        stream = self._read_stream_at(lex, d, direct_length_only=True)
+        raw = stream.decoded(self)
+        w = d.get("W")
+        if not (
+            isinstance(w, list)
+            and len(w) == 3
+            and all(isinstance(x, int) and 0 <= x <= 8 for x in w)
+        ):
+            raise ValueError("xref stream /W malformed")
+        size = d.get("Size")
+        if not isinstance(size, int) or not 0 <= size <= MAX_OBJECTS:
+            raise ValueError("xref stream /Size out of range")
+        index = d.get("Index", [0, size])
+        if not (
+            isinstance(index, list)
+            and len(index) % 2 == 0
+            and all(isinstance(x, int) and x >= 0 for x in index)
+        ):
+            raise ValueError("xref stream /Index malformed")
+        row_w = sum(w)
+        pos = 0
+        for start, count in zip(index[0::2], index[1::2]):
+            if count > MAX_OBJECTS or len(self.offsets) + count > MAX_OBJECTS:
+                raise ValueError("xref stream subsection out of range")
+            for i in range(count):
+                row = raw[pos : pos + row_w]
+                if len(row) < row_w:
+                    raise ValueError("xref stream data truncated")
+                pos += row_w
+                c = 0
+                f = []
+                for width in w:
+                    f.append(
+                        int.from_bytes(row[c : c + width], "big")
+                        if width
+                        else None
+                    )
+                    c += width
+                # w1=0 → type defaults to 1 (spec table 17)
+                typ = f[0] if f[0] is not None else 1
+                num = start + i
+                if typ == 1 and f[1] is not None:
+                    self.offsets.setdefault(num, ("file", f[1]))
+                elif typ == 2 and f[1] is not None:
+                    self.offsets.setdefault(
+                        num, ("objstm", f[1], f[2] or 0)
+                    )
+                # type 0 (free) and unknown types: skip (spec: ignore)
+        for k, v in d.items():
+            self.trailer.setdefault(k, v)
+        if hybrid:
+            return None
+        prev = d.get("Prev")
+        if prev is not None and not isinstance(prev, int):
+            raise ValueError("xref stream /Prev is not an offset")
+        return prev
+
+    def _read_stream_at(
+        self, lex: _Lexer, d: dict, direct_length_only: bool = False
+    ) -> _Stream:
+        """The dict at ``lex`` is followed by stream data — frame it by
+        /Length. ``direct_length_only`` is the xref-stream
+        bootstrapping rule: resolving an indirect /Length needs the
+        xref we are in the middle of loading."""
+        if lex.keyword() != "stream":
+            raise ValueError("expected stream keyword")
+        if self.data[lex.pos : lex.pos + 2] == b"\r\n":
+            lex.pos += 2
+        elif self.data[lex.pos : lex.pos + 1] == b"\n":
+            lex.pos += 1
+        length = d.get("Length")
+        if not direct_length_only:
+            length = self.resolve(length)
+        if not isinstance(length, int) or length < 0 or (
+            lex.pos + length > len(self.data)
+        ):
+            raise ValueError("stream /Length missing or overruns")
+        return _Stream(d, self.data[lex.pos : lex.pos + length])
 
     def obj(self, num: int):
         if num in self._cache:
             return self._cache[num]
-        off = self.offsets.get(num)
-        if off is None or off >= len(self.data):
+        if num in self._loading:
+            raise ValueError(f"object {num} resolution cycle")
+        entry = self.offsets.get(num)
+        if entry is None:
             raise ValueError(f"object {num} missing from xref")
+        self._loading.add(num)
+        try:
+            if entry[0] == "file":
+                value = self._load_file_object(num, entry[1])
+            else:
+                value = self._load_compressed_object(
+                    num, entry[1], entry[2]
+                )
+        finally:
+            self._loading.discard(num)
+        self._cache[num] = value
+        return value
+
+    def _load_file_object(self, num: int, off: int):
+        if off >= len(self.data):
+            raise ValueError(f"object {num} offset out of range")
         lex = _Lexer(self.data, off)
         got = lex._number()
         lex._number()  # generation
@@ -355,23 +501,59 @@ class _Document:
         if kw == "stream":
             if not isinstance(value, dict):
                 raise ValueError("stream without a dict")
-            # exactly CRLF or LF after the keyword (spec 7.3.8.1)
-            if self.data[lex.pos : lex.pos + 2] == b"\r\n":
-                lex.pos += 2
-            elif self.data[lex.pos : lex.pos + 1] == b"\n":
-                lex.pos += 1
-            length = self.resolve(value.get("Length"))
-            if not isinstance(length, int) or length < 0 or (
-                lex.pos + length > len(self.data)
-            ):
-                raise ValueError("stream /Length missing or overruns")
-            value = _Stream(
-                value, self.data[lex.pos : lex.pos + length]
-            )
+            lex.pos = kw_start
+            value = self._read_stream_at(lex, value)
         elif kw != "endobj":
             lex.pos = kw_start
-        self._cache[num] = value
         return value
+
+    def _load_compressed_object(self, num: int, stm_num: int, idx: int):
+        """Object ``num`` out of object stream ``stm_num`` (spec
+        7.5.7): the decompressed stream opens with /N (objnum, offset)
+        pairs; objects follow at /First + offset, bare (no obj/endobj
+        wrappers, and never themselves streams)."""
+        if stm_num not in self._objstm_cache:
+            stm = self.obj(stm_num)
+            if not isinstance(stm, _Stream) or (
+                self.resolve(stm.dict.get("Type")) != "ObjStm"
+            ):
+                raise ValueError(
+                    f"object {num} points into non-ObjStm {stm_num}"
+                )
+            raw = stm.decoded(self)
+            n = self.resolve(stm.dict.get("N"))
+            first = self.resolve(stm.dict.get("First"))
+            if not (
+                isinstance(n, int)
+                and isinstance(first, int)
+                and 0 <= n <= MAX_OBJECTS
+                and 0 <= first <= len(raw)
+            ):
+                raise ValueError("ObjStm /N or /First malformed")
+            hl = _Lexer(raw)
+            pairs = []
+            for _ in range(n):
+                onum = hl._number()
+                ooff = hl._number()
+                if not (isinstance(onum, int) and isinstance(ooff, int)):
+                    raise ValueError("ObjStm header pair malformed")
+                pairs.append((onum, ooff))
+            self._objstm_cache[stm_num] = (raw, first, pairs)
+        raw, first, pairs = self._objstm_cache[stm_num]
+        if 0 <= idx < len(pairs) and pairs[idx][0] == num:
+            onum, ooff = pairs[idx]
+        else:
+            # writers occasionally emit stale indices; the header pair
+            # list is authoritative for which objects live here
+            match = [p for p in pairs if p[0] == num]
+            if not match:
+                raise ValueError(
+                    f"object {num} not present in ObjStm {stm_num}"
+                )
+            onum, ooff = match[0]
+        if first + ooff > len(raw):
+            raise ValueError("ObjStm object offset overruns")
+        return _Lexer(raw, first + ooff).object()
 
     def resolve(self, value, depth: int = 0):
         while isinstance(value, _Ref):
@@ -541,12 +723,47 @@ def _escape_string(s: str) -> bytes:
     )
 
 
-def encode_pdf(pages: list[list], compress: bool = True) -> bytes:
-    """Fixture writer: a classic-xref PDF 1.4 whose page ``p`` content
-    stream renders ``pages[p]`` — each element a ``str`` (one Tj show)
-    or a ``list`` of str/int (one TJ show: strings shown, ints kerning)
-    — with byte-exact offsets, FlateDecode content (``compress``), and
-    a shared Helvetica /F1. The decode twin of ``pdf_text_pages``."""
+def _render_content(shows: list, compress: bool) -> tuple[bytes, bytes]:
+    ops = [b"BT /F1 12 Tf 72 720 Td"]
+    for show in shows:
+        if isinstance(show, str):
+            ops.append(b"(" + _escape_string(show) + b") Tj")
+        else:
+            items = b" ".join(
+                b"(" + _escape_string(el) + b")"
+                if isinstance(el, str)
+                else str(el).encode()
+                for el in show
+            )
+            ops.append(b"[" + items + b"] TJ")
+        ops.append(b"0 -14 Td")
+    ops.append(b"ET")
+    content = b"\n".join(ops)
+    if compress:
+        return zlib.compress(content, 6), b" /Filter /FlateDecode"
+    return content, b""
+
+
+def encode_pdf(
+    pages: list[list],
+    compress: bool = True,
+    xref_stream: bool = False,
+    objstm: bool = False,
+) -> bytes:
+    """Fixture writer whose page ``p`` content stream renders
+    ``pages[p]`` — each element a ``str`` (one Tj show) or a ``list``
+    of str/int (one TJ show: strings shown, ints kerning) — with
+    byte-exact offsets, FlateDecode content (``compress``), and a
+    shared Helvetica /F1. The decode twin of ``pdf_text_pages``.
+
+    ``xref_stream`` writes the PDF 1.5 layout: a /Type /XRef
+    cross-reference STREAM instead of the classic table; ``objstm``
+    (implies xref_stream) additionally packs every non-stream object
+    (catalog, pages node, font, page dicts) into one /Type /ObjStm with
+    type-2 xref entries — how mass-produced real-world PDFs actually
+    ship."""
+    if objstm:
+        xref_stream = True
     objects: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -560,31 +777,14 @@ def encode_pdf(pages: list[list], compress: bool = True) -> bytes:
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
     kid_nums = []
+    stream_obj_nums = set()
     for shows in pages:
-        ops = [b"BT /F1 12 Tf 72 720 Td"]
-        for show in shows:
-            if isinstance(show, str):
-                ops.append(b"(" + _escape_string(show) + b") Tj")
-            else:
-                items = b" ".join(
-                    b"(" + _escape_string(el) + b")"
-                    if isinstance(el, str)
-                    else str(el).encode()
-                    for el in show
-                )
-                ops.append(b"[" + items + b"] TJ")
-            ops.append(b"0 -14 Td")
-        ops.append(b"ET")
-        content = b"\n".join(ops)
-        if compress:
-            content = zlib.compress(content, 6)
-            extra = b" /Filter /FlateDecode"
-        else:
-            extra = b""
+        content, extra = _render_content(shows, compress)
         stream_num = add(
             b"<< /Length " + str(len(content)).encode() + extra
             + b" >>\nstream\n" + content + b"\nendstream"
         )
+        stream_obj_nums.add(stream_num)
         kid_nums.append(
             add(
                 b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
@@ -602,18 +802,87 @@ def encode_pdf(pages: list[list], compress: bool = True) -> bytes:
         + b"] /Count " + str(n_pages).encode() + b" >>"
     )
 
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = []
-    for i, body in enumerate(objects, start=1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    version = b"1.5" if xref_stream else b"1.4"
+    out = bytearray(b"%PDF-" + version + b"\n")
+    # entries[num] = ("file", off) | ("objstm", stm_num, idx)
+    entries: dict[int, tuple] = {}
+
+    if objstm:
+        packed = [
+            n for n in range(1, len(objects) + 1)
+            if n not in stream_obj_nums
+        ]
+        stm_num = len(objects) + 1
+        header = b" ".join(b"%d %d" % (0, 0) for _ in ())  # placeholder
+        offs, body = [], bytearray()
+        for n in packed:
+            offs.append(len(body))
+            body += objects[n - 1] + b"\n"
+        header = b" ".join(
+            b"%d %d" % (n, o) for n, o in zip(packed, offs)
+        ) + b"\n"
+        payload = header + bytes(body)
+        extra = b""
+        if compress:
+            payload = zlib.compress(payload, 6)
+            extra = b" /Filter /FlateDecode"
+        stm_body = (
+            b"<< /Type /ObjStm /N %d /First %d /Length %d%s >>\n"
+            b"stream\n" % (len(packed), len(header), len(payload), extra)
+            + payload + b"\nendstream"
+        )
+        for idx, n in enumerate(packed):
+            entries[n] = ("objstm", stm_num, idx)
+        entries[stm_num] = ("file", len(out))
+        out += b"%d 0 obj\n" % stm_num + stm_body + b"\nendobj\n"
+        for n in sorted(stream_obj_nums):
+            entries[n] = ("file", len(out))
+            out += b"%d 0 obj\n" % n + objects[n - 1] + b"\nendobj\n"
+        total = stm_num
+    else:
+        for i, body in enumerate(objects, start=1):
+            entries[i] = ("file", len(out))
+            out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+        total = len(objects)
+
     xref_off = len(out)
-    out += b"xref\n0 %d\n" % (len(objects) + 1)
-    out += b"0000000000 65535 f \n"
-    for off in offsets:
-        out += b"%010d 00000 n \n" % off
-    out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objects) + 1, xref_off)
-    )
+    if xref_stream:
+        xref_num = total + 1
+        size = xref_num + 1
+        rows = bytearray()
+        rows += (0).to_bytes(1, "big") + (0).to_bytes(4, "big") + (
+            0xFFFF
+        ).to_bytes(2, "big")
+        for n in range(1, xref_num):
+            e = entries[n]
+            if e[0] == "file":
+                rows += b"\x01" + e[1].to_bytes(4, "big") + b"\x00\x00"
+            else:
+                rows += (
+                    b"\x02" + e[1].to_bytes(4, "big")
+                    + e[2].to_bytes(2, "big")
+                )
+        rows += b"\x01" + xref_off.to_bytes(4, "big") + b"\x00\x00"
+        payload = bytes(rows)
+        extra = b""
+        if compress:
+            payload = zlib.compress(payload, 6)
+            extra = b" /Filter /FlateDecode"
+        out += (
+            b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+            b"/Length %d%s >>\nstream\n"
+            % (xref_num, size, len(payload), extra)
+            + payload
+            + b"\nendstream\nendobj\n"
+        )
+        out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    else:
+        out += b"xref\n0 %d\n" % (total + 1)
+        out += b"0000000000 65535 f \n"
+        for n in range(1, total + 1):
+            out += b"%010d 00000 n \n" % entries[n][1]
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (total + 1, xref_off)
+        )
     return bytes(out)

@@ -3514,6 +3514,55 @@ def q_pdf_text_extract(spark, sf_dir):
 
 
 @register(
+    "pdf15_text_extract",
+    # r13: the PDF 1.5 layout twin of pdf_text_extract — cross-
+    # reference STREAM (/Type /XRef packed binary rows, /W widths)
+    # with catalog/pages/font/page dicts compressed into one /Type
+    # /ObjStm (type-2 entries), the layout mass-produced real PDFs
+    # ship. Same synth_pdf_pages text contract; only the version
+    # differs, so the oracle pins that the 1.5 machinery (xref-stream
+    # decode, ObjStm header walk, bare-object lex) reproduces the
+    # classic-table lane byte for byte.
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 3 AS INT) AS n_pages,
+             'doc ' || CAST(doc_id AS VARCHAR) AS stem
+      FROM documents
+    ), t AS (
+      SELECT doc_id, n_pages,
+             CASE n_pages
+               WHEN 1 THEN stem || ' page 0 (ok)'
+               WHEN 2 THEN stem || ' page 0 (ok)' || chr(10)
+                 || stem || ' page 1 (ok)'
+               ELSE stem || ' page 0 (ok)' || chr(10)
+                 || stem || ' page 1 (ok)' || chr(10)
+                 || stem || ' page 2 (ok)'
+             END AS text
+      FROM p
+    )
+    SELECT doc_id AS media_id,
+           '1.5' AS version,
+           n_pages,
+           text,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM t
+    """,
+    doc="PDF 1.5 text extraction: cross-reference stream parse (packed "
+    "binary rows, field widths, /Index subsections) + object-stream "
+    "decompression (ObjStm header pairs, bare-object lex) feeding the "
+    "same page-tree/show-operator walk as the classic lane — version, "
+    "page count, per-page text, char count all value-checked by the "
+    "id-contract oracle",
+)
+def q_pdf15_text_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pdfs = multimodal.synth_pdf15_payloads(docs, "doc_id")
+    media = multimodal.to_media_column(pdfs, "media_id", "payload", "doc")
+    return multimodal.extract_pdf_text(media, strict=True)
+
+
+@register(
     "url_normalize_dedup",
     # r13 (VERDICT r12 #7): URL hygiene for the crawl lane — a 100 TB
     # crawl dedups by URL KEY before content even downloads. Fixture is
@@ -7715,6 +7764,8 @@ PYTHON_KERNELS: dict[str, str] = {
     "(two Arrow passes) feeding pure-JVM lang/quality/minhash stages",
     "pdf_text_extract": "stdlib PDF parse (xref/objects/FlateDecode/"
     "show ops) via Arrow mapInPandas",
+    "pdf15_text_extract": "stdlib PDF 1.5 parse (xref stream + ObjStm) "
+    "via Arrow mapInPandas",
     "sequence_packing_report": "packs via the same applyInPandas kernel "
     "before the pure-JVM aggregation",
 }

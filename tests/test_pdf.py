@@ -121,14 +121,95 @@ def test_multiple_content_streams_form_one_logical_stream():
 
 def test_scope_fences_raise_valueerror():
     good = _doc(1)
-    # xref stream (PDF 1.5+): startxref points at an object, not 'xref'
+    # a corrupted xref keyword is neither a table nor an XRef object
     body = good.replace(b"xref\n0", b"XREF\n0", 1)
-    with pytest.raises(ValueError, match="out of scope|xref"):
+    with pytest.raises(ValueError):
         pdf.pdf_text_pages(body)
-    # non-Flate filter
-    bad_filter = good.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode")
+    # non-Flate filter (same-length name so the xref offsets stay true
+    # and the FILTER fence, not offset staleness, is what fires)
+    bad_filter = good.replace(
+        b"/Filter /FlateDecode", b"/Filter /LZWDecodeXX"
+    )
     with pytest.raises(ValueError, match="out of scope"):
         pdf.pdf_text_pages(bad_filter)
+
+
+def _doc15(n_pages=2, mid=7, compress=True, objstm=True):
+    shows = [
+        [["doc ", -28, f"{mid} pa", 35, f"ge {k}"], "(ok)"]
+        for k in range(n_pages)
+    ]
+    return pdf.encode_pdf(
+        shows, compress=compress, xref_stream=True, objstm=objstm
+    )
+
+
+def test_pdf15_xref_stream_and_objstm_roundtrip():
+    """r13: the PDF 1.5 layout — xref STREAM + objects packed into an
+    ObjStm — extracts identically to the classic-table twin."""
+    want = [f"doc 42 page {k} (ok)" for k in range(3)]
+    for kwargs in (
+        dict(objstm=False),                 # xref stream, file objects
+        dict(objstm=True),                  # + object stream
+        dict(objstm=True, compress=False),  # raw xref/objstm lanes
+    ):
+        payload = _doc15(3, mid=42, **kwargs)
+        assert pdf.pdf_meta(payload) == ("1.5", 3), kwargs
+        assert pdf.pdf_text_pages(payload) == want, kwargs
+    # classic and 1.5 layouts agree byte-for-byte on extracted text
+    assert pdf.pdf_text_pages(_doc(3, 42)) == want
+
+
+def test_pdf15_guards_and_quarantine():
+    good = _doc15(2)
+    # corrupt the compressed xref-stream payload (rindex on 'stream\n'
+    # alone would land in the trailing 'endstream' text, not the data)
+    buf = bytearray(good)
+    i = good.rindex(b">>\nstream\n") + 10
+    buf[i] ^= 0xFF
+    buf[i + 1] ^= 0xFF
+    with pytest.raises(ValueError):
+        pdf.pdf_text_pages(bytes(buf))
+    # truncation anywhere in the tail
+    for cut in (10, 40, 120):
+        with pytest.raises(ValueError):
+            pdf.pdf_text_pages(good[:-cut])
+    # mutation fuzz over the 1.5 layout: ValueError-only, same battery
+    import numpy as np
+
+    rng = np.random.RandomState(4242)
+    trials = ok = quarantined = 0
+    for payload in (_doc15(1), _doc15(2, compress=False)):
+        for _ in range(100):
+            buf = bytearray(payload)
+            if rng.rand() < 0.3:
+                buf = buf[: rng.randint(1, len(buf))]
+            for _ in range(rng.randint(1, 5)):
+                if buf:
+                    buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+            trials += 1
+            try:
+                pdf.pdf_text_report(bytes(buf))
+                ok += 1
+            except ValueError:
+                quarantined += 1
+    assert trials == ok + quarantined
+    assert quarantined > 0
+
+
+def test_objstm_cycle_guard():
+    """An ObjStm whose xref entry points the stream INTO ITSELF must
+    quarantine, not recurse forever."""
+    good = _doc15(1)
+    doc = pdf._Document(good)
+    stm_num = next(
+        n for n, e in doc.offsets.items() if e[0] == "objstm"
+    )
+    stm_ref = doc.offsets[stm_num][1]
+    fresh = pdf._Document(good)
+    fresh.offsets[stm_ref] = ("objstm", stm_ref, 0)
+    with pytest.raises(ValueError, match="cycle|ObjStm|missing"):
+        fresh.obj(stm_ref)
 
 
 def test_quarantine_battery():
