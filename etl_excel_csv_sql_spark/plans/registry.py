@@ -7579,7 +7579,9 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # aggregate_functions_breadth / regexp_functions_breadth /
 # null_semantics_battery (all last=r7 green breadth-tier SQL shapes,
 # untouched, value-pinned by every local gate run; back in the r14
-# pool and demotion-eligible).
+# pool and demotion-eligible). A fifth late swap lands
+# pdf15_text_extract (the PDF 1.5 xref-stream/ObjStm lane) in place of
+# nested_orders_rollup (same rationale).
 WINDOW_ORDER: tuple[str, ...] = (
     "media_sniff_catalog",
     "warc_crawl_catalog",
@@ -7622,7 +7624,7 @@ WINDOW_ORDER: tuple[str, ...] = (
     "variant_payload_extract",
     "crawl_pipeline_e2e",
     "source_score_quantile_norm",
-    "nested_orders_rollup",
+    "pdf15_text_extract",
     "kfold_assignment",
     "events_streaming_dedup_watermarked",
     "csv_permissive_quarantine",
