@@ -1,0 +1,143 @@
+"""robots.txt politeness filtering for the crawl lane — the other half
+of URL hygiene (operators/urls.py): a real crawl frontier drops
+disallowed URLs BEFORE fetching, so the filter must run at frontier
+scale (billions of URLs × millions of hosts) as plain joins and
+aggregations, never a per-URL Python matcher.
+
+Rule semantics, the RFC 9309 subset that is deterministic without
+wildcards (documented scope: literal path prefixes only — ``*`` / ``$``
+pattern rules are out of scope and must be pre-expanded by the robots
+fetcher):
+
+- a URL matches a rule when its path starts with the rule's path;
+- the LONGEST matching rule wins (octet-length specificity, RFC 9309
+  §2.2.2);
+- at equal length, ``allow`` wins (least-restrictive tie break);
+- no matching rule for the URL's host — including a host with no
+  robots.txt at all — means allowed;
+- an empty-path disallow is a no-op per the RFC (matches nothing),
+  and the parser drops it.
+
+Plan shape: URLs join rules on host (the rules side is the small one —
+broadcast when it fits, shuffle on host otherwise), prefix-match
+filter, then one ``max_by`` aggregation per URL on the
+(length, is_allow) specificity struct. Two shuffles max, no window, no
+Python.
+
+``parse_robots_text`` is the driver/fixture-side parser for turning
+fetched robots.txt bodies into the (host, rule, path) frame; the
+filtering itself never touches Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def parse_robots_text(text: str, agent: str = "*") -> list[tuple[str, str]]:
+    """robots.txt body → [(rule, path), ...] for the given user-agent
+    group (case-insensitive directives, ``#`` comments, groups split on
+    user-agent lines per RFC 9309 §2.1; the ``*`` group applies when no
+    specific group matches). Empty-path disallows drop (RFC no-op)."""
+    groups: dict[str, list[tuple[str, str]]] = {}
+    current: list[str] = []
+    last_was_agent = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not last_was_agent:
+                current = []
+            current.append(value.lower())
+            for a in current:
+                groups.setdefault(a, [])
+            last_was_agent = True
+        elif key in ("allow", "disallow"):
+            last_was_agent = False
+            if key == "disallow" and not value:
+                continue  # empty disallow = allow everything (no-op)
+            if not value:
+                continue
+            for a in current or ["*"]:
+                groups.setdefault(a, []).append((key, value))
+        else:
+            last_was_agent = False
+    agent = agent.lower()
+    if agent in groups:
+        return groups[agent]
+    return groups.get("*", [])
+
+
+def url_path(url) -> Column:
+    """Path + query of a normalized URL ('' → '/'): the byte string
+    robots rules match against."""
+    u = F.col(url) if isinstance(url, str) else url
+    p = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://[^/?]*", "")
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def filter_crawlable(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url_norm",
+    host_col: str = "host",
+) -> DataFrame:
+    """URLs → URLs + (verdict boolean, winning rule) under the module's
+    longest-match semantics.
+
+    ``urls``: any frame carrying ``url_col`` and ``host_col`` (the
+    normalize + host-extract output of operators/urls.py).
+    ``rules``: (host, rule in {'allow','disallow'}, path) — one row per
+    directive, e.g. exploded from ``parse_robots_text`` over fetched
+    robots bodies.
+
+    Output: the input columns plus ``allowed`` / ``rule_path`` (null
+    when no rule matched). Join on host, prefix filter, one max_by on
+    (octet length, is_allow) — ties break toward allow per RFC."""
+    u = urls.withColumn("__path", url_path(F.col(url_col)))
+    r = rules.select(
+        F.col("host").alias("__rhost"),
+        F.lower(F.col("rule")).alias("__rule"),
+        F.col("path").alias("__rpath"),
+    )
+    matched = (
+        u.join(r, u[host_col] == r["__rhost"], "left")
+        .withColumn(
+            "__hit",
+            F.col("__rpath").isNotNull()
+            & F.col("__path").startswith(F.col("__rpath")),
+        )
+    )
+    key_cols = [F.col(c) for c in urls.columns]
+    best = (
+        matched.groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("__rule").alias("rule"),
+                    F.col("__rpath").alias("rule_path"),
+                ),
+                F.when(
+                    F.col("__hit"),
+                    F.struct(
+                        F.length("__rpath").alias("l"),
+                        (F.col("__rule") == "allow")
+                        .cast("int")
+                        .alias("a"),
+                    ),
+                ),
+            ).alias("__best")
+        )
+    )
+    return best.select(
+        *[F.col(c) for c in urls.columns],
+        F.coalesce(
+            F.col("__best.rule") == "allow", F.lit(True)
+        ).alias("allowed"),
+        F.col("__best.rule_path").alias("rule_path"),
+    )

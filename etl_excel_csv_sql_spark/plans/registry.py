@@ -3563,6 +3563,97 @@ def q_pdf15_text_extract(spark, sf_dir):
 
 
 @register(
+    "robots_url_filter",
+    # r13: robots.txt politeness — the other half of URL hygiene: a
+    # crawl frontier drops disallowed URLs BEFORE fetching. In-plan
+    # fixture (zero Python): host group g = id % 50 carries one rule
+    # regime r = g % 4 (0: disallow /private + allow /private/ok —
+    # the longest-match override; 1: disallow / — block-all; 2: NO
+    # rules — the missing-robots lane; 3: an allow that matches
+    # nothing), URL path variant v = (id // 50) % 5 walks the match
+    # table (/public/x, /private/x, /private/ok/x, bare host,
+    # /private exact). Verdict AND winning rule path are closed-form.
+    """
+    WITH b AS (
+      SELECT doc_id,
+             doc_id % 50 AS g,
+             (doc_id // 50) % 5 AS v
+      FROM documents
+    ), c AS (
+      SELECT doc_id, v, g % 4 AS r,
+             'https://site' || CAST(g AS VARCHAR) || '.com' ||
+             CASE v WHEN 0 THEN '/public/x'
+                    WHEN 1 THEN '/private/x'
+                    WHEN 2 THEN '/private/ok/x'
+                    WHEN 3 THEN ''
+                    ELSE '/private' END AS url_norm
+      FROM b
+    )
+    SELECT doc_id, url_norm,
+           CASE WHEN r = 1 THEN FALSE
+                WHEN r = 0 AND v IN (1, 4) THEN FALSE
+                ELSE TRUE END AS allowed,
+           CASE WHEN r = 1 THEN '/'
+                WHEN r = 0 AND v IN (1, 4) THEN '/private'
+                WHEN r = 0 AND v = 2 THEN '/private/ok'
+                ELSE NULL END AS rule_path
+    FROM c
+    """,
+    doc="robots.txt URL filtering (operators/robots.py): longest-"
+    "prefix-match rule resolution per RFC 9309 (octet-length "
+    "specificity, allow wins ties, no-match and missing-host allow) "
+    "as one host join + prefix filter + max_by aggregation — no "
+    "window, no Python; verdict and winning rule path value-checked "
+    "across all four rule regimes and five path shapes",
+)
+def q_robots_url_filter(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import robots
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") % 50).cast("long")
+    v = (F.floor(F.col("doc_id") / 50) % 5).cast("int")
+    host = F.concat(F.lit("site"), g.cast("string"), F.lit(".com"))
+    path = (
+        F.when(v == 0, F.lit("/public/x"))
+        .when(v == 1, F.lit("/private/x"))
+        .when(v == 2, F.lit("/private/ok/x"))
+        .when(v == 3, F.lit(""))
+        .otherwise(F.lit("/private"))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, path).alias("url_norm"),
+        host.alias("host"),
+    )
+    hosts = d.select(g.alias("g")).distinct()
+    rule = lambda kind, p: F.struct(  # noqa: E731
+        F.lit(kind).alias("rule"), F.lit(p).alias("path")
+    )
+    rules = hosts.select(
+        F.concat(F.lit("site"), F.col("g").cast("string"), F.lit(".com"))
+        .alias("host"),
+        F.explode(
+            F.when(
+                F.col("g") % 4 == 0,
+                F.array(
+                    rule("disallow", "/private"),
+                    rule("allow", "/private/ok"),
+                ),
+            )
+            .when(F.col("g") % 4 == 1, F.array(rule("disallow", "/")))
+            .when(F.col("g") % 4 == 3, F.array(rule("allow", "/anything")))
+            .otherwise(
+                F.array().cast(
+                    "array<struct<rule:string,path:string>>"
+                )
+            )
+        ).alias("rp"),
+    ).select("host", F.col("rp.rule").alias("rule"), F.col("rp.path").alias("path"))
+    out = robots.filter_crawlable(urls, rules)
+    return out.select("doc_id", "url_norm", "allowed", "rule_path")
+
+
+@register(
     "url_normalize_dedup",
     # r13 (VERDICT r12 #7): URL hygiene for the crawl lane — a 100 TB
     # crawl dedups by URL KEY before content even downloads. Fixture is

@@ -1,0 +1,117 @@
+"""robots.txt politeness filter: parser groups/edge cases, the
+longest-match / tie-break / missing-host semantics, and the
+Python-free plan pin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_excel_csv_sql_spark.operators import robots
+
+
+def test_parse_robots_text_groups_and_edges():
+    body = """
+# comment line
+User-agent: googlebot
+Disallow: /g-only
+
+User-agent: *
+Disallow: /private   # trailing comment
+Allow: /private/ok
+Disallow:
+Crawl-delay: 10
+
+User-agent: a
+User-agent: b
+Disallow: /shared
+"""
+    assert robots.parse_robots_text(body) == [
+        ("disallow", "/private"),
+        ("allow", "/private/ok"),
+    ]
+    assert robots.parse_robots_text(body, agent="googlebot") == [
+        ("disallow", "/g-only"),
+    ]
+    # stacked user-agent lines share one group
+    assert robots.parse_robots_text(body, agent="A") == [
+        ("disallow", "/shared"),
+    ]
+    # unknown agent falls back to *
+    assert robots.parse_robots_text(body, agent="nobody") == [
+        ("disallow", "/private"),
+        ("allow", "/private/ok"),
+    ]
+    # no groups at all → empty rules (everything allowed)
+    assert robots.parse_robots_text("just text, no directives") == []
+
+
+def test_url_path_extraction(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://h.com/a/b?q=1",),
+            ("https://h.com",),
+            ("https://h.com/",),
+        ],
+        "u string",
+    )
+    got = [r["p"] for r in df.select(robots.url_path("u").alias("p")).collect()]
+    assert got == ["/a/b?q=1", "/", "/"]
+
+
+def test_filter_crawlable_semantics(spark):
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.com/public/x", "a.com"),
+            (2, "https://a.com/private/x", "a.com"),
+            (3, "https://a.com/private/ok/x", "a.com"),
+            (4, "https://a.com/private", "a.com"),
+            (5, "https://blocked.com/anything", "blocked.com"),
+            (6, "https://norules.com/x", "norules.com"),
+        ],
+        "doc_id long, url_norm string, host string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "disallow", "/private"),
+            ("a.com", "allow", "/private/ok"),
+            ("blocked.com", "disallow", "/"),
+            # equal-length tie on /tie: allow wins
+            ("a.com", "disallow", "/tie"),
+            ("a.com", "allow", "/tie"),
+        ],
+        "host string, rule string, path string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in robots.filter_crawlable(urls, rules).collect()
+    }
+    assert out[1]["allowed"] and out[1]["rule_path"] is None
+    assert not out[2]["allowed"] and out[2]["rule_path"] == "/private"
+    assert out[3]["allowed"] and out[3]["rule_path"] == "/private/ok"
+    assert not out[4]["allowed"]
+    assert not out[5]["allowed"] and out[5]["rule_path"] == "/"
+    assert out[6]["allowed"] and out[6]["rule_path"] is None
+    # the tie lane: same frame, a /tie URL
+    tie = spark.createDataFrame(
+        [(7, "https://a.com/tie/x", "a.com")],
+        "doc_id long, url_norm string, host string",
+    )
+    trow = robots.filter_crawlable(tie, rules).collect()[0]
+    assert trow["allowed"] and trow["rule_path"] == "/tie"
+
+
+def test_filter_crawlable_plan_is_python_free(spark):
+    urls = spark.createDataFrame(
+        [(1, "https://a.com/x", "a.com")],
+        "doc_id long, url_norm string, host string",
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "disallow", "/y")], "host string, rule string, path string"
+    )
+    plan = (
+        robots.filter_crawlable(urls, rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "Window" not in plan  # one max_by aggregation, no window
