@@ -1834,6 +1834,181 @@ def q_crawl_pipeline_e2e(spark, sf_dir):
 
 
 @register(
+    "sitemap_catalog",
+    # r13: sitemap ingest — where a polite crawl's frontier comes from
+    # (robots.txt names sitemaps, sitemaps name URLs). One .xml.gz
+    # fixture, one <url> entry per doc_id with a closed-form field
+    # contract; read_sitemap parses executor-side with stdlib
+    # xml.etree over binaryFile (file = task, the protocol's own 50k-
+    # URL/50 MB bound makes files the natural unit).
+    """
+    SELECT doc_id,
+           'https://example.org/p/' || CAST(doc_id AS VARCHAR) AS loc,
+           '2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+             AS lastmod,
+           CASE WHEN doc_id % 2 = 1 THEN 'daily' END AS changefreq,
+           CAST(doc_id % 9 + 1 AS DOUBLE) / 10 AS priority
+    FROM documents
+    """,
+    doc="sitemaps.org XML ingest (io/sitemap.py): binaryFile listing "
+    "+ Arrow mapInPandas stdlib-etree parse (urlset/sitemapindex, "
+    "namespace-stripped tags, unknown elements ignored, gzip with the "
+    "protocol 50 MB bound as the bomb guard) — loc, lastmod, "
+    "changefreq, and priority all value-checked by the id-contract "
+    "oracle; malformed files quarantine file-atomically",
+)
+def q_sitemap_catalog(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io import sitemap
+
+    scratch = _scratch(
+        "sitemap_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    entries = [
+        {
+            "loc": f"https://example.org/p/{i}",
+            "lastmod": f"2026-01-{1 + i % 28:02d}",
+            "changefreq": "daily" if i % 2 else None,
+            "priority": (i % 9 + 1) / 10,
+        }
+        for i in ids
+    ]
+    path = os.path.join(scratch, "sitemap-00000.xml.gz")
+    with open(path, "wb") as f:
+        f.write(sitemap.encode_sitemap(entries, gzip_payload=True))
+    return (
+        sitemap.read_sitemap(spark, path, strict=True)
+        .select(
+            F.regexp_extract("loc", r"/p/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "loc",
+            "lastmod",
+            "changefreq",
+            "priority",
+        )
+    )
+
+
+@register(
+    "crawl_frontier_e2e",
+    # r13: the FRONTIER-side composition (the fetch-side twin of
+    # crawl_pipeline_e2e): sitemap ingest → URL normalization → robots
+    # politeness filter → URL-key dedup, one lazy plan. Fixture: group
+    # g = id % 100 owns one canonical URL rendered through the same
+    # five messy variants as url_normalize_dedup (case / :443 /
+    # trailing slash / whitespace+fragment), hosts rotate the three
+    # eTLD shapes; robots regime g % 2 (even: no rules → allowed; odd:
+    # disallow /path — a PREFIX, so every variant of the group drops).
+    # Frontier = the 50 even groups with their variant counts.
+    """
+    WITH m AS (
+      SELECT doc_id % 100 AS grp FROM documents
+    ), a AS (
+      SELECT grp, count(*) AS n_dups FROM m GROUP BY grp
+    ), h AS (
+      SELECT grp, n_dups,
+             CASE grp % 3
+               WHEN 0 THEN 'sub.example' || CAST(grp AS VARCHAR) || '.co.uk'
+               WHEN 1 THEN 'www.example' || CAST(grp AS VARCHAR) || '.com'
+               ELSE 'example' || CAST(grp AS VARCHAR) || '.org'
+             END AS host,
+             CASE grp % 3
+               WHEN 0 THEN 'example' || CAST(grp AS VARCHAR) || '.co.uk'
+               WHEN 1 THEN 'example' || CAST(grp AS VARCHAR) || '.com'
+               ELSE 'example' || CAST(grp AS VARCHAR) || '.org'
+             END AS etld1
+      FROM a
+    )
+    SELECT 'https://' || host || '/path' || CAST(grp AS VARCHAR)
+             AS url_norm,
+           host, etld1, CAST(n_dups AS BIGINT) AS n_dups
+    FROM h
+    WHERE grp % 2 = 0
+    """,
+    doc="the crawl FRONTIER in one lazy plan: read_sitemap (Arrow "
+    "etree kernel) → normalize_url + url_host + registrable_domain "
+    "(pure Catalyst) → robots filter_crawlable (host join + prefix "
+    "max_by; in-plan rules) → URL-key dedup (one hash-agg shuffle). "
+    "What a polite fetcher runs before it ever opens a connection; "
+    "every stage is an independently-oracled operator and the "
+    "composition's keeper set is closed-form",
+)
+def q_crawl_frontier_e2e(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io import sitemap
+    from etl_excel_csv_sql_spark.operators import robots, urls
+
+    scratch = _scratch(
+        "frontier_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+
+    def messy(i: int) -> str:
+        g, v = i % 100, (i // 100) % 5
+        shape = g % 3
+        host = (
+            f"sub.example{g}.co.uk" if shape == 0
+            else f"www.example{g}.com" if shape == 1
+            else f"example{g}.org"
+        )
+        canon = f"https://{host}/path{g}"
+        if v == 1:
+            return f"HTTPS://{host.upper()}/path{g}"
+        if v == 2:
+            return f"https://{host}:443/path{g}"
+        if v == 3:
+            return canon + "/"
+        if v == 4:
+            return f"  {canon}#frag{i}  "
+        return canon
+
+    entries = [{"loc": messy(i)} for i in ids]
+    path = os.path.join(scratch, "sitemap-00000.xml")
+    with open(path, "wb") as f:
+        f.write(sitemap.encode_sitemap(entries))
+    locs = sitemap.read_sitemap(spark, path, strict=True).select("loc")
+    normed = locs.select(
+        urls.normalize_url("loc").alias("url_norm")
+    ).withColumn("host", urls.url_host(F.col("url_norm")))
+    frontier = (
+        normed.withColumn(
+            "etld1", urls.registrable_domain(F.col("host"))
+        )
+        .groupBy("url_norm", "host", "etld1")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+    # robots rules, in-plan: odd groups disallow the /path prefix
+    rules = (
+        frontier.select("host", "url_norm")
+        .withColumn(
+            "g",
+            F.regexp_extract("url_norm", r"/path(\d+)$", 1).cast("long"),
+        )
+        .filter(F.col("g") % 2 == 1)
+        .select(
+            "host",
+            F.lit("disallow").alias("rule"),
+            F.lit("/path").alias("path"),
+        )
+    )
+    return robots.filter_crawlable(frontier, rules).filter(
+        F.col("allowed")
+    ).select("url_norm", "host", "etld1", "n_dups")
+
+
+@register(
     "jsonl_roundtrip",
     """
     SELECT doc_id, lang, source, n_chars, text

@@ -7855,6 +7855,10 @@ PYTHON_KERNELS: dict[str, str] = {
     "full-body decode via Arrow mapInPandas over binaryFile",
     "crawl_pipeline_e2e": "WARC record walk + html.parser extraction "
     "(two Arrow passes) feeding pure-JVM lang/quality/minhash stages",
+    "sitemap_catalog": "stdlib xml.etree sitemap parse via Arrow "
+    "mapInPandas over binaryFile",
+    "crawl_frontier_e2e": "sitemap etree kernel feeding pure-JVM "
+    "normalize/robots/dedup stages",
     "pdf_text_extract": "stdlib PDF parse (xref/objects/FlateDecode/"
     "show ops) via Arrow mapInPandas",
     "pdf15_text_extract": "stdlib PDF 1.5 parse (xref stream + ObjStm) "
@@ -7913,7 +7917,9 @@ EAGER_QUERIES: frozenset[str] = frozenset(
         "settings_catalog",
         "settings_datasource_scan",
         "settings_validation_outcomes",
+        "crawl_frontier_e2e",
         "crawl_pipeline_e2e",
+        "sitemap_catalog",
         "warc_charset_bodies",
         "warc_crawl_catalog",
         "warc_web_text_extract",
