@@ -7670,9 +7670,12 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # aggregate_functions_breadth / regexp_functions_breadth /
 # null_semantics_battery (all last=r7 green breadth-tier SQL shapes,
 # untouched, value-pinned by every local gate run; back in the r14
-# pool and demotion-eligible). A fifth late swap lands
-# pdf15_text_extract (the PDF 1.5 xref-stream/ObjStm lane) in place of
-# nested_orders_rollup (same rationale).
+# pool and demotion-eligible). Four more late swaps, same rationale:
+# pdf15_text_extract (the PDF 1.5 xref-stream/ObjStm lane) replaces
+# nested_orders_rollup; robots_url_filter / sitemap_catalog /
+# crawl_frontier_e2e (the r13 crawl-frontier trio) replace
+# benford_first_digit / multiset_ops / disjunctive_predicate_revenue
+# (all last=r7 green breadth-tier, local-gate-pinned).
 WINDOW_ORDER: tuple[str, ...] = (
     "media_sniff_catalog",
     "warc_crawl_catalog",
@@ -7704,10 +7707,10 @@ WINDOW_ORDER: tuple[str, ...] = (
     "top_supplier_revenue",
     "small_qty_order_revenue",
     "large_volume_customers",
-    "disjunctive_predicate_revenue",
-    "multiset_ops",
+    "crawl_frontier_e2e",
+    "sitemap_catalog",
     "embedding_dim_stats",
-    "benford_first_digit",
+    "robots_url_filter",
     "events_ewma_smoothing",
     "warc_charset_bodies",
     "pdf_text_extract",
