@@ -244,6 +244,19 @@ def _normalize_charset(label: str) -> str | None:
         return None
 
 
+def decode_body_text(
+    headers: dict[str, str], body: bytes
+) -> tuple[str, str, str]:
+    """(charset, source, text): charset-aware decode of a text body,
+    stripping the UTF-8 BOM when the BOM itself was the signal (the
+    char is an encoding artifact, not document text; the utf-16 codec
+    consumes its own BOM)."""
+    charset, source = detect_charset(headers, body)
+    if source == "bom" and charset == "utf-8":
+        body = body[3:]
+    return charset, source, body.decode(charset, "replace")
+
+
 def detect_charset(
     headers: dict[str, str], http_body: bytes
 ) -> tuple[str, str]:
@@ -330,10 +343,20 @@ def read_warc(
                                 http_response_parts(rec["body"])
                             )
                             nbytes = len(http_body)
-                            charset, source = detect_charset(
+                            charset, source, text = decode_body_text(
                                 headers, http_body
                             )
-                            text = http_body.decode(charset, "replace")
+                            head = text[:head_chars]
+                            pending_chars += len(text)
+                        elif rec["warc_type"] == "conversion" and (
+                            rec["content_type"] or ""
+                        ).startswith("text/"):
+                            # WET layout: extracted text as conversion
+                            # records (text/plain, no HTTP wrapper)
+                            charset, source, text = decode_body_text(
+                                {"content-type": rec["content_type"]},
+                                rec["body"],
+                            )
                             head = text[:head_chars]
                             pending_chars += len(text)
                         rec["body"] = None  # release before next record
@@ -391,6 +414,18 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
         if body is None:
             body = r["body_text"].encode()
         ctype = r.get("http_content_type", "text/plain")
+        if r.get("record_type") == "conversion":
+            # the WET layout: extracted text, no HTTP wrapper
+            out += record(
+                "conversion",
+                {
+                    "WARC-Target-URI": r["uri"],
+                    "WARC-Date": r.get("date", "2026-01-01T00:00:00Z"),
+                    "Content-Type": ctype,
+                },
+                body,
+            )
+            continue
         http = (
             f"HTTP/1.1 {r['status']} "
             f"{'OK' if r['status'] == 200 else 'NOT-OK'}\r\n"

@@ -39,6 +39,7 @@ class _TextExtractor(HTMLParser):
         self.parts: list[str] = []
         self.title_parts: list[str] = []
         self.n_links = 0
+        self.hrefs: list[str] = []
         self._skip_depth = 0
         self._in_head = 0
         self._in_title = 0
@@ -60,6 +61,9 @@ class _TextExtractor(HTMLParser):
             # anchors inside skipped subtrees or <head> are boilerplate,
             # not the out-degree a link-spam classifier wants
             self.n_links += 1
+            self.hrefs.append(
+                next(v for k, v in attrs if k == "href") or ""
+            )
 
     def handle_endtag(self, tag):
         if tag in _SKIP_TAGS and self._skip_depth:
@@ -123,4 +127,41 @@ def extract_web_text(
 
     return df.select(id_col, html_col).mapInPandas(
         batches, WEB_TEXT_SCHEMA
+    )
+
+
+def html_links(html: str) -> list[str]:
+    """Visible anchor hrefs in document order (same visibility
+    condition as the text contract — the out-edge list the crawl link
+    graph is built from)."""
+    p = _TextExtractor()
+    p.feed(html)
+    p.close()
+    return p.hrefs
+
+
+WEB_LINKS_SCHEMA = "doc_id long, href string"
+
+
+def extract_web_links(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "text"
+) -> DataFrame:
+    """(id, html) → one row per visible anchor (doc_id, href) via one
+    Arrow mapInPandas pass — the link-graph edge list feeding
+    PageRank/out-degree analyses and the crawl frontier. Null html
+    yields no rows (a failed fetch has no out-edges)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "href": []}
+            for did, html in zip(pdf[id_col], pdf[html_col]):
+                if html is None:
+                    continue
+                for href in html_links(str(html)):
+                    out["doc_id"].append(did)
+                    out["href"].append(href)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, html_col).mapInPandas(
+        batches, WEB_LINKS_SCHEMA
     )

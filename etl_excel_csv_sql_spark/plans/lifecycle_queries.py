@@ -1834,6 +1834,177 @@ def q_crawl_pipeline_e2e(spark, sf_dir):
 
 
 @register(
+    "wet_text_catalog",
+    # r13: the WET layout — Common Crawl's companion artifact to the
+    # raw WARC: extracted text shipped as `conversion` records
+    # (text/plain, no HTTP wrapper). read_warc now decodes those
+    # directly through the same charset lane as responses. Fixture
+    # rotates r = id % 4: (0) UTF-8-BOM body — the BOM is the charset
+    # SIGNAL and must be stripped from the text, (1) windows-1251
+    # declared in the WARC Content-Type charset param ('header'
+    # source), (2)/(3) undeclared UTF-8. All closed-form.
+    """
+    WITH t AS (
+      SELECT doc_id, CAST(doc_id % 4 AS INT) AS r FROM documents
+    ), b AS (
+      SELECT doc_id, r,
+             CASE WHEN r = 1
+               THEN 'текст ' || CAST(doc_id AS VARCHAR) || ' '
+                 || repeat('щ', CAST(doc_id % 30 AS INT))
+               ELSE 'wet text ' || CAST(doc_id AS VARCHAR) || ' '
+                 || repeat('y', CAST(doc_id % 40 AS INT))
+             END AS text
+      FROM t
+    )
+    SELECT doc_id,
+           CASE r WHEN 1 THEN 'cp1251' ELSE 'utf-8' END AS charset,
+           CASE r WHEN 0 THEN 'bom' WHEN 1 THEN 'header'
+                  ELSE 'default' END AS charset_source,
+           text,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM b
+    """,
+    doc="WET conversion-record ingest (io/warc.py): Common Crawl's "
+    "pre-extracted text artifact — `conversion` records with text/* "
+    "Content-Type decode through the same charset precedence as HTTP "
+    "responses (header param > meta > BOM > UTF-8), with the UTF-8 "
+    "BOM stripped when the BOM itself was the signal. Charset, "
+    "source, and every decoded char value-checked by the id contract",
+)
+def q_wet_text_catalog(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io import warc
+
+    scratch = _scratch(
+        "wet_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    recs = []
+    for i in ids:
+        r = i % 4
+        uri = f"https://example.org/doc/{i}"
+        if r == 0:
+            body = b"\xef\xbb\xbf" + (
+                f"wet text {i} " + "y" * (i % 40)
+            ).encode()
+            recs.append(
+                {
+                    "uri": uri, "status": 200,
+                    "record_type": "conversion",
+                    "body_bytes": body,
+                }
+            )
+        elif r == 1:
+            txt = f"текст {i} " + "щ" * (i % 30)
+            recs.append(
+                {
+                    "uri": uri, "status": 200,
+                    "record_type": "conversion",
+                    "body_bytes": txt.encode("cp1251"),
+                    "http_content_type": (
+                        "text/plain; charset=windows-1251"
+                    ),
+                }
+            )
+        else:
+            recs.append(
+                {
+                    "uri": uri, "status": 200,
+                    "record_type": "conversion",
+                    "body_text": f"wet text {i} " + "y" * (i % 40),
+                }
+            )
+    path = os.path.join(scratch, "crawl-00000.warc.wet.gz")
+    with open(path, "wb") as f:
+        f.write(warc.encode_warc(recs, gzip_members=True))
+    return (
+        warc.read_warc(spark, path, strict=True)
+        .filter(F.col("warc_type") == "conversion")
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "charset",
+            "charset_source",
+            "text",
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+
+
+@register(
+    "web_link_graph",
+    # r13: the link-graph edge list — visible anchors only (the same
+    # visibility contract as the text extraction: anchors inside
+    # noscript/template/<head> are boilerplate, pinned by a planted
+    # hidden anchor on every page that must NOT appear here). Each doc
+    # carries id % 4 visible anchors with closed-form hrefs; DuckDB's
+    # lateral unnest(range()) renders the same explosion.
+    """
+    SELECT doc_id,
+           '/l' || CAST(doc_id AS VARCHAR) || 'x' || CAST(j AS VARCHAR)
+             AS href
+    FROM documents, unnest(range(CAST(doc_id % 4 AS BIGINT))) AS g(j)
+    """,
+    doc="crawl link-graph edges: read_warc HTML responses → "
+    "extract_web_links (one Arrow pass, one row per VISIBLE anchor "
+    "href in document order) — the edge list PageRank/out-degree/"
+    "frontier-discovery runs on. Hidden-anchor exclusion and every "
+    "href value-checked by the id-contract oracle",
+)
+def q_web_link_graph(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io import warc
+    from etl_excel_csv_sql_spark.operators import webtext
+
+    scratch = _scratch(
+        "linkgraph_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    recs = []
+    for i in ids:
+        links = "".join(
+            f"<a href='/l{i}x{j}'>l</a>" for j in range(i % 4)
+        )
+        recs.append(
+            {
+                "uri": f"https://example.org/doc/{i}",
+                "status": 200,
+                "body_text": (
+                    f"<html><head><a href='/hidden{i}'>h</a></head>"
+                    f"<body><p>page {i}</p>{links}"
+                    f"<noscript><a href='/also-hidden'>n</a>"
+                    f"</noscript></body></html>"
+                ),
+            }
+        )
+    path = os.path.join(scratch, "crawl-00000.warc.gz")
+    with open(path, "wb") as f:
+        f.write(warc.encode_warc(recs, gzip_members=True))
+    pages = (
+        warc.read_warc(spark, path, strict=True)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "text",
+        )
+    )
+    return webtext.extract_web_links(pages, "doc_id", "text")
+
+
+@register(
     "sitemap_catalog",
     # r13: sitemap ingest — where a polite crawl's frontier comes from
     # (robots.txt names sitemaps, sitemaps name URLs). One .xml.gz

@@ -7860,6 +7860,10 @@ PYTHON_KERNELS: dict[str, str] = {
     "(two Arrow passes) feeding pure-JVM lang/quality/minhash stages",
     "sitemap_catalog": "stdlib xml.etree sitemap parse via Arrow "
     "mapInPandas over binaryFile",
+    "wet_text_catalog": "WARC conversion-record walk with charset "
+    "decode via Arrow mapInPandas over binaryFile",
+    "web_link_graph": "WARC record walk + html.parser visible-anchor "
+    "extraction, two Arrow passes",
     "crawl_frontier_e2e": "sitemap etree kernel feeding pure-JVM "
     "normalize/robots/dedup stages",
     "pdf_text_extract": "stdlib PDF parse (xref/objects/FlateDecode/"
@@ -7924,6 +7928,8 @@ EAGER_QUERIES: frozenset[str] = frozenset(
         "crawl_pipeline_e2e",
         "sitemap_catalog",
         "warc_charset_bodies",
+        "web_link_graph",
+        "wet_text_catalog",
         "warc_crawl_catalog",
         "warc_web_text_extract",
         "warehouse_bucketed_join",

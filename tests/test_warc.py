@@ -192,6 +192,41 @@ def test_read_warc_full_text_and_charsets(spark, tmp_path):
     assert rows["u2"]["n_body_bytes"] == len(sjs) + 3  # 2-byte kanji ×3
 
 
+def test_wet_conversion_records_decode(spark, tmp_path):
+    """The wet_text_catalog oracle's safety pin: conversion records
+    (the WET layout) decode through the charset lane, the UTF-8 BOM
+    strips when it was the signal, and non-text conversion records
+    stay null."""
+    recs = [
+        {"uri": "u0", "status": 200, "record_type": "conversion",
+         "body_bytes": b"\xef\xbb\xbfbom text"},
+        {"uri": "u1", "status": 200, "record_type": "conversion",
+         "body_bytes": "текст".encode("cp1251"),
+         "http_content_type": "text/plain; charset=windows-1251"},
+        {"uri": "u2", "status": 200, "record_type": "conversion",
+         "body_text": "plain wet"},
+        {"uri": "u3", "status": 200, "record_type": "conversion",
+         "body_bytes": b"\x00\x01binary",
+         "http_content_type": "application/octet-stream"},
+    ]
+    p = str(tmp_path / "f.warc.wet.gz")
+    with open(p, "wb") as f:
+        f.write(warc.encode_warc(recs, gzip_members=True))
+    rows = {
+        r["target_uri"]: r
+        for r in warc.read_warc(spark, p, strict=True).collect()
+        if r["warc_type"] == "conversion"
+    }
+    assert rows["u0"]["text"] == "bom text"        # BOM char stripped
+    assert rows["u0"]["charset_source"] == "bom"
+    assert rows["u1"]["text"] == "текст"
+    assert rows["u1"]["charset"] == "cp1251"
+    assert rows["u2"]["text"] == "plain wet"
+    assert rows["u2"]["charset_source"] == "default"
+    assert rows["u3"]["text"] is None              # not text/*
+    assert rows["u3"]["n_body_bytes"] == 8
+
+
 def test_iter_warc_records_is_streaming():
     """The memory contract: records come out of the generator as the
     buffer fills — the whole payload is never re-materialized (the r12
