@@ -73,6 +73,23 @@ def parse_robots_text(text: str, agent: str = "*") -> list[tuple[str, str]]:
     return groups.get("*", [])
 
 
+def parse_robots_sitemaps(text: str) -> list[str]:
+    """``Sitemap:`` directives from a robots.txt body — group-
+    INDEPENDENT per RFC 9309 §2.3 (they apply regardless of
+    user-agent), so this is a flat scan. The discovery hook that feeds
+    io/sitemap.py: robots names the sitemaps, sitemaps name the
+    URLs."""
+    out = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, sep, value = line.partition(":")
+        if sep and key.strip().lower() == "sitemap":
+            value = value.strip()
+            if value:
+                out.append(value)
+    return out
+
+
 def url_path(url) -> Column:
     """Path + query of a normalized URL ('' → '/'): the byte string
     robots rules match against."""

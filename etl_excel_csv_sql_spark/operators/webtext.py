@@ -141,27 +141,56 @@ def html_links(html: str) -> list[str]:
 
 
 WEB_LINKS_SCHEMA = "doc_id long, href string"
+WEB_LINKS_RESOLVED_SCHEMA = "doc_id long, href string, url string"
 
 
 def extract_web_links(
-    df: DataFrame, id_col: str = "doc_id", html_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "text",
+    base_col: str | None = None,
 ) -> DataFrame:
     """(id, html) → one row per visible anchor (doc_id, href) via one
     Arrow mapInPandas pass — the link-graph edge list feeding
     PageRank/out-degree analyses and the crawl frontier. Null html
-    yields no rows (a failed fetch has no out-edges)."""
+    yields no rows (a failed fetch has no out-edges).
+
+    ``base_col`` (the page's own URL, e.g. warc_target_uri) adds a
+    ``url`` column with the href resolved against it per RFC 3986
+    (stdlib ``urljoin``: absolute pass-through, protocol-relative,
+    root-relative, relative with dot-segment removal) — the form the
+    frontier's normalize/robots/dedup stages consume. Resolution runs
+    inside the SAME kernel: the extraction is already in Python, so
+    exact RFC reference resolution is free here and would be a regex
+    swamp in Catalyst."""
+    from urllib.parse import urljoin
+
+    cols = [id_col, html_col] + ([base_col] if base_col else [])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out: dict[str, list] = {"doc_id": [], "href": []}
-            for did, html in zip(pdf[id_col], pdf[html_col]):
+            if base_col:
+                out["url"] = []
+            bases = pdf[base_col] if base_col else None
+            for row_i, (did, html) in enumerate(
+                zip(pdf[id_col], pdf[html_col])
+            ):
                 if html is None:
                     continue
                 for href in html_links(str(html)):
                     out["doc_id"].append(did)
                     out["href"].append(href)
+                    if base_col:
+                        base = bases.iloc[row_i]
+                        out["url"].append(
+                            urljoin(str(base), href)
+                            if base is not None
+                            else href
+                        )
             yield pd.DataFrame(out)
 
-    return df.select(id_col, html_col).mapInPandas(
-        batches, WEB_LINKS_SCHEMA
+    return df.select(*cols).mapInPandas(
+        batches,
+        WEB_LINKS_RESOLVED_SCHEMA if base_col else WEB_LINKS_SCHEMA,
     )

@@ -2005,6 +2005,92 @@ def q_web_link_graph(spark, sf_dir):
 
 
 @register(
+    "web_link_graph_resolved",
+    # r13: link-graph edges RESOLVED against the page's own URL per
+    # RFC 3986 — the form the frontier's normalize/robots/dedup stages
+    # consume. Every page carries the five reference shapes: absolute
+    # (pass-through), protocol-relative (inherits scheme),
+    # root-relative (origin + path), relative (merges with the base
+    # DIRECTORY), and dot-segment ('../' climbs out of /dir). stdlib
+    # urljoin runs inside the SAME Arrow kernel as the anchor walk.
+    """
+    SELECT doc_id,
+           CASE j
+             WHEN 0 THEN 'https://other.com/abs' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN '//cdn.net/pr' || CAST(doc_id AS VARCHAR)
+             WHEN 2 THEN '/root' || CAST(doc_id AS VARCHAR)
+             WHEN 3 THEN 'sub/rel' || CAST(doc_id AS VARCHAR)
+             ELSE '../up' || CAST(doc_id AS VARCHAR)
+           END AS href,
+           CASE j
+             WHEN 0 THEN 'https://other.com/abs' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN 'https://cdn.net/pr' || CAST(doc_id AS VARCHAR)
+             WHEN 2 THEN 'https://example.org/root' || CAST(doc_id AS VARCHAR)
+             WHEN 3 THEN 'https://example.org/dir/sub/rel'
+               || CAST(doc_id AS VARCHAR)
+             ELSE 'https://example.org/up' || CAST(doc_id AS VARCHAR)
+           END AS url
+    FROM documents, unnest(range(5)) AS g(j)
+    """,
+    doc="RFC 3986 reference resolution on the link graph: "
+    "extract_web_links with base_col resolves each visible href "
+    "against the page URL (urljoin in the same Arrow kernel — "
+    "absolute, protocol-relative, root-relative, directory-merge, and "
+    "dot-segment removal all value-checked by the id-contract oracle)",
+)
+def q_web_link_graph_resolved(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io import warc
+    from etl_excel_csv_sql_spark.operators import webtext
+
+    scratch = _scratch(
+        "linkres_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    recs = []
+    for i in ids:
+        hrefs = (
+            f"https://other.com/abs{i}",
+            f"//cdn.net/pr{i}",
+            f"/root{i}",
+            f"sub/rel{i}",
+            f"../up{i}",
+        )
+        links = "".join(f"<a href='{h}'>l</a>" for h in hrefs)
+        recs.append(
+            {
+                "uri": f"https://example.org/dir/page{i}.html",
+                "status": 200,
+                "body_text": f"<html><body>{links}</body></html>",
+            }
+        )
+    path = os.path.join(scratch, "crawl-00000.warc.gz")
+    with open(path, "wb") as f:
+        f.write(warc.encode_warc(recs, gzip_members=True))
+    pages = (
+        warc.read_warc(spark, path, strict=True)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract(
+                "target_uri", r"/dir/page(\d+)\.html$", 1
+            )
+            .cast("long")
+            .alias("doc_id"),
+            "text",
+            "target_uri",
+        )
+    )
+    return webtext.extract_web_links(
+        pages, "doc_id", "text", base_col="target_uri"
+    )
+
+
+@register(
     "sitemap_catalog",
     # r13: sitemap ingest — where a polite crawl's frontier comes from
     # (robots.txt names sitemaps, sitemaps name URLs). One .xml.gz

@@ -7864,6 +7864,8 @@ PYTHON_KERNELS: dict[str, str] = {
     "decode via Arrow mapInPandas over binaryFile",
     "web_link_graph": "WARC record walk + html.parser visible-anchor "
     "extraction, two Arrow passes",
+    "web_link_graph_resolved": "WARC record walk + anchor extraction "
+    "with in-kernel RFC 3986 urljoin, two Arrow passes",
     "crawl_frontier_e2e": "sitemap etree kernel feeding pure-JVM "
     "normalize/robots/dedup stages",
     "pdf_text_extract": "stdlib PDF parse (xref/objects/FlateDecode/"
@@ -7929,6 +7931,7 @@ EAGER_QUERIES: frozenset[str] = frozenset(
         "sitemap_catalog",
         "warc_charset_bodies",
         "web_link_graph",
+        "web_link_graph_resolved",
         "wet_text_catalog",
         "warc_crawl_catalog",
         "warc_web_text_extract",
