@@ -115,3 +115,17 @@ def test_filter_crawlable_plan_is_python_free(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
     assert "Window" not in plan  # one max_by aggregation, no window
+
+
+def test_parse_robots_sitemaps():
+    body = """
+User-agent: *
+Disallow: /x
+Sitemap: https://a.com/sitemap.xml
+sitemap: https://a.com/sitemap2.xml.gz  # case-insensitive
+Sitemap:
+"""
+    assert robots.parse_robots_sitemaps(body) == [
+        "https://a.com/sitemap.xml",
+        "https://a.com/sitemap2.xml.gz",
+    ]

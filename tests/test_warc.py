@@ -301,3 +301,27 @@ def test_extract_web_text_kernel_nulls_and_values(spark):
     assert rows[1]["text"] == "hello world"
     assert rows[1]["n_links"] == 0 and rows[1]["n_chars"] == 11
     assert rows[2]["text"] is None and rows[2]["n_chars"] is None
+
+
+def test_extract_web_links_kernel_and_resolution(spark):
+    from etl_excel_csv_sql_spark.operators import webtext
+
+    df = spark.createDataFrame(
+        [
+            (1, "<a href='/a'>a</a><a href='b/c'>b</a>",
+             "https://h.com/dir/page.html"),
+            (2, None, "https://h.com/"),
+            (3, "<a name='no-href'>x</a>", "https://h.com/"),
+        ],
+        "doc_id long, text string, target_uri string",
+    )
+    plain = webtext.extract_web_links(df).collect()
+    assert {(r["doc_id"], r["href"]) for r in plain} == {
+        (1, "/a"), (1, "b/c")
+    }
+    resolved = webtext.extract_web_links(
+        df, base_col="target_uri"
+    ).collect()
+    assert {(r["doc_id"], r["url"]) for r in resolved} == {
+        (1, "https://h.com/a"), (1, "https://h.com/dir/b/c")
+    }
