@@ -7675,7 +7675,12 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # nested_orders_rollup; robots_url_filter / sitemap_catalog /
 # crawl_frontier_e2e (the r13 crawl-frontier trio) replace
 # benford_first_digit / multiset_ops / disjunctive_predicate_revenue
-# (all last=r7 green breadth-tier, local-gate-pinned).
+# (all last=r7 green breadth-tier, local-gate-pinned). And three more:
+# wet_text_catalog / web_link_graph / web_link_graph_resolved (the WET
+# + link-graph lanes) replace numeric_histogram / returned_item_report
+# / customers_without_orders (same class). Net: 12 of 50 slots carry
+# never-driver-checked r13 full oracles; the displaced r7 breadth
+# re-checks (each 1 green round, local-gate-pinned) lead the r14 pool.
 WINDOW_ORDER: tuple[str, ...] = (
     "media_sniff_catalog",
     "warc_crawl_catalog",
@@ -7689,14 +7694,14 @@ WINDOW_ORDER: tuple[str, ...] = (
     "events_value_anomalies",
     "tfidf_doc_similarity",
     "events_trailing_hour_window",
-    "numeric_histogram",
+    "wet_text_catalog",
     "attribution_last_touch",
     "stats_chi_square_lang_source",
     "stats_linear_fit_price_qty",
     "stats_correlation_matrix",
     "join_cardinality_estimate",
-    "returned_item_report",
-    "customers_without_orders",
+    "web_link_graph",
+    "web_link_graph_resolved",
     "events_seasonal_anomalies",
     "embedding_drift_report",
     "ab_test_report",
