@@ -111,3 +111,30 @@ def url_key_dedup(
             F.count(F.lit(1)).alias("n_dups"),
         )
     )
+
+
+def fetch_schedule(
+    frontier: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url_norm",
+    rate_per_wave: int = 1,
+) -> DataFrame:
+    """Politeness scheduling: assign each frontier URL a fetch ``slot``
+    within its host (deterministic ``url_col`` order) and a ``wave`` =
+    slot // rate_per_wave — wave w fetches at most ``rate_per_wave``
+    URLs per host, so a fetcher that sweeps waves in order never
+    exceeds the per-host rate no matter how skewed the frontier is.
+
+    The window partitions by HOST (bounded per-partition work — the
+    100 TB-safe shape; an unpartitioned global ordering would be the
+    single-task killer the plan guards exist for). One shuffle on
+    host."""
+    from pyspark.sql import Window
+
+    if rate_per_wave < 1:
+        raise ValueError("rate_per_wave must be >= 1")
+    w = Window.partitionBy(host_col).orderBy(url_col)
+    slot = F.row_number().over(w) - 1
+    return frontier.withColumn("slot", slot.cast("int")).withColumn(
+        "wave", (F.col("slot") / rate_per_wave).cast("int")
+    )

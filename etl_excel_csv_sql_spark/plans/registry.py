@@ -3654,6 +3654,52 @@ def q_robots_url_filter(spark, sf_dir):
 
 
 @register(
+    "crawl_fetch_schedule",
+    # r13: politeness scheduling — the frontier consumer: slot = rank
+    # within host (deterministic url order), wave = slot // rate, so a
+    # fetcher sweeping waves never exceeds rate-per-host regardless of
+    # frontier skew. Window partitions by HOST (bounded per-partition
+    # work — the scale-safe shape); in-plan fixture, 20 URLs per host
+    # at sf0.01, rate 3.
+    """
+    WITH f AS (
+      SELECT doc_id,
+             'site' || CAST(doc_id % 25 AS VARCHAR) || '.com' AS host,
+             'https://site' || CAST(doc_id % 25 AS VARCHAR)
+               || '.com/p' || CAST(doc_id AS VARCHAR) AS url_norm
+      FROM documents
+    )
+    SELECT url_norm, host,
+           CAST(row_number() OVER (PARTITION BY host ORDER BY url_norm)
+                - 1 AS INT) AS slot,
+           CAST((row_number() OVER (PARTITION BY host ORDER BY url_norm)
+                - 1) // 3 AS INT) AS wave
+    FROM f
+    """,
+    doc="per-host fetch scheduling (operators/urls.py fetch_schedule): "
+    "row_number within host over deterministic URL order → slot and "
+    "wave = slot // rate; the window partitions by host so per-"
+    "partition work is bounded by the largest single host, never the "
+    "frontier (the plan-guard-safe shape). Slots and waves value-"
+    "checked by the identical SQL window",
+)
+def q_crawl_fetch_schedule(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import urls
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") % 25).cast("string")
+    host = F.concat(F.lit("site"), g, F.lit(".com"))
+    frontier = d.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url_norm"),
+        host.alias("host"),
+    )
+    return urls.fetch_schedule(frontier, rate_per_wave=3)
+
+
+@register(
     "url_normalize_dedup",
     # r13 (VERDICT r12 #7): URL hygiene for the crawl lane — a 100 TB
     # crawl dedups by URL KEY before content even downloads. Fixture is

@@ -111,3 +111,33 @@ def test_url_ops_stay_in_codegen(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                    "FlatMapGroupsInPandas"):
         assert marker not in plan
+
+
+def test_fetch_schedule_rate_invariant(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(f"https://h{i % 3}.com/p{i:02d}", f"h{i % 3}.com")
+         for i in range(10)],
+        "url_norm string, host string",
+    )
+    out = urls.fetch_schedule(df, rate_per_wave=2).collect()
+    by_host_wave = {}
+    for r in out:
+        by_host_wave.setdefault((r["host"], r["wave"]), []).append(r)
+        assert r["wave"] == r["slot"] // 2
+    # the politeness invariant: never more than rate URLs per host+wave
+    assert all(len(v) <= 2 for v in by_host_wave.values())
+    # slots are dense 0..n-1 per host in url order
+    for h in ("h0.com", "h1.com", "h2.com"):
+        rows = sorted(
+            (r for r in out if r["host"] == h), key=lambda r: r["slot"]
+        )
+        assert [r["slot"] for r in rows] == list(range(len(rows)))
+        assert [r["url_norm"] for r in rows] == sorted(
+            r["url_norm"] for r in rows
+        )
+    with _pytest.raises(ValueError, match="rate_per_wave"):
+        urls.fetch_schedule(df, rate_per_wave=0)
