@@ -7724,7 +7724,8 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # (all last=r7 green breadth-tier, local-gate-pinned). And three more:
 # wet_text_catalog / web_link_graph / web_link_graph_resolved (the WET
 # + link-graph lanes) replace numeric_histogram / returned_item_report
-# / customers_without_orders (same class). Net: 12 of 50 slots carry
+# / customers_without_orders (same class), and crawl_fetch_schedule
+# replaces nation_volume_shipping. Net: 13 of 50 slots carry
 # never-driver-checked r13 full oracles; the displaced r7 breadth
 # re-checks (each 1 green round, local-gate-pinned) lead the r14 pool.
 WINDOW_ORDER: tuple[str, ...] = (
@@ -7753,7 +7754,7 @@ WINDOW_ORDER: tuple[str, ...] = (
     "ab_test_report",
     "corpus_pipeline_e2e",
     "scd2_point_in_time_join",
-    "nation_volume_shipping",
+    "crawl_fetch_schedule",
     "promo_revenue_pct",
     "top_supplier_revenue",
     "small_qty_order_revenue",
