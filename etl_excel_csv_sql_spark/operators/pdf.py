@@ -564,6 +564,81 @@ class _Document:
         return value
 
 
+def _apply_predictor(data: bytes, parms: dict) -> bytes:
+    """Undo a /DecodeParms predictor on FlateDecode output. Predictor
+    1 = none; 2 = TIFF horizontal differencing; >= 10 = PNG row
+    filters (spec 7.4.4.4 delegates to PNG; each row leads with its
+    filter byte). Real-world xref streams almost universally ship
+    Predictor 12 (PNG Up), so this is load-bearing for real PDFs, not
+    an ornament. 8-bit components only (the PDF-writer norm)."""
+    predictor = parms.get("Predictor", 1)
+    if not isinstance(predictor, int) or predictor == 1:
+        return data
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    columns = parms.get("Columns", 1)
+    if bpc != 8:
+        raise ValueError(
+            f"predictor BitsPerComponent {bpc} is out of scope (8 only)"
+        )
+    if not (
+        isinstance(colors, int)
+        and isinstance(columns, int)
+        and 1 <= colors <= 4
+        and 1 <= columns <= 1 << 20
+    ):
+        raise ValueError("predictor Colors/Columns out of range")
+    row_w = colors * columns
+    if predictor == 2:  # TIFF horizontal differencing
+        out = bytearray(data)
+        if len(out) % row_w:
+            raise ValueError("TIFF-predictor data is not whole rows")
+        for r0 in range(0, len(out), row_w):
+            for i in range(colors, row_w):
+                out[r0 + i] = (out[r0 + i] + out[r0 + i - colors]) & 0xFF
+        return bytes(out)
+    if predictor < 10 or predictor > 15:
+        raise ValueError(f"unknown predictor {predictor}")
+    # PNG filters: each row is 1 filter byte + row_w data bytes
+    if len(data) % (row_w + 1):
+        raise ValueError("PNG-predictor data is not whole rows")
+    out = bytearray()
+    prev = bytearray(row_w)
+    pos = 0
+    while pos < len(data):
+        ftype = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + row_w])
+        pos += row_w + 1
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(colors, row_w):
+                row[i] = (row[i] + row[i - colors]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(row_w):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(row_w):
+                left = row[i - colors] if i >= colors else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(row_w):
+                a = row[i - colors] if i >= colors else 0
+                b = prev[i]
+                c = prev[i - colors] if i >= colors else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (
+                    b if pb <= pc else c
+                )
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 class _Stream:
     __slots__ = ("dict", "raw")
 
@@ -576,8 +651,14 @@ class _Stream:
         if filt is None:
             return self.raw
         filters = filt if isinstance(filt, list) else [filt]
+        parms_entry = doc.resolve(self.dict.get("DecodeParms"))
+        parms_list = (
+            parms_entry
+            if isinstance(parms_entry, list)
+            else [parms_entry] * len(filters)
+        )
         out = self.raw
-        for f in filters:
+        for f, parms in zip(filters, parms_list):
             f = doc.resolve(f)
             if f != "FlateDecode":
                 raise ValueError(
@@ -592,6 +673,12 @@ class _Stream:
             if len(out) > MAX_CONTENT_BYTES:
                 raise ValueError(
                     "content stream exceeds the inflate guard"
+                )
+            parms = doc.resolve(parms)
+            if isinstance(parms, dict):
+                out = _apply_predictor(
+                    out,
+                    {k: doc.resolve(v) for k, v in parms.items()},
                 )
         return out
 
@@ -749,6 +836,7 @@ def encode_pdf(
     compress: bool = True,
     xref_stream: bool = False,
     objstm: bool = False,
+    xref_predictor: int = 1,
 ) -> bytes:
     """Fixture writer whose page ``p`` content stream renders
     ``pages[p]`` — each element a ``str`` (one Tj show) or a ``list``
@@ -864,14 +952,33 @@ def encode_pdf(
                 )
         rows += b"\x01" + xref_off.to_bytes(4, "big") + b"\x00\x00"
         payload = bytes(rows)
+        parms = b""
+        if xref_predictor == 12:
+            # PNG Up over 7-byte rows — what real writers emit
+            row_w = 7
+            filtered = bytearray()
+            prev = bytes(row_w)
+            for r0 in range(0, len(payload), row_w):
+                row = payload[r0 : r0 + row_w]
+                filtered.append(2)
+                filtered += bytes(
+                    (row[i] - prev[i]) & 0xFF for i in range(row_w)
+                )
+                prev = row
+            payload = bytes(filtered)
+            parms = b" /DecodeParms << /Predictor 12 /Columns 7 >>"
+        elif xref_predictor != 1:
+            raise ValueError("fixture writer supports predictor 1 or 12")
         extra = b""
         if compress:
             payload = zlib.compress(payload, 6)
             extra = b" /Filter /FlateDecode"
+        elif parms:
+            raise ValueError("a predictor requires the Flate lane")
         out += (
             b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
-            b"/Length %d%s >>\nstream\n"
-            % (xref_num, size, len(payload), extra)
+            b"/Length %d%s%s >>\nstream\n"
+            % (xref_num, size, len(payload), extra, parms)
             + payload
             + b"\nendstream\nendobj\n"
         )

@@ -197,6 +197,82 @@ def test_pdf15_guards_and_quarantine():
     assert quarantined > 0
 
 
+def test_predictor_12_xref_stream_roundtrip():
+    """Real writers almost universally emit xref streams with
+    /DecodeParms /Predictor 12 (PNG Up) — the lane must extract
+    identically to the predictor-free twin."""
+    shows = [[["doc ", -28, "9 pa", 35, "ge 0"], "(ok)"], ["two"]]
+    plain = pdf.encode_pdf(shows, xref_stream=True, objstm=True)
+    pred = pdf.encode_pdf(
+        shows, xref_stream=True, objstm=True, xref_predictor=12
+    )
+    assert pred != plain
+    assert b"/Predictor 12" in pred
+    assert pdf.pdf_text_pages(pred) == pdf.pdf_text_pages(plain)
+    assert pdf.pdf_meta(pred) == ("1.5", 2)
+
+
+def test_apply_predictor_inverts_all_filters():
+    """TIFF differencing and all five PNG row filters invert exactly
+    (property: decode(encode(raw)) == raw on random bytes)."""
+    import random
+
+    rng = random.Random(7)
+    colors, columns = 2, 5
+    row_w = colors * columns
+    rows = [
+        bytes(rng.randrange(256) for _ in range(row_w)) for _ in range(6)
+    ]
+    raw = b"".join(rows)
+    tiff = bytearray()
+    for r in rows:
+        row = bytearray(r)
+        for i in range(row_w - 1, colors - 1, -1):
+            row[i] = (row[i] - row[i - colors]) & 0xFF
+        tiff += row
+    assert pdf._apply_predictor(
+        bytes(tiff), {"Predictor": 2, "Colors": colors, "Columns": columns}
+    ) == raw
+
+    def paeth(a, b, c):
+        pp = a + b - c
+        pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    enc = bytearray()
+    prev = bytes(row_w)
+    for k, r in enumerate(rows):
+        ftype = k % 5  # exercise None/Sub/Up/Average/Paeth
+        enc.append(ftype)
+        for i in range(row_w):
+            a = r[i - colors] if i >= colors else 0
+            b = prev[i]
+            c = prev[i - colors] if i >= colors else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1,
+                    4: paeth(a, b, c)}[ftype]
+            enc.append((r[i] - pred) & 0xFF)
+        prev = r
+    assert pdf._apply_predictor(
+        bytes(enc), {"Predictor": 12, "Colors": colors, "Columns": columns}
+    ) == raw
+    # guards: unknown predictor / filter type, ragged rows, bad bpc
+    with pytest.raises(ValueError):
+        pdf._apply_predictor(b"\x00" * 10, {"Predictor": 9})
+    with pytest.raises(ValueError):
+        pdf._apply_predictor(
+            b"\x07" + b"\x00" * 10, {"Predictor": 12, "Columns": 10}
+        )
+    with pytest.raises(ValueError):
+        # 12 bytes over 11-byte rows (1 filter + 10 data) = ragged
+        pdf._apply_predictor(
+            b"\x00" * 12, {"Predictor": 12, "Columns": 10}
+        )
+    with pytest.raises(ValueError):
+        pdf._apply_predictor(
+            b"\x00" * 10, {"Predictor": 2, "BitsPerComponent": 16}
+        )
+
+
 def test_objstm_cycle_guard():
     """An ObjStm whose xref entry points the stream INTO ITSELF must
     quarantine, not recurse forever."""
