@@ -152,6 +152,17 @@ QUERIES = (
     "sequence_packing_ffd",
     "quality_classifier_predictions",
     "media_sniff_catalog",
+    # r13 additions: the crawl stack — URL hygiene and the fetch
+    # schedule are pure Catalyst (codegen spans reviewable), robots is
+    # join + max_by (no window), pdf/link/sitemap lanes are one Arrow
+    # kernel each over binaryFile or synth frames. The two e2e
+    # compositions write fixture files eagerly but their PLANS are lazy
+    # and worth reviewing.
+    "url_normalize_dedup",
+    "robots_url_filter",
+    "crawl_fetch_schedule",
+    "pdf_text_extract",
+    "pdf15_text_extract",
 )
 
 
