@@ -115,7 +115,12 @@ def filter_crawlable(
 
     Output: the input columns plus ``allowed`` / ``rule_path`` (null
     when no rule matched). Join on host, prefix filter, one max_by on
-    (octet length, is_allow) — ties break toward allow per RFC."""
+    (octet length, is_allow) — ties break toward allow per RFC.
+
+    The input frame's rows must be distinct (the verdict aggregation
+    groups by ALL input columns, so duplicate URL rows would collapse
+    to one) — run url_key_dedup or an equivalent upstream, which a
+    frontier does anyway."""
     u = urls.withColumn("__path", url_path(F.col(url_col)))
     r = rules.select(
         F.col("host").alias("__rhost"),

@@ -44,7 +44,14 @@ def normalize_url(url) -> Column:
     t = F.regexp_replace(F.trim(_col(url)), r"#.*$", "")
     scheme = F.lower(F.regexp_extract(t, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     after = F.regexp_replace(t, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    authority = F.lower(F.regexp_extract(after, r"^([^/?]*)", 1))
+    raw_auth = F.regexp_extract(after, r"^([^/?]*)", 1)
+    # userinfo is CASE-SENSITIVE (RFC 3986 §3.2.1) — lowercasing it
+    # would over-merge distinct URLs in the dedup; only the host part
+    # of the authority is case-insensitive
+    userinfo = F.regexp_extract(raw_auth, r"^(.*@)", 1)
+    authority = F.concat(
+        userinfo, F.lower(F.regexp_replace(raw_auth, r"^.*@", ""))
+    )
     rest = F.regexp_replace(after, r"^[^/?]*", "")
     rest = F.when(
         rest.contains("?"), rest

@@ -37,6 +37,9 @@ def test_normalize_url_contract(spark):
         ("https://example.com/a/?q=1", "https://example.com/a/?q=1"),
         # query values keep their case
         ("https://example.com/a?Q=Vv", "https://example.com/a?Q=Vv"),
+        # userinfo keeps its case (RFC 3986 §3.2.1); only the HOST
+        # lowercases — 'User' and 'user' are different credentials
+        ("https://User:Pw@EXAMPLE.com/a", "https://User:Pw@example.com/a"),
         # idempotence fixture
         ("https://example.com/a", "https://example.com/a"),
     ]
