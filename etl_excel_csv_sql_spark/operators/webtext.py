@@ -194,3 +194,81 @@ def extract_web_links(
         batches,
         WEB_LINKS_RESOLVED_SCHEMA if base_col else WEB_LINKS_SCHEMA,
     )
+
+
+class _MetaExtractor(HTMLParser):
+    """<head> metadata: the curation signals a crawl keeps alongside
+    the text — first meta description/keywords, the rel=canonical
+    target (the dedup signal sites themselves publish), og:title.
+    Void elements, so start tags are enough; first occurrence wins
+    (browser behavior for duplicated meta)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.fields: dict[str, str] = {}
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "meta":
+            name = (a.get("name") or a.get("property") or "").lower()
+            content = a.get("content")
+            if content is None:
+                return
+            if name in ("description", "keywords"):
+                self.fields.setdefault(name, content)
+            elif name == "og:title":
+                self.fields.setdefault("og_title", content)
+        elif tag == "link":
+            rels = (a.get("rel") or "").lower().split()
+            if "canonical" in rels and a.get("href"):
+                self.fields.setdefault("canonical", a["href"])
+
+
+def html_page_meta(html: str) -> dict[str, str | None]:
+    p = _MetaExtractor()
+    p.feed(html)
+    p.close()
+    return {
+        k: p.fields.get(k)
+        for k in ("description", "keywords", "canonical", "og_title")
+    }
+
+
+PAGE_META_SCHEMA = (
+    "doc_id long, title string, description string, keywords string, "
+    "canonical string, og_title string"
+)
+
+
+def extract_page_meta(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "text"
+) -> DataFrame:
+    """(id, html) → head-metadata row per page. ``canonical`` is the
+    site-declared dedup key: group on coalesce(canonical, own URL)
+    downstream and the crawl keeps one row per canonical target."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                k: []
+                for k in ("doc_id", "title", "description", "keywords",
+                          "canonical", "og_title")
+            }
+            for did, html in zip(pdf[id_col], pdf[html_col]):
+                out["doc_id"].append(did)
+                if html is None:
+                    for k in ("title", "description", "keywords",
+                              "canonical", "og_title"):
+                        out[k].append(None)
+                    continue
+                title, _, _ = html_to_text(str(html))
+                meta = html_page_meta(str(html))
+                out["title"].append(title)
+                for k in ("description", "keywords", "canonical",
+                          "og_title"):
+                    out[k].append(meta[k])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, html_col).mapInPandas(
+        batches, PAGE_META_SCHEMA
+    )

@@ -2091,6 +2091,106 @@ def q_web_link_graph_resolved(spark, sf_dir):
 
 
 @register(
+    "web_page_meta",
+    # r13: head-metadata extraction — the curation signals a crawl
+    # keeps alongside the text: meta description/keywords (presence
+    # rotates by id), the site-declared rel=canonical target (the
+    # dedup key sites themselves publish: id%4==0 pages point at a
+    # shared /c/{id//4} target), og:title, and canonical_key =
+    # coalesce(canonical, own URL) — group on it downstream and the
+    # crawl keeps one row per canonical target. All closed-form.
+    """
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'desc ' || CAST(doc_id AS VARCHAR) END
+             AS description,
+           CASE WHEN doc_id % 2 = 1
+                THEN 'k' || CAST(doc_id AS VARCHAR) || ',crawl' END
+             AS keywords,
+           CASE WHEN doc_id % 4 = 0
+                THEN 'https://example.org/c/'
+                  || CAST(doc_id // 4 AS VARCHAR) END AS canonical,
+           CASE WHEN doc_id % 5 = 0
+                THEN 'OG ' || CAST(doc_id AS VARCHAR) END AS og_title,
+           CASE WHEN doc_id % 4 = 0
+                THEN 'https://example.org/c/'
+                  || CAST(doc_id // 4 AS VARCHAR)
+                ELSE 'https://example.org/doc/'
+                  || CAST(doc_id AS VARCHAR) END AS canonical_key
+    FROM documents
+    """,
+    doc="head-metadata extraction (webtext.extract_page_meta): first "
+    "meta description/keywords, rel=canonical href, og:title via one "
+    "Arrow pass over read_warc bodies; canonical_key = "
+    "coalesce(canonical, own URL) is the site-declared dedup key. "
+    "Every field value-checked by the id-contract oracle",
+)
+def q_web_page_meta(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io import warc
+    from etl_excel_csv_sql_spark.operators import webtext
+
+    scratch = _scratch(
+        "pagemeta_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    recs = []
+    for i in ids:
+        head = [f"<title>Doc {i}</title>"]
+        if i % 3 == 0:
+            head.append(f'<meta name="description" content="desc {i}">')
+        if i % 2 == 1:
+            head.append(
+                f'<meta name="keywords" content="k{i},crawl">'
+            )
+        if i % 4 == 0:
+            head.append(
+                f'<link rel="canonical" '
+                f'href="https://example.org/c/{i // 4}">'
+            )
+        if i % 5 == 0:
+            head.append(f'<meta property="og:title" content="OG {i}">')
+        recs.append(
+            {
+                "uri": f"https://example.org/doc/{i}",
+                "status": 200,
+                "body_text": (
+                    f"<html><head>{''.join(head)}</head>"
+                    f"<body><p>body {i}</p></body></html>"
+                ),
+            }
+        )
+    path = os.path.join(scratch, "crawl-00000.warc.gz")
+    with open(path, "wb") as f:
+        f.write(warc.encode_warc(recs, gzip_members=True))
+    pages = (
+        warc.read_warc(spark, path, strict=True)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "text",
+            "target_uri",
+        )
+    )
+    meta = webtext.extract_page_meta(pages, "doc_id", "text")
+    return meta.join(
+        pages.select("doc_id", "target_uri"), "doc_id"
+    ).select(
+        "doc_id", "title", "description", "keywords", "canonical",
+        "og_title",
+        F.coalesce("canonical", "target_uri").alias("canonical_key"),
+    )
+
+
+@register(
     "sitemap_catalog",
     # r13: sitemap ingest — where a polite crawl's frontier comes from
     # (robots.txt names sitemaps, sitemaps name URLs). One .xml.gz

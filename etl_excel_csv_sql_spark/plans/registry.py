@@ -7918,6 +7918,8 @@ PYTHON_KERNELS: dict[str, str] = {
     "extraction, two Arrow passes",
     "web_link_graph_resolved": "WARC record walk + anchor extraction "
     "with in-kernel RFC 3986 urljoin, two Arrow passes",
+    "web_page_meta": "WARC record walk + html.parser head-metadata "
+    "extraction, two Arrow passes",
     "crawl_frontier_e2e": "sitemap etree kernel feeding pure-JVM "
     "normalize/robots/dedup stages",
     "pdf_text_extract": "stdlib PDF parse (xref/objects/FlateDecode/"
@@ -7984,6 +7986,7 @@ EAGER_QUERIES: frozenset[str] = frozenset(
         "warc_charset_bodies",
         "web_link_graph",
         "web_link_graph_resolved",
+        "web_page_meta",
         "wet_text_catalog",
         "warc_crawl_catalog",
         "warc_web_text_extract",
