@@ -7725,7 +7725,8 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # wet_text_catalog / web_link_graph / web_link_graph_resolved (the WET
 # + link-graph lanes) replace numeric_histogram / returned_item_report
 # / customers_without_orders (same class), and crawl_fetch_schedule
-# replaces nation_volume_shipping. Net: 13 of 50 slots carry
+# replaces nation_volume_shipping; web_page_meta replaces
+# promo_revenue_pct. Net: 14 of 50 slots carry
 # never-driver-checked r13 full oracles; the displaced r7 breadth
 # re-checks (each 1 green round, local-gate-pinned) lead the r14 pool.
 WINDOW_ORDER: tuple[str, ...] = (
@@ -7755,7 +7756,7 @@ WINDOW_ORDER: tuple[str, ...] = (
     "corpus_pipeline_e2e",
     "scd2_point_in_time_join",
     "crawl_fetch_schedule",
-    "promo_revenue_pct",
+    "web_page_meta",
     "top_supplier_revenue",
     "small_qty_order_revenue",
     "large_volume_customers",
