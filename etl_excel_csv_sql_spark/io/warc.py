@@ -292,24 +292,9 @@ WARC_SCHEMA = (
 _WARC_COLS = tuple(f.split(" ")[0] for f in WARC_SCHEMA.split(", "))
 
 
-def read_warc(
-    spark: SparkSession,
-    path_glob: str,
-    strict: bool = False,
-    head_chars: int = TEXT_HEAD_CHARS,
-) -> DataFrame:
-    """WARC/WARC.gz files → one row per record. For ``response``
-    records carrying an embedded HTTP response, ``http_status``,
-    ``charset``/``charset_source`` (see ``detect_charset``), ``text``
-    (FULL decoded body, charset-aware, errors=replace) and
-    ``text_head`` (first ``head_chars`` chars of ``text``) are
-    populated; other record types leave them null. ``n_body_bytes`` is
-    the HTTP body size for responses, else the record Content-Length.
-    Lenient mode quarantines a malformed FILE to one null sentinel row
-    — file-atomic: no partial rows from before the malformed record."""
-    binary = spark.read.format("binaryFile").load(path_glob).select(
-        "path", "content"
-    )
+def _record_batches(strict: bool, head_chars: int):
+    """The Arrow kernel behind both the batch and the streaming reader
+    — one closure so the two paths can never drift."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows: dict[str, list] = {k: [] for k in _WARC_COLS}
@@ -379,7 +364,73 @@ def read_warc(
                     yield frame()
         yield frame()
 
-    return binary.mapInPandas(batches, WARC_SCHEMA)
+    return batches
+
+
+def read_warc(
+    spark: SparkSession,
+    path_glob: str,
+    strict: bool = False,
+    head_chars: int = TEXT_HEAD_CHARS,
+) -> DataFrame:
+    """WARC/WARC.gz files → one row per record. For ``response``
+    records carrying an embedded HTTP response, ``http_status``,
+    ``charset``/``charset_source`` (see ``detect_charset``), ``text``
+    (FULL decoded body, charset-aware, errors=replace) and
+    ``text_head`` (first ``head_chars`` chars of ``text``) are
+    populated; ``conversion`` records with a text/* Content-Type (the
+    WET layout) decode the same way; other record types leave them
+    null. ``n_body_bytes`` is the HTTP body size for responses, else
+    the record Content-Length. Lenient mode quarantines a malformed
+    FILE to one null sentinel row — file-atomic: no partial rows from
+    before the malformed record."""
+    binary = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+    return binary.mapInPandas(
+        _record_batches(strict, head_chars), WARC_SCHEMA
+    )
+
+
+def stream_warc(
+    spark: SparkSession,
+    drop_dir: str,
+    strict: bool = False,
+    head_chars: int = TEXT_HEAD_CHARS,
+    path_glob: str = "*.warc*",
+    archive_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The STREAMING twin of :func:`read_warc` — a continuous crawl
+    lands segment files into a drop folder and this consumes each file
+    exactly once (the checkpoint tracks processed paths), through the
+    SAME Arrow kernel, so batch and streaming rows are identical by
+    construction. ``archive_dir`` moves consumed files after their
+    batch commits (cleanSource=archive — the folder-queue lifecycle
+    with engine-managed commit ordering); ``max_files_per_trigger``
+    bounds batch size for steady-state ingestion."""
+    # streaming file sources require an explicit schema; binaryFile's
+    # is fixed (spark.apache.org/docs: binary file data source)
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", path_glob)
+    )
+    if archive_dir is not None:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    binary = reader.load(drop_dir).select("path", "content")
+    return binary.mapInPandas(
+        _record_batches(strict, head_chars), WARC_SCHEMA
+    )
 
 
 def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:

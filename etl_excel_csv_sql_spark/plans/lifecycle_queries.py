@@ -2091,6 +2091,89 @@ def q_web_link_graph_resolved(spark, sf_dir):
 
 
 @register(
+    "warc_streaming_ingest",
+    # r13: the STREAMING twin of warc_crawl_catalog — a continuous
+    # crawl lands segment files into a drop folder; stream_warc
+    # consumes each exactly once (checkpoint-tracked) through the SAME
+    # Arrow kernel as the batch reader, so the memory-sink rows must
+    # equal the batch id contract. Fixture shards the corpus across
+    # THREE .warc.gz files (ids by % 3) with maxFilesPerTrigger=1, so
+    # the availableNow run provably processes multiple batches.
+    """
+    SELECT doc_id,
+           'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+             AS target_uri,
+           CAST(CASE WHEN doc_id % 7 = 3 THEN 404 ELSE 200 END AS INT)
+             AS http_status,
+           CAST(5 + length(CAST(doc_id AS VARCHAR)) + doc_id % 50
+                AS BIGINT) AS n_body_bytes,
+           'doc-' || CAST(doc_id AS VARCHAR) || '-'
+             || repeat('x', CAST(doc_id % 50 AS INT)) AS text
+    FROM documents
+    """,
+    doc="streaming WARC ingest (io/warc.py stream_warc): readStream "
+    "binaryFile over a drop folder -> the same Arrow record kernel as "
+    "the batch reader -> append-mode memory sink under availableNow, "
+    "maxFilesPerTrigger=1 across three segment files (multi-batch by "
+    "construction, consume-once via the checkpoint). Every row "
+    "value-checked by the batch reader's id contract — batch/stream "
+    "parity is the oracle",
+)
+def q_warc_streaming_ingest(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io import warc
+
+    scratch = _scratch(
+        "warc_stream_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    drop = os.path.join(scratch, "drop")
+    os.makedirs(drop, exist_ok=True)
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    for shard in range(3):
+        recs = [
+            {
+                "uri": f"https://example.org/doc/{i}",
+                "status": 404 if i % 7 == 3 else 200,
+                "body_text": f"doc-{i}-" + "x" * (i % 50),
+            }
+            for i in ids
+            if i % 3 == shard
+        ]
+        with open(
+            os.path.join(drop, f"crawl-{shard:05d}.warc.gz"), "wb"
+        ) as f:
+            f.write(warc.encode_warc(recs, gzip_members=True))
+    stream = warc.stream_warc(
+        spark, drop, strict=True, max_files_per_trigger=1
+    )
+    rows = stream.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        "http_status",
+        "n_body_bytes",
+        F.col("text"),
+    )
+    sink_name = _next_sink_name(spark, "warc_stream_sink")
+    (
+        rows.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink_name)
+
+
+@register(
     "web_page_meta",
     # r13: head-metadata extraction — the curation signals a crawl
     # keeps alongside the text: meta description/keywords (presence

@@ -7905,6 +7905,8 @@ PYTHON_KERNELS: dict[str, str] = {
     "grouped applyInPandas (two longs per doc — never the tokens)",
     "warc_crawl_catalog": "WARC record parse via Arrow mapInPandas "
     "over binaryFile (file = parallelism unit, the CC segment layout)",
+    "warc_streaming_ingest": "the same WARC Arrow kernel over a "
+    "readStream binaryFile drop folder (consume-once)",
     "warc_web_text_extract": "WARC record walk + html.parser visible-"
     "text extraction, two Arrow mapInPandas passes",
     "warc_charset_bodies": "WARC record walk with charset-aware "
