@@ -7726,7 +7726,8 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # + link-graph lanes) replace numeric_histogram / returned_item_report
 # / customers_without_orders (same class), and crawl_fetch_schedule
 # replaces nation_volume_shipping; web_page_meta replaces
-# promo_revenue_pct. Net: 14 of 50 slots carry
+# promo_revenue_pct; warc_streaming_ingest replaces
+# top_supplier_revenue. Net: 15 of 50 slots carry
 # never-driver-checked r13 full oracles; the displaced r7 breadth
 # re-checks (each 1 green round, local-gate-pinned) lead the r14 pool.
 WINDOW_ORDER: tuple[str, ...] = (
@@ -7757,7 +7758,7 @@ WINDOW_ORDER: tuple[str, ...] = (
     "scd2_point_in_time_join",
     "crawl_fetch_schedule",
     "web_page_meta",
-    "top_supplier_revenue",
+    "warc_streaming_ingest",
     "small_qty_order_revenue",
     "large_volume_customers",
     "crawl_frontier_e2e",

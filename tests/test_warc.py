@@ -325,3 +325,52 @@ def test_extract_web_links_kernel_and_resolution(spark):
     assert {(r["doc_id"], r["url"]) for r in resolved} == {
         (1, "https://h.com/a"), (1, "https://h.com/dir/b/c")
     }
+
+
+def test_stream_batch_parity(spark, tmp_path):
+    """stream_warc and read_warc share one kernel — rows must be
+    identical on the same files, including the lenient sentinel for a
+    corrupt file mixed into the drop folder."""
+    import os as _os
+
+    drop = str(tmp_path / "drop")
+    _os.makedirs(drop)
+    for shard in range(2):
+        with open(f"{drop}/c-{shard}.warc.gz", "wb") as f:
+            f.write(
+                warc.encode_warc(
+                    _recs(10)[shard::2], gzip_members=True
+                )
+            )
+    with open(f"{drop}/bad.warc", "wb") as f:
+        f.write(b"not a warc")
+    batch = warc.read_warc(spark, drop + "/*")
+    stream = warc.stream_warc(
+        spark, drop, max_files_per_trigger=1
+    )
+    sink = "warc_parity_sink"
+    (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    def canon(rows):
+        return sorted(
+            (r["file"].rsplit("/", 1)[-1],) + tuple(
+                r[c] for c in (
+                    "record_idx", "warc_type", "target_uri",
+                    "http_status", "n_body_bytes", "text",
+                )
+            )
+            for r in rows
+        )
+    assert canon(spark.table(sink).collect()) == canon(batch.collect())
+    # the corrupt file contributed exactly one sentinel in BOTH paths
+    sentinels = [
+        r for r in spark.table(sink).collect() if r["warc_type"] is None
+    ]
+    assert len(sentinels) == 1
