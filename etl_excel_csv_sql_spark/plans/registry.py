@@ -7993,6 +7993,7 @@ EAGER_QUERIES: frozenset[str] = frozenset(
         "web_page_meta",
         "wet_text_catalog",
         "warc_crawl_catalog",
+        "warc_streaming_ingest",
         "warc_web_text_extract",
         "warehouse_bucketed_join",
         "watermark_lifecycle",
