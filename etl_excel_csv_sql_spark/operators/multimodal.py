@@ -369,8 +369,18 @@ SYNTH_IMAGE_SCHEMA = StructType(
 def _synth_payload_frame(df: DataFrame, id_col: str, build) -> DataFrame:
     """(id) → (media_id, payload) via a per-id payload builder — the one
     Arrow generation kernel behind every synth_*_payloads family
-    (payloads are born on executors, never on the driver)."""
-    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    (payloads are born on executors, never on the driver). The input
+    spreads first: a single-split parquet id column would otherwise run
+    EVERY payload build + downstream parse on one task (the r13 ×10
+    probe read 2/32 tasks for pdf_text_extract; same class as the r12
+    PQ-train finding)."""
+    from etl_excel_csv_sql_spark.operators.relational import (
+        spread_for_compute,
+    )
+
+    ids = spread_for_compute(df).select(
+        F.col(id_col).cast("long").alias("media_id")
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
