@@ -1616,3 +1616,84 @@ def strip_duplicate_spans(
             F.transform(keep, lambda t: F.element_at("toks", t + 1)), " "
         ).alias("cleaned_text"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Paragraph-level exact dedup — the CCNet preprocessing step
+    (Wenzek et al., arXiv 1911.00359): drop every paragraph whose
+    normalized hash appears in >= ``min_docs`` DISTINCT documents
+    (cookie banners, nav bars, legal footers — the boilerplate that
+    survives per-DOCUMENT dedup because each page is unique around it).
+
+    Plan shape, 100 TB-safe: paragraphs explode with their position,
+    hash on the normalized form (lower + whitespace-collapse; an
+    8-byte xxhash64 is all that shuffles), one distinct-doc count per
+    hash, common hashes anti-join the exploded frame, and each doc
+    reassembles from its SURVIVING paragraphs in original order via
+    one grouped sort. Original paragraph text is preserved —
+    normalization is a hash key, not a rewrite.
+
+    Output: (id, text, n_paras_kept, n_paras_dropped); a doc whose
+    every paragraph was boilerplate keeps an empty text (the quality
+    filter downstream drops it, which is the point).
+    """
+    paras = (
+        spread_for_compute(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "pos", "para"
+            ),
+        )
+        .withColumn(
+            "fp",
+            F.xxhash64(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("para")), r"\s+", " ")
+                )
+            ),
+        )
+    )
+    common = (
+        paras.groupBy("fp")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("fp")
+    )
+    kept = paras.join(common, "fp", "left_anti")
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "para"))
+                    ),
+                    lambda s: s["para"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_paras_kept"),
+        )
+    )
+    totals = paras.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n_total")
+    )
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_paras_kept", F.lit(0))
+            .cast("int")
+            .alias("n_paras_kept"),
+            (F.col("__n_total") - F.coalesce("n_paras_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_paras_dropped"),
+        )
+    )

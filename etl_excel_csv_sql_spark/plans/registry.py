@@ -3700,6 +3700,45 @@ def q_crawl_fetch_schedule(spark, sf_dir):
 
 
 @register(
+    "paragraph_dedup_ccnet",
+    # r13: the CCNet paragraph-dedup step (Wenzek et al. 1911.00359) —
+    # cross-document boilerplate removal. Planted fixture: every doc
+    # carries [BANNER, unique-a{id}, SHARED-{id%10}, unique-b{id}];
+    # with min_docs=3 the banner (every doc) and the shared paragraph
+    # (~n/10 docs) drop while both unique paragraphs survive in
+    # original order — kept text, counts, and ordering all closed-form.
+    """
+    SELECT doc_id,
+           'unique a' || CAST(doc_id AS VARCHAR) || chr(10)
+             || 'unique b' || CAST(doc_id AS VARCHAR) AS text,
+           CAST(2 AS INT) AS n_paras_kept,
+           CAST(2 AS INT) AS n_paras_dropped
+    FROM documents
+    """,
+    doc="paragraph-level exact dedup (dedup.paragraph_dedup, the CCNet "
+    "preprocessing step): paragraphs explode with position, hash on "
+    "the normalized form (8-byte keys shuffle, never text), hashes in "
+    ">= min_docs distinct docs anti-join out, docs reassemble from "
+    "surviving paragraphs in original order — kills cookie banners / "
+    "nav bars / footers that survive per-document dedup. Kept text, "
+    "order, and counts value-checked by the id contract",
+)
+def q_paragraph_dedup_ccnet(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    ds = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.lit("Accept all cookies to continue\n"),
+        F.lit("unique a"), ds, F.lit("\n"),
+        F.lit("Navigation Home About "), (F.col("doc_id") % 10).cast("string"),
+        F.lit("\n"),
+        F.lit("unique b"), ds,
+    )
+    return dedup.paragraph_dedup(
+        d.withColumn("text", text), "doc_id", "text", min_docs=3
+    )
+
+
+@register(
     "url_normalize_dedup",
     # r13 (VERDICT r12 #7): URL hygiene for the crawl lane — a 100 TB
     # crawl dedups by URL KEY before content even downloads. Fixture is
@@ -7727,7 +7766,8 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # / customers_without_orders (same class), and crawl_fetch_schedule
 # replaces nation_volume_shipping; web_page_meta replaces
 # promo_revenue_pct; warc_streaming_ingest replaces
-# top_supplier_revenue. Net: 15 of 50 slots carry
+# top_supplier_revenue; paragraph_dedup_ccnet replaces
+# small_qty_order_revenue. Net: 16 of 50 slots carry
 # never-driver-checked r13 full oracles; the displaced r7 breadth
 # re-checks (each 1 green round, local-gate-pinned) lead the r14 pool.
 WINDOW_ORDER: tuple[str, ...] = (
@@ -7759,7 +7799,7 @@ WINDOW_ORDER: tuple[str, ...] = (
     "crawl_fetch_schedule",
     "web_page_meta",
     "warc_streaming_ingest",
-    "small_qty_order_revenue",
+    "paragraph_dedup_ccnet",
     "large_volume_customers",
     "crawl_frontier_e2e",
     "sitemap_catalog",

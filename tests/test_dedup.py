@@ -795,3 +795,32 @@ def test_ngram_containment_direction_values(spark):
                                    threshold=0.0).collect()}
     assert out[(1, 2)] == 1.0          # all of doc1's shingles in doc2
     assert 0 < out[(2, 1)] < 1.0
+
+
+def test_paragraph_dedup_ccnet_semantics(spark):
+    """CCNet paragraph dedup: threshold counts DISTINCT docs (a repeat
+    within ONE doc doesn't make it boilerplate), normalization is a
+    hash key only (original text survives), order is preserved, and an
+    all-boilerplate doc keeps an empty text."""
+    from etl_excel_csv_sql_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "BANNER\nkeep one\nkeep two"),
+        (2, "banner\nonly mine"),          # case-insensitive hash match
+        (3, "  BANNER  \nthird doc"),      # whitespace-collapse match
+        (4, "BANNER"),                     # all boilerplate
+        (5, "self\nself\nself"),           # intra-doc repeats: 1 doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(df, min_docs=3).collect()
+    }
+    assert out[1]["text"] == "keep one\nkeep two"
+    assert out[1]["n_paras_kept"] == 2 and out[1]["n_paras_dropped"] == 1
+    assert out[2]["text"] == "only mine"
+    assert out[3]["text"] == "third doc"   # original form, not normalized
+    assert out[4]["text"] == "" and out[4]["n_paras_kept"] == 0
+    # 'self' appears 3x but in ONE doc -> count_distinct(id)=1 -> kept
+    assert out[5]["text"] == "self\nself\nself"
+    assert out[5]["n_paras_dropped"] == 0
