@@ -2174,6 +2174,97 @@ def q_warc_streaming_ingest(spark, sf_dir):
 
 
 @register(
+    "web_main_text",
+    # r13: boilerplate-aware MAIN-content extraction (the Arc90/
+    # boilerpipe link-density rule, Kohlschütter et al. WSDM'10) — what
+    # a production crawl feeds the text pipeline instead of naive
+    # all-visible-text. Fixture plants five blocks per page: a nav bar
+    # (pure link text → dropped), prose A (kept), a sub-threshold
+    # short block (dropped), prose B with ONE inline link (link share
+    # < 0.5 → kept, link text stays), and a link-only footer that
+    # CLEARS the length bar but fails the density rule (dropped).
+    """
+    WITH t AS (
+      SELECT doc_id,
+             'Alpha prose paragraph number ' || CAST(doc_id AS VARCHAR)
+               || ' with plenty of words.' || chr(10)
+               || 'Beta prose containing a link for doc '
+               || CAST(doc_id AS VARCHAR) || ' and more text.'
+               AS main_text
+      FROM documents
+    )
+    SELECT doc_id, main_text,
+           CAST(2 AS INT) AS n_blocks_kept,
+           CAST(3 AS INT) AS n_blocks_dropped,
+           CAST(length(main_text) AS BIGINT) AS n_chars
+    FROM t
+    """,
+    doc="main-content extraction (webtext.extract_main_text): block-"
+    "segmented visible text with per-block anchor-text share; blocks "
+    "under the length bar or over the link-density bar drop — kills "
+    "navigation/footers/tag-clouds the WET stage would keep. Survivor "
+    "text (inline link text preserved), block counts, and chars all "
+    "value-checked by the id-contract oracle",
+)
+def q_web_main_text(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io import warc
+    from etl_excel_csv_sql_spark.operators import webtext
+
+    scratch = _scratch(
+        "maintext_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    recs = []
+    for i in ids:
+        recs.append(
+            {
+                "uri": f"https://example.org/doc/{i}",
+                "status": 200,
+                "body_text": (
+                    "<html><head><title>T</title></head><body>"
+                    "<div><a href='/h'>Home</a> <a href='/a'>About</a>"
+                    "</div>"
+                    f"<p>Alpha prose paragraph number {i} with plenty "
+                    "of words.</p>"
+                    f"<p>tiny {i % 10}</p>"
+                    "<p>Beta prose containing <a href='/x'>a link</a> "
+                    f"for doc {i} and more text.</p>"
+                    f"<div><a href='/c'>Copyright {i} legal footer "
+                    "links galore</a></div>"
+                    "</body></html>"
+                ),
+            }
+        )
+    path = os.path.join(scratch, "crawl-00000.warc.gz")
+    with open(path, "wb") as f:
+        f.write(warc.encode_warc(recs, gzip_members=True))
+    pages = (
+        warc.read_warc(spark, path, strict=True)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "text",
+        )
+    )
+    out = webtext.extract_main_text(pages, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("main_text"),
+        "n_blocks_kept",
+        "n_blocks_dropped",
+        "n_chars",
+    )
+
+
+@register(
     "web_page_meta",
     # r13: head-metadata extraction — the curation signals a crawl
     # keeps alongside the text: meta description/keywords (presence

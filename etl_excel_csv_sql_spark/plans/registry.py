@@ -7767,7 +7767,8 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # replaces nation_volume_shipping; web_page_meta replaces
 # promo_revenue_pct; warc_streaming_ingest replaces
 # top_supplier_revenue; paragraph_dedup_ccnet replaces
-# small_qty_order_revenue. Net: 16 of 50 slots carry
+# small_qty_order_revenue; web_main_text replaces
+# large_volume_customers. Net: 17 of 50 slots carry
 # never-driver-checked r13 full oracles; the displaced r7 breadth
 # re-checks (each 1 green round, local-gate-pinned) lead the r14 pool.
 WINDOW_ORDER: tuple[str, ...] = (
@@ -7800,7 +7801,7 @@ WINDOW_ORDER: tuple[str, ...] = (
     "web_page_meta",
     "warc_streaming_ingest",
     "paragraph_dedup_ccnet",
-    "large_volume_customers",
+    "web_main_text",
     "crawl_frontier_e2e",
     "sitemap_catalog",
     "embedding_dim_stats",
@@ -7964,6 +7965,8 @@ PYTHON_KERNELS: dict[str, str] = {
     "with in-kernel RFC 3986 urljoin, two Arrow passes",
     "web_page_meta": "WARC record walk + html.parser head-metadata "
     "extraction, two Arrow passes",
+    "web_main_text": "WARC record walk + block-segmented link-density "
+    "extraction, two Arrow passes",
     "crawl_frontier_e2e": "sitemap etree kernel feeding pure-JVM "
     "normalize/robots/dedup stages",
     "pdf_text_extract": "stdlib PDF parse (xref/objects/FlateDecode/"
@@ -8030,6 +8033,7 @@ EAGER_QUERIES: frozenset[str] = frozenset(
         "warc_charset_bodies",
         "web_link_graph",
         "web_link_graph_resolved",
+        "web_main_text",
         "web_page_meta",
         "wet_text_catalog",
         "warc_crawl_catalog",

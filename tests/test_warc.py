@@ -374,3 +374,28 @@ def test_stream_batch_parity(spark, tmp_path):
         r for r in spark.table(sink).collect() if r["warc_type"] is None
     ]
     assert len(sentinels) == 1
+
+
+def test_html_main_text_link_density_rule():
+    """Boilerplate contract: length bar AND link-density bar both
+    enforced; inline link text inside kept prose survives; nested
+    anchors count once per char; all-boilerplate pages yield ''. """
+    from etl_excel_csv_sql_spark.operators.webtext import html_main_text
+
+    nav = "<div><a href='/1'>Home</a> <a href='/2'>About</a></div>"
+    prose = "<p>A sufficiently long paragraph of real prose content.</p>"
+    linky = (
+        "<p>A sufficiently long paragraph where "
+        "<a href='/x'>most of the visible characters live inside "
+        "this enormous anchor element right here</a> ok.</p>"
+    )
+    text, kept, dropped = html_main_text(nav + prose + linky)
+    assert text == "A sufficiently long paragraph of real prose content."
+    assert kept == 1 and dropped == 2
+    # all boilerplate -> empty
+    assert html_main_text(nav) == ("", 0, 1)
+    # threshold knobs are honored
+    assert html_main_text(nav, max_link_ratio=1.0)[1] == 0  # still short
+    assert html_main_text(
+        nav, min_block_chars=5, max_link_ratio=1.0
+    ) == ("Home About", 1, 0)
