@@ -2265,6 +2265,130 @@ def q_web_main_text(spark, sf_dir):
 
 
 @register(
+    "crawl_pipeline_full_e2e",
+    # r13 capstone: the COMPLETE modern crawl pipeline in one lazy
+    # plan — warc ingest → main-content extraction (link-density
+    # boilerplate removal) → CCNet paragraph dedup → lang-ID filter →
+    # quality filter → MinHash keep-first. Fixture plants one lane per
+    # stage: every page carries a nav bar + link-only footer (dropped
+    # by the DENSITY rule), a newsletter paragraph shared by ALL pages
+    # (survives main_text, dropped by PARAGRAPH dedup), and the
+    # category prose — en twins (survive everything, dedup to min id),
+    # German (drops at lang-ID), junk shorter than the block bar
+    # (drops at main_text; its doc then carries ONLY the shared
+    # paragraph, goes empty after paragraph dedup, and drops at
+    # quality). Kept set AND cleaned text are closed-form.
+    """
+    WITH cat AS (
+      SELECT doc_id,
+             doc_id - (doc_id % 2) AS g,
+             ((doc_id - (doc_id % 2)) // 2) % 3 AS c
+      FROM documents
+    ), en AS (
+      SELECT doc_id, g FROM cat WHERE c = 0
+    ), keep AS (
+      SELECT g, min(doc_id) AS doc_id FROM en GROUP BY g
+    )
+    SELECT doc_id,
+           'the w' || CAST(g AS VARCHAR) || 'x0 and w' || CAST(g AS VARCHAR)
+             || 'x1 of w' || CAST(g AS VARCHAR) || 'x2 to w'
+             || CAST(g AS VARCHAR) || 'x3 in w' || CAST(g AS VARCHAR)
+             || 'x4 is w' || CAST(g AS VARCHAR) || 'x5 it w'
+             || CAST(g AS VARCHAR) || 'x6 that w' || CAST(g AS VARCHAR)
+             || 'x7 for w' || CAST(g AS VARCHAR) || 'x8' AS text,
+           'en' AS lang,
+           CAST(1.0 AS DOUBLE) AS quality
+    FROM keep
+    """,
+    doc="the full modern crawl pipeline, one lazy plan: read_warc → "
+    "extract_main_text (Arc90 link-density boilerplate removal) → "
+    "paragraph_dedup (CCNet cross-doc boilerplate) → lang_id == 'en' → "
+    "quality_score >= 0.5 → minhash_lsh_pairs + dedup_keep_first. Six "
+    "stages, each an independently-oracled operator; the composition's "
+    "kept ids AND cleaned text are closed-form. What a production "
+    "training-data crawl actually runs nightly",
+)
+def q_crawl_pipeline_full_e2e(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.functions import text as tf
+    from etl_excel_csv_sql_spark.io import warc
+    from etl_excel_csv_sql_spark.operators import dedup, webtext
+
+    scratch = _scratch(
+        "crawl_full_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    en_stops = ("the", "and", "of", "to", "in", "is", "it", "that", "for")
+    de_stops = ("der", "die", "und", "ist", "ein", "zu", "den", "mit")
+    shared = "Subscribe to our weekly newsletter for updates today"
+    recs = []
+    for i in ids:
+        g = i - (i % 2)
+        c = (g // 2) % 3
+        if c == 0:
+            vis = " ".join(
+                f"{sw} w{g}x{k}" for k, sw in enumerate(en_stops)
+            )
+        elif c == 1:
+            vis = " ".join(
+                f"{sw} w{g}x{k}" for k, sw in enumerate(de_stops)
+            )
+        else:
+            vis = "zzz!!! qqq???"  # under the 25-char block bar
+        recs.append(
+            {
+                "uri": f"https://example.org/doc/{i}",
+                "status": 200,
+                "body_text": (
+                    "<html><head><title>T</title></head><body>"
+                    "<div><a href='/h'>Home</a> <a href='/a'>About"
+                    "</a></div>"
+                    f"<p>{vis}</p>"
+                    f"<p>{shared}</p>"
+                    "<div><a href='/c'>Copyright legal footer links "
+                    "galore</a></div>"
+                    "</body></html>"
+                ),
+            }
+        )
+    path = os.path.join(scratch, "crawl-00000.warc.gz")
+    with open(path, "wb") as f:
+        f.write(warc.encode_warc(recs, gzip_members=True))
+    pages = (
+        warc.read_warc(spark, path, strict=True)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "text",
+        )
+    )
+    main = webtext.extract_main_text(pages, "doc_id", "text").select(
+        "doc_id", F.col("main_text").alias("text")
+    )
+    cleaned = dedup.paragraph_dedup(main, "doc_id", "text", min_docs=3)
+    langed = cleaned.withColumn("lang", tf.lang_id("text")).filter(
+        F.col("lang") == "en"
+    )
+    scored = langed.withColumn(
+        "quality", tf.quality_score("text")
+    ).filter(F.col("quality") >= 0.5)
+    pairs = dedup.minhash_lsh_pairs(
+        scored, "doc_id", "text", threshold=0.5
+    )
+    kept = dedup.dedup_keep_first(scored, pairs, "doc_id")
+    return kept.select(
+        "doc_id", "text", "lang", F.round("quality", 6).alias("quality")
+    )
+
+
+@register(
     "web_page_meta",
     # r13: head-metadata extraction — the curation signals a crawl
     # keeps alongside the text: meta description/keywords (presence

@@ -7768,7 +7768,8 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # promo_revenue_pct; warc_streaming_ingest replaces
 # top_supplier_revenue; paragraph_dedup_ccnet replaces
 # small_qty_order_revenue; web_main_text replaces
-# large_volume_customers. Net: 17 of 50 slots carry
+# large_volume_customers; crawl_pipeline_full_e2e replaces
+# embedding_dim_stats. Net: 18 of 50 slots carry
 # never-driver-checked r13 full oracles; the displaced r7 breadth
 # re-checks (each 1 green round, local-gate-pinned) lead the r14 pool.
 WINDOW_ORDER: tuple[str, ...] = (
@@ -7804,7 +7805,7 @@ WINDOW_ORDER: tuple[str, ...] = (
     "web_main_text",
     "crawl_frontier_e2e",
     "sitemap_catalog",
-    "embedding_dim_stats",
+    "crawl_pipeline_full_e2e",
     "robots_url_filter",
     "events_ewma_smoothing",
     "warc_charset_bodies",
@@ -7955,6 +7956,9 @@ PYTHON_KERNELS: dict[str, str] = {
     "full-body decode via Arrow mapInPandas over binaryFile",
     "crawl_pipeline_e2e": "WARC record walk + html.parser extraction "
     "(two Arrow passes) feeding pure-JVM lang/quality/minhash stages",
+    "crawl_pipeline_full_e2e": "WARC record walk + main-content "
+    "extraction (two Arrow passes) feeding pure-JVM paragraph-dedup/"
+    "lang/quality/minhash stages",
     "sitemap_catalog": "stdlib xml.etree sitemap parse via Arrow "
     "mapInPandas over binaryFile",
     "wet_text_catalog": "WARC conversion-record walk with charset "
@@ -8029,6 +8033,7 @@ EAGER_QUERIES: frozenset[str] = frozenset(
         "settings_validation_outcomes",
         "crawl_frontier_e2e",
         "crawl_pipeline_e2e",
+        "crawl_pipeline_full_e2e",
         "sitemap_catalog",
         "warc_charset_bodies",
         "web_link_graph",
