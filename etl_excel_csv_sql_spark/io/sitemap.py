@@ -141,12 +141,17 @@ def encode_sitemap(
         '<?xml version="1.0" encoding="UTF-8"?>\n',
         f'<{root_tag} xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n',
     ]
+    # Values must be XML-escaped: a loc with '&' (any query-string URL)
+    # would otherwise render malformed XML that parse_sitemap rejects
+    # (ADVICE r13) — the sitemaps.org spec requires entity-escaped locs.
+    from xml.sax.saxutils import escape
+
     for e in entries:
         parts.append(f"  <{entry_tag}>\n")
-        parts.append(f"    <loc>{e['loc']}</loc>\n")
+        parts.append(f"    <loc>{escape(str(e['loc']))}</loc>\n")
         for k in ("lastmod", "changefreq", "priority"):
             if e.get(k) is not None:
-                parts.append(f"    <{k}>{e[k]}</{k}>\n")
+                parts.append(f"    <{k}>{escape(str(e[k]))}</{k}>\n")
         parts.append(f"  </{entry_tag}>\n")
     parts.append(f"</{root_tag}>\n")
     raw = "".join(parts).encode()

@@ -1640,7 +1640,9 @@ def paragraph_dedup(
 
     Output: (id, text, n_paras_kept, n_paras_dropped); a doc whose
     every paragraph was boilerplate keeps an empty text (the quality
-    filter downstream drops it, which is the point).
+    filter downstream drops it, which is the point), and a NULL-text
+    doc survives as (id, '', 0, 0) — every input id appears exactly
+    once in the output.
     """
     paras = (
         spread_for_compute(df)
@@ -1684,15 +1686,27 @@ def paragraph_dedup(
     totals = paras.groupBy("id").agg(
         F.count(F.lit(1)).alias("__n_total")
     )
+    # Anchor the output on the INPUT ids, not on the exploded frame: a
+    # NULL text splits/posexplodes to zero rows, so a null-text doc had
+    # no row in `paras`/`totals` and silently vanished from the output
+    # (ADVICE r13) while the contract promises every doc survives.
+    # Null-text docs emit (id, '', 0, 0). Both joins key on id — the
+    # same shuffle partitioning, so AQE coalesces them into one
+    # exchange chain.
+    ids = df.select(F.col(id_col).alias("id")).distinct()
     return (
-        totals.join(rebuilt, "id", "left")
+        ids.join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce("text", F.lit("")).alias("text"),
             F.coalesce("n_paras_kept", F.lit(0))
             .cast("int")
             .alias("n_paras_kept"),
-            (F.col("__n_total") - F.coalesce("n_paras_kept", F.lit(0)))
+            (
+                F.coalesce("__n_total", F.lit(0))
+                - F.coalesce("n_paras_kept", F.lit(0))
+            )
             .cast("int")
             .alias("n_paras_dropped"),
         )

@@ -674,6 +674,16 @@ class _Stream:
                 raise ValueError(
                     "content stream exceeds the inflate guard"
                 )
+            # A TRUNCATED deflate stream inflates without error —
+            # decompress() returns the partial output silently — so a
+            # corrupt PDF would extract silently wrong text instead of
+            # hitting the documented ValueError quarantine (ADVICE
+            # r13). Same completeness check as the gzip-member loop in
+            # io/warc.py: the stream must have reached its final block.
+            if not d.eof:
+                raise ValueError(
+                    "truncated FlateDecode stream (no final block)"
+                )
             parms = doc.resolve(parms)
             if isinstance(parms, dict):
                 out = _apply_predictor(

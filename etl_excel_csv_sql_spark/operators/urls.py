@@ -40,7 +40,15 @@ def _col(c) -> Column:
 
 
 def normalize_url(url) -> Column:
-    """The normalization contract above, as one Catalyst expression."""
+    """The normalization contract above, as one Catalyst expression.
+
+    Scheme-less input ('example.com/x', a relative path, '') passes
+    through trimmed + fragment-stripped but otherwise UNTOUCHED: the
+    old behavior spliced '://' in front of whatever remained, minting
+    a corrupted '://example.com/x' key that could still collide in
+    url_key_dedup (ADVICE r13). Without a scheme there is no authority
+    boundary to normalize, so the safe normal form is the input
+    itself."""
     t = F.regexp_replace(F.trim(_col(url)), r"#.*$", "")
     scheme = F.lower(F.regexp_extract(t, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     after = F.regexp_replace(t, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
@@ -56,8 +64,10 @@ def normalize_url(url) -> Column:
     rest = F.when(
         rest.contains("?"), rest
     ).otherwise(F.regexp_replace(rest, r"/+$", ""))
-    return F.concat(
-        scheme, F.lit("://"), _strip_default_port(scheme, authority), rest
+    return F.when(scheme == "", t).otherwise(
+        F.concat(
+            scheme, F.lit("://"), _strip_default_port(scheme, authority), rest
+        )
     )
 
 

@@ -3502,9 +3502,10 @@ def q_media_sniff_catalog(spark, sf_dir):
     "string escapes, page-tree walk, Tj/TJ/' show assembly) via Arrow "
     "mapInPandas — version, page count, per-page text, and char count "
     "all value-checked by the id-contract oracle. Scope fences raise "
-    "into the quarantine lane: xref/object streams (PDF 1.5+), "
-    "encryption, non-Flate filters; caps bound objects, pages, tree "
-    "depth, and inflate output (bomb guard)",
+    "into the quarantine lane: encryption and non-Flate filters; "
+    "xref/object streams (PDF 1.5+) are fully supported since r13 "
+    "(pdf15_text_extract exercises them). Caps bound objects, pages, "
+    "tree depth, and inflate output (bomb guard)",
 )
 def q_pdf_text_extract(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -3707,12 +3708,18 @@ def q_crawl_fetch_schedule(spark, sf_dir):
     # with min_docs=3 the banner (every doc) and the shared paragraph
     # (~n/10 docs) drop while both unique paragraphs survive in
     # original order — kept text, counts, and ordering all closed-form.
+    # r14 (ADVICE r13): docs with id % 13 == 3 carry NULL text — the
+    # contract says they survive as (id, '', 0, 0) instead of silently
+    # vanishing from the output (split(null) posexplodes to no rows).
     """
     SELECT doc_id,
-           'unique a' || CAST(doc_id AS VARCHAR) || chr(10)
-             || 'unique b' || CAST(doc_id AS VARCHAR) AS text,
-           CAST(2 AS INT) AS n_paras_kept,
-           CAST(2 AS INT) AS n_paras_dropped
+           CASE WHEN doc_id % 13 = 3 THEN ''
+                ELSE 'unique a' || CAST(doc_id AS VARCHAR) || chr(10)
+                  || 'unique b' || CAST(doc_id AS VARCHAR) END AS text,
+           CAST(CASE WHEN doc_id % 13 = 3 THEN 0 ELSE 2 END AS INT)
+             AS n_paras_kept,
+           CAST(CASE WHEN doc_id % 13 = 3 THEN 0 ELSE 2 END AS INT)
+             AS n_paras_dropped
     FROM documents
     """,
     doc="paragraph-level exact dedup (dedup.paragraph_dedup, the CCNet "
@@ -3726,12 +3733,15 @@ def q_crawl_fetch_schedule(spark, sf_dir):
 def q_paragraph_dedup_ccnet(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id")
     ds = F.col("doc_id").cast("string")
-    text = F.concat(
-        F.lit("Accept all cookies to continue\n"),
-        F.lit("unique a"), ds, F.lit("\n"),
-        F.lit("Navigation Home About "), (F.col("doc_id") % 10).cast("string"),
-        F.lit("\n"),
-        F.lit("unique b"), ds,
+    text = F.when(F.col("doc_id") % 13 == 3, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.lit("Accept all cookies to continue\n"),
+            F.lit("unique a"), ds, F.lit("\n"),
+            F.lit("Navigation Home About "),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("\n"),
+            F.lit("unique b"), ds,
+        )
     )
     return dedup.paragraph_dedup(
         d.withColumn("text", text), "doc_id", "text", min_docs=3

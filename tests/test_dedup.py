@@ -824,3 +824,26 @@ def test_paragraph_dedup_ccnet_semantics(spark):
     # 'self' appears 3x but in ONE doc -> count_distinct(id)=1 -> kept
     assert out[5]["text"] == "self\nself\nself"
     assert out[5]["n_paras_dropped"] == 0
+
+
+def test_paragraph_dedup_null_text_doc_survives(spark):
+    """ADVICE r13: split(null) posexplodes to zero rows, so a null-text
+    doc used to vanish from the output entirely. The contract: every
+    input id appears exactly once; null text emits (id, '', 0, 0)."""
+    from etl_excel_csv_sql_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "BANNER\nmine"),
+        (2, "BANNER\nyours"),
+        (3, "BANNER\ntheirs"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in paragraph_dedup(df, min_docs=3).collect()
+    }
+    assert sorted(out) == [1, 2, 3, 4]
+    assert out[4]["text"] == ""
+    assert out[4]["n_paras_kept"] == 0
+    assert out[4]["n_paras_dropped"] == 0
+    assert out[1]["text"] == "mine" and out[1]["n_paras_dropped"] == 1

@@ -134,6 +134,20 @@ def test_scope_fences_raise_valueerror():
         pdf.pdf_text_pages(bad_filter)
 
 
+def test_truncated_flate_stream_raises_not_partial():
+    """ADVICE r13: zlib.decompressobj().decompress() returns PARTIAL
+    output silently for a truncated deflate stream — without the
+    d.eof completeness check a corrupt PDF extracted silently wrong
+    text instead of hitting the ValueError quarantine."""
+    doc = object.__new__(pdf._Document)  # resolve() passes non-refs through
+    data = zlib.compress(b"BT (hello world) Tj ET " * 40, 6)
+    intact = pdf._Stream({"Filter": "FlateDecode"}, data).decoded(doc)
+    assert intact.startswith(b"BT (hello world)")
+    truncated = pdf._Stream({"Filter": "FlateDecode"}, data[:-6])
+    with pytest.raises(ValueError, match="truncated FlateDecode"):
+        truncated.decoded(doc)
+
+
 def _doc15(n_pages=2, mid=7, compress=True, objstm=True):
     shows = [
         [["doc ", -28, f"{mid} pa", 35, f"ge {k}"], "(ok)"]

@@ -20,6 +20,22 @@ def _entries(n):
     ]
 
 
+def test_roundtrip_escapes_query_string_urls():
+    """ADVICE r13: a loc with '&' (any query-string URL) must render
+    entity-escaped per the sitemaps.org spec — the raw byte produced
+    malformed XML that parse_sitemap then rejected. ElementTree
+    unescapes on parse, so the round-trip is exact."""
+    entries = [
+        {"loc": "https://example.org/s?a=1&b=<2>"},
+        {"loc": "https://example.org/plain"},
+    ]
+    rows = sitemap.parse_sitemap(sitemap.encode_sitemap(entries))
+    assert [r["loc"] for r in rows] == [
+        "https://example.org/s?a=1&b=<2>",
+        "https://example.org/plain",
+    ]
+
+
 @pytest.mark.parametrize("gz", [False, True])
 def test_roundtrip_urlset(gz):
     payload = sitemap.encode_sitemap(_entries(20), gzip_payload=gz)

@@ -42,6 +42,12 @@ def test_normalize_url_contract(spark):
         ("https://User:Pw@EXAMPLE.com/a", "https://User:Pw@example.com/a"),
         # idempotence fixture
         ("https://example.com/a", "https://example.com/a"),
+        # scheme-less input passes through trimmed + defragmented
+        # instead of minting a corrupted '://...' key (ADVICE r13)
+        ("example.com/x", "example.com/x"),
+        ("  example.com/x#frag ", "example.com/x"),
+        ("/relative/path", "/relative/path"),
+        ("", ""),
     ]
     got = _norm(spark, [c[0] for c in cases])
     for (raw, want), out in zip(cases, got):
