@@ -4,14 +4,18 @@ disallowed URLs BEFORE fetching, so the filter must run at frontier
 scale (billions of URLs × millions of hosts) as plain joins and
 aggregations, never a per-URL Python matcher.
 
-Rule semantics, the RFC 9309 subset that is deterministic without
-wildcards (documented scope: literal path prefixes only — ``*`` / ``$``
-pattern rules are out of scope and must be pre-expanded by the robots
-fetcher):
+Rule semantics, full RFC 9309 §2.2.2–§2.2.3 including wildcard
+patterns (r14 — previously ``*`` / ``$`` rules were parsed as literal
+prefixes that matched almost nothing, so the filter CRAWLED disallowed
+URLs on the large fraction of real robots.txt files that use them):
 
-- a URL matches a rule when its path starts with the rule's path;
-- the LONGEST matching rule wins (octet-length specificity, RFC 9309
-  §2.2.2);
+- a rule path is a match PATTERN: ``*`` matches any byte sequence and
+  a TRAILING ``$`` anchors the match at the end of the URL path; every
+  other byte is literal, and a pattern without wildcards is a plain
+  prefix match;
+- the MOST SPECIFIC matching rule wins — octet length of the rule
+  path per RFC 9309 §2.2.2 (wildcard bytes count; this matches the
+  reference Google parser's priority = pattern length);
 - at equal length, ``allow`` wins (least-restrictive tie break);
 - no matching rule for the URL's host — including a host with no
   robots.txt at all — means allowed;
@@ -19,10 +23,12 @@ fetcher):
   and the parser drops it.
 
 Plan shape: URLs join rules on host (the rules side is the small one —
-broadcast when it fits, shuffle on host otherwise), prefix-match
-filter, then one ``max_by`` aggregation per URL on the
-(length, is_allow) specificity struct. Two shuffles max, no window, no
-Python.
+broadcast when it fits, shuffle on host otherwise), rules compile to
+anchored Java regexes ONCE on the rules side (``compile_rule_pattern``
+— pure Catalyst string ops: escape, ``*``→``.*``, trailing ``$``→end
+anchor), match via ``regexp_like``, then one ``max_by`` aggregation
+per URL on the (length, is_allow) specificity struct. Two shuffles
+max, no window, no Python.
 
 ``parse_robots_text`` is the driver/fixture-side parser for turning
 fetched robots.txt bodies into the (host, rule, path) frame; the
@@ -90,6 +96,33 @@ def parse_robots_sitemaps(text: str) -> list[str]:
     return out
 
 
+def compile_rule_pattern(path) -> Column:
+    """Rule path → anchored Java regex implementing RFC 9309 §2.2.3
+    wildcard semantics, as pure Catalyst string expressions (computed
+    once per RULE row — the small side — never per URL):
+
+    - a single trailing ``$`` becomes the end-of-path anchor;
+    - every regex metacharacter in the remaining body is escaped;
+    - ``*`` becomes ``.*`` (it was deliberately left out of the escape
+      class);
+    - the result is start-anchored, so a wildcard-free rule degenerates
+      to exactly the old prefix match.
+
+    A ``$`` anywhere but the end is a literal byte per the RFC (the
+    end-of-match character is only defined at the end of the pattern).
+    """
+    p = F.col(path) if isinstance(path, str) else path
+    anchored = p.endswith("$")
+    body = F.regexp_replace(p, r"\$$", "")
+    esc = F.regexp_replace(
+        body, r"([\\.\[\]\{\}\(\)\+\?\^\$\|])", r"\\$1"
+    )
+    starred = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), starred, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
 def url_path(url) -> Column:
     """Path + query of a normalized URL ('' → '/'): the byte string
     robots rules match against."""
@@ -114,8 +147,10 @@ def filter_crawlable(
     robots bodies.
 
     Output: the input columns plus ``allowed`` / ``rule_path`` (null
-    when no rule matched). Join on host, prefix filter, one max_by on
-    (octet length, is_allow) — ties break toward allow per RFC.
+    when no rule matched; ``rule_path`` is the rule's ORIGINAL pattern
+    text, wildcards and all). Join on host, regexp match against the
+    rules-side compiled patterns, one max_by on (octet length,
+    is_allow) — ties break toward allow per RFC.
 
     The input frame's rows must be distinct (the verdict aggregation
     groups by ALL input columns, so duplicate URL rows would collapse
@@ -126,13 +161,14 @@ def filter_crawlable(
         F.col("host").alias("__rhost"),
         F.lower(F.col("rule")).alias("__rule"),
         F.col("path").alias("__rpath"),
+        compile_rule_pattern("path").alias("__rpattern"),
     )
     matched = (
         u.join(r, u[host_col] == r["__rhost"], "left")
         .withColumn(
             "__hit",
-            F.col("__rpath").isNotNull()
-            & F.col("__path").startswith(F.col("__rpath")),
+            F.col("__rpattern").isNotNull()
+            & F.regexp_like(F.col("__path"), F.col("__rpattern")),
         )
     )
     key_cols = [F.col(c) for c in urls.columns]

@@ -3568,12 +3568,16 @@ def q_pdf15_text_extract(spark, sf_dir):
     # r13: robots.txt politeness — the other half of URL hygiene: a
     # crawl frontier drops disallowed URLs BEFORE fetching. In-plan
     # fixture (zero Python): host group g = id % 50 carries one rule
-    # regime r = g % 4 (0: disallow /private + allow /private/ok —
+    # regime r = g % 6 (0: disallow /private + allow /private/ok —
     # the longest-match override; 1: disallow / — block-all; 2: NO
     # rules — the missing-robots lane; 3: an allow that matches
-    # nothing), URL path variant v = (id // 50) % 5 walks the match
-    # table (/public/x, /private/x, /private/ok/x, bare host,
-    # /private exact). Verdict AND winning rule path are closed-form.
+    # nothing; r14 wildcard regimes per RFC 9309 §2.2.3 — 4: disallow
+    # /*ivate (mid-path wildcard) + allow /private/ok, the wildcard-
+    # vs-literal specificity race (11 > 7 octets); 5: disallow
+    # /private$ — $-anchored, matches ONLY the exact path), URL path
+    # variant v = (id // 50) % 5 walks the match table (/public/x,
+    # /private/x, /private/ok/x, bare host, /private exact). Verdict
+    # AND winning rule path are closed-form.
     """
     WITH b AS (
       SELECT doc_id,
@@ -3581,7 +3585,7 @@ def q_pdf15_text_extract(spark, sf_dir):
              (doc_id // 50) % 5 AS v
       FROM documents
     ), c AS (
-      SELECT doc_id, v, g % 4 AS r,
+      SELECT doc_id, v, g % 6 AS r,
              'https://site' || CAST(g AS VARCHAR) || '.com' ||
              CASE v WHEN 0 THEN '/public/x'
                     WHEN 1 THEN '/private/x'
@@ -3593,19 +3597,27 @@ def q_pdf15_text_extract(spark, sf_dir):
     SELECT doc_id, url_norm,
            CASE WHEN r = 1 THEN FALSE
                 WHEN r = 0 AND v IN (1, 4) THEN FALSE
+                WHEN r = 4 AND v IN (1, 4) THEN FALSE
+                WHEN r = 5 AND v = 4 THEN FALSE
                 ELSE TRUE END AS allowed,
            CASE WHEN r = 1 THEN '/'
                 WHEN r = 0 AND v IN (1, 4) THEN '/private'
                 WHEN r = 0 AND v = 2 THEN '/private/ok'
+                WHEN r = 4 AND v IN (1, 4) THEN '/*ivate'
+                WHEN r = 4 AND v = 2 THEN '/private/ok'
+                WHEN r = 5 AND v = 4 THEN '/private$'
                 ELSE NULL END AS rule_path
     FROM c
     """,
-    doc="robots.txt URL filtering (operators/robots.py): longest-"
-    "prefix-match rule resolution per RFC 9309 (octet-length "
-    "specificity, allow wins ties, no-match and missing-host allow) "
-    "as one host join + prefix filter + max_by aggregation — no "
-    "window, no Python; verdict and winning rule path value-checked "
-    "across all four rule regimes and five path shapes",
+    doc="robots.txt URL filtering (operators/robots.py): most-specific-"
+    "match rule resolution per RFC 9309 incl. §2.2.3 wildcards "
+    "(rule paths compile to anchored Java regexes on the rules side — "
+    "* → .*, trailing $ → end anchor; octet-length specificity, allow "
+    "wins ties, no-match and missing-host allow) as one host join + "
+    "regexp_like filter + max_by aggregation — no window, no Python; "
+    "verdict and winning rule path value-checked across all six rule "
+    "regimes and five path shapes, incl. mid-path wildcard, $-anchored "
+    "exact match, and the wildcard-vs-literal specificity race",
 )
 def q_robots_url_filter(spark, sf_dir):
     from etl_excel_csv_sql_spark.operators import robots
@@ -3635,14 +3647,22 @@ def q_robots_url_filter(spark, sf_dir):
         .alias("host"),
         F.explode(
             F.when(
-                F.col("g") % 4 == 0,
+                F.col("g") % 6 == 0,
                 F.array(
                     rule("disallow", "/private"),
                     rule("allow", "/private/ok"),
                 ),
             )
-            .when(F.col("g") % 4 == 1, F.array(rule("disallow", "/")))
-            .when(F.col("g") % 4 == 3, F.array(rule("allow", "/anything")))
+            .when(F.col("g") % 6 == 1, F.array(rule("disallow", "/")))
+            .when(F.col("g") % 6 == 3, F.array(rule("allow", "/anything")))
+            .when(
+                F.col("g") % 6 == 4,
+                F.array(
+                    rule("disallow", "/*ivate"),
+                    rule("allow", "/private/ok"),
+                ),
+            )
+            .when(F.col("g") % 6 == 5, F.array(rule("disallow", "/private$")))
             .otherwise(
                 F.array().cast(
                     "array<struct<rule:string,path:string>>"
