@@ -19,12 +19,13 @@ Percent-encoding normalization and IDN/punycode are deliberately out of
 scope (they change bytes the origin may distinguish).
 
 ``registrable_domain`` is the grouping key crawl frontiers and per-site
-caps use. A real system ships the Mozilla Public Suffix List; this
-implements the deterministic HEURISTIC subset (documented, pinned):
-hosts with >= 3 labels whose second-to-last label is a well-known
-second-level registrar (co/com/net/org/ac/gov/edu) under a 2-letter
-country TLD take the last THREE labels (example.co.uk), everything
-else takes the last TWO.
+caps use. Since r14 it runs the full Public Suffix List matching
+algorithm against a packaged PSL snapshot (operators/psl.py — public
+data from publicsuffix.org), compiled into Catalyst ``isin``/``InSet``
+membership tests so it stays a zero-Python, zero-join column
+expression; the old co/com/net/org/ac/gov/edu-under-2-letter-ccTLD
+heuristic survives inside psl.py as the documented fallback for
+ccTLDs the snapshot doesn't enumerate.
 """
 
 from __future__ import annotations
@@ -32,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_SLD_SET = ("co", "com", "net", "org", "ac", "gov", "edu")
+from etl_excel_csv_sql_spark.operators import psl as _psl
 
 
 def _col(c) -> Column:
@@ -89,23 +90,13 @@ def url_host(norm_url) -> Column:
 
 
 def registrable_domain(host) -> Column:
-    """eTLD+1 per the module's documented heuristic."""
-    h = _col(host)
-    parts = F.split(h, r"\.")
-    n = F.size(parts)
-    second_last = F.element_at(parts, -2)
-    last = F.element_at(parts, -1)
-    take3 = (
-        (n >= 3)
-        & second_last.isin(*_SLD_SET)
-        & (F.length(last) == 2)
-    )
-    return F.when(n <= 2, h).otherwise(
-        F.when(
-            take3,
-            F.concat_ws(".", F.slice(parts, -3, 3)),
-        ).otherwise(F.concat_ws(".", F.slice(parts, -2, 2)))
-    )
+    """eTLD+1 via the packaged Public Suffix List snapshot
+    (operators/psl.py): exceptions beat everything, then the matching
+    rule with the most labels wins, wildcard ccTLDs match one extra
+    label, and the implicit ``*`` / registrar heuristic handle hosts
+    the snapshot doesn't cover. A bare public suffix returns itself
+    (the key stays total)."""
+    return _psl.registrable_domain(_col(host))
 
 
 def url_key_dedup(

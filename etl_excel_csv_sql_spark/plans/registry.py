@@ -3777,8 +3777,11 @@ def q_paragraph_dedup_ccnet(spark, sf_dir):
     # it as canonical / SCHEME+HOST UPPERCASED / explicit :443 /
     # trailing slash / whitespace+fragment — all five must normalize to
     # the same key, so keeper = min(id) per group and n_dups = group
-    # size. Hosts rotate three shapes to value-check the eTLD+1
-    # heuristic: sub.X.co.uk (3-label registrar rule), www.X.com, X.org.
+    # size. Hosts rotate SIX shapes to value-check the r14 PSL
+    # snapshot (operators/psl.py): sub.X.co.uk (ccTLD registrar),
+    # www.X.com, X.org, sub.X.github.io (private-section suffix),
+    # www.X.com.au (3-letter ccTLD SLD the old heuristic missed), and
+    # host.X.pvt.k12.ma.us (4-label US locality rule).
     """
     WITH g AS (
       SELECT doc_id, doc_id % 100 AS grp FROM documents
@@ -3788,15 +3791,25 @@ def q_paragraph_dedup_ccnet(spark, sf_dir):
       FROM g GROUP BY grp
     ), h AS (
       SELECT grp, keeper_doc_id, n_dups,
-             CASE grp % 3
+             CASE grp % 6
                WHEN 0 THEN 'sub.example' || CAST(grp AS VARCHAR) || '.co.uk'
                WHEN 1 THEN 'www.example' || CAST(grp AS VARCHAR) || '.com'
-               ELSE 'example' || CAST(grp AS VARCHAR) || '.org'
+               WHEN 2 THEN 'example' || CAST(grp AS VARCHAR) || '.org'
+               WHEN 3 THEN 'sub.example' || CAST(grp AS VARCHAR)
+                 || '.github.io'
+               WHEN 4 THEN 'www.example' || CAST(grp AS VARCHAR)
+                 || '.com.au'
+               ELSE 'host.example' || CAST(grp AS VARCHAR)
+                 || '.pvt.k12.ma.us'
              END AS host,
-             CASE grp % 3
+             CASE grp % 6
                WHEN 0 THEN 'example' || CAST(grp AS VARCHAR) || '.co.uk'
                WHEN 1 THEN 'example' || CAST(grp AS VARCHAR) || '.com'
-               ELSE 'example' || CAST(grp AS VARCHAR) || '.org'
+               WHEN 2 THEN 'example' || CAST(grp AS VARCHAR) || '.org'
+               WHEN 3 THEN 'example' || CAST(grp AS VARCHAR)
+                 || '.github.io'
+               WHEN 4 THEN 'example' || CAST(grp AS VARCHAR) || '.com.au'
+               ELSE 'example' || CAST(grp AS VARCHAR) || '.pvt.k12.ma.us'
              END AS etld1
       FROM a
     )
@@ -3823,9 +3836,16 @@ def q_url_normalize_dedup(spark, sf_dir):
     v = (F.floor(F.col("doc_id") / 100) % 5).cast("int")
     gs = g.cast("string")
     host = (
-        F.when(g % 3 == 0, F.concat(F.lit("sub.example"), gs, F.lit(".co.uk")))
-        .when(g % 3 == 1, F.concat(F.lit("www.example"), gs, F.lit(".com")))
-        .otherwise(F.concat(F.lit("example"), gs, F.lit(".org")))
+        F.when(g % 6 == 0, F.concat(F.lit("sub.example"), gs, F.lit(".co.uk")))
+        .when(g % 6 == 1, F.concat(F.lit("www.example"), gs, F.lit(".com")))
+        .when(g % 6 == 2, F.concat(F.lit("example"), gs, F.lit(".org")))
+        .when(g % 6 == 3,
+              F.concat(F.lit("sub.example"), gs, F.lit(".github.io")))
+        .when(g % 6 == 4,
+              F.concat(F.lit("www.example"), gs, F.lit(".com.au")))
+        .otherwise(
+            F.concat(F.lit("host.example"), gs, F.lit(".pvt.k12.ma.us"))
+        )
     )
     canon_tail = F.concat(host, F.lit("/path"), gs)
     url = (

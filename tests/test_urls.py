@@ -72,6 +72,34 @@ def test_host_and_registrable_domain(spark):
         ("https://localhost/x", "localhost", "localhost"),
         # .com is not a 2-letter TLD: last TWO labels only
         ("https://a.co.com/x", "a.co.com", "co.com"),
+        # --- r14 PSL snapshot lanes (VERDICT r13 #3) ---
+        # private-section suffix: every github.io site is its own
+        # registrable domain
+        ("https://u.github.io/x", "u.github.io", "u.github.io"),
+        ("https://deep.u.github.io/x", "deep.u.github.io", "u.github.io"),
+        # 3-letter ccTLD SLD the old heuristic missed
+        ("https://www.biz.com.au/x", "www.biz.com.au", "biz.com.au"),
+        # 4-label US locality rule
+        ("https://www.sch.pvt.k12.ma.us/x", "www.sch.pvt.k12.ma.us",
+         "sch.pvt.k12.ma.us"),
+        # 3-label US locality (k12.<state>.us)
+        ("https://hs.k12.ca.us/x", "hs.k12.ca.us", "hs.k12.ca.us"),
+        ("https://a.hs.k12.ca.us/x", "a.hs.k12.ca.us", "hs.k12.ca.us"),
+        # wildcard ccTLD *.ck: foo.ck is itself a public suffix, so
+        # shop.foo.ck is the registrable domain...
+        ("https://shop.foo.ck/x", "shop.foo.ck", "shop.foo.ck"),
+        ("https://a.shop.foo.ck/x", "a.shop.foo.ck", "shop.foo.ck"),
+        # ...with the !www.ck exception punched through
+        ("https://sub.www.ck/x", "sub.www.ck", "www.ck"),
+        # deep private wildcard: *.compute.amazonaws.com
+        ("https://ec2-1.us-east-1.compute.amazonaws.com/x",
+         "ec2-1.us-east-1.compute.amazonaws.com",
+         "ec2-1.us-east-1.compute.amazonaws.com"),
+        # a bare public suffix returns itself (total key)
+        ("https://github.io/x", "github.io", "github.io"),
+        ("https://co.uk/x", "co.uk", "co.uk"),
+        # heuristic fallback still covers unlisted 2-letter ccTLDs
+        ("https://x.co.xx/x", "x.co.xx", "x.co.xx"),
     ]
     df = spark.createDataFrame([(c[0],) for c in cases], "url string")
     rows = df.select(
