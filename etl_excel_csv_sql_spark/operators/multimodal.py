@@ -2118,6 +2118,36 @@ def extract_pdf_text(df: DataFrame, strict: bool = False) -> DataFrame:
     )
 
 
+def _pdf_unicode_payload(mid: int) -> bytes:
+    from etl_excel_csv_sql_spark.operators import pdf
+
+    cmap = {0x0001: "α", 0x0002: "中"}
+    for d in range(10):
+        cmap[0x30 + d] = chr(0x0410 + d)  # digit codes → Cyrillic А..Й
+    fonts = {
+        "F1": {"cmap": cmap, "width": 2},
+        "F2": {"differences": {65: "alpha", 66: "bullet", 67: "eacute"}},
+    }
+    d1, d0 = (mid // 10) % 10, mid % 10
+    shows = [
+        ("F1", bytes([0, 1, 0, 2, 0, 0x30 + d1, 0, 0x30 + d0])),
+        ("F2", b"ABC id %d" % mid),
+        (None, f"Ω{mid % 5}"),  # str → UTF-16BE BOM literal
+    ]
+    return pdf.encode_pdf_unicode([shows], fonts)
+
+
+def synth_pdf_unicode_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id) → (media_id, payload): the r14 Unicode lane — each PDF
+    carries a 2-byte /ToUnicode CMap font (Greek/CJK/Cyrillic), a
+    simple font with /Encoding /Differences (AGL glyph names), and a
+    UTF-16BE BOM literal, so extraction exercises every decode path
+    of pdf._page_text. Text is closed-form in the id."""
+    return _synth_payload_frame(df, id_col, _pdf_unicode_payload)
+
+
 def _pdf15_payload(mid: int) -> bytes:
     from etl_excel_csv_sql_spark.operators import pdf
 

@@ -695,14 +695,327 @@ class _Stream:
 
 _SHOW_OPS = frozenset(("Tj", "'", '"', "TJ"))
 
+# --- Unicode text decode layer (r14, VERDICT r13 #4) ----------------
+#
+# Real-world PDFs mostly ship subset fonts whose byte codes mean
+# nothing in latin-1; the byte-transparent default extracted wrong or
+# empty text even when the object model parsed. Three public-spec
+# mechanisms close the gap (PDF 32000-1 §9.10):
+#
+# - /ToUnicode CMap streams (bfchar / bfrange, 1- or 2-byte codes) —
+#   the mapping mass-produced PDFs actually carry;
+# - simple-font /Encoding dicts with /Differences arrays (code →
+#   glyph NAME → Unicode via the Adobe Glyph List);
+# - UTF-16BE text strings (BOM FE FF), decoded regardless of font.
+#
+# Fonts with none of these stay byte-transparent latin-1 (the pre-r14
+# contract, still right for the synthetic fixtures).
 
-def _page_text(content: bytes) -> str:
+MAX_CMAP_ENTRIES = 1 << 16
+
+# Adobe Glyph List snapshot (public data, github.com/adobe-type-tools/
+# agl-aglfn) — the high-traffic subset: ASCII names resolve through
+# latin-1 anyway, so this lists the non-trivial glyphs real subset
+# fonts rename, plus the uniXXXX / uXXXX(XX) systematic forms handled
+# in _glyph_to_unicode.
+_AGL = {
+    # greek
+    "alpha": "α", "beta": "β", "gamma": "γ",
+    "delta": "δ", "epsilon": "ε", "zeta": "ζ",
+    "eta": "η", "theta": "θ", "iota": "ι",
+    "kappa": "κ", "lambda": "λ", "mu": "μ",
+    "nu": "ν", "xi": "ξ", "omicron": "ο",
+    "pi": "π", "rho": "ρ", "sigma": "σ",
+    "tau": "τ", "upsilon": "υ", "phi": "φ",
+    "chi": "χ", "psi": "ψ", "omega": "ω",
+    "Alpha": "Α", "Beta": "Β", "Gamma": "Γ",
+    "Delta": "Δ", "Omega": "Ω", "Sigma": "Σ",
+    "Pi": "Π", "Phi": "Φ", "Psi": "Ψ",
+    "Theta": "Θ", "Lambda": "Λ",
+    # latin-1 / latin extended names
+    "adieresis": "ä", "odieresis": "ö",
+    "udieresis": "ü", "Adieresis": "Ä",
+    "Odieresis": "Ö", "Udieresis": "Ü",
+    "germandbls": "ß", "eacute": "é", "egrave": "è",
+    "agrave": "à", "aacute": "á", "acircumflex": "â",
+    "ecircumflex": "ê", "ccedilla": "ç",
+    "Ccedilla": "Ç", "ntilde": "ñ", "Ntilde": "Ñ",
+    "oslash": "ø", "Oslash": "Ø", "aring": "å",
+    "Aring": "Å", "ae": "æ", "AE": "Æ",
+    "oe": "œ", "OE": "Œ", "thorn": "þ",
+    "Thorn": "Þ", "eth": "ð", "Eth": "Ð",
+    "scaron": "š", "Scaron": "Š", "zcaron": "ž",
+    "Zcaron": "Ž", "ydieresis": "ÿ", "Ydieresis": "Ÿ",
+    "igrave": "ì", "iacute": "í", "ograve": "ò",
+    "oacute": "ó", "ugrave": "ù", "uacute": "ú",
+    "atilde": "ã", "otilde": "õ",
+    # punctuation / typography
+    "quotesingle": "'", "quotedbl": '"',
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "perthousand": "‰", "guilsinglleft": "‹",
+    "guilsinglright": "›", "guillemotleft": "«",
+    "guillemotright": "»", "fi": "ﬁ", "fl": "ﬂ",
+    "trademark": "™", "copyright": "©",
+    "registered": "®", "degree": "°",
+    "plusminus": "±", "multiply": "×", "divide": "÷",
+    "minus": "−", "fraction": "⁄", "florin": "ƒ",
+    "Euro": "€", "sterling": "£", "yen": "¥",
+    "cent": "¢", "currency": "¤", "section": "§",
+    "paragraph": "¶", "periodcentered": "·",
+    "dotlessi": "ı", "circumflex": "ˆ", "tilde": "˜",
+    "macron": "¯", "breve": "˘", "dotaccent": "˙",
+    "ring": "˚", "cedilla": "¸", "hungarumlaut": "˝",
+    "ogonek": "˛", "caron": "ˇ",
+    "space": " ", "exclam": "!", "numbersign": "#", "dollar": "$",
+    "percent": "%", "ampersand": "&", "parenleft": "(",
+    "parenright": ")", "asterisk": "*", "plus": "+", "comma": ",",
+    "hyphen": "-", "period": ".", "slash": "/", "colon": ":",
+    "semicolon": ";", "less": "<", "equal": "=", "greater": ">",
+    "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    ".notdef": "�",
+}
+
+
+def _glyph_to_unicode(name: str) -> str:
+    """AGL name → Unicode per the AGL specification's resolution
+    order: explicit table entry, single ASCII letter, the systematic
+    uniXXXX / uXXXX(XX) forms; anything unresolvable maps to U+FFFD
+    (deterministic — never silently drops a glyph)."""
+    hit = _AGL.get(name)
+    if hit is not None:
+        return hit
+    if len(name) == 1 and " " <= name <= "~":
+        return name
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            cp = int(name[3:7], 16)
+            if not 0xD800 <= cp <= 0xDFFF:
+                return chr(cp)
+        except ValueError:
+            pass
+    if name.startswith("u") and len(name) in (5, 6, 7):
+        try:
+            cp = int(name[1:], 16)
+            if cp <= 0x10FFFF and not 0xD800 <= cp <= 0xDFFF:
+                return chr(cp)
+        except ValueError:
+            pass
+    return "�"
+
+
+def _parse_cmap(data: bytes) -> tuple[dict[int, str], int]:
+    """ToUnicode CMap stream → (code → Unicode string, code width in
+    bytes). Walks bfchar / bfrange / codespacerange blocks with the
+    module lexer; every other CMap token (the PostScript prologue) is
+    skipped. Destinations are UTF-16BE per the spec; bfrange
+    increments the LAST code unit of the destination."""
+    lex = _Lexer(data)
+    n = len(data)
+    stack: list = []
+    out: dict[int, str] = {}
+    width = 1
+    saw_space = False
+
+    def code_int(b: bytes) -> int:
+        return int.from_bytes(b, "big")
+
+    def dst_str(b: bytes) -> str:
+        return b.decode("utf-16-be", "replace")
+
+    mode = None  # None | 'space' | 'char' | 'range'
+    while True:
+        lex._skip_ws()
+        if lex.pos >= n:
+            break
+        c = data[lex.pos]
+        if c in b"+-.0123456789" or c in b"(<[/":
+            stack.append(lex.object())
+            continue
+        kw = lex.keyword()
+        if kw == "begincodespacerange":
+            mode, stack[:] = "space", []
+        elif kw == "beginbfchar":
+            mode, stack[:] = "char", []
+        elif kw == "beginbfrange":
+            mode, stack[:] = "range", []
+        elif kw in ("endcodespacerange", "endbfchar", "endbfrange"):
+            if mode == "space":
+                for i in range(0, len(stack) - 1, 2):
+                    lo = stack[i]
+                    if not isinstance(lo, bytes) or len(lo) not in (1, 2):
+                        raise ValueError(
+                            "codespacerange width not 1 or 2 bytes"
+                        )
+                    if saw_space and len(lo) != width:
+                        raise ValueError(
+                            "mixed CMap code widths are out of scope"
+                        )
+                    width, saw_space = len(lo), True
+            elif mode == "char":
+                for i in range(0, len(stack) - 1, 2):
+                    src, dst = stack[i], stack[i + 1]
+                    if not isinstance(src, bytes) or not isinstance(
+                        dst, bytes
+                    ):
+                        raise ValueError("bfchar operands must be hex")
+                    out[code_int(src)] = dst_str(dst)
+            elif mode == "range":
+                for i in range(0, len(stack) - 2, 3):
+                    lo, hi, dst = stack[i], stack[i + 1], stack[i + 2]
+                    if not isinstance(lo, bytes) or not isinstance(
+                        hi, bytes
+                    ):
+                        raise ValueError("bfrange bounds must be hex")
+                    lo_i, hi_i = code_int(lo), code_int(hi)
+                    if hi_i < lo_i:
+                        raise ValueError("bfrange upper below lower")
+                    if hi_i - lo_i + 1 + len(out) > MAX_CMAP_ENTRIES:
+                        raise ValueError("CMap exceeds the entry guard")
+                    if isinstance(dst, list):
+                        if len(dst) != hi_i - lo_i + 1:
+                            raise ValueError(
+                                "bfrange array length mismatch"
+                            )
+                        for k, d in enumerate(dst):
+                            if not isinstance(d, bytes):
+                                raise ValueError(
+                                    "bfrange array entry must be hex"
+                                )
+                            out[lo_i + k] = dst_str(d)
+                    elif isinstance(dst, bytes):
+                        base = dst_str(dst)
+                        if not base:
+                            raise ValueError("empty bfrange destination")
+                        last = ord(base[-1])
+                        for k in range(hi_i - lo_i + 1):
+                            out[lo_i + k] = base[:-1] + chr(
+                                (last + k) & 0xFFFF
+                            )
+                    else:
+                        raise ValueError("bfrange dst must be hex/array")
+            mode, stack[:] = None, []
+        else:
+            stack.clear()
+        if len(out) > MAX_CMAP_ENTRIES:
+            raise ValueError("CMap exceeds the entry guard")
+    return out, width
+
+
+class _FontDecoder:
+    """Byte codes → Unicode for ONE font: ToUnicode CMap first (1- or
+    2-byte codes), /Differences second, latin-1 transparency last."""
+
+    __slots__ = ("cmap", "width", "diff")
+
+    def __init__(
+        self,
+        cmap: dict[int, str] | None,
+        width: int,
+        diff: dict[int, str] | None,
+    ) -> None:
+        self.cmap = cmap
+        self.width = width
+        self.diff = diff
+
+    def decode(self, s: bytes) -> str:
+        if self.cmap is not None and self.width == 2:
+            frags = []
+            for i in range(0, len(s) - 1, 2):
+                frags.append(
+                    self.cmap.get(
+                        int.from_bytes(s[i : i + 2], "big"), "�"
+                    )
+                )
+            if len(s) % 2:
+                frags.append("�")  # odd tail: malformed code
+            return "".join(frags)
+        frags = []
+        for b in s:
+            if self.cmap is not None and b in self.cmap:
+                frags.append(self.cmap[b])
+            elif self.diff is not None and b in self.diff:
+                frags.append(self.diff[b])
+            else:
+                frags.append(chr(b))
+        return "".join(frags)
+
+
+def _font_decoder(doc: "_Document", font) -> _FontDecoder | None:
+    """Font dict → decoder, or None for byte-transparent fonts."""
+    font = doc.resolve(font)
+    if not isinstance(font, dict):
+        return None
+    cmap = width = None
+    tou = doc.resolve(font.get("ToUnicode"))
+    if isinstance(tou, _Stream):
+        cmap, width = _parse_cmap(tou.decoded(doc))
+    diff = None
+    enc = doc.resolve(font.get("Encoding"))
+    if isinstance(enc, dict):
+        diffs = doc.resolve(enc.get("Differences"))
+        if isinstance(diffs, list):
+            diff = {}
+            code = 0
+            for el in diffs:
+                el = doc.resolve(el)
+                if isinstance(el, int):
+                    code = el
+                elif isinstance(el, str):
+                    if not 0 <= code <= 255:
+                        raise ValueError(
+                            "/Differences code outside one byte"
+                        )
+                    diff[code] = _glyph_to_unicode(el)
+                    code += 1
+                else:
+                    raise ValueError(
+                        "/Differences entries must be int or name"
+                    )
+    if cmap is None and diff is None:
+        return None
+    return _FontDecoder(cmap, width or 1, diff)
+
+
+def _page_fonts(doc: "_Document", page: dict) -> dict:
+    """Resource-dict /Font map → {name: _FontDecoder | None}."""
+    res = doc.resolve(page.get("Resources"))
+    if not isinstance(res, dict):
+        return {}
+    fonts = doc.resolve(res.get("Font"))
+    if not isinstance(fonts, dict):
+        return {}
+    return {name: _font_decoder(doc, fd) for name, fd in fonts.items()}
+
+
+def _decode_show(s: bytes, dec: _FontDecoder | None) -> str:
+    if s[:2] == b"\xfe\xff":
+        return s[2:].decode("utf-16-be", "replace")
+    if dec is None:
+        return s.decode("latin-1")
+    return dec.decode(s)
+
+
+def _page_text(content: bytes, fonts: dict | None = None) -> str:
     """Show-operator walk per the module contract: fragments from
-    Tj / ' / \" / TJ, joined with one space."""
+    Tj / ' / \" / TJ, joined with one space. ``fonts`` (resource name
+    → _FontDecoder | None) feeds the r14 Unicode layer: ``Tf`` tracks
+    the current font and show strings decode through it; UTF-16BE
+    BOM strings decode directly; fonts with no mapping stay
+    latin-1-transparent."""
     lex = _Lexer(content)
     stack: list = []
     frags: list[str] = []
     n = len(content)
+    fonts = fonts or {}
+    dec: _FontDecoder | None = None
     while True:
         lex._skip_ws()
         if lex.pos >= n:
@@ -718,13 +1031,17 @@ def _page_text(content: bytes) -> str:
             stack.append(lex.object())
             continue
         op = lex.keyword()
-        if op in _SHOW_OPS:
+        if op == "Tf":
+            if len(stack) < 2 or not isinstance(stack[-2], str):
+                raise ValueError("Tf without a font name operand")
+            dec = fonts.get(stack[-2])
+        elif op in _SHOW_OPS:
             if op == "TJ":
                 if not stack or not isinstance(stack[-1], list):
                     raise ValueError("TJ without an array operand")
                 frags.append(
                     "".join(
-                        el.decode("latin-1")
+                        _decode_show(el, dec)
                         for el in stack[-1]
                         if isinstance(el, bytes)
                     )
@@ -732,7 +1049,7 @@ def _page_text(content: bytes) -> str:
             else:
                 if not stack or not isinstance(stack[-1], bytes):
                     raise ValueError(f"{op} without a string operand")
-                frags.append(stack[-1].decode("latin-1"))
+                frags.append(_decode_show(stack[-1], dec))
         stack.clear()
     return " ".join(frags)
 
@@ -751,27 +1068,35 @@ def _walk_pages(doc: _Document) -> list[dict]:
     pages_obj = doc.resolve(root.get("Pages"))
     out: list[dict] = []
 
-    def walk(node, depth: int) -> None:
+    def walk(node, depth: int, resources) -> None:
         node = doc.resolve(node)
         if depth > MAX_PAGE_TREE_DEPTH:
             raise ValueError("page tree exceeds depth guard")
         if not isinstance(node, dict):
             raise ValueError("page tree node is not a dict")
+        # /Resources is INHERITABLE (spec 7.7.3.4): a page without its
+        # own entry uses the nearest ancestor's — real writers factor
+        # shared font dicts up the tree
+        if "Resources" in node:
+            resources = node["Resources"]
         ntype = doc.resolve(node.get("Type"))
         if ntype == "Pages":
             kids = doc.resolve(node.get("Kids"))
             if not isinstance(kids, list):
                 raise ValueError("/Pages without /Kids array")
             for kid in kids:
-                walk(kid, depth + 1)
+                walk(kid, depth + 1, resources)
         elif ntype == "Page":
             if len(out) >= MAX_PAGES:
                 raise ValueError("page count exceeds guard")
+            if "Resources" not in node and resources is not None:
+                node = dict(node)
+                node["Resources"] = resources
             out.append(node)
         else:
             raise ValueError(f"unexpected page tree node type {ntype!r}")
 
-    walk(pages_obj, 0)
+    walk(pages_obj, 0, None)
     return out
 
 
@@ -800,7 +1125,7 @@ def _extract_pages_text(doc: _Document) -> list[str]:
                 raise ValueError("/Contents is not a stream")
             blobs.append(part.decoded(doc))
         # multiple content streams form ONE logical stream (spec 7.8.2)
-        texts.append(_page_text(b"\n".join(blobs)))
+        texts.append(_page_text(b"\n".join(blobs), _page_fonts(doc, page)))
     return texts
 
 
@@ -839,6 +1164,158 @@ def _render_content(shows: list, compress: bool) -> tuple[bytes, bytes]:
     if compress:
         return zlib.compress(content, 6), b" /Filter /FlateDecode"
     return content, b""
+
+
+def _escape_string_bytes(s: bytes) -> bytes:
+    return (
+        s.replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
+        .replace(b"\r", b"\\r")
+    )
+
+
+def _cmap_stream_src(cmap: dict, width: int) -> bytes:
+    """ToUnicode CMap source per PDF 32000-1 §9.10.3 — the standard
+    Adobe-Identity-UCS prologue plus one bfchar block."""
+    lo, hi = ("00", "ff") if width == 1 else ("0000", "ffff")
+    lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CMapName /Adobe-Identity-UCS def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<%s> <%s>" % (lo.encode(), hi.encode()),
+        b"endcodespacerange",
+        b"%d beginbfchar" % len(cmap),
+    ]
+    for code in sorted(cmap):
+        src = code.to_bytes(width, "big").hex().encode()
+        dst = cmap[code].encode("utf-16-be").hex().encode()
+        lines.append(b"<%s> <%s>" % (src, dst))
+    lines += [b"endbfchar", b"endcmap", b"end", b"end"]
+    return b"\n".join(lines)
+
+
+def encode_pdf_unicode(
+    pages: list[list],
+    fonts: dict,
+    compress: bool = True,
+    resources_on_pages_node: bool = False,
+) -> bytes:
+    """Fixture writer for the Unicode lane (classic xref, byte-exact
+    offsets): ``fonts`` maps resource names to a spec —
+    ``{"cmap": {code → str}, "width": 1|2}`` writes a /ToUnicode CMap
+    stream, ``{"differences": {code → glyph_name}}`` writes a
+    simple-font /Encoding dict, ``None`` a plain byte-transparent
+    font. Each page is a list of shows ``(font_name_or_None,
+    payload)``; a ``bytes`` payload emits raw code bytes, a ``str``
+    payload emits a UTF-16BE (BOM) literal string.
+    ``resources_on_pages_node`` hoists the shared /Resources dict to
+    the /Pages node (the inheritable form real writers emit, spec
+    7.7.3.4) instead of repeating it per page. The decode twin of
+    the r14 Unicode layer in ``_page_text`` / ``_font_decoder``."""
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    cat_num = add(b"")   # 1: catalog
+    pages_num = add(b"")  # 2: pages node
+    font_nums: dict[str, int] = {}
+    for name, spec in fonts.items():
+        base = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        )
+        if spec is None:
+            font_nums[name] = add(base + b" >>")
+        elif "cmap" in spec:
+            src = _cmap_stream_src(spec["cmap"], spec.get("width", 2))
+            extra = b""
+            if compress:
+                src = zlib.compress(src, 6)
+                extra = b" /Filter /FlateDecode"
+            tou_num = add(
+                b"<< /Length %d%s >>\nstream\n" % (len(src), extra)
+                + src + b"\nendstream"
+            )
+            font_nums[name] = add(
+                base + b" /ToUnicode %d 0 R >>" % tou_num
+            )
+        elif "differences" in spec:
+            parts = []
+            for code in sorted(spec["differences"]):
+                parts.append(b"%d /%s" % (
+                    code, spec["differences"][code].encode("latin-1")
+                ))
+            font_nums[name] = add(
+                base
+                + b" /Encoding << /Type /Encoding /Differences ["
+                + b" ".join(parts) + b"] >> >>"
+            )
+        else:
+            raise ValueError(f"unknown font spec for {name!r}")
+    kid_nums = []
+    res = b""
+    for shows in pages:
+        ops = [b"BT"]
+        for fname, payload in shows:
+            if fname is not None:
+                ops.append(b"/%s 12 Tf" % fname.encode("latin-1"))
+            if isinstance(payload, str):
+                payload = b"\xfe\xff" + payload.encode("utf-16-be")
+            ops.append(b"(" + _escape_string_bytes(payload) + b") Tj")
+            ops.append(b"0 -14 Td")
+        ops.append(b"ET")
+        content = b"\n".join(ops)
+        extra = b""
+        if compress:
+            content = zlib.compress(content, 6)
+            extra = b" /Filter /FlateDecode"
+        stream_num = add(
+            b"<< /Length %d%s >>\nstream\n" % (len(content), extra)
+            + content + b"\nendstream"
+        )
+        res = (
+            b"/Resources << /Font << "
+            + b" ".join(
+                b"/%s %d 0 R" % (n.encode("latin-1"), num)
+                for n, num in font_nums.items()
+            )
+            + b" >> >>"
+        )
+        kid_nums.append(
+            add(
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                + (b"" if resources_on_pages_node else res + b" ")
+                + b"/Contents %d 0 R >>" % stream_num
+            )
+        )
+    objects[cat_num - 1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[pages_num - 1] = (
+        b"<< /Type /Pages "
+        + (res + b" " if resources_on_pages_node else b"")
+        + b"/Kids ["
+        + b" ".join(b"%d 0 R" % k for k in kid_nums)
+        + b"] /Count %d >>" % len(pages)
+    )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_off)
+    )
+    return bytes(out)
 
 
 def encode_pdf(

@@ -3564,6 +3564,49 @@ def q_pdf15_text_extract(spark, sf_dir):
 
 
 @register(
+    "pdf_unicode_text_extract",
+    # r14 (VERDICT r13 #4): PDF text beyond byte-transparent latin-1 —
+    # each fixture PDF carries (a) a 2-byte /ToUnicode CMap font
+    # mapping planted codes to Greek/CJK and the id's digits to
+    # Cyrillic А..Й, (b) a simple font with /Encoding /Differences
+    # (AGL glyph names alpha/bullet/eacute over bytes A/B/C), and
+    # (c) a UTF-16BE BOM literal string — the three public-spec
+    # mechanisms real subset-font PDFs use. Extracted text is
+    # closed-form in the id, value-checked per character.
+    """
+    WITH t AS (
+      SELECT doc_id,
+             'α中'
+               || chr(CAST(1040 + (doc_id // 10) % 10 AS INTEGER))
+               || chr(CAST(1040 + doc_id % 10 AS INTEGER))
+               || ' α•é id ' || CAST(doc_id AS VARCHAR)
+               || ' Ω' || CAST(doc_id % 5 AS VARCHAR) AS text
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           '1.4' AS version,
+           CAST(1 AS INT) AS n_pages,
+           text,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM t
+    """,
+    doc="Unicode PDF text extraction (operators/pdf.py r14 layer): "
+    "/ToUnicode CMap streams (bfchar/bfrange, 1- and 2-byte codes), "
+    "simple-font /Encoding /Differences via an Adobe Glyph List "
+    "snapshot, and UTF-16BE BOM literals — Tf tracks the current "
+    "font through the show-operator walk and every show string "
+    "decodes through its font's mapping; fonts with neither mapping "
+    "stay byte-transparent. Greek, CJK, and Cyrillic output "
+    "value-checked per character against the id contract",
+)
+def q_pdf_unicode_text_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pdfs = multimodal.synth_pdf_unicode_payloads(docs, "doc_id")
+    media = multimodal.to_media_column(pdfs, "media_id", "payload", "doc")
+    return multimodal.extract_pdf_text(media, strict=True)
+
+
+@register(
     "robots_url_filter",
     # r13: robots.txt politeness — the other half of URL hygiene: a
     # crawl frontier drops disallowed URLs BEFORE fetching. In-plan

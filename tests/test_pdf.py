@@ -348,6 +348,129 @@ def test_mutation_fuzz_raises_only_valueerror():
     assert quarantined > 0
 
 
+def _udoc(mid=7):
+    fonts = {
+        "F1": {"cmap": {1: "α", 2: "中", 0x30: "А", 0x31: "Б"}, "width": 2},
+        "F2": {"differences": {65: "alpha", 66: "bullet", 67: "eacute"}},
+        "F3": None,
+    }
+    pages = [[
+        ("F1", bytes([0, 1, 0, 2, 0, 0x30, 0, 0x31])),
+        ("F2", b"ABC-%d" % mid),
+        ("F3", f"Ω{mid}"),  # UTF-16BE BOM literal
+        (None, b"plain"),        # still F3: byte-transparent
+    ]]
+    return pdf.encode_pdf_unicode(pages, fonts)
+
+
+def test_unicode_roundtrip_all_three_mechanisms():
+    """r14 Unicode layer: ToUnicode CMap (2-byte), /Differences AGL
+    names, and UTF-16BE BOM literals, in one page with Tf switches."""
+    got = pdf.pdf_text_pages(_udoc(9))
+    assert got == ["α中АБ α•é-9 Ω9 plain"]
+    # uncompressed twin (raw CMap stream lane)
+    raw = pdf.encode_pdf_unicode(
+        [[("F1", bytes([0, 1]))]],
+        {"F1": {"cmap": {1: "ß"}, "width": 2}},
+        compress=False,
+    )
+    assert pdf.pdf_text_pages(raw) == ["ß"]
+
+
+def test_parse_cmap_bfrange_and_width():
+    src = b"""
+/CIDInit /ProcSet findresource begin
+begincmap
+1 begincodespacerange <00> <ff> endcodespacerange
+2 beginbfchar <41> <0041> <42> <00470048> endbfchar
+1 beginbfrange <50> <53> <0410> endbfrange
+1 beginbfrange <60> <61> [<2713> <2714>] endbfrange
+endcmap
+"""
+    cmap, width = pdf._parse_cmap(src)
+    assert width == 1
+    assert cmap[0x41] == "A"
+    assert cmap[0x42] == "GH"  # multi-unit bfchar destination
+    # hex bfrange increments the LAST code unit
+    assert [cmap[0x50 + k] for k in range(4)] == ["А", "Б", "В", "Г"]
+    assert cmap[0x60] == "✓" and cmap[0x61] == "✔"
+    # mixed widths are fenced
+    with pytest.raises(ValueError, match="mixed CMap code widths"):
+        pdf._parse_cmap(
+            b"2 begincodespacerange <00> <ff> <0000> <ffff> "
+            b"endcodespacerange"
+        )
+    # bfrange bomb guard
+    with pytest.raises(ValueError, match="entry guard"):
+        pdf._parse_cmap(
+            b"1 begincodespacerange <0000> <ffff> endcodespacerange "
+            b"1 beginbfrange <0000> <ffff> <0041> endbfrange "
+            b"1 beginbfrange <0000> <ffff> <0042> endbfrange"
+        )
+
+
+def test_glyph_to_unicode_resolution_order():
+    assert pdf._glyph_to_unicode("alpha") == "α"
+    assert pdf._glyph_to_unicode("a") == "a"          # single ASCII
+    assert pdf._glyph_to_unicode("uni0414") == "Д"    # systematic form
+    assert pdf._glyph_to_unicode("u1F600") == "😀"    # u + 5/6 hex
+    assert pdf._glyph_to_unicode("gXYZ99") == "�"     # unresolvable
+    assert pdf._glyph_to_unicode("uniD800") == "�"    # surrogate fenced
+
+
+def test_unicode_decode_edges():
+    # odd-length show string under a 2-byte CMap: trailing U+FFFD
+    dec = pdf._FontDecoder({1: "x"}, 2, None)
+    assert dec.decode(bytes([0, 1, 0])) == "x�"
+    # unmapped 2-byte code
+    assert dec.decode(bytes([0, 9])) == "�"
+    # 1-byte cmap falls through to differences then latin-1
+    dec1 = pdf._FontDecoder({0x41: "α"}, 1, {0x42: "β"})
+    assert dec1.decode(b"ABz") == "αβz"
+
+
+def test_resources_inherit_from_pages_node():
+    """/Resources is inheritable (spec 7.7.3.4): a page without its
+    own entry must decode through the nearest ancestor's font dict —
+    real writers factor shared fonts up the tree."""
+    fonts = {"F1": {"cmap": {1: "Ж", 2: "ю"}, "width": 2}}
+    pages = [
+        [("F1", bytes([0, 1]))],
+        [("F1", bytes([0, 2]))],
+    ]
+    doc = pdf.encode_pdf_unicode(
+        pages, fonts, resources_on_pages_node=True
+    )
+    assert b"/Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents" \
+        in doc  # the page dicts really have no /Resources of their own
+    assert pdf.pdf_text_pages(doc) == ["Ж", "ю"]
+
+
+def test_unicode_mutation_fuzz_raises_only_valueerror():
+    """The r13 fuzz battery extended to the CMap/Differences parsers
+    (VERDICT r13 #4): mutated Unicode-lane PDFs extract or raise
+    ValueError — never another exception class."""
+    rng = np.random.RandomState(1414)
+    valids = [_udoc(1), _udoc(42)]
+    trials = ok = quarantined = 0
+    for payload in valids:
+        for _ in range(120):
+            buf = bytearray(payload)
+            if rng.rand() < 0.3:
+                buf = buf[: rng.randint(1, len(buf))]
+            for _ in range(rng.randint(1, 5)):
+                if buf:
+                    buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+            trials += 1
+            try:
+                pdf.pdf_text_report(bytes(buf))
+                ok += 1
+            except ValueError:
+                quarantined += 1
+    assert trials == ok + quarantined
+    assert quarantined > 0
+
+
 def test_bomb_guards():
     # inflate guard: a content stream declaring a small /Length whose
     # flate output would exceed the cap
