@@ -81,6 +81,22 @@ if mode == "generator":
             h.update(rec["target_uri"].encode())
             h.update(body)
         n += 1
+elif mode == "kernel":
+    # the LENIENT Spark kernel end-to-end (r14 validate-then-emit):
+    # one binaryFile-shaped row through _record_batches, frames
+    # consumed and dropped — peak RSS must be O(record + frame bound),
+    # independent of file size
+    import pandas as pd
+    batches = warc._record_batches(False, 120)
+    frames = batches(iter([pd.DataFrame({{"path": [path],
+                                          "content": [payload]}})]))
+    for frame in frames:
+        for uri, text in zip(frame["target_uri"], frame["text"]):
+            if uri is not None:
+                h.update(str(uri).encode())
+            if text is not None:
+                total += len(text)
+        n += len(frame)
 else:
     records = warc.parse_warc(payload)
     for rec in records:
@@ -115,8 +131,20 @@ def main() -> int:
     decompressed_mb = n * body_kb / 1024
     gen = run_child("generator", path)
     mat = run_child("materialized", path)
+    ker = run_child("kernel", path)
     assert gen["sha"] == mat["sha"], "paths disagree on record bytes"
     assert gen["n"] == mat["n"] == n + 1
+    # the lenient kernel emits every record as a row and the same
+    # total decoded text as the raw generator walk
+    assert ker["n"] == n + 1 and ker["chars"] == gen["chars"]
+    # size-independence: the SAME kernel over a 3x-record file — peak
+    # RSS must stay ~flat (r13 buffered O(file text) before first emit)
+    n3 = n * 3
+    path3 = path + ".3x"
+    gz3 = build_fixture(path3, n3, body_kb)
+    ker3 = run_child("kernel", path3)
+    assert ker3["n"] == n3 + 1
+    os.remove(path3)
     row = {
         "ts": time.time(),
         "metric": "warc_rss_probe",
@@ -125,6 +153,10 @@ def main() -> int:
         "decompressed_mb": round(decompressed_mb, 1),
         "generator_rss_mb": gen["rss_mb"],
         "materialized_rss_mb": mat["rss_mb"],
+        "kernel_rss_mb": ker["rss_mb"],
+        "kernel_rss_mb_3x": ker3["rss_mb"],
+        "gz_mb_3x": round(gz3 / 1048576, 1),
+        "decompressed_mb_3x": round(n3 * body_kb / 1024, 1),
         "bit_identical": True,
         "build_plus_runs_sec": round(time.time() - t0, 1),
     }
