@@ -336,6 +336,16 @@ def _file_rows(
             )
             head = text[:head_chars]
             chars = len(text)
+        elif rec["warc_type"] == "metadata" and (
+            rec["content_type"] or ""
+        ).startswith("application/json"):
+            # WAT layout (r14): page metadata as JSON envelope records
+            # — JSON is UTF-8 by RFC 8259, decoded here so the Spark
+            # side can from_json the text column
+            charset, source = "utf-8", "default"
+            text = rec["body"].decode("utf-8", "replace")
+            head = text[:head_chars]
+            chars = len(text)
         rec["body"] = None  # release before next record
         yield (
             (
@@ -501,6 +511,18 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
         if body is None:
             body = r["body_text"].encode()
         ctype = r.get("http_content_type", "text/plain")
+        if r.get("record_type") == "metadata":
+            # the WAT layout: a JSON envelope describing another record
+            out += record(
+                "metadata",
+                {
+                    "WARC-Target-URI": r["uri"],
+                    "WARC-Date": r.get("date", "2026-01-01T00:00:00Z"),
+                    "Content-Type": "application/json",
+                },
+                body,
+            )
+            continue
         if r.get("record_type") == "conversion":
             # the WET layout: extracted text, no HTTP wrapper
             out += record(
@@ -529,3 +551,146 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
             http,
         )
     return bytes(out)
+
+
+# --- WAT: Common Crawl's page-metadata artifact (r14, VERDICT #7) ---
+#
+# A WAT file is itself a WARC container whose records are
+# ``metadata`` + application/json: one JSON "Envelope" per crawled
+# page carrying the WARC headers, the parsed <head> (title, metas),
+# and the outgoing links — Common Crawl's third artifact next to WARC
+# (raw) and WET (extracted text). Reading reuses the SAME record
+# kernel (file = task, per-record gzip members); the JSON shapes into
+# columns with Spark's from_json — no custom parser, Catalyst prunes
+# the envelope fields the query doesn't touch.
+
+
+def encode_wat(pages: list[dict], gzip_members: bool = True) -> bytes:
+    """Fixture writer: one WAT ``metadata`` record per page dict
+    (``uri``; optional ``title``, ``links`` [{url, text}], ``metas``
+    [{name, content}]) in the Common Crawl envelope shape."""
+    import json as _json
+
+    recs = []
+    for p in pages:
+        env = {
+            "Envelope": {
+                "WARC-Header-Metadata": {
+                    "WARC-Target-URI": p["uri"],
+                    "WARC-Type": "response",
+                },
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Head": {
+                                "Title": p.get("title"),
+                                "Metas": p.get("metas", []),
+                            },
+                            "Links": [
+                                {
+                                    "path": "A@/href",
+                                    "url": l.get("url"),
+                                    "text": l.get("text"),
+                                }
+                                for l in p.get("links", [])
+                            ],
+                        }
+                    }
+                },
+            }
+        }
+        recs.append({
+            "record_type": "metadata",
+            "uri": p["uri"],
+            "body_bytes": _json.dumps(env).encode(),
+        })
+    return encode_warc(recs, gzip_members=gzip_members)
+
+
+def _wat_schema():
+    from pyspark.sql import types as T
+
+    link = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    meta = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    return T.StructType([T.StructField("Envelope", T.StructType([
+        T.StructField("WARC-Header-Metadata", T.StructType([
+            T.StructField("WARC-Target-URI", T.StringType()),
+            T.StructField("WARC-Type", T.StringType()),
+        ])),
+        T.StructField("Payload-Metadata", T.StructType([
+            T.StructField("HTTP-Response-Metadata", T.StructType([
+                T.StructField("HTML-Metadata", T.StructType([
+                    T.StructField("Head", T.StructType([
+                        T.StructField("Title", T.StringType()),
+                        T.StructField("Metas", T.ArrayType(meta)),
+                    ])),
+                    T.StructField("Links", T.ArrayType(link)),
+                ])),
+            ])),
+        ])),
+    ]))])
+
+
+def parse_wat_metadata(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``read_warc`` output (WAT file) → one row per page with the
+    envelope shaped into columns: ``page_uri title metas links``
+    (arrays stay nested here — the catalog/link helpers below flatten
+    them for driver-hashable output). Non-metadata rows (warcinfo,
+    the null sentinel of a quarantined file) drop on warc_type."""
+    from pyspark.sql import functions as F
+
+    j = F.from_json(F.col(text_col), _wat_schema())
+    html = (
+        j["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"]
+        ["HTML-Metadata"]
+    )
+    return df.filter(F.col("warc_type") == "metadata").select(
+        j["Envelope"]["WARC-Header-Metadata"]["WARC-Target-URI"]
+        .alias("page_uri"),
+        html["Head"]["Title"].alias("title"),
+        html["Head"]["Metas"].alias("metas"),
+        html["Links"].alias("links"),
+    )
+
+
+def wat_page_catalog(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar per-page WAT catalog: (page_uri, title, n_links,
+    n_metas, first_link_url) — the driver-hashable surface."""
+    from pyspark.sql import functions as F
+
+    pages = parse_wat_metadata(df, text_col)
+    return pages.select(
+        "page_uri",
+        "title",
+        F.coalesce(F.size("links"), F.lit(0)).cast("int").alias("n_links"),
+        F.coalesce(F.size("metas"), F.lit(0)).cast("int").alias("n_metas"),
+        # try_element_at: an empty links array must yield NULL, not the
+        # ANSI out-of-bounds error plain element_at raises
+        F.try_element_at(F.col("links"), F.lit(1))["url"]
+        .alias("first_link_url"),
+    )
+
+
+def wat_links(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """WAT link edges: (src, link_idx, url, anchor_text) — one row per
+    outgoing link, position-preserving posexplode; joinable against
+    the web_link_graph frame extracted from the raw WARC HTML."""
+    from pyspark.sql import functions as F
+
+    pages = parse_wat_metadata(df, text_col)
+    return pages.select(
+        F.col("page_uri").alias("src"),
+        F.posexplode("links").alias("link_idx", "l"),
+    ).select(
+        "src",
+        F.col("link_idx").cast("int"),
+        F.col("l")["url"].alias("url"),
+        F.col("l")["text"].alias("anchor_text"),
+    )

@@ -1938,6 +1938,73 @@ def q_wet_text_catalog(spark, sf_dir):
 
 
 @register(
+    "wat_metadata_catalog",
+    # r14 (VERDICT r13 #7): the WAT layout — Common Crawl's THIRD
+    # artifact (page metadata as JSON envelope records inside a WARC
+    # container), closing the WARC/WET/WAT triad. The fixture writes
+    # one metadata record per doc in the CC Envelope shape (WARC
+    # headers + Head.Title/Metas + Links); the read path is the SAME
+    # record kernel as WARC/WET plus from_json on the text column —
+    # Catalyst prunes unread envelope fields. Links count id % 4,
+    # metas id % 3, first link url closed-form.
+    """
+    SELECT 'https://example.org/p/' || CAST(doc_id AS VARCHAR)
+             AS page_uri,
+           'Title ' || CAST(doc_id AS VARCHAR) AS title,
+           CAST(doc_id % 4 AS INT) AS n_links,
+           CAST(doc_id % 3 AS INT) AS n_metas,
+           CASE WHEN doc_id % 4 = 0 THEN NULL
+                ELSE 'https://example.org/l/' || CAST(doc_id AS VARCHAR)
+                  || '/0' END AS first_link_url
+    FROM documents
+    """,
+    doc="WAT page-metadata ingest (io/warc.py encode_wat / "
+    "parse_wat_metadata / wat_page_catalog): metadata+application/json "
+    "records through the SAME streaming WARC kernel, then from_json "
+    "shapes the Common Crawl Envelope (title, metas, links) into "
+    "columns — completing the WARC/WET/WAT triad. Title, link and "
+    "meta counts, and first link url all value-checked by the "
+    "id-contract oracle; the link edge list joins against "
+    "web_link_graph in pytest",
+)
+def q_wat_metadata_catalog(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io import warc
+
+    scratch = _scratch(
+        "wat_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    pages = [
+        {
+            "uri": f"https://example.org/p/{i}",
+            "title": f"Title {i}",
+            "links": [
+                {
+                    "url": f"https://example.org/l/{i}/{k}",
+                    "text": f"link {k}",
+                }
+                for k in range(i % 4)
+            ],
+            "metas": [
+                {"name": f"m{k}", "content": f"c{k}"}
+                for k in range(i % 3)
+            ],
+        }
+        for i in ids
+    ]
+    path = os.path.join(scratch, "crawl-00000.warc.wat.gz")
+    with open(path, "wb") as f:
+        f.write(warc.encode_wat(pages))
+    return warc.wat_page_catalog(warc.read_warc(spark, path, strict=True))
+
+
+@register(
     "web_link_graph",
     # r13: the link-graph edge list — visible anchors only (the same
     # visibility contract as the text extraction: anchors inside

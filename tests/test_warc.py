@@ -399,3 +399,107 @@ def test_html_main_text_link_density_rule():
     assert html_main_text(
         nav, min_block_chars=5, max_link_ratio=1.0
     ) == ("Home About", 1, 0)
+
+
+def test_wat_envelope_roundtrip_and_catalog(spark, tmp_path):
+    """WAT lane (r14): metadata+application/json records through the
+    same kernel; from_json shapes the CC envelope into columns."""
+    from etl_excel_csv_sql_spark.io import warc
+
+    pages = [
+        {
+            "uri": f"https://ex.org/p/{i}",
+            "title": f"T{i}" if i != 2 else None,  # titleless page
+            "links": [
+                {"url": f"https://ex.org/l/{i}/{k}", "text": f"link {k}"}
+                for k in range(i % 4)
+            ],
+            "metas": [
+                {"name": f"m{k}", "content": f"c{k}"} for k in range(i % 3)
+            ],
+        }
+        for i in range(6)
+    ]
+    path = str(tmp_path / "seg-00000.warc.wat.gz")
+    with open(path, "wb") as f:
+        f.write(warc.encode_wat(pages))
+    cat = {
+        r["page_uri"]: r
+        for r in warc.wat_page_catalog(
+            warc.read_warc(spark, path, strict=True)
+        ).collect()
+    }
+    assert len(cat) == 6
+    for i in range(6):
+        row = cat[f"https://ex.org/p/{i}"]
+        assert row["title"] == (f"T{i}" if i != 2 else None)
+        assert row["n_links"] == i % 4
+        assert row["n_metas"] == i % 3
+        assert row["first_link_url"] == (
+            f"https://ex.org/l/{i}/0" if i % 4 else None
+        )
+
+
+def test_wat_links_match_web_link_graph(spark, tmp_path):
+    """The WAT link edges must agree with the edges extracted from
+    the raw WARC HTML by extract_web_links — the triad's artifacts
+    describe the SAME crawl (VERDICT r13 #7 done-criterion)."""
+    from etl_excel_csv_sql_spark.io import warc
+    from etl_excel_csv_sql_spark.operators.webtext import extract_web_links
+
+    def hrefs(i):
+        return [f"https://ex.org/l/{i}/{k}" for k in range(1 + i % 3)]
+
+    html_recs, wat_pages = [], []
+    for i in range(8):
+        body = (
+            f"<html><head><title>T{i}</title></head><body>"
+            + "".join(
+                f'<a href="{h}">link {k}</a> text'
+                for k, h in enumerate(hrefs(i))
+            )
+            + "</body></html>"
+        )
+        html_recs.append({
+            "uri": f"https://ex.org/p/{i}",
+            "status": 200,
+            "body_text": body,
+            "http_content_type": "text/html",
+        })
+        wat_pages.append({
+            "uri": f"https://ex.org/p/{i}",
+            "title": f"T{i}",
+            "links": [
+                {"url": h, "text": f"link {k}"}
+                for k, h in enumerate(hrefs(i))
+            ],
+        })
+    warc_path = str(tmp_path / "seg.warc.gz")
+    wat_path = str(tmp_path / "seg.warc.wat.gz")
+    with open(warc_path, "wb") as f:
+        f.write(warc.encode_warc(html_recs, gzip_members=True))
+    with open(wat_path, "wb") as f:
+        f.write(warc.encode_wat(wat_pages))
+
+    from pyspark.sql import functions as F
+
+    raw = warc.read_warc(spark, warc_path, strict=True).filter(
+        F.col("warc_type") == "response"
+    ).select(
+        F.regexp_extract("target_uri", r"/p/(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        "text",
+    )
+    from_html = sorted(
+        (r["doc_id"], r["href"])
+        for r in extract_web_links(raw).collect()
+    )
+    from_wat = sorted(
+        (int(r["src"].rsplit("/", 1)[1]), r["url"])
+        for r in warc.wat_links(
+            warc.read_warc(spark, wat_path, strict=True)
+        ).collect()
+    )
+    assert from_html == from_wat and len(from_html) == sum(
+        1 + i % 3 for i in range(8)
+    )
