@@ -2543,11 +2543,20 @@ def q_crawl_pipeline_full_e2e(spark, sf_dir):
                 ),
             }
         )
-    path = os.path.join(scratch, "crawl-00000.warc.gz")
-    with open(path, "wb") as f:
-        f.write(warc.encode_warc(recs, gzip_members=True))
+    # shard into ~2500-record segment files (r14): WARC.gz is not
+    # block-splittable, so the FILE is the task unit — one monolithic
+    # file would serialize the whole ingest on one core at any scale,
+    # a fixture artifact rather than an operator property (Common
+    # Crawl ships ~90k segment files per snapshot for this reason)
+    seg = 2500
+    for s0 in range(0, max(len(recs), 1), seg):
+        path = os.path.join(scratch, f"crawl-{s0 // seg:05d}.warc.gz")
+        with open(path, "wb") as f:
+            f.write(warc.encode_warc(recs[s0 : s0 + seg], gzip_members=True))
     pages = (
-        warc.read_warc(spark, path, strict=True)
+        warc.read_warc(
+            spark, os.path.join(scratch, "crawl-*.warc.gz"), strict=True
+        )
         .filter(F.col("warc_type") == "response")
         .select(
             F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
@@ -2817,10 +2826,17 @@ def q_crawl_frontier_e2e(spark, sf_dir):
         return canon
 
     entries = [{"loc": messy(i)} for i in ids]
-    path = os.path.join(scratch, "sitemap-00000.xml")
-    with open(path, "wb") as f:
-        f.write(sitemap.encode_sitemap(entries))
-    locs = sitemap.read_sitemap(spark, path, strict=True).select("loc")
+    # shard into <=2500-entry sitemap files (r14): the protocol caps a
+    # sitemap at 50k URLs anyway, and the FILE is the read task unit —
+    # one monolithic file would serialize ingest at any scale
+    seg = 2500
+    for s0 in range(0, max(len(entries), 1), seg):
+        path = os.path.join(scratch, f"sitemap-{s0 // seg:05d}.xml")
+        with open(path, "wb") as f:
+            f.write(sitemap.encode_sitemap(entries[s0 : s0 + seg]))
+    locs = sitemap.read_sitemap(
+        spark, os.path.join(scratch, "sitemap-*.xml"), strict=True
+    ).select("loc")
     normed = locs.select(
         urls.normalize_url("loc").alias("url_norm")
     ).withColumn("host", urls.url_host(F.col("url_norm")))

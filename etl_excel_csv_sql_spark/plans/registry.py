@@ -7865,57 +7865,73 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # embedding_dim_stats. Net: 18 of 50 slots carry
 # never-driver-checked r13 full oracles; the displaced r7 breadth
 # re-checks (each 1 green round, local-gate-pinned) lead the r14 pool.
+# --- r14 window (tools/rotation.py 14, VERDICT r13 #2): leads with
+# the 3 never-driver-checked r14 queries (pdf_unicode_text_extract,
+# wat_metadata_catalog, crawl_streaming_pipeline_e2e), then 5 queries
+# whose FIXTURES/behavior materially changed in r14 and whose r13
+# driver rows therefore no longer certify the shipped code —
+# robots_url_filter (wildcard regimes added), url_normalize_dedup
+# (PSL snapshot + 3 new host shapes), paragraph_dedup_ccnet (null-text
+# lane), crawl_pipeline_full_e2e / crawl_frontier_e2e (sharded
+# fixtures + PSL/robots-wildcard underneath) — then the FULL 17-query
+# r7 staleness tier, then the 25 stalest r8-tier slots. The 5 youngest
+# r8-tier proposals (embedding_quantization_report, count_min_partkey,
+# seasonal_decompose_daily, corpus_datacard, vocab_coverage_report —
+# all last=r8 green, untouched, local-gate-pinned) yield their slots
+# to the changed-fixture re-proofs and lead the r15 pool. The 31
+# breadth demotions (rotation.py output) execute this round: after
+# r14 no ACTIVE query's latest driver row is older than r8.
 WINDOW_ORDER: tuple[str, ...] = (
-    "media_sniff_catalog",
-    "warc_crawl_catalog",
-    "warc_web_text_extract",
-    "quality_classifier_predictions",
-    "sequence_packing_report",
-    "doc_chunk_windows",
-    "stratified_sample_exact",
-    "temperature_resample_weights",
-    "events_resample_ffill",
-    "events_value_anomalies",
-    "tfidf_doc_similarity",
-    "events_trailing_hour_window",
-    "wet_text_catalog",
-    "attribution_last_touch",
-    "stats_chi_square_lang_source",
-    "stats_linear_fit_price_qty",
-    "stats_correlation_matrix",
-    "join_cardinality_estimate",
-    "web_link_graph",
-    "web_link_graph_resolved",
-    "events_seasonal_anomalies",
-    "embedding_drift_report",
-    "ab_test_report",
-    "corpus_pipeline_e2e",
-    "scd2_point_in_time_join",
-    "crawl_fetch_schedule",
-    "web_page_meta",
-    "warc_streaming_ingest",
-    "paragraph_dedup_ccnet",
-    "web_main_text",
-    "crawl_frontier_e2e",
-    "sitemap_catalog",
-    "crawl_pipeline_full_e2e",
+    "pdf_unicode_text_extract",
+    "wat_metadata_catalog",
+    "crawl_streaming_pipeline_e2e",
     "robots_url_filter",
-    "events_ewma_smoothing",
-    "warc_charset_bodies",
-    "pdf_text_extract",
     "url_normalize_dedup",
-    "variant_payload_extract",
-    "crawl_pipeline_e2e",
-    "source_score_quantile_norm",
-    "pdf15_text_extract",
-    "kfold_assignment",
-    "events_streaming_dedup_watermarked",
-    "csv_permissive_quarantine",
-    "dpp_partition_pruned_revenue",
-    "pivot_multi_agg",
-    "personalized_pagerank_parts",
-    "media_exif_meta",
-    "forecast_revenue_change",
+    "paragraph_dedup_ccnet",
+    "crawl_pipeline_full_e2e",
+    "crawl_frontier_e2e",
+    "numeric_histogram",
+    "returned_item_report",
+    "customers_without_orders",
+    "nation_volume_shipping",
+    "promo_revenue_pct",
+    "top_supplier_revenue",
+    "small_qty_order_revenue",
+    "large_volume_customers",
+    "disjunctive_predicate_revenue",
+    "multiset_ops",
+    "embedding_dim_stats",
+    "benford_first_digit",
+    "datetime_functions_breadth",
+    "aggregate_functions_breadth",
+    "regexp_functions_breadth",
+    "null_semantics_battery",
+    "nested_orders_rollup",
+    "observed_pipeline_metrics",
+    "collation_ci_matching",
+    "ansi_safe_arithmetic",
+    "calendar_dim_spine",
+    "map_functions_breadth",
+    "grouped_minmax_scaling",
+    "grouped_agg_pandas_udf",
+    "fuzzy_join_enrichment",
+    "cuped_ab_report",
+    "set_similarity_join_pairs",
+    "late_supplier_blame_report",
+    "cdc_apply_roundtrip",
+    "global_outlier_customers",
+    "fuzzy_part_pairs_multipass",
+    "lpa_communities",
+    "events_sessionize_bucketed",
+    "survival_curve_users",
+    "rfm_segmentation",
+    "winsorized_price_stats",
+    "jaro_winkler_part_pairs",
+    "doc_bigram_surprisal",
+    "dsir_importance_weights",
+    "gopher_rule_filter",
+    "psi_drift_orders",
+    "events_acf_daily",
 )
 
 # Breadth-tier queries (see QuerySpec.tier): pure SQL-shape coverage —
