@@ -200,12 +200,49 @@ def parse_warc(payload: bytes) -> list[dict]:
     return list(iter_warc_records(payload))
 
 
+def _dechunk(data: bytes) -> bytes:
+    """RFC 9112 §7.1 chunked transfer decoding: hex-size line (chunk
+    extensions after ';' ignored), exact-size chunk, CRLF, until the
+    zero chunk; trailer fields after the last chunk are dropped. Any
+    framing violation raises ValueError into the quarantine lane —
+    crawls archive responses AS SENT, so chunked bodies are common in
+    real WARC files and a reader that returned the raw framing would
+    feed chunk-size lines into the text pipeline."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while True:
+        eol = data.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError("chunk size line not CRLF-terminated")
+        size_token = data[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            raise ValueError(f"non-hex chunk size {size_token!r}")
+        if size < 0:
+            raise ValueError("negative chunk size")
+        pos = eol + 2
+        if size == 0:
+            # optional trailer section: ignore through the end
+            return bytes(out)
+        if pos + size + 2 > n:
+            raise ValueError("chunk overruns the HTTP body")
+        out += data[pos : pos + size]
+        pos += size
+        if data[pos : pos + 2] != _CRLF:
+            raise ValueError("chunk data not CRLF-terminated")
+        pos += 2
+
+
 def http_response_parts(body: bytes) -> tuple[int, dict[str, str], bytes]:
     """(status_code, headers, http_body) from an embedded HTTP/1.x
     response (the payload of a WARC ``response`` record with
     ``application/http`` content type). Header names lowercase;
     duplicate headers keep the first value (charset detection only
-    reads Content-Type, and RFC 9110 makes duplicates of it invalid)."""
+    reads Content-Type, and RFC 9110 makes duplicates of it invalid).
+    A ``Transfer-Encoding: chunked`` body de-chunks (r14) — crawls
+    store responses as sent over the wire."""
     eol = body.find(_CRLF)
     if eol < 0:
         raise ValueError("HTTP status line not CRLF-terminated")
@@ -227,7 +264,11 @@ def http_response_parts(body: bytes) -> tuple[int, dict[str, str], bytes]:
                 name.strip().lower().decode("ascii", "replace"),
                 value.strip().decode("utf-8", "replace"),
             )
-    return status, headers, body[sep + 4 :]
+    http_body = body[sep + 4 :]
+    te = headers.get("transfer-encoding", "")
+    if "chunked" in te.lower():
+        http_body = _dechunk(http_body)
+    return status, headers, http_body
 
 
 def http_response_fields(body: bytes) -> tuple[int, bytes]:
@@ -535,12 +576,33 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
                 body,
             )
             continue
-        http = (
-            f"HTTP/1.1 {r['status']} "
-            f"{'OK' if r['status'] == 200 else 'NOT-OK'}\r\n"
-            f"Content-Type: {ctype}\r\n"
-            f"Content-Length: {len(body)}\r\n\r\n"
-        ).encode() + body
+        if r.get("chunked"):
+            # wire-format chunked body (RFC 9112 §7.1) — how many real
+            # origins actually send, and how crawls archive it; chunk
+            # extension + trailer lanes exercise the tolerant paths
+            size = int(r.get("chunk_size", 16))
+            wire = bytearray()
+            for off in range(0, len(body), size):
+                piece = body[off : off + size]
+                ext = b";ext=1" if r.get("chunk_ext") and off == 0 else b""
+                wire += b"%x" % len(piece) + ext + _CRLF + piece + _CRLF
+            wire += b"0" + _CRLF
+            if r.get("trailer"):
+                wire += b"X-Trailer: t" + _CRLF
+            wire += _CRLF
+            http = (
+                f"HTTP/1.1 {r['status']} "
+                f"{'OK' if r['status'] == 200 else 'NOT-OK'}\r\n"
+                f"Content-Type: {ctype}\r\n"
+                f"Transfer-Encoding: chunked\r\n\r\n"
+            ).encode() + bytes(wire)
+        else:
+            http = (
+                f"HTTP/1.1 {r['status']} "
+                f"{'OK' if r['status'] == 200 else 'NOT-OK'}\r\n"
+                f"Content-Type: {ctype}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
         out += record(
             "response",
             {

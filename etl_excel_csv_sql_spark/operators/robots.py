@@ -79,6 +79,47 @@ def parse_robots_text(text: str, agent: str = "*") -> list[tuple[str, str]]:
     return groups.get("*", [])
 
 
+def parse_robots_crawl_delay(text: str, agent: str = "*") -> float | None:
+    """``Crawl-delay:`` seconds for the given user-agent group — the
+    de facto directive (not in RFC 9309, honored by most non-Google
+    crawlers) that feeds delay-aware fetch scheduling
+    (``urls.fetch_schedule_delays``). Resolution: the matching agent
+    group's delay if it set one, else the ``*`` group's, else None
+    (crawler default applies). Non-numeric / negative values are
+    ignored (real robots.txt files carry plenty of garbage)."""
+    delays: dict[str, float] = {}
+    current: list[str] = []
+    last_was_agent = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not last_was_agent:
+                current = []
+            current.append(value.lower())
+            last_was_agent = True
+        elif key == "crawl-delay":
+            last_was_agent = False
+            try:
+                d = float(value)
+            except ValueError:
+                continue
+            if d < 0:
+                continue
+            for a in current or ["*"]:
+                delays.setdefault(a, d)
+        else:
+            last_was_agent = False
+    agent = agent.lower()
+    if agent in delays:
+        return delays[agent]
+    return delays.get("*")
+
+
 def parse_robots_sitemaps(text: str) -> list[str]:
     """``Sitemap:`` directives from a robots.txt body — group-
     INDEPENDENT per RFC 9309 §2.3 (they apply regardless of

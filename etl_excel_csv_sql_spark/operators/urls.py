@@ -13,10 +13,16 @@ fetching — deterministic, idempotent, oracle-friendly):
 - drop the default port (``:80`` for http, ``:443`` for https);
 - collapse trailing slashes on the path when the URL has no query
   string (``/a/`` and ``/a`` are almost always the same resource; with
-  a query the path boundary is semantic, so it is left alone).
+  a query the path boundary is semantic, so it is left alone);
+- percent-encoding normalization per RFC 3986 §6.2.2 (r14): decode
+  escapes of UNRESERVED characters (``%41`` → ``A``, ``%7E`` → ``~``
+  — the RFC says these are equivalent for every origin) and uppercase
+  the hex digits of every escape that stays (``%2f`` → ``%2F``);
+  escapes of reserved characters are never decoded (``%2F`` vs ``/``
+  can be semantic). Applies to the path+query, not the authority.
 
-Percent-encoding normalization and IDN/punycode are deliberately out of
-scope (they change bytes the origin may distinguish).
+IDN/punycode is deliberately out of scope (it changes bytes the origin
+may distinguish and needs a full nameprep table).
 
 ``registrable_domain`` is the grouping key crawl frontiers and per-site
 caps use. Since r14 it runs the full Public Suffix List matching
@@ -38,6 +44,36 @@ from etl_excel_csv_sql_spark.operators import psl as _psl
 
 def _col(c) -> Column:
     return F.col(c) if isinstance(c, str) else c
+
+
+def _normalize_percent(col: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization as pure Catalyst:
+    split on '%', then each split tail either decodes (2 hex digits
+    naming an unreserved char), re-uppercases (2 hex digits naming
+    anything else), or passes through verbatim (not a valid escape —
+    browsers tolerate stray '%', so the normalizer must too)."""
+
+    def fix(p: Column) -> Column:
+        hex2 = F.substring(p, 1, 2)
+        is_hex = hex2.rlike("^[0-9A-Fa-f]{2}$")
+        ch = F.char(F.conv(hex2, 16, 10).cast("int"))
+        unreserved = ch.rlike("^[A-Za-z0-9._~-]$")
+        rest = F.substring(p, 3, 2147483647)
+        return (
+            F.when(is_hex & unreserved, F.concat(ch, rest))
+            .when(is_hex, F.concat(F.lit("%"), F.upper(hex2), rest))
+            .otherwise(F.concat(F.lit("%"), p))
+        )
+
+    parts = F.split(col, "%")
+    return F.when(~col.contains("%"), col).otherwise(
+        F.concat(
+            F.element_at(parts, 1),
+            F.array_join(
+                F.transform(F.slice(parts, 2, F.size(parts) - 1), fix), ""
+            ),
+        )
+    )
 
 
 def normalize_url(url) -> Column:
@@ -65,6 +101,10 @@ def normalize_url(url) -> Column:
     rest = F.when(
         rest.contains("?"), rest
     ).otherwise(F.regexp_replace(rest, r"/+$", ""))
+    # percent normalization can't mint '/' or '?' (those are reserved
+    # and never decode), so running it after the slash/query handling
+    # is order-independent
+    rest = _normalize_percent(rest)
     return F.when(scheme == "", t).otherwise(
         F.concat(
             scheme, F.lit("://"), _strip_default_port(scheme, authority), rest
@@ -145,4 +185,50 @@ def fetch_schedule(
     slot = F.row_number().over(w) - 1
     return frontier.withColumn("slot", slot.cast("int")).withColumn(
         "wave", (F.col("slot") / rate_per_wave).cast("int")
+    )
+
+
+def fetch_schedule_delays(
+    frontier: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url_norm",
+    default_delay_s: float = 1.0,
+) -> DataFrame:
+    """Delay-aware politeness scheduling (r14): ``delays`` carries
+    per-host ``crawl_delay_s`` (from ``robots.parse_robots_crawl_delay``
+    over fetched robots bodies); each frontier URL gets its host
+    ``slot`` (deterministic ``url_col`` order) and ``eta_s`` = slot ×
+    the host's delay (``default_delay_s`` where the host published
+    none) — a fetcher that dispatches URL u no earlier than eta_s
+    never violates any host's Crawl-delay, no matter how skewed the
+    frontier is.
+
+    Plan: broadcast-join the delays dim (hosts-with-robots is the
+    small side), one window partitioned BY HOST — the same
+    bounded-per-partition shape as ``fetch_schedule``."""
+    from pyspark.sql import Window
+
+    if default_delay_s < 0:
+        raise ValueError("default_delay_s must be >= 0")
+    d = F.broadcast(
+        delays.select(
+            F.col(host_col).alias("__dhost"),
+            F.col("crawl_delay_s").cast("double").alias("__delay"),
+        )
+    )
+    w = Window.partitionBy(host_col).orderBy(url_col)
+    slot = F.row_number().over(w) - 1
+    return (
+        frontier.join(d, frontier[host_col] == d["__dhost"], "left")
+        .drop("__dhost")
+        .withColumn("slot", slot.cast("int"))
+        .withColumn(
+            "crawl_delay_s",
+            F.coalesce(F.col("__delay"), F.lit(float(default_delay_s))),
+        )
+        .drop("__delay")
+        .withColumn(
+            "eta_s", (F.col("slot") * F.col("crawl_delay_s")).cast("double")
+        )
     )

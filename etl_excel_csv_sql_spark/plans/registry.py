@@ -3764,6 +3764,75 @@ def q_crawl_fetch_schedule(spark, sf_dir):
 
 
 @register(
+    "crawl_delay_schedule",
+    # r14: Crawl-delay-aware politeness — per-host delays (the de
+    # facto robots.txt directive, parsed by
+    # robots.parse_robots_crawl_delay) broadcast-join the frontier;
+    # eta_s = slot × host delay, defaulting where the host published
+    # none. In-plan fixture: host g = id % 25; hosts with g % 3 == 0
+    # publish 2 s, g % 3 == 1 publish 3 s, g % 3 == 2 publish nothing
+    # (default 1 s). Slots and etas are closed-form via the identical
+    # SQL window.
+    """
+    WITH f AS (
+      SELECT doc_id,
+             doc_id % 25 AS g,
+             'site' || CAST(doc_id % 25 AS VARCHAR) || '.com' AS host,
+             'https://site' || CAST(doc_id % 25 AS VARCHAR)
+               || '.com/p' || CAST(doc_id AS VARCHAR) AS url_norm
+      FROM documents
+    ), s AS (
+      SELECT url_norm, host, g,
+             CAST(row_number() OVER (PARTITION BY host ORDER BY url_norm)
+                  - 1 AS INT) AS slot
+      FROM f
+    )
+    SELECT url_norm, host, slot,
+           CAST(CASE g % 3 WHEN 0 THEN 2.0 WHEN 1 THEN 3.0 ELSE 1.0 END
+                AS DOUBLE) AS crawl_delay_s,
+           CAST(slot * CASE g % 3 WHEN 0 THEN 2.0 WHEN 1 THEN 3.0
+                       ELSE 1.0 END AS DOUBLE) AS eta_s
+    FROM s
+    """,
+    doc="Crawl-delay-aware fetch scheduling (urls.fetch_schedule_delays "
+    "+ robots.parse_robots_crawl_delay): per-host delays broadcast-"
+    "join the frontier (hosts-with-robots is the small side), slot = "
+    "row_number within host, eta_s = slot x delay with a default for "
+    "hosts that publish none — a fetcher dispatching at eta_s never "
+    "violates any host's Crawl-delay regardless of frontier skew. "
+    "Window partitions BY HOST (the bounded scale-safe shape); slots, "
+    "delays, and etas value-checked by the identical SQL window",
+)
+def q_crawl_delay_schedule(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import urls
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") % 25).cast("long")
+    host = F.concat(F.lit("site"), g.cast("string"), F.lit(".com"))
+    frontier = d.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url_norm"),
+        host.alias("host"),
+    )
+    delays = (
+        d.select(g.alias("g"))
+        .distinct()
+        .filter(F.col("g") % 3 != 2)  # g%3==2 hosts publish no delay
+        .select(
+            F.concat(
+                F.lit("site"), F.col("g").cast("string"), F.lit(".com")
+            ).alias("host"),
+            F.when(F.col("g") % 3 == 0, F.lit(2.0))
+            .otherwise(F.lit(3.0))
+            .alias("crawl_delay_s"),
+        )
+    )
+    return urls.fetch_schedule_delays(frontier, delays)
+
+
+@register(
     "paragraph_dedup_ccnet",
     # r13: the CCNet paragraph-dedup step (Wenzek et al. 1911.00359) —
     # cross-document boilerplate removal. Planted fixture: every doc
@@ -3809,6 +3878,44 @@ def q_paragraph_dedup_ccnet(spark, sf_dir):
     return dedup.paragraph_dedup(
         d.withColumn("text", text), "doc_id", "text", min_docs=3
     )
+
+
+@register(
+    "url_percent_normalize",
+    # r14: RFC 3986 §6.2.2 percent-encoding normalization — decode
+    # escapes of UNRESERVED chars (%6f → o, %7e → ~, %41 → A),
+    # uppercase the hex of every escape that stays (%2f → %2F; a
+    # reserved '/' must never decode — %2F vs / can be semantic), all
+    # composed with the full normalize contract (case, fragment,
+    # whitespace). In-plan fixture, pure Catalyst, closed-form.
+    """
+    SELECT doc_id,
+           'https://example' || CAST(doc_id % 100 AS VARCHAR)
+             || '.com/aob%2Fc~/p' || CAST(doc_id AS VARCHAR)
+             || '?q=A%25' AS url_norm,
+           'example' || CAST(doc_id % 100 AS VARCHAR) || '.com' AS host
+    FROM documents
+    """,
+    doc="percent-encoding normalization (urls._normalize_percent, RFC "
+    "3986 §6.2.2) inside normalize_url: unreserved escapes decode, "
+    "surviving escapes re-uppercase, reserved escapes never decode, "
+    "stray '%' passes through — split/transform/array_join Catalyst "
+    "expressions, no Python; every output byte value-checked by the "
+    "id-contract oracle",
+)
+def q_url_percent_normalize(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import urls
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") % 100).cast("string")
+    raw = F.concat(
+        F.lit("  HTTPS://EXAMPLE"), g, F.lit(".COM/a%6fb%2fc%7e/p"),
+        F.col("doc_id").cast("string"), F.lit("?q=%41%25#frag  "),
+    )
+    normed = d.select(
+        "doc_id", urls.normalize_url(raw).alias("url_norm")
+    )
+    return normed.withColumn("host", urls.url_host(F.col("url_norm")))
 
 
 @register(
@@ -7880,7 +7987,12 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # all last=r8 green, untouched, local-gate-pinned) yield their slots
 # to the changed-fixture re-proofs and lead the r15 pool. The 31
 # breadth demotions (rotation.py output) execute this round: after
-# r14 no ACTIVE query's latest driver row is older than r8.
+# r14 no ACTIVE query's latest driver row is older than r8. Late-r14
+# swaps per the standing precedent (never-checked full oracles
+# outrank stale unchanged re-checks): url_percent_normalize and
+# crawl_delay_schedule (both new this round) replace
+# psi_drift_orders / events_acf_daily (last=r8 green, untouched,
+# local-gate-pinned; they lead the r15 pool).
 WINDOW_ORDER: tuple[str, ...] = (
     "pdf_unicode_text_extract",
     "wat_metadata_catalog",
@@ -7930,8 +8042,8 @@ WINDOW_ORDER: tuple[str, ...] = (
     "doc_bigram_surprisal",
     "dsir_importance_weights",
     "gopher_rule_filter",
-    "psi_drift_orders",
-    "events_acf_daily",
+    "url_percent_normalize",
+    "crawl_delay_schedule",
 )
 
 # Breadth-tier queries (see QuerySpec.tier): pure SQL-shape coverage —

@@ -208,3 +208,30 @@ Sitemap:
         "https://a.com/sitemap.xml",
         "https://a.com/sitemap2.xml.gz",
     ]
+
+
+def test_parse_robots_crawl_delay():
+    body = """
+User-agent: fastbot
+Crawl-delay: 0.5
+Disallow: /x
+
+User-agent: *
+Crawl-delay: 10
+Disallow: /y
+
+User-agent: silentbot
+Disallow: /z
+
+User-agent: junkbot
+Crawl-delay: not-a-number
+Crawl-delay: -3
+"""
+    assert robots.parse_robots_crawl_delay(body, "fastbot") == 0.5
+    assert robots.parse_robots_crawl_delay(body) == 10.0
+    # a group with no delay of its own falls back to the * group
+    assert robots.parse_robots_crawl_delay(body, "silentbot") == 10.0
+    # garbage values are ignored -> fallback
+    assert robots.parse_robots_crawl_delay(body, "junkbot") == 10.0
+    # no delays anywhere -> None
+    assert robots.parse_robots_crawl_delay("User-agent: *\nDisallow: /") is None

@@ -42,6 +42,17 @@ def test_normalize_url_contract(spark):
         ("https://User:Pw@EXAMPLE.com/a", "https://User:Pw@example.com/a"),
         # idempotence fixture
         ("https://example.com/a", "https://example.com/a"),
+        # RFC 3986 §6.2.2 percent normalization (r14): unreserved
+        # escapes decode, surviving escapes re-uppercase, reserved
+        # escapes never decode, stray '%' survives verbatim
+        ("https://example.com/a%6fb%2fc", "https://example.com/aob%2Fc"),
+        ("https://example.com/%7Euser", "https://example.com/~user"),
+        ("https://example.com/x?q=%41%25", "https://example.com/x?q=A%25"),
+        ("https://example.com/100%", "https://example.com/100%"),
+        ("https://example.com/a%zzb", "https://example.com/a%zzb"),
+        # %2F must NOT collapse into a path separator, and an encoded
+        # trailing slash must NOT strip
+        ("https://example.com/a%2F", "https://example.com/a%2F"),
         # scheme-less input passes through trimmed + defragmented
         # instead of minting a corrupted '://...' key (ADVICE r13)
         ("example.com/x", "example.com/x"),

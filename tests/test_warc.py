@@ -503,3 +503,56 @@ def test_wat_links_match_web_link_graph(spark, tmp_path):
     assert from_html == from_wat and len(from_html) == sum(
         1 + i % 3 for i in range(8)
     )
+
+
+def test_chunked_transfer_decoding(spark, tmp_path):
+    """RFC 9112 chunked bodies de-chunk in http_response_parts (r14):
+    crawls archive responses as sent, so the reader must reassemble
+    the body instead of feeding chunk-size framing into the text
+    pipeline. Covers multi-chunk, chunk extensions, trailers, and the
+    malformed battery."""
+    from pyspark.sql import functions as F
+
+    from etl_excel_csv_sql_spark.io import warc
+
+    text = "chunked body reassembles exactly " * 4
+    recs = [
+        {"uri": "https://ex.org/c1", "status": 200, "body_text": text,
+         "chunked": True},
+        {"uri": "https://ex.org/c2", "status": 200, "body_text": text,
+         "chunked": True, "chunk_size": 7, "chunk_ext": True,
+         "trailer": True},
+        {"uri": "https://ex.org/plain", "status": 200, "body_text": text},
+    ]
+    payload = warc.encode_warc(recs, gzip_members=True)
+    # unit level: parse one record directly
+    rows = [r for r in warc.parse_warc(payload)
+            if r["warc_type"] == "response"]
+    for r in rows:
+        status, headers, body = warc.http_response_parts(r["body"])
+        assert status == 200
+        assert body.decode() == text
+    # kernel level: text column equals the plain record's
+    path = str(tmp_path / "chunked.warc.gz")
+    with open(path, "wb") as f:
+        f.write(payload)
+    got = {
+        r["target_uri"]: r
+        for r in warc.read_warc(spark, path, strict=True)
+        .filter(F.col("warc_type") == "response")
+        .collect()
+    }
+    assert got["https://ex.org/c1"]["text"] == text
+    assert got["https://ex.org/c2"]["text"] == text
+    assert got["https://ex.org/c1"]["n_body_bytes"] == len(text)
+    # malformed battery: every framing violation raises ValueError
+    ok = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+    for bad in (
+        b"zz\r\nhello\r\n0\r\n\r\n",        # non-hex size
+        b"5\r\nhelloX\r\n0\r\n\r\n",        # chunk not CRLF-terminated
+        b"ff\r\nshort\r\n0\r\n\r\n",        # chunk overruns body
+        b"5\r\nhello\r\n",                   # missing zero chunk
+    ):
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            warc.http_response_parts(ok + bad)
