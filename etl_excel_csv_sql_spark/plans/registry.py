@@ -8198,6 +8198,12 @@ PYTHON_KERNELS: dict[str, str] = {
     "show ops) via Arrow mapInPandas",
     "pdf15_text_extract": "stdlib PDF 1.5 parse (xref stream + ObjStm) "
     "via Arrow mapInPandas",
+    "pdf_unicode_text_extract": "stdlib PDF parse + ToUnicode CMap / "
+    "Differences / UTF-16BE decode via Arrow mapInPandas (r14 — byte "
+    "parsing has no Catalyst expression form)",
+    "wat_metadata_catalog": "WARC record walk via the same Arrow "
+    "mapInPandas kernel; the envelope itself shapes JVM-side with "
+    "from_json (r14)",
     "sequence_packing_report": "packs via the same applyInPandas kernel "
     "before the pure-JVM aggregation",
 }

@@ -163,6 +163,11 @@ QUERIES = (
     "crawl_fetch_schedule",
     "pdf_text_extract",
     "pdf15_text_extract",
+    # r14 additions
+    "pdf_unicode_text_extract",
+    "url_percent_normalize",
+    "crawl_delay_schedule",
+    "paragraph_dedup_ccnet",
 )
 
 
