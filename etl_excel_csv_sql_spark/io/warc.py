@@ -235,14 +235,53 @@ def _dechunk(data: bytes) -> bytes:
         pos += 2
 
 
+MAX_HTTP_BODY_BYTES = 64 << 20  # decompression-bomb guard per body
+
+
+def _decode_content_encoding(headers: dict[str, str], body: bytes) -> bytes:
+    """``Content-Encoding`` decode (r14): gzip and deflate inflate with
+    the bomb guard + the completeness (final-block) check; ``deflate``
+    tolerates both the correct zlib wrapper and the raw-deflate form
+    broken origins send (RFC 9110 §8.4.1.2 note). Unknown codings
+    (br, zstd) raise into the quarantine lane — silently decoding a
+    brotli body as text would feed garbage to lang-ID and dedup, which
+    is strictly worse than a quarantined row."""
+    ce = headers.get("content-encoding", "").strip().lower()
+    if not ce or ce == "identity" or not body:
+        return body
+    if ce == "gzip" or ce == "x-gzip":
+        wbits_options = (47,)
+    elif ce == "deflate":
+        wbits_options = (15, -15)
+    else:
+        raise ValueError(f"unsupported Content-Encoding {ce!r}")
+    last_exc: Exception | None = None
+    for wbits in wbits_options:
+        d = zlib.decompressobj(wbits)
+        try:
+            out = d.decompress(body, MAX_HTTP_BODY_BYTES + 1)
+        except zlib.error as exc:
+            last_exc = exc
+            continue
+        if len(out) > MAX_HTTP_BODY_BYTES:
+            raise ValueError("HTTP body exceeds the inflate guard")
+        if not d.eof:
+            raise ValueError(
+                "truncated compressed HTTP body (no final block)"
+            )
+        return out
+    raise ValueError(f"corrupt {ce} HTTP body: {last_exc}")
+
+
 def http_response_parts(body: bytes) -> tuple[int, dict[str, str], bytes]:
     """(status_code, headers, http_body) from an embedded HTTP/1.x
     response (the payload of a WARC ``response`` record with
     ``application/http`` content type). Header names lowercase;
     duplicate headers keep the first value (charset detection only
     reads Content-Type, and RFC 9110 makes duplicates of it invalid).
-    A ``Transfer-Encoding: chunked`` body de-chunks (r14) — crawls
-    store responses as sent over the wire."""
+    A ``Transfer-Encoding: chunked`` body de-chunks and a
+    ``Content-Encoding: gzip``/``deflate`` body inflates (r14) —
+    crawls store responses as sent over the wire."""
     eol = body.find(_CRLF)
     if eol < 0:
         raise ValueError("HTTP status line not CRLF-terminated")
@@ -268,6 +307,7 @@ def http_response_parts(body: bytes) -> tuple[int, dict[str, str], bytes]:
     te = headers.get("transfer-encoding", "")
     if "chunked" in te.lower():
         http_body = _dechunk(http_body)
+    http_body = _decode_content_encoding(headers, http_body)
     return status, headers, http_body
 
 
@@ -576,6 +616,22 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
                 body,
             )
             continue
+        ce_header = b""
+        ce = r.get("content_encoding")
+        if ce == "gzip":
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            body = co.compress(body) + co.flush()
+            ce_header = b"Content-Encoding: gzip\r\n"
+        elif ce == "deflate":
+            body = zlib.compress(body, 6)
+            ce_header = b"Content-Encoding: deflate\r\n"
+        elif ce == "deflate-raw":
+            # the broken-origin form: raw deflate, no zlib wrapper
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            body = co.compress(body) + co.flush()
+            ce_header = b"Content-Encoding: deflate\r\n"
+        elif ce:
+            ce_header = f"Content-Encoding: {ce}\r\n".encode()
         if r.get("chunked"):
             # wire-format chunked body (RFC 9112 §7.1) — how many real
             # origins actually send, and how crawls archive it; chunk
@@ -594,13 +650,15 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
                 f"HTTP/1.1 {r['status']} "
                 f"{'OK' if r['status'] == 200 else 'NOT-OK'}\r\n"
                 f"Content-Type: {ctype}\r\n"
-                f"Transfer-Encoding: chunked\r\n\r\n"
-            ).encode() + bytes(wire)
+            ).encode() + ce_header + (
+                b"Transfer-Encoding: chunked\r\n\r\n"
+            ) + bytes(wire)
         else:
             http = (
                 f"HTTP/1.1 {r['status']} "
                 f"{'OK' if r['status'] == 200 else 'NOT-OK'}\r\n"
                 f"Content-Type: {ctype}\r\n"
+            ).encode() + ce_header + (
                 f"Content-Length: {len(body)}\r\n\r\n"
             ).encode() + body
         out += record(

@@ -30,9 +30,12 @@ anchor), match via ``regexp_like``, then one ``max_by`` aggregation
 per URL on the (length, is_allow) specificity struct. Two shuffles
 max, no window, no Python.
 
-``parse_robots_text`` is the driver/fixture-side parser for turning
-fetched robots.txt bodies into the (host, rule, path) frame; the
-filtering itself never touches Python.
+``parse_robots_text`` / ``parse_robots_crawl_delay`` /
+``parse_robots_sitemaps`` are the pure per-body parsers;
+``parse_robots_frame`` (r14) runs the SAME parsers executor-side as
+one Arrow ``mapInPandas`` pass over a (host, body) frame — a real
+frontier holds robots bodies for millions of hosts, which must never
+round-trip through the driver. The filtering itself stays pure JVM.
 """
 
 from __future__ import annotations
@@ -240,3 +243,69 @@ def filter_crawlable(
         ).alias("allowed"),
         F.col("__best.rule_path").alias("rule_path"),
     )
+
+
+ROBOTS_RULES_SCHEMA = (
+    "host string, kind string, rule string, path string, "
+    "crawl_delay_s double, sitemap_url string"
+)
+_ROBOTS_COLS = tuple(f.split(" ")[0] for f in ROBOTS_RULES_SCHEMA.split(", "))
+
+
+def parse_robots_frame(
+    df,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+):
+    """DISTRIBUTED robots.txt parsing (r14): (host, fetched robots
+    body) → one tidy row per directive, via one Arrow ``mapInPandas``
+    pass — a real frontier holds robots bodies for MILLIONS of hosts,
+    so parsing them driver-side (the fixture-era
+    ``parse_robots_text`` loop) would never scale; this keeps the
+    politeness stack executor-side end to end.
+
+    Output rows by ``kind``:
+
+    - ``rule``: (rule ∈ allow|disallow, path) for the agent's group —
+      the frame ``filter_crawlable`` consumes directly;
+    - ``delay``: (crawl_delay_s) — resolved per
+      ``parse_robots_crawl_delay``, feeds ``fetch_schedule_delays``;
+    - ``sitemap``: (sitemap_url) — group-independent discovery
+      pointers, feed io/sitemap.py.
+
+    A NULL body (host never fetched / no robots.txt) emits no rows —
+    downstream semantics already treat a missing host as allow-all.
+    The kernel wraps the SAME pure parsers the unit tests pin, so
+    driver-side and distributed parses can never drift."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            out: dict[str, list] = {k: [] for k in _ROBOTS_COLS}
+
+            def add(host, kind, rule=None, path=None, delay=None,
+                    sm=None) -> None:
+                out["host"].append(host)
+                out["kind"].append(kind)
+                out["rule"].append(rule)
+                out["path"].append(path)
+                out["crawl_delay_s"].append(delay)
+                out["sitemap_url"].append(sm)
+
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                if text is None:
+                    continue
+                text = str(text)
+                for rule, path in parse_robots_text(text, agent):
+                    add(host, "rule", rule=rule, path=path)
+                delay = parse_robots_crawl_delay(text, agent)
+                if delay is not None:
+                    add(host, "delay", delay=float(delay))
+                for sm in parse_robots_sitemaps(text):
+                    add(host, "sitemap", sm=sm)
+            yield pd.DataFrame(out)
+
+    return df.select(
+        F.col(host_col).alias(host_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(batches, ROBOTS_RULES_SCHEMA)

@@ -29,6 +29,7 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _SKIP_TAGS = {"script", "style", "noscript", "template"}
 
@@ -395,4 +396,38 @@ def extract_main_text(
 
     return df.select(id_col, html_col).mapInPandas(
         batches, MAIN_TEXT_SCHEMA
+    )
+
+
+def anchor_text_profile(
+    edges: DataFrame,
+    url_col: str = "url",
+    anchor_col: str = "anchor_text",
+) -> DataFrame:
+    """Anchor-text aggregation per link TARGET (r14) — the classic
+    crawl quality/relevance signal: what the web calls a page. Input
+    is any link edge list (``extract_web_links`` with a base column,
+    ``warc.wat_links``); output one row per target:
+    (url, n_inlinks, n_anchors, top_anchor, top_anchor_count).
+
+    Plan, 100 TB-safe: two stacked hash aggregations on the SAME key
+    prefix — (url, anchor) counts, then per-url max_by on the
+    (count, anchor) struct (deterministic: ties break toward the
+    lexicographically greatest anchor) — no window, no Python, and the
+    second shuffle reuses the first's url partitioning."""
+    per = (
+        edges.select(
+            F.col(url_col).alias("url"),
+            F.coalesce(F.col(anchor_col), F.lit("")).alias("__anchor"),
+        )
+        .groupBy("url", "__anchor")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return per.groupBy("url").agg(
+        F.sum("__n").cast("bigint").alias("n_inlinks"),
+        F.count(F.lit(1)).cast("int").alias("n_anchors"),
+        F.max_by(
+            F.col("__anchor"), F.struct(F.col("__n"), F.col("__anchor"))
+        ).alias("top_anchor"),
+        F.max("__n").cast("bigint").alias("top_anchor_count"),
     )

@@ -3919,6 +3919,135 @@ def q_url_percent_normalize(spark, sf_dir):
 
 
 @register(
+    "robots_rules_catalog",
+    # r14: DISTRIBUTED robots.txt parsing — a frontier's robots bodies
+    # (millions of hosts) parse executor-side via one Arrow kernel
+    # wrapping the SAME pure parsers the unit tests pin. In-plan
+    # fixture: host g = id % 50 owns one body with a disallow+allow
+    # pair, a Crawl-delay on even g, and a sitemap pointer; every
+    # output row is closed-form in g.
+    """
+    WITH h AS (
+      SELECT DISTINCT doc_id % 50 AS g FROM documents
+    )
+    SELECT * FROM (
+      SELECT 'site' || CAST(g AS VARCHAR) || '.com' AS host,
+             'rule' AS kind, 'disallow' AS rule,
+             '/private' || CAST(g AS VARCHAR) AS path,
+             CAST(NULL AS DOUBLE) AS crawl_delay_s,
+             CAST(NULL AS VARCHAR) AS sitemap_url
+      FROM h
+      UNION ALL
+      SELECT 'site' || CAST(g AS VARCHAR) || '.com', 'rule', 'allow',
+             '/private' || CAST(g AS VARCHAR) || '/ok', NULL, NULL
+      FROM h
+      UNION ALL
+      SELECT 'site' || CAST(g AS VARCHAR) || '.com', 'delay', NULL,
+             NULL, CAST(g % 7 + 1 AS DOUBLE), NULL
+      FROM h WHERE g % 2 = 0
+      UNION ALL
+      SELECT 'site' || CAST(g AS VARCHAR) || '.com', 'sitemap', NULL,
+             NULL, NULL,
+             'https://site' || CAST(g AS VARCHAR) || '.com/sitemap.xml'
+      FROM h
+    )
+    """,
+    doc="distributed robots.txt parsing (robots.parse_robots_frame): "
+    "(host, fetched body) frames parse executor-side in one Arrow "
+    "mapInPandas pass — rules for filter_crawlable, Crawl-delays for "
+    "fetch_schedule_delays, sitemap pointers for discovery — wrapping "
+    "the same pure parsers the unit tests pin, so driver-side and "
+    "distributed parses can never drift. Every directive row "
+    "value-checked by the id-contract oracle",
+)
+def q_robots_rules_catalog(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import robots
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 50).alias("g")
+    ).distinct()
+    gs = F.col("g").cast("string")
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private"), gs,
+        F.lit("\nAllow: /private"), gs, F.lit("/ok\n"),
+        F.when(
+            F.col("g") % 2 == 0,
+            F.concat(
+                F.lit("Crawl-delay: "), (F.col("g") % 7 + 1).cast("string"),
+                F.lit("\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("Sitemap: https://site"), gs, F.lit(".com/sitemap.xml\n"),
+    )
+    hosts = d.select(
+        F.concat(F.lit("site"), gs, F.lit(".com")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    return robots.parse_robots_frame(hosts)
+
+
+@register(
+    "anchor_text_profile",
+    # r14: anchor-text aggregation per link target — the classic crawl
+    # relevance/quality signal (what the web calls a page). In-plan
+    # edge fixture: doc i links to target p{i % 40} with anchor text
+    # rotating CASE (i // 40) % 3 → 'popular' / 'nav' / 'deep {i % 2}';
+    # the oracle runs the IDENTICAL two-level aggregation in SQL
+    # (counts per (url, anchor), then per-url argmax with the same
+    # (count, anchor) tie-break).
+    """
+    WITH e AS (
+      SELECT 'https://t.com/p' || CAST(doc_id % 40 AS VARCHAR) AS url,
+             CASE (doc_id // 40) % 3
+               WHEN 0 THEN 'popular'
+               WHEN 1 THEN 'nav'
+               ELSE 'deep ' || CAST(doc_id % 2 AS VARCHAR) END
+               AS anchor_text
+      FROM documents
+    ), pa AS (
+      SELECT url, anchor_text, count(*) AS n
+      FROM e GROUP BY url, anchor_text
+    ), tops AS (
+      SELECT url, anchor_text AS top_anchor, n AS top_anchor_count
+      FROM pa
+      QUALIFY row_number() OVER (
+        PARTITION BY url ORDER BY n DESC, anchor_text DESC
+      ) = 1
+    ), agg AS (
+      SELECT url, CAST(sum(n) AS BIGINT) AS n_inlinks,
+             CAST(count(*) AS INT) AS n_anchors
+      FROM pa GROUP BY url
+    )
+    SELECT agg.url, n_inlinks, n_anchors, top_anchor,
+           CAST(top_anchor_count AS BIGINT) AS top_anchor_count
+    FROM agg JOIN tops ON agg.url = tops.url
+    """,
+    doc="per-target anchor-text profile (webtext.anchor_text_profile): "
+    "two stacked hash aggregations on the same url key prefix — "
+    "(url, anchor) counts then per-url max_by on the (count, anchor) "
+    "struct (deterministic lexicographic tie-break) — no window, no "
+    "Python; inlink counts, anchor diversity, and the winning anchor "
+    "value-checked by the identical SQL aggregation",
+)
+def q_anchor_text_profile(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import webtext
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = d.select(
+        F.concat(
+            F.lit("https://t.com/p"), (F.col("doc_id") % 40).cast("string")
+        ).alias("url"),
+        F.when(F.floor(F.col("doc_id") / 40) % 3 == 0, F.lit("popular"))
+        .when(F.floor(F.col("doc_id") / 40) % 3 == 1, F.lit("nav"))
+        .otherwise(
+            F.concat(F.lit("deep "), (F.col("doc_id") % 2).cast("string"))
+        )
+        .alias("anchor_text"),
+    )
+    return webtext.anchor_text_profile(edges)
+
+
+@register(
     "url_normalize_dedup",
     # r13 (VERDICT r12 #7): URL hygiene for the crawl lane — a 100 TB
     # crawl dedups by URL KEY before content even downloads. Fixture is
@@ -7990,9 +8119,10 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # r14 no ACTIVE query's latest driver row is older than r8. Late-r14
 # swaps per the standing precedent (never-checked full oracles
 # outrank stale unchanged re-checks): url_percent_normalize and
-# crawl_delay_schedule (both new this round) replace
-# psi_drift_orders / events_acf_daily (last=r8 green, untouched,
-# local-gate-pinned; they lead the r15 pool).
+# crawl_delay_schedule / robots_rules_catalog / anchor_text_profile
+# (all new this round) replace psi_drift_orders / events_acf_daily /
+# dsir_importance_weights / gopher_rule_filter (last=r8 green,
+# untouched, local-gate-pinned; they lead the r15 pool).
 WINDOW_ORDER: tuple[str, ...] = (
     "pdf_unicode_text_extract",
     "wat_metadata_catalog",
@@ -8040,10 +8170,10 @@ WINDOW_ORDER: tuple[str, ...] = (
     "winsorized_price_stats",
     "jaro_winkler_part_pairs",
     "doc_bigram_surprisal",
-    "dsir_importance_weights",
-    "gopher_rule_filter",
     "url_percent_normalize",
     "crawl_delay_schedule",
+    "robots_rules_catalog",
+    "anchor_text_profile",
 )
 
 # Breadth-tier queries (see QuerySpec.tier): pure SQL-shape coverage —
@@ -8204,6 +8334,9 @@ PYTHON_KERNELS: dict[str, str] = {
     "wat_metadata_catalog": "WARC record walk via the same Arrow "
     "mapInPandas kernel; the envelope itself shapes JVM-side with "
     "from_json (r14)",
+    "robots_rules_catalog": "robots.txt body parse (the same pure "
+    "parsers the unit tests pin) via Arrow mapInPandas — bodies for "
+    "millions of hosts must parse executor-side (r14)",
     "sequence_packing_report": "packs via the same applyInPandas kernel "
     "before the pure-JVM aggregation",
 }

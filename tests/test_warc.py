@@ -556,3 +556,57 @@ def test_chunked_transfer_decoding(spark, tmp_path):
         import pytest as _pytest
         with _pytest.raises(ValueError):
             warc.http_response_parts(ok + bad)
+
+
+def test_content_encoding_decoding(spark, tmp_path):
+    """Content-Encoding gzip/deflate bodies inflate in
+    http_response_parts (r14) — composed with chunked framing the way
+    the wire actually layers them (chunked OUTSIDE, gzip INSIDE).
+    Unknown codings and truncated streams quarantine."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from etl_excel_csv_sql_spark.io import warc
+
+    text = "compressed body reassembles exactly " * 5
+    recs = [
+        {"uri": "https://ex.org/gz", "status": 200, "body_text": text,
+         "content_encoding": "gzip"},
+        {"uri": "https://ex.org/df", "status": 200, "body_text": text,
+         "content_encoding": "deflate"},
+        {"uri": "https://ex.org/dfraw", "status": 200, "body_text": text,
+         "content_encoding": "deflate-raw"},
+        {"uri": "https://ex.org/both", "status": 200, "body_text": text,
+         "content_encoding": "gzip", "chunked": True, "chunk_size": 11},
+    ]
+    payload = warc.encode_warc(recs, gzip_members=True)
+    for r in warc.parse_warc(payload):
+        if r["warc_type"] != "response":
+            continue
+        status, headers, body = warc.http_response_parts(r["body"])
+        assert body.decode() == text, r
+    # kernel level through a file
+    path = str(tmp_path / "ce.warc.gz")
+    with open(path, "wb") as f:
+        f.write(payload)
+    got = {
+        r["target_uri"]: r["text"]
+        for r in warc.read_warc(spark, path, strict=True)
+        .filter(F.col("warc_type") == "response")
+        .collect()
+    }
+    assert all(v == text for v in got.values()) and len(got) == 4
+    # quarantine lanes
+    import pytest as _pytest
+
+    head = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+    gz = zlib.compressobj(6, zlib.DEFLATED, 31)
+    full = gz.compress(text.encode()) + gz.flush()
+    with _pytest.raises(ValueError, match="truncated compressed"):
+        warc.http_response_parts(head + full[:-5])
+    with _pytest.raises(ValueError, match="corrupt gzip"):
+        warc.http_response_parts(head + b"\x1f\x8b garbage here")
+    brhead = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n"
+    with _pytest.raises(ValueError, match="unsupported Content-Encoding"):
+        warc.http_response_parts(brhead + b"anything")
