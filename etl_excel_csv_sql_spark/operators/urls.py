@@ -232,3 +232,39 @@ def fetch_schedule_delays(
             "eta_s", (F.col("slot") * F.col("crawl_delay_s")).cast("double")
         )
     )
+
+
+def crawl_revisit_diff(
+    prev: DataFrame,
+    curr: DataFrame,
+    url_col: str = "url_norm",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Cross-snapshot revisit diff (r14) — the incremental-crawl
+    primitive between two crawl snapshots (Common Crawl publishes
+    monthly): one full-outer join on the normalized URL key classifies
+    every URL as ``new`` (this snapshot only), ``gone`` (previous
+    only), ``changed`` (both, different content fingerprint), or
+    ``unchanged`` — what drives recrawl prioritization and
+    delta-ingest (only ``new``+``changed`` flow into the expensive
+    extract/dedup stages).
+
+    Inputs are one row per URL (frontier shape, post url_key_dedup)
+    with a content fingerprint column (xxhash64 of the body, an
+    ETag — any equality-comparable token). One shuffle on the URL key;
+    both sides partition identically, so AQE plans a single exchange
+    pair with no residual skew beyond the key distribution itself."""
+    p = prev.select(
+        F.col(url_col).alias("url"), F.col(fp_col).alias("prev_fp")
+    )
+    c = curr.select(
+        F.col(url_col).alias("url"), F.col(fp_col).alias("curr_fp")
+    )
+    j = p.join(c, "url", "full_outer")
+    status = (
+        F.when(F.col("prev_fp").isNull(), F.lit("new"))
+        .when(F.col("curr_fp").isNull(), F.lit("gone"))
+        .when(F.col("prev_fp") == F.col("curr_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("url", "prev_fp", "curr_fp", status.alias("status"))

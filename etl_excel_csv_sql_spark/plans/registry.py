@@ -4048,6 +4048,55 @@ def q_anchor_text_profile(spark, sf_dir):
 
 
 @register(
+    "crawl_revisit_diff",
+    # r14: cross-snapshot revisit diff — the incremental-crawl
+    # primitive between two snapshots (Common Crawl is monthly): one
+    # full-outer join on the URL key classifies new / gone / changed /
+    # unchanged; only new+changed flow into the expensive downstream
+    # stages. In-plan fixture by lane r = id % 4: 0 unchanged (both
+    # snapshots, same fp), 1 changed (both, fp differs), 2 new (curr
+    # only), 3 gone (prev only) — every cell closed-form.
+    """
+    WITH b AS (
+      SELECT doc_id, doc_id % 4 AS r,
+             'https://ex.org/u' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    )
+    SELECT url,
+           CASE WHEN r = 2 THEN NULL
+                ELSE 'fp' || CAST(doc_id AS VARCHAR) END AS prev_fp,
+           CASE WHEN r = 3 THEN NULL
+                WHEN r = 1 THEN 'fp' || CAST(doc_id AS VARCHAR) || 'x'
+                ELSE 'fp' || CAST(doc_id AS VARCHAR) END AS curr_fp,
+           CASE r WHEN 0 THEN 'unchanged' WHEN 1 THEN 'changed'
+                  WHEN 2 THEN 'new' ELSE 'gone' END AS status
+    FROM b
+    """,
+    doc="cross-snapshot revisit diff (urls.crawl_revisit_diff): one "
+    "full-outer join on the normalized URL key classifies every URL "
+    "as new / gone / changed / unchanged between two crawl snapshots "
+    "— the delta-ingest driver (only new+changed reach the expensive "
+    "extract/dedup stages). One shuffle, both sides partitioned "
+    "identically; all four lanes value-checked by the id contract",
+)
+def q_crawl_revisit_diff(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import urls
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    r = F.col("doc_id") % 4
+    url = F.concat(F.lit("https://ex.org/u"), F.col("doc_id").cast("string"))
+    fp = F.concat(F.lit("fp"), F.col("doc_id").cast("string"))
+    prev = d.filter(r != 2).select(
+        url.alias("url_norm"), fp.alias("fp")
+    )
+    curr = d.filter(r != 3).select(
+        url.alias("url_norm"),
+        F.when(r == 1, F.concat(fp, F.lit("x"))).otherwise(fp).alias("fp"),
+    )
+    return urls.crawl_revisit_diff(prev, curr)
+
+
+@register(
     "url_normalize_dedup",
     # r13 (VERDICT r12 #7): URL hygiene for the crawl lane — a 100 TB
     # crawl dedups by URL KEY before content even downloads. Fixture is
@@ -8120,9 +8169,10 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # swaps per the standing precedent (never-checked full oracles
 # outrank stale unchanged re-checks): url_percent_normalize and
 # crawl_delay_schedule / robots_rules_catalog / anchor_text_profile
-# (all new this round) replace psi_drift_orders / events_acf_daily /
-# dsir_importance_weights / gopher_rule_filter (last=r8 green,
-# untouched, local-gate-pinned; they lead the r15 pool).
+# / crawl_revisit_diff (all new this round) replace psi_drift_orders
+# / events_acf_daily / dsir_importance_weights / gopher_rule_filter
+# / doc_bigram_surprisal (last=r8 green, untouched,
+# local-gate-pinned; they lead the r15 pool).
 WINDOW_ORDER: tuple[str, ...] = (
     "pdf_unicode_text_extract",
     "wat_metadata_catalog",
@@ -8169,7 +8219,7 @@ WINDOW_ORDER: tuple[str, ...] = (
     "rfm_segmentation",
     "winsorized_price_stats",
     "jaro_winkler_part_pairs",
-    "doc_bigram_surprisal",
+    "crawl_revisit_diff",
     "url_percent_normalize",
     "crawl_delay_schedule",
     "robots_rules_catalog",
