@@ -763,7 +763,12 @@ def parse_wat_metadata(df: DataFrame, text_col: str = "text") -> DataFrame:
     envelope shaped into columns: ``page_uri title metas links``
     (arrays stay nested here — the catalog/link helpers below flatten
     them for driver-hashable output). Non-metadata rows (warcinfo,
-    the null sentinel of a quarantined file) drop on warc_type."""
+    the null sentinel of a quarantined file) drop on warc_type.
+    A metadata record whose body is NOT valid envelope JSON surfaces
+    as an all-null row (``from_json``'s PERMISSIVE null) rather than
+    failing the batch — filter ``page_uri IS NOT NULL`` downstream to
+    drop such records; the WARC framing itself was still valid, so
+    file-level quarantine would be wrong here."""
     from pyspark.sql import functions as F
 
     j = F.from_json(F.col(text_col), _wat_schema())
