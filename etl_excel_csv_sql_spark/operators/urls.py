@@ -268,3 +268,70 @@ def crawl_revisit_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select("url", "prev_fp", "curr_fp", status.alias("status"))
+
+
+def fetch_schedule_bucketed(
+    frontier: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url_norm",
+    rate_per_wave: int = 1,
+    n_buckets: int = 32,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """WHALE-PROOF politeness scheduling (r14): ``fetch_schedule``'s
+    per-host window serializes each host into ONE task — fine for the
+    web's long tail, a single-task killer for a whale host carrying
+    10^8 frontier URLs. This is the bucket-and-stitch twin (the same
+    pattern as the whale-proof sessionize): rank within (host, bucket)
+    — per-partition work bounded by whale/n_buckets — then stitch with
+    per-host bucket offsets computed on the TINY (host, bucket) counts
+    frame, slot = offset + in-bucket rank.
+
+    The total order per host is (bucket, url) instead of pure url — a
+    DIFFERENT but equally deterministic order, which is all politeness
+    needs. ``bucket`` overrides the default ``xxhash64(url) % n``
+    (fixtures pass a closed-form expression so oracles can replicate).
+
+    Output: frontier + (bucket, slot, wave). Shuffles: one on
+    (host, bucket) shared by the rank window and the stitch join, one
+    tiny one on host for the offsets window (bounded at n_buckets rows
+    per host)."""
+    from pyspark.sql import Window
+
+    if rate_per_wave < 1:
+        raise ValueError("rate_per_wave must be >= 1")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    b = (
+        bucket
+        if bucket is not None
+        else F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets))
+    )
+    df = frontier.withColumn("bucket", b.cast("int"))
+    w_rank = Window.partitionBy(host_col, "bucket").orderBy(url_col)
+    ranked = df.withColumn("__r", F.row_number().over(w_rank))
+    counts = df.groupBy(host_col, "bucket").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = (
+        Window.partitionBy(host_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        F.col(host_col).alias("__ohost"),
+        F.col("bucket").alias("__obucket"),
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        ranked.join(
+            offsets,
+            (ranked[host_col] == offsets["__ohost"])
+            & (ranked["bucket"] == offsets["__obucket"]),
+        )
+        .withColumn(
+            "slot", (F.col("__off") + F.col("__r") - 1).cast("int")
+        )
+        .withColumn("wave", (F.col("slot") / rate_per_wave).cast("int"))
+        .drop("__r", "__ohost", "__obucket", "__off")
+    )

@@ -3764,6 +3764,63 @@ def q_crawl_fetch_schedule(spark, sf_dir):
 
 
 @register(
+    "crawl_fetch_schedule_bucketed",
+    # r14: the WHALE-PROOF twin of crawl_fetch_schedule — rank within
+    # (host, bucket) + per-host bucket-offset stitch, so one huge host
+    # can never serialize scheduling into a single task (per-partition
+    # work is bounded by whale/n_buckets). Fixture: only FIVE hosts
+    # (g = id % 5 → ~100 URLs each at sf0.01 — every host is a whale
+    # relative to the bucket width) and a closed-form bucket =
+    # doc_id % 4 so the oracle replicates the (bucket, url) total
+    # order with a plain SQL window.
+    """
+    WITH f AS (
+      SELECT doc_id,
+             'site' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host,
+             'https://site' || CAST(doc_id % 5 AS VARCHAR)
+               || '.com/p' || CAST(doc_id AS VARCHAR) AS url_norm,
+             CAST(doc_id % 4 AS INT) AS bucket
+      FROM documents
+    )
+    SELECT url_norm, host, bucket,
+           CAST(row_number() OVER (
+             PARTITION BY host ORDER BY bucket, url_norm) - 1 AS INT)
+             AS slot,
+           CAST((row_number() OVER (
+             PARTITION BY host ORDER BY bucket, url_norm) - 1) // 3
+             AS INT) AS wave
+    FROM f
+    """,
+    doc="whale-proof fetch scheduling (urls.fetch_schedule_bucketed, "
+    "the bucket-and-stitch pattern): row_number within (host, bucket) "
+    "bounds per-partition work at whale/n_buckets, per-host bucket "
+    "offsets stitch on the tiny counts frame, slot = offset + rank "
+    "under the deterministic (bucket, url) total order — the shape "
+    "that survives a 10^8-URL host where the plain per-host window "
+    "serializes. Slots and waves value-checked by the identical SQL "
+    "window",
+)
+def q_crawl_fetch_schedule_bucketed(spark, sf_dir):
+    from etl_excel_csv_sql_spark.operators import urls
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") % 5).cast("string")
+    host = F.concat(F.lit("site"), g, F.lit(".com"))
+    frontier = d.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url_norm"),
+        host.alias("host"),
+        (F.col("doc_id") % 4).alias("__b"),
+    )
+    out = urls.fetch_schedule_bucketed(
+        frontier, rate_per_wave=3, n_buckets=4, bucket=F.col("__b")
+    )
+    return out.select("url_norm", "host", "bucket", "slot", "wave")
+
+
+@register(
     "crawl_delay_schedule",
     # r14: Crawl-delay-aware politeness — per-host delays (the de
     # facto robots.txt directive, parsed by
@@ -8171,8 +8228,9 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # crawl_delay_schedule / robots_rules_catalog / anchor_text_profile
 # / crawl_revisit_diff (all new this round) replace psi_drift_orders
 # / events_acf_daily / dsir_importance_weights / gopher_rule_filter
-# / doc_bigram_surprisal (last=r8 green, untouched,
-# local-gate-pinned; they lead the r15 pool).
+# / doc_bigram_surprisal / jaro_winkler_part_pairs (last=r8 green,
+# untouched, local-gate-pinned; they lead the r15 pool);
+# crawl_fetch_schedule_bucketed joins the never-checked set.
 WINDOW_ORDER: tuple[str, ...] = (
     "pdf_unicode_text_extract",
     "wat_metadata_catalog",
@@ -8218,7 +8276,7 @@ WINDOW_ORDER: tuple[str, ...] = (
     "survival_curve_users",
     "rfm_segmentation",
     "winsorized_price_stats",
-    "jaro_winkler_part_pairs",
+    "crawl_fetch_schedule_bucketed",
     "crawl_revisit_diff",
     "url_percent_normalize",
     "crawl_delay_schedule",

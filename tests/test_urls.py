@@ -189,3 +189,46 @@ def test_fetch_schedule_rate_invariant(spark):
         )
     with _pytest.raises(ValueError, match="rate_per_wave"):
         urls.fetch_schedule(df, rate_per_wave=0)
+
+
+def test_fetch_schedule_bucketed_whale_proof(spark):
+    """Bucket-and-stitch scheduling: per-host slots are a dense
+    permutation 0..n-1 (exactly what the plain per-host window gives,
+    under a different deterministic order), waves respect the rate,
+    and no window in the plan is unpartitioned."""
+    rows = [
+        (f"https://whale.com/p{i:03d}", "whale.com") for i in range(60)
+    ] + [(f"https://tail{i}.com/x", f"tail{i}.com") for i in range(5)]
+    df = spark.createDataFrame(rows, "url_norm string, host string")
+    out = urls.fetch_schedule_bucketed(
+        df, rate_per_wave=4, n_buckets=8
+    ).collect()
+    by_host: dict = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    assert sorted(r["slot"] for r in by_host["whale.com"]) == list(range(60))
+    for rs in by_host.values():
+        for r in rs:
+            assert r["wave"] == r["slot"] // 4
+    # the whale's per-(host,bucket) groups are all smaller than the host
+    from collections import Counter
+
+    c = Counter((r["host"], r["bucket"]) for r in by_host["whale.com"])
+    assert max(c.values()) < 60
+    # deterministic: same input -> same slots
+    again = {
+        (r["url_norm"], r["slot"])
+        for r in urls.fetch_schedule_bucketed(
+            df, rate_per_wave=4, n_buckets=8
+        ).collect()
+    }
+    assert again == {(r["url_norm"], r["slot"]) for r in out}
+    # plan: every Window partitions (no single-task global ordering)
+    plan = (
+        urls.fetch_schedule_bucketed(df, n_buckets=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), "unpartitioned window in plan"
