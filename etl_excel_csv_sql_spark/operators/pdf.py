@@ -1025,9 +1025,9 @@ def _page_text(content: bytes, fonts: dict | None = None) -> str:
             c in b"+-.0123456789"
             or c in b"(<[/"
         ):
-            # operand — inline images (BI..EI) would confuse the
-            # tokenizer but are out of the fixture contract; a garbage
-            # operand raises ValueError into the quarantine lane
+            # operand — a garbage operand raises ValueError into the
+            # quarantine lane (inline-image binary is handled by the
+            # ID skip below, so it never reaches this tokenizer)
             stack.append(lex.object())
             continue
         op = lex.keyword()
@@ -1035,6 +1035,26 @@ def _page_text(content: bytes, fonts: dict | None = None) -> str:
             if len(stack) < 2 or not isinstance(stack[-2], str):
                 raise ValueError("Tf without a font name operand")
             dec = fonts.get(stack[-2])
+        elif op == "ID":
+            # inline image (spec 8.9.7, r14): BI pushed its dict
+            # key/values as ordinary operands; ID starts raw binary
+            # sample data that would wreck the tokenizer — skip to the
+            # EI terminator (must sit at a whitespace boundary, since
+            # the bytes 'EI' can occur INSIDE the sample data). Real
+            # page streams carry these constantly; quarantining the
+            # whole document over an image we don't decode is wrong.
+            pos = lex.pos + 1  # the single whitespace byte after ID
+            while True:
+                j = content.find(b"EI", pos)
+                if j < 0:
+                    raise ValueError("inline image not terminated by EI")
+                before_ok = j > 0 and content[j - 1] in b" \t\r\n\x00"
+                k = j + 2
+                after_ok = k >= n or content[k] in b" \t\r\n\x00"
+                if before_ok and after_ok:
+                    lex.pos = k
+                    break
+                pos = j + 2
         elif op in _SHOW_OPS:
             if op == "TJ":
                 if not stack or not isinstance(stack[-1], list):

@@ -551,3 +551,24 @@ def test_extract_pdf_text_kernel_lenient_and_strict(spark):
     assert out[0]["text"] is None and out[0]["n_pages"] is None
     with pytest.raises(Exception, match="PDF|pdf"):
         multimodal.extract_pdf_text(bad, strict=True).collect()
+
+
+def test_inline_images_skip_not_quarantine():
+    """Real page streams carry inline images (BI..ID..EI, spec 8.9.7)
+    constantly; the extractor must skip the binary sample data —
+    including embedded 'EI' bytes NOT at a whitespace boundary —
+    instead of quarantining the document over an image it doesn't
+    decode."""
+    binary = b"\x00\x01EIX\xff\xfe" * 3  # 'EI' inside the data
+    content = (
+        b"BT /F1 12 Tf (before) Tj ET\n"
+        b"BI /W 2 /H 2 /CS /G /BPC 8 ID " + binary + b" EI\n"
+        b"BT (after) Tj ET"
+    )
+    assert pdf._page_text(content) == "before after"
+    # unterminated inline image still raises
+    import pytest as _pytest
+
+    bad = b"BI /W 1 ID \x00\x01\x02"
+    with _pytest.raises(ValueError, match="not terminated"):
+        pdf._page_text(bad)
