@@ -338,7 +338,15 @@ def mad_anomalies(
             F.col("v").alias(value_col),
             F.round(F.col("med"), 6).alias("median"),
             F.round(F.col("mad"), 6).alias("mad"),
-            F.round(z, 4).alias("mod_zscore"),
+            # RAW double, no pre-rounding (r14, found by the sf0.1 full
+            # gate): rounding to 4 decimals baked a representation tie
+            # into the output — 0.6745*dev/mad landed EXACTLY on a
+            # .xxxx5 boundary and Spark/DuckDB resolved it 1 ulp apart
+            # (3.8522 vs 3.8523). The comparison layer canonicalizes
+            # floats at 9 decimals, which absorbs ulp noise; baking a
+            # coarser round into the engine output just manufactures
+            # tie-points.
+            z.alias("mod_zscore"),
         )
     )
 

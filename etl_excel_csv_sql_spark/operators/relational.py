@@ -922,11 +922,34 @@ def global_row_number(
     n_parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
-    ranged = df.repartitionByRange(int(n_parts), *order).withColumn(
-        "__pid", F.spark_partition_id()
+    # r14 rewrite (found by the sf0.1 full-gate run): the old shape
+    # windowed by spark_partition_id, which (a) added a hash exchange
+    # on __pid that AQE could coalesce — collapsing the carefully
+    # range-spread splits back into few tasks — and (b) re-evaluated
+    # the range partitioning independently in the offsets branch and
+    # the rows branch (range-boundary SAMPLING can differ when AQE
+    # re-plans each branch's upstream stage), so offset(pid) + local_rn
+    # stopped being a permutation: chained calls produced ranks > n and
+    # duplicate ranks at sf0.1. New shape: sortWithinPartitions (no
+    # second exchange) + monotonically_increasing_id, whose documented
+    # layout is (partition id << 33) + in-partition record index —
+    # local rank and partition id decode arithmetically — then ONE
+    # eager localCheckpoint pins a single materialization for both the
+    # offsets aggregation and the final join.
+    _LOW33 = (1 << 33) - 1
+    local = (
+        df.repartitionByRange(int(n_parts), *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn(
+            "__pid", F.shiftright(F.col("__mid"), 33).cast("int")
+        )
+        .withColumn(
+            "__lrn", (F.col("__mid").bitwiseAND(F.lit(_LOW33)) + 1)
+        )
+        .drop("__mid")
+        .localCheckpoint(eager=True)
     )
-    w_local = Window.partitionBy("__pid").orderBy(*order)
-    local = ranged.withColumn("__lrn", F.row_number().over(w_local))
     w_pid = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -994,7 +1017,11 @@ def global_prefix_sum(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = ranged.withColumn("__lps", F.sum(value_col).over(w_local))
+    # same two-consumer materialization pin as global_row_number (r14):
+    # offsets and the final join must see ONE range partitioning
+    local = ranged.withColumn(
+        "__lps", F.sum(value_col).over(w_local)
+    ).localCheckpoint(eager=True)
     w_pid = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -2702,14 +2702,18 @@ _EMBEDDING_DUP_ORACLE = (
     "hyperplane-LSH path (subquadratic candidate gen + exact-cosine verify, so "
     "output ⊆ the exact oracle). θ=0.35 is the lowest band with non-empty "
     "pairs on the synthetic embeddings (max cosine ≈ 0.51 at sf0.01), and the "
-    "OR-construction is sized for full recall there: p_plane = 1-acos(.35)/π "
-    "≈ .614, p_sig = .614⁴ ≈ .142, miss = (1-.142)⁴⁸ ≈ 6e-4 per pair — "
-    "271/271 pairs recovered, value-level parity with the all-pairs oracle",
+    "OR-construction is sized for full recall at the LARGEST tested pair "
+    "count (r14, found by the sf0.1 full gate: 48 tables gave miss ≈ 6e-4 "
+    "per pair — fine for sf0.01's 271 pairs, but sf0.1 has ~4.1k pairs and "
+    "the expected ~2.5 misses materialized): p_plane = 1-acos(.35)/π ≈ .614, "
+    "p_sig = .614⁴ ≈ .142, miss = (1-.142)⁹⁶ ≈ 4e-7 per pair at 96 tables — "
+    "full value-level parity with the all-pairs oracle at BOTH sf0.01 and "
+    "sf0.1",
 )
 def q_embedding_dups(spark, sf_dir):
     res = dedup.embedding_dup_pairs(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        threshold=0.35, n_planes=4, n_tables=48,
+        threshold=0.35, n_planes=4, n_tables=96,
     )
     return res.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
@@ -4762,7 +4766,7 @@ def q_events_resample_ffill(spark, sf_dir):
     )
     SELECT event_id, event_type, value,
            ROUND(med, 6) AS median, ROUND(mad, 6) AS mad,
-           ROUND(mz, 4) AS mod_zscore
+           mz AS mod_zscore
     FROM z WHERE mz > 3.5
     """,
     doc="robust per-key anomaly flags via the Iglewicz-Hoaglin modified "

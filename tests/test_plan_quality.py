@@ -412,14 +412,23 @@ def test_global_row_number_no_single_partition_window(spark, sf_dir):
         orders, [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
     )
     plan = _plan(out)
-    # data rows flow through a RANGE partitioned exchange, and every
-    # Window node is keyed (on the partition id / the tiny offsets
-    # frame) — never the global single-partition sort a plain
-    # row_number() OVER (ORDER BY ...) plans
-    assert "rangepartitioning" in plan.lower()
-    for line in plan.splitlines():
-        if "Window" in line and "windowspecdefinition" in line.lower():
-            assert "SinglePartition" not in line
+    # r14 shape: data rows range-partition + sort + decode
+    # monotonically_increasing_id EAGERLY (the localCheckpoint pins one
+    # materialization for the offsets and join consumers), so the lazy
+    # plan reads the checkpoint RDD — assert the materialized RDD kept
+    # the plural range splits (the whale-spread property) and that NO
+    # Window runs over data rows at all (the only window left is the
+    # offsets prefix-sum over the #partitions-row summary frame)
+    assert "ExistingRDD" in plan
+    assert out.rdd.getNumPartitions() > 1
+    data_windows = [
+        line
+        for line in plan.splitlines()
+        if "Window" in line
+        and "windowspecdefinition" in line.lower()
+        and "__n" not in line  # the tiny offsets frame is allowed
+    ]
+    assert not data_windows, data_windows
 
 
 def test_rfm_offsets_frame_broadcasts(spark, sf_dir):
