@@ -227,7 +227,12 @@ def main() -> int:
            if os.environ.get("SPARK_GRAFT_BENCH_TAG") else {}),
         **headline,
         "methodology": "median-of-3 per query (r4+); first-pass series in "
-        "queries_first matches the r1-r3 single-shot methodology",
+        "queries_first matches the r1-r3 single-shot methodology. "
+        "Load protocol (r15, VERDICT r14 #1): a round-over-round "
+        "comparison claim requires load1_start within +-2 of the "
+        "compared run's, or a same-session alternating A/B "
+        "(ab15_* ledger rows); unpaired runs at mismatched load are "
+        "not comparable evidence",
         "queries_first": first,
         "value_first": round(sum(ok_first.values()), 3),
         "queries_best": best,

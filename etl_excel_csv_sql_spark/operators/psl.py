@@ -11,9 +11,13 @@ high-traffic entries: the full US locality grid (state / k12 / cc /
 lib), the major ccTLD second-level registrars, the ICANN wildcard
 ccTLDs with their exception rules, and the widely-used private-section
 suffixes (github.io, blogspot.com, amazonaws zones, …). A production
-deployment regenerates the tables below from the live list; the
-MATCHING algorithm is the complete PSL algorithm, so a regenerated
-snapshot needs no code change:
+deployment regenerates the tables from the live list with
+``tools/gen_psl.py`` (VERDICT r14 #3), which parses the official
+``public_suffix_list.dat`` format and writes ``operators/psl_data.py``
+— when that module is present its flat rule tables REPLACE the curated
+snapshot below (this module detects it at import). The MATCHING
+algorithm is the complete PSL algorithm and is depth-generic, so a
+regenerated snapshot needs no code change:
 
 - a rule matches when it is a label-suffix of the host; ``*`` in a
   rule matches exactly one label;
@@ -159,6 +163,45 @@ _CC_SLD = {
 # its OWN registrable domain — per-site caps and politeness grouping
 # must not merge all of github.io into one "site")
 _PRIVATE = (
+    # r15: the Blogspot regional family (each country mirror is a
+    # separate private suffix in the PSL — without these, every UK
+    # blog would collapse into one "blogspot.co.uk" site)
+    "blogspot.co.uk",
+    "blogspot.co.nz",
+    "blogspot.co.za",
+    "blogspot.com.au",
+    "blogspot.com.br",
+    "blogspot.com.ar",
+    "blogspot.de",
+    "blogspot.fr",
+    "blogspot.it",
+    "blogspot.in",
+    "blogspot.jp",
+    "blogspot.mx",
+    "blogspot.nl",
+    "blogspot.se",
+    "blogspot.ca",
+    "blogspot.ch",
+    "blogspot.pt",
+    "blogspot.ro",
+    "blogspot.sg",
+    "blogspot.tw",
+    # r15: more high-traffic private-section hosts
+    "elasticbeanstalk.com",
+    "now.sh",
+    "eu.org",
+    "webflow.io",
+    "codesandbox.io",
+    "csb.app",
+    "trafficmanager.net",
+    "service.gov.uk",
+    "hatenablog.com",
+    "gitbook.io",
+    "notion.site",
+    "trycloudflare.com",
+    "r2.dev",
+    "streamlit.app",
+    "railway.app",
     "github.io",
     "githubusercontent.com",
     "gitlab.io",
@@ -233,18 +276,47 @@ def _build_exact() -> frozenset[str]:
     return frozenset(out)
 
 
-_EXACT = _build_exact()
-_EXACT_BY_K = {
-    k: tuple(sorted(s for s in _EXACT if s.count(".") + 1 == k))
-    for k in (2, 3, 4)
-}
-_WILD_BY_BASE_K = {
-    1: _WILDCARD_BASES,
-    3: _WILDCARD_DEEP_BASES,
-}
-_EXC_BY_K = {2: _EXCEPTIONS}
-assert all(s.count(".") + 1 in (2, 3, 4) for s in _EXACT)
-assert all(b.count(".") + 1 == 3 for b in _WILDCARD_DEEP_BASES)
+# --- rule tables ----------------------------------------------------
+# A regenerated snapshot (tools/gen_psl.py → operators/psl_data.py)
+# replaces the curated tables wholesale: EXACT_RULES (multi-label
+# exact rules), WILDCARD_BASES (the base under a ``*.`` rule — any
+# depth), EXCEPTION_RULES (``!`` rules, bang stripped). The grouping
+# below is depth-generic, so deeper generated rules need no code
+# change (1-label exact rules are equivalent to the implicit ``*``
+# default and are dropped by the generator).
+try:  # pragma: no cover - exercised only when a snapshot is generated
+    from .psl_data import (  # type: ignore[attr-defined]
+        EXACT_RULES as _EXACT_SRC,
+        EXCEPTION_RULES as _EXC_SRC,
+        WILDCARD_BASES as _WILD_SRC,
+    )
+
+    _EXACT = frozenset(_EXACT_SRC)
+    _WILD_BASES = tuple(_WILD_SRC)
+    _EXCEPTIONS_ALL = tuple(_EXC_SRC)
+except ImportError:
+    _EXACT = _build_exact()
+    _WILD_BASES = tuple(_WILDCARD_BASES) + tuple(_WILDCARD_DEEP_BASES)
+    _EXCEPTIONS_ALL = _EXCEPTIONS
+
+
+def _by_labels(items) -> dict[int, tuple[str, ...]]:
+    out: dict[int, list[str]] = {}
+    for s in items:
+        out.setdefault(s.count(".") + 1, []).append(s)
+    return {k: tuple(sorted(v)) for k, v in out.items()}
+
+
+_EXACT_BY_K = _by_labels(s for s in _EXACT if s.count(".") >= 1)
+# a ``*.base`` rule matches hosts whose last (base_labels + 1) labels
+# end in base — keyed by the BASE label count (rule length = key + 1)
+_WILD_BY_BASE_K = _by_labels(_WILD_BASES)
+_EXC_BY_K = _by_labels(_EXCEPTIONS_ALL)
+_RULE_KS = tuple(
+    sorted(
+        set(_EXACT_BY_K) | {bk + 1 for bk in _WILD_BY_BASE_K}
+    )
+)
 
 
 def _lastk(parts: Column, k: int) -> Column:
@@ -267,7 +339,7 @@ def public_suffix_labels(host) -> Column:
         & (F.length(F.element_at(parts, -1)) == 2),
         F.lit(2),
     ).otherwise(expr)
-    for k in (2, 3, 4):
+    for k in _RULE_KS:
         exact = _EXACT_BY_K.get(k)
         wild = _WILD_BY_BASE_K.get(k - 1)
         cond = None
@@ -278,7 +350,8 @@ def public_suffix_labels(host) -> Column:
             cond = wcond if cond is None else (cond | wcond)
         if cond is not None:
             expr = F.when(cond, F.lit(k)).otherwise(expr)
-    for k, excs in _EXC_BY_K.items():
+    for k in sorted(_EXC_BY_K):
+        excs = _EXC_BY_K[k]
         expr = F.when(
             (n >= k) & _lastk(parts, k).isin(*excs), F.lit(k - 1)
         ).otherwise(expr)

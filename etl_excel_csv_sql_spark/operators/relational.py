@@ -897,11 +897,30 @@ def apply_cdc(
     return kept.select(*keys, *compare).unionByName(incoming)
 
 
+def _pin_two_consumer_frame(df: DataFrame, reliable: bool) -> DataFrame:
+    """The determinism pin shared by global_row_number /
+    global_prefix_sum: both need the offsets aggregation and the final
+    join to observe ONE materialization of the range-partitioned frame
+    (see the r14 rank-corruption note below). ``localCheckpoint`` is
+    the default — an eager Spark job fires at plan-build time and the
+    blocks live unreplicated on executors (an executor loss after the
+    pin FAILS the query instead of recomputing, and blocks linger until
+    the frame is GC'd; ADVICE r14). Long-lived sessions / cluster
+    deployments pass ``reliable=True`` to use ``checkpoint(eager=True)``
+    instead, which writes to ``spark.sparkContext.setCheckpointDir``
+    storage and survives executor loss at the cost of one HDFS/S3
+    round-trip."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def global_row_number(
     df: DataFrame,
     order: Sequence[Column],
     out_col: str = "rn",
     num_partitions: int | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Global 1-based row number under a TOTAL order, without the
     single-partition window a plain ``row_number() OVER (ORDER BY ...)``
@@ -948,8 +967,8 @@ def global_row_number(
             "__lrn", (F.col("__mid").bitwiseAND(F.lit(_LOW33)) + 1)
         )
         .drop("__mid")
-        .localCheckpoint(eager=True)
     )
+    local = _pin_two_consumer_frame(local, reliable_checkpoint)
     w_pid = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -994,6 +1013,7 @@ def global_prefix_sum(
     value_col: str,
     out_col: str = "prefix",
     num_partitions: int | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Running total of ``value_col`` under a TOTAL order, distributed
     the same way as :func:`global_row_number` (range partition →
@@ -1019,9 +1039,10 @@ def global_prefix_sum(
     )
     # same two-consumer materialization pin as global_row_number (r14):
     # offsets and the final join must see ONE range partitioning
-    local = ranged.withColumn(
-        "__lps", F.sum(value_col).over(w_local)
-    ).localCheckpoint(eager=True)
+    local = _pin_two_consumer_frame(
+        ranged.withColumn("__lps", F.sum(value_col).over(w_local)),
+        reliable_checkpoint,
+    )
     w_pid = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -89,7 +89,11 @@ def parse_robots_crawl_delay(text: str, agent: str = "*") -> float | None:
     (``urls.fetch_schedule_delays``). Resolution: the matching agent
     group's delay if it set one, else the ``*`` group's, else None
     (crawler default applies). Non-numeric / negative values are
-    ignored (real robots.txt files carry plenty of garbage)."""
+    ignored (real robots.txt files carry plenty of garbage). When the
+    same agent appears in several groups, the LAST group's delay wins
+    (plain assignment, ADVICE r14) — consistent with
+    ``parse_robots_text``, which merges all matching groups so later
+    rules are never ignored."""
     delays: dict[str, float] = {}
     current: list[str] = []
     last_was_agent = False
@@ -114,7 +118,7 @@ def parse_robots_crawl_delay(text: str, agent: str = "*") -> float | None:
             if d < 0:
                 continue
             for a in current or ["*"]:
-                delays.setdefault(a, d)
+                delays[a] = d
         else:
             last_was_agent = False
     agent = agent.lower()
@@ -196,11 +200,24 @@ def filter_crawlable(
     rules-side compiled patterns, one max_by on (octet length,
     is_allow) — ties break toward allow per RFC.
 
-    The input frame's rows must be distinct (the verdict aggregation
-    groups by ALL input columns, so duplicate URL rows would collapse
-    to one) — run url_key_dedup or an equivalent upstream, which a
-    frontier does anyway."""
-    u = urls.withColumn("__path", url_path(F.col(url_col)))
+    Shuffle shape (VERDICT r14 #5): the rule join and the verdict
+    aggregation run on a NARROW distinct-(url, host) projection — the
+    frame the per-rule row multiplication inflates carries only the
+    URL key and the rule path, never the input's payload columns
+    (a frontier row drags body bytes / metadata; shuffling those
+    through a per-rule multiply is the wide-row trap the old
+    group-by-all-columns shape had). Verdicts then rejoin to the
+    input on a null-safe URL equality, so the payload crosses exactly
+    one exchange. Duplicate input URLs are no longer collapsed —
+    each input row keeps its verdict (the old shape required distinct
+    rows; this one merely shares one verdict per URL)."""
+    narrow = (
+        urls.select(
+            F.col(url_col).alias("__u"), F.col(host_col).alias("__h")
+        )
+        .dropDuplicates(["__u"])
+        .withColumn("__path", url_path(F.col("__u")))
+    )
     r = rules.select(
         F.col("host").alias("__rhost"),
         F.lower(F.col("rule")).alias("__rule"),
@@ -208,16 +225,15 @@ def filter_crawlable(
         compile_rule_pattern("path").alias("__rpattern"),
     )
     matched = (
-        u.join(r, u[host_col] == r["__rhost"], "left")
+        narrow.join(r, narrow["__h"] == r["__rhost"], "left")
         .withColumn(
             "__hit",
             F.col("__rpattern").isNotNull()
             & F.regexp_like(F.col("__path"), F.col("__rpattern")),
         )
     )
-    key_cols = [F.col(c) for c in urls.columns]
-    best = (
-        matched.groupBy(*key_cols)
+    verdicts = (
+        matched.groupBy("__u")
         .agg(
             F.max_by(
                 F.struct(
@@ -235,14 +251,17 @@ def filter_crawlable(
                 ),
             ).alias("__best")
         )
+        .select(
+            "__u",
+            F.coalesce(
+                F.col("__best.rule") == "allow", F.lit(True)
+            ).alias("allowed"),
+            F.col("__best.rule_path").alias("rule_path"),
+        )
     )
-    return best.select(
-        *[F.col(c) for c in urls.columns],
-        F.coalesce(
-            F.col("__best.rule") == "allow", F.lit(True)
-        ).alias("allowed"),
-        F.col("__best.rule_path").alias("rule_path"),
-    )
+    return urls.join(
+        verdicts, urls[url_col].eqNullSafe(verdicts["__u"]), "left"
+    ).drop("__u")
 
 
 ROBOTS_RULES_SCHEMA = (

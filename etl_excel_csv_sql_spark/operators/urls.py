@@ -206,7 +206,13 @@ def fetch_schedule_delays(
 
     Plan: broadcast-join the delays dim (hosts-with-robots is the
     small side), one window partitioned BY HOST — the same
-    bounded-per-partition shape as ``fetch_schedule``."""
+    bounded-per-partition shape as ``fetch_schedule``.
+
+    The delays dim is aggregated to ONE row per host before the join
+    (ADVICE r14): duplicate host rows would otherwise multiply frontier
+    rows, minting duplicate slots and corrupt eta_s. ``max`` wins — the
+    most conservative published delay is the only one that violates no
+    variant of the host's policy."""
     from pyspark.sql import Window
 
     if default_delay_s < 0:
@@ -216,7 +222,9 @@ def fetch_schedule_delays(
             F.col(host_col).alias("__dhost"),
             F.col("crawl_delay_s").cast("double").alias("__delay"),
         )
-    )
+        .groupBy("__dhost")
+        .agg(F.max("__delay").alias("__delay"))
+    )  # hint on the AGGREGATED frame: one row per host rides the broadcast
     w = Window.partitionBy(host_col).orderBy(url_col)
     slot = F.row_number().over(w) - 1
     return (
@@ -253,18 +261,28 @@ def crawl_revisit_diff(
     with a content fingerprint column (xxhash64 of the body, an
     ETag — any equality-comparable token). One shuffle on the URL key;
     both sides partition identically, so AQE plans a single exchange
-    pair with no residual skew beyond the key distribution itself."""
+    pair with no residual skew beyond the key distribution itself.
+
+    Presence is tracked with explicit marker columns, NOT fingerprint
+    nullness (ADVICE r14): fingerprints are often legitimately absent
+    (ETags are optional), so a prev row with a NULL fp must still read
+    as present — new/gone come from the markers, changed/unchanged from
+    a null-safe fp comparison (both-NULL ⇒ unchanged)."""
     p = prev.select(
-        F.col(url_col).alias("url"), F.col(fp_col).alias("prev_fp")
+        F.col(url_col).alias("url"),
+        F.col(fp_col).alias("prev_fp"),
+        F.lit(True).alias("__in_prev"),
     )
     c = curr.select(
-        F.col(url_col).alias("url"), F.col(fp_col).alias("curr_fp")
+        F.col(url_col).alias("url"),
+        F.col(fp_col).alias("curr_fp"),
+        F.lit(True).alias("__in_curr"),
     )
     j = p.join(c, "url", "full_outer")
     status = (
-        F.when(F.col("prev_fp").isNull(), F.lit("new"))
-        .when(F.col("curr_fp").isNull(), F.lit("gone"))
-        .when(F.col("prev_fp") == F.col("curr_fp"), F.lit("unchanged"))
+        F.when(F.col("__in_prev").isNull(), F.lit("new"))
+        .when(F.col("__in_curr").isNull(), F.lit("gone"))
+        .when(F.col("prev_fp").eqNullSafe(F.col("curr_fp")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return j.select("url", "prev_fp", "curr_fp", status.alias("status"))

@@ -4114,23 +4114,27 @@ def q_anchor_text_profile(spark, sf_dir):
     # primitive between two snapshots (Common Crawl is monthly): one
     # full-outer join on the URL key classifies new / gone / changed /
     # unchanged; only new+changed flow into the expensive downstream
-    # stages. In-plan fixture by lane r = id % 4: 0 unchanged (both
+    # stages. In-plan fixture by lane r = id % 6: 0 unchanged (both
     # snapshots, same fp), 1 changed (both, fp differs), 2 new (curr
-    # only), 3 gone (prev only) — every cell closed-form.
+    # only), 3 gone (prev only), 4 unchanged with BOTH fps NULL, 5
+    # changed with prev fp NULL and curr fp set — lanes 4/5 pin the
+    # ADVICE-r14 fix: presence comes from explicit markers, not fp
+    # nullness, and changed/unchanged compares null-safely.
     """
     WITH b AS (
-      SELECT doc_id, doc_id % 4 AS r,
+      SELECT doc_id, doc_id % 6 AS r,
              'https://ex.org/u' || CAST(doc_id AS VARCHAR) AS url
       FROM documents
     )
     SELECT url,
-           CASE WHEN r = 2 THEN NULL
+           CASE WHEN r = 2 OR r = 4 OR r = 5 THEN NULL
                 ELSE 'fp' || CAST(doc_id AS VARCHAR) END AS prev_fp,
-           CASE WHEN r = 3 THEN NULL
+           CASE WHEN r = 3 OR r = 4 THEN NULL
                 WHEN r = 1 THEN 'fp' || CAST(doc_id AS VARCHAR) || 'x'
                 ELSE 'fp' || CAST(doc_id AS VARCHAR) END AS curr_fp,
            CASE r WHEN 0 THEN 'unchanged' WHEN 1 THEN 'changed'
-                  WHEN 2 THEN 'new' ELSE 'gone' END AS status
+                  WHEN 2 THEN 'new' WHEN 3 THEN 'gone'
+                  WHEN 4 THEN 'unchanged' ELSE 'changed' END AS status
     FROM b
     """,
     doc="cross-snapshot revisit diff (urls.crawl_revisit_diff): one "
@@ -4144,15 +4148,21 @@ def q_crawl_revisit_diff(spark, sf_dir):
     from etl_excel_csv_sql_spark.operators import urls
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
-    r = F.col("doc_id") % 4
+    r = F.col("doc_id") % 6
     url = F.concat(F.lit("https://ex.org/u"), F.col("doc_id").cast("string"))
     fp = F.concat(F.lit("fp"), F.col("doc_id").cast("string"))
     prev = d.filter(r != 2).select(
-        url.alias("url_norm"), fp.alias("fp")
+        url.alias("url_norm"),
+        F.when((r == 4) | (r == 5), F.lit(None).cast("string"))
+        .otherwise(fp)
+        .alias("fp"),
     )
     curr = d.filter(r != 3).select(
         url.alias("url_norm"),
-        F.when(r == 1, F.concat(fp, F.lit("x"))).otherwise(fp).alias("fp"),
+        F.when(r == 4, F.lit(None).cast("string"))
+        .when(r == 1, F.concat(fp, F.lit("x")))
+        .otherwise(fp)
+        .alias("fp"),
     )
     return urls.crawl_revisit_diff(prev, curr)
 
@@ -4166,11 +4176,14 @@ def q_crawl_revisit_diff(spark, sf_dir):
     # it as canonical / SCHEME+HOST UPPERCASED / explicit :443 /
     # trailing slash / whitespace+fragment — all five must normalize to
     # the same key, so keeper = min(id) per group and n_dups = group
-    # size. Hosts rotate SIX shapes to value-check the r14 PSL
+    # size. Hosts rotate EIGHT shapes to value-check the PSL
     # snapshot (operators/psl.py): sub.X.co.uk (ccTLD registrar),
     # www.X.com, X.org, sub.X.github.io (private-section suffix),
-    # www.X.com.au (3-letter ccTLD SLD the old heuristic missed), and
-    # host.X.pvt.k12.ma.us (4-label US locality rule).
+    # www.X.com.au (3-letter ccTLD SLD the old heuristic missed),
+    # host.X.pvt.k12.ma.us (4-label US locality rule), plus two r15
+    # previously-uncovered private suffixes: blog.X.blogspot.co.uk
+    # (3-label private rule nested under an ICANN 2-label suffix) and
+    # dev.X.trycloudflare.com (newly-snapshotted tunnel suffix).
     """
     WITH g AS (
       SELECT doc_id, doc_id % 100 AS grp FROM documents
@@ -4180,7 +4193,7 @@ def q_crawl_revisit_diff(spark, sf_dir):
       FROM g GROUP BY grp
     ), h AS (
       SELECT grp, keeper_doc_id, n_dups,
-             CASE grp % 6
+             CASE grp % 8
                WHEN 0 THEN 'sub.example' || CAST(grp AS VARCHAR) || '.co.uk'
                WHEN 1 THEN 'www.example' || CAST(grp AS VARCHAR) || '.com'
                WHEN 2 THEN 'example' || CAST(grp AS VARCHAR) || '.org'
@@ -4188,17 +4201,26 @@ def q_crawl_revisit_diff(spark, sf_dir):
                  || '.github.io'
                WHEN 4 THEN 'www.example' || CAST(grp AS VARCHAR)
                  || '.com.au'
-               ELSE 'host.example' || CAST(grp AS VARCHAR)
+               WHEN 5 THEN 'host.example' || CAST(grp AS VARCHAR)
                  || '.pvt.k12.ma.us'
+               WHEN 6 THEN 'blog.example' || CAST(grp AS VARCHAR)
+                 || '.blogspot.co.uk'
+               ELSE 'dev.example' || CAST(grp AS VARCHAR)
+                 || '.trycloudflare.com'
              END AS host,
-             CASE grp % 6
+             CASE grp % 8
                WHEN 0 THEN 'example' || CAST(grp AS VARCHAR) || '.co.uk'
                WHEN 1 THEN 'example' || CAST(grp AS VARCHAR) || '.com'
                WHEN 2 THEN 'example' || CAST(grp AS VARCHAR) || '.org'
                WHEN 3 THEN 'example' || CAST(grp AS VARCHAR)
                  || '.github.io'
                WHEN 4 THEN 'example' || CAST(grp AS VARCHAR) || '.com.au'
-               ELSE 'example' || CAST(grp AS VARCHAR) || '.pvt.k12.ma.us'
+               WHEN 5 THEN 'example' || CAST(grp AS VARCHAR)
+                 || '.pvt.k12.ma.us'
+               WHEN 6 THEN 'example' || CAST(grp AS VARCHAR)
+                 || '.blogspot.co.uk'
+               ELSE 'example' || CAST(grp AS VARCHAR)
+                 || '.trycloudflare.com'
              END AS etld1
       FROM a
     )
@@ -4225,15 +4247,22 @@ def q_url_normalize_dedup(spark, sf_dir):
     v = (F.floor(F.col("doc_id") / 100) % 5).cast("int")
     gs = g.cast("string")
     host = (
-        F.when(g % 6 == 0, F.concat(F.lit("sub.example"), gs, F.lit(".co.uk")))
-        .when(g % 6 == 1, F.concat(F.lit("www.example"), gs, F.lit(".com")))
-        .when(g % 6 == 2, F.concat(F.lit("example"), gs, F.lit(".org")))
-        .when(g % 6 == 3,
+        F.when(g % 8 == 0, F.concat(F.lit("sub.example"), gs, F.lit(".co.uk")))
+        .when(g % 8 == 1, F.concat(F.lit("www.example"), gs, F.lit(".com")))
+        .when(g % 8 == 2, F.concat(F.lit("example"), gs, F.lit(".org")))
+        .when(g % 8 == 3,
               F.concat(F.lit("sub.example"), gs, F.lit(".github.io")))
-        .when(g % 6 == 4,
+        .when(g % 8 == 4,
               F.concat(F.lit("www.example"), gs, F.lit(".com.au")))
+        .when(g % 8 == 5,
+              F.concat(F.lit("host.example"), gs, F.lit(".pvt.k12.ma.us")))
+        # r15 (VERDICT r14 #3): two previously-uncovered private
+        # suffixes — a 3-label private rule under an ICANN 2-label
+        # suffix (blogspot.co.uk) and a newly-snapshotted 2-label one
+        .when(g % 8 == 6,
+              F.concat(F.lit("blog.example"), gs, F.lit(".blogspot.co.uk")))
         .otherwise(
-            F.concat(F.lit("host.example"), gs, F.lit(".pvt.k12.ma.us"))
+            F.concat(F.lit("dev.example"), gs, F.lit(".trycloudflare.com"))
         )
     )
     canon_tail = F.concat(host, F.lit("/path"), gs)
@@ -8236,56 +8265,56 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # untouched, local-gate-pinned; they lead the r15 pool);
 # crawl_fetch_schedule_bucketed joins the never-checked set.
 WINDOW_ORDER: tuple[str, ...] = (
-    "pdf_unicode_text_extract",
-    "wat_metadata_catalog",
-    "crawl_streaming_pipeline_e2e",
-    "robots_url_filter",
-    "url_normalize_dedup",
-    "paragraph_dedup_ccnet",
-    "crawl_pipeline_full_e2e",
-    "crawl_frontier_e2e",
-    "numeric_histogram",
-    "returned_item_report",
-    "customers_without_orders",
-    "nation_volume_shipping",
-    "promo_revenue_pct",
-    "top_supplier_revenue",
-    "small_qty_order_revenue",
-    "large_volume_customers",
-    "disjunctive_predicate_revenue",
-    "multiset_ops",
-    "embedding_dim_stats",
-    "benford_first_digit",
-    "datetime_functions_breadth",
-    "aggregate_functions_breadth",
-    "regexp_functions_breadth",
-    "null_semantics_battery",
-    "nested_orders_rollup",
-    "observed_pipeline_metrics",
-    "collation_ci_matching",
-    "ansi_safe_arithmetic",
-    "calendar_dim_spine",
-    "map_functions_breadth",
-    "grouped_minmax_scaling",
-    "grouped_agg_pandas_udf",
-    "fuzzy_join_enrichment",
-    "cuped_ab_report",
-    "set_similarity_join_pairs",
-    "late_supplier_blame_report",
-    "cdc_apply_roundtrip",
-    "global_outlier_customers",
-    "fuzzy_part_pairs_multipass",
-    "lpa_communities",
-    "events_sessionize_bucketed",
-    "survival_curve_users",
-    "rfm_segmentation",
-    "winsorized_price_stats",
-    "crawl_fetch_schedule_bucketed",
-    "crawl_revisit_diff",
-    "url_percent_normalize",
-    "crawl_delay_schedule",
-    "robots_rules_catalog",
-    "anchor_text_profile",
+    "jaro_winkler_part_pairs",
+    "doc_bigram_surprisal",
+    "dsir_importance_weights",
+    "gopher_rule_filter",
+    "psi_drift_orders",
+    "events_acf_daily",
+    "embedding_quantization_report",
+    "count_min_partkey",
+    "seasonal_decompose_daily",
+    "corpus_datacard",
+    "vocab_coverage_report",
+    "copurchase_triangles",
+    "pareto_abc_parts",
+    "attribution_time_decay",
+    "hilbert_layout_sample",
+    "asof_nearest_purchase_per_event",
+    "daily_user_accounting",
+    "doc_compression_ratio",
+    "events_streaming_approx_users",
+    "compact_small_files_report",
+    "events_streaming_progress_report",
+    "events_streaming_soak_50_batches",
+    "filter_neq_case_insensitive",
+    "project_columns",
+    "filter_notnull_key",
+    "semi_join_inlist",
+    "update_join_writeback",
+    "sql_text_interface",
+    "hypertable_rollup_daily",
+    "events_funnel",
+    "events_session_native",
+    "dedup_components_star",
+    "lang_confusion_matrix",
+    "repetition_signals",
+    "contamination_check",
+    "pack_documents_by_lang",
+    "redact_pii",
+    "train_test_split",
+    "scd2_snapshot_apply",
+    "range_join_price_bands",
+    "strip_duplicate_spans_clean",
+    "dup_span_coverage",
+    "source_capped_sample",
+    "corpus_mixture_weights",
+    "subword_token_count",
+    "embedding_dup_pairs_exact",
+    "embedding_quantization_error",
+    "media_image_meta",
+    "media_resize_plan",
+    "media_audio_meta",
 )
 
 # Breadth-tier queries (see QuerySpec.tier): pure SQL-shape coverage —

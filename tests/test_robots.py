@@ -196,6 +196,44 @@ def test_filter_crawlable_plan_is_python_free(spark):
     assert "Window" not in plan  # one max_by aggregation, no window
 
 
+def test_filter_crawlable_narrow_shuffle_and_duplicates(spark):
+    """VERDICT r14 #5: the rule join + verdict aggregation run on a
+    narrow (url, host) projection — payload columns never ride the
+    per-rule multiply — and duplicate input URLs each keep their row
+    (verdict shared per URL) instead of collapsing."""
+    urls_df = spark.createDataFrame(
+        [
+            (1, "https://a.com/x", "a.com", "B" * 10),
+            (2, "https://a.com/x", "a.com", "C" * 10),
+            (3, "https://a.com/y/deep", "a.com", "D" * 10),
+        ],
+        "doc_id long, url_norm string, host string, payload_blob string",
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "disallow", "/y")], "host string, rule string, path string"
+    )
+    out = robots.filter_crawlable(urls_df, rules).collect()
+    assert len(out) == 3  # duplicate URL rows preserved
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["allowed"] and by_id[2]["allowed"]
+    assert not by_id[3]["allowed"] and by_id[3]["rule_path"] == "/y"
+    plan = (
+        robots.filter_crawlable(urls_df, rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the narrow lane: every node touching the __u verdict key —
+    # the dedup/aggregation exchanges and the max_by aggregates —
+    # must not carry the payload column
+    narrow_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning(__u" in ln or "max_by" in ln
+    ]
+    assert narrow_lines, "expected a __u-keyed narrow lane in the plan"
+    for ln in narrow_lines:
+        assert "payload_blob" not in ln, ln
+
+
 def test_parse_robots_sitemaps():
     body = """
 User-agent: *
@@ -235,3 +273,23 @@ Crawl-delay: -3
     assert robots.parse_robots_crawl_delay(body, "junkbot") == 10.0
     # no delays anywhere -> None
     assert robots.parse_robots_crawl_delay("User-agent: *\nDisallow: /") is None
+
+
+def test_parse_robots_crawl_delay_last_group_wins():
+    """ADVICE r14: repeated groups for the same agent — the LAST
+    group's delay wins (plain assignment), consistent with
+    parse_robots_text merging all matching groups."""
+    body = """
+User-agent: bot
+Crawl-delay: 1
+
+User-agent: other
+Disallow: /x
+
+User-agent: bot
+Crawl-delay: 7
+"""
+    assert robots.parse_robots_crawl_delay(body, "bot") == 7.0
+    # within one group, later directives also win
+    body2 = "User-agent: *\nCrawl-delay: 2\nCrawl-delay: 3\n"
+    assert robots.parse_robots_crawl_delay(body2) == 3.0

@@ -111,6 +111,24 @@ def test_host_and_registrable_domain(spark):
         ("https://co.uk/x", "co.uk", "co.uk"),
         # heuristic fallback still covers unlisted 2-letter ccTLDs
         ("https://x.co.xx/x", "x.co.xx", "x.co.xx"),
+        # --- r15 snapshot additions (VERDICT r14 #3) ---
+        # 3-label private suffix nested under an ICANN 2-label one:
+        # blogspot.co.uk outranks co.uk (most-labels wins)
+        ("https://blog.me.blogspot.co.uk/x", "blog.me.blogspot.co.uk",
+         "me.blogspot.co.uk"),
+        ("https://me.blogspot.co.uk/x", "me.blogspot.co.uk",
+         "me.blogspot.co.uk"),
+        # newly-snapshotted 2-label private suffixes
+        ("https://dev.app.trycloudflare.com/x", "dev.app.trycloudflare.com",
+         "app.trycloudflare.com"),
+        ("https://site.notion.site/x", "site.notion.site",
+         "site.notion.site"),
+        ("https://env.elasticbeanstalk.com/x", "env.elasticbeanstalk.com",
+         "env.elasticbeanstalk.com"),
+        # 3-label private suffix service.gov.uk (vs ICANN gov.uk)
+        ("https://apply.visa.service.gov.uk/x", "apply.visa.service.gov.uk",
+         "visa.service.gov.uk"),
+        ("https://www.gov.uk/x", "www.gov.uk", "www.gov.uk"),
     ]
     df = spark.createDataFrame([(c[0],) for c in cases], "url string")
     rows = df.select(
@@ -232,3 +250,55 @@ def test_fetch_schedule_bucketed_whale_proof(spark):
 
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert m.group(1).strip(), "unpartitioned window in plan"
+
+
+def test_fetch_schedule_delays_dedupes_dim(spark):
+    """ADVICE r14: duplicate host rows in the delays dim must not
+    multiply frontier rows — the dim aggregates to one row per host
+    (max wins, the most conservative published delay), so slots stay a
+    dense permutation and eta_s = slot * delay."""
+    frontier = spark.createDataFrame(
+        [(f"https://a.com/p{i}", "a.com") for i in range(4)]
+        + [("https://b.com/x", "b.com")],
+        "url_norm string, host string",
+    )
+    delays = spark.createDataFrame(
+        # a.com appears TWICE with different delays; 5.0 must win
+        [("a.com", 2.0), ("a.com", 5.0)],
+        "host string, crawl_delay_s double",
+    )
+    out = urls.fetch_schedule_delays(frontier, delays).collect()
+    assert len(out) == 5  # no row multiplication
+    a = sorted((r for r in out if r["host"] == "a.com"),
+               key=lambda r: r["slot"])
+    assert [r["slot"] for r in a] == [0, 1, 2, 3]
+    assert all(r["crawl_delay_s"] == 5.0 for r in a)
+    assert [r["eta_s"] for r in a] == [0.0, 5.0, 10.0, 15.0]
+    (b,) = [r for r in out if r["host"] == "b.com"]
+    assert b["crawl_delay_s"] == 1.0  # default
+
+
+def test_crawl_revisit_diff_null_fp_presence(spark):
+    """ADVICE r14: presence comes from explicit markers, not fp
+    nullness. A prev row with a NULL fp is PRESENT (gone if absent
+    from curr, changed if curr minted a fp); both-NULL fps on a URL
+    present in both snapshots is unchanged."""
+    prev = spark.createDataFrame(
+        [("u1", None), ("u2", None), ("u3", None), ("u4", "f4")],
+        "url_norm string, fp string",
+    )
+    curr = spark.createDataFrame(
+        [("u1", None), ("u2", "f2"), ("u4", "f4"), ("u5", None)],
+        "url_norm string, fp string",
+    )
+    got = {
+        r["url"]: r["status"]
+        for r in urls.crawl_revisit_diff(prev, curr).collect()
+    }
+    assert got == {
+        "u1": "unchanged",  # both present, both fps NULL
+        "u2": "changed",    # NULL -> f2
+        "u3": "gone",       # present in prev despite NULL fp
+        "u4": "unchanged",
+        "u5": "new",        # NULL fp in curr is still present
+    }
