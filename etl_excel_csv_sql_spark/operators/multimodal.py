@@ -2164,3 +2164,52 @@ def synth_pdf15_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     object packed into an ObjStm (the mass-produced real-world layout),
     same ``synth_pdf_pages`` text contract."""
     return _synth_payload_frame(df, id_col, _pdf15_payload)
+
+
+def _pdf_lzw_payload(mid: int) -> bytes:
+    from etl_excel_csv_sql_spark.operators import pdf
+
+    shows = [
+        [["doc ", -28, f"{mid} pa", 35, f"ge {k}"], "(ok)"]
+        for k in range(1 + mid % 3)
+    ]
+    return pdf.encode_pdf(shows, lzw=True)
+
+
+def synth_pdf_lzw_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (media_id, payload): the r15 LZWDecode lane — same
+    ``synth_pdf_pages`` text contract as the Flate lane, but content
+    streams carry /Filter /LZWDecode (MSB-first variable 9..12-bit
+    codes per PDF 32000-1 §7.4.4), so extraction exercises
+    ``pdf._lzw_decode`` end to end."""
+    return _synth_payload_frame(df, id_col, _pdf_lzw_payload)
+
+
+def _pdf_rc4_payload(mid: int) -> bytes:
+    from etl_excel_csv_sql_spark.operators import pdf
+
+    shows = [
+        [["doc ", -28, f"{mid} pa", 35, f"ge {k}"], "(ok)"]
+        for k in range(1 + mid % 3)
+    ]
+    # odd ids take the legacy 40-bit R=2/V=1 pair, even ids the common
+    # R=3/V=2/128-bit pair; every third id stacks LZW under the cipher
+    # (decrypt THEN defilter, the spec order)
+    return pdf.encode_pdf_encrypted(
+        shows,
+        r=2 if mid % 2 else 3,
+        title=f"doc {mid}",
+        lzw=(mid % 3 == 0),
+        seed=str(mid).encode(),
+    )
+
+
+def synth_pdf_rc4_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id) → (media_id, payload): the r15 decryption lane —
+    standard-security-handler RC4 with an EMPTY user password (the
+    permissions-only encryption most "encrypted" crawl PDFs carry),
+    alternating R=2/40-bit and R=3/128-bit by id parity, with an
+    encrypted /Info /Title and (id % 3 == 0) an LZW content filter
+    stacked under the cipher. Same ``synth_pdf_pages`` text
+    contract."""
+    return _synth_payload_frame(df, id_col, _pdf_rc4_payload)

@@ -25,11 +25,26 @@ hybrid-reference /XRefStm side-loads) with objects compressed into
 object streams (/Type /ObjStm type-2 entries) — the layout
 mass-produced real-world PDFs actually ship.
 
+Filters: FlateDecode (zlib, with the PNG predictor family) and
+LZWDecode (r15, VERDICT r14 #4 — MSB-first variable 9..12-bit codes,
+Clear/EOD, /EarlyChange, the same predictor path) decode; other
+filters raise into the quarantine.
+
+Encryption (r15): the standard security handler's EMPTY-USER-PASSWORD
+path decrypts — RC4 V=1/V=2, R=2/R=3 per spec Algorithms 2/4/5 (the
+bulk of "encrypted" PDFs in a crawl are permissions-only encryption
+with an empty user password). Strings and streams decrypt with the
+per-object MD5(file_key + objnum + gen) key; xref/Encrypt material and
+ObjStm-inner strings are exempt per spec. PDFs that actually need a
+password, AES (/V >= 4 crypt filters), and non-Standard handlers raise
+DISTINCT ValueError messages so quarantine loss is measurable by
+class.
+
 Scope fences (each raises ValueError → the quarantine lane):
-encryption and non-Flate filters are out of scope; caps bound object
-count, xref chain length, page-tree depth/size, and inflate output
-(decompression-bomb guard), so a hostile payload degrades to a null
-row instead of an executor OOM.
+password-protected/AES encryption and filters beyond Flate/LZW are out
+of scope; caps bound object count, xref chain length, page-tree
+depth/size, and inflate output (decompression-bomb guard), so a
+hostile payload degrades to a null row instead of an executor OOM.
 
 Quarantine contract matches the media codecs: every malformed shape
 surfaces as ValueError only — the lenient extraction kernel catches
@@ -38,7 +53,9 @@ exactly that; Spark surface is ``operators.multimodal.extract_pdf_text``.
 
 from __future__ import annotations
 
+import hashlib
 import re
+import struct
 import zlib
 
 from etl_excel_csv_sql_spark.operators.codecs import _malformed_as_valueerror
@@ -282,7 +299,12 @@ class _Document:
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, tuple] = {}
         self._loading: set[int] = set()
+        # standard-security-handler state (r15): a non-None _file_key
+        # turns on per-object RC4 decryption in _load_file_object
+        self._file_key: bytes | None = None
+        self._encrypt_num: int | None = None
         self._load_xref()
+        self._setup_encryption()
 
     def _load_xref(self) -> None:
         data = self.data
@@ -309,6 +331,107 @@ class _Document:
             else:
                 # PDF 1.5+ cross-reference STREAM (spec 7.5.8)
                 offset = self._load_xref_stream_section(offset)
+
+    def _setup_encryption(self) -> None:
+        """Trailer /Encrypt → the standard security handler's
+        EMPTY-USER-PASSWORD path (spec 7.6.3, Algorithms 2/4/5): RC4
+        V=1/V=2, R=2/R=3 — the permissions-only encryption the bulk of
+        "encrypted" crawl PDFs carry. Anything needing a real
+        password, AES (/V >= 4 crypt filters), or a non-Standard
+        handler raises a DISTINCT ValueError so quarantine loss is
+        measurable per class. The Encrypt dict loads BEFORE _file_key
+        is set, so its own strings (/O /U) stay raw per spec."""
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is None:
+            return
+        if isinstance(enc_ref, _Ref):
+            self._encrypt_num = enc_ref.num
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise ValueError("trailer /Encrypt is not a dict")
+        handler = self.resolve(enc.get("Filter"))
+        if handler != "Standard":
+            raise ValueError(
+                f"encryption handler {handler!r} is out of scope "
+                "(Standard security handler only)"
+            )
+        v = self.resolve(enc.get("V", 0))
+        r = self.resolve(enc.get("R"))
+        if v not in (1, 2):
+            raise ValueError(
+                f"encryption /V {v!r} is out of scope "
+                "(RC4 V=1/V=2 only — AES / crypt filters quarantine)"
+            )
+        if r not in (2, 3):
+            raise ValueError(
+                f"encryption /R {r!r} is out of scope (R=2/R=3 only)"
+            )
+        o = self.resolve(enc.get("O"))
+        u = self.resolve(enc.get("U"))
+        p = self.resolve(enc.get("P"))
+        if not (
+            isinstance(o, bytes) and len(o) >= 32
+            and isinstance(u, bytes) and len(u) >= 32
+            and isinstance(p, int)
+        ):
+            raise ValueError("encryption dict /O /U /P malformed")
+        if p >= 1 << 31:  # writers emit unsigned; Algorithm 2 packs i32
+            p -= 1 << 32
+        if v == 1:
+            nbytes = 5
+        else:
+            length = self.resolve(enc.get("Length", 40))
+            if not isinstance(length, int) or length % 8:
+                raise ValueError("encryption /Length malformed")
+            nbytes = length // 8
+        if not 5 <= nbytes <= 16:
+            raise ValueError(
+                f"encryption key length {nbytes * 8} out of range"
+            )
+        ids = self.resolve(self.trailer.get("ID"))
+        id0 = (
+            self.resolve(ids[0])
+            if isinstance(ids, list) and ids
+            else b""
+        )
+        if not isinstance(id0, bytes):
+            raise ValueError("trailer /ID[0] is not a string")
+        key = _std_file_key(b"", o, p, id0, r, nbytes)
+        expect = _std_user_check(key, id0, r)
+        ok = (
+            expect[:16] == u[:16] if r == 3 else expect == u[:32]
+        )
+        if not ok:
+            raise ValueError(
+                "PDF user password is not empty — password-protected "
+                "PDFs are out of scope"
+            )
+        self._file_key = key
+
+    def _decrypt_loaded(self, value, num: int, gen: int):
+        """Per-object decrypt (spec Algorithm 1) applied to a freshly
+        parsed top-level object: every string and stream body under it
+        was RC4-encrypted with MD5(file_key + num + gen). Exempt per
+        spec: the Encrypt dict itself (never gets here — loaded before
+        _file_key), cross-reference streams, and ObjStm-INNER strings
+        (the container stream decrypts as a whole; its parsed contents
+        come out of _load_compressed_object, not here)."""
+        key = _obj_key(self._file_key, num, gen)
+
+        def walk(v):
+            if isinstance(v, bytes):
+                return _rc4(key, v)
+            if isinstance(v, list):
+                return [walk(x) for x in v]
+            if isinstance(v, dict):
+                return {k: walk(x) for k, x in v.items()}
+            if isinstance(v, _Stream):
+                if v.dict.get("Type") == "XRef":
+                    return v  # xref streams are never encrypted
+                return _Stream(walk(v.dict), _rc4(key, v.raw))
+            return v
+
+        return walk(value)
 
     def _load_classic_section(self, pos: int, sections: int):
         """One classic xref table + trailer at ``pos`` (just past the
@@ -491,7 +614,7 @@ class _Document:
             raise ValueError(f"object {num} offset out of range")
         lex = _Lexer(self.data, off)
         got = lex._number()
-        lex._number()  # generation
+        gen = lex._number()
         if got != num or lex.keyword() != "obj":
             raise ValueError(f"xref offset for object {num} is stale")
         value = lex.object()
@@ -505,6 +628,10 @@ class _Document:
             value = self._read_stream_at(lex, value)
         elif kw != "endobj":
             lex.pos = kw_start
+        if self._file_key is not None and num != self._encrypt_num:
+            value = self._decrypt_loaded(
+                value, num, gen if isinstance(gen, int) else 0
+            )
         return value
 
     def _load_compressed_object(self, num: int, stm_num: int, idx: int):
@@ -639,6 +766,187 @@ def _apply_predictor(data: bytes, parms: dict) -> bytes:
     return bytes(out)
 
 
+# --- LZWDecode (r15, VERDICT r14 #4) --------------------------------
+#
+# PDF/TIFF LZW (spec 7.4.4): MSB-first bit packing, 8-bit symbols,
+# code 256 = Clear, 257 = EOD, widths grow 9 → 12 bits with the
+# /EarlyChange (default 1) off-by-one. Distinct from the GIF LZW in
+# codecs.py (LSB-first, variable min code size) — the bit order and
+# control codes differ, so they share the algorithm but not bytes.
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    if early not in (0, 1):
+        raise ValueError(f"LZWDecode EarlyChange {early!r} out of range")
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    bitbuf = 0
+    bits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (bitbuf >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == 256:
+                del table[258:]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= 256:
+                    raise ValueError("LZW first code not a literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW code out of range")
+            out += entry
+            if len(out) > MAX_CONTENT_BYTES:
+                raise ValueError("LZW output exceeds the inflate guard")
+            prev = entry
+            # The decoder's table is one entry BEHIND the encoder's
+            # next-code counter (the pending entry completes on the
+            # NEXT code), so the width switch fires at len+1 — plus
+            # the /EarlyChange off-by-one the spec mandates.
+            if len(table) + 1 >= (1 << width) - early and width < 12:
+                width += 1
+    raise ValueError("truncated LZW stream (no EOD)")
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Fixture-side LZW encoder, the exact inverse of ``_lzw_decode``
+    (Clear up front, EOD at the end, table reset before overflow)."""
+    out = bytearray()
+    bitbuf = 0
+    bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bits
+        bitbuf = (bitbuf << width) | code
+        bits += width
+        while bits >= 8:
+            out.append((bitbuf >> (bits - 8)) & 0xFF)
+            bits -= 8
+
+    width = 9
+    emit(256, width)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    w = b""
+    for i in range(len(data)):
+        k = w + data[i : i + 1]
+        if k in table:
+            w = k
+            continue
+        emit(table[w], width)
+        table[k] = nxt
+        nxt += 1
+        if nxt >= (1 << width) - early:
+            if width < 12:
+                width += 1
+            else:
+                emit(256, width)
+                table = {bytes([i]): i for i in range(256)}
+                nxt = 258
+                width = 9
+        w = data[i : i + 1]
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if bits:
+        out.append((bitbuf << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+# --- standard security handler, empty user password (r15) -----------
+
+_PDF_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(
+    password: bytes, o: bytes, p: int, id0: bytes, r: int, nbytes: int
+) -> bytes:
+    """Spec Algorithm 2: padded password + /O + /P + /ID[0] → MD5
+    (+50 re-hash rounds for R >= 3), truncated to the key length."""
+    padded = (password + _PDF_PAD)[:32]
+    h = hashlib.md5(
+        padded + o[:32] + struct.pack("<i", p) + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:nbytes]).digest()
+    return h[:nbytes]
+
+
+def _std_user_check(key: bytes, id0: bytes, r: int) -> bytes:
+    """Spec Algorithm 4 (R=2) / 5 (R=3): the /U value an empty-ish
+    password key should produce (R=3 compares the first 16 bytes)."""
+    if r == 2:
+        return _rc4(key, _PDF_PAD)
+    h = hashlib.md5(_PDF_PAD + id0).digest()
+    enc = _rc4(key, h)
+    for i in range(1, 20):
+        enc = _rc4(bytes(b ^ i for b in key), enc)
+    return enc
+
+
+def _std_owner_entry(
+    owner_pwd: bytes, user_pwd: bytes, r: int, nbytes: int
+) -> bytes:
+    """Spec Algorithm 3 (fixture writer): /O from the owner password."""
+    h = hashlib.md5((owner_pwd + _PDF_PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    key = h[:nbytes]
+    o = _rc4(key, (user_pwd + _PDF_PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _obj_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Spec Algorithm 1: per-object RC4 key."""
+    h = hashlib.md5(
+        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
 class _Stream:
     __slots__ = ("dict", "raw")
 
@@ -660,31 +968,45 @@ class _Stream:
         out = self.raw
         for f, parms in zip(filters, parms_list):
             f = doc.resolve(f)
-            if f != "FlateDecode":
+            parms_res = doc.resolve(parms)
+            if f == "FlateDecode":
+                d = zlib.decompressobj()
+                try:
+                    out = d.decompress(out, MAX_CONTENT_BYTES + 1)
+                except zlib.error as exc:
+                    raise ValueError(
+                        f"corrupt FlateDecode stream: {exc}"
+                    )
+                if len(out) > MAX_CONTENT_BYTES:
+                    raise ValueError(
+                        "content stream exceeds the inflate guard"
+                    )
+                # A TRUNCATED deflate stream inflates without error —
+                # decompress() returns the partial output silently —
+                # so a corrupt PDF would extract silently wrong text
+                # instead of hitting the documented ValueError
+                # quarantine (ADVICE r13). Same completeness check as
+                # the gzip-member loop in io/warc.py: the stream must
+                # have reached its final block.
+                if not d.eof:
+                    raise ValueError(
+                        "truncated FlateDecode stream (no final block)"
+                    )
+            elif f == "LZWDecode":
+                early = 1
+                if isinstance(parms_res, dict):
+                    early = doc.resolve(parms_res.get("EarlyChange", 1))
+                    if not isinstance(early, int):
+                        raise ValueError(
+                            "LZWDecode /EarlyChange is not an int"
+                        )
+                out = _lzw_decode(out, early)
+            else:
                 raise ValueError(
                     f"stream filter {f!r} is out of scope "
-                    "(FlateDecode only)"
+                    "(FlateDecode/LZWDecode only)"
                 )
-            d = zlib.decompressobj()
-            try:
-                out = d.decompress(out, MAX_CONTENT_BYTES + 1)
-            except zlib.error as exc:
-                raise ValueError(f"corrupt FlateDecode stream: {exc}")
-            if len(out) > MAX_CONTENT_BYTES:
-                raise ValueError(
-                    "content stream exceeds the inflate guard"
-                )
-            # A TRUNCATED deflate stream inflates without error —
-            # decompress() returns the partial output silently — so a
-            # corrupt PDF would extract silently wrong text instead of
-            # hitting the documented ValueError quarantine (ADVICE
-            # r13). Same completeness check as the gzip-member loop in
-            # io/warc.py: the stream must have reached its final block.
-            if not d.eof:
-                raise ValueError(
-                    "truncated FlateDecode stream (no final block)"
-                )
-            parms = doc.resolve(parms)
+            parms = parms_res
             if isinstance(parms, dict):
                 out = _apply_predictor(
                     out,
@@ -1165,7 +1487,9 @@ def _escape_string(s: str) -> bytes:
     )
 
 
-def _render_content(shows: list, compress: bool) -> tuple[bytes, bytes]:
+def _render_content(
+    shows: list, compress: bool, lzw: bool = False
+) -> tuple[bytes, bytes]:
     ops = [b"BT /F1 12 Tf 72 720 Td"]
     for show in shows:
         if isinstance(show, str):
@@ -1181,6 +1505,8 @@ def _render_content(shows: list, compress: bool) -> tuple[bytes, bytes]:
         ops.append(b"0 -14 Td")
     ops.append(b"ET")
     content = b"\n".join(ops)
+    if lzw:
+        return _lzw_encode(content), b" /Filter /LZWDecode"
     if compress:
         return zlib.compress(content, 6), b" /Filter /FlateDecode"
     return content, b""
@@ -1344,6 +1670,7 @@ def encode_pdf(
     xref_stream: bool = False,
     objstm: bool = False,
     xref_predictor: int = 1,
+    lzw: bool = False,
 ) -> bytes:
     """Fixture writer whose page ``p`` content stream renders
     ``pages[p]`` — each element a ``str`` (one Tj show) or a ``list``
@@ -1356,7 +1683,9 @@ def encode_pdf(
     (implies xref_stream) additionally packs every non-stream object
     (catalog, pages node, font, page dicts) into one /Type /ObjStm with
     type-2 xref entries — how mass-produced real-world PDFs actually
-    ship."""
+    ship. ``lzw`` swaps content streams to /Filter /LZWDecode
+    (``_lzw_encode``, the r15 decode twin); structural streams
+    (ObjStm/XRef) stay Flate, as real mixed-filter writers do."""
     if objstm:
         xref_stream = True
     objects: list[bytes] = []
@@ -1374,7 +1703,7 @@ def encode_pdf(
     kid_nums = []
     stream_obj_nums = set()
     for shows in pages:
-        content, extra = _render_content(shows, compress)
+        content, extra = _render_content(shows, compress, lzw)
         stream_num = add(
             b"<< /Length " + str(len(content)).encode() + extra
             + b" >>\nstream\n" + content + b"\nendstream"
@@ -1499,4 +1828,112 @@ def encode_pdf(
             b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
             % (total + 1, xref_off)
         )
+    return bytes(out)
+
+
+def encode_pdf_encrypted(
+    pages: list[list],
+    r: int = 3,
+    owner_pwd: bytes = b"fixture-owner",
+    title: str | None = None,
+    lzw: bool = False,
+    user_pwd: bytes = b"",
+    seed: bytes = b"",
+) -> bytes:
+    """Fixture writer for the r15 decryption lane: a classic-xref PDF
+    whose strings and stream bodies are RC4-encrypted under the
+    standard security handler with an EMPTY user password (spec
+    Algorithms 1/2/3/4/5) — /R 3 /V 2 /Length 128 by default, or the
+    legacy 40-bit /R 2 /V 1 pair. ``title`` plants an encrypted /Info
+    /Title string (the string-decrypt witness); ``lzw`` stacks the
+    LZW content filter under the cipher (decrypt THEN defilter, the
+    spec order). A non-empty ``user_pwd`` writes a PDF the reader
+    must refuse — the password-protected quarantine lane."""
+    if r == 3:
+        v, nbytes, length_bits = 2, 16, 128
+    elif r == 2:
+        v, nbytes, length_bits = 1, 5, 40
+    else:
+        raise ValueError("fixture writer supports R=2 or R=3")
+    p = -44  # print allowed; modify/copy/annotate denied
+    id0 = hashlib.md5(
+        b"pdf-encrypt-fixture" + seed + repr(pages).encode()
+    ).digest()
+    o_entry = _std_owner_entry(owner_pwd, user_pwd, r, nbytes)
+    file_key = _std_file_key(user_pwd, o_entry, p, id0, r, nbytes)
+    u_check = _std_user_check(file_key, id0, r)
+    u_entry = u_check if r == 2 else u_check[:16] + bytes(16)
+
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    cat_num = add(b"")
+    pages_num = add(b"")
+    font_num = add(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    kid_nums = []
+    for shows in pages:
+        content, extra = _render_content(shows, not lzw, lzw)
+        stream_num = len(objects) + 1
+        enc = _rc4(_obj_key(file_key, stream_num, 0), content)
+        add(
+            b"<< /Length %d%s >>\nstream\n" % (len(enc), extra)
+            + enc + b"\nendstream"
+        )
+        kid_nums.append(
+            add(
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 %d 0 R >> >> "
+                b"/Contents %d 0 R >>" % (font_num, stream_num)
+            )
+        )
+    objects[cat_num - 1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[pages_num - 1] = (
+        b"<< /Type /Pages /Kids ["
+        + b" ".join(b"%d 0 R" % k for k in kid_nums)
+        + b"] /Count %d >>" % len(pages)
+    )
+    info_num = None
+    if title is not None:
+        info_num = len(objects) + 1
+        enc_title = _rc4(
+            _obj_key(file_key, info_num, 0), title.encode("latin-1")
+        )
+        add(
+            b"<< /Title (" + _escape_string_bytes(enc_title) + b") >>"
+        )
+    enc_num = add(
+        b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+        b"/O (%s) /U (%s) >>"
+        % (
+            v, r, length_bits, p,
+            _escape_string_bytes(o_entry),
+            _escape_string_bytes(u_entry),
+        )
+    )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    trailer = (
+        b"trailer\n<< /Size %d /Root 1 0 R /Encrypt %d 0 R "
+        % (len(objects) + 1, enc_num)
+    )
+    if info_num is not None:
+        trailer += b"/Info %d 0 R " % info_num
+    trailer += (
+        b"/ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
+        % (id0.hex().encode(), id0.hex().encode(), xref_off)
+    )
+    out += trailer
     return bytes(out)

@@ -3610,6 +3610,85 @@ def q_pdf_unicode_text_extract(spark, sf_dir):
     return multimodal.extract_pdf_text(media, strict=True)
 
 
+_PDF_PAGES_ORACLE = """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 3 AS INT) AS n_pages,
+             'doc ' || CAST(doc_id AS VARCHAR) AS stem
+      FROM documents
+    ), t AS (
+      SELECT doc_id, n_pages,
+             CASE n_pages
+               WHEN 1 THEN stem || ' page 0 (ok)'
+               WHEN 2 THEN stem || ' page 0 (ok)' || chr(10)
+                 || stem || ' page 1 (ok)'
+               ELSE stem || ' page 0 (ok)' || chr(10)
+                 || stem || ' page 1 (ok)' || chr(10)
+                 || stem || ' page 2 (ok)'
+             END AS text
+      FROM p
+    )
+    SELECT doc_id AS media_id,
+           '1.4' AS version,
+           n_pages,
+           text,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM t
+    """
+
+
+@register(
+    "pdf_lzw_text_extract",
+    # r15 (VERDICT r14 #4): the LZWDecode filter lane — older
+    # real-world PDFs ship LZW content streams (PDF 32000-1 §7.4.4:
+    # MSB-first bit packing, variable 9..12-bit codes, 256=Clear,
+    # 257=EOD, the /EarlyChange off-by-one). Same synth_pdf_pages
+    # id contract as the Flate lane, so the oracle pins that the LZW
+    # machinery reproduces the classic lane byte for byte.
+    _PDF_PAGES_ORACLE,
+    doc="PDF LZWDecode text extraction (operators/pdf.py r15 "
+    "_lzw_decode: MSB-first variable-width codes, Clear/EOD control "
+    "codes, decoder-lag width switch, /EarlyChange 0/1, table reset, "
+    "output bomb guard) feeding the same page-tree/show-operator walk "
+    "as the Flate lane — version, page count, per-page text, char "
+    "count all value-checked by the id-contract oracle. Filters "
+    "beyond Flate/LZW still raise into the quarantine lane",
+)
+def q_pdf_lzw_text_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pdfs = multimodal.synth_pdf_lzw_payloads(docs, "doc_id")
+    media = multimodal.to_media_column(pdfs, "media_id", "payload", "doc")
+    return multimodal.extract_pdf_text(media, strict=True)
+
+
+@register(
+    "pdf_rc4_text_extract",
+    # r15 (VERDICT r14 #4): the empty-user-password decryption lane —
+    # the bulk of "encrypted" PDFs in a crawl are permissions-only
+    # (owner password set, user password EMPTY), readable per spec
+    # Algorithms 2/4/5. Fixtures alternate R=2/V=1/40-bit and
+    # R=3/V=2/128-bit by id parity, carry an encrypted /Info /Title,
+    # and stack LZW under the cipher for id % 3 == 0 (decrypt THEN
+    # defilter, the spec order). Same synth_pdf_pages id contract.
+    _PDF_PAGES_ORACLE,
+    doc="Encrypted-PDF text extraction (operators/pdf.py r15 standard "
+    "security handler): trailer /Encrypt → Algorithm 2 file key from "
+    "the EMPTY user password (+50 MD5 rounds for R=3), /U verified "
+    "via Algorithm 4/5, then per-object MD5(key+num+gen) RC4 on "
+    "every string and stream body (Algorithm 1); xref streams and "
+    "ObjStm-inner strings exempt per spec. Password-protected, AES "
+    "(/V>=4), and non-Standard handlers raise DISTINCT ValueErrors "
+    "into the quarantine lane so loss is measurable by class. "
+    "Version, page count, per-page text, char count value-checked "
+    "by the id-contract oracle",
+)
+def q_pdf_rc4_text_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pdfs = multimodal.synth_pdf_rc4_payloads(docs, "doc_id")
+    media = multimodal.to_media_column(pdfs, "media_id", "payload", "doc")
+    return multimodal.extract_pdf_text(media, strict=True)
+
+
 @register(
     "robots_url_filter",
     # r13: robots.txt politeness — the other half of URL hygiene: a

@@ -572,3 +572,148 @@ def test_inline_images_skip_not_quarantine():
     bad = b"BI /W 1 ID \x00\x01\x02"
     with _pytest.raises(ValueError, match="not terminated"):
         pdf._page_text(bad)
+
+
+# --- r15: LZWDecode filter + standard-security-handler decrypt ------
+
+
+def test_lzw_codec_roundtrip_and_width_edges():
+    """MSB-first PDF LZW: the encoder/decoder pair must roundtrip
+    through every width switch (9→12 bits), the /EarlyChange 0/1
+    off-by-one, and a full table reset (Clear mid-stream)."""
+    import os
+    rng = np.random.RandomState(15)
+    samples = [
+        b"", b"a", b"ab" * 300,
+        bytes(range(256)) * 40,
+        b"the quick brown fox jumps over the lazy dog " * 1200,
+        bytes(rng.randint(0, 4, size=30000, dtype=np.uint8)),  # resets
+        os.urandom(5000),
+    ]
+    for early in (0, 1):
+        for s in samples:
+            assert pdf._lzw_decode(pdf._lzw_encode(s, early), early) == s
+
+
+def test_lzw_malformed_raises_valueerror():
+    enc = pdf._lzw_encode(b"hello hello hello")
+    with pytest.raises(ValueError, match="no EOD"):
+        pdf._lzw_decode(enc[:-2] if len(enc) > 2 else b"")
+    # first code after Clear must be a literal
+    bad = bytes([0x80, 0x40, 0x20])  # Clear(256=0b100000000), then 258
+    with pytest.raises(ValueError):
+        pdf._lzw_decode(bad)
+    with pytest.raises(ValueError, match="EarlyChange"):
+        pdf._lzw_decode(b"", early=7)
+
+
+def test_lzw_pdf_roundtrip_and_earlychange_parm():
+    data = pdf.encode_pdf(
+        [[["doc ", -28, "7 pa", 35, "ge 0"], "(ok)"], ["second"]],
+        lzw=True,
+    )
+    assert b"/LZWDecode" in data
+    assert pdf.pdf_text_pages(data) == [
+        "doc 7 page 0 (ok)", "second"
+    ]
+    # an explicit /DecodeParms << /EarlyChange 1 >> is the default
+    doc = object.__new__(pdf._Document)
+    raw = pdf._lzw_encode(b"BT (x) Tj ET")
+    out = pdf._Stream(
+        {"Filter": "LZWDecode",
+         "DecodeParms": {"EarlyChange": 1}},
+        raw,
+    ).decoded(doc)
+    assert out == b"BT (x) Tj ET"
+    raw0 = pdf._lzw_encode(b"BT (y) Tj ET", early=0)
+    out0 = pdf._Stream(
+        {"Filter": "LZWDecode",
+         "DecodeParms": {"EarlyChange": 0}},
+        raw0,
+    ).decoded(doc)
+    assert out0 == b"BT (y) Tj ET"
+
+
+def _edoc(n_pages=2, mid=7, **kwargs):
+    shows = [
+        [["doc ", -28, f"{mid} pa", 35, f"ge {k}"], "(ok)"]
+        for k in range(n_pages)
+    ]
+    return pdf.encode_pdf_encrypted(shows, **kwargs)
+
+
+def test_rc4_empty_user_password_roundtrip_r2_and_r3():
+    """Spec Algorithms 1/2/4/5: both revisions decrypt with the empty
+    user password; the encrypted /Info /Title witnesses STRING
+    decryption (content streams witness stream decryption)."""
+    for r in (2, 3):
+        data = _edoc(r=r, title="Quarterly Report")
+        assert pdf.pdf_text_pages(data) == [
+            "doc 7 page 0 (ok)", "doc 7 page 1 (ok)"
+        ]
+        doc = pdf._Document(data)
+        info = doc.resolve(doc.trailer.get("Info"))
+        assert info["Title"] == b"Quarterly Report"
+
+
+def test_rc4_with_lzw_stacked_under_cipher():
+    """Decrypt THEN defilter — the spec order; both machines compose."""
+    data = _edoc(r=3, lzw=True)
+    assert pdf.pdf_text_pages(data) == [
+        "doc 7 page 0 (ok)", "doc 7 page 1 (ok)"
+    ]
+
+
+def test_encryption_fences_raise_distinct_valueerrors():
+    """Each out-of-scope encryption class raises a DISTINCT message so
+    quarantine loss is measurable per class."""
+    good = _edoc(r=3)
+    with pytest.raises(ValueError, match="password is not empty"):
+        pdf.pdf_text_pages(_edoc(user_pwd=b"real-password"))
+    aes = good.replace(b"/V 2", b"/V 4")
+    with pytest.raises(ValueError, match="AES / crypt filters"):
+        pdf.pdf_text_pages(aes)
+    handler = good.replace(b"/Filter /Standard", b"/Filter /Standarx")
+    with pytest.raises(ValueError, match="Standard security handler"):
+        pdf.pdf_text_pages(handler)
+    rev = good.replace(b"/R 3", b"/R 5")
+    with pytest.raises(ValueError, match="/R"):
+        pdf.pdf_text_pages(rev)
+    # corrupting /U makes the empty-password check fail → the
+    # password fence, not silent mojibake
+    u_at = good.find(b"/U (")
+    assert u_at > 0
+    corrupt = bytearray(good)
+    corrupt[u_at + 4] ^= 0xFF
+    # byte may have been an escape-significant char; only ValueError
+    # classes are acceptable either way
+    with pytest.raises(ValueError):
+        pdf.pdf_text_pages(bytes(corrupt))
+
+
+def test_encrypted_mutation_fuzz_raises_only_valueerror():
+    """The codec-wide fuzz contract extended over the r15 lanes:
+    LZW-filtered and RC4-encrypted fixtures under bit flips and
+    truncations extract or raise ValueError — never another class."""
+    rng = np.random.RandomState(1515)
+    valids = [
+        pdf.encode_pdf([["lzw page"]], lzw=True),
+        _edoc(r=2), _edoc(r=3, lzw=True, title="t"),
+    ]
+    trials = ok = quarantined = 0
+    for payload in valids:
+        for _ in range(100):
+            buf = bytearray(payload)
+            if rng.rand() < 0.3:
+                buf = buf[: rng.randint(1, len(buf))]
+            for _ in range(rng.randint(1, 5)):
+                if buf:
+                    buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+            trials += 1
+            try:
+                pdf.pdf_text_report(bytes(buf))
+                ok += 1
+            except ValueError:
+                quarantined += 1
+    assert trials == ok + quarantined
+    assert quarantined > 0
