@@ -371,9 +371,36 @@ WARC_SCHEMA = (
     "file string, record_idx int, warc_type string, target_uri string, "
     "warc_date string, content_type string, http_status int, "
     "n_body_bytes long, charset string, charset_source string, "
-    "text string, text_head string"
+    "text string, text_head string, quarantine_reason string"
 )
 _WARC_COLS = tuple(f.split(" ")[0] for f in WARC_SCHEMA.split(", "))
+
+# Quarantine-reason taxonomy (r15, VERDICT r14 #8): lenient mode's
+# file sentinel row carries a COUNTABLE class in `quarantine_reason`
+# (null on every good row), so a crawl operator can measure loss
+# rates per cause — in particular the brotli fence
+# (content_encoding_unsupported: pure-stdlib Python has no brotli, so
+# `br` bodies quarantine BY DESIGN and their rate must be visible)
+# versus genuinely corrupt data. Ordered first-match over the
+# ValueError messages this module raises; the malformed battery pins
+# message → class.
+_QUARANTINE_CLASSES = (
+    ("unsupported Content-Encoding", "content_encoding_unsupported"),
+    ("truncated compressed HTTP body", "content_encoding_truncated"),
+    ("HTTP body: ", "content_encoding_corrupt"),
+    ("inflate guard", "inflate_guard"),
+    ("chunk", "http_chunked_framing"),
+    ("HTTP", "http_framing"),
+    ("gzip member", "gzip_member"),
+    ("WARC", "warc_framing"),
+)
+
+
+def _quarantine_class(msg: str) -> str:
+    for needle, cls in _QUARANTINE_CLASSES:
+        if needle in msg:
+            return cls
+    return "other"
 
 
 def _validate_warc_file(content: bytes) -> None:
@@ -432,7 +459,7 @@ def _file_rows(
             (
                 file, idx, rec["warc_type"], rec["target_uri"],
                 rec["warc_date"], rec["content_type"], status, nbytes,
-                charset, source, text, head,
+                charset, source, text, head, None,
             ),
             chars,
         )
@@ -476,9 +503,11 @@ def _record_batches(strict: bool, head_chars: int):
                 if not strict:
                     try:
                         _validate_warc_file(content)
-                    except ValueError:
+                    except ValueError as exc:
                         append(
-                            (file,) + (None,) * (len(_WARC_COLS) - 1)
+                            (file,)
+                            + (None,) * (len(_WARC_COLS) - 2)
+                            + (_quarantine_class(str(exc)),)
                         )
                         continue
                 # strict raises straight through (the job dies, no
@@ -510,7 +539,10 @@ def read_warc(
     null. ``n_body_bytes`` is the HTTP body size for responses, else
     the record Content-Length. Lenient mode quarantines a malformed
     FILE to one null sentinel row — file-atomic: no partial rows from
-    before the malformed record."""
+    before the malformed record — whose ``quarantine_reason`` carries
+    the loss class (r15: see ``_QUARANTINE_CLASSES`` — e.g. the
+    brotli fence surfaces as ``content_encoding_unsupported``, a
+    countable by-design loss, distinct from corrupt data)."""
     binary = spark.read.format("binaryFile").load(path_glob).select(
         "path", "content"
     )

@@ -610,3 +610,95 @@ def test_content_encoding_decoding(spark, tmp_path):
     brhead = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n"
     with _pytest.raises(ValueError, match="unsupported Content-Encoding"):
         warc.http_response_parts(brhead + b"anything")
+
+
+def test_quarantine_reason_taxonomy(spark, tmp_path):
+    """r15 (VERDICT r14 #8): the lenient sentinel row's
+    quarantine_reason column classifies the loss so operators can
+    measure rates per cause — the brotli fence
+    (content_encoding_unsupported, a BY-DESIGN loss: stdlib Python
+    has no brotli) must be distinguishable from corrupt data, bad
+    framing, and truncation. One file per class, one pass, counted
+    via a plain groupBy."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from etl_excel_csv_sql_spark.io import warc
+
+    text = "body " * 20
+    good = warc.encode_warc(
+        [{"uri": "https://ex.org/ok", "status": 200, "body_text": text}]
+    )
+
+    def ce_file(coding: str, body: bytes) -> bytes:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: " + coding.encode() + b"\r\n\r\n" + body
+        )
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://ex.org/x\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+            + http + b"\r\n\r\n"
+        )
+        return rec
+
+    gz = zlib.compressobj(6, zlib.DEFLATED, 31)
+    gz_body = gz.compress(text.encode()) + gz.flush()
+    cases = {
+        "br.warc": (ce_file("br", b"brotli bytes"),
+                    "content_encoding_unsupported"),
+        "trunc.warc": (ce_file("gzip", gz_body[:-5]),
+                       "content_encoding_truncated"),
+        "corrupt.warc": (ce_file("gzip", b"\x1f\x8b garbage"),
+                         "content_encoding_corrupt"),
+        "status.warc": (good.replace(b"HTTP/1.1", b"XTTP/1.1"),
+                        "http_framing"),
+        "version.warc": (good.replace(b"WARC/1.0", b"XARC/1.0"),
+                         "warc_framing"),
+        "good.warc": (good, None),
+    }
+    for name, (payload, _) in cases.items():
+        with open(tmp_path / name, "wb") as f:
+            f.write(payload)
+    rows = warc.read_warc(spark, str(tmp_path / "*.warc")).collect()
+    got = {}
+    for r in rows:
+        fname = r["file"].rsplit("/", 1)[-1]
+        got[fname] = r["quarantine_reason"]
+    assert got == {k: v for k, (_, v) in cases.items()}
+    # the countable lane: a one-line loss report
+    report = (
+        warc.read_warc(spark, str(tmp_path / "*.warc"))
+        .groupBy("quarantine_reason").agg(F.count("*").alias("n"))
+        .collect()
+    )
+    by_reason = {r["quarantine_reason"]: r["n"] for r in report}
+    assert by_reason["content_encoding_unsupported"] == 1
+    assert by_reason[None] >= 1  # good rows carry NULL
+
+
+def test_quarantine_class_mapping_is_pinned():
+    """Message → class table: first-match order matters (chunk
+    violations mention 'HTTP body'; the bomb guard mentions both)."""
+    from etl_excel_csv_sql_spark.io import warc
+
+    cases = [
+        ("unsupported Content-Encoding 'br'",
+         "content_encoding_unsupported"),
+        ("truncated compressed HTTP body (no final block)",
+         "content_encoding_truncated"),
+        ("corrupt gzip HTTP body: Error -3", "content_encoding_corrupt"),
+        ("HTTP body exceeds the inflate guard", "inflate_guard"),
+        ("chunk overruns the HTTP body", "http_chunked_framing"),
+        ("non-hex chunk size b'xy'", "http_chunked_framing"),
+        ("malformed HTTP status line b'...'", "http_framing"),
+        ("truncated gzip member in WARC.gz chain", "gzip_member"),
+        ("expected WARC/x.y version line", "warc_framing"),
+        ("WARC record body overruns payload", "warc_framing"),
+        ("something else entirely", "other"),
+    ]
+    for msg, want in cases:
+        assert warc._quarantine_class(msg) == want, msg
