@@ -6638,9 +6638,14 @@ _GRAPH_EDGE_CTE = """
 """
 
 
-def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
+def _pagerank_oracle(
+    iterations: int = 5,
+    damping: float = 0.85,
+    edge_cte: str | None = None,
+    node_alias: str = "node",
+) -> str:
     ctes = [
-        _GRAPH_EDGE_CTE,
+        edge_cte if edge_cte is not None else _GRAPH_EDGE_CTE,
         """v AS (
           SELECT DISTINCT node FROM (
             SELECT src AS node FROM e UNION ALL SELECT dst FROM e
@@ -6665,7 +6670,8 @@ def _pagerank_oracle(iterations: int = 5, damping: float = 0.85) -> str:
         )""")
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
+        + f"\nSELECT node AS {node_alias}, round(rank, 6) AS rank "
+        + f"FROM r{iterations}"
     )
 
 
@@ -10349,3 +10355,113 @@ def q_media_phash_neardup(spark, sf_dir):
 )
 def q_daily_user_accounting(spark, sf_dir):
     return events.daily_user_accounting(_t(spark, sf_dir, "events"))
+
+
+_HOST_EDGE_CTE = """e AS (
+      SELECT DISTINCT
+             'h' || CAST(doc_id % 8 AS VARCHAR) || '.example.org' AS src,
+             'h' || CAST((doc_id % 8 + 1) % 8 AS VARCHAR)
+               || '.example.org' AS dst
+      FROM documents
+      UNION
+      SELECT DISTINCT
+             'h' || CAST(doc_id % 8 AS VARCHAR) || '.example.org' AS src,
+             'hub.example.org' AS dst
+      FROM documents WHERE doc_id % 3 = 0
+    )"""
+
+
+@register(
+    "host_pagerank_crawl",
+    # r15 (VERDICT r14 #7): PageRank over the REAL extracted link
+    # graph — the crawl-priority signal next to anchor_text_profile.
+    # Cross-module capstone: read_warc → extract_web_links (RFC 3986
+    # resolution against the page URL) → normalize_url/url_host on
+    # both endpoints → distinct host-level edge aggregation →
+    # graph.pagerank. Fixture: doc i lives on host h{i%8}, links to
+    # the next host in the ring (h{(i%8+1)%8}) and, for i%3==0, to
+    # hub.example.org — a pure sink (dangling mass dropped
+    # identically on both engines, the simple variant). Host edges
+    # are closed-form in the id set, so the oracle unrolls the SAME
+    # 5 damped rounds as chained CTEs over the same edge CTE.
+    _pagerank_oracle(
+        iterations=5, damping=0.85,
+        edge_cte=_HOST_EDGE_CTE, node_alias="host",
+    ),
+    doc="PageRank over the extracted crawl link graph: read_warc HTML "
+    "responses → extract_web_links (one Arrow pass, hrefs resolved "
+    "against the page URL per RFC 3986) → url_host(normalize_url) on "
+    "source and target → DISTINCT host-level edges (the page→page "
+    "graph collapses host-to-host BEFORE the iterative stage, so "
+    "power iteration runs on the tiny host graph — at 100 TB the "
+    "page graph is trillions of edges but the host graph is "
+    "~100M nodes, the standard production shape) → graph.pagerank "
+    "(5 rounds, d=0.85, edge list checkpointed once, per-round "
+    "12dp rounding pins FP drift). Oracle = the same 5 rounds "
+    "unrolled as chained CTEs over the closed-form host edge set",
+)
+def q_host_pagerank_crawl(spark, sf_dir):
+    import os
+
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io import warc
+    from etl_excel_csv_sql_spark.operators import graph, urls, webtext
+    from etl_excel_csv_sql_spark.plans.lifecycle_queries import _scratch
+
+    scratch = _scratch(
+        "hostpr_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    recs = []
+    for i in ids:
+        k = i % 8
+        links = [f"<a href='https://h{(k + 1) % 8}.example.org/'>n</a>"]
+        if i % 3 == 0:
+            links.append("<a href='https://hub.example.org/'>hub</a>")
+        recs.append(
+            {
+                "uri": f"https://h{k}.example.org/doc/{i}",
+                "status": 200,
+                "body_text": (
+                    f"<html><body><p>page {i}</p>{''.join(links)}"
+                    "</body></html>"
+                ),
+            }
+        )
+    seg = 2500
+    for s0 in range(0, max(len(recs), 1), seg):
+        path = os.path.join(scratch, f"crawl-{s0 // seg:05d}.warc.gz")
+        with open(path, "wb") as f:
+            f.write(
+                warc.encode_warc(recs[s0 : s0 + seg], gzip_members=True)
+            )
+    pages = (
+        warc.read_warc(
+            spark, os.path.join(scratch, "crawl-*.warc.gz"), strict=True
+        )
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            "text",
+            "target_uri",
+        )
+    )
+    links = webtext.extract_web_links(
+        pages, "doc_id", "text", base_col="target_uri"
+    )
+    edges = (
+        links.join(pages.select("doc_id", "target_uri"), "doc_id")
+        .select(
+            urls.url_host(urls.normalize_url(F.col("target_uri")))
+            .alias("src"),
+            urls.url_host(urls.normalize_url(F.col("url"))).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = graph.pagerank(edges, "src", "dst", iterations=5, damping=0.85)
+    return ranks.select(F.col("node").alias("host"), "rank")
