@@ -8350,6 +8350,13 @@ def q_grouped_agg_pandas_udf(spark, sf_dir):
 # untouched, local-gate-pinned; they lead the r15 pool);
 # crawl_fetch_schedule_bucketed joins the never-checked set.
 WINDOW_ORDER: tuple[str, ...] = (
+    # r15 rotation (tools/rotation.py 15): the four never-checked r15
+    # queries lead, then the full 22-query r8 staleness tier, then the
+    # stalest r9 slots (VERDICT r14 #2)
+    "pdf_lzw_text_extract",
+    "pdf_rc4_text_extract",
+    "crawl_delta_ingest_e2e",
+    "host_pagerank_crawl",
     "jaro_winkler_part_pairs",
     "doc_bigram_surprisal",
     "dsir_importance_weights",
@@ -8396,10 +8403,6 @@ WINDOW_ORDER: tuple[str, ...] = (
     "corpus_mixture_weights",
     "subword_token_count",
     "embedding_dup_pairs_exact",
-    "embedding_quantization_error",
-    "media_image_meta",
-    "media_resize_plan",
-    "media_audio_meta",
 )
 
 # Breadth-tier queries (see QuerySpec.tier): pure SQL-shape coverage —
