@@ -2213,3 +2213,30 @@ def synth_pdf_rc4_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     stacked under the cipher. Same ``synth_pdf_pages`` text
     contract."""
     return _synth_payload_frame(df, id_col, _pdf_rc4_payload)
+
+
+def _pdf_filter_chain_payload(mid: int) -> bytes:
+    from etl_excel_csv_sql_spark.operators import pdf
+
+    shows = [
+        [["doc ", -28, f"{mid} pa", 35, f"ge {k}"], "(ok)"]
+        for k in range(1 + mid % 3)
+    ]
+    chain = (
+        ["ASCII85Decode", "FlateDecode"],      # 7-bit-safe classic
+        ["ASCIIHexDecode", "LZWDecode"],       # hex transport + LZW
+        ["RunLengthDecode"],                   # legacy single filter
+    )[mid % 3]
+    return pdf.encode_pdf(shows, filters=chain)
+
+
+def synth_pdf_filter_chain_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id) → (media_id, payload): the r15 multi-filter lane — content
+    streams rotate /Filter chains by id % 3: [ASCII85 Flate] (the
+    classic 7-bit-safe stacking), [ASCIIHex LZW], and bare RunLength,
+    so extraction exercises the filter-LIST decode path (first-to-last
+    order) plus all three stdlib ASCII/RLE codecs. Same
+    ``synth_pdf_pages`` text contract."""
+    return _synth_payload_frame(df, id_col, _pdf_filter_chain_payload)

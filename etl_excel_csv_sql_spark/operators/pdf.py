@@ -867,6 +867,111 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
     return bytes(out)
 
 
+# --- ASCII / run-length filters (r15) -------------------------------
+#
+# The remaining stdlib-feasible PDF filters (spec 7.4.2/7.4.3/7.4.5):
+# ASCIIHexDecode and ASCII85Decode are the 7-bit-safe transport
+# wrappers older toolchains stacked OUTSIDE Flate/LZW
+# (/Filter [/ASCII85Decode /FlateDecode]); RunLengthDecode shows up
+# on image XObjects and legacy generators. Each raises ValueError on
+# malformed input → the quarantine lane.
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    end = data.find(b">")
+    if end < 0:
+        raise ValueError("ASCIIHexDecode missing '>' EOD")
+    digits = bytes(
+        c for c in data[:end] if c not in b" \t\r\n\x0c\x00"
+    ).decode("latin-1")
+    if len(digits) % 2:
+        digits += "0"  # odd count: final digit implies trailing 0
+    try:
+        return bytes.fromhex(digits)
+    except ValueError:
+        raise ValueError("non-hex digit in ASCIIHexDecode stream")
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    end = data.find(b"~>")
+    if end < 0:
+        raise ValueError("ASCII85Decode missing '~>' EOD")
+    body = bytes(
+        c for c in data[:end] if c not in b" \t\r\n\x0c\x00"
+    )
+    if body.startswith(b"<~"):  # Adobe framing is optional in PDF
+        body = body[2:]
+    try:
+        return base64.a85decode(body)
+    except ValueError as exc:
+        raise ValueError(f"corrupt ASCII85Decode stream: {exc}")
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while True:
+        if pos >= n:
+            raise ValueError("RunLengthDecode missing EOD (128)")
+        length = data[pos]
+        pos += 1
+        if length == 128:
+            return bytes(out)
+        if length < 128:
+            if pos + length + 1 > n:
+                raise ValueError("RunLengthDecode literal run overruns")
+            out += data[pos : pos + length + 1]
+            pos += length + 1
+        else:
+            if pos >= n:
+                raise ValueError("RunLengthDecode repeat run overruns")
+            out += data[pos : pos + 1] * (257 - length)
+            pos += 1
+        if len(out) > MAX_CONTENT_BYTES:
+            raise ValueError("RunLengthDecode output exceeds the guard")
+
+
+def _runlength_encode(data: bytes) -> bytes:
+    """Fixture-side inverse of ``_runlength_decode``: greedy runs —
+    repeats of >= 3 become repeat runs, the rest literal runs."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        run = 1
+        while (
+            pos + run < n
+            and run < 128
+            and data[pos + run] == data[pos]
+        ):
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[pos])
+            pos += run
+            continue
+        lit_end = pos + 1
+        while lit_end < n and lit_end - pos < 128:
+            nxt = 1
+            while (
+                lit_end + nxt < n
+                and nxt < 3
+                and data[lit_end + nxt] == data[lit_end]
+            ):
+                nxt += 1
+            if nxt >= 3:
+                break
+            lit_end += 1
+        out.append(lit_end - pos - 1)
+        out += data[pos:lit_end]
+        pos = lit_end
+    out.append(128)
+    return bytes(out)
+
+
 # --- standard security handler, empty user password (r15) -----------
 
 _PDF_PAD = bytes(
@@ -1001,10 +1106,16 @@ class _Stream:
                             "LZWDecode /EarlyChange is not an int"
                         )
                 out = _lzw_decode(out, early)
+            elif f == "ASCIIHexDecode":
+                out = _asciihex_decode(out)
+            elif f == "ASCII85Decode":
+                out = _ascii85_decode(out)
+            elif f == "RunLengthDecode":
+                out = _runlength_decode(out)
             else:
                 raise ValueError(
                     f"stream filter {f!r} is out of scope "
-                    "(FlateDecode/LZWDecode only)"
+                    "(Flate/LZW/ASCIIHex/ASCII85/RunLength only)"
                 )
             parms = parms_res
             if isinstance(parms, dict):
@@ -1487,8 +1598,36 @@ def _escape_string(s: str) -> bytes:
     )
 
 
+def _fixture_encode_chain(
+    content: bytes, filters: list[str]
+) -> tuple[bytes, bytes]:
+    """Encode ``content`` for a /Filter chain — decode order is
+    first-to-last, so encoders apply in REVERSE."""
+    import base64
+
+    encoders = {
+        "FlateDecode": lambda b: zlib.compress(b, 6),
+        "LZWDecode": _lzw_encode,
+        "ASCIIHexDecode": lambda b: b.hex().encode() + b">",
+        "ASCII85Decode": lambda b: base64.a85encode(b) + b"~>",
+        "RunLengthDecode": _runlength_encode,
+    }
+    for f in reversed(filters):
+        content = encoders[f](content)
+    if len(filters) == 1:
+        extra = b" /Filter /" + filters[0].encode()
+    else:
+        extra = (
+            b" /Filter ["
+            + b" ".join(b"/" + f.encode() for f in filters)
+            + b"]"
+        )
+    return content, extra
+
+
 def _render_content(
-    shows: list, compress: bool, lzw: bool = False
+    shows: list, compress: bool, lzw: bool = False,
+    filters: list[str] | None = None,
 ) -> tuple[bytes, bytes]:
     ops = [b"BT /F1 12 Tf 72 720 Td"]
     for show in shows:
@@ -1505,6 +1644,8 @@ def _render_content(
         ops.append(b"0 -14 Td")
     ops.append(b"ET")
     content = b"\n".join(ops)
+    if filters:
+        return _fixture_encode_chain(content, filters)
     if lzw:
         return _lzw_encode(content), b" /Filter /LZWDecode"
     if compress:
@@ -1671,6 +1812,7 @@ def encode_pdf(
     objstm: bool = False,
     xref_predictor: int = 1,
     lzw: bool = False,
+    filters: list[str] | None = None,
 ) -> bytes:
     """Fixture writer whose page ``p`` content stream renders
     ``pages[p]`` — each element a ``str`` (one Tj show) or a ``list``
@@ -1703,7 +1845,7 @@ def encode_pdf(
     kid_nums = []
     stream_obj_nums = set()
     for shows in pages:
-        content, extra = _render_content(shows, compress, lzw)
+        content, extra = _render_content(shows, compress, lzw, filters)
         stream_num = add(
             b"<< /Length " + str(len(content)).encode() + extra
             + b" >>\nstream\n" + content + b"\nendstream"

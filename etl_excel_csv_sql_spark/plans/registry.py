@@ -3690,6 +3690,33 @@ def q_pdf_rc4_text_extract(spark, sf_dir):
 
 
 @register(
+    "pdf_filter_chain_text_extract",
+    # r15: the /Filter LIST decode path — real writers stack a 7-bit
+    # transport wrapper outside the compressor
+    # (/Filter [/ASCII85Decode /FlateDecode]); spec order is
+    # first-to-last. Chains rotate by id % 3: [ASCII85 Flate],
+    # [ASCIIHex LZW], bare RunLength — covering the three remaining
+    # stdlib-feasible filters AND multi-filter composition, which the
+    # single-filter lanes never exercise. Same synth_pdf_pages id
+    # contract.
+    _PDF_PAGES_ORACLE,
+    doc="multi-filter PDF text extraction (operators/pdf.py r15): "
+    "ASCIIHexDecode (whitespace-tolerant hex, '>' EOD, odd-digit "
+    "pad), ASCII85Decode (base85 via stdlib a85decode, optional "
+    "Adobe <~ framing, '~>' EOD), RunLengthDecode (literal/repeat "
+    "runs, 128 EOD, output guard), and /Filter arrays decoded "
+    "first-to-last with per-filter DecodeParms — all value-checked "
+    "by the id-contract oracle; malformed streams raise into the "
+    "quarantine lane",
+)
+def q_pdf_filter_chain_text_extract(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pdfs = multimodal.synth_pdf_filter_chain_payloads(docs, "doc_id")
+    media = multimodal.to_media_column(pdfs, "media_id", "payload", "doc")
+    return multimodal.extract_pdf_text(media, strict=True)
+
+
+@register(
     "robots_url_filter",
     # r13: robots.txt politeness — the other half of URL hygiene: a
     # crawl frontier drops disallowed URLs BEFORE fetching. In-plan
@@ -8357,6 +8384,7 @@ WINDOW_ORDER: tuple[str, ...] = (
     "pdf_rc4_text_extract",
     "crawl_delta_ingest_e2e",
     "host_pagerank_crawl",
+    "pdf_filter_chain_text_extract",
     "jaro_winkler_part_pairs",
     "doc_bigram_surprisal",
     "dsir_importance_weights",
@@ -8402,7 +8430,6 @@ WINDOW_ORDER: tuple[str, ...] = (
     "source_capped_sample",
     "corpus_mixture_weights",
     "subword_token_count",
-    "embedding_dup_pairs_exact",
 )
 
 # Breadth-tier queries (see QuerySpec.tier): pure SQL-shape coverage —

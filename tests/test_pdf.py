@@ -717,3 +717,52 @@ def test_encrypted_mutation_fuzz_raises_only_valueerror():
                 quarantined += 1
     assert trials == ok + quarantined
     assert quarantined > 0
+
+
+def test_ascii_and_runlength_filters_roundtrip_and_chains():
+    """r15: ASCIIHex/ASCII85/RunLength codecs + the /Filter LIST
+    decode path (first-to-last order, the 7-bit-safe classic
+    stacking)."""
+    import os
+    rng = np.random.RandomState(85)
+    samples = [
+        b"", b"a", b"aaaa" * 200, bytes(range(256)),
+        os.urandom(3000),
+        bytes(rng.randint(0, 3, size=5000, dtype=np.uint8)),
+    ]
+    for s in samples:
+        assert pdf._runlength_decode(pdf._runlength_encode(s)) == s
+        assert pdf._asciihex_decode(s.hex().encode() + b">") == s
+        import base64
+        assert pdf._ascii85_decode(base64.a85encode(s) + b"~>") == s
+    shows = [[["doc ", -28, "7 pa", 35, "ge 0"], "(ok)"], ["two"]]
+    for chain in (
+        ["ASCII85Decode", "FlateDecode"],
+        ["ASCIIHexDecode", "LZWDecode"],
+        ["RunLengthDecode"],
+        ["ASCII85Decode", "RunLengthDecode"],
+        ["ASCIIHexDecode"],
+    ):
+        data = pdf.encode_pdf(shows, filters=chain)
+        assert pdf.pdf_text_pages(data) == [
+            "doc 7 page 0 (ok)", "two"
+        ], chain
+    # whitespace tolerance + Adobe <~ framing + odd hex digit
+    assert pdf._asciihex_decode(b"41 4\n2 4>") == b"AB@"
+    import base64
+    framed = b"<~" + base64.a85encode(b"hi") + b"~>"
+    assert pdf._ascii85_decode(framed) == b"hi"
+
+
+def test_ascii_filters_malformed_raise_valueerror():
+    for fn, bad in [
+        (pdf._asciihex_decode, b"4142"),      # missing '>'
+        (pdf._asciihex_decode, b"4g>"),       # non-hex
+        (pdf._ascii85_decode, b"abcd"),       # missing '~>'
+        (pdf._ascii85_decode, b"\x7f\x7f~>"),  # out-of-alphabet
+        (pdf._runlength_decode, b"\x05ab"),   # literal overrun
+        (pdf._runlength_decode, b"\x01ab"),   # missing EOD
+        (pdf._runlength_decode, b"\xfe"),     # repeat overrun
+    ]:
+        with pytest.raises(ValueError):
+            fn(bad)
