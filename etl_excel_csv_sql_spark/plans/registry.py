@@ -8595,6 +8595,15 @@ PYTHON_KERNELS: dict[str, str] = {
     "millions of hosts must parse executor-side (r14)",
     "sequence_packing_report": "packs via the same applyInPandas kernel "
     "before the pure-JVM aggregation",
+    "pdf_lzw_text_extract": "stdlib PDF parse + LZW filter decode via "
+    "Arrow mapInPandas (r15 — byte parsing has no Catalyst form)",
+    "pdf_rc4_text_extract": "stdlib PDF parse + standard-security-"
+    "handler RC4 decrypt via Arrow mapInPandas (r15)",
+    "pdf_filter_chain_text_extract": "stdlib PDF parse + ASCIIHex/"
+    "ASCII85/RunLength filter chains via Arrow mapInPandas (r15)",
+    "crawl_delta_ingest_e2e": "WARC record walk + html.parser "
+    "extraction via Arrow mapInPandas; the diff/dedup stages are "
+    "pure JVM (r15)",
 }
 
 # Eager queries (see QuerySpec.eager): constructing the frame executes a
