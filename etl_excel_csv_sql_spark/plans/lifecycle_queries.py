@@ -4094,3 +4094,144 @@ def q_crawl_delta_ingest_e2e(spark, sf_dir):
         F.lit(None).cast("long").alias("n_chars"),
     )
     return ingest.unionByName(passthrough)
+
+
+def _cdx_fixture(spark, sf_dir: str) -> str:
+    """Shared CDXJ fixture: one capture per doc_id with every field
+    closed-form in the id (urlkey composed INDEPENDENTLY of
+    cdx.surt_key, so the catalog query can value-check the Catalyst
+    SURT against it). Sharded into gzip files like the real cc-index."""
+    import gzip
+
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io import cdx as cdx_io
+
+    scratch = _scratch("cdx_" + os.path.basename(sf_dir.rstrip("/")))
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    rows = []
+    for i in ids:
+        rows.append(
+            {
+                "urlkey": (
+                    f"org,example,host{i})/dir{i % 5}/page"
+                    f"?a={i % 7}&b={i}"
+                ),
+                "ts": str(20260101000000 + i),
+                "url": (
+                    f"https://www.Host{i}.example.org/Dir{i % 5}"
+                    f"/page?b={i}&a={i % 7}"
+                ),
+                "mime": (
+                    "text/html", "application/pdf", "text/plain"
+                )[i % 3],
+                "status": str((200, 301, 404)[i % 3]),
+                "digest": f"sha1:{i:08d}",
+                "length": str(500 + (i % 997)),
+                "offset": str((i // 4) * 2000),
+                "filename": f"crawl-{i % 4:05d}.warc.gz",
+            }
+        )
+    seg = 5000
+    for s0 in range(0, max(len(rows), 1), seg):
+        with gzip.open(
+            os.path.join(scratch, f"cdx-{s0 // seg:05d}.gz"), "wb"
+        ) as f:
+            f.write(cdx_io.encode_cdx(rows[s0 : s0 + seg]))
+    return os.path.join(scratch, "cdx-*.gz")
+
+
+@register(
+    "cdx_index_catalog",
+    # r15: the CDX(J) crawl index — the FOURTH Common Crawl artifact
+    # (WARC/WET/WAT/cdx): one line per capture, SURT urlkey + 14-digit
+    # timestamp + a JSON locator block. The query re-computes the SURT
+    # key from the capture URL in pure Catalyst (surt_recomputed) next
+    # to the file's own urlkey; the oracle derives BOTH from the id
+    # contract, so a divergence in either the reader or the SURT
+    # transform value-fails.
+    """
+    SELECT 'org,example,host' || CAST(doc_id AS VARCHAR) || ')/dir'
+             || CAST(doc_id % 5 AS VARCHAR) || '/page?a='
+             || CAST(doc_id % 7 AS VARCHAR) || '&b='
+             || CAST(doc_id AS VARCHAR) AS urlkey,
+           'org,example,host' || CAST(doc_id AS VARCHAR) || ')/dir'
+             || CAST(doc_id % 5 AS VARCHAR) || '/page?a='
+             || CAST(doc_id % 7 AS VARCHAR) || '&b='
+             || CAST(doc_id AS VARCHAR) AS surt_recomputed,
+           CAST(20260101000000 + doc_id AS VARCHAR) AS ts,
+           'https://www.Host' || CAST(doc_id AS VARCHAR)
+             || '.example.org/Dir' || CAST(doc_id % 5 AS VARCHAR)
+             || '/page?b=' || CAST(doc_id AS VARCHAR) || '&a='
+             || CAST(doc_id % 7 AS VARCHAR) AS url,
+           CASE doc_id % 3 WHEN 0 THEN 'text/html'
+                WHEN 1 THEN 'application/pdf'
+                ELSE 'text/plain' END AS mime,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 301
+                ELSE 404 END AS INT) AS status,
+           'sha1:' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS digest,
+           CAST(500 + (doc_id % 997) AS BIGINT) AS length,
+           CAST((doc_id // 4) * 2000 AS BIGINT) AS "offset",
+           'crawl-' || lpad(CAST(doc_id % 4 AS VARCHAR), 5, '0')
+             || '.warc.gz' AS filename
+    FROM documents
+    """,
+    doc="CDXJ crawl-index ingest (io/cdx.py, the cc-index layout): "
+    "spark.read.text + ONE Catalyst projection — substring_index "
+    "head tokens, from_json locator block (column pruning reaches "
+    "the JSON parse: unread fields never materialize) — plus "
+    "surt_key, the pure-Catalyst SURT transform (scheme/www "
+    "stripped, host labels reversed comma-joined, query params "
+    "sorted) recomputed from the capture URL and value-checked "
+    "against the file's own urlkey. Zero Python; splittable text "
+    "scan; every field id-contract checked",
+)
+def q_cdx_index_catalog(spark, sf_dir):
+    from etl_excel_csv_sql_spark.io import cdx as cdx_io
+
+    glob = _cdx_fixture(spark, sf_dir)
+    df = cdx_io.read_cdx(spark, glob)
+    return df.select(
+        "urlkey",
+        cdx_io.surt_key(F.col("url")).alias("surt_recomputed"),
+        "ts", "url", "mime", "status", "digest", "length", "offset",
+        "filename",
+    )
+
+
+@register(
+    "cdx_fetch_plan_ranges",
+    # r15: the point of a crawl index — subset 100 TB by index scan,
+    # then fetch ONLY the needed gzip members via ranged reads. One
+    # hash aggregation per WARC file over the locator fields.
+    """
+    WITH c AS (
+      SELECT CAST(500 + (doc_id % 997) AS BIGINT) AS length,
+             CAST((doc_id // 4) * 2000 AS BIGINT) AS "offset",
+             'crawl-' || lpad(CAST(doc_id % 4 AS VARCHAR), 5, '0')
+               || '.warc.gz' AS filename
+      FROM documents
+    )
+    SELECT filename,
+           count(*) AS n_records,
+           CAST(sum(length) AS BIGINT) AS total_bytes,
+           min("offset") AS span_start,
+           max("offset" + length) AS span_end
+    FROM c GROUP BY filename
+    """,
+    doc="ranged-fetch planning from the CDX index "
+    "(cdx.cdx_fetch_plan): per WARC file, record count, total bytes, "
+    "and covering byte span — what a fetch scheduler turns into HTTP "
+    "Range requests; the reduction that makes subsetting a 100 TB "
+    "crawl by host/mime affordable. One hash aggregation on "
+    "filename; all aggregates id-contract checked",
+)
+def q_cdx_fetch_plan_ranges(spark, sf_dir):
+    from etl_excel_csv_sql_spark.io import cdx as cdx_io
+
+    glob = _cdx_fixture(spark, sf_dir)
+    return cdx_io.cdx_fetch_plan(cdx_io.read_cdx(spark, glob))

@@ -8385,6 +8385,8 @@ WINDOW_ORDER: tuple[str, ...] = (
     "crawl_delta_ingest_e2e",
     "host_pagerank_crawl",
     "pdf_filter_chain_text_extract",
+    "cdx_index_catalog",
+    "cdx_fetch_plan_ranges",
     "jaro_winkler_part_pairs",
     "doc_bigram_surprisal",
     "dsir_importance_weights",
@@ -8428,8 +8430,6 @@ WINDOW_ORDER: tuple[str, ...] = (
     "strip_duplicate_spans_clean",
     "dup_span_coverage",
     "source_capped_sample",
-    "corpus_mixture_weights",
-    "subword_token_count",
 )
 
 # Breadth-tier queries (see QuerySpec.tier): pure SQL-shape coverage —

@@ -1,0 +1,105 @@
+"""CDX(J) crawl-index lane (io/cdx.py): SURT keys, the CDXJ reader,
+and the ranged-fetch plan."""
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_excel_csv_sql_spark.io import cdx
+
+
+def test_surt_key_shapes(spark):
+    cases = {
+        "https://www.Ex.org/A/b?z=1&a=2": "org,ex)/a/b?a=2&z=1",
+        "http://sub.site.com": "com,site,sub)/",
+        "https://h.net/p?one": "net,h)/p?one",
+        "https://q.io?x=2#frag": "io,q)/?x=2",
+        "https://ex.org/": "org,ex)/",
+        "ex.org/path": "org,ex)/path",          # scheme-less
+        "https://www.ex.org": "org,ex)/",        # www + bare host
+        "https://ex.org/p#only-frag": "org,ex)/p",
+    }
+    df = spark.createDataFrame(
+        [(u,) for u in cases], ["url"]
+    ).select("url", cdx.surt_key("url").alias("k"))
+    got = {r["url"]: r["k"] for r in df.collect()}
+    assert got == cases
+
+
+def test_cdx_roundtrip_and_null_locator_lane(spark, tmp_path):
+    rows = [
+        {"urlkey": "org,ex)/a", "ts": "20260101000000",
+         "url": "https://ex.org/a", "mime": "text/html",
+         "status": "200", "digest": "sha1:AAA", "length": "1200",
+         "offset": "0", "filename": "crawl-00000.warc.gz"},
+        {"urlkey": "org,ex)/b", "ts": "20260102000000",
+         "url": "https://ex.org/b", "mime": "application/pdf",
+         "status": "404", "digest": "sha1:BBB", "length": "800",
+         "offset": "1200", "filename": "crawl-00000.warc.gz"},
+    ]
+    payload = cdx.encode_cdx(rows)
+    # a cluster.idx-style pointer line carries no JSON block: the
+    # reader must yield null locator fields, never crash
+    payload += b"org,ex)/c 20260103000000\tcdx-00001.gz\t77\t99\t2\n"
+    with gzip.open(tmp_path / "cdx-00000.gz", "wb") as f:
+        f.write(payload)
+    out = cdx.read_cdx(spark, str(tmp_path / "*.gz")).collect()
+    assert len(out) == 3
+    by_key = {r["urlkey"]: r for r in out}
+    a = by_key["org,ex)/a"]
+    assert (a["ts"], a["status"], a["length"], a["offset"],
+            a["filename"]) == (
+        "20260101000000", 200, 1200, 0, "crawl-00000.warc.gz"
+    )
+    assert by_key["org,ex)/b"]["mime"] == "application/pdf"
+    c = by_key["org,ex)/c"]
+    assert c["url"] is None and c["filename"] is None
+
+
+def test_cdx_fetch_plan(spark, tmp_path):
+    rows = []
+    for i in range(10):
+        rows.append(
+            {"urlkey": f"org,ex)/p{i}", "ts": "20260101000000",
+             "url": f"https://ex.org/p{i}", "mime": "text/html",
+             "status": "200", "digest": f"sha1:{i}",
+             "length": str(100 + i), "offset": str(i * 1000),
+             "filename": f"crawl-{i % 2:05d}.warc.gz"}
+        )
+    (tmp_path / "cdx-0").write_bytes(cdx.encode_cdx(rows))
+    plan = cdx.cdx_fetch_plan(
+        cdx.read_cdx(spark, str(tmp_path / "cdx-0"))
+    ).collect()
+    by_file = {r["filename"]: r for r in plan}
+    f0 = by_file["crawl-00000.warc.gz"]  # i = 0,2,4,6,8
+    assert f0["n_records"] == 5
+    assert f0["total_bytes"] == sum(100 + i for i in (0, 2, 4, 6, 8))
+    assert f0["span_start"] == 0
+    assert f0["span_end"] == 8000 + 108
+
+
+def test_cdx_plan_is_jvm_only_with_pruned_json(spark, tmp_path):
+    """The reader must stay whole-stage-codegen (no Python stage) and
+    from_json must prune to the selected fields (ReadSchema shows the
+    projection reaching the text scan)."""
+    (tmp_path / "cdx-0").write_bytes(
+        cdx.encode_cdx([
+            {"urlkey": "org,ex)/a", "ts": "20260101000000",
+             "url": "https://ex.org/a", "mime": "text/html",
+             "status": "200", "digest": "sha1:AAA", "length": "10",
+             "offset": "0", "filename": "f.warc.gz"},
+        ])
+    )
+    df = cdx.read_cdx(spark, str(tmp_path / "cdx-0")).select(
+        "urlkey", "status"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "PythonUDF" not in plan
+    assert "BatchEvalPython" not in plan
+    # pruning witness: the from_json schema carries ONLY the selected
+    # field — unread locator fields never materialize
+    assert "StructField(status" in plan
+    for dropped in ("digest", "filename", "offset"):
+        assert f"StructField({dropped}" not in plan, dropped
