@@ -168,6 +168,15 @@ QUERIES = (
     "url_percent_normalize",
     "crawl_delay_schedule",
     "paragraph_dedup_ccnet",
+    # r15 additions: the PDF filter/decrypt lanes share
+    # pdf_text_extract's plan shape (one Arrow pass), so the new
+    # plans worth reviewing are the crawl-index lane (pure Catalyst
+    # text scan + pruned from_json + SURT projection), the
+    # delta-ingest composition, and host-level PageRank
+    "cdx_index_catalog",
+    "cdx_fetch_plan_ranges",
+    "crawl_delta_ingest_e2e",
+    "host_pagerank_crawl",
 )
 
 
