@@ -165,3 +165,92 @@ def encode_cdx(rows: list[dict]) -> bytes:
             % (r["urlkey"], r["ts"], json.dumps(j, sort_keys=True))
         )
     return ("\n".join(out) + "\n").encode()
+
+
+CDX_FETCH_SCHEMA = (
+    "urlkey string, url string, status int, text string, "
+    "n_body_bytes long"
+)
+
+
+def fetch_cdx_records(cdx: DataFrame, base_dir: str) -> DataFrame:
+    """Index-driven ranged ingest — the production way to subset a
+    100 TB crawl: filter the CDX index (pure Catalyst, pushed down),
+    then fetch ONLY the referenced gzip members by byte range and
+    decode them. Each (filename, offset, length) locator reads one
+    member (seek + exact-length read — the local-filesystem twin of an
+    HTTP/S3 Range GET), inflates it with a completeness check, parses
+    the single WARC record, and decodes the embedded HTTP response
+    with the same charset-aware path as ``read_warc``.
+
+    Partitioning: locators repartition by filename and sort by offset
+    within partitions, so each task touches few files and reads each
+    sequentially — at crawl scale this is the difference between
+    ranged reads and a random-I/O storm. One Arrow pass; malformed
+    members raise ValueError (strict — a corrupt index entry should
+    fail the subset job, not silently shrink it)."""
+    import os
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+
+    from etl_excel_csv_sql_spark.io import warc as warc_io
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "urlkey": [], "url": [], "status": [],
+                "text": [], "n_body_bytes": [],
+            }
+            for fname, grp in pdf.groupby("filename", sort=False):
+                with open(os.path.join(base_dir, fname), "rb") as f:
+                    for row in grp.sort_values("offset").itertuples():
+                        f.seek(row.offset)
+                        member = f.read(row.length)
+                        if len(member) != row.length:
+                            raise ValueError(
+                                "CDX locator overruns "
+                                f"{fname} at offset {row.offset}"
+                            )
+                        d = zlib.decompressobj(47)
+                        try:
+                            raw = d.decompress(member)
+                        except zlib.error as exc:
+                            raise ValueError(
+                                f"corrupt gzip member at CDX locator "
+                                f"{fname}:{row.offset}: {exc}"
+                            )
+                        if not d.eof or d.unused_data:
+                            raise ValueError(
+                                "CDX locator does not frame exactly "
+                                f"one gzip member ({fname}:{row.offset})"
+                            )
+                        recs = warc_io.parse_warc(raw)
+                        if len(recs) != 1:
+                            raise ValueError(
+                                "CDX locator member holds "
+                                f"{len(recs)} records, expected 1"
+                            )
+                        rec = recs[0]
+                        status, headers, body = (
+                            warc_io.http_response_parts(rec["body"])
+                        )
+                        _, _, text = warc_io.decode_body_text(
+                            headers, body
+                        )
+                        out["urlkey"].append(row.urlkey)
+                        out["url"].append(row.url)
+                        out["status"].append(status)
+                        out["text"].append(text)
+                        out["n_body_bytes"].append(len(body))
+            yield pd.DataFrame(out)
+
+    locs = cdx.select(
+        "urlkey", "url", "filename", "offset", "length"
+    ).filter(F.col("filename").isNotNull())
+    return (
+        locs.repartition("filename")
+        .sortWithinPartitions("offset")
+        .mapInPandas(batches, CDX_FETCH_SCHEMA)
+    )

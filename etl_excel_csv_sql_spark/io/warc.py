@@ -851,3 +851,30 @@ def wat_links(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("l")["url"].alias("url"),
         F.col("l")["text"].alias("anchor_text"),
     )
+
+
+def encode_warc_with_index(
+    records: list[dict],
+) -> tuple[bytes, list[dict]]:
+    """Fixture writer for the CDX lane: the gzip-member layout of
+    ``encode_warc(gzip_members=True)`` PLUS the true per-record
+    locator triple — one ``{"uri", "offset", "length"}`` per input
+    record, pointing at its gzip member inside the returned payload
+    (the warcinfo member leads and is unindexed, like the real
+    cc-index). Offsets are byte-exact: a ranged read of
+    ``payload[offset : offset + length]`` is one complete gzip
+    member."""
+    prefix = encode_warc([], gzip_members=True)
+    payload = bytearray(prefix)
+    entries: list[dict] = []
+    for r in records:
+        member = encode_warc([r], gzip_members=True)[len(prefix):]
+        entries.append(
+            {
+                "uri": r["uri"],
+                "offset": len(payload),
+                "length": len(member),
+            }
+        )
+        payload += member
+    return bytes(payload), entries

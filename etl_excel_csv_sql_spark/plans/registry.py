@@ -8387,6 +8387,7 @@ WINDOW_ORDER: tuple[str, ...] = (
     "pdf_filter_chain_text_extract",
     "cdx_index_catalog",
     "cdx_fetch_plan_ranges",
+    "cdx_ranged_fetch_e2e",
     "jaro_winkler_part_pairs",
     "doc_bigram_surprisal",
     "dsir_importance_weights",
@@ -8429,7 +8430,6 @@ WINDOW_ORDER: tuple[str, ...] = (
     "range_join_price_bands",
     "strip_duplicate_spans_clean",
     "dup_span_coverage",
-    "source_capped_sample",
 )
 
 # Breadth-tier queries (see QuerySpec.tier): pure SQL-shape coverage —
@@ -8604,6 +8604,9 @@ PYTHON_KERNELS: dict[str, str] = {
     "crawl_delta_ingest_e2e": "WARC record walk + html.parser "
     "extraction via Arrow mapInPandas; the diff/dedup stages are "
     "pure JVM (r15)",
+    "cdx_ranged_fetch_e2e": "ranged gzip-member reads + WARC record "
+    "decode via Arrow mapInPandas; the index scan/filter stays pure "
+    "Catalyst (r15)",
 }
 
 # Eager queries (see QuerySpec.eager): constructing the frame executes a

@@ -103,3 +103,48 @@ def test_cdx_plan_is_jvm_only_with_pruned_json(spark, tmp_path):
     assert "StructField(status" in plan
     for dropped in ("digest", "filename", "offset"):
         assert f"StructField({dropped}" not in plan, dropped
+
+
+def test_fetch_cdx_records_ranged_and_selective(spark, tmp_path):
+    """fetch_cdx_records reads ONLY the members the index subset
+    names, by true byte range, and decodes them with the read_warc
+    HTTP path; malformed locators raise, never silently shrink."""
+    from etl_excel_csv_sql_spark.io import warc
+
+    recs = [
+        {"uri": f"https://ex.org/doc/{i}", "status": 200,
+         "body_text": f"member {i}", "http_content_type": "text/html"}
+        for i in range(6)
+    ]
+    payload, entries = warc.encode_warc_with_index(recs)
+    (tmp_path / "seg-00000.warc.gz").write_bytes(payload)
+    rows = [
+        {"urlkey": f"org,ex)/doc/{i}", "ts": "20260101000000",
+         "url": e["uri"], "mime": "text/html", "status": "200",
+         "digest": f"sha1:{i}", "length": str(e["length"]),
+         "offset": str(e["offset"]), "filename": "seg-00000.warc.gz"}
+        for i, e in enumerate(entries)
+    ]
+    (tmp_path / "cdx-0").write_bytes(cdx.encode_cdx(rows))
+    idx = cdx.read_cdx(spark, str(tmp_path / "cdx-0"))
+    # subset: even ids only
+    subset = idx.filter(F.col("urlkey").rlike(r"/doc/[024]$"))
+    got = {
+        r["urlkey"]: r
+        for r in cdx.fetch_cdx_records(subset, str(tmp_path)).collect()
+    }
+    assert sorted(got) == [f"org,ex)/doc/{i}" for i in (0, 2, 4)]
+    for i in (0, 2, 4):
+        r = got[f"org,ex)/doc/{i}"]
+        assert (r["status"], r["text"]) == (200, f"member {i}")
+    # corrupt locator lanes: shifted offset / wrong length
+    bad_rows = [dict(rows[1], offset=str(int(rows[1]["offset"]) + 3))]
+    (tmp_path / "cdx-bad").write_bytes(cdx.encode_cdx(bad_rows))
+    bad = cdx.read_cdx(spark, str(tmp_path / "cdx-bad"))
+    with pytest.raises(Exception, match="corrupt gzip member"):
+        cdx.fetch_cdx_records(bad, str(tmp_path)).collect()
+    short_rows = [dict(rows[1], length=str(int(rows[1]["length"]) - 4))]
+    (tmp_path / "cdx-short").write_bytes(cdx.encode_cdx(short_rows))
+    short = cdx.read_cdx(spark, str(tmp_path / "cdx-short"))
+    with pytest.raises(Exception, match="exactly one gzip member"):
+        cdx.fetch_cdx_records(short, str(tmp_path)).collect()
