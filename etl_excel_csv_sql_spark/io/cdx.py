@@ -51,10 +51,18 @@ def surt_key(url) -> Column:
     u = F.regexp_replace(u, r"#.*$", "")          # fragment
     u = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")  # scheme
     u = F.regexp_replace(u, r"^www\.", "")
-    host = F.substring_index(F.substring_index(u, "/", 1), "?", 1)
+    authority = F.substring_index(F.substring_index(u, "/", 1), "?", 1)
+    # the port stays attached to the LAST label after reversal
+    # (com,example:8080)/ — splitting labels with the port glued to
+    # the final one would corrupt the reversal
+    host = F.substring_index(authority, ":", 1)
+    port = F.when(
+        authority.contains(":"),
+        F.concat(F.lit(":"), F.substring_index(authority, ":", -1)),
+    ).otherwise(F.lit(""))
     # path+query = everything past the host; a bare host normalizes
     # to '/', a query-only URL (host?q=..) to '/?q=..'
-    path_and_query = F.substring(u, F.length(host) + 1, 1 << 30)
+    path_and_query = F.substring(u, F.length(authority) + 1, 1 << 30)
     path_and_query = F.when(
         F.length(path_and_query) == 0, F.lit("/")
     ).when(
@@ -76,6 +84,7 @@ def surt_key(url) -> Column:
     rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
     return F.concat(
         rev_host,
+        port,
         F.lit(")"),
         path,
         F.coalesce(

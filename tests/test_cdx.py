@@ -20,6 +20,9 @@ def test_surt_key_shapes(spark):
         "ex.org/path": "org,ex)/path",          # scheme-less
         "https://www.ex.org": "org,ex)/",        # www + bare host
         "https://ex.org/p#only-frag": "org,ex)/p",
+        # the port stays glued to the LAST label after reversal
+        "https://ex.org:8080/P?b=2&a=1": "org,ex:8080)/p?a=1&b=2",
+        "http://h.net:80": "net,h:80)/",
     }
     df = spark.createDataFrame(
         [(u,) for u in cases], ["url"]
