@@ -2079,3 +2079,152 @@ def encode_pdf_encrypted(
     )
     out += trailer
     return bytes(out)
+
+
+def encode_pdf15_encrypted(
+    pages: list[list],
+    r: int = 3,
+    owner_pwd: bytes = b"fixture-owner",
+    note: str | None = None,
+) -> bytes:
+    """Fixture writer for the encryption × PDF 1.5 COMBINATION —
+    mass-produced real-world encrypted PDFs ship exactly this layout:
+    catalog/pages/font/page dicts packed into an ObjStm whose stream
+    body is RC4-encrypted AS A WHOLE (its inner objects are plaintext
+    after that one decrypt — the spec's ObjStm-inner exemption),
+    content streams encrypted per-object, and a cross-reference
+    STREAM that stays UNENCRYPTED (spec 7.5.8.2) carrying /Encrypt
+    and /ID in its dict. ``note`` plants a literal string inside a
+    packed page dict: it must surface VERBATIM (a reader that wrongly
+    re-decrypts ObjStm-inner strings garbles it)."""
+    if r == 3:
+        v, nbytes, length_bits = 2, 16, 128
+    elif r == 2:
+        v, nbytes, length_bits = 1, 5, 40
+    else:
+        raise ValueError("fixture writer supports R=2 or R=3")
+    p = -44
+    id0 = hashlib.md5(
+        b"pdf15-encrypt-fixture" + repr(pages).encode()
+    ).digest()
+    o_entry = _std_owner_entry(owner_pwd, b"", r, nbytes)
+    file_key = _std_file_key(b"", o_entry, p, id0, r, nbytes)
+    u_check = _std_user_check(file_key, id0, r)
+    u_entry = u_check if r == 2 else u_check[:16] + bytes(16)
+
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    cat_num = add(b"")
+    pages_num = add(b"")
+    font_num = add(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    kid_nums = []
+    stream_obj_nums = set()
+    for shows in pages:
+        content, extra = _render_content(shows, True)
+        stream_num = len(objects) + 1
+        enc = _rc4(_obj_key(file_key, stream_num, 0), content)
+        add(
+            b"<< /Length %d%s >>\nstream\n" % (len(enc), extra)
+            + enc + b"\nendstream"
+        )
+        stream_obj_nums.add(stream_num)
+        note_entry = b""
+        if note is not None:
+            note_entry = (
+                b"/Note (" + _escape_string_bytes(note.encode("latin-1"))
+                + b") "
+            )
+        kid_nums.append(
+            add(
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 %d 0 R >> >> "
+                % font_num
+                + note_entry
+                + b"/Contents %d 0 R >>" % stream_num
+            )
+        )
+    objects[cat_num - 1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[pages_num - 1] = (
+        b"<< /Type /Pages /Kids ["
+        + b" ".join(b"%d 0 R" % k for k in kid_nums)
+        + b"] /Count %d >>" % len(pages)
+    )
+
+    out = bytearray(b"%PDF-1.5\n")
+    entries: dict[int, tuple] = {}
+    packed = [
+        n for n in range(1, len(objects) + 1)
+        if n not in stream_obj_nums
+    ]
+    stm_num = len(objects) + 1
+    offs, body = [], bytearray()
+    for n in packed:
+        offs.append(len(body))
+        body += objects[n - 1] + b"\n"
+    header = b" ".join(
+        b"%d %d" % (n, o) for n, o in zip(packed, offs)
+    ) + b"\n"
+    payload = zlib.compress(header + bytes(body), 6)
+    # the ObjStm stream body encrypts AS A WHOLE under its own number
+    payload = _rc4(_obj_key(file_key, stm_num, 0), payload)
+    stm_body = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d"
+        b" /Filter /FlateDecode >>\nstream\n"
+        % (len(packed), len(header), len(payload))
+        + payload + b"\nendstream"
+    )
+    for idx, n in enumerate(packed):
+        entries[n] = ("objstm", stm_num, idx)
+    entries[stm_num] = ("file", len(out))
+    out += b"%d 0 obj\n" % stm_num + stm_body + b"\nendobj\n"
+    for n in sorted(stream_obj_nums):
+        entries[n] = ("file", len(out))
+        out += b"%d 0 obj\n" % n + objects[n - 1] + b"\nendobj\n"
+    # the Encrypt dict is a FILE object, never ObjStm-packed (spec),
+    # and its own strings stay raw
+    enc_num = stm_num + 1
+    entries[enc_num] = ("file", len(out))
+    out += (
+        b"%d 0 obj\n<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+        b"/O (%s) /U (%s) >>\nendobj\n"
+        % (
+            enc_num, v, r, length_bits, p,
+            _escape_string_bytes(o_entry),
+            _escape_string_bytes(u_entry),
+        )
+    )
+    xref_off = len(out)
+    xref_num = enc_num + 1
+    size = xref_num + 1
+    rows = bytearray()
+    rows += b"\x00" + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big")
+    for n in range(1, xref_num):
+        e = entries[n]
+        if e[0] == "file":
+            rows += b"\x01" + e[1].to_bytes(4, "big") + b"\x00\x00"
+        else:
+            rows += (
+                b"\x02" + e[1].to_bytes(4, "big") + e[2].to_bytes(2, "big")
+            )
+    rows += b"\x01" + xref_off.to_bytes(4, "big") + b"\x00\x00"
+    # the cross-reference stream is NEVER encrypted (spec 7.5.8.2)
+    payload = zlib.compress(bytes(rows), 6)
+    out += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+        b"/Encrypt %d 0 R /ID [<%s> <%s>] /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n"
+        % (
+            xref_num, size, enc_num,
+            id0.hex().encode(), id0.hex().encode(), len(payload),
+        )
+        + payload
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)

@@ -766,3 +766,50 @@ def test_ascii_filters_malformed_raise_valueerror():
     ]:
         with pytest.raises(ValueError):
             fn(bad)
+
+
+def test_encrypted_pdf15_objstm_layout_roundtrip():
+    """The encryption × PDF 1.5 COMBINATION real encrypted PDFs ship:
+    ObjStm body RC4-encrypted AS A WHOLE (inner objects plaintext
+    after that one decrypt — the spec exemption), content streams
+    per-object, XRef stream UNENCRYPTED carrying /Encrypt + /ID. The
+    planted /Note string inside a packed page dict must surface
+    VERBATIM — a reader that wrongly re-decrypts ObjStm-inner strings
+    garbles it."""
+    shows = [[["doc ", -28, "7 pa", 35, "ge 0"], "(ok)"], ["second"]]
+    for r in (2, 3):
+        data = pdf.encode_pdf15_encrypted(shows, r=r, note="plain inner")
+        assert pdf.pdf_text_pages(data) == [
+            "doc 7 page 0 (ok)", "second"
+        ]
+        doc = pdf._Document(data)
+        root = doc.resolve(doc.trailer["Root"])
+        page0 = doc.resolve(doc.resolve(root["Pages"])["Kids"][0])
+        assert page0["Note"] == b"plain inner"
+    # password fence holds in the 1.5 layout too
+    locked = pdf.encode_pdf15_encrypted(shows).replace(b"/P -44", b"/P -45")
+    with pytest.raises(ValueError):
+        pdf.pdf_text_pages(locked)
+
+
+def test_encrypted_pdf15_mutation_fuzz_raises_only_valueerror():
+    rng = np.random.RandomState(155)
+    payload = pdf.encode_pdf15_encrypted(
+        [[["doc ", -28, "7 pa", 35, "ge 0"], "(ok)"]], note="n"
+    )
+    trials = ok = quarantined = 0
+    for _ in range(150):
+        buf = bytearray(payload)
+        if rng.rand() < 0.3:
+            buf = buf[: rng.randint(1, len(buf))]
+        for _ in range(rng.randint(1, 5)):
+            if buf:
+                buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+        trials += 1
+        try:
+            pdf.pdf_text_report(bytes(buf))
+            ok += 1
+        except ValueError:
+            quarantined += 1
+    assert trials == ok + quarantined
+    assert quarantined > 0
