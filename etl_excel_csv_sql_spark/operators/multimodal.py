@@ -2194,7 +2194,13 @@ def _pdf_rc4_payload(mid: int) -> bytes:
     ]
     # odd ids take the legacy 40-bit R=2/V=1 pair, even ids the common
     # R=3/V=2/128-bit pair; every third id stacks LZW under the cipher
-    # (decrypt THEN defilter, the spec order)
+    # (decrypt THEN defilter, the spec order); id % 5 == 4 ships the
+    # PDF 1.5 encrypted layout (whole-ObjStm decrypt, unencrypted
+    # XRef stream) — the combination mass-produced encrypted PDFs use
+    if mid % 5 == 4:
+        return pdf.encode_pdf15_encrypted(
+            shows, r=2 if mid % 2 else 3
+        )
     return pdf.encode_pdf_encrypted(
         shows,
         r=2 if mid % 2 else 3,

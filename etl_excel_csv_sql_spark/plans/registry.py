@@ -3669,8 +3669,14 @@ def q_pdf_lzw_text_extract(spark, sf_dir):
     # Algorithms 2/4/5. Fixtures alternate R=2/V=1/40-bit and
     # R=3/V=2/128-bit by id parity, carry an encrypted /Info /Title,
     # and stack LZW under the cipher for id % 3 == 0 (decrypt THEN
-    # defilter, the spec order). Same synth_pdf_pages id contract.
-    _PDF_PAGES_ORACLE,
+    # defilter, the spec order). id % 5 == 4 ships the PDF 1.5
+    # encrypted layout (whole-ObjStm decrypt, unencrypted XRef
+    # stream) — hence the version CASE. Same synth_pdf_pages text
+    # contract.
+    _PDF_PAGES_ORACLE.replace(
+        "'1.4' AS version",
+        "CASE WHEN doc_id % 5 = 4 THEN '1.5' ELSE '1.4' END AS version",
+    ),
     doc="Encrypted-PDF text extraction (operators/pdf.py r15 standard "
     "security handler): trailer /Encrypt → Algorithm 2 file key from "
     "the EMPTY user password (+50 MD5 rounds for R=3), /U verified "
