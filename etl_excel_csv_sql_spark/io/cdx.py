@@ -97,15 +97,9 @@ def surt_key(url) -> Column:
     )
 
 
-def read_cdx(spark: SparkSession, path_glob: str) -> DataFrame:
-    """CDXJ index files (plain or .gz) → one row per capture:
-    ``urlkey``, ``ts`` (14-digit capture timestamp string), plus the
-    JSON locator fields (url, mime, status int, digest,
-    length/offset longs, filename). Lines that do not carry a JSON
-    block (comments, the cluster.idx pointer format) yield null
-    locator fields — countable, never a crash. One text scan + one
-    projection; from_json prunes unread fields."""
-    lines = spark.read.text(path_glob)
+def _project_cdx(lines: DataFrame) -> DataFrame:
+    """The one shared CDXJ projection behind the batch and streaming
+    readers — one closure so the two paths can never drift."""
     head = F.substring_index(F.col("value"), " {", 1)
     js = F.when(
         F.col("value").contains(" {"),
@@ -131,6 +125,42 @@ def read_cdx(spark: SparkSession, path_glob: str) -> DataFrame:
         F.col("j.offset").cast("long").alias("offset"),
         F.col("j.filename").alias("filename"),
     )
+
+
+def read_cdx(spark: SparkSession, path_glob: str) -> DataFrame:
+    """CDXJ index files (plain or .gz) → one row per capture:
+    ``urlkey``, ``ts`` (14-digit capture timestamp string), plus the
+    JSON locator fields (url, mime, status int, digest,
+    length/offset longs, filename). Lines that do not carry a JSON
+    block (comments, the cluster.idx pointer format) yield null
+    locator fields — countable, never a crash. One text scan + one
+    projection; from_json prunes unread fields."""
+    return _project_cdx(spark.read.text(path_glob))
+
+
+def stream_cdx(
+    spark: SparkSession,
+    drop_dir: str,
+    path_glob: str = "*.gz",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The STREAMING twin of :func:`read_cdx` — cc-index shards land
+    in a drop folder (Common Crawl publishes new cdx shards per
+    snapshot) and each is consumed exactly once (the checkpoint
+    tracks processed paths) through the SAME projection, so batch and
+    streaming rows are identical by construction. Compose with
+    ``fetch_cdx_records`` in foreachBatch for incremental
+    index-driven ingest: each new shard fetches only ITS members."""
+    reader = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .option("pathGlobFilter", path_glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    return _project_cdx(reader.load(drop_dir))
 
 
 def cdx_fetch_plan(cdx: DataFrame) -> DataFrame:

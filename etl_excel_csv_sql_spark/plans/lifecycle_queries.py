@@ -4324,3 +4324,112 @@ def q_cdx_ranged_fetch_e2e(spark, sf_dir):
         spark, os.path.join(scratch, "cdx-*.gz")
     ).filter(F.col("mime") == "text/html")
     return cdx_io.fetch_cdx_records(idx, scratch)
+
+
+@register(
+    "cdx_streaming_ingest_e2e",
+    # r15: the STREAMING twin of cdx_ranged_fetch_e2e — cc-index
+    # shards land in a drop folder (one shard per segment file, as
+    # Common Crawl publishes them) and each micro-batch fetches ONLY
+    # the members its shard's html subset names: stream_cdx
+    # (maxFilesPerTrigger=1, checkpoint consume-once) → foreachBatch
+    # { mime filter → fetch_cdx_records ranged reads } → append
+    # parquet. Same id contract as the batch twin, so the oracle pins
+    # that incremental shard-by-shard ingest reproduces the one-shot
+    # subset byte for byte.
+    """
+    SELECT 'org,example)/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+           'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(200 AS INT) AS status,
+           'ranged doc ' || CAST(doc_id AS VARCHAR) || ' (ok)' AS text,
+           CAST(length('ranged doc ' || CAST(doc_id AS VARCHAR)
+             || ' (ok)') AS BIGINT) AS n_body_bytes
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+    doc="incremental index-driven crawl ingest: cc-index shards "
+    "stream from a drop folder (stream_cdx, checkpoint "
+    "consume-once, one shard per trigger) and each batch "
+    "Range-fetches only ITS shard's selected gzip members "
+    "(foreachBatch -> mime filter -> fetch_cdx_records -> append "
+    "parquet). The monthly-snapshot shape: a new index shard "
+    "landing ingests only its captures. Batch/streaming parity by "
+    "shared projection; every output field id-contract checked",
+)
+def q_cdx_streaming_ingest_e2e(spark, sf_dir):
+    import gzip
+
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io import cdx as cdx_io
+    from etl_excel_csv_sql_spark.io import warc
+
+    scratch = _scratch(
+        "cdx_stream_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    seg_dir = os.path.join(scratch, "segments")
+    drop = os.path.join(scratch, "drop")
+    os.makedirs(seg_dir)
+    os.makedirs(drop)
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    per_file: dict[int, list] = {0: [], 1: [], 2: []}
+    for i in ids:
+        per_file[i % 3].append(i)
+    for k, members in per_file.items():
+        fname = f"segment-{k:05d}.warc.gz"
+        recs = [
+            {
+                "uri": f"https://example.org/doc/{i}",
+                "status": 200,
+                "body_text": f"ranged doc {i} (ok)",
+                "http_content_type": "text/html",
+            }
+            for i in members
+        ]
+        payload, entries = warc.encode_warc_with_index(recs)
+        with open(os.path.join(seg_dir, fname), "wb") as f:
+            f.write(payload)
+        shard_rows = [
+            {
+                "urlkey": f"org,example)/doc/{i}",
+                "ts": str(20260101000000 + i),
+                "url": e["uri"],
+                "mime": (
+                    "text/html" if i % 2 == 0 else "application/pdf"
+                ),
+                "status": "200",
+                "digest": f"sha1:{i:08d}",
+                "length": str(e["length"]),
+                "offset": str(e["offset"]),
+                "filename": fname,
+            }
+            for i, e in zip(members, entries)
+        ]
+        with gzip.open(
+            os.path.join(drop, f"cdx-{k:05d}.gz"), "wb"
+        ) as f:
+            f.write(cdx_io.encode_cdx(shard_rows))
+    out_dir = os.path.join(scratch, "out")
+
+    def process(batch_df, batch_id):
+        subset = batch_df.filter(F.col("mime") == "text/html")
+        cdx_io.fetch_cdx_records(subset, seg_dir).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    (
+        cdx_io.stream_cdx(spark, drop, max_files_per_trigger=1)
+        .writeStream.foreachBatch(process)
+        .option(
+            "checkpointLocation", os.path.join(scratch, "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out_dir).select(
+        "urlkey", "url", "status", "text", "n_body_bytes"
+    )

@@ -8394,6 +8394,7 @@ WINDOW_ORDER: tuple[str, ...] = (
     "cdx_index_catalog",
     "cdx_fetch_plan_ranges",
     "cdx_ranged_fetch_e2e",
+    "cdx_streaming_ingest_e2e",
     "jaro_winkler_part_pairs",
     "doc_bigram_surprisal",
     "dsir_importance_weights",
@@ -8435,7 +8436,6 @@ WINDOW_ORDER: tuple[str, ...] = (
     "scd2_snapshot_apply",
     "range_join_price_bands",
     "strip_duplicate_spans_clean",
-    "dup_span_coverage",
 )
 
 # Breadth-tier queries (see QuerySpec.tier): pure SQL-shape coverage —
@@ -8613,6 +8613,8 @@ PYTHON_KERNELS: dict[str, str] = {
     "cdx_ranged_fetch_e2e": "ranged gzip-member reads + WARC record "
     "decode via Arrow mapInPandas; the index scan/filter stays pure "
     "Catalyst (r15)",
+    "cdx_streaming_ingest_e2e": "the streaming twin — same ranged "
+    "Arrow kernel inside foreachBatch (r15)",
 }
 
 # Eager queries (see QuerySpec.eager): constructing the frame executes a
@@ -8627,6 +8629,7 @@ EAGER_QUERIES: frozenset[str] = frozenset(
         "ann_ivf_upsert_topk",
         "archive_naming",
         "copy_plan_manifest",
+        "cdx_streaming_ingest_e2e",
         "csv_permissive_quarantine",
         "csv_roundtrip",
         "events_session_streaming",
