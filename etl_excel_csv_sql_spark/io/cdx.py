@@ -293,3 +293,67 @@ def fetch_cdx_records(cdx: DataFrame, base_dir: str) -> DataFrame:
         .sortWithinPartitions("offset")
         .mapInPandas(batches, CDX_FETCH_SCHEMA)
     )
+
+
+def read_cluster_idx(spark: SparkSession, path_glob: str) -> DataFrame:
+    """``cluster.idx`` — the SECOND-level index Common Crawl ships
+    over its ~300 cdx shards: one TSV line per 3000-line cdx block,
+    ``<surt> <ts>\\t<shard>\\t<offset>\\t<length>\\t<seq>``, sorted by
+    key. Reading it answers "which cdx shards could contain keys for
+    this host?" without touching any shard. ``sort_key`` keeps the
+    full ``surt ts`` string the file is ordered by (range math runs
+    on it); urlkey/ts are its split halves."""
+    lines = spark.read.text(path_glob)
+    parts = F.split(F.col("value"), "\t")
+    return lines.select(
+        parts.getItem(0).alias("sort_key"),
+        F.substring_index(parts.getItem(0), " ", 1).alias("urlkey"),
+        F.substring_index(parts.getItem(0), " ", -1).alias("ts"),
+        parts.getItem(1).alias("cdx_shard"),
+        parts.getItem(2).cast("long").alias("offset"),
+        parts.getItem(3).cast("long").alias("length"),
+        parts.getItem(4).cast("long").alias("seq"),
+    )
+
+
+def cdx_shard_lookup(cluster: DataFrame, surt_prefix: str) -> DataFrame:
+    """Blocks whose key range could hold keys with ``surt_prefix`` —
+    the shard/offset list a subset job then range-reads from the cdx
+    (two index levels before any WARC byte moves). Block i covers
+    [sort_key_i, sort_key_{i+1}); the successor key comes from a
+    self-join on the ``seq`` column (seq+1), NOT a global window —
+    partition-parallel, no single-task sort. The preceding block is
+    included when its range straddles the prefix start; the last
+    block's open end treats as +inf."""
+    nxt = cluster.select(
+        (F.col("seq") - F.lit(1)).alias("seq"),
+        F.col("sort_key").alias("__next_key"),
+    )
+    hi = surt_prefix + "￿"
+    return (
+        cluster.join(nxt, "seq", "left")
+        .filter(
+            (F.col("sort_key") < F.lit(hi))
+            & (
+                F.col("__next_key").isNull()
+                | (F.col("__next_key") > F.lit(surt_prefix))
+            )
+        )
+        .select(
+            "urlkey", "ts", "cdx_shard", "offset", "length", "seq"
+        )
+    )
+
+
+def encode_cluster_idx(rows: list[dict]) -> bytes:
+    """Fixture writer: cluster.idx TSV lines from dicts carrying
+    urlkey, ts, cdx_shard, offset, length, seq."""
+    out = [
+        "%s %s\t%s\t%d\t%d\t%d"
+        % (
+            r["urlkey"], r["ts"], r["cdx_shard"],
+            r["offset"], r["length"], r["seq"],
+        )
+        for r in rows
+    ]
+    return ("\n".join(out) + "\n").encode()

@@ -4433,3 +4433,64 @@ def q_cdx_streaming_ingest_e2e(spark, sf_dir):
     return spark.read.parquet(out_dir).select(
         "urlkey", "url", "status", "text", "n_body_bytes"
     )
+
+
+@register(
+    "cdx_cluster_lookup",
+    # r15: the SECOND index level — cluster.idx names which cdx shard
+    # blocks could hold a SURT prefix, so a subset job touches two
+    # tiny indexes before any WARC byte moves. Fixture: 40 blocks
+    # (doc_id < 40), keys org,h{id:03}, 10 blocks per shard. Prefix
+    # org,h01 must hit blocks 9..19: 10..19 start inside the prefix
+    # range, and block 9 straddles it (its successor key bounds its
+    # range from above). Successor keys come from a seq+1 self-join,
+    # not a global window.
+    """
+    SELECT 'org,h' || lpad(CAST(doc_id AS VARCHAR), 3, '0')
+             || ')/page' AS urlkey,
+           '20260101000000' AS ts,
+           'cdx-' || lpad(CAST(doc_id // 10 AS VARCHAR), 5, '0')
+             || '.gz' AS cdx_shard,
+           CAST(doc_id * 5000 AS BIGINT) AS "offset",
+           CAST(5000 AS BIGINT) AS length,
+           CAST(doc_id AS BIGINT) AS seq
+    FROM documents WHERE doc_id BETWEEN 9 AND 19
+    """,
+    doc="two-level crawl-index lookup (cdx.read_cluster_idx + "
+    "cdx_shard_lookup): cluster.idx TSV blocks -> block key ranges "
+    "via a partition-parallel seq+1 self-join (no global window) -> "
+    "prefix-intersect filter returns the shard/offset blocks to "
+    "range-read, including the straddling predecessor block. Every "
+    "field id-contract checked",
+)
+def q_cdx_cluster_lookup(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io import cdx as cdx_io
+
+    scratch = _scratch(
+        "cdx_cluster_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    ids = sorted(
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 40)
+        .collect()
+    )
+    rows = [
+        {
+            "urlkey": f"org,h{j:03d})/page",
+            "ts": "20260101000000",
+            "cdx_shard": f"cdx-{j // 10:05d}.gz",
+            "offset": j * 5000,
+            "length": 5000,
+            "seq": j,
+        }
+        for j in ids
+    ]
+    with open(os.path.join(scratch, "cluster.idx"), "wb") as f:
+        f.write(cdx_io.encode_cluster_idx(rows))
+    cluster = cdx_io.read_cluster_idx(
+        spark, os.path.join(scratch, "cluster.idx")
+    )
+    return cdx_io.cdx_shard_lookup(cluster, "org,h01")

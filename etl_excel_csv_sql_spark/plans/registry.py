@@ -8395,6 +8395,7 @@ WINDOW_ORDER: tuple[str, ...] = (
     "cdx_fetch_plan_ranges",
     "cdx_ranged_fetch_e2e",
     "cdx_streaming_ingest_e2e",
+    "cdx_cluster_lookup",
     "jaro_winkler_part_pairs",
     "doc_bigram_surprisal",
     "dsir_importance_weights",
@@ -8435,7 +8436,6 @@ WINDOW_ORDER: tuple[str, ...] = (
     "train_test_split",
     "scd2_snapshot_apply",
     "range_join_price_bands",
-    "strip_duplicate_spans_clean",
 )
 
 # Breadth-tier queries (see QuerySpec.tier): pure SQL-shape coverage —

@@ -151,3 +151,114 @@ def test_fetch_cdx_records_ranged_and_selective(spark, tmp_path):
     short = cdx.read_cdx(spark, str(tmp_path / "cdx-short"))
     with pytest.raises(Exception, match="exactly one gzip member"):
         cdx.fetch_cdx_records(short, str(tmp_path)).collect()
+
+
+def test_cluster_idx_lookup_ranges(spark, tmp_path):
+    """Two-level index: blocks whose [key, next_key) range intersects
+    the SURT prefix — including the straddling PREDECESSOR block and
+    the open-ended last block."""
+    rows = [
+        {"urlkey": f"org,h{j:03d})/page", "ts": "20260101000000",
+         "cdx_shard": f"cdx-{j // 10:05d}.gz", "offset": j * 5000,
+         "length": 5000, "seq": j}
+        for j in range(40)
+    ]
+    (tmp_path / "cluster.idx").write_bytes(cdx.encode_cluster_idx(rows))
+    cl = cdx.read_cluster_idx(spark, str(tmp_path / "cluster.idx"))
+    hit = cdx.cdx_shard_lookup(cl, "org,h01").collect()
+    assert sorted(r["seq"] for r in hit) == list(range(9, 20))
+    assert {r["cdx_shard"] for r in hit} == {
+        "cdx-00000.gz", "cdx-00001.gz"
+    }
+    # prefix past the last block: only the open-ended final block
+    tail = cdx.cdx_shard_lookup(cl, "org,h999").collect()
+    assert [r["seq"] for r in tail] == [39]
+    # prefix before the first block: only block 0 (starts above the
+    # prefix but below its ceiling) — nothing else
+    head = cdx.cdx_shard_lookup(cl, "com,a").collect()
+    assert [r["seq"] for r in head] == []
+    # no Python stage, no Window in the plan
+    plan = (
+        cdx.cdx_shard_lookup(cl, "org,h01")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InPandas" not in plan and "Window" not in plan
+
+
+def test_surt_key_property_vs_python_reference(spark):
+    """Property check: the Catalyst surt_key agrees with an
+    independent pure-Python SURT implementation over generated URL
+    shapes (hypothesis strategies drawn once, evaluated in ONE Spark
+    job)."""
+    from hypothesis import strategies as st
+
+    label = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789-", min_size=1,
+        max_size=8,
+    ).filter(lambda s: not s.startswith("-") and not s.endswith("-"))
+    seg = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789._-",
+        min_size=1, max_size=6,
+    )
+    param = st.tuples(seg, seg).map(lambda kv: f"{kv[0]}={kv[1]}")
+
+    def build(parts):
+        scheme, www, labels, port, path_segs, params, frag = parts
+        host = ".".join(labels)
+        url = (f"{scheme}://" if scheme else "")
+        url += ("www." if www else "") + host
+        if port:
+            url += f":{port}"
+        if path_segs:
+            url += "/" + "/".join(path_segs)
+        if params:
+            url += "?" + "&".join(params)
+        if frag:
+            url += "#frag"
+        return url
+
+    urls = st.tuples(
+        st.sampled_from(["http", "https", ""]),
+        st.booleans(),
+        st.lists(label, min_size=1, max_size=4),
+        st.sampled_from([None, 80, 8080]),
+        st.lists(seg, min_size=0, max_size=3),
+        st.lists(param, min_size=0, max_size=3),
+        st.booleans(),
+    ).map(build)
+
+    def py_surt(url: str) -> str:
+        u = url.lower()
+        u = u.split("#", 1)[0]
+        for sch in ("http://", "https://"):
+            if u.startswith(sch):
+                u = u[len(sch):]
+                break
+        if u.startswith("www."):
+            u = u[4:]
+        authority = u.split("/", 1)[0].split("?", 1)[0]
+        rest = u[len(authority):]
+        if not rest:
+            rest = "/"
+        elif rest.startswith("?"):
+            rest = "/" + rest
+        host, _, port = authority.partition(":")
+        path, qmark, query = rest.partition("?")
+        out = ",".join(reversed(host.split(".")))
+        if port:
+            out += ":" + port
+        out += ")" + path
+        if qmark:
+            out += "?" + "&".join(sorted(query.split("&")))
+        return out
+
+    # draw a deterministic batch of examples and evaluate in one job
+    sample = list({
+        urls.example() for _ in range(120)
+    })
+    df = spark.createDataFrame(
+        [(u,) for u in sample], ["url"]
+    ).select("url", cdx.surt_key("url").alias("k"))
+    got = {r["url"]: r["k"] for r in df.collect()}
+    for u in sample:
+        assert got[u] == py_surt(u), (u, got[u], py_surt(u))
