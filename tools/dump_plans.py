@@ -175,6 +175,7 @@ QUERIES = (
     # delta-ingest composition, and host-level PageRank
     "cdx_index_catalog",
     "cdx_fetch_plan_ranges",
+    "cdx_cluster_lookup",
     "crawl_delta_ingest_e2e",
     "host_pagerank_crawl",
 )
