@@ -99,7 +99,10 @@ def surt_key(url) -> Column:
 
 def _project_cdx(lines: DataFrame) -> DataFrame:
     """The one shared CDXJ projection behind the batch and streaming
-    readers — one closure so the two paths can never drift."""
+    readers — one closure so the two paths can never drift. Blank
+    lines (trailing newlines, shard concatenation seams) drop instead
+    of yielding phantom empty-key rows."""
+    lines = lines.filter(F.length(F.trim(F.col("value"))) > 0)
     head = F.substring_index(F.col("value"), " {", 1)
     js = F.when(
         F.col("value").contains(" {"),

@@ -262,3 +262,23 @@ def test_surt_key_property_vs_python_reference(spark):
     got = {r["url"]: r["k"] for r in df.collect()}
     for u in sample:
         assert got[u] == py_surt(u), (u, got[u], py_surt(u))
+
+
+def test_blank_lines_and_crlf_tolerated(spark, tmp_path):
+    """Blank lines drop (no phantom empty-key rows); CRLF line
+    endings parse — the trailing CR is JSON whitespace."""
+    payload = (
+        b"\n"
+        + cdx.encode_cdx([
+            {"urlkey": "org,ex)/a", "ts": "20260101000000",
+             "url": "https://ex.org/a", "mime": "text/html",
+             "status": "200", "digest": "d", "length": "10",
+             "offset": "0", "filename": "f.warc.gz"},
+        ]).replace(b"\n", b"\r\n")
+        + b"\r\n\r\n"
+    )
+    (tmp_path / "cdx-0").write_bytes(payload)
+    out = cdx.read_cdx(spark, str(tmp_path / "cdx-0")).collect()
+    assert len(out) == 1
+    assert out[0]["urlkey"] == "org,ex)/a"
+    assert out[0]["status"] == 200 and out[0]["filename"] == "f.warc.gz"
