@@ -4494,3 +4494,102 @@ def q_cdx_cluster_lookup(spark, sf_dir):
         spark, os.path.join(scratch, "cluster.idx")
     )
     return cdx_io.cdx_shard_lookup(cluster, "org,h01")
+
+
+@register(
+    "cdx_two_level_subset_e2e",
+    # r15 capstone: the COMPLETE production crawl-subset access path,
+    # three ranged hops and no full scan anywhere — cluster.idx names
+    # the cdx BLOCKS whose key range could hold the target host
+    # (seq+1 self-join, straddling predecessor included), those gzip
+    # blocks range-read and inflate into cdx lines (the real cc-index
+    # shard layout: independently gzipped ~3000-line blocks chained
+    # per shard), the parsed subset filters to the exact SURT prefix
+    # (blocks over-approximate), and only the surviving locators
+    # range-fetch their WARC members. Host h07 = doc_id % 50 == 7;
+    # everything else in the corpus is never inflated.
+    """
+    SELECT 'org,h07)/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+           'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(200 AS INT) AS status,
+           'indexed doc ' || CAST(doc_id AS VARCHAR) || ' (ok)' AS text,
+           CAST(length('indexed doc ' || CAST(doc_id AS VARCHAR)
+             || ' (ok)') AS BIGINT) AS n_body_bytes
+    FROM documents WHERE doc_id % 50 = 7
+    """,
+    doc="three-level ranged crawl subset (the full cc-index access "
+    "path): read_cluster_idx -> cdx_shard_lookup (block key ranges "
+    "via seq+1 self-join) -> fetch_cdx_blocks (ranged gzip-member "
+    "reads of the REAL multi-member shard layout) -> "
+    "parse_cdx_lines (the shared projection) -> exact SURT-prefix "
+    "filter -> fetch_cdx_records (ranged WARC member reads). At "
+    "100 TB this subsets one host from a monthly snapshot touching "
+    "two tiny indexes plus exactly the needed bytes. Every output "
+    "field id-contract checked",
+)
+def q_cdx_two_level_subset_e2e(spark, sf_dir):
+    from etl_excel_csv_sql_spark.catalog import load_table
+    from etl_excel_csv_sql_spark.io import cdx as cdx_io
+    from etl_excel_csv_sql_spark.io import warc
+
+    scratch = _scratch(
+        "cdx_twolevel_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    per_file: dict[int, list] = {0: [], 1: [], 2: []}
+    for i in ids:
+        per_file[i % 3].append(i)
+    cdx_rows = []
+    for k, members in per_file.items():
+        fname = f"segment-{k:05d}.warc.gz"
+        recs = [
+            {
+                "uri": f"https://example.org/doc/{i}",
+                "status": 200,
+                "body_text": f"indexed doc {i} (ok)",
+                "http_content_type": "text/html",
+            }
+            for i in members
+        ]
+        payload, entries = warc.encode_warc_with_index(recs)
+        with open(os.path.join(scratch, fname), "wb") as f:
+            f.write(payload)
+        for i, e in zip(members, entries):
+            cdx_rows.append(
+                {
+                    "urlkey": f"org,h{i % 50:02d})/doc/{i}",
+                    "ts": str(20260101000000 + i),
+                    "url": e["uri"],
+                    "mime": "text/html",
+                    "status": "200",
+                    "digest": f"sha1:{i:08d}",
+                    "length": str(e["length"]),
+                    "offset": str(e["offset"]),
+                    "filename": fname,
+                }
+            )
+    cdx_rows.sort(key=lambda r: (r["urlkey"], r["ts"]))
+    shards, cluster_rows = cdx_io.encode_cdx_sharded(
+        cdx_rows, block_lines=40, blocks_per_shard=4
+    )
+    for name, payload in shards.items():
+        with open(os.path.join(scratch, name), "wb") as f:
+            f.write(payload)
+    with open(os.path.join(scratch, "cluster.idx"), "wb") as f:
+        f.write(cdx_io.encode_cluster_idx(cluster_rows))
+
+    prefix = "org,h07)"
+    cluster = cdx_io.read_cluster_idx(
+        spark, os.path.join(scratch, "cluster.idx")
+    )
+    blocks = cdx_io.cdx_shard_lookup(cluster, prefix)
+    parsed = cdx_io.parse_cdx_lines(
+        cdx_io.fetch_cdx_blocks(blocks, scratch)
+    )
+    exact = parsed.filter(F.col("urlkey").startswith(prefix))
+    return cdx_io.fetch_cdx_records(exact, scratch)

@@ -8396,6 +8396,7 @@ WINDOW_ORDER: tuple[str, ...] = (
     "cdx_ranged_fetch_e2e",
     "cdx_streaming_ingest_e2e",
     "cdx_cluster_lookup",
+    "cdx_two_level_subset_e2e",
     "jaro_winkler_part_pairs",
     "doc_bigram_surprisal",
     "dsir_importance_weights",
@@ -8435,7 +8436,6 @@ WINDOW_ORDER: tuple[str, ...] = (
     "redact_pii",
     "train_test_split",
     "scd2_snapshot_apply",
-    "range_join_price_bands",
 )
 
 # Breadth-tier queries (see QuerySpec.tier): pure SQL-shape coverage —
@@ -8615,6 +8615,9 @@ PYTHON_KERNELS: dict[str, str] = {
     "Catalyst (r15)",
     "cdx_streaming_ingest_e2e": "the streaming twin — same ranged "
     "Arrow kernel inside foreachBatch (r15)",
+    "cdx_two_level_subset_e2e": "ranged gzip-member reads (cdx "
+    "blocks + WARC members) via two Arrow passes; both index hops "
+    "stay pure Catalyst (r15)",
 }
 
 # Eager queries (see QuerySpec.eager): constructing the frame executes a

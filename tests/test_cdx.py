@@ -282,3 +282,37 @@ def test_blank_lines_and_crlf_tolerated(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["urlkey"] == "org,ex)/a"
     assert out[0]["status"] == 200 and out[0]["filename"] == "f.warc.gz"
+
+
+def test_fetch_cdx_blocks_ranged_and_malformed(spark, tmp_path):
+    """The middle hop: cluster.idx locators range-read cdx shard
+    blocks (independently gzipped members); corrupt/misframed
+    locators raise."""
+    rows = [
+        {"urlkey": f"org,h{j:03d})/p", "ts": "20260101000000",
+         "url": f"https://h{j:03d}.org/p", "mime": "text/html",
+         "status": "200", "digest": f"sha1:{j}", "length": "10",
+         "offset": "0", "filename": "seg.warc.gz"}
+        for j in range(25)
+    ]
+    shards, cluster = cdx.encode_cdx_sharded(
+        rows, block_lines=5, blocks_per_shard=3
+    )
+    for name, payload in shards.items():
+        (tmp_path / name).write_bytes(payload)
+    (tmp_path / "cluster.idx").write_bytes(
+        cdx.encode_cluster_idx(cluster)
+    )
+    cl = cdx.read_cluster_idx(spark, str(tmp_path / "cluster.idx"))
+    hit = cdx.cdx_shard_lookup(cl, "org,h012")
+    parsed = cdx.parse_cdx_lines(
+        cdx.fetch_cdx_blocks(hit, str(tmp_path))
+    ).collect()
+    # the hit block(s) over-approximate; the target key must be there
+    keys = {r["urlkey"] for r in parsed}
+    assert "org,h012)/p" in keys
+    assert all(k.startswith("org,h") for k in keys)
+    # corrupt locator: shifted offset
+    bad = cl.withColumn("offset", F.col("offset") + F.lit(3)).limit(1)
+    with pytest.raises(Exception, match="corrupt cdx block"):
+        cdx.fetch_cdx_blocks(bad, str(tmp_path)).collect()
