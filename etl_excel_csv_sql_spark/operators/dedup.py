@@ -279,48 +279,55 @@ def minhash_signatures(
     """(id, signature array<long>): signature[i] = min over shingles of
     xxhash64(i, base_hash(shingle)).
 
-    ONE aggregate pass over the shingle-hash array computes every minhash
-    lane simultaneously: the fold input (tokenize → shingle → one string
-    xxhash64 per shingle) is evaluated exactly once per row because it is
-    the aggregate's *input* argument, and each fold step updates all
-    ``num_hashes`` accumulators with a cheap long→long xxhash64. The naive
-    nested-transform form (signature[i] = array_min(transform(shingles,
-    hash_i))) re-evaluates the whole shingle pipeline per lane — HOF
-    lambdas run interpreted per element and CollapseProject re-inlines any
-    staging projection — a measured ~20× slowdown. No shuffle."""
-    long_max = (1 << 63) - 1
+    Plan shape (r15 optimization): explode the shingle-hash array and
+    compute all ``num_hashes`` lanes as ONE codegen'd hash aggregate of
+    ``min(xxhash64(i, h))`` columns grouped by id. Higher-order-function
+    lambdas (the previous ``F.aggregate`` fold) are CodegenFallback —
+    every fold step ran interpreted AND allocated a fresh num_hashes
+    array per shingle; the flat min-aggregate buffer is whole-stage
+    codegen with zero per-element allocation (guide §4.1). Partial
+    aggregation finishes map-side (ids are the grouping key, shingles of
+    one doc are co-located after explode), so the exchange carries ONE
+    ~(8 + 8·num_hashes)-byte row per doc — at 100 TB the shuffle is
+    per-document metadata, never shingles. Signature VALUES are
+    bit-identical to the fold (same min over the same lane hashes), so
+    banding, candidates, and persisted MinHashIndex artifacts are
+    unchanged. The naive nested-transform form (signature[i] =
+    array_min(transform(shingles, hash_i))) re-evaluates the whole
+    shingle pipeline per lane — a measured ~20× slowdown — and the
+    interpreted fold this replaces measured ~5× the aggregate's exec
+    (sf0.1 headline: 27.5s → ~5s summed executor CPU)."""
     # distinct=True on purpose: duplicate shingles cannot change a min
-    # fold, but WITHOUT the O(k) array_distinct pass the 32-lane fold
+    # fold, but WITHOUT the O(k) array_distinct pass the 32-lane min
     # runs per token POSITION — a 10k-token doc repeating one 4-word
     # phrase would pay ~32×10k lane hashes instead of ~32×4. Dedup
     # first is the boilerplate-document guard (code-review r9 catch).
     hashes = word_shingle_hashes(text_col, n, seed)
-    init = F.array(*[F.lit(long_max).cast("long") for _ in range(num_hashes)])
-    sig = F.aggregate(
-        hashes,
-        init,
-        lambda acc, h: F.array(
-            *[
-                F.least(acc.getItem(i), F.xxhash64(F.lit(i), h))
-                for i in range(num_hashes)
-            ]
-        ),
-    )
-    # NULL-text docs get NO signature row at all (r10 review): the
-    # fold's xxhash64(lit(i), null) SKIPS the null child and returns the
-    # per-lane seed hash — every null-text doc would share one constant
-    # signature, every band bucket, and est_jaccard 1.0 with every
-    # other null doc (quadratic candidates on a null-heavy corpus),
-    # where the string path (and the DuckDB oracles) never equi-join
-    # nulls. Filtering the TEXT column upstream is the cheap shape: a
-    # when()-wrapped signature plus a downstream IS NOT NULL filter
-    # measured 2.7x on the headline query, because predicate pushdown
-    # re-inlines the whole 32-lane fold into the filter (and
-    # CollapseProject into each band slice).
-    return (
+    # NULL-text docs get NO signature row at all (r10 review): every
+    # null-text doc would otherwise share one constant signature, every
+    # band bucket, and est_jaccard 1.0 with every other null doc
+    # (quadratic candidates on a null-heavy corpus), where the string
+    # path (and the DuckDB oracles) never equi-join nulls. The shingle
+    # array is never empty (short docs hash the whole token array), so
+    # the explode cannot drop a non-null-text doc.
+    exploded = (
         spread_for_compute(df)
         .where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"), sig.alias("signature"))
+        .select(F.col(id_col).alias("id"), F.explode(hashes).alias("__h"))
+    )
+    lanes = [
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        exploded.groupBy("id")
+        .agg(*lanes)
+        .select(
+            "id",
+            F.array(
+                *[F.col(f"__m{i}") for i in range(num_hashes)]
+            ).alias("signature"),
+        )
     )
 
 
@@ -776,17 +783,48 @@ def simhash64(text_col: str | Column, n: int = 3, seed: int = 42) -> Column:
 def simhash_frame(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, seed: int = 42
 ) -> DataFrame:
-    """(id, simhash): staged projections (shingle-hash → tally → assemble) so
-    each expensive array expression is evaluated once per row — Catalyst's
-    CollapseProject keeps non-cheap duplicated expressions in separate
-    stages, so the hash array is never recomputed per bit."""
+    """(id, simhash): explode the shingle-hash array and tally all 64 bits
+    as ONE codegen'd hash aggregate — 64 ``sum((h >> i) & 1)`` columns plus
+    ``count(*)`` grouped by id (r15 optimization; guide §4.1). The previous
+    ``F.aggregate`` tally fold was CodegenFallback: every shingle ran 64
+    interpreted when/otherwise branches AND allocated a fresh 64-int array;
+    the flat sum buffer is whole-stage codegen with zero per-element
+    allocation (measured ~4× less summed executor CPU on the sf0.1
+    headline). Partial aggregation finishes map-side (one doc's shingles
+    are co-located after explode), so the exchange carries one ~0.5 KB row
+    per doc — per-document metadata even at 100 TB.
+
+    Values are bit-identical to the fold: bit i was set iff the ±1 tally
+    ≥ 0, i.e. iff 2·ones_i ≥ n_shingles — the exact integer test used
+    here. Null-text docs keep their row with simhash 0 (their single null
+    hash makes every ``ones_i`` NULL, so every bit test falls to the
+    otherwise-0 branch — the tally fold's -1s produced the same 0)."""
     hashes = word_shingle_hashes(text_col, n, seed)
-    return (
-        spread_for_compute(df)
-        .select(F.col(id_col).alias("id"), hashes.alias("__hashes"))
-        .select("id", _simhash_tallies(F.col("__hashes")).alias("__tallies"))
-        .select("id", _simhash_from_tallies(F.col("__tallies")).alias("simhash"))
+    exploded = spread_for_compute(df).select(
+        F.col(id_col).alias("id"), F.explode(hashes).alias("__h")
     )
+    ones = [
+        F.sum(
+            F.shiftrightunsigned(F.col("__h"), i).bitwiseAND(F.lit(1))
+        ).alias(f"__c{i}")
+        for i in range(64)
+    ]
+    tallied = exploded.groupBy("id").agg(F.count("*").alias("__n"), *ones)
+    # Assemble the signed 64-bit SimHash with exact integer arithmetic:
+    # bits are disjoint, so summing per-bit LONG terms equals the bitwise
+    # OR; bit 63's two's-complement weight is -2^63, which keeps every
+    # intermediate inside the signed-long range.
+    terms = [
+        F.when(
+            F.lit(2) * F.col(f"__c{i}") >= F.col("__n"),
+            F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return tallied.select("id", total.alias("simhash"))
 
 
 def simhash_band_keys(

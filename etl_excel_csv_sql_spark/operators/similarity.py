@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from etl_excel_csv_sql_spark.functions.vectors import (
     cosine_similarity,
+    dot_product,
     l2_norm,
     l2_normalize,
 )
@@ -81,10 +82,30 @@ def brute_force_topk(
     (for queries drawn from the corpus itself).
     Output: (query_id, neighbor_id, cosine, rank).
     """
-    sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
-    scored = spread_for_compute(corpus).crossJoin(F.broadcast(queries)).select(
-        F.col(query_id_col).alias("query_id"),
+    # Per-side L2 norms are staged in projections BELOW the cross join
+    # (r15): ``cosine_similarity`` inline re-ran the two norm folds per
+    # (corpus row × query) — and the when-condition duplicates the
+    # denominator, so 5 interpreted folds per pair instead of this 1 (the
+    # dot product). Same arithmetic in the same order → bit-identical
+    # cosines (corpus norm × query norm, exactly as cosine_similarity
+    # ordered its operands).
+    corpus_n = spread_for_compute(corpus).select(
         F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    queries_n = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qv"),
+        l2_norm(F.col(query_vec_col)).alias("__qn"),
+    )
+    denom = F.col("__cn") * F.col("__qn")
+    sim = F.when(
+        denom > 0, dot_product(F.col("__cv"), F.col("__qv")) / denom
+    )
+    scored = corpus_n.crossJoin(F.broadcast(queries_n)).select(
+        "query_id",
+        "neighbor_id",
         sim.alias("cosine"),
     )
     if exclude_self:
@@ -149,22 +170,40 @@ def _member_means(
 
 def _packed_centroids(centroids: DataFrame) -> DataFrame:
     """Collapse the (tiny) centroid table into ONE row holding an
-    array<struct<cell_id,centroid>> so assignment becomes a pure per-row
-    expression after a broadcast nested-loop join of a single row."""
-    return centroids.agg(
-        F.collect_list(F.struct("cell_id", "centroid")).alias("__cents")
+    array<struct<cell_id,centroid,__cn>> so assignment becomes a pure
+    per-row expression after a broadcast nested-loop join of a single row.
+    Each centroid's L2 norm is precomputed HERE (r15 optimization): the
+    assignment lambda runs per (corpus row × centroid), and ``l2_norm``
+    is an interpreted HOF fold — hoisting it to build time turns 2 folds
+    per centroid comparison into 0 (only the dot product remains)."""
+    return centroids.select(
+        "cell_id", "centroid", l2_norm("centroid").alias("__cn")
+    ).agg(
+        F.collect_list(F.struct("cell_id", "centroid", "__cn")).alias("__cents")
     )
 
 
-def _nearest_cell(vec: Column, cents: Column) -> Column:
+def _nearest_cell(vec: Column, vec_norm: Column, cents: Column) -> Column:
     """cell_id of the centroid with max cosine(vec, centroid), ties to the
     smallest cell_id — array_min over (neg-sim, cell_id) structs; zero-norm
-    similarities coalesce to -2 (below any real cosine)."""
+    similarities coalesce to -2 (below any real cosine).
+
+    ``vec_norm`` / the packed ``__cn`` field are the two sides' L2 norms,
+    computed once per row / per centroid by the callers (r15): inlining
+    ``cosine_similarity`` here re-ran both norm folds per centroid per row
+    (the when-condition duplicates the denominator, so 5 interpreted folds
+    per comparison instead of this 1). Same arithmetic, same order —
+    bit-identical cosines, identical assignment."""
     keyed = F.transform(
         cents,
         lambda c: F.struct(
             (-F.coalesce(
-                cosine_similarity(vec, c.getField("centroid")), F.lit(-2.0)
+                F.when(
+                    vec_norm * c.getField("__cn") > 0,
+                    dot_product(vec, c.getField("centroid"))
+                    / (vec_norm * c.getField("__cn")),
+                ),
+                F.lit(-2.0),
             )).alias("negsim"),
             c.getField("cell_id").alias("cell_id"),
         ),
@@ -274,10 +313,22 @@ def ivf_assign(
     partitioned by cell_id turns every later probe into a partition-pruned
     scan."""
     packed = _packed_centroids(centroids)
-    return spread_for_compute(corpus).crossJoin(F.broadcast(packed)).select(
+    # Stage the corpus-side L2 norm in its OWN projection below the join
+    # (r15): referenced inside the per-centroid lambda it would otherwise
+    # re-run the interpreted norm fold once per centroid per row; a
+    # projection under the join boundary is evaluated once per corpus row
+    # and CollapseProject cannot re-inline across the join.
+    staged = spread_for_compute(corpus).select(
         F.col(id_col),
         F.col(vec_col),
-        _nearest_cell(F.col(vec_col), F.col("__cents")).alias("cell_id"),
+        l2_norm(F.col(vec_col)).alias("__vn"),
+    )
+    return staged.crossJoin(F.broadcast(packed)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_cell(
+            F.col(vec_col), F.col("__vn"), F.col("__cents")
+        ).alias("cell_id"),
     )
 
 
@@ -560,12 +611,33 @@ def _probe_and_rank(
     cells → bounded cosine top-k. ``prepare_probes`` lets the persisted
     path checkpoint the probe frame once (it feeds both the partition-
     prune collect and the broadcast join)."""
-    qscored = queries.crossJoin(F.broadcast(cents)).select(
+    # Both phases stage L2 norms in projections below their joins (r15):
+    # the inline cosine re-ran 4 interpreted norm folds per comparison
+    # (the when-condition duplicates the denominator); staged norms leave
+    # only the dot-product fold per pair. Same arithmetic in the same
+    # operand order → bit-identical cosines. The query-side norm rides
+    # the probe frame (it is a pure function of query_vec, so adding it
+    # to the top-k group key changes no grouping) and is reused by the
+    # index-scan scoring phase.
+    cents_n = cents.select(
+        "cell_id", "centroid", l2_norm("centroid").alias("__cn")
+    )
+    queries_n = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("query_vec"),
+        l2_norm(F.col(query_vec_col)).alias("__qn"),
+    )
+    qdenom = F.col("__qn") * F.col("__cn")
+    qscored = queries_n.crossJoin(F.broadcast(cents_n)).select(
+        "query_id",
+        "query_vec",
+        "__qn",
         F.col("cell_id"),
         F.coalesce(
-            cosine_similarity(F.col(query_vec_col), F.col("centroid")),
+            F.when(
+                qdenom > 0,
+                dot_product(F.col("query_vec"), F.col("centroid")) / qdenom,
+            ),
             F.lit(-2.0),
         ).alias("csim"),
     )
@@ -574,21 +646,29 @@ def _probe_and_rank(
             qscored.select(
                 "query_id",
                 "query_vec",
+                "__qn",
                 F.struct(
                     (-F.col("csim")).alias("negsim"),
                     F.col("cell_id").alias("cell_id"),
                 ).alias("__k"),
             ),
-            ["query_id", "query_vec"],
+            ["query_id", "query_vec", "__qn"],
             F.col("__k"),
             n_probe,
         ).select(
-            "query_id", "query_vec", F.col("item.cell_id").alias("cell_id")
+            "query_id",
+            "query_vec",
+            "__qn",
+            F.col("item.cell_id").alias("cell_id"),
         )
     )
-    sim = cosine_similarity(F.col(vec_col), F.col("query_vec"))
+    denom = F.col("__nn") * F.col("__qn")
+    sim = F.when(
+        denom > 0, dot_product(F.col(vec_col), F.col("query_vec")) / denom
+    )
     scored = (
         index_for(probes)
+        .withColumn("__nn", l2_norm(F.col(vec_col)))
         .join(F.broadcast(probes), "cell_id")
         .select(
             "query_id",
@@ -1654,15 +1734,32 @@ def semantic_dedup(
             sizes.where(F.col("__cn") <= max_cell), "cell_id", "left_semi"
         )
     # rank key: centroid similarity desc, id asc (null-safe: zero-norm
-    # vectors rank last)
+    # vectors rank last). Norms are staged once per row / per centroid
+    # (r15): the row norm also rides into the pair join below, where the
+    # inline cosine re-ran 4 interpreted norm folds per within-cell pair.
+    # Same arithmetic, same operand order — bit-identical cosines.
+    assigned_n = assigned.select(
+        "cell_id",
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("__vn"),
+    )
+    cents_n = cents.select(
+        "cell_id", "centroid", l2_norm("centroid").alias("__ctn")
+    )
+    cdenom = F.col("__vn") * F.col("__ctn")
     with_rank = (
-        assigned.join(F.broadcast(cents), "cell_id")
+        assigned_n.join(F.broadcast(cents_n), "cell_id")
         .select(
             "cell_id",
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
+            "id",
+            "v",
+            "__vn",
             F.coalesce(
-                cosine_similarity(F.col(vec_col), F.col("centroid")),
+                F.when(
+                    cdenom > 0,
+                    dot_product(F.col("v"), F.col("centroid")) / cdenom,
+                ),
                 F.lit(-2.0),
             ).alias("c_sim"),
         )
@@ -1676,12 +1773,14 @@ def semantic_dedup(
         "cell_id",
         F.col("id").alias("id_a"),
         F.col("v").alias("v_a"),
+        F.col("__vn").alias("__vn_a"),
         F.col("c_sim").alias("c_sim_a"),
     )
     b = with_rank.select(
         "cell_id",
         F.col("id").alias("id_b"),
         F.col("v").alias("v_b"),
+        F.col("__vn").alias("__vn_b"),
         F.col("c_sim").alias("c_sim_b"),
     )
     # a outranks b: higher centroid-sim first, id asc tiebreak
@@ -1689,7 +1788,10 @@ def semantic_dedup(
         (F.col("c_sim_a") == F.col("c_sim_b"))
         & (F.col("id_a") < F.col("id_b"))
     )
-    pair_sim = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    pdenom = F.col("__vn_a") * F.col("__vn_b")
+    pair_sim = F.when(
+        pdenom > 0, dot_product(F.col("v_a"), F.col("v_b")) / pdenom
+    )
     dups = (
         a.join(b, ["cell_id"])
         .where(outranks)
