@@ -47,6 +47,53 @@ from etl_excel_csv_sql_spark.operators.relational import spread_for_compute
 SIGNATURE_ALGO = "slice-xxhash64-v2"
 
 
+def _exploded_shingle_hash_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int, seed: int = 42
+) -> DataFrame:
+    """(id, __h): one row per word-shingle POSITION — duplicates kept,
+    consumers dedup where set semantics require it.
+
+    The fully-codegen twin of ``explode(word_shingle_hashes(...))`` (r15
+    optimization, guide §4.1): tokenize once per row, explode the
+    position range, and hash the n consecutive tokens as FLAT xxhash64
+    children (``toks[i] ... toks[i+n-1]``) — GetArrayItem + xxhash64 are
+    whole-stage codegen, where the previous ``transform(sequence(...),
+    i -> xxhash64(seed, slice(toks, i+1, n)))`` ran an interpreted
+    CodegenFallback lambda allocating a fresh slice array per shingle
+    (measured as the dominant CPU of every shingle consumer at sf0.1).
+
+    Hash VALUES are bit-identical to the slice form: xxhash64 over an
+    array chains element hashes exactly like flat children (verified
+    live and pinned by test_dedup), so every downstream artifact —
+    MinHash signatures (SIGNATURE_ALGO unchanged), SimHash bits, posting
+    keys, df counts — is unchanged.
+
+    Contract mirrored from word_shingle_hashes: docs shorter than n
+    tokens yield ONE whole-token-array hash; NULL text yields one NULL
+    hash row (never a constant key nulls would equi-join on).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    )
+    k = F.size("__toks")
+    # -1 marks the whole-array fallback row (short or null/empty text);
+    # size(NULL toks) is NULL, so the k >= n test is NULL and null-text
+    # docs fall through to the fallback row too
+    pos = F.when(k >= n, F.sequence(F.lit(0), k - n)).otherwise(
+        F.array(F.lit(-1))
+    )
+    ex = base.select("id", "__toks", F.explode(pos).alias("__i"))
+    flat = F.xxhash64(
+        F.lit(seed), *[F.col("__toks")[F.col("__i") + j] for j in range(n)]
+    )
+    whole = F.when(
+        F.col("__toks").isNotNull(), F.xxhash64(F.lit(seed), F.col("__toks"))
+    )
+    return ex.select(
+        "id", F.when(F.col("__i") >= 0, flat).otherwise(whole).alias("__h")
+    )
+
+
 def exact_dedup_fingerprint(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -89,14 +136,22 @@ def shingle_postings(
     probability ~|shingles|²/2⁶⁵), so downstream Jaccard/containment
     values are unchanged; only the key column's TYPE differs (long).
     """
-    sets = (
-        word_shingle_hashes(text_col, n)
-        if hash_shingles
-        else word_shingles(text_col, n)
-    )
-    shingled = spread_for_compute(df).select(
-        F.col(id_col).alias("id"), F.explode(sets).alias("shingle")
-    )
+    if hash_shingles:
+        # codegen position explode + keys-only distinct aggregate (r15):
+        # identical (id, shingle-hash) row set as the previous
+        # explode(word_shingle_hashes(...)) — per-doc distinct incl. the
+        # NULL row for null-text docs — without the interpreted
+        # transform/slice lambda (the dominant CPU of the posting build).
+        # The distinct's partial aggregate dedups map-side, so its
+        # exchange carries ~16 bytes per distinct shingle.
+        shingled = _exploded_shingle_hash_rows(
+            spread_for_compute(df), id_col, text_col, n
+        ).select("id", F.col("__h").alias("shingle")).distinct()
+    else:
+        shingled = spread_for_compute(df).select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(text_col, n)).alias("shingle"),
+        )
     if max_df is None:
         return shingled.localCheckpoint(eager=True)
     # Cache the RAW postings across the stop-shingle pass: the hot
@@ -297,23 +352,20 @@ def minhash_signatures(
     shingle pipeline per lane — a measured ~20× slowdown — and the
     interpreted fold this replaces measured ~5× the aggregate's exec
     (sf0.1 headline: 27.5s → ~5s summed executor CPU)."""
-    # distinct=True on purpose: duplicate shingles cannot change a min
-    # fold, but WITHOUT the O(k) array_distinct pass the 32-lane min
-    # runs per token POSITION — a 10k-token doc repeating one 4-word
-    # phrase would pay ~32×10k lane hashes instead of ~32×4. Dedup
-    # first is the boilerplate-document guard (code-review r9 catch).
-    hashes = word_shingle_hashes(text_col, n, seed)
+    # Duplicate shingle positions flow straight into the min lanes —
+    # duplicates cannot change a min, and skipping the dedup pass keeps
+    # the whole stage codegen (the boilerplate-document guard is now the
+    # 32 cheap per-row min updates themselves, no array_distinct pass).
     # NULL-text docs get NO signature row at all (r10 review): every
     # null-text doc would otherwise share one constant signature, every
     # band bucket, and est_jaccard 1.0 with every other null doc
     # (quadratic candidates on a null-heavy corpus), where the string
-    # path (and the DuckDB oracles) never equi-join nulls. The shingle
-    # array is never empty (short docs hash the whole token array), so
-    # the explode cannot drop a non-null-text doc.
-    exploded = (
-        spread_for_compute(df)
-        .where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"), F.explode(hashes).alias("__h"))
+    # path (and the DuckDB oracles) never equi-join nulls. The explode
+    # emits ≥1 row per doc (short docs hash the whole token array), so
+    # it cannot drop a non-null-text doc.
+    exploded = _exploded_shingle_hash_rows(
+        spread_for_compute(df).where(F.col(text_col).isNotNull()),
+        id_col, text_col, n, seed,
     )
     lanes = [
         F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"__m{i}")
@@ -430,46 +482,60 @@ def minhash_lsh_pairs(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
         .join(cand_ids, "id", "left_semi")
     )
-    # Shingle keys are xxhash64 longs: the verify join only counts
-    # matches (set sizes + intersection sizes), never emits the shingle,
-    # so 8-byte keys shrink the explode/shuffle/join by the average
-    # shingle width at identical output (collision odds ~pairs/2⁶⁵ —
-    # the same risk class as the banding hash itself).
-    # Lazy on purpose: sizes + both join sides re-run this explode, but
-    # the frame is already semi-joined down to candidate docs (a small
-    # fraction of the corpus — the LeftSemi the plan test pins), so the
-    # recompute is bounded by the candidate set; an eager checkpoint here
-    # measured within noise at sf0.1 and would hide the LeftSemi plan.
-    shingled = spread_for_compute(restricted).select(
-        "id",
-        F.explode(word_shingle_hashes("__text", n)).alias("shingle"),
+    # Shingle keys are xxhash64 longs: the verify only counts matches
+    # (set sizes + intersection sizes), never emits the shingle, so
+    # 8-byte keys shrink the shuffle by the average shingle width at
+    # identical output (collision odds ~pairs/2⁶⁵ — the same risk class
+    # as the banding hash itself).
+    #
+    # r15 optimization (guide §2.3 "shuffle keys and metadata instead of
+    # payloads", §2.4): each candidate doc's DISTINCT shingle-hash set
+    # stays one ARRAY row (~8·|set| bytes) instead of |set| exploded
+    # posting rows, and the per-pair intersection count is a codegen'd
+    # array_intersect over the two joined sets — the posting-level
+    # shuffle, the shingle-keyed self-join, and the per-pair groupBy
+    # disappear outright, and a hot shingle shared by many candidates
+    # can no longer create a quadratic join bucket (per-pair work is
+    # O(|set_a|+|set_b|), period). The previous shape also re-ran the
+    # restricted explode for all three consumers (sizes + both join
+    # sides); the set frame has two consumers (the id_a and id_b
+    # lookups), both bounded by the candidate set — the LeftSemi the
+    # plan test pins. Counts are identical (both sides are distinct
+    # sets), so jaccard values are bit-identical.
+    # collect_set reproduces word_shingle_hashes' distinct set (order
+    # differs, but only sizes and intersection COUNTS are consumed);
+    # the codegen explode replaces the interpreted transform/slice
+    # lambda that dominated the verify stage's CPU. Null-text docs are
+    # never candidates (no signature row), so the NULL-hash row cannot
+    # occur here.
+    sets = _exploded_shingle_hash_rows(
+        spread_for_compute(restricted), "id", "__text", n
+    ).groupBy("id").agg(F.collect_set("__h").alias("__set"))
+    za = sets.select(
+        F.col("id").alias("id_a"),
+        F.col("__set").alias("__set_a"),
+        F.size("__set").alias("size_a"),
     )
-    sizes = shingled.groupBy("id").agg(F.count("*").alias("set_size"))
-    sa = shingled.select(F.col("id").alias("id_a"), F.col("shingle"))
-    sb = shingled.select(
-        F.col("id").alias("sb_id"), F.col("shingle").alias("shingle_b")
+    zb = sets.select(
+        F.col("id").alias("id_b"),
+        F.col("__set").alias("__set_b"),
+        F.size("__set").alias("size_b"),
     )
-    inter = (
-        candidates.join(sa, "id_a")
-        .join(
-            sb,
-            (F.col("id_b") == F.col("sb_id"))
-            & (F.col("shingle") == F.col("shingle_b")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter_size"))
-    )
-    za = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
-    zb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    inter_size = F.size(F.array_intersect("__set_a", "__set_b"))
     return (
-        inter.join(za, "id_a")
+        candidates.join(za, "id_a")
         .join(zb, "id_b")
+        .withColumn("inter_size", inter_size)
         .withColumn(
             "jaccard",
             F.col("inter_size")
             / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
         )
-        .filter(F.col("jaccard") >= threshold)
+        # inter_size > 0 mirrors the previous inner posting join exactly:
+        # a candidate pair sharing NO shingle never appeared in the old
+        # intersection aggregate, so it must not appear here either even
+        # when threshold == 0.0
+        .filter((F.col("inter_size") > 0) & (F.col("jaccard") >= threshold))
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -799,10 +865,17 @@ def simhash_frame(
     here. Null-text docs keep their row with simhash 0 (their single null
     hash makes every ``ones_i`` NULL, so every bit test falls to the
     otherwise-0 branch — the tally fold's -1s produced the same 0)."""
-    hashes = word_shingle_hashes(text_col, n, seed)
-    exploded = spread_for_compute(df).select(
-        F.col(id_col).alias("id"), F.explode(hashes).alias("__h")
-    )
+    # SimHash tallies each DISTINCT shingle once (array_distinct
+    # semantics), so the codegen position explode is deduped by a
+    # keys-only (id, __h) aggregate first: partial aggregation dedups
+    # map-side (a doc's rows are co-located after explode), so the
+    # extra exchange carries one ~16-byte row per DISTINCT shingle —
+    # comparable bytes to the per-doc tally row and still free of any
+    # interpreted stage. Null-text docs keep their (id, NULL) row
+    # (distinct preserves it), so they still emit simhash 0 below.
+    exploded = _exploded_shingle_hash_rows(
+        spread_for_compute(df), id_col, text_col, n, seed
+    ).distinct()
     ones = [
         F.sum(
             F.shiftrightunsigned(F.col("__h"), i).bitwiseAND(F.lit(1))

@@ -644,3 +644,56 @@ def test_unpartitioned_windows_are_enumerated(spark, sf_dir):
         f"tagged in UNPARTITIONED_WINDOWS but plan has none: {stale} — "
         "remove the stale entries"
     )
+
+
+def test_dedup_signature_stages_are_codegen_aggregates(spark):
+    """r15 optimization pin: the MinHash 32-lane signature and the
+    SimHash 64-bit tally are flat codegen'd hash aggregates over exploded
+    shingle hashes — NOT interpreted ArrayAggregate folds (HOF lambdas
+    are CodegenFallback: per-element interpreted eval + a fresh
+    accumulator array per shingle; the fold shape measured ~5x the
+    aggregate's executor CPU on the sf0.1 headline). Values are
+    bit-identical by construction (same min / same 2*ones>=n sign test),
+    which the oracle gate re-proves every round — this test pins the
+    PLAN so the fold cannot silently come back."""
+    from etl_excel_csv_sql_spark.operators.dedup import (
+        minhash_signatures,
+        simhash_frame,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, None)], "doc_id long, text string"
+    )
+    for frame in (
+        minhash_signatures(df, "doc_id", "text"),
+        simhash_frame(df, "doc_id", "text"),
+    ):
+        plan = _plan(frame)
+        # explode -> partial/final hash aggregate, no HOF fold anywhere
+        assert "HashAggregate" in plan and "Generate explode" in plan
+        assert "aggregate(" not in plan, (
+            "interpreted ArrayAggregate fold reappeared in the signature "
+            "path:\n" + plan[:2000]
+        )
+
+
+def test_cosine_hot_paths_stage_norms_once(spark):
+    """r15 optimization pin: brute-force / IVF scoring computes each
+    side's L2 norm ONCE per row in a projection below the join; only the
+    dot-product fold remains per pair. An inline cosine_similarity would
+    show >=2 'aggregate(' folds per pair row (the when-condition
+    duplicates the denominator norms)."""
+    from etl_excel_csv_sql_spark.operators.similarity import brute_force_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    plan = _plan(brute_force_topk(emb, queries, k=3))
+    join_stage = plan.split("BroadcastNestedLoopJoin")[0]
+    # the post-join projection carries exactly ONE fold (the dot product)
+    assert join_stage.count("aggregate(") <= 1, join_stage[:2000]
