@@ -32,7 +32,8 @@ from etl_excel_csv_sql_spark.functions.text import (
 )
 from etl_excel_csv_sql_spark.functions.vectors import (
     cosine_similarity,
-    random_hyperplane_signature,
+    dot_product,
+    l2_norm,
 )
 from etl_excel_csv_sql_spark.operators.relational import spread_for_compute
 
@@ -1434,21 +1435,67 @@ def embedding_dup_pairs(
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if n_planes > 0:
+        # r15 optimization, two guide moves:
+        #
+        # 1. (guide §4.1) All n_tables × n_planes hyperplane projections
+        #    are ONE aggregate over the posexploded vector — each
+        #    (id, dim, x) row updates every projection lane with a
+        #    codegen'd xxhash64-derived weight, replacing the previous
+        #    per-table random_hyperplane_signature folds (interpreted
+        #    zip_with/aggregate lambdas: n_tables·n_planes·dim
+        #    interpreted steps per ROW — the dominant CPU of this
+        #    operator). Projection values are bit-identical: same
+        #    per-term arithmetic, summed in the same dimension order
+        #    (one doc's exploded rows are partition-contiguous, so the
+        #    partial aggregate accumulates in posexplode order), and the
+        #    fold's 0.0 seed differs only on a ±0.0 sign that the
+        #    ``>= 0`` bit test cannot observe. Null/empty vectors emit
+        #    no rows (the old path gave them constant signatures whose
+        #    candidate pairs the exact verify dropped via NULL cosine —
+        #    output is identical either way).
+        # 2. (guide §8 "decide with small rows, move big rows once")
+        #    the banding self-join shuffles only (tbl, sig, id) — the
+        #    vectors no longer ride the candidate shuffle; they re-attach
+        #    by id AFTER dedup, with per-side norms staged so the exact
+        #    verify pays one dot-product fold per candidate pair.
+        nt = max(1, n_tables)
+        x = F.col("__x").cast("double")
+        lanes = [
+            F.sum(
+                x
+                * (
+                    (
+                        F.xxhash64(F.lit(seed + t), F.lit(p), F.col("__i"))
+                        % F.lit(1_000_003)
+                    ).cast("double")
+                    / F.lit(1_000_003.0)
+                )
+            ).alias(f"__s_{t}_{p}")
+            for t in range(nt)
+            for p in range(n_planes)
+        ]
+        projs = base.select(
+            "id", F.posexplode("vec").alias("__i", "__x")
+        ).groupBy("id").agg(*lanes)
+        sigs = [
+            F.concat(
+                *[
+                    F.when(F.col(f"__s_{t}_{p}") >= 0, F.lit("1")).otherwise(
+                        F.lit("0")
+                    )
+                    for p in range(n_planes)
+                ]
+            )
+            for t in range(nt)
+        ]
         tables = F.array(
             *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    random_hyperplane_signature("vec", n_planes, seed + t).alias(
-                        "sig"
-                    ),
-                )
-                for t in range(max(1, n_tables))
+                F.struct(F.lit(t).alias("tbl"), sigs[t].alias("sig"))
+                for t in range(nt)
             ]
         )
-        banded = base.select(
-            "id", "vec", F.explode(tables).alias("ts")
-        ).select(
-            "id", "vec", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig")
+        banded = projs.select("id", F.explode(tables).alias("ts")).select(
+            "id", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig")
         )
         a, b = banded.alias("a"), banded.alias("b")
         cand = (
@@ -1461,14 +1508,27 @@ def embedding_dup_pairs(
             .select(
                 F.col("a.id").alias("id_a"),
                 F.col("b.id").alias("id_b"),
-                F.col("a.vec").alias("vec_a"),
-                F.col("b.vec").alias("vec_b"),
             )
             .dropDuplicates(["id_a", "id_b"])
         )
-        sim = cosine_similarity(F.col("vec_a"), F.col("vec_b"))
+        va = base.select(
+            F.col("id").alias("id_a"),
+            F.col("vec").alias("vec_a"),
+            l2_norm("vec").alias("__na"),
+        )
+        vb = base.select(
+            F.col("id").alias("id_b"),
+            F.col("vec").alias("vec_b"),
+            l2_norm("vec").alias("__nb"),
+        )
+        denom = F.col("__na") * F.col("__nb")
+        sim = F.when(
+            denom > 0, dot_product(F.col("vec_a"), F.col("vec_b")) / denom
+        )
         return (
-            cand.select("id_a", "id_b", sim.alias("cosine"))
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .select("id_a", "id_b", sim.alias("cosine"))
             .filter(F.col("cosine") >= threshold)
         )
     a, b = base.alias("a"), base.alias("b")
