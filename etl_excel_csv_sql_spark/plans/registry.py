@@ -494,23 +494,17 @@ def q_pricing_summary(spark, sf_dir):
     def psum(col):
         return F.round(F.sum(col.cast("decimal(18,6)")), 2).cast("double")
 
-    # spread AFTER the pushed filter + projection (r15, guide §2.5
-    # "input skew — one huge unsplittable file"): the test parquet is a
-    # single row group, so the scan + decimal partial aggregate
-    # otherwise run on ONE core; the round-robin exchange carries only
-    # the 6 aggregated columns and is a no-op once the input arrives
-    # with >= cores partitions (production). Decimal sums are exact and
-    # commutative, so the result is unchanged.
-    filtered = relational.spread_for_compute(
-        li.filter(
-            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
-        ).select(
-            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-            "l_returnflag", "l_linestatus",
-        )
-    )
+    # r15 audit: a spread_for_compute after the pushed filter was tried
+    # (the test parquet is ONE row group, so this scan+partial-agg stage
+    # is single-task) and REVERTED on measurement — the round-robin
+    # exchange costs ~7x the query's total CPU in sort-before-
+    # repartition + row serialization of 600k rows for a ~0.3s 32-core
+    # wall win, and LOSES wall at lower core counts. The original plan
+    # (map-side partial agg, 6-partial exchange) is already CPU-minimal;
+    # single-task wall here is a test-layout artifact that disappears
+    # under any multi-row-group production layout.
     return (
-        filtered
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _msum("l_quantity").alias("sum_qty"),
@@ -720,14 +714,10 @@ def q_except(spark, sf_dir):
 )
 def q_shipping_top10(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    # spread the probe-side scan (r15, guide §2.5): single-row-group
-    # parquet ran the whole join + partial-agg chain on one core; no-op
-    # once the input arrives with >= cores partitions.
-    orders = relational.spread_for_compute(
-        _t(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_orderdate"
-        )
-    )
+    # r15 audit: spreading the probe-side scan was tried and REVERTED on
+    # measurement (~4.6x total CPU in exchange serialization for a
+    # marginal wall win; see pricing_summary's note).
+    orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     joined = relational.broadcast_dim_join(
         orders, cust, orders.o_custkey == cust.c_custkey
@@ -769,13 +759,12 @@ def q_region_revenue(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
-    # spread the projected fact scan (r15, guide §2.5): single-row-group
-    # parquet = single-task scan, which serialized the whole broadcast-
-    # join + partial-agg probe chain on one core; no-op at production
-    # partition counts. Joins/aggregate unchanged.
-    li_n = relational.spread_for_compute(
-        li.select("l_orderkey", "l_extendedprice", "l_discount")
-    )
+    # r15 audit: spreading the projected fact scan was tried (single-
+    # row-group test parquet = single-task probe chain) and REVERTED on
+    # measurement — ~3.7x total CPU in exchange serialization for a
+    # marginal 32-core wall win that inverts at lower core counts; see
+    # pricing_summary's note.
+    li_n = li.select("l_orderkey", "l_extendedprice", "l_discount")
     joined = (
         li_n.join(orders, li_n.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
