@@ -81,6 +81,12 @@ HEADLINE = (
     # r13+ comparison base for both series. A x100 minhash probe on the
     # new corpus joins the ledger the same day (metric "scale_probe",
     # multiplier 100).
+    # r15 optimization-round note: NO corpus/threshold/query-set changes —
+    # every series stays comparable. The dedup/similarity operators were
+    # rewritten CPU-leaner with bit-identical outputs (interpreted HOF
+    # folds -> codegen aggregates; see OPTIMIZATION_r15.md): expect lower
+    # exec for minhash/simhash/ngram/cosine/ann and modestly lower wall;
+    # alternating A/B evidence in ledger tags opt15_{new,base}_p*.
     "dedup_components_star",
     "doc_quality_score",
 )
