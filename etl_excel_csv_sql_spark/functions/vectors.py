@@ -50,6 +50,15 @@ def random_hyperplane_signature(a: ColumnOrName, n_planes: int, seed: int = 42) 
     Hyperplane components are derived deterministically from (seed, plane,
     dim) via xxhash64 → uniform in [-1, 1]; identical across executors with
     no broadcast of plane matrices needed.
+
+    .. deprecated:: r16
+        Cold reference implementation only — the fold runs as an
+        interpreted CodegenFallback per (plane, element), which is why its
+        one hot consumer (``dedup.embedding_dup_pairs``) was rewritten in
+        r15 to compute all projections in a single codegen posexplode +
+        aggregate (same xxhash64 weight formula, bit-identical signs). No
+        query path calls this function; new bulk callers should follow the
+        ``embedding_dup_pairs`` shape instead (guide §4.1).
     """
     v = _col(a)
     bits = []

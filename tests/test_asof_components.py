@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from etl_excel_csv_sql_spark.operators.asof import asof_join
@@ -161,8 +163,14 @@ def test_star_components_match_propagation(spark):
         connected_components_star,
     )
 
+    # r16 (VERDICT r15 #2): the default chain is diameter 29 — still far
+    # beyond the star solver's O(log n) round budget and the propagation
+    # solver pays one join+checkpoint round per diameter step, so the
+    # 59-chain cost was almost entirely this one case (~25s of the
+    # module). Full-length chain under SPARK_GRAFT_FULL_TESTS=1.
+    chain_len = 60 if os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1" else 30
     cases = {
-        "chain": [(i, i + 1) for i in range(1, 60)],          # diameter 59
+        "chain": [(i, i + 1) for i in range(1, chain_len)],
         "clusters": [(0, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
         "random": [
             (random.Random(3).randrange(100), random.Random(3 + i).randrange(100))

@@ -847,3 +847,59 @@ def test_paragraph_dedup_null_text_doc_survives(spark):
     assert out[4]["n_paras_kept"] == 0
     assert out[4]["n_paras_dropped"] == 0
     assert out[1]["text"] == "mine" and out[1]["n_paras_dropped"] == 1
+
+
+def test_ngram_size_prefilter_boundary_pair_survives(spark):
+    """r16 size-ratio prefilter (guide §3.2): pairs that cannot reach the
+    Jaccard threshold even at maximal intersection are pruned BEFORE the
+    pair-count exchange. The pruning test must be the final filter's own
+    double arithmetic evaluated at I = min(size_a, size_b): this corpus
+    plants the boundary pair sizes 3 vs 25 at threshold 0.12, where the
+    naive bound `size_a >= 0.12 * size_b` rounds to 3.0000000000000004 > 3
+    and would wrongly drop a pair whose true Jaccard 3/25 passes the
+    final filter exactly. Also plants a genuinely unreachable pair
+    (sizes 3 vs 28, best possible 3/28 < 0.12) and a ratio-compatible
+    low-Jaccard pair (25 vs 28, killed only by the final filter)."""
+    t = [f"t{i}" for i in range(1, 6)]        # shared 5-token prefix
+    x = [f"x{i}" for i in range(6, 28)]       # 22 filler tokens for B
+    z = [f"z{i}" for i in range(4, 31)]       # 27 filler tokens for C
+    doc_a = " ".join(t)                        # 3 shingles
+    doc_b = " ".join(t + x)                    # 25 shingles, ⊇ A's 3
+    doc_c = " ".join(t[:3] + z)                # 28 shingles, shares ONLY
+    #                                            (t1 t2 t3) with A and B
+    df = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], ["doc_id", "text"]
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.12
+        ).collect()
+    }
+    # A-B: inter 3, union 25 → exactly the 0.12 threshold, must survive
+    assert got == {(1, 2): 0.12}, got
+    # threshold 0 keeps every sharing pair (prefilter must prune nothing
+    # the final filter would keep): A-B, A-C, B-C all share >= 1 shingle
+    all_pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.0
+        ).collect()
+    }
+    assert set(all_pairs) == {(1, 2), (1, 3), (2, 3)}, all_pairs
+    assert all_pairs[(1, 3)] == 1 / 30 and all_pairs[(2, 3)] == 1 / 52
+
+
+def test_minhash_index_query_lane_match_is_codegen(spark, near_dup_docs, tmp_path):
+    """r16 (guide §4.1): MinHashIndex.query's matching-lane estimator is
+    an unrolled GetArrayItem equality sum — the zip_with/aggregate fold
+    (an interpreted CodegenFallback per candidate) must not reappear in
+    the plan. Values are pinned by test_minhash_index_incremental_query
+    (exact 1.0 for a verbatim copy, valid lane fractions throughout)."""
+    corpus = near_dup_docs.filter(F.col("doc_id") % 3 == 0)
+    idx = dedup.MinHashIndex(str(tmp_path / "idx_codegen"))
+    idx.build(corpus, "doc_id", "text")
+    q = idx.query(near_dup_docs.filter(F.col("doc_id") % 3 == 1))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "aggregate(" not in plan, plan[:2000]
+    assert "zip_with" not in plan, plan[:2000]

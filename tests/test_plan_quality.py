@@ -697,3 +697,27 @@ def test_cosine_hot_paths_stage_norms_once(spark):
     join_stage = plan.split("BroadcastNestedLoopJoin")[0]
     # the post-join projection carries exactly ONE fold (the dot product)
     assert join_stage.count("aggregate(") <= 1, join_stage[:2000]
+
+
+def test_star_round_is_join_free_window_min(spark):
+    """r16 optimization pin: a large-star/small-star round attaches the
+    closed-neighborhood min via a WINDOW over the partition key (one
+    exchange + one sort) instead of the r9 groupBy + self-join (two
+    exchanges + SMJ sorts, input consumed twice), and self-loops /
+    mirrored edges come from explodes instead of union double-reads —
+    one star round's plan must carry NO join at all. Output equivalence
+    is pinned separately (test_asof_components star-vs-propagation
+    fixpoint tests) and by the dedup_components(_star) oracles."""
+    from etl_excel_csv_sql_spark.operators.dedup import (
+        _large_star,
+        _small_star,
+        _symmetrize,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (5, 6), (1, 6)], "u long, v long"
+    )
+    edges = _symmetrize(pairs, "u", "v")
+    plan = _plan(_symmetrize(_small_star(_large_star(edges)), "u", "v"))
+    assert "Window" in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]

@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 import time
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -440,6 +441,13 @@ def test_streaming_progress_report_invariants(spark, sf_dir, tmp_path):
     assert all(r.rows_dropped_by_watermark == 0 for r in rep)  # replay is in order
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_FULL_TESTS") != "1",
+    reason="95s soak battery (r16, VERDICT r15 #2): the registered "
+    "events_streaming_soak_50_batches lifecycle query is itself "
+    "driver-gate-verified every window rotation; the local duplicate "
+    "runs under SPARK_GRAFT_FULL_TESTS=1",
+)
 def test_streaming_soak_50_batches_state_stays_flat(spark):
     """VERDICT r6 #8: ~50 event-time-ordered micro-batches through the
     watermarked windowed agg + merge-upsert sink. State must be bounded

@@ -50,9 +50,6 @@ def main() -> int:
         corpus, "doc_id", "text", 32, 3
     )
     frames["simhash_frame"] = dedup.simhash_frame(corpus, "doc_id", "text", 3)
-    # the full lazy minhash pair plan (bypassing the registered query's
-    # checkpoint) — shows banding, candidate join, and verify stages
-    frames["minhash_lsh_pairs_lazy"] = None  # placeholder, built below
 
     for name in (
         "cosine_topk",
@@ -72,8 +69,6 @@ def main() -> int:
             frames[name] = queries[name](spark, sf_dir)
         except Exception as exc:  # noqa: BLE001
             print(f"skip {name}: {exc}", file=sys.stderr)
-
-    del frames["minhash_lsh_pairs_lazy"]
 
     for name, df in frames.items():
         if df is None:

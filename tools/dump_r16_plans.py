@@ -27,6 +27,8 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from pyspark.sql import functions as F  # noqa: E402
+
 
 def explain_str(df) -> str:
     jdf = df._jdf
@@ -58,6 +60,28 @@ def main() -> int:
         docs, "doc_id", "text",
         n=3, threshold=0.12, max_df=100, hash_shingles=True,
         postings=postings,
+    )
+
+    # lazy replica of the hashed-path stop-shingle build (the operator
+    # checkpoints its result, which hides the ReusedExchange evidence)
+    from etl_excel_csv_sql_spark.operators.dedup import (
+        _exploded_shingle_hash_rows,
+    )
+    from etl_excel_csv_sql_spark.operators.relational import (
+        spread_for_compute,
+    )
+
+    shingled = _exploded_shingle_hash_rows(
+        spread_for_compute(docs), "doc_id", "text", 3
+    ).select("id", F.col("__h").alias("shingle")).distinct()
+    hot = (
+        shingled.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > 100)
+        .select("shingle")
+    )
+    frames["postings_build"] = shingled.join(
+        F.broadcast(hot), "shingle", "left_anti"
     )
 
     ids = docs.select("doc_id")
